@@ -1,0 +1,250 @@
+"""Posting-list codec: delta + variable-byte, 128-doc blocks, block-max metadata.
+
+Ray-native re-expression of the reference's postings format (SURVEY.md
+§2.3): docIDs and positions are delta-encoded then VByte-encoded (the
+7-bits-per-byte, continuation-bit scheme of upstream
+``DataOutput#writeVInt`` [U]); every 128 postings a block-directory
+entry records ``(last_doc, byte offsets, max_tf, min_norm)`` — serving
+both skip-list ``advance()`` and block-max WAND pruning (upstream
+``MultiLevelSkipListWriter`` / ``Lucene50ScoreSkipReader`` [U]).
+Storing ``(max_tf, min_norm)`` per block keeps the bound independent
+of the BM25 parameters (k1, b stay query-time knobs), analogous to the
+reference's competitive (freq, norm) impact pairs.
+
+All encode/decode paths are numpy-vectorized; blobs live in Arrow
+``binary`` cells so index shards are plain Parquet.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+# ---------------------------------------------------------------- VByte
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """VByte-encode a non-negative int array (vectorized).
+
+    Low 7 bits first; high bit set on every byte except the last of
+    each value (same layout as the reference's writeVInt).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    _, exp = np.frexp(v.astype(np.float64))
+    nbits = np.maximum(exp.astype(np.int64), 1)
+    nbytes = (nbits + 6) // 7
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    starts = ends - nbytes
+    out = np.zeros(total, dtype=np.uint8)
+    max_b = int(nbytes.max())
+    for p in range(max_b):
+        mask = nbytes > p
+        chunk = ((v[mask] >> np.uint64(7 * p)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] - 1 > p).astype(np.uint8) << 7
+        out[starts[mask] + p] = chunk | cont
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes | memoryview | np.ndarray, count: int,
+                 offset: int = 0) -> tuple[np.ndarray, int]:
+    """Decode ``count`` VByte values starting at byte ``offset``.
+
+    Returns (values int64 array, byte offset after the last value).
+    """
+    if count == 0:
+        return np.empty(0, dtype=np.int64), offset
+    b = np.frombuffer(buf, dtype=np.uint8)[offset:]
+    is_last = b < 128
+    ends = np.flatnonzero(is_last)
+    if ends.size < count:
+        raise ValueError("truncated vbyte stream")
+    ends = ends[:count]
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(count, dtype=np.uint64)
+    max_b = int(lengths.max())
+    for p in range(max_b):
+        mask = lengths > p
+        vals[mask] |= (b[starts[mask] + p] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * p)
+    return vals.astype(np.int64), offset + int(ends[-1]) + 1
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Strictly/weakly increasing int array -> deltas (first kept as-is)."""
+    a = np.asarray(sorted_vals, dtype=np.int64)
+    if a.size == 0:
+        return a
+    d = np.empty_like(a)
+    d[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=d[1:])
+    return d
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.int64))
+
+
+# ------------------------------------------------------- encoded postings
+
+@dataclass
+class EncodedPostings:
+    """One term's merged posting list, block-encoded.
+
+    ``docs``/``tfs``/``poss`` are VByte blobs; ``norms`` is one raw
+    byte per posting (norm offset for block b is just b*128). Block
+    directory arrays are parallel, one entry per 128-posting block.
+    """
+
+    df: int
+    cf: int
+    docs: bytes
+    tfs: bytes
+    norms: bytes
+    poss: bytes
+    blk_last_doc: np.ndarray   # int64, last docID of each block
+    blk_doc_off: np.ndarray    # int32, byte offset of block start in `docs`
+    blk_tf_off: np.ndarray     # int32
+    blk_pos_off: np.ndarray    # int32
+    blk_max_tf: np.ndarray     # int32
+    blk_min_norm: np.ndarray   # uint8 (min norm byte == min quantized length)
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
+                    positions: np.ndarray) -> EncodedPostings:
+    """Encode one term's postings.
+
+    ``doc_ids`` strictly increasing; ``positions`` is the flat
+    concatenation of each posting's position list (lengths given by
+    ``tfs``), each per-posting list delta-encoded from 0.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.uint8)
+    positions = np.asarray(positions, dtype=np.int64)
+    n = doc_ids.size
+    if n == 0:
+        raise ValueError("empty posting list")
+    if n > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
+        raise ValueError("doc_ids must be strictly increasing")
+
+    # per-posting position deltas: reset the delta chain at each posting
+    pos_deltas = delta_encode(positions)
+    pos_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    pos_deltas[pos_starts] = positions[pos_starts]
+
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blk_bounds = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n)
+    blk_starts = np.arange(nblocks) * BLOCK_SIZE
+
+    # doc deltas are relative to the previous posting; a block's first
+    # delta is thus relative to the previous block's last_doc, which the
+    # directory stores — blocks decode independently.
+    doc_deltas = delta_encode(doc_ids)
+
+    # encode per stream, tracking block byte offsets
+    doc_off = np.zeros(nblocks, dtype=np.int64)
+    tf_off = np.zeros(nblocks, dtype=np.int64)
+    pos_off = np.zeros(nblocks, dtype=np.int64)
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    pos_parts: list[bytes] = []
+    dpos = tpos = ppos = 0
+    pos_cuts = np.concatenate(([0], np.cumsum(tfs)))
+    for b in range(nblocks):
+        s, e = int(blk_starts[b]), int(blk_bounds[b])
+        doc_off[b], tf_off[b], pos_off[b] = dpos, tpos, ppos
+        db = vbyte_encode(doc_deltas[s:e])
+        tb = vbyte_encode(tfs[s:e])
+        pb = vbyte_encode(pos_deltas[int(pos_cuts[s]):int(pos_cuts[e])])
+        doc_parts.append(db)
+        tf_parts.append(tb)
+        pos_parts.append(pb)
+        dpos += len(db)
+        tpos += len(tb)
+        ppos += len(pb)
+
+    # block-max metadata
+    max_tf = np.maximum.reduceat(tfs, blk_starts).astype(np.int32)
+    min_norm = np.minimum.reduceat(norms, blk_starts).astype(np.uint8)
+    last_doc = doc_ids[blk_bounds - 1]
+
+    return EncodedPostings(
+        df=int(n),
+        cf=int(tfs.sum()),
+        docs=b"".join(doc_parts),
+        tfs=b"".join(tf_parts),
+        norms=norms.tobytes(),
+        poss=b"".join(pos_parts),
+        blk_last_doc=last_doc.astype(np.int64),
+        blk_doc_off=doc_off.astype(np.int32),
+        blk_tf_off=tf_off.astype(np.int32),
+        blk_pos_off=pos_off.astype(np.int32),
+        blk_max_tf=max_tf,
+        blk_min_norm=min_norm,
+    )
+
+
+def decode_block_docs(docs_blob, blk_doc_off, blk_last_doc, b: int,
+                      df: int) -> np.ndarray:
+    """Decode block ``b``'s docIDs (without tfs/positions).
+
+    Block-start deltas are relative to the previous block's last doc,
+    which the directory carries — so any block decodes independently.
+    """
+    n = min(BLOCK_SIZE, df - b * BLOCK_SIZE)
+    deltas, _ = vbyte_decode(docs_blob, n, int(blk_doc_off[b]))
+    out = np.cumsum(deltas)
+    if b > 0:
+        out += int(blk_last_doc[b - 1])
+    return out
+
+
+def decode_block(docs_blob, tfs_blob, blk_doc_off, blk_tf_off, blk_last_doc,
+                 b: int, df: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode block ``b`` -> (doc_ids, tfs)."""
+    n = min(BLOCK_SIZE, df - b * BLOCK_SIZE)
+    deltas, _ = vbyte_decode(docs_blob, n, int(blk_doc_off[b]))
+    docs = np.cumsum(deltas)
+    if b > 0:
+        docs += int(blk_last_doc[b - 1])
+    tfs, _ = vbyte_decode(tfs_blob, n, int(blk_tf_off[b]))
+    return docs, tfs
+
+
+def decode_all(enc_or_row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full posting list -> (doc_ids, tfs, norms).
+
+    Accepts an :class:`EncodedPostings` or a dict-like index row with
+    the same field names.
+    """
+    get = (lambda k: getattr(enc_or_row, k)) if isinstance(enc_or_row, EncodedPostings) \
+        else (lambda k: enc_or_row[k])
+    df = int(get("df"))
+    deltas, _ = vbyte_decode(get("docs"), df, 0)
+    docs = np.cumsum(deltas)
+    tfs, _ = vbyte_decode(get("tfs"), df, 0)
+    norms = np.frombuffer(get("norms"), dtype=np.uint8)
+    return docs, tfs, norms
+
+
+def decode_positions(poss_blob, tfs: np.ndarray) -> list[np.ndarray]:
+    """Decode the full positions stream -> per-posting position arrays."""
+    total = int(np.asarray(tfs).sum())
+    flat, _ = vbyte_decode(poss_blob, total, 0)
+    cuts = np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1]
+    out = []
+    start = 0
+    for end in list(cuts) + [total]:
+        seg = flat[start:end]
+        out.append(np.cumsum(seg))
+        start = end
+    return out
