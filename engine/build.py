@@ -1,0 +1,517 @@
+"""Distributed inverted-index build pipeline (Ray Data).
+
+Ray-native restatement of the reference's IndexWriter/SegmentMerger
+lifecycle (SURVEY.md §3.1; upstream ``L/index/DocumentsWriterPerThread``
+→ flush → ``L/index/SegmentMerger`` [U]) as a streaming Dataset
+pipeline:
+
+  Stage 0  docID bases     tiny ``groupby(conv_id).count`` → prefix-sum
+                           → ``docmap.parquet`` (the *stable* docID
+                           authority: ``doc_id = base[conv_id] +
+                           turn_idx`` == rank under (conv_id, turn_idx)
+                           sort — execution order can never change it,
+                           which is what makes resume + retries safe).
+  Stage A  fragments       ``map_batches(FragmentBuilder actor)`` over
+                           zero-copy Arrow batches: analyze → per-batch
+                           term→postings fragment rows (the DWPT-flush
+                           analog), hive-partitioned to
+                           ``fragments/bucket=H(term)/part_id=P`` so the
+                           merge reads one bucket at a time and resume
+                           skips finished input parts.
+  Stage B  merge           per bucket: df partials → hot-term set →
+                           salted ``groupby(merge_key).map_groups`` →
+                           delta+VByte encode + block directory →
+                           ``index/bucket=B`` shard Parquet (the
+                           SegmentMerger analog; the groupby IS the
+                           explicit hash shuffle on term).
+  Stage C  commit          stats.json + manifest status=complete,
+                           written atomically last (SegmentInfos-style
+                           publish).
+
+Skew (SURVEY.md §4): a hot term (global df above threshold) would make
+one merge group hold the whole posting list. Instead its fragments are
+salted by ``part_id % n_salts`` into independent sub-lists over
+*disjoint* doc sets, each encoded as its own index row — exactly
+Lucene's many-segments-per-term shape, resolved query-side by treating
+sub-lists as independent scorers with the *global* df. No second merge
+pass, no giant group.
+
+Scale notes (100 TB): the only all-to-all exchanges are (a) the tiny
+conv-count groupby and (b) the per-bucket term groupby, whose working
+set is 1/n_buckets of the index; buckets run as independent, separately
+checkpointed jobs. The conv base table is 1/avg_turns the corpus and is
+loaded once per analyzer actor (not per batch); at 10^12 turns it would
+itself be range-sharded with a two-level (partition-sums → prefix)
+base assignment — same invariant, documented here as the scale path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import zlib
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from engine import manifest as mf
+from engine.analysis import ENGLISH_STOP_WORDS, Analyzer
+from engine.codec import encode_postings
+from engine.smallfloat import encode_lengths
+
+DOCMAP_NAME = "docmap.parquet"
+STATS_NAME = "stats.json"
+
+
+@dataclass
+class IndexConfig:
+    """Declarative index config (the reference's schema/configset analog)."""
+
+    text_col: str = "text"
+    conv_cols: tuple[str, str] | None = ("conv_id", "turn_idx")
+    doc_id_col: str | None = None      # direct mode: use this int64 column
+    stop_words: frozenset[str] | None = ENGLISH_STOP_WORDS
+    stemming: bool = True
+    n_buckets: int = 8                 # term-hash shards (merge checkpoint unit)
+    hot_df_threshold: int = 50_000     # global df above this => salt the term
+    n_salts: int = 8
+    batch_size: int = 1024
+    concurrency: int | tuple[int, int] | None = None  # None → num_cpus actors
+    store_positions: bool = True
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "text_col": self.text_col,
+            "conv_cols": list(self.conv_cols) if self.conv_cols else None,
+            "doc_id_col": self.doc_id_col,
+            "stop_words": sorted(self.stop_words) if self.stop_words else [],
+            "stemming": self.stemming,
+            "n_buckets": self.n_buckets,
+            "hot_df_threshold": self.hot_df_threshold,
+            "n_salts": self.n_salts,
+            "store_positions": self.store_positions,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "IndexConfig":
+        return IndexConfig(
+            text_col=d["text_col"],
+            conv_cols=tuple(d["conv_cols"]) if d.get("conv_cols") else None,
+            doc_id_col=d.get("doc_id_col"),
+            stop_words=frozenset(d.get("stop_words") or []) or None,
+            stemming=d["stemming"],
+            n_buckets=d["n_buckets"],
+            hot_df_threshold=d["hot_df_threshold"],
+            n_salts=d["n_salts"],
+            store_positions=d.get("store_positions", True),
+        )
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Stable (process-independent) term → bucket hash."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def _term_buckets(terms: np.ndarray, n_buckets: int) -> np.ndarray:
+    crc = zlib.crc32
+    return np.fromiter(
+        (crc(t.encode("utf-8")) % n_buckets for t in terms),
+        dtype=np.int32, count=len(terms))
+
+
+# --------------------------------------------------------------- stage 0
+
+def build_docmap(ds: ray.data.Dataset, cfg: IndexConfig, index_dir: str) -> int:
+    """conv_id → docID base table; returns corpus doc count N.
+
+    ``doc_id = base[conv_id] + turn_idx`` equals the rank of
+    (conv_id, turn_idx) in the globally sorted corpus because turn_idx
+    is contiguous from 0 within each conversation (validated here).
+    """
+    conv_col, turn_col = cfg.conv_cols  # type: ignore[misc]
+    from ray.data.aggregate import Count, Max
+
+    agg = ds.groupby(conv_col).aggregate(Count(), Max(turn_col))
+    t = agg.to_arrow_refs()
+    tables = [ray.get(r) for r in t]
+    tab = pa.concat_tables(tables).combine_chunks()
+    count_col = "count()" if "count()" in tab.column_names else "count"
+    max_col = f"max({turn_col})"
+    counts = tab[count_col].to_numpy().astype(np.int64)
+    maxes = tab[max_col].to_numpy().astype(np.int64)
+    if not np.array_equal(maxes + 1, counts):
+        bad = tab[conv_col][int(np.argmax(maxes + 1 != counts))]
+        raise ValueError(
+            f"turn_idx not contiguous from 0 for conv {bad}; "
+            "docID-by-rank invariant requires contiguous turns")
+    order = pc.sort_indices(tab[conv_col])
+    convs = tab[conv_col].take(order)
+    counts = counts[order.to_numpy()]
+    bases = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=bases[1:])
+    out = pa.table({conv_col: convs,
+                    "base": pa.array(bases),
+                    "n_turns": pa.array(counts)})
+    pq.write_table(out, os.path.join(index_dir, DOCMAP_NAME))
+    return int(counts.sum())
+
+
+# --------------------------------------------------------------- stage A
+
+class FragmentBuilder:
+    """Actor-pool stage: Arrow batch of turns → posting-fragment rows.
+
+    Analyzer tables, the conv→base docmap and the part lookup are built
+    once per actor (``__init__``); per-batch work is fully vectorized
+    (SURVEY.md §2.3 DWPT analog).
+    """
+
+    def __init__(self, cfg_json: dict[str, Any], index_dir: str,
+                 part_of_path: dict[str, int]):
+        cfg = IndexConfig.from_json(cfg_json)
+        self.cfg = cfg
+        self.analyzer = Analyzer(cfg.stop_words, cfg.stemming)
+        self.part_of_path = part_of_path
+        self._bucket_memo: dict[str, int] = {}
+        if cfg.conv_cols is not None:
+            dm = pq.read_table(os.path.join(index_dir, DOCMAP_NAME))
+            self.conv_values = dm[cfg.conv_cols[0]].combine_chunks()
+            self.conv_bases = dm["base"].to_numpy().astype(np.int64)
+        else:
+            self.conv_values = None
+            self.conv_bases = None
+
+    def _doc_ids(self, batch: pa.Table) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.doc_id_col is not None:
+            return batch[cfg.doc_id_col].to_numpy().astype(np.int64)
+        conv_col, turn_col = cfg.conv_cols  # type: ignore[misc]
+        idx = pc.index_in(batch[conv_col], value_set=self.conv_values)
+        if idx.null_count:
+            raise ValueError("conv_id missing from docmap (stale stage 0?)")
+        base = self.conv_bases[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        return base + batch[turn_col].to_numpy().astype(np.int64)
+
+    def _buckets(self, terms: np.ndarray) -> np.ndarray:
+        memo, nb = self._bucket_memo, self.cfg.n_buckets
+        crc = zlib.crc32
+        out = np.empty(len(terms), dtype=np.int32)
+        for i, t in enumerate(terms):
+            b = memo.get(t)
+            if b is None:
+                b = crc(t.encode("utf-8")) % nb
+                memo[t] = b
+            out[i] = b
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        paths = np.asarray(batch["path"].to_pandas(), dtype=object)
+        uniq = np.unique(paths)
+        out: list[pa.Table] = []
+        if len(uniq) == 1:
+            out.append(self._build(batch, self.part_of_path[uniq[0]]))
+        else:  # batch spans input files: split so fragments keep one part_id
+            for p in uniq:
+                sub = batch.filter(pa.array(paths == p))
+                if sub.num_rows:
+                    out.append(self._build(sub, self.part_of_path[p]))
+        out = [t for t in out if t.num_rows]
+        if not out:
+            return _empty_fragment_table()
+        return pa.concat_tables(out)
+
+    def _build(self, batch: pa.Table, part_id: int) -> pa.Table:
+        cfg = self.cfg
+        doc_ids = self._doc_ids(batch)
+        _, terms, positions, doc_lens = self.analyzer.analyze_flat(
+            batch[cfg.text_col])
+        if terms.size == 0:
+            return _empty_fragment_table()
+        norm_bytes = encode_lengths(doc_lens)
+        n_docs = len(doc_lens)
+        tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
+
+        uniq_terms, tcode = np.unique(terms, return_inverse=True)
+        order = np.lexsort((positions, tok_doc, tcode))
+        t_s, d_s, p_s = tcode[order], tok_doc[order], positions[order]
+
+        chg = np.empty(t_s.size, dtype=bool)
+        chg[0] = True
+        chg[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+        pstart = np.flatnonzero(chg)                       # token idx of each posting
+        tfs = np.diff(np.append(pstart, t_s.size)).astype(np.int32)
+        p_t = t_s[pstart]                                  # term code per posting
+        p_d = d_s[pstart]                                  # batch-doc per posting
+
+        tchg = np.empty(p_t.size, dtype=bool)
+        tchg[0] = True
+        tchg[1:] = p_t[1:] != p_t[:-1]
+        term_pstart = np.flatnonzero(tchg)                 # posting idx per term
+        terms_present = uniq_terms[p_t[term_pstart]]
+
+        doc_vals = doc_ids[p_d]
+        norm_vals = norm_bytes[p_d]
+        post_offsets = np.append(term_pstart, p_t.size).astype(np.int32)
+        tok_offsets = np.append(pstart[term_pstart], t_s.size).astype(np.int32)
+
+        docs_col = pa.ListArray.from_arrays(
+            pa.array(post_offsets, type=pa.int32()), pa.array(doc_vals, type=pa.int64()))
+        tfs_col = pa.ListArray.from_arrays(
+            pa.array(post_offsets, type=pa.int32()), pa.array(tfs, type=pa.int32()))
+        norms_col = pa.ListArray.from_arrays(
+            pa.array(post_offsets, type=pa.int32()), pa.array(norm_vals, type=pa.uint8()))
+        if cfg.store_positions:
+            poss_col = pa.ListArray.from_arrays(
+                pa.array(tok_offsets, type=pa.int32()),
+                pa.array(p_s.astype(np.int32), type=pa.int32()))
+        else:
+            empty_off = np.zeros(len(terms_present) + 1, dtype=np.int32)
+            poss_col = pa.ListArray.from_arrays(
+                pa.array(empty_off, type=pa.int32()),
+                pa.array(np.empty(0, np.int32), type=pa.int32()))
+
+        n_terms = len(terms_present)
+        return pa.table({
+            "term": pa.array(terms_present, type=pa.string()),
+            "bucket": pa.array(self._buckets(terms_present), type=pa.int32()),
+            "part_id": pa.array(np.full(n_terms, part_id, dtype=np.int32)),
+            "min_doc": pa.array(doc_vals[term_pstart], type=pa.int64()),
+            "df": pa.array(np.diff(post_offsets).astype(np.int32)),
+            "docs": docs_col,
+            "tfs": tfs_col,
+            "norms": norms_col,
+            "poss": poss_col,
+        })
+
+
+def _empty_fragment_table() -> pa.Table:
+    i32 = pa.int32()
+    return pa.table({
+        "term": pa.array([], type=pa.string()),
+        "bucket": pa.array([], type=i32),
+        "part_id": pa.array([], type=i32),
+        "min_doc": pa.array([], type=pa.int64()),
+        "df": pa.array([], type=i32),
+        "docs": pa.array([], type=pa.list_(pa.int64())),
+        "tfs": pa.array([], type=pa.list_(i32)),
+        "norms": pa.array([], type=pa.list_(pa.uint8())),
+        "poss": pa.array([], type=pa.list_(i32)),
+    })
+
+
+# --------------------------------------------------------------- stage B
+
+def _merge_group(group: pa.Table) -> pa.Table:
+    """One merge group (a term, or one salt of a hot term) → one index row.
+
+    Fragments cover disjoint doc sets; concatenating them in min_doc
+    order is a linear merge (SegmentMerger analog). Falls back to a
+    full argsort only if ranges interleave (unsorted input corpus).
+    """
+    term = group["term"][0].as_py()
+    sub = int(group["salt"][0].as_py()) if "salt" in group.column_names else 0
+    min_docs = group["min_doc"].to_numpy()
+    order = np.argsort(min_docs, kind="stable")
+
+    def flat(col: str, dtype) -> list[np.ndarray]:
+        arr = group[col].combine_chunks()
+        values = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
+        offs = arr.offsets.to_numpy().astype(np.int64)
+        return [values[offs[i]:offs[i + 1]] for i in order]
+
+    docs = np.concatenate(flat("docs", np.int64))
+    tfs = np.concatenate(flat("tfs", np.int64))
+    norms = np.concatenate(flat("norms", np.uint8))
+    poss = np.concatenate(flat("poss", np.int64))
+    if docs.size > 1 and not (docs[1:] > docs[:-1]).all():
+        # interleaved fragments: re-sort postings (and positions) by doc
+        porder = np.argsort(docs, kind="stable")
+        tok_offs = np.concatenate(([0], np.cumsum(tfs)))
+        tok_idx = np.concatenate(
+            [np.arange(tok_offs[i], tok_offs[i + 1]) for i in porder]) \
+            if poss.size else np.empty(0, np.int64)
+        docs, tfs, norms = docs[porder], tfs[porder], norms[porder]
+        poss = poss[tok_idx] if poss.size else poss
+
+    enc = encode_postings(docs, tfs, norms, poss)
+    return pa.table({
+        "term": pa.array([term], type=pa.string()),
+        "sub": pa.array([sub], type=pa.int32()),
+        "df": pa.array([enc.df], type=pa.int64()),
+        "cf": pa.array([enc.cf], type=pa.int64()),
+        "min_doc": pa.array([int(docs[0])], type=pa.int64()),
+        "docs": pa.array([enc.docs], type=pa.binary()),
+        "tfs": pa.array([enc.tfs], type=pa.binary()),
+        "norms": pa.array([enc.norms], type=pa.binary()),
+        "poss": pa.array([enc.poss], type=pa.binary()),
+        "blk_last_doc": pa.array([enc.blk_last_doc.tobytes()], type=pa.binary()),
+        "blk_doc_off": pa.array([enc.blk_doc_off.tobytes()], type=pa.binary()),
+        "blk_tf_off": pa.array([enc.blk_tf_off.tobytes()], type=pa.binary()),
+        "blk_pos_off": pa.array([enc.blk_pos_off.tobytes()], type=pa.binary()),
+        "blk_max_tf": pa.array([enc.blk_max_tf.tobytes()], type=pa.binary()),
+        "blk_min_norm": pa.array([enc.blk_min_norm.tobytes()], type=pa.binary()),
+    })
+
+
+def merge_bucket(index_dir: str, bucket: int, cfg: IndexConfig) -> dict[str, Any]:
+    """Merge one term-hash bucket's fragments into its index shard."""
+    frag_dir = os.path.join(index_dir, "fragments", f"bucket={bucket}")
+    shard_dir = os.path.join(index_dir, "index", f"bucket={bucket}")
+    if os.path.exists(shard_dir):
+        shutil.rmtree(shard_dir)
+    if not os.path.exists(frag_dir):
+        os.makedirs(shard_dir, exist_ok=True)
+        return {"status": "done", "n_terms": 0, "sum_cf": 0, "n_hot": 0}
+
+    frag = ray.data.read_parquet(frag_dir)
+
+    # hot-term detection from df partials (cheap: two thin columns)
+    dfs = ray.data.read_parquet(frag_dir, columns=["term", "df"]) \
+        .groupby("term").sum("df")
+    hot_tbl = dfs.filter(
+        lambda r: r["sum(df)"] > cfg.hot_df_threshold).to_pandas()
+    hot = set(hot_tbl["term"].tolist()) if len(hot_tbl) else set()
+
+    n_salts = cfg.n_salts
+
+    def add_key(b: pa.Table) -> pa.Table:
+        terms = b["term"].to_pylist()
+        # hive partition values read back as strings; int() normalizes
+        parts = np.asarray(b["part_id"].to_pandas(), dtype=object)
+        salts = np.zeros(len(terms), dtype=np.int32)
+        if hot:
+            keys = []
+            for i, t in enumerate(terms):
+                if t in hot:
+                    s = int(parts[i]) % n_salts
+                    salts[i] = s
+                    keys.append(f"{t}\x01{s}")
+                else:
+                    keys.append(t)
+        else:
+            keys = terms
+        return b.append_column("merge_key", pa.array(keys, type=pa.string())) \
+                .append_column("salt", pa.array(salts, type=pa.int32()))
+
+    merged = frag.map_batches(add_key, batch_format="pyarrow") \
+        .groupby("merge_key") \
+        .map_groups(_merge_group, batch_format="pyarrow")
+    merged.write_parquet(shard_dir)
+
+    # bucket stats from the written shard (thin column read-back)
+    back = pq.read_table(shard_dir, columns=["term", "cf"])
+    n_terms = len(pc.unique(back["term"]))
+    sum_cf = int(pc.sum(back["cf"]).as_py() or 0)
+    return {"status": "done", "n_terms": n_terms, "sum_cf": sum_cf,
+            "n_hot": len(hot)}
+
+
+# --------------------------------------------------------------- driver
+
+def build_index(input_path: str | list[str], index_dir: str,
+                cfg: IndexConfig | None = None,
+                resume: bool = True) -> dict[str, Any]:
+    """Full build: stages 0/A/B/C. Returns the committed manifest.
+
+    ``input_path``: a directory of Parquet files or an explicit list.
+    Resumable: finished input parts and merged buckets are skipped on
+    rerun (per-partition lineage in the manifest).
+    """
+    cfg = cfg or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    if isinstance(input_path, str):
+        files = sorted(
+            os.path.join(input_path, f) for f in os.listdir(input_path)
+            if f.endswith(".parquet"))
+    else:
+        files = sorted(input_path)
+    if not files:
+        raise ValueError(f"no parquet inputs under {input_path!r}")
+
+    man = mf.load(index_dir) if resume else None
+    if man is not None and man.get("input_files") != sorted(files):
+        man = None  # input changed: rebuild
+    if man is None:
+        man = mf.new_manifest(files, cfg.to_json())
+        for d in ("fragments", "index"):
+            p = os.path.join(index_dir, d)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+    cfg = IndexConfig.from_json(man["config"]) if resume and man["parts"] else cfg
+
+    part_of_path = {f: i for i, f in enumerate(files)}
+
+    # stage 0 — docID authority (reused verbatim on resume)
+    if cfg.conv_cols is not None and (
+            "N" not in man["stats"]
+            or not os.path.exists(os.path.join(index_dir, DOCMAP_NAME))):
+        cols = [cfg.conv_cols[0], cfg.conv_cols[1]]
+        ds0 = ray.data.read_parquet(files, columns=cols)
+        man["stats"]["N"] = build_docmap(ds0, cfg, index_dir)
+        mf.save(index_dir, man)
+    elif cfg.doc_id_col is not None and "N" not in man["stats"]:
+        ds0 = ray.data.read_parquet(files, columns=[cfg.doc_id_col])
+        man["stats"]["N"] = int(ds0.count())
+        mf.save(index_dir, man)
+
+    # stage A — fragments for pending parts
+    done = mf.done_parts(man)
+    pending = [f for f in files if part_of_path[f] not in done]
+    if pending:
+        # clean any half-written fragment dirs for pending parts
+        frag_root = os.path.join(index_dir, "fragments")
+        if os.path.exists(frag_root):
+            pend_ids = {part_of_path[f] for f in pending}
+            for bdir in os.listdir(frag_root):
+                for pdir in os.listdir(os.path.join(frag_root, bdir)):
+                    pid = int(pdir.split("=", 1)[1])
+                    if pid in pend_ids:
+                        shutil.rmtree(os.path.join(frag_root, bdir, pdir))
+        read_cols = [cfg.text_col] + (
+            list(cfg.conv_cols) if cfg.conv_cols else [cfg.doc_id_col])
+        ds = ray.data.read_parquet(pending, columns=read_cols,
+                                   include_paths=True)
+        frags = ds.map_batches(
+            FragmentBuilder,
+            fn_constructor_args=(cfg.to_json(), index_dir, part_of_path),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            # leave ≥1 CPU for read/write tasks: an actor pool equal to
+            # the cluster CPU count starves the rest of the pipeline
+            concurrency=cfg.concurrency
+            or max(1, int(ray.cluster_resources().get("CPU", 4)) - 1),
+        )
+        frags.write_parquet(frag_root, partition_cols=["bucket", "part_id"])
+        for f in pending:
+            man["parts"][str(part_of_path[f])] = {
+                "input_file": f, "status": "done"}
+        man["buckets"] = {}  # new fragments invalidate prior merges
+        mf.save(index_dir, man)
+
+    # stage B — per-bucket merge (each bucket its own checkpoint)
+    done_b = mf.done_buckets(man)
+    for b in range(cfg.n_buckets):
+        if b in done_b:
+            continue
+        man["buckets"][str(b)] = merge_bucket(index_dir, b, cfg)
+        mf.save(index_dir, man)
+
+    # stage C — commit
+    total_cf = sum(v["sum_cf"] for v in man["buckets"].values())
+    n_terms = sum(v["n_terms"] for v in man["buckets"].values())
+    N = int(man["stats"]["N"])
+    man["stats"].update({
+        "sum_cf": total_cf,
+        "n_terms": n_terms,
+        "avgdl": (total_cf / N) if N else 0.0,
+    })
+    man["status"] = "complete"
+    mf.save(index_dir, man)
+    return man

@@ -1,0 +1,130 @@
+"""Index verification — the reference's CheckIndex analog.
+
+Re-derives every stored invariant from the raw shard bytes (SURVEY.md
+§2.4 row "CheckIndex"; upstream ``L/index/CheckIndex.java`` [U]):
+per-row postings decode cleanly, docIDs strictly increase, the block
+directory matches the decoded streams, block-max metadata is truly an
+upper bound, salted sub-lists of a term cover disjoint doc ranges, and
+global stats (sum_cf, n_terms) match the manifest. Run after every
+end-to-end build in tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from engine import manifest as mf
+from engine.build import IndexConfig, term_bucket
+from engine.codec import BLOCK_SIZE, decode_positions, vbyte_decode
+from engine.smallfloat import LENGTH_TABLE
+
+
+def check_index(index_dir: str) -> dict[str, int]:
+    man = mf.load(index_dir)
+    assert man is not None, "no manifest"
+    assert man["status"] == "complete", f"status={man['status']}"
+    cfg = IndexConfig.from_json(man["config"])
+    N = int(man["stats"]["N"])
+
+    total_cf = 0
+    terms_seen: set[str] = set()
+    n_rows = 0
+    for b in range(cfg.n_buckets):
+        shard = os.path.join(index_dir, "index", f"bucket={b}")
+        if not os.path.isdir(shard):
+            continue
+        tab = pq.read_table(shard)
+        by_term: dict[str, list[tuple[int, int]]] = {}
+        for row in tab.to_pylist():
+            n_rows += 1
+            term = row["term"]
+            assert term_bucket(term, cfg.n_buckets) == b, \
+                f"term {term!r} in wrong bucket {b}"
+            df = int(row["df"])
+            assert df > 0
+            deltas, _ = vbyte_decode(row["docs"], df, 0)
+            docs = np.cumsum(deltas)
+            tfs, _ = vbyte_decode(row["tfs"], df, 0)
+            norms = np.frombuffer(row["norms"], dtype=np.uint8)
+            assert len(docs) == df and len(norms) == df
+            assert (docs >= 0).all() and int(docs[-1]) < N
+            assert df == 1 or (docs[1:] > docs[:-1]).all(), \
+                f"non-monotone docs for {term!r}"
+            assert int(tfs.sum()) == int(row["cf"])
+            assert (tfs >= 1).all()
+            assert int(docs[0]) == int(row["min_doc"])
+            total_cf += int(row["cf"])
+            terms_seen.add(term)
+            by_term.setdefault(term, []).append(docs)
+
+            # block directory invariants
+            blk_last = np.frombuffer(row["blk_last_doc"], dtype=np.int64)
+            blk_max_tf = np.frombuffer(row["blk_max_tf"], dtype=np.int32)
+            blk_min_norm = np.frombuffer(row["blk_min_norm"], dtype=np.uint8)
+            nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+            assert len(blk_last) == nblocks
+            for k in range(nblocks):
+                s, e = k * BLOCK_SIZE, min((k + 1) * BLOCK_SIZE, df)
+                assert int(blk_last[k]) == int(docs[e - 1])
+                assert int(blk_max_tf[k]) == int(tfs[s:e].max())
+                assert int(blk_min_norm[k]) == int(norms[s:e].min())
+                # block-max bound: min norm decodes to the smallest length
+                assert LENGTH_TABLE[blk_min_norm[k]] <= \
+                    LENGTH_TABLE[norms[s:e]].min()
+
+            if cfg.store_positions:
+                per_posting = decode_positions(row["poss"], tfs)
+                assert len(per_posting) == df
+                for pl, tf in zip(per_posting, tfs):
+                    assert len(pl) == int(tf)
+                    assert (pl >= 0).all()
+                    assert len(pl) == 1 or (pl[1:] > pl[:-1]).all()
+
+        # salted sub-lists: disjoint doc SETS per term (intervals may
+        # interleave — salt wraps part_id % n_salts by design)
+        for term, doc_lists in by_term.items():
+            if len(doc_lists) > 1:
+                alld = np.concatenate(doc_lists)
+                assert len(np.unique(alld)) == len(alld), \
+                    f"duplicate doc across sub-lists for {term!r}"
+
+    assert total_cf == int(man["stats"]["sum_cf"]), \
+        f"sum_cf mismatch {total_cf} != {man['stats']['sum_cf']}"
+    assert len(terms_seen) == int(man["stats"]["n_terms"])
+    return {"n_terms": len(terms_seen), "n_rows": n_rows,
+            "sum_cf": total_cf}
+
+
+def dump_postings(index_dir: str) -> dict[str, tuple]:
+    """term → (docs, tfs, norms) merged across sub-lists, doc-sorted.
+
+    The *logical* index content — used by the randomized-partitioning
+    equivalence tests: any build of the same corpus must dump
+    identically regardless of file split / batch size / salting.
+    """
+    man = mf.load(index_dir)
+    cfg = IndexConfig.from_json(man["config"])
+    out: dict[str, list] = {}
+    for b in range(cfg.n_buckets):
+        shard = os.path.join(index_dir, "index", f"bucket={b}")
+        if not os.path.isdir(shard):
+            continue
+        for row in pq.read_table(
+                shard, columns=["term", "df", "docs", "tfs", "norms"]).to_pylist():
+            df = int(row["df"])
+            deltas, _ = vbyte_decode(row["docs"], df, 0)
+            docs = np.cumsum(deltas)
+            tfs, _ = vbyte_decode(row["tfs"], df, 0)
+            norms = np.frombuffer(row["norms"], dtype=np.uint8)
+            out.setdefault(row["term"], []).append((docs, tfs, norms))
+    merged = {}
+    for term, parts in out.items():
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        norms = np.concatenate([p[2] for p in parts])
+        order = np.argsort(docs, kind="stable")
+        merged[term] = (docs[order], tfs[order], norms[order])
+    return merged

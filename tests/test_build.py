@@ -1,0 +1,111 @@
+"""End-to-end build tests: invariants, partitioning-equivalence, resume.
+
+Mirrors the reference's RandomIndexWriter strategy (SURVEY.md §5): the
+same corpus built under different partitionings must produce the same
+logical index, and CheckIndex-style invariants hold after every build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from engine.build import IndexConfig, build_index
+from engine.check import check_index, dump_postings
+from engine.synth import write_transcripts
+
+
+def test_build_completes(smoke_index):
+    idx, man, n = smoke_index
+    assert man["status"] == "complete"
+    assert man["stats"]["N"] == n
+    assert man["stats"]["n_terms"] > 50
+    assert man["stats"]["sum_cf"] > 0
+    assert man["stats"]["avgdl"] > 1
+    # salting exercised: the corpus has hot terms above the threshold
+    assert sum(v["n_hot"] for v in man["buckets"].values()) > 0
+
+
+def test_check_index(smoke_index):
+    idx, man, _ = smoke_index
+    stats = check_index(idx)
+    assert stats["n_terms"] == man["stats"]["n_terms"]
+    # salting produced more index rows than distinct terms
+    assert stats["n_rows"] > stats["n_terms"]
+
+
+def test_docmap_matches_sorted_rank(smoke_index, smoke_corpus):
+    """doc_id must equal the rank under (conv_id, turn_idx) sort."""
+    import pyarrow.parquet as pq
+
+    corpus, n = smoke_corpus
+    idx, _, _ = smoke_index
+    dm = pq.read_table(os.path.join(idx, "docmap.parquet"))
+    convs = dm["conv_id"].to_pylist()
+    assert convs == sorted(convs)
+    bases = dm["base"].to_numpy()
+    counts = dm["n_turns"].to_numpy()
+    assert bases[0] == 0
+    assert np.array_equal(bases[1:], np.cumsum(counts)[:-1])
+    assert int(bases[-1] + counts[-1]) == n
+
+
+def test_partitioning_equivalence(ray_session, tmp_path_factory):
+    """Same corpus, different file splits / batch sizes / salt configs
+    → identical logical postings (RandomIndexWriter analog)."""
+    ref_dump = None
+    for n_files, batch, hot_thr, n_salts in [
+            (1, 512, 10**9, 1),   # single part, no salting
+            (4, 128, 150, 4),     # many parts, aggressive salting
+    ]:
+        corpus = str(tmp_path_factory.mktemp(f"pcorp{n_files}"))
+        write_transcripts(corpus, n_convs=60, seed=7, n_files=n_files)
+        idx = str(tmp_path_factory.mktemp(f"pidx{n_files}"))
+        cfg = IndexConfig(n_buckets=2, hot_df_threshold=hot_thr,
+                          n_salts=n_salts, batch_size=batch)
+        build_index(corpus, idx, cfg)
+        check_index(idx)
+        dump = dump_postings(idx)
+        if ref_dump is None:
+            ref_dump = dump
+        else:
+            assert set(dump) == set(ref_dump)
+            for term, (docs, tfs, norms) in dump.items():
+                rd, rt, rn = ref_dump[term]
+                assert np.array_equal(docs, rd), term
+                assert np.array_equal(tfs, rt), term
+                assert np.array_equal(norms, rn), term
+
+
+def test_resume_skips_done_parts_and_is_identical(
+        ray_session, tmp_path_factory):
+    corpus = str(tmp_path_factory.mktemp("rcorp"))
+    write_transcripts(corpus, n_convs=50, seed=11, n_files=3)
+    idx = str(tmp_path_factory.mktemp("ridx"))
+    cfg = IndexConfig(n_buckets=2, hot_df_threshold=150, n_salts=2,
+                      batch_size=128)
+    build_index(corpus, idx, cfg)
+    ref = dump_postings(idx)
+
+    # simulate a crash after part 0: forget parts 1,2 and all merges
+    mpath = os.path.join(idx, "manifest.json")
+    with open(mpath) as f:
+        man = json.load(f)
+    man["status"] = "building"
+    for pid in ("1", "2"):
+        del man["parts"][pid]
+    man["buckets"] = {}
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+
+    man2 = build_index(corpus, idx, cfg, resume=True)
+    assert man2["status"] == "complete"
+    check_index(idx)
+    dump = dump_postings(idx)
+    assert set(dump) == set(ref)
+    for term in dump:
+        for a, b in zip(dump[term], ref[term]):
+            assert np.array_equal(a, b), term

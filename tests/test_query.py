@@ -1,0 +1,116 @@
+"""Query engine tests: dual-execution equivalence (brute oracle vs BMW),
+tie-break semantics, actor-pool query path, formula pinning.
+
+The brute-force scorer is the in-sandbox stand-in for the Lucene
+reference (SURVEY.md §5 item 2); BMW must be rank- AND score-identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine.query import K1, B, IndexReader, QueryEngine, idf, norm_cache
+from engine.smallfloat import LENGTH_TABLE
+from engine.synth import make_queries
+
+
+@pytest.fixture(scope="session")
+def reader(smoke_index):
+    idx, _, _ = smoke_index
+    return IndexReader(idx)
+
+
+def test_bm25_formula_pinned():
+    """Pin the Lucene 8.x scoring constants (no k1+1 numerator)."""
+    assert K1 == 1.2 and B == 0.75
+    # idf = ln(1 + (N - df + 0.5)/(df + 0.5)) as float32
+    assert idf(100, 10) == np.float32(math.log(1 + (100 - 10 + 0.5) / 10.5))
+    # norm cache scores against the decoded lossy length
+    c = norm_cache(10.0)
+    assert c[3] == K1 * (1 - B + B * (LENGTH_TABLE[3] / 10.0))
+    assert LENGTH_TABLE[3] == 3
+    # a doc of length 3 with tf=2: exact score path
+    w = idf(100, 10)
+    s = w * np.float32(2.0 / (2.0 + c[3]))
+    assert s.dtype == np.float32
+
+
+def test_dual_execution_full_query_set(reader):
+    """BMW == brute oracle on every reference query, every k."""
+    for q in make_queries():
+        bf = reader.brute_force_topk(q["query_text"], q["k"])
+        bmw = reader.bmw_topk(q["query_text"], q["k"])
+        assert bf["doc_id"].to_pylist() == bmw["doc_id"].to_pylist(), q
+        assert bf["score"].to_pylist() == bmw["score"].to_pylist(), q
+
+
+def test_stopword_and_oov_queries_empty(reader):
+    for q in ["the", "of to and", "qqqnosuchterm"]:
+        assert reader.bmw_topk(q, 10).num_rows == 0
+        assert reader.brute_force_topk(q, 10).num_rows == 0
+
+
+def test_scores_descending_and_tiebreak(reader):
+    top = reader.brute_force_topk("running connection index", 50)
+    scores = top["score"].to_numpy()
+    docs = top["doc_id"].to_numpy()
+    assert (np.diff(scores) <= 0).all()
+    for i in range(len(scores) - 1):
+        if scores[i] == scores[i + 1]:
+            assert docs[i] < docs[i + 1]  # lower docID wins ties
+
+
+def test_duplicate_query_terms_double_score(reader):
+    one = reader.brute_force_topk("zephyr", 5)
+    two = reader.brute_force_topk("zephyr zephyr", 5)
+    assert one["doc_id"].to_pylist() == two["doc_id"].to_pylist()
+    a = one["score"].to_numpy().astype(np.float64)
+    b = two["score"].to_numpy().astype(np.float64)
+    assert np.allclose(b, 2 * a, rtol=1e-6)
+
+
+def test_resolve_docs_roundtrip(reader, smoke_corpus):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    corpus, _ = smoke_corpus
+    top = reader.bmw_topk("zephyr", 5)
+    res = reader.resolve_docs(top["doc_id"].to_numpy())
+    # doc_id must equal rank of (conv_id, turn_idx) in the sorted corpus
+    tabs = [pq.read_table(f, columns=["conv_id", "turn_idx"])
+            for f in sorted(glob.glob(corpus + "/*.parquet"))]
+    full = pa.concat_tables(tabs).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    for row in res.to_pylist():
+        got = full.slice(row["doc_id"], 1).to_pylist()[0]
+        assert got["conv_id"] == row["conv_id"]
+        assert got["turn_idx"] == row["turn_idx"]
+
+
+def test_query_engine_dataset_path(ray_session, smoke_index):
+    """queries as a Dataset through the QueryEngine actor pool."""
+    import ray.data
+
+    idx, _, _ = smoke_index
+    qs = make_queries()[:8]
+    ds = ray.data.from_items(qs)
+    res = ds.map_batches(
+        QueryEngine, fn_constructor_args=(idx,),
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    r = IndexReader(idx)
+    for q in qs:
+        mine = res[res["query_id"] == q["query_id"]].sort_values("rank")
+        want = r.bmw_topk(q["query_text"], q["k"]).to_pandas()
+        assert mine["doc_id"].tolist() == want["doc_id"].tolist(), q
+        assert mine["score"].tolist() == want["score"].tolist(), q
+
+
+def test_total_hits_brute(reader):
+    top = reader.brute_force_topk("zephyr", 3)
+    assert top.num_rows == 3
+    assert top["total_hits"][0].as_py() >= 3
