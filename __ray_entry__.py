@@ -3,14 +3,12 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB. Implementations live in ``engine/registry.py``; the flagship
+pipeline is the full inverted-index build + block-max-WAND BM25 engine
+(SURVEY.md §3.1-3.2).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 """
 
 from __future__ import annotations
@@ -20,25 +18,41 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on /root/testdata/sf0.001: build the analyzed inverted
+    index over `documents`, then run BM25 top-k queries through the
+    actor-pool query engine; returns the result table."""
+    import ray.data
+
+    from engine.query import QueryEngine
+    from engine.registry import cached_doc_index
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = cached_doc_index(sf_dir, analyzed=True)
+    queries = [
+        {"query_id": 0, "query_text": "spark merge window", "k": 10},
+        {"query_id": 1, "query_text": "the a of", "k": 10},
+        {"query_id": 2, "query_text": "customer orders join", "k": 5},
+        {"query_id": 3, "query_text": "scanning filtered sorting", "k": 10},
+    ]
+    ds = ray.data.from_items(queries)
+    res = ds.map_batches(
+        QueryEngine, fn_constructor_args=(idx,),
+        fn_constructor_kwargs={"resolve": False},
+        batch_format="pyarrow", concurrency=2)
+    return res
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from engine import registry
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible entry; the
+    probabilistic-recall ops (minhash/simhash LSH, hyperplane-LSH knn)
+    are registered rows-only."""
+    from engine import registry
+
+    return registry.oracle_sql()

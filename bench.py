@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Benchmark harness: index-build throughput + BM25 query latency +
+breadth-operator timings; ``--scaling`` runs the same build at two
+parallelism levels in fresh processes (the in-sandbox stand-in for the
+N vs 4N cluster criterion, BASELINE.md).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": <headline build sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N, ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_ROOT = "/tmp/graft_bench"
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _bench_corpus(sf: float) -> tuple[str, int]:
+    """Deterministic transcript corpus sized by sf (cached on disk)."""
+    from engine.synth import write_transcripts
+
+    n_convs = max(200, int(400_000 * sf))
+    path = os.path.join(BENCH_ROOT, f"corpus_sf{sf}")
+    marker = os.path.join(path, "ROWS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return path, int(f.read())
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    n = write_transcripts(path, n_convs=n_convs, seed=42, n_files=16)
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return path, n
+
+
+def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader, QueryEngine
+    from engine.synth import make_queries
+
+    sf = _sf_of(sf_dir)
+    corpus, n_rows = _bench_corpus(sf)
+
+    idx = os.path.join(BENCH_ROOT, f"index_sf{sf}_cpus{cpus}")
+    if os.path.exists(idx):
+        shutil.rmtree(idx)
+    cfg = IndexConfig(
+        n_buckets=8,
+        hot_df_threshold=max(1000, n_rows // 50),
+        n_salts=8,
+        batch_size=2048,
+    )
+    t0 = time.perf_counter()
+    man = build_index(corpus, idx, cfg)
+    build_s = time.perf_counter() - t0
+
+    stats = man["stats"]
+    out = {
+        "sf": sf,
+        "num_cpus": cpus,
+        "corpus_turns": n_rows,
+        "build_sec": round(build_s, 3),
+        "turns_per_sec": round(n_rows / build_s, 1),
+        "tokens_per_sec": round(stats["sum_cf"] / build_s, 1),
+        "postings_per_sec": round(stats["n_postings"] / build_s, 1),
+        "n_terms": stats["n_terms"],
+    }
+
+    queries: dict[str, float] = {"index_build": round(build_s, 3)}
+    if not build_only:
+        # BM25 query latency: sequential per-query over the BMW engine
+        reader = IndexReader(idx, preload=True)
+        lats = []
+        qs = make_queries()
+        t0 = time.perf_counter()
+        for q in qs:
+            tq = time.perf_counter()
+            reader.bmw_topk(q["query_text"], q["k"])
+            lats.append(time.perf_counter() - tq)
+        out["query_p50_ms"] = round(1000 * statistics.median(lats), 2)
+        out["query_p95_ms"] = round(
+            1000 * sorted(lats)[int(0.95 * len(lats))], 2)
+        queries["bm25_query_set"] = round(time.perf_counter() - t0, 3)
+
+        # batch query throughput through the actor pool
+        import ray.data
+        t0 = time.perf_counter()
+        ds = ray.data.from_items(qs * 4)
+        n_res = ds.map_batches(
+            QueryEngine, fn_constructor_args=(idx,),
+            fn_constructor_kwargs={"resolve": False},
+            batch_size=16, batch_format="pyarrow",
+            concurrency=max(2, cpus // 4)).count()
+        dt = time.perf_counter() - t0
+        queries["bm25_batch_queries"] = round(dt, 3)
+        out["batch_qps"] = round(len(qs) * 4 / dt, 1)
+        assert n_res > 0
+
+        # breadth operators over the sf tables
+        from engine import registry
+        reg = registry.queries()
+        for name in ["term_stats_mapreduce", "rollup_events",
+                     "join_orders_customer", "join_lineitem_part",
+                     "group_topn_orders", "dedup_docs_exact",
+                     "minhash_pairs_docs", "knn_cosine"]:
+            t0 = time.perf_counter()
+            reg[name](sf_dir)
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    out["queries"] = queries
+    return out
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job, two parallelism levels, fresh processes each."""
+    res = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                   GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO)
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--single-build"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = [ln for ln in p.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        res[cpus] = json.loads(line)
+    thr_lo = res[lo]["turns_per_sec"]
+    thr_hi = res[hi]["turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (turns/sec, "
+                  f"num_cpus {lo} vs {hi}, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_of(sf_dir),
+        "cpus_lo": lo, "cpus_hi": hi,
+        "throughput_lo": thr_lo, "throughput_hi": thr_hi,
+        "speedup": round(thr_hi / thr_lo, 2),
+        "detail": res,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single-build", action="store_true",
+                    help="build-only run (used by --scaling subprocesses)")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+
+    if args.scaling:
+        out = run_scaling(sf_dir)
+    else:
+        r = run_main(cpus, sf_dir, build_only=args.single_build)
+        out = {
+            "metric": "transcript index build (turns/sec) + BM25 top-k "
+                      "p50 + breadth operators",
+            "value": r["build_sec"],
+            "unit": "sec",
+            **r,
+        }
+    print(json.dumps(out), flush=True)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

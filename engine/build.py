@@ -360,27 +360,20 @@ def _merge_group(group: pa.Table) -> pa.Table:
     })
 
 
-def merge_bucket(index_dir: str, bucket: int, cfg: IndexConfig) -> dict[str, Any]:
-    """Merge one term-hash bucket's fragments into its index shard."""
-    frag_dir = os.path.join(index_dir, "fragments", f"bucket={bucket}")
-    shard_dir = os.path.join(index_dir, "index", f"bucket={bucket}")
-    if os.path.exists(shard_dir):
-        shutil.rmtree(shard_dir)
-    if not os.path.exists(frag_dir):
-        os.makedirs(shard_dir, exist_ok=True)
-        return {"status": "done", "n_terms": 0, "sum_cf": 0, "n_hot": 0}
-
-    frag = ray.data.read_parquet(frag_dir)
-
-    # hot-term detection from df partials (cheap: two thin columns)
-    dfs = ray.data.read_parquet(frag_dir, columns=["term", "df"]) \
+def hot_terms(index_dir: str, cfg: IndexConfig) -> set[str]:
+    """Global hot-term set from fragment df partials (one thin-column
+    groupby over all buckets, done once per merge phase)."""
+    frag_root = os.path.join(index_dir, "fragments")
+    if not os.path.exists(frag_root):
+        return set()
+    dfs = ray.data.read_parquet(frag_root, columns=["term", "df"]) \
         .groupby("term").sum("df")
     hot_tbl = dfs.filter(
         lambda r: r["sum(df)"] > cfg.hot_df_threshold).to_pandas()
-    hot = set(hot_tbl["term"].tolist()) if len(hot_tbl) else set()
+    return set(hot_tbl["term"].tolist()) if len(hot_tbl) else set()
 
-    n_salts = cfg.n_salts
 
+def _make_add_key(hot: set[str], n_salts: int):
     def add_key(b: pa.Table) -> pa.Table:
         terms = b["term"].to_pylist()
         # hive partition values read back as strings; int() normalizes
@@ -399,18 +392,77 @@ def merge_bucket(index_dir: str, bucket: int, cfg: IndexConfig) -> dict[str, Any
             keys = terms
         return b.append_column("merge_key", pa.array(keys, type=pa.string())) \
                 .append_column("salt", pa.array(salts, type=pa.int32()))
+    return add_key
 
-    merged = frag.map_batches(add_key, batch_format="pyarrow") \
+
+def _salted_merge(frag: ray.data.Dataset, hot: set[str],
+                  n_salts: int) -> ray.data.Dataset:
+    """The explicit hash shuffle on term (salted for hot terms)."""
+    return frag.map_batches(_make_add_key(hot, n_salts),
+                            batch_format="pyarrow") \
         .groupby("merge_key") \
         .map_groups(_merge_group, batch_format="pyarrow")
-    merged.write_parquet(shard_dir)
 
-    # bucket stats from the written shard (thin column read-back)
-    back = pq.read_table(shard_dir, columns=["term", "cf"])
-    n_terms = len(pc.unique(back["term"]))
-    sum_cf = int(pc.sum(back["cf"]).as_py() or 0)
-    return {"status": "done", "n_terms": n_terms, "sum_cf": sum_cf,
-            "n_hot": len(hot)}
+
+def _bucket_stats(shard_dir: str, n_hot: int) -> dict[str, Any]:
+    if not os.path.isdir(shard_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(shard_dir)):
+        return {"status": "done", "n_terms": 0, "sum_cf": 0,
+                "n_postings": 0, "n_hot": n_hot}
+    back = pq.read_table(shard_dir, columns=["term", "df", "cf"])
+    return {
+        "status": "done",
+        "n_terms": len(pc.unique(back["term"])),
+        "sum_cf": int(pc.sum(back["cf"]).as_py() or 0),
+        "n_postings": int(pc.sum(back["df"]).as_py() or 0),
+        "n_hot": n_hot,
+    }
+
+
+def merge_bucket(index_dir: str, bucket: int, cfg: IndexConfig,
+                 hot: set[str] | None = None) -> dict[str, Any]:
+    """Merge one term-hash bucket's fragments into its index shard
+    (the per-bucket resume path)."""
+    frag_dir = os.path.join(index_dir, "fragments", f"bucket={bucket}")
+    shard_dir = os.path.join(index_dir, "index", f"bucket={bucket}")
+    if os.path.exists(shard_dir):
+        shutil.rmtree(shard_dir)
+    if not os.path.exists(frag_dir):
+        os.makedirs(shard_dir, exist_ok=True)
+        return {"status": "done", "n_terms": 0, "sum_cf": 0,
+                "n_postings": 0, "n_hot": 0}
+    if hot is None:
+        hot = hot_terms(index_dir, cfg)
+    merged = _salted_merge(ray.data.read_parquet(frag_dir), hot, cfg.n_salts)
+    merged.write_parquet(shard_dir)
+    return _bucket_stats(shard_dir, len(hot))
+
+
+def merge_all_buckets(index_dir: str, cfg: IndexConfig,
+                      hot: set[str]) -> dict[str, dict[str, Any]]:
+    """Fresh-build fast path: ONE shuffle job over every bucket's
+    fragments, written with ``partition_cols=["bucket"]`` — same output
+    layout as per-bucket merges but a single Dataset execution."""
+    frag_root = os.path.join(index_dir, "fragments")
+    index_root = os.path.join(index_dir, "index")
+    if os.path.exists(index_root):
+        shutil.rmtree(index_root)
+    merged = _salted_merge(ray.data.read_parquet(frag_root), hot,
+                           cfg.n_salts)
+    n_buckets = cfg.n_buckets
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pa.array(_term_buckets(
+                np.asarray(b["term"].to_pandas(), dtype=object), n_buckets)))
+
+    merged = merged.map_batches(add_bucket, batch_format="pyarrow")
+    merged.write_parquet(index_root, partition_cols=["bucket"])
+    return {
+        str(b): _bucket_stats(os.path.join(index_root, f"bucket={b}"),
+                              len(hot))
+        for b in range(cfg.n_buckets)
+    }
 
 
 # --------------------------------------------------------------- driver
@@ -495,21 +547,30 @@ def build_index(input_path: str | list[str], index_dir: str,
         man["buckets"] = {}  # new fragments invalidate prior merges
         mf.save(index_dir, man)
 
-    # stage B — per-bucket merge (each bucket its own checkpoint)
+    # stage B — merge. Fresh build (no bucket done yet): ONE global
+    # shuffle job partitioned by bucket. Partial resume: per-bucket
+    # jobs, each its own checkpoint. Hot-term stats computed once.
     done_b = mf.done_buckets(man)
-    for b in range(cfg.n_buckets):
-        if b in done_b:
-            continue
-        man["buckets"][str(b)] = merge_bucket(index_dir, b, cfg)
-        mf.save(index_dir, man)
+    pending_b = [b for b in range(cfg.n_buckets) if b not in done_b]
+    if pending_b:
+        hot = hot_terms(index_dir, cfg)
+        if not done_b:
+            man["buckets"] = merge_all_buckets(index_dir, cfg, hot)
+            mf.save(index_dir, man)
+        else:
+            for b in pending_b:
+                man["buckets"][str(b)] = merge_bucket(index_dir, b, cfg, hot)
+                mf.save(index_dir, man)
 
     # stage C — commit
     total_cf = sum(v["sum_cf"] for v in man["buckets"].values())
     n_terms = sum(v["n_terms"] for v in man["buckets"].values())
+    n_post = sum(v.get("n_postings", 0) for v in man["buckets"].values())
     N = int(man["stats"]["N"])
     man["stats"].update({
         "sum_cf": total_cf,
         "n_terms": n_terms,
+        "n_postings": n_post,
         "avgdl": (total_cf / N) if N else 0.0,
     })
     man["status"] = "complete"

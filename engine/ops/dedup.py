@@ -1,0 +1,298 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's dedup surface is ``SignatureUpdateProcessorFactory``
+(exact MD5 / fuzzy TextProfileSignature) plus the MinHash token filter
+(SURVEY.md §2.8; upstream ``S/update/processor/Signature...`` and
+``lucene/analysis/common/.../minhash/MinHashFilter.java`` [U]). Here
+each variant is a Ray Data pipeline:
+
+- exact: hash-partition on the key, keep min(id) per group — one small
+  grouped aggregate, no data rewrite.
+- MinHash+LSH: shingle → 64-perm minhash → banded bucket keys →
+  ``groupby(band)`` emits candidate pairs → exact-Jaccard verify on the
+  candidates only (candidate set is tiny relative to the corpus; at
+  100 TB the verify fetch is a doc_id join instead of a broadcast).
+- SimHash: 64-bit weighted-token signature, banded into
+  (hamming_threshold+1) chunks (pigeonhole: any pair within the
+  threshold shares ≥1 exact chunk), verify hamming distance.
+- n-gram Jaccard: exact pairwise similarity via a shingle-key shuffle
+  (groupby(shingle) → pair partials → grouped sum) — the fully exact,
+  SQL-checkable baseline the probabilistic variants approximate.
+
+All hashing is seeded/deterministic (crc32-based universal hashing) —
+no process-salted ``hash()`` anywhere, so retries and the DuckDB oracle
+agree.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from engine.ops.textstats import _flat_tokens
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_strings(texts, k: int) -> tuple[np.ndarray, list[np.ndarray]]:
+    """per-doc DISTINCT word-k-gram strings; returns (counts, list)."""
+    offs, flat = _flat_tokens(texts)
+    toks = np.asarray(flat.to_pandas(), dtype=object)
+    out: list[np.ndarray] = []
+    counts = np.zeros(len(offs) - 1, dtype=np.int64)
+    for i in range(len(offs) - 1):
+        t = toks[offs[i]:offs[i + 1]]
+        if len(t) < k:
+            # <k tokens: no shingles (matches the SQL oracle's range())
+            sh = np.empty(0, dtype=object)
+        else:
+            sh = np.array([" ".join(t[j:j + k]) for j in range(len(t) - k + 1)],
+                          dtype=object)
+        sh = np.unique(sh)
+        counts[i] = len(sh)
+        out.append(sh)
+    return counts, out
+
+
+def _crc_hashes(strings: np.ndarray) -> np.ndarray:
+    crc = zlib.crc32
+    return np.fromiter((crc(s.encode("utf-8")) for s in strings),
+                       dtype=np.uint64, count=len(strings))
+
+
+def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str
+                ) -> ray.data.Dataset:
+    """Exact dedup: first (min id) survivor per identical key."""
+    return ds.groupby(key_col).min(id_col)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
+                      k: int = 3, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.8) -> pa.Table:
+    """Near-dup pairs via MinHash + banded LSH, exact-verified.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
+    sorted. Bands of ``num_perm/bands`` rows: a pair colliding in ≥1
+    band becomes a candidate; candidates are verified with the exact
+    shingle Jaccard (so the output has no false positives; recall is
+    the standard LSH S-curve).
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    a_p, b_p = _perm_params(num_perm)
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        _, shingles = _shingle_strings(batch[text_col], k)
+        band_keys: list[str] = []
+        band_ids: list[int] = []
+        for did, sh in zip(ids, shingles):
+            if not len(sh):
+                continue
+            h = _crc_hashes(sh)
+            # universal hashing into num_perm permutations, min per perm
+            vals = (a_p[:, None] * h[None, :] + b_p[:, None]) % _MERSENNE
+            mh = vals.min(axis=1)
+            for bi in range(bands):
+                chunk = mh[bi * rows:(bi + 1) * rows]
+                band_keys.append(f"{bi}:{zlib.crc32(chunk.tobytes())}")
+                band_ids.append(int(did))
+        return pa.table({
+            "band": pa.array(band_keys, type=pa.string()),
+            "doc": pa.array(band_ids, type=pa.int64()),
+        })
+
+    buckets = ds.map_batches(sigs, batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        docs = np.unique(g["doc"].to_numpy())
+        if len(docs) < 2:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        ia, ib = np.triu_indices(len(docs), 1)
+        return pa.table({"id_a": pa.array(docs[ia], type=pa.int64()),
+                         "id_b": pa.array(docs[ib], type=pa.int64())})
+
+    cand = buckets.groupby("band").map_groups(pairs, batch_format="pyarrow") \
+        .groupby(["id_a", "id_b"]).count().to_pandas()
+    if not len(cand):
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+
+    # exact verification on the candidate doc set only
+    need = sorted(set(cand["id_a"]) | set(cand["id_b"]))
+    need_arr = pa.array(need, type=pa.int64())
+
+    def fetch(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b[id_col], value_set=need_arr)
+        return b.filter(keep).select([id_col, text_col])
+    sub = ds.map_batches(fetch, batch_format="pyarrow").to_arrow_refs()
+    sub_t = pa.concat_tables([ray.get(r) for r in sub]).combine_chunks()
+    _, shingle_list = _shingle_strings(sub_t[text_col], k)
+    by_id = {int(i): s for i, s in
+             zip(sub_t[id_col].to_numpy(), shingle_list)}
+
+    ja, out_a, out_b = [], [], []
+    for ia, ib in sorted(zip(cand["id_a"], cand["id_b"])):
+        j = jaccard(by_id[int(ia)], by_id[int(ib)])
+        if j >= threshold:
+            out_a.append(int(ia))
+            out_b.append(int(ib))
+            ja.append(j)
+    return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                     "id_b": pa.array(out_b, type=pa.int64()),
+                     "jaccard": pa.array(ja, type=pa.float64())})
+
+
+def simhash64(texts) -> np.ndarray:
+    """64-bit SimHash per document (deterministic crc-derived bits)."""
+    offs, flat = _flat_tokens(texts)
+    toks = np.asarray(flat.to_pandas(), dtype=object)
+    n = len(offs) - 1
+    sigs = np.zeros(n, dtype=np.uint64)
+    for i in range(n):
+        t = toks[offs[i]:offs[i + 1]]
+        if not len(t):
+            continue
+        uniq, cnt = np.unique(t, return_counts=True)
+        h32 = _crc_hashes(uniq)
+        # two independent 32-bit crcs -> 64-bit token hash
+        h32b = np.fromiter(
+            (zlib.crc32((s + "\x00salt").encode()) for s in uniq),
+            dtype=np.uint64, count=len(uniq))
+        h64 = (h32 << np.uint64(32)) | h32b
+        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        acc = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.flatnonzero(acc > 0):
+            sig |= np.uint64(1) << np.uint64(b)
+        sigs[i] = sig
+    return sigs
+
+
+def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
+                  hamming_threshold: int = 3) -> pa.Table:
+    """Near-dup pairs with SimHash hamming distance ≤ threshold.
+
+    Pigeonhole banding into ``threshold+1`` chunks guarantees every
+    true pair collides in at least one chunk — exact recall, verified
+    exactly, so the result is deterministic.
+    """
+    nchunks = hamming_threshold + 1
+    width = 64 // nchunks
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        sigs = simhash64(batch[text_col])
+        keys, docs, ss = [], [], []
+        for did, s in zip(ids, sigs):
+            for c in range(nchunks):
+                chunk = (int(s) >> (c * width)) & ((1 << width) - 1)
+                keys.append(f"{c}:{chunk}")
+                docs.append(int(did))
+                ss.append(int(s))
+        return pa.table({"band": pa.array(keys, type=pa.string()),
+                         "doc": pa.array(docs, type=pa.int64()),
+                         "sig": pa.array(ss, type=pa.uint64())})
+
+    buckets = ds.map_batches(sig_rows, batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        docs = g["doc"].to_numpy()
+        sigs = g["sig"].to_numpy()
+        order = np.argsort(docs, kind="stable")
+        docs, sigs = docs[order], sigs[order]
+        uniq, first = np.unique(docs, return_index=True)
+        sigs = sigs[first]
+        out_a, out_b, ham = [], [], []
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                d = int(bin(int(sigs[i]) ^ int(sigs[j])).count("1"))
+                if d <= hamming_threshold:
+                    out_a.append(int(uniq[i]))
+                    out_b.append(int(uniq[j]))
+                    ham.append(d)
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64()),
+                         "hamming": pa.array(ham, type=pa.int64())})
+
+    res = buckets.groupby("band").map_groups(pairs, batch_format="pyarrow") \
+        .groupby(["id_a", "id_b"]).min("hamming").to_pandas()
+    res = res.sort_values(["id_a", "id_b"])
+    return pa.table({
+        "id_a": pa.array(res["id_a"].to_numpy(), type=pa.int64()),
+        "id_b": pa.array(res["id_b"].to_numpy(), type=pa.int64()),
+        "hamming": pa.array(res["min(hamming)"].to_numpy(), type=pa.int64()),
+    })
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
+                        k: int = 3, threshold: float = 0.5) -> pa.Table:
+    """Exact all-pairs n-gram Jaccard via shingle-key shuffle.
+
+    The SQL-checkable exact baseline: explode distinct shingles,
+    ``groupby(shingle)`` emits pair partials, a grouped sum yields
+    intersection sizes; union sizes come from the per-doc shingle
+    counts (broadcast — small; a doc_id join at 100 TB scale).
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        counts, shingles = _shingle_strings(batch[text_col], k)
+        all_sh = np.concatenate(shingles) if shingles else np.empty(0, object)
+        all_id = np.repeat(ids, counts)
+        return pa.table({"shingle": pa.array(all_sh, type=pa.string()),
+                         "doc": pa.array(all_id, type=pa.int64())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    sizes = exploded.groupby("doc").count().to_pandas()
+    size_of = dict(zip(sizes["doc"].astype(int), sizes["count()"].astype(int)))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        docs = np.unique(g["doc"].to_numpy())
+        if len(docs) < 2:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        ia, ib = np.triu_indices(len(docs), 1)
+        return pa.table({"id_a": pa.array(docs[ia], type=pa.int64()),
+                         "id_b": pa.array(docs[ib], type=pa.int64())})
+
+    inter = exploded.groupby("shingle").map_groups(
+        pairs, batch_format="pyarrow") \
+        .groupby(["id_a", "id_b"]).count().to_pandas()
+    if not len(inter):
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    ia = inter["id_a"].to_numpy().astype(np.int64)
+    ib = inter["id_b"].to_numpy().astype(np.int64)
+    ic = inter["count()"].to_numpy().astype(np.float64)
+    union = np.array([size_of[int(x)] + size_of[int(y)] for x, y in zip(ia, ib)],
+                     dtype=np.float64) - ic
+    j = ic / union
+    keep = j >= threshold
+    order = np.lexsort((ib[keep], ia[keep]))
+    return pa.table({
+        "id_a": pa.array(ia[keep][order], type=pa.int64()),
+        "id_b": pa.array(ib[keep][order], type=pa.int64()),
+        "jaccard": pa.array(j[keep][order], type=pa.float64()),
+    })

@@ -1,0 +1,186 @@
+"""Relational / dataflow operators over ray.data.Dataset.
+
+Ray-native re-expressions of Solr streaming expressions and facet/stats
+components (SURVEY.md §2.5-2.7; upstream ``SJ/stream/*Stream.java``,
+``S/request/SimpleFacets.java``, ``S/search/facet/`` [U]). Each helper
+is a thin, streaming-safe composition of Dataset primitives:
+aggregations push partial work into ``map_batches``/grouped aggregates,
+small sides broadcast via ``ray.put`` instead of shuffling, and nothing
+materializes the big side on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+
+def rollup(ds: ray.data.Dataset, keys: list[str],
+           sums: list[str] = (), means: list[str] = (),
+           mins: list[str] = (), maxs: list[str] = (),
+           stds: list[str] = ()) -> ray.data.Dataset:
+    """``rollup`` stream / StatsComponent: grouped aggregates.
+
+    Ray's grouped aggregates already run partial-per-block then a
+    small combine shuffle — the partial/final split of the reference's
+    distributed faceting (upstream ``SJ/stream/RollupStream.java`` [U]).
+    """
+    aggs: list[Any] = [Count()]
+    aggs += [Sum(c) for c in sums]
+    aggs += [Mean(c) for c in means]
+    aggs += [Min(c) for c in mins]
+    aggs += [Max(c) for c in maxs]
+    aggs += [Std(c) for c in stds]
+    return ds.groupby(keys).aggregate(*aggs)
+
+
+def facet(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
+    """Field faceting: per-bucket counts (upstream SimpleFacets [U])."""
+    return ds.groupby(keys).count()
+
+
+def top_k(ds: ray.data.Dataset, sort_keys: list[tuple[str, bool]],
+          k: int) -> ray.data.Dataset:
+    """``top``/RankStream: top-k by sort (upstream ``RankStream`` [U])."""
+    keys = [c for c, _ in sort_keys]
+    desc = [d for _, d in sort_keys]
+    return ds.sort(keys, descending=desc).limit(k)
+
+
+def having(ds: ray.data.Dataset, expr_fn, batch_format: str = "pyarrow"
+           ) -> ray.data.Dataset:
+    """Post-aggregation filter (upstream ``HavingStream`` [U]):
+    ``expr_fn(batch) -> bool mask`` applied vectorized per batch."""
+    def _f(b: pa.Table) -> pa.Table:
+        return b.filter(expr_fn(b))
+    return ds.map_batches(_f, batch_format=batch_format)
+
+
+def select_eval(ds: ray.data.Dataset, fn) -> ray.data.Dataset:
+    """``select`` + evaluators: vectorized projection/compute via a
+    batch fn of pyarrow.compute kernels (upstream ``SelectStream`` +
+    ``SJ/eval/*Evaluator`` [U])."""
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def broadcast_hash_join(big: ray.data.Dataset, small: pa.Table,
+                        key: str, small_key: str | None = None,
+                        small_cols: list[str] | None = None,
+                        how: str = "inner") -> ray.data.Dataset:
+    """``hashJoin``: build side broadcast once via ``ray.put``, probed
+    inside every map task — no shuffle of the big side (upstream
+    ``SJ/stream/HashJoinStream.java`` [U]; broadcast-join pattern).
+
+    ``how``: "inner" or "left" (left-outer: unmatched rows keep nulls).
+    """
+    small_key = small_key or key
+    small_cols = small_cols or [c for c in small.column_names
+                                if c != small_key]
+    ref = ray.put(small.select([small_key] + small_cols).combine_chunks())
+
+    def probe(batch: pa.Table) -> pa.Table:
+        tbl: pa.Table = ray.get(ref)
+        idx = pc.index_in(batch[key], value_set=tbl[small_key])
+        if how == "inner":
+            keep = pc.is_valid(idx)
+            batch = batch.filter(keep)
+            idx = idx.filter(keep)
+        for c in small_cols:
+            batch = batch.append_column(c, tbl[c].take(idx))
+        return batch
+
+    return big.map_batches(probe, batch_format="pyarrow")
+
+
+def semi_join(big: ray.data.Dataset, keys: pa.Array | pa.ChunkedArray,
+              key: str) -> ray.data.Dataset:
+    """``intersect`` on key: keep big rows whose key is in ``keys``
+    (upstream ``IntersectStream`` [U]); broadcast key-set filter."""
+    ref = ray.put(pc.unique(pa.chunked_array([keys]).combine_chunks()))
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[key], value_set=ray.get(ref)))
+    return big.map_batches(f, batch_format="pyarrow")
+
+
+def anti_join(big: ray.data.Dataset, keys: pa.Array | pa.ChunkedArray,
+              key: str) -> ray.data.Dataset:
+    """``complement``: big rows whose key is NOT in ``keys`` (upstream
+    ``ComplementStream`` [U])."""
+    ref = ray.put(pc.unique(pa.chunked_array([keys]).combine_chunks()))
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.is_in(b[key], value_set=ray.get(ref))))
+    return big.map_batches(f, batch_format="pyarrow")
+
+
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              on: str, right_on: str | None = None, how: str = "inner",
+              num_partitions: int = 8) -> ray.data.Dataset:
+    """``innerJoin``/``leftOuterJoin`` via Ray's distributed hash join
+    (both sides shuffled on the key — use broadcast_hash_join when one
+    side is small; upstream ``SJ/stream/InnerJoinStream.java`` [U])."""
+    how_map = {"inner": "inner", "left": "left_outer",
+               "right": "right_outer", "full": "full_outer"}
+    return left.join(right, join_type=how_map[how],
+                     num_partitions=num_partitions, on=(on,),
+                     right_on=(right_on,) if right_on else None)
+
+
+def unique_first(ds: ray.data.Dataset, key: str, id_col: str
+                 ) -> ray.data.Dataset:
+    """``unique`` stream / exact dedup: keep min(id) per key — exact
+    dedup as hash-partition + per-group first (upstream
+    ``UniqueStream``, ``SignatureUpdateProcessorFactory`` [U])."""
+    return ds.groupby(key).min(id_col)
+
+
+def group_top_n(ds: ray.data.Dataset, key: str,
+                sort_keys: list[tuple[str, bool]], n: int
+                ) -> ray.data.Dataset:
+    """Result grouping / collapse: top-n rows per group (upstream
+    ``lucene/grouping``, ``CollapsingQParserPlugin`` [U])."""
+    names = [c for c, _ in sort_keys]
+    desc = [d for _, d in sort_keys]
+    order = [(c, "descending" if d else "ascending") for c, d in sort_keys]
+
+    def topn(g: pa.Table) -> pa.Table:
+        return g.sort_by(order).slice(0, n)
+    return ds.groupby(key).map_groups(topn, batch_format="pyarrow")
+
+
+def timeseries(ds: ray.data.Dataset, ts_col: str, unit: str,
+               sums: list[str] = ()) -> ray.data.Dataset:
+    """``timeseries`` stream: tumbling window aggregates — truncate the
+    timestamp inside map_batches, then a grouped aggregate (upstream
+    ``SJ/stream/TimeSeriesStream.java`` [U]; fixed offline windows, no
+    watermarks — the reference has none either)."""
+    def trunc(b: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(b[ts_col], unit=unit)
+        return b.append_column("window", w)
+    aggs = [Count()] + [Sum(c) for c in sums]
+    return ds.map_batches(trunc, batch_format="pyarrow") \
+             .groupby("window").aggregate(*aggs)
+
+
+def range_filter(ds: ray.data.Dataset, col: str, lo=None, hi=None
+                 ) -> ray.data.Dataset:
+    """PointRangeQuery analog: predicate filter on a metadata column
+    (upstream ``L/search/PointRangeQuery.java`` [U]); Parquet row-group
+    stats prune at the read when applied via read filters."""
+    def f(b: pa.Table) -> pa.Table:
+        m = None
+        if lo is not None:
+            m = pc.greater_equal(b[col], lo)
+        if hi is not None:
+            m2 = pc.less(b[col], hi)
+            m = m2 if m is None else pc.and_(m, m2)
+        return b.filter(m) if m is not None else b
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,182 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword-overlap heuristic), quality scoring, token
+counting, document fingerprinting, per-term df/cf stats and
+significant-terms contrast mining (SURVEY.md §2.6 ``significantTerms``;
+upstream ``SJ/stream/SignificantTermsStream.java``,
+``S/update/processor/`` langid/signature processors [U]).
+
+All transforms are vectorized pyarrow/numpy batch fns; the shared
+tokenization rule (lowercase, split on ``[^a-z0-9]+``, drop empties) is
+reproducible in ANSI SQL so every op here has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from engine.analysis import ENGLISH_STOP_WORDS
+
+TOKEN_SPLIT = r"[^a-z0-9]+"
+
+
+def _flat_tokens(texts) -> tuple[np.ndarray, pa.Array]:
+    """column → (doc offsets int64[n+1], flat non-empty token values)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values
+    keep = pc.not_equal(flat, "")
+    keepn = keep.to_numpy(zero_copy_only=False)
+    # per-doc counts of kept tokens
+    n = len(texts)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    counts = np.bincount(doc_of[keepn], minlength=n)
+    new_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_offs[1:])
+    return new_offs, flat.filter(keep)
+
+
+def token_count(ds: ray.data.Dataset, text_col: str,
+                id_cols: list[str]) -> ray.data.Dataset:
+    """Per-document token count (whitespace/punct tokenizer)."""
+    def f(b: pa.Table) -> pa.Table:
+        offs, _ = _flat_tokens(b[text_col])
+        out = b.select(id_cols)
+        return out.append_column(
+            "n_tokens", pa.array(np.diff(offs), type=pa.int64()))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def quality_score(ds: ray.data.Dataset, text_col: str,
+                  id_cols: list[str]) -> ray.data.Dataset:
+    """Heuristic quality features: length, token stats, stopword ratio.
+
+    All ratios are single double divisions per row — bit-identical to
+    the same SQL expressions (no order-dependent accumulation).
+    """
+    stop = pa.array(sorted(ENGLISH_STOP_WORDS), type=pa.string())
+
+    def f(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        offs, flat = _flat_tokens(texts)
+        n_tokens = np.diff(offs)
+        n = len(n_tokens)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_tokens)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = np.bincount(doc_of, weights=tok_len, minlength=n)
+        is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(doc_of[is_stop], minlength=n)
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        safe = np.maximum(n_tokens, 1).astype(np.float64)
+        out = b.select(id_cols)
+        out = out.append_column("n_chars_m", pa.array(n_chars.astype(np.int64)))
+        out = out.append_column("n_tokens", pa.array(n_tokens.astype(np.int64)))
+        out = out.append_column(
+            "mean_token_len", pa.array(sum_len.astype(np.float64) / safe))
+        out = out.append_column(
+            "stopword_ratio", pa.array(n_stop.astype(np.float64) / safe))
+        return out
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def langid(ds: ray.data.Dataset, text_col: str, id_cols: list[str],
+           threshold: float = 0.08) -> ray.data.Dataset:
+    """n-gram-free language ID heuristic: English stopword density.
+
+    Documents whose stopword token ratio exceeds ``threshold`` are
+    labelled ``en``, else ``unk`` (the shape of the reference's langid
+    update processor, with a deterministic, SQL-checkable scorer).
+    """
+    qs = quality_score(ds, text_col, id_cols)
+
+    def f(b: pa.Table) -> pa.Table:
+        ratio = b["stopword_ratio"]
+        lab = pc.if_else(pc.greater(ratio, threshold),
+                         pa.scalar("en"), pa.scalar("unk"))
+        out = b.select(id_cols)
+        out = out.append_column("stopword_ratio", ratio)
+        return out.append_column("lang_pred", lab)
+    return qs.map_batches(f, batch_format="pyarrow")
+
+
+def fingerprint(ds: ray.data.Dataset, text_col: str,
+                id_cols: list[str]) -> ray.data.Dataset:
+    """Content fingerprint: md5 of the normalized token stream (the
+    reference's ``SignatureUpdateProcessor`` MD5 signature shape [U])."""
+    def f(b: pa.Table) -> pa.Table:
+        offs, flat = _flat_tokens(b[text_col])
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        sigs = []
+        for i in range(len(offs) - 1):
+            s = " ".join(toks[offs[i]:offs[i + 1]])
+            sigs.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+        out = b.select(id_cols)
+        return out.append_column("fingerprint",
+                                 pa.array(sigs, type=pa.string()))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def term_doc_freq(ds: ray.data.Dataset, text_col: str
+                  ) -> ray.data.Dataset:
+    """(term, df, cf) over a corpus — partial per batch, combined by a
+    small grouped sum (docs never split across batches, so per-batch
+    distinct (term, doc) counts are exact partials)."""
+    def partial(b: pa.Table) -> pa.Table:
+        offs, flat = _flat_tokens(b[text_col])
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        n = len(offs) - 1
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        uniq, code = np.unique(toks, return_inverse=True)
+        pair = code * n + doc_of
+        up, cnt = np.unique(pair, return_counts=True)
+        t = (up // n).astype(np.int64)
+        tdf = np.bincount(t, minlength=len(uniq))
+        tcf = np.bincount(t, weights=cnt, minlength=len(uniq))
+        return pa.table({
+            "term": pa.array(uniq, type=pa.string()),
+            "df": pa.array(tdf.astype(np.int64)),
+            "cf": pa.array(tcf.astype(np.int64)),
+        })
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    return part.groupby("term").aggregate(Sum("df"), Sum("cf"))
+
+
+def significant_terms(ds: ray.data.Dataset, text_col: str,
+                      subset_fn, min_df: int = 5) -> ray.data.Dataset:
+    """Contrast mining: foreground (subset) df vs background df.
+
+    score = (fg_df / fg_N) / (bg_df / bg_N) — terms over-represented in
+    the subset (upstream ``SignificantTermsStream`` [U]).
+    """
+    fg = ds.filter(subset_fn)
+    bg_stats = term_doc_freq(ds, text_col)
+    fg_stats = term_doc_freq(fg, text_col)
+    fg_n = fg.count()
+    bg_n = ds.count()
+    joined = fg_stats.join(bg_stats, join_type="inner", num_partitions=4,
+                           on=("term",), right_suffix="_bg")
+
+    def score(b: pa.Table) -> pa.Table:
+        fgdf = b["sum(df)"].to_numpy().astype(np.float64)
+        bgdf = b["sum(df)_bg"].to_numpy().astype(np.float64)
+        keep = fgdf >= min_df
+        s = (fgdf / fg_n) / (bgdf / bg_n)
+        out = pa.table({
+            "term": b["term"],
+            "fg_df": pa.array(fgdf.astype(np.int64)),
+            "bg_df": pa.array(bgdf.astype(np.int64)),
+            "score": pa.array(s),
+        })
+        return out.filter(pa.array(keep))
+    return joined.map_batches(score, batch_format="pyarrow")

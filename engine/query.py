@@ -69,12 +69,13 @@ def _clause_scores(tfs: np.ndarray, norms: np.ndarray, weight: np.float32,
 class _SubList:
     """One index row: decoded lazily, block at a time (skip + block-max)."""
 
-    __slots__ = ("df", "docs_blob", "tfs_blob", "norms", "blk_last",
-                 "blk_doc_off", "blk_tf_off", "blk_max_tf", "blk_min_norm",
-                 "n_blocks")
+    __slots__ = ("df", "min_doc", "docs_blob", "tfs_blob", "norms",
+                 "blk_last", "blk_doc_off", "blk_tf_off", "blk_max_tf",
+                 "blk_min_norm", "n_blocks")
 
     def __init__(self, row: dict[str, Any]):
         self.df = int(row["df"])
+        self.min_doc = int(row["min_doc"])
         self.docs_blob = row["docs"]
         self.tfs_blob = row["tfs"]
         self.norms = np.frombuffer(row["norms"], dtype=np.uint8)
@@ -97,10 +98,16 @@ class _SubList:
 
 
 class _Scorer:
-    """Doc-at-a-time iterator over one sub-list with block-max bounds."""
+    """Block-at-a-time iterator over one sub-list with block-max bounds.
 
-    __slots__ = ("sub", "weight", "cache", "block_ub", "max_ub",
-                 "cur_block", "docs", "scores", "idx", "doc")
+    The engine processes the doc space in *windows* bounded by block
+    boundaries, so the per-clause API is block-level: current block's
+    last doc / lower bound / upper bound, plus vectorized
+    ``window_scores`` that decodes the block lazily (skipped blocks are
+    never decoded — the point of block-max metadata)."""
+
+    __slots__ = ("sub", "weight", "cache", "block_ub", "max_ub", "cur",
+                 "_docs", "_scores")
 
     def __init__(self, sub: _SubList, weight: np.float32, cache: np.ndarray):
         self.sub = sub
@@ -110,63 +117,40 @@ class _Scorer:
         self.block_ub = _clause_scores(
             sub.blk_max_tf.astype(np.int64), sub.blk_min_norm, weight, cache)
         self.max_ub = float(self.block_ub.max())
-        self.cur_block = -1
-        self.docs = None
-        self.scores = None
-        self.idx = 0
-        self.doc = -1
-        self._load(0)
-        self.doc = int(self.docs[0])
+        self.cur = 0
+        self._docs = None
+        self._scores = None
 
-    def _load(self, b: int) -> None:
-        docs, tfs = self.sub.decode_block(b)
-        s = b * BLOCK_SIZE
-        norms = self.sub.norms[s:s + len(docs)]
-        self.docs = docs
-        self.scores = _clause_scores(tfs, norms, self.weight, self.cache)
-        self.cur_block = b
-        self.idx = 0
+    def cur_last(self) -> int:
+        return int(self.sub.blk_last[self.cur])
 
-    def advance(self, target: int) -> int:
-        """Move to first doc >= target (returns it; _INF when exhausted)."""
-        if self.doc >= target:
-            return self.doc
-        b = int(np.searchsorted(self.sub.blk_last, target))
-        if b >= self.sub.n_blocks:
-            self.doc = _INF
-            return _INF
-        if b != self.cur_block:
-            self._load(b)
-        self.idx = int(np.searchsorted(self.docs, target))
-        self.doc = int(self.docs[self.idx])
-        return self.doc
+    def cur_first_bound(self) -> int:
+        """Lower bound on the current block's first doc (no decode)."""
+        if self.cur == 0:
+            return self.sub.min_doc
+        return int(self.sub.blk_last[self.cur - 1]) + 1
 
-    def next(self) -> int:
-        self.idx += 1
-        if self.idx < len(self.docs):
-            self.doc = int(self.docs[self.idx])
-        elif self.cur_block + 1 < self.sub.n_blocks:
-            self._load(self.cur_block + 1)
-            self.doc = int(self.docs[0])
-        else:
-            self.doc = _INF
-        return self.doc
+    def cur_ub(self) -> float:
+        return float(self.block_ub[self.cur])
 
-    def score(self) -> np.float32:
-        return self.scores[self.idx]
+    def window_scores(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        """Docs/clause-scores of the current block with lo < doc <= hi."""
+        if self._docs is None:
+            docs, tfs = self.sub.decode_block(self.cur)
+            s = self.cur * BLOCK_SIZE
+            norms = self.sub.norms[s:s + len(docs)]
+            self._docs = docs
+            self._scores = _clause_scores(tfs, norms, self.weight, self.cache)
+        i0 = int(np.searchsorted(self._docs, lo, side="right"))
+        i1 = int(np.searchsorted(self._docs, hi, side="right"))
+        return self._docs[i0:i1], self._scores[i0:i1]
 
-    def block_max(self, target: int) -> float:
-        """Upper bound of the block containing/after ``target``."""
-        b = int(np.searchsorted(self.sub.blk_last, target))
-        if b >= self.sub.n_blocks:
-            return 0.0
-        return float(self.block_ub[b])
-
-    def block_last(self, target: int) -> int:
-        b = int(np.searchsorted(self.sub.blk_last, target))
-        if b >= self.sub.n_blocks:
-            return _INF
-        return int(self.sub.blk_last[b])
+    def advance_block(self) -> bool:
+        """Move to the next block; False when exhausted."""
+        self.cur += 1
+        self._docs = None
+        self._scores = None
+        return self.cur < self.sub.n_blocks
 
 
 class IndexReader:
@@ -177,7 +161,11 @@ class IndexReader:
     pushdown (row-group pruning on the sorted ``term`` column).
     """
 
-    def __init__(self, index_dir: str):
+    _COLS = ["term", "sub", "df", "cf", "min_doc", "docs", "tfs", "norms",
+             "blk_last_doc", "blk_doc_off", "blk_tf_off", "blk_max_tf",
+             "blk_min_norm"]
+
+    def __init__(self, index_dir: str, preload: bool = False):
         self.index_dir = index_dir
         man = mf.load(index_dir)
         if man is None or man.get("status") != "complete":
@@ -190,10 +178,29 @@ class IndexReader:
         self.analyzer = Analyzer(self.cfg.stop_words, self.cfg.stemming)
         self._term_cache: dict[str, list[_SubList]] = {}
         self._docmap: pa.Table | None = None
+        self._preloaded = False
+        if preload:
+            self._preload()
+
+    def _preload(self) -> None:
+        """Load the whole term dictionary + postings into memory (once
+        per query actor — Lucene keeps the terms index in RAM too; at
+        100 TB this becomes term-dict-only preload + postings byte-range
+        reads, same call sites)."""
+        for b in range(self.cfg.n_buckets):
+            shard = os.path.join(self.index_dir, "index", f"bucket={b}")
+            if not os.path.isdir(shard):
+                continue
+            for row in pq.read_table(shard, columns=self._COLS).to_pylist():
+                self._term_cache.setdefault(row["term"], []).append(
+                    _SubList(row))
+        self._preloaded = True
 
     # ------------------------------------------------------------ lookup
 
     def lookup(self, terms: list[str]) -> dict[str, list[_SubList]]:
+        if self._preloaded:
+            return {t: self._term_cache.get(t, []) for t in set(terms)}
         need: dict[int, list[str]] = {}
         for t in set(terms):
             if t not in self._term_cache:
@@ -204,11 +211,8 @@ class IndexReader:
                 self._term_cache[t] = []
             if not os.path.isdir(shard):
                 continue
-            tab = pq.read_table(
-                shard, filters=[("term", "in", ts)],
-                columns=["term", "sub", "df", "cf", "min_doc", "docs", "tfs",
-                         "norms", "blk_last_doc", "blk_doc_off", "blk_tf_off",
-                         "blk_max_tf", "blk_min_norm"])
+            tab = pq.read_table(shard, filters=[("term", "in", ts)],
+                                columns=self._COLS)
             for row in tab.to_pylist():
                 self._term_cache[row["term"]].append(_SubList(row))
         return {t: self._term_cache[t] for t in set(terms)}
@@ -259,68 +263,61 @@ class IndexReader:
         if not scorers or k <= 0:
             return _topdocs_table([], [])
 
+        # Block-max OR over windows: each iteration handles the doc
+        # range up to the nearest block boundary B. If the f32-cast sum
+        # of participating block upper bounds can't beat the heap
+        # threshold, the whole window is skipped WITHOUT decoding
+        # (clause scores are exact in f64 and f32 rounding is monotone,
+        # so the bound stays valid after the same final cast the real
+        # score gets). Otherwise the window is scored vectorized:
+        # concat per-clause (doc, score) slices, unique+add.at in f64,
+        # cast f32, heap-insert candidates in ascending-doc order —
+        # identical scores and tie-break to the brute oracle.
         heap: list[tuple[float, int]] = []   # (score, -doc); min = worst
         threshold = -np.inf
         scored = 0
-        while True:
-            scorers.sort(key=lambda s: s.doc)
-            if scorers[0].doc == _INF:
-                break
-            # pivot by term-level upper bounds
-            acc = 0.0
-            pivot = -1
-            pidx = -1
-            for i, s in enumerate(scorers):
-                if s.doc == _INF:
-                    break
-                acc += s.max_ub
-                # compare after the same f32 cast the real score gets:
-                # clause scores are exact in f64, so sum_scores <= sum_ubs
-                # in f64 and f32 rounding is monotone — bound stays valid
-                if np.float32(acc) > threshold:
-                    pivot = s.doc
-                    pidx = i
-                    break
-            if pivot < 0:
-                break  # nothing can beat the heap anymore
-            # refine with block-max bounds at the pivot
-            lead = [s for s in scorers if s.doc <= pivot]
-            bub = sum(s.block_max(pivot) for s in lead)
-            if np.float32(bub) <= threshold:
-                # Skip past the shallowest lead-block boundary — but the
-                # bound only covers lead scorers, so never skip past the
-                # first non-lead scorer's doc (it contributes from there).
-                nxt = min(s.block_last(pivot) for s in lead) + 1
-                non_lead_min = min(
-                    (s.doc for s in scorers if s.doc > pivot), default=_INF)
-                nxt = max(min(nxt, non_lead_min), pivot + 1)
-                for s in lead:
-                    s.advance(nxt)
-                continue
-            if scorers[0].doc < pivot:
-                for s in lead:
-                    if s.doc < pivot:
-                        s.advance(pivot)
-                continue
-            # all leads aligned on pivot: score it (float64 sum → float32)
-            total = 0.0
-            for s in scorers:
-                if s.doc != pivot:
-                    break
-                total += float(s.score())
-            sc = np.float32(total)
-            scored += 1
-            if len(heap) < k:
-                heapq.heappush(heap, (float(sc), -pivot))
-                if len(heap) == k:
-                    threshold = heap[0][0]
-            elif float(sc) > heap[0][0]:
-                heapq.heapreplace(heap, (float(sc), -pivot))
-                threshold = heap[0][0]
-            for s in scorers:
-                if s.doc != pivot:
-                    break
-                s.next()
+        active = list(scorers)
+        w_lo = -1
+        while active:
+            b_hi = min(s.cur_last() for s in active)
+            part = [s for s in active if s.cur_first_bound() <= b_hi]
+            ub = 0.0
+            for s in part:
+                ub += s.cur_ub()
+            if len(heap) < k or np.float32(ub) > threshold:
+                d_l: list[np.ndarray] = []
+                s_l: list[np.ndarray] = []
+                for s in part:
+                    d, sc = s.window_scores(w_lo, b_hi)
+                    if len(d):
+                        d_l.append(d)
+                        s_l.append(sc)
+                if d_l:
+                    docs = np.concatenate(d_l)
+                    contribs = np.concatenate(s_l).astype(np.float64)
+                    uniq, inv = np.unique(docs, return_inverse=True)
+                    sums = np.zeros(len(uniq), dtype=np.float64)
+                    np.add.at(sums, inv, contribs)
+                    f32 = sums.astype(np.float32)
+                    scored += len(uniq)
+                    if len(heap) < k:
+                        idxs = range(len(uniq))
+                    else:
+                        idxs = np.flatnonzero(f32 > np.float32(threshold))
+                    for i in idxs:
+                        sc = float(f32[i])
+                        d = int(uniq[i])
+                        if len(heap) < k:
+                            heapq.heappush(heap, (sc, -d))
+                            if len(heap) == k:
+                                threshold = heap[0][0]
+                        elif sc > threshold:
+                            heapq.heapreplace(heap, (sc, -d))
+                            threshold = heap[0][0]
+            for s in list(active):
+                if s.cur_last() == b_hi and not s.advance_block():
+                    active.remove(s)
+            w_lo = b_hi
 
         hits = sorted(heap, key=lambda e: (-e[0], -e[1]))
         return _topdocs_table(
@@ -369,8 +366,8 @@ class QueryEngine:
     """
 
     def __init__(self, index_dir: str, use_bmw: bool = True,
-                 resolve: bool = True):
-        self.reader = IndexReader(index_dir)
+                 resolve: bool = True, preload: bool = True):
+        self.reader = IndexReader(index_dir, preload=preload)
         self.use_bmw = use_bmw
         self.resolve = resolve and self.reader.cfg.conv_cols is not None
 

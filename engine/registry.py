@@ -1,0 +1,696 @@
+"""Driver-contract registry: queries() implementations + DuckDB oracles.
+
+Each entry pairs a Ray Data pipeline (the real engine code paths —
+including the full index build + BMW query engine) with an ANSI-SQL
+oracle that DuckDB runs over the same Parquet tables. Column names and
+types match exactly; float paths either use per-row single operations
+(bit-identical in IEEE double) or emulate the engine's float32
+evaluation in SQL via ``CAST(... AS FLOAT)`` so even BM25 scores
+hash-identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from engine.analysis import ENGLISH_STOP_WORDS
+from engine.build import IndexConfig, build_index
+from engine.ops import dedup as dd
+from engine.ops import relational as rel
+from engine.ops import textstats as tx
+from engine.ops import vector as vec
+from engine.query import IndexReader
+from engine.smallfloat import LENGTH_TABLE
+
+# ------------------------------------------------------------ helpers
+
+_SQL_TOKS = ("list_filter(regexp_split_to_array(lower(text), "
+             "'[^a-z0-9]+'), x -> x <> '')")
+
+
+def _read(sf_dir: str, table: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+def _to_table(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):
+        return ds
+    refs = ds.to_arrow_refs()
+    tabs = [ray.get(r) for r in refs]
+    tabs = [t for t in tabs if t.num_rows]
+    return pa.concat_tables(tabs).combine_chunks() if tabs else ray.get(refs[0])
+
+
+def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
+    i = t.column_names.index(col)
+    return t.set_column(
+        i, col, pa.array(np.round(t[col].to_numpy(zero_copy_only=False)
+                                  .astype(np.float64), nd)))
+
+
+def _cast_col(t: pa.Table, col: str, typ) -> pa.Table:
+    i = t.column_names.index(col)
+    return t.set_column(i, col, t[col].cast(typ))
+
+
+# -------------------------------------------------- index-backed entries
+
+def cached_doc_index(sf_dir: str, analyzed: bool) -> str:
+    """Build (once) an index over the documents table; resume makes
+    repeat calls no-ops (manifest complete + same inputs)."""
+    key = hashlib.md5(f"{sf_dir}|{analyzed}|v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", key)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=ENGLISH_STOP_WORDS if analyzed else None,
+        stemming=analyzed, n_buckets=4, hot_df_threshold=10**9,
+        batch_size=2048)
+    build_index([os.path.join(sf_dir, "documents.parquet")], out, cfg)
+    return out
+
+
+def index_term_stats(sf_dir: str) -> pa.Table:
+    """(term, df, cf) read back from the *merged inverted index* —
+    checks the whole build pipeline against a SQL recomputation."""
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    parts = []
+    for b in range(4):
+        shard = os.path.join(idx, "index", f"bucket={b}")
+        if os.path.isdir(shard):
+            parts.append(pq.read_table(shard, columns=["term", "df", "cf"]))
+    t = pa.concat_tables(parts)
+    df = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+    t = _rename(df, {"df_sum": "df", "cf_sum": "cf"})
+    return t.sort_by("term")
+
+
+SQL_TERM_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df, COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
+def term_stats_mapreduce(sf_dir: str) -> pa.Table:
+    """Same stats via the streaming partial/final groupby (no index)."""
+    ds = _read(sf_dir, "documents")
+    t = _to_table(tx.term_doc_freq(ds, "text"))
+    t = _rename(t, {"sum(df)": "df", "sum(cf)": "cf"})
+    return t.sort_by("term")
+
+
+def doc_freq_top20(sf_dir: str) -> pa.Table:
+    t = index_term_stats(sf_dir)
+    t = t.sort_by([("df", "descending"), ("term", "ascending")])
+    return t.select(["term", "df"]).slice(0, 20)
+
+
+SQL_DOC_FREQ_TOP20 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 20
+"""
+
+BM25_QUERY = "spark merge window"
+BM25_K = 10
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    """Real engine: BMW traversal over the merged index."""
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    r = IndexReader(idx)
+    top = r.bmw_topk(BM25_QUERY, BM25_K)
+    t = top.select(["rank", "doc_id", "score"])
+    return _cast_col(t, "rank", pa.int64())
+
+
+def _smallfloat_lut_sql() -> str:
+    rows = []
+    for b in range(256):
+        lo = int(LENGTH_TABLE[b])
+        hi = int(LENGTH_TABLE[b + 1]) - 1 if b < 255 else (1 << 40)
+        if hi >= lo:
+            rows.append(f"({lo},{hi},{lo})")
+    return ",".join(rows)
+
+
+def sql_bm25_topk() -> str:
+    """Float32-exact BM25 oracle: CAST(... AS FLOAT) mirrors the
+    engine's float32 idf / tf-ratio / product / final-cast chain, and
+    the SmallFloat lossy doc length comes from a generated lookup."""
+    terms = BM25_QUERY.lower().split()
+    terms_sql = ",".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n,
+         SUM(len(ts))::DOUBLE / COUNT(*)::DOUBLE AS avgdl FROM toks),
+lut(lo, hi, dec) AS (VALUES {_smallfloat_lut_sql()}),
+dl AS (
+  SELECT doc_id, lut.dec::DOUBLE AS dlq FROM toks
+  JOIN lut ON len(ts) BETWEEN lut.lo AND lut.hi),
+tf AS (
+  SELECT doc_id, t.term, COUNT(*)::DOUBLE AS tf FROM
+    (SELECT doc_id, unnest(ts) AS term FROM toks) t
+  GROUP BY doc_id, t.term),
+qterms(term) AS (VALUES {terms_sql}),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(
+      CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+      *
+      CAST(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS sc
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
+# ------------------------------------------------- relational entries
+
+def rollup_events(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events")
+    t = _to_table(rel.rollup(ds, ["event_type"], sums=["value"],
+                             means=["value"], mins=["value"], maxs=["value"]))
+    t = _rename(t, {"count()": "n", "sum(value)": "sum_value",
+                    "mean(value)": "avg_value", "min(value)": "min_value",
+                    "max(value)": "max_value"})
+    t = _round_col(t, "sum_value", 3)
+    t = _round_col(t, "avg_value", 6)
+    return t.sort_by("event_type")
+
+
+SQL_ROLLUP_EVENTS = """
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(value), 3) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def facet_docs(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    t = _to_table(rel.facet(ds, ["lang", "source"]))
+    return _rename(t, {"count()": "n"}).sort_by([
+        ("lang", "ascending"), ("source", "ascending")])
+
+
+SQL_FACET_DOCS = """
+SELECT lang, source, COUNT(*)::BIGINT AS n FROM documents
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def topk_orders(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders")
+    t = _to_table(rel.top_k(
+        ds, [("o_totalprice", True), ("o_orderkey", False)], 10))
+    return t.select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def having_active_customers(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders")
+    agg = rel.rollup(ds, ["o_custkey"], sums=["o_totalprice"])
+    filt = rel.having(agg, lambda b: pc.greater_equal(b["count()"], 20))
+    t = _rename(_to_table(filt), {"count()": "n_orders",
+                                  "sum(o_totalprice)": "spend"})
+    t = _round_col(t, "spend", 3)
+    return t.sort_by("o_custkey")
+
+
+SQL_HAVING_ACTIVE = """
+SELECT o_custkey, COUNT(*)::BIGINT AS n_orders,
+       ROUND(SUM(o_totalprice), 3) AS spend
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20 ORDER BY o_custkey
+"""
+
+
+def join_orders_customer(sf_dir: str) -> pa.Table:
+    """Broadcast hash join (small customer side via ray.put)."""
+    orders = _read(sf_dir, "orders")
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    joined = rel.broadcast_hash_join(
+        orders, cust, key="o_custkey", small_key="c_custkey")
+    t = _to_table(rel.rollup(joined, ["c_mktsegment"],
+                             sums=["o_totalprice"]))
+    t = _rename(t, {"count()": "n_orders", "sum(o_totalprice)": "revenue"})
+    t = _round_col(t, "revenue", 3)
+    return t.sort_by("c_mktsegment")
+
+
+SQL_JOIN_ORDERS_CUSTOMER = """
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders,
+       ROUND(SUM(o_totalprice), 3) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def join_lineitem_part(sf_dir: str) -> pa.Table:
+    """Distributed hash join (both sides shuffled) — Ray Dataset.join."""
+    li = _read(sf_dir, "lineitem")
+    part = _read(sf_dir, "part").select_columns(["p_partkey", "p_brand"])
+    joined = rel.hash_join(li, part, on="l_partkey", right_on="p_partkey",
+                           how="inner", num_partitions=4)
+    # join key name: left side keeps l_partkey; right key merged
+    t = _to_table(rel.rollup(joined, ["p_brand"], sums=["l_quantity"]))
+    t = _rename(t, {"count()": "n_items", "sum(l_quantity)": "qty"})
+    return t.sort_by("p_brand")
+
+
+SQL_JOIN_LINEITEM_PART = """
+SELECT p_brand, COUNT(*)::BIGINT AS n_items, SUM(l_quantity) AS qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def semi_join_customers(sf_dir: str) -> pa.Table:
+    cust = _read(sf_dir, "customer")
+    okeys = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_custkey"])["o_custkey"]
+    active = rel.semi_join(cust, okeys, "c_custkey")
+    t = _rename(_to_table(rel.facet(active, ["c_nationkey"])),
+                {"count()": "n"})
+    return t.sort_by("c_nationkey")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_nationkey, COUNT(*)::BIGINT AS n FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def anti_join_customers(sf_dir: str) -> pa.Table:
+    cust = _read(sf_dir, "customer")
+    okeys = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_custkey"])["o_custkey"]
+    inactive = rel.anti_join(cust, okeys, "c_custkey")
+    return _to_table(inactive).select(["c_custkey"]).sort_by("c_custkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey
+"""
+
+
+def dedup_docs_exact(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    t = _rename(_to_table(rel.unique_first(ds, "text", "doc_id")),
+                {"min(doc_id)": "doc_id"})
+    return t.select(["doc_id"]).sort_by("doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def timeseries_events(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events")
+    t = _to_table(rel.timeseries(ds, "ts", "day", sums=["value"]))
+    t = _rename(t, {"count()": "n", "sum(value)": "sum_value"})
+    i = t.column_names.index("window")
+    t = t.set_column(i, "window", pc.strftime(t["window"], format="%Y-%m-%d"))
+    t = _round_col(t, "sum_value", 3)
+    return t.sort_by("window")
+
+
+SQL_TIMESERIES = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window,
+       COUNT(*)::BIGINT AS n, ROUND(SUM(value), 3) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def stats_by_type(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Max, Mean, Min, Std
+
+    ds = _read(sf_dir, "events")
+    t = _to_table(ds.groupby("event_type").aggregate(
+        Count(), Min("value"), Max("value"), Mean("value"),
+        Std("value", ddof=1)))
+    t = _rename(t, {"count()": "n", "min(value)": "min_value",
+                    "max(value)": "max_value", "mean(value)": "avg_value",
+                    "std(value)": "std_value"})
+    t = _round_col(t, "avg_value", 6)
+    t = _round_col(t, "std_value", 6)
+    return t.sort_by("event_type")
+
+
+SQL_STATS_BY_TYPE = """
+SELECT event_type, COUNT(*)::BIGINT AS n, MIN(value) AS min_value,
+       MAX(value) AS max_value, ROUND(AVG(value), 6) AS avg_value,
+       ROUND(STDDEV_SAMP(value), 6) AS std_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def group_topn_orders(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders")
+    t = _to_table(rel.group_top_n(
+        ds, "o_custkey",
+        [("o_totalprice", True), ("o_orderkey", False)], 2))
+    return t.select(["o_custkey", "o_orderkey", "o_totalprice"]) \
+        .sort_by([("o_custkey", "ascending"), ("o_totalprice", "descending"),
+                  ("o_orderkey", "ascending")])
+
+
+SQL_GROUP_TOPN = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 2
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+def significant_terms_src0(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    t = _to_table(tx.significant_terms(
+        ds, "text", lambda r: r["source"] == "src0", min_df=5))
+    return t.sort_by("term")
+
+
+SQL_SIGNIFICANT = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_SQL_TOKS}) AS term FROM documents),
+fg AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS fg_df
+       FROM toks WHERE source = 'src0' GROUP BY term),
+bg AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS bg_df
+       FROM toks GROUP BY term),
+fn AS (SELECT COUNT(*)::DOUBLE AS v FROM documents WHERE source = 'src0'),
+bn AS (SELECT COUNT(*)::DOUBLE AS v FROM documents)
+SELECT fg.term, fg.fg_df, bg.bg_df,
+       (fg.fg_df::DOUBLE / fn.v) / (bg.bg_df::DOUBLE / bn.v) AS score
+FROM fg JOIN bg ON fg.term = bg.term CROSS JOIN fn CROSS JOIN bn
+WHERE fg.fg_df >= 5 ORDER BY fg.term
+"""
+
+
+def range_filter_events(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events")
+    f = rel.range_filter(ds, "value", lo=10.0, hi=100.0)
+    t = _rename(_to_table(rel.facet(f, ["event_type"])), {"count()": "n"})
+    return t.sort_by("event_type")
+
+
+SQL_RANGE_FILTER = """
+SELECT event_type, COUNT(*)::BIGINT AS n FROM events
+WHERE value >= 10.0 AND value < 100.0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def select_eval_lineitem(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "lineitem")
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["l_orderkey"], 100)
+        b = b.filter(keep)
+        revenue = pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        out = b.select(["l_orderkey", "l_linenumber"])
+        return out.append_column("revenue", revenue)
+    t = _to_table(rel.select_eval(ds, f))
+    t = _cast_col(t, "l_linenumber", pa.int64())
+    return t.sort_by([("l_orderkey", "ascending"),
+                      ("l_linenumber", "ascending")])
+
+
+SQL_SELECT_EVAL = """
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS revenue
+FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def sort_export_suppliers(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "supplier")
+    t = _to_table(ds.sort(["s_acctbal", "s_suppkey"],
+                          descending=[True, False]))
+    return t.select(["s_suppkey", "s_name", "s_acctbal"])
+
+
+SQL_SORT_EXPORT = """
+SELECT s_suppkey, s_name, s_acctbal FROM supplier
+ORDER BY s_acctbal DESC, s_suppkey
+"""
+
+
+# ----------------------------------------------- text-analysis entries
+
+def token_count_docs(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    t = _to_table(tx.token_count(ds, "text", ["doc_id"]))
+    return t.sort_by("doc_id")
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id, len({_SQL_TOKS})::BIGINT AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def quality_docs(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    t = _to_table(tx.quality_score(ds, "text", ["doc_id"]))
+    return t.sort_by("doc_id")
+
+
+_SQL_STOPLIST = "[" + ",".join(f"'{w}'" for w in
+                               sorted(ENGLISH_STOP_WORDS)) + "]"
+
+SQL_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS ts FROM documents)
+SELECT doc_id, length(text)::BIGINT AS n_chars_m, len(ts)::BIGINT AS n_tokens,
+  list_sum(list_transform(ts, x -> length(x)))::DOUBLE
+    / greatest(len(ts), 1)::DOUBLE AS mean_token_len,
+  len(list_filter(ts, x -> list_contains({_SQL_STOPLIST}, x)))::DOUBLE
+    / greatest(len(ts), 1)::DOUBLE AS stopword_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def langid_docs(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    t = _to_table(tx.langid(ds, "text", ["doc_id"], threshold=0.08))
+    return t.sort_by("doc_id")
+
+
+SQL_LANGID = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+r AS (SELECT doc_id,
+  len(list_filter(ts, x -> list_contains({_SQL_STOPLIST}, x)))::DOUBLE
+    / greatest(len(ts), 1)::DOUBLE AS stopword_ratio FROM t)
+SELECT doc_id, stopword_ratio,
+       CASE WHEN stopword_ratio > 0.08 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM r ORDER BY doc_id
+"""
+
+
+def fingerprint_docs(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    t = _to_table(tx.fingerprint(ds, "text", ["doc_id"]))
+    return t.sort_by("doc_id")
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------- dedup entries
+
+def ngram_jaccard_docs(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(ds, "text", "doc_id", k=3, threshold=0.2)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3),
+sizes AS (SELECT doc_id, COUNT(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::DOUBLE AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, i / (sa.sz + sb.sz - i) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.2 ORDER BY id_a, id_b
+"""
+
+
+def minhash_pairs_docs(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    return dd.minhash_lsh_pairs(ds, "text", "doc_id", k=3, num_perm=64,
+                                bands=16, threshold=0.5)
+
+
+def simhash_pairs_docs(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    return dd.simhash_pairs(ds, "text", "doc_id", hamming_threshold=3)
+
+
+# ------------------------------------------------------ vector entries
+
+_KNN_QIDS = [0, 1, 2]
+_KNN_K = 5
+
+
+def knn_cosine(sf_dir: str) -> pa.Table:
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_KNN_QIDS))
+    q = emb.filter(qmask).sort_by("vec_id")
+    qm = vec._emb_matrix(q["embedding"])
+    ds = _read(sf_dir, "embeddings")
+    t = vec.knn_brute(ds, "embedding", "vec_id", qm, k=_KNN_K)
+    # conformance compares IDs/ranks only: cosine values differ from the
+    # oracle in the last ulp (different fp accumulation order), but the
+    # induced ordering is identical away from exact ties
+    df = t.to_pandas()
+    df["query_id"] = np.array(_KNN_QIDS, dtype=np.int64)[df["query_id"]]
+    out = pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]], preserve_index=False)
+    return _cast_col(out, "rank", pa.int64())
+
+
+SQL_KNN_COSINE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({",".join(map(str, _KNN_QIDS))})),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cosine
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT query_id, vec_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) - 1)::BIGINT AS rank
+  FROM sims)
+SELECT query_id, rank, vec_id FROM ranked
+WHERE rank < {_KNN_K} ORDER BY query_id, rank
+"""
+
+
+def knn_lsh_docs(sf_dir: str) -> pa.Table:
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_KNN_QIDS))
+    q = emb.filter(qmask).sort_by("vec_id")
+    qm = vec._emb_matrix(q["embedding"])
+    ds = _read(sf_dir, "embeddings")
+    t = vec.knn_lsh(ds, "embedding", "vec_id", qm, k=_KNN_K)
+    return _cast_col(t, "rank", pa.int64())
+
+
+# ------------------------------------------------------------ registry
+
+def queries() -> dict:
+    return {
+        "index_term_stats": index_term_stats,
+        "term_stats_mapreduce": term_stats_mapreduce,
+        "doc_freq_top20": doc_freq_top20,
+        "bm25_topk": bm25_topk,
+        "rollup_events": rollup_events,
+        "facet_docs": facet_docs,
+        "topk_orders": topk_orders,
+        "having_active_customers": having_active_customers,
+        "join_orders_customer": join_orders_customer,
+        "join_lineitem_part": join_lineitem_part,
+        "semi_join_customers": semi_join_customers,
+        "anti_join_customers": anti_join_customers,
+        "dedup_docs_exact": dedup_docs_exact,
+        "timeseries_events": timeseries_events,
+        "stats_by_type": stats_by_type,
+        "group_topn_orders": group_topn_orders,
+        "significant_terms_src0": significant_terms_src0,
+        "range_filter_events": range_filter_events,
+        "select_eval_lineitem": select_eval_lineitem,
+        "sort_export_suppliers": sort_export_suppliers,
+        "token_count_docs": token_count_docs,
+        "quality_docs": quality_docs,
+        "langid_docs": langid_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "minhash_pairs_docs": minhash_pairs_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "knn_cosine": knn_cosine,
+        "knn_lsh_docs": knn_lsh_docs,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "index_term_stats": SQL_TERM_STATS,
+        "term_stats_mapreduce": SQL_TERM_STATS,
+        "doc_freq_top20": SQL_DOC_FREQ_TOP20,
+        "bm25_topk": sql_bm25_topk(),
+        "rollup_events": SQL_ROLLUP_EVENTS,
+        "facet_docs": SQL_FACET_DOCS,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "having_active_customers": SQL_HAVING_ACTIVE,
+        "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
+        "join_lineitem_part": SQL_JOIN_LINEITEM_PART,
+        "semi_join_customers": SQL_SEMI_JOIN,
+        "anti_join_customers": SQL_ANTI_JOIN,
+        "dedup_docs_exact": SQL_DEDUP_EXACT,
+        "timeseries_events": SQL_TIMESERIES,
+        "stats_by_type": SQL_STATS_BY_TYPE,
+        "group_topn_orders": SQL_GROUP_TOPN,
+        "significant_terms_src0": SQL_SIGNIFICANT,
+        "range_filter_events": SQL_RANGE_FILTER,
+        "select_eval_lineitem": SQL_SELECT_EVAL,
+        "sort_export_suppliers": SQL_SORT_EXPORT,
+        "token_count_docs": SQL_TOKEN_COUNT,
+        "quality_docs": SQL_QUALITY,
+        "langid_docs": SQL_LANGID,
+        "fingerprint_docs": SQL_FINGERPRINT,
+        "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
+        "knn_cosine": SQL_KNN_COSINE,
+        # minhash/simhash/knn_lsh: probabilistic-recall ops, rows-only
+    }
