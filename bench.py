@@ -104,7 +104,7 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
         t0 = time.perf_counter()
         for q in qs:
             tq = time.perf_counter()
-            reader.bmw_topk(q["query_text"], q["k"])
+            reader.topk(q["query_text"], q["k"])
             lats.append(time.perf_counter() - tq)
         out["query_p50_ms"] = round(1000 * statistics.median(lats), 2)
         out["query_p95_ms"] = round(

@@ -119,16 +119,18 @@ class EncodedPostings:
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
-                    positions: np.ndarray) -> EncodedPostings:
+                    positions: np.ndarray | None = None) -> EncodedPostings:
     """Encode one term's postings.
 
-    ``doc_ids`` strictly increasing; ``positions`` is the flat
-    concatenation of each posting's position list (lengths given by
-    ``tfs``), each per-posting list delta-encoded from 0.
+    ``doc_ids`` strictly increasing; ``positions`` (optional) is the
+    flat concatenation of each posting's position list (lengths given
+    by ``tfs``), each per-posting list delta-encoded from 0.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     norms = np.asarray(norms, dtype=np.uint8)
+    if positions is None:
+        positions = np.empty(0, dtype=np.int64)
     positions = np.asarray(positions, dtype=np.int64)
     n = doc_ids.size
     if n == 0:
@@ -137,9 +139,12 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
         raise ValueError("doc_ids must be strictly increasing")
 
     # per-posting position deltas: reset the delta chain at each posting
-    pos_deltas = delta_encode(positions)
-    pos_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-    pos_deltas[pos_starts] = positions[pos_starts]
+    if positions.size:
+        pos_deltas = delta_encode(positions)
+        pos_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        pos_deltas[pos_starts] = positions[pos_starts]
+    else:
+        pos_deltas = positions
 
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     blk_bounds = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n)

@@ -86,6 +86,22 @@ class _SubList:
         self.blk_min_norm = np.frombuffer(row["blk_min_norm"], dtype=np.uint8)
         self.n_blocks = len(self.blk_last)
 
+    @classmethod
+    def from_encoded(cls, enc) -> "_SubList":
+        return cls({
+            "df": enc.df, "min_doc": 0, "docs": enc.docs, "tfs": enc.tfs,
+            "norms": enc.norms, "blk_last_doc": enc.blk_last_doc.tobytes(),
+            "blk_doc_off": enc.blk_doc_off.tobytes(),
+            "blk_tf_off": enc.blk_tf_off.tobytes(),
+            "blk_max_tf": enc.blk_max_tf.tobytes(),
+            "blk_min_norm": enc.blk_min_norm.tobytes(),
+        })._fix_min_doc()
+
+    def _fix_min_doc(self) -> "_SubList":
+        deltas, _ = vbyte_decode(self.docs_blob, 1, 0)
+        self.min_doc = int(deltas[0])
+        return self
+
     def decode_block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
         return decode_block(self.docs_blob, self.tfs_blob, self.blk_doc_off,
                             self.blk_tf_off, self.blk_last, b, self.df)
@@ -186,7 +202,14 @@ class IndexReader:
         """Load the whole term dictionary + postings into memory (once
         per query actor — Lucene keeps the terms index in RAM too; at
         100 TB this becomes term-dict-only preload + postings byte-range
-        reads, same call sites)."""
+        reads, same call sites).
+
+        Salted sub-lists of a term are re-merged into ONE compressed
+        posting list here: query-side scorer count stays equal to
+        clause count (the salting was a build-shuffle artifact; keeping
+        it at query time makes block windows quadratically finer)."""
+        from engine.codec import encode_postings
+
         for b in range(self.cfg.n_buckets):
             shard = os.path.join(self.index_dir, "index", f"bucket={b}")
             if not os.path.isdir(shard):
@@ -194,6 +217,15 @@ class IndexReader:
             for row in pq.read_table(shard, columns=self._COLS).to_pylist():
                 self._term_cache.setdefault(row["term"], []).append(
                     _SubList(row))
+        for term, subs in self._term_cache.items():
+            if len(subs) > 1:
+                parts = [s.decode_all() for s in subs]
+                docs = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                norms = np.concatenate([p[2] for p in parts])
+                order = np.argsort(docs, kind="stable")
+                enc = encode_postings(docs[order], tfs[order], norms[order])
+                self._term_cache[term] = [_SubList.from_encoded(enc)]
         self._preloaded = True
 
     # ------------------------------------------------------------ lookup
@@ -222,12 +254,39 @@ class IndexReader:
 
     # ----------------------------------------------------------- scoring
 
+    # dense accumulator bound: one f64 cell per doc of the (per-shard)
+    # doc space; beyond this fall back to the sparse unique/add.at path
+    _DENSE_MAX_N = 20_000_000
+    # auto strategy: TAAT decode cost ~ sum(df); BMW only pays off when
+    # block skipping can save decode work on very long lists
+    _TAAT_MAX_SUM_DF = 2_000_000
+
+    def topk(self, query_text: str, k: int, strategy: str = "auto"
+             ) -> pa.Table:
+        """Production scorer: adaptive TAAT-vectorized vs block-max WAND
+        (rank-identical either way — dual-execution tested)."""
+        if strategy == "bmw":
+            return self.bmw_topk(query_text, k)
+        if strategy == "brute":
+            return self.brute_force_topk(query_text, k)
+        terms = self.analyzer.query_terms(query_text)
+        subs = self.lookup(terms)
+        sum_df = sum(self.global_df(subs[t]) for t in set(terms))
+        if sum_df <= self._TAAT_MAX_SUM_DF:
+            return self.brute_force_topk(query_text, k)
+        return self.bmw_topk(query_text, k)
+
     def brute_force_topk(self, query_text: str, k: int) -> pa.Table:
-        """Oracle: score every matching doc (vectorized), full sort."""
+        """Oracle: score every matching doc (vectorized), full sort.
+
+        Uses a dense per-doc accumulator when the doc space fits (per
+        clause, in-clause docs are unique so plain fancy-index adds
+        suffice); the sparse unique/add.at path otherwise. Sums are f64
+        over exact f32 clause scores → order-independent, identical to
+        the windowed BMW engine."""
         terms = self.analyzer.query_terms(query_text)
         subs_by_term = self.lookup(terms)
-        all_docs: list[np.ndarray] = []
-        all_scores: list[np.ndarray] = []
+        clauses: list[tuple[np.ndarray, np.ndarray]] = []
         for t in terms:  # duplicates = duplicate SHOULD clauses
             subs = subs_by_term[t]
             if not subs:
@@ -235,12 +294,29 @@ class IndexReader:
             w = idf(self.N, self.global_df(subs))
             for s in subs:
                 docs, tfs, norms = s.decode_all()
-                all_docs.append(docs)
-                all_scores.append(_clause_scores(tfs, norms, w, self.cache))
-        if not all_docs:
+                clauses.append(
+                    (docs, _clause_scores(tfs, norms, w, self.cache)))
+        if not clauses:
             return _topdocs_table([], [])
-        docs = np.concatenate(all_docs)
-        scores = np.concatenate(all_scores).astype(np.float64)
+
+        if self.N <= self._DENSE_MAX_N:
+            sums = np.zeros(self.N, dtype=np.float64)
+            for docs, sc in clauses:
+                sums[docs] += sc.astype(np.float64)
+            final = sums.astype(np.float32)
+            total = int(np.count_nonzero(final))
+            if total == 0:
+                return _topdocs_table([], [])
+            kk = min(k, total)
+            part = np.argpartition(-final, kk - 1)[:kk]
+            cut = final[part].min()
+            cand = np.flatnonzero(final >= cut)
+            order = np.lexsort((cand, -final[cand]))[:k]
+            sel = cand[order]
+            return _topdocs_table(sel, final[sel], total=total)
+
+        docs = np.concatenate([d for d, _ in clauses])
+        scores = np.concatenate([s for _, s in clauses]).astype(np.float64)
         uniq, inv = np.unique(docs, return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(sums, inv, scores)
@@ -293,12 +369,16 @@ class IndexReader:
                         d_l.append(d)
                         s_l.append(sc)
                 if d_l:
-                    docs = np.concatenate(d_l)
-                    contribs = np.concatenate(s_l).astype(np.float64)
-                    uniq, inv = np.unique(docs, return_inverse=True)
-                    sums = np.zeros(len(uniq), dtype=np.float64)
-                    np.add.at(sums, inv, contribs)
-                    f32 = sums.astype(np.float32)
+                    if len(d_l) == 1:   # single clause: already sorted,
+                        uniq = d_l[0]   # unique; f32(f64(x)) == x
+                        f32 = s_l[0]
+                    else:
+                        docs = np.concatenate(d_l)
+                        contribs = np.concatenate(s_l).astype(np.float64)
+                        uniq, inv = np.unique(docs, return_inverse=True)
+                        sums = np.zeros(len(uniq), dtype=np.float64)
+                        np.add.at(sums, inv, contribs)
+                        f32 = sums.astype(np.float32)
                     scored += len(uniq)
                     if len(heap) < k:
                         idxs = range(len(uniq))
@@ -365,10 +445,10 @@ class QueryEngine:
     the batch runs the BMW engine (SURVEY.md §3.2).
     """
 
-    def __init__(self, index_dir: str, use_bmw: bool = True,
+    def __init__(self, index_dir: str, strategy: str = "auto",
                  resolve: bool = True, preload: bool = True):
         self.reader = IndexReader(index_dir, preload=preload)
-        self.use_bmw = use_bmw
+        self.strategy = strategy
         self.resolve = resolve and self.reader.cfg.conv_cols is not None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -378,8 +458,7 @@ class QueryEngine:
         ks = batch["k"].to_pylist() if "k" in batch.column_names \
             else [10] * len(qids)
         for qid, text, k in zip(qids, texts, ks):
-            top = (self.reader.bmw_topk(text, int(k)) if self.use_bmw
-                   else self.reader.brute_force_topk(text, int(k)))
+            top = self.reader.topk(text, int(k), strategy=self.strategy)
             if self.resolve and top.num_rows:
                 res = self.reader.resolve_docs(top["doc_id"].to_numpy())
                 top = top.append_column(

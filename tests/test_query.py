@@ -110,6 +110,26 @@ def test_query_engine_dataset_path(ray_session, smoke_index):
         assert mine["score"].tolist() == want["score"].tolist(), q
 
 
+def test_preload_merges_sublists_and_all_strategies_agree(smoke_index):
+    """Preloaded reader re-merges salted sub-lists into one compressed
+    list per term; auto/TAAT/BMW and the lazy-lookup reader all return
+    identical (doc, score) top-k."""
+    from engine.query import IndexReader as IR
+
+    idx, _, _ = smoke_index
+    pre = IR(idx, preload=True)
+    assert all(len(v) == 1 for v in pre._term_cache.values())
+    lazy = IR(idx)
+    for q in ["running", "error timeout retry", "merge score query",
+              "zephyr", "the"]:
+        for k in (1, 10, 100):
+            ref = lazy.brute_force_topk(q, k)
+            for t in (pre.topk(q, k), pre.bmw_topk(q, k),
+                      pre.brute_force_topk(q, k), lazy.bmw_topk(q, k)):
+                assert t["doc_id"].to_pylist() == ref["doc_id"].to_pylist()
+                assert t["score"].to_pylist() == ref["score"].to_pylist()
+
+
 def test_total_hits_brute(reader):
     top = reader.brute_force_topk("zephyr", 3)
     assert top.num_rows == 3
