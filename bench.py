@@ -35,12 +35,13 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def _bench_corpus(sf: float) -> tuple[str, int]:
+def _bench_corpus(sf: float, mult: int = 1) -> tuple[str, int]:
     """Deterministic transcript corpus sized by sf (cached on disk)."""
     from engine.synth import write_transcripts
 
-    n_convs = max(200, int(400_000 * sf))
-    path = os.path.join(BENCH_ROOT, f"corpus_sf{sf}")
+    n_convs = max(200, int(400_000 * sf) * mult)
+    path = os.path.join(BENCH_ROOT, f"corpus_sf{sf}_m{mult}" if mult > 1
+                        else f"corpus_sf{sf}")
     marker = os.path.join(path, "ROWS")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -68,7 +69,8 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
     from engine.synth import make_queries
 
     sf = _sf_of(sf_dir)
-    corpus, n_rows = _bench_corpus(sf)
+    mult = int(os.environ.get("GRAFT_BENCH_MULT", "1"))
+    corpus, n_rows = _bench_corpus(sf, mult)
 
     idx = os.path.join(BENCH_ROOT, f"index_sf{sf}_cpus{cpus}")
     if os.path.exists(idx):
@@ -144,8 +146,11 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Same job, two parallelism levels, fresh processes each."""
     res = {}
     for cpus in (lo, hi):
+        # 4x corpus for the scaling criterion: fixed startup costs must
+        # amortize so throughput reflects the parallel work
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                   GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO)
+                   GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO,
+                   GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "4"))
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
              "--single-build"],

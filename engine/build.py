@@ -134,18 +134,24 @@ def build_docmap(ds: ray.data.Dataset, cfg: IndexConfig, index_dir: str) -> int:
     ``doc_id = base[conv_id] + turn_idx`` equals the rank of
     (conv_id, turn_idx) in the globally sorted corpus because turn_idx
     is contiguous from 0 within each conversation (validated here).
+
+    Partial-per-batch counts combined driver-side (a conversation spans
+    at most a couple of batches, so partials ≈ n_convs rows — far
+    cheaper than a sort-based grouped aggregate; at 10^12 turns the
+    combine itself becomes a second-level groupby over conv ranges).
     """
     conv_col, turn_col = cfg.conv_cols  # type: ignore[misc]
-    from ray.data.aggregate import Count, Max
 
-    agg = ds.groupby(conv_col).aggregate(Count(), Max(turn_col))
-    t = agg.to_arrow_refs()
-    tables = [ray.get(r) for r in t]
-    tab = pa.concat_tables(tables).combine_chunks()
-    count_col = "count()" if "count()" in tab.column_names else "count"
-    max_col = f"max({turn_col})"
-    counts = tab[count_col].to_numpy().astype(np.int64)
-    maxes = tab[max_col].to_numpy().astype(np.int64)
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.group_by(conv_col).aggregate(
+            [(turn_col, "count"), (turn_col, "max")])
+        return t.rename_columns([conv_col, "cnt", "mx"])
+
+    refs = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    tab = pa.concat_tables([ray.get(r) for r in refs]).combine_chunks()
+    tab = tab.group_by(conv_col).aggregate([("cnt", "sum"), ("mx", "max")])
+    counts = tab["cnt_sum"].to_numpy().astype(np.int64)
+    maxes = tab["mx_max"].to_numpy().astype(np.int64)
     if not np.array_equal(maxes + 1, counts):
         bad = tab[conv_col][int(np.argmax(maxes + 1 != counts))]
         raise ValueError(
@@ -174,11 +180,12 @@ class FragmentBuilder:
     """
 
     def __init__(self, cfg_json: dict[str, Any], index_dir: str,
-                 part_of_path: dict[str, int]):
+                 part_of_path: dict[str, int], corpus_n: int):
         cfg = IndexConfig.from_json(cfg_json)
         self.cfg = cfg
         self.analyzer = Analyzer(cfg.stop_words, cfg.stemming)
         self.part_of_path = part_of_path
+        self.corpus_n = max(1, int(corpus_n))
         self._bucket_memo: dict[str, int] = {}
         if cfg.conv_cols is not None:
             dm = pq.read_table(os.path.join(index_dir, DOCMAP_NAME))
@@ -278,12 +285,32 @@ class FragmentBuilder:
                 pa.array(np.empty(0, np.int32), type=pa.int32()))
 
         n_terms = len(terms_present)
+        dfs = np.diff(post_offsets).astype(np.int32)
+
+        # LOCAL hot-term salting (no global pass needed): a term whose
+        # batch-local df exceeds the threshold scaled to the batch's
+        # share of the corpus is salted by part_id % n_salts. Bound: an
+        # unsalted term's merge group is ≤ hot_df_threshold postings in
+        # total (sum over batches of the local threshold), so no merge
+        # group can blow up — the skew guarantee with zero extra I/O.
+        local_thresh = self.cfg.hot_df_threshold * (n_docs / self.corpus_n)
+        salted = dfs.astype(np.float64) > local_thresh
+        salt_val = part_id % self.cfg.n_salts
+        # sub 0 = the unsalted group; salted groups use salt+1
+        salts = np.where(salted, salt_val + 1, 0).astype(np.int32)
+        keys = terms_present.copy()
+        if salted.any():
+            for i in np.flatnonzero(salted):
+                keys[i] = f"{terms_present[i]}\x01{salt_val}"
+
         return pa.table({
             "term": pa.array(terms_present, type=pa.string()),
+            "merge_key": pa.array(keys, type=pa.string()),
+            "salt": pa.array(salts, type=pa.int32()),
             "bucket": pa.array(self._buckets(terms_present), type=pa.int32()),
             "part_id": pa.array(np.full(n_terms, part_id, dtype=np.int32)),
             "min_doc": pa.array(doc_vals[term_pstart], type=pa.int64()),
-            "df": pa.array(np.diff(post_offsets).astype(np.int32)),
+            "df": pa.array(dfs),
             "docs": docs_col,
             "tfs": tfs_col,
             "norms": norms_col,
@@ -295,6 +322,8 @@ def _empty_fragment_table() -> pa.Table:
     i32 = pa.int32()
     return pa.table({
         "term": pa.array([], type=pa.string()),
+        "merge_key": pa.array([], type=pa.string()),
+        "salt": pa.array([], type=i32),
         "bucket": pa.array([], type=i32),
         "part_id": pa.array([], type=i32),
         "min_doc": pa.array([], type=pa.int64()),
@@ -360,67 +389,30 @@ def _merge_group(group: pa.Table) -> pa.Table:
     })
 
 
-def hot_terms(index_dir: str, cfg: IndexConfig) -> set[str]:
-    """Global hot-term set from fragment df partials (one thin-column
-    groupby over all buckets, done once per merge phase)."""
-    frag_root = os.path.join(index_dir, "fragments")
-    if not os.path.exists(frag_root):
-        return set()
-    dfs = ray.data.read_parquet(frag_root, columns=["term", "df"]) \
-        .groupby("term").sum("df")
-    hot_tbl = dfs.filter(
-        lambda r: r["sum(df)"] > cfg.hot_df_threshold).to_pandas()
-    return set(hot_tbl["term"].tolist()) if len(hot_tbl) else set()
-
-
-def _make_add_key(hot: set[str], n_salts: int):
-    def add_key(b: pa.Table) -> pa.Table:
-        terms = b["term"].to_pylist()
-        # hive partition values read back as strings; int() normalizes
-        parts = np.asarray(b["part_id"].to_pandas(), dtype=object)
-        salts = np.zeros(len(terms), dtype=np.int32)
-        if hot:
-            keys = []
-            for i, t in enumerate(terms):
-                if t in hot:
-                    s = int(parts[i]) % n_salts
-                    salts[i] = s
-                    keys.append(f"{t}\x01{s}")
-                else:
-                    keys.append(t)
-        else:
-            keys = terms
-        return b.append_column("merge_key", pa.array(keys, type=pa.string())) \
-                .append_column("salt", pa.array(salts, type=pa.int32()))
-    return add_key
-
-
-def _salted_merge(frag: ray.data.Dataset, hot: set[str],
-                  n_salts: int) -> ray.data.Dataset:
-    """The explicit hash shuffle on term (salted for hot terms)."""
-    return frag.map_batches(_make_add_key(hot, n_salts),
-                            batch_format="pyarrow") \
-        .groupby("merge_key") \
+def _merged(frag: ray.data.Dataset) -> ray.data.Dataset:
+    """The explicit hash shuffle on (possibly salted) merge_key."""
+    return frag.groupby("merge_key") \
         .map_groups(_merge_group, batch_format="pyarrow")
 
 
-def _bucket_stats(shard_dir: str, n_hot: int) -> dict[str, Any]:
+def _bucket_stats(shard_dir: str) -> dict[str, Any]:
     if not os.path.isdir(shard_dir) or not any(
             f.endswith(".parquet") for f in os.listdir(shard_dir)):
         return {"status": "done", "n_terms": 0, "sum_cf": 0,
-                "n_postings": 0, "n_hot": n_hot}
-    back = pq.read_table(shard_dir, columns=["term", "df", "cf"])
+                "n_postings": 0, "n_hot": 0}
+    back = pq.read_table(shard_dir, columns=["term", "df", "cf", "sub"])
+    hot = back.filter(pc.greater(back["sub"], 0))
     return {
         "status": "done",
         "n_terms": len(pc.unique(back["term"])),
         "sum_cf": int(pc.sum(back["cf"]).as_py() or 0),
         "n_postings": int(pc.sum(back["df"]).as_py() or 0),
-        "n_hot": n_hot,
+        "n_hot": len(pc.unique(hot["term"])) if hot.num_rows else 0,
     }
 
 
-def merge_bucket(index_dir: str, bucket: int, cfg: IndexConfig,
-                 hot: set[str] | None = None) -> dict[str, Any]:
+def merge_bucket(index_dir: str, bucket: int, cfg: IndexConfig
+                 ) -> dict[str, Any]:
     """Merge one term-hash bucket's fragments into its index shard
     (the per-bucket resume path)."""
     frag_dir = os.path.join(index_dir, "fragments", f"bucket={bucket}")
@@ -429,17 +421,13 @@ def merge_bucket(index_dir: str, bucket: int, cfg: IndexConfig,
         shutil.rmtree(shard_dir)
     if not os.path.exists(frag_dir):
         os.makedirs(shard_dir, exist_ok=True)
-        return {"status": "done", "n_terms": 0, "sum_cf": 0,
-                "n_postings": 0, "n_hot": 0}
-    if hot is None:
-        hot = hot_terms(index_dir, cfg)
-    merged = _salted_merge(ray.data.read_parquet(frag_dir), hot, cfg.n_salts)
-    merged.write_parquet(shard_dir)
-    return _bucket_stats(shard_dir, len(hot))
+        return _bucket_stats(shard_dir)
+    _merged(ray.data.read_parquet(frag_dir)).write_parquet(shard_dir)
+    return _bucket_stats(shard_dir)
 
 
-def merge_all_buckets(index_dir: str, cfg: IndexConfig,
-                      hot: set[str]) -> dict[str, dict[str, Any]]:
+def merge_all_buckets(index_dir: str, cfg: IndexConfig
+                      ) -> dict[str, dict[str, Any]]:
     """Fresh-build fast path: ONE shuffle job over every bucket's
     fragments, written with ``partition_cols=["bucket"]`` — same output
     layout as per-bucket merges but a single Dataset execution."""
@@ -447,8 +435,7 @@ def merge_all_buckets(index_dir: str, cfg: IndexConfig,
     index_root = os.path.join(index_dir, "index")
     if os.path.exists(index_root):
         shutil.rmtree(index_root)
-    merged = _salted_merge(ray.data.read_parquet(frag_root), hot,
-                           cfg.n_salts)
+    merged = _merged(ray.data.read_parquet(frag_root))
     n_buckets = cfg.n_buckets
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -459,8 +446,7 @@ def merge_all_buckets(index_dir: str, cfg: IndexConfig,
     merged = merged.map_batches(add_bucket, batch_format="pyarrow")
     merged.write_parquet(index_root, partition_cols=["bucket"])
     return {
-        str(b): _bucket_stats(os.path.join(index_root, f"bucket={b}"),
-                              len(hot))
+        str(b): _bucket_stats(os.path.join(index_root, f"bucket={b}"))
         for b in range(cfg.n_buckets)
     }
 
@@ -476,6 +462,9 @@ def build_index(input_path: str | list[str], index_dir: str,
     Resumable: finished input parts and merged buckets are skipped on
     rerun (per-partition lineage in the manifest).
     """
+    import time as _time
+
+    phase_sec: dict[str, float] = {}
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     if isinstance(input_path, str):
@@ -501,6 +490,7 @@ def build_index(input_path: str | list[str], index_dir: str,
     part_of_path = {f: i for i, f in enumerate(files)}
 
     # stage 0 — docID authority (reused verbatim on resume)
+    _t0 = _time.perf_counter()
     if cfg.conv_cols is not None and (
             "N" not in man["stats"]
             or not os.path.exists(os.path.join(index_dir, DOCMAP_NAME))):
@@ -513,7 +503,10 @@ def build_index(input_path: str | list[str], index_dir: str,
         man["stats"]["N"] = int(ds0.count())
         mf.save(index_dir, man)
 
+    phase_sec["stage0_docmap"] = round(_time.perf_counter() - _t0, 3)
+
     # stage A — fragments for pending parts
+    _t0 = _time.perf_counter()
     done = mf.done_parts(man)
     pending = [f for f in files if part_of_path[f] not in done]
     if pending:
@@ -532,13 +525,15 @@ def build_index(input_path: str | list[str], index_dir: str,
                                    include_paths=True)
         frags = ds.map_batches(
             FragmentBuilder,
-            fn_constructor_args=(cfg.to_json(), index_dir, part_of_path),
+            fn_constructor_args=(cfg.to_json(), index_dir, part_of_path,
+                                 int(man["stats"]["N"])),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            # leave ≥1 CPU for read/write tasks: an actor pool equal to
-            # the cluster CPU count starves the rest of the pipeline
-            concurrency=cfg.concurrency
-            or max(1, int(ray.cluster_resources().get("CPU", 4)) - 1),
+            # autoscaling pool: start small (actor startup is the fixed
+            # cost), scale toward cpus-1 under backlog; the -1 leaves a
+            # CPU for read/write tasks so the pool can't starve them
+            concurrency=cfg.concurrency or
+            (2, max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)),
         )
         frags.write_parquet(frag_root, partition_cols=["bucket", "part_id"])
         for f in pending:
@@ -547,20 +542,24 @@ def build_index(input_path: str | list[str], index_dir: str,
         man["buckets"] = {}  # new fragments invalidate prior merges
         mf.save(index_dir, man)
 
+    phase_sec["stageA_fragments"] = round(_time.perf_counter() - _t0, 3)
+
     # stage B — merge. Fresh build (no bucket done yet): ONE global
     # shuffle job partitioned by bucket. Partial resume: per-bucket
     # jobs, each its own checkpoint. Hot-term stats computed once.
+    _t0 = _time.perf_counter()
     done_b = mf.done_buckets(man)
     pending_b = [b for b in range(cfg.n_buckets) if b not in done_b]
     if pending_b:
-        hot = hot_terms(index_dir, cfg)
         if not done_b:
-            man["buckets"] = merge_all_buckets(index_dir, cfg, hot)
+            man["buckets"] = merge_all_buckets(index_dir, cfg)
             mf.save(index_dir, man)
         else:
             for b in pending_b:
-                man["buckets"][str(b)] = merge_bucket(index_dir, b, cfg, hot)
+                man["buckets"][str(b)] = merge_bucket(index_dir, b, cfg)
                 mf.save(index_dir, man)
+
+    phase_sec["stageB_merge"] = round(_time.perf_counter() - _t0, 3)
 
     # stage C — commit
     total_cf = sum(v["sum_cf"] for v in man["buckets"].values())
@@ -572,6 +571,7 @@ def build_index(input_path: str | list[str], index_dir: str,
         "n_terms": n_terms,
         "n_postings": n_post,
         "avgdl": (total_cf / N) if N else 0.0,
+        "phase_sec": phase_sec,
     })
     man["status"] = "complete"
     mf.save(index_dir, man)
