@@ -404,6 +404,166 @@ class IndexReader:
             [-d for _, d in hits], np.array([s for s, _ in hits], np.float32),
             total=scored)
 
+    # ---------------------------------------- other Lucene query types
+
+    def _clause_arrays(self, term: str, subs: list[_SubList]
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Fully-decoded merged (docs, tfs, norms) for one term."""
+        parts = [s.decode_all() for s in subs]
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        norms = np.concatenate([p[2] for p in parts])
+        if len(parts) > 1:
+            order = np.argsort(docs, kind="stable")
+            docs, tfs, norms = docs[order], tfs[order], norms[order]
+        return docs, tfs, norms
+
+    def boolean_topk(self, must: list[str] | None = None,
+                     should: list[str] | None = None,
+                     must_not: list[str] | None = None,
+                     k: int = 10) -> pa.Table:
+        """BooleanQuery MUST / SHOULD / MUST_NOT (upstream
+        ``L/search/BooleanQuery.java`` [U]): MUST terms intersect
+        (leapfrog ≡ vectorized np.intersect1d cascade), MUST_NOT docs
+        are masked out, scores sum MUST+SHOULD clause contributions.
+        Terms are analyzed-form and deduplicated."""
+        must = sorted(set(must or []))
+        should = sorted(set(should or []))
+        must_not = sorted(set(must_not or []))
+        subs = self.lookup(must + should + must_not)
+        if any(not subs[t] for t in must):
+            return _topdocs_table([], [])
+        clause: dict[str, tuple] = {
+            t: self._clause_arrays(t, subs[t])
+            for t in set(must + should) if subs[t]}
+
+        if must:
+            cand = clause[must[0]][0]
+            for t in must[1:]:
+                cand = np.intersect1d(cand, clause[t][0],
+                                      assume_unique=True)
+        else:
+            cand = np.unique(np.concatenate(
+                [clause[t][0] for t in should if t in clause])) \
+                if clause else np.empty(0, np.int64)
+        for t in must_not:
+            if subs[t]:
+                nd = self._clause_arrays(t, subs[t])[0]
+                cand = cand[~np.isin(cand, nd, assume_unique=True)]
+        if not len(cand):
+            return _topdocs_table([], [])
+
+        sums = np.zeros(len(cand), dtype=np.float64)
+        for t, (docs, tfs, norms) in clause.items():
+            w = idf(self.N, len(docs))
+            idx = np.searchsorted(docs, cand)
+            idx_c = np.clip(idx, 0, len(docs) - 1)
+            hit = docs[idx_c] == cand
+            sc = _clause_scores(tfs[idx_c[hit]], norms[idx_c[hit]], w,
+                                self.cache).astype(np.float64)
+            sums[hit] += sc
+        final = sums.astype(np.float32)
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order], total=len(cand))
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> pa.Table:
+        """Exact PhraseQuery (upstream ``L/search/PhraseQuery.java``,
+        ``ExactPhraseMatcher`` [U]): docs where the analyzed terms occur
+        at consecutive positions; BM25 with tf = phrase frequency and
+        weight = Σ per-term idf (Lucene's phrase termStatistics sum).
+
+        Vectorized: each term's (doc, startpos) pairs are encoded as
+        ``doc * 2^21 + (pos - i)`` keys and intersected across terms —
+        surviving keys are exact phrase occurrences."""
+        terms = self.analyzer.query_terms(phrase)
+        if not terms:
+            return _topdocs_table([], [])
+        subs = self.lookup(terms)
+        if any(not subs[t] for t in terms):
+            return _topdocs_table([], [])
+
+        SHIFT = np.int64(1 << 21)
+        keysets: list[np.ndarray] = []
+        w64 = 0.0   # f64 sum of f32 idfs, cast f32 once (Lucene's
+        doc_norm: dict[int, int] = {}   # summed phrase termStatistics)
+        for i, t in enumerate(terms):
+            rows = self._lookup_positions(t)
+            w64 += float(idf(self.N, self.global_df(subs[t])))
+            keys_parts = []
+            for docs, tfs, norms, flat_pos in rows:
+                doc_rep = np.repeat(docs, tfs)
+                p = flat_pos - i
+                ok = p >= 0
+                keys_parts.append(doc_rep[ok] * SHIFT + p[ok])
+                if i == 0:
+                    for d, nb in zip(docs, norms):
+                        doc_norm[int(d)] = int(nb)
+            keysets.append(np.unique(np.concatenate(keys_parts))
+                           if keys_parts else np.empty(0, np.int64))
+        occ = keysets[0]
+        for ks in keysets[1:]:
+            occ = np.intersect1d(occ, ks, assume_unique=True)
+        if not len(occ):
+            return _topdocs_table([], [])
+        docs = (occ // SHIFT).astype(np.int64)
+        uniq, freq = np.unique(docs, return_counts=True)
+        norms = np.array([doc_norm[int(d)] for d in uniq], dtype=np.uint8)
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
+    def _lookup_positions(self, term: str
+                          ) -> list[tuple[np.ndarray, np.ndarray,
+                                          np.ndarray, np.ndarray]]:
+        """(docs, tfs, norms, flat positions) per stored sub-list."""
+        b = term_bucket(term, self.cfg.n_buckets)
+        shard = os.path.join(self.index_dir, "index", f"bucket={b}")
+        if not os.path.isdir(shard):
+            return []
+        tab = pq.read_table(shard, filters=[("term", "==", term)],
+                            columns=["df", "docs", "tfs", "norms", "poss"])
+        out = []
+        for row in tab.to_pylist():
+            df = int(row["df"])
+            deltas, _ = vbyte_decode(row["docs"], df, 0)
+            docs = np.cumsum(deltas)
+            tfs, _ = vbyte_decode(row["tfs"], df, 0)
+            norms = np.frombuffer(row["norms"], dtype=np.uint8)
+            total = int(tfs.sum())
+            pos_deltas, _ = vbyte_decode(row["poss"], total, 0)
+            # undo per-posting delta chains: cumsum then rebase each
+            # posting's run at its absolute start
+            flat = np.cumsum(pos_deltas)
+            starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            bases = flat[starts] - pos_deltas[starts]
+            flat = flat - np.repeat(bases, tfs)
+            out.append((docs, tfs, norms, flat))
+        return out
+
+    def wildcard_topk(self, prefix: str, k: int = 10) -> pa.Table:
+        """Prefix/WildcardQuery with scoring-boolean rewrite (upstream
+        ``L/search/WildcardQuery.java`` + ``ScoringRewrite`` [U] — note
+        Lucene's DEFAULT rewrite is constant-score; we implement the
+        scoring variant so ranks are informative): expand the prefix
+        against the term dictionary, score as a SHOULD disjunction."""
+        terms = self.expand_prefix(prefix)
+        if not terms:
+            return _topdocs_table([], [])
+        return self.boolean_topk(should=terms, k=k)
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        if self._preloaded:
+            return sorted(t for t in self._term_cache if t.startswith(prefix))
+        found: set[str] = set()
+        for b in range(self.cfg.n_buckets):
+            shard = os.path.join(self.index_dir, "index", f"bucket={b}")
+            if not os.path.isdir(shard):
+                continue
+            col = pq.read_table(shard, columns=["term"])["term"]
+            mask = pc.starts_with(col, prefix)
+            found.update(col.filter(mask).to_pylist())
+        return sorted(found)
+
     # ------------------------------------------------------------- fetch
 
     def resolve_docs(self, doc_ids: np.ndarray) -> pa.Table:

@@ -149,12 +149,10 @@ def _smallfloat_lut_sql() -> str:
     return ",".join(rows)
 
 
-def sql_bm25_topk() -> str:
-    """Float32-exact BM25 oracle: CAST(... AS FLOAT) mirrors the
-    engine's float32 idf / tf-ratio / product / final-cast chain, and
-    the SmallFloat lossy doc length comes from a generated lookup."""
-    terms = BM25_QUERY.lower().split()
-    terms_sql = ",".join(f"('{t}')" for t in terms)
+def _bm25_ctes() -> str:
+    """Shared float32-exact BM25 CTEs: tokenized docs, collection
+    stats, the generated SmallFloat quantization lookup, quantized doc
+    lengths, and per-(doc, term) tf."""
     return f"""
 WITH toks AS (
   SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
@@ -168,19 +166,28 @@ dl AS (
 tf AS (
   SELECT doc_id, t.term, COUNT(*)::DOUBLE AS tf FROM
     (SELECT doc_id, unnest(ts) AS term FROM toks) t
-  GROUP BY doc_id, t.term),
-qterms(term) AS (VALUES {terms_sql}),
-dfs AS (
-  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
-  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
-contrib AS (
-  SELECT tf.doc_id,
+  GROUP BY doc_id, t.term)"""
+
+
+# per-clause score: CAST chain mirrors the engine's f32 idf × f32 ratio
+_SQL_CONTRIB = """
     CAST(
       CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
       *
       CAST(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
            AS FLOAT)::DOUBLE
-      AS FLOAT) AS sc
+      AS FLOAT)"""
+
+
+def _sql_disjunction(qterms_sql: str, k: int, having: str = "",
+                     where: str = "") -> str:
+    return f"""{_bm25_ctes()},
+qterms AS ({qterms_sql}),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id, tf.term, {_SQL_CONTRIB} AS sc
   FROM qterms q
   JOIN dfs d ON d.term = q.term
   JOIN tf ON tf.term = q.term
@@ -188,11 +195,103 @@ contrib AS (
   CROSS JOIN stats s),
 scored AS (
   SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
-  FROM contrib GROUP BY doc_id)
+  FROM contrib {where} GROUP BY doc_id {having})
 SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
        doc_id, score
-FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_K}
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+def sql_bm25_topk() -> str:
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return _sql_disjunction(terms_sql, BM25_K)
+
+
+CONJ_TERMS = ["spark", "merge"]
+NOT_SHOULD = ["spark", "merge"]
+NOT_TERMS = ["window"]
+PHRASE = "part filter"
+WILD_PREFIX = "s"
+
+
+def _topdocs_out(t: pa.Table) -> pa.Table:
+    t = t.select(["rank", "doc_id", "score"])
+    return _cast_col(t, "rank", pa.int64())
+
+
+def conjunction_topk(sf_dir: str) -> pa.Table:
+    """BooleanQuery MUST: leapfrog-style intersection + summed scores."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.boolean_topk(must=CONJ_TERMS, k=10))
+
+
+SQL_CONJUNCTION = _sql_disjunction(
+    "SELECT unnest(['spark','merge']) AS term", 10,
+    having=f"HAVING COUNT(DISTINCT term) = {len(set(CONJ_TERMS))}")
+
+
+def boolean_not_topk(sf_dir: str) -> pa.Table:
+    """SHOULD + MUST_NOT exclusion."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(
+        r.boolean_topk(should=NOT_SHOULD, must_not=NOT_TERMS, k=10))
+
+
+SQL_BOOLEAN_NOT = _sql_disjunction(
+    "SELECT unnest(['spark','merge']) AS term", 10,
+    where=("WHERE contrib.doc_id NOT IN "
+           "(SELECT doc_id FROM tf WHERE term = 'window')"))
+
+
+def phrase_topk(sf_dir: str) -> pa.Table:
+    """Exact PhraseQuery over stored positions."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.phrase_topk(PHRASE, k=10))
+
+
+def sql_phrase_topk() -> str:
+    t0, t1 = PHRASE.split()
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.tok = '{t0}' AND b.tok = '{t1}'
+  GROUP BY a.doc_id),
+qterms AS (SELECT unnest(['{t0}','{t1}']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM dfs d CROSS JOIN stats s),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def wildcard_topk(sf_dir: str) -> pa.Table:
+    """Prefix query: term-dictionary expansion → scoring disjunction."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.wildcard_topk(WILD_PREFIX, k=10))
+
+
+SQL_WILDCARD = _sql_disjunction(
+    f"SELECT DISTINCT term FROM tf WHERE term LIKE '{WILD_PREFIX}%'", 10)
 
 
 # ------------------------------------------------- relational entries
@@ -383,6 +482,62 @@ SELECT event_type, COUNT(*)::BIGINT AS n, MIN(value) AS min_value,
        ROUND(STDDEV_SAMP(value), 6) AS std_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def distinct_users_by_type(sf_dir: str) -> pa.Table:
+    """Exact count-distinct via two-level grouped aggregation (the
+    ``unique`` agg, upstream ``S/search/facet/UniqueAgg.java`` [U]):
+    dedup (type, user) pairs with a first groupby, count with a second
+    — both stay distributed; no driver-side set."""
+    ds = _read(sf_dir, "events")
+    pairs = ds.groupby(["event_type", "user_id"]).count()
+    t = _rename(_to_table(pairs.groupby("event_type").count()),
+                {"count()": "n_users"})
+    return t.sort_by("event_type")
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def percentile_value_by_type(sf_dir: str) -> pa.Table:
+    """Per-group median via grouped exact quantile (the ``percentile``
+    agg, upstream ``S/search/facet/PercentileAgg.java`` [U]; linear
+    interpolation == SQL percentile_cont)."""
+    ds = _read(sf_dir, "events")
+
+    def med(g: pa.Table) -> pa.Table:
+        v = np.sort(g["value"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "p50_value": pa.array(
+                [round(float(np.percentile(v, 50)), 6)]),
+        })
+    t = _to_table(ds.groupby("event_type").map_groups(
+        med, batch_format="pyarrow"))
+    return t.sort_by("event_type")
+
+
+SQL_PERCENTILE = """
+SELECT event_type,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+         AS p50_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def hll_distinct_users(sf_dir: str) -> pa.Table:
+    """Approximate distinct users per event_type with an in-repo
+    HyperLogLog sketch (upstream ``S/search/facet/HLLAgg.java`` [U]):
+    per-batch register partials merged by max — the partial/final
+    pattern. Deterministic but estimate-valued → rows-only check; the
+    unit tests bound its error against the exact count."""
+    from engine.ops.sketch import hll_group_distinct
+
+    ds = _read(sf_dir, "events")
+    return hll_group_distinct(ds, "event_type", "user_id")
 
 
 def group_topn_orders(sf_dir: str) -> pa.Table:
@@ -636,6 +791,10 @@ def queries() -> dict:
         "term_stats_mapreduce": term_stats_mapreduce,
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
+        "conjunction_topk": conjunction_topk,
+        "boolean_not_topk": boolean_not_topk,
+        "phrase_topk": phrase_topk,
+        "wildcard_topk": wildcard_topk,
         "rollup_events": rollup_events,
         "facet_docs": facet_docs,
         "topk_orders": topk_orders,
@@ -647,6 +806,9 @@ def queries() -> dict:
         "dedup_docs_exact": dedup_docs_exact,
         "timeseries_events": timeseries_events,
         "stats_by_type": stats_by_type,
+        "distinct_users_by_type": distinct_users_by_type,
+        "percentile_value_by_type": percentile_value_by_type,
+        "hll_distinct_users": hll_distinct_users,
         "group_topn_orders": group_topn_orders,
         "significant_terms_src0": significant_terms_src0,
         "range_filter_events": range_filter_events,
@@ -670,6 +832,10 @@ def oracle_sql() -> dict:
         "term_stats_mapreduce": SQL_TERM_STATS,
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
+        "conjunction_topk": SQL_CONJUNCTION,
+        "boolean_not_topk": SQL_BOOLEAN_NOT,
+        "phrase_topk": sql_phrase_topk(),
+        "wildcard_topk": SQL_WILDCARD,
         "rollup_events": SQL_ROLLUP_EVENTS,
         "facet_docs": SQL_FACET_DOCS,
         "topk_orders": SQL_TOPK_ORDERS,
@@ -681,6 +847,8 @@ def oracle_sql() -> dict:
         "dedup_docs_exact": SQL_DEDUP_EXACT,
         "timeseries_events": SQL_TIMESERIES,
         "stats_by_type": SQL_STATS_BY_TYPE,
+        "distinct_users_by_type": SQL_DISTINCT_USERS,
+        "percentile_value_by_type": SQL_PERCENTILE,
         "group_topn_orders": SQL_GROUP_TOPN,
         "significant_terms_src0": SQL_SIGNIFICANT,
         "range_filter_events": SQL_RANGE_FILTER,
