@@ -64,21 +64,33 @@ def make_transcripts(n_convs: int = 200, seed: int = 42) -> pa.Table:
     total_toks = int(toks_per_turn.sum())
     zipf_p = 1.0 / np.arange(1, len(VOCAB) + 1) ** 1.1
     zipf_p /= zipf_p.sum()
-    ranks = rng.choice(len(VOCAB), size=total_toks, p=zipf_p)
-    words = VOCAB[ranks].astype(object)
+    # inverse-CDF sampling (vectorized; rng.choice(p=...) is too slow
+    # for the 100M+-token bench corpora)
+    ranks = np.searchsorted(np.cumsum(zipf_p), rng.random(total_toks))
+    words = VOCAB[ranks]
 
-    # sprinkle case variants and punctuation (deterministic)
+    # sprinkle case variants and punctuation (deterministic); text
+    # assembly via Arrow kernels (C++) — the Python join loop was the
+    # bottleneck for multi-million-turn bench corpora
+    import pyarrow.compute as _pc
+
     flip = rng.random(total_toks)
     for orig, var in _CASE_VARIANTS.items():
         m = (words == orig) & (flip < 0.3)
         words[m] = var
     punct = _PUNCT[rng.integers(0, len(_PUNCT), size=total_toks)]
-    words = np.char.add(words.astype(str), punct)
+    words_pa = _pc.binary_join_element_wise(
+        pa.array(words, type=pa.string()).cast(pa.large_string()),
+        pa.array(punct, type=pa.string()).cast(pa.large_string()),
+        pa.scalar("", type=pa.large_string()))
 
-    cuts = np.concatenate(([0], np.cumsum(toks_per_turn)))
-    texts = np.array(
-        [" ".join(words[cuts[i]:cuts[i + 1]]) for i in range(n_turns)],
-        dtype=object)
+    if isinstance(words_pa, pa.ChunkedArray):
+        words_pa = words_pa.combine_chunks()
+    cuts = np.concatenate(([0], np.cumsum(toks_per_turn))).astype(np.int64)
+    lists = pa.LargeListArray.from_arrays(pa.array(cuts), words_pa)
+    texts = np.asarray(
+        _pc.binary_join(lists, pa.scalar(" ", type=pa.large_string()))
+        .to_pandas(), dtype=object)
 
     # exact duplicate turns: ~1% copy the text of an earlier turn
     n_dup = max(2, n_turns // 100)
