@@ -576,3 +576,47 @@ def build_index(input_path: str | list[str], index_dir: str,
     man["status"] = "complete"
     mf.save(index_dir, man)
     return man
+
+
+def _main() -> None:
+    """CLI: ``ray job submit -- python -m engine.build IN OUT [opts]``."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="Build an inverted index")
+    ap.add_argument("input", help="parquet dir or file")
+    ap.add_argument("out", help="index output dir")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--doc-id-col", default=None,
+                    help="direct docID column (else conv mode)")
+    ap.add_argument("--conv-cols", default="conv_id,turn_idx")
+    ap.add_argument("--n-buckets", type=int, default=8)
+    ap.add_argument("--hot-df-threshold", type=int, default=50_000)
+    ap.add_argument("--n-salts", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=2048)
+    ap.add_argument("--no-stem", action="store_true")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False)
+    cfg = IndexConfig(
+        text_col=args.text_col,
+        doc_id_col=args.doc_id_col,
+        conv_cols=None if args.doc_id_col else
+        tuple(args.conv_cols.split(",")),
+        stemming=not args.no_stem,
+        n_buckets=args.n_buckets,
+        hot_df_threshold=args.hot_df_threshold,
+        n_salts=args.n_salts,
+        batch_size=args.batch_size,
+    )
+    inp = args.input if os.path.isdir(args.input) else [args.input]
+    man = build_index(inp, args.out, cfg, resume=not args.no_resume)
+    print(json.dumps(man["stats"]))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()

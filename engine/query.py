@@ -647,3 +647,27 @@ def _empty_results(resolve: bool) -> pa.Table:
         cols["conv_id"] = pa.array([], type=pa.string())
         cols["turn_idx"] = pa.array([], type=pa.int32())
     return pa.table(cols)
+
+
+def _main() -> None:
+    """CLI: ``python -m engine.query INDEX 'query text' [-k 10]``."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="BM25 top-k search")
+    ap.add_argument("index_dir")
+    ap.add_argument("query")
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--strategy", default="auto",
+                    choices=["auto", "bmw", "brute"])
+    args = ap.parse_args()
+    r = IndexReader(args.index_dir)
+    top = r.topk(args.query, args.k, strategy=args.strategy)
+    if r.cfg.conv_cols is not None and top.num_rows:
+        res = r.resolve_docs(top["doc_id"].to_numpy())
+        for c in res.column_names[1:]:
+            top = top.append_column(c, res[c])
+    print(top.to_pandas().to_string(index=False))
+
+
+if __name__ == "__main__":
+    _main()
