@@ -71,13 +71,17 @@ class Analyzer:
             out[i] = s
         return out
 
-    def analyze_flat(self, texts: pa.Array | pa.ChunkedArray):
-        """Analyze a column of documents.
+    def analyze_encoded(self, texts: pa.Array | pa.ChunkedArray):
+        """Analyze a column of documents, dictionary-encoded.
 
-        Returns ``(offsets, terms, positions, doc_lens)`` where
-        ``offsets`` (int64, n_docs+1) cuts the flat ``terms`` (object
-        ndarray) / ``positions`` (int32 ndarray) arrays per document,
-        and ``doc_lens`` (int32) is the emitted-token count per doc.
+        Returns ``(offsets, codes, vocab, positions, doc_lens)``:
+        ``codes`` (int64 ndarray) are indices into ``vocab`` (object
+        ndarray of unique analyzed terms, sorted), cut per document by
+        ``offsets``; ``positions``/``doc_lens`` as in
+        :meth:`analyze_flat`. Dictionary encoding happens in Arrow
+        (hash-based, no object-array sort) and stemming touches only
+        the vocabulary — per-token Python work is O(vocab), not
+        O(corpus).
         """
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -110,18 +114,41 @@ class Analyzer:
                               np.diff(raw_offsets))
         positions_all = (pos_all - 1 - start_base[token_doc]).astype(np.int32)
 
-        kept_terms = np.asarray(flat.filter(keep_arrow).to_pandas(), dtype=object)
+        kept = flat.filter(keep_arrow)
         positions = positions_all[keep]
         kept_doc = token_doc[keep]
         doc_lens = np.bincount(kept_doc, minlength=n_docs).astype(np.int32)
         offsets = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(doc_lens, out=offsets[1:])
 
-        if self.stemming and kept_terms.size:
-            uniq, inv = np.unique(kept_terms, return_inverse=True)
-            kept_terms = self._stem_unique(uniq)[inv]
+        # Arrow hash-based dictionary encode: no object-array sort
+        dict_arr = pc.dictionary_encode(kept)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
 
-        return offsets, kept_terms, positions, doc_lens
+        if self.stemming and vocab.size:
+            vocab = self._stem_unique(vocab)
+        if vocab.size:
+            # normalize: sorted unique vocab (stemming may alias terms)
+            uniq, inv = np.unique(vocab, return_inverse=True)
+            vocab = uniq
+            codes = inv[codes]
+        return offsets, codes, vocab, positions, doc_lens
+
+    def analyze_flat(self, texts: pa.Array | pa.ChunkedArray):
+        """Analyze a column of documents.
+
+        Returns ``(offsets, terms, positions, doc_lens)`` where
+        ``offsets`` (int64, n_docs+1) cuts the flat ``terms`` (object
+        ndarray) / ``positions`` (int32 ndarray) arrays per document,
+        and ``doc_lens`` (int32) is the emitted-token count per doc.
+        """
+        offsets, codes, vocab, positions, doc_lens = \
+            self.analyze_encoded(texts)
+        terms = vocab[codes] if len(codes) else np.empty(0, dtype=object)
+        return offsets, terms, positions, doc_lens
 
     def analyze_text(self, text: str) -> list[tuple[str, int]]:
         """Single-string convenience: ``[(term, position), ...]``."""

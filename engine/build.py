@@ -237,15 +237,14 @@ class FragmentBuilder:
     def _build(self, batch: pa.Table, part_id: int) -> pa.Table:
         cfg = self.cfg
         doc_ids = self._doc_ids(batch)
-        _, terms, positions, doc_lens = self.analyzer.analyze_flat(
-            batch[cfg.text_col])
-        if terms.size == 0:
+        _, tcode, uniq_terms, positions, doc_lens = \
+            self.analyzer.analyze_encoded(batch[cfg.text_col])
+        if tcode.size == 0:
             return _empty_fragment_table()
         norm_bytes = encode_lengths(doc_lens)
         n_docs = len(doc_lens)
         tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
 
-        uniq_terms, tcode = np.unique(terms, return_inverse=True)
         order = np.lexsort((positions, tok_doc, tcode))
         t_s, d_s, p_s = tcode[order], tok_doc[order], positions[order]
 
@@ -523,17 +522,23 @@ def build_index(input_path: str | list[str], index_dir: str,
             list(cfg.conv_cols) if cfg.conv_cols else [cfg.doc_id_col])
         ds = ray.data.read_parquet(pending, columns=read_cols,
                                    include_paths=True)
+        if cfg.concurrency is not None:
+            conc = cfg.concurrency
+        else:
+            # Pool sizing: enough batches per actor to amortize actor
+            # startup → fixed full-width pool; small jobs → autoscaling
+            # pool that starts at 2. Always ≤ cpus-1 so read/write
+            # tasks can't be starved by the pool.
+            full = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+            n_batches = max(1, int(man["stats"]["N"]) // cfg.batch_size)
+            conc = full if n_batches >= full * 16 else (2, full)
         frags = ds.map_batches(
             FragmentBuilder,
             fn_constructor_args=(cfg.to_json(), index_dir, part_of_path,
                                  int(man["stats"]["N"])),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            # autoscaling pool: start small (actor startup is the fixed
-            # cost), scale toward cpus-1 under backlog; the -1 leaves a
-            # CPU for read/write tasks so the pool can't starve them
-            concurrency=cfg.concurrency or
-            (2, max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)),
+            concurrency=conc,
         )
         frags.write_parquet(frag_root, partition_cols=["bucket", "part_id"])
         for f in pending:
