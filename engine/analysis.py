@@ -86,27 +86,39 @@ class Analyzer:
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         n_docs = len(texts)
-        lowered = pc.utf8_lower(texts)
-        token_lists = pc.split_pattern_regex(lowered, TOKEN_SPLIT_REGEX)
-        # flat view: Arrow list array -> (value offsets, values)
+        # Split the ORIGINAL text (case doesn't affect [^A-Za-z0-9]
+        # boundaries) and dictionary-encode the cased tokens straight
+        # away — every downstream per-token decision (empty, stopword,
+        # lowercase, stem) then happens on the tiny vocabulary and is
+        # broadcast back through int codes. This keeps the corpus-sized
+        # memory traffic to one split + one hash pass.
+        token_lists = pc.split_pattern_regex(texts, TOKEN_SPLIT_REGEX)
         token_lists = token_lists.combine_chunks() if isinstance(
             token_lists, pa.ChunkedArray) else token_lists
         raw_offsets = token_lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = token_lists.values
-        # null docs produce no slot movement in offsets; treat as empty
-        nonempty = pc.not_equal(flat, "")
+        dict_arr = pc.dictionary_encode(token_lists.values)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        raw_codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cased_vocab = dict_arr.dictionary
+        vocab_lower = pc.utf8_lower(cased_vocab)
+
+        # per-vocab-entry masks, broadcast via codes
+        v_nonempty = np.asarray(
+            pc.not_equal(cased_vocab, "").to_numpy(zero_copy_only=False))
         if self.stop_words:
-            keep_arrow = pc.and_(nonempty, pc.invert(pc.is_in(flat, value_set=self._stop_arr)))
+            v_stop = pc.is_in(vocab_lower, value_set=self._stop_arr) \
+                .to_numpy(zero_copy_only=False)
+            v_keep = v_nonempty & ~v_stop
         else:
-            keep_arrow = nonempty
-        keep = keep_arrow.to_numpy(zero_copy_only=False)
+            v_keep = v_nonempty
+        ne = v_nonempty[raw_codes]
+        keep = v_keep[raw_codes]
 
         # token positions: index within the doc counting ONLY non-empty
         # raw tokens (empties are split artifacts, not positions), with
         # stopwords consuming a position (the gap semantics).
-        ne = nonempty.to_numpy(zero_copy_only=False)
         pos_all = np.cumsum(ne).astype(np.int64)  # 1-based among non-empty
-        # rebase per doc: subtract the cumsum at the doc start
         doc_base = np.zeros(len(ne) + 1, dtype=np.int64)
         doc_base[1:] = pos_all
         start_base = doc_base[raw_offsets[:-1]]
@@ -114,24 +126,19 @@ class Analyzer:
                               np.diff(raw_offsets))
         positions_all = (pos_all - 1 - start_base[token_doc]).astype(np.int32)
 
-        kept = flat.filter(keep_arrow)
         positions = positions_all[keep]
         kept_doc = token_doc[keep]
         doc_lens = np.bincount(kept_doc, minlength=n_docs).astype(np.int32)
         offsets = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(doc_lens, out=offsets[1:])
 
-        # Arrow hash-based dictionary encode: no object-array sort
-        dict_arr = pc.dictionary_encode(kept)
-        if isinstance(dict_arr, pa.ChunkedArray):
-            dict_arr = dict_arr.combine_chunks()
-        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
-
+        # analyzed vocabulary: lowercase (+stem), then unique-remap so
+        # codes point into a sorted vocab of analyzed terms
+        vocab = np.asarray(vocab_lower.to_pandas(), dtype=object)
         if self.stemming and vocab.size:
             vocab = self._stem_unique(vocab)
+        codes = raw_codes[keep]
         if vocab.size:
-            # normalize: sorted unique vocab (stemming may alias terms)
             uniq, inv = np.unique(vocab, return_inverse=True)
             vocab = uniq
             codes = inv[codes]

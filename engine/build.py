@@ -525,11 +525,12 @@ def build_index(input_path: str | list[str], index_dir: str,
         if cfg.concurrency is not None:
             conc = cfg.concurrency
         else:
-            # Pool sizing: enough batches per actor to amortize actor
-            # startup → fixed full-width pool; small jobs → autoscaling
-            # pool that starts at 2. Always ≤ cpus-1 so read/write
-            # tasks can't be starved by the pool.
-            full = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+            # Pool sizing: leave ~1/4 of CPUs for read/write tasks (a
+            # pool ≈ cluster width thrashes: measured 5x slowdown at 31
+            # actors on 32 CPUs vs 16 actors), and use a fixed pool only
+            # when there are enough batches to amortize actor startup.
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            full = max(2, min(cpus - 2, (cpus * 3) // 4, 16))
             n_batches = max(1, int(man["stats"]["N"]) // cfg.batch_size)
             conc = full if n_batches >= full * 16 else (2, full)
         frags = ds.map_batches(

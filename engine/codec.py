@@ -26,15 +26,18 @@ BLOCK_SIZE = 128
 
 # ---------------------------------------------------------------- VByte
 
-def vbyte_encode(values: np.ndarray) -> bytes:
+def vbyte_encode_with_ends(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """VByte-encode a non-negative int array (vectorized).
 
     Low 7 bits first; high bit set on every byte except the last of
-    each value (same layout as the reference's writeVInt).
+    each value (same layout as the reference's writeVInt). Also
+    returns the cumulative byte offset AFTER each value — callers use
+    it to cut block boundaries out of one encoded stream instead of
+    encoding block-by-block.
     """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bit_length / 7), min 1
     _, exp = np.frexp(v.astype(np.float64))
     nbits = np.maximum(exp.astype(np.int64), 1)
@@ -49,7 +52,11 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         chunk = ((v[mask] >> np.uint64(7 * p)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] - 1 > p).astype(np.uint8) << 7
         out[starts[mask] + p] = chunk | cont
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    return vbyte_encode_with_ends(values)[0]
 
 
 def vbyte_decode(buf: bytes | memoryview | np.ndarray, count: int,
@@ -147,7 +154,8 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
         pos_deltas = positions
 
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    blk_bounds = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n)
+    blk_bounds = np.minimum.reduce(
+        [np.arange(1, nblocks + 1) * BLOCK_SIZE, np.full(nblocks, n)])
     blk_starts = np.arange(nblocks) * BLOCK_SIZE
 
     # doc deltas are relative to the previous posting; a block's first
@@ -155,27 +163,24 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
     # directory stores — blocks decode independently.
     doc_deltas = delta_encode(doc_ids)
 
-    # encode per stream, tracking block byte offsets
-    doc_off = np.zeros(nblocks, dtype=np.int64)
-    tf_off = np.zeros(nblocks, dtype=np.int64)
-    pos_off = np.zeros(nblocks, dtype=np.int64)
-    doc_parts: list[bytes] = []
-    tf_parts: list[bytes] = []
-    pos_parts: list[bytes] = []
-    dpos = tpos = ppos = 0
+    # ONE vectorized encode per stream; block byte offsets cut from the
+    # per-value cumulative ends (identical bytes to per-block encoding
+    # since VByte is per-value)
+    docs_blob, doc_ends = vbyte_encode_with_ends(doc_deltas)
+    tfs_blob, tf_ends = vbyte_encode_with_ends(tfs)
+    poss_blob, pos_ends = vbyte_encode_with_ends(pos_deltas)
     pos_cuts = np.concatenate(([0], np.cumsum(tfs)))
-    for b in range(nblocks):
-        s, e = int(blk_starts[b]), int(blk_bounds[b])
-        doc_off[b], tf_off[b], pos_off[b] = dpos, tpos, ppos
-        db = vbyte_encode(doc_deltas[s:e])
-        tb = vbyte_encode(tfs[s:e])
-        pb = vbyte_encode(pos_deltas[int(pos_cuts[s]):int(pos_cuts[e])])
-        doc_parts.append(db)
-        tf_parts.append(tb)
-        pos_parts.append(pb)
-        dpos += len(db)
-        tpos += len(tb)
-        ppos += len(pb)
+
+    def _offsets(ends: np.ndarray, value_starts: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(value_starts), dtype=np.int64)
+        nz = value_starts > 0
+        if ends.size:
+            out[nz] = ends[value_starts[nz] - 1]
+        return out
+
+    doc_off = _offsets(doc_ends, blk_starts)
+    tf_off = _offsets(tf_ends, blk_starts)
+    pos_off = _offsets(pos_ends, pos_cuts[blk_starts])
 
     # block-max metadata
     max_tf = np.maximum.reduceat(tfs, blk_starts).astype(np.int32)
@@ -185,10 +190,10 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
     return EncodedPostings(
         df=int(n),
         cf=int(tfs.sum()),
-        docs=b"".join(doc_parts),
-        tfs=b"".join(tf_parts),
+        docs=docs_blob,
+        tfs=tfs_blob,
         norms=norms.tobytes(),
-        poss=b"".join(pos_parts),
+        poss=poss_blob,
         blk_last_doc=last_doc.astype(np.int64),
         blk_doc_off=doc_off.astype(np.int32),
         blk_tf_off=tf_off.astype(np.int32),
