@@ -63,7 +63,7 @@ import ray.data
 
 from engine import manifest as mf
 from engine.analysis import ENGLISH_STOP_WORDS, Analyzer
-from engine.codec import encode_postings
+from engine.codec import encode_postings, vbyte_decode, vbyte_encode_with_ends
 from engine.smallfloat import encode_lengths
 
 DOCMAP_NAME = "docmap.parquet"
@@ -82,8 +82,8 @@ class IndexConfig:
     n_buckets: int = 8                 # term-hash shards (merge checkpoint unit)
     hot_df_threshold: int = 50_000     # global df above this => salt the term
     n_salts: int = 8
-    batch_size: int = 1024
-    concurrency: int | tuple[int, int] | None = None  # None → num_cpus actors
+    batch_size: int = 4096
+    concurrency: int | tuple[int, int] | None = None  # None → auto pool
     store_positions: bool = True
 
     def to_json(self) -> dict[str, Any]:
@@ -264,27 +264,36 @@ class FragmentBuilder:
 
         doc_vals = doc_ids[p_d]
         norm_vals = norm_bytes[p_d]
-        post_offsets = np.append(term_pstart, p_t.size).astype(np.int32)
-        tok_offsets = np.append(pstart[term_pstart], t_s.size).astype(np.int32)
-
-        docs_col = pa.ListArray.from_arrays(
-            pa.array(post_offsets, type=pa.int32()), pa.array(doc_vals, type=pa.int64()))
-        tfs_col = pa.ListArray.from_arrays(
-            pa.array(post_offsets, type=pa.int32()), pa.array(tfs, type=pa.int32()))
-        norms_col = pa.ListArray.from_arrays(
-            pa.array(post_offsets, type=pa.int32()), pa.array(norm_vals, type=pa.uint8()))
-        if cfg.store_positions:
-            poss_col = pa.ListArray.from_arrays(
-                pa.array(tok_offsets, type=pa.int32()),
-                pa.array(p_s.astype(np.int32), type=pa.int32()))
-        else:
-            empty_off = np.zeros(len(terms_present) + 1, dtype=np.int32)
-            poss_col = pa.ListArray.from_arrays(
-                pa.array(empty_off, type=pa.int32()),
-                pa.array(np.empty(0, np.int32), type=pa.int32()))
-
         n_terms = len(terms_present)
-        dfs = np.diff(post_offsets).astype(np.int32)
+        post_bounds = np.append(term_pstart, p_t.size).astype(np.int64)
+        tok_bounds = np.append(pstart[term_pstart], t_s.size).astype(np.int64)
+        dfs = np.diff(post_bounds).astype(np.int32)
+
+        # Fragments carry per-term VByte blobs (the DWPT flush writes a
+        # compressed mini-segment): ~4x smaller shuffle than Arrow list
+        # columns and no list re-assembly on read. One vectorized
+        # encode per stream; per-term cells cut from the byte ends.
+        doc_deltas = np.empty_like(doc_vals)
+        doc_deltas[0] = doc_vals[0]
+        np.subtract(doc_vals[1:], doc_vals[:-1], out=doc_deltas[1:])
+        doc_deltas[term_pstart] = doc_vals[term_pstart]  # fragment-absolute
+        docs_blob, doc_ends = vbyte_encode_with_ends(doc_deltas)
+        tfs_blob, tf_ends = vbyte_encode_with_ends(tfs.astype(np.int64))
+        if cfg.store_positions and p_s.size:
+            pos_vals = p_s.astype(np.int64)
+            pos_deltas = np.empty_like(pos_vals)
+            pos_deltas[0] = pos_vals[0]
+            np.subtract(pos_vals[1:], pos_vals[:-1], out=pos_deltas[1:])
+            pos_deltas[pstart] = pos_vals[pstart]  # per-posting reset
+            poss_blob, pos_ends = vbyte_encode_with_ends(pos_deltas)
+        else:
+            poss_blob, pos_ends = b"", np.empty(0, dtype=np.int64)
+            tok_bounds = np.zeros(n_terms + 1, dtype=np.int64)
+
+        docs_col = _bin_col(docs_blob, doc_ends, post_bounds)
+        tfs_col = _bin_col(tfs_blob, tf_ends, post_bounds)
+        norms_col = _bin_col(norm_vals.tobytes(), None, post_bounds)
+        poss_col = _bin_col(poss_blob, pos_ends, tok_bounds)
 
         # LOCAL hot-term salting (no global pass needed): a term whose
         # batch-local df exceeds the threshold scaled to the batch's
@@ -317,6 +326,23 @@ class FragmentBuilder:
         })
 
 
+def _bin_col(blob: bytes, ends: np.ndarray | None,
+             bounds: np.ndarray) -> pa.Array:
+    """Binary array whose cell i spans values [bounds[i], bounds[i+1])
+    of one encoded stream; ``ends`` = per-value cumulative byte ends
+    (None → fixed 1 byte per value)."""
+    if ends is None:
+        offs = bounds.astype(np.int32)
+    else:
+        offs = np.zeros(len(bounds), dtype=np.int32)
+        nz = bounds > 0
+        if len(ends):
+            offs[nz] = ends[bounds[nz] - 1].astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(bounds) - 1,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
+
+
 def _empty_fragment_table() -> pa.Table:
     i32 = pa.int32()
     return pa.table({
@@ -327,10 +353,10 @@ def _empty_fragment_table() -> pa.Table:
         "part_id": pa.array([], type=i32),
         "min_doc": pa.array([], type=pa.int64()),
         "df": pa.array([], type=i32),
-        "docs": pa.array([], type=pa.list_(pa.int64())),
-        "tfs": pa.array([], type=pa.list_(i32)),
-        "norms": pa.array([], type=pa.list_(pa.uint8())),
-        "poss": pa.array([], type=pa.list_(i32)),
+        "docs": pa.array([], type=pa.binary()),
+        "tfs": pa.array([], type=pa.binary()),
+        "norms": pa.array([], type=pa.binary()),
+        "poss": pa.array([], type=pa.binary()),
     })
 
 
@@ -347,17 +373,34 @@ def _merge_group(group: pa.Table) -> pa.Table:
     sub = int(group["salt"][0].as_py()) if "salt" in group.column_names else 0
     min_docs = group["min_doc"].to_numpy()
     order = np.argsort(min_docs, kind="stable")
+    dfs = group["df"].to_numpy().astype(np.int64)
+    cells = {c: group[c].to_pylist()
+             for c in ("docs", "tfs", "norms", "poss")}
 
-    def flat(col: str, dtype) -> list[np.ndarray]:
-        arr = group[col].combine_chunks()
-        values = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
-        offs = arr.offsets.to_numpy().astype(np.int64)
-        return [values[offs[i]:offs[i + 1]] for i in order]
+    docs_l: list[np.ndarray] = []
+    tfs_l: list[np.ndarray] = []
+    norms_l: list[np.ndarray] = []
+    poss_l: list[np.ndarray] = []
+    for i in order:
+        df = int(dfs[i])
+        deltas, _ = vbyte_decode(cells["docs"][i], df)
+        docs_l.append(np.cumsum(deltas))
+        tf_i, _ = vbyte_decode(cells["tfs"][i], df)
+        tfs_l.append(tf_i)
+        norms_l.append(np.frombuffer(cells["norms"][i], dtype=np.uint8))
+        pblob = cells["poss"][i]
+        if len(pblob):
+            total = int(tf_i.sum())
+            pdel, _ = vbyte_decode(pblob, total)
+            flat_p = np.cumsum(pdel)
+            starts = np.concatenate(([0], np.cumsum(tf_i)[:-1]))
+            bases = flat_p[starts] - pdel[starts]
+            poss_l.append(flat_p - np.repeat(bases, tf_i))
 
-    docs = np.concatenate(flat("docs", np.int64))
-    tfs = np.concatenate(flat("tfs", np.int64))
-    norms = np.concatenate(flat("norms", np.uint8))
-    poss = np.concatenate(flat("poss", np.int64))
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    norms = np.concatenate(norms_l)
+    poss = np.concatenate(poss_l) if poss_l else np.empty(0, dtype=np.int64)
     if docs.size > 1 and not (docs[1:] > docs[:-1]).all():
         # interleaved fragments: re-sort postings (and positions) by doc
         porder = np.argsort(docs, kind="stable")
