@@ -130,6 +130,53 @@ def test_preload_merges_sublists_and_all_strategies_agree(smoke_index):
                 assert t["score"].to_pylist() == ref["score"].to_pylist()
 
 
+def test_phrase_query_matches_recount(reader, smoke_corpus):
+    """Phrase matcher vs a direct per-doc recount over the corpus."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    corpus, _ = smoke_corpus
+    tabs = [pq.read_table(f, columns=["conv_id", "turn_idx", "text"])
+            for f in sorted(glob.glob(corpus + "/*.parquet"))]
+    full = pa.concat_tables(tabs).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    texts = full["text"].to_pylist()
+
+    phrase = "running connection"
+    terms = reader.analyzer.query_terms(phrase)
+    assert len(terms) == 2
+    want_freq = {}
+    for doc_id, t in enumerate(texts):
+        toks = [x for x, _ in reader.analyzer.analyze_text(t)]
+        # positions skip stopwords, so recount over emitted tokens with
+        # their positions
+        pos = {p: x for x, p in reader.analyzer.analyze_text(t)}
+        n = sum(1 for p, x in pos.items()
+                if x == terms[0] and pos.get(p + 1) == terms[1])
+        if n:
+            want_freq[doc_id] = n
+    got = reader.phrase_topk(phrase, k=10_000)
+    got_docs = got["doc_id"].to_pylist()
+    assert sorted(got_docs) == sorted(want_freq)
+
+
+def test_boolean_must_subset_of_should(reader):
+    must = reader.boolean_topk(must=["running", "index"], k=1000)
+    one = reader.brute_force_topk("running", 10_000)
+    two = reader.brute_force_topk("index", 10_000)
+    inter = set(one["doc_id"].to_pylist()) & set(two["doc_id"].to_pylist())
+    assert set(must["doc_id"].to_pylist()) <= inter
+    assert must["total_hits"][0].as_py() == len(inter) if must.num_rows else True
+
+
+def test_wildcard_expansion(reader):
+    terms = reader.expand_prefix("con")
+    assert any(t.startswith("con") for t in terms)
+    top = reader.wildcard_topk("con", k=5)
+    assert top.num_rows > 0
+
+
 def test_total_hits_brute(reader):
     top = reader.brute_force_topk("zephyr", 3)
     assert top.num_rows == 3
