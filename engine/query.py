@@ -421,11 +421,13 @@ class IndexReader:
     def boolean_topk(self, must: list[str] | None = None,
                      should: list[str] | None = None,
                      must_not: list[str] | None = None,
-                     k: int = 10) -> pa.Table:
+                     k: int = 10, min_should_match: int = 0) -> pa.Table:
         """BooleanQuery MUST / SHOULD / MUST_NOT (upstream
         ``L/search/BooleanQuery.java`` [U]): MUST terms intersect
         (leapfrog ≡ vectorized np.intersect1d cascade), MUST_NOT docs
-        are masked out, scores sum MUST+SHOULD clause contributions.
+        are masked out, scores sum MUST+SHOULD clause contributions;
+        ``min_should_match`` keeps docs matching ≥ m SHOULD terms
+        (upstream ``BooleanQuery.Builder#setMinimumNumberShouldMatch``).
         Terms are analyzed-form and deduplicated."""
         must = sorted(set(must or []))
         should = sorted(set(should or []))
@@ -454,6 +456,7 @@ class IndexReader:
             return _topdocs_table([], [])
 
         sums = np.zeros(len(cand), dtype=np.float64)
+        nmatch = np.zeros(len(cand), dtype=np.int32)
         for t, (docs, tfs, norms) in clause.items():
             w = idf(self.N, len(docs))
             idx = np.searchsorted(docs, cand)
@@ -462,9 +465,83 @@ class IndexReader:
             sc = _clause_scores(tfs[idx_c[hit]], norms[idx_c[hit]], w,
                                 self.cache).astype(np.float64)
             sums[hit] += sc
+            if t in should:
+                nmatch[hit] += 1
+        if min_should_match > 1:
+            keep = nmatch >= min_should_match
+            cand, sums = cand[keep], sums[keep]
         final = sums.astype(np.float32)
         order = np.lexsort((cand, -final))[:k]
         return _topdocs_table(cand[order], final[order], total=len(cand))
+
+    def dismax_topk(self, terms: list[str], k: int = 10,
+                    tiebreak: float = 0.0) -> pa.Table:
+        """DisjunctionMaxQuery (upstream
+        ``L/search/DisjunctionMaxQuery.java`` [U]): per-doc score =
+        max clause score + tiebreak × (sum − max), float32."""
+        terms = sorted(set(terms))
+        subs = self.lookup(terms)
+        clause = {t: self._clause_arrays(t, subs[t])
+                  for t in terms if subs[t]}
+        if not clause:
+            return _topdocs_table([], [])
+        cand = np.unique(np.concatenate([c[0] for c in clause.values()]))
+        mx = np.zeros(len(cand), dtype=np.float32)
+        sm = np.zeros(len(cand), dtype=np.float64)
+        for t, (docs, tfs, norms) in clause.items():
+            w = idf(self.N, len(docs))
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            sc = _clause_scores(tfs[idx[hit]], norms[idx[hit]], w, self.cache)
+            np.maximum.at(mx, np.flatnonzero(hit), sc)
+            sm[hit] += sc.astype(np.float64)
+        final = mx if tiebreak == 0.0 else \
+            (mx.astype(np.float64)
+             + tiebreak * (sm - mx.astype(np.float64))).astype(np.float32)
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order], total=len(cand))
+
+    def search_after(self, query_text: str, k: int, after_rank: int,
+                     strategy: str = "auto") -> pa.Table:
+        """searchAfter pagination (upstream ``TopFieldCollector``
+        searchAfter [U]): ranks [after_rank, after_rank+k)."""
+        top = self.topk(query_text, after_rank + k, strategy=strategy)
+        return top.slice(after_rank, k)
+
+    def vocabulary(self) -> list[str]:
+        """All terms in the index (term-dictionary scan)."""
+        if self._preloaded:
+            return sorted(self._term_cache)
+        found: set[str] = set()
+        for b in range(self.cfg.n_buckets):
+            shard = os.path.join(self.index_dir, "index", f"bucket={b}")
+            if os.path.isdir(shard):
+                found.update(
+                    pq.read_table(shard, columns=["term"])["term"].to_pylist())
+        return sorted(found)
+
+    def fuzzy_topk(self, term: str, k: int = 10,
+                   max_edits: int = 1) -> pa.Table:
+        """FuzzyQuery with scoring rewrite (upstream
+        ``L/search/FuzzyQuery.java`` [U]; automaton intersection ≡
+        a vocab scan here — the dictionary is small relative to the
+        corpus): terms within Levenshtein distance ≤ max_edits."""
+        matches = [t for t in self.vocabulary()
+                   if _levenshtein(term, t, max_edits) <= max_edits]
+        if not matches:
+            return _topdocs_table([], [])
+        return self.boolean_topk(should=matches, k=k)
+
+    def regexp_topk(self, pattern: str, k: int = 10) -> pa.Table:
+        """RegexpQuery with scoring rewrite (upstream
+        ``L/search/RegexpQuery.java`` [U]): full-match term expansion."""
+        import re
+
+        rx = re.compile(pattern)
+        matches = [t for t in self.vocabulary() if rx.fullmatch(t)]
+        if not matches:
+            return _topdocs_table([], [])
+        return self.boolean_topk(should=matches, k=k)
 
     def phrase_topk(self, phrase: str, k: int = 10) -> pa.Table:
         """Exact PhraseQuery (upstream ``L/search/PhraseQuery.java``,
@@ -584,6 +661,22 @@ class IndexReader:
             self.cfg.conv_cols[1]: pa.array(
                 (ids - bases[ci]).astype(np.int32), type=pa.int32()),
         })
+
+
+def _levenshtein(a: str, b: str, cap: int = 2) -> int:
+    """Plain Levenshtein distance with an early-exit cap."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        if min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
 
 
 def _topdocs_table(doc_ids, scores, total: int | None = None) -> pa.Table:

@@ -293,6 +293,80 @@ def wildcard_topk(sf_dir: str) -> pa.Table:
 SQL_WILDCARD = _sql_disjunction(
     f"SELECT DISTINCT term FROM tf WHERE term LIKE '{WILD_PREFIX}%'", 10)
 
+DISMAX_TERMS = ["spark", "merge", "window"]
+MSM_TERMS = ["spark", "merge", "window"]
+MSM_MIN = 2
+FUZZY_TERM = "quey"
+REGEX_PATTERN = "s.*t"
+
+
+def dismax_topk(sf_dir: str) -> pa.Table:
+    """DisjunctionMaxQuery: per-doc max clause score."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.dismax_topk(DISMAX_TERMS, k=10))
+
+
+SQL_DISMAX = f"""{_bm25_ctes()},
+qterms AS (SELECT unnest({DISMAX_TERMS!r}) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id, {_SQL_CONTRIB} AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (SELECT doc_id, MAX(sc) AS score FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def min_should_match_topk(sf_dir: str) -> pa.Table:
+    """SHOULD disjunction requiring ≥2 distinct matching terms."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.boolean_topk(should=MSM_TERMS, k=10,
+                                       min_should_match=MSM_MIN))
+
+
+SQL_MIN_SHOULD = _sql_disjunction(
+    f"SELECT unnest({MSM_TERMS!r}) AS term", 10,
+    having=f"HAVING COUNT(DISTINCT term) >= {MSM_MIN}")
+
+
+def search_after_page2(sf_dir: str) -> pa.Table:
+    """searchAfter pagination: ranks 10..19 of the BM25 query."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    t = r.search_after(BM25_QUERY, k=10, after_rank=10)
+    return _topdocs_out(t)
+
+
+def sql_search_after() -> str:
+    base = sql_bm25_topk()
+    return base.replace(f"LIMIT {BM25_K}", "LIMIT 10 OFFSET 10")
+
+
+def fuzzy_topk(sf_dir: str) -> pa.Table:
+    """FuzzyQuery (edit distance ≤1) with scoring rewrite."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.fuzzy_topk(FUZZY_TERM, k=10, max_edits=1))
+
+
+SQL_FUZZY = _sql_disjunction(
+    f"SELECT DISTINCT term FROM tf WHERE levenshtein(term, '{FUZZY_TERM}') <= 1",
+    10)
+
+
+def regexp_topk(sf_dir: str) -> pa.Table:
+    """RegexpQuery (full-match) with scoring rewrite."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.regexp_topk(REGEX_PATTERN, k=10))
+
+
+SQL_REGEXP = _sql_disjunction(
+    "SELECT DISTINCT term FROM tf "
+    f"WHERE regexp_full_match(term, '{REGEX_PATTERN}')", 10)
+
 
 # ------------------------------------------------- relational entries
 
@@ -481,6 +555,28 @@ SELECT event_type, COUNT(*)::BIGINT AS n, MIN(value) AS min_value,
        MAX(value) AS max_value, ROUND(AVG(value), 6) AS avg_value,
        ROUND(STDDEV_SAMP(value), 6) AS std_value
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def facet_range_orders(sf_dir: str) -> pa.Table:
+    """Range faceting: fixed-width price buckets (upstream range
+    facets, ``S/request/SimpleFacets`` [U])."""
+    ds = _read(sf_dir, "orders")
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bk = pc.cast(pc.floor(pc.divide(b["o_totalprice"], 50_000.0)),
+                     pa.int64())
+        return b.append_column("price_bucket", bk)
+    t = _rename(_to_table(
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("price_bucket").count()), {"count()": "n"})
+    return t.sort_by("price_bucket")
+
+
+SQL_FACET_RANGE = """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS price_bucket,
+       COUNT(*)::BIGINT AS n
+FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
@@ -795,6 +891,12 @@ def queries() -> dict:
         "boolean_not_topk": boolean_not_topk,
         "phrase_topk": phrase_topk,
         "wildcard_topk": wildcard_topk,
+        "dismax_topk": dismax_topk,
+        "min_should_match_topk": min_should_match_topk,
+        "search_after_page2": search_after_page2,
+        "fuzzy_topk": fuzzy_topk,
+        "regexp_topk": regexp_topk,
+        "facet_range_orders": facet_range_orders,
         "rollup_events": rollup_events,
         "facet_docs": facet_docs,
         "topk_orders": topk_orders,
@@ -836,6 +938,12 @@ def oracle_sql() -> dict:
         "boolean_not_topk": SQL_BOOLEAN_NOT,
         "phrase_topk": sql_phrase_topk(),
         "wildcard_topk": SQL_WILDCARD,
+        "dismax_topk": SQL_DISMAX,
+        "min_should_match_topk": SQL_MIN_SHOULD,
+        "search_after_page2": sql_search_after(),
+        "fuzzy_topk": SQL_FUZZY,
+        "regexp_topk": SQL_REGEXP,
+        "facet_range_orders": SQL_FACET_RANGE,
         "rollup_events": SQL_ROLLUP_EVENTS,
         "facet_docs": SQL_FACET_DOCS,
         "topk_orders": SQL_TOPK_ORDERS,
