@@ -109,3 +109,32 @@ def test_resume_skips_done_parts_and_is_identical(
     for term in dump:
         for a, b in zip(dump[term], ref[term]):
             assert np.array_equal(a, b), term
+
+
+def test_resume_per_bucket_merge_path(ray_session, tmp_path_factory):
+    """Crash between bucket merges: only the missing bucket reruns
+    (the per-bucket checkpoint path, not the global fast path)."""
+    corpus = str(tmp_path_factory.mktemp("bcorp"))
+    write_transcripts(corpus, n_convs=40, seed=13, n_files=2)
+    idx = str(tmp_path_factory.mktemp("bidx"))
+    cfg = IndexConfig(n_buckets=3, hot_df_threshold=100, n_salts=2,
+                      batch_size=128)
+    build_index(corpus, idx, cfg)
+    ref = dump_postings(idx)
+
+    mpath = os.path.join(idx, "manifest.json")
+    with open(mpath) as f:
+        man = json.load(f)
+    man["status"] = "building"
+    del man["buckets"]["1"]  # bucket 1 "crashed"
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+
+    man2 = build_index(corpus, idx, cfg, resume=True)
+    assert man2["status"] == "complete"
+    check_index(idx)
+    dump = dump_postings(idx)
+    assert set(dump) == set(ref)
+    for term in dump:
+        for a, b in zip(dump[term], ref[term]):
+            assert np.array_equal(a, b), term
