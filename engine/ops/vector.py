@@ -83,6 +83,43 @@ def knn_brute(ds: ray.data.Dataset, emb_col: str, id_col: str,
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
+def cosine_pairs(ds: ray.data.Dataset, emb_col: str, id_col: str,
+                 threshold: float = 0.5) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
+    threshold, id_a < id_b. The comparison side is broadcast once via
+    ``ray.put`` and every batch does one matmul against it — exact
+    O(n²/batch) at small n; the LSH-bucketed variant (:func:`knn_lsh`
+    signatures → per-bucket pairs) is the 100 TB path."""
+    full = _to_arrow(ds)
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    m_all = _normalize(_emb_matrix(full[emb_col]))
+    ref = ray.put((ids_all, m_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, mat = ray.get(ref)
+        ids_b = batch[id_col].to_numpy().astype(np.int64)
+        mb = _normalize(_emb_matrix(batch[emb_col]))
+        sims = mb @ mat.T
+        bi, ai = np.nonzero(sims >= threshold)
+        a, b = ids_a[ai], ids_b[bi]
+        keep = a < b
+        return pa.table({
+            "id_a": pa.array(a[keep], type=pa.int64()),
+            "id_b": pa.array(b[keep], type=pa.int64()),
+        })
+
+    out = _to_arrow(ds.map_batches(pairs, batch_format="pyarrow"))
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def _to_arrow(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):
+        return ds
+    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    keep = [t for t in tabs if t.num_rows]
+    return pa.concat_tables(keep).combine_chunks() if keep else tabs[0]
+
+
 def lsh_signatures(m: np.ndarray, n_planes: int = 12, seed: int = 5
                    ) -> np.ndarray:
     rng = np.random.default_rng(seed)

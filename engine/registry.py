@@ -869,6 +869,57 @@ WHERE rank < {_KNN_K} ORDER BY query_id, rank
 """
 
 
+def embedding_near_dup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs (exact, threshold 0.5)."""
+    ds = _read(sf_dir, "embeddings")
+    return vec.cosine_pairs(ds, "embedding", "vec_id", threshold=0.5)
+
+
+SQL_EMB_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+_TRANSCRIPT_CACHE: dict[float, str] = {}
+
+
+def transcript_bm25(sf_dir: str) -> pa.Table:
+    """The north-rule flagship as a registry entry: deterministic
+    transcript corpus (input_hint schema) → conv-mode analyzed index →
+    reference query set through the QueryEngine actor pool. Rows-only
+    (the corpus is not a DuckDB view); rank/score identity is enforced
+    by the dual-execution tests instead."""
+    import ray.data
+
+    from engine.query import QueryEngine
+    from engine.synth import make_queries, write_transcripts
+
+    base = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf = float(base)
+    except ValueError:
+        sf = 0.01
+    key = hashlib.md5(f"transcripts|{sf}|v2".encode()).hexdigest()[:12]
+    root = os.path.join("/tmp/rayindex_cache", key)
+    corpus = os.path.join(root, "corpus")
+    idx = os.path.join(root, "index")
+    if not os.path.exists(os.path.join(corpus, "transcripts-00000.parquet")):
+        write_transcripts(corpus, n_convs=max(200, int(200_000 * sf)),
+                          seed=42, n_files=4)
+    build_index(corpus, idx, IndexConfig(
+        n_buckets=4, hot_df_threshold=max(500, int(2_000_000 * sf) // 50),
+        n_salts=4))
+    qs = make_queries()
+    res = ray.data.from_items(qs).map_batches(
+        QueryEngine, fn_constructor_args=(idx,),
+        batch_format="pyarrow", concurrency=2)
+    t = _to_table(res)
+    return t.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def knn_lsh_docs(sf_dir: str) -> pa.Table:
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_KNN_QIDS))
@@ -925,6 +976,8 @@ def queries() -> dict:
         "simhash_pairs_docs": simhash_pairs_docs,
         "knn_cosine": knn_cosine,
         "knn_lsh_docs": knn_lsh_docs,
+        "embedding_near_dup": embedding_near_dup,
+        "transcript_bm25": transcript_bm25,
     }
 
 
@@ -968,5 +1021,8 @@ def oracle_sql() -> dict:
         "fingerprint_docs": SQL_FINGERPRINT,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "knn_cosine": SQL_KNN_COSINE,
-        # minhash/simhash/knn_lsh: probabilistic-recall ops, rows-only
+        "embedding_near_dup": SQL_EMB_NEAR_DUP,
+        # minhash/simhash/knn_lsh: probabilistic-recall ops, rows-only;
+        # transcript_bm25: corpus not a DuckDB view, rows-only (rank
+        # identity is covered by the dual-execution test suite)
     }
