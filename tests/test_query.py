@@ -177,6 +177,28 @@ def test_wildcard_expansion(reader):
     assert top.num_rows > 0
 
 
+def test_golden_topk_fixture(reader):
+    """End-to-end golden (FIXTURES.md F3): the committed
+    (query, rank, doc_id, score_f32) table must be reproduced exactly —
+    guards analyzer/codec/scoring changes across sessions."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden_topk.json")
+    with open(path) as f:
+        golden = json.load(f)
+    got = []
+    for q in make_queries():
+        top = reader.bmw_topk(q["query_text"], q["k"])
+        for row in top.to_pylist():
+            got.append({"query_id": q["query_id"], "rank": row["rank"],
+                        "doc_id": row["doc_id"],
+                        "score": float(row["score"])})
+    assert len(got) == len(golden)
+    for g, w in zip(got, golden):
+        assert g == w, (g, w)
+
+
 def test_total_hits_brute(reader):
     top = reader.brute_force_topk("zephyr", 3)
     assert top.num_rows == 3
