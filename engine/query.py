@@ -51,11 +51,15 @@ def idf(N: int, df: int) -> np.float32:
     return np.float32(np.log(1.0 + (N - df + 0.5) / (df + 0.5)))
 
 
-def norm_cache(avgdl: float) -> np.ndarray:
-    """float64[256]: k1*(1-b+b*decoded_len/avgdl) per norm byte."""
+def norm_cache(avgdl: float, k1: float = K1, b: float = B) -> np.ndarray:
+    """float64[256]: k1*(1-b+b*decoded_len/avgdl) per norm byte.
+
+    k1/b are query-time knobs (the reference's per-field Similarity
+    config, upstream ``BM25Similarity(k1, b)`` [U]); the index stores
+    only raw norms so reweighting needs no rebuild."""
     if avgdl <= 0:
         avgdl = 1.0
-    return K1 * (1.0 - B + B * (LENGTH_TABLE.astype(np.float64) / avgdl))
+    return k1 * (1.0 - b + b * (LENGTH_TABLE.astype(np.float64) / avgdl))
 
 
 def _clause_scores(tfs: np.ndarray, norms: np.ndarray, weight: np.float32,
@@ -181,7 +185,8 @@ class IndexReader:
              "blk_last_doc", "blk_doc_off", "blk_tf_off", "blk_max_tf",
              "blk_min_norm"]
 
-    def __init__(self, index_dir: str, preload: bool = False):
+    def __init__(self, index_dir: str, preload: bool = False,
+                 k1: float = K1, b: float = B):
         self.index_dir = index_dir
         man = mf.load(index_dir)
         if man is None or man.get("status") != "complete":
@@ -190,7 +195,8 @@ class IndexReader:
         self.cfg = IndexConfig.from_json(man["config"])
         self.N = int(man["stats"]["N"])
         self.avgdl = float(man["stats"]["avgdl"])
-        self.cache = norm_cache(self.avgdl)
+        self.k1, self.b = k1, b
+        self.cache = norm_cache(self.avgdl, k1, b)
         self.analyzer = Analyzer(self.cfg.stop_words, self.cfg.stemming)
         self._term_cache: dict[str, list[_SubList]] = {}
         self._docmap: pa.Table | None = None

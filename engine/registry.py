@@ -139,6 +139,17 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     return _cast_col(t, "rank", pa.int64())
 
 
+def bm25_topk_analyzed(sf_dir: str) -> pa.Table:
+    """BM25 over the FULL analysis chain (stopwords + Porter stem) —
+    Porter isn't expressible in SQL, so rows-only; the analyzed path's
+    correctness is pinned by analyzer goldens + dual-execution tests."""
+    idx = cached_doc_index(sf_dir, analyzed=True)
+    r = IndexReader(idx)
+    top = r.topk("queries merging windows", 10)
+    return _cast_col(top.select(["rank", "doc_id", "score"]),
+                     "rank", pa.int64())
+
+
 def _smallfloat_lut_sql() -> str:
     rows = []
     for b in range(256):
@@ -938,6 +949,7 @@ def queries() -> dict:
         "term_stats_mapreduce": term_stats_mapreduce,
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
+        "bm25_topk_analyzed": bm25_topk_analyzed,
         "conjunction_topk": conjunction_topk,
         "boolean_not_topk": boolean_not_topk,
         "phrase_topk": phrase_topk,

@@ -177,6 +177,23 @@ def test_wildcard_expansion(reader):
     assert top.num_rows > 0
 
 
+def test_k1_b_query_time_knobs(smoke_index):
+    """Similarity params are query-time: same index, different k1/b →
+    valid but different rankings; b=0 ignores length normalization."""
+    from engine.query import IndexReader as IR
+    from engine.smallfloat import LENGTH_TABLE  # noqa: F401
+
+    idx, _, _ = smoke_index
+    default = IR(idx)
+    flat = IR(idx, k1=1.2, b=0.0)
+    d = default.brute_force_topk("running connection", 20)
+    f = flat.brute_force_topk("running connection", 20)
+    assert d.num_rows and f.num_rows
+    assert d["score"].to_pylist() != f["score"].to_pylist()
+    # b=0: norm cache constant across lengths
+    assert len(set(flat.cache.tolist())) == 1
+
+
 def test_golden_topk_fixture(reader):
     """End-to-end golden (FIXTURES.md F3): the committed
     (query, rank, doc_id, score_f32) table must be reproduced exactly —
