@@ -85,12 +85,18 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
     man = build_index(corpus, idx, cfg)
     build_s = time.perf_counter() - t0
 
+    from engine.build import optimize_index
+    t0 = time.perf_counter()
+    optimize_index(idx)
+    optimize_s = time.perf_counter() - t0
+
     stats = man["stats"]
     out = {
         "sf": sf,
         "num_cpus": cpus,
         "corpus_turns": n_rows,
         "build_sec": round(build_s, 3),
+        "optimize_sec": round(optimize_s, 3),
         "turns_per_sec": round(n_rows / build_s, 1),
         "tokens_per_sec": round(stats["sum_cf"] / build_s, 1),
         "postings_per_sec": round(stats["n_postings"] / build_s, 1),

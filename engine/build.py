@@ -412,12 +412,16 @@ def _merge_group(group: pa.Table) -> pa.Table:
         poss = poss[tok_idx] if poss.size else poss
 
     enc = encode_postings(docs, tfs, norms, poss)
+    return _index_row(term, sub, enc, int(docs[0]))
+
+
+def _index_row(term: str, sub: int, enc, min_doc: int) -> pa.Table:
     return pa.table({
         "term": pa.array([term], type=pa.string()),
         "sub": pa.array([sub], type=pa.int32()),
         "df": pa.array([enc.df], type=pa.int64()),
         "cf": pa.array([enc.cf], type=pa.int64()),
-        "min_doc": pa.array([int(docs[0])], type=pa.int64()),
+        "min_doc": pa.array([min_doc], type=pa.int64()),
         "docs": pa.array([enc.docs], type=pa.binary()),
         "tfs": pa.array([enc.tfs], type=pa.binary()),
         "norms": pa.array([enc.norms], type=pa.binary()),
@@ -625,6 +629,80 @@ def build_index(input_path: str | list[str], index_dir: str,
     man["status"] = "complete"
     mf.save(index_dir, man)
     return man
+
+
+def _merge_index_rows(rows: list[dict[str, Any]]) -> pa.Table:
+    """Combine one term's sub-list index rows into a single row."""
+    docs_l, tfs_l, norms_l, poss_l = [], [], [], []
+    for row in rows:
+        df = int(row["df"])
+        deltas, _ = vbyte_decode(row["docs"], df)
+        docs_l.append(np.cumsum(deltas))
+        tf_i, _ = vbyte_decode(row["tfs"], df)
+        tfs_l.append(tf_i)
+        norms_l.append(np.frombuffer(row["norms"], dtype=np.uint8))
+        if len(row["poss"]):
+            total = int(tf_i.sum())
+            pdel, _ = vbyte_decode(row["poss"], total)
+            flat = np.cumsum(pdel)
+            starts = np.concatenate(([0], np.cumsum(tf_i)[:-1]))
+            bases = flat[starts] - pdel[starts]
+            poss_l.append(flat - np.repeat(bases, tf_i))
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    norms = np.concatenate(norms_l)
+    poss = np.concatenate(poss_l) if poss_l else np.empty(0, np.int64)
+    order = np.argsort(docs, kind="stable")
+    if poss.size:
+        tok_offs = np.concatenate(([0], np.cumsum(tfs)))
+        tok_idx = np.concatenate(
+            [np.arange(tok_offs[i], tok_offs[i + 1]) for i in order])
+        poss = poss[tok_idx]
+    docs, tfs, norms = docs[order], tfs[order], norms[order]
+    enc = encode_postings(docs, tfs, norms, poss)
+    return _index_row(rows[0]["term"], 0, enc, int(docs[0]))
+
+
+def optimize_index(index_dir: str) -> dict[str, int]:
+    """forceMerge(1) analog (upstream ``IndexWriter#forceMerge`` [U]):
+    rewrite each bucket shard so every term has exactly ONE posting
+    list (salted sub-lists combined). Optional post-build pass; query
+    actors then skip per-actor re-merging at preload. Buckets rewrite
+    in parallel as Ray tasks; each bucket commits atomically
+    (tmp file + swap)."""
+    man = mf.load(index_dir)
+    assert man and man["status"] == "complete", "optimize needs a complete index"
+    cfg = IndexConfig.from_json(man["config"])
+
+    @ray.remote
+    def _opt_bucket(shard_dir: str) -> int:
+        import pyarrow.parquet as _pq
+        if not os.path.isdir(shard_dir):
+            return 0
+        files = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")]
+        if not files:
+            return 0
+        tab = _pq.read_table(shard_dir)
+        by_term: dict[str, list[dict]] = {}
+        for row in tab.to_pylist():
+            by_term.setdefault(row["term"], []).append(row)
+        parts = [
+            _merge_index_rows(rows) for _, rows in sorted(by_term.items())]
+        merged = pa.concat_tables(parts)
+        tmp = os.path.join(shard_dir, "_optimized.parquet.tmp")
+        _pq.write_table(merged, tmp)
+        for f in files:
+            os.remove(os.path.join(shard_dir, f))
+        os.replace(tmp, os.path.join(shard_dir, "optimized-0.parquet"))
+        return len(by_term)
+
+    futs = {b: _opt_bucket.remote(
+        os.path.join(index_dir, "index", f"bucket={b}"))
+        for b in range(cfg.n_buckets)}
+    counts = {b: ray.get(f) for b, f in futs.items()}
+    man["stats"]["optimized"] = True
+    mf.save(index_dir, man)
+    return counts
 
 
 def _main() -> None:

@@ -920,9 +920,12 @@ def transcript_bm25(sf_dir: str) -> pa.Table:
     if not os.path.exists(os.path.join(corpus, "transcripts-00000.parquet")):
         write_transcripts(corpus, n_convs=max(200, int(200_000 * sf)),
                           seed=42, n_files=4)
-    build_index(corpus, idx, IndexConfig(
+    man = build_index(corpus, idx, IndexConfig(
         n_buckets=4, hot_df_threshold=max(500, int(2_000_000 * sf) // 50),
         n_salts=4))
+    if not man["stats"].get("optimized"):
+        from engine.build import optimize_index
+        optimize_index(idx)
     qs = make_queries()
     res = ray.data.from_items(qs).map_batches(
         QueryEngine, fn_constructor_args=(idx,),

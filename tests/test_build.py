@@ -111,6 +111,37 @@ def test_resume_skips_done_parts_and_is_identical(
             assert np.array_equal(a, b), term
 
 
+def test_optimize_index(ray_session, smoke_corpus, tmp_path_factory):
+    """forceMerge(1): salted sub-lists combined into one row per term;
+    logical postings and query results unchanged."""
+    from engine.build import optimize_index
+    from engine.query import IndexReader
+
+    corpus, _ = smoke_corpus
+    idx = str(tmp_path_factory.mktemp("optidx"))
+    cfg = IndexConfig(n_buckets=4, hot_df_threshold=200, n_salts=3,
+                      batch_size=256)
+    build_index(corpus, idx, cfg)
+    ref_dump = dump_postings(idx)
+    r0 = IndexReader(idx)
+    ref_q = r0.brute_force_topk("running connection index", 50)
+
+    counts = optimize_index(idx)
+    assert sum(counts.values()) > 0
+    check_index(idx)
+    dump = dump_postings(idx)
+    assert set(dump) == set(ref_dump)
+    for term in dump:
+        for a, b in zip(dump[term], ref_dump[term]):
+            assert np.array_equal(a, b), term
+
+    r = IndexReader(idx, preload=True)
+    assert all(len(v) == 1 for v in r._term_cache.values())
+    got = r.bmw_topk("running connection index", 50)
+    assert got["doc_id"].to_pylist() == ref_q["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == ref_q["score"].to_pylist()
+
+
 def test_resume_per_bucket_merge_path(ray_session, tmp_path_factory):
     """Crash between bucket merges: only the missing bucket reruns
     (the per-bucket checkpoint path, not the global fast path)."""
