@@ -538,6 +538,46 @@ class IndexReader:
             return _topdocs_table([], [])
         return self.boolean_topk(should=matches, k=k)
 
+    def boosted_topk(self, weighted_terms: dict[str, float],
+                     k: int = 10) -> pa.Table:
+        """BoostQuery per clause (upstream ``L/search/BoostQuery.java``
+        [U]): clause score × float32 boost, summed disjunctively."""
+        terms = sorted(weighted_terms)
+        subs = self.lookup(terms)
+        clause = {t: self._clause_arrays(t, subs[t])
+                  for t in terms if subs[t]}
+        if not clause:
+            return _topdocs_table([], [])
+        cand = np.unique(np.concatenate([c[0] for c in clause.values()]))
+        sums = np.zeros(len(cand), dtype=np.float64)
+        for t, (docs, tfs, norms) in clause.items():
+            # Lucene folds boost into the weight: w = boost * idf (f32)
+            w = np.float32(np.float32(weighted_terms[t])
+                           * idf(self.N, len(docs)))
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            sc = _clause_scores(tfs[idx[hit]], norms[idx[hit]], w, self.cache)
+            sums[hit] += sc.astype(np.float64)
+        final = sums.astype(np.float32)
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order], total=len(cand))
+
+    def constant_score_topk(self, terms: list[str], k: int = 10,
+                            boost: float = 1.0) -> pa.Table:
+        """ConstantScoreQuery (upstream ``ConstantScoreQuery.java``
+        [U]): every matching doc scores exactly ``boost``; ties resolve
+        by docID asc, so top-k = first k matching docIDs."""
+        subs = self.lookup(sorted(set(terms)))
+        docs_l = [self._clause_arrays(t, s)[0]
+                  for t, s in subs.items() if s]
+        if not docs_l:
+            return _topdocs_table([], [])
+        cand = np.unique(np.concatenate(docs_l))
+        sel = cand[:k]
+        return _topdocs_table(
+            sel, np.full(len(sel), np.float32(boost), dtype=np.float32),
+            total=len(cand))
+
     def regexp_topk(self, pattern: str, k: int = 10) -> pa.Table:
         """RegexpQuery with scoring rewrite (upstream
         ``L/search/RegexpQuery.java`` [U]): full-match term expansion."""

@@ -374,6 +374,64 @@ def regexp_topk(sf_dir: str) -> pa.Table:
     return _topdocs_out(r.regexp_topk(REGEX_PATTERN, k=10))
 
 
+BOOSTS = {"spark": 2.0, "merge": 0.5}
+
+
+def boosted_topk(sf_dir: str) -> pa.Table:
+    """Per-clause BoostQuery weighting."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.boosted_topk(BOOSTS, k=10))
+
+
+def sql_boosted() -> str:
+    cases = " ".join(
+        f"WHEN '{t}' THEN CAST({b} AS FLOAT)" for t, b in BOOSTS.items())
+    contrib = f"""
+    CAST(
+      CAST((CASE q.term {cases} END)::DOUBLE
+           * CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+           AS FLOAT)::DOUBLE
+      *
+      CAST(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT)"""
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in sorted(BOOSTS)) + "]) AS term"
+    return f"""{_bm25_ctes()},
+qterms AS ({terms_sql}),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id, {contrib} AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def constant_score_topk(sf_dir: str) -> pa.Table:
+    """ConstantScoreQuery: matching docs score the boost constant."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.constant_score_topk(["spark", "merge"], k=10,
+                                              boost=1.0))
+
+
+SQL_CONSTANT_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark','merge'))
+SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)::BIGINT AS rank,
+       doc_id, CAST(1.0 AS FLOAT) AS score
+FROM m ORDER BY doc_id LIMIT 10
+"""
+
+
 SQL_REGEXP = _sql_disjunction(
     "SELECT DISTINCT term FROM tf "
     f"WHERE regexp_full_match(term, '{REGEX_PATTERN}')", 10)
@@ -962,6 +1020,8 @@ def queries() -> dict:
         "search_after_page2": search_after_page2,
         "fuzzy_topk": fuzzy_topk,
         "regexp_topk": regexp_topk,
+        "boosted_topk": boosted_topk,
+        "constant_score_topk": constant_score_topk,
         "facet_range_orders": facet_range_orders,
         "rollup_events": rollup_events,
         "facet_docs": facet_docs,
@@ -1011,6 +1071,8 @@ def oracle_sql() -> dict:
         "search_after_page2": sql_search_after(),
         "fuzzy_topk": SQL_FUZZY,
         "regexp_topk": SQL_REGEXP,
+        "boosted_topk": sql_boosted(),
+        "constant_score_topk": SQL_CONSTANT_SCORE,
         "facet_range_orders": SQL_FACET_RANGE,
         "rollup_events": SQL_ROLLUP_EVENTS,
         "facet_docs": SQL_FACET_DOCS,
