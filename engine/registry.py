@@ -374,6 +374,21 @@ def regexp_topk(sf_dir: str) -> pa.Table:
     return _topdocs_out(r.regexp_topk(REGEX_PATTERN, k=10))
 
 
+def req_opt_topk(sf_dir: str) -> pa.Table:
+    """ReqOptSumScorer: required term filters, optional term adds score
+    (upstream ``L/search/ReqOptSumScorer.java`` [U]) — the MUST+SHOULD
+    composition of boolean_topk."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.boolean_topk(must=["spark"], should=["merge"],
+                                       k=10))
+
+
+SQL_REQ_OPT = _sql_disjunction(
+    "SELECT unnest(['spark','merge']) AS term", 10,
+    where=("WHERE contrib.doc_id IN "
+           "(SELECT doc_id FROM tf WHERE term = 'spark')"))
+
+
 BOOSTS = {"spark": 2.0, "merge": 0.5}
 
 
@@ -1022,6 +1037,7 @@ def queries() -> dict:
         "regexp_topk": regexp_topk,
         "boosted_topk": boosted_topk,
         "constant_score_topk": constant_score_topk,
+        "req_opt_topk": req_opt_topk,
         "facet_range_orders": facet_range_orders,
         "rollup_events": rollup_events,
         "facet_docs": facet_docs,
@@ -1073,6 +1089,7 @@ def oracle_sql() -> dict:
         "regexp_topk": SQL_REGEXP,
         "boosted_topk": sql_boosted(),
         "constant_score_topk": SQL_CONSTANT_SCORE,
+        "req_opt_topk": SQL_REQ_OPT,
         "facet_range_orders": SQL_FACET_RANGE,
         "rollup_events": SQL_ROLLUP_EVENTS,
         "facet_docs": SQL_FACET_DOCS,
