@@ -13,8 +13,18 @@ Ray is initialised by the driver BEFORE this module is imported: no
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# make `engine` importable regardless of the driver's cwd; Ray local
+# workers inherit the driver's sys.path for deserialization
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
 
 
 def entry() -> Any:
