@@ -511,6 +511,7 @@ def build_index(input_path: str | list[str], index_dir: str,
     import time as _time
 
     phase_sec: dict[str, float] = {}
+    explicit_cfg = cfg is not None
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     if isinstance(input_path, str):
@@ -525,13 +526,18 @@ def build_index(input_path: str | list[str], index_dir: str,
     man = mf.load(index_dir) if resume else None
     if man is not None and man.get("input_files") != sorted(files):
         man = None  # input changed: rebuild
+    if man is not None:
+        if not explicit_cfg:
+            # no config given: adopt the stored one (pure resume)
+            cfg = IndexConfig.from_json(man["config"])
+        elif man["config"] != cfg.to_json():
+            man = None  # config changed: treat like an input change
     if man is None:
         man = mf.new_manifest(files, cfg.to_json())
-        for d in ("fragments", "index"):
+        for d in ("fragments", "index", "index-opt"):
             p = os.path.join(index_dir, d)
             if os.path.exists(p):
                 shutil.rmtree(p)
-    cfg = IndexConfig.from_json(man["config"]) if resume and man["parts"] else cfg
 
     part_of_path = {f: i for i, f in enumerate(files)}
 
@@ -663,45 +669,82 @@ def _merge_index_rows(rows: list[dict[str, Any]]) -> pa.Table:
     return _index_row(rows[0]["term"], 0, enc, int(docs[0]))
 
 
+def _optimize_shard(src_dir: str, dst_dir: str) -> int:
+    """forceMerge one bucket shard into ``dst_dir``.
+
+    Vectorized: the shard is term-sorted once; terms that already have
+    a single sub-list (the vast majority after an unskewed build) are
+    passed through as zero-copy Arrow slices with ``sub`` reset to 0 —
+    only multi-sub (salted) terms pay the decode/re-encode."""
+    if not os.path.isdir(src_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(src_dir)):
+        return 0
+    tab = pq.read_table(src_dir).combine_chunks()
+    tab = tab.sort_by("term")
+    terms = np.asarray(tab["term"].to_pandas(), dtype=object)
+    n = len(terms)
+    if n == 0:
+        return 0
+    chg = np.empty(n, dtype=bool)
+    chg[0] = True
+    chg[1:] = terms[1:] != terms[:-1]
+    starts = np.flatnonzero(chg)
+    counts = np.diff(np.append(starts, n))
+
+    single_rows = starts[counts == 1]
+    parts: list[pa.Table] = []
+    if len(single_rows):
+        singles = tab.take(pa.array(single_rows))
+        sub_i = singles.schema.get_field_index("sub")
+        singles = singles.set_column(
+            sub_i, "sub",
+            pa.array(np.zeros(len(single_rows), np.int32), type=pa.int32()))
+        parts.append(singles)
+    cols = ("term", "df", "docs", "tfs", "norms", "poss")
+    for s, c in zip(starts[counts > 1], counts[counts > 1]):
+        rows = [{k: tab[k][j].as_py() for k in cols}
+                for j in range(s, s + int(c))]
+        parts.append(_merge_index_rows(rows))
+    merged = pa.concat_tables(parts, promote_options="default") \
+        .sort_by("term")
+    os.makedirs(dst_dir, exist_ok=True)
+    pq.write_table(merged, os.path.join(dst_dir, "optimized-0.parquet"))
+    return len(starts)
+
+
 def optimize_index(index_dir: str) -> dict[str, int]:
     """forceMerge(1) analog (upstream ``IndexWriter#forceMerge`` [U]):
     rewrite each bucket shard so every term has exactly ONE posting
     list (salted sub-lists combined). Optional post-build pass; query
-    actors then skip per-actor re-merging at preload. Buckets rewrite
-    in parallel as Ray tasks; each bucket commits atomically
-    (tmp file + swap)."""
+    actors then skip per-actor re-merging at preload.
+
+    Publish protocol (crash-safe, the ``segments_N`` generation
+    pattern): the new generation is written COMPLETELY to a fresh
+    ``index-gN`` directory, then ONE atomic manifest commit flips
+    ``index_dir_name``; only then is the superseded generation removed.
+    A crash at any point leaves the live generation fully readable."""
     man = mf.load(index_dir)
     assert man and man["status"] == "complete", "optimize needs a complete index"
     cfg = IndexConfig.from_json(man["config"])
+    gen = int(man["stats"].get("index_gen", 0)) + 1
+    cur_root = mf.shard_root(index_dir, man)
+    new_name = f"index-g{gen}"
+    new_root = os.path.join(index_dir, new_name)
+    if os.path.exists(new_root):
+        shutil.rmtree(new_root)
 
-    @ray.remote
-    def _opt_bucket(shard_dir: str) -> int:
-        import pyarrow.parquet as _pq
-        if not os.path.isdir(shard_dir):
-            return 0
-        files = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")]
-        if not files:
-            return 0
-        tab = _pq.read_table(shard_dir)
-        by_term: dict[str, list[dict]] = {}
-        for row in tab.to_pylist():
-            by_term.setdefault(row["term"], []).append(row)
-        parts = [
-            _merge_index_rows(rows) for _, rows in sorted(by_term.items())]
-        merged = pa.concat_tables(parts)
-        tmp = os.path.join(shard_dir, "_optimized.parquet.tmp")
-        _pq.write_table(merged, tmp)
-        for f in files:
-            os.remove(os.path.join(shard_dir, f))
-        os.replace(tmp, os.path.join(shard_dir, "optimized-0.parquet"))
-        return len(by_term)
-
-    futs = {b: _opt_bucket.remote(
-        os.path.join(index_dir, "index", f"bucket={b}"))
-        for b in range(cfg.n_buckets)}
+    opt = ray.remote(_optimize_shard)
+    futs = {b: opt.remote(os.path.join(cur_root, f"bucket={b}"),
+                          os.path.join(new_root, f"bucket={b}"))
+            for b in range(cfg.n_buckets)}
     counts = {b: ray.get(f) for b, f in futs.items()}
+
+    man["index_dir_name"] = new_name
     man["stats"]["optimized"] = True
-    mf.save(index_dir, man)
+    man["stats"]["index_gen"] = gen
+    mf.save(index_dir, man)          # the commit point
+    if os.path.realpath(cur_root) != os.path.realpath(new_root):
+        shutil.rmtree(cur_root, ignore_errors=True)
     return counts
 
 

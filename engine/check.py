@@ -33,7 +33,7 @@ def check_index(index_dir: str) -> dict[str, int]:
     terms_seen: set[str] = set()
     n_rows = 0
     for b in range(cfg.n_buckets):
-        shard = os.path.join(index_dir, "index", f"bucket={b}")
+        shard = os.path.join(mf.shard_root(index_dir, man), f"bucket={b}")
         if not os.path.isdir(shard):
             continue
         tab = pq.read_table(shard)
@@ -109,7 +109,7 @@ def dump_postings(index_dir: str) -> dict[str, tuple]:
     cfg = IndexConfig.from_json(man["config"])
     out: dict[str, list] = {}
     for b in range(cfg.n_buckets):
-        shard = os.path.join(index_dir, "index", f"bucket={b}")
+        shard = os.path.join(mf.shard_root(index_dir, man), f"bucket={b}")
         if not os.path.isdir(shard):
             continue
         for row in pq.read_table(

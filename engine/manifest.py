@@ -60,6 +60,17 @@ def new_manifest(input_files: list[str], config: dict[str, Any]) -> dict[str, An
     }
 
 
+def shard_root(index_dir: str, manifest: dict[str, Any] | None) -> str:
+    """Current index-shard generation directory.
+
+    ``optimize_index`` publishes a new generation (``index-gN``) by
+    writing it fully, then flipping ``index_dir_name`` here in ONE
+    atomic manifest commit — readers never see a half-rewritten shard
+    (the ``segments_N`` generation-pointer pattern)."""
+    name = (manifest or {}).get("index_dir_name", "index")
+    return os.path.join(index_dir, name)
+
+
 def done_parts(manifest: dict[str, Any] | None) -> set[int]:
     if not manifest:
         return set()

@@ -192,6 +192,7 @@ class IndexReader:
         if man is None or man.get("status") != "complete":
             raise ValueError(f"no complete index at {index_dir}")
         self.manifest = man
+        self.shard_root = mf.shard_root(index_dir, man)
         self.cfg = IndexConfig.from_json(man["config"])
         self.N = int(man["stats"]["N"])
         self.avgdl = float(man["stats"]["avgdl"])
@@ -217,7 +218,7 @@ class IndexReader:
         from engine.codec import encode_postings
 
         for b in range(self.cfg.n_buckets):
-            shard = os.path.join(self.index_dir, "index", f"bucket={b}")
+            shard = os.path.join(self.shard_root, f"bucket={b}")
             if not os.path.isdir(shard):
                 continue
             for row in pq.read_table(shard, columns=self._COLS).to_pylist():
@@ -244,7 +245,7 @@ class IndexReader:
             if t not in self._term_cache:
                 need.setdefault(term_bucket(t, self.cfg.n_buckets), []).append(t)
         for b, ts in need.items():
-            shard = os.path.join(self.index_dir, "index", f"bucket={b}")
+            shard = os.path.join(self.shard_root, f"bucket={b}")
             for t in ts:
                 self._term_cache[t] = []
             if not os.path.isdir(shard):
@@ -270,7 +271,15 @@ class IndexReader:
     def topk(self, query_text: str, k: int, strategy: str = "auto"
              ) -> pa.Table:
         """Production scorer: adaptive TAAT-vectorized vs block-max WAND
-        (rank-identical either way — dual-execution tested)."""
+        (rank-identical either way — dual-execution tested).
+
+        ``total_hits`` is a LOWER BOUND on the matching-doc count
+        (Lucene's ``TotalHits.Relation.GREATER_THAN_OR_EQUAL_TO``): the
+        brute/TAAT path counts every match exactly, while the BMW path
+        counts only docs it actually scored — block-max-skipped matches
+        are uncounted, exactly like Lucene once the collector stops
+        counting past ``totalHitsThreshold``. Ranks/scores of the top-k
+        are identical across strategies; only the bound differs."""
         if strategy == "bmw":
             return self.bmw_topk(query_text, k)
         if strategy == "brute":
@@ -473,9 +482,14 @@ class IndexReader:
             sums[hit] += sc
             if t in should:
                 nmatch[hit] += 1
-        if min_should_match > 1:
+        if min_should_match >= 1:
+            # Lucene enforces minimumNumberShouldMatch even alongside
+            # MUST clauses; with must empty the candidate set is the
+            # SHOULD union so msm=1 is already implicit (keep = all).
             keep = nmatch >= min_should_match
             cand, sums = cand[keep], sums[keep]
+            if not len(cand):
+                return _topdocs_table([], [])
         final = sums.astype(np.float32)
         order = np.lexsort((cand, -final))[:k]
         return _topdocs_table(cand[order], final[order], total=len(cand))
@@ -520,7 +534,7 @@ class IndexReader:
             return sorted(self._term_cache)
         found: set[str] = set()
         for b in range(self.cfg.n_buckets):
-            shard = os.path.join(self.index_dir, "index", f"bucket={b}")
+            shard = os.path.join(self.shard_root, f"bucket={b}")
             if os.path.isdir(shard):
                 found.update(
                     pq.read_table(shard, columns=["term"])["term"].to_pylist())
@@ -606,11 +620,30 @@ class IndexReader:
             return _topdocs_table([], [])
 
         SHIFT = np.int64(1 << 21)
+        # (doc, pos) packing must be collision-free: widen the shift to
+        # the next power of two above the max position seen, and verify
+        # doc*SHIFT stays inside int64 (docIDs can reach 2^40 at
+        # 10^12-turn scale, so we cannot just use 1<<32 blindly).
+        max_pos = 0
+        pos_rows: dict[str, list] = {}
+        for t in set(terms):
+            rows = self._lookup_positions(t)
+            pos_rows[t] = rows
+            for _, _, _, flat_pos in rows:
+                if len(flat_pos):
+                    max_pos = max(max_pos, int(flat_pos.max()))
+        while SHIFT <= max_pos:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        max_doc = self.N
+        if int(SHIFT) * (max_doc + 1) >= (1 << 62):
+            raise OverflowError(
+                f"phrase key space overflow: max position {max_pos} with "
+                f"{max_doc} docs cannot pack into int64 keys")
         keysets: list[np.ndarray] = []
         w64 = 0.0   # f64 sum of f32 idfs, cast f32 once (Lucene's
         doc_norm: dict[int, int] = {}   # summed phrase termStatistics)
         for i, t in enumerate(terms):
-            rows = self._lookup_positions(t)
+            rows = pos_rows[t]
             w64 += float(idf(self.N, self.global_df(subs[t])))
             keys_parts = []
             for docs, tfs, norms, flat_pos in rows:
@@ -640,7 +673,7 @@ class IndexReader:
                                           np.ndarray, np.ndarray]]:
         """(docs, tfs, norms, flat positions) per stored sub-list."""
         b = term_bucket(term, self.cfg.n_buckets)
-        shard = os.path.join(self.index_dir, "index", f"bucket={b}")
+        shard = os.path.join(self.shard_root, f"bucket={b}")
         if not os.path.isdir(shard):
             return []
         tab = pq.read_table(shard, filters=[("term", "==", term)],
@@ -679,7 +712,7 @@ class IndexReader:
             return sorted(t for t in self._term_cache if t.startswith(prefix))
         found: set[str] = set()
         for b in range(self.cfg.n_buckets):
-            shard = os.path.join(self.index_dir, "index", f"bucket={b}")
+            shard = os.path.join(self.shard_root, f"bucket={b}")
             if not os.path.isdir(shard):
                 continue
             col = pq.read_table(shard, columns=["term"])["term"]

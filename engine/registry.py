@@ -22,6 +22,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from engine import manifest as mf
 from engine.analysis import ENGLISH_STOP_WORDS
 from engine.build import IndexConfig, build_index
 from engine.ops import dedup as dd
@@ -87,8 +88,9 @@ def index_term_stats(sf_dir: str) -> pa.Table:
     checks the whole build pipeline against a SQL recomputation."""
     idx = cached_doc_index(sf_dir, analyzed=False)
     parts = []
+    root = mf.shard_root(idx, mf.load(idx))
     for b in range(4):
-        shard = os.path.join(idx, "index", f"bucket={b}")
+        shard = os.path.join(root, f"bucket={b}")
         if os.path.isdir(shard):
             parts.append(pq.read_table(shard, columns=["term", "df", "cf"]))
     t = pa.concat_tables(parts)
@@ -343,6 +345,25 @@ def min_should_match_topk(sf_dir: str) -> pa.Table:
 SQL_MIN_SHOULD = _sql_disjunction(
     f"SELECT unnest({MSM_TERMS!r}) AS term", 10,
     having=f"HAVING COUNT(DISTINCT term) >= {MSM_MIN}")
+
+
+def must_should_msm1_topk(sf_dir: str) -> pa.Table:
+    """MUST + SHOULD with minimumNumberShouldMatch=1: Lucene enforces
+    msm even when MUST clauses exist (upstream ``BooleanQuery`` [U]) —
+    docs matching the required term but NO optional term are excluded
+    (regression entry for the silently-ignored-msm bug)."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.boolean_topk(
+        must=["spark"], should=["merge", "window"], k=10,
+        min_should_match=1))
+
+
+SQL_MUST_SHOULD_MSM1 = _sql_disjunction(
+    "SELECT unnest(['spark','merge','window']) AS term", 10,
+    where=("WHERE contrib.doc_id IN "
+           "(SELECT doc_id FROM tf WHERE term = 'spark') "
+           "AND contrib.doc_id IN "
+           "(SELECT doc_id FROM tf WHERE term IN ('merge','window'))"))
 
 
 def search_after_page2(sf_dir: str) -> pa.Table:
@@ -1032,6 +1053,7 @@ def queries() -> dict:
         "wildcard_topk": wildcard_topk,
         "dismax_topk": dismax_topk,
         "min_should_match_topk": min_should_match_topk,
+        "must_should_msm1_topk": must_should_msm1_topk,
         "search_after_page2": search_after_page2,
         "fuzzy_topk": fuzzy_topk,
         "regexp_topk": regexp_topk,
@@ -1084,6 +1106,7 @@ def oracle_sql() -> dict:
         "wildcard_topk": SQL_WILDCARD,
         "dismax_topk": SQL_DISMAX,
         "min_should_match_topk": SQL_MIN_SHOULD,
+        "must_should_msm1_topk": SQL_MUST_SHOULD_MSM1,
         "search_after_page2": sql_search_after(),
         "fuzzy_topk": SQL_FUZZY,
         "regexp_topk": SQL_REGEXP,
