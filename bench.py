@@ -35,20 +35,26 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
+# realistic long-tail term dictionary for the bench corpus (≥10^5 terms
+# at sf0.1 — VERDICT r1 #1); override via GRAFT_TAIL_VOCAB
+TAIL_VOCAB = int(os.environ.get("GRAFT_TAIL_VOCAB", "120000"))
+
+
 def _bench_corpus(sf: float, mult: int = 1) -> tuple[str, int]:
     """Deterministic transcript corpus sized by sf (cached on disk)."""
     from engine.synth import write_transcripts
 
     n_convs = max(200, int(400_000 * sf) * mult)
-    path = os.path.join(BENCH_ROOT, f"corpus_sf{sf}_m{mult}" if mult > 1
-                        else f"corpus_sf{sf}")
+    tag = f"corpus_sf{sf}_m{mult}" if mult > 1 else f"corpus_sf{sf}"
+    path = os.path.join(BENCH_ROOT, f"{tag}_v{TAIL_VOCAB}")
     marker = os.path.join(path, "ROWS")
     if os.path.exists(marker):
         with open(marker) as f:
             return path, int(f.read())
     if os.path.exists(path):
         shutil.rmtree(path)
-    n = write_transcripts(path, n_convs=n_convs, seed=42, n_files=16)
+    n = write_transcripts(path, n_convs=n_convs, seed=42, n_files=16,
+                          n_tail_vocab=TAIL_VOCAB)
     with open(marker, "w") as f:
         f.write(str(n))
     return path, n
@@ -108,7 +114,7 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
         # BM25 query latency: sequential per-query over the BMW engine
         reader = IndexReader(idx, preload=True)
         lats = []
-        qs = make_queries()
+        qs = make_queries(n_tail_vocab=TAIL_VOCAB)
         t0 = time.perf_counter()
         for q in qs:
             tq = time.perf_counter()

@@ -203,6 +203,158 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
     )
 
 
+@dataclass
+class MultiEncodedPostings:
+    """Many terms' posting lists encoded as shared streams.
+
+    Bit-identical to per-group :func:`encode_postings` (VByte is
+    per-value, so one global encode + byte-slicing at group bounds
+    yields the same blob bytes), but every array below is built with a
+    constant number of numpy kernels regardless of group count — the
+    whole point at a ≥10^5-term dictionary where a per-term Python
+    encode loop dominates the merge stage.
+
+    Per-group cell i of each stream spans bytes
+    ``[blob_offs[i], blob_offs[i+1])``; block-directory arrays are
+    global with per-group block ranges ``[blk_offs[i], blk_offs[i+1])``.
+    """
+
+    n_groups: int
+    df: np.ndarray             # int64 per group
+    cf: np.ndarray             # int64 per group
+    min_doc: np.ndarray        # int64 per group
+    docs: bytes
+    docs_offs: np.ndarray      # int64 per group+1, byte bounds into docs
+    tfs: bytes
+    tfs_offs: np.ndarray
+    norms: bytes
+    norms_offs: np.ndarray
+    poss: bytes
+    poss_offs: np.ndarray
+    blk_offs: np.ndarray       # int64 per group+1, block-index bounds
+    blk_last_doc: np.ndarray   # int64 global
+    blk_doc_off: np.ndarray    # int32 global (byte offset within group blob)
+    blk_tf_off: np.ndarray
+    blk_pos_off: np.ndarray
+    blk_max_tf: np.ndarray     # int32 global
+    blk_min_norm: np.ndarray   # uint8 global
+
+
+def encode_postings_multi(offsets: np.ndarray, doc_ids: np.ndarray,
+                          tfs: np.ndarray, norms: np.ndarray,
+                          positions: np.ndarray | None = None
+                          ) -> MultiEncodedPostings:
+    """Encode many groups' postings in one vectorized pass.
+
+    ``offsets`` (int64, len n_groups+1) bound each group's postings in
+    the concatenated ``doc_ids``/``tfs``/``norms``; within each group
+    doc_ids must be strictly increasing. ``positions`` is the flat
+    token stream (posting lengths = tfs), absolute values.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.uint8)
+    ng = len(offsets) - 1
+    n = doc_ids.size
+    if ng <= 0 or n == 0:
+        raise ValueError("empty multi-group posting set")
+    gstart = offsets[:-1]
+    gdf = np.diff(offsets)
+    if (gdf <= 0).any():
+        raise ValueError("every group needs >= 1 posting")
+
+    # deltas with a reset (absolute value) at each group start
+    deltas = np.empty_like(doc_ids)
+    deltas[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    deltas[gstart] = doc_ids[gstart]
+    inner = np.ones(n, dtype=bool)
+    inner[gstart] = False
+    if (deltas[inner] <= 0).any():
+        raise ValueError("doc_ids must be strictly increasing per group")
+
+    docs_blob, doc_ends = vbyte_encode_with_ends(deltas)
+    tfs_blob, tf_ends = vbyte_encode_with_ends(tfs)
+
+    def _byte_at(ends: np.ndarray, value_idx: np.ndarray) -> np.ndarray:
+        """Byte offset where value ``value_idx`` starts in the stream."""
+        out = np.zeros(len(value_idx), dtype=np.int64)
+        nz = value_idx > 0
+        if ends.size:
+            out[nz] = ends[value_idx[nz] - 1]
+        return out
+
+    # per-posting token starts (global), for positions + pos offsets
+    tok_cuts = np.concatenate(([0], np.cumsum(tfs)))  # len n+1
+    if positions is not None and np.asarray(positions).size:
+        positions = np.asarray(positions, dtype=np.int64)
+        pos_deltas = np.empty_like(positions)
+        pos_deltas[0] = positions[0]
+        np.subtract(positions[1:], positions[:-1], out=pos_deltas[1:])
+        pos_deltas[tok_cuts[:-1]] = positions[tok_cuts[:-1]]  # posting reset
+        poss_blob, pos_ends = vbyte_encode_with_ends(pos_deltas)
+        has_pos = True
+    else:
+        poss_blob, pos_ends = b"", np.empty(0, dtype=np.int64)
+        has_pos = False
+
+    # ---- block directory, all groups at once ----
+    nblk = (gdf + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blk_offs = np.concatenate(([0], np.cumsum(nblk)))
+    total_blk = int(blk_offs[-1])
+    blk_group = np.repeat(np.arange(ng, dtype=np.int64), nblk)
+    blk_local = np.arange(total_blk, dtype=np.int64) - blk_offs[blk_group]
+    blk_start = gstart[blk_group] + blk_local * BLOCK_SIZE
+    blk_end = np.minimum(blk_start + BLOCK_SIZE, offsets[1:][blk_group])
+    # consecutive blocks tile the posting stream exactly (group bounds
+    # coincide with block bounds), so global reduceat segments are the
+    # per-block ranges
+    blk_max_tf = np.maximum.reduceat(tfs, blk_start).astype(np.int32)
+    blk_min_norm = np.minimum.reduceat(norms, blk_start).astype(np.uint8)
+    blk_last_doc = doc_ids[blk_end - 1].astype(np.int64)
+
+    g_doc_base = _byte_at(doc_ends, gstart)
+    g_tf_base = _byte_at(tf_ends, gstart)
+    blk_doc_off = (_byte_at(doc_ends, blk_start)
+                   - g_doc_base[blk_group]).astype(np.int32)
+    blk_tf_off = (_byte_at(tf_ends, blk_start)
+                  - g_tf_base[blk_group]).astype(np.int32)
+
+    docs_offs = np.concatenate((g_doc_base, doc_ends[-1:]))
+    tfs_offs = np.concatenate((g_tf_base, tf_ends[-1:]))
+    norms_offs = offsets.copy()  # 1 byte per posting
+
+    if has_pos:
+        g_tok_start = tok_cuts[gstart]
+        g_pos_base = _byte_at(pos_ends, g_tok_start)
+        blk_pos_off = (_byte_at(pos_ends, tok_cuts[blk_start])
+                       - g_pos_base[blk_group]).astype(np.int32)
+        poss_offs = np.concatenate((g_pos_base, pos_ends[-1:]))
+    else:
+        blk_pos_off = np.zeros(total_blk, dtype=np.int32)
+        poss_offs = np.zeros(ng + 1, dtype=np.int64)
+
+    cf = np.add.reduceat(tfs, gstart).astype(np.int64)
+    return MultiEncodedPostings(
+        n_groups=ng,
+        df=gdf.astype(np.int64),
+        cf=cf,
+        min_doc=doc_ids[gstart].astype(np.int64),
+        docs=docs_blob, docs_offs=docs_offs,
+        tfs=tfs_blob, tfs_offs=tfs_offs,
+        norms=norms.tobytes(), norms_offs=norms_offs,
+        poss=poss_blob, poss_offs=poss_offs,
+        blk_offs=blk_offs,
+        blk_last_doc=blk_last_doc,
+        blk_doc_off=blk_doc_off,
+        blk_tf_off=blk_tf_off,
+        blk_pos_off=blk_pos_off,
+        blk_max_tf=blk_max_tf,
+        blk_min_norm=blk_min_norm,
+    )
+
+
 def decode_block_docs(docs_blob, blk_doc_off, blk_last_doc, b: int,
                       df: int) -> np.ndarray:
     """Decode block ``b``'s docIDs (without tfs/positions).

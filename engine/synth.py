@@ -40,13 +40,41 @@ _PLAIN = [
 ]
 VOCAB = np.array(_STOP + _FAMILIES + _PLAIN)
 
+# Long-tail vocabulary: deterministic hash-suffixed families appended
+# after the head VOCAB so term-dictionary code paths (BMW skipping over
+# many terms, merge width, vocab scans, salting selectivity) see a
+# realistic ≥10^5-term dictionary (VERDICT.md r1 #1). Stems give the
+# tail plausible prefix structure for wildcard/fuzzy expansion.
+_TAIL_STEMS = ["log", "cfg", "tok", "buf", "sys", "net", "dat", "tmp",
+               "usr", "var", "mod", "pkg", "lib", "env", "opt", "reg"]
+
+
+def tail_vocab(n_tail: int) -> np.ndarray:
+    stems = _TAIL_STEMS
+    k = len(stems)
+    return np.array(
+        [f"{stems[i % k]}{i // k:05x}" for i in range(n_tail)], dtype=object)
+
+
+def full_vocab(n_tail_vocab: int = 0) -> np.ndarray:
+    if n_tail_vocab <= 0:
+        return VOCAB
+    return np.concatenate(
+        [VOCAB.astype(object), tail_vocab(n_tail_vocab)])
+
 _CASE_VARIANTS = {"running": "Running", "connection": "Connection",
                   "the": "The", "error": "ERROR", "ray": "Ray"}
 _PUNCT = np.array(["", "", "", "", ".", ",", "!", "?", ":", ")"])
 
 
-def make_transcripts(n_convs: int = 200, seed: int = 42) -> pa.Table:
-    """Generate a transcript table, sorted by (conv_id, turn_idx)."""
+def make_transcripts(n_convs: int = 200, seed: int = 42,
+                     n_tail_vocab: int = 0) -> pa.Table:
+    """Generate a transcript table, sorted by (conv_id, turn_idx).
+
+    ``n_tail_vocab`` appends that many deterministic long-tail terms to
+    the head vocabulary (Zipf over the combined ranks), so bench
+    corpora exercise a realistic term dictionary while the default (0)
+    keeps the small fixed vocab the golden test fixtures pin."""
     rng = np.random.default_rng(seed)
     turns_per_conv = np.clip(
         rng.zipf(1.6, size=n_convs), 2, 40).astype(np.int64)
@@ -59,15 +87,16 @@ def make_transcripts(n_convs: int = 200, seed: int = 42) -> pa.Table:
     roles = ROLES[rng.integers(0, len(ROLES), size=n_turns)]
     tools = TOOLS[rng.integers(0, len(TOOLS), size=n_turns)]
 
-    # Zipf(1.1) ranks into the fixed vocabulary
+    # Zipf(1.1) ranks into the (head + optional long-tail) vocabulary
+    vocab = full_vocab(n_tail_vocab)
     toks_per_turn = rng.integers(5, 201, size=n_turns)
     total_toks = int(toks_per_turn.sum())
-    zipf_p = 1.0 / np.arange(1, len(VOCAB) + 1) ** 1.1
+    zipf_p = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
     zipf_p /= zipf_p.sum()
     # inverse-CDF sampling (vectorized; rng.choice(p=...) is too slow
     # for the 100M+-token bench corpora)
     ranks = np.searchsorted(np.cumsum(zipf_p), rng.random(total_toks))
-    words = VOCAB[ranks]
+    words = vocab[ranks]
 
     # sprinkle case variants and punctuation (deterministic); text
     # assembly via Arrow kernels (C++) — the Python join loop was the
@@ -112,8 +141,9 @@ def make_transcripts(n_convs: int = 200, seed: int = 42) -> pa.Table:
     })
 
 
-def make_queries(seed: int = 42) -> list[dict]:
-    """Reference query set (FIXTURES.md F2): mixes of hot/rare/stop/stemmed."""
+def make_queries(seed: int = 42, n_tail_vocab: int = 0) -> list[dict]:
+    """Reference query set (FIXTURES.md F2): mixes of hot/rare/stop/stemmed;
+    with a long-tail vocab, adds tail-term and head+tail mixed queries."""
     rng = np.random.default_rng(seed + 1)
     queries: list[dict] = []
 
@@ -139,15 +169,25 @@ def make_queries(seed: int = 42) -> list[dict]:
         n = int(rng.integers(1, 6))
         terms = VOCAB[rng.integers(0, len(VOCAB), size=n)]
         add(" ".join(terms), k=int(rng.choice([1, 10, 10, 100])))
+    if n_tail_vocab > 0:
+        tail = tail_vocab(n_tail_vocab)
+        for _ in range(10):       # pure tail: rare-term dictionary hits
+            n = int(rng.integers(1, 4))
+            terms = tail[rng.integers(0, len(tail), size=n)]
+            add(" ".join(terms), k=10)
+        for _ in range(5):        # hot head + rare tail mixes (BMW skew)
+            h = VOCAB[rng.integers(0, len(VOCAB), size=2)]
+            t = tail[rng.integers(0, len(tail), size=2)]
+            add(" ".join(np.concatenate([h, t])), k=10)
     return queries
 
 
 def write_transcripts(path: str, n_convs: int = 200, seed: int = 42,
-                      n_files: int = 1) -> int:
+                      n_files: int = 1, n_tail_vocab: int = 0) -> int:
     """Write the corpus as 1..n parquet files; returns row count."""
     import os
 
-    t = make_transcripts(n_convs, seed)
+    t = make_transcripts(n_convs, seed, n_tail_vocab=n_tail_vocab)
     os.makedirs(path, exist_ok=True)
     n = t.num_rows
     if n_files == 1:

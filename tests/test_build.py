@@ -169,3 +169,56 @@ def test_resume_per_bucket_merge_path(ray_session, tmp_path_factory):
     for term in dump:
         for a, b in zip(dump[term], ref[term]):
             assert np.array_equal(a, b), term
+
+
+def test_vectorized_merge_matches_groupby_reference(
+        ray_session, tmp_path_factory):
+    """_merge_bucket_table (vectorized multi-term merge) must produce
+    the same logical rows as the per-group Dataset reference path
+    (`_merged` groupby.map_groups) over real fragments — including
+    salted sub-lists and an interleaved-fragment corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import _merge_bucket_table, _merged, build_index
+    from engine.synth import write_transcripts
+    import ray.data
+
+    root = tmp_path_factory.mktemp("vmerge")
+    corpus = str(root / "corpus")
+    # shuffle rows across files so fragments interleave doc ranges
+    n = write_transcripts(corpus, n_convs=120, seed=11, n_files=1)
+    t = pq.read_table(os.path.join(corpus, "transcripts-00000.parquet"))
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    os.remove(os.path.join(corpus, "transcripts-00000.parquet"))
+    for i in range(3):
+        pq.write_table(t.take(perm[i::3]),
+                       os.path.join(corpus, f"shuffled-{i:05d}.parquet"))
+
+    idx = str(root / "idx")
+    build_index(corpus, idx, IndexConfig(
+        n_buckets=2, hot_df_threshold=60, n_salts=3))
+
+    for b in range(2):
+        frag_dir = os.path.join(idx, "fragments", f"bucket={b}")
+        if not os.path.isdir(frag_dir):
+            continue
+        from engine.build import _FRAG_COLS
+        tab = pq.read_table(frag_dir, columns=_FRAG_COLS)
+        fast = _merge_bucket_table(tab)
+        ref = pa.concat_tables(
+            ray.get(_merged(ray.data.read_parquet(frag_dir))
+                    .to_arrow_refs()))
+        assert fast.num_rows == ref.num_rows
+        key = lambda t: sorted(zip(t["term"].to_pylist(),
+                                   t["sub"].to_pylist()))
+        assert key(fast) == key(ref)
+        fs = {(r["term"], r["sub"]): r for r in fast.to_pylist()}
+        rs = {(r["term"], r["sub"]): r for r in ref.to_pylist()}
+        for k in fs:
+            for col in ("df", "cf", "min_doc", "docs", "tfs", "norms",
+                        "poss", "blk_last_doc", "blk_doc_off",
+                        "blk_tf_off", "blk_pos_off", "blk_max_tf",
+                        "blk_min_norm"):
+                assert fs[k][col] == rs[k][col], (k, col)
