@@ -82,7 +82,7 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
     if os.path.exists(idx):
         shutil.rmtree(idx)
     cfg = IndexConfig(
-        n_buckets=8,
+        n_buckets=16,
         hot_df_threshold=max(1000, n_rows // 50),
         n_salts=8,
         batch_size=2048,

@@ -87,7 +87,8 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                       k: int = 3, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.8) -> pa.Table:
+                      threshold: float = 0.8,
+                      max_bucket: int = 100_000) -> pa.Table:
     """Near-dup pairs via MinHash + banded LSH, exact-verified.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
@@ -124,10 +125,17 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     buckets = ds.map_batches(sigs, batch_format="pyarrow")
 
     def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
         docs = np.unique(g["doc"].to_numpy())
         if len(docs) < 2:
-            return pa.table({"id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64())})
+            return empty
+        if len(docs) > max_bucket:
+            import logging
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: dropping degenerate band bucket of "
+                "%d docs (max_bucket=%d)", len(docs), max_bucket)
+            return empty
         ia, ib = np.triu_indices(len(docs), 1)
         return pa.table({"id_a": pa.array(docs[ia], type=pa.int64()),
                          "id_b": pa.array(docs[ib], type=pa.int64())})
@@ -152,46 +160,103 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     by_id = {int(i): s for i, s in
              zip(sub_t[id_col].to_numpy(), shingle_list)}
 
-    ja, out_a, out_b = [], [], []
-    for ia, ib in sorted(zip(cand["id_a"], cand["id_b"])):
-        j = jaccard(by_id[int(ia)], by_id[int(ib)])
-        if j >= threshold:
-            out_a.append(int(ia))
-            out_b.append(int(ib))
-            ja.append(j)
-    return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
-                     "id_b": pa.array(out_b, type=pa.int64()),
-                     "jaccard": pa.array(ja, type=pa.float64())})
+    # distributed verify: the candidate shingle sets are broadcast ONCE
+    # (candidates are tiny relative to the corpus by LSH design) and
+    # candidate pairs stream through map_batches — no driver pair loop
+    by_id_ref = ray.put(by_id)
+    cand_sorted = cand.sort_values(["id_a", "id_b"])
+    pairs_ds = ray.data.from_arrow(pa.table({
+        "id_a": pa.array(cand_sorted["id_a"].to_numpy(), type=pa.int64()),
+        "id_b": pa.array(cand_sorted["id_b"].to_numpy(), type=pa.int64()),
+    }))
+
+    def verify(b: pa.Table) -> pa.Table:
+        m = ray.get(by_id_ref)
+        ias = b["id_a"].to_numpy()
+        ibs = b["id_b"].to_numpy()
+        js = np.fromiter(
+            (jaccard(m[int(x)], m[int(y)]) for x, y in zip(ias, ibs)),
+            dtype=np.float64, count=len(ias))
+        keep = js >= threshold
+        return pa.table({"id_a": pa.array(ias[keep], type=pa.int64()),
+                         "id_b": pa.array(ibs[keep], type=pa.int64()),
+                         "jaccard": pa.array(js[keep], type=pa.float64())})
+
+    tabs = [ray.get(r) for r in
+            pairs_ds.map_batches(verify, batch_format="pyarrow")
+            .to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    return pa.concat_tables(tabs).combine_chunks() \
+        .sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
 
 
 def simhash64(texts) -> np.ndarray:
-    """64-bit SimHash per document (deterministic crc-derived bits)."""
+    """64-bit SimHash per document (deterministic crc-derived bits).
+
+    Fully vectorized across the batch: ONE np.unique over all tokens,
+    per-(doc, token) counts via lexsort boundaries, and one
+    ``np.add.reduceat`` for the weighted ±1 bit accumulation — no
+    per-document Python (identical output to the per-doc reference
+    formulation, asserted in tests)."""
     offs, flat = _flat_tokens(texts)
     toks = np.asarray(flat.to_pandas(), dtype=object)
     n = len(offs) - 1
     sigs = np.zeros(n, dtype=np.uint64)
-    for i in range(n):
-        t = toks[offs[i]:offs[i + 1]]
-        if not len(t):
-            continue
-        uniq, cnt = np.unique(t, return_counts=True)
-        h32 = _crc_hashes(uniq)
-        # two independent 32-bit crcs -> 64-bit token hash
-        h32b = np.fromiter(
-            (zlib.crc32((s + "\x00salt").encode()) for s in uniq),
-            dtype=np.uint64, count=len(uniq))
-        h64 = (h32 << np.uint64(32)) | h32b
-        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        acc = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.flatnonzero(acc > 0):
-            sig |= np.uint64(1) << np.uint64(b)
-        sigs[i] = sig
+    if toks.size == 0:
+        return sigs
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+
+    uniq, inv = np.unique(toks, return_inverse=True)
+    h32 = _crc_hashes(uniq)
+    h32b = np.fromiter(
+        (zlib.crc32((s + "\x00salt").encode()) for s in uniq),
+        dtype=np.uint64, count=len(uniq))
+    h64 = (h32 << np.uint64(32)) | h32b
+
+    # distinct (doc, token) runs + their counts
+    order = np.lexsort((inv, doc_of))
+    d_s, c_s = doc_of[order], inv[order]
+    chg = np.empty(len(d_s), dtype=bool)
+    chg[0] = True
+    chg[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    starts = np.flatnonzero(chg)
+    cnts = np.diff(np.append(starts, len(d_s))).astype(np.int64)
+    pair_doc = d_s[starts]
+    pair_code = c_s[starts]
+
+    bits = ((h64[pair_code, None] >> np.arange(64, dtype=np.uint64))
+            & np.uint64(1)).astype(np.int64)
+    contrib = (2 * bits - 1) * cnts[:, None]
+    dchg = np.empty(len(pair_doc), dtype=bool)
+    dchg[0] = True
+    dchg[1:] = pair_doc[1:] != pair_doc[:-1]
+    doc_starts = np.flatnonzero(dchg)
+    acc = np.add.reduceat(contrib, doc_starts, axis=0)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    packed = ((acc > 0).astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64)
+    sigs[pair_doc[doc_starts]] = packed
     return sigs
 
 
 def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
-                  hamming_threshold: int = 3) -> pa.Table:
+                  hamming_threshold: int = 3,
+                  max_bucket: int = 100_000) -> pa.Table:
     """Near-dup pairs with SimHash hamming distance ≤ threshold.
 
     Pigeonhole banding into ``threshold+1`` chunks guarantees every
@@ -218,26 +283,38 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     buckets = ds.map_batches(sig_rows, batch_format="pyarrow")
 
     def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "hamming": pa.array([], type=pa.int64())})
         docs = g["doc"].to_numpy()
         sigs = g["sig"].to_numpy()
         order = np.argsort(docs, kind="stable")
         docs, sigs = docs[order], sigs[order]
         uniq, first = np.unique(docs, return_index=True)
-        sigs = sigs[first]
-        out_a, out_b, ham = [], [], []
-        for i in range(len(uniq)):
-            for j in range(i + 1, len(uniq)):
-                d = int(bin(int(sigs[i]) ^ int(sigs[j])).count("1"))
-                if d <= hamming_threshold:
-                    out_a.append(int(uniq[i]))
-                    out_b.append(int(uniq[j]))
-                    ham.append(d)
-        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
-                         "id_b": pa.array(out_b, type=pa.int64()),
-                         "hamming": pa.array(ham, type=pa.int64())})
+        sigs = sigs[first].astype(np.uint64)
+        m = len(uniq)
+        if m < 2:
+            return empty
+        if m > max_bucket:
+            import logging
+            logging.getLogger(__name__).warning(
+                "simhash_pairs: dropping degenerate band bucket of %d "
+                "docs (max_bucket=%d)", m, max_bucket)
+            return empty
+        # vectorized hamming: xor outer matrix + SWAR popcount
+        ia, ib = np.triu_indices(m, 1)
+        d = _popcount64(sigs[ia] ^ sigs[ib])
+        keep = d <= hamming_threshold
+        return pa.table({"id_a": pa.array(uniq[ia[keep]], type=pa.int64()),
+                         "id_b": pa.array(uniq[ib[keep]], type=pa.int64()),
+                         "hamming": pa.array(d[keep], type=pa.int64())})
 
     res = buckets.groupby("band").map_groups(pairs, batch_format="pyarrow") \
         .groupby(["id_a", "id_b"]).min("hamming").to_pandas()
+    if not len(res):  # empty to_pandas loses columns — guard before sort
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "hamming": pa.array([], type=pa.int64())})
     res = res.sort_values(["id_a", "id_b"])
     return pa.table({
         "id_a": pa.array(res["id_a"].to_numpy(), type=pa.int64()),
@@ -247,7 +324,8 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
 
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
-                        k: int = 3, threshold: float = 0.5) -> pa.Table:
+                        k: int = 3, threshold: float = 0.5,
+                        max_bucket: int = 100_000) -> pa.Table:
     """Exact all-pairs n-gram Jaccard via shingle-key shuffle.
 
     The SQL-checkable exact baseline: explode distinct shingles,
@@ -268,10 +346,18 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     size_of = dict(zip(sizes["doc"].astype(int), sizes["count()"].astype(int)))
 
     def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
         docs = np.unique(g["doc"].to_numpy())
         if len(docs) < 2:
-            return pa.table({"id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64())})
+            return empty
+        if len(docs) > max_bucket:
+            import logging
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping hot shingle shared by %d "
+                "docs (max_bucket=%d) — intersection counts for its "
+                "pairs lose this shingle", len(docs), max_bucket)
+            return empty
         ia, ib = np.triu_indices(len(docs), 1)
         return pa.table({"id_a": pa.array(docs[ia], type=pa.int64()),
                          "id_b": pa.array(docs[ib], type=pa.int64())})

