@@ -204,6 +204,9 @@ def cosine_pairs_lsh(ds: ray.data.Dataset, emb_col: str, id_col: str,
         .groupby("band").map_groups(bucket_pairs, batch_format="pyarrow")
     # dedupe pairs found in multiple bands: tiny grouped distinct
     out = _to_arrow(pairs.groupby(["id_a", "id_b"]).count())
+    if out.num_rows == 0 or "id_a" not in out.column_names:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64())})
     out = out.select(["id_a", "id_b"])
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
