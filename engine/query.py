@@ -73,15 +73,17 @@ def _clause_scores(tfs: np.ndarray, norms: np.ndarray, weight: np.float32,
 class _SubList:
     """One index row: decoded lazily, block at a time (skip + block-max)."""
 
-    __slots__ = ("df", "min_doc", "docs_blob", "tfs_blob", "norms",
-                 "blk_last", "blk_doc_off", "blk_tf_off", "blk_max_tf",
-                 "blk_min_norm", "n_blocks")
+    __slots__ = ("df", "min_doc", "docs_blob", "tfs_blob", "poss_blob",
+                 "norms", "blk_last", "blk_doc_off", "blk_tf_off",
+                 "blk_max_tf", "blk_min_norm", "n_blocks")
 
     def __init__(self, row: dict[str, Any]):
         self.df = int(row["df"])
         self.min_doc = int(row["min_doc"])
         self.docs_blob = row["docs"]
         self.tfs_blob = row["tfs"]
+        self.poss_blob = row.get("poss", b"") if hasattr(row, "get") \
+            else row["poss"]
         self.norms = np.frombuffer(row["norms"], dtype=np.uint8)
         self.blk_last = np.frombuffer(row["blk_last_doc"], dtype=np.int64)
         self.blk_doc_off = np.frombuffer(row["blk_doc_off"], dtype=np.int32)
@@ -94,6 +96,7 @@ class _SubList:
     def from_encoded(cls, enc) -> "_SubList":
         return cls({
             "df": enc.df, "min_doc": 0, "docs": enc.docs, "tfs": enc.tfs,
+            "poss": enc.poss,
             "norms": enc.norms, "blk_last_doc": enc.blk_last_doc.tobytes(),
             "blk_doc_off": enc.blk_doc_off.tobytes(),
             "blk_tf_off": enc.blk_tf_off.tobytes(),
@@ -115,6 +118,18 @@ class _SubList:
         docs = np.cumsum(deltas)
         tfs, _ = vbyte_decode(self.tfs_blob, self.df, 0)
         return docs, tfs, self.norms
+
+    def decode_positions_flat(self, tfs: np.ndarray) -> np.ndarray:
+        """Flat absolute positions (posting lengths = tfs); empty array
+        when the index stores no positions."""
+        if not len(self.poss_blob):
+            return np.empty(0, dtype=np.int64)
+        total = int(tfs.sum())
+        pdel, _ = vbyte_decode(self.poss_blob, total, 0)
+        flat = np.cumsum(pdel)
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        bases = flat[starts] - pdel[starts]
+        return flat - np.repeat(bases, tfs)
 
 
 class _Scorer:
@@ -182,8 +197,8 @@ class IndexReader:
     """
 
     _COLS = ["term", "sub", "df", "cf", "min_doc", "docs", "tfs", "norms",
-             "blk_last_doc", "blk_doc_off", "blk_tf_off", "blk_max_tf",
-             "blk_min_norm"]
+             "poss", "blk_last_doc", "blk_doc_off", "blk_tf_off",
+             "blk_max_tf", "blk_min_norm"]
 
     def __init__(self, index_dir: str, preload: bool = False,
                  k1: float = K1, b: float = B):
@@ -201,6 +216,8 @@ class IndexReader:
         self.analyzer = Analyzer(self.cfg.stop_words, self.cfg.stemming)
         self._term_cache: dict[str, list[_SubList]] = {}
         self._docmap: pa.Table | None = None
+        self._vocab: list[str] | None = None
+        self._io_reads = 0      # Parquet reads served (cache-miss counter)
         self._preloaded = False
         if preload:
             self._preload()
@@ -230,8 +247,19 @@ class IndexReader:
                 docs = np.concatenate([p[0] for p in parts])
                 tfs = np.concatenate([p[1] for p in parts])
                 norms = np.concatenate([p[2] for p in parts])
+                poss_parts = [s.decode_positions_flat(p[1])
+                              for s, p in zip(subs, parts)]
+                poss = np.concatenate(poss_parts) \
+                    if all(len(pp) for pp in poss_parts) else None
                 order = np.argsort(docs, kind="stable")
-                enc = encode_postings(docs[order], tfs[order], norms[order])
+                if poss is not None:
+                    tok_offs = np.concatenate(([0], np.cumsum(tfs)))
+                    tok_idx = np.concatenate(
+                        [np.arange(tok_offs[i], tok_offs[i + 1])
+                         for i in order])
+                    poss = poss[tok_idx]
+                enc = encode_postings(docs[order], tfs[order],
+                                      norms[order], poss)
                 self._term_cache[term] = [_SubList.from_encoded(enc)]
         self._preloaded = True
 
@@ -250,6 +278,7 @@ class IndexReader:
                 self._term_cache[t] = []
             if not os.path.isdir(shard):
                 continue
+            self._io_reads += 1
             tab = pq.read_table(shard, filters=[("term", "in", ts)],
                                 columns=self._COLS)
             for row in tab.to_pylist():
@@ -529,16 +558,25 @@ class IndexReader:
         return top.slice(after_rank, k)
 
     def vocabulary(self) -> list[str]:
-        """All terms in the index (term-dictionary scan)."""
+        """All terms in the index (term-dictionary scan), memoized —
+        fuzzy/regexp/prefix expansions after the first pay zero I/O
+        (Lucene keeps the terms index in RAM; an FST/automaton
+        intersection is the upstream path, a sorted in-RAM dictionary
+        with bisect is the equivalent here)."""
+        if self._vocab is not None:
+            return self._vocab
         if self._preloaded:
-            return sorted(self._term_cache)
+            self._vocab = sorted(self._term_cache)
+            return self._vocab
         found: set[str] = set()
         for b in range(self.cfg.n_buckets):
             shard = os.path.join(self.shard_root, f"bucket={b}")
             if os.path.isdir(shard):
+                self._io_reads += 1
                 found.update(
                     pq.read_table(shard, columns=["term"])["term"].to_pylist())
-        return sorted(found)
+        self._vocab = sorted(found)
+        return self._vocab
 
     def fuzzy_topk(self, term: str, k: int = 10,
                    max_edits: int = 1) -> pa.Table:
@@ -671,29 +709,14 @@ class IndexReader:
     def _lookup_positions(self, term: str
                           ) -> list[tuple[np.ndarray, np.ndarray,
                                           np.ndarray, np.ndarray]]:
-        """(docs, tfs, norms, flat positions) per stored sub-list."""
-        b = term_bucket(term, self.cfg.n_buckets)
-        shard = os.path.join(self.shard_root, f"bucket={b}")
-        if not os.path.isdir(shard):
-            return []
-        tab = pq.read_table(shard, filters=[("term", "==", term)],
-                            columns=["df", "docs", "tfs", "norms", "poss"])
+        """(docs, tfs, norms, flat positions) per sub-list — served
+        from the term cache (position blobs ride along with postings),
+        so repeat phrase queries on a warm reader do zero I/O."""
         out = []
-        for row in tab.to_pylist():
-            df = int(row["df"])
-            deltas, _ = vbyte_decode(row["docs"], df, 0)
-            docs = np.cumsum(deltas)
-            tfs, _ = vbyte_decode(row["tfs"], df, 0)
-            norms = np.frombuffer(row["norms"], dtype=np.uint8)
-            total = int(tfs.sum())
-            pos_deltas, _ = vbyte_decode(row["poss"], total, 0)
-            # undo per-posting delta chains: cumsum then rebase each
-            # posting's run at its absolute start
-            flat = np.cumsum(pos_deltas)
-            starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-            bases = flat[starts] - pos_deltas[starts]
-            flat = flat - np.repeat(bases, tfs)
-            out.append((docs, tfs, norms, flat))
+        for sub in self.lookup([term])[term]:
+            docs, tfs, norms = sub.decode_all()
+            out.append((docs, tfs, norms,
+                        sub.decode_positions_flat(tfs)))
         return out
 
     def wildcard_topk(self, prefix: str, k: int = 10) -> pa.Table:
@@ -708,17 +731,13 @@ class IndexReader:
         return self.boolean_topk(should=terms, k=k)
 
     def expand_prefix(self, prefix: str) -> list[str]:
-        if self._preloaded:
-            return sorted(t for t in self._term_cache if t.startswith(prefix))
-        found: set[str] = set()
-        for b in range(self.cfg.n_buckets):
-            shard = os.path.join(self.shard_root, f"bucket={b}")
-            if not os.path.isdir(shard):
-                continue
-            col = pq.read_table(shard, columns=["term"])["term"]
-            mask = pc.starts_with(col, prefix)
-            found.update(col.filter(mask).to_pylist())
-        return sorted(found)
+        """Prefix range over the sorted memoized dictionary (bisect)."""
+        import bisect
+
+        vocab = self.vocabulary()
+        lo = bisect.bisect_left(vocab, prefix)
+        hi = bisect.bisect_left(vocab, prefix + "\uffff")
+        return vocab[lo:hi]
 
     # ------------------------------------------------------------- fetch
 
