@@ -19,9 +19,11 @@ each variant is a Ray Data pipeline:
   (groupby(shingle) → pair partials → grouped sum) — the fully exact,
   SQL-checkable baseline the probabilistic variants approximate.
 
-All hashing is seeded/deterministic (crc32-based universal hashing) —
-no process-salted ``hash()`` anywhere, so retries and the DuckDB oracle
-agree.
+All hashing is seeded/deterministic (crc32 universal hashing for
+minhash permutations; md5-derived 64-bit token hashes for SimHash,
+chosen because DuckDB can compute the identical value, giving SimHash
+an exact SQL oracle) — no process-salted ``hash()`` anywhere, so
+retries and the DuckDB oracle agree.
 """
 
 from __future__ import annotations
@@ -222,11 +224,15 @@ def simhash64(texts) -> np.ndarray:
     doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
 
     uniq, inv = np.unique(toks, return_inverse=True)
-    h32 = _crc_hashes(uniq)
-    h32b = np.fromiter(
-        (zlib.crc32((s + "\x00salt").encode()) for s in uniq),
+    # md5-derived 64-bit token hash (first 8 digest bytes, big-endian)
+    # — deliberately SQL-expressible: DuckDB's
+    # ('0x' || substr(md5(term),1,16))::UBIGINT is the same value, so
+    # the whole SimHash op has an exact oracle
+    import hashlib as _hl
+    h64 = np.fromiter(
+        (int.from_bytes(_hl.md5(s.encode("utf-8")).digest()[:8], "big")
+         for s in uniq),
         dtype=np.uint64, count=len(uniq))
-    h64 = (h32 << np.uint64(32)) | h32b
 
     # distinct (doc, token) runs + their counts
     order = np.lexsort((inv, doc_of))

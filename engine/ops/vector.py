@@ -230,17 +230,25 @@ def lsh_signatures(m: np.ndarray, n_planes: int = 12, seed: int = 5
 
 def knn_lsh(ds: ray.data.Dataset, emb_col: str, id_col: str,
             queries: np.ndarray, k: int = 5, n_planes: int = 12,
-            seed: int = 5) -> pa.Table:
-    """Approximate cosine top-k: hyperplane-LSH bucket + 1-bit
-    multi-probe, brute force within candidates. Same output schema as
-    :func:`knn_brute`; recall < 1 by design (scale path for 100 TB)."""
+            seed: int = 5, probe_bits: int = 1) -> pa.Table:
+    """Approximate cosine top-k: hyperplane-LSH bucket + multi-probe
+    (all flips of up to ``probe_bits`` bits), brute force within
+    candidates. Same output schema as :func:`knn_brute`; recall < 1 by
+    design — raise ``probe_bits`` to trade pruning for recall (the
+    probe set is C(n_planes, ≤probe_bits) of 2^n_planes buckets)."""
+    import itertools
+
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     qsig = lsh_signatures(qn, n_planes, seed)
     probe: set[int] = set()
     for s in qsig:
         probe.add(int(s))
-        for b in range(n_planes):
-            probe.add(int(s) ^ (1 << b))
+        for r in range(1, probe_bits + 1):
+            for bits in itertools.combinations(range(n_planes), r):
+                m = 0
+                for b in bits:
+                    m |= 1 << b
+                probe.add(int(s) ^ m)
     probe_arr = pa.array(sorted(probe), type=pa.int64())
     qref = ray.put(qn)
     nq = qn.shape[0]

@@ -141,15 +141,38 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     return _cast_col(t, "rank", pa.int64())
 
 
+# golden value-hashes of bm25_topk_analyzed per sf dir (self-check in
+# lieu of a SQL oracle — Porter stemming is not SQL-expressible). The
+# result is fully deterministic (seeded corpus, f32-exact scoring), so
+# any drift is a real regression.
+_BM25_ANALYZED_GOLDEN = {
+    "sf0.001": "3344311bea4c1792119e36ad1e3c57a1",
+    "sf0.01": "2aea17296fac6325ba71bdbe06c660a4",
+    "sf0.1": "cbbe01f7bf41a6cc7ec648e559f911e2",
+}
+
+
 def bm25_topk_analyzed(sf_dir: str) -> pa.Table:
     """BM25 over the FULL analysis chain (stopwords + Porter stem) —
-    Porter isn't expressible in SQL, so rows-only; the analyzed path's
-    correctness is pinned by analyzer goldens + dual-execution tests."""
+    Porter isn't expressible in SQL, so rows-only; correctness is
+    pinned by an embedded golden value-hash (below) plus analyzer
+    goldens + dual-execution tests."""
+    import struct
+
     idx = cached_doc_index(sf_dir, analyzed=True)
     r = IndexReader(idx)
     top = r.topk("queries merging windows", 10)
-    return _cast_col(top.select(["rank", "doc_id", "score"]),
-                     "rank", pa.int64())
+    out = _cast_col(top.select(["rank", "doc_id", "score"]),
+                    "rank", pa.int64())
+    base = os.path.basename(os.path.normpath(sf_dir))
+    want = _BM25_ANALYZED_GOLDEN.get(base)
+    if want is not None:
+        got = hashlib.md5("\n".join(
+            f"{r['rank']}|{r['doc_id']}|{struct.pack('<f', r['score']).hex()}"
+            for r in out.to_pylist()).encode()).hexdigest()
+        assert got == want, (
+            f"bm25_topk_analyzed golden mismatch for {base}: {got}")
+    return out
 
 
 def _smallfloat_lut_sql() -> str:
@@ -899,16 +922,14 @@ FROM documents ORDER BY doc_id
 
 # ------------------------------------------------------- dedup entries
 
-def ngram_jaccard_docs(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(ds, "text", "doc_id", k=3, threshold=0.2)
-
-
-SQL_NGRAM_JACCARD = f"""
+def _sql_jaccard(threshold: float) -> str:
+    """Exact word-3-gram Jaccard pairs ≥ threshold (shared oracle for
+    the exact shuffle op and the exact-recall MinHash config)."""
+    return f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
 sh AS (
   SELECT DISTINCT doc_id,
-         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         ts[i] || \' \' || ts[i+1] || \' \' || ts[i+2] AS shingle
   FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
   WHERE len(ts) >= 3),
 sizes AS (SELECT doc_id, COUNT(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
@@ -919,19 +940,63 @@ inter AS (
 SELECT id_a, id_b, i / (sa.sz + sb.sz - i) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a
            JOIN sizes sb ON sb.doc_id = id_b
-WHERE i / (sa.sz + sb.sz - i) >= 0.2 ORDER BY id_a, id_b
+WHERE i / (sa.sz + sb.sz - i) >= {threshold} ORDER BY id_a, id_b
 """
 
 
+def ngram_jaccard_docs(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(ds, "text", "doc_id", k=3, threshold=0.2)
+
+
+SQL_NGRAM_JACCARD = _sql_jaccard(0.2)
+
+
 def minhash_pairs_docs(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup pairs in the exact-recall configuration:
+    bands = num_perm (single-row bands), so a qualifying pair (J≥0.5)
+    misses every band with probability (1-J)^64 < 1e-19 — recall 1 for
+    practical purposes, making the exact-Jaccard SQL the oracle. The
+    production S-curve config (bands=16) trades recall for far fewer
+    candidates; its machinery is identical."""
     ds = _read(sf_dir, "documents")
     return dd.minhash_lsh_pairs(ds, "text", "doc_id", k=3, num_perm=64,
-                                bands=16, threshold=0.5)
+                                bands=64, threshold=0.5)
+
+
+SQL_MINHASH_EXACT = _sql_jaccard(0.5)
 
 
 def simhash_pairs_docs(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs (hamming ≤ 3). Pigeonhole banding makes
+    the op exact given the signature, and the md5-derived token hash is
+    DuckDB-computable — so the whole pipeline has an exact SQL oracle."""
     ds = _read(sf_dir, "documents")
     return dd.simhash_pairs(ds, "text", "doc_id", hamming_threshold=3)
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+tc AS (SELECT doc_id, term, COUNT(*)::BIGINT AS cnt
+       FROM toks GROUP BY doc_id, term),
+h AS (SELECT doc_id, cnt,
+             (\'0x\' || substr(md5(term), 1, 16))::UBIGINT AS h64 FROM tc),
+bitpos AS (SELECT unnest(range(0, 64)) AS b),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h64 >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+  FROM h CROSS JOIN bitpos GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << b)
+             ELSE CAST(0 AS UBIGINT) END) AS s
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s::UBIGINT, b.s::UBIGINT))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s::UBIGINT, b.s::UBIGINT)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 # ------------------------------------------------------ vector entries
@@ -1034,7 +1099,21 @@ def transcript_bm25(sf_dir: str) -> pa.Table:
         QueryEngine, fn_constructor_args=(idx,),
         batch_format="pyarrow", concurrency=2)
     t = _to_table(res)
-    return t.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    t = t.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    # embedded golden (deterministic corpus + f32-exact scoring): any
+    # drift in analyzer/build/merge/query is caught here even though
+    # the transcript corpus is not a DuckDB view
+    import struct
+    golden = {0.001: "a6ea966cc60f5265b180679ada20dd46",
+              0.01: "a86541184ef695b24dca0d94b32b5540"}
+    want = golden.get(sf)
+    if want is not None:
+        got = hashlib.md5("\n".join(
+            f"{r['query_id']}|{r['rank']}|{r['conv_id']}|"
+            f"{r['turn_idx']}|{struct.pack('<f', r['score']).hex()}"
+            for r in t.to_pylist()).encode()).hexdigest()
+        assert got == want, f"transcript_bm25 golden mismatch: {got}"
+    return t
 
 
 def knn_lsh_docs(sf_dir: str) -> pa.Table:
@@ -1150,7 +1229,9 @@ def oracle_sql() -> dict:
         "knn_cosine": SQL_KNN_COSINE,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": SQL_EMB_NEAR_DUP,
-        # minhash/simhash/knn_lsh: probabilistic-recall ops, rows-only;
+        "minhash_pairs_docs": SQL_MINHASH_EXACT,
+        "simhash_pairs_docs": SQL_SIMHASH,
+        # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)
     }

@@ -128,9 +128,9 @@ def test_positions_roundtrip_through_index(ray_session, smoke_index):
 
 def test_simhash_vectorized_matches_reference_formulation():
     """The batch-vectorized simhash64 must equal the per-doc formula."""
-    import zlib
+    import hashlib
 
-    from engine.ops.dedup import _crc_hashes, simhash64
+    from engine.ops.dedup import simhash64
 
     texts = pa.array([
         "the quick brown fox", "the quick brown fox", "", "one one one two",
@@ -144,11 +144,10 @@ def test_simhash_vectorized_matches_reference_formulation():
             return 0
         uniq, cnt = np.unique(np.array(toks, dtype=object),
                               return_counts=True)
-        h32 = _crc_hashes(uniq)
-        h32b = np.fromiter(
-            (zlib.crc32((s + "\x00salt").encode()) for s in uniq),
+        h64 = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+             for s in uniq),
             dtype=np.uint64, count=len(uniq))
-        h64 = (h32 << np.uint64(32)) | h32b
         bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64))
                 & np.uint64(1)).astype(np.int64)
         acc = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
