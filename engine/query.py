@@ -741,6 +741,39 @@ class IndexReader:
 
     # ------------------------------------------------------------- fetch
 
+    def fetch_docs(self, doc_ids: np.ndarray) -> pa.Table:
+        """doc_id → stored text: the second phase of two-phase search
+        (upstream ``SearchHandler``/``QueryComponent#mergeIds`` then
+        field fetch [U]). Touches only the stored-fields files whose
+        (min, max) docID range covers a requested id — binary search
+        over the manifest bounds + Parquet row-group pruning on the
+        sorted ``doc_id`` column; never a corpus scan.
+
+        Requires :func:`engine.build.build_stored_fields` to have run;
+        returns (doc_id, text) sorted by doc_id (missing ids absent).
+        """
+        from engine.build import STORED_DIR
+
+        bounds = self.manifest.get("stored")
+        if not bounds:
+            raise ValueError(
+                "no stored fields: run build_stored_fields(index_dir)")
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        out: list[pa.Table] = []
+        for b in bounds:
+            sub = ids[(ids >= b["min"]) & (ids <= b["max"])]
+            if not len(sub):
+                continue
+            self._io_reads += 1
+            path = os.path.join(self.index_dir, STORED_DIR, b["file"])
+            out.append(pq.read_table(
+                path, columns=["doc_id", "text"],
+                filters=[("doc_id", "in", sub.tolist())]))
+        if not out:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string())})
+        return pa.concat_tables(out).combine_chunks().sort_by("doc_id")
+
     def resolve_docs(self, doc_ids: np.ndarray) -> pa.Table:
         """doc_id → (conv_id, turn_idx) via the docmap base table."""
         if self.cfg.conv_cols is None:
@@ -797,10 +830,15 @@ class QueryEngine:
     """
 
     def __init__(self, index_dir: str, strategy: str = "auto",
-                 resolve: bool = True, preload: bool = True):
+                 resolve: bool = True, preload: bool = True,
+                 fetch_text: bool = False):
         self.reader = IndexReader(index_dir, preload=preload)
         self.strategy = strategy
         self.resolve = resolve and self.reader.cfg.conv_cols is not None
+        # two-phase search: ids+scores first, stored-field fetch second
+        self.fetch_text = fetch_text
+        if fetch_text and not self.reader.manifest.get("stored"):
+            raise ValueError("fetch_text=True needs build_stored_fields")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: list[pa.Table] = []
@@ -823,7 +861,18 @@ class QueryEngine:
             top = top.add_column(
                 0, "query_id", pa.array(np.full(top.num_rows, qid, np.int64)))
             out.append(top)
-        return pa.concat_tables(out) if out else _empty_results(self.resolve)
+        if not out:
+            return _empty_results(self.resolve)
+        res = pa.concat_tables(out)
+        if self.fetch_text:
+            if res.num_rows:
+                fetched = self.reader.fetch_docs(res["doc_id"].to_numpy())
+                idx = pc.index_in(res["doc_id"], value_set=fetched["doc_id"])
+                res = res.append_column("text", fetched["text"].take(idx))
+            else:
+                res = res.append_column(
+                    "text", pa.array([], type=pa.string()))
+        return res
 
 
 def _empty_results(resolve: bool) -> pa.Table:

@@ -175,6 +175,30 @@ def bm25_topk_analyzed(sf_dir: str) -> pa.Table:
     return out
 
 
+def fetch_topk_docs(sf_dir: str) -> pa.Table:
+    """Two-phase distributed search (upstream ``SearchHandler``:
+    ids+scores phase then stored-field fetch [U]): BM25 top-k over the
+    merged index, then ``fetch_docs`` row-range reads of the stored
+    fields for the winning docIDs."""
+    from engine.build import build_stored_fields
+
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    build_stored_fields(idx)  # no-op once built (manifest-guarded)
+    r = IndexReader(idx)
+    top = r.bmw_topk(BM25_QUERY, BM25_K)
+    fetched = r.fetch_docs(top["doc_id"].to_numpy())
+    pos = pc.index_in(top["doc_id"], value_set=fetched["doc_id"])
+    t = top.select(["rank", "doc_id", "score"]) \
+        .append_column("text", fetched["text"].take(pos))
+    return _cast_col(t, "rank", pa.int64())
+
+
+def sql_fetch_topk() -> str:
+    return f"""SELECT r.rank, r.doc_id, r.score, d.text
+FROM ({sql_bm25_topk()}) r JOIN documents d USING (doc_id)
+ORDER BY r.rank"""
+
+
 def _smallfloat_lut_sql() -> str:
     rows = []
     for b in range(256):
@@ -1135,6 +1159,7 @@ def queries() -> dict:
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
         "bm25_topk_analyzed": bm25_topk_analyzed,
+        "fetch_topk_docs": fetch_topk_docs,
         "conjunction_topk": conjunction_topk,
         "boolean_not_topk": boolean_not_topk,
         "phrase_topk": phrase_topk,
@@ -1189,6 +1214,7 @@ def oracle_sql() -> dict:
         "term_stats_mapreduce": SQL_TERM_STATS,
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
+        "fetch_topk_docs": sql_fetch_topk(),
         "conjunction_topk": SQL_CONJUNCTION,
         "boolean_not_topk": SQL_BOOLEAN_NOT,
         "phrase_topk": sql_phrase_topk(),

@@ -222,3 +222,47 @@ def test_vectorized_merge_matches_groupby_reference(
                         "blk_tf_off", "blk_pos_off", "blk_max_tf",
                         "blk_min_norm"):
                 assert fs[k][col] == rs[k][col], (k, col)
+
+
+def test_stored_fields_fetch(ray_session, smoke_index, smoke_corpus):
+    """Stored-fields generation + two-phase fetch: fetch_docs must
+    return the exact corpus text for any docID set, touching only the
+    files whose range covers the ids."""
+    import pyarrow.parquet as pq
+
+    from engine.build import build_stored_fields
+    from engine.query import IndexReader, QueryEngine
+
+    corpus, n = smoke_corpus
+    idx, _, _ = smoke_index
+    stored = build_stored_fields(idx)
+    assert stored == n
+    # second call is a no-op (manifest guard)
+    assert build_stored_fields(idx) == n
+
+    r = IndexReader(idx)
+    ids = np.array([0, 1, n // 2, n - 1], dtype=np.int64)
+    got = r.fetch_docs(ids)
+    assert got["doc_id"].to_pylist() == sorted(set(ids.tolist()))
+
+    # ground truth: corpus sorted by (conv_id, turn_idx) == docID order
+    import pyarrow as pa
+    full = pa.concat_tables([
+        pq.read_table(os.path.join(corpus, f))
+        for f in sorted(os.listdir(corpus)) if f.endswith(".parquet")])
+    full = full.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    texts = full["text"].to_pylist()
+    for did, txt in zip(got["doc_id"].to_pylist(), got["text"].to_pylist()):
+        assert txt == texts[did], did
+
+    # QueryEngine fetch_text end-to-end
+    qe = QueryEngine(idx, resolve=True, preload=False, fetch_text=True)
+    batch = pa.table({
+        "query_id": pa.array([0], type=pa.int64()),
+        "query_text": pa.array(["running connection"]),
+        "k": pa.array([5], type=pa.int64()),
+    })
+    res = qe(batch)
+    assert "text" in res.column_names and res.num_rows > 0
+    for did, txt in zip(res["doc_id"].to_pylist(), res["text"].to_pylist()):
+        assert txt == texts[did]
