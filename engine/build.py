@@ -797,6 +797,44 @@ def build_index(input_path: str | list[str], index_dir: str,
 STORED_DIR = "stored"
 
 
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Mark docIDs deleted (upstream ``LiveDocsFormat`` /
+    ``PendingDeletes`` [U]): deletes live OUTSIDE the immutable posting
+    shards as a sorted docID list, published as a new generation file +
+    one atomic manifest commit — same two-phase pattern as optimize.
+    Readers mask deleted docs at scoring time; a later forceMerge could
+    fold them into rewritten shards.
+
+    Cumulative: new ids union with the existing delete set. Returns
+    the total deleted count. At 10^12-doc scale the list shards by
+    docID range next to the index buckets; the manifest schema
+    (file, n, gen) already allows a list of range files."""
+    man = mf.load(index_dir)
+    assert man and man["status"] == "complete", "delete needs a complete index"
+    N = int(man["stats"]["N"])
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if len(ids) and (ids[0] < 0 or ids[-1] >= N):
+        raise ValueError(f"doc_id out of range [0, {N})")
+    cur = man.get("deletes")
+    if cur:
+        old = pq.read_table(
+            os.path.join(index_dir, cur["file"]))["doc_id"].to_numpy()
+        ids = np.union1d(ids, old)
+    gen = (cur or {}).get("gen", 0) + 1
+    fname = f"deletes-g{gen}.parquet"
+    tmp = os.path.join(index_dir, fname + ".tmp")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), tmp)
+    os.replace(tmp, os.path.join(index_dir, fname))
+    man["deletes"] = {"file": fname, "n": int(len(ids)), "gen": gen}
+    mf.save(index_dir, man)          # the commit point
+    if cur and cur["file"] != fname:
+        try:
+            os.remove(os.path.join(index_dir, cur["file"]))
+        except OSError:
+            pass
+    return int(len(ids))
+
+
 def build_stored_fields(index_dir: str) -> int:
     """Stored-fields stage (upstream ``Lucene50StoredFieldsFormat``
     ``.fdt``/``.fdx`` [U]; the second phase of distributed search,

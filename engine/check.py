@@ -29,6 +29,14 @@ def check_index(index_dir: str) -> dict[str, int]:
     cfg = IndexConfig.from_json(man["config"])
     N = int(man["stats"]["N"])
 
+    dels = man.get("deletes")
+    if dels and dels.get("n"):
+        dd = pq.read_table(
+            os.path.join(index_dir, dels["file"]))["doc_id"].to_numpy()
+        assert len(dd) == dels["n"], "deletes count mismatch"
+        assert (np.diff(dd) > 0).all(), "deletes not sorted unique"
+        assert dd[0] >= 0 and dd[-1] < N, "deleted docID out of range"
+
     total_cf = 0
     terms_seen: set[str] = set()
     n_rows = 0

@@ -214,6 +214,13 @@ class IndexReader:
         self.k1, self.b = k1, b
         self.cache = norm_cache(self.avgdl, k1, b)
         self.analyzer = Analyzer(self.cfg.stop_words, self.cfg.stemming)
+        dels = man.get("deletes")
+        if dels and dels.get("n"):
+            self._deleted = pq.read_table(
+                os.path.join(index_dir, dels["file"]))["doc_id"] \
+                .to_numpy().astype(np.int64)   # sorted unique
+        else:
+            self._deleted = np.empty(0, dtype=np.int64)
         self._term_cache: dict[str, list[_SubList]] = {}
         self._docmap: pa.Table | None = None
         self._vocab: list[str] | None = None
@@ -288,6 +295,17 @@ class IndexReader:
     def global_df(self, subs: list[_SubList]) -> int:
         return sum(s.df for s in subs)
 
+    def _keep(self, docs: np.ndarray) -> np.ndarray | None:
+        """Live-docs mask (None = nothing deleted): True where doc is
+        NOT deleted. Upstream ``LeafReader#getLiveDocs`` [U] — applied
+        at candidate/scoring time; df/idf stay the index-time stats,
+        exactly like Lucene before deletes are merged away."""
+        if not len(self._deleted):
+            return None
+        idx = np.searchsorted(self._deleted, docs)
+        idx_c = np.clip(idx, 0, len(self._deleted) - 1)
+        return self._deleted[idx_c] != docs
+
     # ----------------------------------------------------------- scoring
 
     # dense accumulator bound: one f64 cell per doc of the (per-shard)
@@ -347,6 +365,8 @@ class IndexReader:
             sums = np.zeros(self.N, dtype=np.float64)
             for docs, sc in clauses:
                 sums[docs] += sc.astype(np.float64)
+            if len(self._deleted):
+                sums[self._deleted] = 0.0
             final = sums.astype(np.float32)
             total = int(np.count_nonzero(final))
             if total == 0:
@@ -364,6 +384,9 @@ class IndexReader:
         uniq, inv = np.unique(docs, return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(sums, inv, scores)
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, sums = uniq[keep], sums[keep]
         final = sums.astype(np.float32)
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
@@ -423,6 +446,9 @@ class IndexReader:
                         sums = np.zeros(len(uniq), dtype=np.float64)
                         np.add.at(sums, inv, contribs)
                         f32 = sums.astype(np.float32)
+                    keepm = self._keep(uniq)
+                    if keepm is not None:
+                        uniq, f32 = uniq[keepm], f32[keepm]
                     scored += len(uniq)
                     if len(heap) < k:
                         idxs = range(len(uniq))
@@ -496,6 +522,9 @@ class IndexReader:
             if subs[t]:
                 nd = self._clause_arrays(t, subs[t])[0]
                 cand = cand[~np.isin(cand, nd, assume_unique=True)]
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
         if not len(cand):
             return _topdocs_table([], [])
 
@@ -535,6 +564,11 @@ class IndexReader:
         if not clause:
             return _topdocs_table([], [])
         cand = np.unique(np.concatenate([c[0] for c in clause.values()]))
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        if not len(cand):
+            return _topdocs_table([], [])
         mx = np.zeros(len(cand), dtype=np.float32)
         sm = np.zeros(len(cand), dtype=np.float64)
         for t, (docs, tfs, norms) in clause.items():
@@ -601,6 +635,11 @@ class IndexReader:
         if not clause:
             return _topdocs_table([], [])
         cand = np.unique(np.concatenate([c[0] for c in clause.values()]))
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        if not len(cand):
+            return _topdocs_table([], [])
         sums = np.zeros(len(cand), dtype=np.float64)
         for t, (docs, tfs, norms) in clause.items():
             # Lucene folds boost into the weight: w = boost * idf (f32)
@@ -625,6 +664,9 @@ class IndexReader:
         if not docs_l:
             return _topdocs_table([], [])
         cand = np.unique(np.concatenate(docs_l))
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
         sel = cand[:k]
         return _topdocs_table(
             sel, np.full(len(sel), np.float32(boost), dtype=np.float32),
@@ -701,6 +743,11 @@ class IndexReader:
             return _topdocs_table([], [])
         docs = (occ // SHIFT).astype(np.int64)
         uniq, freq = np.unique(docs, return_counts=True)
+        keepm = self._keep(uniq)
+        if keepm is not None:
+            uniq, freq = uniq[keepm], freq[keepm]
+        if not len(uniq):
+            return _topdocs_table([], [])
         norms = np.array([doc_norm[int(d)] for d in uniq], dtype=np.uint8)
         final = _clause_scores(freq, norms, np.float32(w64), self.cache)
         order = np.lexsort((uniq, -final))[:k]

@@ -266,3 +266,51 @@ def test_stored_fields_fetch(ray_session, smoke_index, smoke_corpus):
     assert "text" in res.column_names and res.num_rows > 0
     for did, txt in zip(res["doc_id"].to_pylist(), res["text"].to_pylist()):
         assert txt == texts[did]
+
+
+def test_deletes_masking(ray_session, tmp_path_factory):
+    """delete_docs generation: every query type excludes deleted docs,
+    total_hits shrinks, CheckIndex validates the delete list."""
+    from engine.build import build_index, delete_docs
+    from engine.check import check_index
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("deletes")
+    corpus = str(root / "corpus")
+    n = write_transcripts(corpus, n_convs=150, seed=5, n_files=2)
+    idx = str(root / "idx")
+    build_index(corpus, idx, IndexConfig(
+        n_buckets=2, hot_df_threshold=80, n_salts=2))
+
+    before = IndexReader(idx)
+    t0 = before.topk("running connection index", 50)
+    assert t0.num_rows > 10
+    victims = t0["doc_id"].to_pylist()[:5] + [0, n - 1]
+    n_del = delete_docs(idx, victims)
+    assert n_del == len(set(victims))
+    # cumulative second delete
+    assert delete_docs(idx, [1]) == n_del + (0 if 1 in victims else 1)
+    check_index(idx)
+
+    after = IndexReader(idx)
+    dels = set(victims) | {1}
+    for strat in ("brute", "bmw"):
+        t = after.topk("running connection index", 50, strategy=strat)
+        assert not (set(t["doc_id"].to_pylist()) & dels), strat
+        assert t["total_hits"][0].as_py() < t0["total_hits"][0].as_py()
+    # brute and bmw still rank-identical under deletes
+    tb = after.topk("running connection index", 20, strategy="brute")
+    tw = after.topk("running connection index", 20, strategy="bmw")
+    assert tb["doc_id"].to_pylist() == tw["doc_id"].to_pylist()
+    assert tb["score"].to_pylist() == tw["score"].to_pylist()
+
+    for t in [
+        after.boolean_topk(must=["running"], k=50),
+        after.boolean_topk(should=["running", "index"], k=50),
+        after.dismax_topk(["running", "index"], k=50),
+        after.boosted_topk({"running": 2.0}, k=50),
+        after.constant_score_topk(["running"], k=50),
+        after.phrase_topk("running connection", k=50),
+        after.wildcard_topk("run", k=50),
+    ]:
+        assert not (set(t["doc_id"].to_pylist()) & dels)
