@@ -45,19 +45,151 @@ ENGLISH_STOP_WORDS = frozenset({
 TOKEN_SPLIT_REGEX = r"[^A-Za-z0-9]+"
 
 
+class TokenFilter:
+    """Extension point (SURVEY.md §2.10): an ordered token filter in
+    the encoded representation — vectorized over the whole batch, not
+    per token. ``apply`` receives and returns
+    ``(offsets, codes, vocab, positions, doc_lens)`` with tokens
+    grouped per document (order within a doc is free; downstream
+    sorts)."""
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        raise NotImplementedError
+
+    def spec(self) -> dict:
+        raise NotImplementedError
+
+
+class SynonymFilter(TokenFilter):
+    """Single-token synonym mapping (upstream ``SynonymGraphFilter``
+    [U], replace semantics): each mapped term is rewritten to its
+    canonical form. Vectorized: only the batch VOCABULARY is remapped;
+    the corpus-sized code array is re-pointed via one np.unique."""
+
+    def __init__(self, mapping: dict[str, str]):
+        self.mapping = dict(mapping)
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        m = self.mapping
+        vocab2 = np.array([m.get(t, t) for t in vocab], dtype=object)
+        uniq, inv = np.unique(vocab2, return_inverse=True)
+        return offsets, inv[codes], uniq, positions, doc_lens
+
+    def spec(self) -> dict:
+        return {"type": "synonym", "mapping": dict(sorted(
+            self.mapping.items()))}
+
+
+class ShingleFilter(TokenFilter):
+    """Word-shingle emission (upstream ``ShingleFilter`` [U]): for
+    each k in [min_size, max_size], emit the k-grams of consecutive
+    EMITTED tokens (conformance boundary, documented: stopword gaps do
+    not insert filler tokens — matching the SQL oracle, which also
+    shingles the post-filter stream). A shingle's position is its
+    first token's position. ``output_unigrams=False`` drops the
+    originals (n-gram-only index)."""
+
+    def __init__(self, min_size: int = 2, max_size: int = 2,
+                 sep: str = "_", output_unigrams: bool = True):
+        assert 2 <= min_size <= max_size
+        self.min_size = min_size
+        self.max_size = max_size
+        self.sep = sep
+        self.output_unigrams = output_unigrams
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        n_docs = len(offsets) - 1
+        total = len(codes)
+        if total == 0:
+            if not self.output_unigrams:
+                z = np.zeros_like(doc_lens)
+                return offsets, codes, vocab, positions, z
+            return offsets, codes, vocab, positions, doc_lens
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        doc_end = offsets[1:][doc_of]
+        idx = np.arange(total, dtype=np.int64)
+
+        streams = []            # (doc, pos, key-tuple rows) per k
+        if self.output_unigrams:
+            streams.append((doc_of, positions, codes[None, :],
+                            np.ones(total, dtype=bool)))
+        for k in range(self.min_size, self.max_size + 1):
+            valid = idx + k <= doc_end
+            if not valid.any():
+                continue
+            starts = idx[valid]
+            kc = np.stack([codes[starts + j] for j in range(k)])
+            streams.append((doc_of[valid], positions[valid], kc, None))
+
+        # build the combined vocabulary: unigram vocab (optional) plus
+        # joined shingle strings from UNIQUE code tuples only
+        out_doc, out_pos, out_term = [], [], []
+        for doc_v, pos_v, kc, is_uni in streams:
+            if is_uni is not None:
+                out_doc.append(doc_v)
+                out_pos.append(pos_v)
+                out_term.append(vocab[kc[0]])
+                continue
+            # unique shingle code-tuples -> joined strings once
+            kt = kc.T
+            u, inv = np.unique(kt, axis=0, return_inverse=True)
+            joined = np.array(
+                [self.sep.join(vocab[c] for c in row) for row in u],
+                dtype=object)
+            out_doc.append(doc_v)
+            out_pos.append(pos_v)
+            out_term.append(joined[inv])
+
+        doc_all = np.concatenate(out_doc)
+        pos_all = np.concatenate(out_pos).astype(np.int32)
+        term_all = np.concatenate(out_term)
+        order = np.lexsort((pos_all, doc_all))     # regroup per doc
+        doc_all, pos_all, term_all = \
+            doc_all[order], pos_all[order], term_all[order]
+        new_lens = np.bincount(doc_all, minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        uniq, inv = np.unique(term_all, return_inverse=True)
+        return new_offsets, inv, uniq, pos_all, new_lens
+
+    def spec(self) -> dict:
+        return {"type": "shingle", "min_size": self.min_size,
+                "max_size": self.max_size, "sep": self.sep,
+                "output_unigrams": self.output_unigrams}
+
+
+def build_filter(spec: dict) -> TokenFilter:
+    """Filter factory from a JSON spec (IndexConfig serialization)."""
+    t = spec["type"]
+    if t == "synonym":
+        return SynonymFilter(spec["mapping"])
+    if t == "shingle":
+        return ShingleFilter(spec["min_size"], spec["max_size"],
+                             spec["sep"], spec["output_unigrams"])
+    raise ValueError(f"unknown token filter type {t!r}")
+
+
 class Analyzer:
     """The analysis chain as a reusable, Ray-actor-friendly object.
 
     Construction compiles the stopword table and seeds the stem memo —
     done once per actor (``map_batches(cls, concurrency=...)``), then
-    ``analyze_flat`` runs per batch.
-    """
+    ``analyze_flat`` runs per batch. ``filters`` is the ordered
+    extension chain (SURVEY.md §2.10) applied after tokenize →
+    lowercase → stop → stem, each vectorized over the encoded batch."""
 
     def __init__(self, stop_words: frozenset[str] | None = ENGLISH_STOP_WORDS,
-                 stemming: bool = True):
+                 stemming: bool = True,
+                 filters: tuple[TokenFilter, ...] | list | None = None):
         self.stop_words = stop_words if stop_words is not None else frozenset()
         self._stop_arr = pa.array(sorted(self.stop_words), type=pa.string())
         self.stemming = stemming
+        self.filters = tuple(
+            f if isinstance(f, TokenFilter) else build_filter(f)
+            for f in (filters or ()))
         self._stem_memo: dict[str, str] = {}
 
     def _stem_unique(self, uniq: np.ndarray) -> np.ndarray:
@@ -142,7 +274,10 @@ class Analyzer:
             uniq, inv = np.unique(vocab, return_inverse=True)
             vocab = uniq
             codes = inv[codes]
-        return offsets, codes, vocab, positions, doc_lens
+        out = (offsets, codes, vocab, positions, doc_lens)
+        for f in self.filters:
+            out = f.apply(*out)
+        return out
 
     def analyze_flat(self, texts: pa.Array | pa.ChunkedArray):
         """Analyze a column of documents.

@@ -86,6 +86,8 @@ class IndexConfig:
     batch_size: int = 4096
     concurrency: int | tuple[int, int] | None = None  # None → auto pool
     store_positions: bool = True
+    # ordered token-filter chain (JSON specs; see analysis.build_filter)
+    filters: tuple = ()
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -98,6 +100,7 @@ class IndexConfig:
             "hot_df_threshold": self.hot_df_threshold,
             "n_salts": self.n_salts,
             "store_positions": self.store_positions,
+            "filters": [dict(f) for f in self.filters],
         }
 
     @staticmethod
@@ -112,6 +115,7 @@ class IndexConfig:
             hot_df_threshold=d["hot_df_threshold"],
             n_salts=d["n_salts"],
             store_positions=d.get("store_positions", True),
+            filters=tuple(d.get("filters") or ()),
         )
 
 
@@ -184,7 +188,8 @@ class FragmentBuilder:
                  part_of_path: dict[str, int], corpus_n: int):
         cfg = IndexConfig.from_json(cfg_json)
         self.cfg = cfg
-        self.analyzer = Analyzer(cfg.stop_words, cfg.stemming)
+        self.analyzer = Analyzer(cfg.stop_words, cfg.stemming,
+                                 cfg.filters)
         self.part_of_path = part_of_path
         self.corpus_n = max(1, int(corpus_n))
         self._bucket_memo: dict[str, int] = {}

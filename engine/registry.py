@@ -128,6 +128,84 @@ SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
 FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 20
 """
 
+def _cached_filtered_index(sf_dir: str, filters: tuple, tag: str) -> str:
+    """Index over documents with a token-filter chain (no stop/stem so
+    the SQL oracle can reproduce the stream)."""
+    key = hashlib.md5(f"{sf_dir}|{tag}|v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", key)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048, filters=filters)
+    build_index([os.path.join(sf_dir, "documents.parquet")], out, cfg)
+    return out
+
+
+def _index_stats_of(idx: str) -> pa.Table:
+    parts = []
+    root = mf.shard_root(idx, mf.load(idx))
+    for b in range(4):
+        shard = os.path.join(root, f"bucket={b}")
+        if os.path.isdir(shard):
+            parts.append(pq.read_table(shard, columns=["term", "df", "cf"]))
+    t = pa.concat_tables(parts)
+    t = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+    t = _rename(t, {"df_sum": "df", "cf_sum": "cf"})
+    return t.sort_by("term")
+
+
+def shingle_term_stats(sf_dir: str) -> pa.Table:
+    """ShingleFilter e2e (upstream ``ShingleFilter`` [U]): word-2-gram
+    index (shingles only) → (term, df, cf) read back from the merged
+    shards, against a SQL 2-gram recomputation."""
+    idx = _cached_filtered_index(
+        sf_dir,
+        ({"type": "shingle", "min_size": 2, "max_size": 2, "sep": "_",
+          "output_unigrams": False},),
+        "shingle2")
+    return _index_stats_of(idx)
+
+
+SQL_SHINGLE_STATS = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT doc_id, ts[i] || '_' || ts[i+1] AS term
+  FROM toks, unnest(range(1, len(ts))) AS r(i)
+  WHERE len(ts) >= 2)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df, COUNT(*)::BIGINT AS cf
+FROM sh GROUP BY term ORDER BY term
+"""
+
+_SYN_MAP = {"merged": "merge", "merging": "merge", "merges": "merge",
+            "windows": "window", "windowing": "window"}
+
+
+def synonym_term_stats(sf_dir: str) -> pa.Table:
+    """SynonymFilter e2e (upstream ``SynonymGraphFilter`` replace mode
+    [U]): canonicalizing index → stats for the mapped families."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "synonym", "mapping": dict(sorted(
+            _SYN_MAP.items()))},), "synonym1")
+    t = _index_stats_of(idx)
+    keep = pc.is_in(t["term"],
+                    value_set=pa.array(["merge", "window"]))
+    return t.filter(keep)
+
+
+def _sql_synonym_stats() -> str:
+    cases = " ".join(f"WHEN '{k}' THEN '{v}'"
+                     for k, v in sorted(_SYN_MAP.items()))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS raw FROM documents),
+mapped AS (
+  SELECT doc_id, CASE raw {cases} ELSE raw END AS term FROM toks)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df, COUNT(*)::BIGINT AS cf
+FROM mapped WHERE term IN ('merge', 'window')
+GROUP BY term ORDER BY term
+"""
+
+
 BM25_QUERY = "spark merge window"
 BM25_K = 10
 
@@ -1156,6 +1234,8 @@ def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
         "term_stats_mapreduce": term_stats_mapreduce,
+        "shingle_term_stats": shingle_term_stats,
+        "synonym_term_stats": synonym_term_stats,
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
         "bm25_topk_analyzed": bm25_topk_analyzed,
@@ -1212,6 +1292,8 @@ def oracle_sql() -> dict:
     return {
         "index_term_stats": SQL_TERM_STATS,
         "term_stats_mapreduce": SQL_TERM_STATS,
+        "shingle_term_stats": SQL_SHINGLE_STATS,
+        "synonym_term_stats": _sql_synonym_stats(),
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
         "fetch_topk_docs": sql_fetch_topk(),

@@ -71,3 +71,50 @@ def test_batch_matches_single(an):
         seg = slice(offsets[i], offsets[i + 1])
         assert list(zip(terms[seg].tolist(),
                         positions[seg].tolist())) == an.analyze_text(d)
+
+
+def test_synonym_filter_golden():
+    from engine.analysis import Analyzer, SynonymFilter
+
+    a = Analyzer(stop_words=None, stemming=False,
+                 filters=[SynonymFilter({"fast": "quick", "rapid": "quick"})])
+    toks = a.analyze_text("Fast cars are rapid and quick")
+    assert toks == [("quick", 0), ("cars", 1), ("are", 2),
+                    ("quick", 3), ("and", 4), ("quick", 5)]
+
+
+def test_shingle_filter_golden():
+    from engine.analysis import Analyzer, ShingleFilter
+
+    a = Analyzer(stop_words=None, stemming=False,
+                 filters=[ShingleFilter(2, 2, "_", output_unigrams=True)])
+    toks = a.analyze_text("a b c")
+    assert toks == [("a", 0), ("a_b", 0), ("b", 1), ("b_c", 1), ("c", 2)]
+
+    only = Analyzer(stop_words=None, stemming=False,
+                    filters=[ShingleFilter(2, 3, "_",
+                                           output_unigrams=False)])
+    toks2 = only.analyze_text("a b c d")
+    assert toks2 == [("a_b", 0), ("a_b_c", 0), ("b_c", 1), ("b_c_d", 1),
+                     ("c_d", 2)]
+    # one-token doc yields no shingles; doc_lens reflects emitted count
+    offs, terms, pos, lens = only.analyze_flat(
+        __import__("pyarrow").array(["single", "x y"]))
+    assert lens.tolist() == [0, 1] and list(terms) == ["x_y"]
+
+
+def test_filter_chain_order_and_config_roundtrip():
+    from engine.analysis import Analyzer, build_filter
+    from engine.build import IndexConfig
+
+    specs = ({"type": "synonym", "mapping": {"fast": "quick"}},
+             {"type": "shingle", "min_size": 2, "max_size": 2,
+              "sep": "_", "output_unigrams": False})
+    cfg = IndexConfig(filters=specs)
+    cfg2 = IndexConfig.from_json(cfg.to_json())
+    assert tuple(cfg2.filters) == tuple(specs)
+
+    a = Analyzer(stop_words=None, stemming=False,
+                 filters=[build_filter(s) for s in specs])
+    # synonym applies BEFORE shingling (ordered chain)
+    assert a.analyze_text("fast car") == [("quick_car", 0)]
