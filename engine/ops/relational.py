@@ -170,6 +170,48 @@ def timeseries(ds: ray.data.Dataset, ts_col: str, unit: str,
              .groupby("window").aggregate(*aggs)
 
 
+def sort_nulls(ds: ray.data.Dataset, col: str, descending: bool = False,
+               nulls_last: bool = True) -> ray.data.Dataset:
+    """Sort with explicit null placement (the reference's
+    ``sortMissingLast`` / ``sortMissingFirst`` field options, upstream
+    ``S/schema/FieldType`` [U]). Ray's distributed sort has no null
+    placement knob, so a null-flag column is prepended to the sort key
+    (flag asc puts nulls last when it equals ``is_null``), then
+    dropped — still ONE distributed sort, no extra shuffle."""
+    flag_desc = not nulls_last
+
+    def add_flag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__isnull", pc.cast(pc.is_null(b[col]), pa.int8()))
+
+    out = ds.map_batches(add_flag, batch_format="pyarrow") \
+        .sort(["__isnull", col], descending=[flag_desc, descending])
+
+    def drop_flag(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["__isnull"])
+    return out.map_batches(drop_flag, batch_format="pyarrow")
+
+
+def seeded_sample(ds: ray.data.Dataset, id_col: str, percent: int,
+                  seed: str = "s0") -> ray.data.Dataset:
+    """``random`` stream, made deterministic (upstream
+    ``SJ/stream/RandomStream.java`` [U] — the reference's is seeded by
+    request too): keep rows whose md5(seed || id) bucket of 100 falls
+    below ``percent``. Stable across retries/partitionings and
+    reproducible in SQL (md5 is the shared hash), unlike
+    ``ds.random_sample``."""
+    import hashlib
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b[id_col].cast(pa.string()).to_pylist()
+        bucket = np.fromiter(
+            (int(hashlib.md5((seed + i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids),
+            dtype=np.int64, count=len(ids))
+        return b.filter(pa.array(bucket < percent))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def range_filter(ds: ray.data.Dataset, col: str, lo=None, hi=None
                  ) -> ray.data.Dataset:
     """PointRangeQuery analog: predicate filter on a metadata column

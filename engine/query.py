@@ -767,16 +767,94 @@ class IndexReader:
                         sub.decode_positions_flat(tfs)))
         return out
 
-    def wildcard_topk(self, prefix: str, k: int = 10) -> pa.Table:
-        """Prefix/WildcardQuery with scoring-boolean rewrite (upstream
+    def wildcard_topk(self, pattern: str, k: int = 10) -> pa.Table:
+        """WildcardQuery with scoring-boolean rewrite (upstream
         ``L/search/WildcardQuery.java`` + ``ScoringRewrite`` [U] — note
         Lucene's DEFAULT rewrite is constant-score; we implement the
-        scoring variant so ranks are informative): expand the prefix
-        against the term dictionary, score as a SHOULD disjunction."""
-        terms = self.expand_prefix(prefix)
+        scoring variant so ranks are informative). Supports ``*`` and
+        ``?`` anywhere; a pure-prefix pattern (``foo*`` / ``foo``)
+        takes the bisect fast path over the sorted dictionary, general
+        patterns compile to an anchored regex over the (memoized)
+        vocabulary — the automaton-intersection analog."""
+        import re
+
+        body = pattern[:-1] if pattern.endswith("*") else pattern
+        if "*" not in body and "?" not in body:
+            # pure prefix (trailing-* or bare PrefixQuery form)
+            terms = self.expand_prefix(body)
+        else:
+            rx = re.compile("".join(
+                ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in pattern))
+            # prefix-prune the scan with any literal head
+            lit = pattern.split("*", 1)[0].split("?", 1)[0]
+            cands = self.expand_prefix(lit) if lit else self.vocabulary()
+            terms = [t for t in cands if rx.fullmatch(t)]
         if not terms:
             return _topdocs_table([], [])
         return self.boolean_topk(should=terms, k=k)
+
+    def sloppy_phrase_topk(self, t1: str, t2: str, slop: int,
+                           k: int = 10) -> pa.Table:
+        """Two-term sloppy PhraseQuery (upstream
+        ``L/search/SloppyPhraseMatcher`` [U]). Conformance boundary,
+        documented: ORDERED matches only (no transposition credit) and
+        phrase freq = the COUNT of position pairs with
+        ``0 < p2 - p1 <= slop + 1`` — a well-defined, SQL-checkable
+        restatement of the slop window; Lucene additionally weights
+        each match by 1/(distance+1), which has no exact SQL analog.
+        Terms are analyzed-form. slop=0 equals the exact 2-term phrase
+        on pair counts."""
+        subs = self.lookup([t1, t2])
+        if not subs[t1] or not subs[t2]:
+            return _topdocs_table([], [])
+        SHIFT = np.int64(1 << 21)
+        rows1 = self._lookup_positions(t1)
+        rows2 = self._lookup_positions(t2)
+        max_pos = 0
+        for rows in (rows1, rows2):
+            for _, _, _, fp in rows:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        while int(SHIFT) <= max_pos + slop + 2:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.N + 1) >= (1 << 62):
+            raise OverflowError("sloppy phrase key space overflow")
+
+        def keys_of(rows):
+            parts, norm = [], {}
+            for docs, tfs, norms, fp in rows:
+                parts.append(np.repeat(docs, tfs) * SHIFT + fp)
+                for d, nb in zip(docs, norms):
+                    norm[int(d)] = int(nb)
+            return (np.sort(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64)), norm
+
+        k1_keys, doc_norm = keys_of(rows1)
+        k2_keys, _ = keys_of(rows2)
+        if not len(k1_keys) or not len(k2_keys):
+            return _topdocs_table([], [])
+        lo = np.searchsorted(k2_keys, k1_keys, side="right")
+        hi = np.searchsorted(k2_keys, k1_keys + slop + 1, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        m = cnt > 0
+        if not m.any():
+            return _topdocs_table([], [])
+        docs = (k1_keys[m] // SHIFT).astype(np.int64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        freq = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(freq, inv, cnt[m])
+        keepm = self._keep(uniq)
+        if keepm is not None:
+            uniq, freq = uniq[keepm], freq[keepm]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        w64 = float(idf(self.N, self.global_df(subs[t1]))) \
+            + float(idf(self.N, self.global_df(subs[t2])))
+        norms = np.array([doc_norm[int(d)] for d in uniq], dtype=np.uint8)
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """Prefix range over the sorted memoized dictionary (bisect)."""

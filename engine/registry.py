@@ -438,6 +438,76 @@ FUZZY_TERM = "quey"
 REGEX_PATTERN = "s.*t"
 
 
+def wildcard_mid_topk(sf_dir: str) -> pa.Table:
+    """General WildcardQuery: ``?`` single-char wildcard mid-pattern
+    (upstream ``WildcardQuery`` [U]; regex-over-dictionary rewrite)."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.wildcard_topk("s?ark", k=10))
+
+
+SQL_WILDCARD_MID = _sql_disjunction(
+    "SELECT DISTINCT term FROM tf WHERE term LIKE 's_ark'", 10)
+
+
+def wildcard_leading_topk(sf_dir: str) -> pa.Table:
+    """Leading-``*`` wildcard: full dictionary scan path (no prefix
+    prune possible — the reverse-field optimization is the upstream
+    answer, ``ReversedWildcardFilterFactory`` [U])."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.wildcard_topk("*ndow", k=10))
+
+
+SQL_WILDCARD_LEADING = _sql_disjunction(
+    "SELECT DISTINCT term FROM tf WHERE term LIKE '%ndow'", 10)
+
+
+SLOP = 2
+
+
+def sloppy_phrase_topk(sf_dir: str) -> pa.Table:
+    """Two-term sloppy phrase, slop=2 (ordered window semantics —
+    conformance boundary documented in
+    IndexReader.sloppy_phrase_topk)."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    t0, t1 = PHRASE.split()
+    return _topdocs_out(r.sloppy_phrase_topk(t0, t1, slop=SLOP, k=10))
+
+
+def sql_sloppy_phrase() -> str:
+    t0, t1 = PHRASE.split()
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+   AND b.p > a.p AND b.p <= a.p + {SLOP + 1}
+  WHERE a.tok = '{t0}' AND b.tok = '{t1}'
+  GROUP BY a.doc_id),
+qterms AS (SELECT unnest(['{t0}','{t1}']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM dfs d CROSS JOIN stats s),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def dismax_topk(sf_dir: str) -> pa.Table:
     """DisjunctionMaxQuery: per-doc max clause score."""
     r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
@@ -702,6 +772,120 @@ SQL_JOIN_LINEITEM_PART = """
 SELECT p_brand, COUNT(*)::BIGINT AS n_items, SUM(l_quantity) AS qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def left_outer_join_customers(sf_dir: str) -> pa.Table:
+    """Left-outer distributed hash join (upstream
+    ``SJ/stream/LeftOuterJoinStream.java`` [U]): every customer keeps a
+    row; customers with no orders aggregate to zero."""
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+    joined = rel.hash_join(cust, orders, on="c_custkey",
+                           right_on="o_custkey", how="left",
+                           num_partitions=4)
+
+    def partial(b: pa.Table) -> pa.Table:
+        has = pc.cast(pc.is_valid(b["o_totalprice"]), pa.int64())
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "n_orders_p": has,
+                         "revenue_p": pc.fill_null(b["o_totalprice"], 0.0)})
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey").sum(["n_orders_p", "revenue_p"])
+    t = _to_table(agg)
+    t = _rename(t, {"sum(n_orders_p)": "n_orders",
+                    "sum(revenue_p)": "revenue"})
+    t = _round_col(t, "revenue", 3)
+    return t.sort_by("c_custkey")
+
+
+SQL_LEFT_OUTER = """
+SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0), 3) AS revenue
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+def fetch_enrich_lineitem(sf_dir: str) -> pa.Table:
+    """``fetch`` stream (upstream ``SJ/stream/FetchStream.java`` [U]):
+    enrich a stream with fields looked up from another collection by
+    key — the broadcast-probe pattern, returning the enriched ROWS
+    (not an aggregate)."""
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey", "l_quantity"])
+    li = rel.range_filter(li, "l_orderkey", lo=None, hi=200)
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    out = rel.broadcast_hash_join(li, part, key="l_partkey",
+                                  small_key="p_partkey")
+    t = _to_table(out)
+    return t.sort_by([("l_orderkey", "ascending"),
+                      ("l_partkey", "ascending"),
+                      ("l_quantity", "ascending")])
+
+
+SQL_FETCH_ENRICH = """
+SELECT l_orderkey, l_partkey, l_quantity, p_name
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_partkey, l_quantity
+"""
+
+
+def random_sample_orders(sf_dir: str) -> pa.Table:
+    """Seeded deterministic ``random`` stream (upstream
+    ``RandomStream`` [U]): md5-bucket sample, reproducible in SQL."""
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"])
+    t = _to_table(rel.seeded_sample(orders, "o_orderkey", percent=10,
+                                    seed="s0"))
+    return t.sort_by("o_orderkey")
+
+
+SQL_RANDOM_SAMPLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE ('0x' || substr(md5('s0' || o_orderkey::VARCHAR), 1, 8))::UBIGINT
+      % 100 < 10
+ORDER BY o_orderkey
+"""
+
+
+def sort_nulls_orders(sf_dir: str) -> pa.Table:
+    """sortMissingLast (upstream ``S/schema/FieldType`` [U]): sort on a
+    derived nullable column with nulls placed LAST; ties then ordered
+    by key via a final stable sort on the small result."""
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(pc.cast(
+            pc.bit_wise_and(b["o_orderkey"], 7), pa.int64()), 0)
+        price = pc.if_else(keep, b["o_totalprice"], None)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "price_or_null": price})
+
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"]) \
+        .map_batches(derive, batch_format="pyarrow")
+    out = rel.sort_nulls(ds, "price_or_null", descending=False,
+                         nulls_last=True)
+    t = _to_table(out.limit(100))
+    # deterministic tie-break for the hash compare
+    return t.sort_by([("price_or_null", "ascending"),
+                      ("o_orderkey", "ascending")]).slice(0, 100)
+
+
+SQL_SORT_NULLS = """
+WITH d AS (
+  SELECT o_orderkey,
+         CASE WHEN (o_orderkey & 7) <> 0 THEN o_totalprice END
+           AS price_or_null
+  FROM orders)
+SELECT o_orderkey, price_or_null FROM d
+ORDER BY price_or_null ASC NULLS LAST, o_orderkey LIMIT 100
 """
 
 
@@ -1244,6 +1428,9 @@ def queries() -> dict:
         "boolean_not_topk": boolean_not_topk,
         "phrase_topk": phrase_topk,
         "wildcard_topk": wildcard_topk,
+        "wildcard_mid_topk": wildcard_mid_topk,
+        "wildcard_leading_topk": wildcard_leading_topk,
+        "sloppy_phrase_topk": sloppy_phrase_topk,
         "dismax_topk": dismax_topk,
         "min_should_match_topk": min_should_match_topk,
         "must_should_msm1_topk": must_should_msm1_topk,
@@ -1260,6 +1447,10 @@ def queries() -> dict:
         "having_active_customers": having_active_customers,
         "join_orders_customer": join_orders_customer,
         "join_lineitem_part": join_lineitem_part,
+        "left_outer_join_customers": left_outer_join_customers,
+        "fetch_enrich_lineitem": fetch_enrich_lineitem,
+        "random_sample_orders": random_sample_orders,
+        "sort_nulls_orders": sort_nulls_orders,
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
         "dedup_docs_exact": dedup_docs_exact,
@@ -1301,6 +1492,9 @@ def oracle_sql() -> dict:
         "boolean_not_topk": SQL_BOOLEAN_NOT,
         "phrase_topk": sql_phrase_topk(),
         "wildcard_topk": SQL_WILDCARD,
+        "wildcard_mid_topk": SQL_WILDCARD_MID,
+        "wildcard_leading_topk": SQL_WILDCARD_LEADING,
+        "sloppy_phrase_topk": sql_sloppy_phrase(),
         "dismax_topk": SQL_DISMAX,
         "min_should_match_topk": SQL_MIN_SHOULD,
         "must_should_msm1_topk": SQL_MUST_SHOULD_MSM1,
@@ -1317,6 +1511,10 @@ def oracle_sql() -> dict:
         "having_active_customers": SQL_HAVING_ACTIVE,
         "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
         "join_lineitem_part": SQL_JOIN_LINEITEM_PART,
+        "left_outer_join_customers": SQL_LEFT_OUTER,
+        "fetch_enrich_lineitem": SQL_FETCH_ENRICH,
+        "random_sample_orders": SQL_RANDOM_SAMPLE,
+        "sort_nulls_orders": SQL_SORT_NULLS,
         "semi_join_customers": SQL_SEMI_JOIN,
         "anti_join_customers": SQL_ANTI_JOIN,
         "dedup_docs_exact": SQL_DEDUP_EXACT,
