@@ -38,8 +38,12 @@ _SQL_TOKS = ("list_filter(regexp_split_to_array(lower(text), "
              "'[^a-z0-9]+'), x -> x <> '')")
 
 
-def _read(sf_dir: str, table: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+def _read(sf_dir: str, table: str,
+          columns: list[str] | None = None) -> ray.data.Dataset:
+    """Pruned read: pass ``columns`` so only needed columns leave
+    storage (VERDICT r1: breadth entries must prune at the read)."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
@@ -109,7 +113,7 @@ FROM toks GROUP BY term ORDER BY term
 
 def term_stats_mapreduce(sf_dir: str) -> pa.Table:
     """Same stats via the streaming partial/final groupby (no index)."""
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["text"])
     t = _to_table(tx.term_doc_freq(ds, "text"))
     t = _rename(t, {"sum(df)": "df", "sum(cf)": "cf"})
     return t.sort_by("term")
@@ -671,7 +675,7 @@ SQL_REGEXP = _sql_disjunction(
 # ------------------------------------------------- relational entries
 
 def rollup_events(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_type", "value"])
     t = _to_table(rel.rollup(ds, ["event_type"], sums=["value"],
                              means=["value"], mins=["value"], maxs=["value"]))
     t = _rename(t, {"count()": "n", "sum(value)": "sum_value",
@@ -692,7 +696,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def facet_docs(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["lang", "source"])
     t = _to_table(rel.facet(ds, ["lang", "source"]))
     return _rename(t, {"count()": "n"}).sort_by([
         ("lang", "ascending"), ("source", "ascending")])
@@ -705,7 +709,7 @@ GROUP BY lang, source ORDER BY lang, source
 
 
 def topk_orders(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     t = _to_table(rel.top_k(
         ds, [("o_totalprice", True), ("o_orderkey", False)], 10))
     return t.select(["o_orderkey", "o_custkey", "o_totalprice"])
@@ -718,7 +722,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 def having_active_customers(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     agg = rel.rollup(ds, ["o_custkey"], sums=["o_totalprice"])
     filt = rel.having(agg, lambda b: pc.greater_equal(b["count()"], 20))
     t = _rename(_to_table(filt), {"count()": "n_orders",
@@ -736,7 +740,7 @@ FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20 ORDER BY o_custkey
 
 def join_orders_customer(sf_dir: str) -> pa.Table:
     """Broadcast hash join (small customer side via ray.put)."""
-    orders = _read(sf_dir, "orders")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
     joined = rel.broadcast_hash_join(
@@ -758,7 +762,7 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 def join_lineitem_part(sf_dir: str) -> pa.Table:
     """Distributed hash join (both sides shuffled) — Ray Dataset.join."""
-    li = _read(sf_dir, "lineitem")
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
     part = _read(sf_dir, "part").select_columns(["p_partkey", "p_brand"])
     joined = rel.hash_join(li, part, on="l_partkey", right_on="p_partkey",
                            how="inner", num_partitions=4)
@@ -890,7 +894,7 @@ ORDER BY price_or_null ASC NULLS LAST, o_orderkey LIMIT 100
 
 
 def semi_join_customers(sf_dir: str) -> pa.Table:
-    cust = _read(sf_dir, "customer")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     okeys = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
                           columns=["o_custkey"])["o_custkey"]
     active = rel.semi_join(cust, okeys, "c_custkey")
@@ -907,7 +911,7 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 
 
 def anti_join_customers(sf_dir: str) -> pa.Table:
-    cust = _read(sf_dir, "customer")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
     okeys = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
                           columns=["o_custkey"])["o_custkey"]
     inactive = rel.anti_join(cust, okeys, "c_custkey")
@@ -921,7 +925,7 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey
 
 
 def dedup_docs_exact(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     t = _rename(_to_table(rel.unique_first(ds, "text", "doc_id")),
                 {"min(doc_id)": "doc_id"})
     return t.select(["doc_id"]).sort_by("doc_id")
@@ -933,7 +937,7 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 
 
 def timeseries_events(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["ts", "value"])
     t = _to_table(rel.timeseries(ds, "ts", "day", sums=["value"]))
     t = _rename(t, {"count()": "n", "sum(value)": "sum_value"})
     i = t.column_names.index("window")
@@ -952,7 +956,7 @@ FROM events GROUP BY 1 ORDER BY 1
 def stats_by_type(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Max, Mean, Min, Std
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_type", "value"])
     t = _to_table(ds.groupby("event_type").aggregate(
         Count(), Min("value"), Max("value"), Mean("value"),
         Std("value", ddof=1)))
@@ -975,7 +979,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 def facet_range_orders(sf_dir: str) -> pa.Table:
     """Range faceting: fixed-width price buckets (upstream range
     facets, ``S/request/SimpleFacets`` [U])."""
-    ds = _read(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
 
     def bucketize(b: pa.Table) -> pa.Table:
         bk = pc.cast(pc.floor(pc.divide(b["o_totalprice"], 50_000.0)),
@@ -999,7 +1003,7 @@ def distinct_users_by_type(sf_dir: str) -> pa.Table:
     ``unique`` agg, upstream ``S/search/facet/UniqueAgg.java`` [U]):
     dedup (type, user) pairs with a first groupby, count with a second
     — both stay distributed; no driver-side set."""
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
     pairs = ds.groupby(["event_type", "user_id"]).count()
     t = _rename(_to_table(pairs.groupby("event_type").count()),
                 {"count()": "n_users"})
@@ -1016,7 +1020,7 @@ def percentile_value_by_type(sf_dir: str) -> pa.Table:
     """Per-group median via grouped exact quantile (the ``percentile``
     agg, upstream ``S/search/facet/PercentileAgg.java`` [U]; linear
     interpolation == SQL percentile_cont)."""
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def med(g: pa.Table) -> pa.Table:
         v = np.sort(g["value"].to_numpy(zero_copy_only=False))
@@ -1046,12 +1050,12 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
     unit tests bound its error against the exact count."""
     from engine.ops.sketch import hll_group_distinct
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return hll_group_distinct(ds, "event_type", "user_id")
 
 
 def group_topn_orders(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
     t = _to_table(rel.group_top_n(
         ds, "o_custkey",
         [("o_totalprice", True), ("o_orderkey", False)], 2))
@@ -1070,7 +1074,7 @@ ORDER BY o_custkey, o_totalprice DESC, o_orderkey
 
 
 def significant_terms_src0(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     t = _to_table(tx.significant_terms(
         ds, "text", lambda r: r["source"] == "src0", min_df=5))
     return t.sort_by("term")
@@ -1093,7 +1097,7 @@ WHERE fg.fg_df >= 5 ORDER BY fg.term
 
 
 def range_filter_events(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_type", "value"])
     f = rel.range_filter(ds, "value", lo=10.0, hi=100.0)
     t = _rename(_to_table(rel.facet(f, ["event_type"])), {"count()": "n"})
     return t.sort_by("event_type")
@@ -1107,7 +1111,7 @@ GROUP BY event_type ORDER BY event_type
 
 
 def select_eval_lineitem(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "lineitem")
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
 
     def f(b: pa.Table) -> pa.Table:
         keep = pc.less(b["l_orderkey"], 100)
@@ -1131,7 +1135,7 @@ FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber
 
 
 def sort_export_suppliers(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "supplier")
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
     t = _to_table(ds.sort(["s_acctbal", "s_suppkey"],
                           descending=[True, False]))
     return t.select(["s_suppkey", "s_name", "s_acctbal"])
@@ -1146,7 +1150,7 @@ ORDER BY s_acctbal DESC, s_suppkey
 # ----------------------------------------------- text-analysis entries
 
 def token_count_docs(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     t = _to_table(tx.token_count(ds, "text", ["doc_id"]))
     return t.sort_by("doc_id")
 
@@ -1158,7 +1162,7 @@ FROM documents ORDER BY doc_id
 
 
 def quality_docs(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     t = _to_table(tx.quality_score(ds, "text", ["doc_id"]))
     return t.sort_by("doc_id")
 
@@ -1178,7 +1182,7 @@ FROM t ORDER BY doc_id
 
 
 def langid_docs(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     t = _to_table(tx.langid(ds, "text", ["doc_id"], threshold=0.08))
     return t.sort_by("doc_id")
 
@@ -1195,7 +1199,7 @@ FROM r ORDER BY doc_id
 
 
 def fingerprint_docs(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     t = _to_table(tx.fingerprint(ds, "text", ["doc_id"]))
     return t.sort_by("doc_id")
 
@@ -1231,7 +1235,7 @@ WHERE i / (sa.sz + sb.sz - i) >= {threshold} ORDER BY id_a, id_b
 
 
 def ngram_jaccard_docs(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dd.ngram_jaccard_pairs(ds, "text", "doc_id", k=3, threshold=0.2)
 
 
@@ -1245,7 +1249,7 @@ def minhash_pairs_docs(sf_dir: str) -> pa.Table:
     practical purposes, making the exact-Jaccard SQL the oracle. The
     production S-curve config (bands=16) trades recall for far fewer
     candidates; its machinery is identical."""
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dd.minhash_lsh_pairs(ds, "text", "doc_id", k=3, num_perm=64,
                                 bands=64, threshold=0.5)
 
@@ -1257,7 +1261,7 @@ def simhash_pairs_docs(sf_dir: str) -> pa.Table:
     """SimHash near-dup pairs (hamming ≤ 3). Pigeonhole banding makes
     the op exact given the signature, and the md5-derived token hash is
     DuckDB-computable — so the whole pipeline has an exact SQL oracle."""
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dd.simhash_pairs(ds, "text", "doc_id", hamming_threshold=3)
 
 
@@ -1296,7 +1300,7 @@ def knn_cosine(sf_dir: str) -> pa.Table:
     qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_KNN_QIDS))
     q = emb.filter(qmask).sort_by("vec_id")
     qm = vec._emb_matrix(q["embedding"])
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     t = vec.knn_brute(ds, "embedding", "vec_id", qm, k=_KNN_K)
     # conformance compares IDs/ranks only: cosine values differ from the
     # oracle in the last ulp (different fp accumulation order), but the
@@ -1327,7 +1331,7 @@ WHERE rank < {_KNN_K} ORDER BY query_id, rank
 
 def embedding_near_dup(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs (exact, threshold 0.5)."""
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return vec.cosine_pairs(ds, "embedding", "vec_id", threshold=0.5)
 
 
@@ -1343,7 +1347,7 @@ def embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
     """The 100 TB near-dup path: banded hyperplane-LSH bucketing +
     per-bucket exact verify. 24 planes / 8 bands gives recall 1.0 at
     threshold 0.5 on this data, so the exact SQL oracle applies."""
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return vec.cosine_pairs_lsh(ds, "embedding", "vec_id", threshold=0.5,
                                 n_planes=24, n_bands=8)
 
@@ -1407,7 +1411,7 @@ def knn_lsh_docs(sf_dir: str) -> pa.Table:
     qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_KNN_QIDS))
     q = emb.filter(qmask).sort_by("vec_id")
     qm = vec._emb_matrix(q["embedding"])
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     t = vec.knn_lsh(ds, "embedding", "vec_id", qm, k=_KNN_K)
     return _cast_col(t, "rank", pa.int64())
 
