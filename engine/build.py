@@ -644,7 +644,16 @@ def merge_all_buckets(index_dir: str, cfg: IndexConfig
     if os.path.exists(index_root):
         shutil.rmtree(index_root)
 
-    merge_task = ray.remote(_merge_bucket_files)
+    # Admission control: merge tasks are DRAM-bandwidth-bound (decode +
+    # sort + encode streams), so running cluster-width of them thrashes
+    # shared memory bandwidth (measured: 16 concurrent merges on 32
+    # cpus SLOWER than 8). Reserve multiple logical CPUs per task to
+    # cap concurrency at ~cpus/4 (min 2 concurrent); on a multi-node
+    # cluster each node brings its own DRAM so the reservation scales
+    # naturally with node count.
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    ncpu = max(1, min(4, cpus // 8))
+    merge_task = ray.remote(num_cpus=ncpu)(_merge_bucket_files)
     futs = {
         b: merge_task.remote(
             os.path.join(frag_root, f"bucket={b}"),

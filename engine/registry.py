@@ -1210,6 +1210,90 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _toks_of(col: str) -> str:
+    return ("list_filter(regexp_split_to_array(lower(" + col + "), "
+            "'[^a-z0-9]+'), x -> x <> '')")
+
+
+MF_QUERIES = {"source": "src0", "text": "spark merge"}
+
+
+def multifield_dismax_topk(sf_dir: str) -> pa.Table:
+    """Cross-field DisMax over per-field indexes (text + source),
+    each field scored with its own stats — upstream per-field
+    similarity + ``DisjunctionMaxQuery`` [U]."""
+    from engine.multifield import MultiFieldReader, build_multifield_index
+
+    key = hashlib.md5(f"{sf_dir}|mf|v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", key)
+    base = dict(conv_cols=None, doc_id_col="doc_id", stop_words=None,
+                stemming=False, n_buckets=4, hot_df_threshold=10**9,
+                batch_size=2048)
+    build_multifield_index(
+        [os.path.join(sf_dir, "documents.parquet")], out,
+        {"text": IndexConfig(text_col="text", **base),
+         "source": IndexConfig(text_col="source", **base)})
+    r = MultiFieldReader(out)
+    t = r.combined_topk(MF_QUERIES, k=10, mode="dismax")
+    return _cast_col(t.select(["rank", "doc_id", "score"]),
+                     "rank", pa.int64())
+
+
+def _sql_field_score(col: str, terms: list[str], sfx: str) -> str:
+    """Per-field BM25 doc-score CTEs (DOUBLE sum of f32 clause
+    scores), suffixed to coexist with another field's CTEs."""
+    tl = "[" + ",".join(f"'{t}'" for t in terms) + "]"
+    toks = _toks_of(col)
+    return f"""
+t{sfx} AS (SELECT doc_id, {toks} AS ts FROM documents),
+s{sfx} AS (
+  SELECT COUNT(*)::DOUBLE AS n,
+         SUM(len(ts))::DOUBLE / COUNT(*)::DOUBLE AS avgdl FROM t{sfx}),
+dl{sfx} AS (
+  SELECT doc_id, lut.dec::DOUBLE AS dlq FROM t{sfx}
+  JOIN lut ON len(ts) BETWEEN lut.lo AND lut.hi),
+tf{sfx} AS (
+  SELECT doc_id, x.term, COUNT(*)::DOUBLE AS tf FROM
+    (SELECT doc_id, unnest(ts) AS term FROM t{sfx}) x
+  GROUP BY doc_id, x.term),
+q{sfx} AS (SELECT unnest({tl}) AS term),
+d{sfx} AS (
+  SELECT q.term, COUNT(DISTINCT tf{sfx}.doc_id)::DOUBLE AS df
+  FROM q{sfx} q JOIN tf{sfx} ON tf{sfx}.term = q.term GROUP BY q.term),
+c{sfx} AS (
+  SELECT tf.doc_id, SUM(
+    CAST(
+      CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+      *
+      CAST(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT)::DOUBLE) AS sc
+  FROM q{sfx} q
+  JOIN d{sfx} d ON d.term = q.term
+  JOIN tf{sfx} tf ON tf.term = q.term
+  JOIN dl{sfx} dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN s{sfx} s
+  GROUP BY tf.doc_id)"""
+
+
+def sql_multifield_dismax() -> str:
+    fa = _sql_field_score("source", MF_QUERIES["source"].split(), "a")
+    fb = _sql_field_score("text", MF_QUERIES["text"].split(), "b")
+    return f"""
+WITH lut(lo, hi, dec) AS (VALUES {_smallfloat_lut_sql()}),{fa},{fb},
+comb AS (
+  SELECT COALESCE(ca.doc_id, cb.doc_id) AS doc_id,
+         COALESCE(ca.sc, 0) AS sa, COALESCE(cb.sc, 0) AS sb
+  FROM ca FULL JOIN cb ON ca.doc_id = cb.doc_id),
+scored AS (
+  SELECT doc_id, CAST(greatest(sa, sb) AS FLOAT) AS score FROM comb
+  WHERE greatest(sa, sb) > 0)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ------------------------------------------------------- dedup entries
 
 def _sql_jaccard(threshold: float) -> str:
@@ -1438,6 +1522,7 @@ def queries() -> dict:
         "dismax_topk": dismax_topk,
         "min_should_match_topk": min_should_match_topk,
         "must_should_msm1_topk": must_should_msm1_topk,
+        "multifield_dismax_topk": multifield_dismax_topk,
         "search_after_page2": search_after_page2,
         "fuzzy_topk": fuzzy_topk,
         "regexp_topk": regexp_topk,
@@ -1502,6 +1587,7 @@ def oracle_sql() -> dict:
         "dismax_topk": SQL_DISMAX,
         "min_should_match_topk": SQL_MIN_SHOULD,
         "must_should_msm1_topk": SQL_MUST_SHOULD_MSM1,
+        "multifield_dismax_topk": sql_multifield_dismax(),
         "search_after_page2": sql_search_after(),
         "fuzzy_topk": SQL_FUZZY,
         "regexp_topk": SQL_REGEXP,
