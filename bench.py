@@ -125,13 +125,16 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
             1000 * sorted(lats)[int(0.95 * len(lats))], 2)
         queries["bm25_query_set"] = round(time.perf_counter() - t0, 3)
 
-        # batch query throughput through the actor pool
+        # batch query throughput through the actor pool: the warm
+        # reader is preloaded once and shared via the object store
         import ray.data
         t0 = time.perf_counter()
+        reader_ref = ray.put(reader)
         ds = ray.data.from_items(qs * 4)
         n_res = ds.map_batches(
             QueryEngine, fn_constructor_args=(idx,),
-            fn_constructor_kwargs={"resolve": False},
+            fn_constructor_kwargs={"resolve": False,
+                                   "reader_ref": reader_ref},
             batch_size=16, batch_format="pyarrow",
             concurrency=max(2, cpus // 4)).count()
         dt = time.perf_counter() - t0

@@ -957,8 +957,16 @@ class QueryEngine:
 
     def __init__(self, index_dir: str, strategy: str = "auto",
                  resolve: bool = True, preload: bool = True,
-                 fetch_text: bool = False):
-        self.reader = IndexReader(index_dir, preload=preload)
+                 fetch_text: bool = False, reader_ref=None):
+        if reader_ref is not None:
+            # shared warm reader: the driver preloads ONCE and
+            # ray.put()s it; every actor fetches from the object store
+            # instead of re-reading and re-merging the term dictionary
+            # (numpy buffers arrive as shared-memory views)
+            import ray as _ray
+            self.reader = _ray.get(reader_ref)
+        else:
+            self.reader = IndexReader(index_dir, preload=preload)
         self.strategy = strategy
         self.resolve = resolve and self.reader.cfg.conv_cols is not None
         # two-phase search: ids+scores first, stored-field fetch second

@@ -257,3 +257,28 @@ def test_preloaded_reader_phrase_matches_cold(smoke_index):
         assert cold.phrase_topk(q, k=10).equals(warm.phrase_topk(q, k=10))
     assert cold.topk("running connection index", 10).equals(
         warm.topk("running connection index", 10))
+
+
+def test_query_engine_shared_reader(ray_session, smoke_index):
+    """QueryEngine(reader_ref=...) must serve from a driver-preloaded
+    shared reader and match per-actor construction exactly."""
+    import ray
+    import ray.data
+
+    from engine.query import IndexReader, QueryEngine
+
+    idx, _, _ = smoke_index
+    ref = ray.put(IndexReader(idx, preload=True))
+    qs = [{"query_id": i, "query_text": q, "k": 5} for i, q in
+          enumerate(["running connection", "zephyr", "index merge score"])]
+    shared = ray.data.from_items(qs).map_batches(
+        QueryEngine, fn_constructor_args=(idx,),
+        fn_constructor_kwargs={"resolve": False, "reader_ref": ref},
+        batch_format="pyarrow", concurrency=2).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    local = ray.data.from_items(qs).map_batches(
+        QueryEngine, fn_constructor_args=(idx,),
+        fn_constructor_kwargs={"resolve": False},
+        batch_format="pyarrow", concurrency=2).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert shared.equals(local)
