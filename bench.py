@@ -125,16 +125,16 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
             1000 * sorted(lats)[int(0.95 * len(lats))], 2)
         queries["bm25_query_set"] = round(time.perf_counter() - t0, 3)
 
-        # batch query throughput through the actor pool: the warm
-        # reader is preloaded once and shared via the object store
+        # batch query throughput through the actor pool (per-actor
+        # preload: at a 120k-term dictionary, preload is ~2.5s while
+        # ray.put/get of the reader object costs 8s + 6s/actor — the
+        # shared-reader path only pays off for small dictionaries)
         import ray.data
         t0 = time.perf_counter()
-        reader_ref = ray.put(reader)
         ds = ray.data.from_items(qs * 4)
         n_res = ds.map_batches(
             QueryEngine, fn_constructor_args=(idx,),
-            fn_constructor_kwargs={"resolve": False,
-                                   "reader_ref": reader_ref},
+            fn_constructor_kwargs={"resolve": False},
             batch_size=16, batch_format="pyarrow",
             concurrency=max(2, cpus // 4)).count()
         dt = time.perf_counter() - t0

@@ -701,8 +701,24 @@ def build_index(input_path: str | list[str], index_dir: str,
         raise ValueError(f"no parquet inputs under {input_path!r}")
 
     man = mf.load(index_dir) if resume else None
+    append_new: list[str] = []
     if man is not None and man.get("input_files") != sorted(files):
-        man = None  # input changed: rebuild
+        # incremental append (the updateDocument add-side, upstream
+        # ``IndexWriter#addDocument`` on an existing index [U]): in
+        # doc_id mode docIDs are externally stable, so NEW input files
+        # become new parts — stage A analyzes only them, stage B
+        # re-merges their fragments with the existing ones (the
+        # add-then-merge segment lifecycle). conv mode cannot append
+        # (docID = sort rank shifts), so it rebuilds. Updates =
+        # delete_docs(old ids) + append the new version under fresh ids.
+        old = man.get("input_files") or []
+        new_only = sorted(set(files) - set(old))
+        if (set(old) < set(files)
+                and len(old) + len(new_only) == len(files)
+                and (man.get("config") or {}).get("doc_id_col")):
+            append_new = new_only
+        else:
+            man = None  # input changed: rebuild
     if man is not None:
         if not explicit_cfg:
             # no config given: adopt the stored one (pure resume)
@@ -715,7 +731,27 @@ def build_index(input_path: str | list[str], index_dir: str,
             p = os.path.join(index_dir, d)
             if os.path.exists(p):
                 shutil.rmtree(p)
+        for d in os.listdir(index_dir):
+            if d.startswith("index-g"):
+                shutil.rmtree(os.path.join(index_dir, d))
+    elif append_new:
+        # stable part ids: append to the manifest's file order
+        man["input_files"] = list(man["input_files"]) + append_new
+        man["status"] = "building"
+        man["buckets"] = {}            # all merges invalidated
+        man["stats"]["N"] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in man["input_files"])
+        man["stats"].pop("optimized", None)
+        man.pop("stored", None)        # stored fields must be rebuilt
+        if man.get("index_dir_name", "index") != "index":
+            # merges write the base generation; retire optimized gens
+            old_gen = mf.shard_root(index_dir, man)
+            man["index_dir_name"] = "index"
+            shutil.rmtree(old_gen, ignore_errors=True)
+        mf.save(index_dir, man)
 
+    files = list(man["input_files"])   # manifest order = part identity
     part_of_path = {f: i for i, f in enumerate(files)}
 
     # stage 0 — docID authority (reused verbatim on resume)

@@ -960,9 +960,12 @@ class QueryEngine:
                  fetch_text: bool = False, reader_ref=None):
         if reader_ref is not None:
             # shared warm reader: the driver preloads ONCE and
-            # ray.put()s it; every actor fetches from the object store
-            # instead of re-reading and re-merging the term dictionary
-            # (numpy buffers arrive as shared-memory views)
+            # ray.put()s it; actors fetch from the object store.
+            # Pays off for SMALL term dictionaries with many actors —
+            # at 10^5+ terms the (de)serialization of the cache costs
+            # more than a per-actor preload (measured: put 8.6s +
+            # get 5.9s vs preload 2.5s at 120k terms), so default to
+            # preload=True unless the dictionary is small.
             import ray as _ray
             self.reader = _ray.get(reader_ref)
         else:

@@ -314,3 +314,66 @@ def test_deletes_masking(ray_session, tmp_path_factory):
         after.wildcard_topk("run", k=50),
     ]:
         assert not (set(t["doc_id"].to_pylist()) & dels)
+
+
+def test_incremental_append_doc_mode(ray_session, tmp_path_factory):
+    """Append new input files to a complete doc_id-mode index: only the
+    new parts are analyzed, merges rerun, and the result equals a
+    from-scratch build over the union (logical dump equality). Deletes
+    survive the append (stable docIDs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index, delete_docs
+    from engine.check import dump_postings
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("append")
+
+    def make_file(path, lo, hi, seed):
+        rng = np.random.default_rng(seed)
+        words = np.array(["alpha", "beta", "gamma", "delta", "epsilon",
+                          "zeta", "eta", "theta"], dtype=object)
+        texts = [" ".join(words[rng.integers(0, 8, size=12)])
+                 for _ in range(hi - lo)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+            "text": pa.array(texts),
+        }), path)
+
+    f1 = str(root / "part1.parquet")
+    f2 = str(root / "part2.parquet")
+    f3 = str(root / "part3.parquet")
+    make_file(f1, 0, 300, 1)
+    make_file(f2, 300, 600, 2)
+    make_file(f3, 600, 900, 3)
+
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9)
+    inc = str(root / "inc")
+    man1 = build_index([f1, f2], inc, cfg)
+    assert man1["stats"]["N"] == 600
+    delete_docs(inc, [5, 10])
+
+    man2 = build_index([f1, f2, f3], inc, cfg)   # append f3
+    assert man2["stats"]["N"] == 900
+    # old parts were not re-analyzed (their lineage rows survive)
+    assert {v["input_file"] for v in man2["parts"].values()} == {f1, f2, f3}
+
+    full = str(root / "full")
+    build_index([f1, f2, f3], full, cfg)
+    d_inc, d_full = dump_postings(inc), dump_postings(full)
+    assert set(d_inc) == set(d_full)
+    for term, (docs, tfs, norms) in d_inc.items():
+        rd, rt, rn = d_full[term]
+        assert np.array_equal(docs, rd), term
+        assert np.array_equal(tfs, rt), term
+        assert np.array_equal(norms, rn), term
+
+    # appended docs are searchable; deletes still masked
+    r = IndexReader(inc)
+    t = r.topk("alpha", 2000)
+    ids = set(t["doc_id"].to_pylist())
+    assert ids & set(range(600, 900)), "appended docs missing"
+    assert not ids & {5, 10}, "deletes lost across append"
