@@ -11,6 +11,7 @@ materializes the big side on the driver.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import numpy as np
@@ -210,6 +211,44 @@ def seeded_sample(ds: ray.data.Dataset, id_col: str, percent: int,
             dtype=np.int64, count=len(ids))
         return b.filter(pa.array(bucket < percent))
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def topic(input_path: str | list[str], checkpoint_path: str):
+    """``topic`` stream analog (upstream ``SJ/stream/TopicStream.java``
+    [U]): checkpointed incremental consumption. Each call returns a
+    Dataset over ONLY the input Parquet files not yet recorded in the
+    checkpoint, plus a ``commit()`` callable that atomically advances
+    the checkpoint AFTER the caller has durably consumed the batch —
+    at-least-once delivery, exactly the reference's
+    checkpoint-collection semantics. A crash before ``commit()``
+    redelivers. ``daemon`` (the reference's periodic re-run wrapper) is
+    an external scheduler concern — call this in a loop.
+
+    File-granular offsets: new data arrives as new immutable Parquet
+    files (the landing pattern of every large-scale ingest); 10^12-row
+    feeds checkpoint per directory shard the same way."""
+    import json
+
+    if isinstance(input_path, str):
+        files = sorted(
+            os.path.join(input_path, f) for f in os.listdir(input_path)
+            if f.endswith(".parquet"))
+    else:
+        files = sorted(input_path)
+    seen: set[str] = set()
+    if os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as f:
+            seen = set(json.load(f)["files"])
+    new = [f for f in files if f not in seen]
+
+    def commit() -> None:
+        tmp = checkpoint_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"files": sorted(seen | set(new))}, f)
+        os.replace(tmp, checkpoint_path)
+
+    ds = ray.data.read_parquet(new) if new else None
+    return ds, new, commit
 
 
 def range_filter(ds: ray.data.Dataset, col: str, lo=None, hi=None

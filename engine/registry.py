@@ -893,6 +893,72 @@ ORDER BY price_or_null ASC NULLS LAST, o_orderkey LIMIT 100
 """
 
 
+def evaluators_events(sf_dir: str) -> pa.Table:
+    """Scalar-evaluator breadth (upstream ``SJ/eval/*Evaluator`` [U]):
+    one ``select`` projecting string, math, conditional and temporal
+    evaluators as vectorized pyarrow.compute kernels — the pattern the
+    ~150 named evaluators map onto 1:1."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "event_type", "value"])
+
+    def ev(b: pa.Table) -> pa.Table:
+        v = b["value"]
+        return pa.table({
+            "event_id": b["event_id"],
+            "upper_type": pc.utf8_upper(b["event_type"]),     # upper()
+            "type_len": pc.cast(pc.utf8_length(b["event_type"]),
+                                pa.int64()),                  # length()
+            "abs_v": pc.abs(v),                               # abs()
+            "sqrt_v": pc.sqrt(pc.abs(v)),                     # sqrt()
+            "rounded": pc.round(v, ndigits=2),                # round(x, 2)
+            "clipped": pc.if_else(pc.greater(v, 50.0),
+                                  pa.scalar(50.0), v),        # if()
+            "yr": pc.cast(pc.year(b["ts"]), pa.int64()),      # year()
+            "mo": pc.cast(pc.month(b["ts"]), pa.int64()),     # month()
+        })
+
+    out = rel.select_eval(ds, ev)
+    out = rel.range_filter(out, "event_id", lo=None, hi=500)
+    return _to_table(out).sort_by("event_id")
+
+
+SQL_EVALUATORS = """
+SELECT event_id, upper(event_type) AS upper_type,
+       length(event_type)::BIGINT AS type_len,
+       abs(value) AS abs_v, sqrt(abs(value)) AS sqrt_v,
+       round(value, 2) AS rounded,
+       CASE WHEN value > 50.0 THEN 50.0 ELSE value END AS clipped,
+       year(ts)::BIGINT AS yr, month(ts)::BIGINT AS mo
+FROM events WHERE event_id < 500 ORDER BY event_id
+"""
+
+
+def topic_consume_docs(sf_dir: str) -> pa.Table:
+    """``topic`` stream (upstream ``SJ/stream/TopicStream.java`` [U]):
+    checkpointed incremental consumption. The entry starts from a fresh
+    checkpoint, consumes the documents feed, commits, and asserts the
+    second call delivers nothing — then returns a per-lang rollup of
+    the consumed batch (SQL-checkable)."""
+    key = hashlib.md5(f"{sf_dir}|topic|v1".encode()).hexdigest()[:12]
+    ck = os.path.join("/tmp/rayindex_cache", f"topic_{key}.json")
+    if os.path.exists(ck):
+        os.remove(ck)
+    feed = [os.path.join(sf_dir, "documents.parquet")]
+    ds, new, commit = rel.topic(feed, ck)
+    assert ds is not None and len(new) == 1
+    t = _rename(_to_table(rel.facet(ds, ["lang"])), {"count()": "n"})
+    commit()
+    ds2, new2, _ = rel.topic(feed, ck)
+    assert ds2 is None and not new2, "topic redelivered after commit"
+    return t.sort_by("lang")
+
+
+SQL_TOPIC = """
+SELECT lang, COUNT(*)::BIGINT AS n FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
 def semi_join_customers(sf_dir: str) -> pa.Table:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     okeys = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
@@ -1539,6 +1605,8 @@ def queries() -> dict:
         "left_outer_join_customers": left_outer_join_customers,
         "fetch_enrich_lineitem": fetch_enrich_lineitem,
         "random_sample_orders": random_sample_orders,
+        "topic_consume_docs": topic_consume_docs,
+        "evaluators_events": evaluators_events,
         "sort_nulls_orders": sort_nulls_orders,
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
@@ -1604,6 +1672,8 @@ def oracle_sql() -> dict:
         "left_outer_join_customers": SQL_LEFT_OUTER,
         "fetch_enrich_lineitem": SQL_FETCH_ENRICH,
         "random_sample_orders": SQL_RANDOM_SAMPLE,
+        "topic_consume_docs": SQL_TOPIC,
+        "evaluators_events": SQL_EVALUATORS,
         "sort_nulls_orders": SQL_SORT_NULLS,
         "semi_join_customers": SQL_SEMI_JOIN,
         "anti_join_customers": SQL_ANTI_JOIN,

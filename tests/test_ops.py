@@ -224,3 +224,40 @@ def test_cosine_pairs_lsh_matches_exact(ray_session):
     assert exact.num_rows >= 40
     assert exact["id_a"].to_pylist() == approx["id_a"].to_pylist()
     assert exact["id_b"].to_pylist() == approx["id_b"].to_pylist()
+
+
+def test_topic_checkpointed_consumption(ray_session, tmp_path):
+    """topic stream: only unconsumed files are delivered; commit
+    advances the checkpoint; crash-before-commit redelivers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import topic
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    ck = str(tmp_path / "ckpt.json")
+
+    def land(name, lo, hi):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(lo, hi, dtype=np.int64))}),
+            str(d / name))
+
+    land("a.parquet", 0, 10)
+    land("b.parquet", 10, 20)
+
+    ds, new, commit = topic(str(d), ck)
+    assert len(new) == 2 and ds.count() == 20
+    # crash before commit: same batch redelivered
+    ds2, new2, commit2 = topic(str(d), ck)
+    assert sorted(new2) == sorted(new)
+    commit2()
+
+    land("c.parquet", 20, 25)
+    ds3, new3, commit3 = topic(str(d), ck)
+    assert [os.path.basename(f) for f in new3] == ["c.parquet"]
+    assert sorted(ds3.take_all(), key=lambda r: r["doc_id"])[0]["doc_id"] == 20
+    commit3()
+    ds4, new4, _ = topic(str(d), ck)
+    assert ds4 is None and new4 == []
