@@ -38,6 +38,12 @@ def vbyte_encode_with_ends(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
+    # all-1-byte fast path (typical tf / position-delta / dense-doc
+    # streams): no length table, no scatter, two allocations total —
+    # matters on this box where large temporaries stall on THP faults
+    if bool((v < np.uint64(128)).all()):
+        return v.astype(np.uint8).tobytes(), \
+            np.arange(1, v.size + 1, dtype=np.int64)
     # bytes needed per value: ceil(bit_length / 7), min 1
     _, exp = np.frexp(v.astype(np.float64))
     nbits = np.maximum(exp.astype(np.int64), 1)
@@ -69,6 +75,9 @@ def vbyte_decode(buf: bytes | memoryview | np.ndarray, count: int,
         return np.empty(0, dtype=np.int64), offset
     b = np.frombuffer(buf, dtype=np.uint8)[offset:]
     is_last = b < 128
+    # all-1-byte fast path: the first `count` bytes ARE the values
+    if count <= len(b) and bool(is_last[:count].all()):
+        return b[:count].astype(np.int64), offset + count
     ends = np.flatnonzero(is_last)
     if ends.size < count:
         raise ValueError("truncated vbyte stream")
