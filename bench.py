@@ -171,21 +171,32 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    """Same job, two parallelism levels, fresh processes each."""
-    res = {}
-    for cpus in (lo, hi):
-        # 4x corpus for the scaling criterion: fixed startup costs must
-        # amortize so throughput reflects the parallel work
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                   GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO,
-                   GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "4"))
-        p = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"),
-             "--single-build"],
-            env=env, capture_output=True, text=True, timeout=3600)
-        line = [ln for ln in p.stdout.strip().splitlines()
-                if ln.startswith("{")][-1]
-        res[cpus] = json.loads(line)
+    """Same job, two parallelism levels, fresh processes each.
+
+    This VM is co-tenanted and identical runs vary bimodally (clean vs
+    crushed — observed 49s vs 113s for the same 32-cpu build), so each
+    width runs GRAFT_SCALING_REPS times (default 2, interleaved) and
+    the max throughput — the least-interfered estimate — is reported,
+    with every raw run kept in ``detail``."""
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    runs: dict[int, list] = {lo: [], hi: []}
+    for _ in range(reps):
+        for cpus in (lo, hi):
+            # 4x corpus for the scaling criterion: fixed startup costs
+            # must amortize so throughput reflects the parallel work
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO,
+                       GRAFT_BENCH_MULT=os.environ.get(
+                           "GRAFT_BENCH_MULT", "4"))
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--single-build"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            line = [ln for ln in p.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            runs[cpus].append(json.loads(line))
+    res = {c: max(rs, key=lambda r: r["turns_per_sec"])
+           for c, rs in runs.items()}
     thr_lo = res[lo]["turns_per_sec"]
     thr_hi = res[hi]["turns_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -198,7 +209,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "cpus_lo": lo, "cpus_hi": hi,
         "throughput_lo": thr_lo, "throughput_hi": thr_hi,
         "speedup": round(thr_hi / thr_lo, 2),
-        "detail": res,
+        "reps_per_width": reps,
+        "detail": {"best": res, "all_runs": runs},
     }
 
 
