@@ -43,6 +43,10 @@ ENGLISH_STOP_WORDS = frozenset({
 })
 
 TOKEN_SPLIT_REGEX = r"[^A-Za-z0-9]+"
+# Unicode tokenizer option: letters/numbers in any script stay inside
+# tokens (closer to UAX#29; enables AsciiFoldingFilter to actually see
+# accented tokens). RE2 property classes — runs in Arrow C++.
+UNICODE_SPLIT_REGEX = r"[^\pL\pN]+"
 
 
 class TokenFilter:
@@ -161,6 +165,85 @@ class ShingleFilter(TokenFilter):
                 "output_unigrams": self.output_unigrams}
 
 
+class AsciiFoldingFilter(TokenFilter):
+    """Fold accented/latin-extended characters to ASCII (upstream
+    ``ASCIIFoldingFilter`` [U], the NFKD-strippable subset): operates
+    on the batch vocabulary only, then re-uniques. Matches DuckDB's
+    ``strip_accents`` for the combining-mark cases, which is what the
+    SQL oracle uses."""
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        import unicodedata
+
+        def fold(t: str) -> str:
+            return "".join(
+                c for c in unicodedata.normalize("NFKD", t)
+                if not unicodedata.combining(c))
+
+        vocab2 = np.array([fold(t) for t in vocab], dtype=object)
+        uniq, inv = np.unique(vocab2, return_inverse=True)
+        return offsets, inv[codes], uniq, positions, doc_lens
+
+    def spec(self) -> dict:
+        return {"type": "ascii_folding"}
+
+
+class NGramFilter(TokenFilter):
+    """Character n-grams per token (upstream ``NGramTokenFilter`` [U]):
+    each token of length ≥ min_gram emits its n-grams for every size in
+    [min_gram, max_gram], all at the token's position (Lucene keeps the
+    original position for every gram of a token). Gram strings are
+    computed on the UNIQUE vocabulary only; the corpus-sized expansion
+    is a code gather."""
+
+    def __init__(self, min_gram: int = 3, max_gram: int = 3,
+                 preserve_original: bool = False):
+        assert 1 <= min_gram <= max_gram
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.preserve_original = preserve_original
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        n_docs = len(offsets) - 1
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        # per-vocab-entry gram lists (tiny: |vocab| × gram count)
+        grams_per: list[list[str]] = []
+        for t in vocab:
+            g: list[str] = [t] if self.preserve_original else []
+            for k in range(self.min_gram, self.max_gram + 1):
+                g.extend(t[j:j + k] for j in range(len(t) - k + 1))
+            grams_per.append(g)
+        counts = np.array([len(g) for g in grams_per], dtype=np.int64)
+        flat = np.array([s for g in grams_per for s in g], dtype=object)
+        gram_uniq, gram_inv = np.unique(flat, return_inverse=True)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+
+        per_tok = counts[codes]                     # grams per token
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        out_doc = np.repeat(doc_of, per_tok)
+        out_pos = np.repeat(positions, per_tok).astype(np.int32)
+        # gather gram codes: for token i, grams are
+        # gram_inv[starts[codes[i]] : starts[codes[i]]+counts[codes[i]]]
+        base = np.repeat(starts[codes], per_tok)
+        local = np.arange(int(per_tok.sum()), dtype=np.int64) - \
+            np.repeat(np.concatenate(([0], np.cumsum(per_tok)))[:-1],
+                      per_tok)
+        out_codes = gram_inv[base + local]
+        new_lens = np.bincount(out_doc, minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        return new_offsets, out_codes, gram_uniq, out_pos, new_lens
+
+    def spec(self) -> dict:
+        return {"type": "ngram", "min_gram": self.min_gram,
+                "max_gram": self.max_gram,
+                "preserve_original": self.preserve_original}
+
+
 def build_filter(spec: dict) -> TokenFilter:
     """Filter factory from a JSON spec (IndexConfig serialization)."""
     t = spec["type"]
@@ -169,6 +252,11 @@ def build_filter(spec: dict) -> TokenFilter:
     if t == "shingle":
         return ShingleFilter(spec["min_size"], spec["max_size"],
                              spec["sep"], spec["output_unigrams"])
+    if t == "ascii_folding":
+        return AsciiFoldingFilter()
+    if t == "ngram":
+        return NGramFilter(spec["min_gram"], spec["max_gram"],
+                           spec.get("preserve_original", False))
     raise ValueError(f"unknown token filter type {t!r}")
 
 
@@ -183,10 +271,13 @@ class Analyzer:
 
     def __init__(self, stop_words: frozenset[str] | None = ENGLISH_STOP_WORDS,
                  stemming: bool = True,
-                 filters: tuple[TokenFilter, ...] | list | None = None):
+                 filters: tuple[TokenFilter, ...] | list | None = None,
+                 unicode_tokens: bool = False):
         self.stop_words = stop_words if stop_words is not None else frozenset()
         self._stop_arr = pa.array(sorted(self.stop_words), type=pa.string())
         self.stemming = stemming
+        self.split_regex = UNICODE_SPLIT_REGEX if unicode_tokens \
+            else TOKEN_SPLIT_REGEX
         self.filters = tuple(
             f if isinstance(f, TokenFilter) else build_filter(f)
             for f in (filters or ()))
@@ -224,7 +315,7 @@ class Analyzer:
         # lowercase, stem) then happens on the tiny vocabulary and is
         # broadcast back through int codes. This keeps the corpus-sized
         # memory traffic to one split + one hash pass.
-        token_lists = pc.split_pattern_regex(texts, TOKEN_SPLIT_REGEX)
+        token_lists = pc.split_pattern_regex(texts, self.split_regex)
         token_lists = token_lists.combine_chunks() if isinstance(
             token_lists, pa.ChunkedArray) else token_lists
         raw_offsets = token_lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -88,6 +88,7 @@ class IndexConfig:
     store_positions: bool = True
     # ordered token-filter chain (JSON specs; see analysis.build_filter)
     filters: tuple = ()
+    unicode_tokens: bool = False       # UAX#29-ish \pL\pN tokenizer
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -101,6 +102,7 @@ class IndexConfig:
             "n_salts": self.n_salts,
             "store_positions": self.store_positions,
             "filters": [dict(f) for f in self.filters],
+            "unicode_tokens": self.unicode_tokens,
         }
 
     @staticmethod
@@ -116,6 +118,7 @@ class IndexConfig:
             n_salts=d["n_salts"],
             store_positions=d.get("store_positions", True),
             filters=tuple(d.get("filters") or ()),
+            unicode_tokens=d.get("unicode_tokens", False),
         )
 
 
@@ -195,7 +198,7 @@ class FragmentBuilder:
         cfg = IndexConfig.from_json(cfg_json)
         self.cfg = cfg
         self.analyzer = Analyzer(cfg.stop_words, cfg.stemming,
-                                 cfg.filters)
+                                 cfg.filters, cfg.unicode_tokens)
         self.part_of_path = part_of_path
         self.corpus_n = max(1, int(corpus_n))
         self._bucket_memo: dict[str, int] = {}

@@ -214,7 +214,8 @@ class IndexReader:
         self.k1, self.b = k1, b
         self.cache = norm_cache(self.avgdl, k1, b)
         self.analyzer = Analyzer(self.cfg.stop_words, self.cfg.stemming,
-                                 self.cfg.filters)
+                                 self.cfg.filters,
+                                 self.cfg.unicode_tokens)
         dels = man.get("deletes")
         if dels and dels.get("n"):
             self._deleted = pq.read_table(

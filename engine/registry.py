@@ -180,6 +180,26 @@ SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df, COUNT(*)::BIGINT AS cf
 FROM sh GROUP BY term ORDER BY term
 """
 
+def char_ngram_stats(sf_dir: str) -> pa.Table:
+    """NGramTokenFilter e2e (upstream ``NGramTokenFilter`` [U]): char
+    3-gram index → (term, df, cf) vs a SQL substring recomputation."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "ngram", "min_gram": 3, "max_gram": 3,
+                  "preserve_original": False},), "ngram3")
+    return _index_stats_of(idx)
+
+
+SQL_CHAR_NGRAM = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+grams AS (
+  SELECT doc_id, substr(tok, i, 3) AS term
+  FROM toks, unnest(range(1, length(tok) - 1)) AS r(i)
+  WHERE length(tok) >= 3)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df, COUNT(*)::BIGINT AS cf
+FROM grams GROUP BY term ORDER BY term
+"""
+
+
 _SYN_MAP = {"merged": "merge", "merging": "merge", "merges": "merge",
             "windows": "window", "windowing": "window"}
 
@@ -1573,6 +1593,7 @@ def queries() -> dict:
         "index_term_stats": index_term_stats,
         "term_stats_mapreduce": term_stats_mapreduce,
         "shingle_term_stats": shingle_term_stats,
+        "char_ngram_stats": char_ngram_stats,
         "synonym_term_stats": synonym_term_stats,
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
@@ -1641,6 +1662,7 @@ def oracle_sql() -> dict:
         "index_term_stats": SQL_TERM_STATS,
         "term_stats_mapreduce": SQL_TERM_STATS,
         "shingle_term_stats": SQL_SHINGLE_STATS,
+        "char_ngram_stats": SQL_CHAR_NGRAM,
         "synonym_term_stats": _sql_synonym_stats(),
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),

@@ -118,3 +118,43 @@ def test_filter_chain_order_and_config_roundtrip():
                  filters=[build_filter(s) for s in specs])
     # synonym applies BEFORE shingling (ordered chain)
     assert a.analyze_text("fast car") == [("quick_car", 0)]
+
+
+def test_ngram_filter_golden():
+    from engine.analysis import Analyzer, NGramFilter
+
+    a = Analyzer(stop_words=None, stemming=False,
+                 filters=[NGramFilter(2, 3)])
+    toks = a.analyze_text("abcd xy")
+    # token "abcd": 2-grams ab bc cd + 3-grams abc bcd, all at pos 0;
+    # token "xy": 2-gram xy at pos 1 (len < 3 -> no 3-gram)
+    assert sorted(toks) == sorted(
+        [("ab", 0), ("bc", 0), ("cd", 0), ("abc", 0), ("bcd", 0),
+         ("xy", 1)])
+    keep = Analyzer(stop_words=None, stemming=False,
+                    filters=[NGramFilter(2, 2, preserve_original=True)])
+    assert ("abcd", 0) in keep.analyze_text("abcd")
+
+
+def test_ascii_folding_with_unicode_tokenizer():
+    from engine.analysis import Analyzer, AsciiFoldingFilter
+
+    a = Analyzer(stop_words=None, stemming=False,
+                 filters=[AsciiFoldingFilter()], unicode_tokens=True)
+    toks = a.analyze_text("Café NAÏVE Ärger plain")
+    assert toks == [("cafe", 0), ("naive", 1), ("arger", 2),
+                    ("plain", 3)]
+    # without the unicode tokenizer, accented chars split tokens —
+    # the documented ASCII conformance boundary
+    b = Analyzer(stop_words=None, stemming=False,
+                 filters=[AsciiFoldingFilter()])
+    assert ("cafe", 0) not in b.analyze_text("Café")
+
+
+def test_unicode_tokens_config_roundtrip():
+    from engine.build import IndexConfig
+
+    cfg = IndexConfig(unicode_tokens=True,
+                      filters=({"type": "ascii_folding"},))
+    cfg2 = IndexConfig.from_json(cfg.to_json())
+    assert cfg2.unicode_tokens and cfg2.filters == cfg.filters
