@@ -85,6 +85,82 @@ class MediaFeatureExtractor:
         return out
 
 
+class MediaResizer:
+    """Actor-pool stage: payload → resized payload (binary → binary).
+
+    Real resize (PIL/ffmpeg scale) is STUBBED like decode; fake mode
+    emits a deterministic byte-stride downsample so the binary-in /
+    binary-out plumbing (schema, offsets, small batches) is exercised.
+    Output keeps id columns + ``payload`` (resized) + ``orig_bytes``."""
+
+    def __init__(self, media_col: str = "payload",
+                 id_cols: list[str] | None = None, mode: str = "fake",
+                 target_bytes: int = 256):
+        self.media_col = media_col
+        self.id_cols = id_cols or []
+        self.mode = mode
+        self.target_bytes = target_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.media_col].to_pylist()
+        out_payloads: list[bytes] = []
+        orig = np.empty(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            p = p or b""
+            orig[i] = len(p)
+            if self.mode != "fake":
+                raise NotImplementedError(
+                    "no image codec in this environment; use mode='fake'")
+            stride = max(1, len(p) // self.target_bytes)
+            out_payloads.append(p[::stride][:self.target_bytes])
+        out = batch.select(self.id_cols)
+        out = out.append_column(
+            "payload", pa.array(out_payloads, type=pa.binary()))
+        out = out.append_column("orig_bytes", pa.array(orig))
+        return out
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload → one row per sampled frame
+    (the flat-map row-expansion layout real frame sampling needs).
+
+    Real demux/decode is STUBBED; fake mode slices the payload into
+    ``n_frames`` evenly spaced byte windows. Output:
+    (id columns, frame_idx:int32, frame:binary)."""
+
+    def __init__(self, media_col: str = "payload",
+                 id_cols: list[str] | None = None, mode: str = "fake",
+                 n_frames: int = 4, frame_bytes: int = 64):
+        self.media_col = media_col
+        self.id_cols = id_cols or []
+        self.mode = mode
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.media_col].to_pylist()
+        frames: list[bytes] = []
+        fidx: list[int] = []
+        row_of: list[int] = []
+        for i, p in enumerate(payloads):
+            p = p or b""
+            if self.mode != "fake":
+                raise NotImplementedError(
+                    "no video demuxer in this environment; use mode='fake'")
+            k = self.n_frames
+            for j in range(k):
+                start = (len(p) * j) // k
+                frames.append(p[start:start + self.frame_bytes])
+                fidx.append(j)
+                row_of.append(i)
+        out = batch.select(self.id_cols).take(pa.array(row_of))
+        out = out.append_column(
+            "frame_idx", pa.array(fidx, type=pa.int32()))
+        out = out.append_column(
+            "frame", pa.array(frames, type=pa.binary()))
+        return out
+
+
 def extract_media_features(ds: ray.data.Dataset, media_col: str,
                            id_cols: list[str], media_type: str = "image",
                            mode: str = "fake", feature_dim: int = 16,

@@ -261,3 +261,47 @@ def test_topic_checkpointed_consumption(ray_session, tmp_path):
     commit3()
     ds4, new4, _ = topic(str(d), ck)
     assert ds4 is None and new4 == []
+
+
+def test_media_resize_and_frame_sample_plumbing(ray_session):
+    """Resize (binary->binary) and frame sampling (row expansion)
+    actor-pool stages: deterministic fake mode exercises the real
+    distributed layout; real mode is stubbed."""
+    import ray.data
+
+    from engine.ops.multimodal import FrameSampler, MediaResizer
+
+    rng = np.random.default_rng(4)
+    payloads = [rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
+                for n in (2000, 700, 0, 128)]
+    tab = pa.table({
+        "media_id": pa.array(np.arange(4, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+    ds = ray.data.from_arrow(tab)
+    resized = ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs=dict(id_cols=["media_id"], target_bytes=64),
+        batch_size=2, concurrency=2, batch_format="pyarrow").take_all()
+    resized.sort(key=lambda r: r["media_id"])
+    assert [r["orig_bytes"] for r in resized] == [2000, 700, 0, 128]
+    assert all(len(r["payload"]) <= 64 for r in resized)
+    # deterministic: same stride slice
+    assert resized[0]["payload"] == payloads[0][::2000 // 64][:64]
+
+    frames = ray.data.from_arrow(tab).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(id_cols=["media_id"], n_frames=3,
+                                   frame_bytes=16),
+        batch_size=2, concurrency=2, batch_format="pyarrow").take_all()
+    assert len(frames) == 4 * 3
+    f0 = sorted((r for r in frames if r["media_id"] == 0),
+                key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f0] == [0, 1, 2]
+    assert f0[1]["frame"] == payloads[0][2000 // 3:2000 // 3 + 16]
+
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        MediaResizer(mode="real")(tab)
+    with _pt.raises(NotImplementedError):
+        FrameSampler(mode="real")(tab)
