@@ -265,3 +265,28 @@ def range_filter(ds: ray.data.Dataset, col: str, lo=None, hi=None
             m = m2 if m is None else pc.and_(m, m2)
         return b.filter(m) if m is not None else b
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def cartesian_product(ds: ray.data.Dataset, list_col: str,
+                      val_col: str = "val", pos_col: str = "pos"
+                      ) -> ray.data.Dataset:
+    """``cartesianProduct`` stream (upstream
+    ``SJ/stream/CartesianProductStream.java`` [U]): explode a
+    multi-valued (list) column into one row per element, carrying the
+    element ordinal (1-based, like SQL ``generate_subscripts``).
+    Vectorized: the list column's flattened values + repeated parents
+    — no per-row Python."""
+    def f(b: pa.Table) -> pa.Table:
+        lists = b[list_col].combine_chunks()
+        if isinstance(lists, pa.ChunkedArray):
+            lists = (lists.chunk(0) if lists.num_chunks
+                     else pa.array([], type=lists.type))
+        offs = lists.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        parent = np.repeat(np.arange(len(lists)), counts)
+        pos = np.concatenate([np.arange(1, c + 1) for c in counts]) \
+            if len(counts) else np.empty(0, dtype=np.int64)
+        out = b.drop_columns([list_col]).take(pa.array(parent))
+        out = out.append_column(pos_col, pa.array(pos, type=pa.int64()))
+        return out.append_column(val_col, lists.flatten())
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -866,6 +866,129 @@ class IndexReader:
         hi = bisect.bisect_left(vocab, prefix + "\uffff")
         return vocab[lo:hi]
 
+    # ------------------------------------- suggest / spellcheck / MLT
+
+    def _df_of(self, terms: list[str]) -> dict[str, int]:
+        subs = self.lookup(terms)
+        return {t: self.global_df(s) for t, s in subs.items() if s}
+
+    def suggest_prefix_topk(self, prefix: str, k: int = 10) -> pa.Table:
+        """Autocomplete suggester (upstream Solr suggest component /
+        ``FreeTextSuggester``-style popularity ranking [U]): terms with
+        the given prefix ranked by document frequency desc, term asc.
+        Dictionary range scan (bisect on the memoized sorted vocab) +
+        df from the term cache \u2014 zero postings decode."""
+        dfs = self._df_of(self.expand_prefix(prefix))
+        rows = sorted(dfs.items(), key=lambda r: (-r[1], r[0]))[:k]
+        return pa.table({
+            "term": pa.array([t for t, _ in rows], type=pa.string()),
+            "df": pa.array([d for _, d in rows], type=pa.int64())})
+
+    def spellcheck(self, term: str, k: int = 5,
+                   max_edits: int = 2) -> pa.Table:
+        """DirectSpellChecker analog (upstream
+        ``L/search/spell/DirectSpellChecker`` [U]): dictionary terms
+        within Levenshtein distance <= max_edits of the input, ranked
+        (distance asc, df desc, term asc). Exact-match term itself is
+        excluded (distance >= 1), like suggestMode=SUGGEST_MORE_POPULAR
+        candidates being alternatives, not echoes."""
+        cands = [(t, _levenshtein(term, t, max_edits))
+                 for t in self.vocabulary()]
+        cands = [(t, d) for t, d in cands if 1 <= d <= max_edits]
+        dfs = self._df_of([t for t, _ in cands])
+        rows = sorted(((t, d, dfs.get(t, 0)) for t, d in cands),
+                      key=lambda r: (r[1], -r[2], r[0]))[:k]
+        return pa.table({
+            "term": pa.array([r[0] for r in rows], type=pa.string()),
+            "dist": pa.array([r[1] for r in rows], type=pa.int64()),
+            "df": pa.array([r[2] for r in rows], type=pa.int64())})
+
+    def more_like_this_topk(self, doc_id: int, k: int = 10,
+                            max_terms: int = 5,
+                            min_df: int = 2) -> pa.Table:
+        """MoreLikeThis (upstream ``L/queries/mlt/MoreLikeThis`` [U]):
+        fetch the seed doc's stored text, pick its ``max_terms`` most
+        *selective* terms (lowest df, i.e. highest idf \u2014 deterministic
+        tie-break on term asc; df >= min_df so single-doc terms that
+        can only re-find the seed are skipped), then run the scoring
+        disjunction and drop the seed from the results."""
+        doc = self.fetch_docs(np.array([doc_id], dtype=np.int64))
+        if not doc.num_rows:
+            return _topdocs_table([], [])
+        text = doc["text"][0].as_py()
+        terms = sorted(set(self.analyzer.query_terms(text)))
+        dfs = self._df_of(terms)
+        cand = sorted((df, t) for t, df in dfs.items() if df >= min_df)
+        sel = [t for _, t in cand[:max_terms]]
+        if not sel:
+            return _topdocs_table([], [])
+        top = self.boolean_topk(should=sel, k=k + 1)
+        mask = pc.not_equal(top["doc_id"], pa.scalar(doc_id, pa.int64()))
+        top = top.filter(mask).slice(0, k)
+        return top.set_column(
+            top.column_names.index("rank"), "rank",
+            pa.array(np.arange(top.num_rows, dtype=np.int32)))
+
+    def highlight_topk(self, query_text: str, k: int = 10,
+                       window: int = 3) -> pa.Table:
+        """Highlighter (upstream ``L/highlight/Highlighter`` /
+        UnifiedHighlighter [U], simplified to a deterministic spec):
+        top-k docs for the query, then per doc a snippet of the
+        ``2*window+1`` analyzed tokens centered on the FIRST occurrence
+        of any query term (earliest token index wins). Presentation
+        stage: k is small, the token scan is per-result only."""
+        top = self.topk(query_text, k)
+        ids = top["doc_id"].to_numpy()
+        qterms = set(self.analyzer.query_terms(query_text))
+        stored = self.fetch_docs(ids)
+        text_by_id = dict(zip(stored["doc_id"].to_pylist(),
+                              stored["text"].to_pylist()))
+        snippets = []
+        for d in ids.tolist():
+            toks = [t for t, _ in self.analyzer.analyze_text(
+                text_by_id.get(d, ""))]
+            p = next((i for i, t in enumerate(toks) if t in qterms), None)
+            snippets.append(
+                "" if p is None else
+                " ".join(toks[max(0, p - window): p + window + 1]))
+        return pa.table({
+            "rank": top["rank"], "doc_id": top["doc_id"],
+            "score": top["score"],
+            "snippet": pa.array(snippets, type=pa.string())})
+
+    def match_scores(self, query_text: str) -> pa.Table:
+        """Every matching doc with its f32 BM25 score (no top-k cut) \u2014
+        feeds block-join and rescoring stages."""
+        return self.brute_force_topk(query_text, k=max(self.N, 1))
+
+    def ltr_rescore_topk(self, query_text: str, k: int = 10,
+                         k0: int = 100, w_score: float = 0.8,
+                         w_match: float = 0.2) -> pa.Table:
+        """LTR-style rescore (upstream Solr LTR module / ``RankQuery``
+        [U]): first-pass BM25 top-``k0`` window, then a linear model
+        over features (f32 BM25 score, matched-query-term count)
+        re-ranks the window. Arithmetic: f64 combination of the f32
+        score + integer feature, one final f32 cast \u2014 reproducible in
+        SQL."""
+        top = self.brute_force_topk(query_text, k0)
+        ids = top["doc_id"].to_numpy()
+        score = top["score"].to_numpy()
+        if not len(ids):
+            return _topdocs_table([], [])
+        terms = sorted(set(self.analyzer.query_terms(query_text)))
+        subs = self.lookup(terms)
+        nmatch = np.zeros(len(ids), dtype=np.int64)
+        for t in terms:
+            if not subs[t]:
+                continue
+            docs = self._clause_arrays(t, subs[t])[0]
+            idx = np.clip(np.searchsorted(docs, ids), 0, len(docs) - 1)
+            nmatch += (docs[idx] == ids)
+        final = (w_score * score.astype(np.float64)
+                 + w_match * nmatch).astype(np.float32)
+        order = np.lexsort((ids, -final))[:k]
+        return _topdocs_table(ids[order], final[order], total=len(ids))
+
     # ------------------------------------------------------------- fetch
 
     def fetch_docs(self, doc_ids: np.ndarray) -> pa.Table:

@@ -341,8 +341,11 @@ _SQL_CONTRIB = """
       AS FLOAT)"""
 
 
-def _sql_disjunction(qterms_sql: str, k: int, having: str = "",
-                     where: str = "") -> str:
+def _sql_scored(qterms_sql: str, having: str = "",
+                where: str = "") -> str:
+    """CTE chain ending at ``scored`` = every matching doc with its
+    float32-exact BM25 score (no top-k cut) — shared by the plain
+    disjunction and by block-join / rescoring / highlight oracles."""
     return f"""{_bm25_ctes()},
 qterms AS ({qterms_sql}),
 dfs AS (
@@ -357,7 +360,12 @@ contrib AS (
   CROSS JOIN stats s),
 scored AS (
   SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
-  FROM contrib {where} GROUP BY doc_id {having})
+  FROM contrib {where} GROUP BY doc_id {having})"""
+
+
+def _sql_disjunction(qterms_sql: str, k: int, having: str = "",
+                     where: str = "") -> str:
+    return f"""{_sql_scored(qterms_sql, having, where)}
 SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
        doc_id, score
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
@@ -1586,6 +1594,280 @@ def knn_lsh_docs(sf_dir: str) -> pa.Table:
     return _cast_col(t, "rank", pa.int64())
 
 
+# ------------------- suggest / spellcheck / MLT / highlight / rescore
+
+SUGGEST_PREFIX = "st"
+SPELL_TERM = "quey"
+MLT_SEED = 3
+HL_WINDOW = 3
+BJ_QUERY = "spark merge"
+
+
+def _doc_reader(sf_dir: str, stored: bool = False) -> IndexReader:
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    if stored:
+        from engine.build import build_stored_fields
+        build_stored_fields(idx)   # no-op once built (manifest-guarded)
+    return IndexReader(idx)
+
+
+def suggest_terms_docs(sf_dir: str) -> pa.Table:
+    """Autocomplete suggester: dictionary prefix range ranked by df
+    (upstream Solr SuggestComponent [U])."""
+    return _doc_reader(sf_dir).suggest_prefix_topk(SUGGEST_PREFIX, k=10)
+
+
+SQL_SUGGEST = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks
+WHERE term LIKE '{SUGGEST_PREFIX}%'
+GROUP BY term ORDER BY df DESC, term LIMIT 10
+"""
+
+
+def spellcheck_docs(sf_dir: str) -> pa.Table:
+    """DirectSpellChecker: dictionary terms within edit distance 2,
+    ranked (distance, popularity) (upstream ``DirectSpellChecker``
+    [U])."""
+    return _doc_reader(sf_dir).spellcheck(SPELL_TERM, k=5, max_edits=2)
+
+
+SQL_SPELLCHECK = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+d AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+      FROM toks GROUP BY term)
+SELECT term, levenshtein(term, '{SPELL_TERM}')::BIGINT AS dist, df
+FROM d WHERE levenshtein(term, '{SPELL_TERM}') BETWEEN 1 AND 2
+ORDER BY dist, df DESC, term LIMIT 5
+"""
+
+
+def mlt_topk(sf_dir: str) -> pa.Table:
+    """MoreLikeThis: seed doc's most selective terms → scoring
+    disjunction, seed excluded (upstream ``MoreLikeThis`` [U])."""
+    r = _doc_reader(sf_dir, stored=True)
+    return _topdocs_out(r.more_like_this_topk(MLT_SEED, k=10,
+                                              max_terms=5, min_df=2))
+
+
+def sql_mlt() -> str:
+    qterms = f"""SELECT term FROM (
+      SELECT st.term, COUNT(DISTINCT tf.doc_id) AS sdf
+      FROM (SELECT DISTINCT term FROM tf WHERE doc_id = {MLT_SEED}) st
+      JOIN tf ON tf.term = st.term GROUP BY st.term)
+    WHERE sdf >= 2 ORDER BY sdf, term LIMIT 5"""
+    return _sql_disjunction(
+        qterms, 10, where=f"WHERE contrib.doc_id <> {MLT_SEED}")
+
+
+def highlight_topk_docs(sf_dir: str) -> pa.Table:
+    """Highlighter: snippet of 2w+1 tokens centered on the first
+    query-term occurrence, for the BM25 top-k (upstream
+    ``UnifiedHighlighter`` [U], deterministic restatement)."""
+    r = _doc_reader(sf_dir, stored=True)
+    t = r.highlight_topk(BJ_QUERY, k=10, window=HL_WINDOW)
+    return _cast_col(t, "rank", pa.int64())
+
+
+def sql_highlight() -> str:
+    terms = BJ_QUERY.split()
+    qsql = "SELECT unnest([" + ",".join(f"'{t}'" for t in terms) \
+        + "]) AS term"
+    poslist = ",".join(f"list_position(ts, '{t}')" for t in terms)
+    w = HL_WINDOW
+    return f"""{_sql_scored(qsql)},
+topk AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank, doc_id, score
+  FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+firstp AS (
+  SELECT doc_id,
+         list_min(list_filter([{poslist}], x -> x > 0)) AS p
+  FROM toks)
+SELECT t.rank, t.doc_id, t.score,
+       array_to_string(ts[GREATEST(1, f.p - {w}) : f.p + {w}], ' ')
+         AS snippet
+FROM topk t JOIN toks USING (doc_id) JOIN firstp f USING (doc_id)
+ORDER BY t.rank
+"""
+
+
+def blockjoin_topk_docs(sf_dir: str) -> pa.Table:
+    """ToParentBlockJoinQuery(ScoreMode.Max) analog (upstream
+    ``lucene/join`` [U]): children = docs scored by the query, parents
+    = their ``source`` groups; parent score = max child score, plus
+    matched-child count. The scored match list streams through a
+    broadcast join + grouped aggregate (child→parent rollup), not a
+    driver loop."""
+    r = _doc_reader(sf_dir)
+    m = r.match_scores(BJ_QUERY).select(["doc_id", "score"])
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    joined = rel.broadcast_hash_join(docs, m, "doc_id")
+    agg = _to_table(rel.rollup(joined, ["source"], maxs=["score"]))
+    agg = _rename(agg, {"count()": "n_children", "max(score)": "score"})
+    agg = _cast_col(agg, "n_children", pa.int64())
+    agg = _cast_col(agg, "score", pa.float32())
+    return agg.select(["source", "n_children", "score"]) \
+        .sort_by([("score", "descending"), ("source", "ascending")]) \
+        .slice(0, 10)
+
+
+def sql_blockjoin() -> str:
+    return f"""{_sql_scored("SELECT unnest(['spark','merge']) AS term")}
+SELECT d.source, COUNT(*)::BIGINT AS n_children,
+       CAST(MAX(s.score) AS FLOAT) AS score
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY score DESC, d.source LIMIT 10
+"""
+
+
+def ltr_rescore_docs(sf_dir: str) -> pa.Table:
+    """LTR / RankQuery rescoring (upstream Solr ``ltr`` module [U]):
+    BM25 top-100 window re-ranked by a linear model over (f32 score,
+    matched-term count)."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(r.ltr_rescore_topk(BJ_QUERY, k=10, k0=100))
+
+
+def sql_ltr() -> str:
+    return f"""{_sql_scored("SELECT unnest(['spark','merge']) AS term")},
+top0 AS (SELECT doc_id, score FROM scored
+         ORDER BY score DESC, doc_id LIMIT 100),
+nm AS (SELECT tf.doc_id, COUNT(DISTINCT tf.term)::BIGINT AS nm
+       FROM tf JOIN qterms q ON tf.term = q.term GROUP BY tf.doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank, doc_id, score
+FROM (SELECT t.doc_id,
+             CAST(0.8::DOUBLE * t.score::DOUBLE
+                  + 0.2::DOUBLE * nm.nm::DOUBLE AS FLOAT) AS score
+      FROM top0 t JOIN nm USING (doc_id))
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# --------------------------- graph / pivot / spatial / cartesian
+
+def nodes_walk_customers(sf_dir: str) -> pa.Table:
+    """gatherNodes 2-level walk (upstream ``GatherNodesStream`` [U]):
+    BUILDING-segment customers of nation 3 → their orders → the parts
+    on those orders; distinct nodes per level."""
+    from engine.ops import graph as gr
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_nationkey"])
+
+    def seed_f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.equal(b["c_mktsegment"], "BUILDING"),
+            pc.equal(b["c_nationkey"], 3)))
+
+    seeds = _to_table(
+        cust.map_batches(seed_f, batch_format="pyarrow"))["c_custkey"] \
+        .combine_chunks()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return gr.walk([(orders, "o_custkey", "o_orderkey"),
+                    (li, "l_orderkey", "l_partkey")], seeds)
+
+
+SQL_NODES_WALK = """
+WITH seeds AS (SELECT c_custkey FROM customer
+               WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 3),
+l1 AS (SELECT DISTINCT o_orderkey AS node FROM orders
+       JOIN seeds ON o_custkey = c_custkey),
+l2 AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+       JOIN l1 ON l_orderkey = l1.node)
+SELECT 1::BIGINT AS level, node::BIGINT AS node FROM l1
+UNION ALL
+SELECT 2::BIGINT, node::BIGINT FROM l2
+ORDER BY level, node
+"""
+
+
+def pivot_facet_docs(sf_dir: str) -> pa.Table:
+    """Pivot (nested) faceting: source × lang counts, count-desc
+    within parent (upstream ``facet.pivot``, ``S/handler/component/
+    PivotFacetProcessor`` [U])."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    t = _to_table(rel.facet(ds, ["source", "lang"]))
+    t = _rename(t, {"count()": "cnt"})
+    t = _cast_col(t, "cnt", pa.int64())
+    return t.sort_by([("source", "ascending"), ("cnt", "descending"),
+                      ("lang", "ascending")])
+
+
+SQL_PIVOT_FACET = """
+SELECT source, lang, COUNT(*)::BIGINT AS cnt FROM documents
+GROUP BY source, lang ORDER BY source, cnt DESC, lang
+"""
+
+GEO_CENTER = (35.0, -97.5)
+GEO_RADIUS_KM = 2000.0
+
+
+def geodist_customers(sf_dir: str) -> pa.Table:
+    """geofilt + geodist sort (upstream ``LatLonPointSpatialField``,
+    ``geodist()`` [U]): deterministic synthetic lat/lon per customer
+    (no external data), quantized haversine filter + distance sort."""
+    from engine.ops import spatial as sp
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy()
+        lat = ((ck * 7919) % 17000) / 100.0 - 85.0
+        lon = ((ck * 104729) % 36000) / 100.0 - 180.0
+        return b.append_column("lat", pa.array(lat)) \
+                .append_column("lon", pa.array(lon))
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    ds = sp.geofilt(ds, "lat", "lon", GEO_CENTER, GEO_RADIUS_KM)
+    t = _to_table(rel.top_k(
+        ds, [("dist_km", False), ("c_custkey", False)], 20))
+    return t.select(["c_custkey", "lat", "lon", "dist_km"])
+
+
+SQL_GEODIST = f"""
+WITH pts AS (
+  SELECT c_custkey,
+    ((c_custkey * 7919) % 17000)::DOUBLE / 100.0::DOUBLE
+      - 85.0::DOUBLE AS lat,
+    ((c_custkey * 104729) % 36000)::DOUBLE / 100.0::DOUBLE
+      - 180.0::DOUBLE AS lon
+  FROM customer),
+d AS (
+  SELECT c_custkey, lat, lon,
+    FLOOR((2.0::DOUBLE * 6371.0::DOUBLE * asin(sqrt(
+      sin((radians(lat) - radians({GEO_CENTER[0]})) / 2.0::DOUBLE)
+        * sin((radians(lat) - radians({GEO_CENTER[0]})) / 2.0::DOUBLE)
+      + cos(radians({GEO_CENTER[0]})) * cos(radians(lat))
+        * sin((radians(lon) - radians({GEO_CENTER[1]})) / 2.0::DOUBLE)
+        * sin((radians(lon) - radians({GEO_CENTER[1]})) / 2.0::DOUBLE)
+    ))) * 1000.0::DOUBLE + 0.5::DOUBLE) / 1000.0::DOUBLE AS dist_km
+  FROM pts)
+SELECT c_custkey, lat, lon, dist_km FROM d
+WHERE dist_km <= {GEO_RADIUS_KM}
+ORDER BY dist_km, c_custkey LIMIT 20
+"""
+
+
+def cartesian_product_embeddings(sf_dir: str) -> pa.Table:
+    """cartesianProduct stream: explode the multi-valued embedding
+    column with element ordinals (upstream
+    ``CartesianProductStream`` [U])."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = rel.range_filter(ds, "vec_id", hi=5)
+    t = _to_table(rel.cartesian_product(ds, "embedding"))
+    return t.sort_by([("vec_id", "ascending"), ("pos", "ascending")])
+
+
+SQL_CARTESIAN = """
+SELECT vec_id, generate_subscripts(embedding, 1)::BIGINT AS pos,
+       unnest(embedding) AS val
+FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -1654,6 +1936,16 @@ def queries() -> dict:
         "embedding_near_dup": embedding_near_dup,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "transcript_bm25": transcript_bm25,
+        "suggest_terms_docs": suggest_terms_docs,
+        "spellcheck_docs": spellcheck_docs,
+        "mlt_topk": mlt_topk,
+        "highlight_topk_docs": highlight_topk_docs,
+        "blockjoin_topk_docs": blockjoin_topk_docs,
+        "ltr_rescore_docs": ltr_rescore_docs,
+        "nodes_walk_customers": nodes_walk_customers,
+        "pivot_facet_docs": pivot_facet_docs,
+        "geodist_customers": geodist_customers,
+        "cartesian_product_embeddings": cartesian_product_embeddings,
     }
 
 
@@ -1719,6 +2011,16 @@ def oracle_sql() -> dict:
         "embedding_near_dup_lsh": SQL_EMB_NEAR_DUP,
         "minhash_pairs_docs": SQL_MINHASH_EXACT,
         "simhash_pairs_docs": SQL_SIMHASH,
+        "suggest_terms_docs": SQL_SUGGEST,
+        "spellcheck_docs": SQL_SPELLCHECK,
+        "mlt_topk": sql_mlt(),
+        "highlight_topk_docs": sql_highlight(),
+        "blockjoin_topk_docs": sql_blockjoin(),
+        "ltr_rescore_docs": sql_ltr(),
+        "nodes_walk_customers": SQL_NODES_WALK,
+        "pivot_facet_docs": SQL_PIVOT_FACET,
+        "geodist_customers": SQL_GEODIST,
+        "cartesian_product_embeddings": SQL_CARTESIAN,
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)

@@ -305,3 +305,59 @@ def test_media_resize_and_frame_sample_plumbing(ray_session):
         MediaResizer(mode="real")(tab)
     with _pt.raises(NotImplementedError):
         FrameSampler(mode="real")(tab)
+
+
+# ----------------------------- graph / spatial / cartesian product
+
+def test_gather_nodes_walk(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import graph as gr
+
+    edges1 = ray.data.from_arrow(pa.table({
+        "src": [1, 1, 2, 3], "dst": [10, 11, 12, 13]}))
+    edges2 = ray.data.from_arrow(pa.table({
+        "src": [10, 11, 12, 99], "dst": [100, 101, 100, 999]}))
+    t = gr.walk([(edges1, "src", "dst"), (edges2, "src", "dst")],
+                pa.array([1, 2], type=pa.int64()))
+    rows = list(zip(t["level"].to_pylist(), t["node"].to_pylist()))
+    assert rows == [(1, 10), (1, 11), (1, 12), (2, 100), (2, 101)]
+
+
+def test_gather_nodes_empty_frontier(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import graph as gr
+
+    edges = ray.data.from_arrow(pa.table({"src": [1], "dst": [2]}))
+    out = gr.gather_nodes(edges, "src", "dst",
+                          pa.array([], type=pa.int64()))
+    assert len(out) == 0
+
+
+def test_spatial_quantize_half_up():
+    import numpy as np
+
+    from engine.ops.spatial import haversine_km, quantize_km
+
+    assert quantize_km(np.array([1.0005]))[0] == 1.001
+    assert quantize_km(np.array([1.00049]))[0] == 1.0
+    # antipodal sanity: half circumference ~ 20015 km
+    d = haversine_km(0.0, 0.0, np.array([0.0]), np.array([180.0]))
+    assert abs(d[0] - np.pi * 6371.0) < 1e-6
+
+
+def test_cartesian_product_explodes_with_ordinals(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import relational as rel
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": [1, 2, 3],
+        "v": [[1.5, 2.5], [], [7.0]]}))
+    t = rel.cartesian_product(ds, "v").take_all()
+    rows = sorted((r["id"], r["pos"], r["val"]) for r in t)
+    assert rows == [(1, 1, 1.5), (1, 2, 2.5), (3, 1, 7.0)]

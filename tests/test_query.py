@@ -282,3 +282,74 @@ def test_query_engine_shared_reader(ray_session, smoke_index):
         batch_format="pyarrow", concurrency=2).to_pandas() \
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert shared.equals(local)
+
+
+# ------------------- suggest / spellcheck / MLT / highlight / rescore
+
+def test_suggest_prefix_ranked_by_df(reader):
+    t = reader.suggest_prefix_topk("s", k=8)
+    assert t.num_rows <= 8
+    dfs = t["df"].to_pylist()
+    terms = t["term"].to_pylist()
+    assert all(x.startswith("s") for x in terms)
+    assert all(a >= b for a, b in zip(dfs, dfs[1:]))
+    # tie-break term asc within equal df
+    for i in range(len(dfs) - 1):
+        if dfs[i] == dfs[i + 1]:
+            assert terms[i] < terms[i + 1]
+
+
+def test_suggest_no_match_empty(reader):
+    assert reader.suggest_prefix_topk("zzzzqq", k=5).num_rows == 0
+
+
+def test_spellcheck_excludes_exact_and_caps_distance(reader):
+    vocab = reader.vocabulary()
+    seed = vocab[0]
+    t = reader.spellcheck(seed, k=10, max_edits=2)
+    assert seed not in t["term"].to_pylist()
+    assert all(1 <= d <= 2 for d in t["dist"].to_pylist())
+
+
+def test_mlt_excludes_seed_and_ranks(smoke_index):
+    from engine.build import build_stored_fields
+
+    idx, _, _ = smoke_index
+    build_stored_fields(idx)
+    r = IndexReader(idx)
+    t = r.more_like_this_topk(5, k=10)
+    assert 5 not in t["doc_id"].to_pylist()
+    assert t["rank"].to_pylist() == list(range(t.num_rows))
+    sc = t["score"].to_numpy()
+    assert all(a >= b for a, b in zip(sc, sc[1:]))
+
+
+def test_highlight_snippets_contain_query_term(smoke_index):
+    from engine.build import build_stored_fields
+
+    idx, _, _ = smoke_index
+    build_stored_fields(idx)
+    r = IndexReader(idx)
+    top = r.topk("zephyr", 5)
+    hl = r.highlight_topk("zephyr", 5, window=2)
+    assert hl["doc_id"].to_pylist() == top["doc_id"].to_pylist()
+    for s in hl["snippet"].to_pylist():
+        assert "zephyr" in s.split()
+        assert len(s.split()) <= 5
+
+
+def test_ltr_rescore_is_permutation_of_first_pass(reader):
+    base = reader.brute_force_topk("index merge", 50)
+    res = reader.ltr_rescore_topk("index merge", k=50, k0=50)
+    assert sorted(res["doc_id"].to_pylist()) == \
+        sorted(base["doc_id"].to_pylist())
+    # matched-term-count feature dominates at equal bm25 only via
+    # the linear blend; final scores must be sorted
+    sc = res["score"].to_numpy()
+    assert all(a >= b for a, b in zip(sc, sc[1:]))
+
+
+def test_match_scores_counts_all_matches(reader):
+    m = reader.match_scores("zephyr")
+    bf = reader.brute_force_topk("zephyr", 10)
+    assert m.num_rows == bf["total_hits"][0].as_py()
