@@ -857,6 +857,82 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def span_near_topk(self, terms: list[str], slop: int,
+                       k: int = 10) -> pa.Table:
+        """Ordered SpanNearQuery for n terms (upstream
+        ``L/search/spans/SpanNearQuery.java`` [U]). Conformance
+        boundary, documented like :meth:`sloppy_phrase_topk`: a match
+        is a position tuple p1 < p2 < ... < pn with every adjacent gap
+        ``0 < p[i+1] - p[i] <= slop + 1``, and phrase freq = the COUNT
+        of such tuples — SQL-checkable chain joins; Lucene instead
+        counts greedy non-overlapping spans weighted 1/(width+1).
+        slop=0 over 2 terms equals the exact phrase pair count.
+
+        Vectorized chain DP: per term, sorted ``doc*SHIFT + pos`` keys;
+        chains-ending-here counts accumulate left→right with two
+        ``searchsorted`` calls per link — no per-tuple enumeration, so
+        a k-term chain over P total positions costs O(P log P)."""
+        if len(terms) < 2:
+            raise ValueError("span_near needs >= 2 terms")
+        subs = self.lookup(terms)
+        if any(not subs[t] for t in terms):
+            return _topdocs_table([], [])
+        rows = {t: self._lookup_positions(t) for t in set(terms)}
+        max_pos = 0
+        for rr in rows.values():
+            for _, _, _, fp in rr:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        SHIFT = np.int64(1 << 21)
+        while int(SHIFT) <= max_pos + slop + 2:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.N + 1) >= (1 << 62):
+            raise OverflowError("span_near key space overflow")
+
+        def keys_of(rr):
+            parts, norm = [], {}
+            for docs, tfs, norms, fp in rr:
+                parts.append(np.repeat(docs, tfs) * SHIFT + fp)
+                for d, nb in zip(docs, norms):
+                    norm[int(d)] = int(nb)
+            keys = (np.sort(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64))
+            return keys, norm
+
+        keyed = {t: keys_of(rows[t]) for t in set(terms)}
+        prev_keys, _ = keyed[terms[0]]
+        prev_cnt = np.ones(len(prev_keys), dtype=np.int64)
+        for t in terms[1:]:
+            cur_keys, doc_norm = keyed[t]
+            cum = np.concatenate(([0], np.cumsum(prev_cnt)))
+            lo = np.searchsorted(prev_keys, cur_keys - (slop + 1),
+                                 side="left")
+            hi = np.searchsorted(prev_keys, cur_keys, side="left")
+            prev_cnt = cum[hi] - cum[lo]
+            prev_keys = cur_keys
+        m = prev_cnt > 0
+        if not m.any():
+            return _topdocs_table([], [])
+        docs = (prev_keys[m] // SHIFT).astype(np.int64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        freq = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(freq, inv, prev_cnt[m])
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, freq = uniq[keep], freq[keep]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        # weight = left-to-right f64 sum of per-term f32 idfs (order
+        # pinned so a SQL oracle can reproduce it exactly)
+        w64 = 0.0
+        for t in terms:
+            w64 = w64 + float(idf(self.N, self.global_df(subs[t])))
+        _, last_norm = keyed[terms[-1]]
+        norms = np.array([last_norm[int(d)] for d in uniq], dtype=np.uint8)
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
     def expand_prefix(self, prefix: str) -> list[str]:
         """Prefix range over the sorted memoized dictionary (bisect)."""
         import bisect

@@ -311,13 +311,15 @@ def _smallfloat_lut_sql() -> str:
     return ",".join(rows)
 
 
-def _bm25_ctes() -> str:
+def _bm25_ctes(docs_src: str = "documents") -> str:
     """Shared float32-exact BM25 CTEs: tokenized docs, collection
     stats, the generated SmallFloat quantization lookup, quantized doc
-    lengths, and per-(doc, term) tf."""
+    lengths, and per-(doc, term) tf. ``docs_src`` may be a subquery
+    (aliased) providing (doc_id, text) — used by the update round-trip
+    oracle to describe the post-update corpus."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+  SELECT doc_id, {_SQL_TOKS} AS ts FROM {docs_src}),
 stats AS (
   SELECT COUNT(*)::DOUBLE AS n,
          SUM(len(ts))::DOUBLE / COUNT(*)::DOUBLE AS avgdl FROM toks),
@@ -342,11 +344,11 @@ _SQL_CONTRIB = """
 
 
 def _sql_scored(qterms_sql: str, having: str = "",
-                where: str = "") -> str:
+                where: str = "", docs_src: str = "documents") -> str:
     """CTE chain ending at ``scored`` = every matching doc with its
     float32-exact BM25 score (no top-k cut) — shared by the plain
     disjunction and by block-join / rescoring / highlight oracles."""
-    return f"""{_bm25_ctes()},
+    return f"""{_bm25_ctes(docs_src)},
 qterms AS ({qterms_sql}),
 dfs AS (
   SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
@@ -364,8 +366,8 @@ scored AS (
 
 
 def _sql_disjunction(qterms_sql: str, k: int, having: str = "",
-                     where: str = "") -> str:
-    return f"""{_sql_scored(qterms_sql, having, where)}
+                     where: str = "", docs_src: str = "documents") -> str:
+    return f"""{_sql_scored(qterms_sql, having, where, docs_src)}
 SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
        doc_id, score
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
@@ -1745,6 +1747,127 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# --------------------------- span near / incremental update
+
+SPAN_TERMS = ["part", "filter", "key"]
+SPAN_SLOP = 2
+
+
+def span_near_topk_docs(sf_dir: str) -> pa.Table:
+    """Ordered n-term SpanNearQuery (upstream ``SpanNearQuery`` [U];
+    chain-window conformance restatement, see the method docstring)."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(r.span_near_topk(SPAN_TERMS, SPAN_SLOP, k=10))
+
+
+def sql_span_near() -> str:
+    t1, t2, t3 = SPAN_TERMS
+    g = SPAN_SLOP + 1
+
+    def idf_sql(t: str) -> str:
+        return (f"(SELECT CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))"
+                f" AS FLOAT)::DOUBLE FROM (SELECT COUNT(DISTINCT doc_id)"
+                f"::DOUBLE AS df FROM tf WHERE term = '{t}') d"
+                f" CROSS JOIN stats s)")
+
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id
+             AND b.p - a.p BETWEEN 1 AND {g} AND b.tok = '{t2}'
+  JOIN pos c ON c.doc_id = a.doc_id
+             AND c.p - b.p BETWEEN 1 AND {g} AND c.tok = '{t3}'
+  WHERE a.tok = '{t1}' GROUP BY a.doc_id),
+w AS (SELECT CAST(({idf_sql(t1)} + {idf_sql(t2)}) + {idf_sql(t3)}
+              AS FLOAT) AS w),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+UPD_TEXT = "updated spark review pipeline"
+UPD_QUERY = "spark review"
+UPD_MOD = 50
+
+
+def update_docs_topk(sf_dir: str) -> pa.Table:
+    """updateDocument round-trip (upstream
+    ``IndexWriter#updateDocument`` = delete + add [U]): every doc with
+    ``doc_id %% 50 == 0`` is updated — old version tombstoned via
+    ``delete_docs``, new version appended as a fresh part under a
+    fresh dense docID (incremental append, no rebuild of old parts).
+    Then BM25 top-k over the updated index. Lucene-faithful stats
+    semantics: idf/avgdl still count the tombstoned docs until a
+    forceMerge folds them away; matches exclude them — the SQL oracle
+    reproduces exactly that."""
+    import shutil as _sh
+
+    from engine.build import delete_docs
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|upd|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "upd_" + key)
+    os.makedirs(work, exist_ok=True)
+    ids = pq.read_table(base, columns=["doc_id"])["doc_id"].to_numpy()
+    n_base = len(ids)
+    old_ids = np.sort(ids[ids % UPD_MOD == 0])
+    upd_file = os.path.join(work, "updates.parquet")
+    if not os.path.exists(upd_file):
+        tmp = upd_file + ".tmp"
+        pq.write_table(pa.table({
+            "doc_id": pa.array(n_base + np.arange(len(old_ids)),
+                               type=pa.int64()),
+            "text": pa.array([UPD_TEXT] * len(old_ids)),
+        }), tmp)
+        os.replace(tmp, upd_file)
+    idx = os.path.join(work, "index")
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    man = mf.load(idx)
+    want = sorted([base, upd_file])
+    if not (man and man.get("status") == "complete"
+            and man.get("input_files") == want
+            and (man.get("deletes") or {}).get("n") == len(old_ids)):
+        if os.path.exists(idx):
+            _sh.rmtree(idx)
+        build_index([base], idx, cfg)
+        delete_docs(idx, old_ids)
+        build_index([base, upd_file], idx, cfg)
+    r = IndexReader(idx)
+    return _topdocs_out(r.topk(UPD_QUERY, 10))
+
+
+def sql_update_docs() -> str:
+    corpus = (
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT (SELECT COUNT(*) FROM documents)"
+        " + ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS doc_id, "
+        f"'{UPD_TEXT}' AS text FROM documents"
+        f" WHERE doc_id % {UPD_MOD} = 0) c")
+    qterms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in UPD_QUERY.split()) + "]) AS term"
+    return _sql_disjunction(
+        qterms, 10,
+        where=("WHERE contrib.doc_id NOT IN (SELECT doc_id FROM "
+               f"documents WHERE doc_id % {UPD_MOD} = 0)"),
+        docs_src=corpus)
+
+
 # --------------------------- graph / pivot / spatial / cartesian
 
 def nodes_walk_customers(sf_dir: str) -> pa.Table:
@@ -1946,6 +2069,8 @@ def queries() -> dict:
         "pivot_facet_docs": pivot_facet_docs,
         "geodist_customers": geodist_customers,
         "cartesian_product_embeddings": cartesian_product_embeddings,
+        "span_near_topk_docs": span_near_topk_docs,
+        "update_docs_topk": update_docs_topk,
     }
 
 
@@ -2021,6 +2146,8 @@ def oracle_sql() -> dict:
         "pivot_facet_docs": SQL_PIVOT_FACET,
         "geodist_customers": SQL_GEODIST,
         "cartesian_product_embeddings": SQL_CARTESIAN,
+        "span_near_topk_docs": sql_span_near(),
+        "update_docs_topk": sql_update_docs(),
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)

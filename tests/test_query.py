@@ -353,3 +353,52 @@ def test_match_scores_counts_all_matches(reader):
     m = reader.match_scores("zephyr")
     bf = reader.brute_force_topk("zephyr", 10)
     assert m.num_rows == bf["total_hits"][0].as_py()
+
+
+def test_span_near_two_terms_matches_sloppy_pairs(reader):
+    """2-term span_near chain-count == sloppy phrase pair-count (same
+    window definition) for every slop."""
+    for slop in (0, 1, 3):
+        a = reader.span_near_topk(["index", "merge"], slop, k=20)
+        b = reader.sloppy_phrase_topk("index", "merge", slop, k=20)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_span_near_three_term_recount(reader, smoke_corpus):
+    """Brute recount of 3-term chains from raw tokens."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    terms, slop = ["index", "merge", "sort"], 2
+    res = reader.span_near_topk(terms, slop, k=1000)
+    got = dict(zip(res["doc_id"].to_pylist(),
+                   [None] * res.num_rows))
+    corpus, _ = smoke_corpus
+    tabs = [pq.read_table(os.path.join(corpus, f))
+            for f in sorted(os.listdir(corpus)) if f.endswith(".parquet")]
+    rows = pa.concat_tables(tabs).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    texts = rows["text"].to_pylist()
+    expect = {}
+    for d, text in enumerate(texts):
+        toks = [t for t, _ in reader.analyzer.analyze_text(text)]
+        pos = {t: [i for i, x in enumerate(toks) if x == t]
+               for t in terms}
+        n = 0
+        for p1 in pos[terms[0]]:
+            for p2 in pos[terms[1]]:
+                if not (0 < p2 - p1 <= slop + 1):
+                    continue
+                for p3 in pos[terms[2]]:
+                    if 0 < p3 - p2 <= slop + 1:
+                        n += 1
+        if n:
+            expect[d] = n
+    assert set(got) == set(expect)
+
+
+def test_span_near_missing_term_empty(reader):
+    assert reader.span_near_topk(
+        ["index", "qqqzz"], 1, k=5).num_rows == 0
