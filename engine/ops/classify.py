@@ -1,0 +1,103 @@
+"""Classification operators (upstream ``lucene/classification``:
+``SimpleNaiveBayesClassifier``, ``KNearestNeighborClassifier`` [U]).
+
+Multinomial Naive Bayes with add-one smoothing, trained from index-time
+statistics exactly like the reference (the classifier there reads term
+freqs from an IndexReader; here the same stats come from a distributed
+grouped aggregate). Training output is a SMALL model (vocab × classes
+log-prob matrix) broadcast via ``ray.put``; classification is a
+vectorized actor-pool-free ``map_batches`` (pure numpy gather + add).
+
+Determinism note: class scores are f64 log-prob sums whose addition
+order differs from a SQL recomputation; the *predicted label* is the
+contract (argmax, ties broken by class name asc). Margins on real data
+are ~1e-4 and up while cross-engine f64 noise is ~1e-13, so the label
+is stable — the score itself is deliberately not emitted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from engine.ops.textstats import _flat_tokens
+
+
+def naive_bayes_train(ds: ray.data.Dataset, text_col: str,
+                      label_col: str) -> dict:
+    """Train: distributed partial (label, term, tf) counts inside
+    ``map_batches`` (pre-aggregated per batch — the combiner), then one
+    small ``groupby`` shuffle of unique (label, term) keys only."""
+    def partial(b: pa.Table) -> pa.Table:
+        offs, flat = _flat_tokens(b[text_col])
+        doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        lab = b[label_col].take(pa.array(doc_of))
+        t = pa.table({"label": lab, "term": flat,
+                      "tf": pa.array(np.ones(len(flat), dtype=np.int64))})
+        return t.group_by(["label", "term"]).aggregate([("tf", "sum")]) \
+            .rename_columns(["label", "term", "tf"])
+
+    tf_tab = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                      .groupby(["label", "term"]).sum("tf"))
+    tf_tab = tf_tab.rename_columns(["label", "term", "tf"])
+
+    doc_tab = _collect(ds.groupby(label_col).count())
+    labels = sorted(doc_tab[label_col].to_pylist())
+    ndocs = dict(zip(doc_tab[label_col].to_pylist(),
+                     doc_tab["count()"].to_pylist()))
+    n_total = sum(ndocs.values())
+
+    vocab = pc.unique(tf_tab["term"]).sort()
+    v = len(vocab)
+    tidx = {t: i for i, t in enumerate(vocab.to_pylist())}
+    lidx = {c: j for j, c in enumerate(labels)}
+    counts = np.zeros((v, len(labels)), dtype=np.float64)
+    li = np.array([lidx[x] for x in tf_tab["label"].to_pylist()])
+    ti = np.array([tidx[x] for x in tf_tab["term"].to_pylist()])
+    counts[ti, li] = tf_tab["tf"].to_numpy().astype(np.float64)
+    cf = counts.sum(axis=0)
+    # add-one smoothing over the GLOBAL vocab (reference:
+    # SimpleNaiveBayesClassifier#getWordProbability [U])
+    logprob = np.log((counts + 1.0) / (cf + v))
+    default = np.log(1.0 / (cf + v))      # unseen-term row
+    prior = np.log(np.array([ndocs[c] for c in labels]) / n_total)
+    return {"classes": labels, "vocab": vocab, "logprob": logprob,
+            "default": default, "prior": prior}
+
+
+def naive_bayes_classify(ds: ray.data.Dataset, text_col: str,
+                         id_cols: list[str], model: dict,
+                         out_col: str = "label_pred"
+                         ) -> ray.data.Dataset:
+    """Classify: model broadcast once (``ray.put``), per-batch numpy
+    gather of token log-probs + segmented add — no Python loop over
+    rows or tokens."""
+    lp = np.vstack([model["logprob"], model["default"][None, :]])
+    ref = ray.put({"vocab": model["vocab"], "lp": lp,
+                   "prior": model["prior"],
+                   "classes": np.array(model["classes"])})
+
+    def f(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        offs, flat = _flat_tokens(b[text_col])
+        n = len(offs) - 1
+        idx = pc.index_in(flat, value_set=m["vocab"])
+        ti = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+        ti = np.where(np.isnan(ti), len(m["vocab"]), ti).astype(np.int64)
+        doc_of = np.repeat(np.arange(n), np.diff(offs))
+        scores = np.tile(m["prior"], (n, 1))
+        np.add.at(scores, doc_of, m["lp"][ti])
+        pred = m["classes"][np.argmax(scores, axis=1)]
+        out = b.select(id_cols)
+        return out.append_column(out_col, pa.array(pred))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs).combine_chunks()

@@ -290,3 +290,59 @@ def cartesian_product(ds: ray.data.Dataset, list_col: str,
         out = out.append_column(pos_col, pa.array(pos, type=pa.int64()))
         return out.append_column(val_col, lists.flatten())
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def interval_facet(ds: ray.data.Dataset, col: str,
+                   intervals: list[tuple[str, float | None, float | None]]
+                   ) -> ray.data.Dataset:
+    """``facet.interval`` (upstream ``S/request/IntervalFacets.java``
+    [U]): counts for arbitrary, possibly OVERLAPPING ``[lo, hi)``
+    intervals (unlike range faceting's disjoint buckets) in ONE pass —
+    per-batch partial counts (the combiner), then a tiny grouped sum
+    of ``len(intervals)`` keys."""
+    def f(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        labels, ns = [], []
+        for lab, lo, hi in intervals:
+            m = np.ones(len(v), dtype=bool)
+            if lo is not None:
+                m &= v >= lo
+            if hi is not None:
+                m &= v < hi
+            labels.append(lab)
+            ns.append(int(m.sum()))
+        return pa.table({"interval": pa.array(labels),
+                         "n": pa.array(ns, type=pa.int64())})
+    return ds.map_batches(f, batch_format="pyarrow") \
+             .groupby("interval").sum("n")
+
+
+class DaemonRunner:
+    """``daemon`` stream (upstream ``SJ/stream/DaemonStream.java``
+    [U]): re-runs an inner stream function on a fixed interval; the
+    inner callable owns its sink (the reference wraps an update push).
+    Ticks are explicit (``run_once``) or looped (``run``) so tests and
+    schedulers drive it without hidden threads; state is the same
+    (iterations, last start/stop) the reference reports via its
+    daemon-list admin command."""
+
+    def __init__(self, fn, interval_sec: float = 1.0):
+        self.fn = fn
+        self.interval_sec = interval_sec
+        self.iterations = 0
+        self.last_result = None
+
+    def run_once(self):
+        self.last_result = self.fn()
+        self.iterations += 1
+        return self.last_result
+
+    def run(self, max_iterations: int, sleep=None):
+        import time as _t
+
+        sleep = sleep or _t.sleep
+        for i in range(max_iterations):
+            self.run_once()
+            if i + 1 < max_iterations:
+                sleep(self.interval_sec)
+        return self.last_result

@@ -1991,6 +1991,83 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
 """
 
 
+# ----------------------------- classification / interval facets
+
+def nb_classify_docs(sf_dir: str) -> pa.Table:
+    """Naive Bayes classification (upstream ``lucene/classification``
+    ``SimpleNaiveBayesClassifier`` [U]): train on (text → lang) from
+    index-style grouped term stats, classify every doc. Oracle
+    contract is the predicted LABEL (argmax, tie → class asc); see
+    ``engine/ops/classify.py`` determinism note."""
+    from engine.ops import classify as cl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    model = cl.naive_bayes_train(ds, "text", "lang")
+    out = cl.naive_bayes_classify(ds, "text", ["doc_id"], model,
+                                  out_col="lang_pred")
+    return _to_table(out).sort_by("doc_id")
+
+
+SQL_NB_CLASSIFY = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+tfd AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+        FROM toks GROUP BY doc_id, term),
+vv AS (SELECT COUNT(DISTINCT term)::DOUBLE AS v FROM toks),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+cls AS (SELECT lang AS c, COUNT(*)::DOUBLE AS nc
+        FROM documents GROUP BY lang),
+ctf AS (SELECT d.lang AS c, t.term, COUNT(*)::DOUBLE AS tf
+        FROM toks t JOIN documents d USING (doc_id)
+        GROUP BY d.lang, t.term),
+ccf AS (SELECT c, SUM(tf) AS cf FROM ctf GROUP BY c),
+sc AS (
+  SELECT tfd.doc_id, cls.c,
+         ln(cls.nc / nn.n)
+         + SUM(tfd.tf * ln((COALESCE(ctf.tf, 0) + 1) / (ccf.cf + vv.v)))
+           AS score
+  FROM tfd CROSS JOIN cls CROSS JOIN nn CROSS JOIN vv
+  JOIN ccf ON ccf.c = cls.c
+  LEFT JOIN ctf ON ctf.c = cls.c AND ctf.term = tfd.term
+  GROUP BY tfd.doc_id, cls.c, cls.nc, nn.n, ccf.cf, vv.v)
+SELECT doc_id, c AS lang_pred FROM (
+  SELECT doc_id, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, c) AS rn
+  FROM sc) WHERE rn = 1 ORDER BY doc_id
+"""
+
+ORDER_INTERVALS = [("small", None, 100000.0),
+                   ("mid", 50000.0, 300000.0),
+                   ("large", 200000.0, None)]
+
+
+def interval_facet_orders(sf_dir: str) -> pa.Table:
+    """Interval facets with OVERLAPPING brackets (upstream
+    ``IntervalFacets`` [U]) over order totals — one streaming pass,
+    partial counts per batch."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    t = _to_table(rel.interval_facet(ds, "o_totalprice",
+                                     ORDER_INTERVALS))
+    t = _rename(t, {"sum(n)": "cnt"})
+    t = _cast_col(t, "cnt", pa.int64())
+    return t.sort_by("interval")
+
+
+def _sql_interval(lab: str, lo, hi) -> str:
+    conds = ["TRUE"]
+    if lo is not None:
+        conds.append(f"o_totalprice >= {lo}")
+    if hi is not None:
+        conds.append(f"o_totalprice < {hi}")
+    return (f"SELECT '{lab}' AS interval, COUNT(*)::BIGINT AS cnt "
+            f"FROM orders WHERE {' AND '.join(conds)}")
+
+
+SQL_INTERVAL_FACET = " UNION ALL ".join(
+    _sql_interval(lab, lo, hi) for lab, lo, hi in ORDER_INTERVALS
+) + " ORDER BY interval"
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -2071,6 +2148,8 @@ def queries() -> dict:
         "cartesian_product_embeddings": cartesian_product_embeddings,
         "span_near_topk_docs": span_near_topk_docs,
         "update_docs_topk": update_docs_topk,
+        "nb_classify_docs": nb_classify_docs,
+        "interval_facet_orders": interval_facet_orders,
     }
 
 
@@ -2148,6 +2227,8 @@ def oracle_sql() -> dict:
         "cartesian_product_embeddings": SQL_CARTESIAN,
         "span_near_topk_docs": sql_span_near(),
         "update_docs_topk": sql_update_docs(),
+        "nb_classify_docs": SQL_NB_CLASSIFY,
+        "interval_facet_orders": SQL_INTERVAL_FACET,
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)

@@ -361,3 +361,52 @@ def test_cartesian_product_explodes_with_ordinals(ray_session):
     t = rel.cartesian_product(ds, "v").take_all()
     rows = sorted((r["id"], r["pos"], r["val"]) for r in t)
     assert rows == [(1, 1, 1.5), (1, 2, 2.5), (3, 1, 7.0)]
+
+
+def test_naive_bayes_train_classify_roundtrip(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import classify as cl
+
+    # two clearly separated vocabularies
+    rows = pa.table({
+        "doc_id": list(range(8)),
+        "text": ["apple banana apple", "banana apple fruit",
+                 "apple fruit fruit", "banana banana apple",
+                 "motor engine wheel", "wheel engine motor",
+                 "engine motor motor", "wheel wheel engine"],
+        "label": ["food"] * 4 + ["car"] * 4})
+    ds = ray.data.from_arrow(rows)
+    model = cl.naive_bayes_train(ds, "text", "label")
+    assert model["classes"] == ["car", "food"]
+    out = cl.naive_bayes_classify(ds, "text", ["doc_id"], model) \
+        .take_all()
+    preds = {r["doc_id"]: r["label_pred"] for r in out}
+    assert all(preds[i] == "food" for i in range(4))
+    assert all(preds[i] == "car" for i in range(4, 8))
+
+
+def test_interval_facet_overlapping(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import relational as rel
+
+    ds = ray.data.from_arrow(pa.table({"v": [1.0, 5.0, 9.0, 15.0]}))
+    t = rel.interval_facet(ds, "v", [
+        ("a", None, 10.0), ("b", 4.0, 16.0), ("c", 100.0, None)])
+    got = {r["interval"]: r["sum(n)"] for r in t.take_all()}
+    assert got == {"a": 3, "b": 3, "c": 0}
+
+
+def test_daemon_runner_ticks(ray_session):
+    from engine.ops.relational import DaemonRunner
+
+    seen = []
+    d = DaemonRunner(lambda: seen.append(len(seen)) or len(seen),
+                     interval_sec=0.0)
+    slept = []
+    d.run(3, sleep=lambda s: slept.append(s))
+    assert d.iterations == 3 and d.last_result == 3
+    assert len(slept) == 2
