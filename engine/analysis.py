@@ -49,6 +49,67 @@ TOKEN_SPLIT_REGEX = r"[^A-Za-z0-9]+"
 UNICODE_SPLIT_REGEX = r"[^\pL\pN]+"
 
 
+class CharFilter:
+    """Pre-tokenization character filter (upstream
+    ``L/analysis/CharFilter.java`` [U]): a vectorized Arrow
+    string→string transform applied to the raw text column BEFORE the
+    tokenizer splits it. No offset-correction machinery (the upstream
+    class's main complexity) because this engine re-tokenizes for
+    highlighting rather than mapping stored offsets."""
+
+    def apply(self, texts: pa.Array) -> pa.Array:
+        raise NotImplementedError
+
+    def spec(self) -> dict:
+        raise NotImplementedError
+
+
+class HTMLStripCharFilter(CharFilter):
+    """Strip tags and character entities to spaces (upstream
+    ``HTMLStripCharFilter`` [U], simplified: no CDATA/script state
+    machine — tags ``<...>`` and entities ``&name;``/``&#nn;`` become
+    one space each, which preserves token boundaries)."""
+
+    TAGS = r"<[^>]*>"
+    ENTITIES = r"&[a-zA-Z]+;|&#[0-9]+;"
+
+    def apply(self, texts: pa.Array) -> pa.Array:
+        out = pc.replace_substring_regex(
+            texts, pattern=self.TAGS, replacement=" ")
+        return pc.replace_substring_regex(
+            out, pattern=self.ENTITIES, replacement=" ")
+
+    def spec(self) -> dict:
+        return {"type": "htmlstrip"}
+
+
+class MappingCharFilter(CharFilter):
+    """Literal substring rewrites (upstream ``MappingCharFilter`` [U]).
+    Applied as sequential vectorized replaces in sorted-key order —
+    deterministic, and reproducible in SQL as nested ``replace``."""
+
+    def __init__(self, mapping: dict[str, str]):
+        self.mapping = dict(sorted(mapping.items()))
+
+    def apply(self, texts: pa.Array) -> pa.Array:
+        for src, dst in self.mapping.items():
+            texts = pc.replace_substring(texts, pattern=src,
+                                         replacement=dst)
+        return texts
+
+    def spec(self) -> dict:
+        return {"type": "mapping", "mapping": self.mapping}
+
+
+def build_char_filter(spec: dict) -> CharFilter:
+    kind = spec.get("type")
+    if kind == "htmlstrip":
+        return HTMLStripCharFilter()
+    if kind == "mapping":
+        return MappingCharFilter(dict(spec["mapping"]))
+    raise ValueError(f"unknown char filter type: {kind!r}")
+
+
 class TokenFilter:
     """Extension point (SURVEY.md §2.10): an ordered token filter in
     the encoded representation — vectorized over the whole batch, not
@@ -272,7 +333,8 @@ class Analyzer:
     def __init__(self, stop_words: frozenset[str] | None = ENGLISH_STOP_WORDS,
                  stemming: bool = True,
                  filters: tuple[TokenFilter, ...] | list | None = None,
-                 unicode_tokens: bool = False):
+                 unicode_tokens: bool = False,
+                 char_filters: tuple | list | None = None):
         self.stop_words = stop_words if stop_words is not None else frozenset()
         self._stop_arr = pa.array(sorted(self.stop_words), type=pa.string())
         self.stemming = stemming
@@ -281,6 +343,9 @@ class Analyzer:
         self.filters = tuple(
             f if isinstance(f, TokenFilter) else build_filter(f)
             for f in (filters or ()))
+        self.char_filters = tuple(
+            f if isinstance(f, CharFilter) else build_char_filter(f)
+            for f in (char_filters or ()))
         self._stem_memo: dict[str, str] = {}
 
     def _stem_unique(self, uniq: np.ndarray) -> np.ndarray:
@@ -308,6 +373,10 @@ class Analyzer:
         """
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        for cf in self.char_filters:
+            texts = cf.apply(texts)
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
         n_docs = len(texts)
         # Split the ORIGINAL text (case doesn't affect [^A-Za-z0-9]
         # boundaries) and dictionary-encode the cased tokens straight

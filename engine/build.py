@@ -89,6 +89,8 @@ class IndexConfig:
     # ordered token-filter chain (JSON specs; see analysis.build_filter)
     filters: tuple = ()
     unicode_tokens: bool = False       # UAX#29-ish \pL\pN tokenizer
+    # pre-tokenize char-filter chain (JSON specs; analysis.build_char_filter)
+    char_filters: tuple = ()
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -103,6 +105,7 @@ class IndexConfig:
             "store_positions": self.store_positions,
             "filters": [dict(f) for f in self.filters],
             "unicode_tokens": self.unicode_tokens,
+            "char_filters": [dict(f) for f in self.char_filters],
         }
 
     @staticmethod
@@ -119,6 +122,7 @@ class IndexConfig:
             store_positions=d.get("store_positions", True),
             filters=tuple(d.get("filters") or ()),
             unicode_tokens=d.get("unicode_tokens", False),
+            char_filters=tuple(d.get("char_filters") or ()),
         )
 
 
@@ -198,7 +202,8 @@ class FragmentBuilder:
         cfg = IndexConfig.from_json(cfg_json)
         self.cfg = cfg
         self.analyzer = Analyzer(cfg.stop_words, cfg.stemming,
-                                 cfg.filters, cfg.unicode_tokens)
+                                 cfg.filters, cfg.unicode_tokens,
+                                 cfg.char_filters)
         self.part_of_path = part_of_path
         self.corpus_n = max(1, int(corpus_n))
         self._bucket_memo: dict[str, int] = {}

@@ -215,7 +215,8 @@ class IndexReader:
         self.cache = norm_cache(self.avgdl, k1, b)
         self.analyzer = Analyzer(self.cfg.stop_words, self.cfg.stemming,
                                  self.cfg.filters,
-                                 self.cfg.unicode_tokens)
+                                 self.cfg.unicode_tokens,
+                                 self.cfg.char_filters)
         dels = man.get("deletes")
         if dels and dels.get("n"):
             self._deleted = pq.read_table(

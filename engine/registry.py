@@ -132,16 +132,20 @@ SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
 FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 20
 """
 
-def _cached_filtered_index(sf_dir: str, filters: tuple, tag: str) -> str:
-    """Index over documents with a token-filter chain (no stop/stem so
-    the SQL oracle can reproduce the stream)."""
+def _cached_filtered_index(sf_dir: str, filters: tuple, tag: str,
+                           char_filters: tuple = (),
+                           input_file: str | None = None) -> str:
+    """Index over documents with a token/char-filter chain (no
+    stop/stem so the SQL oracle can reproduce the stream)."""
     key = hashlib.md5(f"{sf_dir}|{tag}|v1".encode()).hexdigest()[:12]
     out = os.path.join("/tmp/rayindex_cache", key)
     cfg = IndexConfig(
         text_col="text", conv_cols=None, doc_id_col="doc_id",
         stop_words=None, stemming=False, n_buckets=4,
-        hot_df_threshold=10**9, batch_size=2048, filters=filters)
-    build_index([os.path.join(sf_dir, "documents.parquet")], out, cfg)
+        hot_df_threshold=10**9, batch_size=2048, filters=filters,
+        char_filters=char_filters)
+    build_index([input_file or os.path.join(sf_dir, "documents.parquet")],
+                out, cfg)
     return out
 
 
@@ -1991,6 +1995,71 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
 """
 
 
+# ------------------------------------------------- char filters
+
+def htmlstrip_term_stats(sf_dir: str) -> pa.Table:
+    """HTMLStripCharFilter e2e (upstream ``HTMLStripCharFilter`` [U]):
+    every doc is wrapped in markup + an entity, indexed with the strip
+    filter, and the resulting term stats must equal a SQL
+    strip-then-tokenize recomputation (tag/attr words like 'p',
+    'class' must NOT appear as terms — that's what the oracle
+    checks)."""
+    key = hashlib.md5(f"{sf_dir}|htmlwrap|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "html_" + key)
+    os.makedirs(work, exist_ok=True)
+    src = os.path.join(work, "wrapped.parquet")
+    if not os.path.exists(src):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        wrapped = pc.binary_join_element_wise(
+            pa.scalar('<p class="doc">'), t["text"].combine_chunks(),
+            pa.scalar(' &amp; tail</p>'), pa.scalar(""))
+        tmp = src + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"],
+                                 "text": wrapped}), tmp)
+        os.replace(tmp, src)
+    idx = _cached_filtered_index(
+        sf_dir, (), "htmlstrip",
+        char_filters=({"type": "htmlstrip"},), input_file=src)
+    return _index_stats_of(idx)
+
+
+SQL_HTMLSTRIP_STATS = f"""
+WITH w AS (SELECT doc_id,
+             '<p class="doc">' || text || ' &amp; tail</p>' AS text
+           FROM documents),
+s AS (SELECT doc_id,
+        regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                       '&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g') AS text
+      FROM w),
+toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM s)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
+def mapping_term_stats(sf_dir: str) -> pa.Table:
+    """MappingCharFilter e2e (upstream ``MappingCharFilter`` [U]):
+    literal pre-tokenize rewrite spark→flink, stats vs a SQL
+    replace-then-tokenize recomputation."""
+    idx = _cached_filtered_index(
+        sf_dir, (), "mapcf",
+        char_filters=({"type": "mapping",
+                       "mapping": {"spark": "flink"}},))
+    return _index_stats_of(idx)
+
+
+SQL_MAPPING_STATS = f"""
+WITH s AS (SELECT doc_id, replace(text, 'spark', 'flink') AS text
+           FROM documents),
+toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM s)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
 # ----------------------------- classification / interval facets
 
 def nb_classify_docs(sf_dir: str) -> pa.Table:
@@ -2150,6 +2219,8 @@ def queries() -> dict:
         "update_docs_topk": update_docs_topk,
         "nb_classify_docs": nb_classify_docs,
         "interval_facet_orders": interval_facet_orders,
+        "htmlstrip_term_stats": htmlstrip_term_stats,
+        "mapping_term_stats": mapping_term_stats,
     }
 
 
@@ -2229,6 +2300,8 @@ def oracle_sql() -> dict:
         "update_docs_topk": sql_update_docs(),
         "nb_classify_docs": SQL_NB_CLASSIFY,
         "interval_facet_orders": SQL_INTERVAL_FACET,
+        "htmlstrip_term_stats": SQL_HTMLSTRIP_STATS,
+        "mapping_term_stats": SQL_MAPPING_STATS,
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)

@@ -158,3 +158,30 @@ def test_unicode_tokens_config_roundtrip():
                       filters=({"type": "ascii_folding"},))
     cfg2 = IndexConfig.from_json(cfg.to_json())
     assert cfg2.unicode_tokens and cfg2.filters == cfg.filters
+
+
+def test_htmlstrip_char_filter():
+    from engine.analysis import Analyzer
+
+    a = Analyzer(None, False, char_filters=({"type": "htmlstrip"},))
+    toks = [t for t, _ in a.analyze_text(
+        '<div id="x">Hello &amp; <b>world</b> &#38; more</div>')]
+    assert toks == ["hello", "world", "more"]
+
+
+def test_mapping_char_filter_order_and_partial_words():
+    from engine.analysis import Analyzer
+
+    a = Analyzer(None, False, char_filters=(
+        {"type": "mapping", "mapping": {"colour": "color", "ab": "x"}},))
+    toks = [t for t, _ in a.analyze_text("colour abab abc")]
+    assert toks == ["color", "xx", "xc"]
+
+
+def test_char_filter_config_roundtrip():
+    from engine.build import IndexConfig
+
+    cfg = IndexConfig(char_filters=(
+        {"type": "mapping", "mapping": {"a": "b"}},))
+    assert IndexConfig.from_json(cfg.to_json()).char_filters == \
+        cfg.char_filters
