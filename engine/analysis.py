@@ -305,6 +305,90 @@ class NGramFilter(TokenFilter):
                 "preserve_original": self.preserve_original}
 
 
+class EdgeNGramFilter(TokenFilter):
+    """Leading-edge n-grams per token (upstream
+    ``EdgeNGramTokenFilter`` [U] — the index half of prefix
+    autocomplete): each token emits its prefixes of length
+    [min_gram, min(max_gram, len)], all at the token's position.
+    Prefix strings come from the UNIQUE vocabulary only."""
+
+    def __init__(self, min_gram: int = 2, max_gram: int = 4,
+                 preserve_original: bool = False):
+        assert 1 <= min_gram <= max_gram
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.preserve_original = preserve_original
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        n_docs = len(offsets) - 1
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        grams_per: list[list[str]] = []
+        for t in vocab:
+            g: list[str] = [t] if self.preserve_original else []
+            g.extend(t[:k] for k in range(self.min_gram,
+                                          min(self.max_gram, len(t)) + 1))
+            grams_per.append(g)
+        counts = np.array([len(g) for g in grams_per], dtype=np.int64)
+        flat = np.array([s for g in grams_per for s in g], dtype=object)
+        gram_uniq, gram_inv = np.unique(flat, return_inverse=True)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+
+        per_tok = counts[codes]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        out_doc = np.repeat(doc_of, per_tok)
+        out_pos = np.repeat(positions, per_tok).astype(np.int32)
+        base = np.repeat(starts[codes], per_tok)
+        local = np.arange(int(per_tok.sum()), dtype=np.int64) - \
+            np.repeat(np.concatenate(([0], np.cumsum(per_tok)))[:-1],
+                      per_tok)
+        out_codes = gram_inv[base + local]
+        new_lens = np.bincount(out_doc, minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        return new_offsets, out_codes, gram_uniq, out_pos, new_lens
+
+    def spec(self) -> dict:
+        return {"type": "edge_ngram", "min_gram": self.min_gram,
+                "max_gram": self.max_gram,
+                "preserve_original": self.preserve_original}
+
+
+class LengthFilter(TokenFilter):
+    """Drop tokens outside [min_len, max_len] (upstream
+    ``LengthFilter`` [U]). Vocabulary-level mask broadcast through
+    codes; surviving tokens KEEP their original positions (like the
+    upstream filter, which does not increment gaps)."""
+
+    def __init__(self, min_len: int = 1, max_len: int = 255):
+        assert 1 <= min_len <= max_len
+        self.min_len = min_len
+        self.max_len = max_len
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        n_docs = len(offsets) - 1
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        vlen = np.array([len(t) for t in vocab], dtype=np.int64)
+        keep_v = (vlen >= self.min_len) & (vlen <= self.max_len)
+        keep = keep_v[codes]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        out_doc = doc_of[keep]
+        kept_codes = codes[keep]
+        uniq_codes, inv = np.unique(kept_codes, return_inverse=True)
+        new_lens = np.bincount(out_doc, minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        return (new_offsets, inv, vocab[uniq_codes],
+                positions[keep], new_lens)
+
+    def spec(self) -> dict:
+        return {"type": "length", "min_len": self.min_len,
+                "max_len": self.max_len}
+
+
 def build_filter(spec: dict) -> TokenFilter:
     """Filter factory from a JSON spec (IndexConfig serialization)."""
     t = spec["type"]
@@ -318,6 +402,11 @@ def build_filter(spec: dict) -> TokenFilter:
     if t == "ngram":
         return NGramFilter(spec["min_gram"], spec["max_gram"],
                            spec.get("preserve_original", False))
+    if t == "edge_ngram":
+        return EdgeNGramFilter(spec["min_gram"], spec["max_gram"],
+                               spec.get("preserve_original", False))
+    if t == "length":
+        return LengthFilter(spec["min_len"], spec["max_len"])
     raise ValueError(f"unknown token filter type {t!r}")
 
 

@@ -797,9 +797,9 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 def join_lineitem_part(sf_dir: str) -> pa.Table:
     """Distributed hash join (both sides shuffled) — Ray Dataset.join."""
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-    part = _read(sf_dir, "part").select_columns(["p_partkey", "p_brand"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     joined = rel.hash_join(li, part, on="l_partkey", right_on="p_partkey",
-                           how="inner", num_partitions=4)
+                           how="inner", num_partitions=16)
     # join key name: left side keeps l_partkey; right key merged
     t = _to_table(rel.rollup(joined, ["p_brand"], sums=["l_quantity"]))
     t = _rename(t, {"count()": "n_items", "sum(l_quantity)": "qty"})
@@ -1995,6 +1995,46 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
 """
 
 
+# ------------------------------- edge-ngram / length token filters
+
+def edge_ngram_stats(sf_dir: str) -> pa.Table:
+    """EdgeNGramTokenFilter e2e (upstream ``EdgeNGramTokenFilter``
+    [U], the prefix-autocomplete index shape): prefixes of length 2-4
+    per token → (term, df, cf) vs a SQL substr recomputation."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "edge_ngram", "min_gram": 2, "max_gram": 4,
+                  "preserve_original": False},), "edge24")
+    return _index_stats_of(idx)
+
+
+SQL_EDGE_NGRAM_STATS = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+g AS (SELECT doc_id, substr(term, 1, k) AS term
+      FROM toks, unnest(range(2, least(4, len(term)) + 1)) AS r(k))
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM g GROUP BY term ORDER BY term
+"""
+
+
+def length_filter_stats(sf_dir: str) -> pa.Table:
+    """LengthFilter e2e (upstream ``LengthFilter`` [U]): only tokens
+    of length 4-8 are indexed."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "length", "min_len": 4, "max_len": 8},),
+        "len48")
+    return _index_stats_of(idx)
+
+
+SQL_LENGTH_FILTER_STATS = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks WHERE len(term) BETWEEN 4 AND 8
+GROUP BY term ORDER BY term
+"""
+
+
 # ------------------------------------------------- char filters
 
 def htmlstrip_term_stats(sf_dir: str) -> pa.Table:
@@ -2221,6 +2261,8 @@ def queries() -> dict:
         "interval_facet_orders": interval_facet_orders,
         "htmlstrip_term_stats": htmlstrip_term_stats,
         "mapping_term_stats": mapping_term_stats,
+        "edge_ngram_stats": edge_ngram_stats,
+        "length_filter_stats": length_filter_stats,
     }
 
 
@@ -2302,6 +2344,8 @@ def oracle_sql() -> dict:
         "interval_facet_orders": SQL_INTERVAL_FACET,
         "htmlstrip_term_stats": SQL_HTMLSTRIP_STATS,
         "mapping_term_stats": SQL_MAPPING_STATS,
+        "edge_ngram_stats": SQL_EDGE_NGRAM_STATS,
+        "length_filter_stats": SQL_LENGTH_FILTER_STATS,
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)

@@ -185,3 +185,21 @@ def test_char_filter_config_roundtrip():
         {"type": "mapping", "mapping": {"a": "b"}},))
     assert IndexConfig.from_json(cfg.to_json()).char_filters == \
         cfg.char_filters
+
+
+def test_edge_ngram_filter():
+    from engine.analysis import Analyzer
+
+    a = Analyzer(None, False, filters=(
+        {"type": "edge_ngram", "min_gram": 2, "max_gram": 3},))
+    toks = [t for t, _ in a.analyze_text("sparkle go x")]
+    assert toks == ["sp", "spa", "go"]
+
+
+def test_length_filter_keeps_positions():
+    from engine.analysis import Analyzer
+
+    a = Analyzer(None, False, filters=(
+        {"type": "length", "min_len": 3, "max_len": 5},))
+    out = a.analyze_text("go spark merge reviewing ox cat")
+    assert out == [("spark", 1), ("merge", 2), ("cat", 5)]
