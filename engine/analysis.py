@@ -43,6 +43,11 @@ ENGLISH_STOP_WORDS = frozenset({
 })
 
 TOKEN_SPLIT_REGEX = r"[^A-Za-z0-9]+"
+# compiled Python twin of TOKEN_SPLIT_REGEX for the single-string
+# query fast path (identical ASCII class — no dialect divergence)
+import re as _re  # noqa: E402
+
+_ASCII_SPLIT_RE = _re.compile(TOKEN_SPLIT_REGEX)
 # Unicode tokenizer option: letters/numbers in any script stay inside
 # tokens (closer to UAX#29; enables AsciiFoldingFilter to actually see
 # accented tokens). RE2 property classes — runs in Arrow C++.
@@ -542,9 +547,37 @@ class Analyzer:
         return offsets, terms, positions, doc_lens
 
     def analyze_text(self, text: str) -> list[tuple[str, int]]:
-        """Single-string convenience: ``[(term, position), ...]``."""
-        offsets, terms, positions, _ = self.analyze_flat(pa.array([text]))
-        return list(zip(terms.tolist(), positions.tolist()))
+        """Single-string convenience: ``[(term, position), ...]``.
+
+        Query-latency fast path: one short string through the Arrow
+        batch machinery costs ~1 ms of fixed overhead, so the plain
+        ASCII chain (no token filters, no char filters, default
+        tokenizer) runs as a pure-Python loop with identical semantics
+        (equivalence pinned by ``test_analyze_text_fast_path_matches``);
+        any custom chain falls back to the batch path."""
+        if (self.filters or self.char_filters
+                or self.split_regex is not TOKEN_SPLIT_REGEX):
+            offsets, terms, positions, _ = \
+                self.analyze_flat(pa.array([text]))
+            return list(zip(terms.tolist(), positions.tolist()))
+        out: list[tuple[str, int]] = []
+        pos = -1
+        memo = self._stem_memo
+        for tok in _ASCII_SPLIT_RE.split(text):
+            if not tok:
+                continue
+            pos += 1                      # stopwords consume positions
+            low = tok.lower()
+            if low in self.stop_words:
+                continue
+            if self.stemming:
+                s = memo.get(low)
+                if s is None:
+                    s = stem(low)
+                    memo[low] = s
+                low = s
+            out.append((low, pos))
+        return out
 
     def query_terms(self, text: str) -> list[str]:
         """Analyze a query string -> term list (duplicates preserved)."""

@@ -75,7 +75,7 @@ class _SubList:
 
     __slots__ = ("df", "min_doc", "docs_blob", "tfs_blob", "poss_blob",
                  "norms", "blk_last", "blk_doc_off", "blk_tf_off",
-                 "blk_max_tf", "blk_min_norm", "n_blocks")
+                 "blk_max_tf", "blk_min_norm", "n_blocks", "_all")
 
     def __init__(self, row: dict[str, Any]):
         self.df = int(row["df"])
@@ -91,6 +91,7 @@ class _SubList:
         self.blk_max_tf = np.frombuffer(row["blk_max_tf"], dtype=np.int32)
         self.blk_min_norm = np.frombuffer(row["blk_min_norm"], dtype=np.uint8)
         self.n_blocks = len(self.blk_last)
+        self._all = None
 
     @classmethod
     def from_encoded(cls, enc) -> "_SubList":
@@ -114,10 +115,16 @@ class _SubList:
                             self.blk_tf_off, self.blk_last, b, self.df)
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        deltas, _ = vbyte_decode(self.docs_blob, self.df, 0)
-        docs = np.cumsum(deltas)
-        tfs, _ = vbyte_decode(self.tfs_blob, self.df, 0)
-        return docs, tfs, self.norms
+        """Full decode, memoized: a warm reader pays the VByte decode
+        once per sub-list, not once per query (Lucene's analog is the
+        OS page cache over ``.doc`` files plus its per-segment term
+        state reuse). Callers never mutate the returned arrays."""
+        if self._all is None:
+            deltas, _ = vbyte_decode(self.docs_blob, self.df, 0)
+            docs = np.cumsum(deltas)
+            tfs, _ = vbyte_decode(self.tfs_blob, self.df, 0)
+            self._all = (docs, tfs, self.norms)
+        return self._all
 
     def decode_positions_flat(self, tfs: np.ndarray) -> np.ndarray:
         """Flat absolute positions (posting lengths = tfs); empty array
@@ -367,20 +374,28 @@ class IndexReader:
         if self.N <= self._DENSE_MAX_N:
             sums = np.zeros(self.N, dtype=np.float64)
             for docs, sc in clauses:
-                sums[docs] += sc.astype(np.float64)
+                sums[docs] += sc      # f32 → f64 upcast in the add
             if len(self._deleted):
                 sums[self._deleted] = 0.0
-            final = sums.astype(np.float32)
-            total = int(np.count_nonzero(final))
-            if total == 0:
+            # shrink to the candidate set BEFORE the top-k partition:
+            # argpartition over |union of postings|, not over N
+            cand = np.flatnonzero(sums)
+            if not len(cand):
                 return _topdocs_table([], [])
+            final = sums[cand].astype(np.float32)
+            nz = final > 0
+            if not nz.all():        # f32 underflow guard (defensive)
+                cand, final = cand[nz], final[nz]
+                if not len(cand):
+                    return _topdocs_table([], [])
+            total = len(cand)
             kk = min(k, total)
             part = np.argpartition(-final, kk - 1)[:kk]
             cut = final[part].min()
-            cand = np.flatnonzero(final >= cut)
-            order = np.lexsort((cand, -final[cand]))[:k]
-            sel = cand[order]
-            return _topdocs_table(sel, final[sel], total=total)
+            m = final >= cut
+            c2, f2 = cand[m], final[m]
+            order = np.lexsort((c2, -f2))[:k]
+            return _topdocs_table(c2[order], f2[order], total=total)
 
         docs = np.concatenate([d for d, _ in clauses])
         scores = np.concatenate([s for _, s in clauses]).astype(np.float64)

@@ -203,3 +203,29 @@ def test_length_filter_keeps_positions():
         {"type": "length", "min_len": 3, "max_len": 5},))
     out = a.analyze_text("go spark merge reviewing ox cat")
     assert out == [("spark", 1), ("merge", 2), ("cat", 5)]
+
+
+def test_analyze_text_fast_path_matches():
+    """Single-string fast path ≡ Arrow batch path for every plain
+    config (stop/stem on and off, odd whitespace/punct/empties)."""
+    import pyarrow as pa
+
+    from engine.analysis import Analyzer
+
+    samples = [
+        "", "   ", "The quick-brown FOX; and 42 running dogs!!",
+        "a the of", "running runner runs", "x", "..y..",
+        "Connection connected CONNECTING", "tab\tnew\nline",
+    ]
+    for stop in (None, True):
+        for stemming in (False, True):
+            from engine.analysis import ENGLISH_STOP_WORDS
+
+            sw = ENGLISH_STOP_WORDS if stop else None
+            a = Analyzer(sw, stemming)
+            for s in samples:
+                fast = a.analyze_text(s)
+                offsets, terms, positions, _ = a.analyze_flat(
+                    pa.array([s]))
+                slow = list(zip(terms.tolist(), positions.tolist()))
+                assert fast == slow, (s, stop, stemming, fast, slow)
