@@ -1,0 +1,78 @@
+"""Property tests: span_near chain DP vs brute tuple enumeration, and
+dense vs sparse brute-force top-k paths, on randomized mini-corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+RNG = np.random.default_rng(7)
+VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+
+
+def _mk_index(tmp_path, texts):
+    from engine.build import IndexConfig, build_index
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)}), src)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    build_index([src], idx, cfg)
+    return idx
+
+
+def _brute_chain_count(toks, terms, slop):
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+    chains = [(p,) for p in pos[terms[0]]]
+    for t in terms[1:]:
+        chains = [c + (p,) for c in chains for p in pos[t]
+                  if 0 < p - c[-1] <= slop + 1]
+    return len(chains)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_span_near_matches_brute_enumeration(ray_session, tmp_path,
+                                             seed):
+    from engine.query import IndexReader
+
+    rng = np.random.default_rng(seed)
+    texts = [" ".join(rng.choice(VOCAB, size=rng.integers(3, 40)))
+             for _ in range(60)]
+    idx = _mk_index(tmp_path, texts)
+    r = IndexReader(idx)
+    for terms, slop in [(["aa", "bb"], 0), (["aa", "bb", "cc"], 1),
+                        (["bb", "bb", "aa"], 2),
+                        (["aa", "bb", "cc", "dd"], 3)]:
+        res = r.span_near_topk(terms, slop, k=100)
+        got = {d: None for d in res["doc_id"].to_pylist()}
+        expect = {}
+        for d, tx in enumerate(texts):
+            n = _brute_chain_count(tx.split(), terms, slop)
+            if n:
+                expect[d] = n
+        assert set(got) == set(expect), (terms, slop)
+
+
+def test_dense_and_sparse_brute_paths_agree(ray_session, tmp_path):
+    from engine.query import IndexReader
+
+    texts = [" ".join(RNG.choice(VOCAB, size=RNG.integers(2, 30)))
+             for _ in range(80)]
+    idx = _mk_index(tmp_path, texts)
+    r = IndexReader(idx)
+    for q in ["aa", "aa bb", "aa bb cc dd ee", "ee ee aa"]:
+        dense = r.brute_force_topk(q, 20)
+        r._DENSE_MAX_N, saved = 0, r._DENSE_MAX_N  # force sparse path
+        sparse = r.brute_force_topk(q, 20)
+        r._DENSE_MAX_N = saved
+        assert dense["doc_id"].to_pylist() == sparse["doc_id"].to_pylist()
+        assert dense["score"].to_pylist() == sparse["score"].to_pylist()
+        assert dense["total_hits"].to_pylist() == \
+            sparse["total_hits"].to_pylist()
