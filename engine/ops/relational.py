@@ -346,3 +346,27 @@ class DaemonRunner:
             if i + 1 < max_iterations:
                 sleep(self.interval_sec)
         return self.last_result
+
+
+def stratified_sample(ds: ray.data.Dataset, key_col: str, id_col: str,
+                      fractions: dict[str, int], default: int = 0,
+                      seed: str = "s0") -> ray.data.Dataset:
+    """Stratified deterministic sampling — per-stratum keep rates for
+    dataset curation (rebalancing sources/languages in a training
+    mix). Same md5-bucket mechanism as :func:`seeded_sample` so it is
+    retry/partitioning-stable and SQL-reproducible; ``fractions`` maps
+    stratum value → percent kept (0-100), others keep ``default``."""
+    import hashlib
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b[id_col].cast(pa.string()).to_pylist()
+        bucket = np.fromiter(
+            (int(hashlib.md5((seed + i).encode()).hexdigest()[:8], 16)
+             % 100 for i in ids),
+            dtype=np.int64, count=len(ids))
+        keys = b[key_col].to_pylist()
+        cut = np.fromiter((fractions.get(k, default) for k in keys),
+                          dtype=np.int64, count=len(keys))
+        return b.filter(pa.array(bucket < cut))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1995,6 +1995,28 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
 """
 
 
+# ---------------------------------------- stratified sampling
+
+STRATA = {"en": 30, "de": 80}
+
+
+def stratified_sample_docs(sf_dir: str) -> pa.Table:
+    """Stratified deterministic sampling for training-mix rebalancing
+    (downsample dominant 'en', upsample-keep 'de', drop the rest) —
+    md5-bucket per id, per-language keep rate."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    t = _to_table(rel.stratified_sample(ds, "lang", "doc_id", STRATA))
+    return t.sort_by("doc_id")
+
+
+SQL_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('s0' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100
+      < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 80 ELSE 0 END
+ORDER BY doc_id
+"""
+
+
 # ------------------------------- edge-ngram / length token filters
 
 def edge_ngram_stats(sf_dir: str) -> pa.Table:
@@ -2263,6 +2285,7 @@ def queries() -> dict:
         "mapping_term_stats": mapping_term_stats,
         "edge_ngram_stats": edge_ngram_stats,
         "length_filter_stats": length_filter_stats,
+        "stratified_sample_docs": stratified_sample_docs,
     }
 
 
@@ -2346,6 +2369,7 @@ def oracle_sql() -> dict:
         "mapping_term_stats": SQL_MAPPING_STATS,
         "edge_ngram_stats": SQL_EDGE_NGRAM_STATS,
         "length_filter_stats": SQL_LENGTH_FILTER_STATS,
+        "stratified_sample_docs": SQL_STRATIFIED,
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)
