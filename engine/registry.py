@@ -1707,6 +1707,10 @@ def blockjoin_topk_docs(sf_dir: str) -> pa.Table:
     driver loop."""
     r = _doc_reader(sf_dir)
     m = r.match_scores(BJ_QUERY).select(["doc_id", "score"])
+    if not m.num_rows:
+        return pa.table({"source": pa.array([], type=pa.string()),
+                         "n_children": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float32())})
     docs = _read(sf_dir, "documents", ["doc_id", "source"])
     joined = rel.broadcast_hash_join(docs, m, "doc_id")
     agg = _to_table(rel.rollup(joined, ["source"], maxs=["score"]))

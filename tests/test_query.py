@@ -402,3 +402,35 @@ def test_span_near_three_term_recount(reader, smoke_corpus):
 def test_span_near_missing_term_empty(reader):
     assert reader.span_near_topk(
         ["index", "qqqzz"], 1, k=5).num_rows == 0
+
+
+def test_highlight_window_clamps_at_doc_start(smoke_index):
+    from engine.build import build_stored_fields
+
+    idx, _, _ = smoke_index
+    build_stored_fields(idx)
+    r = IndexReader(idx)
+    hl = r.highlight_topk("zephyr", 3, window=1000)
+    for s, d in zip(hl["snippet"].to_pylist(),
+                    hl["doc_id"].to_pylist()):
+        # window larger than any doc → snippet is the whole token
+        # stream of the doc
+        assert s.split() == [t for t, _ in r.analyzer.analyze_text(
+            r.fetch_docs(np.array([d]))["text"][0].as_py())]
+
+
+def test_suggest_k_larger_than_matches(reader):
+    vocab = reader.vocabulary()
+    pre = vocab[0][:2]
+    n = len([t for t in vocab if t.startswith(pre)])
+    t = reader.suggest_prefix_topk(pre, k=n + 50)
+    assert t.num_rows == n
+
+
+def test_mlt_unknown_doc_empty(smoke_index):
+    from engine.build import build_stored_fields
+
+    idx, _, _ = smoke_index
+    build_stored_fields(idx)
+    r = IndexReader(idx)
+    assert r.more_like_this_topk(10**9, k=5).num_rows == 0
