@@ -1999,6 +1999,28 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
 """
 
 
+# ---------------------------------------------------- IVF ANN
+
+def knn_ivf_docs(sf_dir: str) -> pa.Table:
+    """IVF ANN (FAISS-style coarse quantization as a Ray pipeline) in
+    its exact configuration: nprobe = n_clusters probes every cluster,
+    so results equal brute cosine and share its SQL oracle — the same
+    exact-config-for-oracle pattern as minhash. Partial-probe recall
+    is pinned by ``test_knn_ivf_partial_probe_recall``."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_KNN_QIDS))
+    q = emb.filter(qmask).sort_by("vec_id")
+    qm = vec._emb_matrix(q["embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = vec.knn_ivf(ds, "embedding", "vec_id", qm, k=_KNN_K,
+                    n_clusters=8, nprobe=8)
+    df = t.to_pandas()
+    df["query_id"] = np.array(_KNN_QIDS, dtype=np.int64)[df["query_id"]]
+    out = pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]], preserve_index=False)
+    return _cast_col(out, "rank", pa.int64())
+
+
 # ---------------------------------------- stratified sampling
 
 STRATA = {"en": 30, "de": 80}
@@ -2290,6 +2312,7 @@ def queries() -> dict:
         "edge_ngram_stats": edge_ngram_stats,
         "length_filter_stats": length_filter_stats,
         "stratified_sample_docs": stratified_sample_docs,
+        "knn_ivf_docs": knn_ivf_docs,
     }
 
 
@@ -2374,6 +2397,7 @@ def oracle_sql() -> dict:
         "edge_ngram_stats": SQL_EDGE_NGRAM_STATS,
         "length_filter_stats": SQL_LENGTH_FILTER_STATS,
         "stratified_sample_docs": SQL_STRATIFIED,
+        "knn_ivf_docs": SQL_KNN_COSINE,
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)
