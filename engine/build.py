@@ -684,6 +684,31 @@ def merge_all_buckets(index_dir: str, cfg: IndexConfig
 
 # --------------------------------------------------------------- driver
 
+
+def _doc_id_bound(files: list[str], col: str) -> int:
+    """max(doc_id)+1 across files — Parquet row-group statistics only
+    (no data read); falls back to a column scan when a writer omitted
+    stats. External doc_ids may be SPARSE (e.g. live subsets after an
+    upstream delete), so the doc-space bound is NOT the row count."""
+    bound = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ci = md.schema.to_arrow_schema().get_field_index(col)
+        file_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                file_max = None
+                break
+            m = int(st.max)
+            file_max = m if file_max is None else max(file_max, m)
+        if file_max is None:
+            file_max = int(pa.compute.max(
+                pq.read_table(f, columns=[col])[col]).as_py() or -1)
+        bound = max(bound, file_max + 1)
+    return bound
+
+
 def build_index(input_path: str | list[str], index_dir: str,
                 cfg: IndexConfig | None = None,
                 resume: bool = True) -> dict[str, Any]:
@@ -750,6 +775,8 @@ def build_index(input_path: str | list[str], index_dir: str,
         man["stats"]["N"] = sum(
             pq.ParquetFile(f).metadata.num_rows
             for f in man["input_files"])
+        man["stats"]["max_doc"] = _doc_id_bound(
+            man["input_files"], cfg.doc_id_col)
         man["stats"].pop("optimized", None)
         man.pop("stored", None)        # stored fields must be rebuilt
         if man.get("index_dir_name", "index") != "index":
@@ -768,11 +795,13 @@ def build_index(input_path: str | list[str], index_dir: str,
             "N" not in man["stats"]
             or not os.path.exists(os.path.join(index_dir, DOCMAP_NAME))):
         man["stats"]["N"] = build_docmap(files, cfg, index_dir)
+        man["stats"]["max_doc"] = int(man["stats"]["N"])
         mf.save(index_dir, man)
     elif cfg.doc_id_col is not None and "N" not in man["stats"]:
         # N = total rows: Parquet footers only, no data read
         man["stats"]["N"] = sum(
             pq.ParquetFile(f).metadata.num_rows for f in files)
+        man["stats"]["max_doc"] = _doc_id_bound(files, cfg.doc_id_col)
         mf.save(index_dir, man)
 
     phase_sec["stage0_docmap"] = round(_time.perf_counter() - _t0, 3)
@@ -853,6 +882,7 @@ def build_index(input_path: str | list[str], index_dir: str,
         "n_terms": n_terms,
         "n_postings": n_post,
         "avgdl": (total_cf / N) if N else 0.0,
+        "max_doc": int(man["stats"].get("max_doc", N)),
         "phase_sec": phase_sec,
     })
     man["status"] = "complete"
@@ -877,7 +907,7 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     (file, n, gen) already allows a list of range files."""
     man = mf.load(index_dir)
     assert man and man["status"] == "complete", "delete needs a complete index"
-    N = int(man["stats"]["N"])
+    N = int(man["stats"].get("max_doc", man["stats"]["N"]))
     ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     if len(ids) and (ids[0] < 0 or ids[-1] >= N):
         raise ValueError(f"doc_id out of range [0, {N})")
@@ -973,8 +1003,14 @@ def build_stored_fields(index_dir: str) -> int:
     return sum(b["rows"] for b in bounds)
 
 
-def _merge_index_rows(rows: list[dict[str, Any]]) -> pa.Table:
-    """Combine one term's sub-list index rows into a single row."""
+def _merge_index_rows(rows: list[dict[str, Any]],
+                      deleted: np.ndarray | None = None
+                      ) -> pa.Table | None:
+    """Combine one term's sub-list index rows into a single row;
+    ``deleted`` (sorted docIDs) folds tombstones away — postings of
+    deleted docs are dropped and df/cf shrink (the forceMerge
+    delete-reclaim, upstream ``SegmentMerger`` + ``LiveDocs`` [U]).
+    Returns None when every posting was deleted."""
     docs_l, tfs_l, norms_l, poss_l = [], [], [], []
     for row in rows:
         df = int(row["df"])
@@ -1001,58 +1037,99 @@ def _merge_index_rows(rows: list[dict[str, Any]]) -> pa.Table:
             [np.arange(tok_offs[i], tok_offs[i + 1]) for i in order])
         poss = poss[tok_idx]
     docs, tfs, norms = docs[order], tfs[order], norms[order]
+    if deleted is not None and len(deleted):
+        pos_idx = np.clip(np.searchsorted(deleted, docs), 0,
+                          len(deleted) - 1)
+        keep = deleted[pos_idx] != docs
+        if not keep.any():
+            return None
+        if not keep.all():
+            if poss.size:
+                poss = poss[np.repeat(keep, tfs)]
+            docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
     enc = encode_postings(docs, tfs, norms, poss)
     return _index_row(rows[0]["term"], 0, enc, int(docs[0]))
 
 
-def _optimize_shard(src_dir: str, dst_dir: str) -> int:
-    """forceMerge one bucket shard into ``dst_dir``.
+def _optimize_shard(src_dir: str, dst_dir: str,
+                    deleted: np.ndarray | None = None
+                    ) -> tuple[int, int, int]:
+    """forceMerge one bucket shard into ``dst_dir``; returns
+    (n_terms, sum_cf, n_postings) of the rewritten shard.
 
     Vectorized: the shard is term-sorted once; terms that already have
     a single sub-list (the vast majority after an unskewed build) are
     passed through as zero-copy Arrow slices with ``sub`` reset to 0 —
-    only multi-sub (salted) terms pay the decode/re-encode."""
+    only multi-sub (salted) terms pay the decode/re-encode. With
+    ``deleted`` set (delete-folding merge) every term is re-encoded
+    with tombstoned docs dropped; terms whose postings are all deleted
+    disappear."""
     if not os.path.isdir(src_dir) or not any(
             f.endswith(".parquet") for f in os.listdir(src_dir)):
-        return 0
+        return (0, 0, 0)
     tab = pq.read_table(src_dir).combine_chunks()
     tab = tab.sort_by("term")
     terms = np.asarray(tab["term"].to_pandas(), dtype=object)
     n = len(terms)
     if n == 0:
-        return 0
+        return (0, 0, 0)
     chg = np.empty(n, dtype=bool)
     chg[0] = True
     chg[1:] = terms[1:] != terms[:-1]
     starts = np.flatnonzero(chg)
     counts = np.diff(np.append(starts, n))
 
-    single_rows = starts[counts == 1]
+    folding = deleted is not None and len(deleted)
     parts: list[pa.Table] = []
-    if len(single_rows):
-        singles = tab.take(pa.array(single_rows))
-        sub_i = singles.schema.get_field_index("sub")
-        singles = singles.set_column(
-            sub_i, "sub",
-            pa.array(np.zeros(len(single_rows), np.int32), type=pa.int32()))
-        parts.append(singles)
     cols = ("term", "df", "docs", "tfs", "norms", "poss")
-    for s, c in zip(starts[counts > 1], counts[counts > 1]):
-        rows = [{k: tab[k][j].as_py() for k in cols}
-                for j in range(s, s + int(c))]
-        parts.append(_merge_index_rows(rows))
+    if folding:
+        for s, c in zip(starts, counts):
+            rows = [{k: tab[k][j].as_py() for k in cols}
+                    for j in range(s, s + int(c))]
+            t = _merge_index_rows(rows, deleted)
+            if t is not None:
+                parts.append(t)
+    else:
+        single_rows = starts[counts == 1]
+        if len(single_rows):
+            singles = tab.take(pa.array(single_rows))
+            sub_i = singles.schema.get_field_index("sub")
+            singles = singles.set_column(
+                sub_i, "sub",
+                pa.array(np.zeros(len(single_rows), np.int32),
+                         type=pa.int32()))
+            parts.append(singles)
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            rows = [{k: tab[k][j].as_py() for k in cols}
+                    for j in range(s, s + int(c))]
+            parts.append(_merge_index_rows(rows))
+    if not parts:
+        return (0, 0, 0)
     merged = pa.concat_tables(parts, promote_options="default") \
         .sort_by("term")
     os.makedirs(dst_dir, exist_ok=True)
     pq.write_table(merged, os.path.join(dst_dir, "optimized-0.parquet"))
-    return len(starts)
+    return (merged.num_rows,
+            int(pa.compute.sum(merged["cf"]).as_py() or 0),
+            int(pa.compute.sum(merged["df"]).as_py() or 0))
 
 
-def optimize_index(index_dir: str) -> dict[str, int]:
+def optimize_index(index_dir: str,
+                   fold_deletes: bool = False) -> dict[str, int]:
     """forceMerge(1) analog (upstream ``IndexWriter#forceMerge`` [U]):
     rewrite each bucket shard so every term has exactly ONE posting
     list (salted sub-lists combined). Optional post-build pass; query
     actors then skip per-actor re-merging at preload.
+
+    ``fold_deletes=True`` additionally reclaims tombstones (the real
+    forceMerge semantics): deleted docs' postings are dropped, df/cf
+    shrink, empty terms disappear, and the collection stats become
+    live-only — N, sum_cf, avgdl and therefore idf and length norms
+    all change, exactly as Lucene's do once deletes merge away. The
+    original docIDs stay (they are externally stable here), so
+    ``stats.max_doc`` keeps the pre-fold doc-space bound for dense
+    accumulators and key packing while ``stats.N`` becomes the live
+    doc count used by scoring.
 
     Publish protocol (crash-safe, the ``segments_N`` generation
     pattern): the new generation is written COMPLETELY to a fresh
@@ -1069,19 +1146,49 @@ def optimize_index(index_dir: str) -> dict[str, int]:
     if os.path.exists(new_root):
         shutil.rmtree(new_root)
 
+    deleted = None
+    dels = man.get("deletes")
+    if fold_deletes and dels and dels.get("n"):
+        deleted = pq.read_table(
+            os.path.join(index_dir, dels["file"]))["doc_id"] \
+            .to_numpy().astype(np.int64)
+    dref = ray.put(deleted) if deleted is not None else None
+
     opt = ray.remote(_optimize_shard)
     futs = {b: opt.remote(os.path.join(cur_root, f"bucket={b}"),
-                          os.path.join(new_root, f"bucket={b}"))
+                          os.path.join(new_root, f"bucket={b}"),
+                          *((dref,) if dref is not None else ()))
             for b in range(cfg.n_buckets)}
-    counts = {b: ray.get(f) for b, f in futs.items()}
+    stats_b = {b: ray.get(f) for b, f in futs.items()}
 
     man["index_dir_name"] = new_name
     man["stats"]["optimized"] = True
     man["stats"]["index_gen"] = gen
+    if deleted is not None:
+        n_live = int(man["stats"]["N"]) - len(deleted)
+        man["stats"].setdefault("max_doc", int(man["stats"]["N"]))
+        total_cf = sum(s[1] for s in stats_b.values())
+        man["buckets"] = {
+            str(b): {"n_terms": s[0], "sum_cf": s[1], "n_postings": s[2]}
+            for b, s in stats_b.items()}
+        man["stats"].update({
+            "N": n_live,
+            "sum_cf": total_cf,
+            "n_terms": sum(s[0] for s in stats_b.values()),
+            "n_postings": sum(s[2] for s in stats_b.values()),
+            "avgdl": (total_cf / n_live) if n_live else 0.0,
+        })
+        old_del_file = dels["file"]
+        man.pop("deletes", None)
     mf.save(index_dir, man)          # the commit point
     if os.path.realpath(cur_root) != os.path.realpath(new_root):
         shutil.rmtree(cur_root, ignore_errors=True)
-    return counts
+    if deleted is not None:
+        try:
+            os.remove(os.path.join(index_dir, old_del_file))
+        except OSError:
+            pass
+    return {b: s[0] for b, s in stats_b.items()}
 
 
 def _main() -> None:

@@ -28,6 +28,7 @@ def check_index(index_dir: str) -> dict[str, int]:
     assert man["status"] == "complete", f"status={man['status']}"
     cfg = IndexConfig.from_json(man["config"])
     N = int(man["stats"]["N"])
+    max_doc = int(man["stats"].get("max_doc", N))
 
     dels = man.get("deletes")
     if dels and dels.get("n"):
@@ -35,7 +36,7 @@ def check_index(index_dir: str) -> dict[str, int]:
             os.path.join(index_dir, dels["file"]))["doc_id"].to_numpy()
         assert len(dd) == dels["n"], "deletes count mismatch"
         assert (np.diff(dd) > 0).all(), "deletes not sorted unique"
-        assert dd[0] >= 0 and dd[-1] < N, "deleted docID out of range"
+        assert dd[0] >= 0 and dd[-1] < max_doc, "deleted docID out of range"
 
     total_cf = 0
     terms_seen: set[str] = set()
@@ -58,7 +59,7 @@ def check_index(index_dir: str) -> dict[str, int]:
             tfs, _ = vbyte_decode(row["tfs"], df, 0)
             norms = np.frombuffer(row["norms"], dtype=np.uint8)
             assert len(docs) == df and len(norms) == df
-            assert (docs >= 0).all() and int(docs[-1]) < N
+            assert (docs >= 0).all() and int(docs[-1]) < max_doc
             assert df == 1 or (docs[1:] > docs[:-1]).all(), \
                 f"non-monotone docs for {term!r}"
             assert int(tfs.sum()) == int(row["cf"])

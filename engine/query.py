@@ -217,6 +217,10 @@ class IndexReader:
         self.shard_root = mf.shard_root(index_dir, man)
         self.cfg = IndexConfig.from_json(man["config"])
         self.N = int(man["stats"]["N"])
+        # doc-space bound for dense accumulators / key packing: equals
+        # N until a delete-folding forceMerge shrinks N below the
+        # still-sparse docID range
+        self.max_doc = int(man["stats"].get("max_doc", self.N))
         self.avgdl = float(man["stats"]["avgdl"])
         self.k1, self.b = k1, b
         self.cache = norm_cache(self.avgdl, k1, b)
@@ -397,8 +401,8 @@ class IndexReader:
         if not clauses:
             return _topdocs_table([], [])
 
-        if self.N <= self._DENSE_MAX_N:
-            sums = np.zeros(self.N, dtype=np.float64)
+        if self.max_doc <= self._DENSE_MAX_N:
+            sums = np.zeros(self.max_doc, dtype=np.float64)
             for docs, sc in clauses:
                 sums[docs] += sc      # f32 → f64 upcast in the add
             if len(self._deleted):
@@ -760,7 +764,7 @@ class IndexReader:
                     max_pos = max(max_pos, int(flat_pos.max()))
         while SHIFT <= max_pos:
             SHIFT = np.int64(int(SHIFT) << 1)
-        max_doc = self.N
+        max_doc = self.max_doc
         if int(SHIFT) * (max_doc + 1) >= (1 << 62):
             raise OverflowError(
                 f"phrase key space overflow: max position {max_pos} with "
@@ -863,7 +867,7 @@ class IndexReader:
                     max_pos = max(max_pos, int(fp.max()))
         while int(SHIFT) <= max_pos + slop + 2:
             SHIFT = np.int64(int(SHIFT) << 1)
-        if int(SHIFT) * (self.N + 1) >= (1 << 62):
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
             raise OverflowError("sloppy phrase key space overflow")
 
         def keys_of(rows):
@@ -930,7 +934,7 @@ class IndexReader:
         SHIFT = np.int64(1 << 21)
         while int(SHIFT) <= max_pos + slop + 2:
             SHIFT = np.int64(int(SHIFT) << 1)
-        if int(SHIFT) * (self.N + 1) >= (1 << 62):
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
             raise OverflowError("span_near key space overflow")
 
         def keys_of(rr):

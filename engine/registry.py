@@ -1999,6 +1999,52 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
 """
 
 
+# ----------------------------------- delete-folding forceMerge
+
+FOLD_MOD = 25
+
+
+def force_merge_deletes_topk(sf_dir: str) -> pa.Table:
+    """forceMerge with tombstone reclaim (upstream ``forceMerge``
+    dropping ``LiveDocs`` [U]): delete every doc_id %% 25 == 0, fold
+    the deletes away in an optimize pass, query. The oracle corpus
+    simply EXCLUDES the deleted rows — post-merge, idf/avgdl/df are
+    live-only, unlike the pre-merge masked semantics that
+    ``update_docs_topk`` pins."""
+    import shutil as _sh
+
+    from engine.build import delete_docs, optimize_index
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|fold|v1".encode()).hexdigest()[:12]
+    idx = os.path.join("/tmp/rayindex_cache", "fold_" + key)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    man = mf.load(idx)
+    if not (man and man.get("status") == "complete"
+            and man["stats"].get("optimized")
+            and man.get("deletes") is None):
+        if os.path.exists(idx):
+            _sh.rmtree(idx)
+        build_index([base], idx, cfg)
+        ids = pq.read_table(base, columns=["doc_id"])["doc_id"] \
+            .to_numpy()
+        delete_docs(idx, np.sort(ids[ids % FOLD_MOD == 0]))
+        optimize_index(idx, fold_deletes=True)
+    r = IndexReader(idx)
+    return _topdocs_out(r.topk(BM25_QUERY, 10))
+
+
+def sql_fold_deletes() -> str:
+    corpus = (f"(SELECT doc_id, text FROM documents "
+              f"WHERE doc_id % {FOLD_MOD} <> 0) c")
+    qterms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return _sql_disjunction(qterms, 10, docs_src=corpus)
+
+
 # ---------------------------------------------------- IVF ANN
 
 def knn_ivf_docs(sf_dir: str) -> pa.Table:
@@ -2313,6 +2359,7 @@ def queries() -> dict:
         "length_filter_stats": length_filter_stats,
         "stratified_sample_docs": stratified_sample_docs,
         "knn_ivf_docs": knn_ivf_docs,
+        "force_merge_deletes_topk": force_merge_deletes_topk,
     }
 
 
@@ -2398,6 +2445,7 @@ def oracle_sql() -> dict:
         "length_filter_stats": SQL_LENGTH_FILTER_STATS,
         "stratified_sample_docs": SQL_STRATIFIED,
         "knn_ivf_docs": SQL_KNN_COSINE,
+        "force_merge_deletes_topk": sql_fold_deletes(),
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)

@@ -377,3 +377,57 @@ def test_incremental_append_doc_mode(ray_session, tmp_path_factory):
     ids = set(t["doc_id"].to_pylist())
     assert ids & set(range(600, 900)), "appended docs missing"
     assert not ids & {5, 10}, "deletes lost across append"
+
+
+def test_fold_deletes_equals_fresh_live_build(ray_session, tmp_path):
+    """forceMerge(fold_deletes) must be indistinguishable from an
+    index freshly built over only the live docs: same stats, same
+    scores (idf/avgdl recomputed live-only), CheckIndex-clean."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import (IndexConfig, build_index, delete_docs,
+                              optimize_index)
+    from engine.check import check_index
+    from engine.query import IndexReader
+
+    rng = np.random.default_rng(5)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+             for _ in range(120)]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)}), src)
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=30, n_salts=2, batch_size=32)
+    idx = str(tmp_path / "idx")
+    build_index([src], idx, cfg)
+    dead = list(range(0, 120, 5))
+    delete_docs(idx, dead)
+    optimize_index(idx, fold_deletes=True)
+    check_index(idx)
+
+    live_src = str(tmp_path / "live.parquet")
+    keep = [i for i in range(120) if i not in set(dead)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(keep, type=pa.int64()),
+        "text": pa.array([texts[i] for i in keep])}), live_src)
+    idx2 = str(tmp_path / "idx2")
+    build_index([live_src], idx2, cfg)
+
+    r1, r2 = IndexReader(idx), IndexReader(idx2)
+    assert r1.N == r2.N and abs(r1.avgdl - r2.avgdl) < 1e-12
+    assert r1.manifest.get("deletes") is None
+    for q in ["aa", "aa bb", "aa bb cc", "ff ee"]:
+        a = r1.topk(q, 30)
+        b = r2.topk(q, 30)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+    # phrase path (positions survive the fold)
+    a = r1.phrase_topk("aa bb", 20)
+    b = r2.phrase_topk("aa bb", 20)
+    assert a.to_pydict() == b.to_pydict()
