@@ -1225,14 +1225,29 @@ class QueryEngine:
         if fetch_text and not self.reader.manifest.get("stored"):
             raise ValueError("fetch_text=True needs build_stored_fields")
 
+    # query-type dispatch: the distributed SearchHandler shape
+    # (upstream ``S/handler/component/QueryComponent`` routing by query
+    # parser [U]) — one actor pool serves every query family
+    _DISPATCH = {
+        "bm25": lambda r, s, text, k: r.topk(text, k, strategy=s),
+        "phrase": lambda r, s, text, k: r.phrase_topk(text, k),
+        "fuzzy": lambda r, s, text, k: r.fuzzy_topk(text, k),
+        "wildcard": lambda r, s, text, k: r.wildcard_topk(text, k),
+        "regexp": lambda r, s, text, k: r.regexp_topk(text, k),
+        "mlt": lambda r, s, text, k: r.more_like_this_topk(int(text), k),
+    }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: list[pa.Table] = []
         qids = batch["query_id"].to_pylist()
         texts = batch["query_text"].to_pylist()
         ks = batch["k"].to_pylist() if "k" in batch.column_names \
             else [10] * len(qids)
-        for qid, text, k in zip(qids, texts, ks):
-            top = self.reader.topk(text, int(k), strategy=self.strategy)
+        types = batch["query_type"].to_pylist() \
+            if "query_type" in batch.column_names else ["bm25"] * len(qids)
+        for qid, text, k, qt in zip(qids, texts, ks, types):
+            top = self._DISPATCH[qt or "bm25"](
+                self.reader, self.strategy, text, int(k))
             if self.resolve and top.num_rows:
                 res = self.reader.resolve_docs(top["doc_id"].to_numpy())
                 top = top.append_column(

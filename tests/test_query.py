@@ -434,3 +434,32 @@ def test_mlt_unknown_doc_empty(smoke_index):
     build_stored_fields(idx)
     r = IndexReader(idx)
     assert r.more_like_this_topk(10**9, k=5).num_rows == 0
+
+
+def test_query_engine_type_dispatch(ray_session, smoke_index):
+    import ray.data
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    items = [
+        {"query_id": 0, "query_text": "zephyr", "k": 5,
+         "query_type": "bm25"},
+        {"query_id": 1, "query_text": "zeph*", "k": 5,
+         "query_type": "wildcard"},
+        {"query_id": 2, "query_text": "zephr", "k": 5,
+         "query_type": "fuzzy"},
+        {"query_id": 3, "query_text": "index merge", "k": 5,
+         "query_type": "phrase"},
+    ]
+    ds = ray.data.from_items(items)
+    res = ds.map_batches(
+        QueryEngine, fn_constructor_args=(idx,),
+        fn_constructor_kwargs={"resolve": False, "preload": False},
+        batch_size=4, batch_format="pyarrow", concurrency=1).take_all()
+    by_q = {}
+    for row in res:
+        by_q.setdefault(row["query_id"], []).append(row["doc_id"])
+    assert by_q[0] == r.topk("zephyr", 5)["doc_id"].to_pylist()
+    assert by_q[1] == r.wildcard_topk("zeph*", 5)["doc_id"].to_pylist()
+    assert by_q[2] == r.fuzzy_topk("zephr", 5)["doc_id"].to_pylist()
+    assert by_q[3] == r.phrase_topk("index merge", 5)["doc_id"].to_pylist()
