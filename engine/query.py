@@ -1080,6 +1080,70 @@ class IndexReader:
             "score": top["score"],
             "snippet": pa.array(snippets, type=pa.string())})
 
+    def similarity_topk(self, query_text: str, k: int = 10,
+                        similarity: str = "classic") -> pa.Table:
+        """Pluggable Similarity (upstream ``Similarity`` SPI,
+        ``ClassicSimilarity``/``LMDirichletSimilarity`` [U]) — the
+        §2.10 Scorer-protocol extension point exercised with two more
+        models beyond BM25. Brute-force evaluation (block-max bounds
+        are BM25-specific); per-clause contributions are documented
+        f32 restatements of the upstream formulas so a SQL oracle can
+        reproduce them exactly:
+
+        - ``classic`` (TF-IDF): ``f32( f32(sqrt(tf)) * f32(idf)^2 *
+          f32(1/sqrt(dlq)) )`` with ``idf = f32(1 + ln(N/(df+1)))``
+          and dlq the SmallFloat-decoded length (the 8.x norm).
+        - ``lm_dirichlet`` (mu=2000): ``f32(max(0, ln(1 + tf/(mu *
+          cf/total_cf)) + ln(mu/(dlq + mu))))`` in f64 then one f32
+          cast (Lucene clamps negative clause scores to 0).
+
+        Clause sums accumulate in f64 and cast f32 once, like BM25.
+        """
+        terms = self.analyzer.query_terms(query_text)
+        subs_by_term = self.lookup(terms)
+        mu = 2000.0
+        total_cf = float(self.manifest["stats"]["sum_cf"])
+        dlq = LENGTH_TABLE.astype(np.float64)
+        clauses: list[tuple[np.ndarray, np.ndarray]] = []
+        for t in terms:
+            subs = subs_by_term[t]
+            if not subs:
+                continue
+            df = self.global_df(subs)
+            parts = [s.decode_all() for s in subs]
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            norms = np.concatenate([p[2] for p in parts])
+            if similarity == "classic":
+                idf_c = float(np.float32(1.0 + np.log(self.N / (df + 1.0))))
+                sqrt_tf = np.sqrt(tfs).astype(np.float32).astype(np.float64)
+                inv_len = (1.0 / np.sqrt(dlq[norms])).astype(np.float32) \
+                    .astype(np.float64)
+                sc = (sqrt_tf * (idf_c * idf_c) * inv_len) \
+                    .astype(np.float32)
+            elif similarity == "lm_dirichlet":
+                cf = float(sum(int(p[1].sum()) for p in parts))
+                p_t = cf / total_cf
+                raw = np.log(1.0 + tfs / (mu * p_t)) \
+                    + np.log(mu / (dlq[norms] + mu))
+                sc = np.maximum(raw, 0.0).astype(np.float32)
+            else:
+                raise ValueError(f"unknown similarity {similarity!r}")
+            clauses.append((docs, sc))
+        if not clauses:
+            return _topdocs_table([], [])
+        docs = np.concatenate([d for d, _ in clauses])
+        scores = np.concatenate([s for _, s in clauses]).astype(np.float64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, scores)
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, sums = uniq[keep], sums[keep]
+        final = sums.astype(np.float32)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
     def match_scores(self, query_text: str) -> pa.Table:
         """Every matching doc with its f32 BM25 score (no top-k cut) \u2014
         feeds block-join and rescoring stages."""

@@ -1999,6 +1999,85 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
 """
 
 
+# -------------------------------- pluggable similarities (SPI)
+
+def classic_tfidf_topk(sf_dir: str) -> pa.Table:
+    """ClassicSimilarity (TF-IDF) through the Similarity SPI
+    (upstream ``ClassicSimilarity`` [U]; f32 restatement in the
+    method docstring)."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(
+        r.similarity_topk(BJ_QUERY, k=10, similarity="classic"))
+
+
+def lm_dirichlet_topk(sf_dir: str) -> pa.Table:
+    """LMDirichletSimilarity (mu=2000) through the Similarity SPI
+    (upstream ``LMDirichletSimilarity`` [U])."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(
+        r.similarity_topk(BJ_QUERY, k=10, similarity="lm_dirichlet"))
+
+
+def _sql_sim_qterms() -> str:
+    return "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BJ_QUERY.split()) + "]) AS term"
+
+
+def sql_classic_tfidf() -> str:
+    return f"""{_bm25_ctes()},
+qterms AS ({_sql_sim_qterms()}),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(
+      CAST(sqrt(tf.tf) AS FLOAT)::DOUBLE
+      * (CAST(1 + ln(s.n / (d.df + 1)) AS FLOAT)::DOUBLE
+         * CAST(1 + ln(s.n / (d.df + 1)) AS FLOAT)::DOUBLE)
+      * CAST(1 / sqrt(dl.dlq) AS FLOAT)::DOUBLE
+    AS FLOAT) AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def sql_lm_dirichlet() -> str:
+    return f"""{_bm25_ctes()},
+qterms AS ({_sql_sim_qterms()}),
+tcf AS (
+  SELECT SUM(len(ts))::DOUBLE AS total_cf FROM toks),
+cfs AS (
+  SELECT q.term, COUNT(*)::DOUBLE AS cf
+  FROM qterms q JOIN (SELECT doc_id, unnest(ts) AS term FROM toks) u
+    ON u.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(GREATEST(0.0::DOUBLE,
+      ln(1 + tf.tf / (2000.0::DOUBLE * (c.cf / t.total_cf)))
+      + ln(2000.0::DOUBLE / (dl.dlq + 2000.0::DOUBLE)))
+    AS FLOAT) AS sc
+  FROM qterms q JOIN cfs c ON c.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tcf t),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ----------------------------------- delete-folding forceMerge
 
 FOLD_MOD = 25
@@ -2360,6 +2439,8 @@ def queries() -> dict:
         "stratified_sample_docs": stratified_sample_docs,
         "knn_ivf_docs": knn_ivf_docs,
         "force_merge_deletes_topk": force_merge_deletes_topk,
+        "classic_tfidf_topk": classic_tfidf_topk,
+        "lm_dirichlet_topk": lm_dirichlet_topk,
     }
 
 
@@ -2446,6 +2527,8 @@ def oracle_sql() -> dict:
         "stratified_sample_docs": SQL_STRATIFIED,
         "knn_ivf_docs": SQL_KNN_COSINE,
         "force_merge_deletes_topk": sql_fold_deletes(),
+        "classic_tfidf_topk": sql_classic_tfidf(),
+        "lm_dirichlet_topk": sql_lm_dirichlet(),
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)

@@ -463,3 +463,23 @@ def test_query_engine_type_dispatch(ray_session, smoke_index):
     assert by_q[1] == r.wildcard_topk("zeph*", 5)["doc_id"].to_pylist()
     assert by_q[2] == r.fuzzy_topk("zephr", 5)["doc_id"].to_pylist()
     assert by_q[3] == r.phrase_topk("index merge", 5)["doc_id"].to_pylist()
+
+
+def test_similarity_models_rank_differently_but_sanely(reader):
+    bm = reader.topk("index merge", 20)
+    cl = reader.similarity_topk("index merge", 20, "classic")
+    lm = reader.similarity_topk("index merge", 20, "lm_dirichlet")
+    # same candidate universe (disjunction), model-specific order
+    assert cl["total_hits"][0] == lm["total_hits"][0]
+    for t in (cl, lm):
+        sc = t["score"].to_numpy()
+        assert (sc[:-1] >= sc[1:]).all()
+        assert (sc >= 0).all()
+    assert bm.num_rows == cl.num_rows == lm.num_rows
+
+
+def test_similarity_unknown_raises(reader):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        reader.similarity_topk("index", 5, "nope")
