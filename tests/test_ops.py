@@ -461,3 +461,26 @@ def test_knn_ivf_partial_probe_recall(ray_session):
                    brute["vec_id"].to_pylist()))
     recall = len(got & want) / len(want)
     assert recall >= 0.8, recall
+
+
+def test_read_solr_xml_loader(ray_session, tmp_path):
+    from engine.ops.loaders import read_solr_xml
+
+    x1 = tmp_path / "a.xml"
+    x1.write_text(
+        "<add>"
+        "<doc><field name='id'>1</field>"
+        "<field name='text'>hello world</field>"
+        "<field name='tag'>x</field><field name='tag'>y</field></doc>"
+        "<doc><field name='id'>2</field>"
+        "<field name='text'>second doc</field></doc>"
+        "</add>")
+    x2 = tmp_path / "b.xml"
+    x2.write_text(
+        "<add><doc><field name='id'>3</field>"
+        "<field name='text'>third</field></doc></add>")
+    rows = sorted(read_solr_xml([str(x1), str(x2)]).take_all(),
+                  key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == ["1", "2", "3"]
+    assert rows[0]["tag"] == ["x", "y"]
+    assert rows[2]["text"] == "third"
