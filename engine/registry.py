@@ -1999,6 +1999,44 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
 """
 
 
+# ------------------------------ sharded distributed search
+
+def sharded_bm25_topk(sf_dir: str) -> pa.Table:
+    """Distributed search over 3 doc-range index shards with global
+    IDF (Solr distributed-IDF two-phase, ``engine/sharded.py``): must
+    be BIT-IDENTICAL to the single-index BM25 — it shares
+    ``bm25_topk``'s SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|shards|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "shards_" + key)
+    os.makedirs(work, exist_ok=True)
+    tab = pq.read_table(base, columns=["doc_id", "text"])
+    n = tab.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    shard_dirs = []
+    for i in range(3):
+        f = os.path.join(work, f"part{i}.parquet")
+        if not os.path.exists(f):
+            tmp = f + ".tmp"
+            pq.write_table(tab.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                           tmp)
+            os.replace(tmp, f)
+        sd = os.path.join(work, f"shard{i}")
+        build_index([f], sd, cfg)
+        shard_dirs.append(sd)
+    searcher = DistributedSearcher(shard_dirs)
+    try:
+        return _topdocs_out(searcher.topk(BM25_QUERY, BM25_K))
+    finally:
+        searcher.shutdown()
+
+
 # -------------------------------- pluggable similarities (SPI)
 
 def classic_tfidf_topk(sf_dir: str) -> pa.Table:
@@ -2441,6 +2479,7 @@ def queries() -> dict:
         "force_merge_deletes_topk": force_merge_deletes_topk,
         "classic_tfidf_topk": classic_tfidf_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
+        "sharded_bm25_topk": sharded_bm25_topk,
     }
 
 
@@ -2529,6 +2568,7 @@ def oracle_sql() -> dict:
         "force_merge_deletes_topk": sql_fold_deletes(),
         "classic_tfidf_topk": sql_classic_tfidf(),
         "lm_dirichlet_topk": sql_lm_dirichlet(),
+        "sharded_bm25_topk": sql_bm25_topk(),
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)

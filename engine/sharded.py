@@ -1,0 +1,146 @@
+"""Sharded distributed search with global IDF.
+
+The multi-node story for query serving: the corpus is built as K
+doc-range shard indexes (each an ordinary `build_index` output over a
+slice of the input files), one long-lived Ray actor holds each shard's
+warm `IndexReader`, and a query runs Solr's two-phase **distributed
+IDF** protocol (upstream ``S/search/stats/ExactStatsCache`` /
+``QueryComponent`` distributed flow [U]; Lucene analog: one
+``IndexSearcher`` over many leaves with collection-level
+``termStatistics``):
+
+  phase 0  every shard reports local (df, cf, N, sum_cf) for the
+           query terms — a tiny message;
+  phase 1  the coordinator sums them into GLOBAL stats and broadcasts
+           per-term idf weights + the global norm cache; each shard
+           scores its own postings with those weights and returns its
+           local top-k;
+  merge    coordinator concatenates K·k rows and takes the global
+           top-k (score desc, docID asc).
+
+Because docIDs never span shards, per-doc clause sums are unchanged,
+norm bytes are corpus-independent, and the idf/avgdl inputs are the
+global ones — the result is **bit-identical** to a single-index search
+(pinned by ``test_sharded_equals_single``). At 256 nodes the actors
+are placed one-per-node and only (terms, stats, top-k) cross the wire.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from engine.query import (IndexReader, _clause_scores, idf, norm_cache,
+                          _topdocs_table)
+
+
+def _local_term_stats(reader: IndexReader, terms: list[str]
+                      ) -> dict[str, tuple[int, int]]:
+    subs = reader.lookup(terms)
+    out = {}
+    for t, ss in subs.items():
+        if ss:
+            df = reader.global_df(ss)
+            cf = sum(int(s.decode_all()[1].sum()) for s in ss)
+            out[t] = (df, cf)
+    return out
+
+
+def _score_shard(reader: IndexReader, terms: list[str],
+                 weights: dict[str, float], cache: np.ndarray,
+                 k: int) -> pa.Table:
+    """Score one shard's postings with externally supplied (global)
+    idf weights and norm cache; local top-k."""
+    subs_by_term = reader.lookup(terms)
+    clauses = []
+    for t in terms:                       # duplicates = duplicate clauses
+        w = weights.get(t)
+        if w is None:
+            continue
+        for s in subs_by_term.get(t, []):
+            docs, tfs, norms = s.decode_all()
+            clauses.append(
+                (docs, _clause_scores(tfs, norms, np.float32(w), cache)))
+    if not clauses:
+        return _topdocs_table([], [])
+    docs = np.concatenate([d for d, _ in clauses])
+    scores = np.concatenate([s for _, s in clauses]).astype(np.float64)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(sums, inv, scores)
+    keep = reader._keep(uniq)
+    if keep is not None:
+        uniq, sums = uniq[keep], sums[keep]
+    final = sums.astype(np.float32)
+    order = np.lexsort((uniq, -final))[:k]
+    return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
+
+@ray.remote
+class ShardSearcher:
+    """One shard's warm reader as a long-lived actor (placed per node
+    in a real cluster via placement groups; plain actors here)."""
+
+    def __init__(self, index_dir: str, preload: bool = True):
+        self.reader = IndexReader(index_dir, preload=preload)
+
+    def collection_stats(self) -> tuple[int, float]:
+        return (self.reader.N,
+                float(self.reader.manifest["stats"]["sum_cf"]))
+
+    def term_stats(self, terms: list[str]) -> dict:
+        return _local_term_stats(self.reader, terms)
+
+    def score(self, terms: list[str], weights: dict, cache: np.ndarray,
+              k: int) -> pa.Table:
+        return _score_shard(self.reader, terms, weights, cache, k)
+
+
+class DistributedSearcher:
+    """Coordinator over K ShardSearcher actors (upstream
+    ``SearchHandler`` shard fan-out [U])."""
+
+    def __init__(self, shard_dirs: list[str], preload: bool = True,
+                 k1: float = 1.2, b: float = 0.75):
+        self.shards = [ShardSearcher.remote(d, preload)
+                       for d in shard_dirs]
+        stats = ray.get([s.collection_stats.remote()
+                         for s in self.shards])
+        self.N = sum(n for n, _ in stats)
+        sum_cf = sum(c for _, c in stats)
+        self.avgdl = (sum_cf / self.N) if self.N else 0.0
+        self.cache = norm_cache(self.avgdl, k1, b)
+        # borrow any shard's analyzer config (all shards share one)
+        self._analyzer = IndexReader(shard_dirs[0]).analyzer
+
+    def topk(self, query_text: str, k: int = 10) -> pa.Table:
+        terms = self._analyzer.query_terms(query_text)
+        if not terms:
+            return _topdocs_table([], [])
+        uniq_terms = sorted(set(terms))
+        # phase 0: global df from per-shard partials
+        partials = ray.get([s.term_stats.remote(uniq_terms)
+                            for s in self.shards])
+        gdf: dict[str, int] = {}
+        for p in partials:
+            for t, (df, _) in p.items():
+                gdf[t] = gdf.get(t, 0) + df
+        weights = {t: float(idf(self.N, df)) for t, df in gdf.items()}
+        # phase 1: shard-local scoring under global stats
+        tops = ray.get([s.score.remote(terms, weights, self.cache, k)
+                        for s in self.shards])
+        tops = [t for t in tops if t.num_rows]
+        if not tops:
+            return _topdocs_table([], [])
+        allt = pa.concat_tables(tops)
+        ids = allt["doc_id"].to_numpy()
+        sc = allt["score"].to_numpy()
+        total = int(sum(t["total_hits"][0].as_py() for t in tops))
+        order = np.lexsort((ids, -sc))[:k]
+        return _topdocs_table(ids[order], sc[order], total=total)
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
