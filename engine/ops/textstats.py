@@ -180,3 +180,39 @@ def significant_terms(ds: ray.data.Dataset, text_col: str,
         })
         return out.filter(pa.array(keep))
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def text_profile_signature(ds: ray.data.Dataset, text_col: str,
+                           id_cols: list[str], quant_rate: float = 0.01
+                           ) -> ray.data.Dataset:
+    """Fuzzy near-dup signature (upstream ``TextProfileSignature``
+    [U]): per-doc token freqs are quantized — ``quant =
+    floor(maxfreq*quant_rate + 0.5)`` raised to 2 when maxfreq > 1 (1
+    otherwise), tokens with freq < quant dropped, surviving freqs
+    rounded DOWN to a multiple of quant — and the profile
+    ``"token freq ..."`` sorted by (freq desc, token asc) is md5'd.
+    (Upstream sorts by freq only with map order breaking ties; the
+    token tie-break here makes the signature deterministic and
+    SQL-checkable — documented conformance boundary.)"""
+    def f(b: pa.Table) -> pa.Table:
+        offs, flat = _flat_tokens(b[text_col])
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        sigs = []
+        for i in range(len(offs) - 1):
+            seg = toks[offs[i]:offs[i + 1]]
+            if not len(seg):
+                sigs.append(hashlib.md5(b"").hexdigest())
+                continue
+            terms, counts = np.unique(seg, return_counts=True)
+            maxf = int(counts.max())
+            quant = int(np.floor(maxf * quant_rate + 0.5))
+            if quant < 2:
+                quant = 2 if maxf > 1 else 1
+            keep = counts >= quant
+            t2, c2 = terms[keep], (counts[keep] // quant) * quant
+            order = np.lexsort((t2, -c2))
+            prof = " ".join(f"{t2[j]} {int(c2[j])}" for j in order)
+            sigs.append(hashlib.md5(prof.encode("utf-8")).hexdigest())
+        out = b.select(id_cols)
+        return out.append_column("sig", pa.array(sigs, type=pa.string()))
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1999,6 +1999,38 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
 """
 
 
+# ------------------------------ fuzzy text-profile signature
+
+def text_profile_sig_docs(sf_dir: str) -> pa.Table:
+    """TextProfileSignature fuzzy dedup signature (upstream
+    ``TextProfileSignature`` [U]; deterministic tie-break documented
+    in the op)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = _to_table(tx.text_profile_signature(ds, "text", ["doc_id"]))
+    return t.sort_by("doc_id")
+
+
+SQL_TEXT_PROFILE = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS f
+       FROM toks GROUP BY doc_id, term),
+mx AS (SELECT doc_id, MAX(f) AS maxf FROM tf GROUP BY doc_id),
+q AS (SELECT doc_id,
+        CASE WHEN FLOOR(maxf * 0.01 + 0.5) < 2
+             THEN (CASE WHEN maxf > 1 THEN 2 ELSE 1 END)
+             ELSE FLOOR(maxf * 0.01 + 0.5)::BIGINT END AS quant
+      FROM mx),
+kept AS (SELECT tf.doc_id, tf.term,
+                (tf.f // q.quant) * q.quant AS rf
+         FROM tf JOIN q USING (doc_id) WHERE tf.f >= q.quant),
+prof AS (SELECT doc_id,
+                string_agg(term || ' ' || rf, ' '
+                           ORDER BY rf DESC, term) AS p
+         FROM kept GROUP BY doc_id)
+SELECT doc_id, md5(p) AS sig FROM prof ORDER BY doc_id
+"""
+
+
 # ------------------------------ sharded distributed search
 
 def sharded_bm25_topk(sf_dir: str) -> pa.Table:
@@ -2480,6 +2512,7 @@ def queries() -> dict:
         "classic_tfidf_topk": classic_tfidf_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "sharded_bm25_topk": sharded_bm25_topk,
+        "text_profile_sig_docs": text_profile_sig_docs,
     }
 
 
@@ -2569,6 +2602,7 @@ def oracle_sql() -> dict:
         "classic_tfidf_topk": sql_classic_tfidf(),
         "lm_dirichlet_topk": sql_lm_dirichlet(),
         "sharded_bm25_topk": sql_bm25_topk(),
+        "text_profile_sig_docs": SQL_TEXT_PROFILE,
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)
