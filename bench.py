@@ -157,7 +157,8 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
         for name in ["term_stats_mapreduce", "rollup_events",
                      "join_orders_customer", "join_lineitem_part",
                      "group_topn_orders", "dedup_docs_exact",
-                     "knn_cosine"]:
+                     "knn_cosine", "knn_ivf_docs",
+                     "blockjoin_topk_docs", "nb_classify_docs"]:
             t0 = time.perf_counter()
             reg[name](sf_dir)
             queries[name] = round(time.perf_counter() - t0, 3)
