@@ -1144,6 +1144,34 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def elevated_topk(self, query_text: str, elevated_ids: list[int],
+                      k: int = 10) -> pa.Table:
+        """QueryElevationComponent (upstream
+        ``S/handler/component/QueryElevationComponent`` [U]): the
+        editorially pinned docIDs come first in their configured
+        order — keeping their organic BM25 score when they match, 0.0
+        when they don't (Solr marks these ``[elevated]``) — followed
+        by the organic ranking with the pinned docs removed."""
+        organic = self.match_scores(query_text)
+        sc_by_id = dict(zip(organic["doc_id"].to_pylist(),
+                            organic["score"].to_pylist()))
+        head_ids = list(dict.fromkeys(int(i) for i in elevated_ids))
+        head_sc = [np.float32(sc_by_id.get(i, 0.0)) for i in head_ids]
+        pinned = set(head_ids)
+        ids = organic["doc_id"].to_numpy()
+        sc = organic["score"].to_numpy()
+        m = ~np.isin(ids, np.fromiter(pinned, dtype=np.int64,
+                                      count=len(pinned)))
+        tail_ids, tail_sc = ids[m], sc[m]
+        order = np.lexsort((tail_ids, -tail_sc))
+        out_ids = np.concatenate(
+            [np.asarray(head_ids, dtype=np.int64), tail_ids[order]])[:k]
+        out_sc = np.concatenate(
+            [np.asarray(head_sc, dtype=np.float32),
+             tail_sc[order]])[:k]
+        return _topdocs_table(out_ids, out_sc,
+                              total=len(tail_ids) + len(head_ids))
+
     def match_scores(self, query_text: str) -> pa.Table:
         """Every matching doc with its f32 BM25 score (no top-k cut) \u2014
         feeds block-join and rescoring stages."""

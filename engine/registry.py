@@ -1999,6 +1999,37 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
 """
 
 
+# ------------------------------------------ query elevation
+
+ELEVATED = [7, 3]
+
+
+def elevation_topk(sf_dir: str) -> pa.Table:
+    """QueryElevationComponent (upstream [U]): docs 7 and 3 pinned
+    ahead of the organic BM25 ranking."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(r.elevated_topk(BJ_QUERY, ELEVATED, k=10))
+
+
+def sql_elevation() -> str:
+    vals = ",".join(f"({d},{i})" for i, d in enumerate(ELEVATED))
+    return f"""{_sql_scored("SELECT unnest(['spark','merge']) AS term")},
+elev(doc_id, ord) AS (VALUES {vals}),
+head AS (
+  SELECT e.ord, e.doc_id,
+         COALESCE(s.score, CAST(0.0 AS FLOAT)) AS score
+  FROM elev e LEFT JOIN scored s USING (doc_id)),
+tail AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id))
+           + {len(ELEVATED)} AS ord, doc_id, score
+  FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM elev))
+SELECT (ROW_NUMBER() OVER (ORDER BY ord) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+ORDER BY ord LIMIT 10
+"""
+
+
 # ------------------------------ fuzzy text-profile signature
 
 def text_profile_sig_docs(sf_dir: str) -> pa.Table:
@@ -2513,6 +2544,7 @@ def queries() -> dict:
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "sharded_bm25_topk": sharded_bm25_topk,
         "text_profile_sig_docs": text_profile_sig_docs,
+        "elevation_topk": elevation_topk,
     }
 
 
@@ -2603,6 +2635,7 @@ def oracle_sql() -> dict:
         "lm_dirichlet_topk": sql_lm_dirichlet(),
         "sharded_bm25_topk": sql_bm25_topk(),
         "text_profile_sig_docs": SQL_TEXT_PROFILE,
+        "elevation_topk": sql_elevation(),
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)
