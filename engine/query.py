@@ -1027,6 +1027,30 @@ class IndexReader:
             "dist": pa.array([r[1] for r in rows], type=pa.int64()),
             "df": pa.array([r[2] for r in rows], type=pa.int64())})
 
+    def spellcheck_collate_topk(self, query_text: str, k: int = 10,
+                                max_edits: int = 2) -> pa.Table:
+        """Spellcheck collation (upstream ``SpellCheckComponent``
+        collate=true [U]): every query term missing from the
+        dictionary is replaced by its best suggestion (the
+        ``spellcheck`` ranking: distance asc, df desc, term asc) and
+        the corrected — *collated* — query is searched. The collation
+        string rides along as a column (the "did you mean")."""
+        terms = self.analyzer.query_terms(query_text)
+        vocab = set(self.vocabulary())
+        corrected = []
+        for t in terms:
+            if t in vocab:
+                corrected.append(t)
+                continue
+            sug = self.spellcheck(t, k=1, max_edits=max_edits)
+            corrected.append(sug["term"][0].as_py()
+                             if sug.num_rows else t)
+        collation = " ".join(corrected)
+        top = self.topk(collation, k)
+        return top.append_column(
+            "collation",
+            pa.array([collation] * top.num_rows, type=pa.string()))
+
     def more_like_this_topk(self, doc_id: int, k: int = 10,
                             max_terms: int = 5,
                             min_df: int = 2) -> pa.Table:

@@ -1999,6 +1999,46 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
 """
 
 
+# -------------------------------------- spellcheck collation
+
+COLLATE_QUERY = "sparkk mergee"
+
+
+def _sql_corr(t: str) -> str:
+    """Best-correction scalar subquery mirroring ``spellcheck``:
+    keep in-dictionary terms, else (distance asc, df desc, term asc),
+    else the term itself."""
+    return f"""COALESCE(
+  (SELECT v.term FROM (SELECT DISTINCT term FROM tf) v
+   WHERE v.term = '{t}'),
+  (SELECT t2.term FROM (SELECT term, COUNT(DISTINCT doc_id) AS df
+                        FROM tf GROUP BY term) t2
+   WHERE levenshtein(t2.term, '{t}') BETWEEN 1 AND 2
+   ORDER BY levenshtein(t2.term, '{t}'), t2.df DESC, t2.term LIMIT 1),
+  '{t}')"""
+
+
+def spellcheck_collate_topk_docs(sf_dir: str) -> pa.Table:
+    """Collated "did you mean" search (upstream ``SpellCheckComponent``
+    collate [U]): both query terms are 1-edit misspellings."""
+    r = _doc_reader(sf_dir)
+    t = r.spellcheck_collate_topk(COLLATE_QUERY, k=10)
+    return _cast_col(t.select(["rank", "doc_id", "score", "collation"]),
+                     "rank", pa.int64())
+
+
+def sql_spellcheck_collate() -> str:
+    t0, t1 = COLLATE_QUERY.split()
+    qterms = (f"SELECT {_sql_corr(t0)} AS term "
+              f"UNION ALL SELECT {_sql_corr(t1)}")
+    return f"""{_sql_scored(qterms)}
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank, doc_id, score,
+       (({_sql_corr(t0)}) || ' ' || ({_sql_corr(t1)})) AS collation
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ------------------------------------------ query elevation
 
 ELEVATED = [7, 3]
@@ -2545,6 +2585,7 @@ def queries() -> dict:
         "sharded_bm25_topk": sharded_bm25_topk,
         "text_profile_sig_docs": text_profile_sig_docs,
         "elevation_topk": elevation_topk,
+        "spellcheck_collate_topk_docs": spellcheck_collate_topk_docs,
     }
 
 
@@ -2636,6 +2677,7 @@ def oracle_sql() -> dict:
         "sharded_bm25_topk": sql_bm25_topk(),
         "text_profile_sig_docs": SQL_TEXT_PROFILE,
         "elevation_topk": sql_elevation(),
+        "spellcheck_collate_topk_docs": sql_spellcheck_collate(),
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)
