@@ -431,3 +431,106 @@ def test_fold_deletes_equals_fresh_live_build(ray_session, tmp_path):
     a = r1.phrase_topk("aa bb", 20)
     b = r2.phrase_topk("aa bb", 20)
     assert a.to_pydict() == b.to_pydict()
+
+
+def test_optimize_after_append_preserves_results(ray_session, tmp_path):
+    """append → optimize → identical query results (generation flip
+    keeps df/cf/scores; salted sub-lists collapse is invisible)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index, optimize_index
+    from engine.check import check_index
+    from engine.query import IndexReader
+
+    rng = np.random.default_rng(13)
+    vocab = ["aa", "bb", "cc", "dd"]
+
+    def mk(path, lo, hi):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(
+                [" ".join(rng.choice(vocab,
+                                     size=rng.integers(3, 15)))
+                 for _ in range(hi - lo)])}), path)
+
+    f1, f2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    mk(f1, 0, 80)
+    mk(f2, 80, 140)
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2, hot_df_threshold=20,
+                      n_salts=2, batch_size=32)
+    idx = str(tmp_path / "idx")
+    build_index([f1], idx, cfg)
+    build_index([f1, f2], idx, cfg)        # append
+    r = IndexReader(idx)
+    before = {q: r.topk(q, 50).to_pydict()
+              for q in ["aa", "aa bb", "cc dd"]}
+    optimize_index(idx)
+    check_index(idx)
+    r2 = IndexReader(idx)
+    for q, want in before.items():
+        assert r2.topk(q, 50).to_pydict() == want, q
+
+
+def test_fold_deletes_without_positions(ray_session, tmp_path):
+    """Delete folding on a positions-free index (store_positions=False)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import (IndexConfig, build_index, delete_docs,
+                              optimize_index)
+    from engine.check import check_index
+    from engine.query import IndexReader
+
+    rng = np.random.default_rng(21)
+    vocab = ["aa", "bb", "cc"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 12)))
+             for _ in range(60)]
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(60), type=pa.int64()),
+        "text": pa.array(texts)}), src)
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=16,
+                      store_positions=False)
+    idx = str(tmp_path / "i")
+    build_index([src], idx, cfg)
+    delete_docs(idx, list(range(0, 60, 4)))
+    optimize_index(idx, fold_deletes=True)
+    check_index(idx)
+    r = IndexReader(idx)
+    top = r.topk("aa bb", 60)
+    assert not (set(top["doc_id"].to_pylist())
+                & set(range(0, 60, 4)))
+    assert r.N == 45
+
+
+def test_char_filters_in_conv_mode_flagship(ray_session, tmp_path):
+    """The transcript (conv-mode) pipeline accepts char filters."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array(["c0", "c0", "c1"]),
+        "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+        "text": pa.array(["<b>hello</b> world", "spark &amp; merge",
+                          "<i>hello</i> again"]),
+    }), src)
+    cfg = IndexConfig(stop_words=None, stemming=False, n_buckets=2,
+                      batch_size=8,
+                      char_filters=({"type": "htmlstrip"},))
+    idx = str(tmp_path / "ci")
+    build_index([src], idx, cfg)
+    r = IndexReader(idx)
+    assert "b" not in r.vocabulary() and "amp" not in r.vocabulary()
+    assert r.topk("hello", 5).num_rows == 2
