@@ -1901,6 +1901,47 @@ def nodes_walk_customers(sf_dir: str) -> pa.Table:
                     (li, "l_orderkey", "l_partkey")], seeds)
 
 
+def score_nodes_parts(sf_dir: str) -> pa.Table:
+    """scoreNodes (upstream ``ScoreNodesStream`` [U]): parts reached
+    from BUILDING/nation-3 customers' orders, ranked tf-idf-style
+    (path count × ln(total_edges / global part frequency))."""
+    from engine.ops import graph as gr
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_nationkey"])
+
+    def seed_f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.equal(b["c_mktsegment"], "BUILDING"),
+            pc.equal(b["c_nationkey"], 3)))
+
+    seeds = _to_table(
+        cust.map_batches(seed_f, batch_format="pyarrow"))["c_custkey"] \
+        .combine_chunks()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    l1 = gr.gather_nodes(orders, "o_custkey", "o_orderkey", seeds)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return gr.score_nodes(li, "l_orderkey", "l_partkey", l1)
+
+
+SQL_SCORE_NODES = """
+WITH seeds AS (SELECT c_custkey FROM customer
+               WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 3),
+l1 AS (SELECT DISTINCT o_orderkey FROM orders
+       JOIN seeds ON o_custkey = c_custkey),
+total AS (SELECT COUNT(*)::DOUBLE AS n FROM lineitem),
+gfreq AS (SELECT l_partkey, COUNT(*)::DOUBLE AS g FROM lineitem
+          GROUP BY l_partkey),
+loc AS (SELECT l_partkey AS node, COUNT(*)::BIGINT AS cnt
+        FROM lineitem JOIN l1 ON l_orderkey = o_orderkey
+        GROUP BY l_partkey)
+SELECT node::BIGINT AS node, cnt,
+       FLOOR(cnt::DOUBLE * ln(t.n / g.g) * 1e6 + 0.5) / 1e6 AS score
+FROM loc JOIN gfreq g ON g.l_partkey = loc.node CROSS JOIN total t
+ORDER BY score DESC, node
+"""
+
+
 SQL_NODES_WALK = """
 WITH seeds AS (SELECT c_custkey FROM customer
                WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 3),
@@ -2586,6 +2627,7 @@ def queries() -> dict:
         "text_profile_sig_docs": text_profile_sig_docs,
         "elevation_topk": elevation_topk,
         "spellcheck_collate_topk_docs": spellcheck_collate_topk_docs,
+        "score_nodes_parts": score_nodes_parts,
     }
 
 
@@ -2678,6 +2720,7 @@ def oracle_sql() -> dict:
         "text_profile_sig_docs": SQL_TEXT_PROFILE,
         "elevation_topk": sql_elevation(),
         "spellcheck_collate_topk_docs": sql_spellcheck_collate(),
+        "score_nodes_parts": SQL_SCORE_NODES,
         # knn_lsh: probabilistic-recall op, rows-only;
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)

@@ -484,3 +484,34 @@ def test_read_solr_xml_loader(ray_session, tmp_path):
     assert [r["id"] for r in rows] == ["1", "2", "3"]
     assert rows[0]["tag"] == ["x", "y"]
     assert rows[2]["text"] == "third"
+
+
+def test_score_nodes_tfidf_ranking(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import graph as gr
+
+    # edges: node 100 is globally common (low idf), 200 is rare
+    edges = ray.data.from_arrow(pa.table({
+        "src": [1, 1, 2, 9, 9, 9, 9, 9, 9],
+        "dst": [100, 200, 200, 100, 100, 100, 100, 100, 100]}))
+    t = gr.score_nodes(edges, "src", "dst",
+                       pa.array([1, 2], type=pa.int64()))
+    rows = {r["node"]: (r["cnt"], r["score"])
+            for r in t.to_pylist()}
+    assert rows[200][0] == 2 and rows[100][0] == 1
+    assert rows[200][1] > rows[100][1]          # rare node outranks
+    assert t["node"].to_pylist()[0] == 200
+
+
+def test_score_nodes_empty_frontier(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import graph as gr
+
+    edges = ray.data.from_arrow(pa.table({"src": [1], "dst": [2]}))
+    t = gr.score_nodes(edges, "src", "dst",
+                       pa.array([], type=pa.int64()))
+    assert t.num_rows == 0 and t.column_names == ["node", "cnt", "score"]
