@@ -779,6 +779,29 @@ def build_index(input_path: str | list[str], index_dir: str,
             man["input_files"], cfg.doc_id_col)
         man["stats"].pop("optimized", None)
         man.pop("stored", None)        # stored fields must be rebuilt
+        folded = man.pop("folded_deletes", None)
+        if folded:
+            # the re-merge rebuilds from FRAGMENTS, which still hold
+            # the postings a delete-folding optimize reclaimed — the
+            # tombstones must come back as an active delete list or
+            # those docs would silently resurrect
+            old = pq.read_table(os.path.join(
+                index_dir, folded["file"]))["doc_id"].to_numpy()
+            cur = man.get("deletes")
+            ids = old
+            if cur:
+                cur_ids = pq.read_table(os.path.join(
+                    index_dir, cur["file"]))["doc_id"].to_numpy()
+                ids = np.union1d(ids, cur_ids)
+            gen = max(folded.get("gen", 0),
+                      (cur or {}).get("gen", 0)) + 1
+            fname = f"deletes-g{gen}.parquet"
+            tmp = os.path.join(index_dir, fname + ".tmp")
+            pq.write_table(pa.table({
+                "doc_id": pa.array(ids, type=pa.int64())}), tmp)
+            os.replace(tmp, os.path.join(index_dir, fname))
+            man["deletes"] = {"file": fname, "n": int(len(ids)),
+                              "gen": gen}
         if man.get("index_dir_name", "index") != "index":
             # merges write the base generation; retire optimized gens
             old_gen = mf.shard_root(index_dir, man)
@@ -916,7 +939,9 @@ def delete_docs(index_dir: str, doc_ids) -> int:
         old = pq.read_table(
             os.path.join(index_dir, cur["file"]))["doc_id"].to_numpy()
         ids = np.union1d(ids, old)
-    gen = (cur or {}).get("gen", 0) + 1
+    # never reuse a generation name still referenced by folded_deletes
+    gen = max((cur or {}).get("gen", 0),
+              (man.get("folded_deletes") or {}).get("gen", 0)) + 1
     fname = f"deletes-g{gen}.parquet"
     tmp = os.path.join(index_dir, fname + ".tmp")
     pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), tmp)
@@ -1178,16 +1203,31 @@ def optimize_index(index_dir: str,
             "n_postings": sum(s[2] for s in stats_b.values()),
             "avgdl": (total_cf / n_live) if n_live else 0.0,
         })
-        old_del_file = dels["file"]
+        # the delete FILE outlives the fold: fragments still hold the
+        # reclaimed postings, so a later incremental append re-merge
+        # must re-activate these tombstones (see build_index append).
+        # Successive folds accumulate: union with any earlier fold.
+        prev = man.get("folded_deletes")
+        if prev:
+            prev_ids = pq.read_table(os.path.join(
+                index_dir, prev["file"]))["doc_id"].to_numpy()
+            all_ids = np.union1d(prev_ids, deleted)
+            fgen = max(prev.get("gen", 0),
+                       man["deletes"].get("gen", 0)) + 1
+            fname = f"deletes-g{fgen}.parquet"
+            tmp = os.path.join(index_dir, fname + ".tmp")
+            pq.write_table(pa.table({
+                "doc_id": pa.array(all_ids, type=pa.int64())}), tmp)
+            os.replace(tmp, os.path.join(index_dir, fname))
+            man["folded_deletes"] = {"file": fname,
+                                     "n": int(len(all_ids)),
+                                     "gen": fgen}
+        else:
+            man["folded_deletes"] = dict(man["deletes"])
         man.pop("deletes", None)
     mf.save(index_dir, man)          # the commit point
     if os.path.realpath(cur_root) != os.path.realpath(new_root):
         shutil.rmtree(cur_root, ignore_errors=True)
-    if deleted is not None:
-        try:
-            os.remove(os.path.join(index_dir, old_del_file))
-        except OSError:
-            pass
     return {b: s[0] for b, s in stats_b.items()}
 
 

@@ -534,3 +534,60 @@ def test_char_filters_in_conv_mode_flagship(ray_session, tmp_path):
     r = IndexReader(idx)
     assert "b" not in r.vocabulary() and "amp" not in r.vocabulary()
     assert r.topk("hello", 5).num_rows == 2
+
+
+def test_append_after_fold_does_not_resurrect_deletes(ray_session,
+                                                      tmp_path):
+    """Fragments still hold folded-away postings; an incremental
+    append re-merge must re-activate the tombstones, not resurrect
+    the deleted docs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import (IndexConfig, build_index, delete_docs,
+                              optimize_index)
+    from engine.check import check_index
+    from engine.query import IndexReader
+
+    rng = np.random.default_rng(31)
+    vocab = ["aa", "bb", "cc"]
+
+    def mk(path, lo, hi):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(
+                [" ".join(rng.choice(vocab,
+                                     size=rng.integers(3, 12)))
+                 for _ in range(hi - lo)])}), path)
+
+    f1 = str(tmp_path / "a.parquet")
+    f2 = str(tmp_path / "b.parquet")
+    mk(f1, 0, 60)
+    mk(f2, 60, 90)
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=16)
+    idx = str(tmp_path / "idx")
+    build_index([f1], idx, cfg)
+    dead = list(range(0, 60, 3))
+    delete_docs(idx, dead)
+    optimize_index(idx, fold_deletes=True)
+    # sanity: folded docs gone, deletes cleared
+    r = IndexReader(idx)
+    assert r.manifest.get("deletes") is None and r.N == 40
+
+    build_index([f1, f2], idx, cfg)        # incremental append
+    check_index(idx)
+    r2 = IndexReader(idx)
+    hits = set(r2.topk("aa bb cc", 200)["doc_id"].to_pylist())
+    assert not (hits & set(dead)), "folded deletes resurrected"
+    assert hits & set(range(60, 90)), "appended docs missing"
+    # tombstone stats semantics are back (pre-merge Lucene behavior)
+    assert r2.N == 90 and r2.manifest["deletes"]["n"] == len(dead)
+    # deleting more on the appended index keeps the old tombstones
+    delete_docs(idx, [61])
+    r3 = IndexReader(idx)
+    hits3 = set(r3.topk("aa bb cc", 200)["doc_id"].to_pylist())
+    assert not (hits3 & (set(dead) | {61}))
