@@ -105,3 +105,67 @@ def score_nodes(edges: ray.data.Dataset, from_col: str, to_col: str,
 def _collect(ds: ray.data.Dataset) -> pa.Table | None:
     tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
     return pa.concat_tables(tabs).combine_chunks() if tabs else None
+
+
+def shortest_path(edges: ray.data.Dataset, from_col: str, to_col: str,
+                  src: int, dst: int, max_depth: int) -> pa.Table:
+    """``shortestPath`` stream (upstream
+    ``SJ/graph/ShortestPathStream.java`` — Solr's BFS shortest-path
+    streaming expression [U]): ALL shortest paths from ``src`` to
+    ``dst`` over a ``(from_col, to_col)`` edge Dataset, bounded by
+    ``max_depth`` hops.
+
+    Level-synchronous BFS with parent tracking: each hop keeps only
+    edges leaving the current frontier (broadcast semi-join — the edge
+    table streams, the frontier ships once via ``ray.put``), then a
+    grouped distinct of (from, to) pairs yields this level's parent
+    map. Nodes seen at an earlier level are pruned (they cannot sit at
+    this position on a shortest path), so the per-level state is the
+    visited set — the same small-side-broadcast assumption as
+    ``gather_nodes``; upstream makes the identical one (its traversal
+    state lives on one worker).
+
+    Returns (path "a->b->c", depth) rows sorted by path; empty when
+    ``dst`` is unreachable within ``max_depth``."""
+    src, dst = int(src), int(dst)
+    if src == dst:
+        return pa.table({"path": pa.array([str(src)]),
+                         "depth": pa.array([0], type=pa.int64())})
+    empty = pa.table({"path": pa.array([], type=pa.string()),
+                      "depth": pa.array([], type=pa.int64())})
+    visited = {src}
+    frontier = pa.array([src], type=pa.int64())
+    parents: list[dict[int, list[int]]] = []   # parents[i] = level i+1
+    for depth in range(1, max_depth + 1):
+        hop = rel.semi_join(edges, frontier, from_col)
+        pairs = hop.select_columns([from_col, to_col]) \
+            .groupby([from_col, to_col]).count()
+        t = _collect(pairs)
+        if t is None:
+            return empty
+        lvl: dict[int, list[int]] = {}
+        for f, to in zip(t[from_col].to_pylist(), t[to_col].to_pylist()):
+            to = int(to)
+            if to not in visited:
+                lvl.setdefault(to, []).append(int(f))
+        if not lvl:
+            return empty
+        parents.append(lvl)
+        if dst in lvl:
+            maps = parents
+
+            def expand(node: int, d: int) -> list[list[int]]:
+                if d == 0:
+                    return [[node]]
+                return [pre + [node] for p in maps[d - 1][node]
+                        for pre in expand(p, d - 1)]
+
+            paths = sorted("->".join(map(str, p))
+                           for p in expand(dst, depth))
+            return pa.table({
+                "path": pa.array(paths),
+                "depth": pa.array([depth] * len(paths), type=pa.int64()),
+            })
+        visited.update(lvl)
+        frontier = pa.array(sorted(lvl), type=pa.int64())
+    return empty

@@ -1956,6 +1956,72 @@ ORDER BY level, node
 """
 
 
+# shortestPath: layered edge graph customer→order→supplier→nation,
+# key spaces offset into disjoint int64 ranges
+_SP_ORD_OFF, _SP_SUP_OFF, _SP_NAT_OFF = 10_000_000, 20_000_000, 30_000_000
+SP_SRC, SP_DST, SP_MAXD = 1, 3 + _SP_NAT_OFF, 4
+
+
+def shortest_path_cust_nation(sf_dir: str) -> pa.Table:
+    """shortestPath stream (upstream
+    ``SJ/graph/ShortestPathStream.java`` [U]): ALL shortest paths from
+    customer 1 to nation 3 over the unioned
+    customer→order→supplier→nation edge graph, max 4 hops. BFS with
+    parent tracking; every hop is a broadcast semi-join, the edge
+    tables stream."""
+    from engine.ops import graph as gr
+
+    def edge_f(fc: str, tc: str, f_off: int, t_off: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "f": pc.add(b[fc].cast(pa.int64()), f_off),
+                "t": pc.add(b[tc].cast(pa.int64()), t_off)})
+        return f
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]) \
+        .map_batches(edge_f("o_custkey", "o_orderkey", 0, _SP_ORD_OFF),
+                     batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]) \
+        .map_batches(edge_f("l_orderkey", "l_suppkey",
+                            _SP_ORD_OFF, _SP_SUP_OFF),
+                     batch_format="pyarrow")
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(edge_f("s_suppkey", "s_nationkey",
+                            _SP_SUP_OFF, _SP_NAT_OFF),
+                     batch_format="pyarrow")
+    edges = orders.union(li, sup)
+    return gr.shortest_path(edges, "f", "t", SP_SRC, SP_DST, SP_MAXD)
+
+
+# the lineitem/supplier legs offset their FROM side to match the
+# TO-space of the previous leg; the recursive oracle enumerates all
+# simple paths from the source (bounded: nations have no out-edges)
+# and keeps the min-depth ones — exactly the all-shortest-paths set
+SQL_SHORTEST_PATH = f"""
+WITH RECURSIVE edges AS (
+  SELECT o_custkey::BIGINT AS f,
+         o_orderkey::BIGINT + {_SP_ORD_OFF} AS t FROM orders
+  UNION ALL
+  SELECT l_orderkey::BIGINT + {_SP_ORD_OFF},
+         l_suppkey::BIGINT + {_SP_SUP_OFF} FROM lineitem
+  UNION ALL
+  SELECT s_suppkey::BIGINT + {_SP_SUP_OFF},
+         s_nationkey::BIGINT + {_SP_NAT_OFF} FROM supplier
+),
+walk(node, path, depth) AS (
+  SELECT {SP_SRC}::BIGINT, [{SP_SRC}::BIGINT], 0
+  UNION ALL
+  SELECT e.t, w.path || [e.t], w.depth + 1
+  FROM walk w JOIN edges e ON e.f = w.node
+  WHERE w.depth < {SP_MAXD} AND w.node <> {SP_DST}
+    AND NOT list_contains(w.path, e.t)
+),
+hit AS (SELECT path, depth FROM walk WHERE node = {SP_DST})
+SELECT array_to_string(path, '->') AS path, depth::BIGINT AS depth
+FROM hit WHERE depth = (SELECT MIN(depth) FROM hit) ORDER BY path
+"""
+
+
 def pivot_facet_docs(sf_dir: str) -> pa.Table:
     """Pivot (nested) faceting: source × lang counts, count-desc
     within parent (upstream ``facet.pivot``, ``S/handler/component/
@@ -2607,6 +2673,7 @@ def queries() -> dict:
         "blockjoin_topk_docs": blockjoin_topk_docs,
         "ltr_rescore_docs": ltr_rescore_docs,
         "nodes_walk_customers": nodes_walk_customers,
+        "shortest_path_cust_nation": shortest_path_cust_nation,
         "pivot_facet_docs": pivot_facet_docs,
         "geodist_customers": geodist_customers,
         "cartesian_product_embeddings": cartesian_product_embeddings,
@@ -2700,6 +2767,7 @@ def oracle_sql() -> dict:
         "blockjoin_topk_docs": sql_blockjoin(),
         "ltr_rescore_docs": sql_ltr(),
         "nodes_walk_customers": SQL_NODES_WALK,
+        "shortest_path_cust_nation": SQL_SHORTEST_PATH,
         "pivot_facet_docs": SQL_PIVOT_FACET,
         "geodist_customers": SQL_GEODIST,
         "cartesian_product_embeddings": SQL_CARTESIAN,

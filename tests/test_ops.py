@@ -337,6 +337,56 @@ def test_gather_nodes_empty_frontier(ray_session):
     assert len(out) == 0
 
 
+def test_shortest_path_all_paths(ray_session):
+    # diamond with two 3-hop shortest paths plus a longer 4-hop detour
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import graph as gr
+
+    edges = ray.data.from_arrow(pa.table({
+        "f": [1, 1, 2, 3, 1, 5, 6],
+        "t": [2, 3, 4, 4, 5, 6, 4]}))
+    t = gr.shortest_path(edges, "f", "t", 1, 4, max_depth=5)
+    assert t["path"].to_pylist() == ["1->2->4", "1->3->4"]
+    assert t["depth"].to_pylist() == [2, 2]
+
+
+def test_shortest_path_unreachable_and_depth_cut(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import graph as gr
+
+    edges = ray.data.from_arrow(pa.table({
+        "f": [1, 2, 3], "t": [2, 3, 4]}))
+    assert gr.shortest_path(edges, "f", "t", 1, 99, 5).num_rows == 0
+    # dst is 3 hops away; max_depth=2 cuts the walk short
+    assert gr.shortest_path(edges, "f", "t", 1, 4, 2).num_rows == 0
+    full = gr.shortest_path(edges, "f", "t", 1, 4, 3)
+    assert full["path"].to_pylist() == ["1->2->3->4"]
+    # src == dst degenerates to the zero-hop path
+    same = gr.shortest_path(edges, "f", "t", 2, 2, 3)
+    assert same["path"].to_pylist() == ["2"]
+    assert same["depth"].to_pylist() == [0]
+
+
+def test_shortest_path_prunes_longer_routes(ray_session):
+    # a shorter route wins even when a longer simple path also exists;
+    # cycles must not loop the walk
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import graph as gr
+
+    edges = ray.data.from_arrow(pa.table({
+        "f": [1, 2, 1, 4, 2],
+        "t": [2, 3, 4, 3, 1]}))
+    t = gr.shortest_path(edges, "f", "t", 1, 3, 6)
+    assert t["path"].to_pylist() == ["1->2->3", "1->4->3"]
+    assert t["depth"].to_pylist() == [2, 2]
+
+
 def test_spatial_quantize_half_up():
     import numpy as np
 
