@@ -632,6 +632,17 @@ class IndexReader:
         order = np.lexsort((cand, -final))[:k]
         return _topdocs_table(cand[order], final[order], total=len(cand))
 
+    def parsed_topk(self, query: str, k: int = 10,
+                    min_should_match: int = 0) -> pa.Table:
+        """Classic query-string search: parse Lucene syntax (booleans,
+        phrases, boosts, fuzzy/wildcard/regexp/ranges, grouping) and
+        score the AST compositionally — the ``QueryParser.parse() →
+        search()`` surface (upstream ``L/queryparser/classic`` [U]).
+        See ``engine.queryparser`` for grammar and score-cast rules."""
+        from engine.queryparser import parsed_topk
+        return parsed_topk(self, query, k,
+                           min_should_match=min_should_match)
+
     def search_after(self, query_text: str, k: int, after_rank: int,
                      strategy: str = "auto") -> pa.Table:
         """searchAfter pagination (upstream ``TopFieldCollector``
@@ -1351,6 +1362,7 @@ class QueryEngine:
         "wildcard": lambda r, s, text, k: r.wildcard_topk(text, k),
         "regexp": lambda r, s, text, k: r.regexp_topk(text, k),
         "mlt": lambda r, s, text, k: r.more_like_this_topk(int(text), k),
+        "lucene": lambda r, s, text, k: r.parsed_topk(text, k),
     }
 
     def __call__(self, batch: pa.Table) -> pa.Table:

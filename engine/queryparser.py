@@ -1,0 +1,507 @@
+"""Classic Lucene query-string parser + compositional scorer.
+
+Re-expresses the reference's string query surface (upstream
+``L/queryparser/classic/QueryParser.jj`` / ``QueryParserBase.java``
+[U]) over this engine's primitives: a hand-rolled tokenizer and
+recursive-descent parser produce a small Query AST, and a vectorized
+evaluator composes sparse ``(doc_ids, float32 scores)`` arrays through
+nested BooleanQuery semantics — no per-row Python in the scoring path;
+every leaf decodes postings once and every boolean node combines
+children with ``np.searchsorted`` / fancy indexing.
+
+Supported syntax (the classic parser's working set):
+
+- bare terms (default-OR), ``+term`` (MUST), ``-term`` / ``NOT term``
+  (MUST_NOT), ``a AND b`` / ``&&`` (promotes both sides to MUST),
+  ``a OR b`` / ``||``
+- grouping ``(...)`` incl. ``field:(...)``
+- ``"exact phrase"`` and ``"sloppy phrase"~2``
+- ``term^2.5`` boosts (terms, phrases, groups, expansions)
+- ``fuzzy~`` / ``fuzzy~2`` (Levenshtein expansion)
+- ``wild*card`` / ``wi?d`` wildcards, ``/regexp/``
+- term ranges ``[alpha TO beta]`` (inclusive) / ``{alpha TO beta}``
+  (exclusive), mixed brackets allowed
+- ``field:term`` — resolved against a ``{field: IndexReader}`` map
+  (multi-field indexes); a bare default field otherwise
+
+Operator semantics follow ``QueryParserBase#addClause`` [U] with the
+default operator OR: an explicit ``+``/``-``/``NOT`` modifier wins;
+otherwise ``AND`` makes the current clause MUST and retroactively
+promotes the preceding SHOULD clause to MUST. (The upstream quirk
+where ``OR`` demotes an implicit-AND clause does not arise — the
+default operator here is fixed at OR, as in Solr's lucene QParser.)
+
+Scoring composition mirrors the engine's existing boolean path
+(``IndexReader.boolean_topk``): per-term clause scores are exact
+float32 (weight = f32(boost) × f32(idf), × the f32 tf ratio), boolean
+nodes sum matching children in float64 and cast the node result to
+float32 at the node boundary. Multi-term expansions (fuzzy / wildcard
+/ regexp / range) are scoring rewrites — each dictionary match is one
+SHOULD clause, exactly like ``wildcard_topk``. Phrase leaves reuse the
+positional machinery of ``phrase_topk`` / ``sloppy_phrase_topk`` /
+``span_near_topk``. A node-level boost multiplies the node's f32
+scores by f32(boost) (one extra rounding vs Lucene's weight-fold,
+documented here because SQL oracles mirror it exactly).
+
+MUST_NOT-only queries match nothing (Lucene's pure-negation rule).
+Deleted docs are masked once at the top (per-doc scores are
+independent, so end-masking ≡ per-leaf masking).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pyarrow as pa
+
+MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
+
+
+# ----------------------------------------------------------------- AST
+
+@dataclass
+class TermQ:
+    text: str
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass
+class PhraseQ:
+    text: str
+    slop: int = 0
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass
+class FuzzyQ:
+    text: str
+    max_edits: int = 2
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass
+class WildQ:
+    pattern: str
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass
+class RegexpQ:
+    pattern: str
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass
+class RangeQ:
+    lo: str
+    hi: str
+    incl_lo: bool = True
+    incl_hi: bool = True
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass
+class BoolQ:
+    clauses: list[tuple[str, object]] = dc_field(default_factory=list)
+    boost: float = 1.0
+    min_should_match: int = 0
+
+
+# --------------------------------------------------------------- lexer
+
+_WORD_END = set(' \t\n()"')
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _tokenize(q: str) -> list[tuple[str, object]]:
+    """Token stream: (kind, payload). Kinds: LP RP AND OR NOT PLUS
+    MINUS WORD PHRASE REGEXP RANGE FIELD."""
+    toks: list[tuple[str, object]] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c in " \t\n":
+            i += 1
+            continue
+        if c == "(":
+            toks.append(("LP", None)); i += 1; continue
+        if c == ")":
+            # trailing boost on a group: )^2
+            i += 1
+            boost, i = _suffix_boost(q, i)
+            toks.append(("RP", boost)); continue
+        if q.startswith("&&", i):
+            toks.append(("AND", None)); i += 2; continue
+        if q.startswith("||", i):
+            toks.append(("OR", None)); i += 2; continue
+        if c == "!":
+            toks.append(("NOT", None)); i += 1; continue
+        if c == "+":
+            toks.append(("PLUS", None)); i += 1; continue
+        if c == "-":
+            toks.append(("MINUS", None)); i += 1; continue
+        if c == '"':
+            j = i + 1
+            while j < n and q[j] != '"':
+                j += 1
+            if j >= n:
+                raise QueryParseError(f"unterminated phrase in {q!r}")
+            body = q[i + 1:j]
+            i = j + 1
+            slop = 0
+            if i < n and q[i] == "~":
+                m = re.match(r"~(\d+)", q[i:])
+                if m:
+                    slop = int(m.group(1)); i += m.end()
+            boost, i = _suffix_boost(q, i)
+            toks.append(("PHRASE", (body, slop, boost))); continue
+        if c == "/":
+            j = i + 1
+            while j < n and q[j] != "/":
+                j += 1
+            if j >= n:
+                raise QueryParseError(f"unterminated regexp in {q!r}")
+            body = q[i + 1:j]
+            i = j + 1
+            boost, i = _suffix_boost(q, i)
+            toks.append(("REGEXP", (body, boost))); continue
+        if c in "[{":
+            m = re.match(r"[\[{]\s*(\S+)\s+TO\s+(\S+)\s*[\]}]",
+                         q[i:], re.IGNORECASE)
+            if not m:
+                raise QueryParseError(f"bad range at {q[i:]!r}")
+            incl_lo, incl_hi = c == "[", q[i + m.end() - 1] == "]"
+            lo, hi = m.group(1), m.group(2)
+            i += m.end()
+            boost, i = _suffix_boost(q, i)
+            toks.append(("RANGE", (lo, hi, incl_lo, incl_hi, boost)))
+            continue
+        # bare word (may carry field:, trailing ~ and ^)
+        j = i
+        while j < n and q[j] not in _WORD_END:
+            j += 1
+        word = q[i:j]
+        i = j
+        if word in ("AND", "OR", "NOT"):
+            toks.append((word, None)); continue
+        fld = None
+        if ":" in word:
+            fld, word = word.split(":", 1)
+            if word and word[0] in "[{/":
+                # field:[a TO b] / field:/re/ — re-lex past the colon
+                i -= len(word)
+                word = ""
+            if not word:       # field:(...) / field:"..." / field:[..]
+                toks.append(("FIELD", fld)); continue
+        m = re.search(r"\^(\d+(?:\.\d+)?)$", word)
+        boost = 1.0
+        if m:
+            boost = float(m.group(1)); word = word[:m.start()]
+        edits = None
+        m = re.search(r"~(\d?)$", word)
+        if m:
+            edits = int(m.group(1)) if m.group(1) else 2
+            word = word[:m.start()]
+        if not word:
+            raise QueryParseError(f"empty term in {q!r}")
+        toks.append(("WORD", (word, fld, boost, edits)))
+    return toks
+
+
+def _suffix_boost(q: str, i: int) -> tuple[float, int]:
+    m = re.match(r"\^(\d+(?:\.\d+)?)", q[i:])
+    return (float(m.group(1)), i + m.end()) if m else (1.0, i)
+
+
+# -------------------------------------------------------------- parser
+
+def parse(q: str, default_field: str | None = None):
+    """Parse a classic-syntax query string into a Query AST."""
+    toks = _tokenize(q)
+    node, pos = _parse_bool(toks, 0, default_field, top=True)
+    if pos != len(toks):
+        raise QueryParseError(f"unbalanced ')' in {q!r}")
+    return node
+
+
+def _parse_bool(toks, pos: int, fld: str | None, top: bool = False):
+    clauses: list[tuple[str, object]] = []
+    conj = mod = None
+    group_boost = 1.0
+    closed = top
+    while pos < len(toks):
+        kind, payload = toks[pos]
+        if kind == "RP":
+            if top:
+                raise QueryParseError("unbalanced ')'")
+            group_boost = payload
+            pos += 1
+            closed = True
+            break
+        if kind in ("AND", "OR"):
+            conj = kind; pos += 1; continue
+        if kind in ("PLUS", "MINUS", "NOT"):
+            mod = kind; pos += 1; continue
+        node, pos = _parse_clause(toks, pos, fld)
+        if mod == "PLUS":
+            occur = MUST
+        elif mod in ("MINUS", "NOT"):
+            occur = MUST_NOT
+        elif conj == "AND":
+            occur = MUST
+        else:
+            occur = SHOULD
+        if conj == "AND" and clauses and clauses[-1][0] == SHOULD:
+            clauses[-1] = (MUST, clauses[-1][1])
+        clauses.append((occur, node))
+        conj = mod = None
+    if not closed:
+        raise QueryParseError("unbalanced '('")
+    if not clauses:
+        raise QueryParseError("empty query")
+    if (len(clauses) == 1 and clauses[0][0] == SHOULD
+            and group_boost == 1.0):
+        return clauses[0][1], pos
+    return BoolQ(clauses, boost=group_boost), pos
+
+
+def _parse_clause(toks, pos: int, fld: str | None):
+    kind, payload = toks[pos]
+    if kind == "FIELD":
+        return _parse_clause(toks, pos + 1, payload)
+    if kind == "LP":
+        return _parse_bool(toks, pos + 1, fld)
+    if kind == "PHRASE":
+        body, slop, boost = payload
+        return PhraseQ(body, slop, fld, boost), pos + 1
+    if kind == "REGEXP":
+        body, boost = payload
+        return RegexpQ(body.lower(), fld, boost), pos + 1
+    if kind == "RANGE":
+        lo, hi, ilo, ihi, boost = payload
+        return RangeQ(lo.lower(), hi.lower(), ilo, ihi, fld,
+                      boost), pos + 1
+    if kind == "WORD":
+        word, wf, boost, edits = payload
+        f = wf if wf is not None else fld
+        if edits is not None:
+            return FuzzyQ(word.lower(), edits, f, boost), pos + 1
+        if "*" in word or "?" in word:
+            return WildQ(word.lower(), f, boost), pos + 1
+        return TermQ(word, f, boost), pos + 1
+    raise QueryParseError(f"unexpected token {kind}")
+
+
+# ----------------------------------------------------------- evaluator
+
+_EMPTY = (np.empty(0, np.int64), np.empty(0, np.float32))
+
+
+def _node_boost(docs: np.ndarray, scores: np.ndarray, boost: float):
+    if boost == 1.0:
+        return docs, scores
+    return docs, (np.float32(boost) * scores).astype(np.float32)
+
+
+class Evaluator:
+    """Evaluates a parsed AST against one reader per field.
+
+    ``readers`` maps field name → IndexReader; key ``None`` is the
+    default field. All readers must share the external doc-ID space
+    (the multi-field build guarantees this)."""
+
+    def __init__(self, readers):
+        from engine.query import IndexReader
+        if isinstance(readers, IndexReader):
+            readers = {None: readers}
+        self.readers = readers
+
+    def _reader(self, field: str | None):
+        if field in self.readers:
+            return self.readers[field]
+        if None in self.readers and field is None:
+            return self.readers[None]
+        raise QueryParseError(f"unknown field {field!r}")
+
+    # each _eval_* returns (sorted unique doc_ids int64, f32 scores)
+
+    def evaluate(self, node) -> tuple[np.ndarray, np.ndarray]:
+        name = type(node).__name__
+        return getattr(self, f"_eval_{name}")(node)
+
+    def _term_clause(self, r, term: str, boost: float):
+        """Raw (docs, f32 scores) for one analyzed term."""
+        from engine.query import _clause_scores, idf
+        subs = r.lookup([term])[term]
+        if not subs:
+            return _EMPTY
+        docs, tfs, norms = r._clause_arrays(term, subs)
+        w = np.float32(idf(r.N, len(docs)))
+        if boost != 1.0:
+            w = np.float32(np.float32(boost) * w)
+        return docs, _clause_scores(tfs, norms, w, r.cache)
+
+    def _union_sum(self, parts, boost: float = 1.0):
+        """SHOULD-union of term clauses: f64 sum → f32 at the node."""
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return _EMPTY
+        if len(parts) == 1:
+            docs, sc = parts[0]
+            return _node_boost(docs, sc, boost)
+        docs = np.concatenate([p[0] for p in parts])
+        sc = np.concatenate([p[1] for p in parts]).astype(np.float64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, sc)
+        return _node_boost(uniq, sums.astype(np.float32), boost)
+
+    def _eval_TermQ(self, n: TermQ):
+        r = self._reader(n.field)
+        terms = r.analyzer.query_terms(n.text)
+        if not terms:
+            return _EMPTY
+        # >1 analyzed token (rare): union-sum, like Lucene's per-
+        # position boolean fallback
+        return self._union_sum(
+            [self._term_clause(r, t, n.boost) for t in terms])
+
+    def _eval_FuzzyQ(self, n: FuzzyQ):
+        from engine.query import _levenshtein
+        r = self._reader(n.field)
+        ms = [t for t in r.vocabulary()
+              if _levenshtein(n.text, t, n.max_edits) <= n.max_edits]
+        return self._union_sum(
+            [self._term_clause(r, t, 1.0) for t in ms], n.boost)
+
+    def _eval_WildQ(self, n: WildQ):
+        r = self._reader(n.field)
+        body = n.pattern[:-1] if n.pattern.endswith("*") else n.pattern
+        if "*" not in body and "?" not in body:
+            terms = r.expand_prefix(body)
+        else:
+            rx = re.compile("".join(
+                ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in n.pattern))
+            lit = n.pattern.split("*", 1)[0].split("?", 1)[0]
+            cands = r.expand_prefix(lit) if lit else r.vocabulary()
+            terms = [t for t in cands if rx.fullmatch(t)]
+        return self._union_sum(
+            [self._term_clause(r, t, 1.0) for t in terms], n.boost)
+
+    def _eval_RegexpQ(self, n: RegexpQ):
+        r = self._reader(n.field)
+        rx = re.compile(n.pattern)
+        terms = [t for t in r.vocabulary() if rx.fullmatch(t)]
+        return self._union_sum(
+            [self._term_clause(r, t, 1.0) for t in terms], n.boost)
+
+    def _eval_RangeQ(self, n: RangeQ):
+        r = self._reader(n.field)
+        lo_ok = (lambda t: t >= n.lo) if n.incl_lo else \
+            (lambda t: t > n.lo)
+        hi_ok = (lambda t: t <= n.hi) if n.incl_hi else \
+            (lambda t: t < n.hi)
+        terms = [t for t in r.vocabulary() if lo_ok(t) and hi_ok(t)]
+        return self._union_sum(
+            [self._term_clause(r, t, 1.0) for t in terms], n.boost)
+
+    def _eval_PhraseQ(self, n: PhraseQ):
+        r = self._reader(n.field)
+        terms = r.analyzer.query_terms(n.text)
+        if len(terms) == 1:
+            return self._eval_TermQ(TermQ(terms[0], n.field, n.boost))
+        big = 1 << 40
+        if not terms:
+            return _EMPTY
+        if n.slop == 0:
+            t = r.phrase_topk(n.text, k=big)
+        elif len(terms) == 2:
+            t = r.sloppy_phrase_topk(terms[0], terms[1], n.slop, k=big)
+        else:
+            t = r.span_near_topk(terms, n.slop, k=big)
+        docs = t["doc_id"].to_numpy().astype(np.int64)
+        sc = t["score"].to_numpy().astype(np.float32)
+        order = np.argsort(docs)
+        return _node_boost(docs[order], sc[order], n.boost)
+
+    def _eval_BoolQ(self, n: BoolQ):
+        must = [self.evaluate(c) for o, c in n.clauses if o == MUST]
+        should = [self.evaluate(c) for o, c in n.clauses if o == SHOULD]
+        mnot = [self.evaluate(c) for o, c in n.clauses if o == MUST_NOT]
+        if must:
+            cand = must[0][0]
+            for d, _ in must[1:]:
+                cand = np.intersect1d(cand, d, assume_unique=True)
+        elif should:
+            ne = [d for d, _ in should if len(d)]
+            cand = np.unique(np.concatenate(ne)) if ne else \
+                np.empty(0, np.int64)
+        else:
+            return _EMPTY        # pure negation matches nothing
+        for d, _ in mnot:
+            if len(d):
+                cand = cand[~np.isin(cand, d, assume_unique=True)]
+        if not len(cand):
+            return _EMPTY
+        sums = np.zeros(len(cand), dtype=np.float64)
+        nmatch = np.zeros(len(cand), dtype=np.int32)
+        for docs, sc in must + should:
+            if not len(docs):
+                continue
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            sums[hit] += sc[idx[hit]].astype(np.float64)
+        for docs, _ in should:
+            if not len(docs):
+                continue
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            nmatch[docs[idx] == cand] += 1
+        if n.min_should_match >= 1 and should:
+            keep = nmatch >= n.min_should_match
+            cand, sums = cand[keep], sums[keep]
+            if not len(cand):
+                return _EMPTY
+        return _node_boost(cand, sums.astype(np.float32), n.boost)
+
+
+def parsed_topk(readers, query: str, k: int = 10,
+                default_field: str | None = None,
+                min_should_match: int = 0) -> pa.Table:
+    """Parse ``query`` and return the top-k TopDocs table (rank,
+    doc_id, score) — the classic ``QueryParser.parse() →
+    IndexSearcher.search()`` path in one call. ``readers`` is an
+    IndexReader or a {field: IndexReader} map; ``min_should_match``
+    applies to the top-level boolean (Solr's ``mm``)."""
+    from engine.query import _topdocs_table
+    node = parse(query, default_field)
+    if isinstance(node, BoolQ):
+        node.min_should_match = min_should_match
+    elif min_should_match > 1:
+        node = BoolQ([(SHOULD, node)],
+                     min_should_match=min_should_match)
+    ev = Evaluator(readers)
+    docs, scores = ev.evaluate(node)
+    r0 = next(iter(ev.readers.values()))
+    keep = r0._keep(docs)
+    if keep is not None:
+        docs, scores = docs[keep], scores[keep]
+    if not len(docs):
+        return _topdocs_table([], [])
+    pos = scores > 0
+    docs, scores = docs[pos], scores[pos]
+    if not len(docs):
+        return _topdocs_table([], [])
+    order = np.lexsort((docs, -scores))[:k]
+    return _topdocs_table(docs[order], scores[order], total=int(pos.sum()))

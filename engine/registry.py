@@ -706,6 +706,142 @@ SQL_REGEXP = _sql_disjunction(
     f"WHERE regexp_full_match(term, '{REGEX_PATTERN}')", 10)
 
 
+# ------------------------------------------- classic query parser
+# (upstream ``L/queryparser/classic/QueryParser.jj`` [U] — the string
+# query surface; engine/queryparser.py documents grammar + cast rules)
+
+PARSED_BOOL_Q = '+spark (merge window) -"part filter"'
+PARSED_FUZZY_Q = "spark^2 quey~1"
+PARSED_RANGE_Q = "[scan TO spark] win*"
+
+
+def parsed_query_topk(sf_dir: str) -> pa.Table:
+    """Classic-syntax string query: MUST term + SHOULD group +
+    MUST_NOT phrase, parsed and scored compositionally."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.parsed_topk(PARSED_BOOL_Q, k=10))
+
+
+# group node casts its merge+window f64 sum to f32 (node boundary),
+# the parent adds the spark clause in f64 and casts once more — the
+# CTE chain mirrors engine/queryparser.Evaluator exactly
+SQL_PARSED_BOOL = f"""{_bm25_ctes()},
+qterms AS (SELECT unnest(['spark','merge','window']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id, tf.term, {_SQL_CONTRIB} AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+grp AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS gsc
+  FROM contrib WHERE term IN ('merge', 'window') GROUP BY doc_id),
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+ph AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.tok = 'part' AND b.tok = 'filter'),
+scored AS (
+  SELECT c.doc_id,
+         CAST(c.sc::DOUBLE + COALESCE(g.gsc::DOUBLE, 0) AS FLOAT)
+           AS score
+  FROM contrib c LEFT JOIN grp g ON g.doc_id = c.doc_id
+  WHERE c.term = 'spark'
+    AND c.doc_id NOT IN (SELECT doc_id FROM ph))
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def parsed_fuzzy_boost_topk(sf_dir: str) -> pa.Table:
+    """Parsed ``term^boost`` + ``fuzzy~1`` disjunction: boost folds
+    into the f32 clause weight, the fuzzy node is a scoring rewrite of
+    dictionary terms within edit distance 1."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.parsed_topk(PARSED_FUZZY_Q, k=10))
+
+
+SQL_PARSED_FUZZY = f"""{_bm25_ctes()},
+fterms AS (
+  SELECT DISTINCT term FROM tf WHERE levenshtein(term, 'quey') <= 1),
+qterms AS (SELECT term FROM fterms UNION SELECT 'spark'),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(
+      CAST(CASE WHEN tf.term = 'spark'
+                THEN CAST(2.0 AS FLOAT)::DOUBLE
+                     * CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                            AS FLOAT)::DOUBLE
+                ELSE CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                          AS FLOAT)::DOUBLE END AS FLOAT)::DOUBLE
+      *
+      CAST(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+fz AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS fsc
+  FROM contrib WHERE term IN (SELECT term FROM fterms)
+  GROUP BY doc_id),
+sp AS (SELECT doc_id, sc FROM contrib WHERE term = 'spark'),
+scored AS (
+  SELECT COALESCE(sp.doc_id, fz.doc_id) AS doc_id,
+         CAST(COALESCE(sp.sc::DOUBLE, 0) + COALESCE(fz.fsc::DOUBLE, 0)
+              AS FLOAT) AS score
+  FROM sp FULL JOIN fz ON fz.doc_id = sp.doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def parsed_range_wild_topk(sf_dir: str) -> pa.Table:
+    """Parsed term-range ``[scan TO spark]`` OR wildcard ``win*`` —
+    two scoring-rewrite expansion nodes summed at the top boolean."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.parsed_topk(PARSED_RANGE_Q, k=10))
+
+
+SQL_PARSED_RANGE = f"""{_bm25_ctes()},
+rterms AS (
+  SELECT DISTINCT term FROM tf
+  WHERE term BETWEEN 'scan' AND 'spark'),
+wterms AS (SELECT DISTINCT term FROM tf WHERE term LIKE 'win%'),
+qterms AS (SELECT term FROM rterms UNION SELECT term FROM wterms),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id, tf.term, {_SQL_CONTRIB} AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+rng AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS rsc
+  FROM contrib WHERE term IN (SELECT term FROM rterms)
+  GROUP BY doc_id),
+wld AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS wsc
+  FROM contrib WHERE term IN (SELECT term FROM wterms)
+  GROUP BY doc_id),
+scored AS (
+  SELECT COALESCE(rng.doc_id, wld.doc_id) AS doc_id,
+         CAST(COALESCE(rng.rsc::DOUBLE, 0) + COALESCE(wld.wsc::DOUBLE, 0)
+              AS FLOAT) AS score
+  FROM rng FULL JOIN wld ON wld.doc_id = rng.doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ------------------------------------------------- relational entries
 
 def rollup_events(sf_dir: str) -> pa.Table:
@@ -2621,6 +2757,9 @@ def queries() -> dict:
         "dismax_topk": dismax_topk,
         "min_should_match_topk": min_should_match_topk,
         "must_should_msm1_topk": must_should_msm1_topk,
+        "parsed_query_topk": parsed_query_topk,
+        "parsed_fuzzy_boost_topk": parsed_fuzzy_boost_topk,
+        "parsed_range_wild_topk": parsed_range_wild_topk,
         "multifield_dismax_topk": multifield_dismax_topk,
         "search_after_page2": search_after_page2,
         "fuzzy_topk": fuzzy_topk,
@@ -2718,6 +2857,9 @@ def oracle_sql() -> dict:
         "dismax_topk": SQL_DISMAX,
         "min_should_match_topk": SQL_MIN_SHOULD,
         "must_should_msm1_topk": SQL_MUST_SHOULD_MSM1,
+        "parsed_query_topk": SQL_PARSED_BOOL,
+        "parsed_fuzzy_boost_topk": SQL_PARSED_FUZZY,
+        "parsed_range_wild_topk": SQL_PARSED_RANGE,
         "multifield_dismax_topk": sql_multifield_dismax(),
         "search_after_page2": sql_search_after(),
         "fuzzy_topk": SQL_FUZZY,

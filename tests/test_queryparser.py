@@ -1,0 +1,238 @@
+"""Classic query parser: AST shapes + evaluator equivalence.
+
+Equivalence tests assert the parsed path reproduces the dedicated
+engine methods bit-for-bit (same analyzed corpus, same f32 casts)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from engine.queryparser import (MUST, MUST_NOT, SHOULD, BoolQ, FuzzyQ,
+                                PhraseQ, QueryParseError, RangeQ,
+                                RegexpQ, TermQ, WildQ, parse)
+
+
+# ----------------------------------------------------------- AST shape
+
+def test_parse_single_term():
+    n = parse("spark")
+    assert isinstance(n, TermQ) and n.text == "spark" and n.boost == 1.0
+
+
+def test_parse_default_or():
+    n = parse("a b c")
+    assert isinstance(n, BoolQ)
+    assert [o for o, _ in n.clauses] == [SHOULD, SHOULD, SHOULD]
+
+
+def test_parse_modifiers():
+    n = parse("+a -b c NOT d")
+    assert [o for o, _ in n.clauses] == [MUST, MUST_NOT, SHOULD, MUST_NOT]
+
+
+def test_parse_and_promotes_both_sides():
+    n = parse("a AND b")
+    assert [o for o, _ in n.clauses] == [MUST, MUST]
+    n = parse("a AND b OR c")
+    assert [o for o, _ in n.clauses] == [MUST, MUST, SHOULD]
+    n = parse("a && b")
+    assert [o for o, _ in n.clauses] == [MUST, MUST]
+
+
+def test_parse_and_not():
+    n = parse("a AND NOT b")
+    assert [o for o, _ in n.clauses] == [MUST, MUST_NOT]
+
+
+def test_parse_field_and_boost():
+    n = parse("title:spark^2.5")
+    assert isinstance(n, TermQ)
+    assert n.field == "title" and n.boost == 2.5
+
+
+def test_parse_phrase_slop_boost():
+    n = parse('"part filter"~3^2')
+    assert isinstance(n, PhraseQ)
+    assert n.slop == 3 and n.boost == 2.0 and n.text == "part filter"
+
+
+def test_parse_group_with_field_and_boost():
+    n = parse("t:(a b)^4")
+    assert isinstance(n, BoolQ) and n.boost == 4.0
+    terms = [c for _, c in n.clauses]
+    assert all(t.field == "t" for t in terms)
+
+
+def test_parse_range_brackets():
+    n = parse("[aa TO bb]")
+    assert isinstance(n, RangeQ) and n.incl_lo and n.incl_hi
+    n = parse("{aa TO bb}")
+    assert not n.incl_lo and not n.incl_hi
+    n = parse("f:[aa TO bb}")
+    assert n.field == "f" and n.incl_lo and not n.incl_hi
+
+
+def test_parse_fuzzy_wild_regexp():
+    n = parse("roam~1")
+    assert isinstance(n, FuzzyQ) and n.max_edits == 1
+    assert parse("roam~").max_edits == 2
+    assert isinstance(parse("wi*rd"), WildQ)
+    assert isinstance(parse("wi?d"), WildQ)
+    n = parse("/s.*t/")
+    assert isinstance(n, RegexpQ) and n.pattern == "s.*t"
+
+
+def test_parse_nested_groups():
+    n = parse("+a (b (c d))")
+    assert [o for o, _ in n.clauses] == [MUST, SHOULD]
+    inner = n.clauses[1][1]
+    assert isinstance(inner, BoolQ)
+    assert isinstance(inner.clauses[1][1], BoolQ)
+
+
+def test_parse_errors():
+    for bad in ["", '"open phrase', "(a b", "a)", "/nope", "^2"]:
+        with pytest.raises(QueryParseError):
+            parse(bad)
+
+
+# ----------------------------------------------- evaluator equivalence
+
+@pytest.fixture(scope="module")
+def reader(smoke_index):
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    return IndexReader(idx)
+
+
+def _terms(reader, text):
+    return reader.analyzer.query_terms(text)
+
+
+def _same(a, b):
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_parsed_disjunction_matches_brute(reader):
+    q = "running connection index"
+    _same(reader.parsed_topk(q, k=20), reader.brute_force_topk(q, 20))
+
+
+def test_parsed_must_matches_boolean(reader):
+    ts = _terms(reader, "running connection")
+    assert len(ts) == 2
+    _same(reader.parsed_topk(f"+{ts[0]} +{ts[1]}", k=15),
+          reader.boolean_topk(must=ts, k=15))
+    _same(reader.parsed_topk(f"{ts[0]} AND {ts[1]}", k=15),
+          reader.boolean_topk(must=ts, k=15))
+
+
+def test_parsed_must_not_matches_boolean(reader):
+    ts = _terms(reader, "running connection index")
+    _same(reader.parsed_topk(f"{ts[0]} {ts[1]} -{ts[2]}", k=15),
+          reader.boolean_topk(should=ts[:2], must_not=[ts[2]], k=15))
+
+
+def test_parsed_msm_matches_boolean(reader):
+    ts = _terms(reader, "running connection index")
+    _same(reader.parsed_topk(" ".join(ts), k=15, min_should_match=2),
+          reader.boolean_topk(should=ts, k=15, min_should_match=2))
+
+
+def test_parsed_boosts_match_boosted(reader):
+    ts = _terms(reader, "running connection")
+    _same(reader.parsed_topk(f"{ts[0]}^2 {ts[1]}^0.5", k=15),
+          reader.boosted_topk({ts[0]: 2.0, ts[1]: 0.5}, k=15))
+
+
+def test_parsed_phrase_matches_phrase(reader, smoke_corpus):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    corpus, _ = smoke_corpus
+    text = pq.read_table(glob.glob(f"{corpus}/*.parquet")[0],
+                         columns=["text"])["text"][0].as_py()
+    toks = reader.analyzer.query_terms(text)
+    # stopword removal leaves position gaps: pick a pair that is
+    # consecutive in the INDEX positions, not just in the token list
+    phrase = next(
+        f"{a} {b}" for a, b in zip(toks, toks[1:])
+        if reader.phrase_topk(f"{a} {b}", k=1).num_rows)
+    got = reader.parsed_topk(f'"{phrase}"', k=10)
+    assert got.num_rows > 0
+    _same(got, reader.phrase_topk(phrase, k=10))
+    # sloppy variant delegates to the 2-term sloppy matcher
+    t0, t1 = phrase.split()
+    _same(reader.parsed_topk(f'"{phrase}"~2', k=10),
+          reader.sloppy_phrase_topk(t0, t1, slop=2, k=10))
+
+
+def test_parsed_fuzzy_matches_fuzzy(reader):
+    _same(reader.parsed_topk("zephr~1", k=10),
+          reader.fuzzy_topk("zephr", k=10, max_edits=1))
+
+
+def test_parsed_wildcard_matches_wildcard(reader):
+    _same(reader.parsed_topk("ze*", k=10), reader.wildcard_topk("ze*", 10))
+    _same(reader.parsed_topk("z?phyr", k=10),
+          reader.wildcard_topk("z?phyr", 10))
+
+
+def test_parsed_regexp_matches_regexp(reader):
+    _same(reader.parsed_topk("/zep.*/", k=10),
+          reader.regexp_topk("zep.*", k=10))
+
+
+def test_parsed_range_matches_expansion(reader):
+    vocab = reader.vocabulary()
+    sel = [t for t in vocab if "za" <= t <= "zz"]
+    assert sel
+    _same(reader.parsed_topk("[za TO zz]", k=10),
+          reader.boolean_topk(should=sel, k=10))
+    # exclusive brackets drop the endpoints
+    if len(sel) >= 3:
+        excl = sel[1:-1]
+        _same(reader.parsed_topk(f"{{{sel[0]} TO {sel[-1]}}}", k=10),
+              reader.boolean_topk(should=excl, k=10))
+
+
+def test_group_boost_scales_scores(reader):
+    ts = _terms(reader, "running connection")
+    plain = reader.parsed_topk(f"({ts[0]} {ts[1]})", k=15)
+    boosted = reader.parsed_topk(f"({ts[0]} {ts[1]})^2", k=15)
+    assert plain["doc_id"].to_pylist() == boosted["doc_id"].to_pylist()
+    # power-of-two boost: f32 multiply is exact
+    assert np.array_equal(boosted["score"].to_numpy(),
+                          2 * plain["score"].to_numpy())
+
+
+def test_pure_negation_matches_nothing(reader):
+    ts = _terms(reader, "running")
+    assert reader.parsed_topk(f"-{ts[0]}", k=10).num_rows == 0
+
+
+def test_unknown_field_raises(reader):
+    with pytest.raises(QueryParseError):
+        reader.parsed_topk("nosuchfield:spark", k=5)
+
+
+def test_query_engine_lucene_dispatch(ray_session, smoke_index):
+    import pyarrow as pa
+
+    from engine.query import QueryEngine
+
+    idx, _, _ = smoke_index
+    eng = QueryEngine(idx, resolve=False, preload=False)
+    batch = pa.table({
+        "query_id": pa.array([7], type=pa.int64()),
+        "query_text": pa.array(["+run connect"]),
+        "k": pa.array([5], type=pa.int64()),
+        "query_type": pa.array(["lucene"]),
+    })
+    out = eng(batch)
+    ref = eng.reader.parsed_topk("+run connect", k=5)
+    assert out["doc_id"].to_pylist() == ref["doc_id"].to_pylist()
