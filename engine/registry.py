@@ -1727,13 +1727,25 @@ def transcript_bm25(sf_dir: str) -> pa.Table:
 
 
 def knn_lsh_docs(sf_dir: str) -> pa.Table:
+    """Hyperplane-LSH ANN in its recall=1 configuration: probing all
+    bit-flips up to ``n_planes`` covers every bucket, so the candidate
+    set is the full collection and the result is EXACTLY brute-force
+    cosine top-k — which lets the brute SQL oracle apply (the IVF
+    entry uses the same full-probe trick). Partial-probe recall (the
+    production pruning path) is pinned in tests/test_ops.py."""
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_KNN_QIDS))
     q = emb.filter(qmask).sort_by("vec_id")
     qm = vec._emb_matrix(q["embedding"])
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    t = vec.knn_lsh(ds, "embedding", "vec_id", qm, k=_KNN_K)
-    return _cast_col(t, "rank", pa.int64())
+    n_planes = 12
+    t = vec.knn_lsh(ds, "embedding", "vec_id", qm, k=_KNN_K,
+                    n_planes=n_planes, probe_bits=n_planes)
+    df = t.to_pandas()
+    df["query_id"] = np.array(_KNN_QIDS, dtype=np.int64)[df["query_id"]]
+    out = pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]], preserve_index=False)
+    return _cast_col(out, "rank", pa.int64())
 
 
 # ------------------- suggest / spellcheck / MLT / highlight / rescore
@@ -2931,7 +2943,8 @@ def oracle_sql() -> dict:
         "elevation_topk": sql_elevation(),
         "spellcheck_collate_topk_docs": sql_spellcheck_collate(),
         "score_nodes_parts": SQL_SCORE_NODES,
-        # knn_lsh: probabilistic-recall op, rows-only;
+        # full-probe LSH ≡ brute top-k, so the brute oracle applies
+        "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
         # identity is covered by the dual-execution test suite)
     }
