@@ -139,8 +139,13 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
         # ray.put/get of the reader object costs 8s + 6s/actor — the
         # shared-reader path only pays off for small dictionaries)
         import ray.data
+        # 20x query volume so the one-off pool startup (~2 s: actor
+        # spawn + per-actor lazy preload) amortizes and the number
+        # approaches steady-state throughput, which is what a serving
+        # deployment with a resident pool actually sees.
+        reps = 20
         t0 = time.perf_counter()
-        ds = ray.data.from_items(qs * 4)
+        ds = ray.data.from_items(qs * reps)
         n_res = ds.map_batches(
             QueryEngine, fn_constructor_args=(idx,),
             fn_constructor_kwargs={"resolve": False},
@@ -148,7 +153,7 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
             concurrency=max(2, cpus // 4)).count()
         dt = time.perf_counter() - t0
         queries["bm25_batch_queries"] = round(dt, 3)
-        out["batch_qps"] = round(len(qs) * 4 / dt, 1)
+        out["batch_qps"] = round(len(qs) * reps / dt, 1)
         assert n_res > 0
 
         # breadth operators over the sf tables
