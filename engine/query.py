@@ -1019,6 +1019,31 @@ class IndexReader:
             "term": pa.array([t for t, _ in rows], type=pa.string()),
             "df": pa.array([d for _, d in rows], type=pa.int64())})
 
+    def terms_enum(self, prefix: str = "", regex: str | None = None,
+                   mincount: int = 1, sort: str = "count",
+                   k: int = 10) -> pa.Table:
+        """TermsComponent analog (upstream Solr ``/terms`` handler:
+        terms.prefix / terms.regex / terms.mincount / terms.sort /
+        terms.limit [U]): enumerate dictionary terms with their df.
+        ``sort='count'`` ranks df desc then term asc (Solr default);
+        ``sort='index'`` is plain term order. Prefix narrows via the
+        memoized sorted-vocab bisect before any regex work."""
+        terms = self.expand_prefix(prefix) if prefix else self.vocabulary()
+        if regex is not None:
+            import re
+            pat = re.compile(regex)
+            terms = [t for t in terms if pat.fullmatch(t)]
+        dfs = self._df_of(terms)
+        rows = [(t, d) for t, d in dfs.items() if d >= mincount]
+        if sort == "count":
+            rows.sort(key=lambda r: (-r[1], r[0]))
+        else:
+            rows.sort(key=lambda r: r[0])
+        rows = rows[:k]
+        return pa.table({
+            "term": pa.array([t for t, _ in rows], type=pa.string()),
+            "df": pa.array([d for _, d in rows], type=pa.int64())})
+
     def spellcheck(self, term: str, k: int = 5,
                    max_edits: int = 2) -> pa.Table:
         """DirectSpellChecker analog (upstream

@@ -2767,6 +2767,188 @@ SQL_INTERVAL_FACET = " UNION ALL ".join(
 ) + " ORDER BY interval"
 
 
+# ---------------- terms component / collapse-expand / nested & heatmap
+# facets / function-score boost (round-2 session 3)
+
+TERMS_REGEX = "s[a-z]*a[a-z]*"
+
+
+def terms_component_docs(sf_dir: str) -> pa.Table:
+    """TermsComponent (upstream Solr ``/terms`` handler:
+    terms.prefix/regex/mincount/sort/limit [U]): dictionary terms
+    starting with 's' whose letters contain an 'a', df >= 2, index
+    (term) order. Pure dictionary scan — zero postings decode."""
+    r = _doc_reader(sf_dir)
+    return r.terms_enum(prefix="s", regex=TERMS_REGEX, mincount=2,
+                        sort="index", k=15)
+
+
+SQL_TERMS_COMPONENT = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks
+WHERE term LIKE 's%' AND regexp_full_match(term, '{TERMS_REGEX}')
+GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY term LIMIT 15
+"""
+
+
+def collapse_expand_orders(sf_dir: str) -> pa.Table:
+    """Collapse + Expand (upstream ``CollapsingQParserPlugin`` +
+    ``ExpandComponent`` [U]): collapse orders on o_custkey keeping the
+    group head (highest o_totalprice, orderkey tie-break); expand
+    returns the next 2 rows of each collapsed group. rn=0 is the
+    collapsed hit, rn=1..2 the expand section."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                  "o_totalprice"])
+
+    def topn(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("o_totalprice", "descending"),
+                       ("o_orderkey", "ascending")]).slice(0, 3)
+        return g.append_column(
+            "rn", pa.array(np.arange(g.num_rows, dtype=np.int64)))
+
+    t = _to_table(ds.groupby("o_custkey")
+                  .map_groups(topn, batch_format="pyarrow"))
+    return t.sort_by([("o_custkey", "ascending"), ("rn", "ascending")])
+
+
+SQL_COLLAPSE_EXPAND = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         (ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) - 1)::BIGINT AS rn
+  FROM orders)
+WHERE rn <= 2 ORDER BY o_custkey, rn
+"""
+
+
+def json_facet_nested_events(sf_dir: str) -> pa.Table:
+    """JSON Facet API nested subfacets (upstream ``S/search/facet/
+    FacetModule`` [U]): top-3 event types by count; inside each bucket
+    the top-2 user sub-buckets by count with a sum(value) stat
+    (quantized to cents so both engines agree on the f64 bits).
+    ONE grouped pass at (type, user) granularity; the driver-side
+    work is over BUCKETS (tiny), never rows."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+    t = _to_table(rel.rollup(ds, ["event_type", "user_id"],
+                             sums=["value"]))
+    df = t.to_pandas().rename(columns={
+        "count()": "n", "sum(value)": "vs"})
+    type_n = df.groupby("event_type")["n"].sum()
+    top_types = type_n.reset_index().sort_values(
+        ["n", "event_type"], ascending=[False, True]).head(3)
+    rows = []
+    for et, tn in zip(top_types["event_type"], top_types["n"]):
+        sub = df[df["event_type"] == et].sort_values(
+            ["n", "user_id"], ascending=[False, True]).head(2)
+        for _, r in sub.iterrows():
+            rows.append((et, int(tn), int(r["user_id"]), int(r["n"]),
+                         int(np.floor(r["vs"] * 100.0 + 0.5))))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "type_n": pa.array([r[1] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "user_n": pa.array([r[3] for r in rows], type=pa.int64()),
+        "val_cents": pa.array([r[4] for r in rows], type=pa.int64())})
+
+
+SQL_JSON_FACET_NESTED = """
+WITH ub AS (
+  SELECT event_type, user_id, COUNT(*)::BIGINT AS user_n,
+         FLOOR(SUM(value) * 100.0 + 0.5)::BIGINT AS val_cents
+  FROM events GROUP BY event_type, user_id),
+tb AS (
+  SELECT event_type, SUM(user_n)::BIGINT AS type_n,
+         (ROW_NUMBER() OVER (ORDER BY SUM(user_n) DESC, event_type)
+          )::BIGINT AS tr
+  FROM ub GROUP BY event_type),
+ranked AS (
+  SELECT ub.event_type, tb.type_n, ub.user_id, ub.user_n, ub.val_cents,
+         tb.tr,
+         ROW_NUMBER() OVER (PARTITION BY ub.event_type
+            ORDER BY ub.user_n DESC, ub.user_id) AS ur
+  FROM ub JOIN tb ON tb.event_type = ub.event_type)
+SELECT event_type, type_n, user_id, user_n, val_cents
+FROM ranked WHERE tr <= 3 AND ur <= 2
+ORDER BY tr, ur
+"""
+
+
+def heatmap_facet_customers(sf_dir: str) -> pa.Table:
+    """Spatial heatmap facet (upstream ``facet.heatmap`` /
+    ``HeatmapFacetCounter`` [U]): 8x8 grid-cell counts over the same
+    deterministic synthetic lat/lon as geodist. Cells derived with
+    pure integer arithmetic so both engines agree exactly; counting is
+    a streaming grouped aggregate (partial per block)."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy()
+        gy = ((ck * 7919) % 17000) // 2125
+        gx = ((ck * 104729) % 36000) // 4500
+        return pa.table({"grid_y": pa.array(gy, type=pa.int64()),
+                         "grid_x": pa.array(gx, type=pa.int64())})
+
+    t = _to_table(rel.facet(ds.map_batches(cells, batch_format="pyarrow"),
+                            ["grid_y", "grid_x"]))
+    t = _rename(t, {"count()": "n"})
+    return _cast_col(t, "n", pa.int64()).sort_by([
+        ("grid_y", "ascending"), ("grid_x", "ascending")])
+
+
+SQL_HEATMAP_FACET = """
+SELECT ((c_custkey * 7919) % 17000) // 2125 AS grid_y,
+       ((c_custkey * 104729) % 36000) // 4500 AS grid_x,
+       COUNT(*)::BIGINT AS n
+FROM customer GROUP BY grid_y, grid_x ORDER BY grid_y, grid_x
+"""
+
+
+def function_boost_topk(sf_dir: str) -> pa.Table:
+    """FunctionScoreQuery (upstream ``L/queries/function/
+    FunctionScoreQuery``; Solr ``{{!boost b=recip(...)}}`` [U]): BM25
+    relevance multiplied by a per-document value source
+    ``recip(n_chars) = 1000/(1000+n_chars)`` — shorter docs boosted.
+    Every match is rescored (a multiplicative boost reorders), then
+    top-k. Boost is computed f64 → cast f32, product f64 → cast f32,
+    mirroring the engine's score-arithmetic discipline so the SQL
+    oracle is bit-exact. The match+boost join here is a vectorized
+    pandas merge of the (small) hit list; at scale the boost column
+    rides the stored-fields fetch already used by two-phase search."""
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    r = IndexReader(idx)
+    hits = r.topk(BM25_QUERY, k=1_000_000)   # all matches, exact scores
+    nch = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "n_chars"])
+    df = hits.select(["doc_id", "score"]).to_pandas().merge(
+        nch.to_pandas(), on="doc_id", how="left")
+    boost = (1000.0 / (1000.0 + df["n_chars"].to_numpy()
+                       .astype(np.float64))).astype(np.float32)
+    final = (df["score"].to_numpy().astype(np.float64)
+             * boost.astype(np.float64)).astype(np.float32)
+    order = np.lexsort((df["doc_id"].to_numpy(), -final.astype(np.float64)))
+    top = order[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(len(top), dtype=np.int64)),
+        "doc_id": pa.array(df["doc_id"].to_numpy()[top], type=pa.int64()),
+        "score": pa.array(final[top], type=pa.float32())})
+
+
+def sql_function_boost() -> str:
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return f"""{_sql_scored(terms_sql)}
+SELECT (ROW_NUMBER() OVER (ORDER BY fs DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, fs AS score FROM (
+  SELECT s.doc_id,
+    CAST(s.score::DOUBLE *
+         CAST(1000.0 / (1000.0 + d.n_chars) AS FLOAT)::DOUBLE
+         AS FLOAT) AS fs
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+ORDER BY fs DESC, doc_id LIMIT 10
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -2867,6 +3049,11 @@ def queries() -> dict:
         "elevation_topk": elevation_topk,
         "spellcheck_collate_topk_docs": spellcheck_collate_topk_docs,
         "score_nodes_parts": score_nodes_parts,
+        "terms_component_docs": terms_component_docs,
+        "collapse_expand_orders": collapse_expand_orders,
+        "json_facet_nested_events": json_facet_nested_events,
+        "heatmap_facet_customers": heatmap_facet_customers,
+        "function_boost_topk": function_boost_topk,
     }
 
 
@@ -2964,6 +3151,11 @@ def oracle_sql() -> dict:
         "elevation_topk": sql_elevation(),
         "spellcheck_collate_topk_docs": sql_spellcheck_collate(),
         "score_nodes_parts": SQL_SCORE_NODES,
+        "terms_component_docs": SQL_TERMS_COMPONENT,
+        "collapse_expand_orders": SQL_COLLAPSE_EXPAND,
+        "json_facet_nested_events": SQL_JSON_FACET_NESTED,
+        "heatmap_facet_customers": SQL_HEATMAP_FACET,
+        "function_boost_topk": sql_function_boost(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -303,6 +303,22 @@ def test_suggest_no_match_empty(reader):
     assert reader.suggest_prefix_topk("zzzzqq", k=5).num_rows == 0
 
 
+def test_terms_enum_options(reader):
+    # sort=count mirrors suggest ordering on the same prefix
+    a = reader.terms_enum(prefix="s", sort="count", k=8)
+    b = reader.suggest_prefix_topk("s", k=8)
+    assert a.equals(b)
+    # sort=index is term order; mincount filters by df
+    t = reader.terms_enum(prefix="s", mincount=2, sort="index", k=50)
+    terms = t["term"].to_pylist()
+    assert terms == sorted(terms)
+    assert all(d >= 2 for d in t["df"].to_pylist())
+    # regex narrows the dictionary scan (fullmatch semantics)
+    r = reader.terms_enum(regex="s.*", sort="index", k=1000)
+    assert all(x.startswith("s") for x in r["term"].to_pylist())
+    assert reader.terms_enum(prefix="zzzzqq", k=5).num_rows == 0
+
+
 def test_spellcheck_excludes_exact_and_caps_distance(reader):
     vocab = reader.vocabulary()
     seed = vocab[0]
