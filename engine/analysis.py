@@ -394,6 +394,74 @@ class LengthFilter(TokenFilter):
                 "max_len": self.max_len}
 
 
+class PatternReplaceFilter(TokenFilter):
+    """Regex replacement inside each token (upstream
+    ``PatternReplaceFilter`` [U]). Vocabulary-level ``re.sub`` then
+    re-unique; patterns should stay inside the RE2-compatible subset
+    (no backreferences/lookaround) so a DuckDB ``regexp_replace``
+    oracle reproduces them exactly."""
+
+    def __init__(self, pattern: str, replacement: str):
+        import re
+
+        self.pattern = pattern
+        self.replacement = replacement
+        self._rx = re.compile(pattern)
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        vocab2 = np.array([self._rx.sub(self.replacement, t)
+                           for t in vocab], dtype=object)
+        uniq, inv = np.unique(vocab2, return_inverse=True)
+        return offsets, inv[codes], uniq, positions, doc_lens
+
+    def spec(self) -> dict:
+        return {"type": "pattern_replace", "pattern": self.pattern,
+                "replacement": self.replacement}
+
+
+# American Soundex letter→code map over a-z (vowels/h/w/y → '0';
+# h/w are additionally REMOVED after the first letter before coding,
+# which realizes the classic "duplicates separated by h/w merge" rule).
+SOUNDEX_CODES = "01230120022455012623010202"
+
+
+def soundex(token: str) -> str:
+    """American Soundex of a lowercase ``[a-z]+`` token, e.g.
+    ``robert → r163`` (kept lowercase to match the index's term
+    normalization). Published algorithm (Knuth TAOCP vol. 3 / NARA
+    standard), including the h/w merge and vowel-separation rules."""
+    rest = "".join(c for c in token[1:] if c not in "hw")
+    coded = "".join(SOUNDEX_CODES[ord(c) - 97] for c in token[0] + rest)
+    # collapse adjacent duplicate codes (first letter participates)
+    out = []
+    for c in coded:
+        if not out or out[-1] != c:
+            out.append(c)
+    digits = "".join(c for c in out[1:] if c != "0")
+    return token[0] + (digits + "000")[:3]
+
+
+class SoundexFilter(TokenFilter):
+    """Phonetic filter (upstream ``PhoneticFilter`` w/ the Soundex
+    encoder [U], inject=false): pure ``[a-z]+`` tokens are replaced by
+    their Soundex code; tokens with digits pass through unchanged
+    (nothing to encode)."""
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        vocab2 = np.array(
+            [soundex(t) if t.isalpha() and t.isascii() else t
+             for t in vocab], dtype=object)
+        uniq, inv = np.unique(vocab2, return_inverse=True)
+        return offsets, inv[codes], uniq, positions, doc_lens
+
+    def spec(self) -> dict:
+        return {"type": "soundex"}
+
+
 def build_filter(spec: dict) -> TokenFilter:
     """Filter factory from a JSON spec (IndexConfig serialization)."""
     t = spec["type"]
@@ -412,6 +480,10 @@ def build_filter(spec: dict) -> TokenFilter:
                                spec.get("preserve_original", False))
     if t == "length":
         return LengthFilter(spec["min_len"], spec["max_len"])
+    if t == "pattern_replace":
+        return PatternReplaceFilter(spec["pattern"], spec["replacement"])
+    if t == "soundex":
+        return SoundexFilter()
     raise ValueError(f"unknown token filter type {t!r}")
 
 

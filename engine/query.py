@@ -1001,6 +1001,121 @@ class IndexReader:
         hi = bisect.bisect_left(vocab, prefix + "\uffff")
         return vocab[lo:hi]
 
+    def term_range_topk(self, lo: str, hi: str, k: int = 10,
+                        boost: float = 1.0) -> pa.Table:
+        """TermRangeQuery (upstream ``L/search/TermRangeQuery.java``
+        [U], default constant-score rewrite): docs containing ANY
+        dictionary term in ``[lo, hi)`` \u2014 a bisect range over the
+        sorted term dictionary, then the constant-score union."""
+        import bisect
+
+        vocab = self.vocabulary()
+        terms = vocab[bisect.bisect_left(vocab, lo):
+                      bisect.bisect_left(vocab, hi)]
+        if not terms:
+            return _topdocs_table([], [])
+        return self.constant_score_topk(terms, k=k, boost=boost)
+
+    def span_first_topk(self, term: str, end: int,
+                        k: int = 10) -> pa.Table:
+        """SpanFirstQuery (upstream ``L/search/spans/SpanFirstQuery``
+        [U]): matches occurrences of ``term`` at position < ``end``;
+        BM25 with tf = the count of qualifying occurrences (the
+        span-freq analog, SQL-checkable) and weight = the term's idf."""
+        subs = self.lookup([term])[term]
+        if not subs:
+            return _topdocs_table([], [])
+        w = idf(self.N, self.global_df(subs))
+        doc_parts, cnt_parts = [], []
+        doc_norm: dict[int, int] = {}
+        for docs, tfs, norms, flat_pos in self._lookup_positions(term):
+            doc_rep = np.repeat(docs, tfs)
+            ok = flat_pos < end
+            if ok.any():
+                d = doc_rep[ok]
+                u, c = np.unique(d, return_counts=True)
+                doc_parts.append(u)
+                cnt_parts.append(c)
+            for dd, nb in zip(docs, norms):
+                doc_norm[int(dd)] = int(nb)
+        if not doc_parts:
+            return _topdocs_table([], [])
+        uniq = np.concatenate(doc_parts)
+        freq = np.concatenate(cnt_parts)
+        order0 = np.argsort(uniq, kind="stable")
+        uniq, freq = uniq[order0], freq[order0]
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, freq = uniq[keep], freq[keep]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        norms = np.array([doc_norm[int(d)] for d in uniq], dtype=np.uint8)
+        final = _clause_scores(freq, norms, w, self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
+    def multi_phrase_topk(self, steps: list[list[str]],
+                          k: int = 10) -> pa.Table:
+        """MultiPhraseQuery (upstream ``L/search/MultiPhraseQuery``
+        [U]): each phrase position accepts any of several terms (the
+        synonym-in-phrase shape). Same collision-free (doc, pos) key
+        intersection as :meth:`phrase_topk`; per step the keysets of
+        the alternatives are unioned (distinct terms can't share a
+        position, so the union is duplicate-free). Weight = \u03a3 idf over
+        every term in step order (f64 accumulation of f32 idfs, pinned
+        for the SQL oracle \u2014 Lucene sums termStatistics of all terms)."""
+        flat = [t for step in steps for t in step]
+        subs = self.lookup(sorted(set(flat)))
+        if any(all(not subs[t] for t in step) for step in steps):
+            return _topdocs_table([], [])
+        SHIFT = np.int64(1 << 21)
+        max_pos = 0
+        pos_rows: dict[str, list] = {}
+        for t in set(flat):
+            rows = self._lookup_positions(t) if subs[t] else []
+            pos_rows[t] = rows
+            for _, _, _, fp in rows:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        while SHIFT <= max_pos:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
+            raise OverflowError("multi-phrase key space overflow")
+        w64 = 0.0
+        doc_norm: dict[int, int] = {}
+        keysets: list[np.ndarray] = []
+        for i, step in enumerate(steps):
+            parts = []
+            for t in step:
+                w64 += float(idf(self.N, self.global_df(subs[t]))) \
+                    if subs[t] else 0.0
+                for docs, tfs, norms, fp in pos_rows[t]:
+                    doc_rep = np.repeat(docs, tfs)
+                    p = fp - i
+                    ok = p >= 0
+                    parts.append(doc_rep[ok] * SHIFT + p[ok])
+                    if i == 0:
+                        for d, nb in zip(docs, norms):
+                            doc_norm[int(d)] = int(nb)
+            keysets.append(np.unique(np.concatenate(parts)) if parts
+                           else np.empty(0, np.int64))
+        occ = keysets[0]
+        for ks in keysets[1:]:
+            occ = np.intersect1d(occ, ks, assume_unique=True)
+        if not len(occ):
+            return _topdocs_table([], [])
+        docs = (occ // SHIFT).astype(np.int64)
+        uniq, freq = np.unique(docs, return_counts=True)
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, freq = uniq[keep], freq[keep]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        norms = np.array([doc_norm[int(d)] for d in uniq], dtype=np.uint8)
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
     # ------------------------------------- suggest / spellcheck / MLT
 
     def _df_of(self, terms: list[str]) -> dict[str, int]:

@@ -2949,6 +2949,427 @@ ORDER BY fs DESC, doc_id LIMIT 10
 """
 
 
+# ---------------- round-2 session 4: RTG / term vectors / term range /
+# bbox / group.facet / span-first / multi-phrase / pattern-replace /
+# soundex / regression stats / k-means assign
+
+RTG_IDS = [1, 7, 13, 29, 42]
+
+
+def realtime_get_docs(sf_dir: str) -> pa.Table:
+    """RealTimeGet ``/get`` by id (upstream Solr
+    ``RealTimeGetComponent`` [U]): point-fetch stored fields for a
+    list of ids through the docmap-keyed row-range stored-fields read
+    — no search, no scan of other rows."""
+    r = _doc_reader(sf_dir, stored=True)
+    t = r.fetch_docs(np.array(RTG_IDS, dtype=np.int64))
+    return t.select(["doc_id", "text"]).sort_by("doc_id")
+
+
+SQL_RTG = f"""
+SELECT doc_id, text FROM documents
+WHERE doc_id IN ({",".join(map(str, RTG_IDS))}) ORDER BY doc_id
+"""
+
+TV_IDS = [5, 17]
+
+
+def term_vectors_docs(sf_dir: str) -> pa.Table:
+    """TermVectorsComponent (upstream Solr ``TermVectorComponent``,
+    tv.tf + tv.df [U]): per-document term vector (term, tf) from the
+    stored fields re-analysis path (the upstream fallback when vectors
+    aren't stored), df joined from the term dictionary."""
+    r = _doc_reader(sf_dir, stored=True)
+    fetched = r.fetch_docs(np.array(TV_IDS, dtype=np.int64))
+    rows: list[tuple[int, str, int]] = []
+    for did, text in zip(fetched["doc_id"].to_pylist(),
+                         fetched["text"].to_pylist()):
+        tf: dict[str, int] = {}
+        for term, _ in r.analyzer.analyze_text(text):
+            tf[term] = tf.get(term, 0) + 1
+        rows.extend((did, t, c) for t, c in tf.items())
+    dfs = r._df_of(sorted({t for _, t, _ in rows}))
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([r0 for r0, _, _ in rows], type=pa.int64()),
+        "term": pa.array([t for _, t, _ in rows], type=pa.string()),
+        "tf": pa.array([c for _, _, c in rows], type=pa.int64()),
+        "df": pa.array([dfs.get(t, 0) for _, t, _ in rows],
+                       type=pa.int64())})
+
+
+SQL_TERM_VECTORS = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+df AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks
+       GROUP BY term),
+tv AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks
+       WHERE doc_id IN ({",".join(map(str, TV_IDS))})
+       GROUP BY doc_id, term)
+SELECT tv.doc_id, tv.term, tv.tf, df.df FROM tv JOIN df USING (term)
+ORDER BY tv.doc_id, tv.term
+"""
+
+TERM_RANGE = ("sl", "sp")
+
+
+def term_range_topk(sf_dir: str) -> pa.Table:
+    """TermRangeQuery [sl, sp) — constant-score union of the
+    dictionary range (docID-ordered top-k)."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(r.term_range_topk(*TERM_RANGE, k=10))
+
+
+SQL_TERM_RANGE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE term >= '{TERM_RANGE[0]}' AND term < '{TERM_RANGE[1]}')
+SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)::BIGINT AS rank,
+       doc_id, CAST(1.0 AS FLOAT) AS score
+FROM m ORDER BY doc_id LIMIT 10
+"""
+
+BBOX = (-40.0, 25.0, -60.0, 30.0)   # lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def bbox_customers(sf_dir: str) -> pa.Table:
+    """bbox spatial filter (upstream Solr ``bbox`` QParser /
+    ``LatLonPoint.newBoxQuery`` [U]): rectangle predicate over the
+    same deterministic synthetic lat/lon as geodist — a pure
+    vectorized filter, no distance math."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    la0, la1, lo0, lo1 = BBOX
+
+    def inbox(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy()
+        lat = ((ck * 7919) % 17000) / 100.0 - 85.0
+        lon = ((ck * 104729) % 36000) / 100.0 - 180.0
+        m = (lat >= la0) & (lat < la1) & (lon >= lo0) & (lon < lo1)
+        return pa.table({"c_custkey": pa.array(ck[m], type=pa.int64()),
+                         "lat": pa.array(lat[m]),
+                         "lon": pa.array(lon[m])})
+
+    ds = ds.map_batches(inbox, batch_format="pyarrow")
+    return _to_table(rel.top_k(ds, [("c_custkey", False)], 20))
+
+
+SQL_BBOX = f"""
+WITH pts AS (
+  SELECT c_custkey,
+    ((c_custkey * 7919) % 17000)::DOUBLE / 100.0::DOUBLE
+      - 85.0::DOUBLE AS lat,
+    ((c_custkey * 104729) % 36000)::DOUBLE / 100.0::DOUBLE
+      - 180.0::DOUBLE AS lon
+  FROM customer)
+SELECT c_custkey, lat, lon FROM pts
+WHERE lat >= {BBOX[0]} AND lat < {BBOX[1]}
+  AND lon >= {BBOX[2]} AND lon < {BBOX[3]}
+ORDER BY c_custkey LIMIT 20
+"""
+
+
+def group_facet_orders(sf_dir: str) -> pa.Table:
+    """group.facet=true semantics (upstream Solr grouping [U]): facet
+    counts count GROUPS (distinct customers), not documents — a
+    two-level aggregate: (priority, custkey) rollup (partial per
+    block) then a tiny per-priority group count."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    pairs = rel.rollup(ds, ["o_orderpriority", "o_custkey"])
+    t = _to_table(rel.facet(pairs, ["o_orderpriority"]))
+    t = _rename(t, {"count()": "n_groups"})
+    return _cast_col(t, "n_groups", pa.int64()).sort_by("o_orderpriority")
+
+
+SQL_GROUP_FACET = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey)::BIGINT AS n_groups
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+SPAN_FIRST = ("join", 3)
+
+
+def span_first_topk_docs(sf_dir: str) -> pa.Table:
+    """SpanFirstQuery: 'join' within the first 3 positions."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(r.span_first_topk(*SPAN_FIRST, k=10))
+
+
+def sql_span_first() -> str:
+    term, end = SPAN_FIRST
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT doc_id, COUNT(*)::DOUBLE AS freq FROM pos
+  WHERE tok = '{term}' AND p < {end} GROUP BY doc_id),
+dfq AS (
+  SELECT COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf
+  WHERE term = '{term}'),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(
+      CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN dfq d)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+MP_FIRST = "merge"
+MP_ALTS = ["group", "order"]
+
+
+def multi_phrase_topk_docs(sf_dir: str) -> pa.Table:
+    """MultiPhraseQuery: "merge (group|order)" — position 1 accepts
+    either alternative."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(r.multi_phrase_topk([[MP_FIRST], MP_ALTS], k=10))
+
+
+def sql_multi_phrase() -> str:
+    alts = ",".join(f"'{t}'" for t in MP_ALTS)
+    all_terms = ",".join(f"'{t}'" for t in [MP_FIRST] + MP_ALTS)
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.tok = '{MP_FIRST}' AND b.tok IN ({alts})
+  GROUP BY a.doc_id),
+qterms AS (SELECT unnest([{all_terms}]) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM dfs d CROSS JOIN stats s),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+PATREP = ("[0-9]+", "#")
+
+
+def pattern_replace_stats(sf_dir: str) -> pa.Table:
+    """PatternReplaceFilter e2e: digit runs inside tokens collapse to
+    '#' before indexing; stats must equal a SQL regexp_replace
+    recomputation (both sides run RE2-compatible patterns)."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "pattern_replace", "pattern": PATREP[0],
+                  "replacement": PATREP[1]},), "patrep")
+    return _index_stats_of(idx)
+
+
+SQL_PATTERN_REPLACE_STATS = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+g AS (SELECT doc_id,
+             regexp_replace(term, '{PATREP[0]}', '{PATREP[1]}', 'g')
+             AS term FROM toks)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM g GROUP BY term ORDER BY term
+"""
+
+
+def soundex_stats(sf_dir: str) -> pa.Table:
+    """PhoneticFilter(Soundex) e2e: alphabetic tokens indexed as their
+    American Soundex codes (h/w merge + vowel-separation rules),
+    digit-bearing tokens pass through; the oracle replays the exact
+    algorithm in SQL (translate + per-digit run-collapse — RE2 has no
+    backreferences, so adjacent-dedup is 7 chained replaces)."""
+    idx = _cached_filtered_index(sf_dir, ({"type": "soundex"},), "sdx")
+    return _index_stats_of(idx)
+
+
+def _sql_soundex_expr(col: str) -> str:
+    from engine.analysis import SOUNDEX_CODES
+
+    s = (f"substr({col}, 1, 1) || "
+         f"regexp_replace(substr({col}, 2), '[hw]', '', 'g')")
+    coded = (f"translate({s}, 'abcdefghijklmnopqrstuvwxyz', "
+             f"'{SOUNDEX_CODES}')")
+    for d in range(7):
+        coded = f"regexp_replace({coded}, '{d}{d}+', '{d}', 'g')"
+    return (f"substr({col}, 1, 1) || substr("
+            f"replace(substr({coded}, 2), '0', '') || '000', 1, 3)")
+
+
+SQL_SOUNDEX_STATS = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN regexp_full_match(term, '[a-z]+')
+                  THEN {_sql_soundex_expr('term')}
+                  ELSE term END AS term
+      FROM toks)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM g GROUP BY term ORDER BY term
+"""
+
+
+def regression_stats_events(sf_dir: str) -> pa.Table:
+    """Streaming-expression math: ``regress`` + ``corr`` + ``describe``
+    per event_type (upstream Solr math expressions ``regress()``,
+    ``corr()`` [U]) of value (quantized to exact cents) on user_id.
+    Partial integer moment sums (n, Σx, Σy, Σxx, Σyy, Σxy) per batch →
+    tiny groupby sum → closed-form finalize. All moments are EXACT
+    int64 (cents ≤ 5e4, so Σyy fits through ~10^9 rows per group; at
+    larger scale the partials would widen to int128/float pairs), so
+    slope/intercept/corr are bit-reproducible in SQL from the same
+    integers."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        x = b["user_id"].to_numpy()
+        y = np.floor(b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(et, return_inverse=True)
+        out = {"event_type": pa.array(uniq, type=pa.string())}
+        for name, v in [("n", np.ones_like(x)), ("sx", x), ("sy", y),
+                        ("sxx", x * x), ("syy", y * y), ("sxy", x * y)]:
+            acc = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(acc, inv, v)
+            out[name] = pa.array(acc, type=pa.int64())
+        return pa.table(out)
+
+    agg = _to_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "sx", "sy", "sxx", "syy", "sxy"]))
+    rows = []
+    for i in range(agg.num_rows):
+        et = agg["event_type"][i].as_py()
+        n, sx, sy, sxx, syy, sxy = (
+            int(agg[f"sum({c})"][i].as_py())
+            for c in ["n", "sx", "sy", "sxx", "syy", "sxy"])
+        num = n * sxy - sx * sy          # exact python ints
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        slope = float(num) / float(denx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        corr = float(num) / math.sqrt(float(denx * deny))
+        rows.append((et, n, slope, intercept, corr))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "n": pa.array([r[1] for r in rows], type=pa.int64()),
+        "slope": pa.array([r[2] for r in rows], type=pa.float64()),
+        "intercept": pa.array([r[3] for r in rows], type=pa.float64()),
+        "corr": pa.array([r[4] for r in rows], type=pa.float64())})
+
+
+SQL_REGRESSION_STATS = """
+WITH m AS (
+  SELECT event_type, COUNT(*)::HUGEINT AS n,
+         SUM(user_id)::HUGEINT AS sx,
+         SUM(FLOOR(value * 100.0 + 0.5)::BIGINT)::HUGEINT AS sy,
+         SUM(user_id * user_id)::HUGEINT AS sxx,
+         SUM(FLOOR(value * 100.0 + 0.5)::BIGINT
+             * FLOOR(value * 100.0 + 0.5)::BIGINT)::HUGEINT AS syy,
+         SUM(user_id * FLOOR(value * 100.0 + 0.5)::BIGINT)::HUGEINT AS sxy
+  FROM events GROUP BY event_type),
+f AS (
+  SELECT event_type, n,
+         (n * sxy - sx * sy) AS num,
+         (n * sxx - sx * sx) AS denx,
+         (n * syy - sy * sy) AS deny,
+         sx, sy FROM m),
+r AS (
+  SELECT event_type, n, num::DOUBLE / denx::DOUBLE AS slope,
+         num, denx, deny, sx, sy FROM f)
+SELECT event_type, n::BIGINT AS n, slope,
+       (sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE AS intercept,
+       num::DOUBLE / sqrt((denx * deny)::DOUBLE) AS corr
+FROM r ORDER BY event_type
+"""
+
+KMEANS_K = 4
+
+
+def kmeans_assign_embeddings(sf_dir: str) -> pa.Table:
+    """Clustering / centroid assignment (the Carrot2-style clustering
+    component + streaming ``kmeans()`` assignment step [U]):
+    embeddings quantized to exact milli-units (int64), centroids = the
+    vectors of vec_id 0..K-1 (broadcast once via ``ray.put``), each
+    row assigned to the argmin squared-distance centroid (ties → lower
+    centroid id). All distances are exact integers, so cluster sizes
+    and total cost are bit-reproducible in SQL. Per-batch partial
+    (cluster, n, cost) aggregates → tiny groupby sum."""
+    cents = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"], filters=[("vec_id", "<", KMEANS_K)])
+    cm = np.stack([np.asarray(v, dtype=np.float32)
+                   for v in cents.sort_by("vec_id")["embedding"]
+                   .to_pylist()])
+    cq = np.floor(cm.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+    cq_ref = ray.put(cq)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cq_ref)
+        emb = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(emb.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        cost = d[np.arange(len(lab)), lab]
+        n = np.bincount(lab, minlength=KMEANS_K)
+        csum = np.zeros(KMEANS_K, dtype=np.int64)
+        np.add.at(csum, lab, cost)
+        return pa.table({
+            "cluster": pa.array(np.arange(KMEANS_K), type=pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+            "cost": pa.array(csum, type=pa.int64())})
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    t = _to_table(ds.map_batches(assign, batch_format="pyarrow")
+                  .groupby("cluster").sum(["n", "cost"]))
+    t = _rename(t, {"sum(n)": "n", "sum(cost)": "cost"})
+    return t.sort_by("cluster")
+
+
+SQL_KMEANS_ASSIGN = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         FLOOR(unnest(embedding)::DOUBLE * 1000.0 + 0.5)::BIGINT AS qv
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, pos, qv AS cv FROM q
+      WHERE vec_id < {KMEANS_K}),
+d AS (
+  SELECT q.vec_id, c.cid,
+         SUM((q.qv - c.cv) * (q.qv - c.cv))::BIGINT AS dist
+  FROM q JOIN c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
+a AS (
+  SELECT vec_id, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cid) AS rn
+  FROM d)
+SELECT cid::BIGINT AS cluster, COUNT(*)::BIGINT AS n,
+       SUM(dist)::BIGINT AS cost
+FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -3054,6 +3475,17 @@ def queries() -> dict:
         "json_facet_nested_events": json_facet_nested_events,
         "heatmap_facet_customers": heatmap_facet_customers,
         "function_boost_topk": function_boost_topk,
+        "realtime_get_docs": realtime_get_docs,
+        "term_vectors_docs": term_vectors_docs,
+        "term_range_topk": term_range_topk,
+        "bbox_customers": bbox_customers,
+        "group_facet_orders": group_facet_orders,
+        "span_first_topk_docs": span_first_topk_docs,
+        "multi_phrase_topk_docs": multi_phrase_topk_docs,
+        "pattern_replace_stats": pattern_replace_stats,
+        "soundex_stats": soundex_stats,
+        "regression_stats_events": regression_stats_events,
+        "kmeans_assign_embeddings": kmeans_assign_embeddings,
     }
 
 
@@ -3156,6 +3588,17 @@ def oracle_sql() -> dict:
         "json_facet_nested_events": SQL_JSON_FACET_NESTED,
         "heatmap_facet_customers": SQL_HEATMAP_FACET,
         "function_boost_topk": sql_function_boost(),
+        "realtime_get_docs": SQL_RTG,
+        "term_vectors_docs": SQL_TERM_VECTORS,
+        "term_range_topk": SQL_TERM_RANGE,
+        "bbox_customers": SQL_BBOX,
+        "group_facet_orders": SQL_GROUP_FACET,
+        "span_first_topk_docs": sql_span_first(),
+        "multi_phrase_topk_docs": sql_multi_phrase(),
+        "pattern_replace_stats": SQL_PATTERN_REPLACE_STATS,
+        "soundex_stats": SQL_SOUNDEX_STATS,
+        "regression_stats_events": SQL_REGRESSION_STATS,
+        "kmeans_assign_embeddings": SQL_KMEANS_ASSIGN,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -229,3 +229,43 @@ def test_analyze_text_fast_path_matches():
                     pa.array([s]))
                 slow = list(zip(terms.tolist(), positions.tolist()))
                 assert fast == slow, (s, stop, stemming, fast, slow)
+
+
+def test_soundex_known_codes():
+    """Published American Soundex vectors (NARA examples) incl. the
+    h/w merge (Ashcraft) and vowel-separation (Tymczak) rules."""
+    from engine.analysis import soundex
+
+    for t, want in [("robert", "r163"), ("rupert", "r163"),
+                    ("ashcraft", "a261"), ("ashcroft", "a261"),
+                    ("tymczak", "t522"), ("pfister", "p236"),
+                    ("honeyman", "h555"), ("jackson", "j250"),
+                    ("a", "a000"), ("lee", "l000")]:
+        assert soundex(t) == want, t
+
+
+def test_soundex_filter_passthrough_digits():
+    from engine.analysis import Analyzer
+
+    a = Analyzer(None, False, filters=({"type": "soundex"},))
+    out = a.analyze_text("robert x42 rupert")
+    assert out == [("r163", 0), ("x42", 1), ("r163", 2)]
+
+
+def test_pattern_replace_filter():
+    from engine.analysis import Analyzer
+
+    a = Analyzer(None, False, filters=(
+        {"type": "pattern_replace", "pattern": "[0-9]+",
+         "replacement": "#"},))
+    out = a.analyze_text("v1 log2024x plain")
+    assert [t for t, _ in out] == ["v#", "log#x", "plain"]
+
+
+def test_new_filters_config_roundtrip():
+    from engine.analysis import build_filter
+
+    for spec in ({"type": "soundex"},
+                 {"type": "pattern_replace", "pattern": "a+",
+                  "replacement": "a"}):
+        assert build_filter(spec).spec() == spec

@@ -499,3 +499,70 @@ def test_similarity_unknown_raises(reader):
 
     with _pt.raises(ValueError):
         reader.similarity_topk("index", 5, "nope")
+
+
+def test_span_first_recount(reader, smoke_corpus):
+    """SpanFirst freq == brute recount of positions < end from raw
+    tokens; scores follow the BM25(freq) formula."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    term, end = "index", 4
+    res = reader.span_first_topk(term, end, k=100000)
+    got = set(res["doc_id"].to_pylist())
+    corpus, _ = smoke_corpus
+    tabs = [pq.read_table(os.path.join(corpus, f))
+            for f in sorted(os.listdir(corpus)) if f.endswith(".parquet")]
+    rows = pa.concat_tables(tabs).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    expect = set()
+    for d, text in enumerate(rows["text"].to_pylist()):
+        if any(t == term and p < end
+               for t, p in reader.analyzer.analyze_text(text)):
+            expect.add(d)
+    assert got == expect
+
+
+def test_span_first_end_zero_empty(reader):
+    assert reader.span_first_topk("index", 0, k=5).num_rows == 0
+
+
+def test_multi_phrase_singleton_equals_phrase(reader):
+    """MultiPhrase with singleton steps degenerates to PhraseQuery —
+    identical docs AND identical float32 scores."""
+    t1, t2 = reader.analyzer.query_terms("index merge")
+    mp = reader.multi_phrase_topk([[t1], [t2]], k=50)
+    ph = reader.phrase_topk("index merge", k=50)
+    assert mp["doc_id"].to_pylist() == ph["doc_id"].to_pylist()
+    assert mp["score"].to_pylist() == ph["score"].to_pylist()
+
+
+def test_multi_phrase_superset_of_each_alternative(reader):
+    """Docs matching "index (merge|sort)" == union of the two exact
+    phrases; freq adds across alternatives."""
+    t1, t2 = reader.analyzer.query_terms("index merge")
+    (t3,) = reader.analyzer.query_terms("sort")
+    mp = reader.multi_phrase_topk([[t1], [t2, t3]], k=100000)
+    p1 = reader.phrase_topk("index merge", k=100000)
+    p2 = reader.phrase_topk("index sort", k=100000)
+    assert (set(mp["doc_id"].to_pylist())
+            == set(p1["doc_id"].to_pylist())
+            | set(p2["doc_id"].to_pylist()))
+
+
+def test_term_range_matches_explicit_constant_score(reader):
+    import bisect
+
+    vocab = reader.vocabulary()
+    lo, hi = "ma", "mo"
+    terms = vocab[bisect.bisect_left(vocab, lo):bisect.bisect_left(vocab, hi)]
+    assert terms, "smoke vocab should have terms in [ma, mo)"
+    a = reader.term_range_topk(lo, hi, k=25)
+    b = reader.constant_score_topk(terms, k=25)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert set(a["score"].to_pylist()) == {1.0}
+
+
+def test_term_range_empty_range(reader):
+    assert reader.term_range_topk("zzz", "zzzz", k=5).num_rows == 0
