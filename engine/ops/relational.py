@@ -347,6 +347,32 @@ class DaemonRunner:
                 sleep(self.interval_sec)
         return self.last_result
 
+    # --- wall-clock service mode (the reference daemon's background
+    # loop + DaemonStream.shutdown() admin command)
+
+    def start(self):
+        """Run ticks on a background thread every ``interval_sec``
+        until :meth:`stop` — the long-lived daemon service the
+        reference registers under /stream's daemon-list."""
+        import threading
+
+        if getattr(self, "_thread", None) and self._thread.is_alive():
+            return
+        self._stop = threading.Event()
+
+        def loop():
+            while not self._stop.is_set():
+                self.run_once()
+                self._stop.wait(self.interval_sec)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self, timeout: float = 30.0):
+        self._stop.set()
+        self._thread.join(timeout)
+        return self.iterations
+
 
 def stratified_sample(ds: ray.data.Dataset, key_col: str, id_col: str,
                       fractions: dict[str, int], default: int = 0,

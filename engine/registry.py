@@ -3370,6 +3370,264 @@ FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid
 """
 
 
+def explain_topk_docs(sf_dir: str) -> pa.Table:
+    """IndexSearcher.explain / Solr debug=query (upstream
+    ``Explanation`` trees [U]): per-(top doc, term) score breakdown —
+    tf, df, float32 idf, the SmallFloat-decoded quantized doc length,
+    and the float32 per-clause contribution. The contributions SUM to
+    the hit's score, so this oracle re-proves the whole BM25 stack
+    from a third angle (stats, not just ranks)."""
+    from engine.query import idf as _idf
+
+    r = _doc_reader(sf_dir)
+    top = r.bmw_topk(BM25_QUERY, 3)
+    sel = top["doc_id"].to_numpy()
+    terms = sorted(set(BM25_QUERY.split()))
+    subs = r.lookup(terms)
+    rows = []
+    for t in terms:
+        if not subs[t]:
+            continue
+        docs, tfs, norms = r._clause_arrays(t, subs[t])
+        df = len(docs)
+        w = _idf(r.N, df)
+        pos = np.searchsorted(docs, sel)
+        for i, d in enumerate(sel):
+            p = pos[i]
+            if p >= len(docs) or docs[p] != d:
+                continue
+            from engine.query import _clause_scores
+            contrib = _clause_scores(
+                np.array([tfs[p]]), np.array([norms[p]], dtype=np.uint8),
+                w, r.cache)[0]
+            rows.append((int(d), t, int(tfs[p]), df,
+                         float(w), float(LENGTH_TABLE[norms[p]]),
+                         float(contrib)))
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([x[0] for x in rows], type=pa.int64()),
+        "term": pa.array([x[1] for x in rows], type=pa.string()),
+        "tf": pa.array([x[2] for x in rows], type=pa.int64()),
+        "df": pa.array([x[3] for x in rows], type=pa.int64()),
+        "idf": pa.array([x[4] for x in rows], type=pa.float32()),
+        "dl": pa.array([x[5] for x in rows], type=pa.float64()),
+        "contrib": pa.array([x[6] for x in rows], type=pa.float32())})
+
+
+def sql_explain_topk() -> str:
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return f"""{_sql_scored(terms_sql)},
+top3 AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 3)
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, d.df::BIGINT AS df,
+       CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT) AS idf,
+       dl.dlq AS dl, {_SQL_CONTRIB} AS contrib
+FROM tf
+JOIN top3 ON top3.doc_id = tf.doc_id
+JOIN dfs d ON d.term = tf.term
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats s
+ORDER BY tf.doc_id, tf.term
+"""
+
+
+RELATEDNESS_FG = "spark"
+
+
+def relatedness_facet_docs(sf_dir: str) -> pa.Table:
+    """Semantic-knowledge-graph relatedness facet (upstream JSON Facet
+    ``relatedness()`` / ``RelatednessAgg`` [U], the popularity-delta
+    variant: fg_pop − bg_pop with fg = docs matching '{fg}'): ONE
+    tokenize pass, per-batch partial (term, df, fg_df) counts + a
+    sentinel row carrying (n_docs, fg_docs), tiny groupby-sum, top-10
+    by relatedness. Ratios are single f64 divisions of exact integers
+    → bit-reproducible in SQL."""
+    from engine.analysis import Analyzer
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        an = Analyzer(None, False)
+        offsets, codes, vocab, _, _ = an.analyze_encoded(b["text"])
+        n_docs = len(offsets) - 1
+        if not len(codes):
+            return pa.table({"term": pa.array([""], type=pa.string()),
+                             "df": pa.array([n_docs], type=pa.int64()),
+                             "fg": pa.array([0], type=pa.int64())})
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        pair = np.unique(codes.astype(np.int64) * n_docs + doc_of)
+        t, d = pair // n_docs, pair % n_docs
+        fgdoc = np.zeros(n_docs, dtype=bool)
+        hit = np.nonzero(vocab == RELATEDNESS_FG)[0]
+        if len(hit):
+            fgdoc[d[t == hit[0]]] = True
+        df = np.bincount(t, minlength=len(vocab)).astype(np.int64)
+        fg = np.bincount(t[fgdoc[d]],
+                         minlength=len(vocab)).astype(np.int64)
+        return pa.table({
+            "term": pa.array(np.concatenate((vocab, [""])),
+                             type=pa.string()),
+            "df": pa.array(np.concatenate((df, [n_docs]))),
+            "fg": pa.array(np.concatenate((fg, [int(fgdoc.sum())])))})
+
+    agg = _to_table(ds.map_batches(part, batch_format="pyarrow")
+                    .groupby("term").sum(["df", "fg"]))
+    term = np.asarray(agg["term"].to_pandas(), dtype=object)
+    df = agg["sum(df)"].to_numpy()
+    fg = agg["sum(fg)"].to_numpy()
+    sent = term == ""
+    n, fgn = int(df[sent][0]), int(fg[sent][0])
+    keep = (~sent) & (df >= 5)
+    term, df, fg = term[keep], df[keep], fg[keep]
+    rel = fg.astype(np.float64) / np.float64(fgn) \
+        - df.astype(np.float64) / np.float64(n)
+    order = np.lexsort((term, -rel))[:10]
+    return pa.table({
+        "term": pa.array(term[order], type=pa.string()),
+        "fg_df": pa.array(fg[order], type=pa.int64()),
+        "df": pa.array(df[order], type=pa.int64()),
+        "relatedness": pa.array(rel[order], type=pa.float64())})
+
+
+SQL_RELATEDNESS = f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, term FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)),
+fgd AS (SELECT DISTINCT doc_id FROM td WHERE term = '{RELATEDNESS_FG}'),
+sizes AS (
+  SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n,
+         (SELECT COUNT(*) FROM fgd)::BIGINT AS fgn),
+pt AS (
+  SELECT td.term, COUNT(*)::BIGINT AS df,
+         COUNT(fgd.doc_id)::BIGINT AS fg_df
+  FROM td LEFT JOIN fgd ON fgd.doc_id = td.doc_id
+  GROUP BY td.term)
+SELECT term, fg_df, df,
+       fg_df::DOUBLE / fgn::DOUBLE - df::DOUBLE / n::DOUBLE
+         AS relatedness
+FROM pt CROSS JOIN sizes WHERE df >= 5
+ORDER BY relatedness DESC, term LIMIT 10
+"""
+
+
+def kmeans_iterate_embeddings(sf_dir: str) -> pa.Table:
+    """Full k-means Lloyd iteration (upstream streaming ``kmeans()``
+    [U]): assign → centroid update → re-assign, all in EXACT integer
+    arithmetic so SQL reproduces it bit-for-bit. Embeddings quantize
+    to non-negative shifted milli-units (q = floor(e·1000 + 0.5) +
+    1000 ≥ 0 — the shift cancels in every distance and makes integer
+    floor-division agree across engines); updated centroids re-quantize
+    via round-half-up (2s + n) // (2n). Both passes stream: per-batch
+    partial (cluster, pos, sum) then (cluster, n, cost) aggregates."""
+    cents = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"], filters=[("vec_id", "<", KMEANS_K)])
+    cm = np.stack([np.asarray(v, dtype=np.float32)
+                   for v in cents.sort_by("vec_id")["embedding"]
+                   .to_pylist()])
+    c0 = (np.floor(cm.astype(np.float64) * 1000.0 + 0.5)
+          .astype(np.int64) + 1000)
+    c0_ref = ray.put(c0)
+    dim = c0.shape[1]
+
+    def quant(b: pa.Table) -> np.ndarray:
+        emb = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
+        return (np.floor(emb.astype(np.float64) * 1000.0 + 0.5)
+                .astype(np.int64) + 1000)
+
+    def part_sums(b: pa.Table) -> pa.Table:
+        c = ray.get(c0_ref)
+        q = quant(b)
+        lab = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2) \
+            .argmin(axis=1)
+        n = np.bincount(lab, minlength=KMEANS_K).astype(np.int64)
+        s = np.zeros((KMEANS_K, dim), dtype=np.int64)
+        np.add.at(s, lab, q)
+        cl = np.repeat(np.arange(KMEANS_K, dtype=np.int64), dim)
+        return pa.table({
+            "cluster": pa.array(cl),
+            "pos": pa.array(np.tile(np.arange(1, dim + 1,
+                                              dtype=np.int64), KMEANS_K)),
+            "s": pa.array(s.reshape(-1)),
+            "n": pa.array(np.repeat(n, dim))})
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    agg1 = _to_table(ds.map_batches(part_sums, batch_format="pyarrow")
+                     .groupby(["cluster", "pos"]).sum(["s", "n"]))
+    c1 = c0.copy()
+    for row in agg1.to_pylist():
+        k, p = int(row["cluster"]), int(row["pos"]) - 1
+        s, n = int(row["sum(s)"]), int(row["sum(n)"])
+        if n:
+            c1[k, p] = (2 * s + n) // (2 * n)
+    c1_ref = ray.put(c1)
+
+    def assign2(b: pa.Table) -> pa.Table:
+        c = ray.get(c1_ref)
+        q = quant(b)
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        cost = d[np.arange(len(lab)), lab]
+        n = np.bincount(lab, minlength=KMEANS_K)
+        csum = np.zeros(KMEANS_K, dtype=np.int64)
+        np.add.at(csum, lab, cost)
+        return pa.table({
+            "cluster": pa.array(np.arange(KMEANS_K), type=pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+            "cost": pa.array(csum, type=pa.int64())})
+
+    t = _to_table(ds.map_batches(assign2, batch_format="pyarrow")
+                  .groupby("cluster").sum(["n", "cost"]))
+    t = _rename(t, {"sum(n)": "n", "sum(cost)": "cost"})
+    return t.sort_by("cluster")
+
+
+SQL_KMEANS_ITERATE = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         FLOOR(unnest(embedding)::DOUBLE * 1000.0 + 0.5)::BIGINT + 1000
+           AS qv
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, pos, qv AS cv FROM q
+       WHERE vec_id < {KMEANS_K}),
+d1 AS (
+  SELECT q.vec_id, c0.cid,
+         SUM((q.qv - c0.cv) * (q.qv - c0.cv))::BIGINT AS dist
+  FROM q JOIN c0 ON c0.pos = q.pos GROUP BY q.vec_id, c0.cid),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1),
+sums AS (
+  SELECT a1.cid, q.pos, SUM(q.qv)::BIGINT AS s,
+         COUNT(*)::BIGINT AS n
+  FROM q JOIN a1 ON a1.vec_id = q.vec_id GROUP BY a1.cid, q.pos),
+c1 AS (
+  -- empty clusters keep their previous centroid (engine guard parity)
+  SELECT c0.cid, c0.pos,
+         CASE WHEN sums.n IS NULL THEN c0.cv
+              ELSE (2 * sums.s + sums.n) // (2 * sums.n) END AS cv
+  FROM c0 LEFT JOIN sums
+    ON sums.cid = c0.cid AND sums.pos = c0.pos),
+d2 AS (
+  SELECT q.vec_id, c1.cid,
+         SUM((q.qv - c1.cv) * (q.qv - c1.cv))::BIGINT AS dist
+  FROM q JOIN c1 ON c1.pos = q.pos GROUP BY q.vec_id, c1.cid),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1)
+SELECT cid::BIGINT AS cluster, COUNT(*)::BIGINT AS n,
+       SUM(dist)::BIGINT AS cost
+FROM a2 GROUP BY cid ORDER BY cid
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -3486,6 +3744,9 @@ def queries() -> dict:
         "soundex_stats": soundex_stats,
         "regression_stats_events": regression_stats_events,
         "kmeans_assign_embeddings": kmeans_assign_embeddings,
+        "explain_topk_docs": explain_topk_docs,
+        "relatedness_facet_docs": relatedness_facet_docs,
+        "kmeans_iterate_embeddings": kmeans_iterate_embeddings,
     }
 
 
@@ -3599,6 +3860,9 @@ def oracle_sql() -> dict:
         "soundex_stats": SQL_SOUNDEX_STATS,
         "regression_stats_events": SQL_REGRESSION_STATS,
         "kmeans_assign_embeddings": SQL_KMEANS_ASSIGN,
+        "explain_topk_docs": sql_explain_topk(),
+        "relatedness_facet_docs": SQL_RELATEDNESS,
+        "kmeans_iterate_embeddings": SQL_KMEANS_ITERATE,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -565,3 +565,24 @@ def test_score_nodes_empty_frontier(ray_session):
     t = gr.score_nodes(edges, "src", "dst",
                        pa.array([], type=pa.int64()))
     assert t.num_rows == 0 and t.column_names == ["node", "cnt", "score"]
+
+
+def test_daemon_service_mode_wall_clock():
+    """start()/stop() run ticks on a background thread at the
+    configured interval (the reference daemon's long-lived service)."""
+    import time
+
+    from engine.ops.relational import DaemonRunner
+
+    ticks = []
+    d = DaemonRunner(lambda: ticks.append(time.monotonic()),
+                     interval_sec=0.02)
+    d.start()
+    time.sleep(0.15)
+    n = d.stop()
+    assert n >= 3, f"expected >=3 wall-clock ticks, got {n}"
+    assert d.iterations == n
+    # idempotent start after stop
+    d.start()
+    time.sleep(0.05)
+    assert d.stop() > n

@@ -566,3 +566,21 @@ def test_term_range_matches_explicit_constant_score(reader):
 
 def test_term_range_empty_range(reader):
     assert reader.term_range_topk("zzz", "zzzz", k=5).num_rows == 0
+
+
+def test_explain_contributions_sum_to_score():
+    """Per-term explain contributions (f64-summed then f32-cast, the
+    engine's accumulation discipline) reproduce each top doc's score."""
+    from engine.registry import BM25_QUERY, explain_topk_docs
+    from engine.registry import cached_doc_index
+    from engine.query import IndexReader
+
+    sf = "/root/testdata/sf0.001"
+    exp = explain_topk_docs(sf).to_pandas()
+    r = IndexReader(cached_doc_index(sf, analyzed=False))
+    top = r.bmw_topk(BM25_QUERY, 3).to_pandas()
+    for _, row in top.iterrows():
+        per = exp[exp["doc_id"] == row["doc_id"]]
+        s = np.float32(sum(np.float64(c) for c in
+                           sorted(per["contrib"].astype(np.float32))))
+        assert s == np.float32(row["score"])
