@@ -992,6 +992,61 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def span_not_topk(self, include: str, exclude: str, dist: int = 1,
+                      k: int = 10) -> pa.Table:
+        """SpanNotQuery (upstream ``L/search/spans/SpanNotQuery`` [U],
+        single-term spans with symmetric pre/post = ``dist``):
+        occurrences of ``include`` with NO ``exclude`` occurrence
+        within ``dist`` positions in the same doc; BM25 over the
+        surviving occurrence count, weight = include's idf."""
+        subs = self.lookup([include])[include]
+        if not subs:
+            return _topdocs_table([], [])
+        w = idf(self.N, self.global_df(subs))
+        inc_rows = self._lookup_positions(include)
+        exc_rows = (self._lookup_positions(exclude)
+                    if self.lookup([exclude])[exclude] else [])
+        max_pos = 0
+        for rows in (inc_rows, exc_rows):
+            for _, _, _, fp in rows:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        SHIFT = np.int64(1 << 21)
+        while int(SHIFT) <= max_pos + dist + 1:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
+            raise OverflowError("span_not key space overflow")
+
+        def keys_of(rows):
+            parts, norm = [], {}
+            for docs, tfs, norms, fp in rows:
+                parts.append(np.repeat(docs, tfs) * SHIFT + fp)
+                for d, nb in zip(docs, norms):
+                    norm[int(d)] = int(nb)
+            keys = (np.sort(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64))
+            return keys, norm
+
+        a_keys, doc_norm = keys_of(inc_rows)
+        b_keys, _ = keys_of(exc_rows)
+        if len(b_keys):
+            lo = np.searchsorted(b_keys, a_keys - dist, side="left")
+            hi = np.searchsorted(b_keys, a_keys + dist, side="right")
+            a_keys = a_keys[hi == lo]   # no exclude span within dist
+        if not len(a_keys):
+            return _topdocs_table([], [])
+        docs = (a_keys // SHIFT).astype(np.int64)
+        uniq, freq = np.unique(docs, return_counts=True)
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, freq = uniq[keep], freq[keep]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        norms = np.array([doc_norm[int(d)] for d in uniq], dtype=np.uint8)
+        final = _clause_scores(freq, norms, w, self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
     def expand_prefix(self, prefix: str) -> list[str]:
         """Prefix range over the sorted memoized dictionary (bisect)."""
         import bisect

@@ -3628,6 +3628,143 @@ FROM a2 GROUP BY cid ORDER BY cid
 """
 
 
+SPAN_NOT = ("merge", "group", 1)
+
+
+def span_not_topk_docs(sf_dir: str) -> pa.Table:
+    """SpanNotQuery: 'merge' occurrences with no 'group' within 1
+    position."""
+    r = _doc_reader(sf_dir)
+    inc, exc, dist = SPAN_NOT
+    return _topdocs_out(r.span_not_topk(inc, exc, dist=dist, k=10))
+
+
+def sql_span_not() -> str:
+    inc, exc, dist = SPAN_NOT
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a
+  WHERE a.tok = '{inc}' AND NOT EXISTS (
+    SELECT 1 FROM pos b
+    WHERE b.doc_id = a.doc_id AND b.tok = '{exc}'
+      AND abs(a.p - b.p) <= {dist})
+  GROUP BY a.doc_id),
+dfq AS (
+  SELECT COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf
+  WHERE term = '{inc}'),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(
+      CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN dfq d)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+RRF_K = 60
+RRF_N = 50
+
+
+def hybrid_rrf_docs(sf_dir: str) -> pa.Table:
+    """Hybrid lexical+vector search via Reciprocal Rank Fusion
+    (upstream Solr 9 ``combiner=rrf`` / the published RRF method
+    [Cormack et al. 2009]): BM25 top-50 over the documents index fused
+    with cosine top-50 over the aligned embeddings (vec_id ≡ doc_id),
+    score = Σ 1/(60 + rank). Both rank lists are independently
+    SQL-oracled subsystems; the fusion arithmetic is two single f64
+    divisions + one add, so the oracle is bit-exact."""
+    r = _doc_reader(sf_dir)
+    top = r.bmw_topk(BM25_QUERY, RRF_N)
+    bm = {int(d): int(rk) for rk, d in
+          zip(top["rank"].to_pylist(), top["doc_id"].to_pylist())}
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    qm = vec._emb_matrix(emb.filter(
+        pc.equal(emb["vec_id"], 0))["embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    kn = vec.knn_brute(ds, "embedding", "vec_id", qm, k=RRF_N)
+    kd = {int(d): int(rk) for rk, d in
+          zip(kn["rank"].to_pylist(), kn["vec_id"].to_pylist())}
+    ids = sorted(set(bm) | set(kd))
+    score = np.zeros(len(ids), dtype=np.float64)
+    for i, d in enumerate(ids):
+        a = 1.0 / np.float64(RRF_K + bm[d]) if d in bm else 0.0
+        b = 1.0 / np.float64(RRF_K + kd[d]) if d in kd else 0.0
+        score[i] = a + b
+    ids_a = np.array(ids, dtype=np.int64)
+    order = np.lexsort((ids_a, -score))[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        "doc_id": pa.array(ids_a[order], type=pa.int64()),
+        "rrf": pa.array(score[order], type=pa.float64())})
+
+
+def sql_hybrid_rrf() -> str:
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return f"""{_sql_scored(terms_sql)},
+bmr AS (
+  SELECT doc_id, (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)
+         AS brank
+  FROM scored ORDER BY score DESC, doc_id LIMIT {RRF_N}),
+knr AS (
+  SELECT vec_id AS doc_id,
+         (ROW_NUMBER() OVER (
+            ORDER BY list_cosine_similarity(
+              (SELECT embedding FROM embeddings WHERE vec_id = 0),
+              embedding) DESC, vec_id) - 1) AS krank
+  FROM embeddings
+  ORDER BY krank LIMIT {RRF_N}),
+fused AS (
+  SELECT COALESCE(bmr.doc_id, knr.doc_id) AS doc_id,
+         (CASE WHEN brank IS NULL THEN 0.0
+               ELSE 1.0 / ({RRF_K} + brank)::DOUBLE END)
+         + (CASE WHEN krank IS NULL THEN 0.0
+                 ELSE 1.0 / ({RRF_K} + krank)::DOUBLE END) AS rrf
+  FROM bmr FULL OUTER JOIN knr ON knr.doc_id = bmr.doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+INFIX = "ar"
+
+
+def suggest_infix_docs(sf_dir: str) -> pa.Table:
+    """Analyzing-infix suggester (upstream
+    ``AnalyzingInfixSuggester`` [U]): dictionary terms CONTAINING the
+    fragment, ranked by df (weight), term tie-break."""
+    r = _doc_reader(sf_dir)
+    terms = [t for t in r.vocabulary() if INFIX in t]
+    if not terms:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "df": pa.array([], type=pa.int64())})
+    dfs = r._df_of(terms)
+    rows = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "term": pa.array([t for t, _ in rows], type=pa.string()),
+        "df": pa.array([d for _, d in rows], type=pa.int64())})
+
+
+SQL_SUGGEST_INFIX = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks
+WHERE term LIKE '%{INFIX}%'
+GROUP BY term ORDER BY df DESC, term LIMIT 10
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -3747,6 +3884,9 @@ def queries() -> dict:
         "explain_topk_docs": explain_topk_docs,
         "relatedness_facet_docs": relatedness_facet_docs,
         "kmeans_iterate_embeddings": kmeans_iterate_embeddings,
+        "span_not_topk_docs": span_not_topk_docs,
+        "hybrid_rrf_docs": hybrid_rrf_docs,
+        "suggest_infix_docs": suggest_infix_docs,
     }
 
 
@@ -3863,6 +4003,9 @@ def oracle_sql() -> dict:
         "explain_topk_docs": sql_explain_topk(),
         "relatedness_facet_docs": SQL_RELATEDNESS,
         "kmeans_iterate_embeddings": SQL_KMEANS_ITERATE,
+        "span_not_topk_docs": sql_span_not(),
+        "hybrid_rrf_docs": sql_hybrid_rrf(),
+        "suggest_infix_docs": SQL_SUGGEST_INFIX,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -584,3 +584,37 @@ def test_explain_contributions_sum_to_score():
         s = np.float32(sum(np.float64(c) for c in
                            sorted(per["contrib"].astype(np.float32))))
         assert s == np.float32(row["score"])
+
+
+def test_span_not_recount(reader, smoke_corpus):
+    """SpanNot survivors == brute recount: include positions with no
+    exclude position within dist."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    inc, exc, dist = "index", "merge", 2
+    res = reader.span_not_topk(inc, exc, dist=dist, k=100000)
+    got = set(res["doc_id"].to_pylist())
+    corpus, _ = smoke_corpus
+    tabs = [pq.read_table(f) for f in sorted(
+        glob.glob(corpus + "/*.parquet"))]
+    rows = pa.concat_tables(tabs).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    expect = set()
+    for d, text in enumerate(rows["text"].to_pylist()):
+        toks = reader.analyzer.analyze_text(text)
+        a = [p for t, p in toks if t == inc]
+        b = [p for t, p in toks if t == exc]
+        if any(all(abs(p - q) > dist for q in b) for p in a):
+            expect.add(d)
+    assert got == expect
+
+
+def test_span_not_missing_exclude_equals_term(reader):
+    """Absent exclude term → SpanNot degenerates to the plain term
+    scorer (same docs, same scores)."""
+    a = reader.span_not_topk("index", "qqqzz", k=30)
+    b = reader.brute_force_topk("index", 30)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
