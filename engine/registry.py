@@ -3765,6 +3765,64 @@ GROUP BY term ORDER BY df DESC, term LIMIT 10
 """
 
 
+PAYLOAD_TERM = "spark"
+
+
+def _payload_store(sf_dir: str) -> str:
+    """Derived payload corpus + store, cached per sf_dir: every token
+    of documents.text becomes ``token|((pos % 7) + 1)`` — a
+    deterministic per-occurrence payload the SQL oracle can recompute
+    from the ORIGINAL table — then the delimited-payload ingest builds
+    the bucket-partitioned payload store."""
+    from engine.ops import payload as pl
+
+    key = hashlib.md5(f"{sf_dir}|pay|v1".encode()).hexdigest()[:12]
+    root = os.path.join("/tmp/rayindex_cache", f"pay_{key}")
+    src = os.path.join(root, "src")
+    store = os.path.join(root, "store")
+    if os.path.exists(os.path.join(store, "_DONE")):
+        return store
+    os.makedirs(root, exist_ok=True)
+
+    def derive(b: pa.Table) -> pa.Table:
+        tl = pc.split_pattern_regex(b["text"], "[^A-Za-z0-9]+")
+        out = []
+        for toks in tl.to_pylist():
+            kept = [t for t in toks if t]
+            out.append(" ".join(f"{t}|{(i % 7) + 1}"
+                                for i, t in enumerate(kept)))
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pa.array(out, type=pa.string())})
+
+    _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(derive, batch_format="pyarrow").write_parquet(src)
+    pl.build_payload_index(src, store)
+    return store
+
+
+def payload_score_topk_docs(sf_dir: str) -> pa.Table:
+    """DelimitedPayloadTokenFilter + PayloadScoreQuery(sum,
+    includeSpanScore=false) over the dedicated payload store (the
+    ``.pay`` posting-file analog)."""
+    from engine.ops import payload as pl
+
+    store = _payload_store(sf_dir)
+    t = pl.payload_score_topk(store, PAYLOAD_TERM, k=10, agg="sum")
+    return _cast_col(t, "rank", pa.int64())
+
+
+SQL_PAYLOAD_SCORE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+pos AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+        FROM toks),
+occ AS (SELECT doc_id, SUM((p % 7) + 1)::DOUBLE AS s FROM pos
+        WHERE tok = '{PAYLOAD_TERM}' GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, CAST(s AS FLOAT) AS score
+FROM occ ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -3887,6 +3945,7 @@ def queries() -> dict:
         "span_not_topk_docs": span_not_topk_docs,
         "hybrid_rrf_docs": hybrid_rrf_docs,
         "suggest_infix_docs": suggest_infix_docs,
+        "payload_score_topk_docs": payload_score_topk_docs,
     }
 
 
@@ -4006,6 +4065,7 @@ def oracle_sql() -> dict:
         "span_not_topk_docs": sql_span_not(),
         "hybrid_rrf_docs": sql_hybrid_rrf(),
         "suggest_infix_docs": SQL_SUGGEST_INFIX,
+        "payload_score_topk_docs": SQL_PAYLOAD_SCORE,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

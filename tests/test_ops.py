@@ -586,3 +586,31 @@ def test_daemon_service_mode_wall_clock():
     d.start()
     time.sleep(0.05)
     assert d.stop() > n
+
+
+def test_payload_store_sum_max_and_default(ray_session, tmp_path):
+    """Delimited-payload ingest + PayloadScoreQuery: sum/max aggs,
+    default payload for undelimited tokens, docID tie-break."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import payload as pl
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["cat|2.0 dog|1 cat|3.5",
+                          "cat dog|4",      # cat → default 1.0
+                          "bird|9"])}), src / "p.parquet")
+    store = str(tmp_path / "store")
+    pl.build_payload_index(str(src), store, default=1.0)
+    s = pl.payload_score_topk(store, "cat", k=10, agg="sum")
+    assert s["doc_id"].to_pylist() == [0, 1]
+    assert s["score"].to_pylist() == [np.float32(5.5), np.float32(1.0)]
+    m = pl.payload_score_topk(store, "cat", k=10, agg="max")
+    assert m["score"].to_pylist() == [np.float32(3.5), np.float32(1.0)]
+    assert pl.payload_score_topk(store, "zebra", k=3).num_rows == 0
+    # rebuild is a no-op (manifest marker)
+    assert pl.build_payload_index(str(src), store) == store
