@@ -3823,6 +3823,177 @@ FROM occ ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+PACK_BIN = 256   # tokens per training-sequence bin
+
+
+def sequence_pack_docs(sf_dir: str) -> pa.Table:
+    """Sequence packing for LLM training batches: docs in doc_id order
+    are packed into ~PACK_BIN-token bins, bin = exclusive-prefix-sum
+    of token counts // PACK_BIN — the distributed SCAN pattern: pass 1
+    computes per-block token sums (tiny), the driver prefix-sums BLOCK
+    offsets, pass 2 assigns bins with each block's broadcast offset.
+    No global sort/shuffle (input is already doc_id-ordered parquet),
+    driver work is O(blocks)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    pf = pq.ParquetFile(path)
+
+    def tokcount(tab: pa.Table) -> np.ndarray:
+        toks = pc.split_pattern_regex(pc.utf8_lower(tab["text"]),
+                                      "[^a-z0-9]+")
+        toks = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        o = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        per = np.diff(o)
+        flat = toks.values
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        # subtract empty tokens per doc
+        doc_of = np.repeat(np.arange(len(per)), per)
+        empt = np.bincount(doc_of[~nonempty], minlength=len(per))
+        return per - empt
+
+    @ray.remote
+    def block_sum(p: str, g: int) -> int:
+        tab = pq.ParquetFile(p).read_row_group(g, columns=["text"])
+        return int(tokcount(tab).sum())
+
+    @ray.remote
+    def assign(p: str, g: int, off: int) -> pa.Table:
+        tab = pq.ParquetFile(p).read_row_group(
+            g, columns=["doc_id", "text"])
+        n = tokcount(tab)
+        csum = np.concatenate(([0], np.cumsum(n)[:-1])) + off
+        return pa.table({
+            "doc_id": tab["doc_id"],
+            "n_tokens": pa.array(n, type=pa.int64()),
+            "bin": pa.array(csum // PACK_BIN, type=pa.int64())})
+
+    # pass 1: per-row-group token sums, in parallel (row groups ARE
+    # the blocks); driver prefix-sum is O(blocks), not O(rows)
+    sums = ray.get([block_sum.remote(path, g)
+                    for g in range(pf.num_row_groups)])
+    offs = np.concatenate(([0], np.cumsum(sums)[:-1])).astype(np.int64)
+    # pass 2: per-block bin assignment with the broadcast offset
+    out = ray.get([assign.remote(path, g, int(offs[g]))
+                   for g in range(pf.num_row_groups)])
+    return pa.concat_tables(out).sort_by("doc_id")
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, len({_SQL_TOKS})::BIGINT AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+       (COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // {PACK_BIN})::BIGINT AS bin
+FROM t ORDER BY doc_id
+"""
+
+
+def seeded_shuffle_docs(sf_dir: str) -> pa.Table:
+    """Deterministic global shuffle for training-data export (the
+    reproducible alternative to ``random_shuffle``): order = md5 of
+    the doc id — stable across runs/cluster sizes, uniform, and
+    SQL-checkable. Hashing rides a map_batches pass over the narrow id
+    column; the order-by is the one shuffle the op exists to do."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(b: pa.Table) -> pa.Table:
+        ks = [hashlib.md5(str(i).encode()).hexdigest()
+              for i in b["doc_id"].to_pylist()]
+        return b.append_column("shuffle_key",
+                               pa.array(ks, type=pa.string()))
+
+    t = _to_table(ds.map_batches(key, batch_format="pyarrow")
+                  .sort("shuffle_key").limit(20))
+    t = t.append_column("position", pa.array(
+        np.arange(t.num_rows, dtype=np.int64)))
+    return t.select(["position", "doc_id", "shuffle_key"])
+
+
+SQL_SEEDED_SHUFFLE = """
+SELECT (ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR)) - 1)::BIGINT
+         AS position,
+       doc_id, md5(doc_id::VARCHAR) AS shuffle_key
+FROM documents ORDER BY position LIMIT 20
+"""
+
+REDACT_PATTERNS = (
+    (r"[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]", "<SSN>"),
+    (r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", "<EMAIL>"),
+    # synthetic corpus has no digits; this shape fires so the oracle
+    # comparison is non-vacuous
+    (r"\bspark merge\b", "<PIPELINE>"),
+)
+
+
+def redact_docs(sf_dir: str) -> pa.Table:
+    """PII-style redaction stage for training-data curation: RE2
+    regexes (Arrow kernel ≡ DuckDB) replace SSN/email shapes; returns
+    the docs whose text changed. Pure vectorized
+    ``replace_substring_regex`` per batch — no Python in the loop."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def red(b: pa.Table) -> pa.Table:
+        orig = b["text"]
+        t = orig
+        for pat, rep in REDACT_PATTERNS:
+            t = pc.replace_substring_regex(t, pat, rep)
+        changed = pc.invert(pc.equal(t, orig))
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": t}).filter(changed)
+
+    t = _to_table(ds.map_batches(red, batch_format="pyarrow"))
+    return t.sort_by("doc_id")
+
+
+def _sql_redact() -> str:
+    expr = "text"
+    for pat, rep in REDACT_PATTERNS:
+        p = pat.replace("'", "''")  # SQL strings keep backslashes as-is
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return f"""
+WITH r AS (SELECT doc_id, {expr} AS rtext, text FROM documents)
+SELECT doc_id, rtext AS text FROM r WHERE rtext <> text ORDER BY doc_id
+"""
+
+
+def scale_query_topk(sf_dir: str) -> pa.Table:
+    """``scale()`` function query (upstream Solr ``scale(query(...),
+    0, 1)`` / ``ScaleFloatFunction`` [U]): min-max normalize every
+    BM25 match score into [0, 1] as float32 — needs the global
+    min/max, i.e. a full-match pass then a rescale (exactly how the
+    upstream two-phase value source works)."""
+    r = _doc_reader(sf_dir)
+    hits = r.topk(BM25_QUERY, k=1_000_000)
+    s = hits["score"].to_numpy()
+    lo = np.float32(s.min())
+    hi = np.float32(s.max())
+    scaled = ((s.astype(np.float64) - np.float64(lo))
+              / (np.float64(hi) - np.float64(lo))).astype(np.float32)
+    docs = hits["doc_id"].to_numpy()
+    order = np.lexsort((docs, -scaled.astype(np.float64)))[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        "doc_id": pa.array(docs[order], type=pa.int64()),
+        "score": pa.array(scaled[order], type=pa.float32())})
+
+
+def sql_scale_query() -> str:
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return f"""{_sql_scored(terms_sql)},
+mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM scored),
+sc AS (
+  SELECT doc_id,
+         CAST((score::DOUBLE - lo::DOUBLE) / (hi::DOUBLE - lo::DOUBLE)
+              AS FLOAT) AS score
+  FROM scored CROSS JOIN mm)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -3946,6 +4117,10 @@ def queries() -> dict:
         "hybrid_rrf_docs": hybrid_rrf_docs,
         "suggest_infix_docs": suggest_infix_docs,
         "payload_score_topk_docs": payload_score_topk_docs,
+        "sequence_pack_docs": sequence_pack_docs,
+        "seeded_shuffle_docs": seeded_shuffle_docs,
+        "redact_docs": redact_docs,
+        "scale_query_topk": scale_query_topk,
     }
 
 
@@ -4066,6 +4241,10 @@ def oracle_sql() -> dict:
         "hybrid_rrf_docs": sql_hybrid_rrf(),
         "suggest_infix_docs": SQL_SUGGEST_INFIX,
         "payload_score_topk_docs": SQL_PAYLOAD_SCORE,
+        "sequence_pack_docs": SQL_SEQUENCE_PACK,
+        "seeded_shuffle_docs": SQL_SEEDED_SHUFFLE,
+        "redact_docs": _sql_redact(),
+        "scale_query_topk": sql_scale_query(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
