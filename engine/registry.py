@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -3994,6 +3995,242 @@ FROM sc ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def _md5_64(values) -> np.ndarray:
+    """64-bit hash matching DuckDB ``md5_number_lower(v::VARCHAR)``:
+    little-endian uint64 of md5-digest bytes 8..16 (verified against
+    DuckDB 1.x). Gives every hash-based op an exact SQL oracle."""
+    return np.fromiter(
+        (struct.unpack("<Q",
+                       hashlib.md5(str(v).encode()).digest()[8:])[0]
+         for v in values),
+        dtype=np.uint64, count=len(values))
+
+
+HLL_MD5_P = 8                      # 2^8 = 256 registers per group
+_HLL_M = 1 << HLL_MD5_P
+# raw-estimator numerator precomputed ONCE so Ray and DuckDB share the
+# exact float64 constant (repr round-trips); no libm call on either
+# side — the only float ops left are one cast and one division, both
+# IEEE-determined, so the oracle comparison is exact.
+_HLL_NUM = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M \
+    * float(1 << 57)
+
+
+def hll_md5_distinct_users(sf_dir: str) -> pa.Table:
+    """HLL distinct users per event_type with an EXACT SQL oracle
+    (upstream ``HLLAgg`` semantics, SURVEY §2.5): md5-based 64-bit
+    hash, high-8-bit register index, rho = trailing-zeros+1 of the low
+    56 bits, raw (uncorrected) estimator. DuckDB reproduces the exact
+    registers via ``md5_number_lower`` + ``bit_count``, so unlike the
+    splitmix64 entry (``hll_distinct_users``, rows-only) this one is
+    value-checked. Shuffle moves only (type, idx, rho) partials —
+    fixed-size regardless of cardinality, the point of HLL at 100 TB.
+    Accuracy note: raw estimator is biased low at small cardinality
+    (linear counting deliberately omitted: its ``ln`` is not
+    ulp-reproducible across libms); the splitmix64 entry keeps the
+    corrected estimate."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    p = HLL_MD5_P
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = _md5_64(b["user_id"].to_pylist())
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h & np.uint64((1 << (64 - p)) - 1)
+        nz = rest != 0
+        low = (rest & (~rest + np.uint64(1))).astype(np.float64)
+        # low is an exact power of two -> frexp exponent k+1 == rho
+        rho = np.where(nz, np.frexp(low)[1].astype(np.int64),
+                       64 - p + 1)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "idx": idx, "rho": rho})
+        g = df.groupby(["event_type", "idx"], as_index=False)["rho"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pa.Table) -> pa.Table:
+        regs = np.zeros(_HLL_M, dtype=np.int64)
+        np.maximum.at(regs, g["idx"].to_numpy(), g["rho"].to_numpy())
+        s = sum(1 << (57 - int(r)) for r in regs)  # exact Python int
+        n = int(np.floor(_HLL_NUM / float(s) + 0.5))
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "n_users_approx": pa.array([n], type=pa.int64())})
+
+    t = _to_table(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("event_type")
+                  .map_groups(final, batch_format="pyarrow"))
+    return t.sort_by("event_type")
+
+
+SQL_HLL_MD5 = f"""
+WITH h AS (
+  SELECT event_type, md5_number_lower(user_id::VARCHAR) AS hv
+  FROM events),
+r AS (
+  SELECT event_type, (hv >> {64 - HLL_MD5_P})::BIGINT AS idx,
+         hv & ((1::UBIGINT << {64 - HLL_MD5_P}) - 1::UBIGINT) AS rest
+  FROM h),
+rho AS (
+  -- sentinel bit 56 set: rest=0 then yields rho = 57 = 64-p+1, and
+  -- rest>0 is unaffected (rest < 2^56) -> no CASE, no 0-1 underflow
+  -- (DuckDB evaluates both CASE branches vectorized)
+  SELECT event_type, idx,
+         MAX(bit_count(xor(
+               (rest | (1::UBIGINT << {64 - HLL_MD5_P})),
+               (rest | (1::UBIGINT << {64 - HLL_MD5_P})) - 1::UBIGINT
+             )::BIGINT)::BIGINT) AS rho
+  FROM r GROUP BY event_type, idx),
+agg AS (
+  SELECT event_type, COUNT(*) AS np_,
+         SUM((1::BIGINT << (57 - rho))::HUGEINT) AS sp
+  FROM rho GROUP BY event_type)
+SELECT event_type,
+       CAST(FLOOR({_HLL_NUM!r} /
+         CAST(sp + (({_HLL_M} - np_)::HUGEINT
+                    * (1::BIGINT << 57)::HUGEINT) AS DOUBLE)
+         + 0.5) AS BIGINT) AS n_users_approx
+FROM agg ORDER BY event_type
+"""
+
+
+CONTAM_N = 3       # word-n-gram width (8-13 in prod; 3 suits the
+CONTAM_MOD = 97    # synthetic vocab) · eval set = doc_id % MOD == 0
+
+
+def contamination_ngram_docs(sf_dir: str) -> pa.Table:
+    """Benchmark-contamination check for training data: docs whose
+    word-{CONTAM_N}-grams overlap the held-out eval set (docs with
+    ``doc_id % CONTAM_MOD == 0``). Eval n-grams are collected once
+    (small side by construction) and broadcast via ``ray.put``; train
+    docs stream through ``map_batches`` counting DISTINCT overlapping
+    n-grams — no shuffle at all, the canonical broadcast-semi-join."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_side(b: pa.Table) -> pa.Table:
+        sub = b.filter(pa.array(b["doc_id"].to_numpy() % CONTAM_MOD == 0))
+        _, sh = dd._shingle_strings(sub["text"], CONTAM_N)
+        grams = sorted({g for arr in sh for g in arr})
+        return pa.table({"gram": pa.array(grams, type=pa.string())})
+
+    ev = _to_table(ds.map_batches(eval_side, batch_format="pyarrow"))
+    eval_set = frozenset(ev["gram"].to_pylist())
+    ref = ray.put(eval_set)
+
+    def hits(b: pa.Table) -> pa.Table:
+        es = ray.get(ref)
+        sub = b.filter(pa.array(b["doc_id"].to_numpy() % CONTAM_MOD != 0))
+        _, sh = dd._shingle_strings(sub["text"], CONTAM_N)
+        n = np.fromiter((sum(1 for g in arr if g in es) for arr in sh),
+                        dtype=np.int64, count=len(sh))
+        return pa.table({"doc_id": sub["doc_id"],
+                         "n_hits": pa.array(n)}).filter(
+            pc.greater(pa.array(n), 0))
+
+    return _to_table(ds.map_batches(hits, batch_format="pyarrow")) \
+        .sort_by("doc_id")
+
+
+SQL_CONTAM = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= {CONTAM_N}),
+ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % {CONTAM_MOD} = 0)
+SELECT s.doc_id, COUNT(*)::BIGINT AS n_hits
+FROM sh s JOIN ev USING (gram)
+WHERE s.doc_id % {CONTAM_MOD} <> 0
+GROUP BY s.doc_id ORDER BY doc_id
+"""
+
+
+REP_MIN_COUNT = 2   # flag docs whose top bigram repeats >= this
+
+
+def repetition_docs(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition quality rule: per doc, the count of its
+    most frequent word bigram (non-distinct). Docs with
+    ``top_bigram_count >= REP_MIN_COUNT`` are flagged for removal —
+    integer-only output so the oracle check is exact (the published
+    rule thresholds the ratio 2*top/n_tokens; both operands are
+    returned so any threshold is reproducible downstream). Pure
+    map_batches, no shuffle."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def top_bigram(b: pa.Table) -> pa.Table:
+        offs, flat = dd._flat_tokens(b["text"])
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        ids = b["doc_id"].to_numpy()
+        out_id, out_n, out_top = [], [], []
+        for i in range(len(offs) - 1):
+            t = toks[offs[i]:offs[i + 1]]
+            if len(t) < 2:
+                continue
+            bg = pd.Series([" ".join(p) for p in zip(t[:-1], t[1:])])
+            top = int(bg.value_counts().iloc[0])
+            if top >= REP_MIN_COUNT:
+                out_id.append(int(ids[i]))
+                out_n.append(len(t))
+                out_top.append(top)
+        return pa.table({
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "top_bigram_count": pa.array(out_top, type=pa.int64())})
+
+    return _to_table(ds.map_batches(top_bigram, batch_format="pyarrow")
+                     ).sort_by("doc_id")
+
+
+SQL_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+  FROM toks, unnest(range(1, len(ts))) AS r(i)
+  WHERE len(ts) >= 2),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c)::BIGINT AS top_bigram_count
+        FROM cnt GROUP BY doc_id)
+SELECT t.doc_id, len(k.ts)::BIGINT AS n_tokens, t.top_bigram_count
+FROM top t JOIN toks k USING (doc_id)
+WHERE t.top_bigram_count >= {REP_MIN_COUNT}
+ORDER BY doc_id
+"""
+
+
+def mixture_sample_docs(sf_dir: str) -> pa.Table:
+    """Deterministic domain-mixture sampler (the Pile/ROOTS mixture-
+    weights pattern): per-source Bernoulli keep with rate
+    ``(src_num % 4 + 1)/4``, decided by ``md5(doc_id) % 1000`` — a
+    hash-coin instead of RNG state, so the sample is identical across
+    runs, retries and cluster sizes (same property as
+    ``seeded_shuffle_docs``). Pure map_batches filter, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        h = _md5_64(b["doc_id"].to_pylist()) % np.uint64(1000)
+        src = np.fromiter(
+            (int(s[3:]) for s in b["source"].to_pylist()),
+            dtype=np.int64, count=b.num_rows)
+        rate = (src % 4 + 1) * 250
+        return b.filter(pa.array(h.astype(np.int64) < rate))
+
+    return _to_table(ds.map_batches(keep, batch_format="pyarrow")) \
+        .sort_by("doc_id")
+
+
+SQL_MIXTURE = """
+SELECT doc_id, source FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR) % 1000
+      < (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 250
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -4121,6 +4358,10 @@ def queries() -> dict:
         "seeded_shuffle_docs": seeded_shuffle_docs,
         "redact_docs": redact_docs,
         "scale_query_topk": scale_query_topk,
+        "hll_md5_distinct_users": hll_md5_distinct_users,
+        "contamination_ngram_docs": contamination_ngram_docs,
+        "repetition_docs": repetition_docs,
+        "mixture_sample_docs": mixture_sample_docs,
     }
 
 
@@ -4245,6 +4486,10 @@ def oracle_sql() -> dict:
         "seeded_shuffle_docs": SQL_SEEDED_SHUFFLE,
         "redact_docs": _sql_redact(),
         "scale_query_topk": sql_scale_query(),
+        "hll_md5_distinct_users": SQL_HLL_MD5,
+        "contamination_ngram_docs": SQL_CONTAM,
+        "repetition_docs": SQL_REPETITION,
+        "mixture_sample_docs": SQL_MIXTURE,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
