@@ -462,9 +462,62 @@ class SoundexFilter(TokenFilter):
         return {"type": "soundex"}
 
 
+class CommonGramsFilter(TokenFilter):
+    """Common-word bigrams (upstream ``CommonGramsFilter`` [U]):
+    unigrams pass through unchanged and, for every adjacent token pair
+    where EITHER member is a configured common word, a ``w0_w1``
+    bigram is additionally emitted at the first token's position —
+    phrase-speed for stopword-adjacent phrases without dropping the
+    stopwords. Vectorized like ShingleFilter: the pair mask is
+    computed on the batch VOCABULARY and gathered through codes."""
+
+    def __init__(self, common_words: list[str]):
+        self.common_words = sorted(set(common_words))
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        total = len(codes)
+        if total == 0 or not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        n_docs = len(offsets) - 1
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        doc_end = offsets[1:][doc_of]
+        idx = np.arange(total, dtype=np.int64)
+        is_common = np.isin(vocab, np.array(self.common_words,
+                                            dtype=object))
+        valid = idx + 2 <= doc_end
+        c0, c1 = codes, np.roll(codes, -1)
+        pair = valid & (is_common[c0] | is_common[c1])
+        if not pair.any():
+            return offsets, codes, vocab, positions, doc_lens
+        starts = idx[pair]
+        kt = np.stack([c0[starts], c1[starts]]).T
+        u, inv = np.unique(kt, axis=0, return_inverse=True)
+        joined = np.array(
+            [vocab[a] + "_" + vocab[b] for a, b in u], dtype=object)
+
+        doc_all = np.concatenate([doc_of, doc_of[starts]])
+        pos_all = np.concatenate([positions, positions[starts]]) \
+            .astype(np.int32)
+        term_all = np.concatenate([vocab[codes], joined[inv]])
+        order = np.lexsort((pos_all, doc_all))
+        doc_all, pos_all, term_all = \
+            doc_all[order], pos_all[order], term_all[order]
+        new_lens = np.bincount(doc_all, minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        uniq, inv2 = np.unique(term_all, return_inverse=True)
+        return new_offsets, inv2, uniq, pos_all, new_lens
+
+    def spec(self) -> dict:
+        return {"type": "common_grams", "common_words": self.common_words}
+
+
 def build_filter(spec: dict) -> TokenFilter:
     """Filter factory from a JSON spec (IndexConfig serialization)."""
     t = spec["type"]
+    if t == "common_grams":
+        return CommonGramsFilter(spec["common_words"])
     if t == "synonym":
         return SynonymFilter(spec["mapping"])
     if t == "shingle":

@@ -539,29 +539,37 @@ class IndexReader:
     def boolean_topk(self, must: list[str] | None = None,
                      should: list[str] | None = None,
                      must_not: list[str] | None = None,
-                     k: int = 10, min_should_match: int = 0) -> pa.Table:
-        """BooleanQuery MUST / SHOULD / MUST_NOT (upstream
-        ``L/search/BooleanQuery.java`` [U]): MUST terms intersect
-        (leapfrog ≡ vectorized np.intersect1d cascade), MUST_NOT docs
-        are masked out, scores sum MUST+SHOULD clause contributions;
-        ``min_should_match`` keeps docs matching ≥ m SHOULD terms
-        (upstream ``BooleanQuery.Builder#setMinimumNumberShouldMatch``).
+                     k: int = 10, min_should_match: int = 0,
+                     filters: list[str] | None = None) -> pa.Table:
+        """BooleanQuery MUST / SHOULD / MUST_NOT / FILTER (upstream
+        ``L/search/BooleanQuery.java``, ``Occur.FILTER`` [U]): MUST
+        terms intersect (leapfrog ≡ vectorized np.intersect1d
+        cascade), MUST_NOT docs are masked out, scores sum MUST+SHOULD
+        clause contributions; FILTER terms constrain the candidate set
+        exactly like MUST but contribute NO score (Lucene's cacheable
+        non-scoring clause); ``min_should_match`` keeps docs matching
+        ≥ m SHOULD terms (upstream
+        ``BooleanQuery.Builder#setMinimumNumberShouldMatch``).
         Terms are analyzed-form and deduplicated."""
         must = sorted(set(must or []))
         should = sorted(set(should or []))
         must_not = sorted(set(must_not or []))
-        subs = self.lookup(must + should + must_not)
-        if any(not subs[t] for t in must):
+        filters = sorted(set(filters or []))
+        subs = self.lookup(must + should + must_not + filters)
+        if any(not subs[t] for t in must + filters):
             return _topdocs_table([], [])
         clause: dict[str, tuple] = {
             t: self._clause_arrays(t, subs[t])
             for t in set(must + should) if subs[t]}
+        fdocs = {t: self._clause_arrays(t, subs[t])[0] for t in filters
+                 if t not in clause}
 
-        if must:
-            cand = clause[must[0]][0]
-            for t in must[1:]:
-                cand = np.intersect1d(cand, clause[t][0],
-                                      assume_unique=True)
+        req = [clause[t][0] for t in must] + \
+              [fdocs.get(t, clause.get(t, (None,))[0]) for t in filters]
+        if req:
+            cand = req[0]
+            for d in req[1:]:
+                cand = np.intersect1d(cand, d, assume_unique=True)
         else:
             cand = np.unique(np.concatenate(
                 [clause[t][0] for t in should if t in clause])) \

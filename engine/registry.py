@@ -4231,6 +4231,124 @@ ORDER BY doc_id
 """
 
 
+FILTER_SHOULD = ["spark", "merge"]
+FILTER_TERMS = ["window"]
+
+
+def filter_clause_topk(sf_dir: str) -> pa.Table:
+    """BooleanQuery ``Occur.FILTER`` (upstream
+    ``L/search/BooleanQuery.java`` [U]): the filter clause constrains
+    matches like MUST but contributes NO score, and with a FILTER
+    present the SHOULD clauses are purely optional — docs matching the
+    filter but zero SHOULD terms match at score 0 (Lucene's documented
+    occur semantics, the basis of Solr ``fq``)."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.boolean_topk(
+        should=FILTER_SHOULD, filters=FILTER_TERMS, k=10))
+
+
+SQL_FILTER_CLAUSE = f"""{_sql_scored(
+    "SELECT unnest(['merge','spark']) AS term")},
+cand AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'window'),
+fs AS (
+  SELECT c.doc_id, COALESCE(s.score, CAST(0.0 AS FLOAT)) AS score
+  FROM cand c LEFT JOIN scored s USING (doc_id))
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM fs ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def match_all_topk(sf_dir: str) -> pa.Table:
+    """MatchAllDocsQuery (upstream ``L/search/MatchAllDocsQuery.java``
+    [U], Solr ``*:*``): every doc matches at constant score = boost;
+    equal scores collect in docID order. No postings are consulted —
+    like upstream, this iterates the doc space directly."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    t = _to_table(rel.top_k(ds, [("doc_id", False)], 10))
+    n = t.num_rows
+    return pa.table({
+        "rank": pa.array(np.arange(n, dtype=np.int64)),
+        "doc_id": t["doc_id"],
+        "score": pa.array(np.full(n, 1.0, dtype=np.float32))})
+
+
+SQL_MATCH_ALL = """
+SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)::BIGINT AS rank,
+       doc_id, CAST(1.0 AS FLOAT) AS score
+FROM documents ORDER BY doc_id LIMIT 10
+"""
+
+
+SORT_FIELD_TERM = "spark"
+
+
+def sort_field_topk(sf_dir: str) -> pa.Table:
+    """Sort-by-field over search hits (upstream ``TopFieldCollector``
+    + ``SortField`` [U]): TermQuery matches come from the index's
+    postings, then rank by the ``n_chars`` docvalue DESC (docID
+    tie-break) instead of relevance — Lucene's ``IndexSearcher
+    .search(query, n, sort)``. The matching docID set is broadcast
+    once (``ray.put``) and the docvalue column streams through
+    ``map_batches``; no shuffle beyond the final top-k."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    subs = r.lookup([SORT_FIELD_TERM])
+    docs = (r._clause_arrays(SORT_FIELD_TERM, subs[SORT_FIELD_TERM])[0]
+            if subs[SORT_FIELD_TERM] else np.empty(0, np.int64))
+    ref = ray.put(np.sort(docs))
+
+    def probe(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        return b.filter(pa.array(np.isin(b["doc_id"].to_numpy(), d,
+                                         assume_unique=True)))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    t = _to_table(rel.top_k(ds.map_batches(probe, batch_format="pyarrow"),
+                            [("n_chars", True), ("doc_id", False)], 10))
+    return pa.table({
+        "rank": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        "doc_id": t["doc_id"], "n_chars": t["n_chars"]})
+
+
+SQL_SORT_FIELD = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{SORT_FIELD_TERM}')
+SELECT (ROW_NUMBER() OVER (ORDER BY d.n_chars DESC, d.doc_id) - 1)::BIGINT
+         AS rank,
+       d.doc_id, d.n_chars
+FROM documents d JOIN m USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+"""
+
+
+COMMON_WORDS = ["a", "the"]
+
+
+def common_grams_stats(sf_dir: str) -> pa.Table:
+    """CommonGramsFilter e2e (upstream ``CommonGramsFilter`` [U]):
+    stopword-adjacent ``w0_w1`` bigrams are indexed ALONGSIDE the
+    unigrams (phrase-speed for common-word phrases without dropping
+    them); stats read back for the ``the_*`` bigram family."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "common_grams",
+                  "common_words": sorted(COMMON_WORDS)},), "commongrams1")
+    t = _index_stats_of(idx)
+    return t.filter(pc.starts_with(t["term"], "the_"))
+
+
+SQL_COMMON_GRAMS = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT doc_id, ts[i] || '_' || ts[i+1] AS term
+  FROM toks, unnest(range(1, len(ts))) AS r(i)
+  WHERE ts[i] = 'the')
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df, COUNT(*)::BIGINT AS cf
+FROM bg GROUP BY term ORDER BY term
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -4362,6 +4480,10 @@ def queries() -> dict:
         "contamination_ngram_docs": contamination_ngram_docs,
         "repetition_docs": repetition_docs,
         "mixture_sample_docs": mixture_sample_docs,
+        "filter_clause_topk": filter_clause_topk,
+        "match_all_topk": match_all_topk,
+        "sort_field_topk": sort_field_topk,
+        "common_grams_stats": common_grams_stats,
     }
 
 
@@ -4490,6 +4612,10 @@ def oracle_sql() -> dict:
         "contamination_ngram_docs": SQL_CONTAM,
         "repetition_docs": SQL_REPETITION,
         "mixture_sample_docs": SQL_MIXTURE,
+        "filter_clause_topk": SQL_FILTER_CLAUSE,
+        "match_all_topk": SQL_MATCH_ALL,
+        "sort_field_topk": SQL_SORT_FIELD,
+        "common_grams_stats": SQL_COMMON_GRAMS,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

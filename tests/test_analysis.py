@@ -269,3 +269,20 @@ def test_new_filters_config_roundtrip():
                  {"type": "pattern_replace", "pattern": "a+",
                   "replacement": "a"}):
         assert build_filter(spec).spec() == spec
+
+
+def test_common_grams_filter_golden():
+    from engine.analysis import Analyzer, CommonGramsFilter, build_filter
+
+    a = Analyzer(stop_words=None, stemming=False,
+                 filters=[CommonGramsFilter(["the", "a"])])
+    # bigram emitted whenever EITHER adjacent token is common, at the
+    # first token's position; unigrams always pass through
+    toks = a.analyze_text("the quick fox a dog")
+    assert toks == [("the", 0), ("the_quick", 0), ("quick", 1),
+                    ("fox", 2), ("fox_a", 2), ("a", 3), ("a_dog", 3),
+                    ("dog", 4)]
+    # no common word adjacent -> stream unchanged
+    assert a.analyze_text("quick fox") == [("quick", 0), ("fox", 1)]
+    spec = CommonGramsFilter(["the", "a"]).spec()
+    assert build_filter(spec).spec() == spec

@@ -618,3 +618,32 @@ def test_span_not_missing_exclude_equals_term(reader):
     b = reader.brute_force_topk("index", 30)
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_filter_clause_semantics(reader):
+    """Occur.FILTER: constrains like MUST, contributes no score, and
+    SHOULD becomes optional (score-0 docs match) when present."""
+    vocab = sorted(reader.vocabulary())
+    f, s0, s1 = vocab[0], vocab[1], vocab[2]
+    filt = reader.boolean_topk(should=[s0, s1], filters=[f], k=10**9)
+    must = reader.boolean_topk(must=[f], should=[s0, s1], k=10**9)
+    # same candidate set (docs containing f), ordered differently
+    assert set(filt["doc_id"].to_pylist()) == set(must["doc_id"].to_pylist())
+    # filter contributes no score: filt score = must score - f's clause
+    sc = dict(zip(must["doc_id"].to_pylist(),
+                  must["score"].to_pylist()))
+    only_f = reader.boolean_topk(must=[f], k=10**9)
+    base = dict(zip(only_f["doc_id"].to_pylist(),
+                    only_f["score"].to_pylist()))
+    for d, v in zip(filt["doc_id"].to_pylist(),
+                    filt["score"].to_pylist()):
+        assert v == np.float32(np.float32(sc[d]) - np.float32(base[d])) \
+            or abs(v - (sc[d] - base[d])) < 1e-5
+    # docs matching the filter but zero SHOULD terms appear at score 0
+    if len(filt) > len(reader.boolean_topk(
+            must=[f], should=[s0, s1], min_should_match=1, k=10**9)):
+        assert min(filt["score"].to_pylist()) == 0.0
+    # pure filter, no should: all score 0, docID order
+    pure = reader.boolean_topk(filters=[f], k=10**9)
+    assert set(pure["score"].to_pylist()) <= {0.0}
+    assert pure["doc_id"].to_pylist() == sorted(pure["doc_id"].to_pylist())
