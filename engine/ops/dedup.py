@@ -388,3 +388,63 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         "id_b": pa.array(ib[keep][order], type=pa.int64()),
         "jaccard": pa.array(j[keep][order], type=pa.float64()),
     })
+
+
+def connected_components(edges: ray.data.Dataset, a_col: str,
+                         b_col: str, max_rounds: int = 30) -> pa.Table:
+    """Dedup-cluster assignment: connected components over near-dup
+    pairs via hash-to-min label propagation (Rastogi et al., "Finding
+    Connected Components in Map-Reduce in Logarithmic Rounds", ICDE
+    2013) — the standard step after pair generation in large-scale
+    dedup (keep one doc per cluster).
+
+    State is a (src, mem) membership multiset; each round every node
+    group sends its min to all members and its members to the min —
+    one ``groupby(src)`` hash shuffle per round, O(log d) rounds, no
+    joins. Each round is ``materialize()``d (state is O(paired docs),
+    tiny vs the corpus — pairs already fit the object store) so the
+    lazy lineage doesn't re-execute quadratically. Convergence is
+    certified by the sum of per-node min labels: labels only decrease,
+    so two consecutive stable sums = fixpoint. Returns
+    ``(doc_id, cluster_id = component-min doc_id)`` for every node
+    that appears in a pair (singletons are their own cluster by
+    definition and are omitted, as in suffix-array/minhash dedup
+    pipelines)."""
+    def sym(b: pa.Table) -> pa.Table:
+        u = b[a_col].to_numpy().astype(np.int64)
+        v = b[b_col].to_numpy().astype(np.int64)
+        return pa.table({"src": np.concatenate([u, v]),
+                         "mem": np.concatenate([v, u])})
+
+    def step(g: pa.Table) -> pa.Table:
+        src = int(g["src"][0].as_py())
+        mem = np.unique(np.append(g["mem"].to_numpy(), src))
+        m = int(mem[0])
+        out_src = np.concatenate([mem, np.full(len(mem), m, np.int64)])
+        out_mem = np.concatenate([np.full(len(mem), m, np.int64), mem])
+        return pa.table({"src": out_src, "mem": out_mem})
+
+    cur = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    if cur.count() == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "cluster_id": pa.array([], type=pa.int64())})
+    stable = 0
+    prev_sig = None
+    for _ in range(max_rounds):
+        cur = cur.groupby("src").map_groups(
+            step, batch_format="pyarrow").materialize()
+        labels = cur.groupby("src").min("mem")
+        sig = labels.sum("min(mem)")
+        if sig == prev_sig:
+            stable += 1
+            if stable >= 2:
+                break
+        else:
+            stable, prev_sig = 0, sig
+
+    lab = labels.to_pandas()
+    node = lab["src"].to_numpy().astype(np.int64)
+    lid = np.minimum(lab["min(mem)"].to_numpy().astype(np.int64), node)
+    order = np.argsort(node)
+    return pa.table({"doc_id": pa.array(node[order], type=pa.int64()),
+                     "cluster_id": pa.array(lid[order], type=pa.int64())})

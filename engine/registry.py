@@ -4349,6 +4349,47 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+def dedup_clusters_docs(sf_dir: str) -> pa.Table:
+    """Dedup-cluster assignment — the step after pair generation in
+    every large-scale dedup pipeline: near-dup pairs (exact word-3-gram
+    Jaccard ≥ 0.2, same config as ``ngram_jaccard_docs``) → connected
+    components via hash-to-min label propagation → each paired doc
+    labeled with its component-min doc_id (the canonical survivor)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.ngram_jaccard_pairs(ds, "text", "doc_id", k=3,
+                                   threshold=0.2)
+    edges = ray.data.from_arrow(pairs.select(["id_a", "id_b"]))
+    return dd.connected_components(edges, "id_a", "id_b")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3),
+sizes AS (SELECT doc_id, COUNT(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::DOUBLE AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+p AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.2),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT q.node, e.b FROM reach q JOIN e ON e.a = q.r)
+SELECT node AS doc_id, MIN(r)::BIGINT AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -4484,6 +4525,7 @@ def queries() -> dict:
         "match_all_topk": match_all_topk,
         "sort_field_topk": sort_field_topk,
         "common_grams_stats": common_grams_stats,
+        "dedup_clusters_docs": dedup_clusters_docs,
     }
 
 
@@ -4616,6 +4658,7 @@ def oracle_sql() -> dict:
         "match_all_topk": SQL_MATCH_ALL,
         "sort_field_topk": SQL_SORT_FIELD,
         "common_grams_stats": SQL_COMMON_GRAMS,
+        "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

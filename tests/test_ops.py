@@ -614,3 +614,30 @@ def test_payload_store_sum_max_and_default(ray_session, tmp_path):
     assert pl.payload_score_topk(store, "zebra", k=3).num_rows == 0
     # rebuild is a no-op (manifest marker)
     assert pl.build_payload_index(str(src), store) == store
+
+
+def test_connected_components_known_graph(ray_session):
+    """Hash-to-min CC: chain (worst-case diameter), clique, pair,
+    and a node order that makes the min non-first."""
+    import ray.data
+
+    import engine.ops.dedup as dd
+
+    # chain 10-11-...-17, triangle {3,5,9} (via 2 edges), pair {20,40}
+    edges = pa.table({
+        "id_a": pa.array([10, 11, 12, 13, 14, 15, 16, 5, 9, 40],
+                         type=pa.int64()),
+        "id_b": pa.array([11, 12, 13, 14, 15, 16, 17, 3, 3, 20],
+                         type=pa.int64())})
+    out = dd.connected_components(
+        ray.data.from_arrow(edges), "id_a", "id_b")
+    lab = dict(zip(out["doc_id"].to_pylist(),
+                   out["cluster_id"].to_pylist()))
+    assert {d: lab[d] for d in range(10, 18)} == {d: 10 for d in range(10, 18)}
+    assert lab[3] == lab[5] == lab[9] == 3
+    assert lab[20] == lab[40] == 20
+    assert len(lab) == 13
+    # empty edge set
+    empty = dd.connected_components(
+        ray.data.from_arrow(edges.slice(0, 0)), "id_a", "id_b")
+    assert empty.num_rows == 0
