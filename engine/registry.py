@@ -4349,6 +4349,65 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+JOIN_UTIL_TERM = "vector"
+
+
+def join_util_topk(sf_dir: str) -> pa.Table:
+    """Query-time join by indexed field (upstream ``lucene/join``
+    ``JoinUtil.createJoinQuery(fromField, fromQuery, toField, ...)``
+    [U], ``ScoreMode.None``): docs matching the from-query contribute
+    their ``source`` values; the join query matches every doc sharing
+    one of those values at constant score, collected in docID order —
+    Solr's ``{{!join from=source to=source}}text:{JOIN_UTIL_TERM}``.
+    From-side doc ids come from the index's postings; the distinct
+    value set (small by construction: a field's vocabulary) is
+    broadcast, and the to-side is one streaming ``map_batches`` scan —
+    no shuffle."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    subs = r.lookup([JOIN_UTIL_TERM])
+    docs = (r._clause_arrays(JOIN_UTIL_TERM, subs[JOIN_UTIL_TERM])[0]
+            if subs[JOIN_UTIL_TERM] else np.empty(0, np.int64))
+    dref = ray.put(np.sort(docs))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def from_side(b: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        sub = b.filter(pa.array(np.isin(b["doc_id"].to_numpy(), d,
+                                        assume_unique=True)))
+        vals = pc.unique(sub["source"])
+        return pa.table({"source": vals})
+
+    fv = _to_table(ds.map_batches(from_side, batch_format="pyarrow"))
+    vref = ray.put(pc.unique(fv["source"]))
+
+    def to_side(b: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        return b.filter(pc.is_in(b["source"], value_set=vs)) \
+                .select(["doc_id"])
+
+    t = _to_table(rel.top_k(ds.map_batches(to_side, batch_format="pyarrow"),
+                            [("doc_id", False)], 10))
+    n = t.num_rows
+    return pa.table({
+        "rank": pa.array(np.arange(n, dtype=np.int64)),
+        "doc_id": t["doc_id"],
+        "score": pa.array(np.full(n, 1.0, dtype=np.float32))})
+
+
+SQL_JOIN_UTIL = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{JOIN_UTIL_TERM}'),
+fv AS (SELECT DISTINCT d.source FROM documents d JOIN m USING (doc_id))
+SELECT (ROW_NUMBER() OVER (ORDER BY d.doc_id) - 1)::BIGINT AS rank,
+       d.doc_id, CAST(1.0 AS FLOAT) AS score
+FROM documents d JOIN fv USING (source)
+ORDER BY d.doc_id LIMIT 10
+"""
+
+
 def dedup_clusters_docs(sf_dir: str) -> pa.Table:
     """Dedup-cluster assignment — the step after pair generation in
     every large-scale dedup pipeline: near-dup pairs (exact word-3-gram
@@ -4526,6 +4585,7 @@ def queries() -> dict:
         "sort_field_topk": sort_field_topk,
         "common_grams_stats": common_grams_stats,
         "dedup_clusters_docs": dedup_clusters_docs,
+        "join_util_topk": join_util_topk,
     }
 
 
@@ -4659,6 +4719,7 @@ def oracle_sql() -> dict:
         "sort_field_topk": SQL_SORT_FIELD,
         "common_grams_stats": SQL_COMMON_GRAMS,
         "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
+        "join_util_topk": SQL_JOIN_UTIL,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
