@@ -4349,6 +4349,54 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+DBQ_TERM = "vector"
+DBQ_QUERY = "spark merge window"
+
+
+def delete_by_query_topk(sf_dir: str) -> pa.Table:
+    """deleteDocuments(Query) (upstream
+    ``IndexWriter#deleteDocuments(Query)`` [U], Solr delete-by-query):
+    the matching docIDs are resolved through the index's OWN postings
+    (TermQuery on ``{DBQ_TERM}``), tombstoned via the delete-bitmap
+    generation, then BM25 top-k runs over the survivors. Lucene stats
+    semantics as in ``update_docs_topk``: idf/avgdl still count the
+    tombstones until a forceMerge folds them; matches exclude them."""
+    import shutil as _sh
+
+    from engine.build import delete_docs
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|dbq|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "dbq_" + key)
+    idx = os.path.join(work, "index")
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    man = mf.load(idx)
+    if not (man and man.get("status") == "complete"
+            and man.get("deletes")):
+        if os.path.exists(idx):
+            _sh.rmtree(idx)
+        build_index([base], idx, cfg)
+        r0 = IndexReader(idx)
+        subs = r0.lookup([DBQ_TERM])
+        ids = (r0._clause_arrays(DBQ_TERM, subs[DBQ_TERM])[0]
+               if subs[DBQ_TERM] else np.empty(0, np.int64))
+        delete_docs(idx, np.sort(ids))
+    r = IndexReader(idx)
+    return _topdocs_out(r.topk(DBQ_QUERY, 10))
+
+
+def sql_delete_by_query() -> str:
+    qterms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in DBQ_QUERY.split()) + "]) AS term"
+    return _sql_disjunction(
+        qterms, 10,
+        where=("WHERE contrib.doc_id NOT IN "
+               f"(SELECT doc_id FROM tf WHERE term = '{DBQ_TERM}')"))
+
+
 JOIN_UTIL_TERM = "vector"
 
 
@@ -4586,6 +4634,7 @@ def queries() -> dict:
         "common_grams_stats": common_grams_stats,
         "dedup_clusters_docs": dedup_clusters_docs,
         "join_util_topk": join_util_topk,
+        "delete_by_query_topk": delete_by_query_topk,
     }
 
 
@@ -4720,6 +4769,7 @@ def oracle_sql() -> dict:
         "common_grams_stats": SQL_COMMON_GRAMS,
         "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
         "join_util_topk": SQL_JOIN_UTIL,
+        "delete_by_query_topk": sql_delete_by_query(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
