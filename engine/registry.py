@@ -4349,6 +4349,125 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+CURATION_REP_MAX = 3   # drop docs whose top bigram repeats >= this
+
+
+def curation_pipeline_docs(sf_dir: str) -> pa.Table:
+    """END-TO-END training-data curation — the composed flagship for
+    the LLM-pipeline ops: repetition filter → benchmark-contamination
+    removal → exact dedup (min-doc survivor) → deterministic domain-
+    mixture sampling → per-source rollup, as ONE streaming pipeline.
+    Row-local stages are fused into a single ``map_batches`` pass; the
+    only shuffle is the dedup ``groupby`` (on a 64-bit text hash, not
+    the text payload) plus the tiny final per-source aggregate — the
+    shape that holds at 100 TB. Stage order is part of the semantics
+    (filters run BEFORE dedup, the coin AFTER it) and the SQL oracle
+    reproduces the same order."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def eval_side(b: pa.Table) -> pa.Table:
+        sub = b.filter(pa.array(b["doc_id"].to_numpy() % CONTAM_MOD == 0))
+        _, sh = dd._shingle_strings(sub["text"], CONTAM_N)
+        grams = sorted({g for arr in sh for g in arr})
+        return pa.table({"gram": pa.array(grams, type=pa.string())})
+
+    ev = _to_table(ds.map_batches(eval_side, batch_format="pyarrow"))
+    eref = ray.put(frozenset(ev["gram"].to_pylist()))
+
+    def fused_filter(b: pa.Table) -> pa.Table:
+        es = ray.get(eref)
+        ids = b["doc_id"].to_numpy()
+        offs, flat = dd._flat_tokens(b["text"])
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        keep = ids % CONTAM_MOD != 0          # eval docs never train
+        for i in range(len(ids)):
+            if not keep[i]:
+                continue
+            t = toks[offs[i]:offs[i + 1]]
+            if len(t) >= 2:
+                bgr = pd.Series([" ".join(p) for p in zip(t[:-1], t[1:])])
+                if int(bgr.value_counts().iloc[0]) >= CURATION_REP_MAX:
+                    keep[i] = False
+                    continue
+            if len(t) >= CONTAM_N and any(
+                    " ".join(t[j:j + CONTAM_N]) in es
+                    for j in range(len(t) - CONTAM_N + 1)):
+                keep[i] = False
+        out = pa.table({
+            "doc_id": b["doc_id"], "text": b["text"],
+            "source": b["source"],
+            "n_tokens": pa.array(np.diff(offs).astype(np.int64)),
+            "tkey": pa.array(_md5_64(b["text"].to_pylist()).astype(
+                np.int64))})
+        return out.filter(pa.array(keep))
+
+    def first(g: pa.Table) -> pa.Table:
+        i = int(np.argmin(g["doc_id"].to_numpy()))
+        return g.slice(i, 1)
+
+    ded = ds.map_batches(fused_filter, batch_format="pyarrow") \
+        .groupby("tkey").map_groups(first, batch_format="pyarrow")
+
+    def coin_and_partial(b: pa.Table) -> pa.Table:
+        h = _md5_64(b["doc_id"].to_pylist()) % np.uint64(1000)
+        src = np.fromiter(
+            (int(s[3:]) for s in b["source"].to_pylist()),
+            dtype=np.int64, count=b.num_rows)
+        rate = (src % 4 + 1) * 250
+        sub = b.filter(pa.array(h.astype(np.int64) < rate))
+        df = pd.DataFrame({
+            "source": sub["source"].to_pandas(),
+            "n_docs": np.ones(sub.num_rows, dtype=np.int64),
+            "n_tokens": sub["n_tokens"].to_numpy()})
+        g = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fin = ded.map_batches(coin_and_partial, batch_format="pyarrow") \
+        .groupby("source").sum(["n_docs", "n_tokens"])
+    t = _rename(_to_table(fin), {"sum(n_docs)": "n_docs",
+                                 "sum(n_tokens)": "n_tokens"})
+    t = _cast_col(_cast_col(t, "n_docs", pa.int64()),
+                  "n_tokens", pa.int64())
+    return t.select(["source", "n_docs", "n_tokens"]).sort_by("source")
+
+
+SQL_CURATION = f"""
+WITH toks AS (
+  SELECT doc_id, text, source, {_SQL_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+  FROM toks, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
+rep AS (
+  SELECT doc_id, MAX(c) AS top FROM
+    (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+  GROUP BY doc_id),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= {CONTAM_N}),
+ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % {CONTAM_MOD} = 0),
+contam AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (gram)
+  WHERE s.doc_id % {CONTAM_MOD} <> 0),
+s1 AS (
+  SELECT t.doc_id, t.text, t.source, len(t.ts)::BIGINT AS n_tokens
+  FROM toks t LEFT JOIN rep USING (doc_id)
+  WHERE t.doc_id % {CONTAM_MOD} <> 0
+    AND COALESCE(rep.top, 0) < {CURATION_REP_MAX}
+    AND t.doc_id NOT IN (SELECT doc_id FROM contam)),
+s2 AS (SELECT * FROM s1
+       WHERE doc_id IN (SELECT MIN(doc_id) FROM s1 GROUP BY text)),
+s3 AS (SELECT * FROM s2
+       WHERE md5_number_lower(doc_id::VARCHAR) % 1000
+             < (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 250)
+SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS n_tokens
+FROM s3 GROUP BY source ORDER BY source
+"""
+
+
 DBQ_TERM = "vector"
 DBQ_QUERY = "spark merge window"
 
@@ -4635,6 +4754,7 @@ def queries() -> dict:
         "dedup_clusters_docs": dedup_clusters_docs,
         "join_util_topk": join_util_topk,
         "delete_by_query_topk": delete_by_query_topk,
+        "curation_pipeline_docs": curation_pipeline_docs,
     }
 
 
@@ -4770,6 +4890,7 @@ def oracle_sql() -> dict:
         "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
         "join_util_topk": SQL_JOIN_UTIL,
         "delete_by_query_topk": sql_delete_by_query(),
+        "curation_pipeline_docs": SQL_CURATION,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
