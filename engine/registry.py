@@ -4349,6 +4349,95 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+ANALYZE_DEBUG_N = 5    # docs analyzed by the field-analysis handler
+
+
+def analyze_field_debug(sf_dir: str) -> pa.Table:
+    """Field-analysis debug handler (upstream Solr
+    ``/analysis/field`` / ``FieldAnalysisRequestHandler`` [U]): the
+    post-chain token stream WITH position gaps for stopwords —
+    ``(doc_id, position, token)`` for the first {ANALYZE_DEBUG_N}
+    docs through tokenize → lowercase → stop (no stem so the SQL
+    oracle can replay the chain and the gap semantics exactly)."""
+    from engine.analysis import ENGLISH_STOP_WORDS, Analyzer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    a = Analyzer(stop_words=ENGLISH_STOP_WORDS, stemming=False)
+
+    def toks(b: pa.Table) -> pa.Table:
+        sub = b.filter(pa.array(
+            b["doc_id"].to_numpy() < ANALYZE_DEBUG_N))
+        out_d, out_p, out_t = [], [], []
+        for did, txt in zip(sub["doc_id"].to_pylist(),
+                            sub["text"].to_pylist()):
+            for tok, pos in a.analyze_text(txt):
+                out_d.append(did)
+                out_p.append(pos)
+                out_t.append(tok)
+        return pa.table({
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "position": pa.array(out_p, type=pa.int64()),
+            "token": pa.array(out_t, type=pa.string())})
+
+    return _to_table(ds.map_batches(toks, batch_format="pyarrow")) \
+        .sort_by([("doc_id", "ascending"), ("position", "ascending")])
+
+
+def sql_analyze_debug() -> str:
+    from engine.analysis import ENGLISH_STOP_WORDS
+    stop = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS ts
+  FROM documents WHERE doc_id < {ANALYZE_DEBUG_N}),
+pos AS (
+  SELECT doc_id, ts[i] AS token,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1
+           AS position
+  FROM toks, unnest(range(1, len(ts) + 1)) AS r(i)
+  WHERE ts[i] <> '')
+SELECT doc_id, position::BIGINT AS position, token
+FROM pos WHERE token NOT IN ({stop})
+ORDER BY doc_id, position
+"""
+
+
+def luke_overview(sf_dir: str) -> pa.Table:
+    """Index-overview admin handler (upstream Solr ``/admin/luke``
+    ``LukeRequestHandler`` [U]): corpus-level invariants read back
+    from the merged index shards — numDocs, distinct terms, postings
+    (doc,term pairs) and total token count."""
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    parts = []
+    root = mf.shard_root(idx, mf.load(idx))
+    for b in range(4):
+        shard = os.path.join(root, f"bucket={b}")
+        if os.path.isdir(shard):
+            parts.append(pq.read_table(shard, columns=["term", "df", "cf"]))
+    t = pa.concat_tables(parts)
+    g = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+    man = mf.load(idx)
+    return pa.table({
+        "num_docs": pa.array([int(man["stats"]["N"])],
+                             type=pa.int64()),
+        "n_terms": pa.array([g.num_rows], type=pa.int64()),
+        "n_postings": pa.array([int(pc.sum(g["df_sum"]).as_py())],
+                               type=pa.int64()),
+        "n_tokens": pa.array([int(pc.sum(g["cf_sum"]).as_py())],
+                             type=pa.int64())})
+
+
+SQL_LUKE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS num_docs,
+       COUNT(DISTINCT term)::BIGINT AS n_terms,
+       COUNT(DISTINCT (doc_id, term))::BIGINT AS n_postings,
+       COUNT(*)::BIGINT AS n_tokens
+FROM toks
+"""
+
+
 CURATION_REP_MAX = 3   # drop docs whose top bigram repeats >= this
 
 
@@ -4755,6 +4844,8 @@ def queries() -> dict:
         "join_util_topk": join_util_topk,
         "delete_by_query_topk": delete_by_query_topk,
         "curation_pipeline_docs": curation_pipeline_docs,
+        "analyze_field_debug": analyze_field_debug,
+        "luke_overview": luke_overview,
     }
 
 
@@ -4891,6 +4982,8 @@ def oracle_sql() -> dict:
         "join_util_topk": SQL_JOIN_UTIL,
         "delete_by_query_topk": sql_delete_by_query(),
         "curation_pipeline_docs": SQL_CURATION,
+        "analyze_field_debug": sql_analyze_debug(),
+        "luke_overview": SQL_LUKE,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
