@@ -682,13 +682,18 @@ class IndexReader:
         return self._vocab
 
     def fuzzy_topk(self, term: str, k: int = 10,
-                   max_edits: int = 1) -> pa.Table:
+                   max_edits: int = 1,
+                   transpositions: bool = False) -> pa.Table:
         """FuzzyQuery with scoring rewrite (upstream
         ``L/search/FuzzyQuery.java`` [U]; automaton intersection ≡
         a vocab scan here — the dictionary is small relative to the
-        corpus): terms within Levenshtein distance ≤ max_edits."""
+        corpus): terms within edit distance ≤ max_edits.
+        ``transpositions=True`` uses OSA distance (adjacent swap = one
+        edit) — Lucene's constructor DEFAULT; False is plain
+        Levenshtein (``transpositions=false``)."""
+        dist = _osa_distance if transpositions else _levenshtein
         matches = [t for t in self.vocabulary()
-                   if _levenshtein(term, t, max_edits) <= max_edits]
+                   if dist(term, t, max_edits) <= max_edits]
         if not matches:
             return _topdocs_table([], [])
         return self.boolean_topk(should=matches, k=k)
@@ -1511,6 +1516,31 @@ def _levenshtein(a: str, b: str, cap: int = 2) -> int:
         if min(cur) > cap:
             return cap + 1
         prev = cur
+    return prev[-1]
+
+
+def _osa_distance(a: str, b: str, cap: int = 2) -> int:
+    """Optimal-string-alignment distance (Levenshtein + adjacent
+    transposition counted as ONE edit) — the metric behind Lucene's
+    ``FuzzyQuery(transpositions=true)`` default (upstream
+    ``LevenshteinAutomata``/``FuzzyTermsEnum`` [U]). At max_edits ≤ 1
+    OSA coincides with full Damerau-Levenshtein, which is what the
+    DuckDB oracle computes."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev2: list[int] | None = None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            d = min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            if (prev2 is not None and i > 1 and j > 1
+                    and ca == b[j - 2] and a[i - 2] == cb):
+                d = min(d, prev2[j - 2] + 1)
+            cur.append(d)
+        if min(cur) > cap:
+            return cap + 1
+        prev2, prev = prev, cur
     return prev[-1]
 
 

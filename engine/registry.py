@@ -4349,6 +4349,27 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+FUZZY_TRANSPOSE_TERM = "psark"   # one adjacent swap from 'spark'
+
+
+def fuzzy_transpose_topk(sf_dir: str) -> pa.Table:
+    """FuzzyQuery with ``transpositions=true`` — Lucene's constructor
+    DEFAULT (upstream ``FuzzyQuery.java`` defaultTranspositions [U]):
+    adjacent-swap counts as ONE edit (OSA), so '{FUZZY_TRANSPOSE_TERM}'
+    matches 'spark' at max_edits=1 where plain Levenshtein (distance 2)
+    finds nothing. At max_edits=1 OSA ≡ full Damerau-Levenshtein =
+    DuckDB's ``damerau_levenshtein``."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.fuzzy_topk(FUZZY_TRANSPOSE_TERM, k=10,
+                                     max_edits=1, transpositions=True))
+
+
+SQL_FUZZY_TRANSPOSE = _sql_disjunction(
+    "SELECT DISTINCT term FROM tf WHERE "
+    f"damerau_levenshtein(term, '{FUZZY_TRANSPOSE_TERM}') <= 1",
+    10)
+
+
 ANALYZE_DEBUG_N = 5    # docs analyzed by the field-analysis handler
 
 
@@ -4846,6 +4867,7 @@ def queries() -> dict:
         "curation_pipeline_docs": curation_pipeline_docs,
         "analyze_field_debug": analyze_field_debug,
         "luke_overview": luke_overview,
+        "fuzzy_transpose_topk": fuzzy_transpose_topk,
     }
 
 
@@ -4984,6 +5006,7 @@ def oracle_sql() -> dict:
         "curation_pipeline_docs": SQL_CURATION,
         "analyze_field_debug": sql_analyze_debug(),
         "luke_overview": SQL_LUKE,
+        "fuzzy_transpose_topk": SQL_FUZZY_TRANSPOSE,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -647,3 +647,17 @@ def test_filter_clause_semantics(reader):
     pure = reader.boolean_topk(filters=[f], k=10**9)
     assert set(pure["score"].to_pylist()) <= {0.0}
     assert pure["doc_id"].to_pylist() == sorted(pure["doc_id"].to_pylist())
+
+
+def test_osa_distance_transpositions():
+    from engine.query import _levenshtein, _osa_distance
+
+    assert _osa_distance("psark", "spark", 2) == 1
+    assert _levenshtein("psark", "spark", 2) == 2
+    assert _osa_distance("abc", "abc", 2) == 0
+    assert _osa_distance("ab", "ba", 2) == 1
+    # OSA: substrings can't be edited twice ("ca" -> "abc" is 3, not 2)
+    assert _osa_distance("ca", "abc", 3) == 3
+    assert _osa_distance("kitten", "sitting", 3) == 3
+    # cap early-exit
+    assert _osa_distance("aaaa", "zzzz", 1) == 2
