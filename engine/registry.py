@@ -1901,6 +1901,48 @@ GROUP BY d.source ORDER BY score DESC, d.source LIMIT 10
 """
 
 
+def blockjoin_children_docs(sf_dir: str) -> pa.Table:
+    """ToChildBlockJoinQuery analog (upstream ``lucene/join``
+    ``ToChildBlockJoinQuery.java`` [U]): parents scored by the child
+    query (ScoreMode.Max, as in ``blockjoin_topk_docs``), then every
+    CHILD of a matching parent is returned carrying its parent's
+    score — parent→child score inheritance, the inverse direction of
+    to-parent. Two broadcast joins (match list, then parent scores),
+    no all-to-all shuffle."""
+    r = _doc_reader(sf_dir)
+    m = r.match_scores(BJ_QUERY).select(["doc_id", "score"])
+    if not m.num_rows:
+        return pa.table({"rank": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "source": pa.array([], type=pa.string()),
+                         "pscore": pa.array([], type=pa.float32())})
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    joined = rel.broadcast_hash_join(docs, m, "doc_id")
+    agg = _to_table(rel.rollup(joined, ["source"], maxs=["score"]))
+    parents = _cast_col(_rename(agg, {"max(score)": "pscore"}),
+                        "pscore", pa.float32()) \
+        .select(["source", "pscore"])
+    enriched = rel.broadcast_hash_join(docs, parents, "source")
+    t = _to_table(rel.top_k(enriched,
+                            [("pscore", True), ("doc_id", False)], 15))
+    return pa.table({
+        "rank": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        "doc_id": t["doc_id"], "source": t["source"],
+        "pscore": t["pscore"]})
+
+
+def sql_blockjoin_children() -> str:
+    return f"""{_sql_scored("SELECT unnest(['spark','merge']) AS term")},
+par AS (SELECT d.source, CAST(MAX(s.score) AS FLOAT) AS pscore
+        FROM scored s JOIN documents d USING (doc_id)
+        GROUP BY d.source)
+SELECT (ROW_NUMBER() OVER (ORDER BY pscore DESC, c.doc_id) - 1)::BIGINT
+         AS rank, c.doc_id, c.source, pscore
+FROM documents c JOIN par USING (source)
+ORDER BY pscore DESC, c.doc_id LIMIT 15
+"""
+
+
 def ltr_rescore_docs(sf_dir: str) -> pa.Table:
     """LTR / RankQuery rescoring (upstream Solr ``ltr`` module [U]):
     BM25 top-100 window re-ranked by a linear model over (f32 score,
@@ -4868,6 +4910,7 @@ def queries() -> dict:
         "analyze_field_debug": analyze_field_debug,
         "luke_overview": luke_overview,
         "fuzzy_transpose_topk": fuzzy_transpose_topk,
+        "blockjoin_children_docs": blockjoin_children_docs,
     }
 
 
@@ -5007,6 +5050,7 @@ def oracle_sql() -> dict:
         "analyze_field_debug": sql_analyze_debug(),
         "luke_overview": SQL_LUKE,
         "fuzzy_transpose_topk": SQL_FUZZY_TRANSPOSE,
+        "blockjoin_children_docs": sql_blockjoin_children(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
