@@ -163,7 +163,8 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
                      "join_orders_customer", "join_lineitem_part",
                      "group_topn_orders", "dedup_docs_exact",
                      "knn_cosine", "knn_ivf_docs",
-                     "blockjoin_topk_docs", "nb_classify_docs"]:
+                     "blockjoin_topk_docs", "nb_classify_docs",
+                     "curation_pipeline_docs"]:
             t0 = time.perf_counter()
             reg[name](sf_dir)
             queries[name] = round(time.perf_counter() - t0, 3)
@@ -174,12 +175,21 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
         # is deliberately not the perf path
         from engine.ops import dedup as _dd
         t0 = time.perf_counter()
-        _dd.minhash_lsh_pairs(
+        prod_pairs = _dd.minhash_lsh_pairs(
             ray.data.read_parquet(
                 os.path.join(sf_dir, "documents.parquet"),
                 columns=["doc_id", "text"]),
             "text", "doc_id", k=3, num_perm=64, bands=16, threshold=0.8)
         queries["minhash_pairs_prod"] = round(time.perf_counter() - t0, 3)
+
+        # dedup clusters over the PRODUCTION pair path (the registry
+        # entry's exact n-gram pair generator is the oracle baseline,
+        # deliberately not the perf path)
+        t0 = time.perf_counter()
+        _dd.connected_components(
+            ray.data.from_arrow(prod_pairs.select(["id_a", "id_b"])),
+            "id_a", "id_b")
+        queries["dedup_clusters_prod"] = round(time.perf_counter() - t0, 3)
 
     out["queries"] = queries
     return out

@@ -72,7 +72,10 @@ def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
 def _to_table(ds) -> pa.Table:
     if isinstance(ds, pa.Table):
         return ds
-    refs = ds.to_arrow_refs()
+    # materialize() first: to_arrow_refs() on a lazy Dataset triggers a
+    # second full plan execution for its schema probe — measured 2×
+    # wall time on every shuffle-bearing entry
+    refs = ds.materialize().to_arrow_refs()
     tabs = [ray.get(r) for r in refs]
     tabs = [t for t in tabs if t.num_rows]
     return pa.concat_tables(tabs).combine_chunks() if tabs else ray.get(refs[0])
@@ -4192,6 +4195,47 @@ GROUP BY s.doc_id ORDER BY doc_id
 REP_MIN_COUNT = 2   # flag docs whose top bigram repeats >= this
 
 
+def _flat_ngrams(offs: np.ndarray, toks: np.ndarray, n: int
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-flat word n-grams: ``(doc_idx, gram)`` arrays over ALL
+    docs at once (no per-doc Python loop) — the ShingleFilter masking
+    trick applied to plain string shingles."""
+    total = len(toks)
+    n_docs = len(offs) - 1
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, object))
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                       np.diff(offs))
+    doc_end = offs[1:][doc_of]
+    idx = np.arange(total, dtype=np.int64)
+    valid = idx + n <= doc_end
+    starts = idx[valid]
+    if not len(starts):
+        return (np.empty(0, np.int64), np.empty(0, object))
+    u = toks.astype(str)       # unicode dtype for np.char kernels
+    grams = u[starts]
+    for j in range(1, n):
+        grams = np.char.add(np.char.add(grams, " "), u[starts + j])
+    return doc_of[starts], grams
+
+
+def _top_bigram_counts(offs: np.ndarray, toks: np.ndarray
+                       ) -> np.ndarray:
+    """Per-doc count of the most frequent bigram (0 for <2 tokens),
+    computed with ONE pandas groupby over the whole batch."""
+    import pandas as pd
+
+    n_docs = len(offs) - 1
+    d, g = _flat_ngrams(offs, toks, 2)
+    top = np.zeros(n_docs, dtype=np.int64)
+    if len(d):
+        cnt = pd.DataFrame({"d": d, "g": g}).groupby(
+            ["d", "g"], sort=False).size()
+        m = cnt.groupby(level=0).max()
+        top[m.index.to_numpy()] = m.to_numpy()
+    return top
+
+
 def repetition_docs(sf_dir: str) -> pa.Table:
     """Gopher-style repetition quality rule: per doc, the count of its
     most frequent word bigram (non-distinct). Docs with
@@ -4199,30 +4243,18 @@ def repetition_docs(sf_dir: str) -> pa.Table:
     integer-only output so the oracle check is exact (the published
     rule thresholds the ratio 2*top/n_tokens; both operands are
     returned so any threshold is reproducible downstream). Pure
-    map_batches, no shuffle."""
-    import pandas as pd
-
+    map_batches, no shuffle, batch-vectorized bigram counting."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def top_bigram(b: pa.Table) -> pa.Table:
         offs, flat = dd._flat_tokens(b["text"])
         toks = np.asarray(flat.to_pandas(), dtype=object)
-        ids = b["doc_id"].to_numpy()
-        out_id, out_n, out_top = [], [], []
-        for i in range(len(offs) - 1):
-            t = toks[offs[i]:offs[i + 1]]
-            if len(t) < 2:
-                continue
-            bg = pd.Series([" ".join(p) for p in zip(t[:-1], t[1:])])
-            top = int(bg.value_counts().iloc[0])
-            if top >= REP_MIN_COUNT:
-                out_id.append(int(ids[i]))
-                out_n.append(len(t))
-                out_top.append(top)
+        top = _top_bigram_counts(offs, toks)
+        keep = top >= REP_MIN_COUNT
         return pa.table({
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "n_tokens": pa.array(out_n, type=pa.int64()),
-            "top_bigram_count": pa.array(out_top, type=pa.int64())})
+            "doc_id": b["doc_id"].to_numpy()[keep],
+            "n_tokens": np.diff(offs)[keep].astype(np.int64),
+            "top_bigram_count": top[keep]})
 
     return _to_table(ds.map_batches(top_bigram, batch_format="pyarrow")
                      ).sort_by("doc_id")
@@ -4510,13 +4542,18 @@ def curation_pipeline_docs(sf_dir: str) -> pa.Table:
     removal → exact dedup (min-doc survivor) → deterministic domain-
     mixture sampling → per-source rollup, as ONE streaming pipeline.
     Row-local stages are fused into a single ``map_batches`` pass; the
-    only shuffle is the dedup ``groupby`` (on a 64-bit text hash, not
-    the text payload) plus the tiny final per-source aggregate — the
-    shape that holds at 100 TB. Stage order is part of the semantics
-    (filters run BEFORE dedup, the coin AFTER it) and the SQL oracle
-    reproduces the same order."""
+    only shuffle is the dedup ``groupby`` (on a 64-bit text hash —
+    the shuffled rows are three int64 columns, the text payload never
+    moves) plus the tiny final per-source aggregate — the shape that
+    holds at 100 TB. The min-doc survivor row is recovered by a NATIVE
+    vectorized ``min`` aggregate over ``doc_id*2^20 + src_num`` (docID
+    uniqueness makes the packed min ≡ the min-doc row; no per-group
+    Python). Stage order is part of the semantics (filters run BEFORE
+    dedup, the coin AFTER it) and the SQL oracle reproduces the same
+    order."""
     import pandas as pd
 
+    PACK = np.int64(1 << 20)    # doc_id*2^20+src: safe to 2^43 docs
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def eval_side(b: pa.Table) -> pa.Table:
@@ -4534,45 +4571,38 @@ def curation_pipeline_docs(sf_dir: str) -> pa.Table:
         offs, flat = dd._flat_tokens(b["text"])
         toks = np.asarray(flat.to_pandas(), dtype=object)
         keep = ids % CONTAM_MOD != 0          # eval docs never train
-        for i in range(len(ids)):
-            if not keep[i]:
-                continue
-            t = toks[offs[i]:offs[i + 1]]
-            if len(t) >= 2:
-                bgr = pd.Series([" ".join(p) for p in zip(t[:-1], t[1:])])
-                if int(bgr.value_counts().iloc[0]) >= CURATION_REP_MAX:
-                    keep[i] = False
-                    continue
-            if len(t) >= CONTAM_N and any(
-                    " ".join(t[j:j + CONTAM_N]) in es
-                    for j in range(len(t) - CONTAM_N + 1)):
-                keep[i] = False
-        out = pa.table({
-            "doc_id": b["doc_id"], "text": b["text"],
-            "source": b["source"],
-            "n_tokens": pa.array(np.diff(offs).astype(np.int64)),
-            "tkey": pa.array(_md5_64(b["text"].to_pylist()).astype(
-                np.int64))})
-        return out.filter(pa.array(keep))
-
-    def first(g: pa.Table) -> pa.Table:
-        i = int(np.argmin(g["doc_id"].to_numpy()))
-        return g.slice(i, 1)
-
-    ded = ds.map_batches(fused_filter, batch_format="pyarrow") \
-        .groupby("tkey").map_groups(first, batch_format="pyarrow")
-
-    def coin_and_partial(b: pa.Table) -> pa.Table:
-        h = _md5_64(b["doc_id"].to_pylist()) % np.uint64(1000)
+        keep &= _top_bigram_counts(offs, toks) < CURATION_REP_MAX
+        gd, grams = _flat_ngrams(offs, toks, CONTAM_N)
+        if len(gd):
+            hit = np.fromiter((g in es for g in grams), dtype=bool,
+                              count=len(grams))
+            keep[np.unique(gd[hit])] = False
         src = np.fromiter(
             (int(s[3:]) for s in b["source"].to_pylist()),
             dtype=np.int64, count=b.num_rows)
+        out = pa.table({
+            "tkey": pa.array(_md5_64(b["text"].to_pylist()).astype(
+                np.int64)),
+            "packed": pa.array(ids * PACK + src),
+            "n_tokens": pa.array(np.diff(offs).astype(np.int64))})
+        return out.filter(pa.array(keep))
+
+    # n_tokens is constant within a tkey group (identical text), so
+    # min() carries it through the same native aggregate
+    ded = ds.map_batches(fused_filter, batch_format="pyarrow") \
+        .groupby("tkey").min(["packed", "n_tokens"])
+
+    def coin_and_partial(b: pa.Table) -> pa.Table:
+        pk = b["min(packed)"].to_numpy()
+        doc = pk // PACK
+        src = pk % PACK
+        h = _md5_64(doc.tolist()) % np.uint64(1000)
         rate = (src % 4 + 1) * 250
-        sub = b.filter(pa.array(h.astype(np.int64) < rate))
+        kept = h.astype(np.int64) < rate
         df = pd.DataFrame({
-            "source": sub["source"].to_pandas(),
-            "n_docs": np.ones(sub.num_rows, dtype=np.int64),
-            "n_tokens": sub["n_tokens"].to_numpy()})
+            "source": ["src%d" % s for s in src[kept]],
+            "n_docs": np.ones(int(kept.sum()), dtype=np.int64),
+            "n_tokens": b["min(n_tokens)"].to_numpy()[kept]})
         g = df.groupby("source", as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
