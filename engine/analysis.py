@@ -513,11 +513,65 @@ class CommonGramsFilter(TokenFilter):
         return {"type": "common_grams", "common_words": self.common_words}
 
 
+class MinHashTokenFilter(TokenFilter):
+    """MinHash as an ANALYSIS filter (upstream
+    ``lucene/analysis/common/.../minhash/MinHashFilter.java`` [U]):
+    the token stream is REPLACED by the ``k`` smallest 64-bit hashes
+    of the doc's DISTINCT terms, emitted as decimal-string tokens at
+    positions 0..k-1 — index-time LSH signatures queryable like any
+    term. Conformance boundary (documented): the hash is the
+    md5-low-64 used across this engine (DuckDB ``md5_number_lower``)
+    instead of Lucene's murmur3-128, so the whole filter has an exact
+    SQL oracle; k plays the hashCount role (single hash set, no
+    bucketing). Hashing is VOCAB-level (each distinct batch term
+    hashed once); only the per-doc min-k gather runs per doc."""
+
+    def __init__(self, k: int = 2):
+        assert k >= 1
+        self.k = k
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        import hashlib
+        import struct
+
+        n_docs = len(offsets) - 1
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        hv = np.fromiter(
+            (struct.unpack(
+                "<Q", hashlib.md5(t.encode()).digest()[8:])[0]
+             for t in vocab),
+            dtype=np.uint64, count=len(vocab))
+        out_doc, out_pos, out_term = [], [], []
+        for i in range(n_docs):
+            cs = np.unique(codes[offsets[i]:offsets[i + 1]])
+            if not len(cs):
+                continue
+            mh = np.sort(np.unique(hv[cs]))[:self.k]
+            for p, h in enumerate(mh):
+                out_doc.append(i)
+                out_pos.append(p)
+                out_term.append(str(int(h)))
+        doc_all = np.asarray(out_doc, dtype=np.int64)
+        term_all = np.asarray(out_term, dtype=object)
+        pos_all = np.asarray(out_pos, dtype=np.int32)
+        new_lens = np.bincount(doc_all, minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        uniq, inv = np.unique(term_all, return_inverse=True)
+        return new_offsets, inv, uniq, pos_all, new_lens
+
+    def spec(self) -> dict:
+        return {"type": "min_hash", "k": self.k}
+
+
 def build_filter(spec: dict) -> TokenFilter:
     """Filter factory from a JSON spec (IndexConfig serialization)."""
     t = spec["type"]
     if t == "common_grams":
         return CommonGramsFilter(spec["common_words"])
+    if t == "min_hash":
+        return MinHashTokenFilter(spec["k"])
     if t == "synonym":
         return SynonymFilter(spec["mapping"])
     if t == "shingle":

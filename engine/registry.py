@@ -4423,6 +4423,41 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+MINHASH_FILTER_K = 2
+MINHASH_MIN_DF = 5
+
+
+def minhash_filter_stats(sf_dir: str) -> pa.Table:
+    """MinHashFilter e2e (upstream ``MinHashFilter.java`` [U] as an
+    analysis-chain filter, see ``engine/analysis.py``): each doc is
+    indexed as its {MINHASH_FILTER_K} smallest distinct-term hashes —
+    index-time LSH signatures; docs sharing a signature term are
+    near-dup candidates by one TermQuery. Stats read back for
+    signature terms with df ≥ {MINHASH_MIN_DF}."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "min_hash", "k": MINHASH_FILTER_K},),
+        "minhashfilter1")
+    t = _index_stats_of(idx)
+    return t.filter(pc.greater_equal(t["df"], MINHASH_MIN_DF))
+
+
+SQL_MINHASH_FILTER = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+h AS (SELECT DISTINCT doc_id, md5_number_lower(term) AS hv FROM toks),
+rn AS (
+  SELECT doc_id, hv,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv) AS rn
+  FROM h),
+mh AS (SELECT doc_id, CAST(hv AS VARCHAR) AS term FROM rn
+       WHERE rn <= {MINHASH_FILTER_K})
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM mh GROUP BY term HAVING COUNT(DISTINCT doc_id) >= {MINHASH_MIN_DF}
+ORDER BY term
+"""
+
+
 FUZZY_TRANSPOSE_TERM = "psark"   # one adjacent swap from 'spark'
 
 
@@ -4941,6 +4976,7 @@ def queries() -> dict:
         "luke_overview": luke_overview,
         "fuzzy_transpose_topk": fuzzy_transpose_topk,
         "blockjoin_children_docs": blockjoin_children_docs,
+        "minhash_filter_stats": minhash_filter_stats,
     }
 
 
@@ -5081,6 +5117,7 @@ def oracle_sql() -> dict:
         "luke_overview": SQL_LUKE,
         "fuzzy_transpose_topk": SQL_FUZZY_TRANSPOSE,
         "blockjoin_children_docs": sql_blockjoin_children(),
+        "minhash_filter_stats": SQL_MINHASH_FILTER,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -286,3 +286,23 @@ def test_common_grams_filter_golden():
     assert a.analyze_text("quick fox") == [("quick", 0), ("fox", 1)]
     spec = CommonGramsFilter(["the", "a"]).spec()
     assert build_filter(spec).spec() == spec
+
+
+def test_minhash_token_filter_golden():
+    import hashlib
+    import struct
+
+    from engine.analysis import Analyzer, MinHashTokenFilter, build_filter
+
+    def h64(t):
+        return struct.unpack("<Q", hashlib.md5(t.encode()).digest()[8:])[0]
+
+    a = Analyzer(stop_words=None, stemming=False,
+                 filters=[MinHashTokenFilter(k=2)])
+    toks = a.analyze_text("b a b c")
+    want = sorted(h64(t) for t in {"a", "b", "c"})[:2]
+    assert toks == [(str(want[0]), 0), (str(want[1]), 1)]
+    # fewer distinct terms than k -> fewer tokens
+    assert len(a.analyze_text("x x x")) == 1
+    spec = MinHashTokenFilter(3).spec()
+    assert build_filter(spec).spec() == spec
