@@ -4423,6 +4423,82 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+ATU_MOD = 40
+ATU_SUFFIX = " review spark"
+ATU_QUERY = "spark review"
+
+
+def atomic_update_topk(sf_dir: str) -> pa.Table:
+    """Atomic update round-trip (upstream Solr
+    ``AtomicUpdateDocumentMerger`` [U]): the client sends only
+    ``(doc_id, op)``; the full replacement document is produced by
+    READING the engine's own stored fields (upstream's
+    ``stored="true"`` requirement — exactly this read-modify-write),
+    merging (here: ``set text := old || '{ATU_SUFFIX}'``), then the
+    standard updateDocument delete+append. Unlike ``update_docs_topk``
+    (which writes a client-provided constant doc), the merged doc is
+    derived from index state via the two-phase fetch path. Lucene
+    tombstone stats semantics as there."""
+    import shutil as _sh
+
+    from engine.build import build_stored_fields, delete_docs
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|atu|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "atu_" + key)
+    os.makedirs(work, exist_ok=True)
+    idx = os.path.join(work, "index")
+    upd_file = os.path.join(work, "updates.parquet")
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    ids = pq.read_table(base, columns=["doc_id"])["doc_id"].to_numpy()
+    n_base = len(ids)
+    old_ids = np.sort(ids[ids % ATU_MOD == 0])
+    man = mf.load(idx)
+    want = sorted([base, upd_file])
+    if not (man and man.get("status") == "complete"
+            and man.get("input_files") == want
+            and (man.get("deletes") or {}).get("n") == len(old_ids)):
+        if os.path.exists(idx):
+            _sh.rmtree(idx)
+        build_index([base], idx, cfg)
+        build_stored_fields(idx)
+        r0 = IndexReader(idx)
+        stored = r0.fetch_docs(old_ids)
+        sm = dict(zip(stored["doc_id"].to_pylist(),
+                      stored["text"].to_pylist()))
+        tmp = upd_file + ".tmp"
+        pq.write_table(pa.table({
+            "doc_id": pa.array(n_base + np.arange(len(old_ids)),
+                               type=pa.int64()),
+            "text": pa.array([sm[int(d)] + ATU_SUFFIX
+                              for d in old_ids]),
+        }), tmp)
+        os.replace(tmp, upd_file)
+        delete_docs(idx, old_ids)
+        build_index([base, upd_file], idx, cfg)
+    r = IndexReader(idx)
+    return _topdocs_out(r.topk(ATU_QUERY, 10))
+
+
+def sql_atomic_update() -> str:
+    corpus = (
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT (SELECT COUNT(*) FROM documents)"
+        " + ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS doc_id, "
+        f"text || '{ATU_SUFFIX}' AS text FROM documents"
+        f" WHERE doc_id % {ATU_MOD} = 0) c")
+    qterms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in ATU_QUERY.split()) + "]) AS term"
+    return _sql_disjunction(
+        qterms, 10,
+        where=("WHERE contrib.doc_id NOT IN (SELECT doc_id FROM "
+               f"documents WHERE doc_id % {ATU_MOD} = 0)"),
+        docs_src=corpus)
+
+
 MINHASH_FILTER_K = 2
 MINHASH_MIN_DF = 5
 
@@ -4977,6 +5053,7 @@ def queries() -> dict:
         "fuzzy_transpose_topk": fuzzy_transpose_topk,
         "blockjoin_children_docs": blockjoin_children_docs,
         "minhash_filter_stats": minhash_filter_stats,
+        "atomic_update_topk": atomic_update_topk,
     }
 
 
@@ -5118,6 +5195,7 @@ def oracle_sql() -> dict:
         "fuzzy_transpose_topk": SQL_FUZZY_TRANSPOSE,
         "blockjoin_children_docs": sql_blockjoin_children(),
         "minhash_filter_stats": SQL_MINHASH_FILTER,
+        "atomic_update_topk": sql_atomic_update(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
