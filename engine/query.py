@@ -608,6 +608,39 @@ class IndexReader:
         order = np.lexsort((cand, -final))[:k]
         return _topdocs_table(cand[order], final[order], total=len(cand))
 
+    def span_or_topk(self, terms: list[str], k: int = 10) -> pa.Table:
+        """SpanOrQuery (upstream ``L/search/spans/SpanOrQuery.java``
+        [U]): the union of the clause spans scored as ONE span — freq
+        = total occurrences across all clause terms, under a single
+        COMBINED weight (sum of the clause idfs, as SpanWeight builds
+        one SimWeight over all query terms). Differs from a SHOULD
+        disjunction, which applies each clause's idf to its own tf."""
+        terms = sorted(set(terms))
+        subs = self.lookup(terms)
+        clause = {t: self._clause_arrays(t, subs[t])
+                  for t in terms if subs[t]}
+        if not clause:
+            return _topdocs_table([], [])
+        w = np.float32(np.sum(np.array(
+            [idf(self.N, len(c[0])) for c in clause.values()],
+            dtype=np.float32).astype(np.float64)))
+        cand = np.unique(np.concatenate([c[0] for c in clause.values()]))
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        if not len(cand):
+            return _topdocs_table([], [])
+        freq = np.zeros(len(cand), dtype=np.int64)
+        normb = np.zeros(len(cand), dtype=np.int64)
+        for docs, tfs, norms in clause.values():
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            freq[hit] += tfs[idx[hit]]
+            normb[hit] = norms[idx[hit]]
+        final = _clause_scores(freq, normb, w, self.cache)
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order], total=len(cand))
+
     def dismax_topk(self, terms: list[str], k: int = 10,
                     tiebreak: float = 0.0) -> pa.Table:
         """DisjunctionMaxQuery (upstream

@@ -4423,6 +4423,46 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+SPAN_OR_TERMS = ["spark", "merge", "vector"]
+
+
+def span_or_topk_docs(sf_dir: str) -> pa.Table:
+    """SpanOrQuery: span union scored as one span (summed occurrence
+    freq, single combined idf weight — see
+    ``IndexReader.span_or_topk``)."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.span_or_topk(SPAN_OR_TERMS, k=10))
+
+
+def sql_span_or() -> str:
+    terms = ",".join(f"'{t}'" for t in SPAN_OR_TERMS)
+    return f"""{_bm25_ctes()},
+qterms AS (SELECT unnest([{terms}]) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM dfs d CROSS JOIN stats s),
+occ AS (
+  SELECT tf.doc_id, SUM(tf.tf) AS freq
+  FROM tf JOIN qterms q ON tf.term = q.term GROUP BY tf.doc_id),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 ATU_MOD = 40
 ATU_SUFFIX = " review spark"
 ATU_QUERY = "spark review"
@@ -5054,6 +5094,7 @@ def queries() -> dict:
         "blockjoin_children_docs": blockjoin_children_docs,
         "minhash_filter_stats": minhash_filter_stats,
         "atomic_update_topk": atomic_update_topk,
+        "span_or_topk_docs": span_or_topk_docs,
     }
 
 
@@ -5196,6 +5237,7 @@ def oracle_sql() -> dict:
         "blockjoin_children_docs": sql_blockjoin_children(),
         "minhash_filter_stats": SQL_MINHASH_FILTER,
         "atomic_update_topk": sql_atomic_update(),
+        "span_or_topk_docs": sql_span_or(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
