@@ -913,6 +913,99 @@ def build_index(input_path: str | list[str], index_dir: str,
     return man
 
 
+def add_indexes(out_dir: str, src_dirs: list[str]) -> dict[str, Any]:
+    """``IndexWriter.addIndexes(Directory...)`` analog (upstream
+    ``L/index/IndexWriter.java#addIndexes`` [U]): merge N COMPLETE
+    indexes into a new one WITHOUT re-analysis. The sources' fragment
+    files are hardlinked in as already-done parts of the destination
+    manifest, so only stage B (the bucket-merge shuffle) and the
+    commit run — the segment-concatenation lifecycle. Requirements
+    (asserted): doc_id mode, identical IndexConfig, no active deletes
+    (fold or carry them first), and disjoint external docID spaces —
+    Lucene rebases internal ids by segment base; with external ids
+    disjointness is the caller's contract, checked cheaply via Parquet
+    footer min/max when available."""
+    mans = []
+    for s in src_dirs:
+        m = mf.load(s)
+        assert m and m["status"] == "complete", f"incomplete index: {s}"
+        assert (m["config"] or {}).get("doc_id_col"), \
+            "addIndexes requires doc_id mode"
+        assert not m.get("deletes"), \
+            "addIndexes: fold deletes first (optimize_index)"
+        mans.append(m)
+    cfg_json = mans[0]["config"]
+    for m in mans[1:]:
+        assert m["config"] == cfg_json, "addIndexes: configs differ"
+    cfg = IndexConfig.from_json(cfg_json)
+
+    # cheap disjointness check from Parquet footer stats (skip any
+    # file without them)
+    ranges = []
+    for m in mans:
+        lo, hi = None, None
+        for f in m["input_files"]:
+            try:
+                pf = pq.ParquetFile(f)
+                ci = pf.schema_arrow.get_field_index(cfg.doc_id_col)
+                for rg in range(pf.metadata.num_row_groups):
+                    st = pf.metadata.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            except Exception:  # noqa: BLE001
+                lo = hi = None
+                break
+        ranges.append((lo, hi))
+    known = [r for r in ranges if r[0] is not None]
+    for i in range(len(known)):
+        for j in range(i + 1, len(known)):
+            a, b = sorted((known[i], known[j]))
+            assert a[1] < b[0], \
+                "addIndexes: overlapping docID ranges"
+
+    all_files = []
+    for m in mans:
+        all_files.extend(m["input_files"])
+    assert len(set(all_files)) == len(all_files), \
+        "addIndexes: duplicate input file across sources"
+    files = sorted(all_files)
+    part_of_path = {f: i for i, f in enumerate(files)}
+
+    os.makedirs(out_dir, exist_ok=True)
+    for d in ("fragments", "index", "index-opt"):
+        p = os.path.join(out_dir, d)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    man = mf.new_manifest(files, cfg_json)
+    for m, s in zip(mans, src_dirs):
+        src_frag = os.path.join(s, "fragments")
+        for bdir in os.listdir(src_frag):
+            for pdir in os.listdir(os.path.join(src_frag, bdir)):
+                old_pid = int(pdir.split("=", 1)[1])
+                f = m["input_files"][old_pid]
+                src_p = os.path.join(src_frag, bdir, pdir)
+                dst_p = os.path.join(out_dir, "fragments", bdir,
+                                     f"part_id={part_of_path[f]}")
+                os.makedirs(dst_p, exist_ok=True)
+                for fn in os.listdir(src_p):
+                    dst_f = os.path.join(dst_p, fn)
+                    try:
+                        os.link(os.path.join(src_p, fn), dst_f)
+                    except OSError:
+                        shutil.copy2(os.path.join(src_p, fn), dst_f)
+    for f in files:
+        man["parts"][str(part_of_path[f])] = {
+            "input_file": f, "status": "done"}
+    man["stats"]["N"] = sum(int(m["stats"]["N"]) for m in mans)
+    man["stats"]["max_doc"] = max(
+        int(m["stats"]["max_doc"]) for m in mans)
+    mf.save(out_dir, man)
+    # stage B (merge) + stage C (commit) via the normal resume path
+    return build_index(files, out_dir, cfg)
+
+
 STORED_DIR = "stored"
 
 

@@ -4423,6 +4423,60 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+def add_indexes_topk(sf_dir: str) -> pa.Table:
+    """IndexWriter.addIndexes round-trip (upstream
+    ``IndexWriter#addIndexes(Directory...)`` [U]): the corpus is split
+    into two disjoint halves, each built as an independent complete
+    index, then merged into one WITHOUT re-analysis
+    (``engine.build.add_indexes``: source fragments hardlinked in,
+    only the bucket-merge shuffle reruns). The merged index must
+    answer BM25 identically to a single build over the whole corpus —
+    it shares ``bm25_topk``'s SQL oracle."""
+    import shutil as _sh
+
+    from engine.build import add_indexes
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|addidx|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "addidx_" + key)
+    os.makedirs(work, exist_ok=True)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    full = pq.read_table(base, columns=["doc_id", "text"])
+    mid = int(np.median(full["doc_id"].to_numpy()))
+    halves = []
+    for name, keep in (
+            ("half_lo", pc.less_equal(full["doc_id"], mid)),
+            ("half_hi", pc.greater(full["doc_id"], mid))):
+        p = os.path.join(work, f"{name}.parquet")
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            pq.write_table(full.filter(keep), tmp)
+            os.replace(tmp, p)
+        halves.append(p)
+    out = os.path.join(work, "merged")
+    man = mf.load(out)
+    if not (man and man.get("status") == "complete"
+            and man.get("input_files") == sorted(halves)):
+        for name, src in zip(("lo", "hi"), halves):
+            idx = os.path.join(work, f"idx_{name}")
+            m = mf.load(idx)
+            if not (m and m.get("status") == "complete"):
+                if os.path.exists(idx):
+                    _sh.rmtree(idx)
+                build_index([src], idx, cfg)
+        if os.path.exists(out):
+            _sh.rmtree(out)
+        add_indexes(out, [os.path.join(work, "idx_lo"),
+                          os.path.join(work, "idx_hi")])
+    r = IndexReader(out)
+    top = r.bmw_topk(BM25_QUERY, BM25_K)
+    return _cast_col(top.select(["rank", "doc_id", "score"]),
+                     "rank", pa.int64())
+
+
 SPAN_OR_TERMS = ["spark", "merge", "vector"]
 
 
@@ -5095,6 +5149,7 @@ def queries() -> dict:
         "minhash_filter_stats": minhash_filter_stats,
         "atomic_update_topk": atomic_update_topk,
         "span_or_topk_docs": span_or_topk_docs,
+        "add_indexes_topk": add_indexes_topk,
     }
 
 
@@ -5238,6 +5293,9 @@ def oracle_sql() -> dict:
         "minhash_filter_stats": SQL_MINHASH_FILTER,
         "atomic_update_topk": sql_atomic_update(),
         "span_or_topk_docs": sql_span_or(),
+        # addIndexes(half A, half B) must equal one build over the
+        # whole corpus -> shares the bm25_topk oracle
+        "add_indexes_topk": sql_bm25_topk(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

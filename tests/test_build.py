@@ -591,3 +591,52 @@ def test_append_after_fold_does_not_resurrect_deletes(ray_session,
     r3 = IndexReader(idx)
     hits3 = set(r3.topk("aa bb cc", 200)["doc_id"].to_pylist())
     assert not (hits3 & (set(dead) | {61}))
+
+
+def test_add_indexes_equals_single_build(ray_session, tmp_path_factory):
+    """addIndexes(A, B) over disjoint halves == one build over the
+    union: logical postings dump identical, CheckIndex green."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, add_indexes, build_index
+    from engine.check import check_index, dump_postings
+
+    root = tmp_path_factory.mktemp("addidx")
+
+    def make_file(path, lo, hi, seed):
+        rng = np.random.default_rng(seed)
+        words = np.array(["alpha", "beta", "gamma", "delta", "epsilon",
+                          "zeta", "eta", "theta"], dtype=object)
+        texts = [" ".join(words[rng.integers(0, 8, size=12)])
+                 for _ in range(hi - lo)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+            "text": pa.array(texts),
+        }), path)
+
+    f1 = str(root / "lo.parquet")
+    f2 = str(root / "hi.parquet")
+    make_file(f1, 0, 250, 11)
+    make_file(f2, 250, 500, 12)
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=128)
+    ia, ib = str(root / "ia"), str(root / "ib")
+    build_index([f1], ia, cfg)
+    build_index([f2], ib, cfg)
+    merged = str(root / "merged")
+    man = add_indexes(merged, [ia, ib])
+    assert man["status"] == "complete"
+    single = str(root / "single")
+    build_index([f1, f2], single, cfg)
+    dm, ds_ = dump_postings(merged), dump_postings(single)
+    assert set(dm) == set(ds_)
+    for term, parts in dm.items():
+        for got, want in zip(parts, ds_[term]):
+            assert np.array_equal(got, want), term
+    check_index(merged)
+    # overlapping id spaces must be rejected
+    with pytest.raises(AssertionError):
+        add_indexes(str(root / "bad"), [ia, ia])
