@@ -396,3 +396,96 @@ def stratified_sample(ds: ray.data.Dataset, key_col: str, id_col: str,
         return b.filter(pa.array(bucket < cut))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sessionize(ds: ray.data.Dataset, user_col: str, ts_col: str,
+               tie_col: str, gap_us: int) -> pa.Table:
+    """Gap-based sessionization of an event stream — the standard
+    behavioral-log primitive (no Solr analog; part of the
+    training-pipeline op set): events of one user more than ``gap_us``
+    apart start a new session. Returns one row per session:
+    ``(user, session_start, session_end, n_events)``.
+
+    Distributed shape: ONE global sort on (user, ts, tie), then the
+    two-pass boundary-stitch pattern (as in sequence packing) — pass A
+    ships only each sorted block's FIRST/LAST boundary rows to the
+    driver (O(blocks)); the driver walks blocks once to resolve each
+    block's carry-in session start; pass B emits per-block session
+    partials with the carry broadcast, and a final small groupby
+    merges sessions that span blocks. No per-group Python anywhere."""
+    mat = ds.sort([user_col, ts_col, tie_col]).materialize()
+    refs = [r for r in mat.to_arrow_refs()]
+
+    @ray.remote
+    def bounds(t: pa.Table):
+        if not t.num_rows:
+            return None
+        u = t[user_col]
+        ts = t[ts_col].cast(pa.int64()).to_numpy()
+        uu = u.to_numpy(zero_copy_only=False)
+        brk = np.empty(t.num_rows, dtype=bool)
+        brk[0] = False                     # resolved by the driver
+        if t.num_rows > 1:
+            brk[1:] = (uu[1:] != uu[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        ib = np.flatnonzero(brk)
+        last_break_ts = int(ts[ib[-1]]) if len(ib) else None
+        return (uu[0], int(ts[0]), uu[-1], int(ts[-1]), last_break_ts)
+
+    infos = ray.get([bounds.remote(r) for r in refs])
+
+    # driver walk: carry-in session start per block (O(blocks))
+    carry_in: list[tuple | None] = []
+    prev_last: list[tuple | None] = []
+    cu, cs, plu, plt = None, None, None, None   # carry user/start, prev last
+    for info in infos:
+        carry_in.append((cu, cs))
+        prev_last.append((plu, plt))
+        if info is None:
+            continue
+        u0, t0, ul, tl, lb = info
+        first_brk = (plu is None or u0 != plu or t0 - plt > gap_us)
+        if lb is not None:
+            cu, cs = ul, lb
+        elif first_brk:
+            cu, cs = u0, t0
+        # else: carry unchanged (whole block continues prior session)
+        plu, plt = ul, tl
+
+    @ray.remote
+    def partial(t: pa.Table, carry, prev) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({user_col: pa.array([], type=pa.string()),
+                             "session_start": pa.array([], type=pa.int64()),
+                             "session_end": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64())})
+        import pandas as pd
+        uu = t[user_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy()
+        brk = np.empty(t.num_rows, dtype=bool)
+        plu, plt = prev
+        brk[0] = (plu is None or uu[0] != plu or ts[0] - plt > gap_us)
+        if t.num_rows > 1:
+            brk[1:] = (uu[1:] != uu[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        # forward-fill session starts; rows before the first break
+        # inherit the carried start
+        start = np.where(brk, ts, np.int64(0))
+        idx = np.maximum.accumulate(np.where(brk, np.arange(len(ts)), -1))
+        cu_, cs_ = carry
+        st = np.where(idx >= 0, start[np.maximum(idx, 0)],
+                      np.int64(cs_ if cs_ is not None else 0))
+        df = pd.DataFrame({user_col: uu, "session_start": st, "ts": ts})
+        g = df.groupby([user_col, "session_start"], as_index=False).agg(
+            session_end=("ts", "max"), n_events=("ts", "size"))
+        return pa.Table.from_pandas(g[[user_col, "session_start",
+                                       "session_end", "n_events"]],
+                                    preserve_index=False)
+
+    parts = ray.get([partial.remote(r, c, p)
+                     for r, c, p in zip(refs, carry_in, prev_last)])
+    allp = pa.concat_tables([p for p in parts if p.num_rows])
+    import pandas as pd
+    df = allp.to_pandas().groupby([user_col, "session_start"],
+                                  as_index=False).agg(
+        session_end=("session_end", "max"), n_events=("n_events", "sum"))
+    df = df.sort_values([user_col, "session_start"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -4423,6 +4423,45 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000   # 30-minute inactivity gap
+
+
+def sessionize_events(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization of the event stream (behavioral-log
+    primitive for training-data pipelines): one row per (user,
+    session), sessions split on > 30 min inactivity. One global sort +
+    boundary-stitched two-pass — see ``relational.sessionize``.
+    Timestamps are returned as int64 epoch-µs so the oracle compare is
+    exact."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return rel.sessionize(ds, "user_id", "ts", "event_id",
+                          SESSION_GAP_US)
+
+
+SQL_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+b AS (
+  SELECT user_id, event_id, tsu,
+         CASE WHEN pts IS NULL OR tsu - pts > {SESSION_GAP_US}
+              THEN tsu END AS brk_ts
+  FROM o),
+s AS (
+  SELECT user_id, tsu,
+         MAX(brk_ts) OVER (
+           PARTITION BY user_id ORDER BY tsu, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_start
+  FROM b)
+SELECT user_id, session_start::BIGINT AS session_start,
+       MAX(tsu)::BIGINT AS session_end, COUNT(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_start
+ORDER BY user_id, session_start
+"""
+
+
 def add_indexes_topk(sf_dir: str) -> pa.Table:
     """IndexWriter.addIndexes round-trip (upstream
     ``IndexWriter#addIndexes(Directory...)`` [U]): the corpus is split
@@ -5150,6 +5189,7 @@ def queries() -> dict:
         "atomic_update_topk": atomic_update_topk,
         "span_or_topk_docs": span_or_topk_docs,
         "add_indexes_topk": add_indexes_topk,
+        "sessionize_events": sessionize_events,
     }
 
 
@@ -5296,6 +5336,7 @@ def oracle_sql() -> dict:
         # addIndexes(half A, half B) must equal one build over the
         # whole corpus -> shares the bm25_topk oracle
         "add_indexes_topk": sql_bm25_topk(),
+        "sessionize_events": SQL_SESSIONIZE,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

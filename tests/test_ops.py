@@ -641,3 +641,43 @@ def test_connected_components_known_graph(ray_session):
     empty = dd.connected_components(
         ray.data.from_arrow(edges.slice(0, 0)), "id_a", "id_b")
     assert empty.num_rows == 0
+
+
+def test_sessionize_multiblock_boundaries(ray_session):
+    """Sessions spanning sorted-block boundaries must merge exactly:
+    compare the distributed two-pass against a single-process
+    reference over a crafted stream, forced through many blocks."""
+    import ray.data
+
+    import engine.ops.relational as rel
+
+    GAP = 100
+    rng = np.random.default_rng(42)
+    users = rng.integers(0, 7, size=400)
+    ts = np.sort(rng.integers(0, 5000, size=400))
+    eid = np.arange(400)
+    t = pa.table({"user_id": pa.array(users, type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "event_id": pa.array(eid, type=pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(13)
+    out = rel.sessionize(ds, "user_id", "ts", "event_id", GAP)
+
+    # single-process reference
+    order = np.lexsort((eid, ts.astype(np.int64), users))
+    u, s, e2 = users[order], ts.astype(np.int64)[order], eid[order]
+    ref = {}
+    cur = {}
+    for i in range(len(u)):
+        uu, tt = int(u[i]), int(s[i])
+        last = cur.get(uu)
+        if last is None or tt - last[1] > GAP:
+            cur[uu] = [tt, tt, 0]
+        cur[uu][1] = tt
+        key = (uu, cur[uu][0])
+        st, en, n = ref.get(key, (tt, tt, 0))
+        ref[key] = (key[1], max(en, tt), n + 1)
+    got = {(int(r["user_id"]), int(r["session_start"])):
+           (int(r["session_start"]), int(r["session_end"]),
+            int(r["n_events"]))
+           for r in out.to_pylist()}
+    assert got == ref
