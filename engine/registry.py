@@ -1700,16 +1700,10 @@ def embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
 _TRANSCRIPT_CACHE: dict[float, str] = {}
 
 
-def transcript_bm25(sf_dir: str) -> pa.Table:
-    """The north-rule flagship as a registry entry: deterministic
-    transcript corpus (input_hint schema) → conv-mode analyzed index →
-    reference query set through the QueryEngine actor pool. Rows-only
-    (the corpus is not a DuckDB view); rank/score identity is enforced
-    by the dual-execution tests instead."""
-    import ray.data
-
-    from engine.query import QueryEngine
-    from engine.synth import make_queries, write_transcripts
+def _transcript_corpus(sf_dir: str) -> str:
+    """Deterministic input_hint-schema transcript corpus for this sf
+    (cached); shared by the flagship and the role/tool/ts entries."""
+    from engine.synth import write_transcripts
 
     base = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
@@ -1719,10 +1713,31 @@ def transcript_bm25(sf_dir: str) -> pa.Table:
     key = hashlib.md5(f"transcripts|{sf}|v2".encode()).hexdigest()[:12]
     root = os.path.join("/tmp/rayindex_cache", key)
     corpus = os.path.join(root, "corpus")
-    idx = os.path.join(root, "index")
     if not os.path.exists(os.path.join(corpus, "transcripts-00000.parquet")):
         write_transcripts(corpus, n_convs=max(200, int(200_000 * sf)),
                           seed=42, n_files=4)
+    return corpus
+
+
+def transcript_bm25(sf_dir: str) -> pa.Table:
+    """The north-rule flagship as a registry entry: deterministic
+    transcript corpus (input_hint schema) → conv-mode analyzed index →
+    reference query set through the QueryEngine actor pool. Rows-only
+    (the corpus is not a DuckDB view); rank/score identity is enforced
+    by the dual-execution tests instead."""
+    import ray.data
+
+    from engine.query import QueryEngine
+    from engine.synth import make_queries
+
+    corpus = _transcript_corpus(sf_dir)
+    root = os.path.dirname(corpus)
+    base = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf = float(base)
+    except ValueError:
+        sf = 0.01
+    idx = os.path.join(root, "index")
     man = build_index(corpus, idx, IndexConfig(
         n_buckets=4, hot_df_threshold=max(500, int(2_000_000 * sf) // 50),
         n_salts=4))
@@ -4423,6 +4438,81 @@ FROM bg GROUP BY term ORDER BY term
 """
 
 
+# golden value-hashes for transcript_role_stats per sf dir (rows-only:
+# the transcript corpus is not a DuckDB view; the corpus is
+# deterministic, so any drift is a real regression)
+_ROLE_STATS_GOLDEN: dict[str, str] = {
+    "sf0.001": "f2b8337c71ac6c57d8d94a4aa7dd7ee8",
+    "sf0.01": "23b1936afad3ec46665bba9556c0135c",
+    "sf0.1": "8ec057e9f80f43d15bff7df5989b9d11",
+}
+
+
+def transcript_role_stats(sf_dir: str) -> pa.Table:
+    """Input-hint column coverage over the flagship transcript corpus:
+    per-(role, tool) turn count, alnum-token sum and ts extent
+    (epoch-µs). Per-batch vectorized partials → one grouped aggregate.
+    Rows-only with an embedded golden value-hash (corpus is
+    deterministic; see ``_ROLE_STATS_GOLDEN``)."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    corpus = _transcript_corpus(sf_dir)
+    ds = ray.data.read_parquet(corpus,
+                               columns=["role", "tool", "text", "ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]),
+                                      "[^a-z0-9]+")
+        toks = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        o = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        per = np.diff(o)
+        nonempty = pc.not_equal(toks.values, "").to_numpy(
+            zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(per)), per)
+        n_tok = per - np.bincount(doc_of[~nonempty], minlength=len(per))
+        df = pd.DataFrame({
+            "key": [f"{r}|{t}" for r, t in zip(
+                b["role"].to_pylist(), b["tool"].to_pylist())],
+            "n_turns": np.ones(b.num_rows, dtype=np.int64),
+            "n_tokens": n_tok.astype(np.int64),
+            "ts_us": b["ts"].cast(pa.int64()).to_numpy()})
+        g = df.groupby("key", as_index=False).agg(
+            n_turns=("n_turns", "sum"), n_tokens=("n_tokens", "sum"),
+            ts_min=("ts_us", "min"), ts_max=("ts_us", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("n_turns"), Sum("n_tokens"),
+                                  Min("ts_min"), Max("ts_max"))
+    t = _to_table(agg)
+    t = _rename(t, {"sum(n_turns)": "n_turns",
+                    "sum(n_tokens)": "n_tokens",
+                    "min(ts_min)": "ts_min", "max(ts_max)": "ts_max"})
+    keys = t["key"].to_pylist()
+    role = [k.split("|", 1)[0] for k in keys]
+    tool = [k.split("|", 1)[1] for k in keys]
+    out = pa.table({
+        "role": pa.array(role), "tool": pa.array(tool),
+        "n_turns": t["n_turns"].cast(pa.int64()),
+        "n_tokens": t["n_tokens"].cast(pa.int64()),
+        "ts_min": t["ts_min"].cast(pa.int64()),
+        "ts_max": t["ts_max"].cast(pa.int64()),
+    }).sort_by([("role", "ascending"), ("tool", "ascending")])
+    base = os.path.basename(os.path.normpath(sf_dir))
+    want = _ROLE_STATS_GOLDEN.get(base)
+    if want is not None:
+        got = hashlib.md5("\n".join(
+            f"{r['role']}|{r['tool']}|{r['n_turns']}|{r['n_tokens']}"
+            f"|{r['ts_min']}|{r['ts_max']}"
+            for r in out.to_pylist()).encode()).hexdigest()
+        assert got == want, (
+            f"transcript_role_stats golden mismatch for {base}: {got}")
+    return out
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000   # 30-minute inactivity gap
 
 
@@ -5190,6 +5280,7 @@ def queries() -> dict:
         "span_or_topk_docs": span_or_topk_docs,
         "add_indexes_topk": add_indexes_topk,
         "sessionize_events": sessionize_events,
+        "transcript_role_stats": transcript_role_stats,
     }
 
 
