@@ -900,6 +900,33 @@ GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def facet_prefix_docs(sf_dir: str) -> pa.Table:
+    """Field-facet parameter surface (upstream Solr ``SimpleFacets``
+    [U]): ``facet.prefix=src1`` + ``facet.mincount=2`` +
+    ``facet.sort=count`` + ``facet.limit=10`` over ``source`` — the
+    prefix filter prunes before the shuffle, the count-desc /
+    value-asc ordering is Solr's documented tiebreak."""
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def pref(b: pa.Table) -> pa.Table:
+        return b.filter(pc.starts_with(b["source"], "src1"))
+
+    t = _to_table(rel.facet(ds.map_batches(pref, batch_format="pyarrow"),
+                            ["source"]))
+    t = _rename(t, {"count()": "n"})
+    t = t.filter(pc.greater_equal(t["n"], 2))
+    t = t.sort_by([("n", "descending"), ("source", "ascending")])
+    return _cast_col(t.slice(0, 10), "n", pa.int64())
+
+
+SQL_FACET_PREFIX = """
+SELECT source, COUNT(*)::BIGINT AS n FROM documents
+WHERE source LIKE 'src1%'
+GROUP BY source HAVING COUNT(*) >= 2
+ORDER BY n DESC, source LIMIT 10
+"""
+
+
 def topk_orders(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     t = _to_table(rel.top_k(
@@ -5281,6 +5308,7 @@ def queries() -> dict:
         "add_indexes_topk": add_indexes_topk,
         "sessionize_events": sessionize_events,
         "transcript_role_stats": transcript_role_stats,
+        "facet_prefix_docs": facet_prefix_docs,
     }
 
 
@@ -5428,6 +5456,7 @@ def oracle_sql() -> dict:
         # whole corpus -> shares the bm25_topk oracle
         "add_indexes_topk": sql_bm25_topk(),
         "sessionize_events": SQL_SESSIONIZE,
+        "facet_prefix_docs": SQL_FACET_PREFIX,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
