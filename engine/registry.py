@@ -900,6 +900,45 @@ GROUP BY lang, source ORDER BY lang, source
 """
 
 
+FRANGE_LO, FRANGE_HI = 200, 800
+
+
+def frange_topk(sf_dir: str) -> pa.Table:
+    """FunctionRangeQuery filter on a scored query (upstream Solr
+    ``{!frange l=.. u=..}`` / ``S/search/function/FunctionRangeQuery``
+    [U], the fq-on-a-function pattern): BM25 disjunction restricted to
+    docs whose ``n_chars`` docvalue lies in [FRANGE_LO, FRANGE_HI].
+    The allowed-id set comes from ONE pruned column scan (two int64
+    columns) broadcast into the ranker; scoring is unchanged."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def rng(b: pa.Table) -> pa.Table:
+        n = b["n_chars"].to_numpy()
+        return b.filter(pa.array((n >= FRANGE_LO) & (n <= FRANGE_HI))) \
+                .select(["doc_id"])
+
+    allowed = np.sort(_to_table(
+        ds.map_batches(rng, batch_format="pyarrow"))["doc_id"].to_numpy())
+    m = r.match_scores("spark merge")
+    docs = m["doc_id"].to_numpy()
+    sc = m["score"].to_numpy()
+    keep = np.isin(docs, allowed, assume_unique=True)
+    docs, sc = docs[keep], sc[keep]
+    order = np.lexsort((docs, -sc))[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        "doc_id": pa.array(docs[order], type=pa.int64()),
+        "score": pa.array(sc[order].astype(np.float32),
+                          type=pa.float32())})
+
+
+SQL_FRANGE = _sql_disjunction(
+    "SELECT unnest(['merge','spark']) AS term", 10,
+    where=("WHERE contrib.doc_id IN (SELECT doc_id FROM documents "
+           f"WHERE n_chars BETWEEN {FRANGE_LO} AND {FRANGE_HI})"))
+
+
 def facet_prefix_docs(sf_dir: str) -> pa.Table:
     """Field-facet parameter surface (upstream Solr ``SimpleFacets``
     [U]): ``facet.prefix=src1`` + ``facet.mincount=2`` +
@@ -5309,6 +5348,7 @@ def queries() -> dict:
         "sessionize_events": sessionize_events,
         "transcript_role_stats": transcript_role_stats,
         "facet_prefix_docs": facet_prefix_docs,
+        "frange_topk": frange_topk,
     }
 
 
@@ -5457,6 +5497,7 @@ def oracle_sql() -> dict:
         "add_indexes_topk": sql_bm25_topk(),
         "sessionize_events": SQL_SESSIONIZE,
         "facet_prefix_docs": SQL_FACET_PREFIX,
+        "frange_topk": SQL_FRANGE,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
