@@ -109,3 +109,132 @@ def hll_group_distinct(ds: ray.data.Dataset, key_col: str, val_col: str,
     tabs = [x for x in tabs if x.num_rows]
     out = pa.concat_tables(tabs).combine_chunks() if tabs else tabs
     return out.sort_by(key_col)
+
+
+class TDigest:
+    """Mergeable t-digest quantile sketch (Dunning & Ertl, "Computing
+    extremely accurate quantiles using t-digests", 2019 — the sketch
+    behind Solr's ``percentile`` agg, upstream ``PercentileAgg`` backed
+    by t-digest [U]). Merging-digest variant: centroids are (mean,
+    weight) pairs kept sorted; compression sweeps once, greedily
+    growing each output centroid while the k1 scale function allows —
+    vectorized numpy, fully deterministic for a given insertion order.
+    The shuffle moves only O(delta) centroids per group regardless of
+    row count — the point of the sketch at 100 TB."""
+
+    def __init__(self, delta: int = 100):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.int64)
+
+    def add(self, values: np.ndarray) -> "TDigest":
+        v = np.sort(np.asarray(values, dtype=np.float64))
+        u, cnt = np.unique(v, return_counts=True)
+        self.means = np.concatenate([self.means, u])
+        self.weights = np.concatenate([self.weights, cnt])
+        self._compress()
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        if len(self.means) <= self.delta:
+            order = np.argsort(self.means, kind="stable")
+            self.means, self.weights = \
+                self.means[order], self.weights[order]
+            return
+        order = np.argsort(self.means, kind="stable")
+        m, w = self.means[order], self.weights[order].astype(np.float64)
+        total = w.sum()
+        # k1 scale: centroid may absorb while its q-span stays within
+        # one k-unit of delta
+        out_m: list[float] = []
+        out_w: list[float] = []
+        q0 = 0.0
+        acc_w = w[0]
+        acc_mw = m[0] * w[0]
+        lim = self._q_limit(q0, total)
+        for i in range(1, len(m)):
+            if q0 + (acc_w + w[i]) / total <= lim:
+                acc_w += w[i]
+                acc_mw += m[i] * w[i]
+            else:
+                out_m.append(acc_mw / acc_w)
+                out_w.append(acc_w)
+                q0 += acc_w / total
+                acc_w, acc_mw = w[i], m[i] * w[i]
+                lim = self._q_limit(q0, total)
+        out_m.append(acc_mw / acc_w)
+        out_w.append(acc_w)
+        self.means = np.asarray(out_m, dtype=np.float64)
+        # weights are sums of int64 counts: integer-valued by
+        # construction, round only to undo float representation
+        self.weights = np.round(np.asarray(out_w)).astype(np.int64)
+
+    def _q_limit(self, q0: float, total: float) -> float:
+        k0 = self._k(q0)
+        return self._q_inv(k0 + 1.0)
+
+    def _k(self, q: float) -> float:
+        return (self.delta / (2 * np.pi)) * np.arcsin(2 * q - 1)
+
+    def _q_inv(self, k: float) -> float:
+        return (np.sin(k * 2 * np.pi / self.delta) + 1) / 2
+
+    def quantile(self, q: float) -> float:
+        if not len(self.means):
+            return float("nan")
+        w = self.weights.astype(np.float64)
+        total = w.sum()
+        cum = np.cumsum(w) - w / 2.0
+        target = q * total
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = int(np.searchsorted(cum, target)) - 1
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1]
+                                             - self.means[i]))
+
+
+def tdigest_group_quantile(ds: ray.data.Dataset, key_col: str,
+                           val_col: str, q: float,
+                           delta: int = 100) -> pa.Table:
+    """Per-group approximate quantile via partial t-digests: per-batch
+    digests (serialized as centroid lists) → per-group merge →
+    quantile. Only O(delta) centroids per (batch, group) shuffle."""
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"k": b[key_col].to_pandas(),
+                           "v": b[val_col].to_numpy()})
+        ks, ms, ws = [], [], []
+        for k, sub in df.groupby("k", sort=False):
+            d = TDigest(delta).add(sub["v"].to_numpy())
+            ks.append(k)
+            ms.append(d.means.tolist())
+            ws.append(d.weights.tolist())
+        return pa.table({
+            key_col: pa.array(ks),
+            "means": pa.array(ms, type=pa.list_(pa.float64())),
+            "weights": pa.array(ws, type=pa.list_(pa.int64()))})
+
+    def final(g: pa.Table) -> pa.Table:
+        d = TDigest(delta)
+        for ms, ws in zip(g["means"].to_pylist(),
+                          g["weights"].to_pylist()):
+            o = TDigest(delta)
+            o.means = np.asarray(ms, dtype=np.float64)
+            o.weights = np.asarray(ws, dtype=np.int64)
+            d.merge(o)
+        return pa.table({
+            key_col: g[key_col].slice(0, 1),
+            "quantile": pa.array([d.quantile(q)], type=pa.float64()),
+            "n_centroids": pa.array([len(d.means)], type=pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key_col).map_groups(final, batch_format="pyarrow")

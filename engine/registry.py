@@ -5098,6 +5098,74 @@ def sql_delete_by_query() -> str:
                f"(SELECT doc_id FROM tf WHERE term = '{DBQ_TERM}')"))
 
 
+def tdigest_percentile_by_type(sf_dir: str) -> pa.Table:
+    """Approximate p90 of ``value`` per event_type via mergeable
+    t-digests (upstream Solr ``percentile`` agg is t-digest-backed,
+    ``PercentileAgg`` [U]; the exact-sort sibling is
+    ``percentile_value_by_type``). Shuffle moves only O(delta)
+    centroids per (batch, group) — the sketch's point at 100 TB.
+    Rows-only like the splitmix HLL entry (approximate float output);
+    accuracy is pinned by ``tests/test_ops.py::test_tdigest_*``."""
+    from engine.ops.sketch import tdigest_group_quantile
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return _to_table(
+        tdigest_group_quantile(ds, "event_type", "value", 0.9)) \
+        .sort_by("event_type")
+
+
+def near_dup_filter_docs(sf_dir: str) -> pa.Table:
+    """Near-dup REMOVAL — the step after cluster assignment in a
+    training-data pipeline: every doc that belongs to a near-dup
+    cluster but is not its canonical min-doc survivor is dropped;
+    unpaired docs all survive. Composes pairs → connected components →
+    a broadcast anti-join over one pruned id scan (the drop set is
+    O(duplicates), tiny vs the corpus)."""
+    clusters = dedup_clusters_docs(sf_dir)
+    drop = clusters.filter(pc.not_equal(clusters["doc_id"],
+                                        clusters["cluster_id"]))
+    ref = ray.put(np.sort(drop["doc_id"].to_numpy()))
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        return b.filter(pa.array(~np.isin(b["doc_id"].to_numpy(), d,
+                                          assume_unique=True)))
+
+    return _to_table(ds.map_batches(keep, batch_format="pyarrow")) \
+        .sort_by("doc_id")
+
+
+SQL_NEAR_DUP_FILTER = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3),
+sizes AS (SELECT doc_id, COUNT(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::DOUBLE AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+p AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.2),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT q.node, e.b FROM reach q JOIN e ON e.a = q.r),
+cc AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> label)
+ORDER BY doc_id
+"""
+
+
 JOIN_UTIL_TERM = "vector"
 
 
@@ -5349,6 +5417,8 @@ def queries() -> dict:
         "transcript_role_stats": transcript_role_stats,
         "facet_prefix_docs": facet_prefix_docs,
         "frange_topk": frange_topk,
+        "near_dup_filter_docs": near_dup_filter_docs,
+        "tdigest_percentile_by_type": tdigest_percentile_by_type,
     }
 
 
@@ -5498,6 +5568,7 @@ def oracle_sql() -> dict:
         "sessionize_events": SQL_SESSIONIZE,
         "facet_prefix_docs": SQL_FACET_PREFIX,
         "frange_topk": SQL_FRANGE,
+        "near_dup_filter_docs": SQL_NEAR_DUP_FILTER,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

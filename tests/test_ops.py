@@ -681,3 +681,44 @@ def test_sessionize_multiblock_boundaries(ray_session):
             int(r["n_events"]))
            for r in out.to_pylist()}
     assert got == ref
+
+
+def test_tdigest_accuracy_and_merge():
+    from engine.ops.sketch import TDigest
+
+    rng = np.random.default_rng(7)
+    vals = rng.standard_normal(100_000) * 10 + 50
+    merged = TDigest(100)
+    for part in np.array_split(vals, 23):
+        merged.merge(TDigest(100).add(part))
+    sd = float(np.std(vals))
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        exact = float(np.quantile(vals, q))
+        assert abs(merged.quantile(q) - exact) / sd < 0.01, q
+    # compression bounds the state; weight is conserved exactly
+    assert len(merged.means) <= 200
+    assert int(merged.weights.sum()) == len(vals)
+    # edge cases
+    assert np.isnan(TDigest().quantile(0.5))
+    one = TDigest().add(np.array([42.0]))
+    assert one.quantile(0.0) == one.quantile(1.0) == 42.0
+
+
+def test_tdigest_group_quantile(ray_session):
+    import ray.data
+
+    from engine.ops.sketch import tdigest_group_quantile
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    t = pa.table({
+        "k": pa.array(np.where(rng.random(n) < 0.5, "a", "b")),
+        "v": pa.array(rng.exponential(5.0, size=n))})
+    out = tdigest_group_quantile(
+        ray.data.from_arrow(t).repartition(8), "k", "v", 0.9) \
+        .to_pandas().set_index("k")
+    df = t.to_pandas()
+    for k in ("a", "b"):
+        exact = df[df["k"] == k]["v"].quantile(0.9)
+        got = out.loc[k, "quantile"]
+        assert abs(got - exact) / exact < 0.02, (k, got, exact)
