@@ -1093,6 +1093,78 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def span_within_topk(self, x: str, y: str, little: str,
+                         slop: int = 0, k: int = 10) -> pa.Table:
+        """SpanWithinQuery (upstream ``L/search/spans/SpanWithinQuery``
+        [U]): big = ordered SpanNear(x, y, slop) windows, match =
+        occurrences of ``little`` CONTAINED in some big window
+        (x.pos ≤ little.pos ≤ y.pos). Each little occurrence counts
+        once; weight = sum of the three idfs (one SimWeight over the
+        query tree, as SpanWeight builds); conformance boundary as the
+        other span entries: match COUNT, no 1/(width+1) weighting.
+
+        Vectorized containment: for each little key the TIGHTEST
+        enclosing (x ≤ z, y ≥ z) pair is found with two searchsorted
+        calls — if the tightest pair exceeds the window width no wider
+        enclosing pair can satisfy it, so existence reduces to one
+        check per occurrence; O(P log P) total."""
+        subs = self.lookup([x, y, little])
+        if any(not subs[t] for t in (x, y, little)):
+            return _topdocs_table([], [])
+        w = np.float32(np.sum(np.array(
+            [idf(self.N, self.global_df(subs[t]))
+             for t in (x, y, little)],
+            dtype=np.float32).astype(np.float64)))
+        rows = {t: self._lookup_positions(t) for t in {x, y, little}}
+        max_pos = 0
+        for rr in rows.values():
+            for _, _, _, fp in rr:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        SHIFT = np.int64(1 << 21)
+        while int(SHIFT) <= max_pos + slop + 2:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
+            raise OverflowError("span_within key space overflow")
+
+        def keys_of(rr):
+            parts, norm = [], {}
+            for docs, tfs, norms, fp in rr:
+                parts.append(np.repeat(docs, tfs) * SHIFT + fp)
+                for d, nb in zip(docs, norms):
+                    norm[int(d)] = int(nb)
+            keys = (np.sort(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64))
+            return keys, norm
+
+        xk, _ = keys_of(rows[x])
+        yk, _ = keys_of(rows[y])
+        zk, doc_norm = keys_of(rows[little])
+        # tightest enclosing pair per little occurrence
+        xi = np.searchsorted(xk, zk, side="right") - 1
+        yi = np.searchsorted(yk, zk, side="left")
+        ok = (xi >= 0) & (yi < len(yk))
+        xi_c = np.clip(xi, 0, max(len(xk) - 1, 0))
+        yi_c = np.clip(yi, 0, max(len(yk) - 1, 0))
+        zdoc = zk // SHIFT
+        ok &= (xk[xi_c] // SHIFT == zdoc) & (yk[yi_c] // SHIFT == zdoc)
+        width = yk[yi_c] - xk[xi_c]
+        ok &= (width >= 1) & (width <= slop + 1)
+        zk = zk[ok]
+        if not len(zk):
+            return _topdocs_table([], [])
+        docs = (zk // SHIFT).astype(np.int64)
+        uniq, freq = np.unique(docs, return_counts=True)
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, freq = uniq[keep], freq[keep]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        norms = np.array([doc_norm[int(d)] for d in uniq], dtype=np.uint8)
+        final = _clause_scores(freq, norms, w, self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
     def expand_prefix(self, prefix: str) -> list[str]:
         """Prefix range over the sorted memoized dictionary (bisect)."""
         import bisect

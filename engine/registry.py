@@ -4672,6 +4672,56 @@ def add_indexes_topk(sf_dir: str) -> pa.Table:
                      "rank", pa.int64())
 
 
+SW_X, SW_Y, SW_Z, SW_SLOP = "part", "filter", "value", 10
+
+
+def span_within_topk_docs(sf_dir: str) -> pa.Table:
+    """SpanWithinQuery: occurrences of '{SW_Z}' contained in an
+    ordered SpanNear('{SW_X}', '{SW_Y}', slop={SW_SLOP}) window — see
+    ``IndexReader.span_within_topk``."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.span_within_topk(SW_X, SW_Y, SW_Z,
+                                           slop=SW_SLOP, k=10))
+
+
+def sql_span_within() -> str:
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+cov AS (
+  SELECT DISTINCT z.doc_id, z.p
+  FROM pos z
+  JOIN pos x ON x.doc_id = z.doc_id AND x.tok = '{SW_X}'
+            AND x.p <= z.p
+  JOIN pos y ON y.doc_id = z.doc_id AND y.tok = '{SW_Y}'
+            AND y.p >= z.p AND y.p - x.p BETWEEN 1 AND {SW_SLOP + 1}
+  WHERE z.tok = '{SW_Z}'),
+occ AS (SELECT doc_id, COUNT(*)::DOUBLE AS freq FROM cov
+        GROUP BY doc_id),
+qterms AS (SELECT unnest(['{SW_X}','{SW_Y}','{SW_Z}']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM dfs d CROSS JOIN stats s),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 SPAN_OR_TERMS = ["spark", "merge", "vector"]
 
 
@@ -5419,6 +5469,7 @@ def queries() -> dict:
         "frange_topk": frange_topk,
         "near_dup_filter_docs": near_dup_filter_docs,
         "tdigest_percentile_by_type": tdigest_percentile_by_type,
+        "span_within_topk_docs": span_within_topk_docs,
     }
 
 
@@ -5569,6 +5620,7 @@ def oracle_sql() -> dict:
         "facet_prefix_docs": SQL_FACET_PREFIX,
         "frange_topk": SQL_FRANGE,
         "near_dup_filter_docs": SQL_NEAR_DUP_FILTER,
+        "span_within_topk_docs": sql_span_within(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
