@@ -1165,6 +1165,78 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def span_containing_topk(self, x: str, y: str, little: str,
+                             slop: int = 0, k: int = 10) -> pa.Table:
+        """SpanContainingQuery (upstream
+        ``L/search/spans/SpanContainingQuery`` [U]) — the dual of
+        :meth:`span_within_topk`: match = ordered SpanNear(x, y, slop)
+        windows that CONTAIN at least one ``little`` occurrence; freq
+        counts matching WINDOWS (pair-count conformance boundary, as
+        ``span_near_topk``'s window-chain counting). Weight = sum of
+        the three idfs.
+
+        Vectorized: for each x occurrence, valid windows are y keys in
+        (x, x+slop+1]; among them, those at or after the first little
+        ≥ x also contain it — three searchsorted calls per x
+        occurrence, O(P log P)."""
+        subs = self.lookup([x, y, little])
+        if any(not subs[t] for t in (x, y, little)):
+            return _topdocs_table([], [])
+        w = np.float32(np.sum(np.array(
+            [idf(self.N, self.global_df(subs[t]))
+             for t in (x, y, little)],
+            dtype=np.float32).astype(np.float64)))
+        rows = {t: self._lookup_positions(t) for t in {x, y, little}}
+        max_pos = 0
+        for rr in rows.values():
+            for _, _, _, fp in rr:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        SHIFT = np.int64(1 << 21)
+        while int(SHIFT) <= max_pos + slop + 2:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
+            raise OverflowError("span_containing key space overflow")
+
+        def keys_of(rr):
+            parts, norm = [], {}
+            for docs, tfs, norms, fp in rr:
+                parts.append(np.repeat(docs, tfs) * SHIFT + fp)
+                for d, nb in zip(docs, norms):
+                    norm[int(d)] = int(nb)
+            keys = (np.sort(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64))
+            return keys, norm
+
+        xk, doc_norm = keys_of(rows[x])
+        yk, _ = keys_of(rows[y])
+        zk, _ = keys_of(rows[little])
+        # per x occurrence: windows = y in (x, x+slop+1]; containing =
+        # those with y >= first z >= x (z <= x+slop+1 implied by y cap)
+        zi = np.searchsorted(zk, xk, side="left")
+        has_z = zi < len(zk)
+        zi_c = np.clip(zi, 0, max(len(zk) - 1, 0))
+        zstar = zk[zi_c]
+        has_z &= (zstar // SHIFT) == (xk // SHIFT)
+        lo = np.searchsorted(yk, np.maximum(xk + 1, zstar), side="left")
+        hi = np.searchsorted(yk, xk + slop + 1, side="right")
+        cnt = np.where(has_z, np.maximum(hi - lo, 0), 0)
+        docs_all = (xk // SHIFT).astype(np.int64)
+        mask = cnt > 0
+        if not mask.any():
+            return _topdocs_table([], [])
+        uniq, inv = np.unique(docs_all[mask], return_inverse=True)
+        freq = np.bincount(inv, weights=cnt[mask]).astype(np.int64)
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, freq = uniq[keep], freq[keep]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        norms = np.array([doc_norm[int(d)] for d in uniq], dtype=np.uint8)
+        final = _clause_scores(freq, norms, w, self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
     def expand_prefix(self, prefix: str) -> list[str]:
         """Prefix range over the sorted memoized dictionary (bisect)."""
         import bisect

@@ -4722,6 +4722,54 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def span_containing_topk_docs(sf_dir: str) -> pa.Table:
+    """SpanContainingQuery (dual of span_within): SpanNear windows
+    that contain a '{SW_Z}' occurrence, freq = matching-window count
+    — see ``IndexReader.span_containing_topk``."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.span_containing_topk(SW_X, SW_Y, SW_Z,
+                                               slop=SW_SLOP, k=10))
+
+
+def sql_span_containing() -> str:
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+cov AS (
+  SELECT x.doc_id, x.p AS px, y.p AS py
+  FROM pos x
+  JOIN pos y ON y.doc_id = x.doc_id AND y.tok = '{SW_Y}'
+            AND y.p - x.p BETWEEN 1 AND {SW_SLOP + 1}
+  WHERE x.tok = '{SW_X}' AND EXISTS (
+    SELECT 1 FROM pos z
+    WHERE z.doc_id = x.doc_id AND z.tok = '{SW_Z}'
+      AND z.p BETWEEN x.p AND y.p)),
+occ AS (SELECT doc_id, COUNT(*)::DOUBLE AS freq FROM cov
+        GROUP BY doc_id),
+qterms AS (SELECT unnest(['{SW_X}','{SW_Y}','{SW_Z}']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM dfs d CROSS JOIN stats s),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 SPAN_OR_TERMS = ["spark", "merge", "vector"]
 
 
@@ -5470,6 +5518,7 @@ def queries() -> dict:
         "near_dup_filter_docs": near_dup_filter_docs,
         "tdigest_percentile_by_type": tdigest_percentile_by_type,
         "span_within_topk_docs": span_within_topk_docs,
+        "span_containing_topk_docs": span_containing_topk_docs,
     }
 
 
@@ -5621,6 +5670,7 @@ def oracle_sql() -> dict:
         "frange_topk": SQL_FRANGE,
         "near_dup_filter_docs": SQL_NEAR_DUP_FILTER,
         "span_within_topk_docs": sql_span_within(),
+        "span_containing_topk_docs": sql_span_containing(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
