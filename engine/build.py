@@ -1006,6 +1006,50 @@ def add_indexes(out_dir: str, src_dirs: list[str]) -> dict[str, Any]:
     return build_index(files, out_dir, cfg)
 
 
+def snapshot_index(index_dir: str, dst_dir: str) -> dict[str, Any]:
+    """Backup a COMPLETE index (upstream ``ReplicationHandler``
+    backup / Solr collection SNAPSHOT [U]): hardlink-copy every file
+    the manifest references (shard generation, delete lists, stored
+    fields, docmap, payload store — NOT the rebuildable fragments),
+    then write the manifest LAST so a torn snapshot is never loadable
+    — the same commit-last discipline as the build. Restore = point a
+    reader at the snapshot dir (it IS an index), or copy it back."""
+    man = mf.load(index_dir)
+    assert man and man["status"] == "complete", "snapshot needs a complete index"
+    os.makedirs(dst_dir, exist_ok=True)
+
+    def _copytree_link(src: str, dst: str) -> None:
+        for root, _, fns in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(out, exist_ok=True)
+            for fn in fns:
+                s, d = os.path.join(root, fn), os.path.join(out, fn)
+                if os.path.exists(d):
+                    os.remove(d)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+
+    shard = mf.shard_root(index_dir, man)
+    _copytree_link(shard, os.path.join(
+        dst_dir, os.path.basename(shard)))
+    for sub in (STORED_DIR, "payloads"):
+        p = os.path.join(index_dir, sub)
+        if os.path.isdir(p):
+            _copytree_link(p, os.path.join(dst_dir, sub))
+    for fn in os.listdir(index_dir):
+        p = os.path.join(index_dir, fn)
+        if os.path.isfile(p) and fn != mf.MANIFEST_NAME:
+            try:
+                os.link(p, os.path.join(dst_dir, fn))
+            except OSError:
+                shutil.copy2(p, os.path.join(dst_dir, fn))
+    mf.save(dst_dir, man)      # manifest last = commit point
+    return man
+
+
 STORED_DIR = "stored"
 
 

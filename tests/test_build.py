@@ -640,3 +640,39 @@ def test_add_indexes_equals_single_build(ray_session, tmp_path_factory):
     # overlapping id spaces must be rejected
     with pytest.raises(AssertionError):
         add_indexes(str(root / "bad"), [ia, ia])
+
+
+def test_snapshot_restore_roundtrip(ray_session, tmp_path_factory):
+    """ReplicationHandler backup analog: a snapshot is itself a
+    loadable index; queries over it are identical, and it survives
+    deletion of the original (no shared mutable state)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index, snapshot_index
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("snap")
+    rng = np.random.default_rng(5)
+    words = np.array(["alpha", "beta", "gamma", "delta"], dtype=object)
+    texts = [" ".join(words[rng.integers(0, 4, size=10)])
+             for _ in range(200)]
+    src = str(root / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+        "text": pa.array(texts)}), src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    build_index([src], idx, cfg)
+    want = IndexReader(idx).topk("alpha beta", 10).to_pylist()
+
+    snap = str(root / "backup")
+    snapshot_index(idx, snap)
+    shutil.rmtree(idx)           # original gone: snapshot stands alone
+    got = IndexReader(snap).topk("alpha beta", 10).to_pylist()
+    assert got == want
