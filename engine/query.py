@@ -1165,6 +1165,64 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def span_near_unordered_topk(self, x: str, y: str, slop: int = 0,
+                                 k: int = 10) -> pa.Table:
+        """Unordered SpanNearQuery for two terms (upstream
+        ``SpanNearQuery(inOrder=false)`` / ``NearSpansUnordered`` [U]):
+        a match is a pair of occurrences in EITHER order with
+        ``|px − py| ≤ slop + 1``; freq = pair count (the same
+        pair-count conformance boundary as the ordered entry), weight
+        = sum of both idfs. Vectorized: two searchsorted calls per x
+        occurrence over the packed (doc, pos) keys."""
+        subs = self.lookup([x, y])
+        if any(not subs[t] for t in (x, y)):
+            return _topdocs_table([], [])
+        w = np.float32(np.sum(np.array(
+            [idf(self.N, self.global_df(subs[t])) for t in (x, y)],
+            dtype=np.float32).astype(np.float64)))
+        rows = {t: self._lookup_positions(t) for t in {x, y}}
+        max_pos = 0
+        for rr in rows.values():
+            for _, _, _, fp in rr:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        SHIFT = np.int64(1 << 21)
+        while int(SHIFT) <= max_pos + slop + 2:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
+            raise OverflowError("span_near_unordered key overflow")
+
+        def keys_of(rr):
+            parts, norm = [], {}
+            for docs, tfs, norms, fp in rr:
+                parts.append(np.repeat(docs, tfs) * SHIFT + fp)
+                for d, nb in zip(docs, norms):
+                    norm[int(d)] = int(nb)
+            keys = (np.sort(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64))
+            return keys, norm
+
+        xk, doc_norm = keys_of(rows[x])
+        yk, _ = keys_of(rows[y])
+        lo = np.searchsorted(yk, xk - (slop + 1), side="left")
+        hi = np.searchsorted(yk, xk + (slop + 1), side="right")
+        cnt = hi - lo            # same-doc guaranteed: |Δkey| ≤ slop+1
+        docs_all = (xk // SHIFT).astype(np.int64)
+        mask = cnt > 0
+        if not mask.any():
+            return _topdocs_table([], [])
+        uniq, inv = np.unique(docs_all[mask], return_inverse=True)
+        freq = np.bincount(inv, weights=cnt[mask]).astype(np.int64)
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, freq = uniq[keep], freq[keep]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        norms = np.array([doc_norm[int(d)] for d in uniq], dtype=np.uint8)
+        final = _clause_scores(freq, norms, w, self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
     def span_containing_topk(self, x: str, y: str, little: str,
                              slop: int = 0, k: int = 10) -> pa.Table:
         """SpanContainingQuery (upstream

@@ -4672,6 +4672,53 @@ def add_indexes_topk(sf_dir: str) -> pa.Table:
                      "rank", pa.int64())
 
 
+UNORD_X, UNORD_Y, UNORD_SLOP = "spark", "window", 2
+
+
+def span_near_unordered_topk_docs(sf_dir: str) -> pa.Table:
+    """Unordered SpanNear (``inOrder=false``): '{UNORD_X}' and
+    '{UNORD_Y}' within slop={UNORD_SLOP} in either order — see
+    ``IndexReader.span_near_unordered_topk``."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.span_near_unordered_topk(
+        UNORD_X, UNORD_Y, slop=UNORD_SLOP, k=10))
+
+
+def sql_span_near_unordered() -> str:
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT x.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos x
+  JOIN pos y ON y.doc_id = x.doc_id AND y.tok = '{UNORD_Y}'
+            AND y.p - x.p BETWEEN -{UNORD_SLOP + 1} AND {UNORD_SLOP + 1}
+  WHERE x.tok = '{UNORD_X}'
+  GROUP BY x.doc_id),
+qterms AS (SELECT unnest(['{UNORD_X}','{UNORD_Y}']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM dfs d CROSS JOIN stats s),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 SW_X, SW_Y, SW_Z, SW_SLOP = "part", "filter", "value", 10
 
 
@@ -5519,6 +5566,7 @@ def queries() -> dict:
         "tdigest_percentile_by_type": tdigest_percentile_by_type,
         "span_within_topk_docs": span_within_topk_docs,
         "span_containing_topk_docs": span_containing_topk_docs,
+        "span_near_unordered_topk_docs": span_near_unordered_topk_docs,
     }
 
 
@@ -5671,6 +5719,7 @@ def oracle_sql() -> dict:
         "near_dup_filter_docs": SQL_NEAR_DUP_FILTER,
         "span_within_topk_docs": sql_span_within(),
         "span_containing_topk_docs": sql_span_containing(),
+        "span_near_unordered_topk_docs": sql_span_near_unordered(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
