@@ -4672,6 +4672,61 @@ def add_indexes_topk(sf_dir: str) -> pa.Table:
                      "rank", pa.int64())
 
 
+def external_file_boost_topk(sf_dir: str) -> pa.Table:
+    """ExternalFileField (upstream ``S/schema/ExternalFileField`` [U]):
+    a per-doc float maintained OUTSIDE the index (an
+    ``external_<field>`` file keyed by the unique key, reloaded on
+    commit) used as a function-query multiplier. Here the side file is
+    a deterministic Parquet written next to the index cache
+    (boost = ((doc_id*37) % 100)/100 + 0.5 so the oracle can inline
+    it); score = f32(bm25 × f32 boost), matches re-ranked. The side
+    file is broadcast once (``ray.put``) — never re-read per batch."""
+    key = hashlib.md5(f"{sf_dir}|eff|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "eff_" + key)
+    os.makedirs(work, exist_ok=True)
+    ext = os.path.join(work, "external_boost.parquet")
+    if not os.path.exists(ext):
+        ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])["doc_id"].to_numpy()
+        tmp = ext + ".tmp"
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "boost": pa.array(((ids * 37) % 100) / 100.0 + 0.5,
+                              type=pa.float64())}), tmp)
+        os.replace(tmp, ext)
+
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    m = r.match_scores("spark merge")
+    side = pq.read_table(ext)
+    bmap = dict(zip(side["doc_id"].to_pylist(),
+                    side["boost"].to_pylist()))
+    docs = m["doc_id"].to_numpy()
+    sc = m["score"].to_numpy().astype(np.float32)
+    bz = np.array([bmap[int(d)] for d in docs], dtype=np.float64) \
+        .astype(np.float32)
+    final = (sc.astype(np.float64) * bz.astype(np.float64)) \
+        .astype(np.float32)
+    order = np.lexsort((docs, -final))[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        "doc_id": pa.array(docs[order], type=pa.int64()),
+        "score": pa.array(final[order], type=pa.float32())})
+
+
+def sql_external_file_boost() -> str:
+    return f"""{_sql_scored("SELECT unnest(['merge','spark']) AS term")}
+SELECT (ROW_NUMBER() OVER (ORDER BY fs DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, fs AS score
+FROM (
+  SELECT doc_id,
+    CAST(score::DOUBLE *
+         CAST((doc_id * 37) % 100 / 100.0 + 0.5 AS FLOAT)::DOUBLE
+         AS FLOAT) AS fs
+  FROM scored)
+ORDER BY fs DESC, doc_id LIMIT 10
+"""
+
+
 UNORD_X, UNORD_Y, UNORD_SLOP = "spark", "window", 2
 
 
@@ -5567,6 +5622,7 @@ def queries() -> dict:
         "span_within_topk_docs": span_within_topk_docs,
         "span_containing_topk_docs": span_containing_topk_docs,
         "span_near_unordered_topk_docs": span_near_unordered_topk_docs,
+        "external_file_boost_topk": external_file_boost_topk,
     }
 
 
@@ -5720,6 +5776,7 @@ def oracle_sql() -> dict:
         "span_within_topk_docs": sql_span_within(),
         "span_containing_topk_docs": sql_span_containing(),
         "span_near_unordered_topk_docs": sql_span_near_unordered(),
+        "external_file_boost_topk": sql_external_file_boost(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
