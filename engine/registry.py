@@ -1756,11 +1756,17 @@ ORDER BY id_a, id_b
 
 def embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
     """The 100 TB near-dup path: banded hyperplane-LSH bucketing +
-    per-bucket exact verify. 24 planes / 8 bands gives recall 1.0 at
-    threshold 0.5 on this data, so the exact SQL oracle applies."""
+    per-bucket exact verify, in the exact-recall configuration
+    (single-plane bands, mirroring ``minhash_pairs_docs``): a
+    threshold-0.5 pair (angle ≤ 60°) shares a band with probability
+    ≥ 2/3, so 12 one-bit bands miss with probability ≤ 3^-12 < 2e-6 —
+    recall 1 for practical purposes and the exact SQL oracle applies
+    at every sf (a 24/8 S-curve config missed ~6% of boundary pairs
+    at sf0.1). The production S-curve config trades recall for
+    smaller buckets; machinery identical."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return vec.cosine_pairs_lsh(ds, "embedding", "vec_id", threshold=0.5,
-                                n_planes=24, n_bands=8)
+                                n_planes=12, n_bands=12)
 
 
 _TRANSCRIPT_CACHE: dict[float, str] = {}
