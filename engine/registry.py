@@ -590,6 +590,58 @@ SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
 """
 
 
+DISMAX_TIEBREAK = 0.3
+
+
+def dismax_tiebreak_topk(sf_dir: str) -> pa.Table:
+    """DisjunctionMaxQuery with a non-zero tieBreakerMultiplier
+    (upstream ``DisjunctionMaxQuery(tieBreakerMultiplier)`` [U]):
+    score = max + tb × (sum − max), f64 accumulation in sorted-term
+    order then one f32 cast — the SQL oracle pivots per term and
+    nests the adds in the same order so the float arithmetic is
+    bit-identical."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.dismax_topk(DISMAX_TERMS, k=10,
+                                      tiebreak=DISMAX_TIEBREAK))
+
+
+def sql_dismax_tiebreak() -> str:
+    ts = sorted(set(DISMAX_TERMS))
+    cases = "\n".join(
+        f"    MAX(CASE WHEN q.term = '{t}' THEN {_SQL_CONTRIB} END)"
+        f" AS c{i}," for i, t in enumerate(ts))
+    # each pivot column is FLOAT: cast to DOUBLE BEFORE adding, or the
+    # nested sum runs at f32 precision while the engine sums in f64
+    nested = "COALESCE(c0::DOUBLE, 0.0::DOUBLE)"
+    for i in range(1, len(ts)):
+        nested = f"({nested} + COALESCE(c{i}::DOUBLE, 0.0::DOUBLE))"
+    greatest = "GREATEST(" + ", ".join(
+        f"COALESCE(c{i}::DOUBLE, -1e30)" for i in range(len(ts))) + ")"
+    return f"""{_bm25_ctes()},
+qterms AS (SELECT unnest({ts!r}) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+pv AS (
+  SELECT tf.doc_id,
+{cases}
+    1 AS one
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+scored AS (
+  SELECT doc_id,
+    CAST({greatest}::DOUBLE
+         + {DISMAX_TIEBREAK} * ({nested}::DOUBLE
+                                - {greatest}::DOUBLE)
+         AS FLOAT) AS score
+  FROM pv)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def min_should_match_topk(sf_dir: str) -> pa.Table:
     """SHOULD disjunction requiring ≥2 distinct matching terms."""
     r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
@@ -5629,6 +5681,7 @@ def queries() -> dict:
         "span_containing_topk_docs": span_containing_topk_docs,
         "span_near_unordered_topk_docs": span_near_unordered_topk_docs,
         "external_file_boost_topk": external_file_boost_topk,
+        "dismax_tiebreak_topk": dismax_tiebreak_topk,
     }
 
 
@@ -5783,6 +5836,7 @@ def oracle_sql() -> dict:
         "span_containing_topk_docs": sql_span_containing(),
         "span_near_unordered_topk_docs": sql_span_near_unordered(),
         "external_file_boost_topk": sql_external_file_boost(),
+        "dismax_tiebreak_topk": sql_dismax_tiebreak(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
