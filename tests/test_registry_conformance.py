@@ -73,3 +73,22 @@ def test_entry_matches_oracle(name, ray_session, duck):
             assert (pd.Series(x).astype(str)
                     == pd.Series(y).astype(str)).all(), \
                 f"{name}: col {c} differs"
+
+
+def test_registry_contract_consistency():
+    """Every oracle key has a queries() entry; names unique; every
+    callable takes exactly one positional arg (sf_dir)."""
+    import inspect
+
+    from engine import registry
+
+    qs = registry.queries()
+    sqls = registry.oracle_sql()
+    assert set(sqls) <= set(qs), sorted(set(sqls) - set(qs))
+    for name, fn in qs.items():
+        sig = inspect.signature(fn)
+        req = [p for p in sig.parameters.values()
+               if p.default is inspect.Parameter.empty
+               and p.kind in (p.POSITIONAL_ONLY,
+                              p.POSITIONAL_OR_KEYWORD)]
+        assert len(req) == 1, (name, sig)
