@@ -1831,6 +1831,16 @@ class QueryEngine:
         "regexp": lambda r, s, text, k: r.regexp_topk(text, k),
         "mlt": lambda r, s, text, k: r.more_like_this_topk(int(text), k),
         "lucene": lambda r, s, text, k: r.parsed_topk(text, k),
+        # span family: text = space-separated terms; slop fixed per
+        # type (parameterized span queries go through the library API)
+        "span_or": lambda r, s, text, k:
+            r.span_or_topk(text.split(), k),
+        "span_near_unordered": lambda r, s, text, k:
+            r.span_near_unordered_topk(*text.split()[:2], slop=2, k=k),
+        # pure filter query (Solr fq alone): FILTER occur, score 0,
+        # docID collect order
+        "filter": lambda r, s, text, k:
+            r.boolean_topk(filters=text.split(), k=k),
     }
 
     def __call__(self, batch: pa.Table) -> pa.Table:

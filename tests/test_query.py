@@ -661,3 +661,34 @@ def test_osa_distance_transpositions():
     assert _osa_distance("kitten", "sitting", 3) == 3
     # cap early-exit
     assert _osa_distance("aaaa", "zzzz", 1) == 2
+
+
+def test_query_engine_dispatch_new_types(ray_session, smoke_index):
+    """span_or / span_near_unordered / filter dispatch through the
+    actor pool must equal the direct reader calls."""
+    import ray
+    import ray.data
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    vocab = sorted(r.vocabulary())
+    a, b = vocab[0], vocab[1]
+    qs = [
+        {"query_id": 0, "query_text": f"{a} {b}", "k": 5,
+         "query_type": "span_or"},
+        {"query_id": 1, "query_text": f"{a} {b}", "k": 5,
+         "query_type": "span_near_unordered"},
+        {"query_id": 2, "query_text": a, "k": 5, "query_type": "filter"},
+    ]
+    t = ray.data.from_items(qs).map_batches(
+        QueryEngine, fn_constructor_args=(idx,),
+        batch_format="pyarrow", concurrency=2) \
+        .materialize().to_pandas()
+    want = {
+        0: r.span_or_topk([a, b], 5),
+        1: r.span_near_unordered_topk(a, b, slop=2, k=5),
+        2: r.boolean_topk(filters=[a], k=5),
+    }
+    for qid, w in want.items():
+        sub = t[t["query_id"] == qid].sort_values("rank")
+        assert list(sub["doc_id"]) == w["doc_id"].to_pylist(), qid
