@@ -1018,6 +1018,47 @@ ORDER BY n DESC, source LIMIT 10
 """
 
 
+SEARCH_FACET_TERM = "spark"
+
+
+def search_facet_docs(sf_dir: str) -> pa.Table:
+    """Query-scoped faceting — Solr's DEFAULT facet semantics: counts
+    are computed over the QUERY's result docset, not the whole
+    collection (upstream ``SimpleFacets`` over the ``DocSet`` [U],
+    ``q=text:{SEARCH_FACET_TERM}&facet.field=lang``). The match set
+    comes from the index's postings, is broadcast once, and one
+    streaming grouped count runs over the pruned facet column."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    subs = r.lookup([SEARCH_FACET_TERM])
+    docs = (r._clause_arrays(SEARCH_FACET_TERM,
+                             subs[SEARCH_FACET_TERM])[0]
+            if subs[SEARCH_FACET_TERM] else np.empty(0, np.int64))
+    dref = ray.put(np.sort(docs))
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        return b.filter(pa.array(np.isin(b["doc_id"].to_numpy(), d,
+                                         assume_unique=True))) \
+                .select(["lang"])
+
+    t = _to_table(rel.facet(ds.map_batches(probe, batch_format="pyarrow"),
+                            ["lang"]))
+    t = _rename(t, {"count()": "n"})
+    return _cast_col(t, "n", pa.int64()).sort_by("lang")
+
+
+SQL_SEARCH_FACET = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{SEARCH_FACET_TERM}')
+SELECT d.lang, COUNT(*)::BIGINT AS n
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 def topk_orders(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     t = _to_table(rel.top_k(
@@ -5682,6 +5723,7 @@ def queries() -> dict:
         "span_near_unordered_topk_docs": span_near_unordered_topk_docs,
         "external_file_boost_topk": external_file_boost_topk,
         "dismax_tiebreak_topk": dismax_tiebreak_topk,
+        "search_facet_docs": search_facet_docs,
     }
 
 
@@ -5837,6 +5879,7 @@ def oracle_sql() -> dict:
         "span_near_unordered_topk_docs": sql_span_near_unordered(),
         "external_file_boost_topk": sql_external_file_boost(),
         "dismax_tiebreak_topk": sql_dismax_tiebreak(),
+        "search_facet_docs": SQL_SEARCH_FACET,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
