@@ -1059,6 +1059,59 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+def search_stats_docs(sf_dir: str) -> pa.Table:
+    """Query-scoped StatsComponent (upstream ``S/handler/component/
+    StatsComponent`` [U]): sum/min/max/count of the ``n_chars``
+    docvalue over the QUERY's docset (``q=text:{SEARCH_FACET_TERM}
+    &stats.field=n_chars``) — integer-exact so the oracle compare is
+    bit-for-bit; mean is derivable (sum/count) and deliberately not
+    emitted as a float."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    subs = r.lookup([SEARCH_FACET_TERM])
+    docs = (r._clause_arrays(SEARCH_FACET_TERM,
+                             subs[SEARCH_FACET_TERM])[0]
+            if subs[SEARCH_FACET_TERM] else np.empty(0, np.int64))
+    dref = ray.put(np.sort(docs))
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        sub = b.filter(pa.array(np.isin(b["doc_id"].to_numpy(), d,
+                                        assume_unique=True)))
+        if not sub.num_rows:
+            return pa.table({"s": pa.array([], type=pa.int64()),
+                             "lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        n = sub["n_chars"].to_numpy()
+        return pa.table({"s": pa.array([int(n.sum())]),
+                         "lo": pa.array([int(n.min())]),
+                         "hi": pa.array([int(n.max())]),
+                         "c": pa.array([int(len(n))])})
+
+    t = _to_table(ds.map_batches(part, batch_format="pyarrow"))
+    return pa.table({
+        "n_sum": pa.array([int(pc.sum(t["s"]).as_py() or 0)],
+                          type=pa.int64()),
+        "n_min": pa.array([int(pc.min(t["lo"]).as_py())],
+                          type=pa.int64()),
+        "n_max": pa.array([int(pc.max(t["hi"]).as_py())],
+                          type=pa.int64()),
+        "n_count": pa.array([int(pc.sum(t["c"]).as_py() or 0)],
+                            type=pa.int64())})
+
+
+SQL_SEARCH_STATS = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{SEARCH_FACET_TERM}')
+SELECT SUM(d.n_chars)::BIGINT AS n_sum, MIN(d.n_chars)::BIGINT AS n_min,
+       MAX(d.n_chars)::BIGINT AS n_max, COUNT(*)::BIGINT AS n_count
+FROM documents d JOIN m USING (doc_id)
+"""
+
+
 def topk_orders(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     t = _to_table(rel.top_k(
@@ -5724,6 +5777,7 @@ def queries() -> dict:
         "external_file_boost_topk": external_file_boost_topk,
         "dismax_tiebreak_topk": dismax_tiebreak_topk,
         "search_facet_docs": search_facet_docs,
+        "search_stats_docs": search_stats_docs,
     }
 
 
@@ -5880,6 +5934,7 @@ def oracle_sql() -> dict:
         "external_file_boost_topk": sql_external_file_boost(),
         "dismax_tiebreak_topk": sql_dismax_tiebreak(),
         "search_facet_docs": SQL_SEARCH_FACET,
+        "search_stats_docs": SQL_SEARCH_STATS,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
