@@ -2659,18 +2659,13 @@ SELECT doc_id, md5(p) AS sig FROM prof ORDER BY doc_id
 
 # ------------------------------ sharded distributed search
 
-def sharded_bm25_topk(sf_dir: str) -> pa.Table:
-    """Distributed search over 3 doc-range index shards with global
-    IDF (Solr distributed-IDF two-phase, ``engine/sharded.py``): must
-    be BIT-IDENTICAL to the single-index BM25 — it shares
-    ``bm25_topk``'s SQL oracle."""
-    from engine.sharded import DistributedSearcher
-
+def _doc_shards(sf_dir: str) -> list[str]:
+    """Three doc-range shard indexes over documents (cached)."""
     base = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(f"{sf_dir}|shards|v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|shards|v2".encode()).hexdigest()[:12]
     work = os.path.join("/tmp/rayindex_cache", "shards_" + key)
     os.makedirs(work, exist_ok=True)
-    tab = pq.read_table(base, columns=["doc_id", "text"])
+    tab = pq.read_table(base, columns=["doc_id", "text", "lang"])
     n = tab.num_rows
     cuts = [0, n // 3, 2 * n // 3, n]
     cfg = IndexConfig(
@@ -2688,9 +2683,37 @@ def sharded_bm25_topk(sf_dir: str) -> pa.Table:
         sd = os.path.join(work, f"shard{i}")
         build_index([f], sd, cfg)
         shard_dirs.append(sd)
-    searcher = DistributedSearcher(shard_dirs)
+    return shard_dirs
+
+
+def sharded_bm25_topk(sf_dir: str) -> pa.Table:
+    """Distributed search over 3 doc-range index shards with global
+    IDF (Solr distributed-IDF two-phase, ``engine/sharded.py``): must
+    be BIT-IDENTICAL to the single-index BM25 — it shares
+    ``bm25_topk``'s SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
     try:
         return _topdocs_out(searcher.topk(BM25_QUERY, BM25_K))
+    finally:
+        searcher.shutdown()
+
+
+def sharded_facet_docs(sf_dir: str) -> pa.Table:
+    """Distributed query-scoped faceting over the 3 shard actors
+    (upstream ``FacetComponent`` distributed flow [U]): per-shard
+    (value, count) partials from each shard's own postings + pruned
+    facet-column read, summed by the coordinator — exact global
+    counts in ONE round (disjoint shards make refinement a no-op).
+    Must equal single-node query-scoped faceting, so it shares
+    ``search_facet_docs``'s SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        t = searcher.facet(SEARCH_FACET_TERM, "lang")
+        return t.sort_by("lang")
     finally:
         searcher.shutdown()
 
@@ -5778,6 +5801,7 @@ def queries() -> dict:
         "dismax_tiebreak_topk": dismax_tiebreak_topk,
         "search_facet_docs": search_facet_docs,
         "search_stats_docs": search_stats_docs,
+        "sharded_facet_docs": sharded_facet_docs,
     }
 
 
@@ -5935,6 +5959,8 @@ def oracle_sql() -> dict:
         "dismax_tiebreak_topk": sql_dismax_tiebreak(),
         "search_facet_docs": SQL_SEARCH_FACET,
         "search_stats_docs": SQL_SEARCH_STATS,
+        # sharded facet must equal single-node query-scoped faceting
+        "sharded_facet_docs": SQL_SEARCH_FACET,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

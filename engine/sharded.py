@@ -97,6 +97,38 @@ class ShardSearcher:
               k: int) -> pa.Table:
         return _score_shard(self.reader, terms, weights, cache, k)
 
+    def facet_counts(self, terms: list[str], facet_col: str) -> dict:
+        """Per-shard facet partials (upstream ``FacetComponent``
+        distributed phase [U]): matched docIDs from this shard's
+        postings, mapped to facet values via the shard's OWN input
+        files (pruned 2-column read) — shards own disjoint docs, so
+        coordinator summing gives exact global counts, no refinement
+        round needed."""
+        import pyarrow.parquet as pq
+
+        r = self.reader
+        terms = sorted(set(terms))
+        subs = r.lookup(terms)
+        arrays = [r._clause_arrays(t, subs[t])[0]
+                  for t in terms if subs[t]]
+        if not arrays:
+            return {}
+        cand = np.unique(np.concatenate(arrays))
+        keep = r._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        counts: dict = {}
+        for f in r.manifest["input_files"]:
+            t = pq.read_table(f, columns=[r.cfg.doc_id_col, facet_col])
+            ids = t[r.cfg.doc_id_col].to_numpy()
+            m = np.isin(ids, cand, assume_unique=True)
+            vals, cnt = np.unique(
+                np.asarray(t[facet_col].to_pylist(), dtype=object)[m],
+                return_counts=True)
+            for v, c in zip(vals, cnt):
+                counts[v] = counts.get(v, 0) + int(c)
+        return counts
+
 
 class DistributedSearcher:
     """Coordinator over K ShardSearcher actors (upstream
@@ -140,6 +172,23 @@ class DistributedSearcher:
         total = int(sum(t["total_hits"][0].as_py() for t in tops))
         order = np.lexsort((ids, -sc))[:k]
         return _topdocs_table(ids[order], sc[order], total=total)
+
+    def facet(self, query_text: str, facet_col: str) -> pa.Table:
+        """Distributed query-scoped faceting: per-shard (value, count)
+        partials summed by the coordinator — exact global counts in
+        one round (disjoint shards ⇒ Solr's refinement phase is a
+        no-op here)."""
+        terms = self._analyzer.query_terms(query_text)
+        parts = ray.get([s.facet_counts.remote(terms, facet_col)
+                         for s in self.shards])
+        agg: dict = {}
+        for p in parts:
+            for v, c in p.items():
+                agg[v] = agg.get(v, 0) + c
+        vals = sorted(agg)
+        return pa.table({facet_col: pa.array(vals, type=pa.string()),
+                         "n": pa.array([agg[v] for v in vals],
+                                       type=pa.int64())})
 
     def shutdown(self) -> None:
         for s in self.shards:
