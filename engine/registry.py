@@ -1886,6 +1886,54 @@ WHERE rank < {_KNN_K} ORDER BY query_id, rank
 """
 
 
+KNN_FILTER_MOD = 3
+
+
+def knn_filtered(sf_dir: str) -> pa.Table:
+    """Filtered vector search (upstream Lucene 9
+    ``KnnFloatVectorQuery`` with a filter / Solr ``knn`` + ``fq`` [U]):
+    the allowed set (``vec_id % {KNN_FILTER_MOD} == 0``) is applied as
+    a PRE-filter inside the streaming scan before the per-batch
+    matmul — Lucene's pre-filter strategy for restrictive filters;
+    result = EXACT top-k among allowed, same tie-break as
+    ``knn_cosine``."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_KNN_QIDS))
+    q = emb.filter(qmask).sort_by("vec_id")
+    qm = vec._emb_matrix(q["embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            b["vec_id"].to_numpy() % KNN_FILTER_MOD == 0))
+
+    t = vec.knn_brute(ds.map_batches(pre, batch_format="pyarrow"),
+                      "embedding", "vec_id", qm, k=_KNN_K)
+    df = t.to_pandas()
+    df["query_id"] = np.array(_KNN_QIDS, dtype=np.int64)[df["query_id"]]
+    out = pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]], preserve_index=False)
+    return _cast_col(out, "rank", pa.int64())
+
+
+SQL_KNN_FILTERED = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({",".join(map(str, _KNN_QIDS))})),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id % {KNN_FILTER_MOD} = 0),
+ranked AS (
+  SELECT query_id, vec_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) - 1)::BIGINT AS rank
+  FROM sims)
+SELECT query_id, rank, vec_id FROM ranked
+WHERE rank < {_KNN_K} ORDER BY query_id, rank
+"""
+
+
 def embedding_near_dup(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs (exact, threshold 0.5)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2696,6 +2744,29 @@ def sharded_bm25_topk(sf_dir: str) -> pa.Table:
     searcher = DistributedSearcher(_doc_shards(sf_dir))
     try:
         return _topdocs_out(searcher.topk(BM25_QUERY, BM25_K))
+    finally:
+        searcher.shutdown()
+
+
+def sharded_fetch_topk(sf_dir: str) -> pa.Table:
+    """Distributed TWO-PHASE search end-to-end (upstream
+    ``SearchHandler`` ids+scores → field fetch [U]): global-IDF
+    sharded top-k, then the winning id list scattered to the shard
+    actors for stored-field row-range fetches. Must equal the
+    single-index two-phase result, so it shares ``fetch_topk_docs``'s
+    SQL oracle. Per-shard stored fields are built once
+    (manifest-guarded)."""
+    from engine.build import build_stored_fields
+    from engine.sharded import DistributedSearcher
+
+    shards = _doc_shards(sf_dir)
+    for sd in shards:
+        build_stored_fields(sd)
+    searcher = DistributedSearcher(shards)
+    try:
+        t = searcher.topk_fetch(BM25_QUERY, BM25_K)
+        t = t.select(["rank", "doc_id", "score", "text"])
+        return _cast_col(t, "rank", pa.int64())
     finally:
         searcher.shutdown()
 
@@ -5802,6 +5873,8 @@ def queries() -> dict:
         "search_facet_docs": search_facet_docs,
         "search_stats_docs": search_stats_docs,
         "sharded_facet_docs": sharded_facet_docs,
+        "knn_filtered": knn_filtered,
+        "sharded_fetch_topk": sharded_fetch_topk,
     }
 
 
@@ -5961,6 +6034,9 @@ def oracle_sql() -> dict:
         "search_stats_docs": SQL_SEARCH_STATS,
         # sharded facet must equal single-node query-scoped faceting
         "sharded_facet_docs": SQL_SEARCH_FACET,
+        "knn_filtered": SQL_KNN_FILTERED,
+        # two-phase sharded search ≡ single-index two-phase search
+        "sharded_fetch_topk": sql_fetch_topk(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

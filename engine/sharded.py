@@ -97,6 +97,12 @@ class ShardSearcher:
               k: int) -> pa.Table:
         return _score_shard(self.reader, terms, weights, cache, k)
 
+    def fetch(self, doc_ids: np.ndarray) -> pa.Table:
+        """Phase-2 stored-field fetch for the ids THIS shard owns
+        (missing ids are simply absent — the coordinator scatters the
+        merged id list to every shard and unions the returns)."""
+        return self.reader.fetch_docs(doc_ids)
+
     def facet_counts(self, terms: list[str], facet_col: str) -> dict:
         """Per-shard facet partials (upstream ``FacetComponent``
         distributed phase [U]): matched docIDs from this shard's
@@ -172,6 +178,24 @@ class DistributedSearcher:
         total = int(sum(t["total_hits"][0].as_py() for t in tops))
         order = np.lexsort((ids, -sc))[:k]
         return _topdocs_table(ids[order], sc[order], total=total)
+
+    def topk_fetch(self, query_text: str, k: int = 10) -> pa.Table:
+        """Full two-phase distributed search (upstream
+        ``SearchHandler``/``QueryComponent`` [U]): phase 1 merges
+        ids+scores under global IDF (:meth:`topk`), phase 2 scatters
+        the winning id list to the shards for stored-field row-range
+        fetches and stitches the text back in rank order. Each shard
+        returns only ids it owns, so the union is exact."""
+        top = self.topk(query_text, k)
+        if not top.num_rows:
+            return top.append_column("text",
+                                     pa.array([], type=pa.string()))
+        ids = top["doc_id"].to_numpy()
+        parts = ray.get([s.fetch.remote(ids) for s in self.shards])
+        fetched = pa.concat_tables([p for p in parts if p.num_rows])
+        import pyarrow.compute as pc
+        pos = pc.index_in(top["doc_id"], value_set=fetched["doc_id"])
+        return top.append_column("text", fetched["text"].take(pos))
 
     def facet(self, query_text: str, facet_col: str) -> pa.Table:
         """Distributed query-scoped faceting: per-shard (value, count)
