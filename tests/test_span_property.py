@@ -76,3 +76,78 @@ def test_dense_and_sparse_brute_paths_agree(ray_session, tmp_path):
         assert dense["score"].to_pylist() == sparse["score"].to_pylist()
         assert dense["total_hits"].to_pylist() == \
             sparse["total_hits"].to_pylist()
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_boolean_topk_property_vs_reference(ray_session, tmp_path_factory,
+                                            seed):
+    """Randomized BooleanQuery clauses (MUST/SHOULD/MUST_NOT/FILTER,
+    random minimumNumberShouldMatch) vs a pure-Python reference over
+    the same corpus: candidate sets, msm filtering and f32 score sums
+    must agree exactly."""
+    from engine.query import IndexReader, idf, norm_cache
+    from engine.smallfloat import int_to_byte4, LENGTH_TABLE
+
+    rng = np.random.default_rng(seed)
+    texts = [" ".join(rng.choice(VOCAB, size=rng.integers(2, 12)))
+             for _ in range(80)]
+    idx = _mk_index(tmp_path_factory.mktemp(f"bprop{seed}"), texts)
+    r = IndexReader(idx)
+
+    toks = [t.split() for t in texts]
+    N = len(texts)
+    df = {v: sum(1 for tt in toks if v in tt) for v in VOCAB}
+    avgdl = sum(len(tt) for tt in toks) / N
+    cache = norm_cache(avgdl)
+
+    def ref_score(d, terms):
+        s = np.float64(0.0)
+        nb = int_to_byte4(len(toks[d]))
+        for t in sorted(set(terms)):
+            tf = toks[d].count(t)
+            if not tf:
+                continue
+            w = idf(N, df[t])
+            s += np.float64(
+                w * np.float32(np.float64(np.float32(tf))
+                               / (np.float64(np.float32(tf))
+                                  + cache[nb])))
+        return np.float32(s)
+
+    for _ in range(8):
+        must = list(rng.choice(VOCAB, size=rng.integers(0, 3),
+                               replace=False))
+        should = list(rng.choice(VOCAB, size=rng.integers(0, 3),
+                                 replace=False))
+        mnot = list(rng.choice(VOCAB, size=rng.integers(0, 2),
+                               replace=False))
+        filt = list(rng.choice(VOCAB, size=rng.integers(0, 2),
+                               replace=False))
+        msm = int(rng.integers(0, len(should) + 1)) if should else 0
+        got = r.boolean_topk(must=must, should=should, must_not=mnot,
+                             filters=filt, min_should_match=msm,
+                             k=10**9)
+        # reference candidate set
+        cand = []
+        for d, tt in enumerate(toks):
+            if any(t not in tt for t in must):
+                continue
+            if any(t not in tt for t in filt):
+                continue
+            if (not must and not filt
+                    and not any(t in tt for t in should)):
+                continue
+            if any(t in tt for t in mnot):
+                continue
+            nm = sum(1 for t in set(should) if t in tt)
+            if msm >= 1 and nm < msm:
+                continue
+            cand.append(d)
+        scores = {d: ref_score(d, set(must) | set(should))
+                  for d in cand}
+        want = sorted(cand, key=lambda d: (-scores[d], d))
+        assert got["doc_id"].to_pylist() == want, (
+            must, should, mnot, filt, msm)
+        for d, sc in zip(got["doc_id"].to_pylist(),
+                         got["score"].to_pylist()):
+            assert np.float32(sc) == scores[d], (d, sc, scores[d])
