@@ -2710,10 +2710,11 @@ SELECT doc_id, md5(p) AS sig FROM prof ORDER BY doc_id
 def _doc_shards(sf_dir: str) -> list[str]:
     """Three doc-range shard indexes over documents (cached)."""
     base = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(f"{sf_dir}|shards|v2".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|shards|v3".encode()).hexdigest()[:12]
     work = os.path.join("/tmp/rayindex_cache", "shards_" + key)
     os.makedirs(work, exist_ok=True)
-    tab = pq.read_table(base, columns=["doc_id", "text", "lang"])
+    tab = pq.read_table(base,
+                        columns=["doc_id", "text", "lang", "n_chars"])
     n = tab.num_rows
     cuts = [0, n // 3, 2 * n // 3, n]
     cfg = IndexConfig(
@@ -2767,6 +2768,33 @@ def sharded_fetch_topk(sf_dir: str) -> pa.Table:
         t = searcher.topk_fetch(BM25_QUERY, BM25_K)
         t = t.select(["rank", "doc_id", "score", "text"])
         return _cast_col(t, "rank", pa.int64())
+    finally:
+        searcher.shutdown()
+
+
+def sharded_spellcheck_docs(sf_dir: str) -> pa.Table:
+    """Distributed spellcheck (``SpellCheckComponent`` shard merge):
+    per-shard candidate partials with local dfs, coordinator-merged —
+    must equal single-index spellcheck, so it shares
+    ``spellcheck_docs``'s SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return searcher.spellcheck(SPELL_TERM, k=5, max_edits=2)
+    finally:
+        searcher.shutdown()
+
+
+def sharded_stats_docs(sf_dir: str) -> pa.Table:
+    """Distributed query-scoped StatsComponent: per-shard
+    (sum/min/max/count) partials combined exactly in one round —
+    shares ``search_stats_docs``'s SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return searcher.stats(SEARCH_FACET_TERM, "n_chars")
     finally:
         searcher.shutdown()
 
@@ -5875,6 +5903,8 @@ def queries() -> dict:
         "sharded_facet_docs": sharded_facet_docs,
         "knn_filtered": knn_filtered,
         "sharded_fetch_topk": sharded_fetch_topk,
+        "sharded_spellcheck_docs": sharded_spellcheck_docs,
+        "sharded_stats_docs": sharded_stats_docs,
     }
 
 
@@ -6037,6 +6067,8 @@ def oracle_sql() -> dict:
         "knn_filtered": SQL_KNN_FILTERED,
         # two-phase sharded search ≡ single-index two-phase search
         "sharded_fetch_topk": sql_fetch_topk(),
+        "sharded_spellcheck_docs": SQL_SPELLCHECK,
+        "sharded_stats_docs": SQL_SEARCH_STATS,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -103,6 +103,54 @@ class ShardSearcher:
         merged id list to every shard and unions the returns)."""
         return self.reader.fetch_docs(doc_ids)
 
+    def spell_candidates(self, term: str, max_edits: int) -> pa.Table:
+        """Per-shard DirectSpellChecker partials: this shard's vocab
+        matches within ``max_edits`` with LOCAL df — the coordinator
+        unions the term sets and sums the dfs, which reproduces the
+        single-index global ranking exactly."""
+        from engine.query import _levenshtein
+
+        r = self.reader
+        cands = [(t, _levenshtein(term, t, max_edits))
+                 for t in r.vocabulary()]
+        cands = [(t, d) for t, d in cands if 1 <= d <= max_edits]
+        dfs = r._df_of([t for t, _ in cands])
+        return pa.table({
+            "term": pa.array([t for t, _ in cands], type=pa.string()),
+            "dist": pa.array([d for _, d in cands], type=pa.int64()),
+            "df": pa.array([int(dfs.get(t, 0)) for t, _ in cands],
+                           type=pa.int64())})
+
+    def stats_partial(self, terms: list[str], col: str) -> tuple:
+        """Per-shard StatsComponent partials (sum, min, max, count) of
+        ``col`` over this shard's matched docset."""
+        import pyarrow.parquet as pq
+
+        r = self.reader
+        terms = sorted(set(terms))
+        subs = r.lookup(terms)
+        arrays = [r._clause_arrays(t, subs[t])[0]
+                  for t in terms if subs[t]]
+        if not arrays:
+            return (0, None, None, 0)
+        cand = np.unique(np.concatenate(arrays))
+        keep = r._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        s, lo, hi, c = 0, None, None, 0
+        for f in r.manifest["input_files"]:
+            t = pq.read_table(f, columns=[r.cfg.doc_id_col, col])
+            ids = t[r.cfg.doc_id_col].to_numpy()
+            m = np.isin(ids, cand, assume_unique=True)
+            if not m.any():
+                continue
+            n = t[col].to_numpy()[m]
+            s += int(n.sum())
+            lo = int(n.min()) if lo is None else min(lo, int(n.min()))
+            hi = int(n.max()) if hi is None else max(hi, int(n.max()))
+            c += int(len(n))
+        return (s, lo, hi, c)
+
     def facet_counts(self, terms: list[str], facet_col: str) -> dict:
         """Per-shard facet partials (upstream ``FacetComponent``
         distributed phase [U]): matched docIDs from this shard's
@@ -213,6 +261,48 @@ class DistributedSearcher:
         return pa.table({facet_col: pa.array(vals, type=pa.string()),
                          "n": pa.array([agg[v] for v in vals],
                                        type=pa.int64())})
+
+    def spellcheck(self, term: str, k: int = 5,
+                   max_edits: int = 2) -> pa.Table:
+        """Distributed spellcheck (upstream ``SpellCheckComponent``
+        shard merge [U]): per-shard (term, dist, local df) partials,
+        coordinator sums dfs per term and applies the single-node
+        ranking (dist asc, df desc, term asc) — exact, since global
+        df = Σ shard dfs and the candidate set is the vocab union."""
+        parts = ray.get([s.spell_candidates.remote(term, max_edits)
+                         for s in self.shards])
+        agg: dict = {}
+        for p in parts:
+            for t, d, df in zip(p["term"].to_pylist(),
+                                p["dist"].to_pylist(),
+                                p["df"].to_pylist()):
+                cur = agg.get(t)
+                agg[t] = (d, (cur[1] if cur else 0) + df)
+        rows = sorted(((t, d, df) for t, (d, df) in agg.items()),
+                      key=lambda r: (r[1], -r[2], r[0]))[:k]
+        return pa.table({
+            "term": pa.array([r[0] for r in rows], type=pa.string()),
+            "dist": pa.array([r[1] for r in rows], type=pa.int64()),
+            "df": pa.array([r[2] for r in rows], type=pa.int64())})
+
+    def stats(self, query_text: str, col: str) -> pa.Table:
+        """Distributed query-scoped StatsComponent: per-shard
+        (sum, min, max, count) partials combined by the coordinator —
+        exact in one round."""
+        terms = self._analyzer.query_terms(query_text)
+        parts = ray.get([s.stats_partial.remote(terms, col)
+                         for s in self.shards])
+        s = sum(p[0] for p in parts)
+        c = sum(p[3] for p in parts)
+        los = [p[1] for p in parts if p[1] is not None]
+        his = [p[2] for p in parts if p[2] is not None]
+        return pa.table({
+            "n_sum": pa.array([s], type=pa.int64()),
+            "n_min": pa.array([min(los)] if los else [None],
+                              type=pa.int64()),
+            "n_max": pa.array([max(his)] if his else [None],
+                              type=pa.int64()),
+            "n_count": pa.array([c], type=pa.int64())})
 
     def shutdown(self) -> None:
         for s in self.shards:
