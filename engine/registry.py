@@ -2710,11 +2710,11 @@ SELECT doc_id, md5(p) AS sig FROM prof ORDER BY doc_id
 def _doc_shards(sf_dir: str) -> list[str]:
     """Three doc-range shard indexes over documents (cached)."""
     base = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(f"{sf_dir}|shards|v3".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|shards|v4".encode()).hexdigest()[:12]
     work = os.path.join("/tmp/rayindex_cache", "shards_" + key)
     os.makedirs(work, exist_ok=True)
-    tab = pq.read_table(base,
-                        columns=["doc_id", "text", "lang", "n_chars"])
+    tab = pq.read_table(
+        base, columns=["doc_id", "text", "lang", "source", "n_chars"])
     n = tab.num_rows
     cuts = [0, n // 3, 2 * n // 3, n]
     cfg = IndexConfig(
@@ -2768,6 +2768,22 @@ def sharded_fetch_topk(sf_dir: str) -> pa.Table:
         t = searcher.topk_fetch(BM25_QUERY, BM25_K)
         t = t.select(["rank", "doc_id", "score", "text"])
         return _cast_col(t, "rank", pa.int64())
+    finally:
+        searcher.shutdown()
+
+
+def sharded_group_topk(sf_dir: str) -> pa.Table:
+    """Distributed result grouping (ScoreMode.Max heads over shards):
+    global-IDF weights broadcast, per-shard (group, max, count)
+    partials, coordinator merges max-of-max / sum-of-count — exact in
+    one round; must equal the single-index grouped rollup, so it
+    shares ``blockjoin_topk_docs``'s SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        t = searcher.grouped_topk(BJ_QUERY, "source", k=10)
+        return _cast_col(t, "score", pa.float32())
     finally:
         searcher.shutdown()
 
@@ -5905,6 +5921,7 @@ def queries() -> dict:
         "sharded_fetch_topk": sharded_fetch_topk,
         "sharded_spellcheck_docs": sharded_spellcheck_docs,
         "sharded_stats_docs": sharded_stats_docs,
+        "sharded_group_topk": sharded_group_topk,
     }
 
 
@@ -6069,6 +6086,7 @@ def oracle_sql() -> dict:
         "sharded_fetch_topk": sql_fetch_topk(),
         "sharded_spellcheck_docs": SQL_SPELLCHECK,
         "sharded_stats_docs": SQL_SEARCH_STATS,
+        "sharded_group_topk": sql_blockjoin(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -151,6 +151,41 @@ class ShardSearcher:
             c += int(len(n))
         return (s, lo, hi, c)
 
+    def group_partial(self, query_text: str, group_col: str,
+                      weights: dict, cache: np.ndarray) -> pa.Table:
+        """Per-shard grouped-max partials (upstream grouping's
+        distributed firstPhase [U]): every matching doc scored under
+        the GLOBAL weights, rolled up per group value locally —
+        (group, max f32 score, matched count). Coordinator merge
+        (max-of-max, sum-of-count) is exact: disjoint shards."""
+        import pyarrow.parquet as pq
+
+        r = self.reader
+        terms = self.reader.analyzer.query_terms(query_text)
+        top = _score_shard(r, terms, weights, cache,
+                           k=max(r.N, 1))
+        if not top.num_rows:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float32())})
+        ids = top["doc_id"].to_numpy()
+        sc = top["score"].to_numpy()
+        gmap: dict = {}
+        for f in r.manifest["input_files"]:
+            t = pq.read_table(f, columns=[r.cfg.doc_id_col, group_col])
+            fid = t[r.cfg.doc_id_col].to_numpy()
+            m = np.isin(fid, ids, assume_unique=True)
+            for d, v in zip(fid[m], np.asarray(
+                    t[group_col].to_pylist(), dtype=object)[m]):
+                gmap[int(d)] = v
+        import pandas as pd
+        df = pd.DataFrame({group_col: [gmap[int(d)] for d in ids],
+                           "score": sc.astype(np.float32)})
+        g = df.groupby(group_col, as_index=False).agg(
+            n=("score", "size"), score=("score", "max"))
+        return pa.Table.from_pandas(g[[group_col, "n", "score"]],
+                                    preserve_index=False)
+
     def facet_counts(self, terms: list[str], facet_col: str) -> dict:
         """Per-shard facet partials (upstream ``FacetComponent``
         distributed phase [U]): matched docIDs from this shard's
@@ -284,6 +319,41 @@ class DistributedSearcher:
             "term": pa.array([r[0] for r in rows], type=pa.string()),
             "dist": pa.array([r[1] for r in rows], type=pa.int64()),
             "df": pa.array([r[2] for r in rows], type=pa.int64())})
+
+    def grouped_topk(self, query_text: str, group_col: str,
+                     k: int = 10) -> pa.Table:
+        """Distributed result grouping (ScoreMode.Max heads): global
+        weights broadcast, per-shard grouped partials, coordinator
+        merges max-of-max / sum-of-count and ranks groups (score desc,
+        value asc) — exact, no second phase needed."""
+        terms = self._analyzer.query_terms(query_text)
+        uniq_terms = sorted(set(terms))
+        partials = ray.get([s.term_stats.remote(uniq_terms)
+                            for s in self.shards])
+        gdf: dict = {}
+        for p in partials:
+            for t, (df, _) in p.items():
+                gdf[t] = gdf.get(t, 0) + df
+        weights = {t: float(idf(self.N, df)) for t, df in gdf.items()}
+        parts = ray.get([s.group_partial.remote(
+            query_text, group_col, weights, self.cache)
+            for s in self.shards])
+        agg: dict = {}
+        for p in parts:
+            for v, n, sc in zip(p[group_col].to_pylist(),
+                                p["n"].to_pylist(),
+                                p["score"].to_pylist()):
+                cur = agg.get(v)
+                agg[v] = ((cur[0] if cur else 0) + int(n),
+                          max(cur[1], sc) if cur else sc)
+        rows = sorted(agg.items(),
+                      key=lambda kv: (-kv[1][1], kv[0]))[:k]
+        return pa.table({
+            group_col: pa.array([v for v, _ in rows], type=pa.string()),
+            "n_children": pa.array([n for _, (n, _) in rows],
+                                   type=pa.int64()),
+            "score": pa.array(np.array([s for _, (_, s) in rows],
+                                       dtype=np.float32))})
 
     def stats(self, query_text: str, col: str) -> pa.Table:
         """Distributed query-scoped StatsComponent: per-shard
