@@ -1574,6 +1574,12 @@ class IndexReader:
         - ``lm_dirichlet`` (mu=2000): ``f32(max(0, ln(1 + tf/(mu *
           cf/total_cf)) + ln(mu/(dlq + mu))))`` in f64 then one f32
           cast (Lucene clamps negative clause scores to 0).
+        - ``lm_jm`` (lambda=0.1, the upstream
+          ``LMJelinekMercerSimilarity`` constructor default):
+          ``f32(ln(1 + ((1-l)*tf/dlq) / (l * cf/total_cf)))``.
+        - ``boolean`` (upstream ``BooleanSimilarity`` [U]): each
+          matching clause scores the query boost (1.0f) — doc score
+          = number of matching query terms.
 
         Clause sums accumulate in f64 and cast f32 once, like BM25.
         """
@@ -1605,6 +1611,20 @@ class IndexReader:
                 raw = np.log(1.0 + tfs / (mu * p_t)) \
                     + np.log(mu / (dlq[norms] + mu))
                 sc = np.maximum(raw, 0.0).astype(np.float32)
+            elif similarity == "lm_jm":
+                # LMJelinekMercerSimilarity (lambda=0.1, the 8.x
+                # constructor default): f32(ln(1 + ((1-l)*tf/dlq) /
+                # (l * cf/total_cf))), f64 inner math, one f32 cast.
+                lam = 0.1
+                cf = float(sum(int(p[1].sum()) for p in parts))
+                p_t = cf / total_cf
+                raw = np.log(1.0 + ((1.0 - lam) * tfs / dlq[norms])
+                             / (lam * p_t))
+                sc = raw.astype(np.float32)
+            elif similarity == "boolean":
+                # BooleanSimilarity: each matching clause contributes
+                # exactly the query boost (1.0f); tf/norms ignored.
+                sc = np.ones(len(docs), dtype=np.float32)
             else:
                 raise ValueError(f"unknown similarity {similarity!r}")
             clauses.append((docs, sc))

@@ -2852,6 +2852,26 @@ def lm_dirichlet_topk(sf_dir: str) -> pa.Table:
         r.similarity_topk(BJ_QUERY, k=10, similarity="lm_dirichlet"))
 
 
+def lm_jm_topk(sf_dir: str) -> pa.Table:
+    """LMJelinekMercerSimilarity (lambda=0.1, the 8.x constructor
+    default) through the Similarity SPI (upstream
+    ``LMJelinekMercerSimilarity`` [U])."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(
+        r.similarity_topk(BJ_QUERY, k=10, similarity="lm_jm"))
+
+
+def boolean_sim_topk(sf_dir: str) -> pa.Table:
+    """BooleanSimilarity (upstream ``BooleanSimilarity`` [U]): every
+    matching clause scores its boost (1.0f), so a doc's score is its
+    matching-query-term count — tf, idf and norms are ignored. The
+    deep tie regions exercise the (score desc, docID asc) collector
+    tie-break."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(
+        r.similarity_topk(BJ_QUERY, k=10, similarity="boolean"))
+
+
 def _sql_sim_qterms() -> str:
     return "SELECT unnest([" + ",".join(
         f"'{t}'" for t in BJ_QUERY.split()) + "]) AS term"
@@ -2906,6 +2926,45 @@ contrib AS (
 scored AS (
   SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
   FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def sql_lm_jm() -> str:
+    return f"""{_bm25_ctes()},
+qterms AS ({_sql_sim_qterms()}),
+tcf AS (
+  SELECT SUM(len(ts))::DOUBLE AS total_cf FROM toks),
+cfs AS (
+  SELECT q.term, COUNT(*)::DOUBLE AS cf
+  FROM qterms q JOIN (SELECT doc_id, unnest(ts) AS term FROM toks) u
+    ON u.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(ln(1 + (0.9::DOUBLE * tf.tf / dl.dlq)
+               / (0.1::DOUBLE * (c.cf / t.total_cf)))
+    AS FLOAT) AS sc
+  FROM qterms q JOIN cfs c ON c.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tcf t),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def sql_boolean_sim() -> str:
+    return f"""{_bm25_ctes()},
+qterms AS ({_sql_sim_qterms()}),
+scored AS (
+  SELECT tf.doc_id, CAST(COUNT(*) AS FLOAT) AS score
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY tf.doc_id)
 SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
        doc_id, score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
@@ -5851,6 +5910,8 @@ def queries() -> dict:
         "force_merge_deletes_topk": force_merge_deletes_topk,
         "classic_tfidf_topk": classic_tfidf_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
+        "lm_jm_topk": lm_jm_topk,
+        "boolean_sim_topk": boolean_sim_topk,
         "sharded_bm25_topk": sharded_bm25_topk,
         "text_profile_sig_docs": text_profile_sig_docs,
         "elevation_topk": elevation_topk,
@@ -6014,6 +6075,8 @@ def oracle_sql() -> dict:
         "force_merge_deletes_topk": sql_fold_deletes(),
         "classic_tfidf_topk": sql_classic_tfidf(),
         "lm_dirichlet_topk": sql_lm_dirichlet(),
+        "lm_jm_topk": sql_lm_jm(),
+        "boolean_sim_topk": sql_boolean_sim(),
         "sharded_bm25_topk": sql_bm25_topk(),
         "text_profile_sig_docs": SQL_TEXT_PROFILE,
         "elevation_topk": sql_elevation(),

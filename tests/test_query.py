@@ -494,6 +494,25 @@ def test_similarity_models_rank_differently_but_sanely(reader):
     assert bm.num_rows == cl.num_rows == lm.num_rows
 
 
+def test_similarity_jm_and_boolean(reader):
+    lm = reader.similarity_topk("index merge", 20, "lm_dirichlet")
+    jm = reader.similarity_topk("index merge", 20, "lm_jm")
+    bo = reader.similarity_topk("index merge", 20, "boolean")
+    # same candidate universe across models
+    assert jm["total_hits"][0] == lm["total_hits"][0]
+    assert bo["total_hits"][0] == lm["total_hits"][0]
+    sc = jm["score"].to_numpy()
+    assert (sc[:-1] >= sc[1:]).all() and (sc > 0).all()
+    # boolean scores are exactly the matching-term counts (1 or 2
+    # for a two-term query), tie-broken by ascending docID
+    bsc = bo["score"].to_numpy()
+    assert set(np.unique(bsc)) <= {1.0, 2.0}
+    ids = bo["doc_id"].to_numpy()
+    for v in np.unique(bsc):
+        grp = ids[bsc == v]
+        assert (np.diff(grp) > 0).all()
+
+
 def test_similarity_unknown_raises(reader):
     import pytest as _pt
 
