@@ -489,3 +489,78 @@ def sessionize(ds: ray.data.Dataset, user_col: str, ts_col: str,
         session_end=("session_end", "max"), n_events=("n_events", "sum"))
     df = df.sort_values([user_col, "session_start"]).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def context_windows(ds: ray.data.Dataset, user_col: str, ts_col: str,
+                    tie_col: str, val_col: str, w: int) -> pa.Table:
+    """Sliding context-window assembly — the training-sample primitive
+    that turns an ordered per-entity stream into model contexts (no
+    Solr analog; part of the training-pipeline op set): for every row,
+    emit the space-joined last ``w`` values of the SAME entity in
+    (ts, tie) order, current row last. Rows near an entity's start get
+    shorter windows (no padding).
+
+    Distributed shape: ONE global sort on (user, ts, tie), then the
+    boundary-carry pattern of :func:`sessionize` — each sorted block
+    needs only the previous block's LAST ``w - 1`` rows (O(blocks ×
+    w) driver traffic), window assembly inside each block is fully
+    vectorized (shifted arrays + ``binary_join_element_wise`` with
+    null-skip; entity breaks null out invalid shifts)."""
+    mat = ds.sort([user_col, ts_col, tie_col]).materialize()
+    refs = list(mat.to_arrow_refs())
+
+    @ray.remote
+    def tail(t: pa.Table):
+        n = min(w - 1, t.num_rows)
+        return t.select([user_col, val_col]).slice(t.num_rows - n, n) \
+            if n else None
+
+    tails = ray.get([tail.remote(r) for r in refs])
+    # rolling driver-side stitch so carries span SHORT blocks too:
+    # the carry into block i is the last w-1 rows of ALL prior blocks
+    carries: list[pa.Table | None] = []
+    cur: pa.Table | None = None
+    for tl in tails:
+        carries.append(cur)
+        pieces = [x for x in (cur, tl) if x is not None and x.num_rows]
+        nxt = pa.concat_tables(pieces) if pieces else None
+        if nxt is not None and nxt.num_rows > w - 1:
+            nxt = nxt.slice(nxt.num_rows - (w - 1), w - 1)
+        cur = nxt
+
+    @ray.remote
+    def windows(t: pa.Table, carry) -> pa.Table | None:
+        if not t.num_rows:
+            return None
+        ncarry = carry.num_rows if carry is not None else 0
+        m = t.num_rows
+        uu = np.concatenate([
+            carry[user_col].to_numpy(zero_copy_only=False)
+            if ncarry else np.empty(0, object),
+            t[user_col].to_numpy(zero_copy_only=False)])
+        vv = pa.concat_arrays(
+            (list(carry[val_col].chunks) if ncarry else [])
+            + list(t[val_col].chunks))
+        # shifted columns via take with NULL indices (null index →
+        # null value) — NOT via slice + if_else: pyarrow 16's string
+        # if_else corrupts data on sliced value buffers
+        out_idx = np.arange(ncarry, ncarry + m)
+        cols = []
+        for j in range(w - 1, -1, -1):       # oldest shift first
+            src = out_idx - j
+            valid = src >= 0
+            valid[valid] &= uu[src[valid]] == uu[out_idx[valid]]
+            ia = pc.if_else(pa.array(valid),
+                            pa.array(np.where(valid, src, 0),
+                                     type=pa.int64()),
+                            pa.scalar(None, pa.int64()))
+            cols.append(vv.take(ia))
+        ctx = pc.binary_join_element_wise(
+            *cols, " ", null_handling="skip")
+        return pa.table({tie_col: t[tie_col], user_col: t[user_col],
+                         "ctx": ctx})
+
+    parts = ray.get([windows.remote(r, c)
+                     for r, c in zip(refs, carries)])
+    out = pa.concat_tables([p for p in parts if p is not None])
+    return out.sort_by(tie_col)

@@ -1038,6 +1038,133 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def interval_topk(self, t1: str, t2: str, t3: str, maxgaps: int,
+                      k: int = 10) -> pa.Table:
+        """Three-term ordered IntervalQuery with a TOTAL-gap budget
+        (upstream ``L/queries/intervals`` ``Intervals.maxgaps(
+        Intervals.ordered(...))`` [U]). Unlike SpanNear's per-adjacent-
+        gap slop, ``maxgaps`` bounds the SUM of interior gaps: a match
+        is a position triple ``p1 < p2 < p3`` with
+        ``(p3 - p1 - 2) <= maxgaps``. Conformance boundary, documented
+        like the span family: freq = COUNT of such triples (Lucene's
+        minimal-interval algorithm instead enumerates non-overlapping
+        minimal intervals); scoring = the span-style BM25 over that
+        freq under one combined weight (sum of the three idfs,
+        left-to-right f64 accumulation of f32 idfs).
+
+        Vectorized: per (t1, t3) pair within the width budget —
+        enumerated by searchsorted range + repeat, bounded per t1
+        occurrence by the window width so no all-pairs blowup — the
+        t2 count strictly between them is two more searchsorted calls.
+        Doc-local by construction: SHIFT exceeds max_pos + width, so
+        a window never crosses a doc boundary in key space."""
+        subs = self.lookup([t1, t2, t3])
+        if any(not subs[t] for t in (t1, t2, t3)):
+            return _topdocs_table([], [])
+        rows = {t: self._lookup_positions(t) for t in {t1, t2, t3}}
+        max_pos = 0
+        for rr in rows.values():
+            for _, _, _, fp in rr:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        width = maxgaps + 2              # max p3 - p1
+        SHIFT = np.int64(1 << 21)
+        while int(SHIFT) <= max_pos + width + 1:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
+            raise OverflowError("interval key space overflow")
+
+        def keys_of(rr):
+            parts, norm = [], {}
+            for docs, tfs, norms, fp in rr:
+                parts.append(np.repeat(docs, tfs) * SHIFT + fp)
+                for d, nb in zip(docs, norms):
+                    norm[int(d)] = int(nb)
+            keys = (np.sort(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64))
+            return keys, norm
+
+        a_keys, _ = keys_of(rows[t1])
+        b_keys, _ = keys_of(rows[t2])
+        c_keys, doc_norm = keys_of(rows[t3])
+        if not len(a_keys) or not len(b_keys) or not len(c_keys):
+            return _topdocs_table([], [])
+        # c in (a+1, a+width]: at least one position for b in between
+        lo = np.searchsorted(c_keys, a_keys + 2, side="left")
+        hi = np.searchsorted(c_keys, a_keys + width, side="right")
+        cnt = hi - lo
+        m = cnt > 0
+        if not m.any():
+            return _topdocs_table([], [])
+        # expand to (a, c) pairs — per-a fanout is bounded by width
+        a_rep = np.repeat(a_keys[m], cnt[m])
+        c_idx = np.concatenate(
+            [np.arange(l, h) for l, h in zip(lo[m], hi[m])])
+        c_rep = c_keys[c_idx]
+        # t2 strictly inside (a, c)
+        nb = (np.searchsorted(b_keys, c_rep, side="left")
+              - np.searchsorted(b_keys, a_rep, side="right"))
+        good = nb > 0
+        if not good.any():
+            return _topdocs_table([], [])
+        docs = (a_rep[good] // SHIFT).astype(np.int64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        freq = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(freq, inv, nb[good])
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, freq = uniq[keep], freq[keep]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        w64 = 0.0
+        for t in (t1, t2, t3):
+            w64 = w64 + float(idf(self.N, self.global_df(subs[t])))
+        norms = np.array([doc_norm[int(d)] for d in uniq], dtype=np.uint8)
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
+    def term_in_set_topk(self, scored: list[str], set_terms: list[str],
+                         k: int = 10) -> pa.Table:
+        """TermInSetQuery as a non-scoring FILTER clause (upstream
+        ``L/search/TermInSetQuery.java`` [U]; Solr's ``{!terms}``
+        qparser): candidates = docs matching ANY scored term AND ANY
+        set term; the set clause is constant-score (contributes
+        nothing), scores sum the scored terms' BM25 contributions —
+        i.e. ``BooleanQuery{SHOULD: scored..., FILTER:
+        TermInSet(set)}``. The set union is a sorted-array merge over
+        the postings, never a per-term loop over candidates."""
+        scored = sorted(set(scored))
+        set_terms = sorted(set(set_terms))
+        subs = self.lookup(scored + set_terms)
+        clause = {t: self._clause_arrays(t, subs[t])
+                  for t in scored if subs[t]}
+        if not clause:
+            return _topdocs_table([], [])
+        set_docs = [self._clause_arrays(t, subs[t])[0]
+                    for t in set_terms if subs[t]]
+        if not set_docs:
+            return _topdocs_table([], [])
+        fset = np.unique(np.concatenate(set_docs))
+        cand = np.unique(np.concatenate([c[0] for c in clause.values()]))
+        cand = cand[np.isin(cand, fset, assume_unique=True)]
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        if not len(cand):
+            return _topdocs_table([], [])
+        sums = np.zeros(len(cand), dtype=np.float64)
+        for t, (docs, tfs, norms) in clause.items():
+            w = idf(self.N, len(docs))
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            sums[hit] += _clause_scores(
+                tfs[idx[hit]], norms[idx[hit]], w,
+                self.cache).astype(np.float64)
+        final = sums.astype(np.float32)
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order], total=len(cand))
+
     def span_not_topk(self, include: str, exclude: str, dist: int = 1,
                       k: int = 10) -> pa.Table:
         """SpanNotQuery (upstream ``L/search/spans/SpanNotQuery`` [U],

@@ -5815,6 +5815,291 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+# --------------------- intervals / term-set filter / facet extras
+
+INTERVAL_MAXGAPS = 3
+
+
+def interval_maxgaps_topk(sf_dir: str) -> pa.Table:
+    """Ordered IntervalQuery with a total-gap budget (upstream
+    ``L/queries/intervals`` ``Intervals.maxgaps(ordered(...))`` [U]):
+    unlike SpanNear's per-gap slop, the SUM of interior gaps is
+    bounded. Conformance restatement documented on
+    ``IndexReader.interval_topk`` (triple counts, span-style combined
+    weight)."""
+    r = _doc_reader(sf_dir)
+    t1, t2, t3 = SPAN_TERMS
+    return _topdocs_out(
+        r.interval_topk(t1, t2, t3, maxgaps=INTERVAL_MAXGAPS, k=10))
+
+
+def sql_interval_maxgaps() -> str:
+    t1, t2, t3 = SPAN_TERMS
+    width = INTERVAL_MAXGAPS + 2
+
+    def idf_sql(t: str) -> str:
+        return (f"(SELECT CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))"
+                f" AS FLOAT)::DOUBLE FROM (SELECT COUNT(DISTINCT doc_id)"
+                f"::DOUBLE AS df FROM tf WHERE term = '{t}') d"
+                f" CROSS JOIN stats s)")
+
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p > a.p AND b.tok = '{t2}'
+  JOIN pos c ON c.doc_id = a.doc_id AND c.p > b.p AND c.tok = '{t3}'
+             AND c.p - a.p <= {width}
+  WHERE a.tok = '{t1}' GROUP BY a.doc_id),
+w AS (SELECT CAST(({idf_sql(t1)} + {idf_sql(t2)}) + {idf_sql(t3)}
+              AS FLOAT) AS w),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+TIS_SCORED = ["spark", "merge"]
+TIS_SET = ["window", "filter", "key"]
+
+
+def term_in_set_filter_topk(sf_dir: str) -> pa.Table:
+    """TermInSetQuery as a constant-score FILTER clause (upstream
+    ``L/search/TermInSetQuery.java`` [U]; Solr ``{!terms}`` qparser):
+    scored disjunction constrained to docs containing ANY set term,
+    the set contributing no score."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(r.term_in_set_topk(TIS_SCORED, TIS_SET, k=10))
+
+
+def sql_term_in_set() -> str:
+    scored_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in sorted(set(TIS_SCORED))) + "]) AS term"
+    inset = ",".join(f"'{t}'" for t in sorted(set(TIS_SET)))
+    return _sql_disjunction(
+        scored_sql, 10,
+        where=f"""WHERE contrib.doc_id IN (
+      SELECT DISTINCT doc_id FROM tf WHERE term IN ({inset}))""")
+
+
+MS_SRC_PREFIX = "src1"
+MS_SEL_LANG = "en"
+
+
+def multiselect_facet_docs(sf_dir: str) -> pa.Table:
+    """Multi-select faceting with tag/exclude (upstream Solr
+    ``fq={{!tag=L}}lang:{MS_SEL_LANG}`` +
+    ``facet.field={{!ex=L}}lang`` [U], ``SimpleFacets`` over the
+    tag-excluded DocSet): the lang facet is computed with the lang
+    filter EXCLUDED (only the source filter applies) so the checkbox
+    UI shows what selecting each value WOULD yield; ``n_sel`` is the
+    fully-filtered count. One streaming pass: row-local filter +
+    flag, then a single grouped count/sum."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.starts_with(b["source"], MS_SRC_PREFIX))
+        sel = pc.cast(pc.equal(b["lang"], MS_SEL_LANG), pa.int64())
+        return pa.table({"lang": b["lang"], "sel": sel})
+
+    t = _to_table(rel.rollup(
+        ds.map_batches(flag, batch_format="pyarrow"), ["lang"],
+        sums=["sel"]))
+    t = _rename(t, {"count()": "n_excl", "sum(sel)": "n_sel"})
+    t = _cast_col(_cast_col(t, "n_excl", pa.int64()), "n_sel", pa.int64())
+    return t.select(["lang", "n_excl", "n_sel"]).sort_by("lang")
+
+
+SQL_MULTISELECT_FACET = f"""
+SELECT lang, COUNT(*)::BIGINT AS n_excl,
+       SUM(CASE WHEN lang = '{MS_SEL_LANG}' THEN 1 ELSE 0 END)::BIGINT
+         AS n_sel
+FROM documents WHERE source LIKE '{MS_SRC_PREFIX}%'
+GROUP BY lang ORDER BY lang
+"""
+
+
+def unique_block_facet_docs(sf_dir: str) -> pa.Table:
+    """``uniqueBlock()`` JSON-facet aggregate (upstream
+    ``S/search/facet/UniqueBlockAgg`` [U]): per facet bucket, the
+    count of DISTINCT parent blocks (source groups) among the query's
+    matching children. Match docset broadcast once; distinct
+    (lang, source) pairs via a grouped pass, then a tiny grouped
+    count — never a per-bucket set on the driver."""
+    r = _doc_reader(sf_dir)
+    m = r.match_scores(BJ_QUERY).select(["doc_id"])
+    dref = ray.put(np.sort(m["doc_id"].to_numpy()))
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        return b.filter(pa.array(np.isin(
+            b["doc_id"].to_numpy(), d, assume_unique=True))) \
+            .select(["lang", "source"])
+
+    pairs = rel.facet(ds.map_batches(probe, batch_format="pyarrow"),
+                      ["lang", "source"])
+    t = _to_table(rel.facet(pairs.select_columns(["lang", "source"]),
+                            ["lang"]))
+    t = _rename(t, {"count()": "n_blocks"})
+    return _cast_col(t, "n_blocks", pa.int64()) \
+        .select(["lang", "n_blocks"]).sort_by("lang")
+
+
+def sql_unique_block() -> str:
+    return f"""{_bm25_ctes()},
+m AS (
+  SELECT DISTINCT doc_id FROM tf
+  WHERE term IN ({",".join(f"'{t}'" for t in BJ_QUERY.split())}))
+SELECT d.lang, COUNT(DISTINCT d.source)::BIGINT AS n_blocks
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def facet_missing_events(sf_dir: str) -> pa.Table:
+    """``facet.missing=true`` (upstream ``SimpleFacets`` missing
+    bucket [U]): facet counts over a nullable field plus the bucket of
+    docs with NO value. The nullable field is derived deterministically
+    (event_type nulled where ``event_id & 3 == 0``), the missing
+    bucket is labeled ``(missing)`` on both sides for a stable
+    compare."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(pc.cast(
+            pc.bit_wise_and(b["event_id"], 3), pa.int64()), 0)
+        v = pc.if_else(keep, b["event_type"], None)
+        return pa.table({"bucket": pc.fill_null(v, "(missing)")})
+
+    t = _to_table(rel.facet(
+        ds.map_batches(derive, batch_format="pyarrow"), ["bucket"]))
+    t = _rename(t, {"count()": "n"})
+    return _cast_col(t, "n", pa.int64()).sort_by("bucket")
+
+
+SQL_FACET_MISSING = """
+SELECT COALESCE(CASE WHEN (event_id & 3) <> 0 THEN event_type END,
+                '(missing)') AS bucket,
+       COUNT(*)::BIGINT AS n
+FROM events GROUP BY bucket ORDER BY bucket
+"""
+
+
+COV_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_COV_SCALE = {"l_quantity": 1, "l_extendedprice": 100,
+              "l_discount": 100}
+
+
+def cov_matrix_lineitem(sf_dir: str) -> pa.Table:
+    """Streaming-math ``cov()``/``corr()`` matrix (upstream Solr math
+    expressions over matrices [U]): pairwise population covariance and
+    Pearson correlation of three lineitem measures. Values quantize to
+    exact integer units (quantity is integral; price/discount to
+    cents), per-batch int64 moment partials (n, Σx, Σy, Σxx, Σyy,
+    Σxy per pair) sum through one tiny aggregate, the closed form
+    finalizes on the driver — bit-reproducible in SQL from the same
+    integers."""
+    import math
+
+    ds = _read(sf_dir, "lineitem", COV_COLS)
+    pairs = [(a, b) for i, a in enumerate(COV_COLS)
+             for b in COV_COLS[i + 1:]]
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = {c: np.floor(b[c].to_numpy() * _COV_SCALE[c] + 0.5)
+             .astype(np.int64) for c in COV_COLS}
+        out = {"n": pa.array([b.num_rows], type=pa.int64())}
+        for a, c in pairs:
+            x, y = q[a], q[c]
+            for nm, v in [("sx", x.sum()), ("sy", y.sum()),
+                          ("sxx", (x * x).sum()), ("syy", (y * y).sum()),
+                          ("sxy", (x * y).sum())]:
+                out[f"{a}.{c}.{nm}"] = pa.array([int(v)], type=pa.int64())
+        return pa.table(out)
+
+    agg = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    n = int(pc.sum(agg["n"]).as_py())
+    rows = []
+    for a, c in pairs:
+        sx, sy, sxx, syy, sxy = (
+            int(pc.sum(agg[f"{a}.{c}.{nm}"]).as_py())
+            for nm in ["sx", "sy", "sxx", "syy", "sxy"])
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        sa, sc_ = _COV_SCALE[a], _COV_SCALE[c]
+        cov = float(num) / float(n * n) / float(sa * sc_)
+        corr = float(num) / math.sqrt(float(denx * deny))
+        rows.append((a, c, cov, corr))
+    rows.sort()                      # oracle ORDER BY col_x, col_y
+    return pa.table({
+        "col_x": pa.array([r[0] for r in rows], type=pa.string()),
+        "col_y": pa.array([r[1] for r in rows], type=pa.string()),
+        "n": pa.array([n] * len(rows), type=pa.int64()),
+        "cov_pop": pa.array([r[2] for r in rows], type=pa.float64()),
+        "corr": pa.array([r[3] for r in rows], type=pa.float64())})
+
+
+def sql_cov_matrix() -> str:
+    parts = []
+    pairs = [(a, b) for i, a in enumerate(COV_COLS)
+             for b in COV_COLS[i + 1:]]
+    for a, c in pairs:
+        qa = f"FLOOR({a} * {_COV_SCALE[a]} + 0.5)::BIGINT"
+        qc = f"FLOOR({c} * {_COV_SCALE[c]} + 0.5)::BIGINT"
+        parts.append(f"""
+SELECT '{a}' AS col_x, '{c}' AS col_y, n::BIGINT AS n,
+       (n * sxy - sx * sy)::DOUBLE / (n * n)::DOUBLE
+         / {_COV_SCALE[a] * _COV_SCALE[c]}::DOUBLE AS cov_pop,
+       (n * sxy - sx * sy)::DOUBLE
+         / sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy))::DOUBLE)
+         AS corr
+FROM (SELECT COUNT(*)::HUGEINT AS n,
+             SUM({qa})::HUGEINT AS sx, SUM({qc})::HUGEINT AS sy,
+             SUM({qa} * {qa})::HUGEINT AS sxx,
+             SUM({qc} * {qc})::HUGEINT AS syy,
+             SUM({qa} * {qc})::HUGEINT AS sxy
+      FROM lineitem)""")
+    return " UNION ALL ".join(parts) + "\nORDER BY col_x, col_y"
+
+
+CTX_W = 3
+
+
+def context_windows_events(sf_dir: str) -> pa.Table:
+    """Sliding context-window assembly over the event stream (training-
+    sample primitive; see ``relational.context_windows``): for every
+    event, the space-joined last {CTX_W} event_types of the SAME user
+    in (ts, event_id) order. One global sort + O(blocks × w) boundary
+    carry; per-block assembly is vectorized."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    t = rel.context_windows(ds, "user_id", "ts", "event_id",
+                            "event_type", w=CTX_W)
+    return t.select(["event_id", "user_id", "ctx"])
+
+
+SQL_CONTEXT_WINDOWS = f"""
+SELECT event_id, user_id,
+       string_agg(event_type, ' ') OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {CTX_W - 1} PRECEDING AND CURRENT ROW) AS ctx
+FROM events ORDER BY event_id
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict:
@@ -5912,6 +6197,13 @@ def queries() -> dict:
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
         "boolean_sim_topk": boolean_sim_topk,
+        "interval_maxgaps_topk": interval_maxgaps_topk,
+        "term_in_set_filter_topk": term_in_set_filter_topk,
+        "multiselect_facet_docs": multiselect_facet_docs,
+        "unique_block_facet_docs": unique_block_facet_docs,
+        "facet_missing_events": facet_missing_events,
+        "cov_matrix_lineitem": cov_matrix_lineitem,
+        "context_windows_events": context_windows_events,
         "sharded_bm25_topk": sharded_bm25_topk,
         "text_profile_sig_docs": text_profile_sig_docs,
         "elevation_topk": elevation_topk,
@@ -6077,6 +6369,13 @@ def oracle_sql() -> dict:
         "lm_dirichlet_topk": sql_lm_dirichlet(),
         "lm_jm_topk": sql_lm_jm(),
         "boolean_sim_topk": sql_boolean_sim(),
+        "interval_maxgaps_topk": sql_interval_maxgaps(),
+        "term_in_set_filter_topk": sql_term_in_set(),
+        "multiselect_facet_docs": SQL_MULTISELECT_FACET,
+        "unique_block_facet_docs": sql_unique_block(),
+        "facet_missing_events": SQL_FACET_MISSING,
+        "cov_matrix_lineitem": sql_cov_matrix(),
+        "context_windows_events": SQL_CONTEXT_WINDOWS,
         "sharded_bm25_topk": sql_bm25_topk(),
         "text_profile_sig_docs": SQL_TEXT_PROFILE,
         "elevation_topk": sql_elevation(),

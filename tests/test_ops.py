@@ -683,6 +683,42 @@ def test_sessionize_multiblock_boundaries(ray_session):
     assert got == ref
 
 
+def test_context_windows_multiblock(ray_session):
+    """Windows crossing sorted-block boundaries, including blocks
+    SHORTER than the window (rolling carry stitch): compare against a
+    single-process reference."""
+    import ray.data
+
+    import engine.ops.relational as rel
+
+    W = 4
+    rng = np.random.default_rng(11)
+    n = 60
+    users = rng.integers(0, 4, size=n)
+    ts = np.sort(rng.integers(0, 500, size=n))
+    eid = np.arange(n)
+    vals = np.array([f"e{v}" for v in rng.integers(0, 5, size=n)])
+    t = pa.table({"user_id": pa.array(users, type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "event_id": pa.array(eid, type=pa.int64()),
+                  "event_type": pa.array(vals, type=pa.string())})
+    # 50 partitions over 60 rows → most blocks are shorter than W
+    ds = ray.data.from_arrow(t).repartition(50)
+    out = rel.context_windows(ds, "user_id", "ts", "event_id",
+                              "event_type", w=W)
+    got = dict(zip(out["event_id"].to_pylist(),
+                   out["ctx"].to_pylist()))
+
+    order = np.lexsort((eid, ts.astype(np.int64), users))
+    hist: dict[int, list[str]] = {}
+    ref = {}
+    for i in order:
+        u = int(users[i])
+        hist.setdefault(u, []).append(str(vals[i]))
+        ref[int(eid[i])] = " ".join(hist[u][-W:])
+    assert got == ref
+
+
 def test_tdigest_accuracy_and_merge():
     from engine.ops.sketch import TDigest
 

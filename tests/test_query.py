@@ -420,6 +420,70 @@ def test_span_near_missing_term_empty(reader):
         ["index", "qqqzz"], 1, k=5).num_rows == 0
 
 
+def test_interval_maxgaps_brute_recount(reader, smoke_corpus):
+    """Total-gap interval triples recounted from raw tokens: doc set
+    and per-doc triple counts must match the vectorized pair-expand
+    path exactly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    terms, maxgaps = ["index", "merge", "sort"], 2
+    res = reader.interval_topk(*terms, maxgaps=maxgaps, k=10_000)
+    got = set(res["doc_id"].to_pylist())
+    corpus, _ = smoke_corpus
+    tabs = [pq.read_table(os.path.join(corpus, f))
+            for f in sorted(os.listdir(corpus)) if f.endswith(".parquet")]
+    rows = pa.concat_tables(tabs).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    expect = set()
+    for d, text in enumerate(rows["text"].to_pylist()):
+        toks = [t for t, _ in reader.analyzer.analyze_text(text)]
+        pos = {t: [i for i, x in enumerate(toks) if x == t]
+               for t in terms}
+        if any(
+            p1 < p2 < p3 and p3 - p1 - 2 <= maxgaps
+            for p1 in pos[terms[0]] for p2 in pos[terms[1]]
+                for p3 in pos[terms[2]]):
+            expect.add(d)
+    assert got == expect
+
+
+def test_interval_subset_of_span_near(reader):
+    """maxgaps bounds the TOTAL interior gap, so every interval match
+    also satisfies span_near with per-gap slop = maxgaps."""
+    g = 2
+    iv = set(reader.interval_topk("index", "merge", "sort",
+                                  maxgaps=g, k=10_000)
+             ["doc_id"].to_pylist())
+    sn = set(reader.span_near_topk(["index", "merge", "sort"], g,
+                                   k=10_000)["doc_id"].to_pylist())
+    assert iv <= sn
+
+
+def test_term_in_set_filter_semantics(reader):
+    """TermInSet FILTER = should-disjunction scores restricted to the
+    set-union docset; the set contributes nothing to the score."""
+    scored, sset = ["index", "merge"], ["sort", "flush"]
+    full = reader.boolean_topk(should=scored, k=10_000)
+    setdocs = set(reader.boolean_topk(should=sset, k=10_000)
+                  ["doc_id"].to_pylist())
+    want = {d: s for d, s in zip(full["doc_id"].to_pylist(),
+                                 full["score"].to_pylist())
+            if d in setdocs}
+    got = reader.term_in_set_topk(scored, sset, k=10_000)
+    assert dict(zip(got["doc_id"].to_pylist(),
+                    got["score"].to_pylist())) == want
+    assert got["total_hits"][0].as_py() == len(want)
+
+
+def test_term_in_set_empty_cases(reader):
+    assert reader.term_in_set_topk(["qqqzz"], ["index"],
+                                   k=5).num_rows == 0
+    assert reader.term_in_set_topk(["index"], ["qqqzz"],
+                                   k=5).num_rows == 0
+
+
 def test_highlight_window_clamps_at_doc_start(smoke_index):
     from engine.build import build_stored_fields
 
