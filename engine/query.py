@@ -1165,6 +1165,44 @@ class IndexReader:
         order = np.lexsort((cand, -final))[:k]
         return _topdocs_table(cand[order], final[order], total=len(cand))
 
+    def common_terms_topk(self, terms: list[str],
+                          max_tf_fraction: float = 0.1,
+                          k: int = 10) -> pa.Table:
+        """CommonTermsQuery (upstream ``L/queries/CommonTermsQuery``
+        [U]): terms whose df/N exceeds ``max_tf_fraction`` are
+        demoted to a NON-SELECTING clause — the candidate set is the
+        union of the LOW-frequency terms' postings only (stopword-like
+        terms can't flood the match set), but every term, high or low,
+        still contributes its BM25 score on those candidates. All
+        terms high-frequency falls back to the plain disjunction."""
+        terms = sorted(set(terms))
+        subs = self.lookup(terms)
+        clause = {t: self._clause_arrays(t, subs[t])
+                  for t in terms if subs[t]}
+        if not clause:
+            return _topdocs_table([], [])
+        low = [t for t in clause
+               if self.global_df(subs[t]) / self.N <= max_tf_fraction]
+        if not low:
+            return self.boolean_topk(should=terms, k=k)
+        cand = np.unique(np.concatenate([clause[t][0] for t in low]))
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        if not len(cand):
+            return _topdocs_table([], [])
+        sums = np.zeros(len(cand), dtype=np.float64)
+        for t, (docs, tfs, norms) in clause.items():
+            w = idf(self.N, len(docs))
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            sums[hit] += _clause_scores(
+                tfs[idx[hit]], norms[idx[hit]], w,
+                self.cache).astype(np.float64)
+        final = sums.astype(np.float32)
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order], total=len(cand))
+
     def span_not_topk(self, include: str, exclude: str, dist: int = 1,
                       k: int = 10) -> pa.Table:
         """SpanNotQuery (upstream ``L/search/spans/SpanNotQuery`` [U],

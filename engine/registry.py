@@ -6075,6 +6075,143 @@ FROM (SELECT COUNT(*)::HUGEINT AS n,
     return " UNION ALL ".join(parts) + "\nORDER BY col_x, col_y"
 
 
+CT_TERMS = ["dup", "batch", "scan"]
+CT_FRAC = 0.5
+
+
+def common_terms_topk(sf_dir: str) -> pa.Table:
+    """CommonTermsQuery (upstream ``L/queries/CommonTermsQuery`` [U]):
+    high-df terms (df/N > {CT_FRAC}) become non-selecting scorers —
+    candidates come from the rare terms' postings only, all terms
+    still score. The synthetic corpus's dense vocabulary makes
+    'batch'/'scan' ~80%-df stopword-like; 'dup' (~5%) selects."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(
+        r.common_terms_topk(CT_TERMS, max_tf_fraction=CT_FRAC, k=10))
+
+
+def sql_common_terms() -> str:
+    qsql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in sorted(set(CT_TERMS))) + "]) AS term"
+    return f"""{_bm25_ctes()},
+qterms AS ({qsql}),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+low AS (
+  SELECT d.term FROM dfs d CROSS JOIN stats s
+  WHERE d.df / s.n <= {CT_FRAC}),
+cand AS (
+  SELECT DISTINCT tf.doc_id FROM tf JOIN low ON tf.term = low.term),
+contrib AS (
+  SELECT tf.doc_id, {_SQL_CONTRIB} AS sc
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib WHERE doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+DM_NOW = "2024-01-25T13:47:09"
+DM_LO = "NOW/DAY-14DAYS+12HOURS"
+DM_HI = "NOW/DAY"
+
+
+def date_math_range_events(sf_dir: str) -> pa.Table:
+    """Solr date-math range filter (upstream ``DateMathParser`` [U],
+    ``q=ts:[{DM_LO} TO {DM_HI}]`` with NOW pinned per-request): the
+    bounds are evaluated by ``engine.ops.datemath.parse`` and the
+    oracle recomputes them with DuckDB's independent date_trunc /
+    INTERVAL arithmetic — a true cross-implementation check of the
+    rounding + offset semantics. Inclusive both ends, as Solr's
+    ``[a TO b]``."""
+    from datetime import datetime
+
+    from engine.ops import datemath
+
+    now = datetime.fromisoformat(DM_NOW)
+    lo = datemath.parse(DM_LO, now)
+    hi = datemath.parse(DM_HI, now)
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        ts = b["ts"]
+        keep = pc.and_(pc.greater_equal(ts, pa.scalar(lo, ts.type)),
+                       pc.less_equal(ts, pa.scalar(hi, ts.type)))
+        return b.filter(keep).select(["event_type"])
+
+    t = _to_table(rel.facet(ds.map_batches(filt, batch_format="pyarrow"),
+                            ["event_type"]))
+    t = _rename(t, {"count()": "n"})
+    return _cast_col(t, "n", pa.int64()).sort_by("event_type")
+
+
+SQL_DATE_MATH = f"""
+WITH b AS (
+  SELECT date_trunc('day', TIMESTAMP '{DM_NOW.replace("T", " ")}')
+           - INTERVAL 14 DAY + INTERVAL 12 HOUR AS lo,
+         date_trunc('day', TIMESTAMP '{DM_NOW.replace("T", " ")}') AS hi)
+SELECT event_type, COUNT(*)::BIGINT AS n
+FROM events CROSS JOIN b
+WHERE ts >= b.lo AND ts <= b.hi
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def blockjoin_scoremodes_docs(sf_dir: str) -> pa.Table:
+    """ToParentBlockJoin ScoreMode.Max / Total / Avg side by side
+    (upstream ``lucene/join`` ``ScoreMode`` [U]): parent score under
+    each child-aggregation mode. Child f32 scores accumulate in f64
+    (Total/Avg) with one final f32 cast; Max is exact."""
+    r = _doc_reader(sf_dir)
+    m = r.match_scores(BJ_QUERY).select(["doc_id", "score"])
+    if not m.num_rows:
+        return pa.table({"source": pa.array([], type=pa.string()),
+                         "n_children": pa.array([], type=pa.int64()),
+                         "s_max": pa.array([], type=pa.float32()),
+                         "s_total": pa.array([], type=pa.float32()),
+                         "s_avg": pa.array([], type=pa.float32())})
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    joined = rel.broadcast_hash_join(docs, m, "doc_id")
+
+    def widen(b: pa.Table) -> pa.Table:
+        return b.set_column(b.column_names.index("score"), "score",
+                            pc.cast(b["score"], pa.float64()))
+
+    agg = _to_table(rel.rollup(
+        joined.map_batches(widen, batch_format="pyarrow"),
+        ["source"], sums=["score"], maxs=["score"]))
+    n = pc.cast(agg["count()"], pa.int64())
+    tot = agg["sum(score)"]
+    out = pa.table({
+        "source": agg["source"],
+        "n_children": n,
+        "s_max": pc.cast(agg["max(score)"], pa.float32()),
+        "s_total": pc.cast(tot, pa.float32()),
+        "s_avg": pc.cast(pc.divide(tot, pc.cast(n, pa.float64())),
+                         pa.float32())})
+    return out.sort_by("source")
+
+
+def sql_blockjoin_scoremodes() -> str:
+    return f"""{_sql_scored("SELECT unnest(['spark','merge']) AS term")}
+SELECT d.source, COUNT(*)::BIGINT AS n_children,
+       CAST(MAX(s.score) AS FLOAT) AS s_max,
+       CAST(SUM(s.score::DOUBLE) AS FLOAT) AS s_total,
+       CAST(SUM(s.score::DOUBLE) / COUNT(*)::DOUBLE AS FLOAT) AS s_avg
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 CTX_W = 3
 
 
@@ -6204,6 +6341,9 @@ def queries() -> dict:
         "facet_missing_events": facet_missing_events,
         "cov_matrix_lineitem": cov_matrix_lineitem,
         "context_windows_events": context_windows_events,
+        "common_terms_topk": common_terms_topk,
+        "date_math_range_events": date_math_range_events,
+        "blockjoin_scoremodes_docs": blockjoin_scoremodes_docs,
         "sharded_bm25_topk": sharded_bm25_topk,
         "text_profile_sig_docs": text_profile_sig_docs,
         "elevation_topk": elevation_topk,
@@ -6376,6 +6516,9 @@ def oracle_sql() -> dict:
         "facet_missing_events": SQL_FACET_MISSING,
         "cov_matrix_lineitem": sql_cov_matrix(),
         "context_windows_events": SQL_CONTEXT_WINDOWS,
+        "common_terms_topk": sql_common_terms(),
+        "date_math_range_events": SQL_DATE_MATH,
+        "blockjoin_scoremodes_docs": sql_blockjoin_scoremodes(),
         "sharded_bm25_topk": sql_bm25_topk(),
         "text_profile_sig_docs": SQL_TEXT_PROFILE,
         "elevation_topk": sql_elevation(),

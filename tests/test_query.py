@@ -477,6 +477,59 @@ def test_term_in_set_filter_semantics(reader):
     assert got["total_hits"][0].as_py() == len(want)
 
 
+def test_common_terms_demotes_high_df(reader):
+    """Candidates = union of LOW-df postings only; every term still
+    scores. With the cutoff at 1.0 nothing is demoted and the result
+    equals the plain disjunction."""
+    terms = ["zephyr", "index", "merge"]   # zephyr is rare
+    dfs = {t: len(reader.boolean_topk(should=[t], k=10 ** 6))
+           for t in terms}
+    frac = (dfs["zephyr"] + 0.5) / reader.N
+    res = reader.common_terms_topk(terms, max_tf_fraction=frac,
+                                   k=10_000)
+    zdocs = set(reader.boolean_topk(should=["zephyr"], k=10 ** 6)
+                ["doc_id"].to_pylist())
+    assert set(res["doc_id"].to_pylist()) == zdocs
+    # scores include the high-df terms' contributions
+    zonly = reader.boolean_topk(should=["zephyr"], k=10 ** 6)
+    zmap = dict(zip(zonly["doc_id"].to_pylist(),
+                    zonly["score"].to_pylist()))
+    for d, s in zip(res["doc_id"].to_pylist(),
+                    res["score"].to_pylist()):
+        assert s >= zmap[d]
+    full = reader.boolean_topk(should=terms, k=20)
+    same = reader.common_terms_topk(terms, max_tf_fraction=1.0, k=20)
+    assert full["doc_id"].to_pylist() == same["doc_id"].to_pylist()
+    assert full["score"].to_pylist() == same["score"].to_pylist()
+
+
+def test_datemath_parser():
+    from datetime import datetime
+
+    from engine.ops.datemath import parse
+
+    now = datetime(2024, 1, 25, 13, 47, 9, 123456)
+    assert parse("NOW", now) == now
+    assert parse("NOW/DAY", now) == datetime(2024, 1, 25)
+    assert parse("NOW/HOUR+30MINUTES", now) == \
+        datetime(2024, 1, 25, 13, 30)
+    assert parse("NOW/DAY-7DAYS+12HOURS", now) == \
+        datetime(2024, 1, 18, 12)
+    # month clamp like java.time
+    jan31 = datetime(2024, 1, 31, 5)
+    assert parse("NOW+1MONTH", jan31) == datetime(2024, 2, 29, 5)
+    assert parse("NOW-2MONTHS", jan31) == datetime(2023, 11, 30, 5)
+    assert parse("NOW/MONTH+1YEAR", jan31) == datetime(2025, 1, 1)
+    # ISO anchor with math
+    assert parse("2024-01-25T13:47:09Z/HOUR", now) == \
+        datetime(2024, 1, 25, 13)
+    assert parse("2024-01-25", now) == datetime(2024, 1, 25)
+    import pytest as _pt
+    for bad in ("NOW/FORTNIGHT", "NOW+3", "NOWx", "NOW/DAY garbage"):
+        with _pt.raises(ValueError):
+            parse(bad, now)
+
+
 def test_term_in_set_empty_cases(reader):
     assert reader.term_in_set_topk(["qqqzz"], ["index"],
                                    k=5).num_rows == 0
