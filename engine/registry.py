@@ -6075,6 +6075,190 @@ FROM (SELECT COUNT(*)::HUGEINT AS n,
     return " UNION ALL ".join(parts) + "\nORDER BY col_x, col_y"
 
 
+# golden value-hashes for transcript_sft_pairs per sf dir (rows-only:
+# the transcript corpus is not a DuckDB view; deterministic corpus →
+# any drift is a real regression). Values verified row-for-row
+# against a DuckDB window-function oracle over the corpus parquet at
+# pin time (max(user turn_idx) OVER preceding-rows frame + self-join).
+_SFT_PAIRS_GOLDEN: dict[str, str] = {
+    "sf0.001": "2d05e966586241b81f1ed88a9696934e",
+    "sf0.01": "9c1469e4518f040ad1f7cbfae779c4b7",
+    "sf0.1": "3e22b67cf0687259158567685567f9c6",
+}
+
+
+def transcript_sft_pairs(sf_dir: str) -> pa.Table:
+    """SFT prompt/response pair extraction over the north-rule
+    transcript payload — the training-data op that turns raw
+    conversations into supervised pairs: each ``assistant`` turn is
+    paired with the most recent PRECEDING ``user`` turn of the same
+    conversation (``system``/``tool`` turns are skipped as prompts;
+    assistant turns with no prior user turn are dropped). Emits
+    (conv_id, turn_idx, prompt_turn_idx, prompt_chars,
+    response_chars).
+
+    Distributed shape: ONE global sort on (conv_id, turn_idx), then
+    the rolling boundary-carry pattern (each block needs only the
+    LAST user turn seen before it — O(blocks) driver traffic);
+    within-block pairing is a vectorized maximum.accumulate over
+    user-row indices."""
+    import ray.data
+
+    corpus = _transcript_corpus(sf_dir)
+    ds = ray.data.read_parquet(
+        corpus, columns=["conv_id", "turn_idx", "role", "text"])
+    mat = ds.sort(["conv_id", "turn_idx"]).materialize()
+    refs = list(mat.to_arrow_refs())
+
+    @ray.remote
+    def last_user(t: pa.Table):
+        m = pc.equal(t["role"], "user").to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(m)
+        if not len(idx):
+            return None
+        i = int(idx[-1])
+        return (t["conv_id"][i].as_py(),
+                int(t["turn_idx"][i].as_py()),
+                len(t["text"][i].as_py()))
+
+    infos = ray.get([last_user.remote(r) for r in refs])
+    carries, cur = [], None
+    for inf in infos:
+        carries.append(cur)
+        if inf is not None:
+            cur = inf
+
+    @ray.remote
+    def pairs(t: pa.Table, carry) -> pa.Table | None:
+        if not t.num_rows:
+            return None
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        ti = t["turn_idx"].to_numpy().astype(np.int64)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        nch = pc.utf8_length(t["text"]).to_numpy().astype(np.int64)
+        isu = role == "user"
+        pos = np.where(isu, np.arange(t.num_rows), -1)
+        prev = np.maximum.accumulate(
+            np.concatenate(([-1], pos[:-1])))       # strictly before
+        sel = np.flatnonzero(role == "assistant")
+        if not len(sel):
+            return None
+        p = prev[sel]
+        in_block = (p >= 0) & (conv[np.maximum(p, 0)] == conv[sel])
+        ok = sel[in_block]
+        pk = p[in_block]
+        out_conv = list(conv[ok])
+        out_ti = list(ti[ok])
+        out_pti = list(ti[pk])
+        out_pch = list(nch[pk])
+        out_rch = list(nch[ok])
+        if carry is not None:
+            cc, cti, cch = carry
+            from_carry = sel[(p < 0) & (conv[sel] == cc)]
+            out_conv += list(conv[from_carry])
+            out_ti += list(ti[from_carry])
+            out_pti += [cti] * len(from_carry)
+            out_pch += [cch] * len(from_carry)
+            out_rch += list(nch[from_carry])
+        if not out_conv:
+            return None
+        return pa.table({
+            "conv_id": pa.array(out_conv, type=pa.string()),
+            "turn_idx": pa.array(out_ti, type=pa.int64()),
+            "prompt_turn_idx": pa.array(out_pti, type=pa.int64()),
+            "prompt_chars": pa.array(out_pch, type=pa.int64()),
+            "response_chars": pa.array(out_rch, type=pa.int64())})
+
+    parts = ray.get([pairs.remote(r, c)
+                     for r, c in zip(refs, carries)])
+    out = pa.concat_tables([p for p in parts if p is not None]) \
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    base = os.path.basename(os.path.normpath(sf_dir))
+    want = _SFT_PAIRS_GOLDEN.get(base)
+    if want is not None:
+        got = hashlib.md5("\n".join(
+            f"{r['conv_id']}|{r['turn_idx']}|{r['prompt_turn_idx']}"
+            f"|{r['prompt_chars']}|{r['response_chars']}"
+            for r in out.to_pylist()).encode()).hexdigest()
+        assert got == want, (
+            f"transcript_sft_pairs drift at {base}: {got} != {want}")
+    return out
+
+
+GQ_TOP = 2
+
+
+def group_query_orders(sf_dir: str) -> pa.Table:
+    """``group.query`` grouping (upstream Solr ``grouping`` by
+    arbitrary queries [U]): each named query is its own group — total
+    match count plus the top-{GQ_TOP} docs by (o_totalprice desc,
+    o_orderkey). One streaming pass emits per-(batch, query) partials
+    (count + local top rows); the driver folds the TINY partial set
+    (O(batches × queries × top))."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
+                                  "o_totalprice", "o_orderpriority"])
+    preds = {
+        "status_f": lambda b: pc.equal(b["o_orderstatus"], "F"),
+        "big_ticket": lambda b: pc.greater(b["o_totalprice"], 400000.0),
+        "urgent": lambda b: pc.starts_with(b["o_orderpriority"], "1-"),
+    }
+
+    def part(b: pa.Table) -> pa.Table:
+        outs = []
+        for q, pred in preds.items():
+            sub = b.filter(pred(b))
+            top = sub.sort_by([("o_totalprice", "descending"),
+                               ("o_orderkey", "ascending")]) \
+                .slice(0, GQ_TOP)
+            outs.append(pa.table({
+                "q": pa.array([q] * top.num_rows, type=pa.string()),
+                "n_local": pa.array([sub.num_rows] + [0] *
+                                    (top.num_rows - 1)
+                                    if top.num_rows else [],
+                                    type=pa.int64()),
+                "o_orderkey": top["o_orderkey"],
+                "o_totalprice": top["o_totalprice"]}))
+        return pa.concat_tables(outs)
+
+    t = _to_table(ds.map_batches(part, batch_format="pyarrow"))
+    rows = []
+    for q in preds:
+        sub = t.filter(pc.equal(t["q"], q))
+        n = int(pc.sum(sub["n_local"]).as_py() or 0)
+        cand = sub.filter(pc.is_valid(sub["o_orderkey"])) \
+            .sort_by([("o_totalprice", "descending"),
+                      ("o_orderkey", "ascending")]).slice(0, GQ_TOP)
+        for rn in range(cand.num_rows):
+            rows.append((q, n, rn + 1,
+                         cand["o_orderkey"][rn].as_py(),
+                         cand["o_totalprice"][rn].as_py()))
+    rows.sort(key=lambda r: (r[0], r[2]))
+    return pa.table({
+        "q": pa.array([r[0] for r in rows], type=pa.string()),
+        "n": pa.array([r[1] for r in rows], type=pa.int64()),
+        "rn": pa.array([r[2] for r in rows], type=pa.int64()),
+        "o_orderkey": pa.array([r[3] for r in rows], type=pa.int64()),
+        "o_totalprice": pa.array([r[4] for r in rows],
+                                 type=pa.float64())})
+
+
+def sql_group_query() -> str:
+    parts = []
+    for q, where in [("status_f", "o_orderstatus = 'F'"),
+                     ("big_ticket", "o_totalprice > 400000.0"),
+                     ("urgent", "o_orderpriority LIKE '1-%'")]:
+        parts.append(f"""
+SELECT '{q}' AS q,
+       (SELECT COUNT(*) FROM orders WHERE {where})::BIGINT AS n,
+       rn, o_orderkey, o_totalprice
+FROM (SELECT (ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                 o_orderkey))::BIGINT AS rn,
+             o_orderkey, o_totalprice
+      FROM orders WHERE {where}
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT {GQ_TOP})""")
+    return " UNION ALL ".join(parts) + "\nORDER BY q, rn"
+
+
 CT_TERMS = ["dup", "batch", "scan"]
 CT_FRAC = 0.5
 
@@ -6344,6 +6528,8 @@ def queries() -> dict:
         "common_terms_topk": common_terms_topk,
         "date_math_range_events": date_math_range_events,
         "blockjoin_scoremodes_docs": blockjoin_scoremodes_docs,
+        "transcript_sft_pairs": transcript_sft_pairs,
+        "group_query_orders": group_query_orders,
         "sharded_bm25_topk": sharded_bm25_topk,
         "text_profile_sig_docs": text_profile_sig_docs,
         "elevation_topk": elevation_topk,
@@ -6519,6 +6705,7 @@ def oracle_sql() -> dict:
         "common_terms_topk": sql_common_terms(),
         "date_math_range_events": SQL_DATE_MATH,
         "blockjoin_scoremodes_docs": sql_blockjoin_scoremodes(),
+        "group_query_orders": sql_group_query(),
         "sharded_bm25_topk": sql_bm25_topk(),
         "text_profile_sig_docs": SQL_TEXT_PROFILE,
         "elevation_topk": sql_elevation(),
