@@ -2026,6 +2026,16 @@ class QueryEngine:
         # docID collect order
         "filter": lambda r, s, text, k:
             r.boolean_topk(filters=text.split(), k=k),
+        # ordered interval with total-gap budget over the first three
+        # terms (maxgaps fixed; parameterized via the library API)
+        "interval": lambda r, s, text, k:
+            r.interval_topk(*text.split()[:3], maxgaps=3, k=k),
+        # "scored terms | set terms" — TermInSet FILTER clause
+        "terms_filter": lambda r, s, text, k:
+            r.term_in_set_topk(text.split("|")[0].split(),
+                               text.split("|")[1].split(), k=k),
+        "common_terms": lambda r, s, text, k:
+            r.common_terms_topk(text.split(), k=k),
     }
 
     def __call__(self, batch: pa.Table) -> pa.Table:

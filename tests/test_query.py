@@ -815,6 +815,12 @@ def test_query_engine_dispatch_new_types(ray_session, smoke_index):
         {"query_id": 1, "query_text": f"{a} {b}", "k": 5,
          "query_type": "span_near_unordered"},
         {"query_id": 2, "query_text": a, "k": 5, "query_type": "filter"},
+        {"query_id": 3, "query_text": "index merge sort", "k": 5,
+         "query_type": "interval"},
+        {"query_id": 4, "query_text": f"{a} {b}|index", "k": 5,
+         "query_type": "terms_filter"},
+        {"query_id": 5, "query_text": f"{a} {b}", "k": 5,
+         "query_type": "common_terms"},
     ]
     t = ray.data.from_items(qs).map_batches(
         QueryEngine, fn_constructor_args=(idx,),
@@ -824,6 +830,9 @@ def test_query_engine_dispatch_new_types(ray_session, smoke_index):
         0: r.span_or_topk([a, b], 5),
         1: r.span_near_unordered_topk(a, b, slop=2, k=5),
         2: r.boolean_topk(filters=[a], k=5),
+        3: r.interval_topk("index", "merge", "sort", maxgaps=3, k=5),
+        4: r.term_in_set_topk([a, b], ["index"], k=5),
+        5: r.common_terms_topk([a, b], k=5),
     }
     for qid, w in want.items():
         sub = t[t["query_id"] == qid].sort_values("rank")
