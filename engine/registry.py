@@ -6023,25 +6023,40 @@ def cov_matrix_lineitem(sf_dir: str) -> pa.Table:
         out = {"n": pa.array([b.num_rows], type=pa.int64())}
         for a, c in pairs:
             x, y = q[a], q[c]
-            for nm, v in [("sx", x.sum()), ("sy", y.sum()),
-                          ("sxx", (x * x).sum()), ("syy", (y * y).sum()),
-                          ("sxy", (x * y).sum())]:
-                out[f"{a}.{c}.{nm}"] = pa.array([int(v)], type=pa.int64())
+            for nm, v in [("sx", x), ("sy", y), ("sxx", x * x),
+                          ("syy", y * y), ("sxy", x * y)]:
+                # Σ of squares in cents overflows int64 at scale
+                # (6e19 at 600k rows): split each NONNEGATIVE element
+                # at 2^32 so both partial sums stay in int64; the
+                # driver recombines in exact Python ints.
+                out[f"{a}.{c}.{nm}_hi"] = pa.array(
+                    [int((v >> 32).sum())], type=pa.int64())
+                out[f"{a}.{c}.{nm}_lo"] = pa.array(
+                    [int((v & 0xFFFFFFFF).sum())], type=pa.int64())
         return pa.table(out)
 
     agg = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
     n = int(pc.sum(agg["n"]).as_py())
+
+    def _tot(col: str) -> int:
+        return (int(pc.sum(agg[col + "_hi"]).as_py()) << 32) \
+            + int(pc.sum(agg[col + "_lo"]).as_py())
+
     rows = []
     for a, c in pairs:
         sx, sy, sxx, syy, sxy = (
-            int(pc.sum(agg[f"{a}.{c}.{nm}"]).as_py())
+            _tot(f"{a}.{c}.{nm}")
             for nm in ["sx", "sy", "sxx", "syy", "sxy"])
         num = n * sxy - sx * sy
         denx = n * sxx - sx * sx
         deny = n * syy - sy * sy
         sa, sc_ = _COV_SCALE[a], _COV_SCALE[c]
         cov = float(num) / float(n * n) / float(sa * sc_)
-        corr = float(num) / math.sqrt(float(denx * deny))
+        # sqrt(denx)*sqrt(deny), NOT sqrt(denx*deny): the exact
+        # product exceeds INT128 at scale, and this form is what the
+        # SQL oracle can compute — f64 ops pinned identically
+        corr = float(num) / (math.sqrt(float(denx))
+                             * math.sqrt(float(deny)))
         rows.append((a, c, cov, corr))
     rows.sort()                      # oracle ORDER BY col_x, col_y
     return pa.table({
@@ -6064,7 +6079,8 @@ SELECT '{a}' AS col_x, '{c}' AS col_y, n::BIGINT AS n,
        (n * sxy - sx * sy)::DOUBLE / (n * n)::DOUBLE
          / {_COV_SCALE[a] * _COV_SCALE[c]}::DOUBLE AS cov_pop,
        (n * sxy - sx * sy)::DOUBLE
-         / sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy))::DOUBLE)
+         / (sqrt((n * sxx - sx * sx)::DOUBLE)
+            * sqrt((n * syy - sy * sy)::DOUBLE))
          AS corr
 FROM (SELECT COUNT(*)::HUGEINT AS n,
              SUM({qa})::HUGEINT AS sx, SUM({qc})::HUGEINT AS sy,
