@@ -127,3 +127,30 @@ def payload_score_topk(pay_dir: str, term: str, k: int = 10,
         "rank": pa.array(np.arange(len(order), dtype=np.int64)),
         "doc_id": pa.array(docs[order], type=pa.int64()),
         "score": pa.array(sc[order], type=pa.float32())})
+
+
+def payload_check_topk(pay_dir: str, term: str, value: float,
+                       k: int = 10, n_buckets: int = 4) -> pa.Table:
+    """SpanPayloadCheckQuery (upstream
+    ``L/queries/payloads/SpanPayloadCheckQuery`` [U]): only term
+    occurrences whose payload EQUALS ``value`` match. Documented
+    restatement: doc score = f32 count of matching occurrences (the
+    payload store carries no norms, so the span's BM25 weighting is
+    out of scope); ties break docID-ascending."""
+    b = term_bucket(term, n_buckets)
+    shard = os.path.join(pay_dir, f"bucket={b}")
+    if not os.path.isdir(shard):
+        docs = np.empty(0, np.int64)
+        freq = np.empty(0, np.int64)
+    else:
+        t = pq.read_table(shard, columns=["term", "doc_id", "payload"],
+                          filters=[("term", "==", term)])
+        m = t["payload"].to_numpy() == value
+        docs, freq = np.unique(t["doc_id"].to_numpy()[m],
+                               return_counts=True)
+    sc = freq.astype(np.float32)
+    order = np.lexsort((docs, -sc.astype(np.float64)))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        "doc_id": pa.array(docs[order], type=pa.int64()),
+        "score": pa.array(sc[order], type=pa.float32())})

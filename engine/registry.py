@@ -4299,6 +4299,90 @@ FROM occ ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+PAYLOAD_CHECK_VALUE = 3
+
+
+def payload_check_topk_docs(sf_dir: str) -> pa.Table:
+    """SpanPayloadCheckQuery (upstream
+    ``L/queries/payloads/SpanPayloadCheckQuery`` [U]): occurrences of
+    {PAYLOAD_TERM} whose payload == {PAYLOAD_CHECK_VALUE} match;
+    score = f32 matching-occurrence count (restatement documented on
+    ``payload.payload_check_topk``)."""
+    from engine.ops import payload as pl
+
+    store = _payload_store(sf_dir)
+    t = pl.payload_check_topk(store, PAYLOAD_TERM,
+                              float(PAYLOAD_CHECK_VALUE), k=10)
+    return _cast_col(t, "rank", pa.int64())
+
+
+SQL_PAYLOAD_CHECK = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+pos AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+        FROM toks),
+occ AS (SELECT doc_id, COUNT(*)::DOUBLE AS s FROM pos
+        WHERE tok = '{PAYLOAD_TERM}'
+          AND (p % 7) + 1 = {PAYLOAD_CHECK_VALUE}
+        GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, CAST(s AS FLOAT) AS score
+FROM occ ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+def describe_events_value(sf_dir: str) -> pa.Table:
+    """Streaming-math ``describe()`` (upstream Solr math expressions
+    [U]): one-row summary of events.value — n, min, max, sum, mean,
+    population stddev. Values quantize to exact cents; per-batch int64
+    moment partials (n, Σ, Σ², min, max) fold through one pass, the
+    closed form finalizes — every f64 op pinned so DuckDB reproduces
+    the bits."""
+    import math
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        if not len(v):
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("n", "s", "ss", "lo", "hi")})
+        return pa.table({
+            "n": pa.array([len(v)], type=pa.int64()),
+            "s": pa.array([int(v.sum())], type=pa.int64()),
+            "ss": pa.array([int((v * v).sum())], type=pa.int64()),
+            "lo": pa.array([int(v.min())], type=pa.int64()),
+            "hi": pa.array([int(v.max())], type=pa.int64())})
+
+    agg = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    n = int(pc.sum(agg["n"]).as_py())
+    s = int(pc.sum(agg["s"]).as_py())
+    ss = int(pc.sum(agg["ss"]).as_py())
+    lo = int(pc.min(agg["lo"]).as_py())
+    hi = int(pc.max(agg["hi"]).as_py())
+    mean = float(s) / float(n) / 100.0
+    std = math.sqrt(float(n * ss - s * s)) / float(n) / 100.0
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "v_min": pa.array([lo], type=pa.int64()),
+        "v_max": pa.array([hi], type=pa.int64()),
+        "v_sum_cents": pa.array([s], type=pa.int64()),
+        "mean": pa.array([mean], type=pa.float64()),
+        "stddev_pop": pa.array([std], type=pa.float64())})
+
+
+SQL_DESCRIBE = """
+WITH q AS (SELECT FLOOR(value * 100.0 + 0.5)::BIGINT AS v FROM events),
+m AS (SELECT COUNT(*)::HUGEINT AS n, SUM(v)::HUGEINT AS s,
+             SUM(v * v)::HUGEINT AS ss,
+             MIN(v)::BIGINT AS lo, MAX(v)::BIGINT AS hi FROM q)
+SELECT n::BIGINT AS n, lo AS v_min, hi AS v_max, s::BIGINT AS v_sum_cents,
+       s::DOUBLE / n::DOUBLE / 100.0 AS mean,
+       sqrt((n * ss - s * s)::DOUBLE) / n::DOUBLE / 100.0 AS stddev_pop
+FROM m
+"""
+
+
 PACK_BIN = 256   # tokens per training-sequence bin
 
 
@@ -6546,6 +6630,8 @@ def queries() -> dict:
         "blockjoin_scoremodes_docs": blockjoin_scoremodes_docs,
         "transcript_sft_pairs": transcript_sft_pairs,
         "group_query_orders": group_query_orders,
+        "payload_check_topk_docs": payload_check_topk_docs,
+        "describe_events_value": describe_events_value,
         "sharded_bm25_topk": sharded_bm25_topk,
         "text_profile_sig_docs": text_profile_sig_docs,
         "elevation_topk": elevation_topk,
@@ -6722,6 +6808,8 @@ def oracle_sql() -> dict:
         "date_math_range_events": SQL_DATE_MATH,
         "blockjoin_scoremodes_docs": sql_blockjoin_scoremodes(),
         "group_query_orders": sql_group_query(),
+        "payload_check_topk_docs": SQL_PAYLOAD_CHECK,
+        "describe_events_value": SQL_DESCRIBE,
         "sharded_bm25_topk": sql_bm25_topk(),
         "text_profile_sig_docs": SQL_TEXT_PROFILE,
         "elevation_topk": sql_elevation(),
