@@ -641,6 +641,74 @@ class IndexReader:
         order = np.lexsort((cand, -final))[:k]
         return _topdocs_table(cand[order], final[order], total=len(cand))
 
+    def synonym_topk(self, terms: list[str], k: int = 10) -> pa.Table:
+        """SynonymQuery (upstream ``L/search/SynonymQuery.java`` [U]):
+        the terms are scored as ONE pseudo-term — per-doc freq is the
+        SUM of the clause tfs, but the single weight uses df = MAX of
+        the clause dfs (SynonymWeight folds TermStatistics with
+        ``docFreq = max(docFreq_i)``). Differs from SpanOr, whose
+        combined weight SUMS the clause idfs."""
+        terms = sorted(set(terms))
+        subs = self.lookup(terms)
+        clause = {t: self._clause_arrays(t, subs[t])
+                  for t in terms if subs[t]}
+        if not clause:
+            return _topdocs_table([], [])
+        w = idf(self.N, max(len(c[0]) for c in clause.values()))
+        cand = np.unique(np.concatenate([c[0] for c in clause.values()]))
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        if not len(cand):
+            return _topdocs_table([], [])
+        freq = np.zeros(len(cand), dtype=np.int64)
+        normb = np.zeros(len(cand), dtype=np.int64)
+        for docs, tfs, norms in clause.values():
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            freq[hit] += tfs[idx[hit]]
+            normb[hit] = norms[idx[hit]]
+        final = _clause_scores(freq, normb, w, self.cache)
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order], total=len(cand))
+
+    def blended_term_topk(self, terms: list[str], k: int = 10,
+                          tiebreak: float = 0.01) -> pa.Table:
+        """BlendedTermQuery (upstream
+        ``L/queries/BlendedTermQuery.java`` [U],
+        DisjunctionMaxRewrite): every clause is rescored with a
+        BLENDED document frequency — df := max over the clauses — so
+        rare variants of a common term are not over-rewarded, then the
+        clauses combine as DisjunctionMax(max + tiebreak*(sum-max)).
+        Conformance boundary: upstream also adjusts totalTermFreq for
+        context stats; BM25 ignores ttf so only df blending matters
+        here."""
+        terms = sorted(set(terms))
+        subs = self.lookup(terms)
+        clause = {t: self._clause_arrays(t, subs[t])
+                  for t in terms if subs[t]}
+        if not clause:
+            return _topdocs_table([], [])
+        w = idf(self.N, max(len(c[0]) for c in clause.values()))
+        cand = np.unique(np.concatenate([c[0] for c in clause.values()]))
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        if not len(cand):
+            return _topdocs_table([], [])
+        mx = np.zeros(len(cand), dtype=np.float32)
+        sm = np.zeros(len(cand), dtype=np.float64)
+        for t, (docs, tfs, norms) in sorted(clause.items()):
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            sc = _clause_scores(tfs[idx[hit]], norms[idx[hit]], w, self.cache)
+            np.maximum.at(mx, np.flatnonzero(hit), sc)
+            sm[hit] += sc.astype(np.float64)
+        final = (mx.astype(np.float64)
+                 + tiebreak * (sm - mx.astype(np.float64))).astype(np.float32)
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order], total=len(cand))
+
     def dismax_topk(self, terms: list[str], k: int = 10,
                     tiebreak: float = 0.0) -> pa.Table:
         """DisjunctionMaxQuery (upstream

@@ -5345,6 +5345,94 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def synonym_query_topk(sf_dir: str) -> pa.Table:
+    """SynonymQuery: terms scored as one pseudo-term — summed tf under
+    a single weight whose df is the MAX clause df (see
+    ``IndexReader.synonym_topk``; upstream ``L/search/SynonymQuery``
+    [U] folds TermStatistics with docFreq = max)."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.synonym_topk(SPAN_OR_TERMS, k=10))
+
+
+def sql_synonym_query() -> str:
+    terms = ",".join(f"'{t}'" for t in SPAN_OR_TERMS)
+    return f"""{_bm25_ctes()},
+qterms AS (SELECT unnest([{terms}]) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT) AS w
+  FROM (SELECT MAX(df) AS df FROM dfs) d CROSS JOIN stats s),
+occ AS (
+  SELECT tf.doc_id, SUM(tf.tf) AS freq
+  FROM tf JOIN qterms q ON tf.term = q.term GROUP BY tf.doc_id),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+BLENDED_TERMS = ["spark", "window", "tumbling"]
+BLENDED_TB = 0.01
+
+
+def blended_term_topk_docs(sf_dir: str) -> pa.Table:
+    """BlendedTermQuery (DisjunctionMaxRewrite, tieBreaker=0.01):
+    every clause rescored at the blended df = max clause df, then
+    dismax-combined (see ``IndexReader.blended_term_topk``)."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.blended_term_topk(BLENDED_TERMS, k=10,
+                                            tiebreak=BLENDED_TB))
+
+
+def sql_blended_term() -> str:
+    ts = sorted(set(BLENDED_TERMS))
+    # same pivot shape as dismax_tiebreak, but the contribution's idf
+    # uses the blended (max) df via CROSS JOIN bdf
+    contrib = _SQL_CONTRIB.replace("d.df", "b.df")
+    cases = "\n".join(
+        f"    MAX(CASE WHEN q.term = '{t}' THEN {contrib} END)"
+        f" AS c{i}," for i, t in enumerate(ts))
+    nested = "COALESCE(c0::DOUBLE, 0.0::DOUBLE)"
+    for i in range(1, len(ts)):
+        nested = f"({nested} + COALESCE(c{i}::DOUBLE, 0.0::DOUBLE))"
+    greatest = "GREATEST(" + ", ".join(
+        f"COALESCE(c{i}::DOUBLE, -1e30)" for i in range(len(ts))) + ")"
+    return f"""{_bm25_ctes()},
+qterms AS (SELECT unnest({ts!r}) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+bdf AS (SELECT MAX(df) AS df FROM dfs),
+pv AS (
+  SELECT tf.doc_id,
+{cases}
+    1 AS one
+  FROM qterms q
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN bdf b CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+scored AS (
+  SELECT doc_id,
+    CAST({greatest}::DOUBLE
+         + {BLENDED_TB} * ({nested}::DOUBLE
+                           - {greatest}::DOUBLE)
+         AS FLOAT) AS score
+  FROM pv)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 ATU_MOD = 40
 ATU_SUFFIX = " review spark"
 ATU_QUERY = "spark review"
@@ -6683,6 +6771,8 @@ def queries() -> dict:
         "minhash_filter_stats": minhash_filter_stats,
         "atomic_update_topk": atomic_update_topk,
         "span_or_topk_docs": span_or_topk_docs,
+        "synonym_query_topk": synonym_query_topk,
+        "blended_term_topk_docs": blended_term_topk_docs,
         "add_indexes_topk": add_indexes_topk,
         "sessionize_events": sessionize_events,
         "transcript_role_stats": transcript_role_stats,
@@ -6861,6 +6951,8 @@ def oracle_sql() -> dict:
         "minhash_filter_stats": SQL_MINHASH_FILTER,
         "atomic_update_topk": sql_atomic_update(),
         "span_or_topk_docs": sql_span_or(),
+        "synonym_query_topk": sql_synonym_query(),
+        "blended_term_topk_docs": sql_blended_term(),
         # addIndexes(half A, half B) must equal one build over the
         # whole corpus -> shares the bm25_topk oracle
         "add_indexes_topk": sql_bm25_topk(),

@@ -837,3 +837,44 @@ def test_query_engine_dispatch_new_types(ray_session, smoke_index):
     for qid, w in want.items():
         sub = t[t["query_id"] == qid].sort_values("rank")
         assert list(sub["doc_id"]) == w["doc_id"].to_pylist(), qid
+
+
+def test_synonym_vs_span_or_vs_blended_semantics(reader):
+    """SynonymQuery = summed tf under idf(max df); SpanOr = summed tf
+    under SUMMED idf; BlendedTerm = dismax of per-clause scores all at
+    the blended (max) df. Same candidate sets, distinct score laws."""
+    vocab = sorted(reader.vocabulary())
+    df_of = {}
+    for t in vocab[:40]:
+        s = reader.lookup([t])[t]
+        if s:
+            df_of[t] = len(reader._clause_arrays(t, s)[0])
+    t0 = next(iter(df_of))
+    t1 = next(t for t in df_of if df_of[t] != df_of[t0])
+    terms = [t0, t1]
+    syn = reader.synonym_topk(terms, k=2000)
+    sor = reader.span_or_topk(terms, k=2000)
+    bld = reader.blended_term_topk(terms, k=2000, tiebreak=0.0)
+    assert (sorted(syn["doc_id"].to_pylist())
+            == sorted(sor["doc_id"].to_pylist())
+            == sorted(bld["doc_id"].to_pylist()))
+    dfs = {t: df_of[t] for t in terms}
+    assert dfs[terms[0]] != dfs[terms[1]]  # blending must matter
+    smap = dict(zip(syn["doc_id"].to_pylist(), syn["score"].to_pylist()))
+    omap = dict(zip(sor["doc_id"].to_pylist(), sor["score"].to_pylist()))
+    # summed idf > max-df idf => every span_or score strictly larger
+    assert all(omap[d] > smap[d] for d in smap)
+    # rank order identical (same freq/norm, weight is a positive scalar)
+    assert syn["doc_id"].to_pylist() == sor["doc_id"].to_pylist()
+    # blended tiebreak=0 equals max single-clause score at blended df
+    from engine.query import idf as _idf
+    w = _idf(reader.N, max(dfs.values()))
+    d0 = bld["doc_id"][0].as_py()
+    per = []
+    for t in terms:
+        one = reader.blended_term_topk([t], k=2000, tiebreak=0.0)
+        m = dict(zip(one["doc_id"].to_pylist(), one["score"].to_pylist()))
+        if d0 in m:
+            per.append(m[d0])
+    assert bld["score"][0].as_py() == max(per)
+    assert w > 0
