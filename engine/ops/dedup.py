@@ -75,10 +75,87 @@ def _crc_hashes(strings: np.ndarray) -> np.ndarray:
                        dtype=np.uint64, count=len(strings))
 
 
+def _hash64(strings: np.ndarray) -> np.ndarray:
+    """64-bit per-string hash: two salted crc32 halves. Used for exact
+    set intersection counting (collision odds ~ n²/2^64)."""
+    crc = zlib.crc32
+    def h(s: str) -> int:
+        b = s.encode("utf-8")
+        return (crc(b) << 32) | crc(b + b"#")
+    return np.fromiter((h(s) for s in strings),
+                       dtype=np.uint64, count=len(strings))
+
+
 def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str
                 ) -> ray.data.Dataset:
     """Exact dedup: first (min id) survivor per identical key."""
     return ds.groupby(key_col).min(id_col)
+
+
+_PAIRS_EMPTY = pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64())})
+
+
+def _pairs_in_buckets(keys: np.ndarray, docs: np.ndarray,
+                      max_bucket: int, label: str) -> pa.Table:
+    """All unordered doc pairs sharing a key, fully vectorized.
+
+    Replaces the one-Python-call-per-key ``groupby(key).map_groups``
+    shape (≈2-4 ms of Ray overhead per group — seconds once the key
+    space hits 10^5): buckets are delimited by ONE lexsort, and pairs
+    for all buckets of equal size c are emitted by a single
+    (n_buckets, c) gather + shared ``triu_indices``. Returns
+    (id_a, id_b, n) with id_a < id_b, n = number of keys (in this
+    array) under which the pair co-occurs; oversized buckets are
+    dropped with a warning (the documented LSH degenerate-bucket cap).
+    """
+    if len(keys) == 0:
+        return _PAIRS_EMPTY
+    order = np.lexsort((docs, keys))
+    ks, dv = keys[order], docs[order]
+    new = np.empty(len(ks), dtype=bool)
+    new[0] = True
+    new[1:] = ks[1:] != ks[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(ks)))
+    ia_parts: list[np.ndarray] = []
+    ib_parts: list[np.ndarray] = []
+    dropped = 0
+    for c in np.unique(counts):
+        if c < 2:
+            continue
+        gs = starts[counts == c]
+        if c > max_bucket:
+            dropped += len(gs)
+            continue
+        m = dv[gs[:, None] + np.arange(c)[None, :]]
+        iu, ju = np.triu_indices(int(c), 1)
+        ia_parts.append(m[:, iu].ravel())
+        ib_parts.append(m[:, ju].ravel())
+    if dropped:
+        import logging
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d degenerate buckets larger than max_bucket=%d",
+            label, dropped, max_bucket)
+    if not ia_parts:
+        return _PAIRS_EMPTY
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    ok = ia != ib
+    a = np.minimum(ia[ok], ib[ok])
+    b = np.maximum(ia[ok], ib[ok])
+    o2 = np.lexsort((b, a))
+    a, b = a[o2], b[o2]
+    nb = np.empty(len(a), dtype=bool)
+    if len(a):
+        nb[0] = True
+        nb[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    st = np.flatnonzero(nb)
+    cnt = np.diff(np.append(st, len(a)))
+    return pa.table({"id_a": pa.array(a[st], type=pa.int64()),
+                     "id_b": pa.array(b[st], type=pa.int64()),
+                     "n": pa.array(cnt, type=pa.int64())})
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -106,7 +183,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     def sigs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
         _, shingles = _shingle_strings(batch[text_col], k)
-        band_keys: list[str] = []
+        band_keys: list[int] = []
         band_ids: list[int] = []
         for did, sh in zip(ids, shingles):
             if not len(sh):
@@ -117,68 +194,84 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
             mh = vals.min(axis=1)
             for bi in range(bands):
                 chunk = mh[bi * rows:(bi + 1) * rows]
-                band_keys.append(f"{bi}:{zlib.crc32(chunk.tobytes())}")
+                band_keys.append(
+                    (bi << 32) | zlib.crc32(chunk.tobytes()))
                 band_ids.append(int(did))
+        karr = np.asarray(band_keys, dtype=np.int64)
         return pa.table({
-            "band": pa.array(band_keys, type=pa.string()),
+            "band": pa.array(karr, type=pa.int64()),
+            "cg": pa.array(karr & 0xFF, type=pa.int64()),
             "doc": pa.array(band_ids, type=pa.int64()),
         })
 
     buckets = ds.map_batches(sigs, batch_format="pyarrow")
 
-    def pairs(g: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
-                          "id_b": pa.array([], type=pa.int64())})
-        docs = np.unique(g["doc"].to_numpy())
-        if len(docs) < 2:
-            return empty
-        if len(docs) > max_bucket:
-            import logging
-            logging.getLogger(__name__).warning(
-                "minhash_lsh_pairs: dropping degenerate band bucket of "
-                "%d docs (max_bucket=%d)", len(docs), max_bucket)
-            return empty
-        ia, ib = np.triu_indices(len(docs), 1)
-        return pa.table({"id_a": pa.array(docs[ia], type=pa.int64()),
-                         "id_b": pa.array(docs[ib], type=pa.int64())})
+    def coarse_pairs(g: pa.Table) -> pa.Table:
+        # one call per COARSE group (256 total), all band buckets
+        # inside it paired by one vectorized pass
+        return _pairs_in_buckets(g["band"].to_numpy(), g["doc"].to_numpy(),
+                                 max_bucket, "minhash_lsh_pairs")
 
-    cand = buckets.groupby("band").map_groups(pairs, batch_format="pyarrow") \
-        .groupby(["id_a", "id_b"]).count().to_pandas()
+    # no global candidate-dedup shuffle: a pair seen in several coarse
+    # groups is verified more than once (cheap) and survivors are
+    # deduped at the end — the output (pairs over threshold) is orders
+    # of magnitude smaller than the candidate multiset
+    cand = buckets.groupby("cg").map_groups(
+        coarse_pairs, batch_format="pyarrow").materialize().to_pandas()
     if not len(cand):
         return pa.table({"id_a": pa.array([], type=pa.int64()),
                          "id_b": pa.array([], type=pa.int64()),
                          "jaccard": pa.array([], type=pa.float64())})
 
-    # exact verification on the candidate doc set only
-    need = sorted(set(cand["id_a"]) | set(cand["id_b"]))
+    # exact verification on the candidate doc set only: each candidate
+    # doc's DISTINCT shingles become a sorted uint64 hash array (crc32
+    # pair → 64-bit; cross-doc collision odds ~ |A||B|/2^64, far below
+    # the f64 jaccard ulp), built distributed, broadcast ONCE
+    need = np.unique(np.concatenate([cand["id_a"].to_numpy(),
+                                     cand["id_b"].to_numpy()]))
     need_arr = pa.array(need, type=pa.int64())
 
-    def fetch(b: pa.Table) -> pa.Table:
-        keep = pc.is_in(b[id_col], value_set=need_arr)
-        return b.filter(keep).select([id_col, text_col])
-    sub = ds.map_batches(fetch, batch_format="pyarrow").to_arrow_refs()
-    sub_t = pa.concat_tables([ray.get(r) for r in sub]).combine_chunks()
-    _, shingle_list = _shingle_strings(sub_t[text_col], k)
-    by_id = {int(i): s for i, s in
-             zip(sub_t[id_col].to_numpy(), shingle_list)}
+    def hash_sets(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.is_in(b[id_col], value_set=need_arr))
+        ids = sub[id_col].to_numpy()
+        _, sh = _shingle_strings(sub[text_col], k)
+        hv = [np.sort(_hash64(x)) for x in sh]
+        return pa.table({
+            "doc": pa.array(ids, type=pa.int64()),
+            "h": pa.array(hv, type=pa.list_(pa.uint64())),
+        })
 
-    # distributed verify: the candidate shingle sets are broadcast ONCE
-    # (candidates are tiny relative to the corpus by LSH design) and
-    # candidate pairs stream through map_batches — no driver pair loop
+    sub = ds.map_batches(hash_sets, batch_format="pyarrow") \
+        .materialize().to_arrow_refs()
+    sub_t = pa.concat_tables([ray.get(r) for r in sub]).combine_chunks()
+    hcol = sub_t["h"].combine_chunks()
+    flat = hcol.values.to_numpy()
+    offs = hcol.offsets.to_numpy()
+    by_id = {int(i): flat[offs[j]:offs[j + 1]]
+             for j, i in enumerate(sub_t["doc"].to_numpy())}
     by_id_ref = ray.put(by_id)
-    cand_sorted = cand.sort_values(["id_a", "id_b"])
     pairs_ds = ray.data.from_arrow(pa.table({
-        "id_a": pa.array(cand_sorted["id_a"].to_numpy(), type=pa.int64()),
-        "id_b": pa.array(cand_sorted["id_b"].to_numpy(), type=pa.int64()),
+        "id_a": pa.array(cand["id_a"].to_numpy(), type=pa.int64()),
+        "id_b": pa.array(cand["id_b"].to_numpy(), type=pa.int64()),
     }))
 
     def verify(b: pa.Table) -> pa.Table:
         m = ray.get(by_id_ref)
         ias = b["id_a"].to_numpy()
         ibs = b["id_b"].to_numpy()
-        js = np.fromiter(
-            (jaccard(m[int(x)], m[int(y)]) for x, y in zip(ias, ibs)),
-            dtype=np.float64, count=len(ias))
+        js = np.empty(len(ias), dtype=np.float64)
+        for i in range(len(ias)):
+            a, bb = m[int(ias[i])], m[int(ibs[i])]
+            if len(a) > len(bb):
+                a, bb = bb, a
+            if not len(bb):
+                js[i] = 1.0 if not len(a) else 0.0
+                continue
+            idx = np.searchsorted(bb, a)
+            idx[idx == len(bb)] = len(bb) - 1
+            inter = int((bb[idx] == a).sum())
+            union = len(a) + len(bb) - inter
+            js[i] = inter / union if union else 1.0
         keep = js >= threshold
         return pa.table({"id_a": pa.array(ias[keep], type=pa.int64()),
                          "id_b": pa.array(ibs[keep], type=pa.int64()),
@@ -186,14 +279,24 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
 
     tabs = [ray.get(r) for r in
             pairs_ds.map_batches(verify, batch_format="pyarrow")
-            .to_arrow_refs()]
+            .materialize().to_arrow_refs()]
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         return pa.table({"id_a": pa.array([], type=pa.int64()),
                          "id_b": pa.array([], type=pa.int64()),
                          "jaccard": pa.array([], type=pa.float64())})
-    return pa.concat_tables(tabs).combine_chunks() \
-        .sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    out = pa.concat_tables(tabs).combine_chunks()
+    a = out["id_a"].to_numpy()
+    b = out["id_b"].to_numpy()
+    j = out["jaccard"].to_numpy()
+    o = np.lexsort((b, a))
+    a, b, j = a[o], b[o], j[o]
+    nb = np.empty(len(a), dtype=bool)
+    nb[0] = True
+    nb[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pa.table({"id_a": pa.array(a[nb], type=pa.int64()),
+                     "id_b": pa.array(b[nb], type=pa.int64()),
+                     "jaccard": pa.array(j[nb], type=pa.float64())})
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -344,49 +447,60 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         counts, shingles = _shingle_strings(batch[text_col], k)
         all_sh = np.concatenate(shingles) if shingles else np.empty(0, object)
         all_id = np.repeat(ids, counts)
+        # coarse shuffle key: crc of the shingle — buckets inside a
+        # coarse group are re-separated EXACTLY by factorize below, so
+        # crc collisions cannot merge two shingles' buckets
+        cg = (_crc_hashes(all_sh).astype(np.int64) & 0xFF) \
+            if len(all_sh) else np.empty(0, np.int64)
         return pa.table({"shingle": pa.array(all_sh, type=pa.string()),
+                         "cg": pa.array(cg, type=pa.int64()),
                          "doc": pa.array(all_id, type=pa.int64())})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     sizes = exploded.groupby("doc").count().to_pandas()
-    size_of = dict(zip(sizes["doc"].astype(int), sizes["count()"].astype(int)))
 
-    def pairs(g: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
-                          "id_b": pa.array([], type=pa.int64())})
-        docs = np.unique(g["doc"].to_numpy())
-        if len(docs) < 2:
-            return empty
-        if len(docs) > max_bucket:
-            import logging
-            logging.getLogger(__name__).warning(
-                "ngram_jaccard_pairs: dropping hot shingle shared by %d "
-                "docs (max_bucket=%d) — intersection counts for its "
-                "pairs lose this shingle", len(docs), max_bucket)
-            return empty
-        ia, ib = np.triu_indices(len(docs), 1)
-        return pa.table({"id_a": pa.array(docs[ia], type=pa.int64()),
-                         "id_b": pa.array(docs[ib], type=pa.int64())})
+    def coarse_pairs(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        codes, _ = pd.factorize(g["shingle"].to_pandas())
+        return _pairs_in_buckets(codes.astype(np.int64),
+                                 g["doc"].to_numpy(),
+                                 max_bucket, "ngram_jaccard_pairs")
 
-    inter = exploded.groupby("shingle").map_groups(
-        pairs, batch_format="pyarrow") \
-        .groupby(["id_a", "id_b"]).count().to_pandas()
+    # n = per-coarse-group co-occurrence count; summing across coarse
+    # groups gives the pair's exact intersection size. The sum is done
+    # driver-side (lexsort + reduceat): this exact all-pairs baseline
+    # materializes its full pair result on the driver anyway — it is
+    # the SQL-checkable oracle path, NOT the 100-TB path (that is
+    # minhash_lsh_pairs, whose reductions stay distributed).
+    inter = exploded.groupby("cg").map_groups(
+        coarse_pairs, batch_format="pyarrow").materialize().to_pandas()
     if not len(inter):
         return pa.table({"id_a": pa.array([], type=pa.int64()),
                          "id_b": pa.array([], type=pa.int64()),
                          "jaccard": pa.array([], type=pa.float64())})
-    ia = inter["id_a"].to_numpy().astype(np.int64)
-    ib = inter["id_b"].to_numpy().astype(np.int64)
-    ic = inter["count()"].to_numpy().astype(np.float64)
-    union = np.array([size_of[int(x)] + size_of[int(y)] for x, y in zip(ia, ib)],
-                     dtype=np.float64) - ic
+    ia0 = inter["id_a"].to_numpy().astype(np.int64)
+    ib0 = inter["id_b"].to_numpy().astype(np.int64)
+    n0 = inter["n"].to_numpy().astype(np.int64)
+    o = np.lexsort((ib0, ia0))
+    ia0, ib0, n0 = ia0[o], ib0[o], n0[o]
+    nb = np.empty(len(ia0), dtype=bool)
+    nb[0] = True
+    nb[1:] = (ia0[1:] != ia0[:-1]) | (ib0[1:] != ib0[:-1])
+    st = np.flatnonzero(nb)
+    ia, ib = ia0[st], ib0[st]
+    ic = np.add.reduceat(n0, st).astype(np.float64)
+    sdoc = sizes["doc"].to_numpy().astype(np.int64)
+    scnt = sizes["count()"].to_numpy().astype(np.float64)
+    so = np.argsort(sdoc)
+    sdoc, scnt = sdoc[so], scnt[so]
+    union = scnt[np.searchsorted(sdoc, ia)] \
+        + scnt[np.searchsorted(sdoc, ib)] - ic
     j = ic / union
     keep = j >= threshold
-    order = np.lexsort((ib[keep], ia[keep]))
     return pa.table({
-        "id_a": pa.array(ia[keep][order], type=pa.int64()),
-        "id_b": pa.array(ib[keep][order], type=pa.int64()),
-        "jaccard": pa.array(j[keep][order], type=pa.float64()),
+        "id_a": pa.array(ia[keep], type=pa.int64()),
+        "id_b": pa.array(ib[keep], type=pa.int64()),
+        "jaccard": pa.array(j[keep], type=pa.float64()),
     })
 
 
@@ -413,16 +527,38 @@ def connected_components(edges: ray.data.Dataset, a_col: str,
     def sym(b: pa.Table) -> pa.Table:
         u = b[a_col].to_numpy().astype(np.int64)
         v = b[b_col].to_numpy().astype(np.int64)
-        return pa.table({"src": np.concatenate([u, v]),
+        src = np.concatenate([u, v])
+        return pa.table({"src": src,
+                         "cg": src & 0xFF,
                          "mem": np.concatenate([v, u])})
 
-    def step(g: pa.Table) -> pa.Table:
-        src = int(g["src"][0].as_py())
-        mem = np.unique(np.append(g["mem"].to_numpy(), src))
-        m = int(mem[0])
-        out_src = np.concatenate([mem, np.full(len(mem), m, np.int64)])
-        out_mem = np.concatenate([np.full(len(mem), m, np.int64), mem])
-        return pa.table({"src": out_src, "mem": out_mem})
+    def coarse_step(g: pa.Table) -> pa.Table:
+        # ONE call per coarse group (cg is a function of src, so every
+        # src's rows are co-located); per-src hash-to-min is done by
+        # lexsort + segment reduceat, not a Python call per node
+        src = g["src"].to_numpy()
+        mem = g["mem"].to_numpy()
+        order = np.lexsort((mem, src))
+        s, v = src[order], mem[order]
+        new = np.empty(len(s), dtype=bool)
+        new[0] = True
+        new[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        grp = np.cumsum(new) - 1
+        m = np.minimum(np.minimum.reduceat(v, starts), s[starts])
+        # each group emits (mem'→m) and (m→mem') for mem' ∈ members∪{src}
+        tgt = np.concatenate([v, s[starts]])
+        mg = np.concatenate([m[grp], m])
+        out_src = np.concatenate([tgt, mg])
+        out_mem = np.concatenate([mg, tgt])
+        # dedup within the coarse group to keep state near-minimal
+        o2 = np.lexsort((out_mem, out_src))
+        a2, b2 = out_src[o2], out_mem[o2]
+        nb = np.empty(len(a2), dtype=bool)
+        nb[0] = True
+        nb[1:] = (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])
+        a2, b2 = a2[nb], b2[nb]
+        return pa.table({"src": a2, "cg": a2 & 0xFF, "mem": b2})
 
     cur = edges.map_batches(sym, batch_format="pyarrow").materialize()
     if cur.count() == 0:
@@ -431,8 +567,8 @@ def connected_components(edges: ray.data.Dataset, a_col: str,
     stable = 0
     prev_sig = None
     for _ in range(max_rounds):
-        cur = cur.groupby("src").map_groups(
-            step, batch_format="pyarrow").materialize()
+        cur = cur.groupby("cg").map_groups(
+            coarse_step, batch_format="pyarrow").materialize()
         labels = cur.groupby("src").min("mem")
         sig = labels.sum("min(mem)")
         if sig == prev_sig:

@@ -16,6 +16,7 @@ frontier too large to broadcast would switch to the shuffle
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -23,18 +24,44 @@ import ray.data
 from engine.ops import relational as rel
 
 
+def _partial_counts(col: str):
+    """Per-block (value, count) partials — the combiner half of a
+    grouped count. Blocks shrink to their unique keys before leaving
+    the worker; the tiny partials are merged by ``_merge_counts``."""
+    def fn(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b[col].to_numpy(), return_counts=True)
+        return pa.table({col: pa.array(u, type=pa.int64()),
+                         "c": pa.array(c, type=pa.int64())})
+    return fn
+
+
+def _merge_counts(t: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (value, c) partials: sorted unique values + summed counts."""
+    v = t[col].to_numpy()
+    c = t["c"].to_numpy()
+    o = np.argsort(v, kind="stable")
+    v, c = v[o], c[o]
+    nb = np.empty(len(v), dtype=bool)
+    nb[0] = True
+    nb[1:] = v[1:] != v[:-1]
+    st = np.flatnonzero(nb)
+    return v[st], np.add.reduceat(c, st)
+
+
 def gather_nodes(edges: ray.data.Dataset, from_col: str, to_col: str,
                  frontier: pa.Array) -> pa.Array:
     """One hop: distinct ``to_col`` values over edges whose
-    ``from_col`` is in ``frontier``. Distinct runs as a grouped count
-    (partial-per-block combine, small shuffle of unique keys only)."""
+    ``from_col`` is in ``frontier``. Distinct runs as per-block
+    partial counts merged on the driver (the frontier lives there
+    anyway — same small-node-space assumption as the traversal)."""
     hop = rel.semi_join(edges, frontier, from_col)
-    uniq = hop.select_columns([to_col]).groupby(to_col).count()
-    tabs = [t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows]
-    if not tabs:
+    t = _collect(hop.select_columns([to_col])
+                 .map_batches(_partial_counts(to_col),
+                              batch_format="pyarrow"))
+    if t is None:
         return pa.array([], type=pa.int64())
-    return pa.concat_tables(tabs).combine_chunks()[to_col] \
-        .combine_chunks().cast(pa.int64())
+    u, _ = _merge_counts(t, to_col)
+    return pa.array(u, type=pa.int64())
 
 
 def walk(hops: list[tuple[ray.data.Dataset, str, str]],
@@ -76,21 +103,18 @@ def score_nodes(edges: ray.data.Dataset, from_col: str, to_col: str,
     if not len(frontier):
         return empty
     hop = rel.semi_join(edges, frontier, from_col)
-    loc = hop.select_columns([to_col]).groupby(to_col).count()
-    loc_t = _collect(loc)
+    loc_t = _collect(hop.select_columns([to_col])
+                     .map_batches(_partial_counts(to_col),
+                                  batch_format="pyarrow"))
     if loc_t is None or not loc_t.num_rows:
         return empty
-    glob = edges.select_columns([to_col]).groupby(to_col).count()
-    glob_t = _collect(glob)
-    total = int(edges.count())
-    import numpy as np
-    import pyarrow.compute as pc
-
-    nodes = loc_t[to_col].cast(pa.int64()).combine_chunks() \
-        .to_numpy(zero_copy_only=False)
-    cnt = loc_t["count()"].to_numpy().astype(np.int64)
-    gidx = pc.index_in(loc_t[to_col], value_set=glob_t[to_col])
-    gcnt = glob_t["count()"].take(gidx).to_numpy().astype(np.float64)
+    glob_t = _collect(edges.select_columns([to_col])
+                      .map_batches(_partial_counts(to_col),
+                                   batch_format="pyarrow"))
+    nodes, cnt = _merge_counts(loc_t, to_col)
+    gnodes, gc = _merge_counts(glob_t, to_col)
+    total = int(gc.sum())
+    gcnt = gc[np.searchsorted(gnodes, nodes)].astype(np.float64)
     # quantize (floor-half-up, 6 dp) so a SQL oracle's libm ln agrees
     score = np.floor(cnt.astype(np.float64) * np.log(total / gcnt)
                      * 1e6 + 0.5) / 1e6
@@ -103,7 +127,10 @@ def score_nodes(edges: ray.data.Dataset, from_col: str, to_col: str,
 
 
 def _collect(ds: ray.data.Dataset) -> pa.Table | None:
-    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    # materialize() first: to_arrow_refs() on a lazy Dataset executes
+    # the plan twice (limit-1 schema probe)
+    tabs = [t for t in ray.get(ds.materialize().to_arrow_refs())
+            if t.num_rows]
     return pa.concat_tables(tabs).combine_chunks() if tabs else None
 
 
@@ -136,15 +163,38 @@ def shortest_path(edges: ray.data.Dataset, from_col: str, to_col: str,
     visited = {src}
     frontier = pa.array([src], type=pa.int64())
     parents: list[dict[int, list[int]]] = []   # parents[i] = level i+1
+    def loc_distinct(b: pa.Table) -> pa.Table:
+        f = b[from_col].to_numpy()
+        tt = b[to_col].to_numpy()
+        if not len(f):
+            return b
+        o = np.lexsort((tt, f))
+        f, tt = f[o], tt[o]
+        nb = np.empty(len(f), dtype=bool)
+        nb[0] = True
+        nb[1:] = (f[1:] != f[:-1]) | (tt[1:] != tt[:-1])
+        return pa.table({from_col: pa.array(f[nb], type=pa.int64()),
+                         to_col: pa.array(tt[nb], type=pa.int64())})
+
     for depth in range(1, max_depth + 1):
-        hop = rel.semi_join(edges, frontier, from_col)
-        pairs = hop.select_columns([from_col, to_col]) \
-            .groupby([from_col, to_col]).count()
-        t = _collect(pairs)
+        # per-batch local distinct + driver distinct: the level's
+        # parent map is collected to the driver anyway, so a full
+        # groupby-shuffle per level only added latency
+        hop = rel.semi_join(edges, frontier, from_col) \
+            .select_columns([from_col, to_col]) \
+            .map_batches(loc_distinct, batch_format="pyarrow")
+        t = _collect(hop)
         if t is None:
             return empty
+        fv = t[from_col].to_numpy()
+        tv = t[to_col].to_numpy()
+        o = np.lexsort((tv, fv))
+        fv, tv = fv[o], tv[o]
+        nb = np.empty(len(fv), dtype=bool)
+        nb[0] = True
+        nb[1:] = (fv[1:] != fv[:-1]) | (tv[1:] != tv[:-1])
         lvl: dict[int, list[int]] = {}
-        for f, to in zip(t[from_col].to_pylist(), t[to_col].to_pylist()):
+        for f, to in zip(fv[nb].tolist(), tv[nb].tolist()):
             to = int(to)
             if to not in visited:
                 lvl.setdefault(to, []).append(int(f))
