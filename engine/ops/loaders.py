@@ -60,3 +60,27 @@ def solr_xml_to_table(paths: str | list[str]) -> pa.Table:
     tabs = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows]
     return pa.concat_tables(tabs, promote_options="default") \
         .combine_chunks() if tabs else pa.table({})
+
+
+def nested_entity_import(root: ray.data.Dataset, child: ray.data.Dataset,
+                         root_key: str, child_key: str,
+                         child_aggs: list, transform=None,
+                         num_partitions: int = 8) -> ray.data.Dataset:
+    """Data Import Handler entity + nested child entity (upstream
+    ``S/handler/dataimport/DataImportHandler.java``,
+    ``SqlEntityProcessor`` with a sub-entity [U]): the root entity's
+    rows become documents, the child entity is aggregated per root key
+    (DIH's per-parent nested SELECT, expressed as ONE grouped
+    aggregation instead of upstream's N+1 per-row queries), and the
+    two join on the root key — a distributed hash join, both sides
+    shuffled once. ``transform`` is the Transformer chain analog
+    (Template/RegexTransformer): a vectorized Arrow-batch callable
+    applied after the join.
+    """
+    agg = child.groupby(child_key).aggregate(*child_aggs)
+    joined = root.join(agg, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=(root_key,), right_on=(child_key,))
+    if transform is not None:
+        joined = joined.map_batches(transform, batch_format="pyarrow")
+    return joined

@@ -6611,6 +6611,157 @@ FROM events ORDER BY event_id
 
 # ------------------------------------------------------------ registry
 
+def dih_import_orders(sf_dir: str) -> pa.Table:
+    """Data Import Handler (upstream
+    ``S/handler/dataimport/DataImportHandler`` [U]): root entity =
+    orders, nested child entity = lineitem aggregated per order (DIH's
+    per-parent sub-entity SELECT as ONE grouped aggregation), plus a
+    Template/RegexTransformer chain (``doc_label`` template field,
+    ``prio_code`` regex split) — the full-import document set, first
+    50 docs by key."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from engine.ops.loaders import nested_entity_import
+
+    root = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    child = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_partkey", "l_quantity"]) \
+        .map_batches(lambda b: b.set_column(
+            b.column_names.index("l_quantity"), "l_quantity",
+            pc.cast(b["l_quantity"], pa.int64())),
+            batch_format="pyarrow")
+
+    def transform(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"]
+        label = pc.binary_join_element_wise(
+            "order-", pc.cast(key, pa.string()), "")
+        prio = pc.list_element(
+            pc.split_pattern(b["o_orderpriority"], "-"), 0)
+        return pa.table({
+            "doc_id": key,
+            "doc_label": label,
+            "prio_code": prio,
+            "n_lines": b["count()"],
+            "sum_qty": b["sum(l_quantity)"],
+            "min_part": b["min(l_partkey)"],
+            "max_part": b["max(l_partkey)"],
+        })
+
+    docs = nested_entity_import(
+        root, child, "o_orderkey", "l_orderkey",
+        [Count(), Sum("l_quantity"), Min("l_partkey"), Max("l_partkey")],
+        transform=transform,
+        num_partitions=_join_partitions(sf_dir, "orders", "lineitem"))
+    return _to_table(docs.sort("doc_id").limit(50))
+
+
+SQL_DIH_IMPORT = """
+SELECT o_orderkey AS doc_id,
+       'order-' || CAST(o_orderkey AS VARCHAR) AS doc_label,
+       str_split(o_orderpriority, '-')[1] AS prio_code,
+       COUNT(*)::BIGINT AS n_lines,
+       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       MIN(l_partkey)::BIGINT AS min_part,
+       MAX(l_partkey)::BIGINT AS max_part
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY doc_id LIMIT 50
+"""
+
+
+def timeseries_math_events(sf_dir: str) -> pa.Table:
+    """Time-series math expressions over the ``timeseries`` stream
+    (upstream Solr math: ``diff()``, ``cumulativeSum()``, moving
+    window sums over a timeseries result [U]): daily integer-cent
+    buckets from ONE distributed rollup, then exact int64 window math
+    (day-over-day diff, running sum, 3-day moving sum) on the tiny
+    bucket series."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy().astype(np.float64)
+        return pa.table({
+            "ts": b["ts"],
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    t = _to_table(rel.timeseries(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "ts", "day", sums=["cents"])).sort_by("window")
+    s = t["sum(cents)"].to_numpy().astype(np.int64)
+    win = pc.strftime(t["window"], format="%Y-%m-%d")
+    d = np.zeros(len(s), dtype=np.int64)
+    d[1:] = s[1:] - s[:-1]
+    cum = np.cumsum(s)
+    mov3 = np.convolve(s, np.ones(3, dtype=np.int64), mode="full")[:len(s)]
+    return pa.table({
+        "window": win,
+        "sum_c": pa.array(s),
+        "diff_c": pa.array(d),
+        "cum_c": pa.array(cum),
+        "mov3_c": pa.array(mov3),
+    })
+
+
+SQL_TIMESERIES_MATH = """
+WITH day AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_c
+  FROM events GROUP BY 1)
+SELECT "window", sum_c,
+       COALESCE(sum_c - lag(sum_c) OVER (ORDER BY "window"),
+                0)::BIGINT AS diff_c,
+       SUM(sum_c) OVER (ORDER BY "window"
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_c,
+       SUM(sum_c) OVER (ORDER BY "window"
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS mov3_c
+FROM day ORDER BY "window"
+"""
+
+
+def group_sort_orders(sf_dir: str) -> pa.Table:
+    """Solr ``group.sort`` (upstream ``S/search/grouping`` [U]):
+    ``sort`` orders the GROUPS (by their head's max price, desc) while
+    ``group.sort`` orders docs WITHIN each group independently (by
+    orderkey asc) — top 2 docs per o_orderstatus group."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderkey", "o_totalprice"])
+    within = _to_table(rel.group_top_n(
+        ds, "o_orderstatus", [("o_orderkey", False)], 2))
+    heads = _to_table(_read(
+        sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+        .groupby("o_orderstatus").max("o_totalprice"))
+    hp = dict(zip(heads["o_orderstatus"].to_pylist(),
+                  heads["max(o_totalprice)"].to_pylist()))
+    df = within.select(
+        ["o_orderstatus", "o_orderkey", "o_totalprice"]).to_pandas()
+    df["head_price"] = df["o_orderstatus"].map(hp)
+    df["grp_rank"] = df.groupby("o_orderstatus")["o_orderkey"] \
+        .rank(method="first").astype(np.int64)
+    df = df.sort_values(["head_price", "o_orderstatus", "o_orderkey"],
+                        ascending=[False, True, True])
+    return pa.Table.from_pandas(
+        df[["o_orderstatus", "grp_rank", "o_orderkey", "o_totalprice",
+            "head_price"]], preserve_index=False)
+
+
+SQL_GROUP_SORT = """
+WITH heads AS (
+  SELECT o_orderstatus, MAX(o_totalprice) AS head_price
+  FROM orders GROUP BY o_orderstatus),
+ranked AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_orderkey) AS grp_rank
+  FROM orders)
+SELECT r.o_orderstatus, r.grp_rank::BIGINT AS grp_rank, r.o_orderkey,
+       r.o_totalprice, h.head_price
+FROM ranked r JOIN heads h USING (o_orderstatus)
+WHERE r.grp_rank <= 2
+ORDER BY h.head_price DESC, r.o_orderstatus, r.o_orderkey
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -6773,6 +6924,9 @@ def queries() -> dict:
         "span_or_topk_docs": span_or_topk_docs,
         "synonym_query_topk": synonym_query_topk,
         "blended_term_topk_docs": blended_term_topk_docs,
+        "dih_import_orders": dih_import_orders,
+        "timeseries_math_events": timeseries_math_events,
+        "group_sort_orders": group_sort_orders,
         "add_indexes_topk": add_indexes_topk,
         "sessionize_events": sessionize_events,
         "transcript_role_stats": transcript_role_stats,
@@ -6953,6 +7107,9 @@ def oracle_sql() -> dict:
         "span_or_topk_docs": sql_span_or(),
         "synonym_query_topk": sql_synonym_query(),
         "blended_term_topk_docs": sql_blended_term(),
+        "dih_import_orders": SQL_DIH_IMPORT,
+        "timeseries_math_events": SQL_TIMESERIES_MATH,
+        "group_sort_orders": SQL_GROUP_SORT,
         # addIndexes(half A, half B) must equal one build over the
         # whole corpus -> shares the bm25_topk oracle
         "add_indexes_topk": sql_bm25_topk(),
