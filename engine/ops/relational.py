@@ -49,10 +49,29 @@ def facet(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
 
 def top_k(ds: ray.data.Dataset, sort_keys: list[tuple[str, bool]],
           k: int) -> ray.data.Dataset:
-    """``top``/RankStream: top-k by sort (upstream ``RankStream`` [U])."""
-    keys = [c for c, _ in sort_keys]
-    desc = [d for _, d in sort_keys]
-    return ds.sort(keys, descending=desc).limit(k)
+    """``top``/RankStream: top-k by sort (upstream ``RankStream`` [U]).
+
+    Per-block partial top-k (each block shrinks to ≤k rows before
+    leaving the worker) + one tiny final merge — top-k is associative,
+    so this replaces the full range-partition sort shuffle that
+    ``ds.sort().limit(k)`` would run. Callers must provide a total
+    order (a unique tiebreak key) for deterministic output."""
+    sb = [(c, "descending" if d else "ascending") for c, d in sort_keys]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        return b.sort_by(sb).slice(0, k)
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([]) for c, _ in sort_keys}))
+    final = pa.concat_tables(parts, promote_options="default") \
+        .combine_chunks().sort_by(sb).slice(0, k)
+    return ray.data.from_arrow(final)
 
 
 def having(ds: ray.data.Dataset, expr_fn, batch_format: str = "pyarrow"
