@@ -360,6 +360,63 @@ class EdgeNGramFilter(TokenFilter):
                 "preserve_original": self.preserve_original}
 
 
+class WordDelimiterFilter(TokenFilter):
+    """Simplified WordDelimiterGraphFilter (upstream
+    ``WordDelimiterGraphFilter`` [U]): each token splits into its
+    maximal digit runs and non-digit runs (``abc123x`` → ``abc``,
+    ``123``, ``x``); unsplittable tokens pass through unchanged and
+    ``preserve_original=True`` additionally keeps the unsplit token.
+    Conformance boundary (documented, matched by the SQL oracle): the
+    chain runs post-lowercase so case-transition splits never arise
+    (the tokenizer already strips intra-word punctuation), and every
+    part is emitted at the original token's position (graph
+    flattening), like EdgeNGram. Splitting happens on the UNIQUE batch
+    vocabulary only."""
+
+    def __init__(self, preserve_original: bool = False):
+        import re
+
+        self.preserve_original = preserve_original
+        self._runs = re.compile(r"[0-9]+|[^0-9]+")
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        n_docs = len(offsets) - 1
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        parts_per: list[list[str]] = []
+        for t in vocab:
+            ps = self._runs.findall(t)
+            if len(ps) <= 1:
+                parts_per.append([t])
+            elif self.preserve_original:
+                parts_per.append([t] + ps)
+            else:
+                parts_per.append(ps)
+        counts = np.array([len(g) for g in parts_per], dtype=np.int64)
+        flat = np.array([s for g in parts_per for s in g], dtype=object)
+        part_uniq, part_inv = np.unique(flat, return_inverse=True)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+
+        per_tok = counts[codes]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        out_doc = np.repeat(doc_of, per_tok)
+        out_pos = np.repeat(positions, per_tok).astype(np.int32)
+        base = np.repeat(starts[codes], per_tok)
+        local = np.arange(int(per_tok.sum()), dtype=np.int64) - \
+            np.repeat(np.concatenate(([0], np.cumsum(per_tok)))[:-1],
+                      per_tok)
+        out_codes = part_inv[base + local]
+        new_lens = np.bincount(out_doc, minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        return new_offsets, out_codes, part_uniq, out_pos, new_lens
+
+    def spec(self) -> dict:
+        return {"type": "word_delimiter",
+                "preserve_original": self.preserve_original}
+
+
 class LengthFilter(TokenFilter):
     """Drop tokens outside [min_len, max_len] (upstream
     ``LengthFilter`` [U]). Vocabulary-level mask broadcast through
@@ -585,6 +642,8 @@ def build_filter(spec: dict) -> TokenFilter:
     if t == "edge_ngram":
         return EdgeNGramFilter(spec["min_gram"], spec["max_gram"],
                                spec.get("preserve_original", False))
+    if t == "word_delimiter":
+        return WordDelimiterFilter(spec.get("preserve_original", False))
     if t == "length":
         return LengthFilter(spec["min_len"], spec["max_len"])
     if t == "pattern_replace":

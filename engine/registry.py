@@ -6611,6 +6611,47 @@ FROM events ORDER BY event_id
 
 # ------------------------------------------------------------ registry
 
+def word_delimiter_stats(sf_dir: str) -> pa.Table:
+    """WordDelimiterGraphFilter e2e (simplified; see
+    ``engine.analysis.WordDelimiterFilter``): tokens split into
+    maximal digit/non-digit runs. The base corpus has no mixed
+    alnum tokens, so each doc gains a deterministic ``sku<id>x``
+    token (→ parts ``sku``, ``<id>``, ``x``); the oracle replays the
+    derived corpus and the split in SQL."""
+    key = hashlib.md5(f"{sf_dir}|wdf|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "wdf_" + key)
+    os.makedirs(work, exist_ok=True)
+    derived = os.path.join(work, "documents.parquet")
+    if not os.path.exists(derived):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        txt = pc.binary_join_element_wise(
+            t["text"], pc.binary_join_element_wise(
+                "sku", pc.cast(t["doc_id"], pa.string()), "x", ""), " ")
+        tmp = derived + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"], "text": txt}), tmp)
+        os.replace(tmp, derived)
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "word_delimiter", "preserve_original": False},),
+        "wdf", input_file=derived)
+    return _index_stats_of(idx)
+
+
+SQL_WORD_DELIMITER_STATS = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         text || ' sku' || CAST(doc_id AS VARCHAR) || 'x' AS text
+  FROM documents),
+toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM docs2),
+g AS (SELECT doc_id,
+             unnest(regexp_extract_all(term, '[0-9]+|[^0-9]+')) AS term
+      FROM toks)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM g GROUP BY term ORDER BY term
+"""
+
+
 def dih_import_orders(sf_dir: str) -> pa.Table:
     """Data Import Handler (upstream
     ``S/handler/dataimport/DataImportHandler`` [U]): root entity =
@@ -6925,6 +6966,7 @@ def queries() -> dict:
         "synonym_query_topk": synonym_query_topk,
         "blended_term_topk_docs": blended_term_topk_docs,
         "dih_import_orders": dih_import_orders,
+        "word_delimiter_stats": word_delimiter_stats,
         "timeseries_math_events": timeseries_math_events,
         "group_sort_orders": group_sort_orders,
         "add_indexes_topk": add_indexes_topk,
@@ -7108,6 +7150,7 @@ def oracle_sql() -> dict:
         "synonym_query_topk": sql_synonym_query(),
         "blended_term_topk_docs": sql_blended_term(),
         "dih_import_orders": SQL_DIH_IMPORT,
+        "word_delimiter_stats": SQL_WORD_DELIMITER_STATS,
         "timeseries_math_events": SQL_TIMESERIES_MATH,
         "group_sort_orders": SQL_GROUP_SORT,
         # addIndexes(half A, half B) must equal one build over the

@@ -306,3 +306,21 @@ def test_minhash_token_filter_golden():
     assert len(a.analyze_text("x x x")) == 1
     spec = MinHashTokenFilter(3).spec()
     assert build_filter(spec).spec() == spec
+
+
+def test_word_delimiter_golden():
+    from engine.analysis import Analyzer
+
+    a = Analyzer(stop_words=None, stemming=False,
+                 filters=({"type": "word_delimiter",
+                           "preserve_original": False},))
+    toks = sorted(a.analyze_text("plain sku123x x9 42"))
+    # positions: every part keeps its source token's position
+    assert toks == sorted([("plain", 0), ("sku", 1), ("123", 1),
+                           ("x", 1), ("x", 2), ("9", 2), ("42", 3)])
+    b = Analyzer(stop_words=None, stemming=False,
+                 filters=({"type": "word_delimiter",
+                           "preserve_original": True},))
+    toks2 = sorted(b.analyze_text("sku123x"))
+    assert toks2 == sorted([("sku123x", 0), ("sku", 0), ("123", 0),
+                            ("x", 0)])
