@@ -6652,6 +6652,93 @@ FROM g GROUP BY term ORDER BY term
 """
 
 
+def ols_regress_lineitem(sf_dir: str) -> pa.Table:
+    """Multivariate OLS (upstream Solr math expression ``olsRegress``
+    [U]): regress whole-dollar extendedprice on (quantity,
+    discount-percent) + intercept. The normal-equation moments are
+    EXACT integer partial sums per batch (one streaming pass, tiny
+    final sum), and the 3×3 system is solved in closed form by
+    Cramer's rule over exact Python bignums — the only floats are the
+    final numerator/denominator divisions, so every coefficient is
+    bit-reproducible in SQL (HUGEINT moments, same determinants)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_discount", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy().astype(np.int64)
+        d = np.floor(b["l_discount"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        y = np.floor(b["l_extendedprice"].to_numpy()).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(q)], type=pa.int64()),
+            "s1": pa.array([int(q.sum())], type=pa.int64()),
+            "s2": pa.array([int(d.sum())], type=pa.int64()),
+            "s11": pa.array([int((q * q).sum())], type=pa.int64()),
+            "s22": pa.array([int((d * d).sum())], type=pa.int64()),
+            "s12": pa.array([int((q * d).sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sy1": pa.array([int((q * y).sum())], type=pa.int64()),
+            "sy2": pa.array([int((d * y).sum())], type=pa.int64()),
+        })
+
+    cols = ["n", "s1", "s2", "s11", "s22", "s12", "sy", "sy1", "sy2"]
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(cols)
+    n, s1, s2, s11, s22, s12, sy, sy1, sy2 = \
+        (int(agg[f"sum({c})"]) for c in cols)
+    det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) \
+        + s2 * (s1 * s12 - s11 * s2)
+    det0 = sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2) \
+        + s2 * (sy1 * s12 - s11 * sy2)
+    det1 = n * (sy1 * s22 - s12 * sy2) - sy * (s1 * s22 - s12 * s2) \
+        + s2 * (s1 * sy2 - sy1 * s2)
+    det2 = n * (s11 * sy2 - sy1 * s12) - s1 * (s1 * sy2 - sy1 * s2) \
+        + sy * (s1 * s12 - s11 * s2)
+    return pa.table({
+        "feature": pa.array(["discount_pct", "intercept", "quantity"]),
+        "beta": pa.array([float(det2) / float(det),
+                          float(det0) / float(det),
+                          float(det1) / float(det)], type=pa.float64()),
+    })
+
+
+SQL_OLS_REGRESS = """
+WITH m AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+    SUM(CAST(l_quantity AS BIGINT))::HUGEINT AS s1,
+    SUM(CAST(floor(l_discount*100 + 0.5) AS BIGINT))::HUGEINT AS s2,
+    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))::HUGEINT
+      AS s11,
+    SUM(CAST(floor(l_discount*100 + 0.5) AS BIGINT)
+        * CAST(floor(l_discount*100 + 0.5) AS BIGINT))::HUGEINT AS s22,
+    SUM(CAST(l_quantity AS BIGINT)
+        * CAST(floor(l_discount*100 + 0.5) AS BIGINT))::HUGEINT AS s12,
+    SUM(CAST(floor(l_extendedprice) AS BIGINT))::HUGEINT AS sy,
+    SUM(CAST(l_quantity AS BIGINT)
+        * CAST(floor(l_extendedprice) AS BIGINT))::HUGEINT AS sy1,
+    SUM(CAST(floor(l_discount*100 + 0.5) AS BIGINT)
+        * CAST(floor(l_extendedprice) AS BIGINT))::HUGEINT AS sy2
+  FROM lineitem),
+d AS (
+  SELECT
+    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+      + s2*(s1*s12 - s11*s2) AS det,
+    sy*(s11*s22 - s12*s12) - s1*(sy1*s22 - s12*sy2)
+      + s2*(sy1*s12 - s11*sy2) AS det0,
+    n*(sy1*s22 - s12*sy2) - sy*(s1*s22 - s12*s2)
+      + s2*(s1*sy2 - sy1*s2) AS det1,
+    n*(s11*sy2 - sy1*s12) - s1*(s1*sy2 - sy1*s2)
+      + sy*(s1*s12 - s11*s2) AS det2
+  FROM m)
+SELECT 'discount_pct' AS feature,
+       CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE) AS beta FROM d
+UNION ALL
+SELECT 'intercept', CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE) FROM d
+UNION ALL
+SELECT 'quantity', CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE) FROM d
+ORDER BY feature
+"""
+
+
 def dih_import_orders(sf_dir: str) -> pa.Table:
     """Data Import Handler (upstream
     ``S/handler/dataimport/DataImportHandler`` [U]): root entity =
@@ -6967,6 +7054,7 @@ def queries() -> dict:
         "blended_term_topk_docs": blended_term_topk_docs,
         "dih_import_orders": dih_import_orders,
         "word_delimiter_stats": word_delimiter_stats,
+        "ols_regress_lineitem": ols_regress_lineitem,
         "timeseries_math_events": timeseries_math_events,
         "group_sort_orders": group_sort_orders,
         "add_indexes_topk": add_indexes_topk,
@@ -7151,6 +7239,7 @@ def oracle_sql() -> dict:
         "blended_term_topk_docs": sql_blended_term(),
         "dih_import_orders": SQL_DIH_IMPORT,
         "word_delimiter_stats": SQL_WORD_DELIMITER_STATS,
+        "ols_regress_lineitem": SQL_OLS_REGRESS,
         "timeseries_math_events": SQL_TIMESERIES_MATH,
         "group_sort_orders": SQL_GROUP_SORT,
         # addIndexes(half A, half B) must equal one build over the
