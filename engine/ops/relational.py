@@ -67,8 +67,9 @@ def top_k(ds: ray.data.Dataset, sort_keys: list[tuple[str, bool]],
         ds.map_batches(partial, batch_format="pyarrow")
         .materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
-        return ray.data.from_arrow(
-            pa.table({c: pa.array([]) for c, _ in sort_keys}))
+        return ray.data.from_arrow(pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in ds.schema().base_schema],
+            schema=pa.schema(ds.schema().base_schema)))
     final = pa.concat_tables(parts, promote_options="default") \
         .combine_chunks().sort_by(sb).slice(0, k)
     return ray.data.from_arrow(final)

@@ -956,6 +956,14 @@ class IndexReader:
         if "*" not in body and "?" not in body:
             # pure prefix (trailing-* or bare PrefixQuery form)
             terms = self.expand_prefix(body)
+        elif (pattern.startswith("*") and "*" not in pattern[1:]
+                and "?" not in pattern[1:]):
+            # pure-suffix (*foo): ReversedWildcardFilterFactory analog
+            # (upstream ``S/analysis/ReversedWildcardFilterFactory``
+            # [U]) — instead of scanning the whole dictionary, bisect
+            # a memoized REVERSED dictionary on the reversed suffix;
+            # identical output to the regex path (equivalence-tested)
+            terms = self._expand_reversed_suffix(pattern[1:])
         else:
             rx = re.compile("".join(
                 ".*" if c == "*" else "." if c == "?" else re.escape(c)
@@ -1536,6 +1544,21 @@ class IndexReader:
         lo = bisect.bisect_left(vocab, prefix)
         hi = bisect.bisect_left(vocab, prefix + "\uffff")
         return vocab[lo:hi]
+
+    def _expand_reversed_suffix(self, suffix: str) -> list[str]:
+        """Suffix range via a memoized REVERSED dictionary (the
+        ReversedWildcardFilter index-side trick, done reader-side:
+        one reversal pass per reader instead of doubling the index)."""
+        import bisect
+
+        rv = getattr(self, "_rev_vocab", None)
+        if rv is None:
+            rv = sorted(t[::-1] for t in self.vocabulary())
+            self._rev_vocab = rv
+        r = suffix[::-1]
+        lo = bisect.bisect_left(rv, r)
+        hi = bisect.bisect_left(rv, r + "\uffff")
+        return [t[::-1] for t in rv[lo:hi]]
 
     def term_range_topk(self, lo: str, hi: str, k: int = 10,
                         boost: float = 1.0) -> pa.Table:

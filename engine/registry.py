@@ -3544,6 +3544,55 @@ ORDER BY c_custkey LIMIT 20
 """
 
 
+POLY = [(4000, -7000), (9000, 0), (2000, 8000),
+        (-12000, 3000), (-10000, -5000)]   # (lon_c, lat_c) CCW
+
+
+def polygon_customers(sf_dir: str) -> pa.Table:
+    """Convex-polygon spatial filter (upstream Solr spatial RPT
+    ``geofilt`` with a polygon / Lucene ``LatLonPoint.newPolygonQuery``
+    [U]): point-in-convex-polygon by half-plane sign tests over the
+    same deterministic synthetic points as bbox — ALL arithmetic in
+    integer centi-degrees, so the SQL oracle is exact."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def inside(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy()
+        lat = (ck * 7919) % 17000 - 8500
+        lon = (ck * 104729) % 36000 - 18000
+        m = np.ones(len(ck), dtype=bool)
+        for i in range(len(POLY)):
+            x1, y1 = POLY[i]
+            x2, y2 = POLY[(i + 1) % len(POLY)]
+            m &= ((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) >= 0
+        return pa.table({"c_custkey": pa.array(ck[m], type=pa.int64()),
+                         "lat_c": pa.array(lat[m], type=pa.int64()),
+                         "lon_c": pa.array(lon[m], type=pa.int64())})
+
+    ds = ds.map_batches(inside, batch_format="pyarrow")
+    return _to_table(rel.top_k(ds, [("c_custkey", False)], 20))
+
+
+def _sql_polygon() -> str:
+    conds = []
+    for i in range(len(POLY)):
+        x1, y1 = POLY[i]
+        x2, y2 = POLY[(i + 1) % len(POLY)]
+        conds.append(f"({x2 - x1}) * (lat_c - ({y1}))"
+                     f" - ({y2 - y1}) * (lon_c - ({x1})) >= 0")
+    w = "\n  AND ".join(conds)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+    ((c_custkey * 7919) % 17000 - 8500)::BIGINT AS lat_c,
+    ((c_custkey * 104729) % 36000 - 18000)::BIGINT AS lon_c
+  FROM customer)
+SELECT c_custkey, lat_c, lon_c FROM pts
+WHERE {w}
+ORDER BY c_custkey LIMIT 20
+"""
+
+
 def group_facet_orders(sf_dir: str) -> pa.Table:
     """group.facet=true semantics (upstream Solr grouping [U]): facet
     counts count GROUPS (distinct customers), not documents — a
@@ -4908,6 +4957,62 @@ SELECT (ROW_NUMBER() OVER (ORDER BY d.n_chars DESC, d.doc_id) - 1)::BIGINT
        d.doc_id, d.n_chars
 FROM documents d JOIN m USING (doc_id)
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+"""
+
+
+def cursor_mark_sorted_page2(sf_dir: str) -> pa.Table:
+    """cursorMark deep paging over a FIELD sort (upstream Solr
+    ``CursorMark``/``searchAfter(FieldDoc)`` [U]): page 1's last
+    (n_chars, doc_id) becomes the cursor; page 2 re-runs the same
+    query with a strict after-filter pushed into the streaming scan
+    — no offset re-collection, the Lucene/Solr deep-paging contract."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    subs = r.lookup([SORT_FIELD_TERM])
+    docs = (r._clause_arrays(SORT_FIELD_TERM, subs[SORT_FIELD_TERM])[0]
+            if subs[SORT_FIELD_TERM] else np.empty(0, np.int64))
+    ref = ray.put(np.sort(docs))
+
+    def probe(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        return b.filter(pa.array(np.isin(b["doc_id"].to_numpy(), d,
+                                         assume_unique=True)))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]) \
+        .map_batches(probe, batch_format="pyarrow")
+    page1 = _to_table(rel.top_k(
+        ds, [("n_chars", True), ("doc_id", False)], 10))
+    if not page1.num_rows:
+        return pa.table({"rank": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "n_chars": pa.array([], type=pa.int64())})
+    c_n = page1["n_chars"][-1].as_py()
+    c_d = page1["doc_id"][-1].as_py()
+
+    def after(b: pa.Table) -> pa.Table:
+        n = b["n_chars"].to_numpy()
+        d = b["doc_id"].to_numpy()
+        return b.filter(pa.array((n < c_n) | ((n == c_n) & (d > c_d))))
+
+    t = _to_table(rel.top_k(
+        ds.map_batches(after, batch_format="pyarrow"),
+        [("n_chars", True), ("doc_id", False)], 10))
+    return pa.table({
+        "rank": pa.array(10 + np.arange(t.num_rows, dtype=np.int64)),
+        "doc_id": t["doc_id"], "n_chars": t["n_chars"]})
+
+
+SQL_CURSOR_MARK = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{SORT_FIELD_TERM}'),
+o AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY d.n_chars DESC, d.doc_id) - 1)
+           ::BIGINT AS rank,
+         d.doc_id, d.n_chars
+  FROM documents d JOIN m USING (doc_id))
+SELECT rank, doc_id, n_chars FROM o
+WHERE rank >= 10 AND rank < 20 ORDER BY rank
 """
 
 
@@ -7055,6 +7160,8 @@ def queries() -> dict:
         "dih_import_orders": dih_import_orders,
         "word_delimiter_stats": word_delimiter_stats,
         "ols_regress_lineitem": ols_regress_lineitem,
+        "polygon_customers": polygon_customers,
+        "cursor_mark_sorted_page2": cursor_mark_sorted_page2,
         "timeseries_math_events": timeseries_math_events,
         "group_sort_orders": group_sort_orders,
         "add_indexes_topk": add_indexes_topk,
@@ -7240,6 +7347,8 @@ def oracle_sql() -> dict:
         "dih_import_orders": SQL_DIH_IMPORT,
         "word_delimiter_stats": SQL_WORD_DELIMITER_STATS,
         "ols_regress_lineitem": SQL_OLS_REGRESS,
+        "polygon_customers": _sql_polygon(),
+        "cursor_mark_sorted_page2": SQL_CURSOR_MARK,
         "timeseries_math_events": SQL_TIMESERIES_MATH,
         "group_sort_orders": SQL_GROUP_SORT,
         # addIndexes(half A, half B) must equal one build over the

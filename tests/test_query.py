@@ -878,3 +878,22 @@ def test_synonym_vs_span_or_vs_blended_semantics(reader):
             per.append(m[d0])
     assert bld["score"][0].as_py() == max(per)
     assert w > 0
+
+
+def test_reversed_suffix_wildcard_equivalence(reader):
+    """*suffix must produce the same result via the reversed-dictionary
+    bisect fast path as via the regex-over-vocabulary scan."""
+    import re
+
+    vocab = reader.vocabulary()
+    # pick a suffix that matches >1 term if possible
+    from collections import Counter
+    sufs = Counter(t[-2:] for t in vocab if len(t) >= 3)
+    suf = sufs.most_common(1)[0][0]
+    fast = reader.wildcard_topk("*" + suf, k=50)
+    rx = re.compile(".*" + re.escape(suf))
+    terms = [t for t in vocab if rx.fullmatch(t)]
+    slow = reader.boolean_topk(should=terms, k=50)
+    assert fast["doc_id"].to_pylist() == slow["doc_id"].to_pylist()
+    assert fast["score"].to_pylist() == slow["score"].to_pylist()
+    assert len(reader._expand_reversed_suffix(suf)) == len(terms)
