@@ -758,3 +758,75 @@ def test_tdigest_group_quantile(ray_session):
         exact = df[df["k"] == k]["v"].quantile(0.9)
         got = out.loc[k, "quantile"]
         assert abs(got - exact) / exact < 0.02, (k, got, exact)
+
+
+def test_pairs_in_buckets_matches_bruteforce():
+    """Property: the vectorized size-batched pair generator equals the
+    obvious per-bucket triu reference, including multiplicity counts
+    and the max_bucket drop rule."""
+    from itertools import combinations
+
+    from engine.ops.dedup import _pairs_in_buckets
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n = rng.randint(1, 400)
+        keys = rng.randint(0, rng.randint(1, 40), size=n).astype(np.int64)
+        docs = rng.randint(0, 60, size=n).astype(np.int64)
+        # buckets must hold unique docs (the generator's contract)
+        seen = set()
+        keep = []
+        for i, (k, d) in enumerate(zip(keys, docs)):
+            if (k, d) not in seen:
+                seen.add((k, d))
+                keep.append(i)
+        keys, docs = keys[keep], docs[keep]
+        max_bucket = int(rng.randint(2, 25))
+        got = _pairs_in_buckets(keys, docs, max_bucket, "test")
+        want: dict[tuple[int, int], int] = {}
+        for k in np.unique(keys):
+            members = np.sort(docs[keys == k])
+            if len(members) < 2 or len(members) > max_bucket:
+                continue
+            for a, b in combinations(members.tolist(), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        got_map = {(a, b): c for a, b, c in zip(
+            got["id_a"].to_pylist(), got["id_b"].to_pylist(),
+            got["n"].to_pylist())}
+        assert got_map == want, trial
+
+
+def test_connected_components_random_graphs(ray_session):
+    """Property: coarse-grouped hash-to-min equals a driver union-find
+    on random graphs (labels = component-min doc_id)."""
+    import ray.data
+
+    from engine.ops.dedup import connected_components
+
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        n_edges = int(rng.randint(1, 120))
+        a = rng.randint(0, 300, size=n_edges).astype(np.int64)
+        b = rng.randint(0, 300, size=n_edges).astype(np.int64)
+        ok = a != b
+        a, b = a[ok], b[ok]
+        if not len(a):
+            continue
+        edges = ray.data.from_arrow(pa.table({"id_a": a, "id_b": b}))
+        got = connected_components(edges, "id_a", "id_b")
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in zip(a.tolist(), b.tolist()):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        want = {x: find(x) for x in set(a.tolist()) | set(b.tolist())}
+        got_map = dict(zip(got["doc_id"].to_pylist(),
+                           got["cluster_id"].to_pylist()))
+        assert got_map == want, trial
