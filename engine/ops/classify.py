@@ -101,3 +101,65 @@ def naive_bayes_classify(ds: ray.data.Dataset, text_col: str,
 def _collect(ds: ray.data.Dataset) -> pa.Table:
     tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
     return pa.concat_tables(tabs).combine_chunks()
+
+
+def train_logistic(ds: ray.data.Dataset, text_col: str, label_col: str,
+                   pos_label: str, terms: list[str],
+                   iterations: int = 3) -> pa.Table:
+    """``train``/TextLogitStream analog (upstream
+    ``SJ/stream/TextLogitStream.java`` — Solr's iterative distributed
+    logistic-regression trainer [U]): binary term-presence features +
+    bias, full-batch gradient descent, one streaming pass per
+    iteration (per-batch integer gradient partials, tiny final sum),
+    weights broadcast back each round — the same shard-partials →
+    coordinator-update loop as upstream.
+
+    Conformance boundary (documented): the link is the HARD sigmoid
+    ``clamp(z/4 + 1/2, 0, 1)`` in 1e-6 fixed point and the step is
+    ``w -= floor(g / 2n)`` — every quantity is an exact integer, so
+    the trained weights are bit-reproducible in SQL (upstream trains
+    float sigmoids; exactness is traded for an oracle-checkable
+    trajectory). Returns (feature, weight_micro) with bias first.
+    """
+    k = len(terms)
+    w = np.zeros(k + 1, dtype=np.int64)   # [bias, terms...] micro-units
+    n_total = 0
+    for it in range(iterations):
+        w_ref = ray.put(w.copy())
+
+        def partial(b: pa.Table) -> pa.Table:
+            wv = ray.get(w_ref)
+            offs, flat = _flat_tokens(b[text_col])
+            nrows = len(offs) - 1
+            x = np.zeros((nrows, k), dtype=np.int64)
+            doc_of = np.repeat(np.arange(nrows), np.diff(offs))
+            # one vectorized dictionary probe for all feature terms
+            idx = pc.index_in(flat, value_set=pa.array(terms)) \
+                .to_numpy(zero_copy_only=False)
+            hit = ~np.isnan(idx)
+            x[doc_of[hit], idx[hit].astype(np.int64)] = 1
+            y = (b[label_col].to_numpy(zero_copy_only=False)
+                 == pos_label).astype(np.int64) * 1_000_000
+            z = wv[0] + x @ wv[1:]
+            hs = np.minimum(np.maximum(z + 2_000_000, 0), 4_000_000) // 4
+            err = hs - y
+            g = np.empty(k + 1, dtype=np.int64)
+            g[0] = int(err.sum())
+            g[1:] = err @ x
+            out = {"n": pa.array([nrows], type=pa.int64())}
+            for j in range(k + 1):
+                out[f"g{j}"] = pa.array([int(g[j])], type=pa.int64())
+            return pa.table(out)
+
+        cols = ["n"] + [f"g{j}" for j in range(k + 1)]
+        agg = ds.map_batches(partial, batch_format="pyarrow").sum(cols)
+        n_total = int(agg["sum(n)"])
+        g = np.array([int(agg[f"sum(g{j})"]) for j in range(k + 1)],
+                     dtype=object)
+        # python-int floor division (SQL replays with a mod-adjusted //)
+        w = np.array([int(w[j]) - (int(g[j]) // (2 * n_total))
+                      for j in range(k + 1)], dtype=np.int64)
+    return pa.table({
+        "feature": pa.array(["__bias__"] + list(terms)),
+        "weight_micro": pa.array(w, type=pa.int64()),
+    })

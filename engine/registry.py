@@ -6995,6 +6995,70 @@ ORDER BY h.head_price DESC, r.o_orderstatus, r.o_orderkey
 """
 
 
+# ---------------- logistic-regression trainer (TextLogitStream)
+
+LOGIT_TERMS = ["filter", "hash", "join", "scan"]
+
+
+def train_logistic_docs(sf_dir: str) -> pa.Table:
+    """``train`` / TextLogitStream (upstream
+    ``SJ/stream/TextLogitStream.java`` [U]): iterative distributed
+    logistic regression, binary term-presence features over the
+    analyzed text, label = (lang == 'en'). Integer fixed-point hard
+    sigmoid makes the whole 3-iteration GD trajectory bit-exact — the
+    oracle replays it as an unrolled SQL CTE chain."""
+    from engine.ops import classify as cl
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    return cl.train_logistic(ds, "text", "lang", "en", LOGIT_TERMS,
+                             iterations=3).sort_by("feature")
+
+
+def sql_train_logistic(iterations: int = 3) -> str:
+    """Unrolled exact replay of the integer GD: per-doc features once,
+    then (gradient-sum → weight-update) CTE pairs per iteration.
+    Python floor division is emulated with a mod-adjusted quotient
+    (DuckDB ``//`` truncates; ``%`` follows the dividend's sign)."""
+    terms = LOGIT_TERMS
+    k = len(terms)
+    xs = ", ".join(f"list_contains(toks, '{t}')::BIGINT AS x{j + 1}"
+                   for j, t in enumerate(terms))
+    parts = [
+        f"WITH base AS (SELECT (CASE WHEN lang = 'en' THEN 1000000 "
+        f"ELSE 0 END)::BIGINT AS y, {xs} FROM "
+        f"(SELECT {_SQL_TOKS} AS toks, lang FROM documents))",
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM base)",
+        "w0 AS (SELECT " + ", ".join(f"0::BIGINT AS w{j}"
+                                     for j in range(k + 1)) + ")",
+    ]
+    for i in range(1, iterations + 1):
+        z = " + ".join([f"w.w0"] + [f"b.x{j} * w.w{j}"
+                                    for j in range(1, k + 1)])
+        gs = ", ".join(
+            ["SUM(err)::BIGINT AS g0"]
+            + [f"SUM(err * x{j})::BIGINT AS g{j}"
+               for j in range(1, k + 1)])
+        parts.append(
+            f"g{i} AS (SELECT {gs} FROM (SELECT "
+            f"(LEAST(GREATEST({z} + 2000000, 0), 4000000) // 4) - b.y "
+            f"AS err, "
+            + ", ".join(f"b.x{j}" for j in range(1, k + 1))
+            + f" FROM base b CROSS JOIN w{i - 1} w))")
+        # python floordiv(g, 2n) = (g - ((g % d + d) % d)) // d, d = 2n
+        ws = ", ".join(
+            f"w.w{j} - ((g.g{j} - (((g.g{j} % (2 * nn.n)) + 2 * nn.n) "
+            f"% (2 * nn.n))) // (2 * nn.n)) AS w{j}"
+            for j in range(k + 1))
+        parts.append(f"w{i} AS (SELECT {ws} FROM w{i - 1} w "
+                     f"CROSS JOIN g{i} g CROSS JOIN nn)")
+    final = " UNION ALL ".join(
+        [f"SELECT '__bias__' AS feature, w0 AS weight_micro "
+         f"FROM w{iterations}"]
+        + [f"SELECT '{t}', w{j + 1} FROM w{iterations}"
+           for j, t in enumerate(terms)])
+    return ",\n".join(parts) + f"\n{final} ORDER BY feature"
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -7184,6 +7248,7 @@ def queries() -> dict:
         "sharded_spellcheck_docs": sharded_spellcheck_docs,
         "sharded_stats_docs": sharded_stats_docs,
         "sharded_group_topk": sharded_group_topk,
+        "train_logistic_docs": train_logistic_docs,
     }
 
 
@@ -7373,6 +7438,7 @@ def oracle_sql() -> dict:
         "sharded_spellcheck_docs": SQL_SPELLCHECK,
         "sharded_stats_docs": SQL_SEARCH_STATS,
         "sharded_group_topk": sql_blockjoin(),
+        "train_logistic_docs": sql_train_logistic(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -437,6 +437,53 @@ def test_naive_bayes_train_classify_roundtrip(ray_session):
     assert all(preds[i] == "car" for i in range(4, 8))
 
 
+def test_train_logistic_matches_reference(ray_session):
+    """Integer-GD logistic trainer vs a pure-Python single-process
+    replay (same hard-sigmoid fixed point, same floor divisions) —
+    the distributed partial-sum path must be bit-identical, and must
+    be invariant to how rows are split across blocks."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import classify as cl
+
+    terms = ["apple", "engine"]
+    texts = ["apple banana apple", "banana apple fruit",
+             "apple fruit fruit", "banana banana apple",
+             "motor engine wheel", "wheel engine motor",
+             "engine motor motor", "wheel wheel engine",
+             "apple engine hybrid", "plain words only"]
+    labels = ["food"] * 4 + ["car"] * 4 + ["food", "car"]
+
+    # pure-python reference replay
+    x = [[1 if t in txt.split() else 0 for t in terms] for txt in texts]
+    y = [1_000_000 if l == "food" else 0 for l in labels]
+    n = len(texts)
+    w = [0, 0, 0]
+    for _ in range(3):
+        g = [0, 0, 0]
+        for xi, yi in zip(x, y):
+            z = w[0] + sum(a * b for a, b in zip(xi, w[1:]))
+            hs = min(max(z + 2_000_000, 0), 4_000_000) // 4
+            err = hs - yi
+            g[0] += err
+            for j in range(2):
+                g[j + 1] += err * xi[j]
+        w = [w[j] - (g[j] // (2 * n)) for j in range(3)]
+
+    for nblocks in (1, 3):
+        ds = ray.data.from_arrow(
+            pa.table({"text": texts, "label": labels})) \
+            .repartition(nblocks)
+        out = cl.train_logistic(ds, "text", "label", "food", terms,
+                                iterations=3)
+        got = dict(zip(out["feature"].to_pylist(),
+                       out["weight_micro"].to_pylist()))
+        assert got["__bias__"] == w[0]
+        assert got["apple"] == w[1]
+        assert got["engine"] == w[2]
+
+
 def test_interval_facet_overlapping(ray_session):
     import pyarrow as pa
     import ray.data
