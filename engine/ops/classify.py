@@ -163,3 +163,101 @@ def train_logistic(ds: ray.data.Dataset, text_col: str, label_col: str,
         "feature": pa.array(["__bias__"] + list(terms)),
         "weight_micro": pa.array(w, type=pa.int64()),
     })
+
+
+def features_select(ds: ray.data.Dataset, text_col: str,
+                    label_col: str, pos_label: str,
+                    k: int = 10) -> pa.Table:
+    """``features``/FeaturesSelectionStream analog (upstream
+    ``SJ/stream/FeaturesSelectionStream.java`` [U]): rank dictionary
+    terms by how well doc-level presence predicts a binary label and
+    keep the top k. Conformance boundary (documented): the score is
+    the chi-squared statistic of the 2×2 presence/label contingency
+    table rather than upstream's information gain — both are standard
+    filter-method feature scores, and chi² has a single-division form
+    (exact integer numerator/denominator → one f64 divide) that
+    replays bit-exactly in SQL, where IG's log sums would not.
+
+    Shape: per-batch doc-level distinct (term, label) counts
+    pre-aggregated inside ``map_batches`` (the combiner), one
+    ``groupby(term)`` shuffle of the vocabulary-sized count table,
+    then the chi² ranking over that VOCAB-sized (not corpus-sized)
+    table driver-side in exact Python ints (bignum-safe for any
+    corpus; the count table is bounded by the dictionary)."""
+    def partial(b: pa.Table) -> pa.Table:
+        offs, flat = _flat_tokens(b[text_col])
+        doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        t = pa.table({"doc": pa.array(doc_of), "term": flat}) \
+            .group_by(["doc", "term"]).aggregate([])   # presence
+        pos = (b[label_col].to_numpy(zero_copy_only=False) == pos_label)
+        p = pos[t["doc"].to_numpy()]
+        out = pa.table({
+            "term": t["term"],
+            "n11": pa.array(p.astype(np.int64)),
+            "n10": pa.array((~p).astype(np.int64))})
+        return out.group_by("term") \
+            .aggregate([("n11", "sum"), ("n10", "sum")]) \
+            .rename_columns(["term", "n11", "n10"])
+
+    cnt = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                   .groupby("term").sum(["n11", "n10"]))
+    cnt = cnt.rename_columns(["term", "n11", "n10"])
+    lab = _collect(ds.groupby(label_col).count())
+    npos = nneg = 0
+    for c, n in zip(lab[label_col].to_pylist(),
+                    lab["count()"].to_pylist()):
+        if c == pos_label:
+            npos += n
+        else:
+            nneg += n
+    n_all = npos + nneg
+    rows = []
+    for term, n11, n10 in zip(cnt["term"].to_pylist(),
+                              cnt["n11"].to_pylist(),
+                              cnt["n10"].to_pylist()):
+        diff = n11 * (nneg - n10) - n10 * (npos - n11)
+        num = n_all * diff * diff
+        den = (n11 + n10) * (n_all - n11 - n10) * npos * nneg
+        chi2 = float(num) / float(den) if den else 0.0
+        rows.append((term, n11, n10, chi2))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:k]
+    return pa.table({
+        "term": pa.array([r[0] for r in rows]),
+        "n11": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n10": pa.array([r[2] for r in rows], type=pa.int64()),
+        "chi2": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+
+
+def logistic_classify(ds: ray.data.Dataset, text_col: str,
+                      id_cols: list[str], weights: pa.Table,
+                      ) -> ray.data.Dataset:
+    """``classify``/ClassifyStream analog over a trained logistic
+    model (upstream ``SJ/stream/ClassifyStream.java`` + ModelStream
+    [U]): apply broadcast weights to every doc in one vectorized
+    ``map_batches`` pass. Score ``z_micro`` is the exact integer
+    logit (1e-6 fixed point, bias first in ``weights``); ``pred`` is
+    hard-sigmoid(z) > 1/2  ⇔  z > 0."""
+    feats = weights["feature"].to_pylist()
+    wv = np.asarray(weights["weight_micro"].to_pylist(), dtype=np.int64)
+    assert feats[0] == "__bias__"
+    terms = feats[1:]
+    k = len(terms)
+
+    def f(b: pa.Table) -> pa.Table:
+        offs, flat = _flat_tokens(b[text_col])
+        nrows = len(offs) - 1
+        x = np.zeros((nrows, k), dtype=np.int64)
+        doc_of = np.repeat(np.arange(nrows), np.diff(offs))
+        idx = pc.index_in(flat, value_set=pa.array(terms)) \
+            .to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(idx)
+        x[doc_of[hit], idx[hit].astype(np.int64)] = 1
+        z = wv[0] + x @ wv[1:]
+        out = b.select(id_cols)
+        out = out.append_column("z_micro", pa.array(z, type=pa.int64()))
+        return out.append_column(
+            "pred", pa.array((z > 0).astype(np.int64)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -7014,19 +7014,20 @@ def train_logistic_docs(sf_dir: str) -> pa.Table:
                              iterations=3).sort_by("feature")
 
 
-def sql_train_logistic(iterations: int = 3) -> str:
-    """Unrolled exact replay of the integer GD: per-doc features once,
-    then (gradient-sum → weight-update) CTE pairs per iteration.
-    Python floor division is emulated with a mod-adjusted quotient
-    (DuckDB ``//`` truncates; ``%`` follows the dividend's sign)."""
+def _sql_logit_parts(iterations: int = 3) -> list[str]:
+    """Shared CTE chain replaying the integer GD exactly: per-doc
+    features once, then (gradient-sum → weight-update) CTE pairs per
+    iteration. Python floor division is emulated with a mod-adjusted
+    quotient (DuckDB ``//`` truncates; ``%`` follows the dividend's
+    sign)."""
     terms = LOGIT_TERMS
     k = len(terms)
     xs = ", ".join(f"list_contains(toks, '{t}')::BIGINT AS x{j + 1}"
                    for j, t in enumerate(terms))
     parts = [
-        f"WITH base AS (SELECT (CASE WHEN lang = 'en' THEN 1000000 "
-        f"ELSE 0 END)::BIGINT AS y, {xs} FROM "
-        f"(SELECT {_SQL_TOKS} AS toks, lang FROM documents))",
+        f"WITH base AS (SELECT doc_id, (CASE WHEN lang = 'en' THEN "
+        f"1000000 ELSE 0 END)::BIGINT AS y, {xs} FROM "
+        f"(SELECT doc_id, {_SQL_TOKS} AS toks, lang FROM documents))",
         "nn AS (SELECT COUNT(*)::BIGINT AS n FROM base)",
         "w0 AS (SELECT " + ", ".join(f"0::BIGINT AS w{j}"
                                      for j in range(k + 1)) + ")",
@@ -7051,12 +7052,82 @@ def sql_train_logistic(iterations: int = 3) -> str:
             for j in range(k + 1))
         parts.append(f"w{i} AS (SELECT {ws} FROM w{i - 1} w "
                      f"CROSS JOIN g{i} g CROSS JOIN nn)")
+    return parts
+
+
+def sql_train_logistic(iterations: int = 3) -> str:
+    terms = LOGIT_TERMS
     final = " UNION ALL ".join(
         [f"SELECT '__bias__' AS feature, w0 AS weight_micro "
          f"FROM w{iterations}"]
         + [f"SELECT '{t}', w{j + 1} FROM w{iterations}"
            for j, t in enumerate(terms)])
-    return ",\n".join(parts) + f"\n{final} ORDER BY feature"
+    return ",\n".join(_sql_logit_parts(iterations)) \
+        + f"\n{final} ORDER BY feature"
+
+
+def logit_classify_docs(sf_dir: str) -> pa.Table:
+    """``classify`` over a ``train``-ed model (upstream
+    ``SJ/stream/ClassifyStream.java`` reading a ModelStream [U]):
+    train the integer-GD logistic model, then score every doc with
+    the broadcast weights in one vectorized pass. ``z_micro`` is the
+    exact integer logit, ``pred`` = 1 iff z > 0."""
+    from engine.ops import classify as cl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    w = cl.train_logistic(ds, "text", "lang", "en", LOGIT_TERMS,
+                          iterations=3)
+    out = cl.logistic_classify(ds, "text", ["doc_id"], w)
+    return _to_table(out).sort_by("doc_id")
+
+
+def sql_logit_classify(iterations: int = 3) -> str:
+    k = len(LOGIT_TERMS)
+    z = " + ".join(["w.w0"] + [f"b.x{j} * w.w{j}"
+                               for j in range(1, k + 1)])
+    return (",\n".join(_sql_logit_parts(iterations))
+            + f"\nSELECT b.doc_id, ({z})::BIGINT AS z_micro, "
+              f"(CASE WHEN {z} > 0 THEN 1 ELSE 0 END)::BIGINT AS pred "
+              f"FROM base b CROSS JOIN w{iterations} w "
+              f"ORDER BY b.doc_id")
+
+
+def features_select_docs(sf_dir: str) -> pa.Table:
+    """``features``/FeaturesSelectionStream (upstream
+    ``SJ/stream/FeaturesSelectionStream.java`` [U]): top-10 dictionary
+    terms whose doc-level presence best predicts lang='en', scored by
+    the chi-squared statistic (documented conformance boundary vs
+    upstream's information gain — see ``engine/ops/classify.py``);
+    exact integer num/den → one f64 divide, bit-exact in SQL."""
+    from engine.ops import classify as cl
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    return cl.features_select(ds, "text", "lang", "en", k=10)
+
+
+SQL_FEATURES_SELECT = f"""
+WITH d AS (SELECT (lang = 'en') AS pos, {_SQL_TOKS} AS toks
+           FROM documents),
+tot AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END)::HUGEINT AS npos,
+               SUM(CASE WHEN pos THEN 0 ELSE 1 END)::HUGEINT AS nneg
+        FROM d),
+pres AS (SELECT pos, unnest(list_distinct(toks)) AS term FROM d),
+cnt AS (SELECT term,
+               SUM(CASE WHEN pos THEN 1 ELSE 0 END)::HUGEINT AS n11,
+               SUM(CASE WHEN pos THEN 0 ELSE 1 END)::HUGEINT AS n10
+        FROM pres GROUP BY term),
+sc AS (SELECT term, n11, n10,
+              (npos + nneg)
+              * (n11 * (nneg - n10) - n10 * (npos - n11))
+              * (n11 * (nneg - n10) - n10 * (npos - n11)) AS num,
+              (n11 + n10) * (npos + nneg - n11 - n10) * npos * nneg
+                AS den
+       FROM cnt CROSS JOIN tot)
+SELECT term, n11::BIGINT AS n11, n10::BIGINT AS n10,
+       CASE WHEN den = 0 THEN 0.0
+            ELSE num::DOUBLE / den::DOUBLE END AS chi2
+FROM sc ORDER BY chi2 DESC, term LIMIT 10
+"""
 
 
 def queries() -> dict:
@@ -7249,6 +7320,8 @@ def queries() -> dict:
         "sharded_stats_docs": sharded_stats_docs,
         "sharded_group_topk": sharded_group_topk,
         "train_logistic_docs": train_logistic_docs,
+        "logit_classify_docs": logit_classify_docs,
+        "features_select_docs": features_select_docs,
     }
 
 
@@ -7439,6 +7512,8 @@ def oracle_sql() -> dict:
         "sharded_stats_docs": SQL_SEARCH_STATS,
         "sharded_group_topk": sql_blockjoin(),
         "train_logistic_docs": sql_train_logistic(),
+        "logit_classify_docs": sql_logit_classify(),
+        "features_select_docs": SQL_FEATURES_SELECT,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

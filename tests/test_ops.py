@@ -484,6 +484,42 @@ def test_train_logistic_matches_reference(ray_session):
         assert got["engine"] == w[2]
 
 
+def test_features_select_and_logit_classify(ray_session):
+    """chi² feature selection picks the perfectly-separating terms
+    first, and the trained logistic model's predictions agree with
+    sign(z) computed from its own returned weights."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import classify as cl
+
+    texts = ["apple banana", "apple fruit", "apple pie", "apple tart",
+             "motor wheel", "motor engine", "motor oil", "motor brake",
+             "shared word", "shared word"]
+    labels = ["food"] * 4 + ["car"] * 4 + ["food", "car"]
+    ds = ray.data.from_arrow(pa.table({"text": texts, "label": labels,
+                                       "doc_id": list(range(10))}))
+
+    top = cl.features_select(ds, "text", "label", "food", k=3)
+    terms = top["term"].to_pylist()
+    # apple (4 pos / 0 neg) and motor (0 pos / 4 neg) dominate
+    assert set(terms[:2]) == {"apple", "motor"}
+    assert top["chi2"].to_pylist()[0] > top["chi2"].to_pylist()[2]
+
+    w = cl.train_logistic(ds, "text", "label", "food",
+                          ["apple", "motor"], iterations=3)
+    out = cl.logistic_classify(ds, "text", ["doc_id"], w) \
+        .take_all()
+    wd = dict(zip(w["feature"].to_pylist(),
+                  w["weight_micro"].to_pylist()))
+    for r in out:
+        xs = [1 if t in texts[r["doc_id"]].split() else 0
+              for t in ["apple", "motor"]]
+        z = wd["__bias__"] + xs[0] * wd["apple"] + xs[1] * wd["motor"]
+        assert r["z_micro"] == z
+        assert r["pred"] == (1 if z > 0 else 0)
+
+
 def test_interval_facet_overlapping(ray_session):
     import pyarrow as pa
     import ray.data
