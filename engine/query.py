@@ -1114,6 +1114,125 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def span_near_or_topk(self, clauses: list[list[str]], slop: int,
+                          k: int = 10) -> pa.Table:
+        """Ordered SpanNear over SpanOr clauses — the
+        SpanMultiTermQueryWrapper path (upstream
+        ``L/search/spans/SpanMultiTermQueryWrapper.java`` rewrites a
+        wildcard/prefix to a SpanOr, which SpanNear then consumes
+        [U]). Each clause is a list of alternative terms; its position
+        stream is the merged union of the member terms' positions.
+        Match/freq semantics and the chain DP are exactly
+        :meth:`span_near_topk`'s (documented conformance boundary);
+        the combined weight sums every member term's f32 idf
+        clause-major, term-asc within a clause, in f64 left-to-right
+        (SpanWeight builds one SimWeight over all rewritten terms)."""
+        if len(clauses) < 2:
+            raise ValueError("span_near needs >= 2 clauses")
+        clauses = [sorted(set(c)) for c in clauses]
+        all_terms = sorted({t for c in clauses for t in c})
+        subs = self.lookup(all_terms)
+        live = [[t for t in c if subs[t]] for c in clauses]
+        if any(not c for c in live):
+            return _topdocs_table([], [])
+        rows = {t: self._lookup_positions(t)
+                for c in live for t in c}
+        max_pos = 0
+        for rr in rows.values():
+            for _, _, _, fp in rr:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        SHIFT = np.int64(1 << 21)
+        while int(SHIFT) <= max_pos + slop + 2:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
+            raise OverflowError("span_near key space overflow")
+
+        def keys_of(termlist):
+            parts, norm = [], {}
+            for t in termlist:
+                for docs, tfs, norms, fp in rows[t]:
+                    parts.append(np.repeat(docs, tfs) * SHIFT + fp)
+                    for d, nb in zip(docs, norms):
+                        norm[int(d)] = int(nb)
+            keys = (np.sort(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64))
+            return keys, norm
+
+        prev_keys, _ = keys_of(live[0])
+        prev_cnt = np.ones(len(prev_keys), dtype=np.int64)
+        last_norm: dict = {}
+        for c in live[1:]:
+            cur_keys, last_norm = keys_of(c)
+            cum = np.concatenate(([0], np.cumsum(prev_cnt)))
+            lo = np.searchsorted(prev_keys, cur_keys - (slop + 1),
+                                 side="left")
+            hi = np.searchsorted(prev_keys, cur_keys, side="left")
+            prev_cnt = cum[hi] - cum[lo]
+            prev_keys = cur_keys
+        m = prev_cnt > 0
+        if not m.any():
+            return _topdocs_table([], [])
+        docs = (prev_keys[m] // SHIFT).astype(np.int64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        freq = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(freq, inv, prev_cnt[m])
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, freq = uniq[keep], freq[keep]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        w64 = 0.0
+        for c in live:
+            for t in c:
+                w64 = w64 + float(idf(self.N, self.global_df(subs[t])))
+        norms = np.array([last_norm[int(d)] for d in uniq],
+                         dtype=np.uint8)
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
+    def covering_topk(self, terms: list[str], mod: int = 3,
+                      k: int = 10) -> pa.Table:
+        """CoveringQuery (upstream ``L/queries/CoveringQuery.java``
+        [U]): a disjunction whose minimumNumberMatch is a PER-DOC
+        value from a LongValuesSource — here ``1 + (doc_id % mod)``,
+        the doc-value expression the oracle inlines. A doc matches iff
+        it matches at least that many clauses; the score is the SHOULD
+        sum of the matching clauses' BM25 scores (f64 accumulation,
+        one f32 cast — the BooleanQuery law)."""
+        terms = sorted(set(terms))
+        subs = self.lookup(terms)
+        clause = {t: self._clause_arrays(t, subs[t])
+                  for t in terms if subs[t]}
+        if not clause:
+            return _topdocs_table([], [])
+        cand = np.unique(np.concatenate(
+            [c[0] for c in clause.values()]))
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        if not len(cand):
+            return _topdocs_table([], [])
+        score64 = np.zeros(len(cand), dtype=np.float64)
+        nmatch = np.zeros(len(cand), dtype=np.int64)
+        for t in sorted(clause):
+            docs, tfs, norms = clause[t]
+            w = idf(self.N, len(docs))
+            sc = _clause_scores(tfs, norms, w, self.cache)
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            score64[hit] += sc[idx[hit]].astype(np.float64)
+            nmatch[hit] += 1
+        mm = 1 + (cand % mod)
+        m = nmatch >= mm
+        if not m.any():
+            return _topdocs_table([], [])
+        cand, final = cand[m], score64[m].astype(np.float32)
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order],
+                              total=int(m.sum()))
+
     def interval_topk(self, t1: str, t2: str, t3: str, maxgaps: int,
                       k: int = 10) -> pa.Table:
         """Three-term ordered IntervalQuery with a TOTAL-gap budget

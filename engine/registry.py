@@ -7130,6 +7130,242 @@ FROM sc ORDER BY chi2 DESC, term LIMIT 10
 """
 
 
+# ---------------- drill-sideways faceting (lucene/facet)
+
+DRILL_TERM = "merge"
+DRILL_DOWN = {"lang": "en", "source": "src1"}
+
+
+def drill_sideways_docs(sf_dir: str) -> pa.Table:
+    """DrillSideways (upstream ``lucene/facet/.../DrillSideways.java``
+    [U]): base query ``text:{DRILL_TERM}`` drilled down on lang=en AND
+    source=src1; each dimension's facet counts are computed with every
+    OTHER dimension's filter applied (so the sideways counts show the
+    "near misses" a user could pivot to), plus the fully-drilled hit
+    count. One streaming pass: base docset from the postings broadcast
+    once, per-batch vectorized masks + pre-aggregated (dim, value)
+    partial counts, one tiny groupby merge."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    subs = r.lookup([DRILL_TERM])
+    docs = (r._clause_arrays(DRILL_TERM, subs[DRILL_TERM])[0]
+            if subs[DRILL_TERM] else np.empty(0, np.int64))
+    dref = ray.put(np.sort(docs))
+    dims = list(DRILL_DOWN)
+    ds = _read(sf_dir, "documents", ["doc_id"] + dims)
+
+    def partial(b: pa.Table) -> pa.Table:
+        base = np.isin(b["doc_id"].to_numpy(), ray.get(dref),
+                       assume_unique=True)
+        masks = {d: (pc.equal(b[d], DRILL_DOWN[d])
+                     .to_numpy(zero_copy_only=False)) for d in dims}
+        out_dim, out_val, out_n = [], [], []
+        for d in dims:
+            m = base.copy()
+            for o in dims:
+                if o != d:
+                    m &= masks[o]
+            vals = b[d].filter(pa.array(m))
+            g = pa.table({"v": vals}).group_by("v") \
+                .aggregate([([], "count_all")])
+            out_dim.extend([d] * g.num_rows)
+            out_val.extend(g["v"].to_pylist())
+            out_n.extend(g["count_all"].to_pylist())
+        hits = base
+        for d in dims:
+            hits = hits & masks[d]
+        out_dim.append("__hits__")
+        out_val.append("")
+        out_n.append(int(hits.sum()))
+        return pa.table({"dim": pa.array(out_dim),
+                         "value": pa.array(out_val, type=pa.string()),
+                         "n": pa.array(out_n, type=pa.int64())})
+
+    t = _to_table(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["dim", "value"]).sum("n"))
+    t = _rename(t, {"sum(n)": "n"})
+    return _cast_col(t, "n", pa.int64()).sort_by(
+        [("dim", "ascending"), ("value", "ascending")])
+
+
+SQL_DRILL_SIDEWAYS = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{DRILL_TERM}')
+SELECT * FROM (
+  SELECT '__hits__' AS dim, '' AS value, COUNT(*)::BIGINT AS n
+  FROM documents d JOIN m USING (doc_id)
+  WHERE d.lang = 'en' AND d.source = 'src1'
+  UNION ALL
+  SELECT 'lang', d.lang, COUNT(*)::BIGINT
+  FROM documents d JOIN m USING (doc_id)
+  WHERE d.source = 'src1' GROUP BY d.lang
+  UNION ALL
+  SELECT 'source', d.source, COUNT(*)::BIGINT
+  FROM documents d JOIN m USING (doc_id)
+  WHERE d.lang = 'en' GROUP BY d.source)
+ORDER BY dim, value
+"""
+
+
+# ---------------- SpanMultiTermQueryWrapper (span over a wildcard)
+
+SPANMT_PREFIX, SPANMT_TERM, SPANMT_SLOP = "sp", "window", 3
+
+
+def span_multiterm_near_topk(sf_dir: str) -> pa.Table:
+    """SpanNear([SpanMultiTermQueryWrapper(prefix:{SPANMT_PREFIX}*),
+    term:{SPANMT_TERM}], slop={SPANMT_SLOP}, ordered) — the wrapper
+    rewrites the prefix against the index dictionary to a SpanOr whose
+    merged position stream feeds the near chain (see
+    ``IndexReader.span_near_or_topk``)."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    exp = r.expand_prefix(SPANMT_PREFIX)
+    return _topdocs_out(r.span_near_or_topk(
+        [exp, [SPANMT_TERM]], slop=SPANMT_SLOP, k=10))
+
+
+def sql_span_multiterm_near() -> str:
+    g = SPANMT_SLOP + 1
+    idf_y = (f"(SELECT CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))"
+             f" AS FLOAT)::DOUBLE FROM (SELECT COUNT(DISTINCT doc_id)"
+             f"::DOUBLE AS df FROM tf WHERE term = '{SPANMT_TERM}') d"
+             f" CROSS JOIN stats s)")
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+edf AS (
+  SELECT term AS tok, COUNT(DISTINCT doc_id)::DOUBLE AS df
+  FROM tf WHERE term LIKE '{SPANMT_PREFIX}%' GROUP BY term),
+w1 AS (
+  SELECT list_reduce(
+           list(CAST(ln(1 + (s.n - edf.df + 0.5) / (edf.df + 0.5))
+                  AS FLOAT)::DOUBLE ORDER BY edf.tok),
+           (a, b) -> a + b) AS w
+  FROM edf CROSS JOIN stats s),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id
+             AND b.p - a.p BETWEEN 1 AND {g}
+             AND b.tok = '{SPANMT_TERM}'
+  WHERE a.tok LIKE '{SPANMT_PREFIX}%' GROUP BY a.doc_id),
+w AS (SELECT CAST(w1.w + {idf_y} AS FLOAT) AS w FROM w1),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------- CoveringQuery (per-doc minimumNumberMatch)
+
+COVER_TERMS = ["spark", "merge", "window"]
+COVER_MOD = 3
+
+
+def covering_topk_docs(sf_dir: str) -> pa.Table:
+    """CoveringQuery over {COVER_TERMS}: minimumNumberMatch is the
+    per-doc value ``1 + (doc_id % {COVER_MOD})`` — see
+    ``IndexReader.covering_topk``."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.covering_topk(COVER_TERMS, mod=COVER_MOD,
+                                        k=10))
+
+
+def sql_covering() -> str:
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in sorted(COVER_TERMS)) + "]) AS term"
+    return f"""{_sql_scored(terms_sql)},
+cov AS (SELECT doc_id, COUNT(*)::BIGINT AS m
+        FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) - 1)
+         ::BIGINT AS rank,
+       s.doc_id, s.score
+FROM scored s JOIN cov USING (doc_id)
+WHERE cov.m >= 1 + (s.doc_id % {COVER_MOD})
+ORDER BY s.score DESC, s.doc_id LIMIT 10
+"""
+
+
+# ---------------- DistanceFeatureQuery (recency/proximity boost)
+
+DISTF_TERM, DISTF_ORIGIN = "spark", 2000
+DISTF_PIVOT, DISTF_WEIGHT = 500.0, 2.0
+
+
+def distance_feature_topk(sf_dir: str) -> pa.Table:
+    """DistanceFeatureQuery (upstream
+    ``L/document/LongPoint#newDistanceFeatureQuery`` /
+    ``LongDistanceFeatureQuery`` [U]): the standard recency/proximity
+    boost — MUST text:{DISTF_TERM} SHOULD distancefeature(n_chars,
+    origin={DISTF_ORIGIN}, pivot={DISTF_PIVOT}, weight={DISTF_WEIGHT}).
+    Clause score = f32(weight * pivot / (pivot + |value - origin|))
+    exactly as upstream's DistanceScorer computes it (double ratio,
+    one f32 cast), summed with the f32 BM25 score in double and cast
+    once — bit-exact in SQL. The candidate docset + scores are
+    broadcast once; the doc-value pass streams with per-block partial
+    top-k."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    m = r.match_scores(DISTF_TERM)
+    ids = m["doc_id"].to_numpy()
+    order = np.argsort(ids)
+    cref = ray.put((ids[order],
+                    m["score"].to_numpy().astype(np.float32)[order]))
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def f(b: pa.Table) -> pa.Table:
+        cids, csc = ray.get(cref)
+        d = b["doc_id"].to_numpy()
+        pos = np.searchsorted(cids, d)
+        pos = np.minimum(pos, max(len(cids) - 1, 0))
+        hit = len(cids) > 0 and (cids[pos] == d)
+        if not np.any(hit):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float32())})
+        dist = np.abs(b["n_chars"].to_numpy()[hit]
+                      - DISTF_ORIGIN).astype(np.float64)
+        df32 = (DISTF_WEIGHT * (DISTF_PIVOT / (DISTF_PIVOT + dist))) \
+            .astype(np.float32)
+        fs = (csc[pos[hit]].astype(np.float64)
+              + df32.astype(np.float64)).astype(np.float32)
+        return pa.table({"doc_id": pa.array(d[hit], type=pa.int64()),
+                         "score": pa.array(fs, type=pa.float32())})
+
+    top = _to_table(rel.top_k(ds.map_batches(f, batch_format="pyarrow"),
+                              [("score", True), ("doc_id", False)], 10))
+    return pa.table({
+        "rank": pa.array(np.arange(top.num_rows, dtype=np.int64)),
+        "doc_id": top["doc_id"].cast(pa.int64()),
+        "score": top["score"]})
+
+
+def sql_distance_feature() -> str:
+    return f"""{_sql_scored(f"SELECT '{DISTF_TERM}' AS term")}
+SELECT (ROW_NUMBER() OVER (ORDER BY fs DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, fs AS score
+FROM (
+  SELECT s.doc_id,
+    CAST(s.score::DOUBLE +
+         CAST({DISTF_WEIGHT} * ({DISTF_PIVOT} /
+              ({DISTF_PIVOT} + abs(d.n_chars - {DISTF_ORIGIN})::DOUBLE))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS fs
+  FROM scored s JOIN documents d USING (doc_id))
+ORDER BY fs DESC, doc_id LIMIT 10
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -7322,6 +7558,10 @@ def queries() -> dict:
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
+        "drill_sideways_docs": drill_sideways_docs,
+        "distance_feature_topk": distance_feature_topk,
+        "span_multiterm_near_topk": span_multiterm_near_topk,
+        "covering_topk_docs": covering_topk_docs,
     }
 
 
@@ -7514,6 +7754,10 @@ def oracle_sql() -> dict:
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,
+        "drill_sideways_docs": SQL_DRILL_SIDEWAYS,
+        "distance_feature_topk": sql_distance_feature(),
+        "span_multiterm_near_topk": sql_span_multiterm_near(),
+        "covering_topk_docs": sql_covering(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
