@@ -7267,6 +7267,101 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# ---------------- bloom postings / real-time get / path hierarchy
+
+BLOOM_PROBES = ["spark", "merge", "window", "zzqx", "notaterm",
+                "sparkle", "join", "0", "batchh"]
+
+
+def bloom_terms_exist(sf_dir: str) -> pa.Table:
+    """BloomFilteringPostingsFormat analog (upstream
+    ``lucene/codecs/bloom`` FuzzySet [U]): md5-double-hash bloom built
+    over the term dictionary; ``terms_exist`` short-circuits misses
+    through the bitset and verifies positives against the sorted
+    dictionary, so the combined answer is exact (the oracle is plain
+    dictionary membership). See ``engine/bloom.py``."""
+    from engine.bloom import TermBloom, terms_exist
+
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    vocab = np.array(r.vocabulary(), dtype=object)
+    bl = TermBloom(len(vocab))
+    bl.add_batch(vocab)
+    ex = terms_exist(bl, vocab, BLOOM_PROBES)
+    t = pa.table({"term": pa.array(BLOOM_PROBES),
+                  "present": pa.array(ex.astype(np.int64))})
+    return t.sort_by("term")
+
+
+SQL_BLOOM_EXIST = f"""
+WITH probes AS (SELECT unnest([{", ".join(
+    repr(p) for p in BLOOM_PROBES)}]) AS term),
+dict AS (SELECT DISTINCT term FROM
+         (SELECT unnest({_SQL_TOKS}) AS term FROM documents))
+SELECT p.term,
+       (CASE WHEN d.term IS NULL THEN 0 ELSE 1 END)::BIGINT AS present
+FROM probes p LEFT JOIN dict d USING (term)
+ORDER BY p.term
+"""
+
+
+RTG_IDS = [5, 17, 23, 123456789]
+
+
+def realtime_get_docs(sf_dir: str) -> pa.Table:
+    """RealTimeGet ``/get`` (upstream
+    ``S/handler/RealTimeGetHandler`` [U]): fetch stored fields by
+    unique key with NO search — manifest (min, max) bounds bisect +
+    Parquet row-group pruning on the sorted doc_id, exactly the
+    two-phase fetch path. Missing ids are absent from the response,
+    as upstream omits unknown ids."""
+    from engine.build import build_stored_fields
+
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    build_stored_fields(idx)   # no-op once built (manifest-guarded)
+    r = IndexReader(idx)
+    return r.fetch_docs(np.array(RTG_IDS, dtype=np.int64))
+
+
+SQL_RTG = f"""
+SELECT doc_id, text FROM documents
+WHERE doc_id IN ({", ".join(str(i) for i in RTG_IDS)})
+ORDER BY doc_id
+"""
+
+
+def path_hierarchy_stats(sf_dir: str) -> pa.Table:
+    """PathHierarchyTokenizer (upstream
+    ``lucene/analysis/common/.../path/PathHierarchyTokenizer.java``
+    [U]): each value emits every ancestor prefix — over the derived
+    facet path ``lang/source`` the tokens are ``lang`` and
+    ``lang/source``. One vectorized pass (arrow binary_join), partial
+    counts per batch, tiny groupby merge; df = docs carrying the
+    token (each doc emits each prefix once)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def f(b: pa.Table) -> pa.Table:
+        lvl1 = b["lang"]
+        lvl2 = pc.binary_join_element_wise(b["lang"], b["source"], "/")
+        t = pa.table({"token": pa.concat_arrays(
+            [lvl1.combine_chunks(), lvl2.combine_chunks()])})
+        g = t.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "df"])
+
+    t = _to_table(ds.map_batches(f, batch_format="pyarrow")
+                  .groupby("token").sum("df"))
+    t = _rename(t, {"sum(df)": "df"})
+    return _cast_col(t, "df", pa.int64()).sort_by("token")
+
+
+SQL_PATH_HIERARCHY = """
+SELECT token, COUNT(*)::BIGINT AS df FROM (
+  SELECT lang AS token FROM documents
+  UNION ALL
+  SELECT lang || '/' || source FROM documents)
+GROUP BY token ORDER BY token
+"""
+
+
 # ---------------- CoveringQuery (per-doc minimumNumberMatch)
 
 COVER_TERMS = ["spark", "merge", "window"]
@@ -7562,6 +7657,9 @@ def queries() -> dict:
         "distance_feature_topk": distance_feature_topk,
         "span_multiterm_near_topk": span_multiterm_near_topk,
         "covering_topk_docs": covering_topk_docs,
+        "bloom_terms_exist": bloom_terms_exist,
+        "realtime_get_docs": realtime_get_docs,
+        "path_hierarchy_stats": path_hierarchy_stats,
     }
 
 
@@ -7758,6 +7856,9 @@ def oracle_sql() -> dict:
         "distance_feature_topk": sql_distance_feature(),
         "span_multiterm_near_topk": sql_span_multiterm_near(),
         "covering_topk_docs": sql_covering(),
+        "bloom_terms_exist": SQL_BLOOM_EXIST,
+        "realtime_get_docs": SQL_RTG,
+        "path_hierarchy_stats": SQL_PATH_HIERARCHY,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
