@@ -1,0 +1,141 @@
+"""Registered-query monitor — "reverse search" / percolation.
+
+Analog of upstream ``lucene/monitor`` (formerly Luwak,
+``monitor/src/java/org/apache/lucene/monitor/Monitor.java`` [U]): a
+set of saved queries is registered ONCE; a stream of incoming
+documents is matched against all of them, emitting (doc, query)
+alert pairs. Upstream builds a *presearcher* index over the queries'
+terms so each doc only runs the few queries whose terms it contains;
+the same idea here is a term → query adjacency (CSR over the query
+term dictionary) probed with one vectorized ``index_in`` per batch —
+no per-(doc, query) Python loop, and the compiled query set is
+broadcast once via ``ray.put`` (never re-shipped per batch).
+
+Supported query kinds (each with exact SQL-replayable semantics):
+``term`` (single term present), ``and`` (all terms present, doc-level
+presence), ``phrase`` (two terms at adjacent positions, in order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from engine.ops.textstats import _flat_tokens
+
+
+def compile_queries(queries: list[dict]) -> dict:
+    """Compile the registered set: a term dictionary, the term→query
+    CSR for AND presence counting, and the phrase pair list."""
+    qids, kinds = [], []
+    and_term_q, and_term_t = [], []      # (query slot, term) pairs
+    and_need = []
+    phrases = []                          # (slot, t1, t2)
+    terms: set[str] = set()
+    for q in queries:
+        slot = len(qids)
+        qids.append(q["id"])
+        kinds.append(q["kind"])
+        if q["kind"] == "term":
+            and_term_q.append(slot)
+            and_term_t.append(q["terms"][0])
+            and_need.append(1)
+            terms.add(q["terms"][0])
+        elif q["kind"] == "and":
+            for t in sorted(set(q["terms"])):
+                and_term_q.append(slot)
+                and_term_t.append(t)
+            and_need.append(len(set(q["terms"])))
+            terms.update(q["terms"])
+        elif q["kind"] == "phrase":
+            t1, t2 = q["terms"]
+            phrases.append((slot, t1, t2))
+            and_need.append(0)
+            terms.update(q["terms"])
+        else:
+            raise ValueError(f"unknown query kind {q['kind']!r}")
+    dict_terms = sorted(terms)
+    tix = {t: i for i, t in enumerate(dict_terms)}
+    # term → [query slot] adjacency, CSR by term index
+    pairs = sorted((tix[t], s) for s, t in zip(and_term_q, and_term_t))
+    adj_t = np.array([p[0] for p in pairs], dtype=np.int64)
+    adj_q = np.array([p[1] for p in pairs], dtype=np.int64)
+    starts = np.searchsorted(adj_t, np.arange(len(dict_terms) + 1))
+    return {
+        "qids": np.array(qids, dtype=object),
+        "dict": pa.array(dict_terms),
+        "adj_q": adj_q, "starts": starts,
+        "need": np.array(and_need, dtype=np.int64),
+        "phrases": [(s, tix[a], tix[b]) for s, a, b in phrases],
+        "nq": len(qids),
+    }
+
+
+def monitor_match(ds: ray.data.Dataset, text_col: str, id_col: str,
+                  queries: list[dict]) -> ray.data.Dataset:
+    """Match every doc against the registered query set; returns
+    (id_col, query_id) pairs. One streaming pass; per-batch work is
+    pure numpy over token indices."""
+    cq_ref = ray.put(compile_queries(queries))
+
+    def f(b: pa.Table) -> pa.Table:
+        cq = ray.get(cq_ref)
+        offs, flat = _flat_tokens(b[text_col])
+        nrows = len(offs) - 1
+        doc_of = np.repeat(np.arange(nrows), np.diff(offs))
+        tid = pc.index_in(flat, value_set=cq["dict"]) \
+            .to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        out_d, out_q = [], []
+        nq = cq["nq"]
+
+        hit = ~np.isnan(tid)
+        hd, ht = doc_of[hit], tid[hit].astype(np.int64)
+        if len(hd):
+            # doc-level presence, deduped: one (doc, term) row each
+            nt = len(cq["dict"])
+            pres = np.unique(hd * nt + ht)
+            pd_, pt = pres // nt, pres % nt
+            # expand term → query slots (presearcher fan-out)
+            cnt = (cq["starts"][pt + 1] - cq["starts"][pt])
+            rd = np.repeat(pd_, cnt)
+            base = np.repeat(cq["starts"][pt], cnt)
+            step = np.arange(len(rd)) - np.repeat(
+                np.concatenate(([0], np.cumsum(cnt)))[:-1], cnt)
+            rq = cq["adj_q"][base + step]
+            # count distinct present required terms per (doc, query)
+            key, kcnt = np.unique(rd * nq + rq, return_counts=True)
+            kd, kq = key // nq, key % nq
+            ok = kcnt >= cq["need"][kq]
+            out_d.append(kd[ok])
+            out_q.append(kq[ok])
+
+        if cq["phrases"] and len(hd):
+            # adjacency: consecutive tokens in the same doc
+            tid_full = np.where(np.isnan(tid), -1,
+                                np.nan_to_num(tid)).astype(np.int64)
+            same_doc = doc_of[1:] == doc_of[:-1]
+            a, bb = tid_full[:-1], tid_full[1:]
+            dd = doc_of[:-1]
+            for slot, t1, t2 in cq["phrases"]:
+                m = same_doc & (a == t1) & (bb == t2)
+                if m.any():
+                    out_d.append(np.unique(dd[m]))
+                    out_q.append(np.full(len(np.unique(dd[m])), slot,
+                                         dtype=np.int64))
+
+        if not out_d:
+            return pa.table({
+                id_col: pa.array([], type=b[id_col].type),
+                "query_id": pa.array([], type=pa.string())})
+        alld = np.concatenate(out_d)
+        allq = np.concatenate(out_q)
+        return pa.table({
+            id_col: pa.array(ids[alld]).cast(b[id_col].type),
+            "query_id": pa.array(cq["qids"][allq].astype(str))})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -2000,6 +2000,21 @@ class IndexReader:
                 # BooleanSimilarity: each matching clause contributes
                 # exactly the query boost (1.0f); tf/norms ignored.
                 sc = np.ones(len(docs), dtype=np.float32)
+            elif similarity == "sweetspot":
+                # SweetSpotSimilarity (upstream ``misc/.../
+                # SweetSpotSimilarity.java`` [U]): ClassicSimilarity
+                # with the plateau lengthNorm — docs whose length
+                # falls inside [ln_min, ln_max] norm to 1.0, outside
+                # decays 1/sqrt(steepness*(|l-min|+|l-max|-(max-min))
+                # + 1). Params here: min=4, max=20, steepness=0.5
+                # over the SmallFloat-decoded length.
+                idf_c = float(np.float32(1.0 + np.log(self.N / (df + 1.0))))
+                sqrt_tf = np.sqrt(tfs).astype(np.float32).astype(np.float64)
+                ll = dlq[norms]
+                nl = (1.0 / np.sqrt(
+                    0.5 * (np.abs(ll - 4.0) + np.abs(ll - 20.0) - 16.0)
+                    + 1.0)).astype(np.float32).astype(np.float64)
+                sc = (sqrt_tf * (idf_c * idf_c) * nl).astype(np.float32)
             else:
                 raise ValueError(f"unknown similarity {similarity!r}")
             clauses.append((docs, sc))

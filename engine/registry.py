@@ -2872,6 +2872,45 @@ def boolean_sim_topk(sf_dir: str) -> pa.Table:
         r.similarity_topk(BJ_QUERY, k=10, similarity="boolean"))
 
 
+def sweetspot_sim_topk(sf_dir: str) -> pa.Table:
+    """SweetSpotSimilarity (upstream ``lucene/misc/.../
+    SweetSpotSimilarity.java`` [U]): ClassicSimilarity with the
+    plateau lengthNorm (min=4, max=20, steepness=0.5) — lengths
+    inside the sweet spot norm to 1.0 instead of 1/sqrt(len)."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(
+        r.similarity_topk(BJ_QUERY, k=10, similarity="sweetspot"))
+
+
+def sql_sweetspot_sim() -> str:
+    return f"""{_bm25_ctes()},
+qterms AS ({_sql_sim_qterms()}),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(
+      CAST(sqrt(tf.tf) AS FLOAT)::DOUBLE
+      * (CAST(1 + ln(s.n / (d.df + 1)) AS FLOAT)::DOUBLE
+         * CAST(1 + ln(s.n / (d.df + 1)) AS FLOAT)::DOUBLE)
+      * CAST(1 / sqrt(0.5 * (abs(dl.dlq - 4) + abs(dl.dlq - 20) - 16)
+                      + 1) AS FLOAT)::DOUBLE
+    AS FLOAT) AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def _sql_sim_qterms() -> str:
     return "SELECT unnest([" + ",".join(
         f"'{t}'" for t in BJ_QUERY.split()) + "]) AS term"
@@ -7304,31 +7343,6 @@ ORDER BY p.term
 """
 
 
-RTG_IDS = [5, 17, 23, 123456789]
-
-
-def realtime_get_docs(sf_dir: str) -> pa.Table:
-    """RealTimeGet ``/get`` (upstream
-    ``S/handler/RealTimeGetHandler`` [U]): fetch stored fields by
-    unique key with NO search — manifest (min, max) bounds bisect +
-    Parquet row-group pruning on the sorted doc_id, exactly the
-    two-phase fetch path. Missing ids are absent from the response,
-    as upstream omits unknown ids."""
-    from engine.build import build_stored_fields
-
-    idx = cached_doc_index(sf_dir, analyzed=False)
-    build_stored_fields(idx)   # no-op once built (manifest-guarded)
-    r = IndexReader(idx)
-    return r.fetch_docs(np.array(RTG_IDS, dtype=np.int64))
-
-
-SQL_RTG = f"""
-SELECT doc_id, text FROM documents
-WHERE doc_id IN ({", ".join(str(i) for i in RTG_IDS)})
-ORDER BY doc_id
-"""
-
-
 def path_hierarchy_stats(sf_dir: str) -> pa.Table:
     """PathHierarchyTokenizer (upstream
     ``lucene/analysis/common/.../path/PathHierarchyTokenizer.java``
@@ -7359,6 +7373,101 @@ SELECT token, COUNT(*)::BIGINT AS df FROM (
   UNION ALL
   SELECT lang || '/' || source FROM documents)
 GROUP BY token ORDER BY token
+"""
+
+
+# ---------------- lucene/monitor percolation (Luwak)
+
+MONITOR_QUERIES = [
+    {"id": "q_spark", "kind": "term", "terms": ["spark"]},
+    {"id": "q_merge_window", "kind": "and",
+     "terms": ["merge", "window"]},
+    {"id": "q_batch_batch", "kind": "phrase",
+     "terms": ["batch", "batch"]},
+    {"id": "q_never", "kind": "term", "terms": ["zzzznotaterm"]},
+]
+
+
+def monitor_alerts_docs(sf_dir: str) -> pa.Table:
+    """lucene/monitor percolation (upstream ``Monitor.java``, formerly
+    Luwak [U]): 4 registered queries (term / AND / phrase / a never-
+    matching term) run against the full document stream in one
+    vectorized pass — see ``engine/ops/monitor.py`` for the
+    presearcher-style term→query CSR."""
+    from engine.ops import monitor as mon
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = mon.monitor_match(ds, "text", "doc_id", MONITOR_QUERIES)
+    t = _to_table(out)
+    return _cast_col(t, "doc_id", pa.int64()).sort_by(
+        [("doc_id", "ascending"), ("query_id", "ascending")])
+
+
+SQL_MONITOR = f"""
+WITH pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents))
+SELECT doc_id, query_id FROM (
+  SELECT DISTINCT doc_id, 'q_spark' AS query_id FROM pos
+  WHERE tok = 'spark'
+  UNION ALL
+  SELECT doc_id, 'q_merge_window' FROM (
+    SELECT doc_id FROM pos WHERE tok IN ('merge', 'window')
+    GROUP BY doc_id HAVING COUNT(DISTINCT tok) = 2)
+  UNION ALL
+  SELECT DISTINCT a.doc_id, 'q_batch_batch'
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.tok = 'batch'
+  WHERE a.tok = 'batch')
+ORDER BY doc_id, query_id
+"""
+
+
+# ---------------- FeatureField / FeatureQuery (static rank signal)
+
+FEAT_TERM, FEAT_PIVOT, FEAT_BOOST = "merge", 10.0, 1.5
+
+
+def feature_field_topk(sf_dir: str) -> pa.Table:
+    """FeatureField + FeatureQuery saturation scoring (upstream
+    ``L/document/FeatureField.java`` ``newSaturationQuery`` [U]): a
+    static per-doc rank signal (here the deterministic
+    ``1 + (doc_id * 13) % 50``, the ExternalFileField trick so the
+    oracle can inline it) scored ``boost * w / (w + pivot)`` and
+    summed with the BM25 MUST clause — the standard
+    "BM25 + pagerank" pattern. The signal here is derived from the
+    doc_id, so no second table pass is needed; a feature stored in a
+    real column would reuse ``distance_feature_topk``'s streaming
+    doc-value pass + per-block partial top-k."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    m = r.match_scores(FEAT_TERM)
+    ids = m["doc_id"].to_numpy()
+    sc = m["score"].to_numpy().astype(np.float32)
+    w = (1 + (ids * 13) % 50).astype(np.float64)
+    feat = (FEAT_BOOST * (w / (w + FEAT_PIVOT))).astype(np.float32)
+    fs = (sc.astype(np.float64) + feat.astype(np.float64)) \
+        .astype(np.float32)
+    order = np.lexsort((ids, -fs))[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        "doc_id": pa.array(ids[order], type=pa.int64()),
+        "score": pa.array(fs[order], type=pa.float32())})
+
+
+def sql_feature_field() -> str:
+    return f"""{_sql_scored(f"SELECT '{FEAT_TERM}' AS term")}
+SELECT (ROW_NUMBER() OVER (ORDER BY fs DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, fs AS score
+FROM (
+  SELECT doc_id,
+    CAST(score::DOUBLE +
+         CAST({FEAT_BOOST} * ((1 + (doc_id * 13) % 50)::DOUBLE /
+              ((1 + (doc_id * 13) % 50)::DOUBLE + {FEAT_PIVOT}))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS fs
+  FROM scored)
+ORDER BY fs DESC, doc_id LIMIT 10
 """
 
 
@@ -7658,8 +7767,10 @@ def queries() -> dict:
         "span_multiterm_near_topk": span_multiterm_near_topk,
         "covering_topk_docs": covering_topk_docs,
         "bloom_terms_exist": bloom_terms_exist,
-        "realtime_get_docs": realtime_get_docs,
         "path_hierarchy_stats": path_hierarchy_stats,
+        "monitor_alerts_docs": monitor_alerts_docs,
+        "feature_field_topk": feature_field_topk,
+        "sweetspot_sim_topk": sweetspot_sim_topk,
     }
 
 
@@ -7857,8 +7968,10 @@ def oracle_sql() -> dict:
         "span_multiterm_near_topk": sql_span_multiterm_near(),
         "covering_topk_docs": sql_covering(),
         "bloom_terms_exist": SQL_BLOOM_EXIST,
-        "realtime_get_docs": SQL_RTG,
         "path_hierarchy_stats": SQL_PATH_HIERARCHY,
+        "monitor_alerts_docs": SQL_MONITOR,
+        "feature_field_topk": sql_feature_field(),
+        "sweetspot_sim_topk": sql_sweetspot_sim(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

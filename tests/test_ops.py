@@ -520,6 +520,40 @@ def test_features_select_and_logit_classify(ray_session):
         assert r["pred"] == (1 if z > 0 else 0)
 
 
+def test_monitor_percolation(ray_session):
+    """Registered-query monitor: term / AND / phrase kinds, no
+    cross-document phrase adjacency, never-matching query silent."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import monitor as mon
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta gamma",        # q_and needs beta+gamma
+                 "alpha ends with beta",    # only beta -> no q_and
+                 "x y beta",                # phrase candidate: doc 3
+                 "gamma starts here beta gamma"]})  # phrase beta gamma
+    qs = [
+        {"id": "q_alpha", "kind": "term", "terms": ["alpha"]},
+        {"id": "q_and", "kind": "and", "terms": ["beta", "gamma"]},
+        {"id": "q_ph", "kind": "phrase", "terms": ["beta", "gamma"]},
+        {"id": "q_no", "kind": "term", "terms": ["zzz"]},
+    ]
+    out = mon.monitor_match(ray.data.from_arrow(docs), "text",
+                            "doc_id", qs).take_all()
+    got = sorted((r["doc_id"], r["query_id"]) for r in out)
+    # doc 3 ends with beta, doc 4 starts with gamma: adjacency must
+    # NOT leak across the block/doc boundary
+    assert got == [(1, "q_alpha"), (1, "q_and"), (1, "q_ph"),
+                   (2, "q_alpha"), (4, "q_and"), (4, "q_ph")]
+    # multi-block split must not change the result
+    out2 = mon.monitor_match(
+        ray.data.from_arrow(docs).repartition(4), "text", "doc_id",
+        qs).take_all()
+    assert sorted((r["doc_id"], r["query_id"]) for r in out2) == got
+
+
 def test_interval_facet_overlapping(ray_session):
     import pyarrow as pa
     import ray.data
