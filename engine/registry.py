@@ -7423,6 +7423,41 @@ ORDER BY doc_id, query_id
 """
 
 
+# ---------------- UninvertingReader / FieldCache
+
+def uninvert_lang_docs(sf_dir: str) -> pa.Table:
+    """UninvertingReader / FieldCache (upstream
+    ``L/uninverting/UninvertingReader.java`` [U]): rebuild the
+    doc → value forward map (SORTED doc values) for the single-token
+    ``lang`` field purely from its inverted postings — the classic
+    "uninvert" that lets you sort/facet on a field indexed without
+    docValues. One postings decode per dictionary term (|dict| = 5
+    here), scattered into a dense doc array; the oracle is the
+    original column, proving the inversion round-trips exactly."""
+    key = hashlib.md5(f"{sf_dir}|uninv|v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", key)
+    cfg = IndexConfig(
+        text_col="lang", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=2,
+        hot_df_threshold=10**9, batch_size=4096)
+    build_index([os.path.join(sf_dir, "documents.parquet")], out, cfg)
+    r = IndexReader(out)
+    ids_out, vals_out = [], []
+    for term in r.vocabulary():
+        subs = r.lookup([term])[term]
+        for s in subs:
+            docs, _, _ = s.decode_all()
+            ids_out.append(docs)
+            vals_out.extend([term] * len(docs))
+    ids = np.concatenate(ids_out)
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "lang": pa.array(vals_out, type=pa.string())})
+    return t.sort_by("doc_id")
+
+
+SQL_UNINVERT = "SELECT doc_id, lang FROM documents ORDER BY doc_id"
+
+
 # ---------------- FeatureField / FeatureQuery (static rank signal)
 
 FEAT_TERM, FEAT_PIVOT, FEAT_BOOST = "merge", 10.0, 1.5
@@ -7771,6 +7806,7 @@ def queries() -> dict:
         "monitor_alerts_docs": monitor_alerts_docs,
         "feature_field_topk": feature_field_topk,
         "sweetspot_sim_topk": sweetspot_sim_topk,
+        "uninvert_lang_docs": uninvert_lang_docs,
     }
 
 
@@ -7972,6 +8008,7 @@ def oracle_sql() -> dict:
         "monitor_alerts_docs": SQL_MONITOR,
         "feature_field_topk": sql_feature_field(),
         "sweetspot_sim_topk": sql_sweetspot_sim(),
+        "uninvert_lang_docs": SQL_UNINVERT,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
