@@ -216,3 +216,37 @@ def text_profile_signature(ds: ray.data.Dataset, text_col: str,
         out = b.select(id_cols)
         return out.append_column("sig", pa.array(sigs, type=pa.string()))
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def chunk_windows(ds: ray.data.Dataset, text_col: str, id_col: str,
+                  window: int = 64, stride: int = 48
+                  ) -> ray.data.Dataset:
+    """Fixed-window token chunking with overlap — the standard
+    RAG/pretraining chunker: chunk i of a doc covers tokens
+    ``[i*stride, i*stride + window)``; the last chunk is the first
+    one whose window reaches the end (short docs yield exactly one
+    chunk). Pure per-doc arithmetic (no positions materialized):
+    chunk count = 1 if n <= window else 1 + ceil((n-window)/stride),
+    fully vectorized per batch — one streaming pass, no shuffle.
+    Emits (id, chunk, start_tok, len_toks)."""
+    def f(b: pa.Table) -> pa.Table:
+        offs, _ = _flat_tokens(b[text_col])
+        n = np.diff(offs).astype(np.int64)
+        c = np.where(
+            n <= window, 1,
+            1 + (np.maximum(n - window, 0) + stride - 1) // stride
+        ).astype(np.int64)
+        doc_rep = np.repeat(np.arange(len(n)), c)
+        csum = np.concatenate(([0], np.cumsum(c)[:-1]))
+        idx = np.arange(int(c.sum()), dtype=np.int64) \
+            - np.repeat(csum, c)
+        start = idx * stride
+        ln = np.minimum(window, n[doc_rep] - start)
+        ids = b[id_col].to_numpy(zero_copy_only=False)[doc_rep]
+        return pa.table({
+            id_col: pa.array(ids).cast(b[id_col].type),
+            "chunk": pa.array(idx, type=pa.int64()),
+            "start_tok": pa.array(start, type=pa.int64()),
+            "len_toks": pa.array(ln, type=pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -2261,6 +2261,18 @@ class QueryEngine:
                                text.split("|")[1].split(), k=k),
         "common_terms": lambda r, s, text, k:
             r.common_terms_topk(text.split(), k=k),
+        # per-doc minimumNumberMatch = 1 + doc_id % 3 (CoveringQuery)
+        "covering": lambda r, s, text, k:
+            r.covering_topk(text.split(), mod=3, k=k),
+        # "prefix terms" — SpanNear(SpanMultiTermQueryWrapper(prefix*),
+        # term) with slop=3, the wrapper's SpanOr rewrite
+        "span_multiterm": lambda r, s, text, k:
+            r.span_near_or_topk([r.expand_prefix(text.split()[0]),
+                                 [text.split()[1]]], slop=3, k=k),
+        # pluggable Similarity: "model | query terms"
+        "similarity": lambda r, s, text, k:
+            r.similarity_topk(text.split("|")[1].strip(), k=k,
+                              similarity=text.split("|")[0].strip()),
     }
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -7423,6 +7423,40 @@ ORDER BY doc_id, query_id
 """
 
 
+# ---------------- RAG / pretraining chunking
+
+CHUNK_W, CHUNK_S = 64, 48
+
+
+def chunk_windows_docs(sf_dir: str) -> pa.Table:
+    """Fixed-window token chunking with overlap (window={CHUNK_W},
+    stride={CHUNK_S}) — see ``engine/ops/textstats.py::chunk_windows``.
+    Training-data op (prompt-mandated family): one streaming pass,
+    per-doc arithmetic only, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = _to_table(tx.chunk_windows(ds, "text", "doc_id",
+                                   window=CHUNK_W, stride=CHUNK_S))
+    return _cast_col(t, "doc_id", pa.int64()).sort_by(
+        [("doc_id", "ascending"), ("chunk", "ascending")])
+
+
+SQL_CHUNK_WINDOWS = f"""
+WITH t AS (
+  SELECT doc_id, len({_SQL_TOKS})::BIGINT AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= {CHUNK_W} THEN 1
+              ELSE 1 + (n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}
+         END AS nchunks
+  FROM t),
+e AS (SELECT doc_id, n, unnest(range(0, nchunks)) AS chunk FROM c)
+SELECT doc_id, chunk,
+       (chunk * {CHUNK_S})::BIGINT AS start_tok,
+       LEAST({CHUNK_W}, n - chunk * {CHUNK_S})::BIGINT AS len_toks
+FROM e ORDER BY doc_id, chunk
+"""
+
+
 # ---------------- UninvertingReader / FieldCache
 
 def uninvert_lang_docs(sf_dir: str) -> pa.Table:
@@ -7807,6 +7841,7 @@ def queries() -> dict:
         "feature_field_topk": feature_field_topk,
         "sweetspot_sim_topk": sweetspot_sim_topk,
         "uninvert_lang_docs": uninvert_lang_docs,
+        "chunk_windows_docs": chunk_windows_docs,
     }
 
 
@@ -8009,6 +8044,7 @@ def oracle_sql() -> dict:
         "feature_field_topk": sql_feature_field(),
         "sweetspot_sim_topk": sql_sweetspot_sim(),
         "uninvert_lang_docs": SQL_UNINVERT,
+        "chunk_windows_docs": SQL_CHUNK_WINDOWS,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

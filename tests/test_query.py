@@ -821,6 +821,12 @@ def test_query_engine_dispatch_new_types(ray_session, smoke_index):
          "query_type": "terms_filter"},
         {"query_id": 5, "query_text": f"{a} {b}", "k": 5,
          "query_type": "common_terms"},
+        {"query_id": 6, "query_text": f"{a} {b}", "k": 5,
+         "query_type": "covering"},
+        {"query_id": 7, "query_text": f"{a[:2]} {b}", "k": 5,
+         "query_type": "span_multiterm"},
+        {"query_id": 8, "query_text": f"classic | {a} {b}", "k": 5,
+         "query_type": "similarity"},
     ]
     t = ray.data.from_items(qs).map_batches(
         QueryEngine, fn_constructor_args=(idx,),
@@ -833,6 +839,10 @@ def test_query_engine_dispatch_new_types(ray_session, smoke_index):
         3: r.interval_topk("index", "merge", "sort", maxgaps=3, k=5),
         4: r.term_in_set_topk([a, b], ["index"], k=5),
         5: r.common_terms_topk([a, b], k=5),
+        6: r.covering_topk([a, b], mod=3, k=5),
+        7: r.span_near_or_topk([r.expand_prefix(a[:2]), [b]],
+                               slop=3, k=5),
+        8: r.similarity_topk(f"{a} {b}", k=5, similarity="classic"),
     }
     for qid, w in want.items():
         sub = t[t["query_id"] == qid].sort_values("rank")
