@@ -907,3 +907,38 @@ def test_reversed_suffix_wildcard_equivalence(reader):
     assert fast["doc_id"].to_pylist() == slow["doc_id"].to_pylist()
     assert fast["score"].to_pylist() == slow["score"].to_pylist()
     assert len(reader._expand_reversed_suffix(suf)) == len(terms)
+
+
+def test_span_near_or_singleton_equals_span_near(reader):
+    """Law: SpanNear over singleton SpanOr clauses is exactly
+    SpanNearQuery — same candidates, same f32 scores (the combined
+    weight reduces to the same ordered idf sum)."""
+    vocab = sorted(reader.vocabulary())
+    pairs = [(vocab[i], vocab[j])
+             for i, j in [(0, 1), (2, 5), (1, 8)] if j < len(vocab)]
+    for a, b in pairs:
+        for slop in (0, 2):
+            w1 = reader.span_near_topk([a, b], slop=slop, k=100)
+            w2 = reader.span_near_or_topk([[a], [b]], slop=slop, k=100)
+            assert w1["doc_id"].to_pylist() == w2["doc_id"].to_pylist()
+            assert w1["score"].to_pylist() == w2["score"].to_pylist()
+
+
+def test_covering_matches_python_reference(reader):
+    """covering_topk vs a per-doc pure-Python recount of matching
+    clauses and the 1 + doc_id % mod threshold."""
+    import numpy as np
+
+    vocab = sorted(reader.vocabulary())
+    terms = vocab[:3]
+    got = reader.covering_topk(terms, mod=3, k=10_000)
+    # reference: per-term doc sets
+    docsets = {}
+    for t in terms:
+        subs = reader.lookup([t])[t]
+        docsets[t] = set(
+            reader._clause_arrays(t, subs)[0].tolist()) if subs else set()
+    alldocs = sorted(set().union(*docsets.values()))
+    want = [d for d in alldocs
+            if sum(d in s for s in docsets.values()) >= 1 + d % 3]
+    assert sorted(got["doc_id"].to_pylist()) == want
