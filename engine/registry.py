@@ -7423,6 +7423,96 @@ ORDER BY doc_id, query_id
 """
 
 
+# ---------------- optimistic-concurrency (_version_) updates
+
+VUPD_MOD, VUPD_TOKEN = 10, "vupdtoken"
+VUPD_TEXT = f"versioned update {VUPD_TOKEN} body"
+
+
+def versioned_update_docs(sf_dir: str) -> pa.Table:
+    """Optimistic-concurrency updates (upstream Solr ``_version_`` —
+    ``DistributedUpdateProcessor#versionAdd`` + ``UpdateLog`` [U]):
+    every doc carries a version in the update log (init 1). A
+    deterministic request batch arrives — ids % {VUPD_MOD} == 0 with
+    expected ``_version_=1`` (correct → applied: updateDocument
+    delete+append, version bumps to 2) and ids % {VUPD_MOD} == 5 with
+    expected 7 (stale → rejected, the 409 path, index untouched).
+    Returns the update-log response (doc_id, applied, version); the
+    entry additionally ASSERTS the index state end-to-end — a search
+    for the update token must return exactly the appended winners —
+    so the oracle verifies the gate and the assert verifies the
+    mutation."""
+    import shutil as _sh
+
+    from engine.build import delete_docs
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|vupd|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "vupd_" + key)
+    os.makedirs(work, exist_ok=True)
+    ids = pq.read_table(base, columns=["doc_id"])["doc_id"].to_numpy()
+    n_base = len(ids)
+    req_ok = np.sort(ids[ids % VUPD_MOD == 0])
+    req_stale = np.sort(ids[ids % VUPD_MOD == 5])
+    upd_file = os.path.join(work, "updates.parquet")
+    tlog = os.path.join(work, "tlog.parquet")
+    idx = os.path.join(work, "index")
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    man = mf.load(idx)
+    want = sorted([base, upd_file])
+    if not (man and man.get("status") == "complete"
+            and man.get("input_files") == want
+            and (man.get("deletes") or {}).get("n") == len(req_ok)
+            and os.path.exists(tlog)):
+        if os.path.exists(idx):
+            _sh.rmtree(idx)
+        tmp = upd_file + ".tmp"
+        pq.write_table(pa.table({
+            "doc_id": pa.array(n_base + np.arange(len(req_ok)),
+                               type=pa.int64()),
+            "text": pa.array([VUPD_TEXT] * len(req_ok)),
+        }), tmp)
+        os.replace(tmp, upd_file)
+        build_index([base], idx, cfg)
+        delete_docs(idx, req_ok)          # version gate passed
+        build_index([base, upd_file], idx, cfg)
+        tmp = tlog + ".tmp"
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.concatenate([req_ok, req_stale]),
+                               type=pa.int64()),
+            "applied": pa.array(
+                [1] * len(req_ok) + [0] * len(req_stale),
+                type=pa.int64()),
+            "version": pa.array(
+                [2] * len(req_ok) + [1] * len(req_stale),
+                type=pa.int64()),
+        }), tmp)
+        os.replace(tmp, tlog)
+    # end-to-end index check: token hits == exactly the winners' new
+    # docIDs (stale requests left no trace)
+    r = IndexReader(idx)
+    hits = r.match_scores(VUPD_TOKEN)
+    got = sorted(hits["doc_id"].to_pylist())
+    assert got == list(range(n_base, n_base + len(req_ok))), \
+        "versioned update: index state does not match the gate"
+    return pq.read_table(tlog).sort_by("doc_id")
+
+
+def sql_versioned_update() -> str:
+    return f"""
+SELECT doc_id,
+       (CASE WHEN doc_id % {VUPD_MOD} = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS applied,
+       (CASE WHEN doc_id % {VUPD_MOD} = 0 THEN 2 ELSE 1 END)::BIGINT
+         AS version
+FROM documents WHERE doc_id % {VUPD_MOD} IN (0, 5)
+ORDER BY doc_id
+"""
+
+
 # ---------------- RAG / pretraining chunking
 
 CHUNK_W, CHUNK_S = 64, 48
@@ -7842,6 +7932,7 @@ def queries() -> dict:
         "sweetspot_sim_topk": sweetspot_sim_topk,
         "uninvert_lang_docs": uninvert_lang_docs,
         "chunk_windows_docs": chunk_windows_docs,
+        "versioned_update_docs": versioned_update_docs,
     }
 
 
@@ -8045,6 +8136,7 @@ def oracle_sql() -> dict:
         "sweetspot_sim_topk": sql_sweetspot_sim(),
         "uninvert_lang_docs": SQL_UNINVERT,
         "chunk_windows_docs": SQL_CHUNK_WINDOWS,
+        "versioned_update_docs": sql_versioned_update(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
