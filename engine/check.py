@@ -137,3 +137,78 @@ def dump_postings(index_dir: str) -> dict[str, tuple]:
         order = np.argsort(docs, kind="stable")
         merged[term] = (docs[order], tfs[order], norms[order])
     return merged
+
+
+def exorcise_index(index_dir: str) -> dict:
+    """CheckIndex ``-exorcise`` analog (upstream ``CheckIndex.java``
+    main with ``-exorcise`` [U]): quarantine shard files whose bytes
+    no longer read/decode cleanly and rewrite the manifest so the
+    SURVIVING index is self-consistent and serveable again.
+
+    Conformance boundary (documented): upstream drops whole corrupt
+    *segments*, losing their documents; here the repair unit is a
+    bucket shard file — only the postings stored in that file are
+    lost (terms whose postings lived solely there vanish from the
+    dictionary; doc-level stats N/avgdl are untouched because the
+    docmap and other buckets still hold the docs). Global n_terms /
+    sum_cf are re-derived from the survivors and the manifest is
+    atomically rewritten with an ``exorcised`` audit trail, so a
+    subsequent :func:`check_index` passes.
+    """
+    man = mf.load(index_dir)
+    assert man is not None, "no manifest"
+    cfg = IndexConfig.from_json(man["config"])
+    root = mf.shard_root(index_dir, man)
+    quarantine = os.path.join(index_dir, "corrupt")
+    dropped: list[str] = []
+
+    def _valid(path: str) -> bool:
+        try:
+            tab = pq.read_table(path)
+            for row in tab.to_pylist():
+                df = int(row["df"])
+                if df <= 0:
+                    return False
+                deltas, _ = vbyte_decode(row["docs"], df, 0)
+                docs = np.cumsum(deltas)
+                tfs, _ = vbyte_decode(row["tfs"], df, 0)
+                norms = np.frombuffer(row["norms"], dtype=np.uint8)
+                if len(docs) != df or len(tfs) != df or len(norms) != df:
+                    return False
+                if df > 1 and not (docs[1:] > docs[:-1]).all():
+                    return False
+                if int(tfs.sum()) != int(row["cf"]):
+                    return False
+            return True
+        except Exception:
+            return False
+
+    total_cf = 0
+    terms_seen: set[str] = set()
+    for b in range(cfg.n_buckets):
+        shard = os.path.join(root, f"bucket={b}")
+        if not os.path.isdir(shard):
+            continue
+        for fname in sorted(os.listdir(shard)):
+            fpath = os.path.join(shard, fname)
+            if not _valid(fpath):
+                os.makedirs(quarantine, exist_ok=True)
+                os.replace(fpath, os.path.join(
+                    quarantine, f"bucket{b}_{fname}"))
+                dropped.append(f"bucket={b}/{fname}")
+                continue
+            t = pq.read_table(fpath, columns=["term", "cf"])
+            total_cf += int(np.sum(t["cf"].to_numpy()))
+            terms_seen.update(t["term"].to_pylist())
+        if not os.listdir(shard):
+            # a fully-quarantined bucket: drop the empty dir so
+            # readers (pyarrow dataset scans) skip it cleanly
+            os.rmdir(shard)
+
+    if dropped:
+        man["stats"]["n_terms"] = len(terms_seen)
+        man["stats"]["sum_cf"] = total_cf
+        man.setdefault("exorcised", []).extend(dropped)
+        mf.save(index_dir, man)
+    return {"dropped": dropped, "n_terms": len(terms_seen),
+            "sum_cf": total_cf}

@@ -676,3 +676,53 @@ def test_snapshot_restore_roundtrip(ray_session, tmp_path_factory):
     shutil.rmtree(idx)           # original gone: snapshot stands alone
     got = IndexReader(snap).topk("alpha beta", 10).to_pylist()
     assert got == want
+
+
+def test_exorcise_drops_corrupt_shard_and_index_serves(smoke_index, tmp_path):
+    """CheckIndex -exorcise analog: corrupt one bucket shard file →
+    check_index fails; exorcise quarantines exactly that file,
+    rewrites stats; check_index passes and queries still serve from
+    the survivors (only the lost bucket's terms vanish)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from engine import manifest as mf
+    from engine.build import IndexConfig
+    from engine.check import check_index, exorcise_index
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    work = str(tmp_path / "exo_index")
+    shutil.copytree(idx, work)   # real copy: never corrupt the fixture
+
+    man = mf.load(work)
+    cfg = IndexConfig.from_json(man["config"])
+    root = mf.shard_root(work, man)
+    victim = None
+    for b in range(cfg.n_buckets):
+        shard = os.path.join(root, f"bucket={b}")
+        if os.path.isdir(shard) and os.listdir(shard):
+            victim = os.path.join(shard, sorted(os.listdir(shard))[0])
+            victim_bucket = b
+            break
+    assert victim is not None
+    with open(victim, "wb") as f:
+        f.write(b"garbage not parquet")
+
+    with _pytest.raises(Exception):
+        check_index(work)
+
+    rep = exorcise_index(work)
+    assert len(rep["dropped"]) == 1
+    assert rep["dropped"][0].startswith(f"bucket={victim_bucket}/")
+    check_index(work)            # self-consistent again
+
+    # surviving buckets still serve
+    r = IndexReader(work)
+    vocab = r.vocabulary()
+    assert vocab, "exorcised index must still have terms"
+    top = r.brute_force_topk(vocab[0], 5)
+    assert top.num_rows > 0
+    # idempotent: nothing further to drop
+    assert exorcise_index(work)["dropped"] == []
