@@ -726,3 +726,40 @@ def test_exorcise_drops_corrupt_shard_and_index_serves(smoke_index, tmp_path):
     assert top.num_rows > 0
     # idempotent: nothing further to drop
     assert exorcise_index(work)["dropped"] == []
+
+
+def test_giant_document_widens_position_keyspace(ray_session, tmp_path):
+    """A document whose token positions exceed the default 2^21 span
+    key space: the dynamic SHIFT widening (phrase/span pack keys as
+    doc*SHIFT + pos) must kick in instead of silently colliding into
+    a neighboring doc's key range — a unique phrase planted past the
+    2^21 boundary must match exactly its own doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+
+    n_pad = (1 << 21) + 40_000          # past the default boundary
+    giant = "pad " * n_pad + "zzuniqa zzuniqb"
+    docs = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["zzuniqa starts here", giant, "zzuniqb alone tail"]})
+    src = str(tmp_path / "giant.parquet")
+    pq.write_table(docs, src)
+    idx = str(tmp_path / "giant_idx")
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=8)
+    build_index([src], idx, cfg)
+
+    r = IndexReader(idx)
+    ph = r.phrase_topk("zzuniqa zzuniqb", k=10)
+    assert ph["doc_id"].to_pylist() == [1]
+    sp = r.span_near_topk(["zzuniqa", "zzuniqb"], slop=0, k=10)
+    assert sp["doc_id"].to_pylist() == [1]
+    # docs 0 and 2 hold one term each but never the adjacent pair —
+    # a collided key space would leak them in
+    so = r.span_or_topk(["zzuniqa", "zzuniqb"], k=10)
+    assert sorted(so["doc_id"].to_pylist()) == [0, 1, 2]
