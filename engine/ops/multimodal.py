@@ -2,12 +2,16 @@
 
 Media payloads are opaque Arrow ``binary`` cells with typed metadata
 columns. The Ray-side plumbing — schema, actor-pool stage, small batch
-sizing for large payloads, output layout — is real and tested; the
-actual codec decode is STUBBED (no image/audio libraries exist in this
-container): ``mode="real"`` raises ``NotImplementedError`` at the
-decode call-site, ``mode="fake"`` substitutes a deterministic
+sizing for large payloads, output layout — is real and tested. The
+JPEG/PNG/audio/video codec decode is STUBBED (no codec libraries exist
+in this container): ``mode="real"`` raises ``NotImplementedError`` at
+the decode call-site, ``mode="fake"`` substitutes a deterministic
 byte-histogram "decode" so the distributed pipeline is exercised end
-to end.
+to end. Binary PPM (P6) is the exception — raw RGB behind an ASCII
+header needs no codec, so :func:`decode_ppm` / :func:`resize_nearest`
+/ :class:`PpmImageStats` below are a fully REAL decode → resize →
+feature chain in pure numpy, with an exact SQL oracle over
+deterministically synthesized images (``synth_ppm``).
 
 Scale notes: payloads dominate block size, so callers pass a small
 ``batch_size`` (default 32) and the stage is an actor pool — a real
@@ -159,6 +163,89 @@ class FrameSampler:
         out = out.append_column(
             "frame", pa.array(frames, type=pa.binary()))
         return out
+
+
+# ---------------------------------------------------------------- PPM
+# A REAL image path with no codec libraries: binary PPM (P6) is raw
+# RGB behind a 3-token ASCII header, decodable in pure numpy. The
+# JPEG/PNG-class codecs stay stubbed above; this gives the pipeline a
+# genuine decode → resize → feature chain end to end.
+
+def synth_ppm(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic P6 image: pixel(c, y, x) =
+    (x + 2*y + 3*c + doc_id) % 256 — closed form a SQL oracle can
+    recompute exactly."""
+    header = f"P6\n{w} {h}\n255\n".encode()
+    x = np.arange(w, dtype=np.int64).reshape(1, w, 1)
+    y = np.arange(h, dtype=np.int64).reshape(h, 1, 1)
+    c = np.arange(3, dtype=np.int64).reshape(1, 1, 3)
+    px = ((x + 2 * y + 3 * c + int(doc_id)) % 256).astype(np.uint8)
+    return header + px.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy binary-PPM (P6) decode → (h, w, 3) uint8. Minimal
+    parser: magic + width/height/maxval tokens separated by ASCII
+    whitespace, then raw RGB (comments unsupported, documented)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(int(payload[i:j]))
+        i = j
+    i += 1                       # single whitespace before raster
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                        offset=i)
+    return arr.reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Nearest-neighbor downsample by integer factor (pure striding —
+    zero-copy view)."""
+    return img[::factor, ::factor, :]
+
+
+class PpmImageStats:
+    """Actor-pool stage: REAL decode (PPM) → nearest-neighbor half
+    resize → exact integer channel sums for both scales. Decode cost
+    is per-image, so the batch loop is over images, each fully
+    vectorized; payloads dominate block size → callers use a small
+    batch_size, like every media stage here."""
+
+    def __init__(self, media_col: str = "payload",
+                 id_cols: list[str] | None = None):
+        self.media_col = media_col
+        self.id_cols = id_cols or []
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.media_col].to_pylist()
+        n = len(payloads)
+        out = {k: np.empty(n, dtype=np.int64)
+               for k in ("w", "h", "sum_r", "sum_g", "sum_b",
+                         "half_sum_r", "half_sum_g", "half_sum_b")}
+        for i, p in enumerate(payloads):
+            img = decode_ppm(p)
+            half = resize_nearest(img, 2)
+            out["h"][i], out["w"][i] = img.shape[0], img.shape[1]
+            s = img.astype(np.int64).sum(axis=(0, 1))
+            hs = half.astype(np.int64).sum(axis=(0, 1))
+            out["sum_r"][i], out["sum_g"][i], out["sum_b"][i] = s
+            (out["half_sum_r"][i], out["half_sum_g"][i],
+             out["half_sum_b"][i]) = hs
+        t = batch.select(self.id_cols)
+        for k in ("w", "h", "sum_r", "sum_g", "sum_b",
+                  "half_sum_r", "half_sum_g", "half_sum_b"):
+            t = t.append_column(k, pa.array(out[k], type=pa.int64()))
+        return t
 
 
 def extract_media_features(ds: ray.data.Dataset, media_col: str,

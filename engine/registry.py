@@ -7423,6 +7423,62 @@ ORDER BY doc_id, query_id
 """
 
 
+# ---------------- real image decode (PPM) with exact oracle
+
+PPM_N, PPM_W, PPM_H = 200, 24, 16
+
+
+def ppm_image_stats(sf_dir: str) -> pa.Table:
+    """REAL image pipeline, no codec libs: deterministic binary-PPM
+    payloads (pixel = (x + 2y + 3c + doc_id) % 256) attached as a
+    binary column → actor-pool pure-numpy decode → nearest-neighbor
+    half resize → exact integer channel sums at both scales
+    (``engine/ops/multimodal.py::PpmImageStats``). The oracle
+    recomputes the sums from the closed-form pixel function — decode,
+    layout and resize arithmetic all verified bit-exactly. Small
+    batch_size: payloads dominate block size."""
+    from engine.ops import multimodal as mm
+
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
+        .filter(lambda r: r["doc_id"] < PPM_N)
+
+    def attach(b: pa.Table) -> pa.Table:
+        pays = [mm.synth_ppm(int(d), PPM_W, PPM_H)
+                for d in b["doc_id"].to_pylist()]
+        return b.append_column("payload",
+                               pa.array(pays, type=pa.binary()))
+
+    out = ds.map_batches(attach, batch_format="pyarrow") \
+        .map_batches(mm.PpmImageStats,
+                     fn_constructor_kwargs=dict(
+                         media_col="payload", id_cols=["doc_id"]),
+                     batch_size=32, concurrency=2,
+                     batch_format="pyarrow")
+    return _to_table(out).sort_by("doc_id")
+
+
+SQL_PPM_STATS = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {PPM_N}),
+px AS (
+  SELECT doc_id, xs.range AS x, ys.range AS y
+  FROM ids, range(0, {PPM_W}) xs, range(0, {PPM_H}) ys)
+SELECT doc_id, {PPM_W}::BIGINT AS w, {PPM_H}::BIGINT AS h,
+  SUM((x + 2*y + 0 + doc_id) % 256)::BIGINT AS sum_r,
+  SUM((x + 2*y + 3 + doc_id) % 256)::BIGINT AS sum_g,
+  SUM((x + 2*y + 6 + doc_id) % 256)::BIGINT AS sum_b,
+  SUM(CASE WHEN x % 2 = 0 AND y % 2 = 0
+           THEN (x + 2*y + 0 + doc_id) % 256 ELSE 0 END)::BIGINT
+    AS half_sum_r,
+  SUM(CASE WHEN x % 2 = 0 AND y % 2 = 0
+           THEN (x + 2*y + 3 + doc_id) % 256 ELSE 0 END)::BIGINT
+    AS half_sum_g,
+  SUM(CASE WHEN x % 2 = 0 AND y % 2 = 0
+           THEN (x + 2*y + 6 + doc_id) % 256 ELSE 0 END)::BIGINT
+    AS half_sum_b
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------- optimistic-concurrency (_version_) updates
 
 VUPD_MOD, VUPD_TOKEN = 10, "vupdtoken"
@@ -7933,6 +7989,7 @@ def queries() -> dict:
         "uninvert_lang_docs": uninvert_lang_docs,
         "chunk_windows_docs": chunk_windows_docs,
         "versioned_update_docs": versioned_update_docs,
+        "ppm_image_stats": ppm_image_stats,
     }
 
 
@@ -8137,6 +8194,7 @@ def oracle_sql() -> dict:
         "uninvert_lang_docs": SQL_UNINVERT,
         "chunk_windows_docs": SQL_CHUNK_WINDOWS,
         "versioned_update_docs": sql_versioned_update(),
+        "ppm_image_stats": SQL_PPM_STATS,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -947,3 +947,25 @@ def test_connected_components_random_graphs(ray_session):
         got_map = dict(zip(got["doc_id"].to_pylist(),
                            got["cluster_id"].to_pylist()))
         assert got_map == want, trial
+
+
+def test_ppm_decode_roundtrip_and_resize():
+    """synth → decode is exact (shape + every pixel), resize is a
+    strided view of the same pixels, odd dims truncate correctly."""
+    import numpy as np
+
+    from engine.ops.multimodal import decode_ppm, resize_nearest, synth_ppm
+
+    img = decode_ppm(synth_ppm(7, 5, 3))
+    assert img.shape == (3, 5, 3)
+    for y in range(3):
+        for x in range(5):
+            for c in range(3):
+                assert img[y, x, c] == (x + 2 * y + 3 * c + 7) % 256
+    half = resize_nearest(img, 2)
+    assert half.shape == (2, 3, 3)
+    assert (half == img[::2, ::2, :]).all()
+    # corrupt header rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\nx")
