@@ -248,6 +248,87 @@ class PpmImageStats:
         return t
 
 
+# ---------------------------------------------------------------- WAV
+# Same idea for audio: RIFF/WAVE PCM16 is raw samples behind a chunked
+# binary header — a REAL decode in pure numpy, no libsndfile.
+
+def synth_wav(doc_id: int, n_samples: int,
+              sample_rate: int = 8000) -> bytes:
+    """Deterministic mono PCM16 WAV: sample(t) =
+    ((t * (doc_id + 1) + 7) % 4096) - 2048 — closed form for the SQL
+    oracle."""
+    t = np.arange(n_samples, dtype=np.int64)
+    s = ((t * (int(doc_id) + 1) + 7) % 4096 - 2048).astype("<i2")
+    data = s.tobytes()
+    import struct as _st
+    fmt = _st.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+            + b"data" + _st.pack("<I", len(data)) + data)
+    return b"RIFF" + _st.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF/WAVE PCM16 mono decode → (samples int16,
+    sample_rate). Proper chunk walk — fmt and data chunks located by
+    tag, unknown chunks skipped (word-aligned), like any real RIFF
+    reader."""
+    import struct as _st
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + _st.unpack("<I", payload[4:8])[0]
+    rate, bits, channels = None, None, None
+    data = None
+    while pos + 8 <= min(end, len(payload)):
+        tag = payload[pos:pos + 4]
+        size = _st.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt_code, channels, rate = _st.unpack("<HHI", body[:8])
+            bits = _st.unpack("<H", body[14:16])[0]
+            if fmt_code != 1:
+                raise ValueError("only PCM (format 1) supported")
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)      # chunks are word-aligned
+    if data is None or rate is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError("only 16-bit mono supported")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+class WavAudioStats:
+    """Actor-pool stage: REAL WAV decode → exact integer features
+    (sample count, sum |s|, sum s², strict zero crossings) — the
+    audio analog of :class:`PpmImageStats`, same small-batch layout."""
+
+    def __init__(self, media_col: str = "payload",
+                 id_cols: list[str] | None = None):
+        self.media_col = media_col
+        self.id_cols = id_cols or []
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.media_col].to_pylist()
+        n = len(payloads)
+        out = {k: np.empty(n, dtype=np.int64)
+               for k in ("n_samples", "sample_rate", "sum_abs",
+                         "sum_sq", "crossings")}
+        for i, p in enumerate(payloads):
+            s, rate = decode_wav(p)
+            s64 = s.astype(np.int64)
+            out["n_samples"][i] = len(s)
+            out["sample_rate"][i] = rate
+            out["sum_abs"][i] = np.abs(s64).sum()
+            out["sum_sq"][i] = (s64 * s64).sum()
+            out["crossings"][i] = int((s64[:-1] * s64[1:] < 0).sum())
+        t = batch.select(self.id_cols)
+        for k in ("n_samples", "sample_rate", "sum_abs", "sum_sq",
+                  "crossings"):
+            t = t.append_column(k, pa.array(out[k], type=pa.int64()))
+        return t
+
+
 def extract_media_features(ds: ray.data.Dataset, media_col: str,
                            id_cols: list[str], media_type: str = "image",
                            mode: str = "fake", feature_dim: int = 16,

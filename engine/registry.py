@@ -7479,6 +7479,57 @@ FROM px GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------- real audio decode (WAV) with exact oracle
+
+WAV_N, WAV_SAMPLES = 150, 1000
+
+
+def wav_audio_stats(sf_dir: str) -> pa.Table:
+    """REAL audio pipeline, no codec libs: deterministic RIFF/WAVE
+    PCM16 payloads (sample(t) = ((t*(doc_id+1)+7) % 4096) - 2048) →
+    actor-pool pure-numpy chunk-walk decode → exact integer features
+    (sum |s|, sum s², strict zero crossings). Oracle recomputes from
+    the closed-form sample function — RIFF parsing, endianness and
+    the feature arithmetic all verified bit-exactly."""
+    from engine.ops import multimodal as mm
+
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
+        .filter(lambda r: r["doc_id"] < WAV_N)
+
+    def attach(b: pa.Table) -> pa.Table:
+        pays = [mm.synth_wav(int(d), WAV_SAMPLES)
+                for d in b["doc_id"].to_pylist()]
+        return b.append_column("payload",
+                               pa.array(pays, type=pa.binary()))
+
+    out = ds.map_batches(attach, batch_format="pyarrow") \
+        .map_batches(mm.WavAudioStats,
+                     fn_constructor_kwargs=dict(
+                         media_col="payload", id_cols=["doc_id"]),
+                     batch_size=32, concurrency=2,
+                     batch_format="pyarrow")
+    return _to_table(out).sort_by("doc_id")
+
+
+SQL_WAV_STATS = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {WAV_N}),
+s AS (
+  SELECT doc_id, ts.range AS t,
+         ((ts.range * (doc_id + 1) + 7) % 4096) - 2048 AS v,
+         CASE WHEN ts.range < {WAV_SAMPLES} - 1 THEN
+           (((ts.range + 1) * (doc_id + 1) + 7) % 4096) - 2048
+         END AS vn
+  FROM ids, range(0, {WAV_SAMPLES}) ts)
+SELECT doc_id, {WAV_SAMPLES}::BIGINT AS n_samples,
+       8000::BIGINT AS sample_rate,
+       SUM(abs(v))::BIGINT AS sum_abs,
+       SUM(v * v)::BIGINT AS sum_sq,
+       SUM(CASE WHEN v * vn < 0 THEN 1 ELSE 0 END)::BIGINT
+         AS crossings
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------- optimistic-concurrency (_version_) updates
 
 VUPD_MOD, VUPD_TOKEN = 10, "vupdtoken"
@@ -7990,6 +8041,7 @@ def queries() -> dict:
         "chunk_windows_docs": chunk_windows_docs,
         "versioned_update_docs": versioned_update_docs,
         "ppm_image_stats": ppm_image_stats,
+        "wav_audio_stats": wav_audio_stats,
     }
 
 
@@ -8195,6 +8247,7 @@ def oracle_sql() -> dict:
         "chunk_windows_docs": SQL_CHUNK_WINDOWS,
         "versioned_update_docs": sql_versioned_update(),
         "ppm_image_stats": SQL_PPM_STATS,
+        "wav_audio_stats": SQL_WAV_STATS,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -969,3 +969,31 @@ def test_ppm_decode_roundtrip_and_resize():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         decode_ppm(b"P5\n1 1\n255\nx")
+
+
+def test_wav_decode_roundtrip_and_chunk_walk():
+    """synth → decode exact; an extra unknown RIFF chunk (odd-sized,
+    word-aligned) before data must be skipped like any RIFF reader."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from engine.ops.multimodal import decode_wav, synth_wav
+
+    p = synth_wav(4, 20, sample_rate=8000)
+    s, rate = decode_wav(p)
+    assert rate == 8000 and len(s) == 20
+    t = np.arange(20, dtype=np.int64)
+    assert (s.astype(np.int64) == ((t * 5 + 7) % 4096) - 2048).all()
+
+    # splice an unknown odd-length chunk between fmt and data
+    fmt_end = p.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad
+    p2 = p[:fmt_end] + junk + p[fmt_end:]
+    p2 = p2[:4] + struct.pack("<I", len(p2) - 8) + p2[8:]
+    s2, _ = decode_wav(p2)
+    assert (s2 == s).all()
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + p[4:])
