@@ -7530,6 +7530,54 @@ FROM s GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------- real video parse (Y4M) with exact oracle
+
+Y4M_N, Y4M_W, Y4M_H, Y4M_FRAMES, Y4M_STRIDE = 100, 16, 8, 6, 2
+
+
+def y4m_frame_stats(sf_dir: str) -> pa.Table:
+    """REAL video pipeline, no demuxer libs: deterministic YUV4MPEG2
+    clips (Y(f,y,x) = (x + y + 5f + doc_id) % 256, {Y4M_FRAMES}
+    frames) → actor-pool parse → every {Y4M_STRIDE}nd frame sampled →
+    one row per sampled frame with the exact integer Y-plane sum.
+    Oracle recomputes from the closed-form pixel function — stream
+    header parse, FRAME walking, plane offsets and the sampling
+    stride all verified bit-exactly."""
+    from engine.ops import multimodal as mm
+
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
+        .filter(lambda r: r["doc_id"] < Y4M_N)
+
+    def attach(b: pa.Table) -> pa.Table:
+        pays = [mm.synth_y4m(int(d), Y4M_W, Y4M_H, Y4M_FRAMES)
+                for d in b["doc_id"].to_pylist()]
+        return b.append_column("payload",
+                               pa.array(pays, type=pa.binary()))
+
+    out = ds.map_batches(attach, batch_format="pyarrow") \
+        .map_batches(mm.Y4mFrameStats,
+                     fn_constructor_kwargs=dict(
+                         media_col="payload", id_cols=["doc_id"],
+                         stride=Y4M_STRIDE),
+                     batch_size=32, concurrency=2,
+                     batch_format="pyarrow")
+    return _to_table(out).sort_by(
+        [("doc_id", "ascending"), ("frame_idx", "ascending")])
+
+
+SQL_Y4M_STATS = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {Y4M_N}),
+fr AS (SELECT doc_id, fs.range AS frame_idx
+       FROM ids, range(0, {Y4M_FRAMES}) fs
+       WHERE fs.range % {Y4M_STRIDE} = 0),
+px AS (SELECT doc_id, frame_idx, xs.range AS x, ys.range AS y
+       FROM fr, range(0, {Y4M_W}) xs, range(0, {Y4M_H}) ys)
+SELECT doc_id, frame_idx,
+       SUM((x + y + 5 * frame_idx + doc_id) % 256)::BIGINT AS y_sum
+FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+"""
+
+
 # ---------------- optimistic-concurrency (_version_) updates
 
 VUPD_MOD, VUPD_TOKEN = 10, "vupdtoken"
@@ -8042,6 +8090,7 @@ def queries() -> dict:
         "versioned_update_docs": versioned_update_docs,
         "ppm_image_stats": ppm_image_stats,
         "wav_audio_stats": wav_audio_stats,
+        "y4m_frame_stats": y4m_frame_stats,
     }
 
 
@@ -8248,6 +8297,7 @@ def oracle_sql() -> dict:
         "versioned_update_docs": sql_versioned_update(),
         "ppm_image_stats": SQL_PPM_STATS,
         "wav_audio_stats": SQL_WAV_STATS,
+        "y4m_frame_stats": SQL_Y4M_STATS,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -997,3 +997,31 @@ def test_wav_decode_roundtrip_and_chunk_walk():
 
     with _pytest.raises(ValueError):
         decode_wav(b"RIFX" + p[4:])
+
+
+def test_y4m_parse_roundtrip_and_frame_params():
+    """synth → parse exact (dims + every sampled Y pixel); FRAME lines
+    carrying optional parameters (allowed by the spec) must parse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from engine.ops.multimodal import decode_y4m, synth_y4m
+
+    p = synth_y4m(3, 8, 4, 3)
+    w, h, frames = decode_y4m(p)
+    assert (w, h, len(frames)) == (8, 4, 3)
+    for f in range(3):
+        x = np.arange(8).reshape(1, 8)
+        y = np.arange(4).reshape(4, 1)
+        assert (frames[f].astype(np.int64)
+                == (x + y + 5 * f + 3) % 256).all()
+
+    # frame-level parameters after FRAME are legal — inject one
+    p2 = p.replace(b"FRAME\n", b"FRAME Ip\n", 1)
+    _, _, frames2 = decode_y4m(p2)
+    assert (frames2[0] == frames[0]).all()
+
+    with _pytest.raises(ValueError):
+        decode_y4m(b"JUNK\n")
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W8 H4 C444\n")
