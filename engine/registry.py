@@ -7440,7 +7440,8 @@ def ppm_image_stats(sf_dir: str) -> pa.Table:
     from engine.ops import multimodal as mm
 
     ds = _read(sf_dir, "documents", ["doc_id"]) \
-        .filter(lambda r: r["doc_id"] < PPM_N)
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], PPM_N)),
+                     batch_format="pyarrow")
 
     def attach(b: pa.Table) -> pa.Table:
         pays = [mm.synth_ppm(int(d), PPM_W, PPM_H)
@@ -7494,7 +7495,8 @@ def wav_audio_stats(sf_dir: str) -> pa.Table:
     from engine.ops import multimodal as mm
 
     ds = _read(sf_dir, "documents", ["doc_id"]) \
-        .filter(lambda r: r["doc_id"] < WAV_N)
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], WAV_N)),
+                     batch_format="pyarrow")
 
     def attach(b: pa.Table) -> pa.Table:
         pays = [mm.synth_wav(int(d), WAV_SAMPLES)
@@ -7546,7 +7548,8 @@ def y4m_frame_stats(sf_dir: str) -> pa.Table:
     from engine.ops import multimodal as mm
 
     ds = _read(sf_dir, "documents", ["doc_id"]) \
-        .filter(lambda r: r["doc_id"] < Y4M_N)
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], Y4M_N)),
+                     batch_format="pyarrow")
 
     def attach(b: pa.Table) -> pa.Table:
         pays = [mm.synth_y4m(int(d), Y4M_W, Y4M_H, Y4M_FRAMES)
