@@ -164,7 +164,9 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
                      "group_topn_orders", "dedup_docs_exact",
                      "knn_cosine", "knn_ivf_docs",
                      "blockjoin_topk_docs", "nb_classify_docs",
-                     "curation_pipeline_docs", "sessionize_events"]:
+                     "curation_pipeline_docs", "sessionize_events",
+                     "monitor_alerts_docs", "chunk_windows_docs",
+                     "train_logistic_docs", "ppm_image_stats"]:
             t0 = time.perf_counter()
             reg[name](sf_dir)
             queries[name] = round(time.perf_counter() - t0, 3)
