@@ -763,3 +763,56 @@ def test_giant_document_widens_position_keyspace(ray_session, tmp_path):
     # a collided key space would leak them in
     so = r.span_or_topk(["zzuniqa", "zzuniqb"], k=10)
     assert sorted(so["doc_id"].to_pylist()) == [0, 1, 2]
+
+
+def test_preloaded_reader_is_point_in_time_snapshot(
+        ray_session, tmp_path_factory):
+    """Searcher-swap semantics (upstream SearcherManager / Solr
+    commit-reopen): a PRELOADED reader opened before an append is a
+    true point-in-time snapshot — identical results after the append
+    mutates the index on disk — while a freshly opened reader sees
+    the appended docs. (Lazy readers must re-open after a commit;
+    preload=True is the snapshot path, like an old searcher holding
+    its segment state until released.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("snap")
+
+    def make_file(path, lo, hi, tag):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": [f"common snapword{tag} filler" for _ in
+                     range(lo, hi)]}), path)
+
+    f1 = str(root / "p1.parquet")
+    f2 = str(root / "p2.parquet")
+    make_file(f1, 0, 200, 1)
+    make_file(f2, 200, 400, 2)
+
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9)
+    idx = str(root / "idx")
+    build_index([f1], idx, cfg)
+
+    old = IndexReader(idx, preload=True)     # snapshot searcher
+    before = old.brute_force_topk("common", 1000)
+    assert before["total_hits"][0].as_py() == 200
+
+    build_index([f1, f2], idx, cfg)          # commit: append f2
+
+    # the old searcher still serves its point-in-time view
+    again = old.brute_force_topk("common", 1000)
+    assert again["doc_id"].to_pylist() == before["doc_id"].to_pylist()
+    assert again["score"].to_pylist() == before["score"].to_pylist()
+    assert old.brute_force_topk("snapword2", 10).num_rows == 0
+
+    # a reopened searcher sees the new commit
+    new = IndexReader(idx, preload=True)
+    assert new.brute_force_topk("common", 1000)["total_hits"][0] \
+        .as_py() == 400
+    assert new.brute_force_topk("snapword2", 10).num_rows > 0
