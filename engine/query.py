@@ -201,6 +201,16 @@ class IndexReader:
     Term-hash bucketing means a term's rows live in exactly one shard
     directory; lookups read only those rows via Parquet predicate
     pushdown (row-group pruning on the sorted ``term`` column).
+
+    Commit visibility (the SearcherManager / Solr commit-reopen
+    contract, pinned by ``test_preloaded_reader_is_point_in_time_
+    snapshot``): a reader with ``preload=True`` holds the full term
+    state in RAM and is a true point-in-time snapshot across later
+    appends/optimizes; a LAZY reader reads shard files on demand, so
+    after a commit it must be re-opened — writers may retire the
+    generation directory it was bound to (upstream keeps old segment
+    files alive via IndexDeletionPolicy until readers close; here the
+    preload path plays that role and the swap is the reopen).
     """
 
     _COLS = ["term", "sub", "df", "cf", "min_doc", "docs", "tfs", "norms",
