@@ -139,3 +139,54 @@ def monitor_match(ds: ray.data.Dataset, text_col: str, id_col: str,
             "query_id": pa.array(cq["qids"][allq].astype(str))})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def tag_dictionary(ds: ray.data.Dataset, text_col: str, id_col: str,
+                   phrases: list[str]) -> ray.data.Dataset:
+    """SolrTextTagger analog (upstream Solr ``TaggerRequestHandler``
+    — dictionary-driven phrase tagging of raw text [U]): every
+    occurrence of any dictionary phrase (exact consecutive-token
+    match, longest fixed per phrase) is counted per document; emits
+    (id, phrase, n) rows for docs that contain the phrase. Upstream
+    walks an FST of the dictionary; here each phrase is a chained
+    vectorized shift-compare over the token stream (one boolean array
+    per phrase word — no per-token Python), which is the right shape
+    when the dictionary is small relative to the corpus. One
+    streaming pass, combiner-style per-batch counts."""
+    toks_of = [p.split() for p in phrases]
+    cq_ref = ray.put((phrases, toks_of))
+
+    def f(b: pa.Table) -> pa.Table:
+        phr, ptoks = ray.get(cq_ref)
+        offs, flat = _flat_tokens(b[text_col])
+        doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        out_id, out_ph, out_n = [], [], []
+        for phrase, words in zip(phr, ptoks):
+            k = len(words)
+            if len(toks) < k:
+                continue
+            m = toks[: len(toks) - k + 1] == words[0]
+            # same-doc guard for the whole window
+            m &= doc_of[: len(toks) - k + 1] == doc_of[k - 1:]
+            for j in range(1, k):
+                m &= toks[j: len(toks) - k + 1 + j] == words[j]
+            if not m.any():
+                continue
+            hd = doc_of[: len(toks) - k + 1][m]
+            uniq, cnt = np.unique(hd, return_counts=True)
+            out_id.append(ids[uniq])
+            out_ph.extend([phrase] * len(uniq))
+            out_n.append(cnt.astype(np.int64))
+        if not out_id:
+            return pa.table({
+                id_col: pa.array([], type=b[id_col].type),
+                "phrase": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id)).cast(b[id_col].type),
+            "phrase": pa.array(out_ph, type=pa.string()),
+            "n": pa.array(np.concatenate(out_n), type=pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -7788,6 +7788,52 @@ ORDER BY fs DESC, doc_id LIMIT 10
 """
 
 
+# ---------------- SolrTextTagger (/tag dictionary tagging)
+
+TAG_PHRASES = ["hash join", "table scan", "batch batch batch",
+               "quantum flux capacitor"]
+
+
+def tag_dictionary_docs(sf_dir: str) -> pa.Table:
+    """SolrTextTagger ``/tag`` (upstream ``TaggerRequestHandler``
+    [U]): dictionary phrases {TAG_PHRASES} tagged against every doc,
+    per-doc occurrence counts — see
+    ``engine/ops/monitor.py::tag_dictionary``."""
+    from engine.ops import monitor as mon
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = _to_table(mon.tag_dictionary(ds, "text", "doc_id",
+                                     TAG_PHRASES))
+    return _cast_col(t, "doc_id", pa.int64()).sort_by(
+        [("doc_id", "ascending"), ("phrase", "ascending")])
+
+
+SQL_TAG_DICT = f"""
+WITH pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents))
+SELECT doc_id, phrase, n FROM (
+  SELECT a.doc_id, 'hash join' AS phrase, COUNT(*)::BIGINT AS n
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.tok = 'join'
+  WHERE a.tok = 'hash' GROUP BY a.doc_id
+  UNION ALL
+  SELECT a.doc_id, 'table scan', COUNT(*)::BIGINT
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.tok = 'scan'
+  WHERE a.tok = 'table' GROUP BY a.doc_id
+  UNION ALL
+  SELECT a.doc_id, 'batch batch batch', COUNT(*)::BIGINT
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+            AND b.tok = 'batch'
+  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+            AND c.tok = 'batch'
+  WHERE a.tok = 'batch' GROUP BY a.doc_id)
+ORDER BY doc_id, phrase
+"""
+
+
 # ---------------- CoveringQuery (per-doc minimumNumberMatch)
 
 COVER_TERMS = ["spark", "merge", "window"]
@@ -8094,6 +8140,7 @@ def queries() -> dict:
         "ppm_image_stats": ppm_image_stats,
         "wav_audio_stats": wav_audio_stats,
         "y4m_frame_stats": y4m_frame_stats,
+        "tag_dictionary_docs": tag_dictionary_docs,
     }
 
 
@@ -8301,6 +8348,7 @@ def oracle_sql() -> dict:
         "ppm_image_stats": SQL_PPM_STATS,
         "wav_audio_stats": SQL_WAV_STATS,
         "y4m_frame_stats": SQL_Y4M_STATS,
+        "tag_dictionary_docs": SQL_TAG_DICT,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -1025,3 +1025,25 @@ def test_y4m_parse_roundtrip_and_frame_params():
         decode_y4m(b"JUNK\n")
     with _pytest.raises(ValueError):
         decode_y4m(b"YUV4MPEG2 W8 H4 C444\n")
+
+
+def test_tag_dictionary_counts_and_boundaries(ray_session):
+    """Dictionary tagger: per-doc occurrence counts, overlapping
+    matches counted per start position, no cross-doc windows, absent
+    phrase silent, multi-block invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.monitor import tag_dictionary
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b a",          # 'a b' twice, 'b a' twice
+                 "x y z ends with a",  # next doc starts with b:
+                 "b starts here a b"]})  # no cross-doc 'a b'
+    for nblocks in (1, 3):
+        out = tag_dictionary(
+            ray.data.from_arrow(docs).repartition(nblocks),
+            "text", "doc_id", ["a b", "b a", "zz qq"]).take_all()
+        got = sorted((r["doc_id"], r["phrase"], r["n"]) for r in out)
+        assert got == [(1, "a b", 2), (1, "b a", 2), (3, "a b", 1)]
