@@ -7581,6 +7581,93 @@ FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
 """
 
 
+# ---------------- composed RAG retrieval (chunk → index → search)
+
+RAG_QUERY, RAG_MAXCH = "spark merge", 256
+
+
+def rag_chunk_search_topk(sf_dir: str) -> pa.Table:
+    """Composed RAG retrieval path — the chunker feeding the index
+    engine end to end: ``chunk_windows`` (window={CHUNK_W},
+    stride={CHUNK_S}) over the corpus → derived CHUNK corpus (chunk
+    text = its token slice, chunk docID = parent*{RAG_MAXCH}+chunk) →
+    standard index build over chunks → BM25 top-10 for
+    '{RAG_QUERY}' → hits mapped back to (parent doc, chunk).
+    Collection stats (N, avgdl, dfs) are CHUNK-level, exactly what a
+    chunked retrieval index means; the whole chain — chunk
+    arithmetic, slice text, stats, f32 scoring — replays in SQL."""
+    from engine.ops.textstats import _flat_tokens
+
+    key = hashlib.md5(f"{sf_dir}|ragc|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "ragc_" + key)
+    os.makedirs(work, exist_ok=True)
+    derived = os.path.join(work, "chunks.parquet")
+    if not os.path.exists(derived):
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def chunkify(b: pa.Table) -> pa.Table:
+            offs, flat = _flat_tokens(b["text"])
+            toks = flat.to_pylist()
+            ids = b["doc_id"].to_pylist()
+            out_id, out_txt = [], []
+            for i, d in enumerate(ids):
+                seg = toks[offs[i]:offs[i + 1]]
+                n = len(seg)
+                c = (1 if n <= CHUNK_W
+                     else 1 + -(-(n - CHUNK_W) // CHUNK_S))
+                for j in range(c):
+                    s0 = j * CHUNK_S
+                    out_id.append(int(d) * RAG_MAXCH + j)
+                    out_txt.append(" ".join(seg[s0:s0 + CHUNK_W]))
+            return pa.table({
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "text": pa.array(out_txt, type=pa.string())})
+
+        tabs = [t for t in ray.get(
+            ds.map_batches(chunkify, batch_format="pyarrow")
+            .materialize().to_arrow_refs()) if t.num_rows]
+        tmp = derived + ".tmp"
+        pq.write_table(pa.concat_tables(tabs).combine_chunks()
+                       .sort_by("doc_id"), tmp)
+        os.replace(tmp, derived)
+    idx = _cached_filtered_index(sf_dir, (), "ragc",
+                                 input_file=derived)
+    top = IndexReader(idx).topk(RAG_QUERY, 10)
+    cid = top["doc_id"].to_numpy()
+    return pa.table({
+        "rank": top["rank"].cast(pa.int64()),
+        "parent_id": pa.array(cid // RAG_MAXCH, type=pa.int64()),
+        "chunk": pa.array(cid % RAG_MAXCH, type=pa.int64()),
+        "score": top["score"]})
+
+
+def sql_rag_chunk_search() -> str:
+    docs_src = f"""(
+  SELECT doc_id * {RAG_MAXCH} + chunk AS doc_id,
+         array_to_string(list_slice(ts, chunk * {CHUNK_S} + 1,
+             chunk * {CHUNK_S} + LEAST({CHUNK_W},
+                                       n - chunk * {CHUNK_S})), ' ')
+           AS text
+  FROM (SELECT doc_id, ts, n, unnest(range(0, nchunks)) AS chunk
+        FROM (SELECT doc_id, ts, len(ts) AS n,
+                     CASE WHEN len(ts) <= {CHUNK_W} THEN 1
+                          ELSE 1 + (len(ts) - {CHUNK_W}
+                                    + {CHUNK_S} - 1) // {CHUNK_S}
+                     END AS nchunks
+              FROM (SELECT doc_id, {_SQL_TOKS} AS ts
+                    FROM documents)))) chunks"""
+    qterms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in RAG_QUERY.split()) + "]) AS term"
+    return f"""{_sql_scored(qterms, docs_src=docs_src)}
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       (doc_id // {RAG_MAXCH})::BIGINT AS parent_id,
+       (doc_id % {RAG_MAXCH})::BIGINT AS chunk,
+       score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ---------------- optimistic-concurrency (_version_) updates
 
 VUPD_MOD, VUPD_TOKEN = 10, "vupdtoken"
@@ -8141,6 +8228,7 @@ def queries() -> dict:
         "wav_audio_stats": wav_audio_stats,
         "y4m_frame_stats": y4m_frame_stats,
         "tag_dictionary_docs": tag_dictionary_docs,
+        "rag_chunk_search_topk": rag_chunk_search_topk,
     }
 
 
@@ -8349,6 +8437,7 @@ def oracle_sql() -> dict:
         "wav_audio_stats": SQL_WAV_STATS,
         "y4m_frame_stats": SQL_Y4M_STATS,
         "tag_dictionary_docs": SQL_TAG_DICT,
+        "rag_chunk_search_topk": sql_rag_chunk_search(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
