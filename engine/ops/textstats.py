@@ -250,3 +250,92 @@ def chunk_windows(ds: ray.data.Dataset, text_col: str, id_col: str,
             "len_toks": pa.array(ln, type=pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def bigram_lm_score(ds: ray.data.Dataset, text_col: str, id_col: str
+                    ) -> ray.data.Dataset:
+    """LM-based quality scoring — the CCNet/KenLM pattern: train a
+    bigram model on the corpus itself (add-one smoothing), then score
+    every doc by its total bigram log-likelihood. Low scores flag
+    gibberish / boilerplate for filtering.
+
+    Two streaming passes, no shuffle of the corpus: (1) unigram +
+    bigram counts via per-batch pre-aggregated partials → one
+    vocabulary-sized groupby; the model table is broadcast once
+    (``ray.put``) with each distinct bigram's contribution
+    PRE-COMPUTED as f32(ln((c12+1)/(c1+V))); (2) per-doc scoring =
+    one ``index_in`` against the bigram dictionary + a left-to-right
+    f64 ``np.add.reduceat`` per doc. The f32-contribution +
+    position-ordered-f64-sum law is the documented exactness
+    boundary: DuckDB replays it with ``list_reduce(list(...
+    ORDER BY position))``. At 100 TB the broadcast LM would be
+    pruned/quantized (CCNet ships a fixed pretrained model); here the
+    model is corpus-trained so the oracle can re-derive it."""
+    def pairs(b: pa.Table) -> pa.Table:
+        offs, flat = _flat_tokens(b[text_col])
+        toks = flat.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        same = doc_of[1:] == doc_of[:-1]
+        w1, w2 = toks[:-1][same], toks[1:][same]
+        big = pa.table({"w1": pa.array(w1), "w2": pa.array(w2)}) \
+            .group_by(["w1", "w2"]).aggregate([([], "count_all")]) \
+            .rename_columns(["w1", "w2", "c"])
+        uni = pa.table({"w1": pa.array(toks)}).group_by("w1") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["w1", "c"])
+        # "" marks unigram rows (analyzer never emits empty tokens),
+        # so one groupby carries both count kinds through the shuffle
+        return pa.table({
+            "w1": pa.concat_arrays([big["w1"].combine_chunks(),
+                                    uni["w1"].combine_chunks()]),
+            "w2": pa.concat_arrays(
+                [big["w2"].combine_chunks(),
+                 pa.array([""] * uni.num_rows, type=pa.string())]),
+            "c": pa.concat_arrays([big["c"].combine_chunks(),
+                                   uni["c"].combine_chunks()])})
+
+    from engine.ops.classify import _collect
+    counts = _collect(ds.map_batches(pairs, batch_format="pyarrow")
+                      .groupby(["w1", "w2"]).sum("c"))
+    is_uni = pc.equal(counts["w2"], "")
+    uni_t = counts.filter(is_uni)
+    big_t = counts.filter(pc.invert(is_uni))
+    c1 = dict(zip(uni_t["w1"].to_pylist(),
+                  uni_t["sum(c)"].to_pylist()))
+    vsize = float(len(c1))
+    bw1 = big_t["w1"].to_pylist()
+    keys = pa.array([a + "\x00" + b for a, b in
+                     zip(bw1, big_t["w2"].to_pylist())])
+    c12 = big_t["sum(c)"].to_numpy().astype(np.float64)
+    denom = np.array([c1[a] for a in bw1], dtype=np.float64) + vsize
+    contrib = np.log((c12 + 1.0) / denom).astype(np.float32) \
+        .astype(np.float64)
+    model_ref = ray.put((keys, contrib))
+
+    def score(b: pa.Table) -> pa.Table:
+        keys_, contrib_ = ray.get(model_ref)
+        offs, flat = _flat_tokens(b[text_col])
+        toks = flat.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        same = doc_of[1:] == doc_of[:-1]
+        bg = pa.array([a + "\x00" + c for a, c in
+                       zip(toks[:-1][same], toks[1:][same])])
+        idx = pc.index_in(bg, value_set=keys_) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lp = contrib_[idx]                 # every corpus bigram hits
+        bdoc = doc_of[:-1][same]
+        # per-doc LEFT-TO-RIGHT f64 sums (np.add.reduce is sequential)
+        ndoc = len(offs) - 1
+        nb = np.bincount(bdoc, minlength=ndoc)
+        starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        has = nb > 0
+        sums = np.zeros(ndoc, dtype=np.float64)
+        if lp.size:
+            sums[has] = np.add.reduceat(lp, starts[has])
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[has]).cast(b[id_col].type),
+            "n_bigrams": pa.array(nb[has], type=pa.int64()),
+            "logprob": pa.array(sums[has], type=pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -7581,6 +7581,44 @@ FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
 """
 
 
+# ---------------- bigram LM quality scoring (CCNet/KenLM pattern)
+
+def bigram_lm_docs(sf_dir: str) -> pa.Table:
+    """LM-based quality scoring (the CCNet/KenLM filter pattern):
+    corpus-trained add-one bigram model, per-doc total bigram
+    log-likelihood — see ``engine/ops/textstats.py::bigram_lm_score``
+    for the two-pass shape and the f32-contribution /
+    position-ordered-f64-sum exactness law the oracle replays with
+    ``list_reduce(list(... ORDER BY position))``."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = _to_table(tx.bigram_lm_score(ds, "text", "doc_id"))
+    return _cast_col(t, "doc_id", pa.int64()).sort_by("doc_id")
+
+
+SQL_BIGRAM_LM = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+uni AS (SELECT term, COUNT(*)::DOUBLE AS c1
+        FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term),
+vv AS (SELECT COUNT(*)::DOUBLE AS v FROM uni),
+pos AS (
+  SELECT doc_id, p,
+         list_extract(ts, p + 1) AS w1,
+         list_extract(ts, p + 2) AS w2
+  FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - 1)) AS p
+        FROM toks)),
+big AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c12
+        FROM pos GROUP BY w1, w2),
+contrib AS (
+  SELECT pos.doc_id, pos.p,
+         CAST(ln((b.c12 + 1) / (u.c1 + vv.v)) AS FLOAT)::DOUBLE AS lp
+  FROM pos JOIN big b ON b.w1 = pos.w1 AND b.w2 = pos.w2
+  JOIN uni u ON u.term = pos.w1 CROSS JOIN vv)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       list_reduce(list(lp ORDER BY p), (a, b) -> a + b) AS logprob
+FROM contrib GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------- composed RAG retrieval (chunk → index → search)
 
 RAG_QUERY, RAG_MAXCH = "spark merge", 256
@@ -8229,6 +8267,7 @@ def queries() -> dict:
         "y4m_frame_stats": y4m_frame_stats,
         "tag_dictionary_docs": tag_dictionary_docs,
         "rag_chunk_search_topk": rag_chunk_search_topk,
+        "bigram_lm_docs": bigram_lm_docs,
     }
 
 
@@ -8438,6 +8477,7 @@ def oracle_sql() -> dict:
         "y4m_frame_stats": SQL_Y4M_STATS,
         "tag_dictionary_docs": SQL_TAG_DICT,
         "rag_chunk_search_topk": sql_rag_chunk_search(),
+        "bigram_lm_docs": SQL_BIGRAM_LM,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
