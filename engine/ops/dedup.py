@@ -584,3 +584,107 @@ def connected_components(edges: ray.data.Dataset, a_col: str,
     order = np.argsort(node)
     return pa.table({"doc_id": pa.array(node[order], type=pa.int64()),
                      "cluster_id": pa.array(lid[order], type=pa.int64())})
+
+
+def _window_hashes(b: pa.Table, text_col: str, k: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row k-token window hashes: (row_of, start_pos, hash64).
+    Hash = md5 low-uint64 of the chr(0)-joined window — the exact
+    value DuckDB's ``md5_number_lower`` computes, so the oracle
+    replays collisions too (at 100 TB a vectorizable rolling
+    polynomial hash would replace md5; md5 keeps the oracle exact)."""
+    import hashlib
+    import struct
+
+    offs, flat = _flat_tokens(b[text_col])
+    toks = flat.to_pylist()
+    rows, poss, hs = [], [], []
+    for i in range(len(offs) - 1):
+        seg = toks[offs[i]:offs[i + 1]]
+        for p in range(len(seg) - k + 1):
+            rows.append(i)
+            poss.append(p)
+            hs.append(struct.unpack("<Q", hashlib.md5(
+                "\x00".join(seg[p:p + k]).encode()).digest()[8:])[0])
+    # int64 REINTERPRETATION of the uint64 hash: Ray's groupby key
+    # conversion overflows on uint64 > 2^63; equality/grouping is
+    # unaffected and the SQL side keeps the UBIGINT value space
+    return (np.array(rows, dtype=np.int64),
+            np.array(poss, dtype=np.int64),
+            np.array(hs, dtype=np.uint64).view(np.int64))
+
+
+def exact_substring_spans(ds: ray.data.Dataset, text_col: str,
+                          id_col: str, k: int = 8) -> pa.Table:
+    """Exact-substring dedup spans — the "Deduplicating Training Data"
+    (Lee et al., 2022) ExactSubstr primitive: every maximal token
+    span whose k-token windows ALL occur >= 2 times in the corpus
+    (within- or cross-document). Returns (id, span_start, span_len)
+    per maximal duplicated region; callers drop or trim those spans.
+
+    Shape: pass 1 — per-batch window-hash partials pre-aggregated to
+    (hash, n) → one hash-keyed groupby; the duplicated-hash set
+    (only hashes with n >= 2 — vastly smaller than the corpus) is
+    broadcast sorted for searchsorted probes. Pass 2 — re-hash each
+    batch, mark duplicated window starts, and merge consecutive
+    starts into maximal spans with one vectorized diff per batch
+    (gaps-and-islands). Lee et al. use a suffix array; the k-gram
+    window formulation is groupby-shaped for Ray and equals it for
+    spans >= k."""
+    def part(b: pa.Table) -> pa.Table:
+        _, _, hs = _window_hashes(b, text_col, k)
+        u, c = np.unique(hs, return_counts=True)
+        return pa.table({"h": pa.array(u, type=pa.int64()),
+                         "n": pa.array(c, type=pa.int64())})
+
+    agg = [t for t in ray.get(
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("h").sum("n").materialize().to_arrow_refs())
+        if t.num_rows]
+    if not agg:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "span_start": pa.array([], type=pa.int64()),
+                         "span_len": pa.array([], type=pa.int64())})
+    cat = pa.concat_tables(agg).combine_chunks()
+    dup = cat.filter(pc.greater_equal(cat["sum(n)"], 2))["h"] \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    dup_ref = ray.put(np.sort(dup))
+
+    def spans(b: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        rows, poss, hs = _window_hashes(b, text_col, k)
+        if not len(hs) or not len(dups):
+            return pa.table({
+                id_col: pa.array([], type=b[id_col].type),
+                "span_start": pa.array([], type=pa.int64()),
+                "span_len": pa.array([], type=pa.int64())})
+        ix = np.minimum(np.searchsorted(dups, hs), len(dups) - 1)
+        hit = dups[ix] == hs
+        rows, poss = rows[hit], poss[hit]
+        if not len(rows):
+            return pa.table({
+                id_col: pa.array([], type=b[id_col].type),
+                "span_start": pa.array([], type=pa.int64()),
+                "span_len": pa.array([], type=pa.int64())})
+        # islands: same row AND consecutive start positions
+        brk = np.concatenate((
+            [True], (rows[1:] != rows[:-1]) | (poss[1:] != poss[:-1] + 1)))
+        starts = poss[brk]
+        ends = np.concatenate((poss[np.nonzero(brk)[0][1:] - 1],
+                               [poss[-1]]))
+        grow = rows[brk]
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[grow]).cast(b[id_col].type),
+            "span_start": pa.array(starts, type=pa.int64()),
+            "span_len": pa.array(ends - starts + k, type=pa.int64())})
+
+    tabs = [t for t in ray.get(
+        ds.map_batches(spans, batch_format="pyarrow")
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "span_start": pa.array([], type=pa.int64()),
+                         "span_len": pa.array([], type=pa.int64())})
+    return pa.concat_tables(tabs).combine_chunks().sort_by(
+        [(id_col, "ascending"), ("span_start", "ascending")])

@@ -7581,6 +7581,46 @@ FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
 """
 
 
+# ---------------- exact-substring dedup spans (Lee et al. 2022)
+
+EXSUB_K = 8
+
+
+def exact_substring_docs(sf_dir: str) -> pa.Table:
+    """ExactSubstr training-data dedup ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022): every maximal
+    token span whose {EXSUB_K}-token windows all occur >= 2 times in
+    the corpus — see ``engine/ops/dedup.py::exact_substring_spans``
+    (two-pass: window-hash groupby → broadcast duplicated-hash set →
+    vectorized gaps-and-islands span merge)."""
+    from engine.ops import dedup as dd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = dd.exact_substring_spans(ds, "text", "doc_id", k=EXSUB_K)
+    return _cast_col(t, "doc_id", pa.int64())
+
+
+SQL_EXACT_SUBSTRING = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+win AS (
+  SELECT doc_id, p,
+         md5_number_lower(array_to_string(
+             list_slice(ts, p + 1, p + {EXSUB_K}), chr(0))) AS h
+  FROM (SELECT doc_id, ts,
+               unnest(range(0, len(ts) - {EXSUB_K} + 1)) AS p
+        FROM toks)),
+dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
+marks AS (SELECT doc_id, p FROM win JOIN dup USING (h)),
+isl AS (SELECT doc_id, p,
+               p - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY p) AS grp
+        FROM marks)
+SELECT doc_id, MIN(p)::BIGINT AS span_start,
+       (MAX(p) - MIN(p) + {EXSUB_K})::BIGINT AS span_len
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
 # ---------------- bigram LM quality scoring (CCNet/KenLM pattern)
 
 def bigram_lm_docs(sf_dir: str) -> pa.Table:
@@ -8268,6 +8308,7 @@ def queries() -> dict:
         "tag_dictionary_docs": tag_dictionary_docs,
         "rag_chunk_search_topk": rag_chunk_search_topk,
         "bigram_lm_docs": bigram_lm_docs,
+        "exact_substring_docs": exact_substring_docs,
     }
 
 
@@ -8478,6 +8519,7 @@ def oracle_sql() -> dict:
         "tag_dictionary_docs": SQL_TAG_DICT,
         "rag_chunk_search_topk": sql_rag_chunk_search(),
         "bigram_lm_docs": SQL_BIGRAM_LM,
+        "exact_substring_docs": SQL_EXACT_SUBSTRING,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -1047,3 +1047,36 @@ def test_tag_dictionary_counts_and_boundaries(ray_session):
             "text", "doc_id", ["a b", "b a", "zz qq"]).take_all()
         got = sorted((r["doc_id"], r["phrase"], r["n"]) for r in out)
         assert got == [(1, "a b", 2), (1, "b a", 2), (3, "a b", 1)]
+
+
+def test_exact_substring_spans_planted_duplicate(ray_session):
+    """A 12-token passage planted in two docs: each must report one
+    maximal span exactly covering the passage (k=8 windows merged by
+    gaps-and-islands); a doc without the passage reports nothing;
+    within-doc repetition also counts (>=2 occurrences total)."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.dedup import exact_substring_spans
+
+    passage = [f"dup{i}" for i in range(12)]
+    docs = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            " ".join(["lead1", "lead2"] + passage + ["tail1"]),
+            " ".join(passage + ["other", "words", "entirely"]),
+            "nothing shared with anyone here at all today ok",
+            # within-doc repeat of an 8-token run
+            " ".join([f"rep{i % 8}" for i in range(16)]),
+        ]})
+    out = exact_substring_spans(
+        ray.data.from_arrow(docs).repartition(2), "text", "doc_id",
+        k=8).to_pylist()
+    spans = {(r["doc_id"], r["span_start"], r["span_len"])
+             for r in out}
+    assert (0, 2, 12) in spans
+    assert (1, 0, 12) in spans
+    assert not any(r["doc_id"] == 2 for r in out)
+    # within-doc: only the two aligned rep0..rep7 windows repeat (the
+    # rotations occur once each), so two 8-token spans — not one 16
+    assert (3, 0, 8) in spans and (3, 8, 8) in spans
