@@ -688,3 +688,46 @@ def exact_substring_spans(ds: ray.data.Dataset, text_col: str,
                          "span_len": pa.array([], type=pa.int64())})
     return pa.concat_tables(tabs).combine_chunks().sort_by(
         [(id_col, "ascending"), ("span_start", "ascending")])
+
+
+def exact_substring_clean(ds: ray.data.Dataset, text_col: str,
+                          id_col: str, k: int = 8
+                          ) -> ray.data.Dataset:
+    """Apply step of ExactSubstr dedup (Lee et al. 2022 drop the
+    duplicated spans and train on the remainder): tokens covered by
+    any duplicated maximal span are removed and the survivors are
+    reassembled in order. Spans come from
+    :func:`exact_substring_spans` (a result vastly smaller than the
+    corpus), broadcast once grouped by doc; the cleaning pass streams.
+    Emits (id, n_kept, clean_text) for docs with >= 1 surviving
+    token."""
+    spans = exact_substring_spans(ds, text_col, id_col, k=k)
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans.to_pylist():
+        by_doc.setdefault(int(r[id_col]), []).append(
+            (int(r["span_start"]), int(r["span_len"])))
+    span_ref = ray.put(by_doc)
+
+    def clean(b: pa.Table) -> pa.Table:
+        sp = ray.get(span_ref)
+        offs, flat = _flat_tokens(b[text_col])
+        toks = flat.to_pylist()
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_n, out_txt = [], [], []
+        for i, d in enumerate(ids):
+            seg = toks[offs[i]:offs[i + 1]]
+            keep = np.ones(len(seg), dtype=bool)
+            for s, ln in sp.get(int(d), ()):
+                keep[s:s + ln] = False
+            if not keep.any():
+                continue
+            kept = [t for t, kp in zip(seg, keep) if kp]
+            out_id.append(int(d))
+            out_n.append(len(kept))
+            out_txt.append(" ".join(kept))
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.int64()),
+            "n_kept": pa.array(out_n, type=pa.int64()),
+            "clean_text": pa.array(out_txt, type=pa.string())})
+
+    return ds.map_batches(clean, batch_format="pyarrow")

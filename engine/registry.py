@@ -7621,6 +7621,49 @@ FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
 """
 
 
+def exact_substring_clean_docs(sf_dir: str) -> pa.Table:
+    """Apply step of ExactSubstr dedup: duplicated spans removed, the
+    survivors reassembled — the corpus a training run would actually
+    consume. See ``engine/ops/dedup.py::exact_substring_clean``."""
+    from engine.ops import dedup as dd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = _to_table(dd.exact_substring_clean(ds, "text", "doc_id",
+                                           k=EXSUB_K))
+    return _cast_col(t, "doc_id", pa.int64()).sort_by("doc_id")
+
+
+SQL_EXACT_SUBSTRING_CLEAN = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+win AS (
+  SELECT doc_id, p,
+         md5_number_lower(array_to_string(
+             list_slice(ts, p + 1, p + {EXSUB_K}), chr(0))) AS h
+  FROM (SELECT doc_id, ts,
+               unnest(range(0, len(ts) - {EXSUB_K} + 1)) AS p
+        FROM toks)),
+dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
+marks AS (SELECT doc_id, p FROM win JOIN dup USING (h)),
+isl AS (SELECT doc_id, p,
+               p - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY p) AS grp
+        FROM marks),
+spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + {EXSUB_K} - 1 AS e
+          FROM isl GROUP BY doc_id, grp),
+posn AS (SELECT doc_id, unnest(ts) AS tok,
+                unnest(range(0, len(ts))) AS p
+         FROM toks),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok FROM posn t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id
+                      AND t.p BETWEEN s.s AND s.e))
+SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+       string_agg(tok, ' ' ORDER BY p) AS clean_text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------- bigram LM quality scoring (CCNet/KenLM pattern)
 
 def bigram_lm_docs(sf_dir: str) -> pa.Table:
@@ -8309,6 +8352,7 @@ def queries() -> dict:
         "rag_chunk_search_topk": rag_chunk_search_topk,
         "bigram_lm_docs": bigram_lm_docs,
         "exact_substring_docs": exact_substring_docs,
+        "exact_substring_clean_docs": exact_substring_clean_docs,
     }
 
 
@@ -8520,6 +8564,7 @@ def oracle_sql() -> dict:
         "rag_chunk_search_topk": sql_rag_chunk_search(),
         "bigram_lm_docs": SQL_BIGRAM_LM,
         "exact_substring_docs": SQL_EXACT_SUBSTRING,
+        "exact_substring_clean_docs": SQL_EXACT_SUBSTRING_CLEAN,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
