@@ -6131,6 +6131,52 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def dedup_keep_best_docs(sf_dir: str) -> pa.Table:
+    """Policy-based survivor selection — the production variant of
+    cluster dedup: within each near-dup cluster keep the HIGHEST
+    QUALITY member (here: max ``n_chars``, doc_id asc tiebreak)
+    instead of the arbitrary first. Clusters from the same exact
+    n-gram pair config as ``dedup_clusters_docs``; the cluster table
+    is small by construction (only paired docs), so the per-cluster
+    argmax runs on it directly with the quality column fetched via a
+    pruned filtered read."""
+    clusters = dedup_clusters_docs(sf_dir)
+    ids = clusters["doc_id"].to_pylist()
+    nch = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+        filters=[("doc_id", "in", ids)])
+    m = dict(zip(nch["doc_id"].to_pylist(),
+                 nch["n_chars"].to_pylist()))
+    best: dict[int, tuple[int, int]] = {}
+    for d, c in zip(ids, clusters["cluster_id"].to_pylist()):
+        q = int(m[d])
+        cur = best.get(int(c))
+        if cur is None or (-q, d) < (-cur[1], cur[0]):
+            best[int(c)] = (int(d), q)
+    rows = sorted((c, kid, q) for c, (kid, q) in best.items())
+    return pa.table({
+        "cluster_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "keep_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "keep_n_chars": pa.array([r[2] for r in rows],
+                                 type=pa.int64())})
+
+
+def sql_dedup_keep_best() -> str:
+    prefix = SQL_DEDUP_CLUSTERS.rsplit("SELECT node AS doc_id", 1)[0]
+    return f"""{prefix.rstrip()},
+cl AS (
+  SELECT node AS doc_id, MIN(r)::BIGINT AS cluster_id
+  FROM reach GROUP BY node)
+SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_n_chars FROM (
+  SELECT cl.cluster_id, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM cl JOIN documents d USING (doc_id))
+WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
 # --------------------- intervals / term-set filter / facet extras
 
 INTERVAL_MAXGAPS = 3
@@ -8353,6 +8399,7 @@ def queries() -> dict:
         "bigram_lm_docs": bigram_lm_docs,
         "exact_substring_docs": exact_substring_docs,
         "exact_substring_clean_docs": exact_substring_clean_docs,
+        "dedup_keep_best_docs": dedup_keep_best_docs,
     }
 
 
@@ -8565,6 +8612,7 @@ def oracle_sql() -> dict:
         "bigram_lm_docs": SQL_BIGRAM_LM,
         "exact_substring_docs": SQL_EXACT_SUBSTRING,
         "exact_substring_clean_docs": SQL_EXACT_SUBSTRING_CLEAN,
+        "dedup_keep_best_docs": sql_dedup_keep_best(),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
