@@ -1080,3 +1080,47 @@ def test_exact_substring_spans_planted_duplicate(ray_session):
     # within-doc: only the two aligned rep0..rep7 windows repeat (the
     # rotations occur once each), so two 8-token spans — not one 16
     assert (3, 0, 8) in spans and (3, 8, 8) in spans
+
+
+def test_new_ops_block_split_invariance(ray_session):
+    """The two-pass broadcast ops must be bitwise invariant to how
+    rows are split across blocks: exact-substring spans, bigram-LM
+    scores (f64-exact) and chunk windows on a random corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.dedup import exact_substring_spans
+    from engine.ops.textstats import bigram_lm_score, chunk_windows
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 40)))
+             for _ in range(60)]
+    tab = pa.table({"doc_id": list(range(60)), "text": texts})
+
+    def canon(rows, keys):
+        return sorted(tuple(r[k] for k in keys) for r in rows)
+
+    base_spans = canon(exact_substring_spans(
+        ray.data.from_arrow(tab), "text", "doc_id", k=4).to_pylist(),
+        ["doc_id", "span_start", "span_len"])
+    base_lm = canon(bigram_lm_score(
+        ray.data.from_arrow(tab), "text", "doc_id").take_all(),
+        ["doc_id", "n_bigrams", "logprob"])
+    base_ch = canon(chunk_windows(
+        ray.data.from_arrow(tab), "text", "doc_id",
+        window=16, stride=12).take_all(),
+        ["doc_id", "chunk", "start_tok", "len_toks"])
+
+    for nblocks in (3, 7):
+        ds = ray.data.from_arrow(tab).repartition(nblocks)
+        assert canon(exact_substring_spans(
+            ds, "text", "doc_id", k=4).to_pylist(),
+            ["doc_id", "span_start", "span_len"]) == base_spans
+        assert canon(bigram_lm_score(ds, "text", "doc_id").take_all(),
+                     ["doc_id", "n_bigrams", "logprob"]) == base_lm
+        assert canon(chunk_windows(ds, "text", "doc_id", window=16,
+                                   stride=12).take_all(),
+                     ["doc_id", "chunk", "start_tok", "len_toks"]) \
+            == base_ch
