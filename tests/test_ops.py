@@ -1124,3 +1124,45 @@ def test_new_ops_block_split_invariance(ray_session):
                                    stride=12).take_all(),
                      ["doc_id", "chunk", "start_tok", "len_toks"]) \
             == base_ch
+
+
+def test_media_decoders_randomized_roundtrip():
+    """Randomized synth→decode round-trips for all three pure-numpy
+    media decoders: every pixel/sample/frame must survive exactly for
+    arbitrary dims (odd sizes included — C420 needs even dims for the
+    chroma planes, luma is what we check)."""
+    import numpy as np
+
+    from engine.ops.multimodal import (decode_ppm, decode_wav,
+                                       decode_y4m, synth_ppm,
+                                       synth_wav, synth_y4m)
+
+    rng = np.random.default_rng(23)
+    for _ in range(10):
+        w = int(rng.integers(1, 40))
+        h = int(rng.integers(1, 30))
+        did = int(rng.integers(0, 10_000))
+        img = decode_ppm(synth_ppm(did, w, h))
+        assert img.shape == (h, w, 3)
+        x = np.arange(w).reshape(1, w, 1)
+        y = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(3).reshape(1, 1, 3)
+        assert (img.astype(np.int64)
+                == (x + 2 * y + 3 * c + did) % 256).all()
+
+        n = int(rng.integers(1, 500))
+        s, rate = decode_wav(synth_wav(did, n))
+        t = np.arange(n, dtype=np.int64)
+        assert (s.astype(np.int64)
+                == ((t * (did + 1) + 7) % 4096) - 2048).all()
+
+        fw = 2 * int(rng.integers(1, 12))
+        fh = 2 * int(rng.integers(1, 8))
+        nf = int(rng.integers(1, 6))
+        w2, h2, frames = decode_y4m(synth_y4m(did, fw, fh, nf))
+        assert (w2, h2, len(frames)) == (fw, fh, nf)
+        xx = np.arange(fw).reshape(1, fw)
+        yy = np.arange(fh).reshape(fh, 1)
+        for f in range(nf):
+            assert (frames[f].astype(np.int64)
+                    == (xx + yy + 5 * f + did) % 256).all()
