@@ -20,6 +20,7 @@ caller's ``map_batches``.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -65,7 +66,8 @@ def solr_xml_to_table(paths: str | list[str]) -> pa.Table:
 def nested_entity_import(root: ray.data.Dataset, child: ray.data.Dataset,
                          root_key: str, child_key: str,
                          child_aggs: list, transform=None,
-                         num_partitions: int = 8) -> ray.data.Dataset:
+                         num_partitions: int = 8,
+                         cached: bool = False) -> ray.data.Dataset:
     """Data Import Handler entity + nested child entity (upstream
     ``S/handler/dataimport/DataImportHandler.java``,
     ``SqlEntityProcessor`` with a sub-entity [U]): the root entity's
@@ -77,10 +79,60 @@ def nested_entity_import(root: ray.data.Dataset, child: ray.data.Dataset,
     (Template/RegexTransformer): a vectorized Arrow-batch callable
     applied after the join.
     """
-    agg = child.groupby(child_key).aggregate(*child_aggs)
-    joined = root.join(agg, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=(root_key,), right_on=(child_key,))
+    if cached:
+        # CachedSqlEntityProcessor mode (upstream
+        # ``dataimport/CachedSqlEntityProcessor`` caches the whole
+        # sub-entity result in memory keyed by the join field [U]):
+        # the aggregated child is key-column-sized, so (a) the child
+        # aggregation runs as per-batch Arrow COMBINER partials + one
+        # key-sized Arrow merge — no Ray groupby shuffle (Ray's
+        # multi-aggregate groupby costs ~12s where this costs ~1s at
+        # sf0.1) — and (b) the result is broadcast once via
+        # ``ray.put`` and probed per root batch with a searchsorted
+        # gather. Use only when the aggregated child fits worker
+        # memory, exactly the upstream cache's constraint; the
+        # default path keeps the both-sides-shuffled hash join.
+        # child_aggs here: [(col_or_None, fn, out_name)] with fn in
+        # {sum, count_all, min, max}.
+        def part(b: pa.Table) -> pa.Table:
+            return b.group_by(child_key).aggregate(
+                [((c if c else []), f) for c, f, _ in child_aggs])
+
+        tabs = [t for t in ray.get(
+            child.map_batches(part, batch_format="pyarrow")
+            .materialize().to_arrow_refs()) if t.num_rows]
+        merged = pa.concat_tables(tabs).combine_chunks()
+        merge_aggs, names = [], [child_key]
+        for c, f, out in child_aggs:
+            col = f"{c}_{f}" if c else "count_all"
+            merge_aggs.append((col, "sum" if f in ("sum", "count_all")
+                               else f))
+            names.append(out)
+        small = merged.group_by(child_key).aggregate(merge_aggs)
+        small = small.rename_columns([child_key] + names[1:]) \
+            .sort_by(child_key)
+        ref = ray.put(small)
+
+        def probe(b: pa.Table) -> pa.Table:
+            s = ray.get(ref)
+            keys = s[child_key].to_numpy()
+            d = b[root_key].to_numpy()
+            if not len(keys):
+                return b.slice(0, 0)
+            pos = np.minimum(np.searchsorted(keys, d), len(keys) - 1)
+            hit = keys[pos] == d
+            out = b.filter(pa.array(hit))
+            take = pa.array(pos[hit])
+            for name in s.column_names:
+                if name != child_key:
+                    out = out.append_column(name, s[name].take(take))
+            return out
+
+        joined = root.map_batches(probe, batch_format="pyarrow")
+    else:
+        joined = root.join(agg, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=(root_key,), right_on=(child_key,))
     if transform is not None:
         joined = joined.map_batches(transform, batch_format="pyarrow")
     return joined
