@@ -1822,6 +1822,26 @@ class IndexReader:
             "term": pa.array([t for t, _ in rows], type=pa.string()),
             "df": pa.array([d for _, d in rows], type=pa.int64())})
 
+    def fuzzy_suggest_topk(self, prefix: str, k: int = 10,
+                           max_edits: int = 1) -> pa.Table:
+        """FuzzySuggester (upstream
+        ``lucene/suggest/.../analyzing/FuzzySuggester.java`` [U]):
+        typo-tolerant completion — upstream intersects a Levenshtein
+        automaton of the input with the suggestion FST so edits are
+        tolerated in the consumed prefix. Conformance restatement
+        (documented): a term matches iff the edit distance between
+        its first ``len(prefix)`` chars and the input is <=
+        ``max_edits``; ranked weight (df) desc, term asc. Memoized
+        dictionary scan + term-cache dfs — zero postings decode."""
+        n = len(prefix)
+        cands = [t for t in self.vocabulary()
+                 if _levenshtein(prefix, t[:n], max_edits) <= max_edits]
+        dfs = self._df_of(cands)
+        rows = sorted(dfs.items(), key=lambda r: (-r[1], r[0]))[:k]
+        return pa.table({
+            "term": pa.array([t for t, _ in rows], type=pa.string()),
+            "df": pa.array([d for _, d in rows], type=pa.int64())})
+
     def terms_enum(self, prefix: str = "", regex: str | None = None,
                    mincount: int = 1, sort: str = "count",
                    k: int = 10) -> pa.Table:

@@ -2085,6 +2085,29 @@ GROUP BY term ORDER BY df DESC, term LIMIT 10
 """
 
 
+FUZZY_SUGGEST_PREFIX = "sca"
+
+
+def fuzzy_suggest_docs(sf_dir: str) -> pa.Table:
+    """FuzzySuggester (upstream ``lucene/suggest/.../analyzing/
+    FuzzySuggester.java`` [U]): typo-tolerant completion for
+    '{FUZZY_SUGGEST_PREFIX}' — edit distance <= 1 on the consumed
+    prefix window, weight (df) desc; conformance restatement on
+    ``IndexReader.fuzzy_suggest_topk``."""
+    return _doc_reader(sf_dir).fuzzy_suggest_topk(
+        FUZZY_SUGGEST_PREFIX, k=10, max_edits=1)
+
+
+SQL_FUZZY_SUGGEST = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term
+              FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks
+WHERE levenshtein(substr(term, 1, {len(FUZZY_SUGGEST_PREFIX)}),
+                  '{FUZZY_SUGGEST_PREFIX}') <= 1
+GROUP BY term ORDER BY df DESC, term LIMIT 10
+"""
+
+
 def spellcheck_docs(sf_dir: str) -> pa.Table:
     """DirectSpellChecker: dictionary terms within edit distance 2,
     ranked (distance, popularity) (upstream ``DirectSpellChecker``
@@ -8410,6 +8433,7 @@ def queries() -> dict:
         "exact_substring_docs": exact_substring_docs,
         "exact_substring_clean_docs": exact_substring_clean_docs,
         "dedup_keep_best_docs": dedup_keep_best_docs,
+        "fuzzy_suggest_docs": fuzzy_suggest_docs,
     }
 
 
@@ -8623,6 +8647,7 @@ def oracle_sql() -> dict:
         "exact_substring_docs": SQL_EXACT_SUBSTRING,
         "exact_substring_clean_docs": SQL_EXACT_SUBSTRING_CLEAN,
         "dedup_keep_best_docs": sql_dedup_keep_best(),
+        "fuzzy_suggest_docs": SQL_FUZZY_SUGGEST,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
