@@ -53,6 +53,18 @@ _ASCII_SPLIT_RE = _re.compile(TOKEN_SPLIT_REGEX)
 # accented tokens). RE2 property classes — runs in Arrow C++.
 UNICODE_SPLIT_REGEX = r"[^\pL\pN]+"
 
+# Tokenizer registry (upstream tokenizer factories): name → split
+# regex over the raw text, None = KeywordTokenizer (whole input is
+# one token). whitespace/letter are the classic WhitespaceTokenizer /
+# LetterTokenizer; all run in Arrow's RE2 split kernel.
+TOKENIZER_REGEX = {
+    "standard": TOKEN_SPLIT_REGEX,
+    "unicode": UNICODE_SPLIT_REGEX,
+    "whitespace": r"\s+",
+    "letter": r"[^A-Za-z]+",
+    "keyword": None,
+}
+
 
 class CharFilter:
     """Pre-tokenization character filter (upstream
@@ -622,6 +634,151 @@ class MinHashTokenFilter(TokenFilter):
         return {"type": "min_hash", "k": self.k}
 
 
+def _drop_tokens(offsets, codes, vocab, positions, keep):
+    """Shared drop machinery: keep the masked tokens, recompute per-doc
+    offsets/lens and compact the vocabulary (same shape LengthFilter
+    uses). ``keep`` is a bool mask over the flat token stream."""
+    n_docs = len(offsets) - 1
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                       np.diff(offsets))
+    out_doc = doc_of[keep]
+    kept_codes = codes[keep]
+    if len(kept_codes):
+        uniq_codes, inv = np.unique(kept_codes, return_inverse=True)
+        vocab2 = vocab[uniq_codes]
+    else:
+        inv = kept_codes
+        vocab2 = vocab[:0]
+    new_lens = np.bincount(out_doc, minlength=n_docs).astype(np.int32)
+    new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=new_offsets[1:])
+    return new_offsets, inv, vocab2, positions[keep], new_lens
+
+
+def _rewrite_vocab(vocab2, offsets, codes, positions, doc_lens):
+    """Shared rewrite machinery: the vocabulary was transformed
+    in-place (token count unchanged); re-unique so codes point into a
+    sorted vocab of the rewritten terms."""
+    uniq, inv = np.unique(vocab2, return_inverse=True)
+    return offsets, inv[codes], uniq, positions, doc_lens
+
+
+class TruncateFilter(TokenFilter):
+    """Truncate every token to a fixed prefix length (upstream
+    ``TruncateTokenFilter`` / Solr ``TruncateTokenFilterFactory``
+    [U]). Vocabulary-level slice + re-unique — per-token work is
+    O(vocab)."""
+
+    def __init__(self, length: int):
+        assert length >= 1
+        self.length = length
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        n = self.length
+        vocab2 = np.array([t[:n] for t in vocab], dtype=object)
+        return _rewrite_vocab(vocab2, offsets, codes, positions, doc_lens)
+
+    def spec(self) -> dict:
+        return {"type": "truncate", "length": self.length}
+
+
+class ReverseStringFilter(TokenFilter):
+    """Reverse each token's characters (upstream
+    ``ReverseStringFilter`` [U] — the classic leading-wildcard
+    enabler). Vocabulary-level."""
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        vocab2 = np.array([t[::-1] for t in vocab], dtype=object)
+        return _rewrite_vocab(vocab2, offsets, codes, positions, doc_lens)
+
+    def spec(self) -> dict:
+        return {"type": "reverse_string"}
+
+
+class TrimFilter(TokenFilter):
+    """Strip leading/trailing whitespace from each token (upstream
+    ``TrimFilter`` [U] — meaningful after the keyword/whitespace
+    tokenizers; the standard tokenizer never emits spaces).
+    Conformance boundary (documented): tokens that trim to the empty
+    string are DROPPED (upstream keeps a zero-length token; an empty
+    term is useless in the index and upstream configs invariably
+    follow trim with a length filter)."""
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        vocab2 = np.array([t.strip() for t in vocab], dtype=object)
+        keep_v = np.array([len(t) > 0 for t in vocab2], dtype=bool)
+        if keep_v.all():
+            return _rewrite_vocab(vocab2, offsets, codes, positions,
+                                  doc_lens)
+        off2, codes2, voc2, pos2, lens2 = _drop_tokens(
+            offsets, codes, vocab2, positions, keep_v[codes])
+        # _drop_tokens compacted against the REWRITTEN vocab; terms may
+        # still collide after trimming — re-unique to canonical form.
+        return _rewrite_vocab(voc2, off2, codes2, pos2, lens2)
+
+    def spec(self) -> dict:
+        return {"type": "trim"}
+
+
+class LimitTokenCountFilter(TokenFilter):
+    """Keep only the first ``max_count`` tokens of each document in
+    position order (upstream ``LimitTokenCountFilter`` [U],
+    consumeAllTokens=false semantics at the stream level). Rank within
+    the doc is computed by a vectorized lexsort over (doc, position) —
+    robust to earlier filters that reorder the flat stream."""
+
+    def __init__(self, max_count: int):
+        assert max_count >= 1
+        self.max_count = max_count
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        total = len(codes)
+        if total == 0:
+            return offsets, codes, vocab, positions, doc_lens
+        n_docs = len(offsets) - 1
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        order = np.lexsort((positions, doc_of))
+        ranks_sorted = (np.arange(total, dtype=np.int64)
+                        - np.repeat(offsets[:-1], np.diff(offsets)))
+        keep = np.empty(total, dtype=bool)
+        keep[order] = ranks_sorted < self.max_count
+        return _drop_tokens(offsets, codes, vocab, positions, keep)
+
+    def spec(self) -> dict:
+        return {"type": "limit_count", "max_count": self.max_count}
+
+
+class StemFilter(TokenFilter):
+    """Porter stemming as an ORDERED chain member with a protected-word
+    set (upstream ``PorterStemFilter`` preceded by
+    ``KeywordMarkerFilter`` [U]: marked terms skip the stemmer).
+    Lets users place stemming anywhere in the chain (the built-in
+    ``stemming=True`` flag always stems before the chain and has no
+    protect list). Vocabulary-level."""
+
+    def __init__(self, protect: list[str] | tuple = ()):
+        self.protect = sorted(set(protect))
+        self._protect_set = frozenset(self.protect)
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        p = self._protect_set
+        vocab2 = np.array([t if t in p else stem(t) for t in vocab],
+                          dtype=object)
+        return _rewrite_vocab(vocab2, offsets, codes, positions, doc_lens)
+
+    def spec(self) -> dict:
+        return {"type": "stem", "protect": self.protect}
+
+
 def build_filter(spec: dict) -> TokenFilter:
     """Filter factory from a JSON spec (IndexConfig serialization)."""
     t = spec["type"]
@@ -650,6 +807,16 @@ def build_filter(spec: dict) -> TokenFilter:
         return PatternReplaceFilter(spec["pattern"], spec["replacement"])
     if t == "soundex":
         return SoundexFilter()
+    if t == "truncate":
+        return TruncateFilter(spec["length"])
+    if t == "reverse_string":
+        return ReverseStringFilter()
+    if t == "trim":
+        return TrimFilter()
+    if t == "limit_count":
+        return LimitTokenCountFilter(spec["max_count"])
+    if t == "stem":
+        return StemFilter(spec.get("protect", ()))
     raise ValueError(f"unknown token filter type {t!r}")
 
 
@@ -666,12 +833,15 @@ class Analyzer:
                  stemming: bool = True,
                  filters: tuple[TokenFilter, ...] | list | None = None,
                  unicode_tokens: bool = False,
-                 char_filters: tuple | list | None = None):
+                 char_filters: tuple | list | None = None,
+                 tokenizer: str = "standard"):
         self.stop_words = stop_words if stop_words is not None else frozenset()
         self._stop_arr = pa.array(sorted(self.stop_words), type=pa.string())
         self.stemming = stemming
-        self.split_regex = UNICODE_SPLIT_REGEX if unicode_tokens \
-            else TOKEN_SPLIT_REGEX
+        if unicode_tokens and tokenizer == "standard":
+            tokenizer = "unicode"     # back-compat flag form
+        self.tokenizer = tokenizer
+        self.split_regex = TOKENIZER_REGEX[tokenizer]
         self.filters = tuple(
             f if isinstance(f, TokenFilter) else build_filter(f)
             for f in (filters or ()))
@@ -716,7 +886,15 @@ class Analyzer:
         # lowercase, stem) then happens on the tiny vocabulary and is
         # broadcast back through int codes. This keeps the corpus-sized
         # memory traffic to one split + one hash pass.
-        token_lists = pc.split_pattern_regex(texts, self.split_regex)
+        if self.split_regex is None:      # KeywordTokenizer: 1 doc = 1 token
+            vals = pc.fill_null(texts, "")
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            token_lists = pa.ListArray.from_arrays(
+                pa.array(np.arange(n_docs + 1, dtype=np.int64),
+                         type=pa.int64()).cast(pa.int32()), vals)
+        else:
+            token_lists = pc.split_pattern_regex(texts, self.split_regex)
         token_lists = token_lists.combine_chunks() if isinstance(
             token_lists, pa.ChunkedArray) else token_lists
         raw_offsets = token_lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -91,6 +91,8 @@ class IndexConfig:
     unicode_tokens: bool = False       # UAX#29-ish \pL\pN tokenizer
     # pre-tokenize char-filter chain (JSON specs; analysis.build_char_filter)
     char_filters: tuple = ()
+    # tokenizer choice: standard | unicode | whitespace | letter | keyword
+    tokenizer: str = "standard"
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -106,6 +108,7 @@ class IndexConfig:
             "filters": [dict(f) for f in self.filters],
             "unicode_tokens": self.unicode_tokens,
             "char_filters": [dict(f) for f in self.char_filters],
+            "tokenizer": self.tokenizer,
         }
 
     @staticmethod
@@ -123,6 +126,7 @@ class IndexConfig:
             filters=tuple(d.get("filters") or ()),
             unicode_tokens=d.get("unicode_tokens", False),
             char_filters=tuple(d.get("char_filters") or ()),
+            tokenizer=d.get("tokenizer", "standard"),
         )
 
 
@@ -203,7 +207,8 @@ class FragmentBuilder:
         self.cfg = cfg
         self.analyzer = Analyzer(cfg.stop_words, cfg.stemming,
                                  cfg.filters, cfg.unicode_tokens,
-                                 cfg.char_filters)
+                                 cfg.char_filters,
+                                 tokenizer=cfg.tokenizer)
         self.part_of_path = part_of_path
         self.corpus_n = max(1, int(corpus_n))
         self._bucket_memo: dict[str, int] = {}

@@ -237,7 +237,8 @@ class IndexReader:
         self.analyzer = Analyzer(self.cfg.stop_words, self.cfg.stemming,
                                  self.cfg.filters,
                                  self.cfg.unicode_tokens,
-                                 self.cfg.char_filters)
+                                 self.cfg.char_filters,
+                                 tokenizer=self.cfg.tokenizer)
         dels = man.get("deletes")
         if dels and dels.get("n"):
             self._deleted = pq.read_table(

@@ -156,7 +156,8 @@ FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 20
 
 def _cached_filtered_index(sf_dir: str, filters: tuple, tag: str,
                            char_filters: tuple = (),
-                           input_file: str | None = None) -> str:
+                           input_file: str | None = None,
+                           tokenizer: str = "standard") -> str:
     """Index over documents with a token/char-filter chain (no
     stop/stem so the SQL oracle can reproduce the stream)."""
     key = hashlib.md5(f"{sf_dir}|{tag}|v1".encode()).hexdigest()[:12]
@@ -165,7 +166,7 @@ def _cached_filtered_index(sf_dir: str, filters: tuple, tag: str,
         text_col="text", conv_cols=None, doc_id_col="doc_id",
         stop_words=None, stemming=False, n_buckets=4,
         hot_df_threshold=10**9, batch_size=2048, filters=filters,
-        char_filters=char_filters)
+        char_filters=char_filters, tokenizer=tokenizer)
     build_index([input_file or os.path.join(sf_dir, "documents.parquet")],
                 out, cfg)
     return out
@@ -3160,6 +3161,96 @@ SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
        COUNT(*)::BIGINT AS cf
 FROM toks WHERE len(term) BETWEEN 4 AND 8
 GROUP BY term ORDER BY term
+"""
+
+
+def truncate_filter_stats(sf_dir: str) -> pa.Table:
+    """TruncateTokenFilter e2e (upstream ``TruncateTokenFilterFactory``
+    [U]): every token truncated to its 4-char prefix before indexing
+    — df/cf must equal a SQL substr recomputation."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "truncate", "length": 4},), "trunc4")
+    return _index_stats_of(idx)
+
+
+SQL_TRUNCATE_FILTER_STATS = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT substr(term, 1, 4) AS term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY 1 ORDER BY 1
+"""
+
+
+def reverse_filter_stats(sf_dir: str) -> pa.Table:
+    """ReverseStringFilter e2e (upstream ``ReverseStringFilter`` [U] —
+    the leading-wildcard enabler): every token reversed at index
+    time."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "reverse_string"},), "revstr")
+    return _index_stats_of(idx)
+
+
+SQL_REVERSE_FILTER_STATS = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT reverse(term) AS term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY 1 ORDER BY 1
+"""
+
+
+def limit_tokens_stats(sf_dir: str) -> pa.Table:
+    """LimitTokenCountFilter e2e (upstream ``LimitTokenCountFilter``
+    [U]): only each document's first 5 tokens are indexed (title-ish
+    truncation) — df/cf must equal a SQL list_slice recomputation."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "limit_count", "max_count": 5},), "limit5")
+    return _index_stats_of(idx)
+
+
+SQL_LIMIT_TOKENS_STATS = f"""
+WITH toks AS (SELECT doc_id, unnest(list_slice({_SQL_TOKS}, 1, 5)) AS term
+              FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
+def whitespace_tokenizer_stats(sf_dir: str) -> pa.Table:
+    """WhitespaceTokenizer e2e (upstream ``WhitespaceTokenizer`` [U]):
+    tokens split on whitespace ONLY (punctuation stays inside tokens),
+    lowercased, no stop/stem."""
+    idx = _cached_filtered_index(sf_dir, (), "wstok",
+                                 tokenizer="whitespace")
+    return _index_stats_of(idx)
+
+
+SQL_WHITESPACE_TOKENIZER_STATS = r"""
+WITH toks AS (SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS term FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
+def keyword_trim_stats(sf_dir: str) -> pa.Table:
+    """KeywordTokenizer + LowerCase + TrimFilter e2e (upstream
+    ``KeywordTokenizer`` / ``TrimFilter`` [U] — the classic
+    string-normalization chain): each document's whole text is ONE
+    term; docs trimming to empty emit nothing."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "trim"},), "kwtrim", tokenizer="keyword")
+    return _index_stats_of(idx)
+
+
+SQL_KEYWORD_TRIM_STATS = """
+WITH toks AS (SELECT doc_id, trim(lower(text)) AS term FROM documents
+              WHERE trim(lower(text)) <> '')
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
 """
 
 
@@ -8308,6 +8399,11 @@ def queries() -> dict:
         "mapping_term_stats": mapping_term_stats,
         "edge_ngram_stats": edge_ngram_stats,
         "length_filter_stats": length_filter_stats,
+        "truncate_filter_stats": truncate_filter_stats,
+        "reverse_filter_stats": reverse_filter_stats,
+        "limit_tokens_stats": limit_tokens_stats,
+        "whitespace_tokenizer_stats": whitespace_tokenizer_stats,
+        "keyword_trim_stats": keyword_trim_stats,
         "stratified_sample_docs": stratified_sample_docs,
         "knn_ivf_docs": knn_ivf_docs,
         "force_merge_deletes_topk": force_merge_deletes_topk,
@@ -8521,6 +8617,11 @@ def oracle_sql() -> dict:
         "mapping_term_stats": SQL_MAPPING_STATS,
         "edge_ngram_stats": SQL_EDGE_NGRAM_STATS,
         "length_filter_stats": SQL_LENGTH_FILTER_STATS,
+        "truncate_filter_stats": SQL_TRUNCATE_FILTER_STATS,
+        "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,
+        "limit_tokens_stats": SQL_LIMIT_TOKENS_STATS,
+        "whitespace_tokenizer_stats": SQL_WHITESPACE_TOKENIZER_STATS,
+        "keyword_trim_stats": SQL_KEYWORD_TRIM_STATS,
         "stratified_sample_docs": SQL_STRATIFIED,
         "knn_ivf_docs": SQL_KNN_COSINE,
         "force_merge_deletes_topk": sql_fold_deletes(),

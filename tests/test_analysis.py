@@ -324,3 +324,86 @@ def test_word_delimiter_golden():
     toks2 = sorted(b.analyze_text("sku123x"))
     assert toks2 == sorted([("sku123x", 0), ("sku", 0), ("123", 0),
                             ("x", 0)])
+
+
+def test_truncate_and_reverse_filters_golden():
+    from engine.analysis import Analyzer
+
+    t = Analyzer(stop_words=None, stemming=False,
+                 filters=({"type": "truncate", "length": 4},))
+    assert t.analyze_text("Hello worlds ab") == \
+        [("hell", 0), ("worl", 1), ("ab", 2)]
+    r = Analyzer(stop_words=None, stemming=False,
+                 filters=({"type": "reverse_string"},))
+    assert r.analyze_text("abc de") == [("cba", 0), ("ed", 1)]
+
+
+def test_limit_token_count_filter():
+    import pyarrow as pa
+
+    from engine.analysis import Analyzer
+
+    a = Analyzer(stop_words=None, stemming=False,
+                 filters=({"type": "limit_count", "max_count": 2},))
+    off, terms, pos, lens = a.analyze_flat(
+        pa.array(["one two three four", "solo", ""]))
+    assert lens.tolist() == [2, 1, 0]
+    assert terms.tolist() == ["one", "two", "solo"]
+    assert pos.tolist() == [0, 1, 0]
+    # stopwords consume positions BEFORE the limit filter sees the
+    # stream: the filter keeps the first 2 EMITTED tokens
+    b = Analyzer(stemming=False,
+                 filters=({"type": "limit_count", "max_count": 2},))
+    assert b.analyze_text("the quick brown fox") == \
+        [("quick", 1), ("brown", 2)]
+
+
+def test_stem_filter_keyword_marker_protect():
+    from engine.analysis import Analyzer
+
+    a = Analyzer(stop_words=None, stemming=False,
+                 filters=({"type": "stem", "protect": ["running"]},))
+    assert a.analyze_text("running jumps dogs") == \
+        [("running", 0), ("jump", 1), ("dog", 2)]
+    # without the protect list the stemmer applies everywhere
+    b = Analyzer(stop_words=None, stemming=False,
+                 filters=({"type": "stem"},))
+    assert b.analyze_text("running jumps")[0] == ("run", 0)
+
+
+def test_keyword_tokenizer_and_trim():
+    import pyarrow as pa
+
+    from engine.analysis import Analyzer
+
+    a = Analyzer(stop_words=None, stemming=False, tokenizer="keyword",
+                 filters=({"type": "trim"},))
+    off, terms, pos, lens = a.analyze_flat(
+        pa.array(["  Hello World  ", "", "   ", None, "x"]))
+    assert lens.tolist() == [1, 0, 0, 0, 1]
+    assert terms.tolist() == ["hello world", "x"]
+    assert pos.tolist() == [0, 0]
+
+
+def test_whitespace_and_letter_tokenizers():
+    from engine.analysis import Analyzer
+
+    w = Analyzer(stop_words=None, stemming=False, tokenizer="whitespace")
+    assert w.analyze_text("Hello, world! it's x") == \
+        [("hello,", 0), ("world!", 1), ("it's", 2), ("x", 3)]
+    le = Analyzer(stop_words=None, stemming=False, tokenizer="letter")
+    assert le.analyze_text("abc123def gh") == \
+        [("abc", 0), ("def", 1), ("gh", 2)]
+
+
+def test_tokenizer_config_roundtrip():
+    from engine.build import IndexConfig
+
+    cfg = IndexConfig(tokenizer="whitespace",
+                      filters=({"type": "trim"},))
+    cfg2 = IndexConfig.from_json(cfg.to_json())
+    assert cfg2.tokenizer == "whitespace"
+    # legacy manifests (no tokenizer key) load as standard
+    d = cfg.to_json()
+    del d["tokenizer"]
+    assert IndexConfig.from_json(d).tokenizer == "standard"
