@@ -36,21 +36,39 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def knn_brute(ds: ray.data.Dataset, emb_col: str, id_col: str,
-              queries: np.ndarray, k: int = 5) -> pa.Table:
-    """Exact cosine top-k for each query row (query_id = row index).
+              queries: np.ndarray, k: int = 5,
+              metric: str = "cosine") -> pa.Table:
+    """Exact top-k for each query row (query_id = row index).
 
-    Returns (query_id, rank, vec_id, cosine) with the Lucene-style
-    tie-break (similarity desc, id asc).
+    ``metric`` mirrors Lucene's ``VectorSimilarityFunction`` [U]:
+    ``cosine`` (default), ``dot`` (DOT_PRODUCT — raw inner product,
+    which also induces MAX_INNER_PRODUCT's ranking since Lucene's MIP
+    score transform is monotone in the raw product), and ``l2``
+    (EUCLIDEAN, scored as Lucene's ``1 / (1 + d²)`` so bigger is
+    better). Returns (query_id, rank, vec_id, cosine) with the
+    Lucene-style tie-break (similarity desc, id asc); the ``cosine``
+    column carries the chosen metric's similarity value (name kept for
+    back-compat with the cosine consumers).
     """
-    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qm = np.asarray(queries, dtype=np.float64)
+    qn = _normalize(qm) if metric == "cosine" else qm
     qref = ray.put(qn)
     nq = qn.shape[0]
 
     def candidates(batch: pa.Table) -> pa.Table:
         q = ray.get(qref)
-        m = _normalize(_emb_matrix(batch[emb_col]))
+        raw = _emb_matrix(batch[emb_col])
         ids = batch[id_col].to_numpy().astype(np.int64)
-        sims = m @ q.T                      # (n, nq)
+        if metric == "cosine":
+            sims = _normalize(raw) @ q.T    # (n, nq)
+        elif metric == "dot":
+            sims = raw @ q.T
+        elif metric == "l2":
+            d2 = (np.sum(raw * raw, axis=1, keepdims=True)
+                  + np.sum(q * q, axis=1) - 2.0 * (raw @ q.T))
+            sims = 1.0 / (1.0 + np.maximum(d2, 0.0))
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
         kk = min(k, sims.shape[0])
         out_q, out_id, out_s = [], [], []
         for qi in range(nq):

@@ -1887,6 +1887,74 @@ WHERE rank < {_KNN_K} ORDER BY query_id, rank
 """
 
 
+def _knn_metric_entry(sf_dir: str, metric: str) -> pa.Table:
+    """Shared body for the non-cosine VectorSimilarityFunction
+    entries (upstream ``L/index/VectorSimilarityFunction`` [U]):
+    exact brute top-k under the chosen metric, IDs/ranks compared
+    (values differ from the oracle in the last ulp)."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_KNN_QIDS))
+    q = emb.filter(qmask).sort_by("vec_id")
+    qm = vec._emb_matrix(q["embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = vec.knn_brute(ds, "embedding", "vec_id", qm, k=_KNN_K,
+                      metric=metric)
+    df = t.to_pandas()
+    df["query_id"] = np.array(_KNN_QIDS, dtype=np.int64)[df["query_id"]]
+    out = pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]], preserve_index=False)
+    return _cast_col(out, "rank", pa.int64())
+
+
+def knn_dot_docs(sf_dir: str) -> pa.Table:
+    """DOT_PRODUCT similarity (upstream
+    ``VectorSimilarityFunction.DOT_PRODUCT`` [U]; the same ranking as
+    MAXIMUM_INNER_PRODUCT, whose score transform is monotone in the
+    raw product)."""
+    return _knn_metric_entry(sf_dir, "dot")
+
+
+SQL_KNN_DOT = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({",".join(map(str, _KNN_QIDS))})),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qe, e.embedding) AS s
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT query_id, vec_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY s DESC, vec_id) - 1)::BIGINT AS rank
+  FROM sims)
+SELECT query_id, rank, vec_id FROM ranked
+WHERE rank < {_KNN_K} ORDER BY query_id, rank
+"""
+
+
+def knn_l2_docs(sf_dir: str) -> pa.Table:
+    """EUCLIDEAN similarity (upstream
+    ``VectorSimilarityFunction.EUCLIDEAN`` [U], score = 1/(1+d²) —
+    ranking equals nearest-by-distance)."""
+    return _knn_metric_entry(sf_dir, "l2")
+
+
+SQL_KNN_L2 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({",".join(map(str, _KNN_QIDS))})),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(q.qe, e.embedding) AS d
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT query_id, vec_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY d ASC, vec_id) - 1)::BIGINT AS rank
+  FROM sims)
+SELECT query_id, rank, vec_id FROM ranked
+WHERE rank < {_KNN_K} ORDER BY query_id, rank
+"""
+
+
 KNN_FILTER_MOD = 3
 
 
@@ -8376,6 +8444,8 @@ def queries() -> dict:
         "minhash_pairs_docs": minhash_pairs_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "knn_cosine": knn_cosine,
+        "knn_dot_docs": knn_dot_docs,
+        "knn_l2_docs": knn_l2_docs,
         "knn_lsh_docs": knn_lsh_docs,
         "embedding_near_dup": embedding_near_dup,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -8594,6 +8664,8 @@ def oracle_sql() -> dict:
         "fingerprint_docs": SQL_FINGERPRINT,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "knn_cosine": SQL_KNN_COSINE,
+        "knn_dot_docs": SQL_KNN_DOT,
+        "knn_l2_docs": SQL_KNN_L2,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": SQL_EMB_NEAR_DUP,
         "minhash_pairs_docs": SQL_MINHASH_EXACT,

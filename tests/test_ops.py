@@ -110,6 +110,33 @@ def test_knn_brute_self_match(ray_session):
         assert top["cosine"] == pytest.approx(1.0)
 
 
+def test_knn_brute_metrics_vs_numpy(ray_session):
+    """dot / l2 metrics must reproduce an exact numpy reference
+    ranking (Lucene VectorSimilarityFunction semantics)."""
+    import ray.data
+
+    from engine.ops.vector import knn_brute
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 8)) * rng.uniform(0.5, 3.0, (60, 1))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(60)]
+    q = rng.standard_normal((3, 8))
+    for metric in ("dot", "l2"):
+        t = knn_brute(ray.data.from_items(rows), "embedding", "vec_id",
+                      q, k=5, metric=metric).to_pylist()
+        for qi in range(3):
+            got = [r["vec_id"] for r in sorted(
+                (r for r in t if r["query_id"] == qi),
+                key=lambda r: r["rank"])]
+            if metric == "dot":
+                s = vecs @ q[qi]
+            else:
+                d2 = ((vecs - q[qi]) ** 2).sum(axis=1)
+                s = 1.0 / (1.0 + d2)
+            ref = sorted(range(60), key=lambda i: (-s[i], i))[:5]
+            assert got == ref, (metric, qi)
+
+
 def test_positions_roundtrip_through_index(ray_session, smoke_index):
     """_lookup_positions must reproduce the analyzer's positions."""
     from engine.query import IndexReader
