@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import heapq
 import os
+from bisect import bisect_left
 from typing import Any
 
 import numpy as np
@@ -792,6 +793,66 @@ class IndexReader:
                     pq.read_table(shard, columns=["term"])["term"].to_pylist())
         self._vocab = sorted(found)
         return self._vocab
+
+    def termfreq_table(self, term: str) -> pa.Table:
+        """Function-query pseudo-field ``termfreq(field, t)`` (upstream
+        Solr ``TermFreqValueSource`` / the Lucene queries function
+        module [U]): the forward ``(doc_id, tf)`` map for every live
+        doc containing the already-analyzed term — pure postings
+        decode, no scoring. Salted sub-lists concatenate (disjoint doc
+        sets); deletes are masked like every query path."""
+        subs = self.lookup([term])[term]
+        ids: list[np.ndarray] = []
+        tfs: list[np.ndarray] = []
+        for s in subs:
+            d, t, _ = s.decode_all()
+            keep = self._keep(d)
+            if keep is not None:
+                d, t = d[keep], t[keep]
+            ids.append(d)
+            tfs.append(t)
+        if not ids:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "tf": pa.array([], type=pa.int64())})
+        d = np.concatenate(ids).astype(np.int64)
+        t = np.concatenate(tfs).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        return pa.table({"doc_id": pa.array(d[order]),
+                         "tf": pa.array(t[order])})
+
+    def word_break(self, compound: str, min_part: int = 2,
+                   max_suggestions: int = 10) -> pa.Table:
+        """WordBreakSpellChecker ``suggestWordBreaks`` for one binary
+        split (upstream ``L/suggest/spell/WordBreakSpellChecker.java``
+        [U], maxChanges=1): every split point where BOTH halves are
+        dictionary terms of length ≥ ``min_part`` yields a suggestion,
+        ranked by upstream's freq-sum ordering (sum of the two halves'
+        df desc, then left half asc as the deterministic tiebreak) and
+        cut to ``max_suggestions``. Dictionary lookups are two bisects
+        per split point over the memoized sorted vocabulary — no
+        postings decode."""
+        vocab = self.vocabulary()
+        rows: list[tuple[str, str, int, int]] = []
+        for j in range(min_part, max(len(compound) - min_part, 0) + 1):
+            left, right = compound[:j], compound[j:]
+            if len(right) < min_part:
+                continue
+            li = bisect_left(vocab, left)
+            if li >= len(vocab) or vocab[li] != left:
+                continue
+            ri = bisect_left(vocab, right)
+            if ri >= len(vocab) or vocab[ri] != right:
+                continue
+            df = self.global_df(self.lookup([left])[left]) \
+                + self.global_df(self.lookup([right])[right])
+            rows.append((left, right, df, j))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        rows = rows[:max_suggestions]
+        return pa.table({
+            "left": pa.array([r[0] for r in rows], type=pa.string()),
+            "right": pa.array([r[1] for r in rows], type=pa.string()),
+            "freq_sum": pa.array([r[2] for r in rows], type=pa.int64()),
+        })
 
     def fuzzy_topk(self, term: str, k: int = 10,
                    max_edits: int = 1,

@@ -2194,6 +2194,60 @@ ORDER BY dist, df DESC, term LIMIT 5
 """
 
 
+TERMFREQ_TERM = "fast"
+
+
+def termfreq_docs(sf_dir: str) -> pa.Table:
+    """Function-query pseudo-field ``termfreq(text, 'fast')`` (upstream
+    Solr ``TermFreqValueSource`` / the function queries module [U]):
+    the forward (doc_id, tf) map decoded straight from the inverted
+    postings — oracle recomputes from the raw tokens, so posting tf
+    integrity is verified doc by doc."""
+    return _doc_reader(sf_dir).termfreq_table(TERMFREQ_TERM)
+
+
+SQL_TERMFREQ = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT doc_id, COUNT(*)::BIGINT AS tf
+FROM toks WHERE term = '{TERMFREQ_TERM}'
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+WORD_BREAK_INPUTS = ("fastscan", "keyvalue", "rowscan", "tablerow")
+
+
+def word_break_docs(sf_dir: str) -> pa.Table:
+    """WordBreakSpellChecker ``suggestWordBreaks`` (upstream
+    ``L/suggest/spell/WordBreakSpellChecker`` [U], maxChanges=1): for
+    each run-together input, every binary split whose halves are both
+    dictionary terms (len ≥ 2), ranked by df-sum."""
+    r = _doc_reader(sf_dir)
+    tabs = []
+    for c in WORD_BREAK_INPUTS:
+        t = r.word_break(c, min_part=2, max_suggestions=10)
+        tabs.append(t.add_column(0, "input", pa.array(
+            [c] * t.num_rows, type=pa.string())))
+    return pa.concat_tables(tabs)
+
+
+SQL_WORD_BREAK = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+vocab AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+          FROM toks GROUP BY term),
+inputs(input) AS (VALUES {", ".join(f"('{c}')" for c in WORD_BREAK_INPUTS)})
+SELECT i.input, v1.term AS "left", v2.term AS "right",
+       v1.df + v2.df AS freq_sum
+FROM inputs i
+JOIN vocab v1 ON v1.term = substr(i.input, 1, len(v1.term))
+  AND len(v1.term) >= 2 AND len(i.input) - len(v1.term) >= 2
+JOIN vocab v2 ON v2.term = substr(i.input, len(v1.term) + 1)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY i.input
+    ORDER BY freq_sum DESC, v1.term) <= 10
+ORDER BY input, freq_sum DESC, "left"
+"""
+
+
 def mlt_topk(sf_dir: str) -> pa.Table:
     """MoreLikeThis: seed doc's most selective terms → scoring
     disjunction, seed excluded (upstream ``MoreLikeThis`` [U])."""
@@ -8452,6 +8506,8 @@ def queries() -> dict:
         "transcript_bm25": transcript_bm25,
         "suggest_terms_docs": suggest_terms_docs,
         "spellcheck_docs": spellcheck_docs,
+        "termfreq_docs": termfreq_docs,
+        "word_break_docs": word_break_docs,
         "mlt_topk": mlt_topk,
         "highlight_topk_docs": highlight_topk_docs,
         "blockjoin_topk_docs": blockjoin_topk_docs,
@@ -8672,6 +8728,8 @@ def oracle_sql() -> dict:
         "simhash_pairs_docs": SQL_SIMHASH,
         "suggest_terms_docs": SQL_SUGGEST,
         "spellcheck_docs": SQL_SPELLCHECK,
+        "termfreq_docs": SQL_TERMFREQ,
+        "word_break_docs": SQL_WORD_BREAK,
         "mlt_topk": sql_mlt(),
         "highlight_topk_docs": sql_highlight(),
         "blockjoin_topk_docs": sql_blockjoin(),

@@ -942,3 +942,63 @@ def test_covering_matches_python_reference(reader):
     want = [d for d in alldocs
             if sum(d in s for s in docsets.values()) >= 1 + d % 3]
     assert sorted(got["doc_id"].to_pylist()) == want
+
+
+def test_termfreq_table_and_deletes(ray_session, tmp_path):
+    """termfreq() pseudo-field: (doc_id, tf) straight from postings;
+    deleted docs are masked like every query path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index, delete_docs
+    from engine.query import IndexReader
+
+    texts = ["fox fox jumps", "lazy dog", "fox", "dog fox fox fox"]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts)}), src)
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2, batch_size=8)
+    idx = str(tmp_path / "idx")
+    build_index([src], idx, cfg)
+    t = IndexReader(idx).termfreq_table("fox").to_pylist()
+    assert t == [{"doc_id": 0, "tf": 2}, {"doc_id": 2, "tf": 1},
+                 {"doc_id": 3, "tf": 3}]
+    assert IndexReader(idx).termfreq_table("absent").to_pylist() == []
+    delete_docs(idx, [2])
+    t2 = IndexReader(idx).termfreq_table("fox").to_pylist()
+    assert [r["doc_id"] for r in t2] == [0, 3]
+
+
+def test_word_break_suggestions(ray_session, tmp_path):
+    """WordBreakSpellChecker: ambiguous compound yields every valid
+    split, ranked by df-sum then left half."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+
+    # vocab dfs: ab=3, cd=2, abc=1, dx=1  -> "abcd" splits ab|cd (df 5)
+    # and... abc|d (d too short, dropped). "abdx" -> ab|dx (df 4).
+    texts = ["ab cd abc", "ab cd", "ab dx"]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": pa.array(texts)}), src)
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2, batch_size=8)
+    idx = str(tmp_path / "idx")
+    build_index([src], idx, cfg)
+    r = IndexReader(idx)
+    assert r.word_break("abcd").to_pylist() == [
+        {"left": "ab", "right": "cd", "freq_sum": 5}]
+    assert r.word_break("abdx").to_pylist() == [
+        {"left": "ab", "right": "dx", "freq_sum": 4}]
+    assert r.word_break("zzzz").num_rows == 0
+    # multi-split ambiguity: "abab" -> ab|ab only (a too short)
+    assert r.word_break("abab").to_pylist() == [
+        {"left": "ab", "right": "ab", "freq_sum": 6}]
