@@ -1,0 +1,180 @@
+"""Near-real-time search: the ``DirectoryReader.open(IndexWriter)``
+analog (upstream ``L/index/DirectoryReader#open(IndexWriter)`` /
+``IndexWriter#getReader`` and Solr's soft commit [U]).
+
+``NrtWriter`` wraps a COMPLETE doc_id-mode index and buffers added
+documents in RAM. ``reader()`` returns a true NRT snapshot: the
+buffered docs are analyzed with the index's own config and encoded
+into in-memory posting sub-lists (the DWPT RAM segment), which ride
+along the committed sub-lists through the reader's normal ``lookup``
+path — so every query family that consumes postings (term / boolean /
+BMW / phrase / spans / fuzzy / wildcard …) sees uncommitted docs with
+correct merged collection stats (N, avgdl, df all include the RAM
+segment, like Lucene's per-segment stats summed across the NRT leaf).
+``commit()`` flushes the buffer through the standard incremental
+append (stable part lineage, full bucket re-merge), after which a
+fresh on-disk reader returns exactly what the NRT snapshot returned.
+
+Boundaries (documented): doc_id-mode indexes only (conv-mode docIDs
+are assigned by the sorted docmap, which an unflushed buffer cannot
+extend without re-ranking); buffered doc_ids must be new (append
+contract); the NRT snapshot is point-in-time — later ``add_documents``
+calls need a new ``reader()``, exactly like reopening an NRT reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from engine import manifest as mf
+from engine.analysis import Analyzer
+from engine.build import IndexConfig, build_index
+from engine.codec import encode_postings
+from engine.query import B, K1, IndexReader, _SubList, norm_cache
+from engine.smallfloat import encode_lengths
+
+
+class NrtReader(IndexReader):
+    """IndexReader over disk segments + one RAM segment."""
+
+    def __init__(self, index_dir: str, ram: dict[str, _SubList],
+                 ram_n_docs: int, ram_sum_len: int, ram_max_id: int,
+                 k1: float = K1, b: float = B):
+        super().__init__(index_dir, preload=False, k1=k1, b=b)
+        self._ram = ram
+        if ram_n_docs:
+            # exact-integer merged stats: sum_cf is the exact token
+            # total, so merged avgdl is the SAME f64 expression a full
+            # rebuild computes — f32 scores stay bit-identical
+            base_sum = int(self.manifest["stats"]["sum_cf"])
+            self.N += ram_n_docs
+            self.avgdl = (base_sum + ram_sum_len) / self.N
+            self.max_doc = max(self.max_doc, ram_max_id + 1)
+            self.cache = norm_cache(self.avgdl, k1, b)
+
+    def lookup(self, terms: list[str]) -> dict[str, list[_SubList]]:
+        out = super().lookup(terms)
+        return {t: (out[t] + [self._ram[t]] if t in self._ram else out[t])
+                for t in out}
+
+    def vocabulary(self) -> list[str]:
+        if self._vocab is None:
+            base = super().vocabulary()
+            self._vocab = sorted(set(base) | set(self._ram))
+        return self._vocab
+
+
+class NrtWriter:
+    """Buffered writer over a complete doc_id-mode index."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        man = mf.load(index_dir)
+        if man is None or man.get("status") != "complete":
+            raise ValueError(f"no complete index at {index_dir}")
+        self.cfg = IndexConfig.from_json(man["config"])
+        if self.cfg.doc_id_col is None:
+            raise ValueError("NRT requires a doc_id-mode index")
+        self._inputs = sorted({v["input_file"]
+                               for v in man["parts"].values()})
+        self._buffered: list[pa.Table] = []
+        self._buf_ids: set[int] = set()
+        self._flush_seq = 0
+
+    # ------------------------------------------------------------ write
+
+    def add_documents(self, table: pa.Table) -> int:
+        """Buffer (doc_id, text[, ...]) rows; returns buffered count."""
+        ids = table[self.cfg.doc_id_col].to_numpy().astype(np.int64)
+        dup = self._buf_ids.intersection(ids.tolist())
+        if dup:
+            raise ValueError(f"doc_ids already buffered: {sorted(dup)[:5]}")
+        self._buf_ids.update(ids.tolist())
+        self._buffered.append(table.select(
+            [self.cfg.doc_id_col, self.cfg.text_col]))
+        return len(self._buf_ids)
+
+    # ------------------------------------------------------------- read
+
+    def reader(self, k1: float = K1, b: float = B) -> IndexReader:
+        """Point-in-time NRT snapshot (disk segments + RAM segment)."""
+        if not self._buffered:
+            return IndexReader(self.index_dir, preload=False, k1=k1, b=b)
+        buf = pa.concat_tables(self._buffered).combine_chunks()
+        ram, n_docs, sum_len, max_id = self._encode_ram(buf)
+        return NrtReader(self.index_dir, ram, n_docs, sum_len, max_id,
+                         k1=k1, b=b)
+
+    def _encode_ram(self, buf: pa.Table):
+        """Analyze the buffer and encode one _SubList per term — the
+        in-memory DWPT segment (same lexsort shape as
+        ``FragmentBuilder._build``, per-term encode since NRT buffers
+        are small by construction)."""
+        cfg = self.cfg
+        analyzer = Analyzer(cfg.stop_words, cfg.stemming, cfg.filters,
+                            cfg.unicode_tokens, cfg.char_filters,
+                            tokenizer=cfg.tokenizer)
+        doc_ids = buf[cfg.doc_id_col].to_numpy().astype(np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        buf = buf.take(pa.array(order))
+        doc_ids = doc_ids[order]
+        _, tcode, vocab, positions, doc_lens = \
+            analyzer.analyze_encoded(buf[cfg.text_col])
+        n_docs = len(doc_lens)
+        sum_len = int(doc_lens.sum())
+        max_id = int(doc_ids.max()) if len(doc_ids) else -1
+        if tcode.size == 0:
+            return {}, n_docs, sum_len, max_id
+        norm_bytes = encode_lengths(doc_lens)
+        tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
+        sort = np.lexsort((positions, tok_doc, tcode))
+        t_s, d_s, p_s = tcode[sort], tok_doc[sort], positions[sort]
+        chg = np.empty(t_s.size, dtype=bool)
+        chg[0] = True
+        chg[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+        pstart = np.flatnonzero(chg)
+        tfs = np.diff(np.append(pstart, t_s.size)).astype(np.int64)
+        p_t, p_d = t_s[pstart], d_s[pstart]
+        tchg = np.empty(p_t.size, dtype=bool)
+        tchg[0] = True
+        tchg[1:] = p_t[1:] != p_t[:-1]
+        tstart = np.flatnonzero(tchg)
+        bounds = np.append(tstart, p_t.size)
+        tok_bounds = np.append(pstart[tstart], t_s.size)
+        ram: dict[str, _SubList] = {}
+        for i in range(len(tstart)):
+            s, e = bounds[i], bounds[i + 1]
+            poss = p_s[tok_bounds[i]:tok_bounds[i + 1]].astype(np.int64) \
+                if cfg.store_positions else None
+            enc = encode_postings(doc_ids[p_d[s:e]], tfs[s:e],
+                                  norm_bytes[p_d[s:e]], poss)
+            ram[str(vocab[p_t[s]])] = _SubList.from_encoded(enc)
+        return ram, n_docs, sum_len, max_id
+
+    # ------------------------------------------------------------ flush
+
+    def commit(self, flush_dir: str) -> dict:
+        """Flush the buffer as a new input file through the standard
+        incremental append (hard commit). Returns the new manifest;
+        the buffer clears and future readers come from disk."""
+        if not self._buffered:
+            return mf.load(self.index_dir)
+        os.makedirs(flush_dir, exist_ok=True)
+        buf = pa.concat_tables(self._buffered).combine_chunks()
+        ids = buf[self.cfg.doc_id_col].to_numpy().astype(np.int64)
+        buf = buf.take(pa.array(np.argsort(ids, kind="stable")))
+        self._flush_seq += 1
+        path = os.path.join(flush_dir,
+                            f"nrt_flush_{self._flush_seq:04d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(buf, tmp)
+        os.replace(tmp, path)
+        man = build_index(self._inputs + [path], self.index_dir, self.cfg)
+        self._inputs.append(path)
+        self._buffered.clear()
+        self._buf_ids.clear()
+        return man

@@ -419,6 +419,38 @@ def _topdocs_out(t: pa.Table) -> pa.Table:
     return _cast_col(t, "rank", pa.int64())
 
 
+def nrt_topk_docs(sf_dir: str) -> pa.Table:
+    """NRT search (upstream ``DirectoryReader.open(IndexWriter)`` /
+    Solr soft commit [U]): the disk index holds only the FIRST half of
+    the corpus; the second half is buffered UNCOMMITTED in an
+    ``NrtWriter`` — the NRT snapshot must score the union with merged
+    collection stats exactly like a full build, so the oracle is the
+    plain whole-corpus BM25 SQL."""
+    from engine.nrt import NrtWriter
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    cut = (int(pc.max(t["doc_id"]).as_py()) + 1) // 2
+    key = hashlib.md5(f"{sf_dir}|nrthalf|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "nrt_" + key)
+    os.makedirs(work, exist_ok=True)
+    base_src = os.path.join(work, "first_half.parquet")
+    if not os.path.exists(base_src):
+        tmp = base_src + ".tmp"
+        pq.write_table(t.filter(pc.less(t["doc_id"], cut)), tmp)
+        os.replace(tmp, base_src)
+    idx = os.path.join(work, "idx")
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    build_index([base_src], idx, cfg)
+    w = NrtWriter(idx)
+    w.add_documents(t.filter(pc.greater_equal(t["doc_id"], cut)))
+    return _topdocs_out(w.reader().topk(BM25_QUERY, BM25_K,
+                                        strategy="brute"))
+
+
 def conjunction_topk(sf_dir: str) -> pa.Table:
     """BooleanQuery MUST: leapfrog-style intersection + summed scores."""
     r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
@@ -8442,6 +8474,7 @@ def queries() -> dict:
         "synonym_term_stats": synonym_term_stats,
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
+        "nrt_topk_docs": nrt_topk_docs,
         "bm25_topk_analyzed": bm25_topk_analyzed,
         "fetch_topk_docs": fetch_topk_docs,
         "conjunction_topk": conjunction_topk,
@@ -8668,6 +8701,7 @@ def oracle_sql() -> dict:
         "synonym_term_stats": _sql_synonym_stats(),
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
+        "nrt_topk_docs": sql_bm25_topk(),
         "fetch_topk_docs": sql_fetch_topk(),
         "conjunction_topk": SQL_CONJUNCTION,
         "boolean_not_topk": SQL_BOOLEAN_NOT,

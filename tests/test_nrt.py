@@ -1,0 +1,119 @@
+"""NRT search (DirectoryReader.open(IndexWriter) analog): a reader
+over disk segments + the RAM buffer must be bit-identical to a full
+rebuild over the union, and invisible until requested."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _mk(path, lo, hi, seed):
+    rng = np.random.default_rng(seed)
+    words = np.array(["alpha", "beta", "gamma", "delta", "epsilon",
+                      "zeta", "eta", "theta"], dtype=object)
+    texts = [" ".join(words[rng.integers(0, 8, size=rng.integers(4, 15))])
+             for _ in range(hi - lo)]
+    # plant a phrase in a buffered-range doc
+    if lo <= 7 < hi:
+        texts[7 - lo] = "alpha beta " + texts[7 - lo]
+    if hi > 250:
+        texts[-1] = "alpha beta " + texts[-1]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+        "text": pa.array(texts)}), path)
+
+
+@pytest.fixture(scope="module")
+def nrt_setup(ray_session, tmp_path_factory):
+    from engine.build import IndexConfig, build_index
+
+    root = tmp_path_factory.mktemp("nrt")
+    f1, f2 = str(root / "p1.parquet"), str(root / "p2.parquet")
+    _mk(f1, 0, 200, 1)
+    _mk(f2, 200, 300, 2)
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    base = str(root / "base")
+    build_index([f1], base, cfg)
+    full = str(root / "full")
+    build_index([f1, f2], full, cfg)
+    return root, f1, f2, base, full, cfg
+
+
+def test_nrt_reader_equals_full_rebuild(nrt_setup):
+    from engine.nrt import NrtWriter
+    from engine.query import IndexReader
+
+    root, f1, f2, base, full, cfg = nrt_setup
+    w = NrtWriter(base)
+    w.add_documents(pq.read_table(f2))
+    nrt = w.reader()
+    ref = IndexReader(full)
+    assert nrt.N == ref.N and nrt.avgdl == ref.avgdl
+    for q in ("alpha", "alpha beta", "beta gamma delta", "theta zeta"):
+        a = nrt.topk(q, k=25)
+        b = ref.topk(q, k=25)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+    # phrase over a buffered doc (positions ride in the RAM segment)
+    pn = nrt.phrase_topk("alpha beta", k=25)
+    pr = ref.phrase_topk("alpha beta", k=25)
+    assert pn["doc_id"].to_pylist() == pr["doc_id"].to_pylist()
+    assert 299 in pn["doc_id"].to_pylist() or \
+        7 in pn["doc_id"].to_pylist()
+
+
+def test_nrt_invisible_until_reader_and_point_in_time(nrt_setup):
+    from engine.nrt import NrtWriter
+    from engine.query import IndexReader
+
+    root, f1, f2, base, full, cfg = nrt_setup
+    w = NrtWriter(base)
+    plain = IndexReader(base)
+    n0 = plain.topk("alpha", k=500).num_rows
+    w.add_documents(pq.read_table(f2))
+    # plain reader opened before buffering sees nothing new
+    assert IndexReader(base).topk("alpha", k=500).num_rows == n0
+    snap = w.reader()
+    n1 = snap.topk("alpha", k=500).num_rows
+    assert n1 > n0
+    # the snapshot is point-in-time: buffering MORE docs doesn't change it
+    extra = pa.table({"doc_id": pa.array([900], type=pa.int64()),
+                      "text": pa.array(["alpha alpha alpha"])})
+    w.add_documents(extra)
+    assert snap.topk("alpha", k=500).num_rows == n1
+    assert w.reader().topk("alpha", k=500).num_rows == n1 + 1
+    # duplicate buffered id rejected
+    with pytest.raises(ValueError):
+        w.add_documents(extra)
+
+
+def test_nrt_commit_round_trip(ray_session, tmp_path_factory):
+    from engine.build import IndexConfig, build_index
+    from engine.check import check_index
+    from engine.nrt import NrtWriter
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("nrt_commit")
+    f1, f2 = str(root / "p1.parquet"), str(root / "p2.parquet")
+    _mk(f1, 0, 150, 3)
+    _mk(f2, 150, 260, 4)
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    idx = str(root / "idx")
+    build_index([f1], idx, cfg)
+    w = NrtWriter(idx)
+    w.add_documents(pq.read_table(f2))
+    before = w.reader().topk("alpha beta", k=30)
+    man = w.commit(str(root / "flush"))
+    assert man["stats"]["N"] == 260
+    check_index(idx)
+    after = IndexReader(idx).topk("alpha beta", k=30)
+    assert before["doc_id"].to_pylist() == after["doc_id"].to_pylist()
+    assert before["score"].to_pylist() == after["score"].to_pylist()
+    # buffer cleared; a fresh snapshot now comes straight from disk
+    assert w.reader().topk("alpha beta", k=30)["doc_id"].to_pylist() \
+        == after["doc_id"].to_pylist()
