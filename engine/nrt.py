@@ -15,6 +15,15 @@ segment, like Lucene's per-segment stats summed across the NRT leaf).
 append (stable part lineage, full bucket re-merge), after which a
 fresh on-disk reader returns exactly what the NRT snapshot returned.
 
+Buffered deletes (``IndexWriter#deleteDocuments``) are NRT-visible
+too: committed docs through the same scoring-time tombstone mask the
+disk delete path uses (df/idf unchanged until a folding merge),
+still-buffered docs by dropping them from the RAM buffer;
+``update_documents`` composes both under this engine's
+delete-plus-fresh-id-append updateDocument contract, and ``commit``
+publishes the pending deletes through ``delete_docs`` before the
+append.
+
 Boundaries (documented): doc_id-mode indexes only (conv-mode docIDs
 are assigned by the sorted docmap, which an unflushed buffer cannot
 extend without re-ranking); buffered doc_ids must be new (append
@@ -28,11 +37,12 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from engine import manifest as mf
 from engine.analysis import Analyzer
-from engine.build import IndexConfig, build_index
+from engine.build import IndexConfig, build_index, delete_docs
 from engine.codec import encode_postings
 from engine.query import B, K1, IndexReader, _SubList, norm_cache
 from engine.smallfloat import encode_lengths
@@ -43,9 +53,15 @@ class NrtReader(IndexReader):
 
     def __init__(self, index_dir: str, ram: dict[str, _SubList],
                  ram_n_docs: int, ram_sum_len: int, ram_max_id: int,
-                 k1: float = K1, b: float = B):
+                 k1: float = K1, b: float = B,
+                 extra_deleted: np.ndarray | None = None):
         super().__init__(index_dir, preload=False, k1=k1, b=b)
         self._ram = ram
+        if extra_deleted is not None and len(extra_deleted):
+            # buffered deletes: same global scoring-time mask as
+            # committed deletes (tombstone stats — df/idf unchanged
+            # until a delete-folding merge, exactly like the disk path)
+            self._deleted = np.union1d(self._deleted, extra_deleted)
         if ram_n_docs:
             # exact-integer merged stats: sum_cf is the exact token
             # total, so merged avgdl is the SAME f64 expression a full
@@ -83,6 +99,7 @@ class NrtWriter:
                                for v in man["parts"].values()})
         self._buffered: list[pa.Table] = []
         self._buf_ids: set[int] = set()
+        self._nrt_deleted: set[int] = set()
         self._flush_seq = 0
 
     # ------------------------------------------------------------ write
@@ -93,21 +110,56 @@ class NrtWriter:
         dup = self._buf_ids.intersection(ids.tolist())
         if dup:
             raise ValueError(f"doc_ids already buffered: {sorted(dup)[:5]}")
+        dead = self._nrt_deleted.intersection(ids.tolist())
+        if dead:
+            raise ValueError(
+                f"doc_ids deleted this session: {sorted(dead)[:5]} — "
+                "updates append under a FRESH id (the engine's "
+                "updateDocument contract)")
         self._buf_ids.update(ids.tolist())
         self._buffered.append(table.select(
             [self.cfg.doc_id_col, self.cfg.text_col]))
         return len(self._buf_ids)
 
+    def delete_documents(self, doc_ids) -> int:
+        """Buffered deletes (upstream ``IndexWriter#deleteDocuments``
+        [U]): immediately visible in the next ``reader()`` — committed
+        docs via the same scoring-time tombstone mask the disk path
+        uses, still-buffered docs by dropping them from the RAM
+        buffer. Returns the pending delete count."""
+        ids = {int(i) for i in doc_ids}
+        buffered_hits = ids & self._buf_ids
+        if buffered_hits:
+            mask_ids = pa.array(sorted(buffered_hits), type=pa.int64())
+            self._buffered = [
+                t.filter(pc.invert(pc.is_in(
+                    t[self.cfg.doc_id_col], value_set=mask_ids)))
+                for t in self._buffered]
+            self._buffered = [t for t in self._buffered if t.num_rows]
+            self._buf_ids -= buffered_hits
+        self._nrt_deleted |= ids
+        return len(self._nrt_deleted)
+
+    def update_documents(self, old_ids, table: pa.Table) -> int:
+        """``updateDocument`` (upstream ``IndexWriter#updateDocument``
+        [U], this engine's delete-plus-fresh-id-append contract):
+        delete the old ids, buffer the replacements."""
+        self.delete_documents(old_ids)
+        return self.add_documents(table)
+
     # ------------------------------------------------------------- read
 
     def reader(self, k1: float = K1, b: float = B) -> IndexReader:
-        """Point-in-time NRT snapshot (disk segments + RAM segment)."""
+        """Point-in-time NRT snapshot (disk segments + RAM segment +
+        buffered deletes)."""
+        dels = np.array(sorted(self._nrt_deleted), dtype=np.int64)
         if not self._buffered:
-            return IndexReader(self.index_dir, preload=False, k1=k1, b=b)
+            return NrtReader(self.index_dir, {}, 0, 0, -1, k1=k1, b=b,
+                             extra_deleted=dels)
         buf = pa.concat_tables(self._buffered).combine_chunks()
         ram, n_docs, sum_len, max_id = self._encode_ram(buf)
         return NrtReader(self.index_dir, ram, n_docs, sum_len, max_id,
-                         k1=k1, b=b)
+                         k1=k1, b=b, extra_deleted=dels)
 
     def _encode_ram(self, buf: pa.Table):
         """Analyze the buffer and encode one _SubList per term — the
@@ -159,8 +211,16 @@ class NrtWriter:
 
     def commit(self, flush_dir: str) -> dict:
         """Flush the buffer as a new input file through the standard
-        incremental append (hard commit). Returns the new manifest;
-        the buffer clears and future readers come from disk."""
+        incremental append, applying buffered deletes first (hard
+        commit). Returns the new manifest; the buffer clears and
+        future readers come from disk."""
+        if self._nrt_deleted:
+            man = mf.load(self.index_dir)
+            bound = int(man["stats"].get("max_doc", man["stats"]["N"]))
+            disk_dels = [i for i in self._nrt_deleted if 0 <= i < bound]
+            if disk_dels:
+                delete_docs(self.index_dir, disk_dels)
+            self._nrt_deleted.clear()
         if not self._buffered:
             return mf.load(self.index_dir)
         os.makedirs(flush_dir, exist_ok=True)

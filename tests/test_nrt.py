@@ -117,3 +117,57 @@ def test_nrt_commit_round_trip(ray_session, tmp_path_factory):
     # buffer cleared; a fresh snapshot now comes straight from disk
     assert w.reader().topk("alpha beta", k=30)["doc_id"].to_pylist() \
         == after["doc_id"].to_pylist()
+
+
+def test_nrt_buffered_deletes_and_update(ray_session, tmp_path_factory):
+    from engine.build import IndexConfig, build_index
+    from engine.nrt import NrtWriter
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("nrt_del")
+    f1 = str(root / "p1.parquet")
+    _mk(f1, 0, 120, 9)
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    idx = str(root / "idx")
+    build_index([f1], idx, cfg)
+    w = NrtWriter(idx)
+
+    base_ids = set(IndexReader(idx).topk("alpha", k=500)
+                   ["doc_id"].to_pylist())
+    victim = sorted(base_ids)[0]
+    w.delete_documents([victim])
+    snap = w.reader()
+    nrt_ids = set(snap.topk("alpha", k=500)["doc_id"].to_pylist())
+    assert victim not in nrt_ids and nrt_ids == base_ids - {victim}
+    # tombstone stats: N/avgdl unchanged by a buffered delete
+    assert snap.N == 120
+
+    # delete a still-buffered doc: dropped from the RAM buffer
+    w.add_documents(pa.table({
+        "doc_id": pa.array([500, 501], type=pa.int64()),
+        "text": pa.array(["alpha alpha", "alpha beta"])}))
+    w.delete_documents([500])
+    ids2 = set(w.reader().topk("alpha", k=500)["doc_id"].to_pylist())
+    assert 501 in ids2 and 500 not in ids2
+
+    # update = delete old id + fresh-id append; re-add of a deleted
+    # id is rejected (the documented contract)
+    w.update_documents([501], pa.table({
+        "doc_id": pa.array([502], type=pa.int64()),
+        "text": pa.array(["alpha gamma"])}))
+    ids3 = set(w.reader().topk("alpha", k=500)["doc_id"].to_pylist())
+    assert 502 in ids3 and 501 not in ids3
+    with pytest.raises(ValueError):
+        w.add_documents(pa.table({
+            "doc_id": pa.array([501], type=pa.int64()),
+            "text": pa.array(["alpha"])}))
+
+    # commit publishes deletes + appends; disk reader == snapshot
+    before = w.reader().topk("alpha", k=500)
+    man = w.commit(str(root / "flush"))
+    assert man["deletes"]["n"] == 1          # only the disk-range id
+    after = IndexReader(idx).topk("alpha", k=500)
+    assert before["doc_id"].to_pylist() == after["doc_id"].to_pylist()
+    assert before["score"].to_pylist() == after["score"].to_pylist()
