@@ -339,3 +339,59 @@ def bigram_lm_score(ds: ray.data.Dataset, text_col: str, id_col: str
             "logprob": pa.array(sums[has], type=pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def free_text_suggest(ds: ray.data.Dataset, text_col: str,
+                      contexts: list[str], k: int = 3) -> pa.Table:
+    """FreeTextSuggester (upstream
+    ``L/suggest/analyzing/FreeTextSuggester.java`` [U]) at n=2: given
+    a context word, suggest the most frequent NEXT words from corpus
+    bigram counts — the n-gram-LM completion suggester. Upstream
+    builds an FST over n-gram counts with stupid-backoff; here the
+    bigram count table IS the model (rank = count desc, word asc; no
+    backoff needed since every context is required to appear — the
+    documented conformance boundary).
+
+    One streaming pass of per-batch (context, next) count partials
+    FILTERED to the context words before the shuffle, then a
+    context-sized groupby — no corpus-wide exchange."""
+    ctx = pa.array(sorted(set(contexts)), type=pa.string())
+
+    def pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        offs, flat = _flat_tokens(b[text_col])
+        toks = flat.to_numpy(zero_copy_only=False)
+        if len(toks) < 2:
+            return empty
+        doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        same = doc_of[1:] == doc_of[:-1]
+        w1, w2 = toks[:-1][same], toks[1:][same]
+        m = pc.is_in(pa.array(w1, type=pa.string()), value_set=ctx) \
+            .to_numpy(zero_copy_only=False)
+        if not m.any():
+            return empty
+        t = pa.table({"w1": pa.array(w1[m], type=pa.string()),
+                      "w2": pa.array(w2[m], type=pa.string())}) \
+            .group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return t.rename_columns(["w1", "w2", "c"])
+
+    from engine.ops.classify import _collect
+    counts = _collect(ds.map_batches(pairs, batch_format="pyarrow")
+                      .groupby(["w1", "w2"]).sum("c"))
+    df = counts.to_pandas()
+    df = df.rename(columns={"sum(c)": "count"})
+    df = df.sort_values(["w1", "count", "w2"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("w1").cumcount()
+    df = df[df["rank"] < k]
+    out = pa.Table.from_pandas(
+        df[["w1", "rank", "w2", "count"]].reset_index(drop=True),
+        preserve_index=False)
+    out = out.rename_columns(["context", "rank", "suggestion", "count"])
+    return pa.table({
+        "context": out["context"],
+        "rank": out["rank"].cast(pa.int64()),
+        "suggestion": out["suggestion"],
+        "count": out["count"].cast(pa.int64())})

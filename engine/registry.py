@@ -2280,6 +2280,36 @@ ORDER BY input, freq_sum DESC, "left"
 """
 
 
+FREETEXT_CONTEXTS = ("fast", "key", "window")
+
+
+def free_text_suggest_docs(sf_dir: str) -> pa.Table:
+    """FreeTextSuggester (upstream
+    ``L/suggest/analyzing/FreeTextSuggester`` [U]): n-gram-LM
+    completion — top next words per context word by corpus bigram
+    count (pre-shuffle context filter, context-sized groupby)."""
+    ds = _read(sf_dir, "documents", ["text"])
+    return tx.free_text_suggest(ds, "text", list(FREETEXT_CONTEXTS), k=3)
+
+
+SQL_FREE_TEXT_SUGGEST = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+pos AS (SELECT doc_id, unnest(ts) AS term,
+               generate_subscripts(ts, 1) AS p FROM toks),
+big AS (SELECT a.term AS context, b.term AS suggestion,
+               COUNT(*)::BIGINT AS "count"
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        WHERE a.term IN ({", ".join(f"'{c}'" for c in FREETEXT_CONTEXTS)})
+        GROUP BY 1, 2),
+ranked AS (SELECT context,
+        (ROW_NUMBER() OVER (PARTITION BY context
+            ORDER BY "count" DESC, suggestion) - 1)::BIGINT AS rank,
+        suggestion, "count" FROM big)
+SELECT context, rank, suggestion, "count" FROM ranked
+WHERE rank < 3 ORDER BY context, rank
+"""
+
+
 def mlt_topk(sf_dir: str) -> pa.Table:
     """MoreLikeThis: seed doc's most selective terms → scoring
     disjunction, seed excluded (upstream ``MoreLikeThis`` [U])."""
@@ -8541,6 +8571,7 @@ def queries() -> dict:
         "spellcheck_docs": spellcheck_docs,
         "termfreq_docs": termfreq_docs,
         "word_break_docs": word_break_docs,
+        "free_text_suggest_docs": free_text_suggest_docs,
         "mlt_topk": mlt_topk,
         "highlight_topk_docs": highlight_topk_docs,
         "blockjoin_topk_docs": blockjoin_topk_docs,
@@ -8764,6 +8795,7 @@ def oracle_sql() -> dict:
         "spellcheck_docs": SQL_SPELLCHECK,
         "termfreq_docs": SQL_TERMFREQ,
         "word_break_docs": SQL_WORD_BREAK,
+        "free_text_suggest_docs": SQL_FREE_TEXT_SUGGEST,
         "mlt_topk": sql_mlt(),
         "highlight_topk_docs": sql_highlight(),
         "blockjoin_topk_docs": sql_blockjoin(),
