@@ -1919,6 +1919,60 @@ WHERE rank < {_KNN_K} ORDER BY query_id, rank
 """
 
 
+def knn_classify_embeddings(sf_dir: str) -> pa.Table:
+    """Solr ML stream ``knn()`` classification (upstream
+    ``SJ/client/solrj/io/stream/KnnStream`` + the knn classify recipe
+    [U]): predict each query vector's label by MAJORITY VOTE among its
+    k nearest neighbors (cosine; tie → smaller label). The neighbor
+    search is the distributed brute top-k; the vote runs on the tiny
+    (k × queries) result."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_KNN_QIDS))
+    q = emb.filter(qmask).sort_by("vec_id")
+    qm = vec._emb_matrix(q["embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    nn = vec.knn_brute(ds, "embedding", "vec_id", qm, k=_KNN_K)
+    labels = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "label"])
+    lab_of = dict(zip(labels["vec_id"].to_pylist(),
+                      labels["label"].to_pylist()))
+    df = nn.to_pandas()
+    df["label"] = df["vec_id"].map(lab_of)
+    votes = df.groupby(["query_id", "label"]).size() \
+        .reset_index(name="votes")
+    votes = votes.sort_values(["query_id", "votes", "label"],
+                              ascending=[True, False, True])
+    top = votes.groupby("query_id").head(1).reset_index(drop=True)
+    top["query_id"] = np.array(_KNN_QIDS, dtype=np.int64)[top["query_id"]]
+    return pa.table({
+        "query_id": pa.array(top["query_id"].to_numpy(), type=pa.int64()),
+        "pred": pa.array(top["label"].to_numpy().astype(np.int64)),
+        "votes": pa.array(top["votes"].to_numpy().astype(np.int64))})
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({",".join(map(str, _KNN_QIDS))})),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cosine
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT query_id, vec_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) - 1)::BIGINT AS rank
+  FROM sims),
+nn AS (SELECT r.query_id, e.label FROM ranked r
+       JOIN embeddings e USING (vec_id) WHERE r.rank < {_KNN_K}),
+v AS (SELECT query_id, label, COUNT(*)::BIGINT AS votes
+      FROM nn GROUP BY 1, 2)
+SELECT query_id, label::BIGINT AS pred, votes FROM v
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY votes DESC, label) = 1
+ORDER BY query_id
+"""
+
+
 def _knn_metric_entry(sf_dir: str, metric: str) -> pa.Table:
     """Shared body for the non-cosine VectorSimilarityFunction
     entries (upstream ``L/index/VectorSimilarityFunction`` [U]):
@@ -8563,6 +8617,7 @@ def queries() -> dict:
         "knn_cosine": knn_cosine,
         "knn_dot_docs": knn_dot_docs,
         "knn_l2_docs": knn_l2_docs,
+        "knn_classify_embeddings": knn_classify_embeddings,
         "knn_lsh_docs": knn_lsh_docs,
         "embedding_near_dup": embedding_near_dup,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -8787,6 +8842,7 @@ def oracle_sql() -> dict:
         "knn_cosine": SQL_KNN_COSINE,
         "knn_dot_docs": SQL_KNN_DOT,
         "knn_l2_docs": SQL_KNN_L2,
+        "knn_classify_embeddings": SQL_KNN_CLASSIFY,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": SQL_EMB_NEAR_DUP,
         "minhash_pairs_docs": SQL_MINHASH_EXACT,
