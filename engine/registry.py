@@ -2438,6 +2438,50 @@ def blockjoin_topk_docs(sf_dir: str) -> pa.Table:
         .slice(0, 10)
 
 
+def child_transform_docs(sf_dir: str) -> pa.Table:
+    """ChildDocTransformer (upstream Solr ``[child]`` /
+    ``ChildDocTransformerFactory`` [U]): for the top parents of a
+    block-join query, attach each parent's child documents
+    (childLimit=3, docID order). The parent ranking reuses the
+    blockjoin rollup; the child fetch is a source-pruned filtered
+    read (result-page-sized by construction)."""
+    r = _doc_reader(sf_dir)
+    m = r.match_scores(BJ_QUERY).select(["doc_id", "score"])
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    joined = rel.broadcast_hash_join(docs, m, "doc_id")
+    agg = _to_table(rel.rollup(joined, ["source"], maxs=["score"]))
+    par = agg.sort_by([("max(score)", "descending"),
+                       ("source", "ascending")]).slice(0, 3)
+    srcs = sorted(par["source"].to_pylist())
+    kids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+        filters=[("source", "in", srcs)]).sort_by(
+            [("source", "ascending"), ("doc_id", "ascending")])
+    df = kids.to_pandas()
+    df["child_rank"] = df.groupby("source").cumcount()
+    df = df[df["child_rank"] < 3].reset_index(drop=True)
+    return pa.table({
+        "source": pa.array(df["source"], type=pa.string()),
+        "child_rank": pa.array(df["child_rank"].to_numpy(),
+                               type=pa.int64()),
+        "doc_id": pa.array(df["doc_id"].to_numpy(), type=pa.int64())})
+
+
+def sql_child_transform() -> str:
+    return f"""{_sql_scored("SELECT unnest(['spark','merge']) AS term")},
+par AS (SELECT d.source, MAX(s.score) AS score
+        FROM scored s JOIN documents d USING (doc_id)
+        GROUP BY 1 ORDER BY score DESC, source LIMIT 3),
+ch AS (SELECT d.source, d.doc_id,
+        (ROW_NUMBER() OVER (PARTITION BY d.source
+            ORDER BY d.doc_id) - 1)::BIGINT AS child_rank
+       FROM documents d JOIN par USING (source))
+SELECT source, child_rank, doc_id FROM ch
+WHERE child_rank < 3 ORDER BY source, child_rank
+"""
+
+
 def sql_blockjoin() -> str:
     return f"""{_sql_scored("SELECT unnest(['spark','merge']) AS term")}
 SELECT d.source, COUNT(*)::BIGINT AS n_children,
@@ -8630,6 +8674,7 @@ def queries() -> dict:
         "mlt_topk": mlt_topk,
         "highlight_topk_docs": highlight_topk_docs,
         "blockjoin_topk_docs": blockjoin_topk_docs,
+        "child_transform_docs": child_transform_docs,
         "ltr_rescore_docs": ltr_rescore_docs,
         "nodes_walk_customers": nodes_walk_customers,
         "shortest_path_cust_nation": shortest_path_cust_nation,
@@ -8855,6 +8900,7 @@ def oracle_sql() -> dict:
         "mlt_topk": sql_mlt(),
         "highlight_topk_docs": sql_highlight(),
         "blockjoin_topk_docs": sql_blockjoin(),
+        "child_transform_docs": sql_child_transform(),
         "ltr_rescore_docs": sql_ltr(),
         "nodes_walk_customers": SQL_NODES_WALK,
         "shortest_path_cust_nation": SQL_SHORTEST_PATH,
