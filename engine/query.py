@@ -794,6 +794,44 @@ class IndexReader:
         self._vocab = sorted(found)
         return self._vocab
 
+    def explain(self, query_text: str, doc_id: int) -> pa.Table:
+        """``IndexSearcher#explain`` (upstream ``Explanation`` tree
+        [U]), flattened to the per-term leaf contributions of the BM25
+        sum for one document: (term, df, tf, weight, contrib), each
+        value the exact float32 the scorer computes (sum of contribs =
+        the doc's ``topk`` score). Duplicate query terms appear once
+        per occurrence, like Lucene's repeated-clause explanations.
+        A term that does not match the doc is omitted (Lucene emits a
+        no-match explanation node)."""
+        terms = self.analyzer.query_terms(query_text)
+        rows = []
+        for t in terms:
+            subs = self.lookup([t])[t]
+            df = self.global_df(subs)
+            if not df:
+                continue
+            w = idf(self.N, df)
+            for s in subs:
+                docs, tfs, norms = s.decode_all()
+                i = int(np.searchsorted(docs, doc_id))
+                if i >= len(docs) or docs[i] != doc_id:
+                    continue
+                keep = self._keep(np.array([doc_id], dtype=np.int64))
+                if keep is not None and not keep[0]:
+                    continue
+                contrib = _clause_scores(
+                    tfs[i:i + 1], norms[i:i + 1], w, self.cache)[0]
+                rows.append((t, int(df), int(tfs[i]),
+                             float(w), float(contrib)))
+                break
+        return pa.table({
+            "term": pa.array([r[0] for r in rows], type=pa.string()),
+            "df": pa.array([r[1] for r in rows], type=pa.int64()),
+            "tf": pa.array([r[2] for r in rows], type=pa.int64()),
+            "weight": pa.array([r[3] for r in rows], type=pa.float32()),
+            "contrib": pa.array([r[4] for r in rows], type=pa.float32()),
+        })
+
     def termfreq_table(self, term: str) -> pa.Table:
         """Function-query pseudo-field ``termfreq(field, t)`` (upstream
         Solr ``TermFreqValueSource`` / the Lucene queries function

@@ -1002,3 +1002,26 @@ def test_word_break_suggestions(ray_session, tmp_path):
     # multi-split ambiguity: "abab" -> ab|ab only (a too short)
     assert r.word_break("abab").to_pylist() == [
         {"left": "ab", "right": "ab", "freq_sum": 6}]
+
+
+def test_explain_sums_to_topk_score(ray_session, smoke_index):
+    """Explanation leaf contributions must sum (in f32) to the score
+    topk reports for the same doc."""
+    import numpy as np
+
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    q = "zephyr quark"
+    top = r.topk(q, k=3)
+    if not top.num_rows:
+        q = "the a"
+        top = r.topk(q, k=3)
+    doc = int(top["doc_id"][0].as_py())
+    score = np.float32(top["score"][0].as_py())
+    ex = r.explain(q, doc)
+    total = np.float32(0.0)
+    for c in ex["contrib"].to_pylist():
+        total = np.float32(total + np.float32(c))
+    assert total == score
