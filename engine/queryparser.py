@@ -277,6 +277,10 @@ def _parse_bool(toks, pos: int, fld: str | None, top: bool = False):
 
 
 def _parse_clause(toks, pos: int, fld: str | None):
+    if pos >= len(toks):
+        # dangling 'field:' / modifier at end of input (upstream
+        # QueryParser raises ParseException here)
+        raise QueryParseError("unexpected end of query")
     kind, payload = toks[pos]
     if kind == "FIELD":
         return _parse_clause(toks, pos + 1, payload)

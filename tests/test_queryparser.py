@@ -236,3 +236,33 @@ def test_query_engine_lucene_dispatch(ray_session, smoke_index):
     out = eng(batch)
     ref = eng.reader.parsed_topk("+run connect", k=5)
     assert out["doc_id"].to_pylist() == ref["doc_id"].to_pylist()
+
+
+def test_parser_fuzz_never_crashes(ray_session, smoke_index):
+    """Robustness: random syntax soup either parses (and then executes
+    cleanly against a real reader) or raises QueryParseError — never
+    any other exception. Mirrors upstream's parser fuzz suites."""
+    import numpy as np
+
+    from engine.query import IndexReader
+    from engine.queryparser import QueryParseError, parse, parsed_topk
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    rng = np.random.default_rng(11)
+    atoms = ["zephyr", "quark", "the", "+", "-", "NOT", "AND", "OR",
+             "(", ")", '"', "~", "~2", "^2.5", "*", "?", "[", "]",
+             "{", "}", "TO", ":", "/re.*x/", "wild*", "fu?z", " "]
+    n_parsed = 0
+    for _ in range(400):
+        q = "".join(rng.choice(atoms, size=rng.integers(1, 12)))
+        try:
+            parse(q)
+        except QueryParseError:
+            continue
+        n_parsed += 1
+        try:
+            parsed_topk(r, q, k=3)
+        except QueryParseError:
+            pass
+    assert n_parsed > 20   # the fuzz actually exercises the evaluator
