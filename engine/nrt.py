@@ -207,6 +207,14 @@ class NrtWriter:
             ram[str(vocab[p_t[s]])] = _SubList.from_encoded(enc)
         return ram, n_docs, sum_len, max_id
 
+    def rollback(self) -> None:
+        """``IndexWriter#rollback`` [U]: discard every buffered add,
+        update and delete since the last commit — the on-disk index is
+        untouched (changes only ever reach it through ``commit``)."""
+        self._buffered.clear()
+        self._buf_ids.clear()
+        self._nrt_deleted.clear()
+
     # ------------------------------------------------------------ flush
 
     def commit(self, flush_dir: str) -> dict:

@@ -832,6 +832,40 @@ class IndexReader:
             "contrib": pa.array([r[4] for r in rows], type=pa.float32()),
         })
 
+    def index_sorted_topk(self, term: str, k: int = 10) -> pa.Table:
+        """Early-terminating collection under the index sort (upstream
+        ``TopFieldCollector`` early termination when the search sort
+        equals the index sort [U]): the first ``k`` matching docs in
+        docID order, decoding only each sub-list's LEADING posting
+        blocks (per-sub early exit once it holds ``k`` candidates — a
+        sub's remaining blocks only contain larger docIDs, so they can
+        never compete). Returns (rank, doc_id) plus the decoded-block
+        count in the table metadata for laziness assertions."""
+        subs = self.lookup([term])[term]
+        heads: list[np.ndarray] = []
+        decoded = 0
+        for s in subs:
+            got: list[np.ndarray] = []
+            n = 0
+            for b in range(s.n_blocks):
+                docs, _ = s.decode_block(b)
+                decoded += 1
+                keep = self._keep(docs)
+                if keep is not None:
+                    docs = docs[keep]
+                got.append(docs)
+                n += len(docs)
+                if n >= k:
+                    break
+            if got:
+                heads.append(np.concatenate(got))
+        alld = np.sort(np.concatenate(heads))[:k] if heads \
+            else np.empty(0, dtype=np.int64)
+        t = pa.table({
+            "rank": pa.array(np.arange(len(alld), dtype=np.int64)),
+            "doc_id": pa.array(alld, type=pa.int64())})
+        return t.replace_schema_metadata({"decoded_blocks": str(decoded)})
+
     def termfreq_table(self, term: str) -> pa.Table:
         """Function-query pseudo-field ``termfreq(field, t)`` (upstream
         Solr ``TermFreqValueSource`` / the Lucene queries function

@@ -2331,6 +2331,22 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def index_sorted_topk_docs(sf_dir: str) -> pa.Table:
+    """Early-terminating index-sort collection (upstream
+    ``TopFieldCollector`` early termination [U]): first 10 matching
+    docs in docID order, leading posting blocks only."""
+    t = _doc_reader(sf_dir).index_sorted_topk(TERMFREQ_TERM, k=10)
+    return t.replace_schema_metadata(None)
+
+
+SQL_INDEX_SORTED = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{TERMFREQ_TERM}')
+SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)::BIGINT AS rank, doc_id
+FROM m ORDER BY doc_id LIMIT 10
+"""
+
+
 WORD_BREAK_INPUTS = ("fastscan", "keyvalue", "rowscan", "tablerow")
 
 
@@ -8703,6 +8719,7 @@ def queries() -> dict:
         "termfreq_docs": termfreq_docs,
         "word_break_docs": word_break_docs,
         "free_text_suggest_docs": free_text_suggest_docs,
+        "index_sorted_topk_docs": index_sorted_topk_docs,
         "mlt_topk": mlt_topk,
         "highlight_topk_docs": highlight_topk_docs,
         "blockjoin_topk_docs": blockjoin_topk_docs,
@@ -8930,6 +8947,7 @@ def oracle_sql() -> dict:
         "termfreq_docs": SQL_TERMFREQ,
         "word_break_docs": SQL_WORD_BREAK,
         "free_text_suggest_docs": SQL_FREE_TEXT_SUGGEST,
+        "index_sorted_topk_docs": SQL_INDEX_SORTED,
         "mlt_topk": sql_mlt(),
         "highlight_topk_docs": sql_highlight(),
         "blockjoin_topk_docs": sql_blockjoin(),

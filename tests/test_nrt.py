@@ -171,3 +171,28 @@ def test_nrt_buffered_deletes_and_update(ray_session, tmp_path_factory):
     after = IndexReader(idx).topk("alpha", k=500)
     assert before["doc_id"].to_pylist() == after["doc_id"].to_pylist()
     assert before["score"].to_pylist() == after["score"].to_pylist()
+
+
+def test_nrt_rollback(ray_session, tmp_path_factory):
+    from engine.build import IndexConfig, build_index
+    from engine.nrt import NrtWriter
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("nrt_rb")
+    f1 = str(root / "p1.parquet")
+    _mk(f1, 0, 80, 12)
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    idx = str(root / "idx")
+    build_index([f1], idx, cfg)
+    w = NrtWriter(idx)
+    base = IndexReader(idx).topk("alpha", k=500)
+    w.add_documents(pa.table({
+        "doc_id": pa.array([700], type=pa.int64()),
+        "text": pa.array(["alpha alpha"])}))
+    w.delete_documents([0])
+    w.rollback()
+    after = w.reader().topk("alpha", k=500)
+    assert base["doc_id"].to_pylist() == after["doc_id"].to_pylist()
+    assert base["score"].to_pylist() == after["score"].to_pylist()

@@ -1025,3 +1025,37 @@ def test_explain_sums_to_topk_score(ray_session, smoke_index):
     for c in ex["contrib"].to_pylist():
         total = np.float32(total + np.float32(c))
     assert total == score
+
+
+def test_index_sorted_topk_early_termination(ray_session, tmp_path):
+    """First-k-by-docID collection must be correct AND lazy: with one
+    posting block holding 128 docs, collecting k=5 from a 600-doc
+    posting list decodes only the first block per sub-list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index, delete_docs
+    from engine.query import IndexReader
+
+    n = 600
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(["common filler"] * n)}), src)
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=4096)
+    idx = str(tmp_path / "idx")
+    build_index([src], idx, cfg)
+    r = IndexReader(idx)
+    t = r.index_sorted_topk("common", k=5)
+    assert t["doc_id"].to_pylist() == [0, 1, 2, 3, 4]
+    decoded = int(t.schema.metadata[b"decoded_blocks"].decode())
+    total_blocks = sum(s.n_blocks for s in r.lookup(["common"])["common"])
+    assert decoded < total_blocks and decoded >= 1
+    # deletes push the cut past the first block boundary correctly
+    delete_docs(idx, list(range(0, 130)))
+    r2 = IndexReader(idx)
+    t2 = r2.index_sorted_topk("common", k=5)
+    assert t2["doc_id"].to_pylist() == [130, 131, 132, 133, 134]
