@@ -236,31 +236,61 @@ class DistributedSearcher:
         # borrow any shard's analyzer config (all shards share one)
         self._analyzer = IndexReader(shard_dirs[0]).analyzer
 
-    def topk(self, query_text: str, k: int = 10) -> pa.Table:
+    def _gather(self, refs: list, tolerant: bool) -> tuple[list, int]:
+        """ray.get with per-shard fault isolation. tolerant=False:
+        any shard failure propagates (Solr's default). tolerant=True
+        (``shards.tolerant=true`` [U]): dead shards are skipped and
+        the caller marks the response partial."""
+        if not tolerant:
+            return ray.get(refs), 0
+        out, failed = [], 0
+        for ref in refs:
+            try:
+                out.append(ray.get(ref))
+            except Exception:  # noqa: BLE001 — actor death/network
+                failed += 1
+        return out, failed
+
+    def topk(self, query_text: str, k: int = 10,
+             tolerant: bool = False) -> pa.Table:
+        """Distributed top-k. With ``tolerant=True`` a dead shard is
+        skipped (upstream ``shards.tolerant`` partial results): the
+        response carries ``partial=true`` metadata and covers the
+        surviving shards; collection stats stay the coordinator's
+        cached globals, like Solr serving stale stats for missing
+        shards."""
         terms = self._analyzer.query_terms(query_text)
         if not terms:
             return _topdocs_table([], [])
         uniq_terms = sorted(set(terms))
         # phase 0: global df from per-shard partials
-        partials = ray.get([s.term_stats.remote(uniq_terms)
-                            for s in self.shards])
+        partials, fail0 = self._gather(
+            [s.term_stats.remote(uniq_terms) for s in self.shards],
+            tolerant)
         gdf: dict[str, int] = {}
         for p in partials:
             for t, (df, _) in p.items():
                 gdf[t] = gdf.get(t, 0) + df
         weights = {t: float(idf(self.N, df)) for t, df in gdf.items()}
         # phase 1: shard-local scoring under global stats
-        tops = ray.get([s.score.remote(terms, weights, self.cache, k)
-                        for s in self.shards])
+        tops, fail1 = self._gather(
+            [s.score.remote(terms, weights, self.cache, k)
+             for s in self.shards], tolerant)
+        n_failed = max(fail0, fail1)
         tops = [t for t in tops if t.num_rows]
         if not tops:
-            return _topdocs_table([], [])
+            out = _topdocs_table([], [])
+            return out.replace_schema_metadata(
+                {"partial": "true"}) if n_failed else out
         allt = pa.concat_tables(tops)
         ids = allt["doc_id"].to_numpy()
         sc = allt["score"].to_numpy()
         total = int(sum(t["total_hits"][0].as_py() for t in tops))
         order = np.lexsort((ids, -sc))[:k]
-        return _topdocs_table(ids[order], sc[order], total=total)
+        out = _topdocs_table(ids[order], sc[order], total=total)
+        if n_failed:
+            out = out.replace_schema_metadata({"partial": "true"})
+        return out
 
     def topk_fetch(self, query_text: str, k: int = 10) -> pa.Table:
         """Full two-phase distributed search (upstream

@@ -50,3 +50,53 @@ def test_sharded_equals_single(ray_session, tmp_path):
                     b["total_hits"][0].as_py(), q
     finally:
         ds.shutdown()
+
+
+def test_shards_tolerant_partial_results(ray_session, tmp_path):
+    """shards.tolerant=true: a dead shard is skipped, the response is
+    flagged partial and equals the surviving shards' results;
+    tolerant=false propagates the failure (Solr's default)."""
+    import pytest
+    import ray
+
+    from engine.build import IndexConfig, build_index
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(21)
+    vocab = ["aa", "bb", "cc", "dd"]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    shards = []
+    for si in range(3):
+        f = str(tmp_path / f"t{si}.parquet")
+        lo, hi = si * 80, (si + 1) * 80
+        texts = [" ".join(rng.choice(vocab, size=6))
+                 for _ in range(hi - lo)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(texts)}), f)
+        sd = str(tmp_path / f"tshard{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    ds = DistributedSearcher(shards)
+    try:
+        full = ds.topk("aa bb", 300)
+        assert full.schema.metadata is None \
+            or b"partial" not in (full.schema.metadata or {})
+        ray.kill(ds.shards[1])
+        part = ds.topk("aa bb", 300, tolerant=True)
+        assert part.schema.metadata[b"partial"] == b"true"
+        got = set(part["doc_id"].to_pylist())
+        assert got and all(d < 80 or d >= 160 for d in got)
+        # shard 0+2 results unchanged for their docs (same global stats)
+        fd = {d: s for d, s in zip(full["doc_id"].to_pylist(),
+                                   full["score"].to_pylist())}
+        for d, s in zip(part["doc_id"].to_pylist(),
+                        part["score"].to_pylist()):
+            assert fd[d] == s
+        with pytest.raises(Exception):
+            ds.topk("aa bb", 10, tolerant=False)
+    finally:
+        ds.shutdown()
