@@ -2271,6 +2271,52 @@ GROUP BY term ORDER BY df DESC, term LIMIT 10
 """
 
 
+SUGGEST_CONTEXT_LANG = "en"
+SUGGEST_CONTEXT_PREFIX = "s"
+
+
+def suggest_context_docs(sf_dir: str) -> pa.Table:
+    """Context-filtered suggestions (upstream suggester CONTEXTS —
+    ``AnalyzingInfixSuggester#lookup(key, contexts, ...)`` [U]):
+    prefix completions ranked by df computed ONLY over docs in the
+    requested context (lang), one streaming pass of per-batch
+    (term, df) partials with the context filter pushed into the scan."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.filter(expr=f"lang == '{SUGGEST_CONTEXT_LANG}'")
+
+    def partial(b: pa.Table) -> pa.Table:
+        offs, flat = tx._flat_tokens(b["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(b["doc_id"].to_numpy(), np.diff(offs))
+        pref = np.char.startswith(toks.astype(str),
+                                   SUGGEST_CONTEXT_PREFIX)
+        if not pref.any():
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        t = pa.table({"term": pa.array(toks[pref], type=pa.string()),
+                      "doc": pa.array(doc_of[pref], type=pa.int64())})
+        g = t.group_by(["term", "doc"]).aggregate([([], "count_all")])
+        return g.group_by("term").aggregate([("doc", "count")]) \
+            .rename_columns(["term", "df"])
+
+    from engine.ops.classify import _collect
+    agg = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                   .groupby("term").sum("df"))
+    t = _rename(agg, {"sum(df)": "df"})
+    t = _cast_col(t, "df", pa.int64())
+    return t.sort_by([("df", "descending"), ("term", "ascending")]) \
+        .slice(0, 10)
+
+
+SQL_SUGGEST_CONTEXT = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+              WHERE lang = '{SUGGEST_CONTEXT_LANG}')
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks
+WHERE term LIKE '{SUGGEST_CONTEXT_PREFIX}%'
+GROUP BY term ORDER BY df DESC, term LIMIT 10
+"""
+
+
 FUZZY_SUGGEST_PREFIX = "sca"
 
 
@@ -8720,6 +8766,7 @@ def queries() -> dict:
         "word_break_docs": word_break_docs,
         "free_text_suggest_docs": free_text_suggest_docs,
         "index_sorted_topk_docs": index_sorted_topk_docs,
+        "suggest_context_docs": suggest_context_docs,
         "mlt_topk": mlt_topk,
         "highlight_topk_docs": highlight_topk_docs,
         "blockjoin_topk_docs": blockjoin_topk_docs,
@@ -8948,6 +8995,7 @@ def oracle_sql() -> dict:
         "word_break_docs": SQL_WORD_BREAK,
         "free_text_suggest_docs": SQL_FREE_TEXT_SUGGEST,
         "index_sorted_topk_docs": SQL_INDEX_SORTED,
+        "suggest_context_docs": SQL_SUGGEST_CONTEXT,
         "mlt_topk": sql_mlt(),
         "highlight_topk_docs": sql_highlight(),
         "blockjoin_topk_docs": sql_blockjoin(),
