@@ -407,37 +407,6 @@ def sql_bm25_topk() -> str:
     return _sql_disjunction(terms_sql, BM25_K)
 
 
-def explain_docs(sf_dir: str) -> pa.Table:
-    """``IndexSearcher#explain`` (upstream ``Explanation`` [U]):
-    per-term BM25 leaf contributions for the query's top-1 document,
-    every value the exact f32 the scorer computes — the oracle
-    recomputes the whole tree (df, tf, idf weight, contribution) in
-    SQL, so the explanation is verified against the corpus, not
-    against the engine's own scorer."""
-    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
-    top = r.bmw_topk(BM25_QUERY, 1)
-    doc = int(top["doc_id"][0].as_py())
-    return r.explain(BM25_QUERY, doc).sort_by("term")
-
-
-def sql_explain() -> str:
-    terms_sql = "SELECT unnest([" + ",".join(
-        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
-    return f"""{_sql_scored(terms_sql)},
-top1 AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 1)
-SELECT q.term, d.df::BIGINT AS df, tf.tf::BIGINT AS tf,
-       CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT) AS weight,
-       {_SQL_CONTRIB} AS contrib
-FROM qterms q
-JOIN dfs d ON d.term = q.term
-JOIN top1 ON TRUE
-JOIN tf ON tf.term = q.term AND tf.doc_id = top1.doc_id
-JOIN dl ON dl.doc_id = tf.doc_id
-CROSS JOIN stats s
-ORDER BY q.term
-"""
-
-
 CONJ_TERMS = ["spark", "merge"]
 NOT_SHOULD = ["spark", "merge"]
 NOT_TERMS = ["window"]
@@ -8696,7 +8665,6 @@ def queries() -> dict:
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
         "nrt_topk_docs": nrt_topk_docs,
-        "explain_docs": explain_docs,
         "bm25_topk_analyzed": bm25_topk_analyzed,
         "fetch_topk_docs": fetch_topk_docs,
         "conjunction_topk": conjunction_topk,
@@ -8929,7 +8897,6 @@ def oracle_sql() -> dict:
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
         "nrt_topk_docs": sql_bm25_topk(),
-        "explain_docs": sql_explain(),
         "fetch_topk_docs": sql_fetch_topk(),
         "conjunction_topk": SQL_CONJUNCTION,
         "boolean_not_topk": SQL_BOOLEAN_NOT,
