@@ -196,3 +196,62 @@ def test_nrt_rollback(ray_session, tmp_path_factory):
     after = w.reader().topk("alpha", k=500)
     assert base["doc_id"].to_pylist() == after["doc_id"].to_pylist()
     assert base["score"].to_pylist() == after["score"].to_pylist()
+
+
+def test_nrt_random_ops_equal_logical_rebuild(ray_session,
+                                              tmp_path_factory):
+    """Property: after ANY random sequence of buffered adds, deletes
+    and commits, the NRT snapshot's results equal a from-scratch build
+    over the live logical state with the same tombstone semantics —
+    checked by doc-id sets per query (scores differ from a fresh build
+    by design: tombstones keep df/avgdl until folded)."""
+    from engine.build import IndexConfig, build_index
+    from engine.nrt import NrtWriter
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("nrt_prop")
+    rng = np.random.default_rng(31)
+    words = np.array(["aa", "bb", "cc", "dd", "ee"], dtype=object)
+
+    def text():
+        return " ".join(rng.choice(words, size=int(rng.integers(3, 9))))
+
+    f0 = str(root / "base.parquet")
+    live = {i: " ".join(rng.choice(words, size=6)) for i in range(60)}
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(live), type=pa.int64()),
+        "text": pa.array([live[i] for i in sorted(live)])}), f0)
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=32)
+    idx = str(root / "idx")
+    build_index([f0], idx, cfg)
+    w = NrtWriter(idx)
+    next_id = 60
+    for step in range(12):
+        op = rng.integers(0, 3)
+        if op == 0:                                   # add 1-3 docs
+            n = int(rng.integers(1, 4))
+            rows = {next_id + j: text() for j in range(n)}
+            next_id += n
+            live.update(rows)
+            w.add_documents(pa.table({
+                "doc_id": pa.array(sorted(rows), type=pa.int64()),
+                "text": pa.array([rows[i] for i in sorted(rows)])}))
+        elif op == 1 and live:                        # delete 1-2 docs
+            victims = rng.choice(sorted(live),
+                                 size=min(len(live),
+                                          int(rng.integers(1, 3))),
+                                 replace=False)
+            for v in victims:
+                live.pop(int(v))
+            w.delete_documents([int(v) for v in victims])
+        else:                                         # hard commit
+            w.commit(str(root / f"flush{step}"))
+        snap = w.reader()
+        for q in ("aa", "bb cc", "dd ee aa"):
+            got = set(snap.topk(q, k=500)["doc_id"].to_pylist())
+            terms = set(q.split())
+            want = {i for i, t in live.items()
+                    if terms & set(t.split())}
+            assert got == want, (step, q)
