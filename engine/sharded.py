@@ -233,6 +233,11 @@ class DistributedSearcher:
         sum_cf = sum(c for _, c in stats)
         self.avgdl = (sum_cf / self.N) if self.N else 0.0
         self.cache = norm_cache(self.avgdl, k1, b)
+        # term -> global df, filled by fully-successful phase-0 rounds;
+        # tolerant rounds with a dead shard serve these STALE stats
+        # (Solr's ExactStatsCache behavior for missing shards) so that
+        # surviving shards' scores are unchanged from the full run.
+        self._df_cache: dict[str, int] = {}
         # borrow any shard's analyzer config (all shards share one)
         self._analyzer = IndexReader(shard_dirs[0]).analyzer
 
@@ -271,6 +276,17 @@ class DistributedSearcher:
         for p in partials:
             for t, (df, _) in p.items():
                 gdf[t] = gdf.get(t, 0) + df
+        if fail0 == 0:
+            self._df_cache.update(gdf)
+            for t in uniq_terms:          # df=0 terms are also stats
+                self._df_cache.setdefault(t, 0)
+        else:
+            # stale-stats: a missing shard's df contribution is
+            # unknowable this round — prefer the last full-round
+            # global df so surviving docs score identically.
+            for t in list(gdf):
+                if t in self._df_cache:
+                    gdf[t] = self._df_cache[t]
         weights = {t: float(idf(self.N, df)) for t, df in gdf.items()}
         # phase 1: shard-local scoring under global stats
         tops, fail1 = self._gather(
