@@ -197,6 +197,99 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
     return out
 
 
+def run_query_qps(cpus: int, sf_dir: str) -> dict:
+    """Steady-state batch query throughput at one parallelism level.
+
+    Builds (or reuses) the standard bench index for this sf, then runs
+    the reference query set through the ``QueryEngine`` actor pool
+    sized proportionally to ``cpus``. Query scoring is compute-bound
+    (decode + float math over preloaded postings), unlike the
+    DRAM-bandwidth-bound build — so this is the workload where
+    parallel efficiency on one box is actually observable
+    (BASELINE.md, scaling section)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from engine.build import IndexConfig, build_index
+    from engine.query import QueryEngine
+    from engine.synth import make_queries
+
+    sf = _sf_of(sf_dir)
+    corpus, n_rows = _bench_corpus(sf)
+    idx = os.path.join(BENCH_ROOT, f"index_scalq_sf{sf}")
+    if not os.path.exists(os.path.join(idx, "MANIFEST.json")):
+        if os.path.exists(idx):
+            shutil.rmtree(idx)
+        build_index(corpus, idx, IndexConfig(
+            n_buckets=16, hot_df_threshold=max(1000, n_rows // 50),
+            n_salts=8, batch_size=2048))
+
+    import ray.data
+    qs = make_queries(n_tail_vocab=TAIL_VOCAB)
+    pool = max(2, cpus // 4)
+    # warm the pool + page cache outside the timed window, then time a
+    # query volume large enough that steady-state dominates
+    reps_warm, reps = 4, 60
+    ds = ray.data.from_items(qs * reps_warm)
+    ds.map_batches(QueryEngine, fn_constructor_args=(idx,),
+                   fn_constructor_kwargs={"resolve": False},
+                   batch_size=16, batch_format="pyarrow",
+                   concurrency=pool).count()
+    t0 = time.perf_counter()
+    n_res = ray.data.from_items(qs * reps).map_batches(
+        QueryEngine, fn_constructor_args=(idx,),
+        fn_constructor_kwargs={"resolve": False},
+        batch_size=16, batch_format="pyarrow",
+        concurrency=pool).count()
+    dt = time.perf_counter() - t0
+    assert n_res > 0
+    return {
+        "sf": sf, "num_cpus": cpus, "pool_actors": pool,
+        "n_queries": len(qs) * reps,
+        "query_sec": round(dt, 3),
+        "qps": round(len(qs) * reps / dt, 1),
+    }
+
+
+def run_scaling_query(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Query-throughput scaling: same query workload, two parallelism
+    levels, fresh processes (see ``run_scaling`` for the co-tenant
+    rep protocol)."""
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    runs: dict[int, list] = {lo: [], hi: []}
+    for _ in range(reps):
+        for cpus in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO)
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--single-query"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            line = [ln for ln in p.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            runs[cpus].append(json.loads(line))
+    res = {c: max(rs, key=lambda r: r["qps"]) for c, rs in runs.items()}
+    eff = (res[hi]["qps"] / res[lo]["qps"]) / (hi / lo)
+    return {
+        "metric": "query-throughput scaling efficiency (QPS, "
+                  f"num_cpus {lo} vs {hi}, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_of(sf_dir),
+        "cpus_lo": lo, "cpus_hi": hi,
+        "qps_lo": res[lo]["qps"], "qps_hi": res[hi]["qps"],
+        "speedup": round(res[hi]["qps"] / res[lo]["qps"], 2),
+        "reps_per_width": reps,
+        "detail": {"best": res, "all_runs": runs},
+    }
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Same job, two parallelism levels, fresh processes each.
 
@@ -244,8 +337,12 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-query", action="store_true",
+                    help="query-QPS scaling at two parallelism levels")
     ap.add_argument("--single-build", action="store_true",
                     help="build-only run (used by --scaling subprocesses)")
+    ap.add_argument("--single-query", action="store_true",
+                    help="query-QPS run (used by --scaling-query)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -254,6 +351,12 @@ def main() -> None:
 
     if args.scaling:
         out = run_scaling(sf_dir)
+    elif args.scaling_query:
+        out = run_scaling_query(sf_dir)
+    elif args.single_query:
+        r = run_query_qps(cpus, sf_dir)
+        out = {"metric": "batch query throughput (QPS)",
+               "value": r["query_sec"], "unit": "sec", **r}
     else:
         r = run_main(cpus, sf_dir, build_only=args.single_build)
         out = {

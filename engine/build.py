@@ -93,6 +93,12 @@ class IndexConfig:
     char_filters: tuple = ()
     # tokenizer choice: standard | unicode | whitespace | letter | keyword
     tokenizer: str = "standard"
+    # final-index postings codec for the docs/tfs streams: "vbyte"
+    # (delta+VByte, writeVInt analog) or "for" (128-value
+    # frame-of-reference bitpacked blocks, the Lucene50PostingsFormat/
+    # ForUtil analog; VByte tail block). Fragments always stay VByte —
+    # they are transient shuffle payload, merged once.
+    postings_codec: str = "vbyte"
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -109,6 +115,7 @@ class IndexConfig:
             "unicode_tokens": self.unicode_tokens,
             "char_filters": [dict(f) for f in self.char_filters],
             "tokenizer": self.tokenizer,
+            "postings_codec": self.postings_codec,
         }
 
     @staticmethod
@@ -127,6 +134,7 @@ class IndexConfig:
             unicode_tokens=d.get("unicode_tokens", False),
             char_filters=tuple(d.get("char_filters") or ()),
             tokenizer=d.get("tokenizer", "standard"),
+            postings_codec=d.get("postings_codec", "vbyte"),
         )
 
 
@@ -387,7 +395,7 @@ def _empty_fragment_table() -> pa.Table:
 
 # --------------------------------------------------------------- stage B
 
-def _merge_group(group: pa.Table) -> pa.Table:
+def _merge_group(group: pa.Table, codec: str = "vbyte") -> pa.Table:
     """One merge group (a term, or one salt of a hot term) → one index row.
 
     Fragments cover disjoint doc sets; concatenating them in min_doc
@@ -436,7 +444,7 @@ def _merge_group(group: pa.Table) -> pa.Table:
         docs, tfs, norms = docs[porder], tfs[porder], norms[porder]
         poss = poss[tok_idx] if poss.size else poss
 
-    enc = encode_postings(docs, tfs, norms, poss)
+    enc = encode_postings(docs, tfs, norms, poss, codec=codec)
     return _index_row(term, sub, enc, int(docs[0]))
 
 
@@ -488,7 +496,8 @@ def _cell_stream(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data[offs[0]:offs[-1]], offs - offs[0]
 
 
-def _merge_bucket_table(tab: pa.Table) -> pa.Table | None:
+def _merge_bucket_table(tab: pa.Table,
+                        codec: str = "vbyte") -> pa.Table | None:
     """All fragment rows of one bucket → index rows, vectorized.
 
     The SegmentMerger analog at realistic term-dictionary scale: ONE
@@ -565,7 +574,8 @@ def _merge_bucket_table(tab: pa.Table) -> pa.Table | None:
             # tfs changed per-posting order; rebuild token cuts
             tok_cuts = np.concatenate(([0], np.cumsum(tfs)))
 
-    enc = encode_postings_multi(group_offsets, docs, tfs, norms, flat_pos)
+    enc = encode_postings_multi(group_offsets, docs, tfs, norms, flat_pos,
+                                codec=codec)
     gs = pa.array(gfrag_start)
     terms = tab["term"].take(gs)
     if isinstance(terms, pa.ChunkedArray):
@@ -608,14 +618,15 @@ def _multi_index_table(terms: pa.Array, subs: np.ndarray,
     })
 
 
-def _merge_bucket_files(frag_dir: str, shard_dir: str) -> int:
+def _merge_bucket_files(frag_dir: str, shard_dir: str,
+                        codec: str = "vbyte") -> int:
     """Read one bucket's fragments, merge vectorized, write its shard.
     Returns #index rows (0 for an empty bucket)."""
     if not os.path.isdir(frag_dir):
         os.makedirs(shard_dir, exist_ok=True)
         return 0
     tab = pq.read_table(frag_dir, columns=_FRAG_COLS)
-    out = _merge_bucket_table(tab)
+    out = _merge_bucket_table(tab, codec=codec)
     os.makedirs(shard_dir, exist_ok=True)
     if out is None:
         return 0
@@ -647,7 +658,8 @@ def merge_bucket(index_dir: str, bucket: int, cfg: IndexConfig
     shard_dir = os.path.join(index_dir, "index", f"bucket={bucket}")
     if os.path.exists(shard_dir):
         shutil.rmtree(shard_dir)
-    _merge_bucket_files(frag_dir, shard_dir)
+    _merge_bucket_files(frag_dir, shard_dir,
+                        codec=cfg.postings_codec)
     return _bucket_stats(shard_dir)
 
 
@@ -676,7 +688,8 @@ def merge_all_buckets(index_dir: str, cfg: IndexConfig
     futs = {
         b: merge_task.remote(
             os.path.join(frag_root, f"bucket={b}"),
-            os.path.join(index_root, f"bucket={b}"))
+            os.path.join(index_root, f"bucket={b}"),
+            cfg.postings_codec)
         for b in range(cfg.n_buckets)
     }
     for b, f in futs.items():
@@ -1171,19 +1184,29 @@ def build_stored_fields(index_dir: str) -> int:
 
 
 def _merge_index_rows(rows: list[dict[str, Any]],
-                      deleted: np.ndarray | None = None
-                      ) -> pa.Table | None:
+                      deleted: np.ndarray | None = None,
+                      codec: str = "vbyte") -> pa.Table | None:
     """Combine one term's sub-list index rows into a single row;
     ``deleted`` (sorted docIDs) folds tombstones away — postings of
     deleted docs are dropped and df/cf shrink (the forceMerge
     delete-reclaim, upstream ``SegmentMerger`` + ``LiveDocs`` [U]).
     Returns None when every posting was deleted."""
+    from engine.codec import for_decode_stream
+
     docs_l, tfs_l, norms_l, poss_l = [], [], [], []
     for row in rows:
         df = int(row["df"])
-        deltas, _ = vbyte_decode(row["docs"], df)
+        if codec == "for":
+            deltas = for_decode_stream(
+                row["docs"], df,
+                np.frombuffer(row["blk_doc_off"], dtype=np.int32))
+            tf_i = for_decode_stream(
+                row["tfs"], df,
+                np.frombuffer(row["blk_tf_off"], dtype=np.int32))
+        else:
+            deltas, _ = vbyte_decode(row["docs"], df)
+            tf_i, _ = vbyte_decode(row["tfs"], df)
         docs_l.append(np.cumsum(deltas))
-        tf_i, _ = vbyte_decode(row["tfs"], df)
         tfs_l.append(tf_i)
         norms_l.append(np.frombuffer(row["norms"], dtype=np.uint8))
         if len(row["poss"]):
@@ -1214,13 +1237,13 @@ def _merge_index_rows(rows: list[dict[str, Any]],
             if poss.size:
                 poss = poss[np.repeat(keep, tfs)]
             docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
-    enc = encode_postings(docs, tfs, norms, poss)
+    enc = encode_postings(docs, tfs, norms, poss, codec=codec)
     return _index_row(rows[0]["term"], 0, enc, int(docs[0]))
 
 
 def _optimize_shard(src_dir: str, dst_dir: str,
-                    deleted: np.ndarray | None = None
-                    ) -> tuple[int, int, int]:
+                    deleted: np.ndarray | None = None,
+                    codec: str = "vbyte") -> tuple[int, int, int]:
     """forceMerge one bucket shard into ``dst_dir``; returns
     (n_terms, sum_cf, n_postings) of the rewritten shard.
 
@@ -1249,11 +1272,13 @@ def _optimize_shard(src_dir: str, dst_dir: str,
     folding = deleted is not None and len(deleted)
     parts: list[pa.Table] = []
     cols = ("term", "df", "docs", "tfs", "norms", "poss")
+    if codec == "for":
+        cols += ("blk_doc_off", "blk_tf_off")
     if folding:
         for s, c in zip(starts, counts):
             rows = [{k: tab[k][j].as_py() for k in cols}
                     for j in range(s, s + int(c))]
-            t = _merge_index_rows(rows, deleted)
+            t = _merge_index_rows(rows, deleted, codec=codec)
             if t is not None:
                 parts.append(t)
     else:
@@ -1269,7 +1294,7 @@ def _optimize_shard(src_dir: str, dst_dir: str,
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
             rows = [{k: tab[k][j].as_py() for k in cols}
                     for j in range(s, s + int(c))]
-            parts.append(_merge_index_rows(rows))
+            parts.append(_merge_index_rows(rows, codec=codec))
     if not parts:
         return (0, 0, 0)
     merged = pa.concat_tables(parts, promote_options="default") \
@@ -1324,7 +1349,7 @@ def optimize_index(index_dir: str,
     opt = ray.remote(_optimize_shard)
     futs = {b: opt.remote(os.path.join(cur_root, f"bucket={b}"),
                           os.path.join(new_root, f"bucket={b}"),
-                          *((dref,) if dref is not None else ()))
+                          dref, cfg.postings_codec)
             for b in range(cfg.n_buckets)}
     stats_b = {b: ray.get(f) for b, f in futs.items()}
 

@@ -22,11 +22,30 @@ from engine.codec import BLOCK_SIZE, decode_positions, vbyte_decode
 from engine.smallfloat import LENGTH_TABLE
 
 
+
+def _row_decode(row, codec: str):
+    """Decode one index row's (docs, tfs) under the manifest codec."""
+    df = int(row["df"])
+    if codec == "for":
+        from engine.codec import for_decode_stream
+        deltas = for_decode_stream(
+            row["docs"], df, np.frombuffer(row["blk_doc_off"],
+                                           dtype=np.int32))
+        tfs = for_decode_stream(
+            row["tfs"], df, np.frombuffer(row["blk_tf_off"],
+                                          dtype=np.int32))
+    else:
+        deltas, _ = vbyte_decode(row["docs"], df, 0)
+        tfs, _ = vbyte_decode(row["tfs"], df, 0)
+    return np.cumsum(deltas), tfs
+
+
 def check_index(index_dir: str) -> dict[str, int]:
     man = mf.load(index_dir)
     assert man is not None, "no manifest"
     assert man["status"] == "complete", f"status={man['status']}"
     cfg = IndexConfig.from_json(man["config"])
+    codec = getattr(cfg, "postings_codec", "vbyte")
     N = int(man["stats"]["N"])
     max_doc = int(man["stats"].get("max_doc", N))
 
@@ -54,9 +73,7 @@ def check_index(index_dir: str) -> dict[str, int]:
                 f"term {term!r} in wrong bucket {b}"
             df = int(row["df"])
             assert df > 0
-            deltas, _ = vbyte_decode(row["docs"], df, 0)
-            docs = np.cumsum(deltas)
-            tfs, _ = vbyte_decode(row["tfs"], df, 0)
+            docs, tfs = _row_decode(row, codec)
             norms = np.frombuffer(row["norms"], dtype=np.uint8)
             assert len(docs) == df and len(norms) == df
             assert (docs >= 0).all() and int(docs[-1]) < max_doc
@@ -116,17 +133,17 @@ def dump_postings(index_dir: str) -> dict[str, tuple]:
     """
     man = mf.load(index_dir)
     cfg = IndexConfig.from_json(man["config"])
+    codec = getattr(cfg, "postings_codec", "vbyte")
     out: dict[str, list] = {}
+    cols = ["term", "df", "docs", "tfs", "norms"]
+    if codec == "for":
+        cols += ["blk_doc_off", "blk_tf_off"]
     for b in range(cfg.n_buckets):
         shard = os.path.join(mf.shard_root(index_dir, man), f"bucket={b}")
         if not os.path.isdir(shard):
             continue
-        for row in pq.read_table(
-                shard, columns=["term", "df", "docs", "tfs", "norms"]).to_pylist():
-            df = int(row["df"])
-            deltas, _ = vbyte_decode(row["docs"], df, 0)
-            docs = np.cumsum(deltas)
-            tfs, _ = vbyte_decode(row["tfs"], df, 0)
+        for row in pq.read_table(shard, columns=cols).to_pylist():
+            docs, tfs = _row_decode(row, codec)
             norms = np.frombuffer(row["norms"], dtype=np.uint8)
             out.setdefault(row["term"], []).append((docs, tfs, norms))
     merged = {}
@@ -158,6 +175,7 @@ def exorcise_index(index_dir: str) -> dict:
     man = mf.load(index_dir)
     assert man is not None, "no manifest"
     cfg = IndexConfig.from_json(man["config"])
+    codec = getattr(cfg, "postings_codec", "vbyte")
     root = mf.shard_root(index_dir, man)
     quarantine = os.path.join(index_dir, "corrupt")
     dropped: list[str] = []
@@ -169,9 +187,7 @@ def exorcise_index(index_dir: str) -> dict:
                 df = int(row["df"])
                 if df <= 0:
                     return False
-                deltas, _ = vbyte_decode(row["docs"], df, 0)
-                docs = np.cumsum(deltas)
-                tfs, _ = vbyte_decode(row["tfs"], df, 0)
+                docs, tfs = _row_decode(row, codec)
                 norms = np.frombuffer(row["norms"], dtype=np.uint8)
                 if len(docs) != df or len(tfs) != df or len(norms) != df:
                     return False

@@ -73,7 +73,10 @@ def vbyte_decode(buf: bytes | memoryview | np.ndarray, count: int,
     """
     if count == 0:
         return np.empty(0, dtype=np.int64), offset
-    b = np.frombuffer(buf, dtype=np.uint8)[offset:]
+    # a uint64 VByte value is at most 10 bytes, so `count` values live
+    # inside the next count*10 bytes — bounding the view keeps a
+    # mid-stream block decode O(block), not O(remaining stream)
+    b = np.frombuffer(buf, dtype=np.uint8)[offset:offset + count * 10]
     is_last = b < 128
     # all-1-byte fast path: the first `count` bytes ARE the values
     if count <= len(b) and bool(is_last[:count].all()):
@@ -109,6 +112,188 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(np.asarray(deltas, dtype=np.int64))
 
 
+# ------------------------------------------------------------- FOR codec
+#
+# Frame-of-Reference bitpacking, the reference's packed-ints block
+# format (upstream ``Lucene50PostingsFormat`` / ``ForUtil`` [U]): every
+# full 128-value block stores one width byte w = max bit length in the
+# block, then the 128 values packed at w bits each (little-endian bit
+# order within the stream); the final partial block stays VByte, the
+# analog of upstream's vInt tail block. Positions always stay VByte
+# (our position blocks align to POSTING blocks, not to 128-position
+# frames, so fixed-width framing would not apply cleanly — documented
+# boundary vs upstream, which frames positions separately).
+
+def _bit_widths(maxima: np.ndarray) -> np.ndarray:
+    """Bit length per value, clamped to [1, 63].
+
+    Inputs are non-negative int64 (< 2^63), so 63 bits always suffice;
+    the clamp also absorbs frexp's float-rounding overestimate near
+    2^53+ (one extra bit, harmless for size, unsafe only past 63)."""
+    _, exp = np.frexp(np.asarray(maxima, dtype=np.uint64).astype(np.float64))
+    return np.clip(exp.astype(np.int64), 1, 63)
+
+
+def for_encode_stream(values: np.ndarray, blk_start: np.ndarray,
+                      blk_end: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """FOR-encode a stream tiled by blocks [blk_start[i], blk_end[i]).
+
+    Blocks must tile ``values`` exactly and in order (the layout both
+    posting encoders produce). Returns (blob, per-block byte start
+    offsets, len nblocks+1 with the total last) — vectorized across
+    blocks: one pack per distinct width, one VByte encode for all
+    partial tails.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    blk_start = np.asarray(blk_start, dtype=np.int64)
+    blk_end = np.asarray(blk_end, dtype=np.int64)
+    nblk = len(blk_start)
+    if nblk == 0 or v.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    nvals = blk_end - blk_start
+    full = nvals == BLOCK_SIZE
+
+    widths = np.zeros(nblk, dtype=np.int64)
+    if full.any():
+        maxima = np.maximum.reduceat(v, blk_start)  # blocks tile the stream
+        widths[full] = _bit_widths(maxima[full])
+
+    # partial tails: ONE global VByte encode, per-block byte lengths
+    tail_lens = np.zeros(nblk, dtype=np.int64)
+    if (~full).any():
+        p = np.flatnonzero(~full)
+        lens = nvals[p]
+        cml = np.concatenate(([0], np.cumsum(lens)))
+        idx = (np.arange(cml[-1]) - np.repeat(cml[:-1], lens)
+               + np.repeat(blk_start[p], lens))
+        tail_blob, tail_ends = vbyte_encode_with_ends(v[idx])
+        tail_bytes = np.frombuffer(tail_blob, dtype=np.uint8)
+        tail_cut = np.concatenate(([0], tail_ends[cml[1:] - 1]))
+        tail_lens[p] = np.diff(tail_cut)
+
+    # 1 width byte + 128*w/8 == 16*w packed bytes per full block
+    blk_bytes = tail_lens.copy()
+    blk_bytes[full] = 1 + 16 * widths[full]
+    offs = np.concatenate(([0], np.cumsum(blk_bytes)))
+    out = np.zeros(int(offs[-1]), dtype=np.uint8)
+
+    if full.any():
+        f = np.flatnonzero(full)
+        out[offs[f]] = widths[f].astype(np.uint8)
+        for wv in np.unique(widths[f]):
+            wb = f[widths[f] == wv]
+            vals = v[blk_start[wb][:, None]
+                     + np.arange(BLOCK_SIZE, dtype=np.int64)]
+            bits = np.empty((len(wb), BLOCK_SIZE * wv), dtype=np.uint8)
+            for k in range(int(wv)):
+                bits[:, k::wv] = ((vals >> np.uint64(k))
+                                  & np.uint64(1)).astype(np.uint8)
+            packed = np.packbits(bits, axis=1, bitorder="little")
+            dst = offs[wb][:, None] + 1 + np.arange(16 * wv,
+                                                    dtype=np.int64)
+            out[dst] = packed
+
+    if (~full).any():
+        dst = (np.repeat(offs[p], tail_lens[p])
+               + (np.arange(int(tail_lens[p].sum()))
+                  - np.repeat(np.cumsum(tail_lens[p]) - tail_lens[p],
+                              tail_lens[p])))
+        out[dst] = tail_bytes
+    return out.tobytes(), offs
+
+
+def for_decode_block(blob, offset: int, n: int) -> np.ndarray:
+    """Decode one block at byte ``offset`` holding ``n`` values."""
+    b = np.frombuffer(blob, dtype=np.uint8)
+    if n < BLOCK_SIZE:
+        vals, _ = vbyte_decode(blob, n, offset)
+        return vals
+    w = int(b[offset])
+    return _for_unpack(b, np.array([offset + 1], dtype=np.int64),
+                       w).ravel()
+
+
+def _for_unpack(b: np.ndarray, data_start: np.ndarray,
+                w: int) -> np.ndarray:
+    """Unpack full 128-value FOR blocks at the given packed-data byte
+    starts -> (n_blocks, 128) int64. One 8-byte gather + shift + mask
+    per value (no per-bit matrices): value i's bits live at bit
+    [i*w, i*w+w) of its block's packed region, so an unaligned uint64
+    load at byte (i*w)>>3 shifted by (i*w)&7 exposes them — valid for
+    w <= 57 (shift<=7 keeps w+7 <= 64); wider blocks (rare: >57-bit
+    deltas) fall back to a per-bit loop."""
+    nb = len(data_start)
+    nbytes = 16 * w
+    pad = (-nbytes) % 8 + 8
+    if nb == 1:  # single block (the BMW skip path): contiguous slice
+        s = int(data_start[0])
+        row = np.zeros((1, nbytes + pad), dtype=np.uint8)
+        row[0, :nbytes] = b[s:s + nbytes]
+        rows = row
+    else:
+        rows = b[data_start[:, None] + np.arange(nbytes, dtype=np.int64)]
+        rows = np.concatenate(
+            [rows, np.zeros((nb, pad), dtype=np.uint8)], axis=1)
+    R = rows.view(np.uint64)            # (nb, words) little-endian host
+    q, r, rsh, rz, mask = _for_unpack_tabs(w)
+    lo = R[:, q] >> r
+    hi = R[:, q + 1] << rsh
+    hi[:, rz] = 0                       # r==0: value fits entirely in lo
+    return ((lo | hi) & mask).astype(np.int64)
+
+
+def _for_unpack_tabs(w: int):
+    """Memoized per-width unpack tables (constant for a given w)."""
+    tabs = _FOR_TABS.get(w)
+    if tabs is None:
+        bitpos = np.arange(BLOCK_SIZE, dtype=np.int64) * w
+        q = bitpos >> 6
+        r = (bitpos & 63).astype(np.uint64)
+        rsh = (np.uint64(64) - r) & np.uint64(63)
+        tabs = (q, r, rsh, r == np.uint64(0), np.uint64((1 << w) - 1))
+        _FOR_TABS[w] = tabs
+    return tabs
+
+
+_FOR_TABS: dict[int, tuple] = {}
+
+
+def for_decode_stream(blob, count: int, blk_off: np.ndarray) -> np.ndarray:
+    """Decode a whole FOR stream given per-block byte offsets.
+
+    Vectorized by distinct width: all blocks of one width unpack in a
+    single numpy pass, so a warm full decode costs O(#distinct widths)
+    kernels, not O(#blocks) Python iterations.
+    """
+    if count == 0:
+        return np.empty(0, dtype=np.int64)
+    b = np.frombuffer(blob, dtype=np.uint8)
+    blk_off = np.asarray(blk_off, dtype=np.int64)
+    n_full = count // BLOCK_SIZE
+    out = np.empty(count, dtype=np.int64)
+    if n_full:
+        widths = b[blk_off[:n_full]].astype(np.int64)
+        for wv in np.unique(widths):
+            blocks = np.flatnonzero(widths == wv)
+            vals = _for_unpack(b, blk_off[blocks] + 1, int(wv))
+            out[(blocks[:, None] * BLOCK_SIZE
+                 + np.arange(BLOCK_SIZE, dtype=np.int64))] = vals
+    rem = count - n_full * BLOCK_SIZE
+    if rem:
+        tail, _ = vbyte_decode(blob, rem, int(blk_off[n_full]))
+        out[n_full * BLOCK_SIZE:] = tail
+    return out
+
+
+def decode_stream(blob, count: int, codec: str,
+                  blk_off: np.ndarray | None = None) -> np.ndarray:
+    """Full-stream decode under either codec (offset 0)."""
+    if codec == "for":
+        return for_decode_stream(blob, count, blk_off)
+    vals, _ = vbyte_decode(blob, count, 0)
+    return vals
+
+
 # ------------------------------------------------------- encoded postings
 
 @dataclass
@@ -132,10 +317,12 @@ class EncodedPostings:
     blk_pos_off: np.ndarray    # int32
     blk_max_tf: np.ndarray     # int32
     blk_min_norm: np.ndarray   # uint8 (min norm byte == min quantized length)
+    codec: str = "vbyte"       # docs/tfs stream codec ("vbyte" | "for")
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
-                    positions: np.ndarray | None = None) -> EncodedPostings:
+                    positions: np.ndarray | None = None,
+                    codec: str = "vbyte") -> EncodedPostings:
     """Encode one term's postings.
 
     ``doc_ids`` strictly increasing; ``positions`` (optional) is the
@@ -175,8 +362,6 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
     # ONE vectorized encode per stream; block byte offsets cut from the
     # per-value cumulative ends (identical bytes to per-block encoding
     # since VByte is per-value)
-    docs_blob, doc_ends = vbyte_encode_with_ends(doc_deltas)
-    tfs_blob, tf_ends = vbyte_encode_with_ends(tfs)
     poss_blob, pos_ends = vbyte_encode_with_ends(pos_deltas)
     pos_cuts = np.concatenate(([0], np.cumsum(tfs)))
 
@@ -187,8 +372,16 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
             out[nz] = ends[value_starts[nz] - 1]
         return out
 
-    doc_off = _offsets(doc_ends, blk_starts)
-    tf_off = _offsets(tf_ends, blk_starts)
+    if codec == "for":
+        docs_blob, d_offs = for_encode_stream(doc_deltas, blk_starts,
+                                              blk_bounds)
+        tfs_blob, t_offs = for_encode_stream(tfs, blk_starts, blk_bounds)
+        doc_off, tf_off = d_offs[:-1], t_offs[:-1]
+    else:
+        docs_blob, doc_ends = vbyte_encode_with_ends(doc_deltas)
+        tfs_blob, tf_ends = vbyte_encode_with_ends(tfs)
+        doc_off = _offsets(doc_ends, blk_starts)
+        tf_off = _offsets(tf_ends, blk_starts)
     pos_off = _offsets(pos_ends, pos_cuts[blk_starts])
 
     # block-max metadata
@@ -209,6 +402,7 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
         blk_pos_off=pos_off.astype(np.int32),
         blk_max_tf=max_tf,
         blk_min_norm=min_norm,
+        codec=codec,
     )
 
 
@@ -247,12 +441,13 @@ class MultiEncodedPostings:
     blk_pos_off: np.ndarray
     blk_max_tf: np.ndarray     # int32 global
     blk_min_norm: np.ndarray   # uint8 global
+    codec: str = "vbyte"       # docs/tfs stream codec ("vbyte" | "for")
 
 
 def encode_postings_multi(offsets: np.ndarray, doc_ids: np.ndarray,
                           tfs: np.ndarray, norms: np.ndarray,
-                          positions: np.ndarray | None = None
-                          ) -> MultiEncodedPostings:
+                          positions: np.ndarray | None = None,
+                          codec: str = "vbyte") -> MultiEncodedPostings:
     """Encode many groups' postings in one vectorized pass.
 
     ``offsets`` (int64, len n_groups+1) bound each group's postings in
@@ -282,9 +477,6 @@ def encode_postings_multi(offsets: np.ndarray, doc_ids: np.ndarray,
     inner[gstart] = False
     if (deltas[inner] <= 0).any():
         raise ValueError("doc_ids must be strictly increasing per group")
-
-    docs_blob, doc_ends = vbyte_encode_with_ends(deltas)
-    tfs_blob, tf_ends = vbyte_encode_with_ends(tfs)
 
     def _byte_at(ends: np.ndarray, value_idx: np.ndarray) -> np.ndarray:
         """Byte offset where value ``value_idx`` starts in the stream."""
@@ -323,15 +515,28 @@ def encode_postings_multi(offsets: np.ndarray, doc_ids: np.ndarray,
     blk_min_norm = np.minimum.reduceat(norms, blk_start).astype(np.uint8)
     blk_last_doc = doc_ids[blk_end - 1].astype(np.int64)
 
-    g_doc_base = _byte_at(doc_ends, gstart)
-    g_tf_base = _byte_at(tf_ends, gstart)
-    blk_doc_off = (_byte_at(doc_ends, blk_start)
-                   - g_doc_base[blk_group]).astype(np.int32)
-    blk_tf_off = (_byte_at(tf_ends, blk_start)
-                  - g_tf_base[blk_group]).astype(np.int32)
-
-    docs_offs = np.concatenate((g_doc_base, doc_ends[-1:]))
-    tfs_offs = np.concatenate((g_tf_base, tf_ends[-1:]))
+    if codec == "for":
+        # every group starts on a block boundary, so per-group blob
+        # bounds are just the first-block byte starts
+        docs_blob, d_offs = for_encode_stream(deltas, blk_start, blk_end)
+        tfs_blob, t_offs = for_encode_stream(tfs, blk_start, blk_end)
+        g_doc_base = d_offs[blk_offs[:-1]]
+        g_tf_base = t_offs[blk_offs[:-1]]
+        blk_doc_off = (d_offs[:-1] - g_doc_base[blk_group]).astype(np.int32)
+        blk_tf_off = (t_offs[:-1] - g_tf_base[blk_group]).astype(np.int32)
+        docs_offs = np.concatenate((g_doc_base, d_offs[-1:]))
+        tfs_offs = np.concatenate((g_tf_base, t_offs[-1:]))
+    else:
+        docs_blob, doc_ends = vbyte_encode_with_ends(deltas)
+        tfs_blob, tf_ends = vbyte_encode_with_ends(tfs)
+        g_doc_base = _byte_at(doc_ends, gstart)
+        g_tf_base = _byte_at(tf_ends, gstart)
+        blk_doc_off = (_byte_at(doc_ends, blk_start)
+                       - g_doc_base[blk_group]).astype(np.int32)
+        blk_tf_off = (_byte_at(tf_ends, blk_start)
+                      - g_tf_base[blk_group]).astype(np.int32)
+        docs_offs = np.concatenate((g_doc_base, doc_ends[-1:]))
+        tfs_offs = np.concatenate((g_tf_base, tf_ends[-1:]))
     norms_offs = offsets.copy()  # 1 byte per posting
 
     if has_pos:
@@ -361,18 +566,26 @@ def encode_postings_multi(offsets: np.ndarray, doc_ids: np.ndarray,
         blk_pos_off=blk_pos_off,
         blk_max_tf=blk_max_tf,
         blk_min_norm=blk_min_norm,
+        codec=codec,
     )
 
 
+def _decode_block_vals(blob, off: int, n: int, codec: str) -> np.ndarray:
+    if codec == "for":
+        return for_decode_block(blob, off, n)
+    vals, _ = vbyte_decode(blob, n, off)
+    return vals
+
+
 def decode_block_docs(docs_blob, blk_doc_off, blk_last_doc, b: int,
-                      df: int) -> np.ndarray:
+                      df: int, codec: str = "vbyte") -> np.ndarray:
     """Decode block ``b``'s docIDs (without tfs/positions).
 
     Block-start deltas are relative to the previous block's last doc,
     which the directory carries — so any block decodes independently.
     """
     n = min(BLOCK_SIZE, df - b * BLOCK_SIZE)
-    deltas, _ = vbyte_decode(docs_blob, n, int(blk_doc_off[b]))
+    deltas = _decode_block_vals(docs_blob, int(blk_doc_off[b]), n, codec)
     out = np.cumsum(deltas)
     if b > 0:
         out += int(blk_last_doc[b - 1])
@@ -380,14 +593,15 @@ def decode_block_docs(docs_blob, blk_doc_off, blk_last_doc, b: int,
 
 
 def decode_block(docs_blob, tfs_blob, blk_doc_off, blk_tf_off, blk_last_doc,
-                 b: int, df: int) -> tuple[np.ndarray, np.ndarray]:
+                 b: int, df: int,
+                 codec: str = "vbyte") -> tuple[np.ndarray, np.ndarray]:
     """Decode block ``b`` -> (doc_ids, tfs)."""
     n = min(BLOCK_SIZE, df - b * BLOCK_SIZE)
-    deltas, _ = vbyte_decode(docs_blob, n, int(blk_doc_off[b]))
+    deltas = _decode_block_vals(docs_blob, int(blk_doc_off[b]), n, codec)
     docs = np.cumsum(deltas)
     if b > 0:
         docs += int(blk_last_doc[b - 1])
-    tfs, _ = vbyte_decode(tfs_blob, n, int(blk_tf_off[b]))
+    tfs = _decode_block_vals(tfs_blob, int(blk_tf_off[b]), n, codec)
     return docs, tfs
 
 
@@ -397,12 +611,28 @@ def decode_all(enc_or_row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     Accepts an :class:`EncodedPostings` or a dict-like index row with
     the same field names.
     """
-    get = (lambda k: getattr(enc_or_row, k)) if isinstance(enc_or_row, EncodedPostings) \
-        else (lambda k: enc_or_row[k])
+    if isinstance(enc_or_row, EncodedPostings):
+        get = lambda k: getattr(enc_or_row, k)  # noqa: E731
+        codec = enc_or_row.codec
+    else:
+        get = lambda k: enc_or_row[k]           # noqa: E731
+        codec = enc_or_row.get("codec", "vbyte") \
+            if hasattr(enc_or_row, "get") else "vbyte"
     df = int(get("df"))
-    deltas, _ = vbyte_decode(get("docs"), df, 0)
+    blk_off = None
+    if codec == "for":
+        blk_off = np.frombuffer(get("blk_doc_off"), dtype=np.int32) \
+            if isinstance(get("blk_doc_off"), (bytes, bytearray)) \
+            else get("blk_doc_off")
+    deltas = decode_stream(get("docs"), df, codec, blk_off)
     docs = np.cumsum(deltas)
-    tfs, _ = vbyte_decode(get("tfs"), df, 0)
+    if codec == "for":
+        tf_off = np.frombuffer(get("blk_tf_off"), dtype=np.int32) \
+            if isinstance(get("blk_tf_off"), (bytes, bytearray)) \
+            else get("blk_tf_off")
+        tfs = decode_stream(get("tfs"), df, codec, tf_off)
+    else:
+        tfs = decode_stream(get("tfs"), df, codec)
     norms = np.frombuffer(get("norms"), dtype=np.uint8)
     return docs, tfs, norms
 

@@ -76,9 +76,10 @@ class _SubList:
 
     __slots__ = ("df", "min_doc", "docs_blob", "tfs_blob", "poss_blob",
                  "norms", "blk_last", "blk_doc_off", "blk_tf_off",
-                 "blk_max_tf", "blk_min_norm", "n_blocks", "_all")
+                 "blk_max_tf", "blk_min_norm", "n_blocks", "_all", "codec")
 
-    def __init__(self, row: dict[str, Any]):
+    def __init__(self, row: dict[str, Any], codec: str = "vbyte"):
+        self.codec = codec
         self.df = int(row["df"])
         self.min_doc = int(row["min_doc"])
         self.docs_blob = row["docs"]
@@ -104,16 +105,24 @@ class _SubList:
             "blk_tf_off": enc.blk_tf_off.tobytes(),
             "blk_max_tf": enc.blk_max_tf.tobytes(),
             "blk_min_norm": enc.blk_min_norm.tobytes(),
-        })._fix_min_doc()
+        }, codec=enc.codec)._fix_min_doc()
 
     def _fix_min_doc(self) -> "_SubList":
-        deltas, _ = vbyte_decode(self.docs_blob, 1, 0)
-        self.min_doc = int(deltas[0])
+        if self.codec == "for":
+            from engine.codec import for_decode_block
+            first = for_decode_block(self.docs_blob,
+                                     int(self.blk_doc_off[0]),
+                                     min(BLOCK_SIZE, self.df))
+            self.min_doc = int(first[0])
+        else:
+            deltas, _ = vbyte_decode(self.docs_blob, 1, 0)
+            self.min_doc = int(deltas[0])
         return self
 
     def decode_block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
         return decode_block(self.docs_blob, self.tfs_blob, self.blk_doc_off,
-                            self.blk_tf_off, self.blk_last, b, self.df)
+                            self.blk_tf_off, self.blk_last, b, self.df,
+                            self.codec)
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full decode, memoized: a warm reader pays the VByte decode
@@ -121,9 +130,12 @@ class _SubList:
         OS page cache over ``.doc`` files plus its per-segment term
         state reuse). Callers never mutate the returned arrays."""
         if self._all is None:
-            deltas, _ = vbyte_decode(self.docs_blob, self.df, 0)
+            from engine.codec import decode_stream
+            deltas = decode_stream(self.docs_blob, self.df, self.codec,
+                                   self.blk_doc_off)
             docs = np.cumsum(deltas)
-            tfs, _ = vbyte_decode(self.tfs_blob, self.df, 0)
+            tfs = decode_stream(self.tfs_blob, self.df, self.codec,
+                                self.blk_tf_off)
             self._all = (docs, tfs, self.norms)
         return self._all
 
@@ -227,6 +239,7 @@ class IndexReader:
         self.manifest = man
         self.shard_root = mf.shard_root(index_dir, man)
         self.cfg = IndexConfig.from_json(man["config"])
+        self._codec = getattr(self.cfg, "postings_codec", "vbyte")
         self.N = int(man["stats"]["N"])
         # doc-space bound for dense accumulators / key packing: equals
         # N until a delete-folding forceMerge shrinks N below the
@@ -298,7 +311,7 @@ class IndexReader:
         if not entries:
             return []
         subs = [_SubList({c: self._raw_tabs[ti][c][ri]
-                          for c in self._COLS})
+                          for c in self._COLS}, codec=self._codec)
                 for ti, ri in entries]
         if len(subs) > 1:
             parts = [s.decode_all() for s in subs]
@@ -341,7 +354,8 @@ class IndexReader:
             tab = pq.read_table(shard, filters=[("term", "in", ts)],
                                 columns=self._COLS)
             for row in tab.to_pylist():
-                self._term_cache[row["term"]].append(_SubList(row))
+                self._term_cache[row["term"]].append(
+                    _SubList(row, codec=self._codec))
         return {t: self._term_cache[t] for t in set(terms)}
 
     def global_df(self, subs: list[_SubList]) -> int:

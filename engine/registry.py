@@ -270,6 +270,25 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     return _cast_col(t, "rank", pa.int64())
 
 
+def bm25_topk_for_codec(sf_dir: str) -> pa.Table:
+    """Same BMW top-k over an index whose postings use the FOR
+    bitpacked codec (upstream ``Lucene50PostingsFormat``/``ForUtil``
+    packed-ints blocks [U]; ``IndexConfig.postings_codec="for"``) —
+    scores must be bit-identical to the VByte index AND to the SQL
+    oracle, proving the codec is a pure storage-layout choice."""
+    key = hashlib.md5(f"{sf_dir}|for|v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", key)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048, postings_codec="for")
+    build_index([os.path.join(sf_dir, "documents.parquet")], out, cfg)
+    r = IndexReader(out)
+    top = r.bmw_topk(BM25_QUERY, BM25_K)
+    t = top.select(["rank", "doc_id", "score"])
+    return _cast_col(t, "rank", pa.int64())
+
+
 # golden value-hashes of bm25_topk_analyzed per sf dir (self-check in
 # lieu of a SQL oracle — Porter stemming is not SQL-expressible). The
 # result is fully deterministic (seeded corpus, f32-exact scoring), so
@@ -8664,6 +8683,7 @@ def queries() -> dict:
         "synonym_term_stats": synonym_term_stats,
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
+        "bm25_topk_for": bm25_topk_for_codec,
         "nrt_topk_docs": nrt_topk_docs,
         "bm25_topk_analyzed": bm25_topk_analyzed,
         "fetch_topk_docs": fetch_topk_docs,
@@ -8896,6 +8916,7 @@ def oracle_sql() -> dict:
         "synonym_term_stats": _sql_synonym_stats(),
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
+        "bm25_topk_for": sql_bm25_topk(),
         "nrt_topk_docs": sql_bm25_topk(),
         "fetch_topk_docs": sql_fetch_topk(),
         "conjunction_topk": SQL_CONJUNCTION,
