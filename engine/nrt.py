@@ -87,8 +87,12 @@ class NrtReader(IndexReader):
 class NrtWriter:
     """Buffered writer over a complete doc_id-mode index."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, append_mode: str = "rewrite"):
         self.index_dir = index_dir
+        # "segment": commits flush through the segment-append path
+        # (O(flushed data) per commit, upstream's flush-then-
+        # TieredMergePolicy lifecycle) — pair with maybe_merge.
+        self.append_mode = append_mode
         man = mf.load(index_dir)
         if man is None or man.get("status") != "complete":
             raise ValueError(f"no complete index at {index_dir}")
@@ -241,7 +245,8 @@ class NrtWriter:
         tmp = path + ".tmp"
         pq.write_table(buf, tmp)
         os.replace(tmp, path)
-        man = build_index(self._inputs + [path], self.index_dir, self.cfg)
+        man = build_index(self._inputs + [path], self.index_dir, self.cfg,
+                          append_mode=self.append_mode)
         self._inputs.append(path)
         self._buffered.clear()
         self._buf_ids.clear()

@@ -270,6 +270,49 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     return _cast_col(t, "rank", pa.int64())
 
 
+def tiered_segment_topk(sf_dir: str) -> pa.Table:
+    """Segment-append + tiered-merge lifecycle (upstream IndexWriter
+    flush → ``TieredMergePolicy`` [U]; ``build_index(append_mode=
+    "segment")`` + ``maybe_merge``): the documents corpus arrives as a
+    base build plus two incremental appends that each write only O(new
+    data), then the tiered merge bounds the per-bucket segment count —
+    BM25 over the final multi-segment index must match the one-shot
+    single-build SQL oracle bit-for-bit."""
+    import shutil
+
+    from engine.build import maybe_merge
+
+    key = hashlib.md5(f"{sf_dir}|tieredseg|v1".encode()).hexdigest()[:12]
+    root = os.path.join("/tmp/rayindex_cache", key)
+    idx = os.path.join(root, "idx")
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    man = mf.load(idx)
+    if not (man and man.get("status") == "complete"
+            and len(man.get("input_files") or []) == 3):
+        os.makedirs(root, exist_ok=True)
+        src = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet")).sort_by("doc_id")
+        n = src.num_rows
+        cuts = [0, n // 2, (3 * n) // 4, n]
+        chunks = []
+        for i in range(3):
+            f = os.path.join(root, f"chunk{i}.parquet")
+            pq.write_table(src.slice(cuts[i], cuts[i + 1] - cuts[i]), f)
+            chunks.append(f)
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index([chunks[0]], idx, cfg)
+        build_index(chunks[:2], idx, cfg, append_mode="segment")
+        build_index(chunks, idx, cfg, append_mode="segment")
+        maybe_merge(idx, max_segments=2)
+    r = IndexReader(idx)
+    top = r.topk(BM25_QUERY, BM25_K)
+    return _cast_col(top.select(["rank", "doc_id", "score"]),
+                     "rank", pa.int64())
+
+
 def bm25_topk_for_codec(sf_dir: str) -> pa.Table:
     """Same BMW top-k over an index whose postings use the FOR
     bitpacked codec (upstream ``Lucene50PostingsFormat``/``ForUtil``
@@ -8684,6 +8727,7 @@ def queries() -> dict:
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
         "bm25_topk_for": bm25_topk_for_codec,
+        "tiered_segment_topk": tiered_segment_topk,
         "nrt_topk_docs": nrt_topk_docs,
         "bm25_topk_analyzed": bm25_topk_analyzed,
         "fetch_topk_docs": fetch_topk_docs,
@@ -8917,6 +8961,7 @@ def oracle_sql() -> dict:
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
         "bm25_topk_for": sql_bm25_topk(),
+        "tiered_segment_topk": sql_bm25_topk(),
         "nrt_topk_docs": sql_bm25_topk(),
         "fetch_topk_docs": sql_fetch_topk(),
         "conjunction_topk": SQL_CONJUNCTION,
