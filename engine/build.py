@@ -857,6 +857,10 @@ def build_index(input_path: str | list[str], index_dir: str,
         man.pop("stored", None)        # stored fields must be rebuilt
         mf.save(index_dir, man)
     elif append_new:
+        if man.get("no_fragments"):
+            raise ValueError(
+                "this index carries no fragment lineage (split child); "
+                "append with append_mode='segment'")
         # stable part ids: append to the manifest's file order
         man["input_files"] = list(man["input_files"]) + append_new
         man["status"] = "building"
@@ -1271,6 +1275,38 @@ def build_stored_fields(index_dir: str) -> int:
     return sum(b["rows"] for b in bounds)
 
 
+def _decode_row_full(row: dict[str, Any], codec: str = "vbyte"
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray]:
+    """Decode one index row -> (doc_ids, tfs, norms, flat absolute
+    positions); positions are empty when the row stored none."""
+    from engine.codec import for_decode_stream
+
+    df = int(row["df"])
+    if codec == "for":
+        deltas = for_decode_stream(
+            row["docs"], df,
+            np.frombuffer(row["blk_doc_off"], dtype=np.int32))
+        tf_i = for_decode_stream(
+            row["tfs"], df,
+            np.frombuffer(row["blk_tf_off"], dtype=np.int32))
+    else:
+        deltas, _ = vbyte_decode(row["docs"], df)
+        tf_i, _ = vbyte_decode(row["tfs"], df)
+    docs = np.cumsum(deltas)
+    norms = np.frombuffer(row["norms"], dtype=np.uint8)
+    if len(row["poss"]):
+        total = int(tf_i.sum())
+        pdel, _ = vbyte_decode(row["poss"], total)
+        flat = np.cumsum(pdel)
+        starts = np.concatenate(([0], np.cumsum(tf_i)[:-1]))
+        bases = flat[starts] - pdel[starts]
+        poss = flat - np.repeat(bases, tf_i)
+    else:
+        poss = np.empty(0, np.int64)
+    return docs, tf_i, norms, poss
+
+
 def _merge_index_rows(rows: list[dict[str, Any]],
                       deleted: np.ndarray | None = None,
                       codec: str = "vbyte") -> pa.Table | None:
@@ -1279,31 +1315,14 @@ def _merge_index_rows(rows: list[dict[str, Any]],
     deleted docs are dropped and df/cf shrink (the forceMerge
     delete-reclaim, upstream ``SegmentMerger`` + ``LiveDocs`` [U]).
     Returns None when every posting was deleted."""
-    from engine.codec import for_decode_stream
-
     docs_l, tfs_l, norms_l, poss_l = [], [], [], []
     for row in rows:
-        df = int(row["df"])
-        if codec == "for":
-            deltas = for_decode_stream(
-                row["docs"], df,
-                np.frombuffer(row["blk_doc_off"], dtype=np.int32))
-            tf_i = for_decode_stream(
-                row["tfs"], df,
-                np.frombuffer(row["blk_tf_off"], dtype=np.int32))
-        else:
-            deltas, _ = vbyte_decode(row["docs"], df)
-            tf_i, _ = vbyte_decode(row["tfs"], df)
-        docs_l.append(np.cumsum(deltas))
-        tfs_l.append(tf_i)
-        norms_l.append(np.frombuffer(row["norms"], dtype=np.uint8))
-        if len(row["poss"]):
-            total = int(tf_i.sum())
-            pdel, _ = vbyte_decode(row["poss"], total)
-            flat = np.cumsum(pdel)
-            starts = np.concatenate(([0], np.cumsum(tf_i)[:-1]))
-            bases = flat[starts] - pdel[starts]
-            poss_l.append(flat - np.repeat(bases, tf_i))
+        d, t, nr, p = _decode_row_full(row, codec)
+        docs_l.append(d)
+        tfs_l.append(t)
+        norms_l.append(nr)
+        if p.size:
+            poss_l.append(p)
     docs = np.concatenate(docs_l)
     tfs = np.concatenate(tfs_l)
     norms = np.concatenate(norms_l)
@@ -1574,6 +1593,185 @@ def maybe_merge(index_dir: str, max_segments: int = 8
     if os.path.realpath(cur_root) != os.path.realpath(new_root):
         shutil.rmtree(cur_root, ignore_errors=True)
     return {"merged_buckets": len(plans), "gen": gen}
+
+
+def _split_shard_table(tab: pa.Table, split_doc: int, codec: str
+                       ) -> tuple[pa.Table | None, pa.Table | None]:
+    """One bucket shard table -> (low child, high child) index tables,
+    partitioning every row's postings at ``doc_id < split_doc``. Rows
+    whose postings fall entirely on one side land there whole; rows
+    that straddle are re-encoded per side (block directories rebuilt).
+    Vectorized for the vbyte codec (one decode per stream across the
+    whole bucket); FOR-codec rows decode per row (block-offset streams
+    do not concatenate)."""
+    if tab.num_rows == 0:
+        return None, None
+    tab = tab.combine_chunks()
+    dfs = tab["df"].to_numpy().astype(np.int64)
+    cuts = np.concatenate(([0], np.cumsum(dfs)))
+    total = int(cuts[-1])
+    if codec == "for":
+        need = ["df", "docs", "tfs", "norms", "poss",
+                "blk_doc_off", "blk_tf_off"]
+        cols = {c: tab[c] for c in need}
+        docs_l, tfs_l, norms_l, poss_l = [], [], [], []
+        for i in range(tab.num_rows):
+            row = {c: cols[c][i].as_py() for c in need}
+            d, t, nr, p = _decode_row_full(row, codec)
+            docs_l.append(d)
+            tfs_l.append(t)
+            norms_l.append(nr)
+            poss_l.append(p)
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        norms = np.concatenate(norms_l)
+        flat_pos = np.concatenate(poss_l) \
+            if any(p.size for p in poss_l) else None
+    else:
+        d_stream, _ = _cell_stream(tab["docs"])
+        deltas, _ = vbyte_decode(d_stream, total, 0)
+        fs = cuts[:-1]
+        cs = np.cumsum(deltas)
+        base = cs[fs] - deltas[fs]
+        docs = cs - np.repeat(base, dfs)
+        t_stream, _ = _cell_stream(tab["tfs"])
+        tfs, _ = vbyte_decode(t_stream, total, 0)
+        n_stream, _ = _cell_stream(tab["norms"])
+        norms = n_stream.copy()
+        p_stream, _ = _cell_stream(tab["poss"])
+        if p_stream.size:
+            total_tok = int(tfs.sum())
+            pdeltas, _ = vbyte_decode(p_stream, total_tok, 0)
+            ps = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+            pcs = np.cumsum(pdeltas)
+            pbase = pcs[ps] - pdeltas[ps]
+            flat_pos = pcs - np.repeat(pbase, tfs)
+        else:
+            flat_pos = None
+
+    lo_sel = docs < split_doc
+    subs_all = tab["sub"].to_numpy().astype(np.int32)
+
+    def _child(sel: np.ndarray) -> pa.Table | None:
+        new_df = np.add.reduceat(sel.astype(np.int64), cuts[:-1])
+        kept = new_df > 0
+        if not kept.any():
+            return None
+        offs = np.concatenate(([0], np.cumsum(new_df[kept])))
+        p2 = None
+        if flat_pos is not None:
+            p2 = flat_pos[np.repeat(sel, tfs)]
+        enc = encode_postings_multi(offs, docs[sel], tfs[sel],
+                                    norms[sel], p2, codec=codec)
+        ki = np.flatnonzero(kept)
+        terms = tab["term"].take(pa.array(ki))
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        return _multi_index_table(terms, subs_all[ki], enc)
+
+    return _child(lo_sel), _child(~lo_sel)
+
+
+def _split_shard_bucket(src_bdir: str, dst_bdirs: list[str],
+                        split_doc: int, codec: str
+                        ) -> list[dict[str, Any]]:
+    if os.path.isdir(src_bdir) and any(
+            f.endswith(".parquet") for f in os.listdir(src_bdir)):
+        children = _split_shard_table(
+            pq.read_table(src_bdir), split_doc, codec)
+        for child, d in zip(children, dst_bdirs):
+            if child is not None and child.num_rows:
+                # dir only exists when it holds data (empty bucket
+                # dirs would break schema inference at read time)
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(child.sort_by("term"),
+                               os.path.join(d, "split-0.parquet"))
+    return [_bucket_stats(d) for d in dst_bdirs]
+
+
+def _range_counts(path: str, col: str, split_doc: int
+                  ) -> tuple[int, int, int, int]:
+    """(n_lo, n_hi, max_lo, max_hi) of one input file's docIDs."""
+    a = pq.read_table(path, columns=[col])[col].to_numpy()
+    lo = a < split_doc
+    n_lo = int(lo.sum())
+    return (n_lo, int(a.size - n_lo),
+            int(a[lo].max()) if n_lo else -1,
+            int(a[~lo].max()) if n_lo < a.size else -1)
+
+
+def split_index(index_dir: str, dst_dirs: list[str],
+                split_doc: int | None = None) -> dict[str, Any]:
+    """SPLITSHARD analog (Solr collections API ``SPLITSHARD`` /
+    ``SolrIndexSplitter`` [U]): partition a COMPLETE doc_id-mode index
+    into two child indexes covering docID ranges ``[0, split_doc)``
+    and ``[split_doc, max]`` WITHOUT re-analyzing any text — postings
+    are decoded once per bucket, range-masked, and re-encoded
+    (vectorized whole-bucket streams, one parallel Ray task per
+    bucket). Each child is a standalone complete index: its collection
+    stats (N, sum_cf, avgdl — exact, from a pruned docID-column scan
+    plus the split postings) make BM25 over a child bit-identical to
+    a fresh build over that half of the corpus.
+
+    Requirements (asserted): doc_id mode, no active deletes (fold with
+    ``optimize_index(fold_deletes=True)`` first — Solr's splitter also
+    operates on the live view). Children carry no fragment lineage, so
+    later appends must use ``append_mode="segment"`` (enforced);
+    ``split_doc`` defaults to the docID-range midpoint (the hash-range
+    midpoint in Solr's router terms)."""
+    man = mf.load(index_dir)
+    assert man and man["status"] == "complete", \
+        "split_index needs a complete index"
+    cfg = IndexConfig.from_json(man["config"])
+    assert cfg.doc_id_col, "split_index requires a doc_id-mode index"
+    assert not man.get("deletes"), \
+        "split_index: fold deletes first (optimize_index)"
+    assert len(dst_dirs) == 2, "split_index produces exactly 2 children"
+    max_doc = int(man["stats"].get("max_doc", man["stats"]["N"]))
+    if split_doc is None:
+        split_doc = (max_doc + 1) // 2
+    root = mf.shard_root(index_dir, man)
+
+    task = ray.remote(_split_shard_bucket)
+    futs = {b: task.remote(
+        os.path.join(root, f"bucket={b}"),
+        [os.path.join(d, "index", f"bucket={b}") for d in dst_dirs],
+        split_doc, cfg.postings_codec) for b in range(cfg.n_buckets)}
+    buckets: list[dict[str, Any]] = [{}, {}]
+    for b, f in futs.items():
+        for c, s in enumerate(ray.get(f)):
+            buckets[c][str(b)] = s
+
+    cnt = ray.remote(_range_counts)
+    per_file = ray.get([cnt.remote(f, cfg.doc_id_col, split_doc)
+                        for f in man["input_files"]])
+    n_c = [sum(r[0] for r in per_file), sum(r[1] for r in per_file)]
+    max_c = [max((r[2] for r in per_file), default=-1),
+             max((r[3] for r in per_file), default=-1)]
+
+    for c, d in enumerate(dst_dirs):
+        os.makedirs(d, exist_ok=True)
+        m = mf.new_manifest(list(man["input_files"]), man["config"])
+        m["parts"] = {str(i): {"input_file": f, "status": "done"}
+                      for i, f in enumerate(m["input_files"])}
+        m["no_fragments"] = True
+        m["split"] = {"source": os.path.abspath(index_dir),
+                      "split_doc": split_doc, "child": c}
+        m["buckets"] = buckets[c]
+        total_cf = sum(v["sum_cf"] for v in buckets[c].values())
+        m["stats"] = {
+            "N": n_c[c],
+            "sum_cf": total_cf,
+            "n_terms": sum(v["n_terms"] for v in buckets[c].values()),
+            "n_postings": sum(v.get("n_postings", 0)
+                              for v in buckets[c].values()),
+            "avgdl": (total_cf / n_c[c]) if n_c[c] else 0.0,
+            # doc-space bound is EXCLUSIVE (Lucene maxDoc): max id + 1
+            "max_doc": max_c[c] + 1,
+        }
+        m["status"] = "complete"
+        mf.save(d, m)
+    return {"split_doc": split_doc, "N": n_c}
 
 
 def _main() -> None:

@@ -313,6 +313,50 @@ def tiered_segment_topk(sf_dir: str) -> pa.Table:
                      "rank", pa.int64())
 
 
+def split_shard_topk(sf_dir: str) -> pa.Table:
+    """SPLITSHARD lifecycle (Solr collections API ``SPLITSHARD`` /
+    ``SolrIndexSplitter`` [U]; ``engine.build.split_index``): the full
+    documents index is split by docID range into two standalone child
+    indexes WITHOUT re-analysis — BM25 over the HIGH child (its own
+    collection stats: N, df, avgdl over just its half) must match the
+    SQL oracle computed over only ``doc_id >= (max+1)//2``."""
+    import shutil
+
+    from engine.build import split_index
+
+    key = hashlib.md5(f"{sf_dir}|splitshard|v1".encode()).hexdigest()[:12]
+    root = os.path.join("/tmp/rayindex_cache", key)
+    idx = os.path.join(root, "idx")
+    hi = os.path.join(root, "hi")
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    man = mf.load(hi)
+    if not (man and man.get("status") == "complete"):
+        os.makedirs(root, exist_ok=True)
+        src = os.path.join(sf_dir, "documents.parquet")
+        mx = int(pc.max(pq.read_table(
+            src, columns=["doc_id"])["doc_id"]).as_py())
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(hi, ignore_errors=True)
+        build_index([src], idx, cfg)
+        split_index(idx, [os.path.join(root, "lo"), hi],
+                    split_doc=(mx + 1) // 2)
+    r = IndexReader(hi)
+    top = r.topk(BM25_QUERY, BM25_K)
+    return _cast_col(top.select(["rank", "doc_id", "score"]),
+                     "rank", pa.int64())
+
+
+def sql_split_shard_topk() -> str:
+    corpus = ("(SELECT doc_id, text FROM documents WHERE doc_id >= "
+              "(SELECT (MAX(doc_id)+1)//2 FROM documents)) c")
+    qterms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return _sql_disjunction(qterms, BM25_K, docs_src=corpus)
+
+
 def bm25_topk_for_codec(sf_dir: str) -> pa.Table:
     """Same BMW top-k over an index whose postings use the FOR
     bitpacked codec (upstream ``Lucene50PostingsFormat``/``ForUtil``
@@ -8728,6 +8772,7 @@ def queries() -> dict:
         "bm25_topk": bm25_topk,
         "bm25_topk_for": bm25_topk_for_codec,
         "tiered_segment_topk": tiered_segment_topk,
+        "split_shard_topk": split_shard_topk,
         "nrt_topk_docs": nrt_topk_docs,
         "bm25_topk_analyzed": bm25_topk_analyzed,
         "fetch_topk_docs": fetch_topk_docs,
@@ -8962,6 +9007,7 @@ def oracle_sql() -> dict:
         "bm25_topk": sql_bm25_topk(),
         "bm25_topk_for": sql_bm25_topk(),
         "tiered_segment_topk": sql_bm25_topk(),
+        "split_shard_topk": sql_split_shard_topk(),
         "nrt_topk_docs": sql_bm25_topk(),
         "fetch_topk_docs": sql_fetch_topk(),
         "conjunction_topk": SQL_CONJUNCTION,
