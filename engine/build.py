@@ -99,6 +99,24 @@ class IndexConfig:
     # ForUtil analog; VByte tail block). Fragments always stay VByte —
     # they are transient shuffle payload, merged once.
     postings_codec: str = "vbyte"
+    # IndexOptions analog (upstream ``IndexOptions.DOCS`` vs
+    # ``DOCS_AND_FREQS[_AND_POSITIONS]``): store_freqs=False records
+    # every (term, doc) posting with tf = 1 exactly like Lucene's
+    # ``PostingsEnum.freq() == 1`` contract for DOCS fields — scoring,
+    # merging, splitting and block-max bounds all see tf 1 with zero
+    # special-casing downstream. Conformance boundary: the tf stream
+    # still spends 1 VByte byte per posting (upstream spends 0 by
+    # interleaving a freq-less .doc file); positions require freqs, so
+    # store_freqs=False demands store_positions=False (validated at
+    # build_index).
+    store_freqs: bool = True
+    # omitNorms analog: the norm bytes are still written (they ride
+    # inside the postings rows) but the manifest records the field as
+    # norm-less and every reader scores with the constant norm factor
+    # k1 — upstream BM25Similarity with norms == null scores
+    # tf/(tf + k1), i.e. the length term (1 - b + b*dl/avgdl) pinned
+    # to 1 (``BM25Similarity.BM25Scorer`` [U]).
+    omit_norms: bool = False
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -116,6 +134,8 @@ class IndexConfig:
             "char_filters": [dict(f) for f in self.char_filters],
             "tokenizer": self.tokenizer,
             "postings_codec": self.postings_codec,
+            "store_freqs": self.store_freqs,
+            "omit_norms": self.omit_norms,
         }
 
     @staticmethod
@@ -135,6 +155,8 @@ class IndexConfig:
             char_filters=tuple(d.get("char_filters") or ()),
             tokenizer=d.get("tokenizer", "standard"),
             postings_codec=d.get("postings_codec", "vbyte"),
+            store_freqs=d.get("store_freqs", True),
+            omit_norms=d.get("omit_norms", False),
         )
 
 
@@ -286,6 +308,8 @@ class FragmentBuilder:
         chg[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
         pstart = np.flatnonzero(chg)                       # token idx of each posting
         tfs = np.diff(np.append(pstart, t_s.size)).astype(np.int32)
+        if not cfg.store_freqs:  # IndexOptions.DOCS: freq() == 1
+            tfs = np.ones_like(tfs)
         p_t = t_s[pstart]                                  # term code per posting
         p_d = d_s[pstart]                                  # batch-doc per posting
 
@@ -795,6 +819,10 @@ def build_index(input_path: str | list[str], index_dir: str,
     phase_sec: dict[str, float] = {}
     explicit_cfg = cfg is not None
     cfg = cfg or IndexConfig()
+    if not cfg.store_freqs and cfg.store_positions:
+        raise ValueError(
+            "store_freqs=False (IndexOptions.DOCS) requires "
+            "store_positions=False — positions are grouped by tf")
     os.makedirs(index_dir, exist_ok=True)
     if isinstance(input_path, str):
         files = sorted(

@@ -70,7 +70,8 @@ class NrtReader(IndexReader):
             self.N += ram_n_docs
             self.avgdl = (base_sum + ram_sum_len) / self.N
             self.max_doc = max(self.max_doc, ram_max_id + 1)
-            self.cache = norm_cache(self.avgdl, k1, b)
+            if not self.cfg.omit_norms:
+                self.cache = norm_cache(self.avgdl, k1, b)
 
     def lookup(self, terms: list[str]) -> dict[str, list[_SubList]]:
         out = super().lookup(terms)
@@ -194,6 +195,12 @@ class NrtWriter:
         chg[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
         pstart = np.flatnonzero(chg)
         tfs = np.diff(np.append(pstart, t_s.size)).astype(np.int64)
+        if not cfg.store_freqs:  # IndexOptions.DOCS: freq() == 1
+            tfs = np.ones_like(tfs)
+            # merged-stats contribution follows the disk convention:
+            # sum_cf for a freq-less field is sumDocFreq (postings),
+            # not the token count [U totalTermFreq == docFreq]
+            sum_len = int(tfs.size)
         p_t, p_d = t_s[pstart], d_s[pstart]
         tchg = np.empty(p_t.size, dtype=bool)
         tchg[0] = True

@@ -247,7 +247,13 @@ class IndexReader:
         self.max_doc = int(man["stats"].get("max_doc", self.N))
         self.avgdl = float(man["stats"]["avgdl"])
         self.k1, self.b = k1, b
-        self.cache = norm_cache(self.avgdl, k1, b)
+        if self.cfg.omit_norms:
+            # omitNorms: upstream BM25Similarity with norms == null
+            # scores tf/(tf + k1) — the length factor (1-b+b*dl/avgdl)
+            # pinned to 1 for every norm byte [U BM25Similarity]
+            self.cache = np.full(256, float(k1), dtype=np.float64)
+        else:
+            self.cache = norm_cache(self.avgdl, k1, b)
         self.analyzer = Analyzer(self.cfg.stop_words, self.cfg.stemming,
                                  self.cfg.filters,
                                  self.cfg.unicode_tokens,

@@ -376,6 +376,77 @@ def bm25_topk_for_codec(sf_dir: str) -> pa.Table:
     return _cast_col(t, "rank", pa.int64())
 
 
+def index_options_docs_topk(sf_dir: str) -> pa.Table:
+    """BM25 over a freq-less index (upstream ``IndexOptions.DOCS``
+    [U]: postings record only that a term occurred, ``freq() == 1``
+    for every match) — the whole pipeline (build, merge, BMW bounds,
+    scoring) runs unchanged with tf pinned to 1; the oracle rescores
+    the corpus with the tf term replaced by 1."""
+    key = hashlib.md5(f"{sf_dir}|docsonly|v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", key)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048,
+        store_freqs=False, store_positions=False)
+    build_index([os.path.join(sf_dir, "documents.parquet")], out, cfg)
+    r = IndexReader(out)
+    top = r.bmw_topk(BM25_QUERY, BM25_K)
+    t = top.select(["rank", "doc_id", "score"])
+    return _cast_col(t, "rank", pa.int64())
+
+
+# IndexOptions.DOCS: every clause scores with freq = 1
+_SQL_CONTRIB_TF1 = """
+    CAST(
+      CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+      *
+      CAST(1.0 / (1.0 + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT)"""
+
+# omitNorms: length factor pinned to 1 -> tf / (tf + k1)
+_SQL_CONTRIB_NONORMS = """
+    CAST(
+      CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+      *
+      CAST(tf.tf / (tf.tf + 1.2) AS FLOAT)::DOUBLE
+      AS FLOAT)"""
+
+
+def _sql_bm25_variant(contrib: str, docs_avgdl: bool = False) -> str:
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    sql = _sql_disjunction(terms_sql, BM25_K, contrib=contrib)
+    if docs_avgdl:
+        # IndexOptions.DOCS: upstream totalTermFreq == docFreq, so
+        # avgFieldLength = sumDocFreq / docCount (distinct terms per
+        # doc), while the norm byte still records the TRUE length
+        sql = sql.replace(
+            "SUM(len(ts))::DOUBLE / COUNT(*)::DOUBLE AS avgdl",
+            "SUM(len(list_distinct(ts)))::DOUBLE / COUNT(*)::DOUBLE"
+            " AS avgdl")
+    return sql
+
+
+def omit_norms_topk(sf_dir: str) -> pa.Table:
+    """BM25 over an omitNorms index (upstream ``BM25Similarity`` with
+    norms == null scores tf/(tf + k1) — the length normalization term
+    pinned to 1 [U]); the manifest records the field as norm-less and
+    every reader (single, NRT, sharded) picks the constant-k1 cache."""
+    key = hashlib.md5(f"{sf_dir}|nonorms|v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", key)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048, omit_norms=True)
+    build_index([os.path.join(sf_dir, "documents.parquet")], out, cfg)
+    r = IndexReader(out)
+    top = r.bmw_topk(BM25_QUERY, BM25_K)
+    t = top.select(["rank", "doc_id", "score"])
+    return _cast_col(t, "rank", pa.int64())
+
+
 # golden value-hashes of bm25_topk_analyzed per sf dir (self-check in
 # lieu of a SQL oracle — Porter stemming is not SQL-expressible). The
 # result is fully deterministic (seeded corpus, f32-exact scoring), so
@@ -477,17 +548,20 @@ _SQL_CONTRIB = """
 
 
 def _sql_scored(qterms_sql: str, having: str = "",
-                where: str = "", docs_src: str = "documents") -> str:
+                where: str = "", docs_src: str = "documents",
+                contrib: str = _SQL_CONTRIB) -> str:
     """CTE chain ending at ``scored`` = every matching doc with its
     float32-exact BM25 score (no top-k cut) — shared by the plain
-    disjunction and by block-join / rescoring / highlight oracles."""
+    disjunction and by block-join / rescoring / highlight oracles.
+    ``contrib`` swaps the per-clause score expression (IndexOptions /
+    omitNorms variants)."""
     return f"""{_bm25_ctes(docs_src)},
 qterms AS ({qterms_sql}),
 dfs AS (
   SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
   FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
 contrib AS (
-  SELECT tf.doc_id, tf.term, {_SQL_CONTRIB} AS sc
+  SELECT tf.doc_id, tf.term, {contrib} AS sc
   FROM qterms q
   JOIN dfs d ON d.term = q.term
   JOIN tf ON tf.term = q.term
@@ -499,8 +573,9 @@ scored AS (
 
 
 def _sql_disjunction(qterms_sql: str, k: int, having: str = "",
-                     where: str = "", docs_src: str = "documents") -> str:
-    return f"""{_sql_scored(qterms_sql, having, where, docs_src)}
+                     where: str = "", docs_src: str = "documents",
+                     contrib: str = _SQL_CONTRIB) -> str:
+    return f"""{_sql_scored(qterms_sql, having, where, docs_src, contrib)}
 SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
        doc_id, score
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
@@ -8771,6 +8846,8 @@ def queries() -> dict:
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
         "bm25_topk_for": bm25_topk_for_codec,
+        "index_options_docs_topk": index_options_docs_topk,
+        "omit_norms_topk": omit_norms_topk,
         "tiered_segment_topk": tiered_segment_topk,
         "split_shard_topk": split_shard_topk,
         "nrt_topk_docs": nrt_topk_docs,
@@ -9006,6 +9083,9 @@ def oracle_sql() -> dict:
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
         "bm25_topk_for": sql_bm25_topk(),
+        "index_options_docs_topk":
+            _sql_bm25_variant(_SQL_CONTRIB_TF1, docs_avgdl=True),
+        "omit_norms_topk": _sql_bm25_variant(_SQL_CONTRIB_NONORMS),
         "tiered_segment_topk": sql_bm25_topk(),
         "split_shard_topk": sql_split_shard_topk(),
         "nrt_topk_docs": sql_bm25_topk(),

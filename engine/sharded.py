@@ -232,14 +232,20 @@ class DistributedSearcher:
         self.N = sum(n for n, _ in stats)
         sum_cf = sum(c for _, c in stats)
         self.avgdl = (sum_cf / self.N) if self.N else 0.0
-        self.cache = norm_cache(self.avgdl, k1, b)
+        # borrow any shard's analyzer config (all shards share one);
+        # borrow any shard's config (all shards share one schema);
+        # omitNorms propagates from that shared schema
+        _r0 = IndexReader(shard_dirs[0])
+        if _r0.cfg.omit_norms:
+            self.cache = np.full(256, float(k1), dtype=np.float64)
+        else:
+            self.cache = norm_cache(self.avgdl, k1, b)
         # term -> global df, filled by fully-successful phase-0 rounds;
         # tolerant rounds with a dead shard serve these STALE stats
         # (Solr's ExactStatsCache behavior for missing shards) so that
         # surviving shards' scores are unchanged from the full run.
         self._df_cache: dict[str, int] = {}
-        # borrow any shard's analyzer config (all shards share one)
-        self._analyzer = IndexReader(shard_dirs[0]).analyzer
+        self._analyzer = _r0.analyzer
 
     def _gather(self, refs: list, tolerant: bool) -> tuple[list, int]:
         """ray.get with per-shard fault isolation. tolerant=False:
