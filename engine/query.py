@@ -2249,6 +2249,46 @@ class IndexReader:
         feeds block-join and rescoring stages."""
         return self.brute_force_topk(query_text, k=max(self.N, 1))
 
+    def count_matches(self, query_text: str) -> int:
+        """Exact matching-doc count without scoring (upstream
+        ``TotalHitCountCollector`` [U]; Lucene skips the scorer
+        entirely for counting): the union of the query terms' postings
+        docIDs, deletes masked."""
+        terms = sorted(set(self.analyzer.query_terms(query_text)))
+        subs = self.lookup(terms)
+        parts = [self._clause_arrays(t, subs[t])[0]
+                 for t in terms if subs[t]]
+        if not parts:
+            return 0
+        u = np.unique(np.concatenate(parts))
+        keep = self._keep(u)
+        return int(len(u) if keep is None else int(keep.sum()))
+
+    def mlt_interesting_terms(self, doc_id: int, max_terms: int = 5,
+                              min_df: int = 2) -> pa.Table:
+        """The term-selection half of MoreLikeThis surfaced as a
+        result (upstream ``MoreLikeThis#retrieveInterestingTerms`` /
+        Solr ``mlt.interestingTerms=details`` [U]): the seed doc's
+        ``max_terms`` most selective terms (df asc, term asc; df >=
+        min_df) with their df and the f32 idf boost Solr reports."""
+        doc = self.fetch_docs(np.array([doc_id], dtype=np.int64))
+        if not doc.num_rows:
+            return pa.table({"rank": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "boost": pa.array([], pa.float32())})
+        text = doc["text"][0].as_py()
+        terms = sorted(set(self.analyzer.query_terms(text)))
+        dfs = self._df_of(terms)
+        cand = sorted((df, t) for t, df in dfs.items()
+                      if df >= min_df)[:max_terms]
+        return pa.table({
+            "rank": pa.array(np.arange(len(cand), dtype=np.int64)),
+            "term": pa.array([t for _, t in cand], pa.string()),
+            "df": pa.array([int(d) for d, _ in cand], pa.int64()),
+            "boost": pa.array([idf(self.N, d) for d, _ in cand],
+                              pa.float32())})
+
     def ltr_rescore_topk(self, query_text: str, k: int = 10,
                          k0: int = 100, w_score: float = 0.8,
                          w_match: float = 0.2) -> pa.Table:
@@ -2274,6 +2314,44 @@ class IndexReader:
             nmatch += (docs[idx] == ids)
         final = (w_score * score.astype(np.float64)
                  + w_match * nmatch).astype(np.float32)
+        order = np.lexsort((ids, -final))[:k]
+        return _topdocs_table(ids[order], final[order], total=len(ids))
+
+    def rerank_topk(self, query_text: str, rerank_text: str, k: int = 10,
+                    rerank_docs: int = 30,
+                    rerank_weight: float = 2.0) -> pa.Table:
+        """Solr ``{!rerank}`` (upstream ``ReRankQParserPlugin`` /
+        ``ReRankQuery`` [U]): the main query's top-``rerank_docs``
+        window is rescored as ``main + reRankWeight * rerankScore``
+        where ``rerankScore`` is the rerank query's BM25 score (0 for
+        window docs it doesn't match — those keep their first-pass
+        score, upstream's behavior). Only the window is rescored: the
+        rerank terms' postings are probed at the window's docIDs via
+        searchsorted, never traversed in full. Arithmetic: f32 window
+        score and f32 rerank score combined in f64, one final f32
+        cast (reproducible in SQL)."""
+        top = self.brute_force_topk(query_text, rerank_docs)
+        ids = top["doc_id"].to_numpy()
+        score = top["score"].to_numpy()
+        if not len(ids):
+            return _topdocs_table([], [])
+        rr_terms = sorted(set(self.analyzer.query_terms(rerank_text)))
+        subs = self.lookup(rr_terms)
+        rr = np.zeros(len(ids), dtype=np.float64)
+        for t in rr_terms:
+            if not subs[t]:
+                continue
+            docs, tfs, norms = self._clause_arrays(t, subs[t])
+            w = idf(self.N, self.global_df(subs[t]))
+            idx = np.clip(np.searchsorted(docs, ids), 0, len(docs) - 1)
+            hit = docs[idx] == ids
+            sc = _clause_scores(tfs[idx[hit]], norms[idx[hit]], w,
+                                self.cache)
+            rr[hit] += sc.astype(np.float64)
+        rr32 = rr.astype(np.float32)
+        final = (score.astype(np.float64)
+                 + rerank_weight * rr32.astype(np.float64)
+                 ).astype(np.float32)
         order = np.lexsort((ids, -final))[:k]
         return _topdocs_table(ids[order], final[order], total=len(ids))
 

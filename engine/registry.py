@@ -2800,6 +2800,45 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def rerank_topk_docs(sf_dir: str) -> pa.Table:
+    """Solr ReRankQParser (upstream ``ReRankQParserPlugin`` [U]):
+    main-query top-30 window rescored as main + 2.0 × rerank-query
+    BM25; window docs the rerank query misses keep their first-pass
+    score."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(r.rerank_topk(
+        BM25_QUERY, "part filter", k=10, rerank_docs=30,
+        rerank_weight=2.0))
+
+
+def sql_rerank() -> str:
+    main = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return f"""{_sql_scored(main)},
+win AS (SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id LIMIT 30),
+q2 AS (SELECT unnest(['part','filter']) AS term),
+d2 AS (SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+       FROM q2 q JOIN tf ON tf.term = q.term GROUP BY q.term),
+c2 AS (SELECT tf.doc_id, {_SQL_CONTRIB} AS sc
+       FROM q2 q
+       JOIN d2 d ON d.term = q.term
+       JOIN tf ON tf.term = q.term
+       JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats s),
+s2 AS (SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score2
+       FROM c2 GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank, doc_id, score
+FROM (SELECT w.doc_id,
+             CAST(w.score::DOUBLE
+                  + 2.0::DOUBLE * COALESCE(s2.score2, 0.0::FLOAT)::DOUBLE
+                  AS FLOAT) AS score
+      FROM win w LEFT JOIN s2 USING (doc_id))
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # --------------------------- span near / incremental update
 
 SPAN_TERMS = ["part", "filter", "key"]
@@ -6729,6 +6768,115 @@ ORDER BY d.doc_id LIMIT 10
 """
 
 
+def join_util_scoremax_topk(sf_dir: str) -> pa.Table:
+    """Query-time join with score propagation (upstream ``JoinUtil``
+    ``ScoreMode.Max`` [U]): each join value carries the MAX BM25 score
+    among the from-docs holding it; every to-side doc sharing the
+    value scores that max. From-side scores come straight from the
+    postings (match_scores); the per-value max is combined as
+    per-batch Arrow partials → one value-count-sized driver merge →
+    broadcast probe of the to-side streaming scan — no shuffle."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    sc = r.match_scores(JOIN_UTIL_TERM)
+    docs = sc["doc_id"].to_numpy()
+    scores = sc["score"].to_numpy()
+    o = np.argsort(docs)
+    dref = ray.put((docs[o], scores[o]))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def from_side(b: pa.Table) -> pa.Table:
+        d, s = ray.get(dref)
+        ids = b["doc_id"].to_numpy()
+        if not len(d):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "jscore": pa.array([], pa.float32())})
+        idx = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
+        hit = d[idx] == ids
+        sub = b.filter(pa.array(hit))
+        t = pa.table({"source": sub["source"],
+                      "jscore": pa.array(s[idx[hit]], pa.float32())})
+        agg = t.group_by("source").aggregate([("jscore", "max")])
+        return _rename(agg, {"jscore_max": "jscore"})
+
+    fv = _to_table(ds.map_batches(from_side, batch_format="pyarrow"))
+    fv = fv.group_by("source").aggregate([("jscore", "max")])
+    fv = _rename(fv, {"jscore_max": "jscore"})
+    vals = fv["source"].to_pylist()
+    vmax = fv["jscore"].to_numpy()
+    vref = ray.put((pa.array(vals, pa.string()), vmax))
+
+    def to_side(b: pa.Table) -> pa.Table:
+        vs, vm = ray.get(vref)
+        pos = pc.index_in(b["source"], value_set=vs)
+        m = pc.is_valid(pos)
+        sub = b.filter(m)
+        pidx = pos.filter(m).to_numpy().astype(np.int64)
+        return pa.table({"doc_id": sub["doc_id"],
+                         "score": pa.array(vm[pidx], pa.float32())})
+
+    t = _to_table(rel.top_k(
+        ds.map_batches(to_side, batch_format="pyarrow"),
+        [("score", True), ("doc_id", False)], 10))
+    return pa.table({
+        "rank": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        "doc_id": t["doc_id"],
+        "score": t["score"]})
+
+
+def sql_join_util_scoremax() -> str:
+    return f"""{_sql_scored(f"SELECT '{JOIN_UTIL_TERM}' AS term")},
+fv AS (SELECT d.source, MAX(s.score) AS jscore
+       FROM scored s JOIN documents d USING (doc_id)
+       GROUP BY d.source)
+SELECT (ROW_NUMBER() OVER (ORDER BY fv.jscore DESC, d.doc_id) - 1)::BIGINT
+         AS rank,
+       d.doc_id, fv.jscore AS score
+FROM documents d JOIN fv USING (source)
+ORDER BY score DESC, d.doc_id LIMIT 10
+"""
+
+
+def mlt_interesting_terms_docs(sf_dir: str) -> pa.Table:
+    """``mlt.interestingTerms=details`` (upstream ``MoreLikeThis#
+    retrieveInterestingTerms`` [U]): the seed doc's selected terms
+    with df and the f32 idf boost."""
+    r = _doc_reader(sf_dir, stored=True)
+    return r.mlt_interesting_terms(MLT_SEED, max_terms=5, min_df=2)
+
+
+SQL_MLT_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+st AS (SELECT DISTINCT term FROM toks WHERE doc_id = {MLT_SEED}),
+d AS (SELECT st.term, COUNT(DISTINCT toks.doc_id)::BIGINT AS df
+      FROM st JOIN toks ON toks.term = st.term GROUP BY st.term),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+SELECT (ROW_NUMBER() OVER (ORDER BY df, term) - 1)::BIGINT AS rank,
+       term, df,
+       CAST(ln(1 + (n.n - df + 0.5) / (df + 0.5)) AS FLOAT) AS boost
+FROM d CROSS JOIN n
+WHERE df >= 2 ORDER BY df, term LIMIT 5
+"""
+
+
+def total_hit_count_docs(sf_dir: str) -> pa.Table:
+    """``TotalHitCountCollector`` [U]: the exact matching-doc count
+    for the reference disjunction, computed from postings unions with
+    no scoring."""
+    r = _doc_reader(sf_dir)
+    return pa.table({"n_hits": pa.array([r.count_matches(BM25_QUERY)],
+                                        pa.int64())})
+
+
+SQL_TOTAL_HITS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT COUNT(DISTINCT doc_id)::BIGINT AS n_hits FROM toks
+WHERE term IN ({",".join(f"'{t}'" for t in BM25_QUERY.split())})
+"""
+
+
 def dedup_clusters_docs(sf_dir: str) -> pa.Table:
     """Dedup-cluster assignment — the step after pair generation in
     every large-scale dedup pipeline: near-dup pairs (exact word-3-gram
@@ -8926,6 +9074,10 @@ def queries() -> dict:
         "blockjoin_topk_docs": blockjoin_topk_docs,
         "child_transform_docs": child_transform_docs,
         "ltr_rescore_docs": ltr_rescore_docs,
+        "rerank_topk_docs": rerank_topk_docs,
+        "join_util_scoremax_topk": join_util_scoremax_topk,
+        "mlt_interesting_terms_docs": mlt_interesting_terms_docs,
+        "total_hit_count_docs": total_hit_count_docs,
         "nodes_walk_customers": nodes_walk_customers,
         "shortest_path_cust_nation": shortest_path_cust_nation,
         "pivot_facet_docs": pivot_facet_docs,
@@ -9160,6 +9312,10 @@ def oracle_sql() -> dict:
         "blockjoin_topk_docs": sql_blockjoin(),
         "child_transform_docs": sql_child_transform(),
         "ltr_rescore_docs": sql_ltr(),
+        "rerank_topk_docs": sql_rerank(),
+        "join_util_scoremax_topk": sql_join_util_scoremax(),
+        "mlt_interesting_terms_docs": SQL_MLT_TERMS,
+        "total_hit_count_docs": SQL_TOTAL_HITS,
         "nodes_walk_customers": SQL_NODES_WALK,
         "shortest_path_cust_nation": SQL_SHORTEST_PATH,
         "pivot_facet_docs": SQL_PIVOT_FACET,

@@ -1,0 +1,86 @@
+"""ReRank / JoinUtil-ScoreMode.Max support ops / TotalHitCount /
+mlt.interestingTerms — semantics unit tests over a tiny known corpus."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from engine.build import (IndexConfig, build_index, build_stored_fields,
+                          delete_docs)
+from engine.query import IndexReader, idf
+
+
+@pytest.fixture(scope="module")
+def tiny_idx(tmp_path_factory, ray_session):
+    base = tmp_path_factory.mktemp("rescore")
+    src = str(base / "src")
+    os.makedirs(src)
+    texts = {
+        0: "alpha beta",               # main strong, no rerank terms
+        1: "alpha rho",                # main weak, rerank match
+        2: "alpha alpha beta beta",    # main strong
+        3: "rho rho sigma",            # no main match
+        4: "beta rho",                 # main + rerank
+        5: "filler words here",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": [texts[i] for i in sorted(texts)]}),
+        os.path.join(src, "a.parquet"))
+    idx = str(base / "idx")
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9)
+    build_index(src, idx, cfg)
+    build_stored_fields(idx)
+    return idx
+
+
+def test_rerank_keeps_unmatched_window_scores(tiny_idx):
+    r = IndexReader(tiny_idx, preload=True)
+    main = r.brute_force_topk("alpha beta", 10)
+    rer = r.rerank_topk("alpha beta", "rho", k=10, rerank_docs=10,
+                        rerank_weight=5.0)
+    main_sc = dict(zip(main["doc_id"].to_pylist(),
+                       main["score"].to_pylist()))
+    rer_sc = dict(zip(rer["doc_id"].to_pylist(),
+                      rer["score"].to_pylist()))
+    # docs without any rerank term keep their exact f32 main score
+    for d in (0, 2):
+        assert rer_sc[d] == main_sc[d]
+    # docs matching the rerank query gained score
+    for d in (1, 4):
+        assert rer_sc[d] > main_sc[d]
+    # with a big weight the rerank matches outrank the pure-main docs
+    order = rer["doc_id"].to_pylist()
+    assert set(order[:2]) == {1, 4}
+
+
+def test_count_matches_and_delete_mask(tiny_idx, tmp_path_factory):
+    import shutil
+
+    r = IndexReader(tiny_idx)
+    assert r.count_matches("alpha beta") == 4      # docs 0,1,2,4
+    assert r.count_matches("nosuchterm") == 0
+    work = str(tmp_path_factory.mktemp("delidx") / "idx")
+    shutil.copytree(tiny_idx, work)
+    delete_docs(work, [2])
+    r2 = IndexReader(work)
+    assert r2.count_matches("alpha beta") == 3
+
+
+def test_mlt_interesting_terms(tiny_idx):
+    r = IndexReader(tiny_idx, preload=True)
+    t = r.mlt_interesting_terms(4, max_terms=5, min_df=2)
+    terms = t["term"].to_pylist()
+    dfs = t["df"].to_pylist()
+    # doc 4 = "beta rho": both have df >= 2; df asc, term asc
+    assert terms == ["beta", "rho"]
+    assert dfs == [3, 3]
+    for i, term in enumerate(terms):
+        assert t["boost"][i].as_py() == idf(r.N, dfs[i])
