@@ -139,6 +139,39 @@ class _SubList:
             self._all = (docs, tfs, self.norms)
         return self._all
 
+    def probe_scores(self, cand: np.ndarray, weight: np.float32,
+                     cache: np.ndarray) -> np.ndarray:
+        """Clause scores aligned to ``cand`` (0 where the doc is not in
+        this list), decoding ONLY the blocks whose docID range contains
+        a candidate — the random-access probe MAXSCORE uses on
+        non-essential lists (upstream ``ImpactsDISI.advance`` through
+        the skip list [U]). ``cand`` must be sorted ascending."""
+        out = np.zeros(len(cand), dtype=np.float32)
+        if not len(cand):
+            return out
+        if self._all is not None:        # warm list: one searchsorted
+            docs, tfs, norms = self._all
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            if hit.any():
+                out[hit] = _clause_scores(tfs[idx[hit]], norms[idx[hit]],
+                                          weight, cache)
+            return out
+        blk = np.searchsorted(self.blk_last, cand)   # block per candidate
+        valid = np.flatnonzero(blk < self.n_blocks)
+        for b in np.unique(blk[valid]):
+            sel_pos = valid[blk[valid] == b]
+            docs, tfs = self.decode_block(int(b))
+            s = int(b) * BLOCK_SIZE
+            norms = self.norms[s:s + len(docs)]
+            sel = cand[sel_pos]
+            idx = np.clip(np.searchsorted(docs, sel), 0, len(docs) - 1)
+            hit = docs[idx] == sel
+            if hit.any():
+                out[sel_pos[hit]] = _clause_scores(
+                    tfs[idx[hit]], norms[idx[hit]], weight, cache)
+        return out
+
     def decode_positions_flat(self, tfs: np.ndarray) -> np.ndarray:
         """Flat absolute positions (posting lengths = tfs); empty array
         when the index stores no positions."""
@@ -401,6 +434,8 @@ class IndexReader:
         are identical across strategies; only the bound differs."""
         if strategy == "bmw":
             return self.bmw_topk(query_text, k)
+        if strategy == "maxscore":
+            return self.maxscore_topk(query_text, k)
         if strategy == "brute":
             return self.brute_force_topk(query_text, k)
         terms = self.analyzer.query_terms(query_text)
@@ -552,6 +587,112 @@ class IndexReader:
         hits = sorted(heap, key=lambda e: (-e[0], -e[1]))
         return _topdocs_table(
             [-d for _, d in hits], np.array([s for s, _ in hits], np.float32),
+            total=scored)
+
+    def maxscore_topk(self, query_text: str, k: int) -> pa.Table:
+        """Operator-level block-max MAXSCORE (Turtle & Flood 1995;
+        upstream ``MaxScoreBulkScorer`` for top-level disjunctions
+        [U]) — rank- and score-identical to brute/BMW.
+
+        Clauses are sorted ascending by their GLOBAL upper bound (max
+        block bound). Once the heap holds k docs, the maximal prefix
+        whose cumulative bound cannot beat the threshold becomes
+        *non-essential*: those lists stop driving the traversal
+        entirely — a doc appearing only in them can't make the top-k.
+        Windows advance over the essential lists alone (wider windows
+        than BMW when weak clauses retire), and non-essential
+        contributions are added by probing their lists at the window's
+        candidate docIDs, decoding only the blocks a candidate lands
+        in. Bound algebra mirrors BMW: exact f64 sums, one monotone
+        f32 cast, so skipping is provably lossless."""
+        terms = self.analyzer.query_terms(query_text)
+        subs_by_term = self.lookup(terms)
+        scorers: list[_Scorer] = []
+        for t in terms:
+            subs = subs_by_term[t]
+            if not subs:
+                continue
+            w = idf(self.N, self.global_df(subs))
+            for s in subs:
+                scorers.append(_Scorer(s, w, self.cache))
+        if not scorers or k <= 0:
+            return _topdocs_table([], [])
+        scorers.sort(key=lambda s: s.max_ub)
+        cum = np.cumsum(np.array([s.max_ub for s in scorers],
+                                 dtype=np.float64))
+        n = len(scorers)
+        exhausted = [False] * n
+        heap: list[tuple[float, int]] = []
+        threshold = -np.inf
+        scored = 0
+        w_lo = -1
+        while True:
+            if len(heap) < k:
+                n_ne = 0
+            else:
+                n_ne = int(np.count_nonzero(
+                    cum.astype(np.float32) <= np.float32(threshold)))
+            ess = [i for i in range(n_ne, n) if not exhausted[i]]
+            if not ess:
+                break
+            ne_total = float(cum[n_ne - 1]) if n_ne else 0.0
+            b_hi = min(scorers[i].cur_last() for i in ess)
+            part = [i for i in ess
+                    if scorers[i].cur_first_bound() <= b_hi]
+            ub = ne_total + sum(scorers[i].cur_ub() for i in part)
+            if len(heap) < k or np.float32(ub) > threshold:
+                d_l: list[np.ndarray] = []
+                s_l: list[np.ndarray] = []
+                for i in part:
+                    d, sc = scorers[i].window_scores(w_lo, b_hi)
+                    if len(d):
+                        d_l.append(d)
+                        s_l.append(sc)
+                if d_l:
+                    if len(d_l) == 1:
+                        uniq = d_l[0]
+                        sums = s_l[0].astype(np.float64)
+                    else:
+                        docs = np.concatenate(d_l)
+                        contribs = np.concatenate(s_l).astype(np.float64)
+                        uniq, inv = np.unique(docs, return_inverse=True)
+                        sums = np.zeros(len(uniq), dtype=np.float64)
+                        np.add.at(sums, inv, contribs)
+                    for i in range(n_ne):      # probe non-essential
+                        if exhausted[i]:
+                            continue           # all its docs <= w_lo
+                        sums += scorers[i].sub.probe_scores(
+                            uniq, scorers[i].weight,
+                            self.cache).astype(np.float64)
+                    f32 = sums.astype(np.float32)
+                    keepm = self._keep(uniq)
+                    if keepm is not None:
+                        uniq, f32 = uniq[keepm], f32[keepm]
+                    scored += len(uniq)
+                    if len(heap) < k:
+                        idxs = range(len(uniq))
+                    else:
+                        idxs = np.flatnonzero(f32 > np.float32(threshold))
+                    for j in idxs:
+                        sc = float(f32[j])
+                        d = int(uniq[j])
+                        if len(heap) < k:
+                            heapq.heappush(heap, (sc, -d))
+                            if len(heap) == k:
+                                threshold = heap[0][0]
+                        elif sc > threshold:
+                            heapq.heapreplace(heap, (sc, -d))
+                            threshold = heap[0][0]
+            for i in ess:
+                if scorers[i].cur_last() == b_hi \
+                        and not scorers[i].advance_block():
+                    exhausted[i] = True
+            w_lo = b_hi
+
+        hits = sorted(heap, key=lambda e: (-e[0], -e[1]))
+        return _topdocs_table(
+            [-d for _, d in hits],
+            np.array([s for s, _ in hits], np.float32),
             total=scored)
 
     # ---------------------------------------- other Lucene query types

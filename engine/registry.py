@@ -376,6 +376,18 @@ def bm25_topk_for_codec(sf_dir: str) -> pa.Table:
     return _cast_col(t, "rank", pa.int64())
 
 
+def maxscore_topk_docs(sf_dir: str) -> pa.Table:
+    """MAXSCORE dynamic pruning (upstream ``MaxScoreBulkScorer`` [U],
+    Turtle & Flood 1995): non-essential lists stop driving traversal
+    and are probed at candidate docIDs only — must be bit-identical to
+    the BMW/brute/SQL answer."""
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    r = IndexReader(idx)
+    top = r.maxscore_topk(BM25_QUERY, BM25_K)
+    t = top.select(["rank", "doc_id", "score"])
+    return _cast_col(t, "rank", pa.int64())
+
+
 def index_options_docs_topk(sf_dir: str) -> pa.Table:
     """BM25 over a freq-less index (upstream ``IndexOptions.DOCS``
     [U]: postings record only that a term occurred, ``freq() == 1``
@@ -8994,6 +9006,7 @@ def queries() -> dict:
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
         "bm25_topk_for": bm25_topk_for_codec,
+        "maxscore_topk_docs": maxscore_topk_docs,
         "index_options_docs_topk": index_options_docs_topk,
         "omit_norms_topk": omit_norms_topk,
         "tiered_segment_topk": tiered_segment_topk,
@@ -9235,6 +9248,7 @@ def oracle_sql() -> dict:
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
         "bm25_topk_for": sql_bm25_topk(),
+        "maxscore_topk_docs": sql_bm25_topk(),
         "index_options_docs_topk":
             _sql_bm25_variant(_SQL_CONTRIB_TF1, docs_avgdl=True),
         "omit_norms_topk": _sql_bm25_variant(_SQL_CONTRIB_NONORMS),
