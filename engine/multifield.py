@@ -156,3 +156,51 @@ class MultiFieldReader:
         order = np.lexsort((all_docs, -final))[:k]
         return _topdocs_table(all_docs[order], final[order],
                               total=len(all_docs))
+
+    def edismax_topk(self, query_text: str, k: int = 10,
+                     boosts: dict[str, float] | None = None,
+                     tiebreak: float = 0.0,
+                     pf_field: str | None = None,
+                     pf_boost: float = 1.0) -> pa.Table:
+        """Extended DisMax (upstream ``S/search/ExtendedDismaxQParser``
+        [U]): the SAME query string runs against every field with its
+        ``qf`` boost — per-doc score = max over fields of
+        (boost × field BM25) + tiebreak × (sum − max) — and ``pf``
+        adds a SHOULD phrase clause: docs where the pf field contains
+        the whole query as an exact phrase additionally gain
+        pf_boost × that field's phrase BM25 (tf = phrase frequency,
+        weight = Σ term idf). All accumulation in f64 over f32 clause
+        scores, one final f32 cast."""
+        boosts = boosts or {}
+        per_field = []
+        for f in sorted(self.readers):
+            d, s = self._field_scores(f, query_text)
+            if len(d):
+                per_field.append((d, s * float(boosts.get(f, 1.0))))
+        if not per_field:
+            return _topdocs_table([], [])
+        all_docs = np.unique(np.concatenate([d for d, _ in per_field]))
+        sums = np.zeros(len(all_docs), dtype=np.float64)
+        mx = np.zeros(len(all_docs), dtype=np.float64)
+        for docs, sc in per_field:
+            pos = np.searchsorted(all_docs, docs)
+            sums[pos] += sc
+            np.maximum.at(mx, pos, sc)
+        main = mx + tiebreak * (sums - mx)
+        if pf_field is not None:
+            r = self.readers[pf_field]
+            ph = r.phrase_topk(query_text, k=max(r.N, 1))
+            pdocs = ph["doc_id"].to_numpy()
+            psc = ph["score"].to_numpy().astype(np.float64)
+            pos = np.searchsorted(all_docs, pdocs)
+            # phrase matches are term matches in pf_field, so every
+            # phrase doc is already a candidate when pf_field is in qf
+            inb = (pos < len(all_docs))
+            inb[inb] &= all_docs[pos[inb]] == pdocs[inb]
+            main[pos[inb]] += pf_boost * psc[inb]
+        final = main.astype(np.float32)
+        nz = final > 0
+        all_docs, final = all_docs[nz], final[nz]
+        order = np.lexsort((all_docs, -final))[:k]
+        return _topdocs_table(all_docs[order], final[order],
+                              total=len(all_docs))

@@ -30,6 +30,7 @@ from __future__ import annotations
 import heapq
 import os
 from bisect import bisect_left
+from collections import OrderedDict
 from typing import Any
 
 import numpy as np
@@ -300,6 +301,15 @@ class IndexReader:
         else:
             self._deleted = np.empty(0, dtype=np.int64)
         self._term_cache: dict[str, list[_SubList]] = {}
+        # Solr filterCache analog (upstream ``SolrIndexSearcher``
+        # ``filterCache`` / ``getDocSet`` [U]): LRU of non-scoring
+        # filter-clause docsets, shared across queries on this
+        # searcher; invalidation is by reader lifetime, exactly like
+        # Solr's per-searcher caches (a commit opens a new searcher).
+        self._filter_cache: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._filter_cache_cap = 64
+        self.filter_cache_hits = 0
+        self.filter_cache_misses = 0
         self._raw_tabs: list[dict] = []
         self._raw_index: dict[str, list] = {}
         self._docmap: pa.Table | None = None
@@ -399,6 +409,25 @@ class IndexReader:
 
     def global_df(self, subs: list[_SubList]) -> int:
         return sum(s.df for s in subs)
+
+    def filter_docset(self, term: str) -> np.ndarray:
+        """Sorted docID set of one non-scoring filter clause, served
+        through the per-searcher LRU filterCache (upstream Solr
+        ``filterCache`` / ``SolrIndexSearcher#getDocSet`` [U] — the
+        cache that makes repeated ``fq`` clauses free)."""
+        e = self._filter_cache.get(term)
+        if e is not None:
+            self._filter_cache.move_to_end(term)
+            self.filter_cache_hits += 1
+            return e
+        self.filter_cache_misses += 1
+        subs = self.lookup([term])[term]
+        docs = (self._clause_arrays(term, subs)[0].copy() if subs
+                else np.empty(0, dtype=np.int64))
+        self._filter_cache[term] = docs
+        if len(self._filter_cache) > self._filter_cache_cap:
+            self._filter_cache.popitem(last=False)
+        return docs
 
     def _keep(self, docs: np.ndarray) -> np.ndarray | None:
         """Live-docs mask (None = nothing deleted): True where doc is
@@ -734,7 +763,7 @@ class IndexReader:
         clause: dict[str, tuple] = {
             t: self._clause_arrays(t, subs[t])
             for t in set(must + should) if subs[t]}
-        fdocs = {t: self._clause_arrays(t, subs[t])[0] for t in filters
+        fdocs = {t: self.filter_docset(t) for t in filters
                  if t not in clause}
 
         req = [clause[t][0] for t in must] + \

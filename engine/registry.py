@@ -1993,6 +1993,82 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+EDISMAX_QUERY = "part filter"
+EDISMAX_BOOSTS = {"text": 1.0, "source": 0.4}
+EDISMAX_PF_BOOST = 1.5
+
+
+def edismax_pf_topk(sf_dir: str) -> pa.Table:
+    """Extended DisMax (upstream ``ExtendedDismaxQParser`` [U]): one
+    query string across qf fields (text^1.0, source^0.4), per-doc max,
+    plus the pf phrase boost on text — exact-phrase docs gain
+    1.5 × the text field's phrase BM25."""
+    from engine.multifield import MultiFieldReader, build_multifield_index
+
+    key = hashlib.md5(f"{sf_dir}|mf|v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", key)
+    base = dict(conv_cols=None, doc_id_col="doc_id", stop_words=None,
+                stemming=False, n_buckets=4, hot_df_threshold=10**9,
+                batch_size=2048)
+    build_multifield_index(
+        [os.path.join(sf_dir, "documents.parquet")], out,
+        {"text": IndexConfig(text_col="text", **base),
+         "source": IndexConfig(text_col="source", **base)})
+    r = MultiFieldReader(out)
+    t = r.edismax_topk(EDISMAX_QUERY, k=10, boosts=EDISMAX_BOOSTS,
+                       pf_field="text", pf_boost=EDISMAX_PF_BOOST)
+    return _cast_col(t.select(["rank", "doc_id", "score"]),
+                     "rank", pa.int64())
+
+
+def sql_edismax_pf() -> str:
+    t0, t1 = EDISMAX_QUERY.split()
+    terms = [t0, t1]
+    fa = _sql_field_score("source", terms, "a")
+    fb = _sql_field_score("text", terms, "b")
+    ba, bb = EDISMAX_BOOSTS["source"], EDISMAX_BOOSTS["text"]
+    return f"""
+WITH lut(lo, hi, dec) AS (VALUES {_smallfloat_lut_sql()}),{fa},{fb},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM tb),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.tok = '{t0}' AND b.tok = '{t1}'
+  GROUP BY a.doc_id),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM db d CROSS JOIN sb s),
+ph AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS psc
+  FROM occ JOIN dlb dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN sb s CROSS JOIN w),
+comb AS (
+  SELECT COALESCE(ca.doc_id, cb.doc_id) AS doc_id,
+         {ba} * COALESCE(ca.sc, 0) AS sa,
+         {bb} * COALESCE(cb.sc, 0) AS sb
+  FROM ca FULL JOIN cb ON ca.doc_id = cb.doc_id),
+scored AS (
+  SELECT comb.doc_id,
+         CAST(greatest(sa, sb)
+              + {EDISMAX_PF_BOOST} * COALESCE(ph.psc, 0.0::FLOAT)::DOUBLE
+              AS FLOAT) AS score
+  FROM comb LEFT JOIN ph ON ph.doc_id = comb.doc_id
+  WHERE greatest(sa, sb) > 0 OR ph.psc IS NOT NULL)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ------------------------------------------------------- dedup entries
 
 def _sql_jaccard(threshold: float) -> str:
@@ -9028,6 +9104,7 @@ def queries() -> dict:
         "parsed_fuzzy_boost_topk": parsed_fuzzy_boost_topk,
         "parsed_range_wild_topk": parsed_range_wild_topk,
         "multifield_dismax_topk": multifield_dismax_topk,
+        "edismax_pf_topk": edismax_pf_topk,
         "search_after_page2": search_after_page2,
         "fuzzy_topk": fuzzy_topk,
         "regexp_topk": regexp_topk,
@@ -9270,6 +9347,7 @@ def oracle_sql() -> dict:
         "parsed_fuzzy_boost_topk": SQL_PARSED_FUZZY,
         "parsed_range_wild_topk": SQL_PARSED_RANGE,
         "multifield_dismax_topk": sql_multifield_dismax(),
+        "edismax_pf_topk": sql_edismax_pf(),
         "search_after_page2": sql_search_after(),
         "fuzzy_topk": SQL_FUZZY,
         "regexp_topk": SQL_REGEXP,

@@ -74,6 +74,34 @@ def test_count_matches_and_delete_mask(tiny_idx, tmp_path_factory):
     assert r2.count_matches("alpha beta") == 3
 
 
+def test_filter_cache_hits_and_equivalence(tiny_idx):
+    r = IndexReader(tiny_idx)
+    a = r.boolean_topk(should=["alpha"], filters=["beta"], k=10)
+    assert r.filter_cache_misses == 1 and r.filter_cache_hits == 0
+    b = r.boolean_topk(should=["alpha"], filters=["beta"], k=10)
+    assert r.filter_cache_hits == 1
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    # docset matches the clause's postings
+    ds = r.filter_docset("beta")
+    assert ds.tolist() == [0, 2, 4]
+    # missing term -> empty set, still cached
+    assert r.filter_docset("nosuchterm").size == 0
+    assert r.filter_docset("nosuchterm").size == 0
+    assert r.filter_cache_hits == 3
+
+
+def test_filter_cache_lru_eviction(tiny_idx):
+    r = IndexReader(tiny_idx)
+    r._filter_cache_cap = 2
+    r.filter_docset("alpha")
+    r.filter_docset("beta")
+    r.filter_docset("rho")          # evicts alpha
+    assert "alpha" not in r._filter_cache
+    r.filter_docset("alpha")        # miss again
+    assert r.filter_cache_misses == 4 and r.filter_cache_hits == 0
+
+
 def test_mlt_interesting_terms(tiny_idx):
     r = IndexReader(tiny_idx, preload=True)
     t = r.mlt_interesting_terms(4, max_terms=5, min_df=2)
