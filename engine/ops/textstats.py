@@ -341,6 +341,63 @@ def bigram_lm_score(ds: ray.data.Dataset, text_col: str, id_col: str
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def blended_infix_suggest(ds: ray.data.Dataset, text_col: str,
+                          id_col: str, weight_col: str, prefix: str,
+                          k: int = 10) -> pa.Table:
+    """BlendedInfixSuggester (upstream
+    ``L/suggest/analyzing/BlendedInfixSuggester.java`` [U],
+    ``BlenderType.POSITION_LINEAR``): each document is a suggestion
+    entry whose lookup key may match as a PREFIX of ANY token in the
+    suggestion text (the infix part); the entry's static weight is
+    blended by the position of the FIRST matching token —
+    ``blended = weight / (1 + position)`` — so matches near the start
+    outrank deep-infix matches of heavier entries. Top-k by blended
+    desc, id asc.
+
+    One streaming pass: per-batch vectorized first-match-position
+    (prefix mask + grouped min) and partial top-k; the final merge is
+    k-sized — no shuffle."""
+    def f(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "match_pos": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        offs, flat = _flat_tokens(b[text_col])
+        m = pc.starts_with(flat, prefix).to_numpy(zero_copy_only=False)
+        if not m.any():
+            return empty
+        n = len(offs) - 1
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        pos_in_doc = np.arange(len(doc_of), dtype=np.int64) \
+            - offs[doc_of]
+        first = np.full(n, 1 << 62, dtype=np.int64)
+        np.minimum.at(first, doc_of[m], pos_in_doc[m])
+        hit = first < (1 << 62)
+        ids = b[id_col].to_numpy()[hit]
+        w = b[weight_col].to_numpy().astype(np.float64)[hit]
+        pos = first[hit]
+        score = w / (1.0 + pos)
+        order = np.lexsort((ids, -score))[:k]     # partial top-k
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "match_pos": pa.array(pos[order], pa.int64()),
+                         "score": pa.array(score[order], pa.float64())})
+
+    parts = ds.map_batches(f, batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "match_pos": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    ids = np.array([r[id_col] for r in parts], dtype=np.int64)
+    pos = np.array([r["match_pos"] for r in parts], dtype=np.int64)
+    score = np.array([r["score"] for r in parts], dtype=np.float64)
+    order = np.lexsort((ids, -score))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        id_col: pa.array(ids[order], pa.int64()),
+        "match_pos": pa.array(pos[order], pa.int64()),
+        "score": pa.array(score[order], pa.float64())})
+
+
 def free_text_suggest(ds: ray.data.Dataset, text_col: str,
                       contexts: list[str], k: int = 3) -> pa.Table:
     """FreeTextSuggester (upstream

@@ -4279,6 +4279,76 @@ def term_vectors_docs(sf_dir: str) -> pa.Table:
                        type=pa.int64())})
 
 
+TV_POS_TERMS = ["part", "filter"]
+
+
+def term_vectors_positions_docs(sf_dir: str) -> pa.Table:
+    """tv.positions (upstream ``TermVectorComponent`` with
+    ``tv.positions=true`` [U]): per (doc, term) every token position,
+    decoded from the index's OWN positions stream (the .prx analog) —
+    the oracle re-derives positions from raw text, so this checks the
+    position postings doc-by-doc (the positions complement of
+    ``termfreq_docs``' tf check)."""
+    r = _doc_reader(sf_dir)
+    want = np.array(sorted(TV_IDS), dtype=np.int64)
+    rows: list[tuple[int, str, int]] = []
+    for term in TV_POS_TERMS:
+        for docs, tfs, _norms, flat in r._lookup_positions(term):
+            if not len(docs):
+                continue
+            starts = np.concatenate(
+                ([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+            idx = np.clip(np.searchsorted(docs, want), 0, len(docs) - 1)
+            hit = docs[idx] == want
+            for j in np.flatnonzero(hit):
+                i = idx[j]
+                s, e = starts[i], starts[i] + tfs[i]
+                rows.extend((int(want[j]), term, int(p))
+                            for p in flat[s:e])
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([a for a, _, _ in rows], pa.int64()),
+        "term": pa.array([b for _, b, _ in rows], pa.string()),
+        "pos": pa.array([c for _, _, c in rows], pa.int64())})
+
+
+SQL_TV_POSITIONS = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
+              WHERE doc_id IN ({",".join(map(str, TV_IDS))})),
+pos AS (
+  SELECT doc_id, unnest(ts) AS term, unnest(range(0, len(ts))) AS pos
+  FROM toks)
+SELECT doc_id, term, pos::BIGINT AS pos FROM pos
+WHERE term IN ({",".join(f"'{t}'" for t in TV_POS_TERMS)})
+ORDER BY doc_id, term, pos
+"""
+
+
+def blended_infix_suggest_docs(sf_dir: str) -> pa.Table:
+    """BlendedInfixSuggester POSITION_LINEAR (upstream [U]): documents
+    as suggestion entries weighted by n_chars, lookup key 'filt'
+    matching as a prefix of any token, weight blended by the first
+    matching token's position."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return tx.blended_infix_suggest(ds, "text", "doc_id", "n_chars",
+                                    "filt", k=10)
+
+
+SQL_BLENDED_INFIX = f"""
+WITH toks AS (SELECT doc_id, n_chars, {_SQL_TOKS} AS ts FROM documents),
+m AS (
+  SELECT doc_id, n_chars, MIN(i - 1)::BIGINT AS match_pos
+  FROM toks, unnest(range(1, len(ts) + 1)) AS r(i)
+  WHERE ts[i] LIKE 'filt%' GROUP BY doc_id, n_chars)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, match_pos, score
+FROM (SELECT doc_id, match_pos,
+             n_chars::DOUBLE / (1 + match_pos)::DOUBLE AS score FROM m)
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 SQL_TERM_VECTORS = f"""
 WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
 df AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks
@@ -9219,6 +9289,8 @@ def queries() -> dict:
         "function_boost_topk": function_boost_topk,
         "realtime_get_docs": realtime_get_docs,
         "term_vectors_docs": term_vectors_docs,
+        "term_vectors_positions_docs": term_vectors_positions_docs,
+        "blended_infix_suggest_docs": blended_infix_suggest_docs,
         "term_range_topk": term_range_topk,
         "bbox_customers": bbox_customers,
         "group_facet_orders": group_facet_orders,
@@ -9458,6 +9530,8 @@ def oracle_sql() -> dict:
         "function_boost_topk": sql_function_boost(),
         "realtime_get_docs": SQL_RTG,
         "term_vectors_docs": SQL_TERM_VECTORS,
+        "term_vectors_positions_docs": SQL_TV_POSITIONS,
+        "blended_infix_suggest_docs": SQL_BLENDED_INFIX,
         "term_range_topk": SQL_TERM_RANGE,
         "bbox_customers": SQL_BBOX,
         "group_facet_orders": SQL_GROUP_FACET,
