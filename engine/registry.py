@@ -5822,6 +5822,79 @@ def sort_field_topk(sf_dir: str) -> pa.Table:
         "doc_id": t["doc_id"], "n_chars": t["n_chars"]})
 
 
+def sort_score_field_topk(sf_dir: str) -> pa.Table:
+    """Composite sort ``Sort(SortField.SCORE, SortField("n_chars"))``
+    (upstream ``TopFieldCollector`` with a score-primary multi-field
+    sort [U]): relevance-equal hits are ordered by the ``n_chars``
+    docvalue ASC, then docID. Scores from the postings engine are
+    broadcast once; the docvalue column streams through a probe +
+    partial top-k — no shuffle."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    sc = r.match_scores(BM25_QUERY)
+    docs = sc["doc_id"].to_numpy()
+    scores = sc["score"].to_numpy()
+    o = np.argsort(docs)
+    ref = ray.put((docs[o], scores[o]))
+
+    def probe(b: pa.Table) -> pa.Table:
+        d, s = ray.get(ref)
+        ids = b["doc_id"].to_numpy()
+        if not len(d):
+            return b.slice(0, 0).append_column(
+                "score", pa.array([], pa.float32()))
+        idx = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
+        hit = d[idx] == ids
+        sub = b.filter(pa.array(hit))
+        return sub.append_column(
+            "score", pa.array(s[idx[hit]], pa.float32()))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    t = _to_table(rel.top_k(
+        ds.map_batches(probe, batch_format="pyarrow"),
+        [("score", True), ("n_chars", False), ("doc_id", False)], 10))
+    return pa.table({
+        "rank": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        "doc_id": t["doc_id"], "n_chars": t["n_chars"],
+        "score": t["score"]})
+
+
+def sql_sort_score_field() -> str:
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return f"""{_sql_scored(terms_sql)}
+SELECT (ROW_NUMBER() OVER (ORDER BY s.score DESC, d.n_chars, d.doc_id)
+        - 1)::BIGINT AS rank,
+       d.doc_id, d.n_chars, s.score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.n_chars, d.doc_id LIMIT 10
+"""
+
+
+DOMAIN_CAP = 50
+
+
+def domain_cap_docs(sf_dir: str) -> pa.Table:
+    """Per-domain document capping — the pretraining-mix curation op
+    that bounds any single source's contribution: keep the first
+    ``DOMAIN_CAP`` docs per ``source`` in deterministic docID order
+    (run-stable across retries/cluster sizes). One ``groupby(source)``
+    shuffle with a per-group sort+slice."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    capped = rel.group_top_n(ds, "source", [("doc_id", False)],
+                             DOMAIN_CAP)
+    return _to_table(capped).select(["doc_id", "source"]) \
+                            .sort_by("doc_id")
+
+
+SQL_DOMAIN_CAP = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= {DOMAIN_CAP} ORDER BY doc_id
+"""
+
+
 SQL_SORT_FIELD = f"""
 WITH m AS (
   SELECT DISTINCT doc_id FROM
@@ -9318,6 +9391,8 @@ def queries() -> dict:
         "filter_clause_topk": filter_clause_topk,
         "match_all_topk": match_all_topk,
         "sort_field_topk": sort_field_topk,
+        "sort_score_field_topk": sort_score_field_topk,
+        "domain_cap_docs": domain_cap_docs,
         "common_grams_stats": common_grams_stats,
         "dedup_clusters_docs": dedup_clusters_docs,
         "join_util_topk": join_util_topk,
@@ -9559,6 +9634,8 @@ def oracle_sql() -> dict:
         "filter_clause_topk": SQL_FILTER_CLAUSE,
         "match_all_topk": SQL_MATCH_ALL,
         "sort_field_topk": SQL_SORT_FIELD,
+        "sort_score_field_topk": sql_sort_score_field(),
+        "domain_cap_docs": SQL_DOMAIN_CAP,
         "common_grams_stats": SQL_COMMON_GRAMS,
         "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
         "join_util_topk": SQL_JOIN_UTIL,
