@@ -1993,6 +1993,128 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+INDEX_SORT_TERM = "filter"
+
+
+def index_sort_field_topk(sf_dir: str) -> pa.Table:
+    """Index sorting by a FIELD (upstream
+    ``IndexWriterConfig.setIndexSort(new Sort(SortField("n_chars")))``
+    [U]): docIDs are assigned by (n_chars, id) rank at BUILD time via
+    the standard docmap stage (the same distributed rank machinery the
+    transcript (conv, turn) sort uses), so an early-terminating
+    collector returns the k SHORTEST matching docs while decoding only
+    each sub-list's leading posting blocks. Results map back to the
+    original ids through the docmap."""
+    key = hashlib.md5(f"{sf_dir}|idxsort|v1".encode()).hexdigest()[:12]
+    root = os.path.join("/tmp/rayindex_cache", key)
+    corpus = os.path.join(root, "corpus")
+    idx = os.path.join(root, "idx")
+    man = mf.load(idx)
+    if not (man and man.get("status") == "complete"):
+        os.makedirs(corpus, exist_ok=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        # distributed sort-rank assignment (the docmap machinery's
+        # shape): per-group position via one groupby shuffle + group
+        # base offsets broadcast from a tiny grouped count
+        cnt = _to_table(ds.groupby("n_chars").count()) \
+            .sort_by("n_chars")
+        groups = cnt["n_chars"].to_numpy()
+        bases = np.concatenate(
+            ([0], np.cumsum(cnt["count()"].to_numpy())[:-1]))
+        bref = ray.put((groups, bases))
+
+        def rank_group(g: pa.Table) -> pa.Table:
+            g = g.sort_by("doc_id")
+            gs, bs = ray.get(bref)
+            base = int(bs[np.searchsorted(gs, g["n_chars"][0].as_py())])
+            return pa.table({
+                "doc_id": pa.array(
+                    base + np.arange(g.num_rows, dtype=np.int64)),
+                "orig_id": g["doc_id"],
+                "n_chars": g["n_chars"],
+                "text": g["text"]})
+
+        ds.groupby("n_chars").map_groups(
+            rank_group, batch_format="pyarrow") \
+            .repartition(2).write_parquet(corpus)
+        cfg = IndexConfig(
+            text_col="text", conv_cols=None, doc_id_col="doc_id",
+            stop_words=None, stemming=False, n_buckets=4,
+            hot_df_threshold=10**9, batch_size=2048)
+        build_index(corpus, idx, cfg)
+    r = IndexReader(idx)
+    top = r.index_sorted_topk(INDEX_SORT_TERM, k=10)
+    ids = top["doc_id"].to_numpy()
+    # two-phase resolution: a PRUNED filtered read of only the result
+    # page's rank-ids (never a corpus scan)
+    members = pq.read_table(
+        corpus, columns=["doc_id", "orig_id", "n_chars"],
+        filters=[("doc_id", "in", ids.tolist())]).sort_by("doc_id")
+    return pa.table({
+        "rank": top["rank"],
+        "orig_id": members["orig_id"].cast(pa.int64()),
+        "n_chars": members["n_chars"].cast(pa.int64())})
+
+
+SQL_INDEX_SORT_FIELD = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{INDEX_SORT_TERM}')
+SELECT (ROW_NUMBER() OVER (ORDER BY d.n_chars, d.doc_id) - 1)::BIGINT
+         AS rank,
+       d.doc_id AS orig_id, d.n_chars
+FROM documents d JOIN m USING (doc_id)
+ORDER BY d.n_chars, d.doc_id LIMIT 10
+"""
+
+
+COPYFIELD_QUERY = "part src1"
+
+
+def copyfield_topk(sf_dir: str) -> pa.Table:
+    """Solr copyField (upstream ``S/schema/IndexSchema`` copyField
+    directives / ``DocumentBuilder`` [U]): multiple source fields are
+    concatenated into one searchable destination field at index time —
+    here ``text`` + ``source`` feed a combined ``_text_``-style field,
+    so one disjunction can match tokens from either source (the
+    default-search-field pattern). The derivation is a streaming
+    ``map_batches`` projection written once to a derived corpus; the
+    index build is the standard pipeline over it."""
+    key = hashlib.md5(f"{sf_dir}|copyfield|v1".encode()).hexdigest()[:12]
+    root = os.path.join("/tmp/rayindex_cache", key)
+    corpus = os.path.join(root, "corpus")
+    idx = os.path.join(root, "idx")
+    man = mf.load(idx)
+    if not (man and man.get("status") == "complete"):
+        os.makedirs(corpus, exist_ok=True)
+
+        def combine(b: pa.Table) -> pa.Table:
+            joined = pc.binary_join_element_wise(
+                b["text"], b["source"], " ")
+            return pa.table({"doc_id": b["doc_id"], "text": joined})
+
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]) \
+            .map_batches(combine, batch_format="pyarrow") \
+            .repartition(2).write_parquet(corpus)
+        cfg = IndexConfig(
+            text_col="text", conv_cols=None, doc_id_col="doc_id",
+            stop_words=None, stemming=False, n_buckets=4,
+            hot_df_threshold=10**9, batch_size=2048)
+        build_index(corpus, idx, cfg)
+    r = IndexReader(idx)
+    top = r.bmw_topk(COPYFIELD_QUERY, 10)
+    t = top.select(["rank", "doc_id", "score"])
+    return _cast_col(t, "rank", pa.int64())
+
+
+def sql_copyfield() -> str:
+    terms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in COPYFIELD_QUERY.split()) + "]) AS term"
+    src = "(SELECT doc_id, text || ' ' || source AS text FROM documents) cf"
+    return _sql_disjunction(terms, 10, docs_src=src)
+
+
 EDISMAX_QUERY = "part filter"
 EDISMAX_BOOSTS = {"text": 1.0, "source": 0.4}
 EDISMAX_PF_BOOST = 1.5
@@ -9248,6 +9370,8 @@ def queries() -> dict:
         "parsed_range_wild_topk": parsed_range_wild_topk,
         "multifield_dismax_topk": multifield_dismax_topk,
         "edismax_pf_topk": edismax_pf_topk,
+        "copyfield_topk": copyfield_topk,
+        "index_sort_field_topk": index_sort_field_topk,
         "search_after_page2": search_after_page2,
         "fuzzy_topk": fuzzy_topk,
         "regexp_topk": regexp_topk,
@@ -9495,6 +9619,8 @@ def oracle_sql() -> dict:
         "parsed_range_wild_topk": SQL_PARSED_RANGE,
         "multifield_dismax_topk": sql_multifield_dismax(),
         "edismax_pf_topk": sql_edismax_pf(),
+        "copyfield_topk": sql_copyfield(),
+        "index_sort_field_topk": SQL_INDEX_SORT_FIELD,
         "search_after_page2": sql_search_after(),
         "fuzzy_topk": SQL_FUZZY,
         "regexp_topk": SQL_REGEXP,
