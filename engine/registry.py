@@ -2310,6 +2310,51 @@ WHERE rank < {_KNN_K} ORDER BY query_id, rank
 """
 
 
+def knn_int8_docs(sf_dir: str) -> pa.Table:
+    """Int8 scalar-quantized ANN (Lucene 9.x scalar-quantized vectors
+    analog [U]): per-dim |max| → int8 quantize → exact int64 dot —
+    FULL value parity with SQL (integer scores), the 4×-memory scale
+    path for the embedding column."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = pc.is_in(emb["vec_id"], value_set=pa.array(_KNN_QIDS))
+    q = emb.filter(qmask).sort_by("vec_id")
+    qm = vec._emb_matrix(q["embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = vec.knn_int8(ds, "embedding", "vec_id", qm, k=_KNN_K)
+    df = t.to_pandas()
+    df["query_id"] = np.array(_KNN_QIDS, dtype=np.int64)[df["query_id"]]
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id", "dot"]], preserve_index=False)
+
+
+SQL_KNN_INT8 = f"""
+WITH ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+sc AS (
+  SELECT i, CASE WHEN MAX(ABS(x)) > 0 THEN 127.0 / MAX(ABS(x))
+                 ELSE 0.0 END AS s
+  FROM ex GROUP BY i),
+ev AS (
+  SELECT ex.vec_id, ex.i,
+         CAST(floor(ex.x * sc.s + 0.5) AS BIGINT) AS v8
+  FROM ex JOIN sc USING (i)),
+qv AS (SELECT vec_id AS query_id, i, v8 FROM ev
+       WHERE vec_id IN ({",".join(map(str, _KNN_QIDS))})),
+sims AS (
+  SELECT q.query_id, e.vec_id, SUM(q.v8 * e.v8)::BIGINT AS dot
+  FROM qv q JOIN ev e USING (i) GROUP BY q.query_id, e.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, dot,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY dot DESC, vec_id) - 1)::BIGINT AS rank
+  FROM sims)
+SELECT query_id, rank, vec_id, dot FROM ranked
+WHERE rank < {_KNN_K} ORDER BY query_id, rank
+"""
+
+
 def knn_classify_embeddings(sf_dir: str) -> pa.Table:
     """Solr ML stream ``knn()`` classification (upstream
     ``SJ/client/solrj/io/stream/KnnStream`` + the knn classify recipe
@@ -9412,6 +9457,7 @@ def queries() -> dict:
         "minhash_pairs_docs": minhash_pairs_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "knn_cosine": knn_cosine,
+        "knn_int8_docs": knn_int8_docs,
         "knn_dot_docs": knn_dot_docs,
         "knn_l2_docs": knn_l2_docs,
         "knn_classify_embeddings": knn_classify_embeddings,
@@ -9658,6 +9704,7 @@ def oracle_sql() -> dict:
         "fingerprint_docs": SQL_FINGERPRINT,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "knn_cosine": SQL_KNN_COSINE,
+        "knn_int8_docs": SQL_KNN_INT8,
         "knn_dot_docs": SQL_KNN_DOT,
         "knn_l2_docs": SQL_KNN_L2,
         "knn_classify_embeddings": SQL_KNN_CLASSIFY,

@@ -1193,3 +1193,34 @@ def test_media_decoders_randomized_roundtrip():
         for f in range(nf):
             assert (frames[f].astype(np.int64)
                     == (xx + yy + 5 * f + did) % 256).all()
+
+
+def test_knn_int8_exact_integer_and_recall(ray_session):
+    """int8 scalar quantization: the distributed result must equal a
+    single-process numpy replay of the same quantization (exact int64
+    dots), and top-1 self-match must survive quantization."""
+    import ray.data
+
+    from engine.ops.vector import knn_int8
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((80, 12)) * rng.uniform(0.2, 5.0, (1, 12))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(80)]
+    q = vecs[:3]
+    t = knn_int8(ray.data.from_items(rows), "embedding", "vec_id",
+                 q, k=4).to_pylist()
+    # numpy replay
+    mab = np.abs(vecs).max(axis=0)
+    sc = np.where(mab > 0, 127.0 / mab, 0.0)
+    v8 = np.floor(vecs * sc + 0.5).astype(np.int64)
+    q8 = np.floor(q * sc + 0.5).astype(np.int64)
+    dots = v8 @ q8.T
+    for qi in range(3):
+        d = dots[:, qi]
+        order = np.lexsort((np.arange(80), -d))[:4]
+        got = sorted((r for r in t if r["query_id"] == qi),
+                     key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in got] == order.tolist()
+        assert [r["dot"] for r in got] == d[order].tolist()
+        assert got[0]["vec_id"] == qi      # self-match survives int8
