@@ -2287,6 +2287,50 @@ class IndexReader:
             "score": top["score"],
             "snippet": pa.array(snippets, type=pa.string())})
 
+    def highlight_snippets_topk(self, query_text: str, k: int = 10,
+                                window: int = 3,
+                                n_snippets: int = 2) -> pa.Table:
+        """Multi-fragment highlighting (Solr ``hl.snippets=N`` [U],
+        deterministic spec): up to ``n_snippets`` windows per top-k
+        doc — the first centered on the earliest query-term
+        occurrence, each further snippet on the first occurrence
+        STRICTLY beyond the previous center + window. One row per
+        (doc, snippet_idx)."""
+        top = self.topk(query_text, k)
+        ids = top["doc_id"].to_numpy()
+        qterms = set(self.analyzer.query_terms(query_text))
+        stored = self.fetch_docs(ids)
+        text_by_id = dict(zip(stored["doc_id"].to_pylist(),
+                              stored["text"].to_pylist()))
+        out_rank, out_doc, out_score, out_idx, out_snip = \
+            [], [], [], [], []
+        for r_i in range(top.num_rows):
+            d = int(ids[r_i])
+            toks = [t for t, _ in self.analyzer.analyze_text(
+                text_by_id.get(d, ""))]
+            occ = [i for i, t in enumerate(toks) if t in qterms]
+            last_center = None
+            count = 0
+            for p in occ:
+                if count >= n_snippets:
+                    break
+                if last_center is not None and p <= last_center + window:
+                    continue
+                out_rank.append(top["rank"][r_i].as_py())
+                out_doc.append(d)
+                out_score.append(top["score"][r_i].as_py())
+                out_idx.append(count)
+                out_snip.append(" ".join(
+                    toks[max(0, p - window): p + window + 1]))
+                last_center = p
+                count += 1
+        return pa.table({
+            "rank": pa.array(out_rank, pa.int64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "score": pa.array(out_score, pa.float32()),
+            "snippet_idx": pa.array(out_idx, pa.int64()),
+            "snippet": pa.array(out_snip, pa.string())})
+
     def similarity_topk(self, query_text: str, k: int = 10,
                         similarity: str = "classic") -> pa.Table:
         """Pluggable Similarity (upstream ``Similarity`` SPI,

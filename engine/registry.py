@@ -2912,6 +2912,47 @@ ORDER BY t.rank
 """
 
 
+def highlight_snippets_docs(sf_dir: str) -> pa.Table:
+    """hl.snippets=2 (upstream ``UnifiedHighlighter`` multi-passage
+    [U], deterministic spec): per top-k doc up to two windows — the
+    second centered on the first occurrence strictly beyond the
+    first center + window."""
+    r = _doc_reader(sf_dir, stored=True)
+    return r.highlight_snippets_topk(BJ_QUERY, k=10, window=HL_WINDOW,
+                                     n_snippets=2)
+
+
+def sql_highlight_snippets() -> str:
+    terms = BJ_QUERY.split()
+    qsql = "SELECT unnest([" + ",".join(f"'{t}'" for t in terms) \
+        + "]) AS term"
+    tl = ",".join(f"'{t}'" for t in terms)
+    w = HL_WINDOW
+    return f"""{_sql_scored(qsql)},
+topk AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank, doc_id, score
+  FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+occ AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, unnest(ts) AS tok,
+           unnest(range(1, len(ts) + 1)) AS p FROM toks)
+  WHERE tok IN ({tl})),
+p0 AS (SELECT doc_id, MIN(p) AS p FROM occ GROUP BY doc_id),
+p1 AS (SELECT o.doc_id, MIN(o.p) AS p FROM occ o JOIN p0 USING (doc_id)
+       WHERE o.p > p0.p + {w} GROUP BY o.doc_id),
+snips AS (
+  SELECT doc_id, 0::BIGINT AS snippet_idx, p FROM p0
+  UNION ALL
+  SELECT doc_id, 1::BIGINT AS snippet_idx, p FROM p1)
+SELECT t.rank, t.doc_id, t.score, s.snippet_idx,
+       array_to_string(ts[GREATEST(1, s.p - {w}) : s.p + {w}], ' ')
+         AS snippet
+FROM topk t JOIN snips s USING (doc_id) JOIN toks USING (doc_id)
+ORDER BY t.rank, s.snippet_idx
+"""
+
+
 def blockjoin_topk_docs(sf_dir: str) -> pa.Table:
     """ToParentBlockJoinQuery(ScoreMode.Max) analog (upstream
     ``lucene/join`` [U]): children = docs scored by the query, parents
@@ -9474,6 +9515,7 @@ def queries() -> dict:
         "suggest_context_docs": suggest_context_docs,
         "mlt_topk": mlt_topk,
         "highlight_topk_docs": highlight_topk_docs,
+        "highlight_snippets_docs": highlight_snippets_docs,
         "blockjoin_topk_docs": blockjoin_topk_docs,
         "child_transform_docs": child_transform_docs,
         "ltr_rescore_docs": ltr_rescore_docs,
@@ -9721,6 +9763,7 @@ def oracle_sql() -> dict:
         "suggest_context_docs": SQL_SUGGEST_CONTEXT,
         "mlt_topk": sql_mlt(),
         "highlight_topk_docs": sql_highlight(),
+        "highlight_snippets_docs": sql_highlight_snippets(),
         "blockjoin_topk_docs": sql_blockjoin(),
         "child_transform_docs": sql_child_transform(),
         "ltr_rescore_docs": sql_ltr(),
