@@ -154,6 +154,39 @@ class NrtWriter:
 
     # ------------------------------------------------------------- read
 
+    def realtime_get(self, doc_ids) -> pa.Table:
+        """Solr RealTimeGet over the update log (upstream
+        ``RealTimeGetComponent`` [U]): UNCOMMITTED buffered adds are
+        visible immediately, buffered deletes hide both buffered and
+        committed versions, and everything else point-fetches the disk
+        stored fields (requires ``build_stored_fields``). Returns
+        (doc_id, text) sorted by doc_id; absent/deleted ids missing."""
+        id_col, text_col = self.cfg.doc_id_col, self.cfg.text_col
+        ids = sorted({int(i) for i in doc_ids}
+                     - set(self._nrt_deleted))
+        found: set[int] = set()
+        parts: list[pa.Table] = []
+        if self._buffered and ids:
+            buf = pa.concat_tables(self._buffered).combine_chunks()
+            m = pc.is_in(buf[id_col],
+                         value_set=pa.array(ids, type=pa.int64()))
+            sub = buf.filter(m)
+            if sub.num_rows:
+                parts.append(pa.table({
+                    "doc_id": sub[id_col].cast(pa.int64()),
+                    "text": sub[text_col]}))
+                found = set(sub[id_col].to_pylist())
+        disk_want = np.array([i for i in ids if i not in found],
+                             dtype=np.int64)
+        if len(disk_want):
+            parts.append(IndexReader(self.index_dir)
+                         .fetch_docs(disk_want))
+        if not parts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        return pa.concat_tables(parts).combine_chunks() \
+                 .sort_by("doc_id")
+
     def reader(self, k1: float = K1, b: float = B) -> IndexReader:
         """Point-in-time NRT snapshot (disk segments + RAM segment +
         buffered deletes)."""

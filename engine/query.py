@@ -2028,12 +2028,25 @@ class IndexReader:
             return _topdocs_table([], [])
         return self.constant_score_topk(terms, k=k, boost=boost)
 
+    def span_position_range_topk(self, term: str, start: int, end: int,
+                                 k: int = 10) -> pa.Table:
+        """SpanPositionRangeQuery (upstream
+        ``L/search/spans/SpanPositionRangeQuery`` [U]): occurrences of
+        ``term`` at ``start <= position < end``; SpanFirstQuery is the
+        ``start == 0`` special case. BM25 with tf = qualifying-
+        occurrence count, weight = the term's idf."""
+        return self._span_range_topk(term, start, end, k)
+
     def span_first_topk(self, term: str, end: int,
                         k: int = 10) -> pa.Table:
         """SpanFirstQuery (upstream ``L/search/spans/SpanFirstQuery``
         [U]): matches occurrences of ``term`` at position < ``end``;
         BM25 with tf = the count of qualifying occurrences (the
         span-freq analog, SQL-checkable) and weight = the term's idf."""
+        return self._span_range_topk(term, 0, end, k)
+
+    def _span_range_topk(self, term: str, start: int, end: int,
+                         k: int = 10) -> pa.Table:
         subs = self.lookup([term])[term]
         if not subs:
             return _topdocs_table([], [])
@@ -2042,7 +2055,7 @@ class IndexReader:
         doc_norm: dict[int, int] = {}
         for docs, tfs, norms, flat_pos in self._lookup_positions(term):
             doc_rep = np.repeat(docs, tfs)
-            ok = flat_pos < end
+            ok = (flat_pos >= start) & (flat_pos < end)
             if ok.any():
                 d = doc_rep[ok]
                 u, c = np.unique(d, return_counts=True)

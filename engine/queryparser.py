@@ -50,6 +50,44 @@ independent, so end-masking ≡ per-leaf masking).
 
 from __future__ import annotations
 
+import math
+
+
+def calculate_min_should_match(spec: str, n_clauses: int) -> int:
+    """Solr's minimum-should-match spec grammar (upstream
+    ``SolrPluginUtils.calculateMinShouldMatch`` / the dismax ``mm``
+    param [U]; public documented grammar):
+
+    - ``"3"`` — absolute count; ``"-2"`` — all but 2.
+    - ``"75%"`` — floor of 75% of the clauses; ``"-25%"`` — all but
+      floor(25%).
+    - conditional list ``"2<-25% 9<3"`` — each ``N<spec`` applies when
+      n_clauses > N; the HIGHEST matching N wins; n_clauses <= the
+      smallest N means all clauses required.
+
+    Result is clamped to [0, n_clauses] like upstream."""
+    spec = spec.strip()
+    if "<" in spec:
+        result = n_clauses          # below every threshold: require all
+        best_n = -1
+        for part in spec.split():
+            cond, _, sub = part.partition("<")
+            n = int(cond)
+            if n_clauses > n and n > best_n:
+                best_n = n
+                result = calculate_min_should_match(sub, n_clauses)
+        return result
+    if spec.endswith("%"):
+        pct = int(spec[:-1])
+        if pct < 0:
+            return max(0, n_clauses - int(
+                math.floor(-pct * n_clauses / 100.0)))
+        return min(n_clauses, int(math.floor(pct * n_clauses / 100.0)))
+    val = int(spec)
+    if val < 0:
+        return max(0, n_clauses + val)
+    return min(n_clauses, val)
+
 import re
 from dataclasses import dataclass, field as dc_field
 

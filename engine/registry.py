@@ -644,6 +644,59 @@ def nrt_topk_docs(sf_dir: str) -> pa.Table:
                                         strategy="brute"))
 
 
+NRT_RTG_IDS = [3, 7, 11]        # will be made half-committed/half-buffered
+
+
+def nrt_realtime_get_docs(sf_dir: str) -> pa.Table:
+    """RealTimeGet over an NRT writer (upstream
+    ``RealTimeGetComponent`` reading the update log [U]): ids spanning
+    committed docs, UNCOMMITTED buffered docs, and one buffered delete
+    — the deleted id must be absent, the buffered ids visible without
+    a commit. Oracle = the corpus rows for the live ids."""
+    from engine.build import build_stored_fields
+    from engine.nrt import NrtWriter
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    cut = (int(pc.max(t["doc_id"]).as_py()) + 1) // 2
+    key = hashlib.md5(f"{sf_dir}|nrthalf|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "nrt_" + key)
+    os.makedirs(work, exist_ok=True)
+    base_src = os.path.join(work, "first_half.parquet")
+    if not os.path.exists(base_src):
+        tmp = base_src + ".tmp"
+        pq.write_table(t.filter(pc.less(t["doc_id"], cut)), tmp)
+        os.replace(tmp, base_src)
+    idx = os.path.join(work, "idx")
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    build_index([base_src], idx, cfg)
+    build_stored_fields(idx)
+    w = NrtWriter(idx)
+    w.add_documents(t.filter(pc.greater_equal(t["doc_id"], cut)))
+    # mixed id list: committed, buffered, plus one deleted committed id
+    want = ([i for i in NRT_RTG_IDS]
+            + [cut + i for i in NRT_RTG_IDS] + [1])
+    w.delete_documents([1])
+    return w.realtime_get(want)
+
+
+def sql_nrt_rtg(sf_dir_unused: str = "") -> str:
+    # live ids: NRT_RTG_IDS committed + (cut + NRT_RTG_IDS) buffered;
+    # id 1 deleted. cut depends on the corpus, so express it in SQL.
+    low = ",".join(map(str, NRT_RTG_IDS))
+    return f"""
+WITH cut AS (SELECT (MAX(doc_id) + 1) // 2 AS c FROM documents)
+SELECT d.doc_id, d.text FROM documents d CROSS JOIN cut
+WHERE d.doc_id IN ({low})
+   OR d.doc_id IN (SELECT c + x FROM cut,
+                   unnest([{low}]) AS u(x))
+ORDER BY d.doc_id
+"""
+
+
 def conjunction_topk(sf_dir: str) -> pa.Table:
     """BooleanQuery MUST: leapfrog-style intersection + summed scores."""
     r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
@@ -878,6 +931,33 @@ def min_should_match_topk(sf_dir: str) -> pa.Table:
 SQL_MIN_SHOULD = _sql_disjunction(
     f"SELECT unnest({MSM_TERMS!r}) AS term", 10,
     having=f"HAVING COUNT(DISTINCT term) >= {MSM_MIN}")
+
+
+MM_SPEC = "2<-25% 9<3"          # Solr mm conditional spec
+MM_TERMS = ["spark", "merge", "window", "filter"]
+
+
+def mm_spec_topk(sf_dir: str) -> pa.Table:
+    """dismax/edismax ``mm`` spec grammar (upstream
+    ``SolrPluginUtils.calculateMinShouldMatch`` [U]): the conditional
+    spec ``"2<-25% 9<3"`` over 4 SHOULD clauses resolves to
+    all-but-floor(25%) = 3 required matches; the resolved count feeds
+    the standard minimumNumberShouldMatch path."""
+    from engine.queryparser import calculate_min_should_match
+
+    msm = calculate_min_should_match(MM_SPEC, len(MM_TERMS))
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.boolean_topk(should=MM_TERMS, k=10,
+                                       min_should_match=msm))
+
+
+def sql_mm_spec() -> str:
+    from engine.queryparser import calculate_min_should_match
+
+    msm = calculate_min_should_match(MM_SPEC, len(MM_TERMS))
+    return _sql_disjunction(
+        f"SELECT unnest({MM_TERMS!r}) AS term", 10,
+        having=f"HAVING COUNT(DISTINCT term) >= {msm}")
 
 
 def must_should_msm1_topk(sf_dir: str) -> pa.Table:
@@ -4700,6 +4780,42 @@ def span_first_topk_docs(sf_dir: str) -> pa.Table:
     """SpanFirstQuery: 'join' within the first 3 positions."""
     r = _doc_reader(sf_dir)
     return _topdocs_out(r.span_first_topk(*SPAN_FIRST, k=10))
+
+
+SPAN_RANGE = ("join", 2, 6)
+
+
+def span_position_range_docs(sf_dir: str) -> pa.Table:
+    """SpanPositionRangeQuery: 'join' at positions [2, 6)."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(r.span_position_range_topk(*SPAN_RANGE, k=10))
+
+
+def sql_span_position_range() -> str:
+    term, start, end = SPAN_RANGE
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT doc_id, COUNT(*)::DOUBLE AS freq FROM pos
+  WHERE tok = '{term}' AND p >= {start} AND p < {end} GROUP BY doc_id),
+dfq AS (
+  SELECT COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf
+  WHERE term = '{term}'),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(
+      CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN dfq d)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
 
 
 def sql_span_first() -> str:
@@ -9439,6 +9555,7 @@ def queries() -> dict:
         "tiered_segment_topk": tiered_segment_topk,
         "split_shard_topk": split_shard_topk,
         "nrt_topk_docs": nrt_topk_docs,
+        "nrt_realtime_get_docs": nrt_realtime_get_docs,
         "bm25_topk_analyzed": bm25_topk_analyzed,
         "fetch_topk_docs": fetch_topk_docs,
         "conjunction_topk": conjunction_topk,
@@ -9450,6 +9567,7 @@ def queries() -> dict:
         "sloppy_phrase_topk": sloppy_phrase_topk,
         "dismax_topk": dismax_topk,
         "min_should_match_topk": min_should_match_topk,
+        "mm_spec_topk": mm_spec_topk,
         "must_should_msm1_topk": must_should_msm1_topk,
         "parsed_query_topk": parsed_query_topk,
         "parsed_fuzzy_boost_topk": parsed_fuzzy_boost_topk,
@@ -9580,6 +9698,7 @@ def queries() -> dict:
         "bbox_customers": bbox_customers,
         "group_facet_orders": group_facet_orders,
         "span_first_topk_docs": span_first_topk_docs,
+        "span_position_range_docs": span_position_range_docs,
         "multi_phrase_topk_docs": multi_phrase_topk_docs,
         "pattern_replace_stats": pattern_replace_stats,
         "soundex_stats": soundex_stats,
@@ -9691,6 +9810,7 @@ def oracle_sql() -> dict:
         "tiered_segment_topk": sql_bm25_topk(),
         "split_shard_topk": sql_split_shard_topk(),
         "nrt_topk_docs": sql_bm25_topk(),
+        "nrt_realtime_get_docs": sql_nrt_rtg(),
         "fetch_topk_docs": sql_fetch_topk(),
         "conjunction_topk": SQL_CONJUNCTION,
         "boolean_not_topk": SQL_BOOLEAN_NOT,
@@ -9701,6 +9821,7 @@ def oracle_sql() -> dict:
         "sloppy_phrase_topk": sql_sloppy_phrase(),
         "dismax_topk": SQL_DISMAX,
         "min_should_match_topk": SQL_MIN_SHOULD,
+        "mm_spec_topk": sql_mm_spec(),
         "must_should_msm1_topk": SQL_MUST_SHOULD_MSM1,
         "parsed_query_topk": SQL_PARSED_BOOL,
         "parsed_fuzzy_boost_topk": SQL_PARSED_FUZZY,
@@ -9827,6 +9948,7 @@ def oracle_sql() -> dict:
         "bbox_customers": SQL_BBOX,
         "group_facet_orders": SQL_GROUP_FACET,
         "span_first_topk_docs": sql_span_first(),
+        "span_position_range_docs": sql_span_position_range(),
         "multi_phrase_topk_docs": sql_multi_phrase(),
         "pattern_replace_stats": SQL_PATTERN_REPLACE_STATS,
         "soundex_stats": SQL_SOUNDEX_STATS,

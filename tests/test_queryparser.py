@@ -266,3 +266,26 @@ def test_parser_fuzz_never_crashes(ray_session, smoke_index):
         except QueryParseError:
             pass
     assert n_parsed > 20   # the fuzz actually exercises the evaluator
+
+
+def test_calculate_min_should_match_grammar():
+    """Solr mm-spec grammar (SolrPluginUtils.calculateMinShouldMatch),
+    pinned against the documented reference-guide examples."""
+    from engine.queryparser import calculate_min_should_match as mm
+
+    assert mm("3", 5) == 3
+    assert mm("-2", 5) == 3
+    assert mm("75%", 4) == 3          # floor(3.0)
+    assert mm("75%", 10) == 7         # floor(7.5)
+    assert mm("-25%", 4) == 3         # all but floor(1.0)
+    assert mm("-25%", 10) == 8        # all but floor(2.5)=2
+    # conditional: <=2 clauses -> all; 3..9 -> all-but-25%; >9 -> 3
+    spec = "2<-25% 9<3"
+    assert mm(spec, 1) == 1
+    assert mm(spec, 2) == 2
+    assert mm(spec, 4) == 3
+    assert mm(spec, 9) == 7           # 9 - floor(2.25)
+    assert mm(spec, 10) == 3
+    # clamping
+    assert mm("8", 4) == 4
+    assert mm("-8", 4) == 0
