@@ -2730,6 +2730,10 @@ class QueryEngine:
         "regexp": lambda r, s, text, k: r.regexp_topk(text, k),
         "mlt": lambda r, s, text, k: r.more_like_this_topk(int(text), k),
         "lucene": lambda r, s, text, k: r.parsed_topk(text, k),
+        "maxscore": lambda r, s, text, k: r.maxscore_topk(text, k),
+        # "main query | rerank query" — ReRankQParser through the pool
+        "rerank": lambda r, s, text, k: r.rerank_topk(
+            text.split("|")[0].strip(), text.split("|")[1].strip(), k),
         # span family: text = space-separated terms; slop fixed per
         # type (parameterized span queries go through the library API)
         "span_or": lambda r, s, text, k:
