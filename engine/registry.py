@@ -2992,6 +2992,75 @@ ORDER BY t.rank
 """
 
 
+CLUSTER_FEATURES = ["spark", "merge", "window", "filter", "part", "key"]
+
+
+def cluster_results_docs(sf_dir: str) -> pa.Table:
+    """Search-result clustering (upstream Solr ``ClusteringComponent``
+    / the Carrot2 engine [U], deterministic restatement): the query's
+    top-50 docs are clustered on integer term-frequency features over
+    a fixed feature-term set — k=2 k-means ASSIGNMENT with centroids
+    seeded by the two top-ranked docs' vectors, nearest by exact
+    integer squared distance (tie → cluster 0). Everything is integer,
+    so the SQL oracle reproduces assignments exactly."""
+    r = _doc_reader(sf_dir, stored=True)
+    m = r.match_scores(BJ_QUERY)
+    ids = m["doc_id"].to_numpy()
+    sc = m["score"].to_numpy()
+    order = np.lexsort((ids, -sc))[:50]
+    top_ids = ids[order]
+    fetched = r.fetch_docs(top_ids)
+    text_by_id = dict(zip(fetched["doc_id"].to_pylist(),
+                          fetched["text"].to_pylist()))
+    feat = {t: i for i, t in enumerate(CLUSTER_FEATURES)}
+    vecs = np.zeros((len(top_ids), len(CLUSTER_FEATURES)),
+                    dtype=np.int64)
+    for row, d in enumerate(top_ids.tolist()):
+        for term, _ in r.analyzer.analyze_text(text_by_id.get(d, "")):
+            j = feat.get(term)
+            if j is not None:
+                vecs[row, j] += 1
+    c0, c1 = vecs[0], vecs[1]          # seeds: two top-ranked docs
+    d0 = ((vecs - c0) ** 2).sum(axis=1)
+    d1 = ((vecs - c1) ** 2).sum(axis=1)
+    cluster = (d1 < d0).astype(np.int64)       # tie -> cluster 0
+    out = np.lexsort((top_ids,))
+    return pa.table({
+        "doc_id": pa.array(top_ids[out], pa.int64()),
+        "cluster": pa.array(cluster[out], pa.int64())})
+
+
+def sql_cluster_results() -> str:
+    qsql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BJ_QUERY.split()) + "]) AS term"
+    fcols = ",\n    ".join(
+        f"COALESCE(SUM(CASE WHEN x.term = '{t}' THEN 1 END), 0)::BIGINT"
+        f" AS f{i}" for i, t in enumerate(CLUSTER_FEATURES))
+    nf = len(CLUSTER_FEATURES)
+    dist = lambda c: " + ".join(           # noqa: E731
+        f"(v.f{i} - {c}.f{i}) * (v.f{i} - {c}.f{i})" for i in range(nf))
+    return f"""{_sql_scored(qsql)},
+topk AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank, doc_id
+  FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+fv AS (
+  SELECT t.rank, t.doc_id,
+    {fcols}
+  FROM topk t JOIN toks USING (doc_id)
+  LEFT JOIN (SELECT doc_id, unnest(ts) AS term FROM toks) x
+    USING (doc_id)
+  GROUP BY t.rank, t.doc_id),
+c0 AS (SELECT * FROM fv WHERE rank = 0),
+c1 AS (SELECT * FROM fv WHERE rank = 1)
+SELECT v.doc_id,
+       CASE WHEN ({dist("c1")}) < ({dist("c0")})
+            THEN 1 ELSE 0 END::BIGINT AS cluster
+FROM fv v CROSS JOIN c0 CROSS JOIN c1
+ORDER BY v.doc_id
+"""
+
+
 def highlight_snippets_docs(sf_dir: str) -> pa.Table:
     """hl.snippets=2 (upstream ``UnifiedHighlighter`` multi-passage
     [U], deterministic spec): per top-k doc up to two windows — the
@@ -9634,6 +9703,7 @@ def queries() -> dict:
         "mlt_topk": mlt_topk,
         "highlight_topk_docs": highlight_topk_docs,
         "highlight_snippets_docs": highlight_snippets_docs,
+        "cluster_results_docs": cluster_results_docs,
         "blockjoin_topk_docs": blockjoin_topk_docs,
         "child_transform_docs": child_transform_docs,
         "ltr_rescore_docs": ltr_rescore_docs,
@@ -9885,6 +9955,7 @@ def oracle_sql() -> dict:
         "mlt_topk": sql_mlt(),
         "highlight_topk_docs": sql_highlight(),
         "highlight_snippets_docs": sql_highlight_snippets(),
+        "cluster_results_docs": sql_cluster_results(),
         "blockjoin_topk_docs": sql_blockjoin(),
         "child_transform_docs": sql_child_transform(),
         "ltr_rescore_docs": sql_ltr(),
