@@ -944,15 +944,18 @@ class IndexReader:
         return _topdocs_table(cand[order], final[order], total=len(cand))
 
     def parsed_topk(self, query: str, k: int = 10,
-                    min_should_match: int = 0) -> pa.Table:
+                    min_should_match: int = 0,
+                    default_op: str = "OR") -> pa.Table:
         """Classic query-string search: parse Lucene syntax (booleans,
         phrases, boosts, fuzzy/wildcard/regexp/ranges, grouping) and
         score the AST compositionally — the ``QueryParser.parse() →
         search()`` surface (upstream ``L/queryparser/classic`` [U]).
-        See ``engine.queryparser`` for grammar and score-cast rules."""
+        See ``engine.queryparser`` for grammar and score-cast rules.
+        ``default_op`` is upstream ``setDefaultOperator`` (``q.op``)."""
         from engine.queryparser import parsed_topk
         return parsed_topk(self, query, k,
-                           min_should_match=min_should_match)
+                           min_should_match=min_should_match,
+                           default_op=default_op)
 
     def search_after(self, query_text: str, k: int, after_rank: int,
                      strategy: str = "auto") -> pa.Table:

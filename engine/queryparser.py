@@ -24,12 +24,14 @@ Supported syntax (the classic parser's working set):
 - ``field:term`` — resolved against a ``{field: IndexReader}`` map
   (multi-field indexes); a bare default field otherwise
 
-Operator semantics follow ``QueryParserBase#addClause`` [U] with the
-default operator OR: an explicit ``+``/``-``/``NOT`` modifier wins;
-otherwise ``AND`` makes the current clause MUST and retroactively
-promotes the preceding SHOULD clause to MUST. (The upstream quirk
-where ``OR`` demotes an implicit-AND clause does not arise — the
-default operator here is fixed at OR, as in Solr's lucene QParser.)
+Operator semantics follow ``QueryParserBase#addClause`` [U]: an
+explicit ``+``/``-``/``NOT`` modifier wins; otherwise ``AND`` makes
+the current clause MUST and retroactively promotes the preceding
+SHOULD clause to MUST. ``parse(..., default_op="AND")`` is upstream
+``setDefaultOperator(AND_OPERATOR)`` (Solr ``q.op=AND``): unmarked
+clauses become MUST, and an explicit ``OR`` both leaves its clause
+SHOULD and retroactively demotes the preceding non-prohibited MUST
+clause to SHOULD — the exact upstream addClause quirk.
 
 Scoring composition mirrors the engine's existing boolean path
 (``IndexReader.boolean_topk``): per-term clause scores are exact
@@ -264,16 +266,21 @@ def _suffix_boost(q: str, i: int) -> tuple[float, int]:
 
 # -------------------------------------------------------------- parser
 
-def parse(q: str, default_field: str | None = None):
-    """Parse a classic-syntax query string into a Query AST."""
+def parse(q: str, default_field: str | None = None,
+          default_op: str = "OR"):
+    """Parse a classic-syntax query string into a Query AST.
+    ``default_op`` ∈ {"OR", "AND"} is upstream
+    ``QueryParserBase#setDefaultOperator`` (Solr ``q.op``)."""
     toks = _tokenize(q)
-    node, pos = _parse_bool(toks, 0, default_field, top=True)
+    node, pos = _parse_bool(toks, 0, default_field, top=True,
+                            default_op=default_op)
     if pos != len(toks):
         raise QueryParseError(f"unbalanced ')' in {q!r}")
     return node
 
 
-def _parse_bool(toks, pos: int, fld: str | None, top: bool = False):
+def _parse_bool(toks, pos: int, fld: str | None, top: bool = False,
+                default_op: str = "OR"):
     clauses: list[tuple[str, object]] = []
     conj = mod = None
     group_boost = 1.0
@@ -291,17 +298,24 @@ def _parse_bool(toks, pos: int, fld: str | None, top: bool = False):
             conj = kind; pos += 1; continue
         if kind in ("PLUS", "MINUS", "NOT"):
             mod = kind; pos += 1; continue
-        node, pos = _parse_clause(toks, pos, fld)
+        node, pos = _parse_clause(toks, pos, fld, default_op)
         if mod == "PLUS":
             occur = MUST
         elif mod in ("MINUS", "NOT"):
             occur = MUST_NOT
         elif conj == "AND":
             occur = MUST
-        else:
+        elif conj == "OR":
             occur = SHOULD
+        else:
+            occur = MUST if default_op == "AND" else SHOULD
         if conj == "AND" and clauses and clauses[-1][0] == SHOULD:
             clauses[-1] = (MUST, clauses[-1][1])
+        # upstream addClause: under AND_OPERATOR an explicit OR demotes
+        # the preceding non-prohibited clause back to SHOULD
+        if (conj == "OR" and default_op == "AND" and clauses
+                and clauses[-1][0] == MUST):
+            clauses[-1] = (SHOULD, clauses[-1][1])
         clauses.append((occur, node))
         conj = mod = None
     if not closed:
@@ -314,16 +328,17 @@ def _parse_bool(toks, pos: int, fld: str | None, top: bool = False):
     return BoolQ(clauses, boost=group_boost), pos
 
 
-def _parse_clause(toks, pos: int, fld: str | None):
+def _parse_clause(toks, pos: int, fld: str | None,
+                  default_op: str = "OR"):
     if pos >= len(toks):
         # dangling 'field:' / modifier at end of input (upstream
         # QueryParser raises ParseException here)
         raise QueryParseError("unexpected end of query")
     kind, payload = toks[pos]
     if kind == "FIELD":
-        return _parse_clause(toks, pos + 1, payload)
+        return _parse_clause(toks, pos + 1, payload, default_op)
     if kind == "LP":
-        return _parse_bool(toks, pos + 1, fld)
+        return _parse_bool(toks, pos + 1, fld, default_op=default_op)
     if kind == "PHRASE":
         body, slop, boost = payload
         return PhraseQ(body, slop, fld, boost), pos + 1
@@ -520,14 +535,16 @@ class Evaluator:
 
 def parsed_topk(readers, query: str, k: int = 10,
                 default_field: str | None = None,
-                min_should_match: int = 0) -> pa.Table:
+                min_should_match: int = 0,
+                default_op: str = "OR") -> pa.Table:
     """Parse ``query`` and return the top-k TopDocs table (rank,
     doc_id, score) — the classic ``QueryParser.parse() →
     IndexSearcher.search()`` path in one call. ``readers`` is an
     IndexReader or a {field: IndexReader} map; ``min_should_match``
-    applies to the top-level boolean (Solr's ``mm``)."""
+    applies to the top-level boolean (Solr's ``mm``); ``default_op``
+    is Solr's ``q.op``."""
     from engine.query import _topdocs_table
-    node = parse(query, default_field)
+    node = parse(query, default_field, default_op=default_op)
     if isinstance(node, BoolQ):
         node.min_should_match = min_should_match
     elif min_should_match > 1:

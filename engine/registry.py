@@ -1137,6 +1137,45 @@ SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
 """
 
 
+PARSED_QOP_Q = "spark merge OR window"
+
+
+def parsed_qop_and_topk(sf_dir: str) -> pa.Table:
+    """``q.op=AND`` default-operator parse (upstream
+    ``QueryParserBase#setDefaultOperator(AND_OPERATOR)`` [U], Solr
+    ``q.op``): unmarked clauses become MUST and an explicit ``OR``
+    retroactively demotes the preceding MUST back to SHOULD, so
+    ``spark merge OR window`` is ``+spark merge window``."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.parsed_topk(PARSED_QOP_Q, k=10,
+                                      default_op="AND"))
+
+
+# flat boolean: every leaf is an f32 term contrib, one f64 sum at the
+# node, cast f32 once — candidates are exactly the +spark docs
+SQL_PARSED_QOP = f"""{_bm25_ctes()},
+qterms AS (SELECT unnest(['spark','merge','window']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id, tf.term, {_SQL_CONTRIB} AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+opt AS (
+  SELECT doc_id, SUM(sc::DOUBLE) AS osc
+  FROM contrib WHERE term IN ('merge', 'window') GROUP BY doc_id),
+scored AS (
+  SELECT c.doc_id,
+         CAST(c.sc::DOUBLE + COALESCE(o.osc, 0) AS FLOAT) AS score
+  FROM contrib c LEFT JOIN opt o ON o.doc_id = c.doc_id
+  WHERE c.term = 'spark')
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def parsed_fuzzy_boost_topk(sf_dir: str) -> pa.Table:
     """Parsed ``term^boost`` + ``fuzzy~1`` disjunction: boost folds
     into the f32 clause weight, the fuzzy node is a scoring rewrite of
@@ -9639,6 +9678,7 @@ def queries() -> dict:
         "mm_spec_topk": mm_spec_topk,
         "must_should_msm1_topk": must_should_msm1_topk,
         "parsed_query_topk": parsed_query_topk,
+        "parsed_qop_and_topk": parsed_qop_and_topk,
         "parsed_fuzzy_boost_topk": parsed_fuzzy_boost_topk,
         "parsed_range_wild_topk": parsed_range_wild_topk,
         "multifield_dismax_topk": multifield_dismax_topk,
@@ -9894,6 +9934,7 @@ def oracle_sql() -> dict:
         "mm_spec_topk": sql_mm_spec(),
         "must_should_msm1_topk": SQL_MUST_SHOULD_MSM1,
         "parsed_query_topk": SQL_PARSED_BOOL,
+        "parsed_qop_and_topk": SQL_PARSED_QOP,
         "parsed_fuzzy_boost_topk": SQL_PARSED_FUZZY,
         "parsed_range_wild_topk": SQL_PARSED_RANGE,
         "multifield_dismax_topk": sql_multifield_dismax(),

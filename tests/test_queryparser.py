@@ -45,6 +45,29 @@ def test_parse_and_not():
     assert [o for o, _ in n.clauses] == [MUST, MUST_NOT]
 
 
+def test_parse_default_op_and():
+    # q.op=AND: unmarked clauses become MUST
+    n = parse("a b c", default_op="AND")
+    assert [o for o, _ in n.clauses] == [MUST, MUST, MUST]
+    # explicit modifiers still win
+    n = parse("a -b +c", default_op="AND")
+    assert [o for o, _ in n.clauses] == [MUST, MUST_NOT, MUST]
+    # explicit OR leaves its clause SHOULD and retroactively demotes
+    # the preceding MUST (upstream addClause quirk under AND_OPERATOR)
+    n = parse("a OR b", default_op="AND")
+    assert [o for o, _ in n.clauses] == [SHOULD, SHOULD]
+    n = parse("a b OR c", default_op="AND")
+    assert [o for o, _ in n.clauses] == [MUST, SHOULD, SHOULD]
+    # OR does not demote a prohibited clause
+    n = parse("-a OR b", default_op="AND")
+    assert [o for o, _ in n.clauses] == [MUST_NOT, SHOULD]
+    # default_op recurses into groups
+    n = parse("(a b) c", default_op="AND")
+    assert [o for o, _ in n.clauses] == [MUST, MUST]
+    inner = n.clauses[0][1]
+    assert [o for o, _ in inner.clauses] == [MUST, MUST]
+
+
 def test_parse_field_and_boost():
     n = parse("title:spark^2.5")
     assert isinstance(n, TermQ)
@@ -134,6 +157,17 @@ def test_parsed_must_not_matches_boolean(reader):
     ts = _terms(reader, "running connection index")
     _same(reader.parsed_topk(f"{ts[0]} {ts[1]} -{ts[2]}", k=15),
           reader.boolean_topk(should=ts[:2], must_not=[ts[2]], k=15))
+
+
+def test_parsed_qop_and_matches_boolean(reader):
+    ts = _terms(reader, "running connection")
+    # bare terms under q.op=AND score as a conjunction
+    _same(reader.parsed_topk(f"{ts[0]} {ts[1]}", k=15, default_op="AND"),
+          reader.boolean_topk(must=ts, k=15))
+    # explicit OR under q.op=AND restores the disjunction
+    _same(reader.parsed_topk(f"{ts[0]} OR {ts[1]}", k=15,
+                             default_op="AND"),
+          reader.parsed_topk(f"{ts[0]} {ts[1]}", k=15))
 
 
 def test_parsed_msm_matches_boolean(reader):
