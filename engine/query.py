@@ -75,13 +75,17 @@ def _clause_scores(tfs: np.ndarray, norms: np.ndarray, weight: np.float32,
 class _SubList:
     """One index row: decoded lazily, block at a time (skip + block-max)."""
 
-    __slots__ = ("df", "min_doc", "docs_blob", "tfs_blob", "poss_blob",
-                 "norms", "blk_last", "blk_doc_off", "blk_tf_off",
-                 "blk_max_tf", "blk_min_norm", "n_blocks", "_all", "codec")
+    __slots__ = ("df", "cf", "min_doc", "docs_blob", "tfs_blob",
+                 "poss_blob", "norms", "blk_last", "blk_doc_off",
+                 "blk_tf_off", "blk_max_tf", "blk_min_norm", "n_blocks",
+                 "_all", "codec")
 
     def __init__(self, row: dict[str, Any], codec: str = "vbyte"):
         self.codec = codec
         self.df = int(row["df"])
+        # totalTermFreq of this sub-list (upstream TermsEnum#totalTermFreq
+        # [U]); stored per shard row, 0 if absent (legacy rows)
+        self.cf = int(row["cf"]) if "cf" in row else 0
         self.min_doc = int(row["min_doc"])
         self.docs_blob = row["docs"]
         self.tfs_blob = row["tfs"]
@@ -99,7 +103,8 @@ class _SubList:
     @classmethod
     def from_encoded(cls, enc) -> "_SubList":
         return cls({
-            "df": enc.df, "min_doc": 0, "docs": enc.docs, "tfs": enc.tfs,
+            "df": enc.df, "cf": enc.cf, "min_doc": 0,
+            "docs": enc.docs, "tfs": enc.tfs,
             "poss": enc.poss,
             "norms": enc.norms, "blk_last_doc": enc.blk_last_doc.tobytes(),
             "blk_doc_off": enc.blk_doc_off.tobytes(),
@@ -409,6 +414,12 @@ class IndexReader:
 
     def global_df(self, subs: list[_SubList]) -> int:
         return sum(s.df for s in subs)
+
+    def global_cf(self, subs: list[_SubList]) -> int:
+        """Collection/total term frequency (upstream
+        ``TermsEnum#totalTermFreq`` [U]) — like df, the index-time
+        stat: deletes don't shrink it until merged away."""
+        return sum(s.cf for s in subs)
 
     def filter_docset(self, term: str) -> np.ndarray:
         """Sorted docID set of one non-scoring filter clause, served
@@ -2184,28 +2195,35 @@ class IndexReader:
 
     def terms_enum(self, prefix: str = "", regex: str | None = None,
                    mincount: int = 1, sort: str = "count",
-                   k: int = 10) -> pa.Table:
+                   k: int = 10, ttf: bool = False) -> pa.Table:
         """TermsComponent analog (upstream Solr ``/terms`` handler:
         terms.prefix / terms.regex / terms.mincount / terms.sort /
-        terms.limit [U]): enumerate dictionary terms with their df.
-        ``sort='count'`` ranks df desc then term asc (Solr default);
-        ``sort='index'`` is plain term order. Prefix narrows via the
-        memoized sorted-vocab bisect before any regex work."""
+        terms.limit / terms.ttf [U]): enumerate dictionary terms with
+        their df. ``sort='count'`` ranks df desc then term asc (Solr
+        default); ``sort='index'`` is plain term order. Prefix narrows
+        via the memoized sorted-vocab bisect before any regex work.
+        ``ttf=True`` adds totalTermFreq from the per-row term metadata
+        — still zero postings decode."""
         terms = self.expand_prefix(prefix) if prefix else self.vocabulary()
         if regex is not None:
             import re
             pat = re.compile(regex)
             terms = [t for t in terms if pat.fullmatch(t)]
-        dfs = self._df_of(terms)
-        rows = [(t, d) for t, d in dfs.items() if d >= mincount]
+        subs = self.lookup(terms)
+        rows = [(t, self.global_df(s), self.global_cf(s))
+                for t, s in subs.items() if s]
+        rows = [r for r in rows if r[1] >= mincount]
         if sort == "count":
             rows.sort(key=lambda r: (-r[1], r[0]))
         else:
             rows.sort(key=lambda r: r[0])
         rows = rows[:k]
-        return pa.table({
-            "term": pa.array([t for t, _ in rows], type=pa.string()),
-            "df": pa.array([d for _, d in rows], type=pa.int64())})
+        out = {
+            "term": pa.array([t for t, _, _ in rows], type=pa.string()),
+            "df": pa.array([d for _, d, _ in rows], type=pa.int64())}
+        if ttf:
+            out["ttf"] = pa.array([c for _, _, c in rows], pa.int64())
+        return pa.table(out)
 
     def spellcheck(self, term: str, k: int = 5,
                    max_edits: int = 2) -> pa.Table:

@@ -1404,6 +1404,61 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+FACET_QUERIES = ['"part filter"', "merge AND window", "win*"]
+
+
+def facet_query_docs(sf_dir: str) -> pa.Table:
+    """``facet.query`` (upstream ``SimpleFacets#getFacetQueryCounts``
+    [U]): each facet.query string is parsed by the classic parser and
+    its match docset intersected with the base query's docset —
+    ``q=text:{SEARCH_FACET_TERM}&facet.query=...×3``. Docsets come
+    straight from postings (the same per-shard bitset intersection a
+    Solr coordinator does); counts are docset-sized, never scored."""
+    from engine.queryparser import Evaluator, parse
+    r = _doc_reader(sf_dir)
+    ev = Evaluator(r)
+    base, _ = ev.evaluate(parse(SEARCH_FACET_TERM))
+    keep = r._keep(base)
+    if keep is not None:
+        base = base[keep]
+    rows = []
+    for fq in FACET_QUERIES:
+        docs, _ = ev.evaluate(parse(fq))
+        n = int(np.intersect1d(base, docs, assume_unique=True).size)
+        rows.append((fq, n))
+    rows.sort()
+    return pa.table({
+        "facet_query": pa.array([q for q, _ in rows], pa.string()),
+        "n": pa.array([n for _, n in rows], pa.int64())})
+
+
+SQL_FACET_QUERY = f"""{_bm25_ctes()},
+base AS (SELECT DISTINCT doc_id FROM tf
+         WHERE term = '{SEARCH_FACET_TERM}'),
+fq_and AS (
+  SELECT doc_id FROM tf WHERE term IN ('merge', 'window')
+  GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2),
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+fq_ph AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.tok = 'part' AND b.tok = 'filter'),
+fq_wild AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'win%'),
+counts AS (
+  SELECT '"part filter"' AS facet_query,
+    (SELECT COUNT(*) FROM fq_ph JOIN base USING (doc_id))::BIGINT AS n
+  UNION ALL
+  SELECT 'merge AND window',
+    (SELECT COUNT(*) FROM fq_and JOIN base USING (doc_id))::BIGINT
+  UNION ALL
+  SELECT 'win*',
+    (SELECT COUNT(*) FROM fq_wild JOIN base USING (doc_id))::BIGINT)
+SELECT facet_query, n FROM counts ORDER BY facet_query
+"""
+
+
 def search_stats_docs(sf_dir: str) -> pa.Table:
     """Query-scoped StatsComponent (upstream ``S/handler/component/
     StatsComponent`` [U]): sum/min/max/count of the ``n_chars``
@@ -4466,6 +4521,24 @@ SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks
 WHERE term LIKE 's%' AND regexp_full_match(term, '{TERMS_REGEX}')
 GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2
 ORDER BY term LIMIT 15
+"""
+
+
+def terms_ttf_docs(sf_dir: str) -> pa.Table:
+    """``terms.ttf=true`` (upstream Solr ``/terms`` handler ttf
+    parameter → ``TermsEnum#totalTermFreq`` [U]): dictionary terms
+    with df AND total term frequency, read from the per-row term
+    metadata the shards already store — zero postings decode. Top 15
+    terms by df (count sort) over the whole dictionary."""
+    r = _doc_reader(sf_dir)
+    return r.terms_enum(sort="count", k=15, ttf=True)
+
+
+SQL_TERMS_TTF = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS ttf
+FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 15
 """
 
 
@@ -9796,6 +9869,7 @@ def queries() -> dict:
         "spellcheck_collate_topk_docs": spellcheck_collate_topk_docs,
         "score_nodes_parts": score_nodes_parts,
         "terms_component_docs": terms_component_docs,
+        "terms_ttf_docs": terms_ttf_docs,
         "collapse_expand_orders": collapse_expand_orders,
         "json_facet_nested_events": json_facet_nested_events,
         "heatmap_facet_customers": heatmap_facet_customers,
@@ -9868,6 +9942,7 @@ def queries() -> dict:
         "external_file_boost_topk": external_file_boost_topk,
         "dismax_tiebreak_topk": dismax_tiebreak_topk,
         "search_facet_docs": search_facet_docs,
+        "facet_query_docs": facet_query_docs,
         "search_stats_docs": search_stats_docs,
         "sharded_facet_docs": sharded_facet_docs,
         "knn_filtered": knn_filtered,
@@ -10048,6 +10123,7 @@ def oracle_sql() -> dict:
         "spellcheck_collate_topk_docs": sql_spellcheck_collate(),
         "score_nodes_parts": SQL_SCORE_NODES,
         "terms_component_docs": SQL_TERMS_COMPONENT,
+        "terms_ttf_docs": SQL_TERMS_TTF,
         "collapse_expand_orders": SQL_COLLAPSE_EXPAND,
         "json_facet_nested_events": SQL_JSON_FACET_NESTED,
         "heatmap_facet_customers": SQL_HEATMAP_FACET,
@@ -10120,6 +10196,7 @@ def oracle_sql() -> dict:
         "external_file_boost_topk": sql_external_file_boost(),
         "dismax_tiebreak_topk": sql_dismax_tiebreak(),
         "search_facet_docs": SQL_SEARCH_FACET,
+        "facet_query_docs": SQL_FACET_QUERY,
         "search_stats_docs": SQL_SEARCH_STATS,
         # sharded facet must equal single-node query-scoped faceting
         "sharded_facet_docs": SQL_SEARCH_FACET,

@@ -319,6 +319,19 @@ def test_terms_enum_options(reader):
     assert reader.terms_enum(prefix="zzzzqq", k=5).num_rows == 0
 
 
+def test_terms_enum_ttf_matches_decoded_tf_sum(reader):
+    # terms.ttf: the metadata cf must equal the decoded tf sum and
+    # always be >= df (every matching doc contributes >= 1)
+    t = reader.terms_enum(sort="count", k=10, ttf=True)
+    assert t.column_names == ["term", "df", "ttf"]
+    for term, df, ttf in zip(t["term"].to_pylist(),
+                             t["df"].to_pylist(), t["ttf"].to_pylist()):
+        assert ttf >= df
+        subs = reader.lookup([term])[term]
+        decoded = sum(int(s.decode_all()[1].sum()) for s in subs)
+        assert ttf == decoded
+
+
 def test_spellcheck_excludes_exact_and_caps_distance(reader):
     vocab = reader.vocabulary()
     seed = vocab[0]
