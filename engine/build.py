@@ -1231,6 +1231,48 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return int(len(ids))
 
 
+def update_numeric_docvalue(index_dir: str, term: str, field: str,
+                            value: float | int) -> int:
+    """In-place numeric DocValues update (upstream
+    ``IndexWriter#updateNumericDocValue(Term, String, long)`` /
+    ``BufferedUpdates`` → per-segment DV update generations [U]): set
+    ``field`` to ``value`` for every LIVE doc matching ``term``,
+    WITHOUT touching the immutable posting shards — exactly Lucene's
+    dvGen mechanism, where updated docvalues land in new generation
+    files stacked over the indexed base values.
+
+    Each call publishes one generation parquet (doc_id, value) plus an
+    atomic manifest commit; readers overlay generations in order
+    (later wins) on top of the base column read from the source
+    corpus. Returns the number of docs updated. At 10^12-doc scale a
+    generation shards by docID range like the delete list; the
+    manifest entry (file, n, gen) extends to a file list the same
+    way."""
+    from engine.query import IndexReader
+    man = mf.load(index_dir)
+    assert man and man["status"] == "complete", \
+        "docvalue update needs a complete index"
+    r = IndexReader(index_dir)
+    docs = r.filter_docset(term)
+    keep = r._keep(docs)
+    if keep is not None:
+        docs = docs[keep]
+    gens = (man.get("dv_updates") or {}).get(field, [])
+    gen = max((g["gen"] for g in gens), default=0) + 1
+    fname = f"dv-{field}-g{gen}.parquet"
+    tmp = os.path.join(index_dir, fname + ".tmp")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(docs, type=pa.int64()),
+        "value": pa.array(np.full(len(docs), value, dtype=np.float64)),
+    }), tmp)
+    os.replace(tmp, os.path.join(index_dir, fname))
+    dv = man.setdefault("dv_updates", {})
+    dv.setdefault(field, []).append(
+        {"file": fname, "n": int(len(docs)), "gen": gen})
+    mf.save(index_dir, man)          # the commit point
+    return int(len(docs))
+
+
 def build_stored_fields(index_dir: str) -> int:
     """Stored-fields stage (upstream ``Lucene50StoredFieldsFormat``
     ``.fdt``/``.fdx`` [U]; the second phase of distributed search,

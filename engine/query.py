@@ -2638,6 +2638,45 @@ class IndexReader:
                              "text": pa.array([], type=pa.string())})
         return pa.concat_tables(out).combine_chunks().sort_by("doc_id")
 
+    def numeric_docvalues(self, field: str,
+                          doc_ids: np.ndarray) -> np.ndarray:
+        """Numeric DocValues with in-place update generations
+        (upstream ``LeafReader#getNumericDocValues`` resolving the
+        latest dvGen [U]): base values come from the source corpus
+        column (pruned, filtered read — never a scan), then every
+        update generation published by
+        :func:`engine.build.update_numeric_docvalue` overlays in gen
+        order, later generations winning. Returns f64 values aligned
+        with ``doc_ids`` (missing docs → NaN). doc_id-mode indexes
+        only."""
+        if self.cfg.doc_id_col is None:
+            raise ValueError("numeric docvalues need a doc_id index")
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        uniq = np.unique(ids)
+        id_col = self.cfg.doc_id_col
+        vals = np.full(len(uniq), np.nan, dtype=np.float64)
+        for f in self.manifest["input_files"]:
+            self._io_reads += 1
+            t = pq.read_table(f, columns=[id_col, field],
+                              filters=[(id_col, "in", uniq.tolist())])
+            if not t.num_rows:
+                continue
+            d = t[id_col].to_numpy().astype(np.int64)
+            pos = np.searchsorted(uniq, d)
+            vals[pos] = t[field].to_numpy().astype(np.float64)
+        for g in (self.manifest.get("dv_updates") or {}).get(field, []):
+            self._io_reads += 1
+            t = pq.read_table(
+                os.path.join(self.index_dir, g["file"]),
+                filters=[("doc_id", "in", uniq.tolist())])
+            if not t.num_rows:
+                continue
+            d = t["doc_id"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(uniq, d)
+            vals[pos] = t["value"].to_numpy()
+        back = np.searchsorted(uniq, ids)
+        return vals[back]
+
     def resolve_docs(self, doc_ids: np.ndarray) -> pa.Table:
         """doc_id → (conv_id, turn_idx) via the docmap base table."""
         if self.cfg.conv_cols is None:

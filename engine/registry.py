@@ -4137,6 +4137,66 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# ------------------------------- numeric DocValues in-place update
+
+DV_VAL_1, DV_VAL_2 = 1111, 7777
+
+
+def dv_update_topk(sf_dir: str) -> pa.Table:
+    """In-place numeric DocValues update (upstream
+    ``IndexWriter#updateNumericDocValue`` → stacked per-segment dvGen
+    files [U]): set n_chars:=1111 for docs matching 'window', then
+    n_chars:=7777 for docs matching 'merge' — two generations, later
+    wins on overlap, posting shards untouched. Result: docs matching
+    'spark' ranked by the UPDATED docvalue desc (doc_id tie-break)."""
+    import shutil as _sh
+
+    from engine.build import update_numeric_docvalue
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|dvup|v1".encode()).hexdigest()[:12]
+    idx = os.path.join("/tmp/rayindex_cache", "dvup_" + key)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    man = mf.load(idx)
+    gens = ((man or {}).get("dv_updates") or {}).get("n_chars", [])
+    if not (man and man.get("status") == "complete" and len(gens) == 2):
+        if os.path.exists(idx):
+            _sh.rmtree(idx)
+        build_index([base], idx, cfg)
+        update_numeric_docvalue(idx, "window", "n_chars", DV_VAL_1)
+        update_numeric_docvalue(idx, "merge", "n_chars", DV_VAL_2)
+    r = IndexReader(idx)
+    docs = r.filter_docset("spark")
+    keep = r._keep(docs)
+    if keep is not None:
+        docs = docs[keep]
+    dv = r.numeric_docvalues("n_chars", docs)
+    order = np.lexsort((docs, -dv))[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        "doc_id": pa.array(docs[order], type=pa.int64()),
+        "dv": pa.array(dv[order].astype(np.int64), type=pa.int64())})
+
+
+SQL_DV_UPDATE = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+w AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window'),
+g AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),
+vals AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id IN (SELECT doc_id FROM g) THEN {DV_VAL_2}
+         WHEN d.doc_id IN (SELECT doc_id FROM w) THEN {DV_VAL_1}
+         ELSE d.n_chars END::BIGINT AS dv
+  FROM documents d JOIN m USING (doc_id))
+SELECT (ROW_NUMBER() OVER (ORDER BY dv DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, dv FROM vals ORDER BY dv DESC, doc_id LIMIT 10
+"""
+
+
 # ----------------------------------- delete-folding forceMerge
 
 FOLD_MOD = 25
@@ -9845,6 +9905,7 @@ def queries() -> dict:
         "stratified_sample_docs": stratified_sample_docs,
         "knn_ivf_docs": knn_ivf_docs,
         "force_merge_deletes_topk": force_merge_deletes_topk,
+        "dv_update_topk": dv_update_topk,
         "classic_tfidf_topk": classic_tfidf_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
@@ -10100,6 +10161,7 @@ def oracle_sql() -> dict:
         "stratified_sample_docs": SQL_STRATIFIED,
         "knn_ivf_docs": SQL_KNN_COSINE,
         "force_merge_deletes_topk": sql_fold_deletes(),
+        "dv_update_topk": SQL_DV_UPDATE,
         "classic_tfidf_topk": sql_classic_tfidf(),
         "lm_dirichlet_topk": sql_lm_dirichlet(),
         "lm_jm_topk": sql_lm_jm(),

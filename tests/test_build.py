@@ -816,3 +816,55 @@ def test_preloaded_reader_is_point_in_time_snapshot(
     assert new.brute_force_topk("common", 1000)["total_hits"][0] \
         .as_py() == 400
     assert new.brute_force_topk("snapword2", 10).num_rows > 0
+
+
+def test_numeric_docvalue_update(ray_session, tmp_path_factory):
+    """updateNumericDocValue: generations stack (later wins), deleted
+    docs are skipped at update time, postings/scores stay untouched,
+    and unmatched doc_ids resolve to NaN."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import (IndexConfig, build_index, delete_docs,
+                              update_numeric_docvalue)
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("dvup")
+    n = 120
+    rng = np.random.default_rng(7)
+    words = np.array(["alpha", "beta", "gamma", "delta"], dtype=object)
+    texts = [" ".join(words[rng.integers(0, 4, size=6)])
+             for _ in range(n)]
+    texts[0] = "alpha beta"          # pin membership for assertions
+    texts[1] = "alpha"
+    texts[2] = "beta"
+    texts[3] = "gamma"
+    f = str(root / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "size": pa.array(np.arange(n, dtype=np.int64) * 10),
+    }), f)
+    idx = str(root / "idx")
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9)
+    build_index([f], idx, cfg)
+    delete_docs(idx, [1])            # deleted doc must not be updated
+
+    before = IndexReader(idx).topk("alpha beta gamma", 20)
+    assert update_numeric_docvalue(idx, "alpha", "size", 500) > 0
+    assert update_numeric_docvalue(idx, "beta", "size", 900) > 0
+
+    r = IndexReader(idx)
+    got = r.numeric_docvalues("size", np.array([0, 1, 2, 3, n + 5]))
+    assert got[0] == 900             # alpha+beta: later generation wins
+    assert got[1] == 10              # deleted before update: base value
+    assert got[2] == 900             # beta only
+    assert got[3] == 30              # untouched doc: base value
+    assert np.isnan(got[4])          # unknown doc_id
+    # posting shards untouched: identical scores after two dv gens
+    after = r.topk("alpha beta gamma", 20)
+    assert after.equals(before)
+    # two generations recorded in the manifest
+    assert len(r.manifest["dv_updates"]["size"]) == 2
