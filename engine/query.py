@@ -1147,6 +1147,59 @@ class IndexReader:
             return _topdocs_table([], [])
         return self.boolean_topk(should=matches, k=k)
 
+    def fuzzy_blended_topk(self, term: str, k: int = 10,
+                           max_edits: int = 1,
+                           max_expansions: int = 50,
+                           transpositions: bool = False) -> pa.Table:
+        """FuzzyQuery's DEFAULT rewrite (upstream ``FuzzyQuery`` →
+        ``MultiTermQuery.TopTermsBlendedFreqScoringRewrite`` [U]):
+        each expansion carries the ``FuzzyTermsEnum`` similarity boost
+        ``1 - editDistance / min(|query|, |term|)``, only the top
+        ``max_expansions`` by (boost desc, term asc) survive, and every
+        kept clause is scored with the BLENDED document frequency —
+        df := max over kept terms — so closer variants dominate via
+        boost, not df accidents. Sum of boosted clause scores
+        (BooleanQuery SHOULD of BoostQuery(TermQuery))."""
+        dist = _osa_distance if transpositions else _levenshtein
+        cands: list[tuple[str, np.float32]] = []
+        for t in self.vocabulary():
+            ed = dist(term, t, max_edits)
+            if ed <= max_edits:
+                m = min(len(term), len(t))
+                boost = np.float32(1.0 - ed / m) if m else np.float32(1.0)
+                cands.append((t, boost))
+        cands.sort(key=lambda x: (-float(x[1]), x[0]))
+        cands = cands[:max_expansions]
+        if not cands:
+            return _topdocs_table([], [])
+        subs = self.lookup([t for t, _ in cands])
+        clause = {t: (b, self._clause_arrays(t, subs[t]))
+                  for t, b in cands if subs[t]}
+        if not clause:
+            return _topdocs_table([], [])
+        w0 = idf(self.N, max(len(c[1][0]) for c in clause.values()))
+        cand = np.unique(np.concatenate(
+            [c[1][0] for c in clause.values()]))
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        if not len(cand):
+            return _topdocs_table([], [])
+        sums = np.zeros(len(cand), dtype=np.float64)
+        for t, (boost, (docs, tfs, norms)) in sorted(clause.items()):
+            w = np.float32(boost * w0)
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            sc = _clause_scores(tfs[idx[hit]], norms[idx[hit]], w,
+                                self.cache)
+            sums[hit] += sc.astype(np.float64)
+        final = sums.astype(np.float32)
+        pos = final > 0
+        cand, final = cand[pos], final[pos]
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order],
+                              total=int(pos.sum()))
+
     def boosted_topk(self, weighted_terms: dict[str, float],
                      k: int = 10) -> pa.Table:
         """BoostQuery per clause (upstream ``L/search/BoostQuery.java``

@@ -1002,6 +1002,59 @@ SQL_FUZZY = _sql_disjunction(
     10)
 
 
+FUZZY_BLEND_TERM = "part"
+FUZZY_BLEND_EDITS = 2
+FUZZY_MAX_EXPANSIONS = 3
+
+
+def fuzzy_blended_topk_docs(sf_dir: str) -> pa.Table:
+    """FuzzyQuery's default ``TopTermsBlendedFreqScoringRewrite``
+    (upstream [U]): ed≤2 expansions of '{FUZZY_BLEND_TERM}' boosted by
+    ``1 - ed/min(|q|,|t|)``, only the top {FUZZY_MAX_EXPANSIONS} by
+    (boost desc, term asc) kept — the cut binds on this corpus — and
+    every kept clause scored with the blended (max) df."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.fuzzy_blended_topk(
+        FUZZY_BLEND_TERM, k=10, max_edits=FUZZY_BLEND_EDITS,
+        max_expansions=FUZZY_MAX_EXPANSIONS))
+
+
+SQL_FUZZY_BLENDED = f"""{_bm25_ctes()},
+exp AS (
+  SELECT term, levenshtein(term, '{FUZZY_BLEND_TERM}') AS ed,
+         COUNT(DISTINCT doc_id)::DOUBLE AS df
+  FROM tf GROUP BY term
+  HAVING levenshtein(term, '{FUZZY_BLEND_TERM}') <= {FUZZY_BLEND_EDITS}),
+kept AS (
+  SELECT term, df,
+    CAST(1.0 - ed::DOUBLE /
+         LEAST(length(term), {len(FUZZY_BLEND_TERM)}) AS FLOAT) AS boost
+  FROM exp
+  QUALIFY ROW_NUMBER() OVER (ORDER BY boost DESC, term)
+    <= {FUZZY_MAX_EXPANSIONS}),
+bl AS (SELECT MAX(df) AS bdf FROM kept),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(
+      CAST(k.boost::DOUBLE *
+           CAST(ln(1 + (s.n - b.bdf + 0.5) / (b.bdf + 0.5))
+                AS FLOAT)::DOUBLE AS FLOAT)::DOUBLE
+      *
+      CAST(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS sc
+  FROM kept k JOIN tf ON tf.term = k.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s CROSS JOIN bl b),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def regexp_topk(sf_dir: str) -> pa.Table:
     """RegexpQuery (full-match) with scoring rewrite."""
     r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
@@ -9820,6 +9873,7 @@ def queries() -> dict:
         "index_sort_field_topk": index_sort_field_topk,
         "search_after_page2": search_after_page2,
         "fuzzy_topk": fuzzy_topk,
+        "fuzzy_blended_topk_docs": fuzzy_blended_topk_docs,
         "regexp_topk": regexp_topk,
         "boosted_topk": boosted_topk,
         "constant_score_topk": constant_score_topk,
@@ -10079,6 +10133,7 @@ def oracle_sql() -> dict:
         "index_sort_field_topk": SQL_INDEX_SORT_FIELD,
         "search_after_page2": sql_search_after(),
         "fuzzy_topk": SQL_FUZZY,
+        "fuzzy_blended_topk_docs": SQL_FUZZY_BLENDED,
         "regexp_topk": SQL_REGEXP,
         "boosted_topk": sql_boosted(),
         "constant_score_topk": SQL_CONSTANT_SCORE,

@@ -1072,3 +1072,50 @@ def test_index_sorted_topk_early_termination(ray_session, tmp_path):
     r2 = IndexReader(idx)
     t2 = r2.index_sorted_topk("common", k=5)
     assert t2["doc_id"].to_pylist() == [130, 131, 132, 133, 134]
+
+
+def test_fuzzy_blended_rewrite(reader):
+    """TopTermsBlendedFreqScoringRewrite: exact-only expansion equals
+    the plain term query bit-for-bit (boost 1, blended df = own df);
+    with edits, every expansion scores under the blended max df and
+    the max_expansions cut binds."""
+    import numpy as np
+
+    from engine.query import _levenshtein, idf
+
+    t = reader.analyzer.query_terms("running")[0]   # dictionary form
+    exact = reader.fuzzy_blended_topk(t, k=10, max_edits=0)
+    plain = reader.brute_force_topk(t, 10)
+    assert exact["doc_id"].to_pylist() == plain["doc_id"].to_pylist()
+    assert exact["score"].to_pylist() == plain["score"].to_pylist()
+
+    # expansions within ed<=2 on the smoke vocab
+    cands = [v for v in reader.vocabulary()
+             if _levenshtein(t, v, 2) <= 2]
+    assert len(cands) >= 2, "smoke vocab must give >1 expansion"
+    full = reader.fuzzy_blended_topk(t, k=1000, max_edits=2)
+    cut = reader.fuzzy_blended_topk(t, k=1000, max_edits=2,
+                                    max_expansions=1)
+    # the cut keeps only the exact term (boost 1 ranks first), so the
+    # blended df collapses to its own df: bit-identical to plain
+    plain_full = reader.brute_force_topk(t, 1000)
+    assert cut["doc_id"].to_pylist() == plain_full["doc_id"].to_pylist()
+    assert cut["score"].to_pylist() == plain_full["score"].to_pylist()
+    # blended df >= own df so the exact term's clause weight can only
+    # shrink: full-expansion score of a doc matching only the exact
+    # term is <= its plain term score
+    dfs = {v: reader.global_df(reader.lookup([v])[v]) for v in cands}
+    assert max(dfs.values()) >= dfs[t]
+    if max(dfs.values()) > dfs[t]:
+        pd = dict(zip(plain["doc_id"].to_pylist(),
+                      plain["score"].to_pylist()))
+        fd = dict(zip(full["doc_id"].to_pylist(),
+                      full["score"].to_pylist()))
+        others = set()
+        for v in cands:
+            if v != t:
+                subs = reader.lookup([v])[v]
+                others |= set(reader._clause_arrays(v, subs)[0].tolist())
+        only_exact = [d for d in pd if d not in others]
+        assert only_exact, "need a doc matching only the exact term"
+        assert all(fd[d] <= pd[d] for d in only_exact if d in fd)
