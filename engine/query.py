@@ -2418,6 +2418,56 @@ class IndexReader:
             "snippet_idx": pa.array(out_idx, pa.int64()),
             "snippet": pa.array(out_snip, pa.string())})
 
+    def highlight_ranked_topk(self, query_text: str, k: int = 10,
+                              window: int = 8, n_passages: int = 2,
+                              pivot: int = 87) -> pa.Table:
+        """Ranked-passage highlighting (upstream ``UnifiedHighlighter``
+        → ``PassageScorer`` [U]): passages are ranked by relevance, not
+        document order. Conformance restatement (documented boundary —
+        upstream segments with a sentence ``BreakIterator``; we use
+        fixed ``window``-token segments so the oracle is replayable):
+        per segment, ``score = (1 + 1/ln(pivot + start)) ×
+        Σ_{unique query terms} sqrt(tf_in_segment) · idf_f32`` — the
+        upstream tf=sqrt(freq), BM25-idf term weight and the
+        start-offset pivot norm (PassageScorer's default pivot=87),
+        computed f64 with ONE f32 cast. Top ``n_passages`` segments per
+        top-k doc by (score desc, segment asc); one row per
+        (doc, passage_rank)."""
+        top = self.topk(query_text, k)
+        ids = top["doc_id"].to_numpy()
+        qterms = sorted(set(self.analyzer.query_terms(query_text)))
+        dfs = self._df_of(qterms)
+        wts = {t: float(idf(self.N, d)) for t, d in dfs.items()}
+        stored = self.fetch_docs(ids)
+        text_by_id = dict(zip(stored["doc_id"].to_pylist(),
+                              stored["text"].to_pylist()))
+        rows: list[tuple] = []
+        for r_i in range(top.num_rows):
+            d = int(ids[r_i])
+            toks = [t for t, _ in self.analyzer.analyze_text(
+                text_by_id.get(d, ""))]
+            segs: dict[int, dict[str, int]] = {}
+            for i, t in enumerate(toks):
+                if t in wts:
+                    segs.setdefault(i // window, {})
+                    segs[i // window][t] = segs[i // window].get(t, 0) + 1
+            scored = []
+            for s, tf_by_t in segs.items():
+                norm = 1.0 + 1.0 / np.log(pivot + s * window)
+                tot = sum(np.sqrt(float(n)) * wts[t]
+                          for t, n in sorted(tf_by_t.items()))
+                scored.append((s, np.float32(norm * tot)))
+            scored.sort(key=lambda x: (-float(x[1]), x[0]))
+            for p_i, (s, sc) in enumerate(scored[:n_passages]):
+                rows.append((top["rank"][r_i].as_py(), d, p_i, sc,
+                             " ".join(toks[s * window:(s + 1) * window])))
+        return pa.table({
+            "rank": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "passage_rank": pa.array([r[2] for r in rows], pa.int64()),
+            "pscore": pa.array([r[3] for r in rows], pa.float32()),
+            "passage": pa.array([r[4] for r in rows], pa.string())})
+
     def similarity_topk(self, query_text: str, k: int = 10,
                         similarity: str = "classic") -> pa.Table:
         """Pluggable Similarity (upstream ``Similarity`` SPI,

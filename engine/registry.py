@@ -3249,6 +3249,66 @@ ORDER BY t.rank, s.snippet_idx
 """
 
 
+HLR_WINDOW = 8
+HLR_PIVOT = 87
+
+
+def highlight_ranked_docs(sf_dir: str) -> pa.Table:
+    """Ranked-passage highlighting (upstream ``UnifiedHighlighter`` →
+    ``PassageScorer`` [U]): top-2 passages per top-10 doc ranked by
+    the passage relevance score (sqrt-tf × BM25-idf term weights ×
+    start-pivot norm), not document order."""
+    r = _doc_reader(sf_dir, stored=True)
+    return r.highlight_ranked_topk(BJ_QUERY, k=10, window=HLR_WINDOW,
+                                   n_passages=2, pivot=HLR_PIVOT)
+
+
+def sql_highlight_ranked() -> str:
+    terms = BJ_QUERY.split()
+    qsql = "SELECT unnest([" + ",".join(f"'{t}'" for t in terms) \
+        + "]) AS term"
+    tl = ",".join(f"'{t}'" for t in terms)
+    w, pv = HLR_WINDOW, HLR_PIVOT
+    return f"""{_sql_scored(qsql)},
+topk AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank, doc_id
+  FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+hdf AS (
+  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf
+  WHERE term IN ({tl}) GROUP BY term),
+hpos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+hocc AS (
+  SELECT h.doc_id, (h.p // {w})::BIGINT AS seg, h.tok,
+         COUNT(*)::DOUBLE AS tfp
+  FROM hpos h JOIN topk USING (doc_id)
+  WHERE h.tok IN ({tl})
+  GROUP BY h.doc_id, seg, h.tok),
+hsc AS (
+  SELECT o.doc_id, o.seg,
+    CAST((1 + 1 / ln({pv} + o.seg * {w})) *
+         SUM(sqrt(o.tfp) *
+             CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                  AS FLOAT)::DOUBLE)
+         AS FLOAT) AS pscore
+  FROM hocc o JOIN hdf d ON d.term = o.tok CROSS JOIN stats s
+  GROUP BY o.doc_id, o.seg),
+hrank AS (
+  SELECT doc_id, seg, pscore,
+    (ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY pscore DESC, seg) - 1)::BIGINT AS passage_rank
+  FROM hsc)
+SELECT t.rank, t.doc_id, h.passage_rank, h.pscore,
+  array_to_string(ts[h.seg * {w} + 1 : h.seg * {w} + {w}], ' ')
+    AS passage
+FROM topk t JOIN hrank h USING (doc_id) JOIN toks USING (doc_id)
+WHERE h.passage_rank < 2
+ORDER BY t.rank, h.passage_rank
+"""
+
+
 def blockjoin_topk_docs(sf_dir: str) -> pa.Table:
     """ToParentBlockJoinQuery(ScoreMode.Max) analog (upstream
     ``lucene/join`` [U]): children = docs scored by the query, parents
@@ -9930,6 +9990,7 @@ def queries() -> dict:
         "mlt_topk": mlt_topk,
         "highlight_topk_docs": highlight_topk_docs,
         "highlight_snippets_docs": highlight_snippets_docs,
+        "highlight_ranked_docs": highlight_ranked_docs,
         "cluster_results_docs": cluster_results_docs,
         "blockjoin_topk_docs": blockjoin_topk_docs,
         "child_transform_docs": child_transform_docs,
@@ -10187,6 +10248,7 @@ def oracle_sql() -> dict:
         "mlt_topk": sql_mlt(),
         "highlight_topk_docs": sql_highlight(),
         "highlight_snippets_docs": sql_highlight_snippets(),
+        "highlight_ranked_docs": sql_highlight_ranked(),
         "cluster_results_docs": sql_cluster_results(),
         "blockjoin_topk_docs": sql_blockjoin(),
         "child_transform_docs": sql_child_transform(),
