@@ -1902,6 +1902,39 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def json_facet_stats_events(sf_dir: str) -> pa.Table:
+    """JSON Facet API per-bucket ``unique()`` + ``percentile()`` stats
+    (upstream ``S/search/facet/UniqueAgg`` / ``PercentileAgg`` [U]):
+    each event_type bucket carries count, unique(user_id) — exact
+    (upstream switches to HLL above 100 values; the exact path is the
+    oracle-checkable one) — and percentile(value, 50). One grouped
+    shuffle; per-group kernels are vectorized Arrow/numpy."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def stats(g: pa.Table) -> pa.Table:
+        v = g["value"].to_numpy()
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "n": pa.array([g.num_rows], pa.int64()),
+            "unique_users": pa.array(
+                [pc.count_distinct(g["user_id"]).as_py()], pa.int64()),
+            "p50_value": pa.array(
+                [round(float(np.percentile(v, 50)), 6)], pa.float64())})
+
+    t = _to_table(ds.groupby("event_type")
+                  .map_groups(stats, batch_format="pyarrow"))
+    return t.sort_by("event_type")
+
+
+SQL_JSON_FACET_STATS = """
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       COUNT(DISTINCT user_id)::BIGINT AS unique_users,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+         AS p50_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def facet_range_orders(sf_dir: str) -> pa.Table:
     """Range faceting: fixed-width price buckets (upstream range
     facets, ``S/request/SimpleFacets`` [U])."""
@@ -9939,6 +9972,7 @@ def queries() -> dict:
         "constant_score_topk": constant_score_topk,
         "req_opt_topk": req_opt_topk,
         "facet_range_orders": facet_range_orders,
+        "json_facet_stats_events": json_facet_stats_events,
         "rollup_events": rollup_events,
         "facet_docs": facet_docs,
         "topk_orders": topk_orders,
@@ -10200,6 +10234,7 @@ def oracle_sql() -> dict:
         "constant_score_topk": SQL_CONSTANT_SCORE,
         "req_opt_topk": SQL_REQ_OPT,
         "facet_range_orders": SQL_FACET_RANGE,
+        "json_facet_stats_events": SQL_JSON_FACET_STATS,
         "rollup_events": SQL_ROLLUP_EVENTS,
         "facet_docs": SQL_FACET_DOCS,
         "topk_orders": SQL_TOPK_ORDERS,
