@@ -4283,6 +4283,45 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# ------------------------------------- IndexUpgrader codec migration
+
+
+def upgrade_codec_topk(sf_dir: str) -> pa.Table:
+    """IndexUpgrader analog (upstream ``L/index/IndexUpgrader`` [U]):
+    the index is BUILT under the vbyte codec, then migrated in place
+    to the FOR bitpacked codec — decode once, re-encode, atomic
+    generation swap, no re-analysis — and queried. Scores must equal
+    the plain corpus BM25 oracle bit-for-bit (codec-invariant)."""
+    import shutil as _sh
+
+    from engine.build import upgrade_codec
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|upcodec|v1".encode()).hexdigest()[:12]
+    idx = os.path.join("/tmp/rayindex_cache", "upcodec_" + key)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    man = mf.load(idx)
+    cur = (IndexConfig.from_json(man["config"]).postings_codec
+           if man and man.get("status") == "complete" else None)
+    if cur != "for":
+        if os.path.exists(idx):
+            _sh.rmtree(idx)
+        cfg.postings_codec = "vbyte"
+        build_index([base], idx, cfg)
+        upgrade_codec(idx, "for")
+    r = IndexReader(idx)
+    return _topdocs_out(r.topk(BM25_QUERY, 10))
+
+
+def sql_upgrade_codec() -> str:
+    qterms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return _sql_disjunction(qterms, 10)
+
+
 # ------------------------------- numeric DocValues in-place update
 
 DV_VAL_1, DV_VAL_2 = 1111, 7777
@@ -10055,6 +10094,7 @@ def queries() -> dict:
         "knn_ivf_docs": knn_ivf_docs,
         "force_merge_deletes_topk": force_merge_deletes_topk,
         "dv_update_topk": dv_update_topk,
+        "upgrade_codec_topk": upgrade_codec_topk,
         "classic_tfidf_topk": classic_tfidf_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
@@ -10314,6 +10354,7 @@ def oracle_sql() -> dict:
         "knn_ivf_docs": SQL_KNN_COSINE,
         "force_merge_deletes_topk": sql_fold_deletes(),
         "dv_update_topk": SQL_DV_UPDATE,
+        "upgrade_codec_topk": sql_upgrade_codec(),
         "classic_tfidf_topk": sql_classic_tfidf(),
         "lm_dirichlet_topk": sql_lm_dirichlet(),
         "lm_jm_topk": sql_lm_jm(),

@@ -868,3 +868,46 @@ def test_numeric_docvalue_update(ray_session, tmp_path_factory):
     assert after.equals(before)
     # two generations recorded in the manifest
     assert len(r.manifest["dv_updates"]["size"]) == 2
+
+
+def test_upgrade_codec_roundtrip(ray_session, tmp_path_factory):
+    """IndexUpgrader analog: vbyte -> FOR -> vbyte migration keeps
+    every query family bit-identical (BM25, phrase positions, deletes
+    masked), flips the manifest codec atomically, and leaves delete
+    generations intact. check_index green after each hop."""
+    from engine.build import IndexConfig, build_index, delete_docs, upgrade_codec
+    from engine.check import check_index
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("upcodec")
+    corpus = str(root / "corpus")
+    write_transcripts(corpus, n_convs=120, seed=11, n_files=2)
+    idx = str(root / "idx")
+    build_index(corpus, idx, IndexConfig(
+        n_buckets=2, hot_df_threshold=80, n_salts=2))
+    delete_docs(idx, [3, 17])
+
+    r0 = IndexReader(idx)
+    assert r0._codec == "vbyte"
+    base_top = r0.topk("running connection index", 25)
+    base_ph = r0.phrase_topk("running connection", 25)
+
+    info = upgrade_codec(idx, "for")
+    assert info["migrated_files"] > 0
+    check_index(idx)
+    r1 = IndexReader(idx)
+    assert r1._codec == "for"
+    assert r1.topk("running connection index", 25).equals(base_top)
+    assert r1.phrase_topk("running connection", 25).equals(base_ph)
+    # deletes generation survived the swap
+    assert r1.manifest["deletes"]["n"] == 2
+
+    # no-op when already in the target codec
+    assert upgrade_codec(idx, "for")["migrated_files"] == 0
+
+    upgrade_codec(idx, "vbyte")
+    check_index(idx)
+    r2 = IndexReader(idx)
+    assert r2._codec == "vbyte"
+    assert r2.topk("running connection index", 25).equals(base_top)
+    assert r2.phrase_topk("running connection", 25).equals(base_ph)
