@@ -1132,17 +1132,30 @@ class IndexReader:
 
     def fuzzy_topk(self, term: str, k: int = 10,
                    max_edits: int = 1,
-                   transpositions: bool = False) -> pa.Table:
+                   transpositions: bool = False,
+                   prefix_len: int = 0) -> pa.Table:
         """FuzzyQuery with scoring rewrite (upstream
         ``L/search/FuzzyQuery.java`` [U]; automaton intersection ≡
         a vocab scan here — the dictionary is small relative to the
         corpus): terms within edit distance ≤ max_edits.
         ``transpositions=True`` uses OSA distance (adjacent swap = one
         edit) — Lucene's constructor DEFAULT; False is plain
-        Levenshtein (``transpositions=false``)."""
+        Levenshtein (``transpositions=false``). ``prefix_len`` is
+        upstream ``prefixLength``: candidates must share the first
+        ``prefix_len`` chars literally (bisect range scan, no distance
+        work inside the prefix) and the edit distance is measured on
+        the remaining suffixes — exactly the upstream
+        ``FuzzyTermsEnum`` prefix+suffix-automaton split."""
         dist = _osa_distance if transpositions else _levenshtein
-        matches = [t for t in self.vocabulary()
-                   if dist(term, t, max_edits) <= max_edits]
+        if prefix_len > 0:
+            pre, q_suf = term[:prefix_len], term[prefix_len:]
+            cands = self.expand_prefix(pre)
+            matches = [t for t in cands
+                       if dist(q_suf, t[prefix_len:], max_edits)
+                       <= max_edits]
+        else:
+            matches = [t for t in self.vocabulary()
+                       if dist(term, t, max_edits) <= max_edits]
         if not matches:
             return _topdocs_table([], [])
         return self.boolean_topk(should=matches, k=k)

@@ -1002,6 +1002,21 @@ SQL_FUZZY = _sql_disjunction(
     10)
 
 
+def fuzzy_prefix_topk_docs(sf_dir: str) -> pa.Table:
+    """FuzzyQuery ``prefixLength`` (upstream ``FuzzyQuery(term,
+    maxEdits, prefixLength)`` [U]): candidates share the literal
+    first char with 'part' (dictionary bisect range scan) and edit
+    distance ≤ 2 is measured on the suffixes only."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.fuzzy_topk("part", k=10, max_edits=2,
+                                     prefix_len=1))
+
+
+SQL_FUZZY_PREFIX = _sql_disjunction(
+    "SELECT DISTINCT term FROM tf WHERE term LIKE 'p%' "
+    "AND levenshtein(substr(term, 2), 'art') <= 2", 10)
+
+
 FUZZY_BLEND_TERM = "part"
 FUZZY_BLEND_EDITS = 2
 FUZZY_MAX_EXPANSIONS = 3
@@ -10006,6 +10021,7 @@ def queries() -> dict:
         "search_after_page2": search_after_page2,
         "fuzzy_topk": fuzzy_topk,
         "fuzzy_blended_topk_docs": fuzzy_blended_topk_docs,
+        "fuzzy_prefix_topk_docs": fuzzy_prefix_topk_docs,
         "regexp_topk": regexp_topk,
         "boosted_topk": boosted_topk,
         "constant_score_topk": constant_score_topk,
@@ -10269,6 +10285,7 @@ def oracle_sql() -> dict:
         "search_after_page2": sql_search_after(),
         "fuzzy_topk": SQL_FUZZY,
         "fuzzy_blended_topk_docs": SQL_FUZZY_BLENDED,
+        "fuzzy_prefix_topk_docs": SQL_FUZZY_PREFIX,
         "regexp_topk": SQL_REGEXP,
         "boosted_topk": sql_boosted(),
         "constant_score_topk": SQL_CONSTANT_SCORE,

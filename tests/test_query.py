@@ -1119,3 +1119,24 @@ def test_fuzzy_blended_rewrite(reader):
         only_exact = [d for d in pd if d not in others]
         assert only_exact, "need a doc matching only the exact term"
         assert all(fd[d] <= pd[d] for d in only_exact if d in fd)
+
+
+def test_fuzzy_prefix_length(reader):
+    """prefixLength: candidates must share the literal prefix; edits
+    measured on suffixes only. The prefix must actually exclude some
+    ed-2 neighbor on the smoke vocab."""
+    from engine.query import _levenshtein
+
+    t = reader.analyzer.query_terms("running")[0]
+    all_m = {v for v in reader.vocabulary() if _levenshtein(t, v, 2) <= 2}
+    pre_m = {v for v in reader.vocabulary()
+             if v.startswith(t[:1])
+             and _levenshtein(t[1:], v[1:], 2) <= 2}
+    full = reader.fuzzy_topk(t, k=10_000, max_edits=2)
+    pref = reader.fuzzy_topk(t, k=10_000, max_edits=2, prefix_len=1)
+    assert set(pref["doc_id"].to_pylist()) <= set(full["doc_id"].to_pylist())
+    # expansion sets line up with the direct recount
+    want = reader.boolean_topk(should=sorted(pre_m), k=10_000)
+    assert pref.equals(want)
+    if all_m - {v for v in all_m if v.startswith(t[:1])}:
+        assert pre_m < all_m
