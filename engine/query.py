@@ -968,6 +968,71 @@ class IndexReader:
                            min_should_match=min_should_match,
                            default_op=default_op)
 
+    def time_limited_topk(self, query_text: str, k: int = 10,
+                          max_blocks: int = 1) -> pa.Table:
+        """Time-limited collection with partial results (upstream
+        ``L/search/TimeLimitingCollector`` / Solr ``timeAllowed`` →
+        ``partialResults=true`` [U]). Deterministic conformance
+        restatement (documented boundary — a wall-clock budget is not
+        replayable): the budget is expressed in decoded posting
+        BLOCKS. Each clause scores only its first ``max_blocks``
+        blocks per sub-list — the docID-ordered traversal prefix a
+        timed-out doc-at-a-time scorer would have seen — and later
+        blocks are never decoded. Clause weights use the FULL index
+        stats (Lucene weights are built before collection starts);
+        collected docs score normally (f64 sums of f32 clause scores,
+        one f32 cast). ``partial`` is true iff any clause was
+        truncated; total_hits is the collected count (a lower bound,
+        like the timed-out collector's)."""
+        terms = self.analyzer.query_terms(query_text)
+        if not terms:
+            t = _topdocs_table([], [])
+            return t.append_column("partial", pa.array([], pa.bool_()))
+        subs = self.lookup(terms)
+        partial = False
+        clauses: list[tuple[np.ndarray, np.ndarray]] = []
+        for t in terms:                       # duplicates score twice
+            sl = subs[t]
+            if not sl:
+                continue
+            w = idf(self.N, self.global_df(sl))
+            for s in sl:
+                nb = min(s.n_blocks, max_blocks)
+                if nb < s.n_blocks:
+                    partial = True
+                docs_l, tfs_l = [], []
+                for b in range(nb):
+                    d, f = s.decode_block(b)
+                    docs_l.append(d)
+                    tfs_l.append(f)
+                if not docs_l:
+                    continue
+                docs = np.concatenate(docs_l)
+                tfs = np.concatenate(tfs_l)
+                norms = s.norms[:len(docs)]
+                clauses.append(
+                    (docs, _clause_scores(tfs, norms, w, self.cache)))
+        if not clauses:
+            t = _topdocs_table([], [])
+            return t.append_column("partial", pa.array([], pa.bool_()))
+        cand = np.unique(np.concatenate([c[0] for c in clauses]))
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        sums = np.zeros(len(cand), dtype=np.float64)
+        for docs, sc in clauses:
+            idx = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            hit = docs[idx] == cand
+            sums[hit] += sc[idx[hit]].astype(np.float64)
+        final = sums.astype(np.float32)
+        pos = final > 0
+        cand, final = cand[pos], final[pos]
+        order = np.lexsort((cand, -final))[:k]
+        t = _topdocs_table(cand[order], final[order],
+                           total=int(pos.sum()))
+        return t.append_column(
+            "partial", pa.array([partial] * t.num_rows, pa.bool_()))
+
     def search_after(self, query_text: str, k: int, after_rank: int,
                      strategy: str = "auto") -> pa.Table:
         """searchAfter pagination (upstream ``TopFieldCollector``

@@ -4298,6 +4298,62 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# ---------------------------- timeAllowed / TimeLimitingCollector
+
+TA_BLOCKS = 1            # block budget: first 128 postings per clause
+
+
+def time_allowed_topk_docs(sf_dir: str) -> pa.Table:
+    """timeAllowed partial results (upstream
+    ``TimeLimitingCollector`` / Solr partialResults [U], deterministic
+    block-budget restatement): each clause scores only its first
+    {TA_BLOCKS} posting block(s) — the docID-ordered traversal prefix
+    — with full-index weights; partial=true flags the truncation."""
+    r = _doc_reader(sf_dir)
+    t = r.time_limited_topk(BM25_QUERY, k=10, max_blocks=TA_BLOCKS)
+    t = t.select(["rank", "doc_id", "score", "partial"])
+    return _cast_col(t, "rank", pa.int64())
+
+
+def sql_time_allowed() -> str:
+    budget = TA_BLOCKS * 128
+    tl = ",".join(f"'{t}'" for t in BM25_QUERY.lower().split())
+    return f"""{_bm25_ctes()},
+qterms AS (SELECT unnest([{tl}]) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+pref AS (
+  SELECT doc_id, term, tf FROM (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           ROW_NUMBER() OVER (PARTITION BY tf.term
+                              ORDER BY tf.doc_id) AS rn
+    FROM qterms q JOIN tf ON tf.term = q.term)
+  WHERE rn <= {budget}),
+contrib AS (
+  SELECT p.doc_id,
+    CAST(
+      CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+      *
+      CAST(p.tf / (p.tf + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS sc
+  FROM pref p JOIN dfs d ON d.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN stats s),
+flag AS (
+  SELECT MAX(CASE WHEN d.df > {budget} THEN 1 ELSE 0 END) = 1
+    AS partial FROM dfs d),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, score, f.partial
+FROM scored CROSS JOIN flag f WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ------------------------------------- IndexUpgrader codec migration
 
 
@@ -10111,6 +10167,7 @@ def queries() -> dict:
         "force_merge_deletes_topk": force_merge_deletes_topk,
         "dv_update_topk": dv_update_topk,
         "upgrade_codec_topk": upgrade_codec_topk,
+        "time_allowed_topk_docs": time_allowed_topk_docs,
         "classic_tfidf_topk": classic_tfidf_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
@@ -10372,6 +10429,7 @@ def oracle_sql() -> dict:
         "force_merge_deletes_topk": sql_fold_deletes(),
         "dv_update_topk": SQL_DV_UPDATE,
         "upgrade_codec_topk": sql_upgrade_codec(),
+        "time_allowed_topk_docs": sql_time_allowed(),
         "classic_tfidf_topk": sql_classic_tfidf(),
         "lm_dirichlet_topk": sql_lm_dirichlet(),
         "lm_jm_topk": sql_lm_jm(),

@@ -1140,3 +1140,27 @@ def test_fuzzy_prefix_length(reader):
     assert pref.equals(want)
     if all_m - {v for v in all_m if v.startswith(t[:1])}:
         assert pre_m < all_m
+
+
+def test_time_limited_partial_results(reader):
+    """Block-budget timeAllowed: a binding budget truncates collection
+    (partial=true, fewer/changed hits, total_hits lower bound); an
+    unlimited budget reproduces the brute ranking exactly with
+    partial=false."""
+    q = "running connection index"
+    full = reader.brute_force_topk(q, 50)
+    unlim = reader.time_limited_topk(q, k=50, max_blocks=10_000)
+    assert unlim["doc_id"].to_pylist() == full["doc_id"].to_pylist()
+    assert unlim["score"].to_pylist() == full["score"].to_pylist()
+    assert unlim["partial"][0].as_py() is False
+
+    lim = reader.time_limited_topk(q, k=50, max_blocks=1)
+    assert lim["partial"][0].as_py() is True
+    assert lim["total_hits"][0].as_py() <= full["total_hits"][0].as_py()
+    # every collected doc lies in some clause's first block
+    subs = reader.lookup(reader.analyzer.query_terms(q))
+    first_docs = set()
+    for sl in subs.values():
+        for s in sl:
+            first_docs |= set(s.decode_block(0)[0].tolist())
+    assert set(lim["doc_id"].to_pylist()) <= first_docs
