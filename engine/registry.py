@@ -5000,6 +5000,47 @@ def function_boost_topk(sf_dir: str) -> pa.Table:
         "score": pa.array(final[top], type=pa.float32())})
 
 
+def boost_function_additive_topk(sf_dir: str) -> pa.Table:
+    """dismax/edismax ``bf`` ADDITIVE boost function (upstream Solr
+    ``DisMaxQParser`` bf param — the function score is ADDED to the
+    relevance score, unlike ``{{!boost}}``/``boost=`` which multiply
+    [U]): score = BM25 + recip(n_chars) with the engine's cast
+    discipline (boost f32, sum f64 → one f32 cast)."""
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    r = IndexReader(idx)
+    hits = r.topk(BM25_QUERY, k=1_000_000)
+    nch = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "n_chars"])
+    df = hits.select(["doc_id", "score"]).to_pandas().merge(
+        nch.to_pandas(), on="doc_id", how="left")
+    bf = (1000.0 / (1000.0 + df["n_chars"].to_numpy()
+                    .astype(np.float64))).astype(np.float32)
+    final = (df["score"].to_numpy().astype(np.float64)
+             + bf.astype(np.float64)).astype(np.float32)
+    order = np.lexsort((df["doc_id"].to_numpy(),
+                        -final.astype(np.float64)))[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        "doc_id": pa.array(df["doc_id"].to_numpy()[order],
+                           type=pa.int64()),
+        "score": pa.array(final[order], type=pa.float32())})
+
+
+def sql_boost_function_additive() -> str:
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return f"""{_sql_scored(terms_sql)}
+SELECT (ROW_NUMBER() OVER (ORDER BY fs DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, fs AS score FROM (
+  SELECT s.doc_id,
+    CAST(s.score::DOUBLE +
+         CAST(1000.0 / (1000.0 + d.n_chars) AS FLOAT)::DOUBLE
+         AS FLOAT) AS fs
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+ORDER BY fs DESC, doc_id LIMIT 10
+"""
+
+
 def sql_function_boost() -> str:
     terms_sql = "SELECT unnest([" + ",".join(
         f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
@@ -10197,6 +10238,7 @@ def queries() -> dict:
         "json_facet_nested_events": json_facet_nested_events,
         "heatmap_facet_customers": heatmap_facet_customers,
         "function_boost_topk": function_boost_topk,
+        "boost_function_additive_topk": boost_function_additive_topk,
         "realtime_get_docs": realtime_get_docs,
         "term_vectors_docs": term_vectors_docs,
         "term_vectors_positions_docs": term_vectors_positions_docs,
@@ -10458,6 +10500,7 @@ def oracle_sql() -> dict:
         "json_facet_nested_events": SQL_JSON_FACET_NESTED,
         "heatmap_facet_customers": SQL_HEATMAP_FACET,
         "function_boost_topk": sql_function_boost(),
+        "boost_function_additive_topk": sql_boost_function_additive(),
         "realtime_get_docs": SQL_RTG,
         "term_vectors_docs": SQL_TERM_VECTORS,
         "term_vectors_positions_docs": SQL_TV_POSITIONS,
