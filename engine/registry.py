@@ -1653,6 +1653,50 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+OHJ_BAL = 5000.0
+
+
+def outer_hash_join_orders(sf_dir: str) -> pa.Table:
+    """``outerHashJoin`` (upstream ``SJ/stream/OuterHashJoinStream``
+    [U]): left-outer BROADCAST join — the small build side (customers
+    with acctbal > {OHJ_BAL}) is ray.put once and probed per batch, the
+    big orders stream is never shuffled, unmatched rows keep nulls.
+    Rollup: per mktsegment ('(none)' = unmatched) count + revenue."""
+    small = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+    small = small.filter(pc.greater(small["c_acctbal"], OHJ_BAL)) \
+        .select(["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = rel.broadcast_hash_join(orders, small, "o_custkey",
+                                     small_key="c_custkey", how="left")
+
+    def seg(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "mktsegment": pc.fill_null(b["c_mktsegment"], "(none)"),
+            "revenue": b["o_totalprice"]})
+
+    t = _to_table(rel.rollup(
+        joined.map_batches(seg, batch_format="pyarrow"),
+        ["mktsegment"], sums=["revenue"]))
+    t = _rename(t, {"count()": "n", "sum(revenue)": "revenue"})
+    t = _cast_col(t, "n", pa.int64())
+    t = _round_col(t, "revenue", 3)
+    return t.select(["mktsegment", "n", "revenue"]).sort_by("mktsegment")
+
+
+SQL_OUTER_HASH_JOIN = f"""
+SELECT COALESCE(c.c_mktsegment, '(none)') AS mktsegment,
+       COUNT(*)::BIGINT AS n,
+       ROUND(SUM(o.o_totalprice), 3) AS revenue
+FROM orders o LEFT JOIN (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_acctbal > {OHJ_BAL}) c
+ON c.c_custkey = o.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def left_outer_join_customers(sf_dir: str) -> pa.Table:
     """Left-outer distributed hash join (upstream
     ``SJ/stream/LeftOuterJoinStream.java`` [U]): every customer keeps a
@@ -10132,6 +10176,7 @@ def queries() -> dict:
         "join_orders_customer": join_orders_customer,
         "join_lineitem_part": join_lineitem_part,
         "left_outer_join_customers": left_outer_join_customers,
+        "outer_hash_join_orders": outer_hash_join_orders,
         "fetch_enrich_lineitem": fetch_enrich_lineitem,
         "random_sample_orders": random_sample_orders,
         "topic_consume_docs": topic_consume_docs,
@@ -10398,6 +10443,7 @@ def oracle_sql() -> dict:
         "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
         "join_lineitem_part": SQL_JOIN_LINEITEM_PART,
         "left_outer_join_customers": SQL_LEFT_OUTER,
+        "outer_hash_join_orders": SQL_OUTER_HASH_JOIN,
         "fetch_enrich_lineitem": SQL_FETCH_ENRICH,
         "random_sample_orders": SQL_RANDOM_SAMPLE,
         "topic_consume_docs": SQL_TOPIC,
