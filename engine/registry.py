@@ -1938,6 +1938,92 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+MOVAVG_W = 3
+
+
+def math_series_events(sf_dir: str) -> pa.Table:
+    """Solr math expressions over a timeseries (upstream
+    ``let(a=timeseries(...), b=movingAvg(a,{MOVAVG_W}),
+    c=zscores(col(a,sum)))`` [U]): the series itself is the
+    distributed grouped aggregate; movingAvg and zscores are ARRAY
+    functions over the (small) series — exactly where Solr computes
+    them. movingAvg is the trailing {MOVAVG_W}-window mean starting at
+    the first full window (Solr's movingAvg returns series_len - w + 1
+    points; earlier rows are null here to keep one row per bucket);
+    zscores is (v - mean)/stddev_samp over the whole series."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    t = _to_table(rel.timeseries(ds, "ts", "day", sums=["value"]))
+    t = _rename(t, {"count()": "n", "sum(value)": "sum_value"})
+    i = t.column_names.index("window")
+    t = t.set_column(i, "window",
+                     pc.strftime(t["window"], format="%Y-%m-%d"))
+    t = t.sort_by("window")
+    v = t["sum_value"].to_numpy().astype(np.float64)
+    k = MOVAVG_W
+    mov = np.full(len(v), np.nan)
+    if len(v) >= k:
+        c = np.concatenate(([0.0], np.cumsum(v)))
+        mov[k - 1:] = (c[k:] - c[:-k]) / k
+    mu, sd = v.mean(), v.std(ddof=1)
+    z = (v - mu) / sd
+    out = pa.table({
+        "window": t["window"],
+        "sum_value": pa.array(np.round(v, 3)),
+        "moving_avg": pa.array([None if np.isnan(x) else round(x, 6)
+                                for x in mov], pa.float64()),
+        "zscore": pa.array(np.round(z, 6))})
+    return out
+
+
+SQL_MATH_SERIES = f"""
+WITH s AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "window",
+         SUM(value) AS sum_value
+  FROM events GROUP BY 1)
+SELECT "window", ROUND(sum_value, 3) AS sum_value,
+  CASE WHEN ROW_NUMBER() OVER (ORDER BY "window") >= {MOVAVG_W}
+       THEN ROUND(AVG(sum_value) OVER (ORDER BY "window"
+            ROWS BETWEEN {MOVAVG_W - 1} PRECEDING AND CURRENT ROW), 6)
+       END AS moving_avg,
+  ROUND((sum_value - AVG(sum_value) OVER ())
+        / STDDEV_SAMP(sum_value) OVER (), 6) AS zscore
+FROM s ORDER BY "window"
+"""
+
+
+def corr_lineitem(sf_dir: str) -> pa.Table:
+    """``corr()`` math expression (upstream Solr math expressions,
+    Pearson correlation [U]): distributed moment partials
+    (n, Σx, Σy, Σxy, Σx², Σy²) per batch — one tiny driver combine,
+    no shuffle — over lineitem (l_quantity vs l_extendedprice)."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["l_quantity"].to_numpy().astype(np.float64)
+        y = b["l_extendedprice"].to_numpy().astype(np.float64)
+        return pa.table({
+            "n": pa.array([float(len(x))]),
+            "sx": pa.array([x.sum()]), "sy": pa.array([y.sum()]),
+            "sxy": pa.array([(x * y).sum()]),
+            "sxx": pa.array([(x * x).sum()]),
+            "syy": pa.array([(y * y).sum()])})
+
+    p = _to_table(ds.map_batches(moments, batch_format="pyarrow"))
+    n = float(pc.sum(p["n"]).as_py())
+    sx, sy = (float(pc.sum(p[c]).as_py()) for c in ("sx", "sy"))
+    sxy, sxx, syy = (float(pc.sum(p[c]).as_py())
+                     for c in ("sxy", "sxx", "syy"))
+    r = ((sxy - sx * sy / n)
+         / np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+    return pa.table({"corr": pa.array([round(float(r), 6)])})
+
+
+SQL_CORR = """
+SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr
+FROM lineitem
+"""
+
+
 def stats_by_type(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Max, Mean, Min, Std
 
@@ -10186,6 +10272,8 @@ def queries() -> dict:
         "anti_join_customers": anti_join_customers,
         "dedup_docs_exact": dedup_docs_exact,
         "timeseries_events": timeseries_events,
+        "math_series_events": math_series_events,
+        "corr_lineitem": corr_lineitem,
         "stats_by_type": stats_by_type,
         "distinct_users_by_type": distinct_users_by_type,
         "percentile_value_by_type": percentile_value_by_type,
@@ -10453,6 +10541,8 @@ def oracle_sql() -> dict:
         "anti_join_customers": SQL_ANTI_JOIN,
         "dedup_docs_exact": SQL_DEDUP_EXACT,
         "timeseries_events": SQL_TIMESERIES,
+        "math_series_events": SQL_MATH_SERIES,
+        "corr_lineitem": SQL_CORR,
         "stats_by_type": SQL_STATS_BY_TYPE,
         "distinct_users_by_type": SQL_DISTINCT_USERS,
         "percentile_value_by_type": SQL_PERCENTILE,
