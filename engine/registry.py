@@ -2024,6 +2024,61 @@ FROM lineitem
 """
 
 
+TT_A, TT_B = "click", "view"
+
+
+def ttest_events(sf_dir: str) -> pa.Table:
+    """``ttest()`` math expression (upstream Solr math expressions —
+    Welch's two-sample t [U]): compare ``value`` between two event
+    types. Per-group moment partials (n, Σv, Σv²) accumulate inside
+    one streaming grouped aggregate; the t statistic and the
+    Welch–Satterthwaite df are O(1) driver math."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array([TT_A, TT_B])))
+        v = m["value"].to_numpy().astype(np.float64)
+        return pa.table({
+            "event_type": m["event_type"],
+            "v": pa.array(v), "v2": pa.array(v * v)})
+
+    g = _to_table(ds.map_batches(moments, batch_format="pyarrow")
+                  .groupby("event_type").aggregate(
+                      Count(), Sum("v"), Sum("v2")))
+    st = {r["event_type"]: r for r in g.to_pylist()}
+    out = {}
+    for k in (TT_A, TT_B):
+        r = st[k]
+        n, s, s2 = float(r["count()"]), r["sum(v)"], r["sum(v2)"]
+        mean = s / n
+        var = (s2 - s * s / n) / (n - 1)
+        out[k] = (n, mean, var)
+    (na, ma, va), (nb, mb, vb) = out[TT_A], out[TT_B]
+    se2 = va / na + vb / nb
+    t = (ma - mb) / np.sqrt(se2)
+    dfree = se2 * se2 / ((va / na) ** 2 / (na - 1)
+                         + (vb / nb) ** 2 / (nb - 1))
+    return pa.table({"t_stat": pa.array([round(float(t), 6)]),
+                     "df": pa.array([round(float(dfree), 3)])})
+
+
+SQL_TTEST = f"""
+WITH g AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n, AVG(value) AS m,
+         VAR_SAMP(value) AS v
+  FROM events WHERE event_type IN ('{TT_A}', '{TT_B}')
+  GROUP BY event_type),
+a AS (SELECT * FROM g WHERE event_type = '{TT_A}'),
+b AS (SELECT * FROM g WHERE event_type = '{TT_B}')
+SELECT ROUND((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 6) AS t_stat,
+  ROUND(pow(a.v/a.n + b.v/b.n, 2) /
+        (pow(a.v/a.n, 2)/(a.n-1) + pow(b.v/b.n, 2)/(b.n-1)), 3) AS df
+FROM a, b
+"""
+
+
 def stats_by_type(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Max, Mean, Min, Std
 
@@ -10274,6 +10329,7 @@ def queries() -> dict:
         "timeseries_events": timeseries_events,
         "math_series_events": math_series_events,
         "corr_lineitem": corr_lineitem,
+        "ttest_events": ttest_events,
         "stats_by_type": stats_by_type,
         "distinct_users_by_type": distinct_users_by_type,
         "percentile_value_by_type": percentile_value_by_type,
@@ -10543,6 +10599,7 @@ def oracle_sql() -> dict:
         "timeseries_events": SQL_TIMESERIES,
         "math_series_events": SQL_MATH_SERIES,
         "corr_lineitem": SQL_CORR,
+        "ttest_events": SQL_TTEST,
         "stats_by_type": SQL_STATS_BY_TYPE,
         "distinct_users_by_type": SQL_DISTINCT_USERS,
         "percentile_value_by_type": SQL_PERCENTILE,
