@@ -1191,6 +1191,66 @@ def snapshot_index(index_dir: str, dst_dir: str) -> dict[str, Any]:
 STORED_DIR = "stored"
 
 
+def sync_replica(src_dir: str, dst_dir: str) -> dict[str, Any]:
+    """Incremental pull replication (upstream ``ReplicationHandler``
+    → ``IndexFetcher`` [U]): bring a replica up to the master's commit
+    point copying ONLY the files the replica lacks. Mirrors the
+    upstream filelist negotiation — the master's searchable file
+    inventory (shard generation, docmap, stored fields, delete lists,
+    dv updates, payloads; NOT the rebuildable fragments) is compared
+    by relative path + size, changed/missing files are copied
+    (hardlink when same-device), stale replica files are removed, and
+    the manifest installs LAST — a reader never sees a torn replica,
+    and a second sync after an incremental append moves only the new
+    segment bytes. Returns {copied, removed, skipped}."""
+    man = mf.load(src_dir)
+    assert man and man["status"] == "complete", \
+        "sync_replica needs a complete master"
+    os.makedirs(dst_dir, exist_ok=True)
+
+    def inventory(base: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        skip_tops = {"fragments", mf.MANIFEST_NAME}
+        for root, dirs, fns in os.walk(base):
+            rel = os.path.relpath(root, base)
+            if rel == ".":
+                dirs[:] = [d for d in dirs if d not in skip_tops]
+            for fn in fns:
+                r = os.path.normpath(os.path.join(rel, fn))
+                if r in skip_tops or fn.endswith(".tmp"):
+                    continue
+                out[r] = os.path.getsize(os.path.join(root, fn))
+        return out
+
+    want = inventory(src_dir)
+    have = inventory(dst_dir)
+    copied = skipped = 0
+    for r, size in want.items():
+        if have.get(r) == size:
+            skipped += 1
+            continue
+        s = os.path.join(src_dir, r)
+        d = os.path.join(dst_dir, r)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        if os.path.exists(d):
+            os.remove(d)
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+        copied += 1
+    removed = 0
+    for r in set(have) - set(want):
+        os.remove(os.path.join(dst_dir, r))
+        removed += 1
+    for root, dirs, fns in os.walk(dst_dir, topdown=False):
+        if not dirs and not fns and os.path.normpath(root) != \
+                os.path.normpath(dst_dir):
+            os.rmdir(root)
+    mf.save(dst_dir, man)      # manifest last = commit point
+    return {"copied": copied, "removed": removed, "skipped": skipped}
+
+
 def delete_docs(index_dir: str, doc_ids) -> int:
     """Mark docIDs deleted (upstream ``LiveDocsFormat`` /
     ``PendingDeletes`` [U]): deletes live OUTSIDE the immutable posting

@@ -911,3 +911,63 @@ def test_upgrade_codec_roundtrip(ray_session, tmp_path_factory):
     assert r2._codec == "vbyte"
     assert r2.topk("running connection index", 25).equals(base_top)
     assert r2.phrase_topk("running connection", 25).equals(base_ph)
+
+
+def test_sync_replica_incremental(ray_session, tmp_path_factory):
+    """IndexFetcher analog: first sync copies everything searchable,
+    a post-append re-sync moves only the delta (new segment + changed
+    metadata), stale generations are removed on the replica, and the
+    replica answers queries bit-identically to the master."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import (IndexConfig, build_index, delete_docs,
+                              sync_replica)
+    from engine.check import check_index
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("replica")
+    rng = np.random.default_rng(3)
+    words = np.array(["alpha", "beta", "gamma", "delta"], dtype=object)
+
+    def part(path, lo, hi):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+            "text": pa.array([" ".join(words[rng.integers(0, 4, size=6)])
+                              for _ in range(hi - lo)]),
+        }), path)
+
+    f1, f2 = str(root / "p1.parquet"), str(root / "p2.parquet")
+    part(f1, 0, 200)
+    part(f2, 200, 300)
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9)
+    master = str(root / "master")
+    build_index([f1], master, cfg)
+
+    replica = str(root / "replica")
+    first = sync_replica(master, replica)
+    assert first["copied"] > 0 and first["skipped"] == 0
+    check_index(replica)
+    q = "alpha beta"
+    assert IndexReader(replica).topk(q, 20).equals(
+        IndexReader(master).topk(q, 20))
+
+    # master advances: segment append + a delete generation
+    build_index([f1, f2], master, cfg, append_mode="segment")
+    delete_docs(master, [5])
+    second = sync_replica(master, replica)
+    assert second["copied"] > 0
+    assert second["skipped"] > 0                # old segments reused
+    assert second["copied"] < first["copied"] + second["skipped"]
+    check_index(replica)
+    a = IndexReader(replica).topk(q, 50)
+    b = IndexReader(master).topk(q, 50)
+    assert a.equals(b)
+    # replica respects the replicated delete generation
+    assert 5 not in a["doc_id"].to_pylist()
+
+    # idempotent: third sync copies nothing
+    third = sync_replica(master, replica)
+    assert third["copied"] == 0 and third["removed"] == 0
