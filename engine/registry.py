@@ -4306,6 +4306,70 @@ def sharded_facet_docs(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+ROUTE_KEY = "src1"
+N_ROUTE_SHARDS = 2
+
+
+def _routed_shards(sf_dir: str) -> list[str]:
+    """Two compositeId-routed shard indexes over documents, routed by
+    ``source`` (cached): every doc sharing a source lands on ONE
+    shard."""
+    from engine.sharded import route_corpus
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|routed|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "routed_" + key)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    marker = os.path.join(work, ".routed_done")
+    if not os.path.exists(marker):
+        if os.path.exists(work):
+            import shutil as _sh
+            _sh.rmtree(work)
+        route_corpus([base], os.path.join(work, "parts"), "source",
+                     N_ROUTE_SHARDS)
+        open(marker, "w").write("ok")
+    dirs = []
+    for i in range(N_ROUTE_SHARDS):
+        pdir = os.path.join(work, "parts", f"_shard={i}")
+        files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
+                       if f.endswith(".parquet"))
+        sd = os.path.join(work, f"shard{i}")
+        build_index(files, sd, cfg)
+        dirs.append(sd)
+    return dirs
+
+
+def routed_topk_docs(sf_dir: str) -> pa.Table:
+    """SolrCloud ``_route_`` query over compositeId-routed shards
+    (upstream ``CompositeIdRouter`` + ``_route_`` param [U]): docs
+    routed by ``source``; the query executes ONLY on the shard owning
+    route key '{ROUTE_KEY}' with shard-LOCAL stats — a
+    non-distributed query on that shard, zero fan-out."""
+    from engine.sharded import DistributedSearcher, routed_topk
+
+    searcher = DistributedSearcher(_routed_shards(sf_dir))
+    try:
+        return _topdocs_out(
+            routed_topk(searcher, ROUTE_KEY, BM25_QUERY, k=10))
+    finally:
+        searcher.shutdown()
+
+
+def sql_routed_topk() -> str:
+    from engine.sharded import route_shard
+    shard_id = route_shard(ROUTE_KEY, N_ROUTE_SHARDS)
+    qterms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    docs_src = (
+        "(SELECT doc_id, text FROM documents WHERE "
+        "('0x' || substr(md5(source), 1, 8))::UBIGINT "
+        f"% {N_ROUTE_SHARDS} = {shard_id}) c")
+    return _sql_disjunction(qterms, 10, docs_src=docs_src)
+
+
 # -------------------------------- pluggable similarities (SPI)
 
 def classic_tfidf_topk(sf_dir: str) -> pa.Table:
@@ -10318,6 +10382,7 @@ def queries() -> dict:
         "join_lineitem_part": join_lineitem_part,
         "left_outer_join_customers": left_outer_join_customers,
         "outer_hash_join_orders": outer_hash_join_orders,
+        "routed_topk_docs": routed_topk_docs,
         "fetch_enrich_lineitem": fetch_enrich_lineitem,
         "random_sample_orders": random_sample_orders,
         "topic_consume_docs": topic_consume_docs,
@@ -10588,6 +10653,7 @@ def oracle_sql() -> dict:
         "join_lineitem_part": SQL_JOIN_LINEITEM_PART,
         "left_outer_join_customers": SQL_LEFT_OUTER,
         "outer_hash_join_orders": SQL_OUTER_HASH_JOIN,
+        "routed_topk_docs": sql_routed_topk(),
         "fetch_enrich_lineitem": SQL_FETCH_ENRICH,
         "random_sample_orders": SQL_RANDOM_SAMPLE,
         "topic_consume_docs": SQL_TOPIC,

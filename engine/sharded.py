@@ -429,3 +429,65 @@ class DistributedSearcher:
     def shutdown(self) -> None:
         for s in self.shards:
             ray.kill(s)
+
+
+# ---------------------------------------- compositeId document routing
+
+def route_shard(key: str, n_shards: int) -> int:
+    """compositeId router (upstream
+    ``S/common/cloud/CompositeIdRouter`` [U] — documents sharing a
+    route key land on ONE shard so per-key operations never cross
+    shards). Conformance restatement (documented): md5-high-32-bits
+    modulo n_shards instead of the upstream murmur hash ring — md5 is
+    the repo's shared deterministic hash, replayable in SQL."""
+    import hashlib
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n_shards
+
+
+def route_corpus(input_files: list[str], out_root: str, route_col: str,
+                 n_shards: int) -> list[str]:
+    """Route documents to shards by ``route_col`` (the SolrCloud
+    ``id!`` compositeId ingestion step): ONE streaming pass assigns
+    shard = route_shard(key) per row — hashed once per DISTINCT key
+    per batch via dictionary encoding, not per row — and writes
+    hive-partitioned Parquet, one directory per shard. Returns the
+    shard directories in router order (index i == shard i)."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    def assign(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(b[route_col].combine_chunks())
+        vals = enc.dictionary.to_pylist()
+        m = np.array([route_shard(str(v), n_shards) for v in vals],
+                     dtype=np.int32)
+        shard = m[enc.indices.to_numpy(zero_copy_only=False)]
+        return b.append_column("_shard", pa.array(shard, pa.int32()))
+
+    ray.data.read_parquet(input_files) \
+        .map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(out_root, partition_cols=["_shard"])
+    dirs = [os.path.join(out_root, f"_shard={i}")
+            for i in range(n_shards)]
+    for d in dirs:                 # a shard may own no keys: empty dir
+        os.makedirs(d, exist_ok=True)
+    return dirs
+
+
+def routed_topk(searcher: DistributedSearcher, route: str,
+                query_text: str, k: int = 10) -> pa.Table:
+    """``_route_`` query (upstream SolrCloud ``_route_`` param [U]):
+    the request executes on the ONE shard owning the route key — no
+    fan-out, shard-LOCAL collection stats (exactly a non-distributed
+    query on that shard), the other shards never see the query."""
+    i = route_shard(route, len(searcher.shards))
+    s = searcher.shards[i]
+    terms = searcher._analyzer.query_terms(query_text)
+    if not terms:
+        return _topdocs_table([], [])
+    n_i, cf_i = ray.get(s.collection_stats.remote())
+    cache_i = norm_cache((cf_i / n_i) if n_i else 0.0)
+    tstats = ray.get(s.term_stats.remote(sorted(set(terms))))
+    weights = {t: float(idf(n_i, df)) for t, (df, _) in tstats.items()}
+    return ray.get(s.score.remote(terms, weights, cache_i, k))

@@ -100,3 +100,68 @@ def test_shards_tolerant_partial_results(ray_session, tmp_path):
             ds.topk("aa bb", 10, tolerant=False)
     finally:
         ds.shutdown()
+
+
+def test_composite_id_routing(ray_session, tmp_path_factory):
+    """compositeId routing: all docs sharing a route key land on one
+    shard; a _route_ query equals a plain single-index search over
+    that shard alone (shard-local stats, zero fan-out)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+    from engine.sharded import (DistributedSearcher, route_corpus,
+                                route_shard, routed_topk)
+
+    root = tmp_path_factory.mktemp("routing")
+    rng = np.random.default_rng(5)
+    words = np.array(["alpha", "beta", "gamma", "delta"], dtype=object)
+    keys = [f"key{i}" for i in range(24)]
+    n = 300
+    src = str(root / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array([" ".join(words[rng.integers(0, 4, size=6)])
+                          for _ in range(n)]),
+        "route": pa.array([keys[int(i)] for i in
+                           rng.integers(0, len(keys), size=n)]),
+    }), src)
+
+    out = str(root / "routed")
+    dirs = route_corpus([src], out, "route", 3)
+    # co-location: each key appears in exactly the shard the router says
+    for i, d in enumerate(dirs):
+        files = [os.path.join(d, f) for f in os.listdir(d)
+                 if f.endswith(".parquet")]
+        if not files:              # a shard may own no keys
+            continue
+        got = set(pa.concat_tables(
+            [pq.read_table(f, columns=["route"]) for f in files]
+        )["route"].to_pylist())
+        assert all(route_shard(k, 3) == i for k in got), i
+
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9)
+    shard_idx = []
+    for i, d in enumerate(dirs):
+        files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                       if f.endswith(".parquet"))
+        sd = str(root / f"idx{i}")
+        build_index(files, sd, cfg)
+        shard_idx.append(sd)
+
+    searcher = DistributedSearcher(shard_idx)
+    try:
+        k = "key3"
+        got = routed_topk(searcher, k, "alpha beta", k=20)
+        want = IndexReader(shard_idx[route_shard(k, 3)]) \
+            .brute_force_topk("alpha beta", 20)
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert got["score"].to_pylist() == want["score"].to_pylist()
+    finally:
+        searcher.shutdown()
