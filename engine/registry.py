@@ -4008,6 +4008,36 @@ SELECT source, lang, COUNT(*)::BIGINT AS cnt FROM documents
 GROUP BY source, lang ORDER BY source, cnt DESC, lang
 """
 
+
+def pivot_stats_docs(sf_dir: str) -> pa.Table:
+    """Pivot faceting WITH per-leaf stats (upstream ``facet.pivot`` +
+    ``stats.field={{!tag=..}}`` pivot-stats integration,
+    ``PivotFacetProcessor`` stats [U]): each (source, lang) pivot leaf
+    carries count + integer-exact sum/min/max of n_chars — ONE grouped
+    aggregate, no second pass."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    t = _to_table(ds.groupby(["source", "lang"]).aggregate(
+        Count(), Sum("n_chars"), Min("n_chars"), Max("n_chars")))
+    t = _rename(t, {"count()": "cnt", "sum(n_chars)": "sum_chars",
+                    "min(n_chars)": "min_chars",
+                    "max(n_chars)": "max_chars"})
+    for c in ("cnt", "sum_chars", "min_chars", "max_chars"):
+        t = _cast_col(t, c, pa.int64())
+    return t.select(["source", "lang", "cnt", "sum_chars",
+                     "min_chars", "max_chars"]) \
+        .sort_by([("source", "ascending"), ("lang", "ascending")])
+
+
+SQL_PIVOT_STATS = """
+SELECT source, lang, COUNT(*)::BIGINT AS cnt,
+       SUM(n_chars)::BIGINT AS sum_chars,
+       MIN(n_chars)::BIGINT AS min_chars,
+       MAX(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
+
 GEO_CENTER = (35.0, -97.5)
 GEO_RADIUS_KM = 2000.0
 
@@ -10383,6 +10413,7 @@ def queries() -> dict:
         "left_outer_join_customers": left_outer_join_customers,
         "outer_hash_join_orders": outer_hash_join_orders,
         "routed_topk_docs": routed_topk_docs,
+        "pivot_stats_docs": pivot_stats_docs,
         "fetch_enrich_lineitem": fetch_enrich_lineitem,
         "random_sample_orders": random_sample_orders,
         "topic_consume_docs": topic_consume_docs,
@@ -10654,6 +10685,7 @@ def oracle_sql() -> dict:
         "left_outer_join_customers": SQL_LEFT_OUTER,
         "outer_hash_join_orders": SQL_OUTER_HASH_JOIN,
         "routed_topk_docs": sql_routed_topk(),
+        "pivot_stats_docs": SQL_PIVOT_STATS,
         "fetch_enrich_lineitem": SQL_FETCH_ENRICH,
         "random_sample_orders": SQL_RANDOM_SAMPLE,
         "topic_consume_docs": SQL_TOPIC,
