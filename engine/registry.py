@@ -1365,6 +1365,33 @@ GROUP BY lang, source ORDER BY lang, source
 """
 
 
+FC_LIMIT, FC_OFFSET, FC_MINCOUNT = 8, 2, 3
+
+
+def facet_sort_count_docs(sf_dir: str) -> pa.Table:
+    """Solr's DEFAULT facet ordering (upstream ``facet.sort=count`` +
+    ``facet.limit``/``facet.offset``/``facet.mincount``,
+    ``SimpleFacets`` [U]): source buckets with count >= {FC_MINCOUNT},
+    ordered count desc then value asc (the upstream tie-break), page
+    [offset, offset+limit). The grouped count is the only exchange;
+    the page cut happens on the tiny bucket table."""
+    ds = _read(sf_dir, "documents", ["source"])
+    t = _to_table(rel.facet(ds, ["source"]))
+    t = _rename(t, {"count()": "n"})
+    t = _cast_col(t, "n", pa.int64())
+    t = t.filter(pc.greater_equal(t["n"], FC_MINCOUNT))
+    t = t.sort_by([("n", "descending"), ("source", "ascending")])
+    return t.slice(FC_OFFSET, FC_LIMIT).select(["source", "n"])
+
+
+SQL_FACET_SORT_COUNT = f"""
+SELECT source, n FROM (
+  SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source
+  HAVING COUNT(*) >= {FC_MINCOUNT})
+ORDER BY n DESC, source LIMIT {FC_LIMIT} OFFSET {FC_OFFSET}
+"""
+
+
 FRANGE_LO, FRANGE_HI = 200, 800
 
 
@@ -10414,6 +10441,7 @@ def queries() -> dict:
         "outer_hash_join_orders": outer_hash_join_orders,
         "routed_topk_docs": routed_topk_docs,
         "pivot_stats_docs": pivot_stats_docs,
+        "facet_sort_count_docs": facet_sort_count_docs,
         "fetch_enrich_lineitem": fetch_enrich_lineitem,
         "random_sample_orders": random_sample_orders,
         "topic_consume_docs": topic_consume_docs,
@@ -10686,6 +10714,7 @@ def oracle_sql() -> dict:
         "outer_hash_join_orders": SQL_OUTER_HASH_JOIN,
         "routed_topk_docs": sql_routed_topk(),
         "pivot_stats_docs": SQL_PIVOT_STATS,
+        "facet_sort_count_docs": SQL_FACET_SORT_COUNT,
         "fetch_enrich_lineitem": SQL_FETCH_ENRICH,
         "random_sample_orders": SQL_RANDOM_SAMPLE,
         "topic_consume_docs": SQL_TOPIC,
