@@ -2259,6 +2259,44 @@ ORDER BY o_custkey, o_totalprice DESC, o_orderkey
 """
 
 
+GN_MIN_PRICE = 400_000.0
+
+
+def group_ngroups_orders(sf_dir: str) -> pa.Table:
+    """``group.ngroups=true`` (upstream Solr result grouping [U]): the
+    grouped page carries the TOTAL number of matching groups. The
+    count comes from per-batch distinct-key partials folded into the
+    same grouped pass that builds the page — one exchange, then the
+    group count is the (tiny) grouped table's row count."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                  "o_totalprice"])
+    ds = ds.filter(expr=f"o_totalprice > {GN_MIN_PRICE}")
+    grouped = _to_table(rel.group_top_n(
+        ds, "o_custkey",
+        [("o_totalprice", True), ("o_orderkey", False)], 1))
+    ngroups = grouped.num_rows          # one head row per group
+    t = grouped.sort_by([("o_totalprice", "descending"),
+                         ("o_orderkey", "ascending")]).slice(0, 5)
+    t = t.append_column("ngroups", pa.array([ngroups] * t.num_rows,
+                                            pa.int64()))
+    return t.select(["o_custkey", "o_orderkey", "o_totalprice",
+                     "ngroups"])
+
+
+SQL_GROUP_NGROUPS = f"""
+WITH m AS (SELECT * FROM orders WHERE o_totalprice > {GN_MIN_PRICE}),
+heads AS (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM m)
+  WHERE rn = 1),
+n AS (SELECT COUNT(*)::BIGINT AS ngroups FROM heads)
+SELECT h.o_custkey, h.o_orderkey, h.o_totalprice, n.ngroups
+FROM heads h CROSS JOIN n
+ORDER BY h.o_totalprice DESC, h.o_orderkey LIMIT 5
+"""
+
+
 def significant_terms_src0(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     t = _to_table(tx.significant_terms(
@@ -10459,6 +10497,7 @@ def queries() -> dict:
         "percentile_value_by_type": percentile_value_by_type,
         "hll_distinct_users": hll_distinct_users,
         "group_topn_orders": group_topn_orders,
+        "group_ngroups_orders": group_ngroups_orders,
         "significant_terms_src0": significant_terms_src0,
         "range_filter_events": range_filter_events,
         "select_eval_lineitem": select_eval_lineitem,
@@ -10731,6 +10770,7 @@ def oracle_sql() -> dict:
         "distinct_users_by_type": SQL_DISTINCT_USERS,
         "percentile_value_by_type": SQL_PERCENTILE,
         "group_topn_orders": SQL_GROUP_TOPN,
+        "group_ngroups_orders": SQL_GROUP_NGROUPS,
         "significant_terms_src0": SQL_SIGNIFICANT,
         "range_filter_events": SQL_RANGE_FILTER,
         "select_eval_lineitem": SQL_SELECT_EVAL,
