@@ -1317,6 +1317,20 @@ def update_numeric_docvalue(index_dir: str, term: str, field: str,
     keep = r._keep(docs)
     if keep is not None:
         docs = docs[keep]
+    return publish_dv_generation(index_dir, field, docs, value)
+
+
+def publish_dv_generation(index_dir: str, field: str, doc_ids,
+                          value: float | int) -> int:
+    """Publish one numeric-DV update generation for an EXPLICIT
+    (already-resolved) docID set — the write half of
+    :func:`update_numeric_docvalue`, also used by the NRT writer to
+    flush buffered updates whose docsets were frozen at call time
+    (upstream ``BufferedUpdates`` queue-order resolution [U])."""
+    man = mf.load(index_dir)
+    assert man and man["status"] == "complete", \
+        "docvalue update needs a complete index"
+    docs = np.unique(np.asarray(doc_ids, dtype=np.int64))
     gens = (man.get("dv_updates") or {}).get(field, [])
     gen = max((g["gen"] for g in gens), default=0) + 1
     fname = f"dv-{field}-g{gen}.parquet"

@@ -54,9 +54,13 @@ class NrtReader(IndexReader):
     def __init__(self, index_dir: str, ram: dict[str, _SubList],
                  ram_n_docs: int, ram_sum_len: int, ram_max_id: int,
                  k1: float = K1, b: float = B,
-                 extra_deleted: np.ndarray | None = None):
+                 extra_deleted: np.ndarray | None = None,
+                 dv_buffer: list | None = None):
         super().__init__(index_dir, preload=False, k1=k1, b=b)
         self._ram = ram
+        # buffered numeric-DV updates (field, frozen docset, value) in
+        # call order — overlaid after the disk generations, later wins
+        self._dv_buffer = dv_buffer or []
         if extra_deleted is not None and len(extra_deleted):
             # buffered deletes: same global scoring-time mask as
             # committed deletes (tombstone stats — df/idf unchanged
@@ -77,6 +81,20 @@ class NrtReader(IndexReader):
         out = super().lookup(terms)
         return {t: (out[t] + [self._ram[t]] if t in self._ram else out[t])
                 for t in out}
+
+    def numeric_docvalues(self, field: str,
+                          doc_ids: np.ndarray) -> np.ndarray:
+        """Disk base + committed generations, then the writer's
+        buffered updates in call order (upstream NRT readers see
+        ``updateNumericDocValue`` before commit [U]). RAM-buffered
+        docs have no disk base value yet — NaN unless a buffered
+        update covers them (their base lands with the flush)."""
+        vals = super().numeric_docvalues(field, doc_ids)
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        for f, docs, value in self._dv_buffer:
+            if f == field and len(docs):
+                vals[np.isin(ids, docs)] = value
+        return vals
 
     def vocabulary(self) -> list[str]:
         if self._vocab is None:
@@ -105,6 +123,7 @@ class NrtWriter:
         self._buffered: list[pa.Table] = []
         self._buf_ids: set[int] = set()
         self._nrt_deleted: set[int] = set()
+        self._dv_buffer: list[tuple[str, np.ndarray, float]] = []
         self._flush_seq = 0
 
     # ------------------------------------------------------------ write
@@ -144,6 +163,23 @@ class NrtWriter:
             self._buf_ids -= buffered_hits
         self._nrt_deleted |= ids
         return len(self._nrt_deleted)
+
+    def update_numeric_docvalue(self, term: str, field: str,
+                                value: float | int) -> int:
+        """Buffered in-place DV update (upstream
+        ``IndexWriter#updateNumericDocValue`` via ``BufferedUpdates``
+        [U]): the docset freezes NOW — disk live docs matching
+        ``term`` plus currently-buffered matches; docs added LATER
+        are unaffected, exactly the upstream queue-order resolution.
+        Visible in the next ``reader()``; published as a disk dvGen
+        at ``commit()``. Returns the frozen docset size."""
+        r = self.reader()
+        docs = r.filter_docset(term)
+        keep = r._keep(docs)
+        if keep is not None:
+            docs = docs[keep]
+        self._dv_buffer.append((field, docs.copy(), float(value)))
+        return int(len(docs))
 
     def update_documents(self, old_ids, table: pa.Table) -> int:
         """``updateDocument`` (upstream ``IndexWriter#updateDocument``
@@ -191,13 +227,14 @@ class NrtWriter:
         """Point-in-time NRT snapshot (disk segments + RAM segment +
         buffered deletes)."""
         dels = np.array(sorted(self._nrt_deleted), dtype=np.int64)
+        dv = list(self._dv_buffer)
         if not self._buffered:
             return NrtReader(self.index_dir, {}, 0, 0, -1, k1=k1, b=b,
-                             extra_deleted=dels)
+                             extra_deleted=dels, dv_buffer=dv)
         buf = pa.concat_tables(self._buffered).combine_chunks()
         ram, n_docs, sum_len, max_id = self._encode_ram(buf)
         return NrtReader(self.index_dir, ram, n_docs, sum_len, max_id,
-                         k1=k1, b=b, extra_deleted=dels)
+                         k1=k1, b=b, extra_deleted=dels, dv_buffer=dv)
 
     def _encode_ram(self, buf: pa.Table):
         """Analyze the buffer and encode one _SubList per term — the
@@ -258,6 +295,7 @@ class NrtWriter:
         self._buffered.clear()
         self._buf_ids.clear()
         self._nrt_deleted.clear()
+        self._dv_buffer.clear()
 
     # ------------------------------------------------------------ flush
 
@@ -274,7 +312,7 @@ class NrtWriter:
                 delete_docs(self.index_dir, disk_dels)
             self._nrt_deleted.clear()
         if not self._buffered:
-            return mf.load(self.index_dir)
+            return self._publish_dv()
         os.makedirs(flush_dir, exist_ok=True)
         buf = pa.concat_tables(self._buffered).combine_chunks()
         ids = buf[self.cfg.doc_id_col].to_numpy().astype(np.int64)
@@ -290,4 +328,16 @@ class NrtWriter:
         self._inputs.append(path)
         self._buffered.clear()
         self._buf_ids.clear()
+        man = self._publish_dv()
         return man
+
+    def _publish_dv(self) -> dict:
+        """Flush buffered DV updates as disk generations in call
+        order (AFTER the append so generations may reference
+        just-flushed docIDs)."""
+        if self._dv_buffer:
+            from engine.build import publish_dv_generation
+            for field, docs, value in self._dv_buffer:
+                publish_dv_generation(self.index_dir, field, docs, value)
+            self._dv_buffer.clear()
+        return mf.load(self.index_dir)

@@ -2837,6 +2837,8 @@ class IndexReader:
         id_col = self.cfg.doc_id_col
         vals = np.full(len(uniq), np.nan, dtype=np.float64)
         for f in self.manifest["input_files"]:
+            if field not in pq.ParquetFile(f).schema_arrow.names:
+                continue      # e.g. an NRT flush file without the field
             self._io_reads += 1
             t = pq.read_table(f, columns=[id_col, field],
                               filters=[(id_col, "in", uniq.tolist())])

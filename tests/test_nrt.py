@@ -255,3 +255,68 @@ def test_nrt_random_ops_equal_logical_rebuild(ray_session,
             want = {i for i, t in live.items()
                     if terms & set(t.split())}
             assert got == want, (step, q)
+
+
+def test_nrt_buffered_dv_updates(ray_session, tmp_path_factory):
+    """Buffered updateNumericDocValue: visible in the next reader()
+    before commit, docset frozen at call time (later adds unaffected),
+    rollback discards, commit publishes disk generations that
+    reproduce the NRT snapshot exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index
+    from engine.nrt import NrtWriter
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("nrtdv")
+    src = str(root / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array(["alpha beta", "alpha", "beta", "gamma",
+                          "alpha gamma", "delta"]),
+        "size": pa.array(np.arange(6, dtype=np.int64) * 10),
+    }), src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9)
+    build_index([src], idx, cfg)
+
+    w = NrtWriter(idx)
+    # buffered doc 10 contains alpha BEFORE the update -> covered
+    w.add_documents(pa.table({
+        "doc_id": pa.array([10], pa.int64()),
+        "text": pa.array(["alpha omega"])}))
+    n = w.update_numeric_docvalue("alpha", "size", 777)
+    assert n == 4                       # docs 0,1,4 on disk + 10 in RAM
+    # doc 11 added AFTER the update: frozen docset must not cover it
+    w.add_documents(pa.table({
+        "doc_id": pa.array([11], pa.int64()),
+        "text": pa.array(["alpha later"])}))
+
+    r = w.reader()
+    got = r.numeric_docvalues("size", np.array([0, 1, 2, 4, 10, 11]))
+    assert got[0] == 777 and got[1] == 777 and got[3] == 777
+    assert got[2] == 20                 # beta-only doc: base value
+    assert got[4] == 777                # RAM doc covered by the update
+    assert np.isnan(got[5])             # post-update RAM doc: no base yet
+
+    # rollback discards the buffered update (and the adds)
+    w.rollback()
+    r2 = w.reader()
+    assert r2.numeric_docvalues("size", np.array([0]))[0] == 0
+
+    # redo and hard-commit: disk generations reproduce the snapshot
+    w.add_documents(pa.table({
+        "doc_id": pa.array([10], pa.int64()),
+        "text": pa.array(["alpha omega"])}))
+    w.update_numeric_docvalue("alpha", "size", 777)
+    snap = w.reader().numeric_docvalues(
+        "size", np.array([0, 1, 2, 4, 10]))
+    w.commit(str(root / "flush"))
+    disk = IndexReader(idx).numeric_docvalues(
+        "size", np.array([0, 1, 2, 4, 10]))
+    assert list(disk[:4]) == list(snap[:4])
+    assert disk[4] == 777               # flushed doc carries the update
