@@ -779,9 +779,62 @@ class StemFilter(TokenFilter):
         return {"type": "stem", "protect": self.protect}
 
 
+class KeywordRepeatFilter(TokenFilter):
+    """``KeywordRepeatFilter → <inner rewrite> →
+    RemoveDuplicatesTokenFilter`` composed (upstream
+    ``KeywordRepeatFilter`` emits each token twice — once
+    keyword-marked so the stemmer passes it through — and
+    ``RemoveDuplicatesTokenFilter`` collapses the pair when the
+    rewrite equals the original [U]): every token emits its ORIGINAL
+    and the inner filter's rewrite at the SAME position; identical
+    pairs collapse. The inner filter must be a pure vocabulary
+    rewrite (truncate / reverse / trim / folding / soundex / stem).
+    Conformance boundary (documented): stacked duplicates COUNT toward
+    the norm length (``discountOverlaps=false``) — the filter-chain
+    contract makes ``doc_lens`` the emitted-token count, the same
+    boundary ShingleFilter documents; the SQL oracle replays the same
+    length."""
+
+    def __init__(self, inner: dict):
+        self.inner_spec = dict(inner)
+        self.inner = build_filter(inner)
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not len(codes):
+            return offsets, codes, vocab, positions, doc_lens
+        _, codes2, vocab2, _, _ = self.inner.apply(
+            offsets, codes.copy(), vocab.copy(), positions, doc_lens)
+        orig = vocab[codes]
+        rew = vocab2[codes2]
+        add = rew != orig                # RemoveDuplicates
+        if not add.any():
+            return offsets, codes, vocab, positions, doc_lens
+        n_docs = len(offsets) - 1
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        doc_all = np.concatenate([doc_of, doc_of[add]])
+        pos_all = np.concatenate([positions,
+                                  positions[add]]).astype(np.int32)
+        term_all = np.concatenate([orig, rew[add]])
+        order = np.lexsort((pos_all, doc_all))
+        doc_all, pos_all, term_all = \
+            doc_all[order], pos_all[order], term_all[order]
+        new_lens = np.bincount(doc_all,
+                               minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        uniq, inv = np.unique(term_all, return_inverse=True)
+        return new_offsets, inv, uniq, pos_all, new_lens
+
+    def spec(self) -> dict:
+        return {"type": "keyword_repeat", "inner": self.inner_spec}
+
+
 def build_filter(spec: dict) -> TokenFilter:
     """Filter factory from a JSON spec (IndexConfig serialization)."""
     t = spec["type"]
+    if t == "keyword_repeat":
+        return KeywordRepeatFilter(spec["inner"])
     if t == "common_grams":
         return CommonGramsFilter(spec["common_words"])
     if t == "min_hash":

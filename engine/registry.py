@@ -207,6 +207,33 @@ SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df, COUNT(*)::BIGINT AS cf
 FROM sh GROUP BY term ORDER BY term
 """
 
+def keyword_repeat_stats(sf_dir: str) -> pa.Table:
+    """KeywordRepeat → rewrite → RemoveDuplicates composed e2e
+    (upstream ``KeywordRepeatFilter`` +
+    ``RemoveDuplicatesTokenFilter`` [U], truncate(5) as the
+    SQL-replayable rewrite): every token indexes BOTH its original
+    and its rewrite at one position; identical pairs collapse."""
+    idx = _cached_filtered_index(
+        sf_dir,
+        ({"type": "keyword_repeat",
+          "inner": {"type": "truncate", "length": 5}},),
+        "kwrepeat5")
+    return _index_stats_of(idx)
+
+
+SQL_KEYWORD_REPEAT = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+allt AS (
+  SELECT doc_id, tok AS term FROM toks
+  UNION ALL
+  SELECT doc_id, substr(tok, 1, 5) AS term FROM toks
+  WHERE length(tok) > 5)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM allt GROUP BY term ORDER BY term
+"""
+
+
 def char_ngram_stats(sf_dir: str) -> pa.Table:
     """NGramTokenFilter e2e (upstream ``NGramTokenFilter`` [U]): char
     3-gram index → (term, df, cf) vs a SQL substring recomputation."""
@@ -10426,6 +10453,7 @@ def queries() -> dict:
         "index_term_stats": index_term_stats,
         "term_stats_mapreduce": term_stats_mapreduce,
         "shingle_term_stats": shingle_term_stats,
+        "keyword_repeat_stats": keyword_repeat_stats,
         "char_ngram_stats": char_ngram_stats,
         "synonym_term_stats": synonym_term_stats,
         "doc_freq_top20": doc_freq_top20,
@@ -10700,6 +10728,7 @@ def oracle_sql() -> dict:
         "index_term_stats": SQL_TERM_STATS,
         "term_stats_mapreduce": SQL_TERM_STATS,
         "shingle_term_stats": SQL_SHINGLE_STATS,
+        "keyword_repeat_stats": SQL_KEYWORD_REPEAT,
         "char_ngram_stats": SQL_CHAR_NGRAM,
         "synonym_term_stats": _sql_synonym_stats(),
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,

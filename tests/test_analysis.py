@@ -407,3 +407,30 @@ def test_tokenizer_config_roundtrip():
     d = cfg.to_json()
     del d["tokenizer"]
     assert IndexConfig.from_json(d).tokenizer == "standard"
+
+
+def test_keyword_repeat_filter_golden():
+    """KeywordRepeat -> inner rewrite -> RemoveDuplicates: both the
+    original and the rewrite emit at the SAME position; identical
+    pairs collapse; doc length ignores the stacked copy
+    (discountOverlaps)."""
+    from engine.analysis import Analyzer
+
+    a = Analyzer(stop_words=None, stemming=False,
+                 filters=({"type": "keyword_repeat",
+                           "inner": {"type": "truncate", "length": 4}},))
+    # 'hello' -> hello+hell (differs); 'ab' -> collapses to one token
+    got = sorted(a.analyze_text("hello ab"))
+    assert got == [("ab", 1), ("hell", 0), ("hello", 0)]
+    # Porter stem inner: original and stem stacked at one position
+    s = Analyzer(stop_words=None, stemming=False,
+                 filters=({"type": "keyword_repeat",
+                           "inner": {"type": "stem"}},))
+    got = sorted(s.analyze_text("running"))
+    assert got == [("run", 0), ("running", 0)]
+    # doc_lens is the emitted-token count (the filter-chain contract,
+    # discountOverlaps=false boundary): stacked copies count
+    import numpy as np
+    import pyarrow as pa
+    lens = a.analyze_flat(pa.array(["hello ab hello", "abc de"]))[3]
+    assert list(lens) == [5, 2]       # hello+hell twice + ab; no stacks
