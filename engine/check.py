@@ -57,6 +57,23 @@ def check_index(index_dir: str) -> dict[str, int]:
         assert (np.diff(dd) > 0).all(), "deletes not sorted unique"
         assert dd[0] >= 0 and dd[-1] < max_doc, "deleted docID out of range"
 
+    # numeric-DV update generations (upstream CheckIndex docvalues
+    # status): files exist, docIDs sorted unique and in range,
+    # generation numbers strictly increase per field
+    for field, gens in (man.get("dv_updates") or {}).items():
+        last_gen = 0
+        for g in gens:
+            assert g["gen"] > last_gen, f"dv {field} gens not increasing"
+            last_gen = g["gen"]
+            t = pq.read_table(os.path.join(index_dir, g["file"]))
+            dv = t["doc_id"].to_numpy()
+            assert len(dv) == g["n"], f"dv {field} count mismatch"
+            if len(dv):
+                assert (np.diff(dv) > 0).all(), \
+                    f"dv {field} docIDs not sorted unique"
+                assert dv[0] >= 0 and dv[-1] < max_doc, \
+                    f"dv {field} docID out of range"
+
     total_cf = 0
     terms_seen: set[str] = set()
     n_rows = 0
