@@ -2292,6 +2292,41 @@ class IndexReader:
         subs = self.lookup(terms)
         return {t: self.global_df(s) for t, s in subs.items() if s}
 
+    def suggest_weighted_topk(self, prefix: str, field: str,
+                              k: int = 10) -> pa.Table:
+        """Value-source-weighted completion (upstream
+        ``DocumentValueSourceDictionary`` — suggestion weight comes
+        from a per-document value source instead of term frequency
+        [U]): prefix candidates from the dictionary bisect, each
+        weighted by the SUM of ``field`` over its LIVE matching docs
+        (dv-update generations included, since the value source reads
+        through :meth:`numeric_docvalues`). Ranked weight desc, term
+        asc."""
+        cands = self.expand_prefix(prefix)
+        if not cands:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "weight": pa.array([], pa.int64())})
+        subs = self.lookup(cands)
+        rows = []
+        for t in cands:
+            if not subs[t]:
+                continue
+            docs = np.concatenate(
+                [s.decode_all()[0] for s in subs[t]])
+            keep = self._keep(docs)
+            if keep is not None:
+                docs = docs[keep]
+            if not len(docs):
+                continue
+            vals = self.numeric_docvalues(field, docs)
+            w = int(np.nansum(vals))
+            rows.append((t, w))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:k]
+        return pa.table({
+            "term": pa.array([t for t, _ in rows], pa.string()),
+            "weight": pa.array([w for _, w in rows], pa.int64())})
+
     def suggest_prefix_topk(self, prefix: str, k: int = 10) -> pa.Table:
         """Autocomplete suggester (upstream Solr suggest component /
         ``FreeTextSuggester``-style popularity ranking [U]): terms with

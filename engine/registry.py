@@ -3228,6 +3228,25 @@ GROUP BY term ORDER BY df DESC, term LIMIT 10
 """
 
 
+def suggest_weighted_docs(sf_dir: str) -> pa.Table:
+    """Value-source-weighted suggester (upstream
+    ``DocumentValueSourceDictionary`` [U]): 's%' completions weighted
+    by SUM(n_chars) over matching docs, not df — the weight reorders
+    vs the df ranking."""
+    return _doc_reader(sf_dir).suggest_weighted_topk("s", "n_chars",
+                                                     k=10)
+
+
+SQL_SUGGEST_WEIGHTED = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id, term FROM toks
+      WHERE term LIKE 's%')
+SELECT term, SUM(d.n_chars)::BIGINT AS weight
+FROM m JOIN documents d USING (doc_id)
+GROUP BY term ORDER BY weight DESC, term LIMIT 10
+"""
+
+
 SUGGEST_CONTEXT_LANG = "en"
 SUGGEST_CONTEXT_PREFIX = "s"
 
@@ -10547,6 +10566,7 @@ def queries() -> dict:
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "transcript_bm25": transcript_bm25,
         "suggest_terms_docs": suggest_terms_docs,
+        "suggest_weighted_docs": suggest_weighted_docs,
         "spellcheck_docs": spellcheck_docs,
         "termfreq_docs": termfreq_docs,
         "word_break_docs": word_break_docs,
@@ -10819,6 +10839,7 @@ def oracle_sql() -> dict:
         "minhash_pairs_docs": SQL_MINHASH_EXACT,
         "simhash_pairs_docs": SQL_SIMHASH,
         "suggest_terms_docs": SQL_SUGGEST,
+        "suggest_weighted_docs": SQL_SUGGEST_WEIGHTED,
         "spellcheck_docs": SQL_SPELLCHECK,
         "termfreq_docs": SQL_TERMFREQ,
         "word_break_docs": SQL_WORD_BREAK,
