@@ -1420,12 +1420,15 @@ class IndexReader:
                         sub.decode_positions_flat(tfs)))
         return out
 
-    def wildcard_topk(self, pattern: str, k: int = 10) -> pa.Table:
-        """WildcardQuery with scoring-boolean rewrite (upstream
-        ``L/search/WildcardQuery.java`` + ``ScoringRewrite`` [U] — note
-        Lucene's DEFAULT rewrite is constant-score; we implement the
-        scoring variant so ranks are informative). Supports ``*`` and
-        ``?`` anywhere; a pure-prefix pattern (``foo*`` / ``foo``)
+    def wildcard_topk(self, pattern: str, k: int = 10,
+                      rewrite: str = "scoring_boolean") -> pa.Table:
+        """WildcardQuery (upstream ``L/search/WildcardQuery.java``
+        [U]). ``rewrite="scoring_boolean"`` is ``ScoringRewrite`` —
+        informative BM25 ranks; ``rewrite="constant_score"`` is
+        ``CONSTANT_SCORE_REWRITE``, Lucene's DEFAULT for multi-term
+        queries — every matching doc scores 1.0f and top-k = first k
+        matching docIDs, with no per-term scoring work. Supports ``*``
+        and ``?`` anywhere; a pure-prefix pattern (``foo*`` / ``foo``)
         takes the bisect fast path over the sorted dictionary, general
         patterns compile to an anchored regex over the (memoized)
         vocabulary — the automaton-intersection analog."""
@@ -1453,6 +1456,8 @@ class IndexReader:
             terms = [t for t in cands if rx.fullmatch(t)]
         if not terms:
             return _topdocs_table([], [])
+        if rewrite == "constant_score":
+            return self.constant_score_topk(list(terms), k=k)
         return self.boolean_topk(should=terms, k=k)
 
     def sloppy_phrase_topk(self, t1: str, t2: str, slop: int,

@@ -797,6 +797,26 @@ def wildcard_topk(sf_dir: str) -> pa.Table:
 SQL_WILDCARD = _sql_disjunction(
     f"SELECT DISTINCT term FROM tf WHERE term LIKE '{WILD_PREFIX}%'", 10)
 
+
+def wildcard_constant_topk(sf_dir: str) -> pa.Table:
+    """``CONSTANT_SCORE_REWRITE`` — Lucene's DEFAULT multi-term
+    rewrite (upstream ``MultiTermQuery#CONSTANT_SCORE_REWRITE`` [U]):
+    every doc matching the expansion scores exactly 1.0f; top-k =
+    first k matching docIDs, zero per-term scoring work."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.wildcard_topk(WILD_PREFIX, k=10,
+                                        rewrite="constant_score"))
+
+
+SQL_WILDCARD_CONSTANT = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE term LIKE '{WILD_PREFIX}%')
+SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)::BIGINT AS rank,
+       doc_id, CAST(1.0 AS FLOAT) AS score
+FROM m ORDER BY doc_id LIMIT 10
+"""
+
 DISMAX_TERMS = ["spark", "merge", "window"]
 MSM_TERMS = ["spark", "merge", "window"]
 MSM_MIN = 2
@@ -2001,10 +2021,11 @@ def math_series_events(sf_dir: str) -> pa.Table:
     c=zscores(col(a,sum)))`` [U]): the series itself is the
     distributed grouped aggregate; movingAvg and zscores are ARRAY
     functions over the (small) series — exactly where Solr computes
-    them. movingAvg is the trailing {MOVAVG_W}-window mean starting at
-    the first full window (Solr's movingAvg returns series_len - w + 1
-    points; earlier rows are null here to keep one row per bucket);
-    zscores is (v - mean)/stddev_samp over the whole series."""
+    them. movingAvg is the trailing {MOVAVG_W}-window mean; the
+    leading edge averages the partial window (documented boundary:
+    Solr's movingAvg returns series_len - w + 1 points — we keep one
+    row per bucket, SQL window-frame semantics); zscores is
+    (v - mean)/stddev_samp over the whole series."""
     ds = _read(sf_dir, "events", ["ts", "value"])
     t = _to_table(rel.timeseries(ds, "ts", "day", sums=["value"]))
     t = _rename(t, {"count()": "n", "sum(value)": "sum_value"})
@@ -2014,19 +2035,15 @@ def math_series_events(sf_dir: str) -> pa.Table:
     t = t.sort_by("window")
     v = t["sum_value"].to_numpy().astype(np.float64)
     k = MOVAVG_W
-    mov = np.full(len(v), np.nan)
-    if len(v) >= k:
-        c = np.concatenate(([0.0], np.cumsum(v)))
-        mov[k - 1:] = (c[k:] - c[:-k]) / k
+    mov = np.array([v[max(0, i - k + 1):i + 1].mean()
+                    for i in range(len(v))])
     mu, sd = v.mean(), v.std(ddof=1)
     z = (v - mu) / sd
-    out = pa.table({
+    return pa.table({
         "window": t["window"],
         "sum_value": pa.array(np.round(v, 3)),
-        "moving_avg": pa.array([None if np.isnan(x) else round(x, 6)
-                                for x in mov], pa.float64()),
+        "moving_avg": pa.array(np.round(mov, 6)),
         "zscore": pa.array(np.round(z, 6))})
-    return out
 
 
 SQL_MATH_SERIES = f"""
@@ -2035,10 +2052,9 @@ WITH s AS (
          SUM(value) AS sum_value
   FROM events GROUP BY 1)
 SELECT "window", ROUND(sum_value, 3) AS sum_value,
-  CASE WHEN ROW_NUMBER() OVER (ORDER BY "window") >= {MOVAVG_W}
-       THEN ROUND(AVG(sum_value) OVER (ORDER BY "window"
-            ROWS BETWEEN {MOVAVG_W - 1} PRECEDING AND CURRENT ROW), 6)
-       END AS moving_avg,
+  ROUND(AVG(sum_value) OVER (ORDER BY "window"
+        ROWS BETWEEN {MOVAVG_W - 1} PRECEDING AND CURRENT ROW), 6)
+    AS moving_avg,
   ROUND((sum_value - AVG(sum_value) OVER ())
         / STDDEV_SAMP(sum_value) OVER (), 6) AS zscore
 FROM s ORDER BY "window"
@@ -10491,6 +10507,7 @@ def queries() -> dict:
         "boolean_not_topk": boolean_not_topk,
         "phrase_topk": phrase_topk,
         "wildcard_topk": wildcard_topk,
+        "wildcard_constant_topk": wildcard_constant_topk,
         "wildcard_mid_topk": wildcard_mid_topk,
         "wildcard_leading_topk": wildcard_leading_topk,
         "sloppy_phrase_topk": sloppy_phrase_topk,
@@ -10767,6 +10784,7 @@ def oracle_sql() -> dict:
         "boolean_not_topk": SQL_BOOLEAN_NOT,
         "phrase_topk": sql_phrase_topk(),
         "wildcard_topk": SQL_WILDCARD,
+        "wildcard_constant_topk": SQL_WILDCARD_CONSTANT,
         "wildcard_mid_topk": SQL_WILDCARD_MID,
         "wildcard_leading_topk": SQL_WILDCARD_LEADING,
         "sloppy_phrase_topk": sql_sloppy_phrase(),
