@@ -2061,6 +2061,45 @@ FROM s ORDER BY "window"
 """
 
 
+def transition_counts_events(sf_dir: str) -> pa.Table:
+    """Event-transition matrix (agent-behavior analytics over the
+    events stream; the SQL shape is ``LAG() OVER (PARTITION BY user
+    ORDER BY ts)``): per user, order events by (ts, event_id) and
+    count (prev_type → next_type) pairs globally. One grouped
+    shuffle; per-group transition extraction is a vectorized
+    sort + shift, groups are per-user-sized."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def trans(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        et = g["event_type"].to_pylist()
+        if len(et) < 2:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string())})
+        return pa.table({"prev_type": pa.array(et[:-1], pa.string()),
+                         "next_type": pa.array(et[1:], pa.string())})
+
+    pairs = ds.groupby("user_id").map_groups(trans,
+                                             batch_format="pyarrow")
+    t = _to_table(rel.facet(pairs, ["prev_type", "next_type"]))
+    t = _rename(t, {"count()": "n"})
+    return _cast_col(t, "n", pa.int64()) \
+        .sort_by([("prev_type", "ascending"), ("next_type", "ascending")])
+
+
+SQL_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def corr_lineitem(sf_dir: str) -> pa.Table:
     """``corr()`` math expression (upstream Solr math expressions,
     Pearson correlation [U]): distributed moment partials
@@ -10556,6 +10595,7 @@ def queries() -> dict:
         "math_series_events": math_series_events,
         "corr_lineitem": corr_lineitem,
         "ttest_events": ttest_events,
+        "transition_counts_events": transition_counts_events,
         "stats_by_type": stats_by_type,
         "distinct_users_by_type": distinct_users_by_type,
         "percentile_value_by_type": percentile_value_by_type,
@@ -10833,6 +10873,7 @@ def oracle_sql() -> dict:
         "math_series_events": SQL_MATH_SERIES,
         "corr_lineitem": SQL_CORR,
         "ttest_events": SQL_TTEST,
+        "transition_counts_events": SQL_TRANSITIONS,
         "stats_by_type": SQL_STATS_BY_TYPE,
         "distinct_users_by_type": SQL_DISTINCT_USERS,
         "percentile_value_by_type": SQL_PERCENTILE,
