@@ -817,6 +817,40 @@ SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)::BIGINT AS rank,
 FROM m ORDER BY doc_id LIMIT 10
 """
 
+def boolean_filter_topk(sf_dir: str) -> pa.Table:
+    """``Occur.FILTER`` (upstream ``BooleanQuery`` non-scoring clause
+    [U], Solr ``fq``): 'merge' constrains the candidate set exactly
+    like MUST but contributes NO score — ranks come from the 'spark'
+    clause alone (served through the filterCache)."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.boolean_topk(must=["spark"],
+                                       filters=["merge"], k=10))
+
+
+SQL_BOOLEAN_FILTER = f"""{_bm25_ctes()},
+f AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+dfs AS (
+  SELECT COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf
+  WHERE term = 'spark'),
+scored AS (
+  SELECT tf.doc_id,
+    CAST(
+      CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+      *
+      CAST(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN dfs d CROSS JOIN stats s
+  WHERE tf.term = 'spark'
+    AND tf.doc_id IN (SELECT doc_id FROM f))
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 DISMAX_TERMS = ["spark", "merge", "window"]
 MSM_TERMS = ["spark", "merge", "window"]
 MSM_MIN = 2
@@ -10547,6 +10581,7 @@ def queries() -> dict:
         "phrase_topk": phrase_topk,
         "wildcard_topk": wildcard_topk,
         "wildcard_constant_topk": wildcard_constant_topk,
+        "boolean_filter_topk": boolean_filter_topk,
         "wildcard_mid_topk": wildcard_mid_topk,
         "wildcard_leading_topk": wildcard_leading_topk,
         "sloppy_phrase_topk": sloppy_phrase_topk,
@@ -10825,6 +10860,7 @@ def oracle_sql() -> dict:
         "phrase_topk": sql_phrase_topk(),
         "wildcard_topk": SQL_WILDCARD,
         "wildcard_constant_topk": SQL_WILDCARD_CONSTANT,
+        "boolean_filter_topk": SQL_BOOLEAN_FILTER,
         "wildcard_mid_topk": SQL_WILDCARD_MID,
         "wildcard_leading_topk": SQL_WILDCARD_LEADING,
         "sloppy_phrase_topk": sql_sloppy_phrase(),
