@@ -288,15 +288,16 @@ def test_parser_fuzz_never_crashes(ray_session, smoke_index):
              "(", ")", '"', "~", "~2", "^2.5", "*", "?", "[", "]",
              "{", "}", "TO", ":", "/re.*x/", "wild*", "fu?z", " "]
     n_parsed = 0
-    for _ in range(400):
+    for i in range(400):
         q = "".join(rng.choice(atoms, size=rng.integers(1, 12)))
+        op = "AND" if i % 2 else "OR"    # fuzz both default operators
         try:
-            parse(q)
+            parse(q, default_op=op)
         except QueryParseError:
             continue
         n_parsed += 1
         try:
-            parsed_topk(r, q, k=3)
+            parsed_topk(r, q, k=3, default_op=op)
         except QueryParseError:
             pass
     assert n_parsed > 20   # the fuzz actually exercises the evaluator
