@@ -2873,6 +2873,8 @@ class IndexReader:
         if self.cfg.doc_id_col is None:
             raise ValueError("numeric docvalues need a doc_id index")
         ids = np.asarray(doc_ids, dtype=np.int64)
+        if not len(ids):
+            return np.empty(0, dtype=np.float64)
         uniq = np.unique(ids)
         id_col = self.cfg.doc_id_col
         vals = np.full(len(uniq), np.nan, dtype=np.float64)
