@@ -787,8 +787,10 @@ class KeywordRepeatFilter(TokenFilter):
     ``RemoveDuplicatesTokenFilter`` collapses the pair when the
     rewrite equals the original [U]): every token emits its ORIGINAL
     and the inner filter's rewrite at the SAME position; identical
-    pairs collapse. The inner filter must be a pure vocabulary
-    rewrite (truncate / reverse / trim / folding / soundex / stem).
+    pairs collapse. The inner filter must be a PURE vocabulary
+    rewrite (truncate / reverse / folding / soundex / stem); a filter
+    that can drop tokens (e.g. trim on whitespace-only input) raises
+    a ValueError rather than silently mispairing tokens.
     Conformance boundary (documented): stacked duplicates COUNT toward
     the norm length (``discountOverlaps=false``) — the filter-chain
     contract makes ``doc_lens`` the emitted-token count, the same
@@ -804,6 +806,13 @@ class KeywordRepeatFilter(TokenFilter):
             return offsets, codes, vocab, positions, doc_lens
         _, codes2, vocab2, _, _ = self.inner.apply(
             offsets, codes.copy(), vocab.copy(), positions, doc_lens)
+        if len(codes2) != len(codes):
+            # e.g. trim dropping a whitespace-only token: alignment is
+            # undefined — fail loudly rather than mispair tokens
+            raise ValueError(
+                "keyword_repeat inner must be a pure rewrite "
+                f"(token count changed {len(codes)} -> {len(codes2)}; "
+                "filters that drop tokens are not supported)")
         orig = vocab[codes]
         rew = vocab2[codes2]
         add = rew != orig                # RemoveDuplicates

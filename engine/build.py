@@ -1198,18 +1198,31 @@ def sync_replica(src_dir: str, dst_dir: str) -> dict[str, Any]:
     upstream filelist negotiation — the master's searchable file
     inventory (shard generation, docmap, stored fields, delete lists,
     dv updates, payloads; NOT the rebuildable fragments) is compared
-    by relative path + size, changed/missing files are copied
-    (hardlink when same-device), stale replica files are removed, and
-    the manifest installs LAST — a reader never sees a torn replica,
-    and a second sync after an incremental append moves only the new
-    segment bytes. Returns {copied, removed, skipped}."""
+    by relative path + size + content checksum (the upstream filelist
+    carries checksums for exactly the same-size-different-bytes
+    case). Changed/missing files copy first (hardlink when
+    same-device, each landing via an atomic per-file rename), THEN the
+    manifest installs — the commit point — and only AFTER that are
+    stale files removed, so a crash at any step leaves the replica
+    loadable under whichever manifest it holds. A second sync after an
+    incremental append moves only the new segment bytes. Returns
+    {copied, removed, skipped}."""
+    import hashlib
+
     man = mf.load(src_dir)
     assert man and man["status"] == "complete", \
         "sync_replica needs a complete master"
     os.makedirs(dst_dir, exist_ok=True)
 
-    def inventory(base: str) -> dict[str, int]:
-        out: dict[str, int] = {}
+    def _sig(path: str) -> tuple[int, str]:
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return os.path.getsize(path), h.hexdigest()
+
+    def inventory(base: str) -> dict[str, tuple[int, str]]:
+        out: dict[str, tuple[int, str]] = {}
         skip_tops = {"fragments", mf.MANIFEST_NAME}
         for root, dirs, fns in os.walk(base):
             rel = os.path.relpath(root, base)
@@ -1219,35 +1232,40 @@ def sync_replica(src_dir: str, dst_dir: str) -> dict[str, Any]:
                 r = os.path.normpath(os.path.join(rel, fn))
                 if r in skip_tops or fn.endswith(".tmp"):
                     continue
-                out[r] = os.path.getsize(os.path.join(root, fn))
+                out[r] = _sig(os.path.join(root, fn))
         return out
 
     want = inventory(src_dir)
     have = inventory(dst_dir)
     copied = skipped = 0
-    for r, size in want.items():
-        if have.get(r) == size:
+    for r, sig in want.items():
+        if have.get(r) == sig:
             skipped += 1
             continue
         s = os.path.join(src_dir, r)
         d = os.path.join(dst_dir, r)
         os.makedirs(os.path.dirname(d), exist_ok=True)
-        if os.path.exists(d):
-            os.remove(d)
+        tmp = d + ".tmp"
+        if os.path.exists(tmp):
+            os.remove(tmp)
         try:
-            os.link(s, d)
+            os.link(s, tmp)
         except OSError:
-            shutil.copy2(s, d)
+            shutil.copy2(s, tmp)
+        os.replace(tmp, d)               # atomic per-file install
         copied += 1
+    mf.save(dst_dir, man)      # the commit point
     removed = 0
-    for r in set(have) - set(want):
-        os.remove(os.path.join(dst_dir, r))
-        removed += 1
+    for r in set(have) - set(want):      # post-commit cleanup
+        try:
+            os.remove(os.path.join(dst_dir, r))
+            removed += 1
+        except OSError:
+            pass
     for root, dirs, fns in os.walk(dst_dir, topdown=False):
         if not dirs and not fns and os.path.normpath(root) != \
                 os.path.normpath(dst_dir):
             os.rmdir(root)
-    mf.save(dst_dir, man)      # manifest last = commit point
     return {"copied": copied, "removed": removed, "skipped": skipped}
 
 

@@ -172,8 +172,17 @@ class NrtWriter:
         ``term`` plus currently-buffered matches; docs added LATER
         are unaffected, exactly the upstream queue-order resolution.
         Visible in the next ``reader()``; published as a disk dvGen
-        at ``commit()``. Returns the frozen docset size."""
-        r = self.reader()
+        at ``commit()``. Returns the frozen docset size. Resolution
+        reuses a memoized postings snapshot (invalidated whenever the
+        buffer or delete set changes) — upstream BufferedUpdates just
+        queues the term; re-encoding the RAM buffer per update call
+        would be quadratic across an update sequence."""
+        state = (len(self._buffered), len(self._buf_ids),
+                 len(self._nrt_deleted))
+        if getattr(self, "_resolve_state", None) != state:
+            self._resolve_reader = self.reader()
+            self._resolve_state = state
+        r = self._resolve_reader
         docs = r.filter_docset(term)
         keep = r._keep(docs)
         if keep is not None:
@@ -334,10 +343,18 @@ class NrtWriter:
     def _publish_dv(self) -> dict:
         """Flush buffered DV updates as disk generations in call
         order (AFTER the append so generations may reference
-        just-flushed docIDs)."""
+        just-flushed docIDs). A frozen docID that never reached disk —
+        a RAM-buffered doc deleted before this commit — is dropped:
+        it has no disk identity, and a future append reusing the id
+        must not inherit the stale override."""
         if self._dv_buffer:
             from engine.build import publish_dv_generation
+            man = mf.load(self.index_dir)
+            bound = int(man["stats"].get("max_doc", man["stats"]["N"]))
             for field, docs, value in self._dv_buffer:
-                publish_dv_generation(self.index_dir, field, docs, value)
+                docs = docs[docs < bound]
+                if len(docs):
+                    publish_dv_generation(self.index_dir, field, docs,
+                                          value)
             self._dv_buffer.clear()
         return mf.load(self.index_dir)

@@ -1212,6 +1212,10 @@ class IndexReader:
         the remaining suffixes — exactly the upstream
         ``FuzzyTermsEnum`` prefix+suffix-automaton split."""
         dist = _osa_distance if transpositions else _levenshtein
+        # upstream FuzzyTermsEnum caps realPrefixLength at the term
+        # length — otherwise candidate chars past the prefix would
+        # silently escape the distance measure
+        prefix_len = min(prefix_len, len(term))
         if prefix_len > 0:
             pre, q_suf = term[:prefix_len], term[prefix_len:]
             cands = self.expand_prefix(pre)
@@ -2312,7 +2316,7 @@ class IndexReader:
             return pa.table({"term": pa.array([], pa.string()),
                              "weight": pa.array([], pa.int64())})
         subs = self.lookup(cands)
-        rows = []
+        docsets: dict[str, np.ndarray] = {}
         for t in cands:
             if not subs[t]:
                 continue
@@ -2321,11 +2325,17 @@ class IndexReader:
             keep = self._keep(docs)
             if keep is not None:
                 docs = docs[keep]
-            if not len(docs):
-                continue
-            vals = self.numeric_docvalues(field, docs)
-            w = int(np.nansum(vals))
-            rows.append((t, w))
+            if len(docs):
+                docsets[t] = docs
+        if not docsets:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "weight": pa.array([], pa.int64())})
+        # ONE value-source read over the union docset, then per-term
+        # sums via searchsorted — not O(candidates × input files)
+        uni = np.unique(np.concatenate(list(docsets.values())))
+        vals = self.numeric_docvalues(field, uni)
+        rows = [(t, int(np.nansum(vals[np.searchsorted(uni, d)])))
+                for t, d in docsets.items()]
         rows.sort(key=lambda r: (-r[1], r[0]))
         rows = rows[:k]
         return pa.table({

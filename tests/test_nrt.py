@@ -320,3 +320,55 @@ def test_nrt_buffered_dv_updates(ray_session, tmp_path_factory):
         "size", np.array([0, 1, 2, 4, 10]))
     assert list(disk[:4]) == list(snap[:4])
     assert disk[4] == 777               # flushed doc carries the update
+
+
+def test_nrt_dv_update_of_deleted_buffered_doc(ray_session,
+                                               tmp_path_factory):
+    """Review regression: a RAM-buffered doc covered by a frozen dv
+    update and then deleted before commit must NOT leak into the
+    published generation (no out-of-range docIDs; a later append
+    reusing the id must not inherit the stale override)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index
+    from engine.check import check_index
+    from engine.nrt import NrtWriter
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("nrtdvdel")
+    src = str(root / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+        "text": pa.array(["alpha", "beta", "alpha beta"]),
+        "size": pa.array([10, 20, 30], pa.int64()),
+    }), src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9)
+    build_index([src], idx, cfg)
+
+    w = NrtWriter(idx)
+    w.add_documents(pa.table({"doc_id": pa.array([10], pa.int64()),
+                              "text": pa.array(["alpha zz"])}))
+    assert w.update_numeric_docvalue("alpha", "size", 777) == 3
+    w.delete_documents([10])          # buffered doc dies pre-commit
+    w.commit(str(root / "flush"))
+    check_index(idx)                  # dv gens all within max_doc
+    r = IndexReader(idx)
+    got = r.numeric_docvalues("size", np.array([0, 2, 10]))
+    assert got[0] == 777 and got[1] == 777
+    assert np.isnan(got[2])           # id 10 never reached disk
+
+    # a later append reusing id 10 keeps ITS OWN base value
+    f2 = str(root / "more.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10], pa.int64()),
+        "text": pa.array(["fresh alpha"]),
+        "size": pa.array([555], pa.int64()),
+    }), f2)
+    build_index([src, f2], idx, cfg)
+    r2 = IndexReader(idx)
+    assert r2.numeric_docvalues("size", np.array([10]))[0] == 555

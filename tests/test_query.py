@@ -1164,3 +1164,31 @@ def test_time_limited_partial_results(reader):
         for s in sl:
             first_docs |= set(s.decode_block(0)[0].tolist())
     assert set(lim["doc_id"].to_pylist()) <= first_docs
+
+
+def test_fuzzy_prefix_cap_and_keyword_repeat_guard(reader):
+    """Review regressions: prefix_len > len(term) caps at the term
+    length (no candidate chars escape the distance measure), and
+    keyword_repeat's inner must be a pure rewrite."""
+    from engine.analysis import Analyzer
+    from engine.query import _levenshtein
+
+    t = reader.analyzer.query_terms("running")[0]
+    capped = reader.fuzzy_topk(t, k=10_000, max_edits=1,
+                               prefix_len=len(t) + 5)
+    # candidates must be true ed<=1 extensions of the full term
+    want = {v for v in reader.vocabulary()
+            if v.startswith(t) and _levenshtein("", v[len(t):], 1) <= 1}
+    got_docs = set(capped["doc_id"].to_pylist())
+    ref = reader.boolean_topk(should=sorted(want), k=10_000) \
+        if want else None
+    if ref is not None:
+        assert got_docs == set(ref["doc_id"].to_pylist())
+
+    a = Analyzer(stop_words=None, stemming=False, tokenizer="keyword",
+                 filters=({"type": "keyword_repeat",
+                           "inner": {"type": "trim"}},))
+    import pyarrow as pa
+    import pytest as _pt
+    with _pt.raises(ValueError, match="pure rewrite"):
+        a.analyze_flat(pa.array(["   "]))
