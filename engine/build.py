@@ -1195,18 +1195,27 @@ def sync_replica(src_dir: str, dst_dir: str) -> dict[str, Any]:
     """Incremental pull replication (upstream ``ReplicationHandler``
     → ``IndexFetcher`` [U]): bring a replica up to the master's commit
     point copying ONLY the files the replica lacks. Mirrors the
-    upstream filelist negotiation — the master's searchable file
+    upstream filelist negotiation over the master's searchable file
     inventory (shard generation, docmap, stored fields, delete lists,
-    dv updates, payloads; NOT the rebuildable fragments) is compared
-    by relative path + size + content checksum (the upstream filelist
-    carries checksums for exactly the same-size-different-bytes
-    case). Changed/missing files copy first (hardlink when
-    same-device, each landing via an atomic per-file rename), THEN the
-    manifest installs — the commit point — and only AFTER that are
-    stale files removed, so a crash at any step leaves the replica
-    loadable under whichever manifest it holds. A second sync after an
-    incremental append moves only the new segment bytes. Returns
-    {copied, removed, skipped}."""
+    dv updates, payloads; NOT the rebuildable fragments):
+
+    - compare by relative path + size, and md5 ONLY for same-size
+      pairs (the one case size can't disambiguate — an incremental
+      sync therefore reads O(changed + same-size-pair bytes), not the
+      whole index twice);
+    - copy each changed/missing file via hardlink (same-device) +
+      atomic per-file rename;
+    - if any SAME-PATH file changes content (fixed-path mutables:
+      docmap, a rewritten merged shard), the replica's manifest is
+      first flipped to ``status="syncing"`` — a crash mid-install
+      leaves a replica that REFUSES to load (readers assert
+      status=complete) instead of silently pairing an old manifest
+      with new bytes; rerunning sync_replica repairs it (idempotent),
+      upstream IndexFetcher's retry semantics;
+    - the master manifest installs as the final commit point; stale
+      files and orphaned ``*.tmp`` are removed after.
+
+    Returns {copied, removed, skipped}."""
     import hashlib
 
     man = mf.load(src_dir)
@@ -1214,15 +1223,15 @@ def sync_replica(src_dir: str, dst_dir: str) -> dict[str, Any]:
         "sync_replica needs a complete master"
     os.makedirs(dst_dir, exist_ok=True)
 
-    def _sig(path: str) -> tuple[int, str]:
+    def _md5(path: str) -> str:
         h = hashlib.md5()
         with open(path, "rb") as f:
             for chunk in iter(lambda: f.read(1 << 20), b""):
                 h.update(chunk)
-        return os.path.getsize(path), h.hexdigest()
+        return h.hexdigest()
 
-    def inventory(base: str) -> dict[str, tuple[int, str]]:
-        out: dict[str, tuple[int, str]] = {}
+    def sizes(base: str) -> dict[str, int]:
+        out: dict[str, int] = {}
         skip_tops = {"fragments", mf.MANIFEST_NAME}
         for root, dirs, fns in os.walk(base):
             rel = os.path.relpath(root, base)
@@ -1230,18 +1239,41 @@ def sync_replica(src_dir: str, dst_dir: str) -> dict[str, Any]:
                 dirs[:] = [d for d in dirs if d not in skip_tops]
             for fn in fns:
                 r = os.path.normpath(os.path.join(rel, fn))
-                if r in skip_tops or fn.endswith(".tmp"):
+                if r in skip_tops:
                     continue
-                out[r] = _sig(os.path.join(root, fn))
+                if fn.endswith(".tmp"):   # orphan from a crashed sync
+                    if base == dst_dir:
+                        os.remove(os.path.join(root, fn))
+                    continue
+                out[r] = os.path.getsize(os.path.join(root, fn))
         return out
 
-    want = inventory(src_dir)
-    have = inventory(dst_dir)
-    copied = skipped = 0
-    for r, sig in want.items():
-        if have.get(r) == sig:
+    want = sizes(src_dir)
+    have = sizes(dst_dir)
+    to_copy: list[str] = []
+    conflicting = False
+    skipped = 0
+    for r, size in want.items():
+        if r not in have:
+            to_copy.append(r)
+        elif have[r] != size or \
+                _md5(os.path.join(dst_dir, r)) != \
+                _md5(os.path.join(src_dir, r)):
+            to_copy.append(r)
+            conflicting = True            # same path, new content
+        else:
             skipped += 1
-            continue
+
+    if conflicting:
+        # detectably-incomplete marker: a crash before the final
+        # manifest leaves status="syncing" and readers refuse to load
+        old = mf.load(dst_dir)
+        if old is not None:
+            old = dict(old)
+            old["status"] = "syncing"
+            mf.save(dst_dir, old)
+
+    for r in to_copy:
         s = os.path.join(src_dir, r)
         d = os.path.join(dst_dir, r)
         os.makedirs(os.path.dirname(d), exist_ok=True)
@@ -1253,7 +1285,6 @@ def sync_replica(src_dir: str, dst_dir: str) -> dict[str, Any]:
         except OSError:
             shutil.copy2(s, tmp)
         os.replace(tmp, d)               # atomic per-file install
-        copied += 1
     mf.save(dst_dir, man)      # the commit point
     removed = 0
     for r in set(have) - set(want):      # post-commit cleanup
@@ -1266,7 +1297,8 @@ def sync_replica(src_dir: str, dst_dir: str) -> dict[str, Any]:
         if not dirs and not fns and os.path.normpath(root) != \
                 os.path.normpath(dst_dir):
             os.rmdir(root)
-    return {"copied": copied, "removed": removed, "skipped": skipped}
+    return {"copied": len(to_copy), "removed": removed,
+            "skipped": skipped}
 
 
 def delete_docs(index_dir: str, doc_ids) -> int:

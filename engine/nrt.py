@@ -124,6 +124,11 @@ class NrtWriter:
         self._buf_ids: set[int] = set()
         self._nrt_deleted: set[int] = set()
         self._dv_buffer: list[tuple[str, np.ndarray, float]] = []
+        # buffered ids deleted BEFORE any flush: they never gain a
+        # disk identity, so frozen dv docsets must drop them exactly
+        # (a `< max_doc` bound misses holes in sparse external ids)
+        self._dropped_buffered: set[int] = set()
+        self._mutations = 0          # invalidates the resolve memo
         self._flush_seq = 0
 
     # ------------------------------------------------------------ write
@@ -143,6 +148,7 @@ class NrtWriter:
         self._buf_ids.update(ids.tolist())
         self._buffered.append(table.select(
             [self.cfg.doc_id_col, self.cfg.text_col]))
+        self._mutations += 1
         return len(self._buf_ids)
 
     def delete_documents(self, doc_ids) -> int:
@@ -161,7 +167,9 @@ class NrtWriter:
                 for t in self._buffered]
             self._buffered = [t for t in self._buffered if t.num_rows]
             self._buf_ids -= buffered_hits
+            self._dropped_buffered |= buffered_hits
         self._nrt_deleted |= ids
+        self._mutations += 1
         return len(self._nrt_deleted)
 
     def update_numeric_docvalue(self, term: str, field: str,
@@ -173,15 +181,15 @@ class NrtWriter:
         are unaffected, exactly the upstream queue-order resolution.
         Visible in the next ``reader()``; published as a disk dvGen
         at ``commit()``. Returns the frozen docset size. Resolution
-        reuses a memoized postings snapshot (invalidated whenever the
-        buffer or delete set changes) — upstream BufferedUpdates just
-        queues the term; re-encoding the RAM buffer per update call
-        would be quadratic across an update sequence."""
-        state = (len(self._buffered), len(self._buf_ids),
-                 len(self._nrt_deleted))
-        if getattr(self, "_resolve_state", None) != state:
+        reuses a memoized postings snapshot (invalidated by the
+        mutation counter, which every add / delete / rollback / commit
+        bumps — including disk-generation changes) — upstream
+        BufferedUpdates just queues the term; re-encoding the RAM
+        buffer per update call would be quadratic across an update
+        sequence."""
+        if getattr(self, "_resolve_state", None) != self._mutations:
             self._resolve_reader = self.reader()
-            self._resolve_state = state
+            self._resolve_state = self._mutations
         r = self._resolve_reader
         docs = r.filter_docset(term)
         keep = r._keep(docs)
@@ -305,6 +313,8 @@ class NrtWriter:
         self._buf_ids.clear()
         self._nrt_deleted.clear()
         self._dv_buffer.clear()
+        self._dropped_buffered.clear()
+        self._mutations += 1
 
     # ------------------------------------------------------------ flush
 
@@ -344,17 +354,26 @@ class NrtWriter:
         """Flush buffered DV updates as disk generations in call
         order (AFTER the append so generations may reference
         just-flushed docIDs). A frozen docID that never reached disk —
-        a RAM-buffered doc deleted before this commit — is dropped:
-        it has no disk identity, and a future append reusing the id
-        must not inherit the stale override."""
+        a RAM-buffered doc deleted before this commit — is dropped
+        EXACTLY (tracked per-id; a ``< max_doc`` bound would miss
+        holes in sparse external doc_ids): it has no disk identity,
+        and a future append reusing the id must not inherit the stale
+        override."""
         if self._dv_buffer:
             from engine.build import publish_dv_generation
             man = mf.load(self.index_dir)
             bound = int(man["stats"].get("max_doc", man["stats"]["N"]))
+            dead = np.array(sorted(self._dropped_buffered),
+                            dtype=np.int64)
             for field, docs, value in self._dv_buffer:
                 docs = docs[docs < bound]
+                if len(dead):
+                    docs = docs[~np.isin(docs, dead,
+                                         assume_unique=True)]
                 if len(docs):
                     publish_dv_generation(self.index_dir, field, docs,
                                           value)
             self._dv_buffer.clear()
+        self._dropped_buffered.clear()
+        self._mutations += 1
         return mf.load(self.index_dir)

@@ -372,3 +372,52 @@ def test_nrt_dv_update_of_deleted_buffered_doc(ray_session,
     build_index([src, f2], idx, cfg)
     r2 = IndexReader(idx)
     assert r2.numeric_docvalues("size", np.array([10]))[0] == 555
+
+
+def test_nrt_dv_sparse_hole_and_memo_invalidation(ray_session,
+                                                  tmp_path_factory):
+    """Review regressions: (a) a buffered doc in a sparse-id HOLE
+    below max_doc, deleted pre-commit, must not leak into published
+    dv generations; (b) the resolve memo must see docs committed by
+    an earlier commit() on the same writer."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index
+    from engine.nrt import NrtWriter
+    from engine.query import IndexReader
+
+    root = tmp_path_factory.mktemp("nrtsparse")
+    src = str(root / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 100], pa.int64()),   # hole: 1..99
+        "text": pa.array(["alpha", "alpha beta"]),
+        "size": pa.array([10, 20], pa.int64()),
+    }), src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9)
+    build_index([src], idx, cfg)
+
+    w = NrtWriter(idx)
+    w.add_documents(pa.table({"doc_id": pa.array([50], pa.int64()),
+                              "text": pa.array(["alpha hole"])}))
+    assert w.update_numeric_docvalue("alpha", "size", 777) == 3
+    w.delete_documents([50])          # id 50 < max_doc=101, in a hole
+    w.commit(str(root / "flush"))
+    r = IndexReader(idx)
+    got = r.numeric_docvalues("size", np.array([0, 50, 100]))
+    assert got[0] == 777 and got[2] == 777
+    assert np.isnan(got[1])           # the hole id never leaked
+
+    # (b) memo invalidation across commit: a doc committed via THIS
+    # writer must be covered by a later frozen docset
+    w.add_documents(pa.table({"doc_id": pa.array([200], pa.int64()),
+                              "text": pa.array(["alpha fresh"])}))
+    w.commit(str(root / "flush"))
+    assert w.update_numeric_docvalue("alpha", "size", 888) == 3
+    w.commit(str(root / "flush"))
+    r2 = IndexReader(idx)
+    assert r2.numeric_docvalues("size", np.array([200]))[0] == 888
