@@ -954,6 +954,18 @@ class IndexReader:
         order = np.lexsort((cand, -final))[:k]
         return _topdocs_table(cand[order], final[order], total=len(cand))
 
+    def simple_parsed_topk(self, query: str, k: int = 10,
+                           default_op: str = "OR") -> pa.Table:
+        """SimpleQueryParser search (upstream
+        ``L/queryparser/simple/SimpleQueryParser.java`` [U]): the
+        lenient end-user grammar (``+``/``|``/``-``, phrases with
+        slop, trailing-``*`` prefix, ``~N`` fuzz, parens, escapes;
+        NOT > AND > OR precedence, whitespace = default op) that
+        never raises on malformed input. Scoring composition is the
+        classic parser's Evaluator — see ``engine.queryparser``."""
+        from engine.queryparser import simple_parsed_topk
+        return simple_parsed_topk(self, query, k, default_op=default_op)
+
     def parsed_topk(self, query: str, k: int = 10,
                     min_should_match: int = 0,
                     default_op: str = "OR") -> pa.Table:

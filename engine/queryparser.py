@@ -533,6 +533,209 @@ class Evaluator:
         return _node_boost(cand, sums.astype(np.float32), n.boost)
 
 
+# ------------------------------------------ SimpleQueryParser
+# (upstream ``L/queryparser/simple/SimpleQueryParser.java`` [U]: the
+# end-user-safe grammar — ``+`` AND, ``|`` OR, ``-`` NOT, ``"..."``
+# phrase with ``~N`` slop, trailing ``*`` prefix, ``~N`` term fuzz,
+# ``(...)`` precedence, ``\`` escape; precedence NOT > AND > OR;
+# whitespace applies the default operator. The defining contract is
+# that parsing NEVER throws: malformed input degrades — unterminated
+# phrases run to end of string, unbalanced ``(`` closes at EOF, stray
+# ``)`` and dangling operators are ignored — mirroring upstream's
+# lenient recovery rather than classic QueryParser's ParseException.)
+
+_SIMPLE_DELIMS = ' \t\n+|-"()'
+
+
+def _simple_tokenize(q: str) -> list[tuple[str, object]]:
+    toks: list[tuple[str, object]] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c in " \t\n":
+            i += 1; continue
+        if c == "+":
+            toks.append(("AND", None)); i += 1; continue
+        if c == "|":
+            toks.append(("OR", None)); i += 1; continue
+        if c == "-":
+            toks.append(("NOT", None)); i += 1; continue
+        if c == "(":
+            toks.append(("LP", None)); i += 1; continue
+        if c == ")":
+            toks.append(("RP", None)); i += 1; continue
+        if c == '"':
+            j, buf = i + 1, []
+            while j < n and q[j] != '"':
+                if q[j] == "\\" and j + 1 < n:
+                    buf.append(q[j + 1]); j += 2
+                else:
+                    buf.append(q[j]); j += 1
+            i = j + 1 if j < n else n      # unterminated: degrade
+            slop = 0
+            m = re.match(r"~(\d+)", q[i:])
+            if m:
+                slop = int(m.group(1)); i += m.end()
+            toks.append(("PHRASE", ("".join(buf), slop)))
+            continue
+        buf = []
+        while i < n and q[i] not in _SIMPLE_DELIMS:
+            if q[i] == "\\" and i + 1 < n:
+                buf.append(q[i + 1]); i += 2
+            else:
+                buf.append(q[i]); i += 1
+        word = "".join(buf)
+        fuzz = None
+        m = re.search(r"~(\d*)$", word)
+        if m:
+            fuzz = int(m.group(1)) if m.group(1) else 2
+            word = word[:m.start()]
+        prefix = word.endswith("*")
+        if prefix:
+            word = word.rstrip("*")
+        if not word:
+            continue                       # operator junk: degrade
+        toks.append(("TERM", (word, fuzz, prefix)))
+    return toks
+
+
+def _sp_unary(toks, pos, fld, default_op):
+    """One optionally-negated atom → (node_or_None, negated, pos)."""
+    neg = False
+    while pos < len(toks) and toks[pos][0] == "NOT":
+        neg = not neg
+        pos += 1
+    if pos >= len(toks):
+        return None, neg, pos              # dangling '-': degrade
+    kind, payload = toks[pos]
+    if kind == "LP":
+        node, pos = _sp_or(toks, pos + 1, fld, default_op)
+        if pos < len(toks) and toks[pos][0] == "RP":
+            pos += 1                       # else unbalanced '(': EOF-close
+        return node, neg, pos
+    if kind == "PHRASE":
+        body, slop = payload
+        if not body.strip():
+            return None, neg, pos + 1
+        return PhraseQ(body, slop, fld), neg, pos + 1
+    if kind == "TERM":
+        word, fuzz, prefix = payload
+        if fuzz is not None:
+            return FuzzyQ(word.lower(), min(fuzz, 2), fld), neg, pos + 1
+        if prefix:
+            return WildQ(word.lower() + "*", fld), neg, pos + 1
+        return TermQ(word, fld), neg, pos + 1
+    # OR/AND/RP where an atom belongs: skip it (degrade)
+    return None, neg, pos + 1
+
+
+_ATOM_STARTS = ("TERM", "PHRASE", "LP", "NOT")
+
+
+def _sp_and(toks, pos, fld, default_op):
+    """AND-level chain → (positives, negatives, pos)."""
+    pos_nodes: list = []
+    neg_nodes: list = []
+    node, neg, pos = _sp_unary(toks, pos, fld, default_op)
+    if node is not None:
+        (neg_nodes if neg else pos_nodes).append(node)
+    while pos < len(toks):
+        kind, _ = toks[pos]
+        if kind == "AND":
+            pos += 1
+        elif default_op == "AND" and kind in _ATOM_STARTS:
+            pass
+        else:
+            break
+        node, neg, pos = _sp_unary(toks, pos, fld, default_op)
+        if node is not None:
+            (neg_nodes if neg else pos_nodes).append(node)
+    return pos_nodes, neg_nodes, pos
+
+
+def _sp_or(toks, pos, fld, default_op, top=False):
+    """OR-level chain → (node_or_None, pos)."""
+    should: list = []
+    must: list = []
+    mnot: list = []
+
+    def _take(pos):
+        ps, ns, pos = _sp_and(toks, pos, fld, default_op)
+        if len(ps) == 1 and not ns:
+            should.append(ps[0])
+        elif ps:
+            must.append(BoolQ([(MUST, p) for p in ps]
+                              + [(MUST_NOT, m) for m in ns]))
+        else:
+            mnot.extend(ns)                # pure-negative AND group
+        return pos
+
+    pos = _take(pos)
+    while pos < len(toks):
+        kind, _ = toks[pos]
+        if kind == "RP":
+            if not top:
+                break
+            pos += 1                       # stray ')': degrade
+            continue
+        if kind == "OR":
+            pos += 1
+        elif kind in _ATOM_STARTS or kind == "AND":
+            # whitespace default-op join (AND tokens are consumed by
+            # _sp_and; a leading stray AND here degrades to a join)
+            if kind == "AND":
+                pos += 1
+                if pos >= len(toks) or toks[pos][0] not in _ATOM_STARTS:
+                    continue
+        else:
+            break
+        pos = _take(pos)
+    # an AND-composed sub-boolean that is the ONLY clause stays as-is
+    nodes = should + must
+    if not nodes and not mnot:
+        return None, pos
+    if len(nodes) == 1 and not mnot:
+        return nodes[0], pos
+    return BoolQ([(SHOULD, x) for x in nodes]
+                 + [(MUST_NOT, x) for x in mnot]), pos
+
+
+def simple_parse(q: str, default_field: str | None = None,
+                 default_op: str = "OR"):
+    """Parse SimpleQueryParser syntax; returns a Query AST or ``None``
+    for an effectively-empty query. Never raises."""
+    node, _ = _sp_or(_simple_tokenize(q), 0, default_field,
+                     default_op, top=True)
+    return node
+
+
+def simple_parsed_topk(readers, query: str, k: int = 10,
+                       default_field: str | None = None,
+                       default_op: str = "OR") -> pa.Table:
+    """SimpleQueryParser.parse() → IndexSearcher.search() in one call
+    (upstream ``L/queryparser/simple/SimpleQueryParser`` [U]). Scoring
+    composition is identical to ``parsed_topk`` (same Evaluator)."""
+    from engine.query import _topdocs_table
+    node = simple_parse(query, default_field, default_op=default_op)
+    if node is None:
+        return _topdocs_table([], [])
+    ev = Evaluator(readers)
+    docs, scores = ev.evaluate(node)
+    r0 = next(iter(ev.readers.values()))
+    keep = r0._keep(docs)
+    if keep is not None:
+        docs, scores = docs[keep], scores[keep]
+    if not len(docs):
+        return _topdocs_table([], [])
+    pos = scores > 0
+    docs, scores = docs[pos], scores[pos]
+    if not len(docs):
+        return _topdocs_table([], [])
+    order = np.lexsort((docs, -scores))[:k]
+    return _topdocs_table(docs[order], scores[order],
+                          total=int(pos.sum()))
+
+
 def parsed_topk(readers, query: str, k: int = 10,
                 default_field: str | None = None,
                 min_should_match: int = 0,

@@ -1410,6 +1410,59 @@ SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
 """
 
 
+# ------------------------------------------------- simple query parser
+# (upstream ``L/queryparser/simple/SimpleQueryParser.java`` [U]: the
+# lenient end-user grammar; engine/queryparser.py `simple_parse`)
+
+SIMPLE_PARSED_Q = 'spark + merge | window -"part filter"'
+
+
+def simple_parsed_topk_docs(sf_dir: str) -> pa.Table:
+    """SimpleQueryParser: ``spark + merge | window -"part filter"``
+    — AND binds tighter than OR, so candidates are (spark AND merge)
+    OR window, minus exact-phrase matches; the conjunction node casts
+    its f64 sum to f32 at the node boundary and the top-level OR sums
+    matching clause scores in f64 → one final f32 cast."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.simple_parsed_topk(SIMPLE_PARSED_Q, k=10))
+
+
+SQL_SIMPLE_PARSED = f"""{_bm25_ctes()},
+qterms AS (SELECT unnest(['spark','merge','window']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id, tf.term, {_SQL_CONTRIB} AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+conj AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS csc
+  FROM contrib WHERE term IN ('spark', 'merge')
+  GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2),
+win AS (SELECT doc_id, sc FROM contrib WHERE term = 'window'),
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+ph AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.tok = 'part' AND b.tok = 'filter'),
+cand AS (SELECT doc_id FROM conj UNION SELECT doc_id FROM win),
+scored AS (
+  SELECT c.doc_id,
+         CAST(COALESCE(j.csc::DOUBLE, 0) + COALESCE(w.sc::DOUBLE, 0)
+              AS FLOAT) AS score
+  FROM cand c LEFT JOIN conj j ON j.doc_id = c.doc_id
+  LEFT JOIN win w ON w.doc_id = c.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM ph))
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ------------------------------------------------- relational entries
 
 def rollup_events(sf_dir: str) -> pa.Table:
@@ -10593,6 +10646,7 @@ def queries() -> dict:
         "parsed_qop_and_topk": parsed_qop_and_topk,
         "parsed_fuzzy_boost_topk": parsed_fuzzy_boost_topk,
         "parsed_range_wild_topk": parsed_range_wild_topk,
+        "simple_parsed_topk_docs": simple_parsed_topk_docs,
         "multifield_dismax_topk": multifield_dismax_topk,
         "edismax_pf_topk": edismax_pf_topk,
         "copyfield_topk": copyfield_topk,
@@ -10872,6 +10926,7 @@ def oracle_sql() -> dict:
         "parsed_qop_and_topk": SQL_PARSED_QOP,
         "parsed_fuzzy_boost_topk": SQL_PARSED_FUZZY,
         "parsed_range_wild_topk": SQL_PARSED_RANGE,
+        "simple_parsed_topk_docs": SQL_SIMPLE_PARSED,
         "multifield_dismax_topk": sql_multifield_dismax(),
         "edismax_pf_topk": sql_edismax_pf(),
         "copyfield_topk": sql_copyfield(),

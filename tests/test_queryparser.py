@@ -324,3 +324,107 @@ def test_calculate_min_should_match_grammar():
     # clamping
     assert mm("8", 4) == 4
     assert mm("-8", 4) == 0
+
+
+# ------------------------------------------------ SimpleQueryParser
+
+def test_simple_parse_shapes():
+    from engine.queryparser import simple_parse
+
+    n = simple_parse("spark")
+    assert isinstance(n, TermQ) and n.text == "spark"
+    # whitespace = default OR
+    n = simple_parse("a b c")
+    assert isinstance(n, BoolQ)
+    assert [o for o, _ in n.clauses] == [SHOULD, SHOULD, SHOULD]
+    # + AND binds tighter than | OR:  a | b + c  ==  a OR (b AND c)
+    n = simple_parse("a | b + c")
+    assert [o for o, _ in n.clauses] == [SHOULD, SHOULD]
+    sub = n.clauses[1][1]
+    assert isinstance(sub, BoolQ)
+    assert [o for o, _ in sub.clauses] == [MUST, MUST]
+    # NOT binds tightest; folds as MUST_NOT into the enclosing node
+    n = simple_parse("a + -b")
+    assert [o for o, _ in n.clauses] == [MUST, MUST_NOT]
+    n = simple_parse("a -b")
+    assert (SHOULD, TermQ("a")) == n.clauses[0]
+    assert n.clauses[1][0] == MUST_NOT
+    # trailing * prefix, ~N fuzzy, phrase slop
+    assert isinstance(simple_parse("wi*"), WildQ)
+    f = simple_parse("quey~1")
+    assert isinstance(f, FuzzyQ) and f.max_edits == 1
+    assert simple_parse("quey~").max_edits == 2
+    p = simple_parse('"a b"~3')
+    assert isinstance(p, PhraseQ) and p.slop == 3
+    # parens + default AND
+    n = simple_parse("(a | b) c", default_op="AND")
+    assert [o for o, _ in n.clauses] == [MUST, MUST]
+    assert isinstance(n.clauses[0][1], BoolQ)
+
+
+def test_simple_parse_never_raises():
+    from engine.queryparser import simple_parse
+
+    # the SimpleQueryParser contract: malformed input degrades, the
+    # parser NEVER throws (upstream javadoc: "will never throw an
+    # exception")
+    for junk in ["", '"open phrase', "(a b", "a)", ")(", "+", "-",
+                 "|", "a + | b", "---", "(((", '"""', "~", "^", "\\"]:
+        simple_parse(junk)           # must not raise
+    # unterminated phrase: rest of string is the phrase body
+    p = simple_parse('"part filter')
+    assert isinstance(p, PhraseQ) and p.text == "part filter"
+    # unbalanced '(' closes at EOF
+    n = simple_parse("(a b")
+    assert isinstance(n, BoolQ) and len(n.clauses) == 2
+    # escape makes operator chars literal
+    t = simple_parse(r"a\+b")
+    assert isinstance(t, TermQ) and t.text == "a+b"
+
+
+def test_simple_parsed_equivalences(reader):
+    from engine.queryparser import simple_parsed_topk
+
+    ts = _terms(reader, "running connection index")
+    # OR chain == brute disjunction
+    _same(simple_parsed_topk(reader, " | ".join(ts), k=15),
+          reader.brute_force_topk(" ".join(ts), 15))
+    # whitespace default OR == the same
+    _same(simple_parsed_topk(reader, " ".join(ts), k=15),
+          reader.brute_force_topk(" ".join(ts), 15))
+    # + chain == conjunction
+    _same(simple_parsed_topk(reader, f"{ts[0]} + {ts[1]}", k=15),
+          reader.boolean_topk(must=ts[:2], k=15))
+    # default AND == conjunction
+    _same(simple_parsed_topk(reader, f"{ts[0]} {ts[1]}",
+                             k=15, default_op="AND"),
+          reader.boolean_topk(must=ts[:2], k=15))
+    # negation
+    _same(simple_parsed_topk(reader, f"{ts[0]} {ts[1]} -{ts[2]}", k=15),
+          reader.boolean_topk(should=ts[:2], must_not=[ts[2]], k=15))
+    # prefix + fuzzy leaves match the classic parser's scoring rewrite
+    _same(simple_parsed_topk(reader, "ze*", k=10),
+          reader.wildcard_topk("ze*", 10))
+    _same(simple_parsed_topk(reader, "zephr~1", k=10),
+          reader.fuzzy_topk("zephr", k=10, max_edits=1))
+    # pure negation matches nothing
+    assert simple_parsed_topk(reader, f"-{ts[0]}", k=5).num_rows == 0
+
+
+def test_simple_parser_fuzz_never_raises_anywhere(ray_session,
+                                                  smoke_index):
+    import numpy as np
+
+    from engine.query import IndexReader
+    from engine.queryparser import simple_parsed_topk
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    rng = np.random.default_rng(23)
+    atoms = ["zephyr", "quark", "the", "+", "-", "|", "(", ")", '"',
+             "~", "~2", "*", "\\", " ", "run*", "fu~1"]
+    for i in range(300):
+        q = "".join(rng.choice(atoms, size=rng.integers(1, 12)))
+        op = "AND" if i % 2 else "OR"
+        # the WHOLE path (parse + evaluate) must never raise
+        simple_parsed_topk(r, q, k=3, default_op=op)
