@@ -1692,6 +1692,52 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def complex_phrase_topk(self, body: str, slop: int = 0,
+                            k: int = 10) -> pa.Table:
+        """ComplexPhraseQueryParser (upstream
+        ``L/queryparser/complexPhrase/ComplexPhraseQueryParser.java``
+        [U]): a quoted phrase whose positions may hold wildcards
+        (``wild*`` / ``wi?d``) or fuzzy terms (``term~N``), rewritten —
+        exactly like upstream — to an ordered SpanNear over per-position
+        SpanOr groups, each group being the dictionary expansion of its
+        pattern (:meth:`span_near_or_topk` carries match + scoring
+        semantics: path-count freq, one f64 idf fold clause-major).
+
+        Conformance boundaries (documented): a literal token that the
+        analyzer drops (stopword) contracts out of the phrase instead
+        of leaving a position gap; a wildcard/fuzzy position with no
+        dictionary expansion matches nothing (upstream's rewrite to an
+        empty SpanOr behaves the same)."""
+        import re
+        groups: list[list[str]] = []
+        for raw in body.split():
+            m = re.search(r"~(\d*)$", raw)
+            if m and m.start() > 0:
+                word = raw[:m.start()].lower()
+                edits = min(int(m.group(1)) if m.group(1) else 2, 2)
+                exp = [t for t in self.vocabulary()
+                       if _levenshtein(word, t, edits) <= edits]
+            elif "*" in raw or "?" in raw:
+                pat = raw.lower()
+                rx = re.compile("".join(
+                    ".*" if c == "*" else "." if c == "?"
+                    else re.escape(c) for c in pat))
+                lit = re.split(r"[*?]", pat, 1)[0]
+                cands = self.expand_prefix(lit) if lit \
+                    else self.vocabulary()
+                exp = [t for t in cands if rx.fullmatch(t)]
+            else:
+                exp = self.analyzer.query_terms(raw)
+                if not exp:
+                    continue                  # stopword: contract
+            if not exp:
+                return _topdocs_table([], []) # empty expansion
+            groups.append(sorted(set(exp)))
+        if len(groups) < 2:
+            raise ValueError(
+                "complex phrase needs >= 2 surviving positions")
+        return self.span_near_or_topk(groups, slop=slop, k=k)
+
     def covering_topk(self, terms: list[str], mod: int = 3,
                       k: int = 10) -> pa.Table:
         """CoveringQuery (upstream ``L/queries/CoveringQuery.java``

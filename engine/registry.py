@@ -9774,6 +9774,64 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# ---------------- ComplexPhraseQueryParser (wildcard/fuzzy in phrase)
+
+COMPLEX_PHRASE, COMPLEX_SLOP = "s* part~2", 2
+
+
+def complex_phrase_topk_docs(sf_dir: str) -> pa.Table:
+    """ComplexPhraseQueryParser (upstream
+    ``L/queryparser/complexPhrase`` [U]): ``"s* part~2"~{COMPLEX_SLOP}``
+    — position 1 is the dictionary expansion of prefix ``s*``,
+    position 2 every term within edit distance 2 of ``part``; the
+    phrase rewrites to an ordered SpanNear over SpanOr groups (gap
+    1..slop+1), freq = path count, weight = one f64 fold of every
+    expanded term's f32 idf, clause-major / term-asc."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.complex_phrase_topk(
+        COMPLEX_PHRASE, slop=COMPLEX_SLOP, k=10))
+
+
+def sql_complex_phrase() -> str:
+    g = COMPLEX_SLOP + 1
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+edf AS (
+  SELECT 1 AS grp, term AS tok, COUNT(DISTINCT doc_id)::DOUBLE AS df
+  FROM tf WHERE term LIKE 's%' GROUP BY term
+  UNION ALL
+  SELECT 2, term, COUNT(DISTINCT doc_id)::DOUBLE
+  FROM tf WHERE levenshtein(term, 'part') <= 2 GROUP BY term),
+w AS (
+  SELECT CAST(list_reduce(
+           list(CAST(ln(1 + (s.n - edf.df + 0.5) / (edf.df + 0.5))
+                  AS FLOAT)::DOUBLE ORDER BY edf.grp, edf.tok),
+           (a, b) -> a + b) AS FLOAT) AS w
+  FROM edf CROSS JOIN stats s),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id
+             AND b.p - a.p BETWEEN 1 AND {g}
+             AND b.tok IN (SELECT tok FROM edf WHERE grp = 2)
+  WHERE a.tok LIKE 's%' GROUP BY a.doc_id),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ---------------- bloom postings / real-time get / path hierarchy
 
 BLOOM_PROBES = ["spark", "merge", "window", "zzqx", "notaterm",
@@ -10867,6 +10925,7 @@ def queries() -> dict:
         "drill_sideways_docs": drill_sideways_docs,
         "distance_feature_topk": distance_feature_topk,
         "span_multiterm_near_topk": span_multiterm_near_topk,
+        "complex_phrase_topk_docs": complex_phrase_topk_docs,
         "covering_topk_docs": covering_topk_docs,
         "bloom_terms_exist": bloom_terms_exist,
         "path_hierarchy_stats": path_hierarchy_stats,
@@ -11145,6 +11204,7 @@ def oracle_sql() -> dict:
         "drill_sideways_docs": SQL_DRILL_SIDEWAYS,
         "distance_feature_topk": sql_distance_feature(),
         "span_multiterm_near_topk": sql_span_multiterm_near(),
+        "complex_phrase_topk_docs": sql_complex_phrase(),
         "covering_topk_docs": sql_covering(),
         "bloom_terms_exist": SQL_BLOOM_EXIST,
         "path_hierarchy_stats": SQL_PATH_HIERARCHY,

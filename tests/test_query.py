@@ -1192,3 +1192,37 @@ def test_fuzzy_prefix_cap_and_keyword_repeat_guard(reader):
     import pytest as _pt
     with _pt.raises(ValueError, match="pure rewrite"):
         a.analyze_flat(pa.array(["   "]))
+
+
+def test_complex_phrase_matches_span_near_or(reader):
+    """ComplexPhraseQueryParser rewrite ≡ hand-expanded SpanNear(SpanOr)."""
+    import re as _re
+
+    from engine.query import _levenshtein as _lev
+
+    vocab = reader.vocabulary()
+    g1 = sorted(t for t in vocab if t.startswith("ze"))
+    g2 = sorted(t for t in vocab if _lev("quark", t, 1) <= 1)
+    if g1 and g2:
+        got = reader.complex_phrase_topk("ze* quark~1", slop=2, k=10)
+        want = reader.span_near_or_topk([g1, g2], slop=2, k=10)
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert got["score"].to_pylist() == want["score"].to_pylist()
+    # literal positions analyze through the chain (stem/lowercase)
+    lit = reader.complex_phrase_topk("ZE* Quark~1", slop=2, k=10)
+    assert lit.num_rows == reader.complex_phrase_topk(
+        "ze* quark~1", slop=2, k=10).num_rows
+
+
+def test_complex_phrase_boundaries(reader):
+    import pytest as _pt
+
+    # a position whose expansion is empty matches nothing
+    assert reader.complex_phrase_topk(
+        "zzzzqqq* zephyr", slop=1, k=5).num_rows == 0
+    # stopword literal contracts out; <2 surviving positions raises
+    with _pt.raises(ValueError, match="surviving positions"):
+        reader.complex_phrase_topk("the zephyr", slop=0, k=5)
+    # ? wildcard expands single-char positions
+    t = reader.complex_phrase_topk("z?phyr qu*", slop=3, k=5)
+    assert t.column_names == ["rank", "doc_id", "score", "total_hits"]
