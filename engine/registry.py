@@ -9774,6 +9774,79 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# ---------------- DiversifiedTopDocsCollector (per-key result cap)
+
+DIVERSIFY_TERMS = ["spark", "merge"]
+DIVERSIFY_CAP = 2
+
+
+def diversified_topk_docs(sf_dir: str) -> pa.Table:
+    """DiversifiedTopDocsCollector (upstream
+    ``L/misc/search/DiversifiedTopDocsCollector.java`` [U]): top-10 of
+    a BM25 disjunction with at most ``DIVERSIFY_CAP`` hits per key
+    (the ``source`` field standing in for the NumericDocValues key
+    source). Greedy by-score collection ≡ per-key top-cap then global
+    top-k (a doc survives greedy iff fewer than cap same-key docs
+    outscore it), so the distributed shape is: matched (doc_id, score)
+    broadcast once via ``ray.put``, streaming key attach over a
+    2-column pruned read, ONE ``groupby(key)`` top-cap (bounded group
+    output), tiny driver top-k — no full-corpus shuffle."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    full = r.brute_force_topk(" ".join(DIVERSIFY_TERMS), k=1 << 31)
+    docs = full["doc_id"].to_numpy()
+    order = np.argsort(docs)
+    ref = ray.put((docs[order],
+                   full["score"].to_numpy()[order]))
+
+    def attach(b: pa.Table) -> pa.Table:
+        ds_, sc_ = ray.get(ref)
+        d = b["doc_id"].to_numpy()
+        if not len(ds_):
+            hit = np.zeros(len(d), dtype=bool)
+            sc = np.empty(0, np.float32)
+        else:
+            i = np.clip(np.searchsorted(ds_, d), 0, len(ds_) - 1)
+            hit = ds_[i] == d
+            sc = sc_[i[hit]]
+        return pa.table({
+            "doc_id": pa.array(d[hit], type=pa.int64()),
+            "source": b["source"].filter(pa.array(hit)),
+            "score": pa.array(sc, type=pa.float32())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(attach, batch_format="pyarrow")
+    capped = _to_table(rel.group_top_n(
+        ds, "source", [("score", True), ("doc_id", False)],
+        DIVERSIFY_CAP))
+    idx = np.lexsort((capped["doc_id"].to_numpy(),
+                      -capped["score"].to_numpy()))[:10]
+    top = capped.take(idx)
+    return pa.table({
+        "rank": pa.array(np.arange(len(idx)), type=pa.int64()),
+        "doc_id": top["doc_id"],
+        "score": top["score"],
+        "source": top["source"]})
+
+
+def sql_diversified() -> str:
+    terms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in DIVERSIFY_TERMS) + "]) AS term"
+    return f"""{_sql_scored(terms)},
+keyed AS (
+  SELECT s.doc_id, s.score, d.source
+  FROM scored s JOIN documents d USING (doc_id)),
+capped AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY score DESC, doc_id) AS rnk
+  FROM keyed)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, score, source
+FROM capped WHERE rnk <= {DIVERSIFY_CAP}
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ---------------- ComplexPhraseQueryParser (wildcard/fuzzy in phrase)
 
 COMPLEX_PHRASE, COMPLEX_SLOP = "s* part~2", 2
@@ -10926,6 +10999,7 @@ def queries() -> dict:
         "distance_feature_topk": distance_feature_topk,
         "span_multiterm_near_topk": span_multiterm_near_topk,
         "complex_phrase_topk_docs": complex_phrase_topk_docs,
+        "diversified_topk_docs": diversified_topk_docs,
         "covering_topk_docs": covering_topk_docs,
         "bloom_terms_exist": bloom_terms_exist,
         "path_hierarchy_stats": path_hierarchy_stats,
@@ -11205,6 +11279,7 @@ def oracle_sql() -> dict:
         "distance_feature_topk": sql_distance_feature(),
         "span_multiterm_near_topk": sql_span_multiterm_near(),
         "complex_phrase_topk_docs": sql_complex_phrase(),
+        "diversified_topk_docs": sql_diversified(),
         "covering_topk_docs": sql_covering(),
         "bloom_terms_exist": SQL_BLOOM_EXIST,
         "path_hierarchy_stats": SQL_PATH_HIERARCHY,
