@@ -157,6 +157,126 @@ class MultiFieldReader:
         return _topdocs_table(all_docs[order], final[order],
                               total=len(all_docs))
 
+    def field_quantized_lengths(self, field: str,
+                                doc_ids: np.ndarray) -> np.ndarray:
+        """Per-doc SmallFloat-quantized token length of ``field`` for
+        the given docs — the per-field norm that
+        ``MultiNormsLeafSimScorer`` reads from each field's norms file
+        upstream [U]. This engine stores norms per posting, so for
+        arbitrary candidate docs the identical value is derived from a
+        pruned, FILTERED read of the stored field column plus the
+        index analyzer (index-time ``doc_lens`` is the emitted-token
+        count, so re-analysis reproduces it exactly; cost is bounded
+        by the candidate count — the two-phase-fetch pattern, never a
+        corpus scan). Docs missing the field count length 0."""
+        import pyarrow.parquet as pq
+
+        from engine.smallfloat import LENGTH_TABLE, encode_lengths
+
+        r = self.readers[field]
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        uniq = np.unique(ids)
+        id_col = r.cfg.doc_id_col
+        if id_col is None:
+            raise ValueError("combined-field norms need a doc_id index")
+        col = r.cfg.text_col
+        lens = np.zeros(len(uniq), dtype=np.int64)
+        for f in r.manifest["input_files"]:
+            t = pq.read_table(f, columns=[id_col, col],
+                              filters=[(id_col, "in", uniq.tolist())])
+            if not t.num_rows:
+                continue
+            _, _, _, dl = r.analyzer.analyze_flat(
+                t[col].combine_chunks())
+            pos = np.searchsorted(uniq, t[id_col].to_numpy()
+                                  .astype(np.int64))
+            lens[pos] = dl.astype(np.int64)
+        q = LENGTH_TABLE[encode_lengths(lens)]
+        return q[np.searchsorted(uniq, ids)]
+
+    def combined_field_topk(self, query_text: str,
+                            weights: dict[str, float] | None = None,
+                            k: int = 10) -> pa.Table:
+        """CombinedFieldQuery / BM25F (upstream
+        ``lucene/sandbox/.../CombinedFieldQuery.java`` [U]; Robertson,
+        Zaragoza & Taylor, CIKM 2004 — "Simple BM25 extension to
+        multiple weighted fields"): all fields score as ONE pseudo
+        field —
+
+        - ``tf̃(t,d) = Σ_f w_f · tf_f(t,d)``
+        - ``dl̃(d)  = Σ_f w_f · dlq_f(d)`` (per-field SmallFloat-
+          quantized lengths, the multi-norms sum)
+        - ``avgdl̃  = Σ_f w_f · sum_cf_f / N`` (exact, like the
+          single-field avgdl)
+        - ``df̃(t)  = |∪_f docs(t, f)|`` (the paper's whole-document
+          df; idf is the standard BM25 idf over it)
+        - per-term clause: ``f32(f32(idf)ᵈ × f32(tf̃/(tf̃ + k1·((1−b)
+          + b·dl̃/avgdl̃)))ᵈ)``, per-doc f64 sum over terms, ONE final
+          f32 cast — the engine-wide cast discipline, pinned by the
+          SQL oracle.
+
+        Upstream requires the same analyzer across combined fields;
+        enforced here by analyzing the query with the first field's
+        chain. ``weights`` defaults to 1.0 per field (must be ≥ 1 in
+        Lucene; not re-checked here)."""
+        weights = weights or {f: 1.0 for f in self.fields}
+        fields = sorted(weights)
+        r0 = self.readers[fields[0]]
+        N = r0.N
+        terms = r0.analyzer.query_terms(query_text)
+        per_term: list[dict[str, tuple[np.ndarray, np.ndarray]]] = []
+        all_docs: list[np.ndarray] = []
+        for t in terms:
+            fd = {}
+            for f in fields:
+                r = self.readers[f]
+                subs = r.lookup([t])[t]
+                if subs:
+                    docs, tfs, _ = r._clause_arrays(t, subs)
+                    fd[f] = (docs, tfs)
+                    all_docs.append(docs)
+            if fd:
+                per_term.append(fd)
+        if not per_term:
+            return _topdocs_table([], [])
+        cand = np.unique(np.concatenate(all_docs))
+        keep = r0._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        if not len(cand):
+            return _topdocs_table([], [])
+        dlq = np.zeros(len(cand), dtype=np.float64)
+        avgdl = 0.0
+        for f in fields:
+            w = float(weights[f])
+            dlq += w * self.field_quantized_lengths(f, cand)
+            rf = self.readers[f]
+            avgdl += w * (rf.avgdl * rf.N / N) if rf.N != N \
+                else w * rf.avgdl
+        total = np.zeros(len(cand), dtype=np.float64)
+        for fd in per_term:
+            udocs = np.unique(np.concatenate(
+                [d for d, _ in fd.values()]))
+            w32 = np.float32(idf(N, len(udocs)))
+            tfc = np.zeros(len(cand), dtype=np.float64)
+            for f, (docs, tfs) in fd.items():
+                pos = np.searchsorted(cand, docs)
+                inb = pos < len(cand)
+                inb[inb] &= cand[pos[inb]] == docs[inb]
+                tfc[pos[inb]] += float(weights[f]) * tfs[inb]
+            m = tfc > 0
+            ratio32 = (tfc[m] / (tfc[m] + 1.2 * (
+                0.25 + 0.75 * (dlq[m] / avgdl)))).astype(np.float32)
+            sc32 = (np.float64(w32)
+                    * ratio32.astype(np.float64)).astype(np.float32)
+            total[m] += sc32.astype(np.float64)
+        final = total.astype(np.float32)
+        nz = final > 0
+        cand, final = cand[nz], final[nz]
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order],
+                              total=len(cand))
+
     def edismax_topk(self, query_text: str, k: int = 10,
                      boosts: dict[str, float] | None = None,
                      tiebreak: float = 0.0,

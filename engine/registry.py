@@ -2611,10 +2611,9 @@ def _toks_of(col: str) -> str:
 MF_QUERIES = {"source": "src0", "text": "spark merge"}
 
 
-def multifield_dismax_topk(sf_dir: str) -> pa.Table:
-    """Cross-field DisMax over per-field indexes (text + source),
-    each field scored with its own stats — upstream per-field
-    similarity + ``DisjunctionMaxQuery`` [U]."""
+def _mf_reader(sf_dir: str):
+    """Cached two-field (text + source) multi-field index over the
+    documents table, shared by the cross-field entries."""
     from engine.multifield import MultiFieldReader, build_multifield_index
 
     key = hashlib.md5(f"{sf_dir}|mf|v1".encode()).hexdigest()[:12]
@@ -2626,7 +2625,14 @@ def multifield_dismax_topk(sf_dir: str) -> pa.Table:
         [os.path.join(sf_dir, "documents.parquet")], out,
         {"text": IndexConfig(text_col="text", **base),
          "source": IndexConfig(text_col="source", **base)})
-    r = MultiFieldReader(out)
+    return MultiFieldReader(out)
+
+
+def multifield_dismax_topk(sf_dir: str) -> pa.Table:
+    """Cross-field DisMax over per-field indexes (text + source),
+    each field scored with its own stats — upstream per-field
+    similarity + ``DisjunctionMaxQuery`` [U]."""
+    r = _mf_reader(sf_dir)
     t = r.combined_topk(MF_QUERIES, k=10, mode="dismax")
     return _cast_col(t.select(["rank", "doc_id", "score"]),
                      "rank", pa.int64())
@@ -2684,6 +2690,95 @@ scored AS (
 SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
        doc_id, score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+CFQ_QUERY = "spark src1"
+CFQ_WEIGHTS = {"source": 2.0, "text": 1.0}
+
+
+def combined_field_topk_docs(sf_dir: str) -> pa.Table:
+    """CombinedFieldQuery / BM25F (upstream
+    ``lucene/sandbox/.../CombinedFieldQuery.java`` [U]; Robertson et
+    al., CIKM 2004): ``spark src1`` over fields text (w=1) + source
+    (w=2) scored as ONE pseudo field — weighted tf sum, weighted
+    multi-norms length sum (per-field SmallFloat-quantized), weighted
+    exact avgdl sum, union df per term. See
+    ``MultiFieldReader.combined_field_topk`` for the cast discipline
+    the oracle mirrors."""
+    r = _mf_reader(sf_dir)
+    t = r.combined_field_topk(CFQ_QUERY, weights=CFQ_WEIGHTS, k=10)
+    return _cast_col(t.select(["rank", "doc_id", "score"]),
+                     "rank", pa.int64())
+
+
+def sql_combined_field() -> str:
+    wa, wb = CFQ_WEIGHTS["source"], CFQ_WEIGHTS["text"]
+    terms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in CFQ_QUERY.lower().split()) + "]) AS term"
+    return f"""
+WITH lut(lo, hi, dec) AS (VALUES {_smallfloat_lut_sql()}),
+ta AS (SELECT doc_id, {_toks_of('source')} AS ts FROM documents),
+tb AS (SELECT doc_id, {_toks_of('text')} AS ts FROM documents),
+qa AS (
+  SELECT doc_id, lut.dec::DOUBLE AS q FROM ta
+  JOIN lut ON len(ts) BETWEEN lut.lo AND lut.hi),
+qb AS (
+  SELECT doc_id, lut.dec::DOUBLE AS q FROM tb
+  JOIN lut ON len(ts) BETWEEN lut.lo AND lut.hi),
+st AS (SELECT COUNT(*)::DOUBLE AS n FROM tb),
+ag AS (
+  SELECT ({wa} * (SELECT SUM(len(ts))::DOUBLE / COUNT(*)::DOUBLE
+                  FROM ta))
+       + ({wb} * (SELECT SUM(len(ts))::DOUBLE / COUNT(*)::DOUBLE
+                  FROM tb)) AS avgdl),
+tfa AS (
+  SELECT doc_id, x.term, COUNT(*)::DOUBLE AS tf FROM
+    (SELECT doc_id, unnest(ts) AS term FROM ta) x
+  GROUP BY doc_id, x.term),
+tfb AS (
+  SELECT doc_id, x.term, COUNT(*)::DOUBLE AS tf FROM
+    (SELECT doc_id, unnest(ts) AS term FROM tb) x
+  GROUP BY doc_id, x.term),
+qt AS ({terms}),
+dfu AS (
+  SELECT q.term, COUNT(DISTINCT u.doc_id)::DOUBLE AS df
+  FROM qt q JOIN (
+    SELECT doc_id, term FROM tfa
+    UNION SELECT doc_id, term FROM tfb) u ON u.term = q.term
+  GROUP BY q.term),
+tfc AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.term, b.term) AS term,
+         ({wa} * COALESCE(a.tf, 0) + {wb} * COALESCE(b.tf, 0)) AS tfc
+  FROM (SELECT * FROM tfa WHERE term IN (SELECT term FROM qt)) a
+  FULL JOIN
+       (SELECT * FROM tfb WHERE term IN (SELECT term FROM qt)) b
+  ON a.doc_id = b.doc_id AND a.term = b.term),
+dl AS (
+  SELECT d.doc_id,
+         ({wa} * COALESCE(qa.q, 0) + {wb} * COALESCE(qb.q, 0)) AS dlq
+  FROM (SELECT DISTINCT doc_id FROM tfc) d
+  LEFT JOIN qa USING (doc_id) LEFT JOIN qb USING (doc_id)),
+contrib AS (
+  SELECT t.doc_id,
+    CAST(
+      CAST(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+      *
+      CAST(t.tfc / (t.tfc + 1.2 * (0.25 + 0.75 * (dl.dlq / ag.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS sc
+  FROM tfc t JOIN dfu d ON d.term = t.term
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN st CROSS JOIN ag
+  WHERE t.tfc > 0),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, score
+FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
@@ -10779,6 +10874,7 @@ def queries() -> dict:
         "parsed_range_wild_topk": parsed_range_wild_topk,
         "simple_parsed_topk_docs": simple_parsed_topk_docs,
         "multifield_dismax_topk": multifield_dismax_topk,
+        "combined_field_topk_docs": combined_field_topk_docs,
         "edismax_pf_topk": edismax_pf_topk,
         "copyfield_topk": copyfield_topk,
         "index_sort_field_topk": index_sort_field_topk,
@@ -11061,6 +11157,7 @@ def oracle_sql() -> dict:
         "parsed_range_wild_topk": SQL_PARSED_RANGE,
         "simple_parsed_topk_docs": SQL_SIMPLE_PARSED,
         "multifield_dismax_topk": sql_multifield_dismax(),
+        "combined_field_topk_docs": sql_combined_field(),
         "edismax_pf_topk": sql_edismax_pf(),
         "copyfield_topk": sql_copyfield(),
         "index_sort_field_topk": SQL_INDEX_SORT_FIELD,

