@@ -954,6 +954,15 @@ class IndexReader:
         order = np.lexsort((cand, -final))[:k]
         return _topdocs_table(cand[order], final[order], total=len(cand))
 
+    def surround_topk(self, query: str, k: int = 10) -> pa.Table:
+        """Surround query parser search (upstream
+        ``L/queryparser/surround`` [U]): ``nW``/``nN`` proximity
+        operators (prefix or infix form), n-ary AND/OR/NOT, parens,
+        truncation — distance nodes rewrite to the span machinery;
+        see ``engine.queryparser.surround_parse``."""
+        from engine.queryparser import surround_topk
+        return surround_topk(self, query, k)
+
     def simple_parsed_topk(self, query: str, k: int = 10,
                            default_op: str = "OR") -> pa.Table:
         """SimpleQueryParser search (upstream

@@ -493,6 +493,37 @@ class Evaluator:
         order = np.argsort(docs)
         return _node_boost(docs[order], sc[order], n.boost)
 
+    def _eval_SpanNearQ(self, n: SpanNearQ):
+        r = self._reader(n.field)
+        groups: list[list[str]] = []
+        for a in n.args:
+            if "*" in a or "?" in a:
+                pat = a.lower()
+                rx = re.compile("".join(
+                    ".*" if c == "*" else "." if c == "?"
+                    else re.escape(c) for c in pat))
+                lit = re.split(r"[*?]", pat, 1)[0]
+                cands = r.expand_prefix(lit) if lit else r.vocabulary()
+                exp = [t for t in cands if rx.fullmatch(t)]
+            else:
+                exp = r.analyzer.query_terms(a)
+            if not exp:
+                return _EMPTY
+            groups.append(sorted(set(exp)))
+        big = 1 << 40
+        if n.ordered:
+            t = r.span_near_or_topk(groups, slop=n.dist - 1, k=big)
+        else:
+            if len(groups) != 2 or any(len(g) != 1 for g in groups):
+                raise QueryParseError(
+                    "surround: N needs exactly 2 plain terms")
+            t = r.span_near_unordered_topk(
+                groups[0][0], groups[1][0], slop=n.dist - 1, k=big)
+        docs = t["doc_id"].to_numpy().astype(np.int64)
+        sc = t["score"].to_numpy().astype(np.float32)
+        order = np.argsort(docs)
+        return _node_boost(docs[order], sc[order], n.boost)
+
     def _eval_BoolQ(self, n: BoolQ):
         must = [self.evaluate(c) for o, c in n.clauses if o == MUST]
         should = [self.evaluate(c) for o, c in n.clauses if o == SHOULD]
@@ -531,6 +562,161 @@ class Evaluator:
             if not len(cand):
                 return _EMPTY
         return _node_boost(cand, sums.astype(np.float32), n.boost)
+
+
+# ------------------------------------------ Surround query parser
+# (upstream ``L/queryparser/surround`` [U]: the legal/professional
+# proximity grammar — infix/prefix distance operators ``nW`` (ordered,
+# within n) and ``nN`` (unordered), n-ary AND/OR/NOT, parens, trailing
+# truncation ``term*``. Distance queries rewrite to span queries
+# exactly like upstream's DistanceQuery → SpanNearQuery rewrite.)
+
+@dataclass
+class SpanNearQ:
+    """Surround distance node: raw args (term or wildcard pattern),
+    expanded against the dictionary at evaluation time."""
+    args: list[str]
+    dist: int = 1
+    ordered: bool = True
+    field: str | None = None
+    boost: float = 1.0
+
+
+_SURROUND_OP = re.compile(r"(\d*)([WN])", re.IGNORECASE)
+
+
+def surround_parse(q: str, default_field: str | None = None):
+    """Parse surround syntax into the shared Query AST. Supported
+    subset (documented): prefix-form ``nW(a, b, ...)`` / ``nN(a, b)``
+    (bare ``W``/``N`` = distance 1), infix ``a 3W b``, n-ary
+    left-associative AND/OR/NOT, parens, ``term*`` / ``te?m``
+    truncation. Unordered ``N`` takes exactly two plain terms (the
+    engine's unordered span pair matcher; conformance boundary)."""
+    toks = re.findall(r"\(|\)|,|[^\s(),]+", q)
+    pos = 0
+
+    def at_op(i):
+        if i >= len(toks):
+            return None
+        u = toks[i].upper()
+        if u in ("AND", "OR", "NOT"):
+            return u
+        m = _SURROUND_OP.fullmatch(toks[i])
+        # bare W/N followed by '(' is a prefix-form op, not infix
+        if m and not (i + 1 < len(toks) and toks[i + 1] == "("):
+            return m
+        return None
+
+    def leaf_args(node) -> list[str]:
+        if isinstance(node, TermQ):
+            return [node.text]
+        if isinstance(node, WildQ):
+            return [node.pattern]
+        if isinstance(node, SpanNearQ):
+            raise QueryParseError(
+                "surround: nested distance ops need prefix form")
+        raise QueryParseError("surround: distance op needs term args")
+
+    def parse_prim():
+        nonlocal pos
+        if pos >= len(toks):
+            raise QueryParseError("surround: unexpected end of query")
+        t = toks[pos]
+        m = _SURROUND_OP.fullmatch(t)
+        if m and pos + 1 < len(toks) and toks[pos + 1] == "(":
+            pos += 2
+            args: list[str] = []
+            while pos < len(toks) and toks[pos] != ")":
+                if toks[pos] == ",":
+                    pos += 1
+                    continue
+                if toks[pos] == "(":
+                    raise QueryParseError(
+                        "surround: distance args must be terms")
+                args.append(toks[pos])
+                pos += 1
+            if pos >= len(toks):
+                raise QueryParseError("surround: unbalanced '('")
+            pos += 1
+            if len(args) < 2:
+                raise QueryParseError("surround: distance op needs "
+                                      ">= 2 args")
+            dist = int(m.group(1)) if m.group(1) else 1
+            return SpanNearQ(args, dist, m.group(2).upper() == "W",
+                             default_field)
+        if t == "(":
+            pos += 1
+            node = parse_expr()
+            if pos < len(toks) and toks[pos] == ")":
+                pos += 1
+                return node
+            raise QueryParseError("surround: unbalanced '('")
+        if t in (")", ","):
+            raise QueryParseError(f"surround: unexpected {t!r}")
+        pos += 1
+        if "*" in t or "?" in t:
+            return WildQ(t.lower(), default_field)
+        return TermQ(t, default_field)
+
+    def parse_expr():
+        nonlocal pos
+        node = parse_prim()
+        while True:
+            op = at_op(pos)
+            if op is None:
+                break
+            pos += 1
+            rhs = parse_prim()
+            if op == "AND":
+                if isinstance(node, BoolQ) and node.boost == 1.0 and \
+                        all(o == MUST for o, _ in node.clauses):
+                    node.clauses.append((MUST, rhs))
+                else:
+                    node = BoolQ([(MUST, node), (MUST, rhs)])
+            elif op == "OR":
+                if isinstance(node, BoolQ) and node.boost == 1.0 and \
+                        all(o == SHOULD for o, _ in node.clauses):
+                    node.clauses.append((SHOULD, rhs))
+                else:
+                    node = BoolQ([(SHOULD, node), (SHOULD, rhs)])
+            elif op == "NOT":
+                node = BoolQ([(MUST, node), (MUST_NOT, rhs)])
+            else:                       # infix distance op
+                dist = int(op.group(1)) if op.group(1) else 1
+                node = SpanNearQ(leaf_args(node) + leaf_args(rhs),
+                                 dist, op.group(2).upper() == "W",
+                                 default_field)
+        return node
+
+    node = parse_expr()
+    if pos != len(toks):
+        raise QueryParseError(f"surround: trailing input in {q!r}")
+    return node
+
+
+def surround_topk(readers, query: str, k: int = 10,
+                  default_field: str | None = None) -> pa.Table:
+    """Surround parse → search (upstream
+    ``L/queryparser/surround/query/SrndQuery`` rewrite path [U]).
+    Boolean composition and the final collection follow the classic
+    parser's Evaluator (same f32 cast discipline)."""
+    from engine.query import _topdocs_table
+    node = surround_parse(query, default_field)
+    ev = Evaluator(readers)
+    docs, scores = ev.evaluate(node)
+    r0 = next(iter(ev.readers.values()))
+    keep = r0._keep(docs)
+    if keep is not None:
+        docs, scores = docs[keep], scores[keep]
+    if not len(docs):
+        return _topdocs_table([], [])
+    pos = scores > 0
+    docs, scores = docs[pos], scores[pos]
+    if not len(docs):
+        return _topdocs_table([], [])
+    order = np.lexsort((docs, -scores))[:k]
+    return _topdocs_table(docs[order], scores[order],
+                          total=int(pos.sum()))
 
 
 # ------------------------------------------ SimpleQueryParser

@@ -9436,6 +9436,60 @@ ORDER BY feature
 """
 
 
+# ---------------- UpdateRequestProcessor chain (ingest mutations)
+
+URP_SPECS = [
+    {"type": "clone", "src": "lang", "dest": "lang_raw"},
+    {"type": "regex_replace", "field": "text",
+     "pattern": "[0-9]+", "repl": "#"},
+    {"type": "trim", "field": "text"},
+    {"type": "lowercase", "field": "source"},
+    {"type": "default_value", "field": "lang", "value": "und"},
+    {"type": "truncate", "field": "text", "max_len": 120},
+    {"type": "field_length", "src": "text", "dest": "text_len"},
+    {"type": "signature", "fields": ["text", "source"],
+     "dest": "sig"},
+]
+
+
+def urp_chain_docs(sf_dir: str) -> pa.Table:
+    """UpdateRequestProcessor chain (upstream
+    ``S/update/processor/*`` [U]): clone → regex-replace → trim →
+    lowercase → default-value → truncate → field-length → signature,
+    compiled once and applied as ONE fused row-local ``map_batches``
+    (see ``engine/ops/urp.py``). Every processor's effect is pinned by
+    the SQL oracle over the full documents table."""
+    from engine.ops import urp
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "source"])
+    out = urp.apply_chain(ds, URP_SPECS)
+    t = _to_table(out).select(
+        ["doc_id", "lang", "lang_raw", "source", "text",
+         "text_len", "sig"])
+    return t.sort_by("doc_id")
+
+
+SQL_URP_CHAIN = """
+WITH step AS (
+  SELECT doc_id,
+         lang,
+         lang AS lang_raw,
+         lower(source) AS source,
+         left(trim(regexp_replace(text, '[0-9]+', '#', 'g')), 120)
+           AS text
+  FROM documents)
+SELECT doc_id,
+       COALESCE(lang, 'und') AS lang,
+       lang_raw,
+       source,
+       text,
+       length(text)::BIGINT AS text_len,
+       md5(concat(text, '|', source)) AS sig
+FROM step ORDER BY doc_id
+"""
+
+
 def dih_import_orders(sf_dir: str) -> pa.Table:
     """Data Import Handler (upstream
     ``S/handler/dataimport/DataImportHandler`` [U]): root entity =
@@ -9866,6 +9920,81 @@ SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
          AS rank,
        doc_id, score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------- surround query parser (nW/nN proximity grammar)
+
+SURROUND_Q = "3W(sp*, merge) AND window"
+
+
+def surround_topk_docs(sf_dir: str) -> pa.Table:
+    """Surround parser (upstream ``L/queryparser/surround`` [U]):
+    ``3W(sp*, merge) AND window`` — ordered within-3 distance query
+    whose first arg is a truncation (dictionary-expanded to a SpanOr
+    group, the DistanceQuery → SpanNearQuery rewrite), ANDed with a
+    term clause. Span weight = one f64 fold of every expanded term's
+    f32 idf; the AND node intersects candidates and sums both clause
+    scores in f64 with a single final f32 cast."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.surround_topk(SURROUND_Q, k=10))
+
+
+def sql_surround() -> str:
+    g = 3                                  # dist 3 → gaps 1..3
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+edf AS (
+  SELECT 1 AS grp, term AS tok, COUNT(DISTINCT doc_id)::DOUBLE AS df
+  FROM tf WHERE term LIKE 'sp%' GROUP BY term
+  UNION ALL
+  SELECT 2, 'merge', COUNT(DISTINCT doc_id)::DOUBLE
+  FROM tf WHERE term = 'merge'),
+w AS (
+  SELECT CAST(list_reduce(
+           list(CAST(ln(1 + (s.n - edf.df + 0.5) / (edf.df + 0.5))
+                  AS FLOAT)::DOUBLE ORDER BY edf.grp, edf.tok),
+           (a, b) -> a + b) AS FLOAT) AS w
+  FROM edf CROSS JOIN stats s),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id
+             AND b.p - a.p BETWEEN 1 AND {g}
+             AND b.tok = 'merge'
+  WHERE a.tok LIKE 'sp%' GROUP BY a.doc_id),
+spansc AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS sc
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w),
+wdf AS (
+  SELECT COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf
+  WHERE term = 'window'),
+winc AS (
+  SELECT tf.doc_id,
+    CAST(
+      CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+      *
+      CAST(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS sc
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN wdf d CROSS JOIN stats s
+  WHERE tf.term = 'window'),
+scored AS (
+  SELECT s.doc_id,
+         CAST(s.sc::DOUBLE + c.sc::DOUBLE AS FLOAT) AS score
+  FROM spansc s JOIN winc c ON c.doc_id = s.doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, score
+FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
@@ -11061,6 +11190,7 @@ def queries() -> dict:
         "synonym_query_topk": synonym_query_topk,
         "blended_term_topk_docs": blended_term_topk_docs,
         "dih_import_orders": dih_import_orders,
+        "urp_chain_docs": urp_chain_docs,
         "word_delimiter_stats": word_delimiter_stats,
         "ols_regress_lineitem": ols_regress_lineitem,
         "polygon_customers": polygon_customers,
@@ -11096,6 +11226,7 @@ def queries() -> dict:
         "span_multiterm_near_topk": span_multiterm_near_topk,
         "complex_phrase_topk_docs": complex_phrase_topk_docs,
         "diversified_topk_docs": diversified_topk_docs,
+        "surround_topk_docs": surround_topk_docs,
         "covering_topk_docs": covering_topk_docs,
         "bloom_terms_exist": bloom_terms_exist,
         "path_hierarchy_stats": path_hierarchy_stats,
@@ -11340,6 +11471,7 @@ def oracle_sql() -> dict:
         "synonym_query_topk": sql_synonym_query(),
         "blended_term_topk_docs": sql_blended_term(),
         "dih_import_orders": SQL_DIH_IMPORT,
+        "urp_chain_docs": SQL_URP_CHAIN,
         "word_delimiter_stats": SQL_WORD_DELIMITER_STATS,
         "ols_regress_lineitem": SQL_OLS_REGRESS,
         "polygon_customers": _sql_polygon(),
@@ -11377,6 +11509,7 @@ def oracle_sql() -> dict:
         "span_multiterm_near_topk": sql_span_multiterm_near(),
         "complex_phrase_topk_docs": sql_complex_phrase(),
         "diversified_topk_docs": sql_diversified(),
+        "surround_topk_docs": sql_surround(),
         "covering_topk_docs": sql_covering(),
         "bloom_terms_exist": SQL_BLOOM_EXIST,
         "path_hierarchy_stats": SQL_PATH_HIERARCHY,

@@ -428,3 +428,51 @@ def test_simple_parser_fuzz_never_raises_anywhere(ray_session,
         op = "AND" if i % 2 else "OR"
         # the WHOLE path (parse + evaluate) must never raise
         simple_parsed_topk(r, q, k=3, default_op=op)
+
+
+# ------------------------------------------------ surround parser
+
+def test_surround_parse_shapes():
+    from engine.queryparser import SpanNearQ, surround_parse
+
+    n = surround_parse("3W(a, b)")
+    assert isinstance(n, SpanNearQ)
+    assert n.args == ["a", "b"] and n.dist == 3 and n.ordered
+    n = surround_parse("5N(a, b)")
+    assert not n.ordered and n.dist == 5
+    # bare W = distance 1; infix form; case-insensitive
+    assert surround_parse("W(a, b)").dist == 1
+    i = surround_parse("a 2w b")
+    assert isinstance(i, SpanNearQ) and i.dist == 2 and i.ordered
+    # n-ary AND stays flat; NOT nests
+    b = surround_parse("a AND b AND c")
+    assert [o for o, _ in b.clauses] == [MUST, MUST, MUST]
+    b = surround_parse("a NOT b")
+    assert [o for o, _ in b.clauses] == [MUST, MUST_NOT]
+    # distance op composes under booleans
+    b = surround_parse("3W(sp*, merge) AND window")
+    assert [o for o, _ in b.clauses] == [MUST, MUST]
+    assert isinstance(b.clauses[0][1], SpanNearQ)
+    # malformed input raises QueryParseError (surround is strict,
+    # unlike the simple parser)
+    import pytest as _pt
+    for bad in ["3W(a)", "W(a,", "a AND", "(a b", "a )", "3W(a, (b))"]:
+        with _pt.raises(QueryParseError):
+            surround_parse(bad)
+
+
+def test_surround_matches_span_machinery(reader):
+    """nW(x, y) ≡ ordered span_near_or; nN ≡ unordered pair matcher;
+    boolean composition matches the evaluator's MUST law."""
+    vocab = reader.vocabulary()
+    pre = sorted(t for t in vocab if t.startswith("ze"))
+    if pre:
+        got = reader.surround_topk("3W(ze*, quark)", k=10)
+        want = reader.span_near_or_topk([pre, ["quark"]], slop=2, k=10)
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert got["score"].to_pylist() == want["score"].to_pylist()
+    got = reader.surround_topk("4N(zephyr, quark)", k=10)
+    want = reader.span_near_unordered_topk("zephyr", "quark",
+                                           slop=3, k=10)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == want["score"].to_pylist()
