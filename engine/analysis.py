@@ -463,6 +463,88 @@ class LengthFilter(TokenFilter):
                 "max_len": self.max_len}
 
 
+class KeepWordFilter(TokenFilter):
+    """Keep ONLY tokens in the word set (upstream ``KeepWordFilter``
+    [U] — the inverse of StopFilter). Like the LengthFilter above,
+    surviving tokens keep their original positions."""
+
+    def __init__(self, words):
+        self.words = frozenset(words)
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        n_docs = len(offsets) - 1
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        keep_v = np.array([t in self.words for t in vocab], dtype=bool)
+        keep = keep_v[codes]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        out_doc = doc_of[keep]
+        kept_codes = codes[keep]
+        uniq_codes, inv = np.unique(kept_codes, return_inverse=True)
+        new_lens = np.bincount(out_doc, minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        return (new_offsets, inv, vocab[uniq_codes],
+                positions[keep], new_lens)
+
+    def spec(self) -> dict:
+        return {"type": "keep_word", "words": sorted(self.words)}
+
+
+class PatternCaptureGroupFilter(TokenFilter):
+    """Emit regex capture groups as tokens (upstream
+    ``PatternCaptureGroupTokenFilter`` [U]): every non-null capture
+    group of every match becomes a token at the ORIGINAL token's
+    position; a token the pattern does not match passes through
+    unchanged; ``preserve_original`` additionally keeps the matched
+    token itself. Vocabulary-level regex work only (|vocab| × pattern
+    cost, never per occurrence); patterns should stay RE2-compatible
+    so a DuckDB ``regexp_extract_all`` oracle can mirror them."""
+
+    def __init__(self, pattern: str, preserve_original: bool = True):
+        self.pattern = pattern
+        self.preserve_original = preserve_original
+        self._rx = _re.compile(pattern)
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        n_docs = len(offsets) - 1
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        toks_per: list[list[str]] = []
+        for t in vocab:
+            groups = [g for m in self._rx.finditer(t)
+                      for g in m.groups() if g]
+            if not groups:
+                toks_per.append([t])
+            elif self.preserve_original:
+                toks_per.append([t] + groups)
+            else:
+                toks_per.append(groups)
+        counts = np.array([len(g) for g in toks_per], dtype=np.int64)
+        flat = np.array([s for g in toks_per for s in g], dtype=object)
+        out_uniq, out_inv = np.unique(flat, return_inverse=True)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        per_tok = counts[codes]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        out_doc = np.repeat(doc_of, per_tok)
+        out_pos = np.repeat(positions, per_tok).astype(np.int32)
+        base = np.repeat(starts[codes], per_tok)
+        local = np.arange(int(per_tok.sum()), dtype=np.int64) - \
+            np.repeat(np.concatenate(([0], np.cumsum(per_tok)))[:-1],
+                      per_tok)
+        out_codes = out_inv[base + local]
+        new_lens = np.bincount(out_doc, minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        return new_offsets, out_codes, out_uniq, out_pos, new_lens
+
+    def spec(self) -> dict:
+        return {"type": "pattern_capture", "pattern": self.pattern,
+                "preserve_original": self.preserve_original}
+
+
 class PatternReplaceFilter(TokenFilter):
     """Regex replacement inside each token (upstream
     ``PatternReplaceFilter`` [U]). Vocabulary-level ``re.sub`` then
@@ -865,6 +947,11 @@ def build_filter(spec: dict) -> TokenFilter:
         return WordDelimiterFilter(spec.get("preserve_original", False))
     if t == "length":
         return LengthFilter(spec["min_len"], spec["max_len"])
+    if t == "keep_word":
+        return KeepWordFilter(spec["words"])
+    if t == "pattern_capture":
+        return PatternCaptureGroupFilter(
+            spec["pattern"], spec.get("preserve_original", True))
     if t == "pattern_replace":
         return PatternReplaceFilter(spec["pattern"], spec["replacement"])
     if t == "soundex":

@@ -191,6 +191,67 @@ def timeseries(ds: ray.data.Dataset, ts_col: str, unit: str,
              .groupby("window").aggregate(*aggs)
 
 
+def hist(ds: ray.data.Dataset, col: str, bins: int) -> pa.Table:
+    """Solr math ``hist()`` (upstream Solr math expressions, backed by
+    commons-math ``EmpiricalDistribution`` [U]): equal-width bins over
+    [min, max] with per-bin count and sum. Two streaming passes:
+    (1) one distributed min/max aggregate, (2) per-batch vectorized
+    ``np.bincount`` partials (bins rows each) summed on the driver —
+    output-sized combine, no shuffle. The top edge value lands in the
+    last bin (numpy/commons-math closed-top convention); the SQL
+    oracle mirrors the exact f64 expression ``(v - lo) / ((hi - lo) /
+    bins)`` then floor + clamp."""
+    st = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(st[f"min({col})"]), float(st[f"max({col})"])
+    width = (hi - lo) / bins
+    if width == 0.0:
+        return pa.table({"bin": pa.array([0], type=pa.int64()),
+                         "n": pa.array([ds.count()], type=pa.int64()),
+                         "sum_v": pa.array([lo * ds.count()])})
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy().astype(np.float64)
+        idx = np.minimum(np.floor((v - lo) / width).astype(np.int64),
+                         bins - 1)
+        return pa.table({
+            "bin": pa.array(np.arange(bins), type=pa.int64()),
+            "n": pa.array(np.bincount(idx, minlength=bins)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(idx, weights=v,
+                                      minlength=bins))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("bin", as_index=False).sum()
+    return pa.table({
+        "bin": pa.array(g["bin"].to_numpy(), type=pa.int64()),
+        "n": pa.array(g["n"].to_numpy(), type=pa.int64()),
+        "sum_v": pa.array(g["s"].to_numpy())})
+
+
+def timeseries_fill(ds: ray.data.Dataset, ts_col: str, unit: str,
+                    sums: list[str] = ()) -> "pa.Table":
+    """``timeseries`` with gap filling (upstream
+    ``SJ/stream/TimeSeriesStream`` emits EVERY bucket of the
+    start/end/gap range, zeroing metrics for empty windows [U]). The
+    grouped aggregate runs distributed exactly like
+    :func:`timeseries`; densification happens on the driver over the
+    AGGREGATED buckets only — output-sized work bounded by
+    range/gap, never by the corpus."""
+    import pandas as pd
+
+    agg = timeseries(ds, ts_col, unit, list(sums))
+    df = agg.to_pandas()
+    if not len(df):
+        return pa.Table.from_pandas(df, preserve_index=False)
+    freq = {"minute": "min", "hour": "h", "day": "D"}[unit]
+    full = pd.date_range(df["window"].min(), df["window"].max(),
+                         freq=freq)
+    df = (df.set_index("window").reindex(full).fillna(0)
+          .rename_axis("window").reset_index())
+    df["count()"] = df["count()"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def sort_nulls(ds: ray.data.Dataset, col: str, descending: bool = False,
                nulls_last: bool = True) -> ray.data.Dataset:
     """Sort with explicit null placement (the reference's

@@ -117,7 +117,10 @@ def index_term_stats(sf_dir: str) -> pa.Table:
     root = mf.shard_root(idx, mf.load(idx))
     for b in range(4):
         shard = os.path.join(root, f"bucket={b}")
-        if os.path.isdir(shard):
+        # Tiny vocabularies can leave a hash bucket with no parquet
+        # file; pq.read_table on a file-less dir raises, so skip those.
+        if os.path.isdir(shard) and any(
+                f.endswith(".parquet") for f in os.listdir(shard)):
             parts.append(pq.read_table(shard, columns=["term", "df", "cf"]))
     t = pa.concat_tables(parts)
     df = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
@@ -177,7 +180,10 @@ def _index_stats_of(idx: str) -> pa.Table:
     root = mf.shard_root(idx, mf.load(idx))
     for b in range(4):
         shard = os.path.join(root, f"bucket={b}")
-        if os.path.isdir(shard):
+        # Tiny vocabularies can leave a hash bucket with no parquet
+        # file; pq.read_table on a file-less dir raises, so skip those.
+        if os.path.isdir(shard) and any(
+                f.endswith(".parquet") for f in os.listdir(shard)):
             parts.append(pq.read_table(shard, columns=["term", "df", "cf"]))
     t = pa.concat_tables(parts)
     t = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
@@ -2096,6 +2102,73 @@ SQL_TIMESERIES = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window,
        COUNT(*)::BIGINT AS n, ROUND(SUM(value), 3) AS sum_value
 FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+HIST_BINS = 8
+
+
+def hist_events(sf_dir: str) -> pa.Table:
+    """Solr math ``hist(value, 8)`` over events (upstream Solr math
+    expressions / commons-math EmpiricalDistribution [U]): equal-width
+    bins with per-bin count + sum; empty bins present with zeros. See
+    ``relational.hist`` for the two-pass distributed shape."""
+    ds = _read(sf_dir, "events", ["value"])
+    t = rel.hist(ds, "value", HIST_BINS)
+    return _round_col(t, "sum_v", 3).sort_by("bin")
+
+
+SQL_HIST = f"""
+WITH s AS (SELECT MIN(value)::DOUBLE AS lo, MAX(value)::DOUBLE AS hi
+           FROM events),
+b AS (
+  SELECT LEAST(FLOOR((value - s.lo) / ((s.hi - s.lo) / {HIST_BINS})),
+               {HIST_BINS - 1})::BIGINT AS bin, value
+  FROM events CROSS JOIN s),
+grid AS (SELECT unnest(range({HIST_BINS})) AS bin)
+SELECT grid.bin,
+       COUNT(b.value)::BIGINT AS n,
+       ROUND(COALESCE(SUM(b.value), 0), 3) AS sum_v
+FROM grid LEFT JOIN b ON b.bin = grid.bin
+GROUP BY grid.bin ORDER BY grid.bin
+"""
+
+
+TSFILL_TYPE = "purchase"
+
+
+def timeseries_fill_events(sf_dir: str) -> pa.Table:
+    """``timeseries`` with gap filling (upstream
+    ``SJ/stream/TimeSeriesStream`` start/end/gap semantics [U]):
+    hourly buckets of ``purchase`` events — EVERY hour between the
+    first and last bucket appears, empty hours with n=0 and
+    sum_value=0. Aggregation distributed; densification is
+    output-sized driver work (see ``relational.timeseries_fill``)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]) \
+        .filter(expr=f"event_type == '{TSFILL_TYPE}'")
+    t = rel.timeseries_fill(ds, "ts", "hour", sums=["value"])
+    t = _rename(t, {"count()": "n", "sum(value)": "sum_value"})
+    i = t.column_names.index("window")
+    t = t.set_column(i, "window",
+                     pc.strftime(t["window"], format="%Y-%m-%d %H"))
+    t = _round_col(t, "sum_value", 3)
+    return t.sort_by("window")
+
+
+SQL_TIMESERIES_FILL = f"""
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS w, COUNT(*)::BIGINT AS n,
+         SUM(value) AS sv
+  FROM events WHERE event_type = '{TSFILL_TYPE}' GROUP BY 1),
+grid AS (
+  SELECT unnest(generate_series((SELECT MIN(w) FROM b),
+                                (SELECT MAX(w) FROM b),
+                                INTERVAL 1 HOUR)) AS w)
+SELECT strftime(grid.w, '%Y-%m-%d %H') AS "window",
+       COALESCE(b.n, 0)::BIGINT AS n,
+       ROUND(COALESCE(b.sv, 0), 3) AS sum_value
+FROM grid LEFT JOIN b ON b.w = grid.w
+ORDER BY "window"
 """
 
 
@@ -5210,6 +5283,60 @@ GROUP BY term ORDER BY term
 """
 
 
+KEEP_WORDS = ["spark", "merge", "window", "join"]
+
+
+def keep_word_stats(sf_dir: str) -> pa.Table:
+    """KeepWordFilter e2e (upstream ``KeepWordFilter`` [U], the
+    inverse of StopFilter): only the 4 keep-list tokens reach the
+    index."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "keep_word", "words": KEEP_WORDS},), "keepw")
+    return _index_stats_of(idx)
+
+
+SQL_KEEP_WORD_STATS = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks WHERE term IN ({", ".join(repr(w) for w in KEEP_WORDS)})
+GROUP BY term ORDER BY term
+"""
+
+
+PATCAP_RX = "^(..).*(..)$"
+
+
+def pattern_capture_stats(sf_dir: str) -> pa.Table:
+    """PatternCaptureGroupTokenFilter e2e (upstream
+    ``PatternCaptureGroupTokenFilter`` [U]): tokens of length ≥ 4 emit
+    their first-2 and last-2 characters as extra tokens at the same
+    position (preserve_original=true); shorter tokens pass through
+    unchanged."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "pattern_capture", "pattern": PATCAP_RX,
+                  "preserve_original": True},), "patcap")
+    return _index_stats_of(idx)
+
+
+SQL_PATTERN_CAPTURE_STATS = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+ex AS (
+  SELECT doc_id, term,
+         regexp_matches(term, '{PATCAP_RX}') AS hit,
+         regexp_extract(term, '{PATCAP_RX}', 1) AS g1,
+         regexp_extract(term, '{PATCAP_RX}', 2) AS g2
+  FROM toks),
+outs AS (
+  SELECT doc_id, term FROM ex
+  UNION ALL SELECT doc_id, g1 FROM ex WHERE hit
+  UNION ALL SELECT doc_id, g2 FROM ex WHERE hit)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM outs GROUP BY term ORDER BY term
+"""
+
+
 def truncate_filter_stats(sf_dir: str) -> pa.Table:
     """TruncateTokenFilter e2e (upstream ``TruncateTokenFilterFactory``
     [U]): every token truncated to its 4-char prefix before indexing
@@ -8170,7 +8297,10 @@ def luke_overview(sf_dir: str) -> pa.Table:
     root = mf.shard_root(idx, mf.load(idx))
     for b in range(4):
         shard = os.path.join(root, f"bucket={b}")
-        if os.path.isdir(shard):
+        # Tiny vocabularies can leave a hash bucket with no parquet
+        # file; pq.read_table on a file-less dir raises, so skip those.
+        if os.path.isdir(shard) and any(
+                f.endswith(".parquet") for f in os.listdir(shard)):
             parts.append(pq.read_table(shard, columns=["term", "df", "cf"]))
     t = pa.concat_tables(parts)
     g = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
@@ -11037,6 +11167,8 @@ def queries() -> dict:
         "anti_join_customers": anti_join_customers,
         "dedup_docs_exact": dedup_docs_exact,
         "timeseries_events": timeseries_events,
+        "timeseries_fill_events": timeseries_fill_events,
+        "hist_events": hist_events,
         "math_series_events": math_series_events,
         "corr_lineitem": corr_lineitem,
         "ttest_events": ttest_events,
@@ -11101,6 +11233,8 @@ def queries() -> dict:
         "edge_ngram_stats": edge_ngram_stats,
         "length_filter_stats": length_filter_stats,
         "truncate_filter_stats": truncate_filter_stats,
+        "keep_word_stats": keep_word_stats,
+        "pattern_capture_stats": pattern_capture_stats,
         "reverse_filter_stats": reverse_filter_stats,
         "limit_tokens_stats": limit_tokens_stats,
         "whitespace_tokenizer_stats": whitespace_tokenizer_stats,
@@ -11322,6 +11456,8 @@ def oracle_sql() -> dict:
         "anti_join_customers": SQL_ANTI_JOIN,
         "dedup_docs_exact": SQL_DEDUP_EXACT,
         "timeseries_events": SQL_TIMESERIES,
+        "timeseries_fill_events": SQL_TIMESERIES_FILL,
+        "hist_events": SQL_HIST,
         "math_series_events": SQL_MATH_SERIES,
         "corr_lineitem": SQL_CORR,
         "ttest_events": SQL_TTEST,
@@ -11383,6 +11519,8 @@ def oracle_sql() -> dict:
         "edge_ngram_stats": SQL_EDGE_NGRAM_STATS,
         "length_filter_stats": SQL_LENGTH_FILTER_STATS,
         "truncate_filter_stats": SQL_TRUNCATE_FILTER_STATS,
+        "keep_word_stats": SQL_KEEP_WORD_STATS,
+        "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,
         "limit_tokens_stats": SQL_LIMIT_TOKENS_STATS,
         "whitespace_tokenizer_stats": SQL_WHITESPACE_TOKENIZER_STATS,
