@@ -11094,6 +11094,267 @@ ORDER BY fs DESC, doc_id LIMIT 10
 """
 
 
+# -------------------------------------- round-2 continuation batch
+
+
+def join_util_scoreavg_topk(sf_dir: str) -> pa.Table:
+    """Query-time join with ``ScoreMode.Total`` / ``ScoreMode.Avg``
+    (upstream ``lucene/join`` ``JoinUtil`` [U]): each join value
+    carries the SUM (and mean) of the BM25 scores of the from-docs
+    holding it; to-side docs sharing the value inherit those
+    aggregates. Same distributed shape as the Max entry: from-side
+    per-batch ``(source, Σscore, n)`` Arrow partials → one
+    value-count-sized driver combine → broadcast probe of the to-side
+    streaming scan — no shuffle. f32 scores accumulate in f64 with a
+    3-dp round (DuckDB's SUM order differs; both totals agree to well
+    below 1e-3 on O(10) operands)."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    sc = r.match_scores(JOIN_UTIL_TERM)
+    docs = sc["doc_id"].to_numpy()
+    scores = sc["score"].to_numpy().astype(np.float64)
+    o = np.argsort(docs)
+    dref = ray.put((docs[o], scores[o]))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def from_side(b: pa.Table) -> pa.Table:
+        d, s = ray.get(dref)
+        ids = b["doc_id"].to_numpy()
+        if not len(d):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "tot": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        idx = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
+        hit = d[idx] == ids
+        sub = b.filter(pa.array(hit))
+        t = pa.table({"source": sub["source"],
+                      "tot": pa.array(s[idx[hit]]),
+                      "n": pa.array(np.ones(int(hit.sum()), np.int64))})
+        agg = t.group_by("source").aggregate([("tot", "sum"),
+                                              ("n", "sum")])
+        return _rename(agg, {"tot_sum": "tot", "n_sum": "n"})
+
+    fv = _to_table(ds.map_batches(from_side, batch_format="pyarrow"))
+    fv = _rename(fv.group_by("source").aggregate(
+        [("tot", "sum"), ("n", "sum")]),
+        {"tot_sum": "tot", "n_sum": "n"})
+    tot = fv["tot"].to_numpy()
+    cnt = fv["n"].to_numpy().astype(np.float64)
+    vref = ray.put((pa.array(fv["source"].to_pylist(), pa.string()),
+                    tot, tot / cnt))
+
+    def to_side(b: pa.Table) -> pa.Table:
+        vs, vt, va = ray.get(vref)
+        pos = pc.index_in(b["source"], value_set=vs)
+        m = pc.is_valid(pos)
+        sub = b.filter(m)
+        pidx = pos.filter(m).to_numpy().astype(np.int64)
+        return pa.table({"doc_id": sub["doc_id"],
+                         "score_total": pa.array(vt[pidx]),
+                         "score_avg": pa.array(va[pidx])})
+
+    t = _to_table(rel.top_k(
+        ds.map_batches(to_side, batch_format="pyarrow"),
+        [("score_total", True), ("doc_id", False)], 10))
+    out = pa.table({
+        "rank": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        "doc_id": t["doc_id"],
+        "score_total": t["score_total"],
+        "score_avg": t["score_avg"]})
+    return _round_col(_round_col(out, "score_total", 3), "score_avg", 3)
+
+
+def sql_join_util_scoreavg() -> str:
+    return f"""{_sql_scored(f"SELECT '{JOIN_UTIL_TERM}' AS term")},
+fv AS (SELECT d.source, SUM(s.score::DOUBLE) AS tot,
+              COUNT(*)::BIGINT AS n
+       FROM scored s JOIN documents d USING (doc_id)
+       GROUP BY d.source)
+SELECT (ROW_NUMBER() OVER (ORDER BY fv.tot DESC, d.doc_id) - 1)::BIGINT
+         AS rank,
+       d.doc_id,
+       ROUND(fv.tot, 3) AS score_total,
+       ROUND(fv.tot / fv.n, 3) AS score_avg
+FROM documents d JOIN fv USING (source)
+ORDER BY fv.tot DESC, d.doc_id LIMIT 10
+"""
+
+
+FRO_START, FRO_END, FRO_GAP = 50_000.0, 350_000.0, 100_000.0
+
+
+def facet_range_other_orders(sf_dir: str) -> pa.Table:
+    """``facet.range`` with ``facet.range.other=all`` (upstream
+    ``S/request/SimpleFacets`` / ``RangeFacetProcessor`` [U]):
+    equal-gap buckets over [start, end) PLUS the ``before`` (< start),
+    ``after`` (≥ end) and ``between`` (∈ [start, end)) summary
+    buckets. One streaming pass of per-batch bucket-count partials
+    (output-sized: n_buckets+2 rows each), one tiny grouped combine;
+    ``between`` is derived from the bucket row sums on the driver."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    nb = int((FRO_END - FRO_START) / FRO_GAP)
+    labels = [f"b{i}_{int(FRO_START + i * FRO_GAP)}" for i in range(nb)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy()
+        before = int((v < FRO_START).sum())
+        after = int((v >= FRO_END).sum())
+        inr = v[(v >= FRO_START) & (v < FRO_END)]
+        idx = ((inr - FRO_START) // FRO_GAP).astype(np.int64)
+        cts = np.bincount(idx, minlength=nb).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(labels + ["other_after", "other_before"]),
+            "n": pa.array(np.concatenate(
+                [cts, np.array([after, before], np.int64)]))})
+
+    t = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    t = _rename(t.group_by("bucket").aggregate([("n", "sum")]),
+                {"n_sum": "n"})
+    bt = t.filter(pc.starts_with(t["bucket"], "b"))
+    between = int(pc.sum(bt["n"]).as_py() or 0)
+    t = pa.concat_tables([t, pa.table({
+        "bucket": pa.array(["other_between"]),
+        "n": pa.array([between], pa.int64())})])
+    return _cast_col(t, "n", pa.int64()).sort_by("bucket")
+
+
+def sql_facet_range_other() -> str:
+    nb = int((FRO_END - FRO_START) / FRO_GAP)
+    cases = " ".join(
+        f"WHEN o_totalprice >= {FRO_START + i * FRO_GAP} AND "
+        f"o_totalprice < {FRO_START + (i + 1) * FRO_GAP} "
+        f"THEN 'b{i}_{int(FRO_START + i * FRO_GAP)}'"
+        for i in range(nb))
+    grid = ", ".join(
+        [f"'b{i}_{int(FRO_START + i * FRO_GAP)}'" for i in range(nb)]
+        + ["'other_after'", "'other_before'", "'other_between'"])
+    return f"""
+WITH lab AS (
+  SELECT CASE {cases}
+              WHEN o_totalprice < {FRO_START} THEN 'other_before'
+              ELSE 'other_after' END AS bucket
+  FROM orders),
+cnt AS (SELECT bucket, COUNT(*)::BIGINT AS n FROM lab GROUP BY bucket),
+btw AS (SELECT 'other_between' AS bucket, COUNT(*)::BIGINT AS n
+        FROM orders
+        WHERE o_totalprice >= {FRO_START} AND o_totalprice < {FRO_END}),
+grid AS (SELECT unnest([{grid}]) AS bucket)
+SELECT grid.bucket, COALESCE(u.n, 0)::BIGINT AS n
+FROM grid LEFT JOIN (SELECT * FROM cnt UNION ALL SELECT * FROM btw) u
+  USING (bucket)
+ORDER BY grid.bucket
+"""
+
+
+DGF_LO, DGF_N_DAYS = "NOW/DAY-10DAYS", 10
+
+
+def date_gap_facet_events(sf_dir: str) -> pa.Table:
+    """``facet.range`` on a DATE field with a DateMath gap (upstream
+    ``RangeFacetProcessor`` + ``DateMathParser`` [U]): start =
+    ``{DGF_LO}``, gap = ``+1DAY``, end = ``NOW/DAY`` with NOW pinned
+    per-request — EVERY daily bucket emitted, empty ones at 0. The
+    bounds come from ``engine.ops.datemath``; the oracle recomputes
+    them with DuckDB's independent date_trunc/INTERVAL arithmetic.
+    One streaming pass of per-batch ``np.bincount`` partials over the
+    int64 microsecond day index — output-sized, no row shuffle."""
+    from datetime import datetime
+
+    from engine.ops import datemath
+
+    now = datetime.fromisoformat(DM_NOW)
+    lo = datemath.parse(DGF_LO, now)
+    day_us = 86_400_000_000
+    lo_us = int(lo.timestamp() * 1_000_000)
+    nb = DGF_N_DAYS
+    labels = [
+        datetime.utcfromtimestamp(
+            (lo_us + i * day_us) / 1_000_000).strftime("%Y-%m-%d")
+        for i in range(nb)]
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy()
+        idx = (us - lo_us) // day_us
+        idx = idx[(idx >= 0) & (idx < nb)]
+        return pa.table({
+            "day": pa.array(labels),
+            "n": pa.array(np.bincount(idx, minlength=nb)
+                          .astype(np.int64))})
+
+    t = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    t = _rename(t.group_by("day").aggregate([("n", "sum")]),
+                {"n_sum": "n"})
+    return _cast_col(t, "n", pa.int64()).sort_by("day")
+
+
+SQL_DATE_GAP_FACET = f"""
+WITH b AS (
+  SELECT date_trunc('day', TIMESTAMP '{DM_NOW.replace("T", " ")}')
+           - INTERVAL {DGF_N_DAYS} DAY AS lo),
+grid AS (
+  SELECT unnest(generate_series(0, {DGF_N_DAYS - 1})) AS i),
+c AS (
+  SELECT ((epoch_us(e.ts) - epoch_us(b.lo)) // 86400000000)::BIGINT AS i,
+         COUNT(*)::BIGINT AS n
+  FROM events e CROSS JOIN b
+  WHERE e.ts >= b.lo AND e.ts < b.lo + INTERVAL {DGF_N_DAYS} DAY
+  GROUP BY 1)
+SELECT strftime(b.lo + TO_DAYS(grid.i::INTEGER), '%Y-%m-%d') AS day,
+       COALESCE(c.n, 0)::BIGINT AS n
+FROM grid CROSS JOIN b LEFT JOIN c ON c.i = grid.i
+ORDER BY day
+"""
+
+
+def temperature_mixture_docs(sf_dir: str) -> pa.Table:
+    """Temperature-scaled mixture sampling (the multilingual-LM
+    rebalancing pattern: sample language ℓ at rate ∝ c_ℓ^(α-1) so the
+    post-sample share follows c_ℓ^α, α = 0.5; rates normalized so the
+    SMALLEST stratum keeps everything). Per-mille keep thresholds are
+    EXACT integers — ``t_ℓ = isqrt(10^6·c_min // c_ℓ)`` (floor(sqrt)
+    == isqrt(floor) identity) — so the hash-coin sample is
+    bit-reproducible across runs, retries and cluster sizes, and the
+    oracle re-derives the same thresholds in SQL. Shape: one tiny
+    ``groupby(lang).count()``, thresholds broadcast, one streaming
+    ``map_batches`` filter — no row shuffle."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    c = _to_table(ds.groupby("lang").count())
+    langs = c["lang"].to_pylist()
+    counts = c["count()"].to_numpy().astype(np.int64)
+    cmin = int(counts.min())
+    thr = {
+        lang: min(1000, math.isqrt((1_000_000 * cmin) // int(n)))
+        for lang, n in zip(langs, counts)}
+    tref = ray.put(thr)
+
+    def keep(b: pa.Table) -> pa.Table:
+        t = ray.get(tref)
+        h = _md5_64(b["doc_id"].to_pylist()) % np.uint64(1000)
+        lim = np.fromiter((t[v] for v in b["lang"].to_pylist()),
+                          dtype=np.int64, count=b.num_rows)
+        return b.filter(pa.array(h.astype(np.int64) < lim))
+
+    return _to_table(ds.map_batches(keep, batch_format="pyarrow")) \
+        .sort_by("doc_id")
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents
+           GROUP BY lang),
+t AS (SELECT lang,
+             LEAST(1000, FLOOR(SQRT(
+               (1000000 * (SELECT MIN(n) FROM c)) // n))::BIGINT) AS thr
+      FROM c)
+SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+WHERE md5_number_lower(d.doc_id::VARCHAR) % 1000 < t.thr
+ORDER BY d.doc_id
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -11217,6 +11478,10 @@ def queries() -> dict:
         "ltr_rescore_docs": ltr_rescore_docs,
         "rerank_topk_docs": rerank_topk_docs,
         "join_util_scoremax_topk": join_util_scoremax_topk,
+        "join_util_scoreavg_topk": join_util_scoreavg_topk,
+        "facet_range_other_orders": facet_range_other_orders,
+        "date_gap_facet_events": date_gap_facet_events,
+        "temperature_mixture_docs": temperature_mixture_docs,
         "mlt_interesting_terms_docs": mlt_interesting_terms_docs,
         "total_hit_count_docs": total_hit_count_docs,
         "nodes_walk_customers": nodes_walk_customers,
@@ -11503,6 +11768,10 @@ def oracle_sql() -> dict:
         "ltr_rescore_docs": sql_ltr(),
         "rerank_topk_docs": sql_rerank(),
         "join_util_scoremax_topk": sql_join_util_scoremax(),
+        "join_util_scoreavg_topk": sql_join_util_scoreavg(),
+        "facet_range_other_orders": sql_facet_range_other(),
+        "date_gap_facet_events": SQL_DATE_GAP_FACET,
+        "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE,
         "mlt_interesting_terms_docs": SQL_MLT_TERMS,
         "total_hit_count_docs": SQL_TOTAL_HITS,
         "nodes_walk_customers": SQL_NODES_WALK,
