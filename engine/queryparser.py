@@ -97,6 +97,7 @@ import numpy as np
 import pyarrow as pa
 
 MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
+FILTER = "FILTER"   # Occur.FILTER: constrains like MUST, scores 0
 
 
 # ----------------------------------------------------------------- AST
@@ -526,11 +527,13 @@ class Evaluator:
 
     def _eval_BoolQ(self, n: BoolQ):
         must = [self.evaluate(c) for o, c in n.clauses if o == MUST]
+        filt = [self.evaluate(c) for o, c in n.clauses if o == FILTER]
         should = [self.evaluate(c) for o, c in n.clauses if o == SHOULD]
         mnot = [self.evaluate(c) for o, c in n.clauses if o == MUST_NOT]
-        if must:
-            cand = must[0][0]
-            for d, _ in must[1:]:
+        if must or filt:
+            req = must + filt
+            cand = req[0][0]
+            for d, _ in req[1:]:
                 cand = np.intersect1d(cand, d, assume_unique=True)
         elif should:
             ne = [d for d, _ in should if len(d)]
@@ -932,13 +935,19 @@ def parsed_topk(readers, query: str, k: int = 10,
     IndexReader or a {field: IndexReader} map; ``min_should_match``
     applies to the top-level boolean (Solr's ``mm``); ``default_op``
     is Solr's ``q.op``."""
-    from engine.query import _topdocs_table
     node = parse(query, default_field, default_op=default_op)
     if isinstance(node, BoolQ):
         node.min_should_match = min_should_match
     elif min_should_match > 1:
         node = BoolQ([(SHOULD, node)],
                      min_should_match=min_should_match)
+    return node_topk(readers, node, k)
+
+
+def node_topk(readers, node, k: int = 10) -> pa.Table:
+    """Evaluate an already-built Query AST node (from the classic,
+    surround, XML or JSON-DSL front-end) into a TopDocs table."""
+    from engine.query import _topdocs_table
     ev = Evaluator(readers)
     docs, scores = ev.evaluate(node)
     r0 = next(iter(ev.readers.values()))

@@ -11355,6 +11355,166 @@ ORDER BY d.doc_id
 """
 
 
+XML_CORE_QUERY = """
+<BooleanQuery>
+  <Clause occurs="must"><TermQuery>spark</TermQuery></Clause>
+  <Clause occurs="should"><TermQuery boost="2">merge</TermQuery></Clause>
+  <Clause occurs="should"><TermsQuery>window batch</TermsQuery></Clause>
+  <Clause occurs="mustnot"><UserQuery>"part filter"</UserQuery></Clause>
+</BooleanQuery>
+"""
+
+
+def xml_core_parser_topk(sf_dir: str) -> pa.Table:
+    """Lucene XML CoreParser (upstream ``L/queryparser/xml/
+    CoreParser.java`` + builders [U]): a structured XML query document
+    — MUST term, boosted SHOULD term, ``TermsQuery`` should-group,
+    ``UserQuery`` phrase under mustnot — parsed by ``engine.xmljson``
+    into the SAME AST the classic parser builds, evaluated by the
+    shared vectorized Evaluator (f32 clause weights, f64 node sums,
+    f32 cast per node — the SQL mirrors the nested cast chain)."""
+    from engine.queryparser import node_topk
+    from engine.xmljson import xml_parse
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(node_topk(r, xml_parse(XML_CORE_QUERY), k=10))
+
+
+def sql_xml_core_parser() -> str:
+    boosted = """
+    CAST(
+      CAST(CAST(2.0 AS FLOAT)::DOUBLE
+           * CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+           AS FLOAT)::DOUBLE
+      *
+      CAST(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT)"""
+    return f"""{_bm25_ctes()},
+qterms AS (SELECT unnest(['spark','merge','window','batch']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         CASE WHEN tf.term = 'merge' THEN {boosted}
+              ELSE {_SQL_CONTRIB} END AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+grp AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS gsc
+  FROM contrib WHERE term IN ('window', 'batch') GROUP BY doc_id),
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+ph AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.tok = 'part' AND b.tok = 'filter'),
+scored AS (
+  SELECT c.doc_id,
+         CAST(c.sc::DOUBLE + COALESCE(m.sc::DOUBLE, 0)
+              + COALESCE(g.gsc::DOUBLE, 0) AS FLOAT) AS score
+  FROM contrib c
+  LEFT JOIN (SELECT doc_id, sc FROM contrib WHERE term = 'merge') m
+    ON m.doc_id = c.doc_id
+  LEFT JOIN grp g ON g.doc_id = c.doc_id
+  WHERE c.term = 'spark'
+    AND c.doc_id NOT IN (SELECT doc_id FROM ph))
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+JSON_DSL_QUERY = {
+    "query": {"bool": {
+        "must": [{"lucene": {"query": "data stream"}}],
+        "filter": ["batch"],
+        "must_not": [{"field": {"query": "slow"}}],
+    }}}
+
+
+def json_dsl_topk_docs(sf_dir: str) -> pa.Table:
+    """Solr JSON Query DSL (upstream ``JsonQueryConverter`` / JSON
+    request API [U]): nested ``bool`` with a ``lucene``-parsed MUST,
+    a non-scoring ``filter`` clause (Occur.FILTER — constrains the
+    candidate set, contributes nothing to the score) and a ``field``
+    MUST_NOT, through the shared AST + Evaluator."""
+    from engine.queryparser import node_topk
+    from engine.xmljson import json_parse
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(node_topk(r, json_parse(JSON_DSL_QUERY), k=10))
+
+
+def sql_json_dsl() -> str:
+    return f"""{_bm25_ctes()},
+qterms AS (SELECT unnest(['data','stream']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id, {_SQL_CONTRIB} AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+grp AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS gsc
+  FROM contrib GROUP BY doc_id),
+scored AS (
+  SELECT g.doc_id, g.gsc AS score
+  FROM grp g
+  WHERE g.doc_id IN (SELECT DISTINCT doc_id FROM tf
+                     WHERE term = 'batch')
+    AND g.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf
+                         WHERE term = 'slow'))
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+EXPR_SRC = "max(_score, sqrt(n_chars) / 20) + ln(1 + n_chars)"
+
+
+def expressions_sort_topk(sf_dir: str) -> pa.Table:
+    """Compiled sort expression — the ``lucene/expressions`` module
+    (upstream ``JavascriptCompiler.compile(...)`` bound to ``_score``
+    + doc values, used as a SortField [U]): rank every BM25 match by
+    ``{EXPR}`` evaluated vectorized in float64 by
+    ``engine.expressions.compile_expr`` (IEEE f64 end-to-end like the
+    upstream double-typed expression VM, so DuckDB's GREATEST/SQRT/LN
+    reproduce values bit-for-bit; displayed at 3 dp)."""
+    from engine.expressions import compile_expr
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    hits = r.topk(BM25_QUERY, k=1_000_000)
+    nch = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "n_chars"])
+    df = hits.select(["doc_id", "score"]).to_pandas().merge(
+        nch.to_pandas(), on="doc_id", how="left")
+    val = compile_expr(EXPR_SRC)({
+        "_score": df["score"].to_numpy().astype(np.float64),
+        "n_chars": df["n_chars"].to_numpy().astype(np.float64)})
+    order = np.lexsort((df["doc_id"].to_numpy(), -val))[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        "doc_id": pa.array(df["doc_id"].to_numpy()[order],
+                           type=pa.int64()),
+        "expr": pa.array(np.round(val[order], 3))})
+
+
+def sql_expressions_sort() -> str:
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.lower().split()) + "]) AS term"
+    return f"""{_sql_scored(terms_sql)}
+SELECT (ROW_NUMBER() OVER (ORDER BY v DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, ROUND(v, 3) AS expr FROM (
+  SELECT s.doc_id,
+         GREATEST(s.score::DOUBLE, SQRT(d.n_chars) / 20)
+           + LN(1 + d.n_chars) AS v
+  FROM scored s JOIN documents d USING (doc_id))
+ORDER BY v DESC, doc_id LIMIT 10
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -11479,6 +11639,9 @@ def queries() -> dict:
         "rerank_topk_docs": rerank_topk_docs,
         "join_util_scoremax_topk": join_util_scoremax_topk,
         "join_util_scoreavg_topk": join_util_scoreavg_topk,
+        "xml_core_parser_topk": xml_core_parser_topk,
+        "json_dsl_topk_docs": json_dsl_topk_docs,
+        "expressions_sort_topk": expressions_sort_topk,
         "facet_range_other_orders": facet_range_other_orders,
         "date_gap_facet_events": date_gap_facet_events,
         "temperature_mixture_docs": temperature_mixture_docs,
@@ -11769,6 +11932,9 @@ def oracle_sql() -> dict:
         "rerank_topk_docs": sql_rerank(),
         "join_util_scoremax_topk": sql_join_util_scoremax(),
         "join_util_scoreavg_topk": sql_join_util_scoreavg(),
+        "xml_core_parser_topk": sql_xml_core_parser(),
+        "json_dsl_topk_docs": sql_json_dsl(),
+        "expressions_sort_topk": sql_expressions_sort(),
         "facet_range_other_orders": sql_facet_range_other(),
         "date_gap_facet_events": SQL_DATE_GAP_FACET,
         "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE,

@@ -1,0 +1,142 @@
+"""XML CoreParser / JSON Query DSL front-ends + compiled expressions.
+
+Parse-level tests assert both structured syntaxes build the same AST
+the classic parser would; expression tests pin the f64 vectorized
+semantics of ``engine.expressions``."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from engine.expressions import ExpressionError, compile_expr
+from engine.queryparser import (FILTER, MUST, MUST_NOT, SHOULD, BoolQ,
+                                PhraseQ, QueryParseError, RangeQ,
+                                SpanNearQ, TermQ)
+from engine.xmljson import json_parse, xml_parse
+
+
+# ------------------------------------------------------------- XML
+
+def test_xml_boolean_term_clauses():
+    n = xml_parse("""
+    <BooleanQuery>
+      <Clause occurs="must"><TermQuery>spark</TermQuery></Clause>
+      <Clause occurs="should">
+        <TermQuery boost="2.5">merge</TermQuery></Clause>
+      <Clause occurs="mustnot"><TermQuery>slow</TermQuery></Clause>
+      <Clause occurs="filter"><TermQuery>batch</TermQuery></Clause>
+    </BooleanQuery>""")
+    assert isinstance(n, BoolQ)
+    occs = [o for o, _ in n.clauses]
+    assert occs == [MUST, SHOULD, MUST_NOT, FILTER]
+    assert n.clauses[1][1].boost == 2.5
+
+
+def test_xml_terms_query_splits_to_should():
+    n = xml_parse("<TermsQuery>window batch scan</TermsQuery>")
+    assert isinstance(n, BoolQ) and len(n.clauses) == 3
+    assert all(o == SHOULD for o, _ in n.clauses)
+    assert [c.text for _, c in n.clauses] == ["window", "batch", "scan"]
+
+
+def test_xml_phrase_range_span_user():
+    p = xml_parse('<PhraseQuery slop="2">big table</PhraseQuery>')
+    assert isinstance(p, PhraseQ) and p.slop == 2
+    r = xml_parse('<RangeQuery lowerTerm="a" upperTerm="c" '
+                  'includeUpper="false"/>')
+    assert isinstance(r, RangeQ) and r.incl_lo and not r.incl_hi
+    s = xml_parse('<SpanNear slop="3" inOrder="false">'
+                  "<SpanTerm>big</SpanTerm><SpanTerm>scan</SpanTerm>"
+                  "</SpanNear>")
+    assert isinstance(s, SpanNearQ) and s.dist == 4 and not s.ordered
+    u = xml_parse("<UserQuery>+spark merge</UserQuery>")
+    assert isinstance(u, BoolQ)
+
+
+def test_xml_default_occurs_is_should_and_errors():
+    n = xml_parse("<BooleanQuery><Clause>"
+                  "<TermQuery>a</TermQuery></Clause></BooleanQuery>")
+    assert n.clauses[0][0] == SHOULD
+    with pytest.raises(QueryParseError):
+        xml_parse("<FooQuery>x</FooQuery>")
+    with pytest.raises(QueryParseError):
+        xml_parse("not xml at all <")
+    with pytest.raises(QueryParseError):
+        xml_parse('<BooleanQuery><Clause occurs="maybe">'
+                  "<TermQuery>a</TermQuery></Clause></BooleanQuery>")
+
+
+def test_xml_field_name_inherits_into_clauses():
+    n = xml_parse('<BooleanQuery fieldName="title"><Clause>'
+                  "<TermQuery>a</TermQuery></Clause></BooleanQuery>")
+    assert n.clauses[0][1].field == "title"
+
+
+# ------------------------------------------------------------ JSON
+
+def test_json_bool_with_filter_and_mm():
+    n = json_parse({"query": {"bool": {
+        "must": ["spark"], "should": ["merge", "window"],
+        "must_not": [{"field": {"query": "slow"}}],
+        "filter": ["batch"], "mm": 2}}})
+    assert isinstance(n, BoolQ) and n.min_should_match == 2
+    occs = sorted(o for o, _ in n.clauses)
+    assert occs == sorted([MUST, SHOULD, SHOULD, MUST_NOT, FILTER])
+
+
+def test_json_string_forms():
+    assert isinstance(json_parse("spark"), TermQ)
+    # a JSON-encoded string body is decoded first
+    n = json_parse('{"bool": {"must": ["spark"]}}')
+    assert isinstance(n, BoolQ)
+
+
+def test_json_field_phrase_and_lucene_qop():
+    p = json_parse({"field": {"f": "text", "query": "big table",
+                              "slop": 1}})
+    assert isinstance(p, PhraseQ) and p.slop == 1 and p.field == "text"
+    n = json_parse({"lucene": {"query": "spark merge",
+                               "q.op": "AND"}})
+    assert isinstance(n, BoolQ)
+    assert all(o == MUST for o, _ in n.clauses)
+
+
+def test_json_bad_node_raises():
+    with pytest.raises(QueryParseError):
+        json_parse({"unknown_parser": {}})
+    with pytest.raises(QueryParseError):
+        json_parse(42)
+
+
+# ------------------------------------------------- expressions
+
+def test_expr_arithmetic_and_funcs():
+    f = compile_expr("max(_score, sqrt(n) / 20) + ln(1 + n)")
+    out = f({"_score": np.array([1.0, 0.1]),
+             "n": np.array([400.0, 400.0])})
+    expect = np.maximum(np.array([1.0, 0.1]), 20.0 / 20) + np.log(401)
+    assert np.array_equal(out, expect)
+    assert f.variables == ["_score", "n"]
+
+
+def test_expr_scalar_broadcast_and_unary():
+    f = compile_expr("-x * 2 + pow(y, 2) % 5")
+    out = f({"x": 3.0, "y": np.array([2.0, 3.0])})
+    assert np.allclose(out, [-6 + 4, -6 + 4])
+
+
+def test_expr_rejects_unsafe():
+    for bad in ("__import__('os')", "x.attr", "x[0]", "lambda: 1",
+                "foo(1)", "min(1)", "'str'", "x if x else y"):
+        with pytest.raises(ExpressionError):
+            compile_expr(bad)
+    with pytest.raises(ExpressionError):
+        compile_expr("x + y")({"x": 1.0})
+
+
+def test_expr_float64_discipline():
+    f = compile_expr("a / 3")
+    out = f({"a": np.array([1], dtype=np.int32)})
+    assert out.dtype == np.float64
+    assert out[0] == np.float64(1.0) / 3
