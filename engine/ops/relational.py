@@ -645,3 +645,34 @@ def context_windows(ds: ray.data.Dataset, user_col: str, ts_col: str,
                      for r, c in zip(refs, carries)])
     out = pa.concat_tables([p for p in parts if p is not None])
     return out.sort_by(tie_col)
+
+
+def merge_sorted(streams: list[ray.data.Dataset],
+                 sort_keys: list[tuple[str, bool]],
+                 k: int | None = None) -> pa.Table:
+    """Order-preserving k-way stream merge (upstream
+    ``SJ/stream/MergeStream`` [U]: N substreams already sorted by the
+    same comparator, merged WITHOUT re-sorting the union).
+
+    Ray Data carries no per-block sort metadata, so "already sorted"
+    can't be trusted as a physical property — each substream is
+    reduced with the associative per-block partial top-k (``top_k``'s
+    shuffle-free shape; the whole stream when ``k`` is None via
+    ``sort``), then the ≤N×k head rows are comparator-merged in one
+    driver lexsort. With ``k`` set, no stream ships more than k rows
+    to the driver and there is NO all-to-all exchange at any point —
+    the MergeStream contract (earliest rows by the shared comparator)
+    at broadcast cost."""
+    sb = [(c, "descending" if d else "ascending") for c, d in sort_keys]
+    heads = []
+    for s in streams:
+        if k is None:
+            heads += [t for t in ray.get(
+                s.materialize().to_arrow_refs()) if t.num_rows]
+        else:
+            heads.append(ray.get(
+                top_k(s, sort_keys, k).to_arrow_refs())[0])
+    merged = pa.concat_tables(
+        [h for h in heads if h.num_rows],
+        promote_options="default").combine_chunks().sort_by(sb)
+    return merged.slice(0, k) if k is not None else merged

@@ -11515,6 +11515,93 @@ ORDER BY v DESC, doc_id LIMIT 10
 """
 
 
+XML_LOAD_N = 120
+
+
+def xml_update_load_docs(sf_dir: str) -> pa.Table:
+    """Solr XML update format ingest (upstream
+    ``S/handler/loader/XMLLoader.java`` [U]): the first {XML_LOAD_N}
+    documents are round-tripped through ``<add><doc><field>`` XML
+    files (two shards, derived deterministically from the testdata —
+    files are the parallel unit, one ElementTree parse task each via
+    ``ray.data.read_binary_files``) and loaded back with
+    ``engine.ops.loaders.read_solr_xml``; string field values are
+    cast to the schema types caller-side, as the loader contract
+    documents. The oracle is the source table itself — exact
+    round-trip fidelity including XML-escaped text."""
+    import xml.sax.saxutils as sx
+
+    from engine.ops.loaders import read_solr_xml
+
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text", "lang"])
+    src = src.filter(pc.less(src["doc_id"], XML_LOAD_N))
+    d = os.path.join("/tmp", "graft_xmlload",
+                     os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    half = (src.num_rows + 1) // 2
+    for i, part in enumerate((src.slice(0, half), src.slice(half))):
+        rows = part.to_pylist()
+        body = "".join(
+            "<doc>" + "".join(
+                f'<field name="{c}">{sx.escape(str(r[c]))}</field>'
+                for c in ("doc_id", "text", "lang")) + "</doc>"
+            for r in rows)
+        p = os.path.join(d, f"add_{i}.xml")
+        with open(p, "w") as f:
+            f.write(f"<add>{body}</add>")
+        paths.append(p)
+
+    ds = read_solr_xml(paths)
+
+    def typed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "text": pc.cast(b["text"], pa.string()),
+            "lang": pc.cast(b["lang"], pa.string())})
+
+    return _to_table(ds.map_batches(typed, batch_format="pyarrow")) \
+        .sort_by("doc_id")
+
+
+SQL_XML_UPDATE_LOAD = f"""
+SELECT doc_id, text, lang FROM documents
+WHERE doc_id < {XML_LOAD_N} ORDER BY doc_id
+"""
+
+
+MERGE_KEYS = [("o_totalprice", True), ("o_orderkey", False)]
+
+
+def merge_sorted_streams_orders(sf_dir: str) -> pa.Table:
+    """``merge`` stream (upstream ``SJ/stream/MergeStream`` [U]):
+    two substreams of orders (even / odd ``o_orderkey`` — the
+    worker-partitioned shape a parallel() plan produces), each sorted
+    by the shared comparator (totalprice desc, orderkey asc), merged
+    order-preserving into one stream head. Each substream reduces to
+    its own ≤k head via the shuffle-free per-block partial top-k;
+    the driver comparator-merge touches ≤2k rows — no all-to-all
+    exchange anywhere (vs the union-sort restore this replaces)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def side(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(b["o_orderkey"], 1), parity)
+            return b.filter(m)
+        return f
+
+    streams = [ds.map_batches(side(p), batch_format="pyarrow")
+               for p in (0, 1)]
+    return rel.merge_sorted(streams, MERGE_KEYS, k=50)
+
+
+SQL_MERGE_SORTED = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -11640,6 +11727,8 @@ def queries() -> dict:
         "join_util_scoremax_topk": join_util_scoremax_topk,
         "join_util_scoreavg_topk": join_util_scoreavg_topk,
         "xml_core_parser_topk": xml_core_parser_topk,
+        "xml_update_load_docs": xml_update_load_docs,
+        "merge_sorted_streams_orders": merge_sorted_streams_orders,
         "json_dsl_topk_docs": json_dsl_topk_docs,
         "expressions_sort_topk": expressions_sort_topk,
         "facet_range_other_orders": facet_range_other_orders,
@@ -11933,6 +12022,8 @@ def oracle_sql() -> dict:
         "join_util_scoremax_topk": sql_join_util_scoremax(),
         "join_util_scoreavg_topk": sql_join_util_scoreavg(),
         "xml_core_parser_topk": sql_xml_core_parser(),
+        "xml_update_load_docs": SQL_XML_UPDATE_LOAD,
+        "merge_sorted_streams_orders": SQL_MERGE_SORTED,
         "json_dsl_topk_docs": sql_json_dsl(),
         "expressions_sort_topk": sql_expressions_sort(),
         "facet_range_other_orders": sql_facet_range_other(),
