@@ -2730,6 +2730,36 @@ class IndexReader:
                 # BooleanSimilarity: each matching clause contributes
                 # exactly the query boost (1.0f); tf/norms ignored.
                 sc = np.ones(len(docs), dtype=np.float32)
+            elif similarity == "dfi_chi2":
+                # DFISimilarity + IndependenceChiSquared (upstream
+                # ``DFISimilarity`` [U]): expected = dlq * cf /
+                # total_cf; freq <= expected scores 0 (the upstream
+                # early return), else f32(log2((f-e)^2/e + 1)).
+                cf = float(sum(int(p[1].sum()) for p in parts))
+                exp_ = dlq[norms] * (cf / total_cf)
+                raw = np.log2((tfs - exp_) ** 2 / exp_ + 1.0)
+                sc = np.where(tfs > exp_, raw, 0.0).astype(np.float32)
+            elif similarity == "dfr_inl2":
+                # DFRSimilarity(BasicModelIn, AfterEffectL,
+                # NormalizationH2 c=1) (upstream ``DFRSimilarity`` /
+                # ``BasicModelIn``/``AfterEffectL``/``NormalizationH2``
+                # [U]): tfn = tf * log2(1 + c*avgdl/dlq); score =
+                # f32( tfn/(1+tfn) * log2((N+1)/(df+0.5)) ) — the
+                # AfterEffectL fold 1/(1+tfn) times In's tfn*log2.
+                tfn = tfs * np.log2(1.0 + self.avgdl / dlq[norms])
+                raw = (tfn / (1.0 + tfn)) \
+                    * np.log2((self.N + 1.0) / (df + 0.5))
+                sc = raw.astype(np.float32)
+            elif similarity == "axiomatic_f2exp":
+                # AxiomaticF2EXP (upstream ``AxiomaticF2EXP`` [U],
+                # s=0.5, k=0.35): score = f32( tf/(tf + s + s*dlq/
+                # avgdl) * ((N+1)/df)^k ) — the tfln growth term
+                # times the exponential idf; tf()/ln()/gamma() are
+                # identity/0 in this model.
+                s_, k_ = 0.5, 0.35
+                raw = tfs / (tfs + s_ + s_ * dlq[norms] / self.avgdl) \
+                    * ((self.N + 1.0) / df) ** k_
+                sc = raw.astype(np.float32)
             elif similarity == "sweetspot":
                 # SweetSpotSimilarity (upstream ``misc/.../
                 # SweetSpotSimilarity.java`` [U]): ClassicSimilarity

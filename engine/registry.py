@@ -11602,6 +11602,105 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
 """
 
 
+def dfi_sim_topk(sf_dir: str) -> pa.Table:
+    """DFISimilarity with the chi-squared independence measure
+    (upstream ``DFISimilarity`` + ``IndependenceChiSquared`` [U]):
+    expected tf under independence = dlq·cf/total_cf; a clause whose
+    observed tf ≤ expected scores 0 (the upstream early return), else
+    log2((tf−e)²/e + 1), f64 math with one f32 cast per clause."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(
+        r.similarity_topk(BJ_QUERY, k=10, similarity="dfi_chi2"))
+
+
+def sql_dfi_sim() -> str:
+    e = "dl.dlq * c.cf / t.total"
+    return f"""{_bm25_ctes()},
+qterms AS ({_sql_sim_qterms()}),
+cfs AS (
+  SELECT q.term, SUM(tf.tf)::DOUBLE AS cf
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+tot AS (SELECT SUM(len(ts))::DOUBLE AS total FROM toks),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(CASE WHEN tf.tf > {e}
+         THEN log2((tf.tf - {e}) * (tf.tf - {e}) / ({e}) + 1)
+         ELSE 0 END AS FLOAT) AS sc
+  FROM qterms q JOIN cfs c ON c.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot t),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def dfr_sim_topk(sf_dir: str) -> pa.Table:
+    """DFRSimilarity I(n)L2 (upstream ``DFRSimilarity`` with
+    ``BasicModelIn`` + ``AfterEffectL`` + ``NormalizationH2`` c=1
+    [U]): tfn = tf·log2(1 + avgdl/dlq); score = tfn/(1+tfn) ·
+    log2((N+1)/(df+0.5)) per clause, f64 → one f32 cast."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(
+        r.similarity_topk(BJ_QUERY, k=10, similarity="dfr_inl2"))
+
+
+def sql_dfr_sim() -> str:
+    tfn = "tf.tf * log2(1 + s.avgdl / dl.dlq)"
+    return f"""{_bm25_ctes()},
+qterms AS ({_sql_sim_qterms()}),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(({tfn}) / (1 + {tfn})
+         * log2((s.n + 1) / (d.df + 0.5)) AS FLOAT) AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def axiomatic_sim_topk(sf_dir: str) -> pa.Table:
+    """AxiomaticF2EXP (upstream ``AxiomaticF2EXP`` [U], s=0.5,
+    k=0.35): score = tf/(tf + s + s·dlq/avgdl) · ((N+1)/df)^k — the
+    tfln growth term times the exponential idf (tf/ln/gamma are
+    identity/zero in this model), f64 → one f32 cast per clause."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(
+        r.similarity_topk(BJ_QUERY, k=10,
+                          similarity="axiomatic_f2exp"))
+
+
+def sql_axiomatic_sim() -> str:
+    return f"""{_bm25_ctes()},
+qterms AS ({_sql_sim_qterms()}),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(tf.tf / (tf.tf + 0.5 + 0.5 * dl.dlq / s.avgdl)
+         * pow((s.n + 1) / d.df, 0.35) AS FLOAT) AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -11729,6 +11828,9 @@ def queries() -> dict:
         "xml_core_parser_topk": xml_core_parser_topk,
         "xml_update_load_docs": xml_update_load_docs,
         "merge_sorted_streams_orders": merge_sorted_streams_orders,
+        "dfi_sim_topk": dfi_sim_topk,
+        "dfr_sim_topk": dfr_sim_topk,
+        "axiomatic_sim_topk": axiomatic_sim_topk,
         "json_dsl_topk_docs": json_dsl_topk_docs,
         "expressions_sort_topk": expressions_sort_topk,
         "facet_range_other_orders": facet_range_other_orders,
@@ -12024,6 +12126,9 @@ def oracle_sql() -> dict:
         "xml_core_parser_topk": sql_xml_core_parser(),
         "xml_update_load_docs": SQL_XML_UPDATE_LOAD,
         "merge_sorted_streams_orders": SQL_MERGE_SORTED,
+        "dfi_sim_topk": sql_dfi_sim(),
+        "dfr_sim_topk": sql_dfr_sim(),
+        "axiomatic_sim_topk": sql_axiomatic_sim(),
         "json_dsl_topk_docs": sql_json_dsl(),
         "expressions_sort_topk": sql_expressions_sort(),
         "facet_range_other_orders": sql_facet_range_other(),
