@@ -452,3 +452,95 @@ def free_text_suggest(ds: ray.data.Dataset, text_col: str,
         "rank": out["rank"].cast(pa.int64()),
         "suggestion": out["suggestion"],
         "count": out["count"].cast(pa.int64())})
+
+
+def dsir_importance(ds: ray.data.Dataset, text_col: str, id_col: str,
+                    is_target_col: str, n_buckets: int = 1024,
+                    hash_fn=None) -> ray.data.Dataset:
+    """DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public paper): per-doc log importance weight log(p_target(x) /
+    p_source(x)) under bag-of-hashed-ngram models. Features are
+    analyzed unigrams + space-joined bigrams hashed into ``n_buckets``
+    buckets; both distributions are add-one smoothed over the bucket
+    space. Docs with high weight look like the target stratum
+    (``is_target_col`` bool) and get upsampled by importance
+    resampling downstream.
+
+    Distributed shape (no corpus shuffle): pass 1 emits per-batch
+    bucket-count partials (≤2·n_buckets rows each, output-sized) →
+    one tiny groupby; the per-bucket log-ratio table (n_buckets f32
+    values, f64 inner math) is broadcast once via ``ray.put``; pass 2
+    is one streaming ``map_batches`` scoring each doc as
+    Σ_f32_contrib in f64, unigram sum and bigram sum folded
+    left-to-right separately then added (the documented exactness
+    contract a SQL oracle replays with two ordered list_reduce
+    folds). ``hash_fn`` defaults to the md5-low-64 hash that matches
+    DuckDB ``md5_number_lower``."""
+    if hash_fn is None:
+        from engine.registry import _md5_64 as hash_fn
+    B = np.uint64(n_buckets)
+
+    def feats(b: pa.Table):
+        offs, flat = _flat_tokens(b[text_col])
+        toks = flat.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        same = doc_of[1:] == doc_of[:-1]
+        uni_h = (hash_fn(toks) % B).astype(np.int64)
+        big = np.char.add(np.char.add(
+            toks[:-1][same].astype(str), " "),
+            toks[1:][same].astype(str)) if same.any() else \
+            np.empty(0, dtype=str)
+        big_h = (hash_fn(big) % B).astype(np.int64)
+        return offs, doc_of, same, uni_h, big_h
+
+    def counts(b: pa.Table) -> pa.Table:
+        offs, doc_of, same, uni_h, big_h = feats(b)
+        tgt_doc = b[is_target_col].to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        h = np.concatenate([uni_h, big_h])
+        t = np.concatenate([tgt_doc[doc_of], tgt_doc[doc_of[:-1][same]]])
+        cs = np.bincount(h, minlength=n_buckets)
+        ct = np.bincount(h[t], minlength=n_buckets)
+        return pa.table({
+            "b": pa.array(np.arange(n_buckets, dtype=np.int64)),
+            "ct": pa.array(ct.astype(np.int64)),
+            "cs": pa.array(cs.astype(np.int64))})
+
+    from engine.ops.classify import _collect
+    agg = _collect(ds.map_batches(counts, batch_format="pyarrow")
+                   .groupby("b").sum(["ct", "cs"]))
+    order = np.argsort(agg["b"].to_numpy())
+    ct = np.zeros(n_buckets, np.float64)
+    cs = np.zeros(n_buckets, np.float64)
+    bb = agg["b"].to_numpy()[order]
+    ct[bb] = agg["sum(ct)"].to_numpy()[order].astype(np.float64)
+    cs[bb] = agg["sum(cs)"].to_numpy()[order].astype(np.float64)
+    tt, ts = float(ct.sum()), float(cs.sum())
+    ratio = np.log(((ct + 1.0) * (ts + n_buckets))
+                   / ((cs + 1.0) * (tt + n_buckets))) \
+        .astype(np.float32).astype(np.float64)
+    rref = ray.put(ratio)
+
+    def score(b: pa.Table) -> pa.Table:
+        r = ray.get(rref)
+        offs, doc_of, same, uni_h, big_h = feats(b)
+        ndoc = len(offs) - 1
+
+        def part_sums(h: np.ndarray, owner: np.ndarray) -> np.ndarray:
+            out = np.zeros(ndoc, dtype=np.float64)
+            if not h.size:
+                return out
+            nb = np.bincount(owner, minlength=ndoc)
+            starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+            has = nb > 0
+            out[has] = np.add.reduceat(r[h], starts[has])
+            return out
+
+        w = part_sums(uni_h, doc_of) \
+            + part_sums(big_h, doc_of[:-1][same])
+        return pa.table({
+            id_col: b[id_col],
+            "dsir_logw": pa.array(np.round(w, 3))})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -11701,6 +11701,71 @@ SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
 """
 
 
+DSIR_B = 1024
+
+
+def dsir_weights_docs(sf_dir: str) -> pa.Table:
+    """DSIR importance weights (Xie et al. 2023, public paper):
+    log p_target/p_source per doc under hashed unigram+bigram models,
+    target stratum = ``lang='en'`` docs, {DSIR_B} hash buckets —
+    the importance-resampling selection signal for matching a corpus
+    to a target domain. See ``engine.ops.textstats.dsir_importance``
+    for the two-pass no-shuffle distributed shape and the
+    f32-contribution / ordered-f64-fold exactness contract the SQL
+    oracle replays."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def mark(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "is_tgt", pc.equal(b["lang"], "en"))
+
+    out = tx.dsir_importance(
+        ds.map_batches(mark, batch_format="pyarrow"),
+        "text", "doc_id", "is_tgt", n_buckets=DSIR_B)
+    return _to_table(out).sort_by("doc_id")
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+uni AS (
+  SELECT doc_id, unnest(ts) AS g, unnest(range(0, len(ts))) AS p
+  FROM toks),
+big AS (
+  SELECT a.doc_id, a.g || ' ' || b.g AS g, a.p AS p
+  FROM uni a JOIN uni b ON b.doc_id = a.doc_id AND b.p = a.p + 1),
+h AS (
+  SELECT doc_id, 0 AS part, p,
+         (md5_number_lower(g) % {DSIR_B})::BIGINT AS b FROM uni
+  UNION ALL
+  SELECT doc_id, 1, p, (md5_number_lower(g) % {DSIR_B})::BIGINT
+  FROM big),
+tgt AS (
+  SELECT h.b, COUNT(*)::DOUBLE AS c FROM h
+  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY h.b),
+src AS (SELECT b, COUNT(*)::DOUBLE AS c FROM h GROUP BY b),
+tot AS (SELECT (SELECT SUM(c) FROM tgt) AS tt,
+               (SELECT SUM(c) FROM src) AS ts),
+ratio AS (
+  SELECT s.b,
+         CAST(ln((COALESCE(t.c, 0) + 1) * (tot.ts + {DSIR_B})
+                 / ((s.c + 1) * (tot.tt + {DSIR_B}))) AS FLOAT) AS r
+  FROM src s LEFT JOIN tgt t ON t.b = s.b CROSS JOIN tot),
+contrib AS (
+  SELECT h.doc_id, h.part, h.p, ratio.r
+  FROM h JOIN ratio ON ratio.b = h.b),
+per_part AS (
+  SELECT doc_id, part,
+         list_reduce(list(r::DOUBLE ORDER BY p), (x, y) -> x + y) AS w
+  FROM contrib GROUP BY doc_id, part),
+per_doc AS (
+  SELECT doc_id, SUM(w) AS w FROM per_part GROUP BY doc_id)
+SELECT d.doc_id, ROUND(COALESCE(p.w, 0), 3) AS dsir_logw
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -11828,6 +11893,7 @@ def queries() -> dict:
         "xml_core_parser_topk": xml_core_parser_topk,
         "xml_update_load_docs": xml_update_load_docs,
         "merge_sorted_streams_orders": merge_sorted_streams_orders,
+        "dsir_weights_docs": dsir_weights_docs,
         "dfi_sim_topk": dfi_sim_topk,
         "dfr_sim_topk": dfr_sim_topk,
         "axiomatic_sim_topk": axiomatic_sim_topk,
@@ -12126,6 +12192,7 @@ def oracle_sql() -> dict:
         "xml_core_parser_topk": sql_xml_core_parser(),
         "xml_update_load_docs": SQL_XML_UPDATE_LOAD,
         "merge_sorted_streams_orders": SQL_MERGE_SORTED,
+        "dsir_weights_docs": SQL_DSIR_WEIGHTS,
         "dfi_sim_topk": sql_dfi_sim(),
         "dfr_sim_topk": sql_dfr_sim(),
         "axiomatic_sim_topk": sql_axiomatic_sim(),

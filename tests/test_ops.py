@@ -1224,3 +1224,35 @@ def test_knn_int8_exact_integer_and_recall(ray_session):
         assert [r["vec_id"] for r in got] == order.tolist()
         assert [r["dot"] for r in got] == d[order].tolist()
         assert got[0]["vec_id"] == qi      # self-match survives int8
+
+
+def test_dsir_importance_separates_strata(ray_session):
+    """Docs made of target-only vocabulary must out-weigh docs made
+    of source-only vocabulary; block splits don't change weights."""
+    import ray
+
+    from engine.ops.textstats import dsir_importance
+
+    tgt_text = "alpha beta gamma alpha beta"
+    src_text = "delta epsilon zeta delta epsilon"
+    rows = ([{"id": i, "text": tgt_text, "tgt": True}
+             for i in range(8)]
+            + [{"id": 100 + i, "text": src_text, "tgt": False}
+               for i in range(8)]
+            + [{"id": 200, "text": "alpha beta", "tgt": False},
+               {"id": 201, "text": "", "tgt": False}])
+    for nblocks in (1, 4):
+        ds = ray.data.from_items(rows).repartition(nblocks)
+        out = dsir_importance(ds, "text", "id", "tgt") \
+            .to_pandas().set_index("id")["dsir_logw"]
+        # target-vocab docs score strictly above source-vocab docs
+        assert out[0] > out[100]
+        # the mixed doc (target vocab, source stratum) still leans
+        # target because the vocabulary drives the weight
+        assert out[200] > out[100]
+        # empty text → exactly 0
+        assert out[201] == 0.0
+        if nblocks == 1:
+            base = out
+        else:
+            assert (out == base).all()
