@@ -11766,6 +11766,88 @@ ORDER BY d.doc_id
 """
 
 
+NPMI_MIN_C, NPMI_TOPN = 20, 20
+
+
+def npmi_collocations_docs(sf_dir: str) -> pa.Table:
+    """NPMI collocation mining (the word2phrase / phrase-vocabulary
+    pattern, Mikolov et al. 2013 + Bouma 2009 normalized PMI — public
+    papers): rank corpus bigrams by npmi = ln(p_ab/(p_a·p_b)) /
+    −ln(p_ab), p_a over the token stream, p_ab over the adjacent-pair
+    stream, min count {NPMI_MIN_C}. One streaming pass of per-batch
+    (gram, kind) count partials (vocabulary-sized, pre-aggregated) →
+    one small groupby; the npmi arithmetic runs on exact int64 counts
+    in f64 on the driver (output-sized), so the SQL oracle reproduces
+    it bit-for-bit (4-dp display round)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        offs, flat = dd._flat_tokens(b["text"])
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        _, grams = _flat_ngrams(offs, toks, 2)
+        df = pd.concat([
+            pd.DataFrame({"g": grams, "kind": 2}),
+            pd.DataFrame({"g": toks.astype(str), "kind": 1})])
+        cnt = df.groupby(["g", "kind"], sort=False).size() \
+            .reset_index(name="c")
+        return pa.table({
+            "g": pa.array(cnt["g"], pa.string()),
+            "kind": pa.array(cnt["kind"].to_numpy(np.int64)),
+            "c": pa.array(cnt["c"].to_numpy(np.int64))})
+
+    t = _to_table(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["g", "kind"]).sum("c"))
+    kind = t["kind"].to_numpy()
+    uni = dict(zip(t.filter(pa.array(kind == 1))["g"].to_pylist(),
+                   t.filter(pa.array(kind == 1))["sum(c)"].to_pylist()))
+    bt = t.filter(pa.array(kind == 2))
+    grams = np.asarray(bt["g"].to_pylist(), dtype=object)
+    c_ab = bt["sum(c)"].to_numpy().astype(np.float64)
+    T = float(sum(uni.values()))
+    Tb = float(c_ab.sum())
+    keep = c_ab >= NPMI_MIN_C
+    grams, c_ab = grams[keep], c_ab[keep]
+    w1w2 = [g.split(" ") for g in grams]
+    c_a = np.array([uni[a] for a, _ in w1w2], dtype=np.float64)
+    c_b = np.array([uni[b] for _, b in w1w2], dtype=np.float64)
+    p_ab = c_ab / Tb
+    npmi = np.log(p_ab / ((c_a / T) * (c_b / T))) / -np.log(p_ab)
+    order = np.lexsort((grams, -npmi))[:NPMI_TOPN]
+    return pa.table({
+        "bigram": pa.array(grams[order], pa.string()),
+        "c": pa.array(c_ab[order].astype(np.int64)),
+        "npmi": pa.array(np.round(npmi[order], 4))})
+
+
+SQL_NPMI = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+uni AS (
+  SELECT unnest(ts) AS g FROM toks),
+ucnt AS (SELECT g, COUNT(*)::DOUBLE AS c FROM uni GROUP BY g),
+bg AS (
+  SELECT ts[i] || ' ' || ts[i+1] AS g, ts[i] AS a, ts[i+1] AS b
+  FROM toks, unnest(range(1, len(ts))) AS r(i)
+  WHERE len(ts) >= 2),
+bcnt AS (SELECT g, any_value(a) AS a, any_value(b) AS b,
+                COUNT(*)::DOUBLE AS c
+         FROM bg GROUP BY g),
+tot AS (SELECT (SELECT SUM(c) FROM ucnt) AS t,
+               (SELECT SUM(c) FROM bcnt) AS tb),
+scored AS (
+  SELECT bc.g AS bigram, bc.c::BIGINT AS c,
+         ln((bc.c / tot.tb) / ((ua.c / tot.t) * (ub.c / tot.t)))
+           / -ln(bc.c / tot.tb) AS npmi
+  FROM bcnt bc
+  JOIN ucnt ua ON ua.g = bc.a JOIN ucnt ub ON ub.g = bc.b
+  CROSS JOIN tot
+  WHERE bc.c >= {NPMI_MIN_C})
+SELECT bigram, c, ROUND(npmi, 4) AS npmi FROM scored
+ORDER BY npmi DESC, bigram LIMIT {NPMI_TOPN}
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -11894,6 +11976,7 @@ def queries() -> dict:
         "xml_update_load_docs": xml_update_load_docs,
         "merge_sorted_streams_orders": merge_sorted_streams_orders,
         "dsir_weights_docs": dsir_weights_docs,
+        "npmi_collocations_docs": npmi_collocations_docs,
         "dfi_sim_topk": dfi_sim_topk,
         "dfr_sim_topk": dfr_sim_topk,
         "axiomatic_sim_topk": axiomatic_sim_topk,
@@ -12193,6 +12276,7 @@ def oracle_sql() -> dict:
         "xml_update_load_docs": SQL_XML_UPDATE_LOAD,
         "merge_sorted_streams_orders": SQL_MERGE_SORTED,
         "dsir_weights_docs": SQL_DSIR_WEIGHTS,
+        "npmi_collocations_docs": SQL_NPMI,
         "dfi_sim_topk": sql_dfi_sim(),
         "dfr_sim_topk": sql_dfr_sim(),
         "axiomatic_sim_topk": sql_axiomatic_sim(),
