@@ -140,3 +140,121 @@ def test_expr_float64_discipline():
     out = f({"a": np.array([1], dtype=np.int32)})
     assert out.dtype == np.float64
     assert out[0] == np.float64(1.0) / 3
+
+
+# ------------------------------------------ round-trip property
+
+def _rand_node(rng, depth=0):
+    import random
+    kinds = ["term", "term", "phrase", "range"]
+    if depth < 2:
+        kinds += ["bool", "bool"]
+    k = rng.choice(kinds)
+    words = ["spark", "merge", "window", "batch", "scan", "big"]
+    if k == "term":
+        return TermQ(rng.choice(words),
+                     boost=rng.choice([1.0, 2.0, 0.5]))
+    if k == "phrase":
+        return PhraseQ(" ".join(rng.sample(words, 2)),
+                       slop=rng.randint(0, 3))
+    if k == "range":
+        lo, hi = sorted(rng.sample(words, 2))
+        return RangeQ(lo, hi, rng.random() < 0.5, rng.random() < 0.5)
+    occs = [MUST, SHOULD, SHOULD, MUST_NOT, FILTER]
+    return BoolQ([(rng.choice(occs), _rand_node(rng, depth + 1))
+                  for _ in range(rng.randint(1, 4))],
+                 min_should_match=rng.randint(0, 2))
+
+
+def _to_xml(n) -> str:
+    if isinstance(n, TermQ):
+        return f'<TermQuery boost="{n.boost}">{n.text}</TermQuery>'
+    if isinstance(n, PhraseQ):
+        return f'<PhraseQuery slop="{n.slop}">{n.text}</PhraseQuery>'
+    if isinstance(n, RangeQ):
+        return (f'<RangeQuery lowerTerm="{n.lo}" upperTerm="{n.hi}" '
+                f'includeLower="{str(n.incl_lo).lower()}" '
+                f'includeUpper="{str(n.incl_hi).lower()}"/>')
+    occ = {MUST: "must", SHOULD: "should", MUST_NOT: "mustnot",
+           FILTER: "filter"}
+    body = "".join(f'<Clause occurs="{occ[o]}">{_to_xml(c)}</Clause>'
+                   for o, c in n.clauses)
+    return (f'<BooleanQuery minimumNumberShouldMatch='
+            f'"{n.min_should_match}">{body}</BooleanQuery>')
+
+
+def _to_json(n):
+    if isinstance(n, TermQ):
+        return {"field": {"query": n.text}, "boost": n.boost}
+    if isinstance(n, PhraseQ):
+        return {"field": {"query": n.text, "slop": n.slop}}
+    if isinstance(n, RangeQ):
+        # JSON DSL carries ranges through the lucene sub-syntax
+        lo_b, hi_b = "[" if n.incl_lo else "{", "]" if n.incl_hi else "}"
+        return {"lucene":
+                {"query": f"{lo_b}{n.lo} TO {n.hi}{hi_b}"}}
+    key = {MUST: "must", SHOULD: "should", MUST_NOT: "must_not",
+           FILTER: "filter"}
+    out = {"must": [], "should": [], "must_not": [], "filter": []}
+    for o, c in n.clauses:
+        out[key[o]].append(_to_json(c))
+    out["mm"] = n.min_should_match
+    return {"bool": out}
+
+
+def _ast_eq(a, b) -> bool:
+    """Structural equality; BoolQ clauses compare per occur kind
+    (JSON regroups clauses by kind but preserves within-kind order)."""
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, BoolQ):
+        def bykind(x):
+            d = {}
+            for o, c in x.clauses:
+                d.setdefault(o, []).append(c)
+            return d
+        ga, gb = bykind(a), bykind(b)
+        return (a.min_should_match == b.min_should_match
+                and sorted(ga) == sorted(gb)
+                and all(len(ga[k]) == len(gb[k])
+                        and all(_ast_eq(x, y)
+                                for x, y in zip(ga[k], gb[k]))
+                        for k in ga))
+    return a == b
+
+
+def test_xml_json_roundtrip_property():
+    import random
+    rng = random.Random(42)
+    for _ in range(200):
+        n = _rand_node(rng)
+        assert _ast_eq(xml_parse(_to_xml(n)), n)
+        assert _ast_eq(json_parse(_to_json(n)), n)
+
+
+def test_expr_property_vs_numpy():
+    import random
+    rng = random.Random(7)
+    ops = ["+", "-", "*", "/"]
+    fns = ["sqrt", "ln", "exp", "abs", "log10"]
+    for _ in range(100):
+        terms = []
+        for _ in range(rng.randint(1, 4)):
+            base = rng.choice(["x", "y", str(rng.randint(1, 9))])
+            if rng.random() < 0.5:
+                base = f"{rng.choice(fns)}({base} + 2)"
+            terms.append(base)
+        src = terms[0]
+        for t in terms[1:]:
+            src += f" {rng.choice(ops)} ({t})"
+        f = compile_expr(src)
+        x = np.abs(np.asarray(rng.sample(range(1, 100), 3),
+                              dtype=np.float64))
+        y = np.abs(np.asarray(rng.sample(range(1, 100), 3),
+                              dtype=np.float64))
+        expect = eval(src, {"sqrt": np.sqrt, "ln": np.log,
+                            "exp": np.exp, "abs": np.abs,
+                            "log10": np.log10,
+                            "x": x, "y": y, "__builtins__": {}})
+        assert np.array_equal(f({"x": x, "y": y}),
+                              np.asarray(expect, dtype=np.float64))
