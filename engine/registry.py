@@ -11848,6 +11848,44 @@ ORDER BY npmi DESC, bigram LIMIT {NPMI_TOPN}
 """
 
 
+GF_BUCKET = 100_000.0
+
+
+def group_func_orders(sf_dir: str) -> pa.Table:
+    """``group.func`` (upstream Solr result grouping by a FUNCTION
+    QUERY value, ``GroupingSpecification``/``group.func=...`` [U]):
+    groups are the values of ``floor(o_totalprice/{GF_BUCKET})``
+    computed per row, top-2 rows per group by (price desc, key asc).
+    The function column is added in the same streaming pass that
+    feeds the grouped shuffle — no extra exchange vs group.field."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def fq(b: pa.Table) -> pa.Table:
+        g = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     / GF_BUCKET).astype(np.int64)
+        return b.append_column("grp", pa.array(g))
+
+    t = _to_table(rel.group_top_n(
+        ds.map_batches(fq, batch_format="pyarrow"), "grp",
+        [("o_totalprice", True), ("o_orderkey", False)], 2))
+    return t.select(["grp", "o_orderkey", "o_totalprice"]) \
+        .sort_by([("grp", "ascending"),
+                  ("o_totalprice", "descending"),
+                  ("o_orderkey", "ascending")])
+
+
+SQL_GROUP_FUNC = f"""
+SELECT grp, o_orderkey, o_totalprice FROM (
+  SELECT FLOOR(o_totalprice / {GF_BUCKET})::BIGINT AS grp,
+         o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY FLOOR(o_totalprice / {GF_BUCKET})
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 2
+ORDER BY grp, o_totalprice DESC, o_orderkey
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -11977,6 +12015,7 @@ def queries() -> dict:
         "merge_sorted_streams_orders": merge_sorted_streams_orders,
         "dsir_weights_docs": dsir_weights_docs,
         "npmi_collocations_docs": npmi_collocations_docs,
+        "group_func_orders": group_func_orders,
         "dfi_sim_topk": dfi_sim_topk,
         "dfr_sim_topk": dfr_sim_topk,
         "axiomatic_sim_topk": axiomatic_sim_topk,
@@ -12277,6 +12316,7 @@ def oracle_sql() -> dict:
         "merge_sorted_streams_orders": SQL_MERGE_SORTED,
         "dsir_weights_docs": SQL_DSIR_WEIGHTS,
         "npmi_collocations_docs": SQL_NPMI,
+        "group_func_orders": SQL_GROUP_FUNC,
         "dfi_sim_topk": sql_dfi_sim(),
         "dfr_sim_topk": sql_dfr_sim(),
         "axiomatic_sim_topk": sql_axiomatic_sim(),
