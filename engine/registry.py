@@ -11886,6 +11886,65 @@ ORDER BY grp, o_totalprice DESC, o_orderkey
 """
 
 
+ZIPF_TOPN = 100
+
+
+def zipf_slope_docs(sf_dir: str) -> pa.Table:
+    """Zipf-law fit of the corpus term-frequency distribution (corpus
+    characterization for training-data audits; published power-law
+    methodology — OLS of ln(count) on ln(rank) over the top
+    {ZIPF_TOPN} terms; a healthy natural-language corpus fits slope
+    ≈ −1). One streaming pass of per-batch term-count partials → one
+    vocabulary-sized groupby; rank/fit math runs on the tiny top-k
+    table driver-side in f64 (4-dp round; DuckDB replays the closed
+    form on the same exact integer counts)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        offs, flat = dd._flat_tokens(b["text"])
+        t = pa.table({"term": flat}).group_by("term") \
+            .aggregate([([], "count_all")])
+        return t.rename_columns(["term", "c"])
+
+    t = _to_table(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("term").sum("c"))
+    c = t["sum(c)"].to_numpy().astype(np.int64)
+    terms = np.asarray(t["term"].to_pylist(), dtype=object)
+    order = np.lexsort((terms, -c))[:ZIPF_TOPN]
+    cc = c[order].astype(np.float64)
+    x = np.log(np.arange(1, len(cc) + 1, dtype=np.float64))
+    y = np.log(cc)
+    n = float(len(cc))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table({
+        "n_terms": pa.array([int(n)], pa.int64()),
+        "zipf_slope": pa.array([round(slope, 4)]),
+        "intercept": pa.array([round(intercept, 4)])})
+
+
+SQL_ZIPF = f"""
+WITH toks AS (SELECT {_SQL_TOKS} AS ts FROM documents),
+cnt AS (
+  SELECT term, COUNT(*)::BIGINT AS c
+  FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term),
+top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r
+  FROM cnt ORDER BY c DESC, term LIMIT {ZIPF_TOPN}),
+pts AS (SELECT ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM top),
+m AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM pts)
+SELECT n::BIGINT AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+         AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 4) AS intercept
+FROM m
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -12016,6 +12075,7 @@ def queries() -> dict:
         "dsir_weights_docs": dsir_weights_docs,
         "npmi_collocations_docs": npmi_collocations_docs,
         "group_func_orders": group_func_orders,
+        "zipf_slope_docs": zipf_slope_docs,
         "dfi_sim_topk": dfi_sim_topk,
         "dfr_sim_topk": dfr_sim_topk,
         "axiomatic_sim_topk": axiomatic_sim_topk,
@@ -12317,6 +12377,7 @@ def oracle_sql() -> dict:
         "dsir_weights_docs": SQL_DSIR_WEIGHTS,
         "npmi_collocations_docs": SQL_NPMI,
         "group_func_orders": SQL_GROUP_FUNC,
+        "zipf_slope_docs": SQL_ZIPF,
         "dfi_sim_topk": sql_dfi_sim(),
         "dfr_sim_topk": sql_dfr_sim(),
         "axiomatic_sim_topk": sql_axiomatic_sim(),
