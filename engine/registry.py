@@ -11945,6 +11945,122 @@ FROM m
 """
 
 
+SEMDEDUP_TAU, SEMDEDUP_MAXB = 0.35, 100_000
+
+
+def semdedup_embeddings(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, public paper): semantic dedup by
+    cluster-then-prune — k-means-assign every embedding to its
+    nearest centroid (centroids = vec_id 0..{KMEANS_K}−1, exact
+    milli-quantized integer distances like ``kmeans_assign``), then
+    WITHIN each cluster drop every vector that has a cosine-similar
+    neighbor (> τ={SEMDEDUP_TAU}) with a smaller vec_id — the
+    deterministic, order-free drop rule (documented variant; upstream
+    keeps one representative per similar set). Cosines divide exact
+    integer dot/norm values in f64, so the SQL oracle reproduces every
+    comparison bit-for-bit.
+
+    Shape: centroid broadcast → streaming assign → ONE
+    ``groupby(cluster)`` shuffle → per-cluster vectorized matmul pair
+    scan (bucket-capped like the LSH dedups) → tiny drop set broadcast
+    → streaming anti-join filter."""
+    cents = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", KMEANS_K)])
+    cm = np.stack([np.asarray(v, dtype=np.float32)
+                   for v in cents.sort_by("vec_id")["embedding"]
+                   .to_pylist()])
+    cq = np.floor(cm.astype(np.float64) * 1000.0 + 0.5) \
+        .astype(np.int64)
+    cq_ref = ray.put(cq)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cq_ref)
+        emb = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(emb.astype(np.float64) * 1000.0 + 0.5) \
+            .astype(np.int64)
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cluster": pa.array(d.argmin(axis=1).astype(np.int64)),
+            "q": pa.array(list(q), pa.list_(pa.int64()))})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def prune(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n > SEMDEDUP_MAXB:     # degenerate-cluster guard
+            g = g.sort_by("vec_id").slice(0, SEMDEDUP_MAXB)
+            n = g.num_rows
+        ids = g["vec_id"].to_numpy()
+        o = np.argsort(ids)
+        ids = ids[o]
+        q = np.stack(g["q"].to_numpy(zero_copy_only=False)[o]) \
+            .astype(np.float64)
+        nn = (q * q).sum(axis=1)
+        cos = (q @ q.T) / (np.sqrt(nn)[:, None] * np.sqrt(nn)[None, :])
+        iu, ju = np.triu_indices(n, 1)
+        close = cos[iu, ju] > SEMDEDUP_TAU
+        return pa.table({"vec_id": pa.array(
+            np.unique(ids[ju[close]]).astype(np.int64))})
+
+    drops = _to_table(assigned.groupby("cluster")
+                      .map_groups(prune, batch_format="pyarrow"))
+    drop_ref = ray.put(set(drops["vec_id"].to_pylist()))
+
+    def keep(b: pa.Table) -> pa.Table:
+        dset = ray.get(drop_ref)
+        m = ~np.isin(b["vec_id"].to_numpy(),
+                     np.fromiter(dset, np.int64, count=len(dset)))
+        sub = b.filter(pa.array(m))
+        return pa.table({"vec_id": sub["vec_id"],
+                         "cluster": sub["cluster"]})
+
+    return _to_table(assigned.map_batches(keep,
+                                          batch_format="pyarrow")) \
+        .sort_by("vec_id")
+
+
+SQL_SEMDEDUP = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         FLOOR(unnest(embedding)::DOUBLE * 1000.0 + 0.5)::BIGINT AS qv
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, pos, qv AS cv FROM q
+      WHERE vec_id < {KMEANS_K}),
+dist AS (
+  SELECT q.vec_id, c.cid,
+         SUM((q.qv - c.cv) * (q.qv - c.cv))::BIGINT AS d
+  FROM q JOIN c ON c.pos = q.pos GROUP BY q.vec_id, c.cid),
+a AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dist)
+  WHERE rn = 1),
+norms AS (SELECT vec_id, SUM(qv * qv)::BIGINT AS nn
+          FROM q GROUP BY vec_id),
+dots AS (
+  SELECT a1.vec_id AS v1, a2.vec_id AS v2,
+         SUM(q1.qv * q2.qv)::BIGINT AS dot
+  FROM a a1 JOIN a a2 ON a2.cid = a1.cid AND a2.vec_id > a1.vec_id
+  JOIN q q1 ON q1.vec_id = a1.vec_id
+  JOIN q q2 ON q2.vec_id = a2.vec_id AND q2.pos = q1.pos
+  GROUP BY a1.vec_id, a2.vec_id),
+close AS (
+  SELECT DISTINCT d.v2 FROM dots d
+  JOIN norms n1 ON n1.vec_id = d.v1
+  JOIN norms n2 ON n2.vec_id = d.v2
+  WHERE d.dot::DOUBLE
+        / (SQRT(n1.nn::DOUBLE) * SQRT(n2.nn::DOUBLE))
+        > {SEMDEDUP_TAU})
+SELECT a.vec_id, a.cid::BIGINT AS cluster FROM a
+WHERE a.vec_id NOT IN (SELECT v2 FROM close)
+ORDER BY a.vec_id
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -12076,6 +12192,7 @@ def queries() -> dict:
         "npmi_collocations_docs": npmi_collocations_docs,
         "group_func_orders": group_func_orders,
         "zipf_slope_docs": zipf_slope_docs,
+        "semdedup_embeddings": semdedup_embeddings,
         "dfi_sim_topk": dfi_sim_topk,
         "dfr_sim_topk": dfr_sim_topk,
         "axiomatic_sim_topk": axiomatic_sim_topk,
@@ -12378,6 +12495,7 @@ def oracle_sql() -> dict:
         "npmi_collocations_docs": SQL_NPMI,
         "group_func_orders": SQL_GROUP_FUNC,
         "zipf_slope_docs": SQL_ZIPF,
+        "semdedup_embeddings": SQL_SEMDEDUP,
         "dfi_sim_topk": sql_dfi_sim(),
         "dfr_sim_topk": sql_dfr_sim(),
         "axiomatic_sim_topk": sql_axiomatic_sim(),
