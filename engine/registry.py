@@ -12061,6 +12061,131 @@ ORDER BY a.vec_id
 """
 
 
+DN_N = 3
+
+
+def distinct_ngram_ratio_docs(sf_dir: str) -> pa.Table:
+    """distinct-n diversity metric (Li et al. 2016, public paper —
+    the standard text-generation diversity audit): per language,
+    distinct {DN_N}-gram count / total {DN_N}-gram count. Per-batch
+    partials pre-aggregate to (lang, gram) counts; ONE grouped
+    shuffle keyed (lang, gram) — vocabulary-sized, never row-sized —
+    then the per-lang rollup is output-sized. Ratio is an exact
+    f64 division of two int64 counts (6-dp display round)."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        offs, flat = dd._flat_tokens(b["text"])
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        d, g = _flat_ngrams(offs, toks, DN_N)
+        if not len(d):
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "g": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)[d]
+        cnt = pd.DataFrame({"lang": langs, "g": g}) \
+            .groupby(["lang", "g"], sort=False).size() \
+            .reset_index(name="c")
+        return pa.table({
+            "lang": pa.array(cnt["lang"], pa.string()),
+            "g": pa.array(cnt["g"], pa.string()),
+            "c": pa.array(cnt["c"].to_numpy(np.int64))})
+
+    t = _to_table(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["lang", "g"]).sum("c"))
+    import pandas as pd
+    df = t.to_pandas().groupby("lang").agg(
+        distinct_n=("g", "size"), total_n=("sum(c)", "sum"))
+    df["ratio"] = np.round(
+        df["distinct_n"].to_numpy(np.float64)
+        / df["total_n"].to_numpy(np.float64), 6)
+    df = df.reset_index().sort_values("lang")
+    return pa.table({
+        "lang": pa.array(df["lang"], pa.string()),
+        "distinct_n": pa.array(df["distinct_n"].to_numpy(np.int64)),
+        "total_n": pa.array(df["total_n"].to_numpy(np.int64)),
+        "ratio": pa.array(df["ratio"].to_numpy(np.float64))})
+
+
+SQL_DISTINCT_NGRAM = f"""
+WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS ts FROM documents),
+g AS (
+  SELECT lang, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= {DN_N})
+SELECT lang, COUNT(DISTINCT g)::BIGINT AS distinct_n,
+       COUNT(*)::BIGINT AS total_n,
+       ROUND(COUNT(DISTINCT g)::DOUBLE / COUNT(*)::DOUBLE, 6) AS ratio
+FROM g GROUP BY lang ORDER BY lang
+"""
+
+
+RARE_N = 5
+
+
+def rare_ngram_exposure_docs(sf_dir: str) -> pa.Table:
+    """Memorization-risk audit: per doc, how many of its distinct
+    {RARE_N}-grams are UNIQUE to that doc in the whole corpus (df=1
+    shingles ≈ verbatim-memorizable spans; the dedup/memorization
+    audit pattern from the extraction-attack literature, Carlini et
+    al. 2021 — public paper). Shape: per-batch distinct (gram →
+    doc_id) pairs, ONE groupby(gram) that emits the owner doc_id only
+    when the group is a singleton (count partials make each group
+    owner-resolvable without a second join), then an output-sized
+    groupby(doc_id) count."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        offs, flat = dd._flat_tokens(b["text"])
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        d, g = _flat_ngrams(offs, toks, RARE_N)
+        ids = b["doc_id"].to_numpy()
+        if not len(d):
+            return pa.table({"g": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        df = pd.DataFrame({"g": g, "doc_id": ids[d]}) \
+            .groupby(["g", "doc_id"], sort=False).size() \
+            .reset_index(name="c")
+        return pa.table({
+            "g": pa.array(df["g"], pa.string()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "c": pa.array(df["c"].to_numpy(np.int64))})
+
+    def singles(grp: pa.Table) -> pa.Table:
+        # one (gram) group: unique to a doc iff one distinct doc_id
+        ids = grp["doc_id"].to_numpy()
+        if len(np.unique(ids)) != 1:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array([ids[0]], pa.int64())})
+
+    t = _to_table(
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("g").map_groups(singles, batch_format="pyarrow")
+        .groupby("doc_id").count())
+    t = _rename(t, {"count()": "n_unique_ngrams"})
+    return _cast_col(t, "n_unique_ngrams", pa.int64()) \
+        .sort_by("doc_id")
+
+
+SQL_RARE_NGRAM = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+g AS (
+  SELECT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+         ts[i+3] || ' ' || ts[i+4] AS g
+  FROM toks, unnest(range(1, len(ts) - 3)) AS r(i)
+  WHERE len(ts) >= {RARE_N}),
+owner AS (
+  SELECT g, MIN(doc_id) AS doc_id FROM g
+  GROUP BY g HAVING COUNT(DISTINCT doc_id) = 1)
+SELECT doc_id, COUNT(*)::BIGINT AS n_unique_ngrams
+FROM owner GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -12193,6 +12318,8 @@ def queries() -> dict:
         "group_func_orders": group_func_orders,
         "zipf_slope_docs": zipf_slope_docs,
         "semdedup_embeddings": semdedup_embeddings,
+        "distinct_ngram_ratio_docs": distinct_ngram_ratio_docs,
+        "rare_ngram_exposure_docs": rare_ngram_exposure_docs,
         "dfi_sim_topk": dfi_sim_topk,
         "dfr_sim_topk": dfr_sim_topk,
         "axiomatic_sim_topk": axiomatic_sim_topk,
@@ -12496,6 +12623,8 @@ def oracle_sql() -> dict:
         "group_func_orders": SQL_GROUP_FUNC,
         "zipf_slope_docs": SQL_ZIPF,
         "semdedup_embeddings": SQL_SEMDEDUP,
+        "distinct_ngram_ratio_docs": SQL_DISTINCT_NGRAM,
+        "rare_ngram_exposure_docs": SQL_RARE_NGRAM,
         "dfi_sim_topk": sql_dfi_sim(),
         "dfr_sim_topk": sql_dfr_sim(),
         "axiomatic_sim_topk": sql_axiomatic_sim(),
