@@ -12186,6 +12186,77 @@ FROM owner GROUP BY doc_id ORDER BY doc_id
 """
 
 
+MWS_TERM, MWS_PHRASE = "spark", "table scan"
+
+
+def multiword_synonym_topk(sf_dir: str) -> pa.Table:
+    """Multi-word QUERY-time synonym (upstream ``SynonymGraphFilter``
+    at query time + ``QueryBuilder#analyzeGraphBoolean`` [U]: a term
+    with a multi-token synonym rewrites to
+    ``BooleanQuery[SHOULD Term({MWS_TERM}), SHOULD
+    Phrase("{MWS_PHRASE}")]`` — the phrase alternative scores as a
+    unit, with phrase-freq tf and summed-idf weight). Built directly
+    as the shared AST and evaluated by the vectorized Evaluator; the
+    oracle composes the term-contrib and phrase-contrib CTE chains
+    with the same per-node f32 casts."""
+    from engine.queryparser import (SHOULD, BoolQ, PhraseQ, TermQ,
+                                    node_topk)
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    node = BoolQ([(SHOULD, TermQ(MWS_TERM)),
+                  (SHOULD, PhraseQ(MWS_PHRASE))])
+    return _topdocs_out(node_topk(r, node, k=10))
+
+
+def sql_multiword_synonym() -> str:
+    p0, p1 = MWS_PHRASE.split()
+    return f"""{_bm25_ctes()},
+tdfs AS (
+  SELECT COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf
+  WHERE term = '{MWS_TERM}'),
+tsc AS (
+  SELECT tf.doc_id, {_SQL_CONTRIB} AS sc
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tdfs d CROSS JOIN stats s
+  WHERE tf.term = '{MWS_TERM}'),
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.tok = '{p0}' AND b.tok = '{p1}'
+  GROUP BY a.doc_id),
+pdfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM (SELECT unnest(['{p0}','{p1}']) AS term) q
+  JOIN tf ON tf.term = q.term GROUP BY q.term),
+pw AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM pdfs d CROSS JOIN stats s),
+psc AS (
+  SELECT occ.doc_id,
+    CAST(pw.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS sc
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN pw),
+cand AS (
+  SELECT doc_id FROM tsc UNION SELECT doc_id FROM psc),
+scored AS (
+  SELECT c.doc_id,
+         CAST(COALESCE(t.sc::DOUBLE, 0) + COALESCE(p.sc::DOUBLE, 0)
+              AS FLOAT) AS score
+  FROM cand c
+  LEFT JOIN tsc t ON t.doc_id = c.doc_id
+  LEFT JOIN psc p ON p.doc_id = c.doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -12320,6 +12391,7 @@ def queries() -> dict:
         "semdedup_embeddings": semdedup_embeddings,
         "distinct_ngram_ratio_docs": distinct_ngram_ratio_docs,
         "rare_ngram_exposure_docs": rare_ngram_exposure_docs,
+        "multiword_synonym_topk": multiword_synonym_topk,
         "dfi_sim_topk": dfi_sim_topk,
         "dfr_sim_topk": dfr_sim_topk,
         "axiomatic_sim_topk": axiomatic_sim_topk,
@@ -12625,6 +12697,7 @@ def oracle_sql() -> dict:
         "semdedup_embeddings": SQL_SEMDEDUP,
         "distinct_ngram_ratio_docs": SQL_DISTINCT_NGRAM,
         "rare_ngram_exposure_docs": SQL_RARE_NGRAM,
+        "multiword_synonym_topk": sql_multiword_synonym(),
         "dfi_sim_topk": sql_dfi_sim(),
         "dfr_sim_topk": sql_dfr_sim(),
         "axiomatic_sim_topk": sql_axiomatic_sim(),
