@@ -1244,7 +1244,7 @@ def test_dsir_importance_separates_strata(ray_session):
     for nblocks in (1, 4):
         ds = ray.data.from_items(rows).repartition(nblocks)
         out = dsir_importance(ds, "text", "id", "tgt") \
-            .to_pandas().set_index("id")["dsir_logw"]
+            .to_pandas().set_index("id")["dsir_logw"].sort_index()
         # target-vocab docs score strictly above source-vocab docs
         assert out[0] > out[100]
         # the mixed doc (target vocab, source stratum) still leans
