@@ -12257,6 +12257,52 @@ SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
 """
 
 
+PTS_LO = 10_000_000          # 100,000.00 in cents
+PTS_HI = 40_000_000          # 400,000.00 in cents
+
+
+def points_range_orders(sf_dir: str) -> pa.Table:
+    """Lucene Points / BKD-tree range aggregate (upstream
+    ``L/util/bkd/BKDWriter.java``, ``L/search/PointRangeQuery.java``,
+    ``L/document/LongPoint.java#newRangeQuery`` [U]): o_totalprice
+    quantized to exact cents (the sortable-long encoding Lucene
+    callers use for doubles) → value-sorted leaf blocks + a tiny
+    (min,max,count,sum) directory → the IntersectVisitor walk answers
+    count+sum decoding ONLY the boundary leaves. The in-entry assert
+    pins the BKD behavior itself: some leaves answered with zero I/O,
+    ≤ a handful decoded."""
+    from engine import points as pts
+    key = hashlib.md5(f"{sf_dir}|points_v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", "points_" + key)
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "cents": pa.array(c, type=pa.int64())})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    pts.build_points(ds, "cents", "o_orderkey", out, leaf_rows=256)
+    r = pts.range_agg(out, PTS_LO, PTS_HI)
+    # BKD evidence: interior leaves answered from the directory alone
+    assert r["inside_leaves"] > 0 and \
+        r["decoded_leaves"] <= r["total_leaves"] - r["inside_leaves"], r
+    assert r["decoded_leaves"] <= 4, r     # boundary leaves only
+    return pa.table({"n": pa.array([r["count"]], type=pa.int64()),
+                     "total_cents": pa.array([r["sum"]],
+                                             type=pa.int64())})
+
+
+SQL_POINTS_RANGE = f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS total_cents
+FROM c WHERE cents >= {PTS_LO} AND cents < {PTS_HI}
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -12563,6 +12609,7 @@ def queries() -> dict:
         "exact_substring_clean_docs": exact_substring_clean_docs,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "fuzzy_suggest_docs": fuzzy_suggest_docs,
+        "points_range_orders": points_range_orders,
     }
 
 
@@ -12870,6 +12917,7 @@ def oracle_sql() -> dict:
         "exact_substring_clean_docs": SQL_EXACT_SUBSTRING_CLEAN,
         "dedup_keep_best_docs": sql_dedup_keep_best(),
         "fuzzy_suggest_docs": SQL_FUZZY_SUGGEST,
+        "points_range_orders": SQL_POINTS_RANGE,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

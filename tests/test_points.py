@@ -1,0 +1,68 @@
+"""Points / BKD-tree analog: correctness vs numpy + pruning evidence."""
+import numpy as np
+import pyarrow as pa
+import ray
+
+from engine import points as pts
+
+
+def _build(tmp_path, vals, leaf_rows=64):
+    ids = np.arange(len(vals), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "v": pa.array(vals, type=pa.int64())}))
+    out = str(tmp_path / "pts")
+    pts.build_points(ds, "v", "id", out, leaf_rows=leaf_rows)
+    return out, ids, np.asarray(vals, dtype=np.int64)
+
+
+def test_range_agg_matches_numpy(tmp_path):
+    rng = np.random.RandomState(7)
+    vals = rng.randint(-1000, 1000, size=1777)
+    out, ids, v = _build(tmp_path, vals)
+    for lo, hi in [(-2000, 2000), (0, 1), (-50, 450), (999, 1000),
+                   (-1000, -999), (500, 400), (None, 0), (0, None),
+                   (None, None)]:
+        r = pts.range_agg(out, lo, hi)
+        lo_v = -(1 << 62) if lo is None else lo
+        hi_v = (1 << 62) if hi is None else hi
+        m = (v >= lo_v) & (v < hi_v)
+        assert r["count"] == int(m.sum()), (lo, hi)
+        assert r["sum"] == int(v[m].sum()), (lo, hi)
+        got = pts.range_ids(out, lo, hi)
+        assert np.array_equal(got, np.sort(ids[m])), (lo, hi)
+
+
+def test_inside_leaves_not_decoded(tmp_path):
+    # distinct values => a contiguous range crosses at most 2 leaves
+    vals = np.arange(4096, dtype=np.int64)
+    np.random.RandomState(3).shuffle(vals)
+    out, _, v = _build(tmp_path, vals, leaf_rows=64)
+    r = pts.range_agg(out, 100, 3900)
+    assert r["total_leaves"] == 64
+    assert r["decoded_leaves"] <= 2
+    assert r["inside_leaves"] >= 57
+    assert r["count"] == 3800 and r["sum"] == int(np.arange(100, 3900).sum())
+
+
+def test_duplicate_heavy_values(tmp_path):
+    # one hot value spanning many leaves: INSIDE classification still
+    # answers them without decode (min == max == hot)
+    vals = np.concatenate([np.full(1000, 5, dtype=np.int64),
+                           np.arange(200, dtype=np.int64)])
+    out, _, v = _build(tmp_path, vals, leaf_rows=64)
+    r = pts.range_agg(out, 5, 6)
+    assert r["count"] == 1001
+    assert r["sum"] == 5 * 1001
+    assert r["inside_leaves"] > 10        # the hot-value leaves
+
+
+def test_build_is_resumable(tmp_path):
+    vals = np.arange(100, dtype=np.int64)
+    out, _, _ = _build(tmp_path, vals, leaf_rows=16)
+    # second call is a no-op (directory exists)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.zeros(1, dtype=np.int64)),
+        "v": pa.array([123], type=pa.int64())}))
+    pts.build_points(ds, "v", "id", out, leaf_rows=16)
+    r = pts.range_agg(out, None, None)
+    assert r["count"] == 100
