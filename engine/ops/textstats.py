@@ -341,6 +341,64 @@ def bigram_lm_score(ds: ray.data.Dataset, text_col: str, id_col: str
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def ccnet_partition(ds: ray.data.Dataset, text_col: str, id_col: str,
+                    k: int = 3) -> pa.Table:
+    """CCNet head/middle/tail perplexity partitioning (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data"): score every doc with the corpus-trained bigram
+    LM, order by mean per-bigram log-likelihood (higher = more
+    fluent) and cut into ``k`` equal-count buckets — bucket 1 = head
+    (cleanest), bucket ``k`` = tail. Documented boundary vs upstream:
+    CCNet scores with a FIXED pretrained KenLM 5-gram and cuts by
+    cumulative BYTE share; the corpus-trained bigram LM and doc-count
+    ntile cut keep the whole chain exact and SQL-replayable.
+
+    Distributed shape: scoring is :func:`bigram_lm_score`'s two
+    streaming passes; the global cut is ONE distributed sort of the
+    narrow (id, n_bigrams, logprob) score table + the O(blocks)
+    boundary-stitch — per-block row counts ship to the driver, the
+    driver prefix-sums block offsets, each block assigns its ntile
+    buckets from the broadcast offset. The corpus itself is never
+    collected; driver work is O(blocks)."""
+    scored = bigram_lm_score(ds, text_col, id_col)
+
+    def avg(b: pa.Table) -> pa.Table:
+        lp = b["logprob"].to_numpy(zero_copy_only=False)
+        n = b["n_bigrams"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "avg_lp", pa.array(lp / n, type=pa.float64()))
+
+    mat = scored.map_batches(avg, batch_format="pyarrow") \
+        .sort(["avg_lp", id_col], descending=[True, False]) \
+        .materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    sizes = ray.get([nrows.remote(r) for r in refs])
+    offs = np.concatenate(([0], np.cumsum(sizes)[:-1])).astype(np.int64)
+    total = int(sum(sizes))
+    q, rem = divmod(total, k)
+
+    @ray.remote
+    def assign(t: pa.Table, off: int) -> pa.Table:
+        r = off + np.arange(t.num_rows, dtype=np.int64)
+        head = rem * (q + 1)
+        # ntile(k): the first rem buckets carry one extra row
+        b = np.where(r < head, r // max(q + 1, 1),
+                     rem + (r - head) // max(q, 1)) + 1
+        return pa.table({
+            id_col: t[id_col],
+            "avg_lp": t["avg_lp"],
+            "bucket": pa.array(b, type=pa.int64())})
+
+    out = ray.get([assign.remote(r, int(offs[i]))
+                   for i, r in enumerate(refs)])
+    return pa.concat_tables(out)
+
+
 def blended_infix_suggest(ds: ray.data.Dataset, text_col: str,
                           id_col: str, weight_col: str, prefix: str,
                           k: int = 10) -> pa.Table:

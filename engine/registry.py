@@ -10631,7 +10631,7 @@ def bigram_lm_docs(sf_dir: str) -> pa.Table:
     return _cast_col(t, "doc_id", pa.int64()).sort_by("doc_id")
 
 
-SQL_BIGRAM_LM = f"""
+_SQL_BIGRAM_CTES = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
 uni AS (SELECT term, COUNT(*)::DOUBLE AS c1
         FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term),
@@ -10648,10 +10648,33 @@ contrib AS (
   SELECT pos.doc_id, pos.p,
          CAST(ln((b.c12 + 1) / (u.c1 + vv.v)) AS FLOAT)::DOUBLE AS lp
   FROM pos JOIN big b ON b.w1 = pos.w1 AND b.w2 = pos.w2
-  JOIN uni u ON u.term = pos.w1 CROSS JOIN vv)
-SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
-       list_reduce(list(lp ORDER BY p), (a, b) -> a + b) AS logprob
-FROM contrib GROUP BY doc_id ORDER BY doc_id
+  JOIN uni u ON u.term = pos.w1 CROSS JOIN vv),
+lmscores AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         list_reduce(list(lp ORDER BY p), (a, b) -> a + b) AS logprob
+  FROM contrib GROUP BY doc_id)"""
+
+SQL_BIGRAM_LM = _SQL_BIGRAM_CTES + """
+SELECT doc_id, n_bigrams, logprob FROM lmscores ORDER BY doc_id
+"""
+
+
+def ccnet_buckets_docs(sf_dir: str) -> pa.Table:
+    """CCNet head/middle/tail perplexity partitioning (Wenzek et al.
+    2020) — see ``engine/ops/textstats.py::ccnet_partition`` for the
+    distributed shape (two streaming LM passes + one narrow-table
+    sort + O(blocks) ntile stitch) and the documented boundary vs
+    upstream (corpus-trained bigram LM, doc-count cut)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = tx.ccnet_partition(ds, "text", "doc_id", k=3)
+    return _cast_col(t, "doc_id", pa.int64()).sort_by("doc_id")
+
+
+SQL_CCNET_BUCKETS = _SQL_BIGRAM_CTES + """
+SELECT doc_id, logprob / n_bigrams AS avg_lp,
+       (ntile(3) OVER (ORDER BY logprob / n_bigrams DESC, doc_id)
+        )::BIGINT AS bucket
+FROM lmscores ORDER BY doc_id
 """
 
 
@@ -12610,6 +12633,7 @@ def queries() -> dict:
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "fuzzy_suggest_docs": fuzzy_suggest_docs,
         "points_range_orders": points_range_orders,
+        "ccnet_buckets_docs": ccnet_buckets_docs,
     }
 
 
@@ -12918,6 +12942,7 @@ def oracle_sql() -> dict:
         "dedup_keep_best_docs": sql_dedup_keep_best(),
         "fuzzy_suggest_docs": SQL_FUZZY_SUGGEST,
         "points_range_orders": SQL_POINTS_RANGE,
+        "ccnet_buckets_docs": SQL_CCNET_BUCKETS,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -1256,3 +1256,32 @@ def test_dsir_importance_separates_strata(ray_session):
             base = out
         else:
             assert (out == base).all()
+
+
+def test_ccnet_partition_ntile_sizes(ray_session):
+    """ntile cut: with n=10, k=3 the buckets hold 4/3/3 docs; more
+    fluent (higher avg bigram logprob) docs land in bucket 1; block
+    splits don't change the assignment."""
+    import ray
+
+    from engine.ops.textstats import ccnet_partition
+
+    # 5 docs of a frequent pattern (fluent) + 5 of rare word salad
+    rows = [{"id": i, "text": "the cat sat on the mat " * 3}
+            for i in range(5)]
+    rows += [{"id": 10 + i, "text": f"zq{i} xv{i} wk{i} jd{i} qb{i}"}
+             for i in range(5)]
+    base = None
+    for nblocks in (1, 3):
+        ds = ray.data.from_items(rows).repartition(nblocks)
+        out = ccnet_partition(ds, "text", "id", k=3).to_pandas() \
+            .set_index("id").sort_index()
+        counts = out["bucket"].value_counts().sort_index()
+        assert counts.tolist() == [4, 3, 3]
+        # every fluent doc ranks at least as high as every rare doc
+        assert out.loc[:4, "bucket"].max() <= \
+            out.loc[10:, "bucket"].min()
+        if base is None:
+            base = out
+        else:
+            assert (out == base).all().all()
