@@ -238,3 +238,93 @@ def tdigest_group_quantile(ds: ray.data.Dataset, key_col: str,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(key_col).map_groups(final, batch_format="pyarrow")
+
+
+class MisraGries:
+    """Misra–Gries heavy-hitters summary (Misra & Gries 1982;
+    mergeable form per Agarwal et al., "Mergeable Summaries", PODS
+    2012). Upstream analog: the reference surfaces heavy terms via
+    ``significantTerms`` over exact counts; the sketch form is what a
+    100 TB stream needs — ``capacity`` counters per summary,
+    guarantee ``true - err <= lo <= true`` with
+    ``err <= N / (capacity + 1)`` overall.
+
+    ``lo`` is the per-term lower bound; ``err`` is the summary-wide
+    slack accumulated by prunes (0 while the counter set never
+    overflows, i.e. counts are EXACT whenever distinct keys fit)."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.lo: dict[str, int] = {}
+        self.err = 0
+
+    def _prune(self) -> None:
+        if len(self.lo) <= self.capacity:
+            return
+        vals = np.sort(np.fromiter(self.lo.values(), dtype=np.int64))
+        d = int(vals[-(self.capacity + 1)])   # (cap+1)-th largest
+        self.lo = {t: c - d for t, c in self.lo.items() if c > d}
+        self.err += d
+
+    def add_counts(self, terms, counts) -> "MisraGries":
+        for t, c in zip(terms, counts):
+            self.lo[t] = self.lo.get(t, 0) + int(c)
+        self._prune()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for t, c in other.lo.items():
+            self.lo[t] = self.lo.get(t, 0) + c
+        self.err += other.err
+        self._prune()
+        return self
+
+    def top(self, k: int) -> list[tuple[str, int]]:
+        return sorted(self.lo.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def heavy_hitter_terms(ds: ray.data.Dataset, text_col: str,
+                       capacity: int, k: int) -> tuple[pa.Table, int]:
+    """Distributed heavy hitters over the token stream: per batch,
+    EXACT local counts collapse to one ≤``capacity``-row Misra–Gries
+    partial (the only thing that leaves the worker), the driver folds
+    the tiny partials — O(batches × capacity), corpus never moves.
+    Returns (top-k table, err): when ``err == 0`` every reported
+    count is exact (capacity never overflowed), otherwise each true
+    count lies in ``[lo, lo + err]``."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b[text_col]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"t": flat}).group_by("t") \
+            .aggregate([([], "count_all")])
+        mg = MisraGries(capacity).add_counts(
+            g["t"].to_pylist(),
+            g["count_all"].to_numpy(zero_copy_only=False))
+        terms = sorted(mg.lo)
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "lo": pa.array([mg.lo[t] for t in terms], type=pa.int64()),
+            "err": pa.array([mg.err] + [0] * (len(terms) - 1)
+                            if terms else [], type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize().to_arrow_refs()
+    acc = MisraGries(capacity)
+    for ref in parts:
+        t = ray.get(ref)
+        o = MisraGries(capacity)
+        o.lo = dict(zip(t["term"].to_pylist(),
+                        (int(x) for x in t["lo"].to_pylist())))
+        o.err = int(pa.compute.sum(t["err"]).as_py() or 0) \
+            if t.num_rows else 0
+        acc.merge(o)
+    top = acc.top(k)
+    return pa.table({
+        "term": pa.array([t for t, _ in top], type=pa.string()),
+        "count": pa.array([c for _, c in top], type=pa.int64())}), \
+        acc.err

@@ -10678,6 +10678,31 @@ FROM lmscores ORDER BY doc_id
 """
 
 
+def heavy_hitters_docs(sf_dir: str) -> pa.Table:
+    """Misra–Gries heavy-hitter terms over the token stream (sketch
+    form of significantTerms/terms counting — see
+    ``engine/ops/sketch.py::MisraGries``): per-batch ≤capacity-row
+    partials, driver fold, corpus never shuffled. The oracle config
+    sets capacity above the vocabulary so the summary never prunes —
+    the in-entry assert pins ``err == 0``, i.e. the sketch's
+    exactness guarantee, making plain token counts the oracle. The
+    sketch's approximation law at overflow is unit-tested
+    separately."""
+    from engine.ops.sketch import heavy_hitter_terms
+    ds = _read(sf_dir, "documents", ["text"])
+    t, err = heavy_hitter_terms(ds, "text", capacity=64, k=10)
+    assert err == 0, err
+    return t.rename_columns(["term", "cnt"])
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (SELECT {_SQL_TOKS} AS ts FROM documents),
+t AS (SELECT unnest(ts) AS term FROM toks)
+SELECT term, COUNT(*)::BIGINT AS cnt FROM t GROUP BY term
+ORDER BY cnt DESC, term LIMIT 10
+"""
+
+
 # ---------------- composed RAG retrieval (chunk → index → search)
 
 RAG_QUERY, RAG_MAXCH = "spark merge", 256
@@ -12634,6 +12659,7 @@ def queries() -> dict:
         "fuzzy_suggest_docs": fuzzy_suggest_docs,
         "points_range_orders": points_range_orders,
         "ccnet_buckets_docs": ccnet_buckets_docs,
+        "heavy_hitters_docs": heavy_hitters_docs,
     }
 
 
@@ -12943,6 +12969,7 @@ def oracle_sql() -> dict:
         "fuzzy_suggest_docs": SQL_FUZZY_SUGGEST,
         "points_range_orders": SQL_POINTS_RANGE,
         "ccnet_buckets_docs": SQL_CCNET_BUCKETS,
+        "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

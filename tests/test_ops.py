@@ -1285,3 +1285,43 @@ def test_ccnet_partition_ntile_sizes(ray_session):
             base = out
         else:
             assert (out == base).all().all()
+
+
+def test_misra_gries_error_bound(ray_session):
+    """At overflow the MG guarantee holds: every reported lower bound
+    lo satisfies true - err <= lo <= true with err <= N/(capacity+1);
+    at ample capacity counts are exact with err == 0."""
+    import collections
+
+    import numpy as np
+    import ray
+
+    from engine.ops.sketch import MisraGries, heavy_hitter_terms
+
+    rng = np.random.RandomState(11)
+    # Zipf-ish stream over 200 words
+    words = [f"w{int(i)}" for i in
+             np.minimum(rng.zipf(1.3, size=5000), 200)]
+    true = collections.Counter(words)
+    n = len(words)
+    rows = [{"text": " ".join(words[i:i + 50])}
+            for i in range(0, n, 50)]
+    ds = ray.data.from_items(rows).repartition(4)
+
+    t, err = heavy_hitter_terms(ds, "text", capacity=8, k=8)
+    assert err <= n // (8 + 1) + 1
+    for term, lo in zip(t["term"].to_pylist(), t["count"].to_pylist()):
+        assert lo <= true[term] <= lo + err, (term, lo, true[term], err)
+
+    t2, err2 = heavy_hitter_terms(ds, "text", capacity=512, k=5)
+    assert err2 == 0
+    expect = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(zip(t2["term"].to_pylist(), t2["count"].to_pylist()))
+    assert got == [(t_, c) for t_, c in expect]
+
+    # pure-python merge law: fold of parts == whole
+    a, b = MisraGries(8), MisraGries(8)
+    a.add_counts(["x", "y"], [5, 3])
+    b.add_counts(["x", "z"], [2, 9])
+    m = a.merge(b)
+    assert m.lo["x"] == 7 and m.lo["z"] == 9 and m.err == 0
