@@ -399,6 +399,91 @@ def ccnet_partition(ds: ray.data.Dataset, text_col: str, id_col: str,
     return pa.concat_tables(out)
 
 
+def bpe_train(ds: ray.data.Dataset, text_col: str, num_merges: int
+              ) -> pa.Table:
+    """BPE tokenizer induction (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"): learn the top
+    ``num_merges`` byte-pair merges from the corpus. Returns one row
+    per merge step: ``(step, w1, w2, cnt)`` — the merged pair and its
+    weighted adjacent-occurrence count at selection time.
+
+    Distributed shape — the classic trick that makes BPE tractable:
+    training runs over the WORD-TYPE table, not the corpus. Pass 1
+    collapses the corpus to (word, count) with per-batch partials +
+    ONE vocabulary-sized groupby; each merge iteration is then a
+    vocab-sized pair-count groupby + a vectorized
+    ``replace_substring`` over the symbol sequences — the corpus is
+    never touched again. Symbol sequences are strings with a
+    two-space inner boundary (`` a  b  c ``) so one non-overlapping
+    left-to-right replace per merge implements EXACTLY the BPE greedy
+    merge pass, including same-symbol runs (`` a  a  a  a `` →
+    `` aa  aa ``), with identical semantics in pyarrow, Python and
+    SQL. Ties break (count desc, w1 asc, w2 asc) — deterministic."""
+    def wcount(b: pa.Table) -> pa.Table:
+        _, flat = _flat_tokens(b[text_col])
+        return pa.table({"w": flat}).group_by("w") \
+            .aggregate([([], "count_all")]).rename_columns(["w", "c"])
+
+    words = ds.map_batches(wcount, batch_format="pyarrow") \
+        .groupby("w").sum("c")
+
+    def init(b: pa.Table) -> pa.Table:
+        # vocab-sized (word TYPES), not corpus-sized: the per-row
+        # join here is off the hot path by construction
+        seqs = [" " + "  ".join(w) + " "
+                for w in b["w"].to_pylist()]
+        return pa.table({"seq": pa.array(seqs, type=pa.string()),
+                         "c": b["sum(c)"]})
+
+    seqs = words.map_batches(init, batch_format="pyarrow") \
+        .materialize()
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        syms = pc.split_pattern(
+            pc.utf8_trim_whitespace(b["seq"]), "  ").combine_chunks()
+        offs = syms.offsets.to_numpy(zero_copy_only=False)
+        flat = syms.values
+        per = np.diff(offs)
+        row_of = np.repeat(np.arange(len(per)), per)
+        same = row_of[1:] == row_of[:-1]
+        cnt = b["c"].to_numpy(zero_copy_only=False)
+        w = cnt[row_of[:-1][same]]
+        t = pa.table({
+            "w1": flat.slice(0, max(len(flat) - 1, 0)).filter(
+                pa.array(same)),
+            "w2": flat.slice(1).filter(pa.array(same)),
+            "cw": pa.array(w, type=pa.int64())})
+        return t.group_by(["w1", "w2"]).aggregate([("cw", "sum")]) \
+            .rename_columns(["w1", "w2", "c"])
+
+    steps = []
+    for step in range(num_merges):
+        top = seqs.map_batches(pair_partials, batch_format="pyarrow") \
+            .groupby(["w1", "w2"]).sum("c") \
+            .sort(["sum(c)", "w1", "w2"],
+                  descending=[True, False, False]).limit(1).take_all()
+        if not top:
+            break
+        w1, w2, c = top[0]["w1"], top[0]["w2"], int(top[0]["sum(c)"])
+        steps.append({"step": step + 1, "w1": w1, "w2": w2, "cnt": c})
+        old, new = f" {w1}  {w2} ", f" {w1}{w2} "
+
+        def apply(b: pa.Table, old=old, new=new) -> pa.Table:
+            return pa.table({
+                "seq": pc.replace_substring(b["seq"], pattern=old,
+                                            replacement=new),
+                "c": b["c"]})
+
+        seqs = seqs.map_batches(apply, batch_format="pyarrow") \
+            .materialize()
+
+    return pa.table({
+        "step": pa.array([s["step"] for s in steps], type=pa.int64()),
+        "w1": pa.array([s["w1"] for s in steps], type=pa.string()),
+        "w2": pa.array([s["w2"] for s in steps], type=pa.string()),
+        "cnt": pa.array([s["cnt"] for s in steps], type=pa.int64())})
+
+
 def blended_infix_suggest(ds: ray.data.Dataset, text_col: str,
                           id_col: str, weight_col: str, prefix: str,
                           k: int = 10) -> pa.Table:

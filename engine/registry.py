@@ -10703,6 +10703,43 @@ ORDER BY cnt DESC, term LIMIT 10
 """
 
 
+def bpe_merges_docs(sf_dir: str) -> pa.Table:
+    """BPE tokenizer induction (Sennrich et al. 2016) — the first 3
+    learned merges over the corpus; see
+    ``engine/ops/textstats.py::bpe_train`` for the word-TYPE-table
+    distributed shape and the two-space sequence representation that
+    makes one non-overlapping replace ≡ the BPE greedy merge pass in
+    pyarrow, Python and SQL alike."""
+    ds = _read(sf_dir, "documents", ["text"])
+    return tx.bpe_train(ds, "text", num_merges=3)
+
+
+def _sql_bpe(num_merges: int = 3) -> str:
+    ctes = [f"""
+WITH toks AS (SELECT {_SQL_TOKS} AS ts FROM documents),
+words AS (SELECT term AS w, COUNT(*)::BIGINT AS c
+          FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term),
+s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ')
+              || ' ' AS seq, c FROM words)"""]
+    for i in range(1, num_merges + 1):
+        ctes.append(f"""
+p{i} AS (
+  SELECT list_extract(sy, j + 1) AS w1,
+         list_extract(sy, j + 2) AS w2, c
+  FROM (SELECT sy, c, unnest(range(0, len(sy) - 1)) AS j
+        FROM (SELECT string_split(trim(seq), '  ') AS sy, c
+              FROM s{i - 1}))),
+t{i} AS (SELECT w1, w2, SUM(c)::BIGINT AS cnt FROM p{i}
+         GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+s{i} AS (SELECT replace(seq, ' ' || w1 || '  ' || w2 || ' ',
+                        ' ' || w1 || w2 || ' ') AS seq, c
+         FROM s{i - 1} CROSS JOIN t{i})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS step, w1, w2, cnt FROM t{i}"
+        for i in range(1, num_merges + 1))
+    return ",".join(ctes) + "\n" + sel + "\nORDER BY step"
+
+
 # ---------------- composed RAG retrieval (chunk → index → search)
 
 RAG_QUERY, RAG_MAXCH = "spark merge", 256
@@ -12660,6 +12697,7 @@ def queries() -> dict:
         "points_range_orders": points_range_orders,
         "ccnet_buckets_docs": ccnet_buckets_docs,
         "heavy_hitters_docs": heavy_hitters_docs,
+        "bpe_merges_docs": bpe_merges_docs,
     }
 
 
@@ -12970,6 +13008,7 @@ def oracle_sql() -> dict:
         "points_range_orders": SQL_POINTS_RANGE,
         "ccnet_buckets_docs": SQL_CCNET_BUCKETS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
+        "bpe_merges_docs": _sql_bpe(3),
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

@@ -1325,3 +1325,56 @@ def test_misra_gries_error_bound(ray_session):
     b.add_counts(["x", "z"], [2, 9])
     m = a.merge(b)
     assert m.lo["x"] == 7 and m.lo["z"] == 9 and m.err == 0
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """bpe_train == a from-scratch list-of-symbols BPE (greedy
+    left-to-right one-pass merge, count-all-adjacent pairs,
+    (count desc, pair asc) tie-break) — including a same-symbol run
+    ('aaaaa'), the case where naive single-space string replace would
+    diverge; block splits don't change the learned merges."""
+    import collections
+
+    import ray
+
+    from engine.ops.textstats import bpe_train
+
+    corpus = (["banana banana bandana"] * 3
+              + ["aaaaa aaa banana"] * 2
+              + ["na na na batman", "band and brand"])
+
+    def ref(texts, k):
+        wc = collections.Counter(
+            w for t in texts for w in t.lower().split())
+        seqs = {w: list(w) for w in wc}
+        out = []
+        for step in range(1, k + 1):
+            pairs = collections.Counter()
+            for w, sy in seqs.items():
+                for a, b in zip(sy, sy[1:]):
+                    pairs[(a, b)] += wc[w]
+            if not pairs:
+                break
+            (a, b), c = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, a, b, c))
+            for w, sy in seqs.items():
+                ns, i = [], 0
+                while i < len(sy):
+                    if i + 1 < len(sy) and sy[i] == a and sy[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(sy[i])
+                        i += 1
+                seqs[w] = ns
+        return out
+
+    expect = ref(corpus, 6)
+    for nblocks in (1, 3):
+        ds = ray.data.from_items([{"text": t} for t in corpus]) \
+            .repartition(nblocks)
+        t = bpe_train(ds, "text", num_merges=6)
+        got = list(zip(t["step"].to_pylist(), t["w1"].to_pylist(),
+                       t["w2"].to_pylist(), t["cnt"].to_pylist()))
+        assert got == expect, (got, expect)
