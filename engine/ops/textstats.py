@@ -484,6 +484,106 @@ def bpe_train(ds: ray.data.Dataset, text_col: str, num_merges: int
         "cnt": pa.array([s["cnt"] for s in steps], type=pa.int64())})
 
 
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(ds: ray.data.Dataset, text_col: str, id_col: str
+                 ) -> ray.data.Dataset:
+    """Gopher quality-filter rules (Rae et al. 2021, "Scaling
+    Language Models: ...Gopher", App. A1.1) — the word/n-gram subset
+    that applies to single-line documents: word count ∈ [50, 100000],
+    mean word length ∈ [3, 10], ≥80% of words contain an alphabetic
+    character, ≥2 of the 8 Gopher stop words present, fraction of
+    characters in the most-frequent 2-gram ≤ 0.20, fraction of
+    characters in duplicated 5-grams ≤ 0.15. Documented boundary vs
+    upstream: line/paragraph rules are vacuous here (corpus docs are
+    single-line), and the dup-5-gram fraction counts
+    ``count × chars`` over duplicated grams rather than masking
+    overlapping character positions. Entirely row-local — one
+    streaming ``map_batches``, no shuffle; per-doc top-gram selection
+    is a vectorized batch-level sort, not a Python loop."""
+    def f(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        offs, flat = _flat_tokens(b[text_col])
+        per = np.diff(offs)
+        ndoc = len(per)
+        doc_of = np.repeat(np.arange(ndoc), per)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nchars = np.zeros(ndoc, dtype=np.int64)
+        np.add.at(nchars, doc_of, lens)
+        alpha = pc.match_substring_regex(flat, "[a-z]") \
+            .to_numpy(zero_copy_only=False)
+        nalpha = np.bincount(doc_of[alpha], minlength=ndoc)
+        stop_hits = np.zeros(ndoc, dtype=np.int64)
+        toks_np = flat.to_numpy(zero_copy_only=False)
+        for w in GOPHER_STOPS:
+            m = toks_np == w
+            present = np.zeros(ndoc, dtype=bool)
+            present[doc_of[m]] = True
+            stop_hits += present
+
+        def grams(n: int) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+            if len(flat) < n:
+                return (np.empty(0, dtype=np.int64),
+                        pa.array([], type=pa.string()),
+                        np.empty(0, dtype=np.int64))
+            same = doc_of[n - 1:] == doc_of[:len(doc_of) - n + 1]
+            parts = [flat.slice(i, len(flat) - n + 1) for i in range(n)]
+            # \x1f separator: below every token byte (so the joined
+            # string sorts exactly like the (w1, w2) tuple) and —
+            # unlike \x00 — survives the pandas groupby hash
+            joined = pc.binary_join_element_wise(*parts, "\x1f")
+            gc = sum(lens[i:len(lens) - n + 1 + i] for i in range(n))
+            return (doc_of[:len(doc_of) - n + 1][same],
+                    joined.filter(pa.array(same)), gc[same])
+
+        top2 = np.zeros(ndoc, dtype=np.int64)
+        d2, g2, c2 = grams(2)
+        if len(d2):
+            df = pd.DataFrame({"d": d2, "g": g2.to_pandas(), "ch": c2})
+            agg = df.groupby(["d", "g"], as_index=False) \
+                .agg(c=("ch", "size"), ch=("ch", "first"))
+            agg = agg.sort_values(["d", "c", "g"],
+                                  ascending=[True, False, True])
+            head = agg.drop_duplicates("d", keep="first")
+            top2[head["d"].to_numpy()] = \
+                (head["c"] * head["ch"]).to_numpy()
+        dup5 = np.zeros(ndoc, dtype=np.int64)
+        d5, g5, c5 = grams(5)
+        if len(d5):
+            df = pd.DataFrame({"d": d5, "g": g5.to_pandas(), "ch": c5})
+            agg = df.groupby(["d", "g"], as_index=False) \
+                .agg(c=("ch", "size"), ch=("ch", "first"))
+            agg = agg[agg["c"] >= 2]
+            if len(agg):
+                contrib = (agg["c"] * agg["ch"]).groupby(
+                    agg["d"]).sum()
+                dup5[contrib.index.to_numpy()] = contrib.to_numpy()
+
+        nw = per.astype(np.float64)
+        safe = np.maximum(per, 1).astype(np.float64)
+        safec = np.maximum(nchars, 1).astype(np.float64)
+        mwl = nchars.astype(np.float64) / safe
+        af = nalpha.astype(np.float64) / safe
+        t2f = top2.astype(np.float64) / safec
+        d5f = dup5.astype(np.float64) / safec
+        keep = ((per >= 50) & (per <= 100000)
+                & (mwl >= 3.0) & (mwl <= 10.0) & (af >= 0.8)
+                & (stop_hits >= 2) & (t2f <= 0.20) & (d5f <= 0.15))
+        return pa.table({
+            id_col: b[id_col],
+            "n_words": pa.array(per, type=pa.int64()),
+            "mean_wlen": pa.array(mwl, type=pa.float64()),
+            "alpha_frac": pa.array(af, type=pa.float64()),
+            "stop_hits": pa.array(stop_hits, type=pa.int64()),
+            "top2_frac": pa.array(t2f, type=pa.float64()),
+            "dup5_frac": pa.array(d5f, type=pa.float64()),
+            "keep": pa.array(keep.astype(np.int64), type=pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def blended_infix_suggest(ds: ray.data.Dataset, text_col: str,
                           id_col: str, weight_col: str, prefix: str,
                           k: int = 10) -> pa.Table:

@@ -10703,6 +10703,80 @@ ORDER BY cnt DESC, term LIMIT 10
 """
 
 
+def gopher_rules_docs(sf_dir: str) -> pa.Table:
+    """Gopher quality-filter rules (Rae et al. 2021 App. A1.1), the
+    word/n-gram subset — see
+    ``engine/ops/textstats.py::gopher_rules`` for the rule list and
+    the documented boundaries (single-line corpus ⇒ line rules
+    vacuous; dup-5-gram counts count×chars, no overlap masking)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = _to_table(tx.gopher_rules(ds, "text", "doc_id"))
+    return _cast_col(t, "doc_id", pa.int64()).sort_by("doc_id")
+
+
+_SQL_GOPHER_STOPS = "'the','be','to','of','and','that','have','with'"
+
+SQL_GOPHER_RULES = f"""
+WITH docs AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+pos AS (SELECT doc_id, p, list_extract(ts, p + 1) AS w
+        FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p
+              FROM docs)),
+base AS (SELECT d.doc_id,
+         COUNT(pos.w)::BIGINT AS n_words,
+         COALESCE(SUM(len(pos.w)), 0)::BIGINT AS n_chars,
+         COALESCE(SUM(CASE WHEN regexp_matches(pos.w, '[a-z]')
+                      THEN 1 ELSE 0 END), 0)::BIGINT AS n_alpha
+         FROM docs d LEFT JOIN pos ON pos.doc_id = d.doc_id
+         GROUP BY d.doc_id),
+stops AS (SELECT doc_id, COUNT(DISTINCT w)::BIGINT AS sh FROM pos
+          WHERE w IN ({_SQL_GOPHER_STOPS}) GROUP BY doc_id),
+g2 AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, COUNT(*)::BIGINT AS c,
+              (len(a.w) + len(b.w))::BIGINT AS gch
+       FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+       GROUP BY a.doc_id, a.w, b.w, len(a.w) + len(b.w)),
+top2 AS (SELECT doc_id, (c * gch)::BIGINT AS t2 FROM
+         (SELECT doc_id, c, gch, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY c DESC, w1, w2) AS rn
+          FROM g2) WHERE rn = 1),
+g5 AS (SELECT a.doc_id, COUNT(*)::BIGINT AS c,
+              (len(a.w) + len(b.w) + len(c3.w) + len(d3.w)
+               + len(e3.w))::BIGINT AS gch
+       FROM pos a
+       JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+       JOIN pos c3 ON c3.doc_id = a.doc_id AND c3.p = a.p + 2
+       JOIN pos d3 ON d3.doc_id = a.doc_id AND d3.p = a.p + 3
+       JOIN pos e3 ON e3.doc_id = a.doc_id AND e3.p = a.p + 4
+       GROUP BY a.doc_id, a.w, b.w, c3.w, d3.w, e3.w,
+                len(a.w) + len(b.w) + len(c3.w) + len(d3.w)
+                + len(e3.w)),
+dup5 AS (SELECT doc_id, SUM(c * gch)::BIGINT AS d5 FROM g5
+         WHERE c >= 2 GROUP BY doc_id)
+SELECT b.doc_id, b.n_words,
+  b.n_chars::DOUBLE / GREATEST(b.n_words, 1)::DOUBLE AS mean_wlen,
+  b.n_alpha::DOUBLE / GREATEST(b.n_words, 1)::DOUBLE AS alpha_frac,
+  COALESCE(s.sh, 0)::BIGINT AS stop_hits,
+  COALESCE(t.t2, 0)::DOUBLE / GREATEST(b.n_chars, 1)::DOUBLE
+      AS top2_frac,
+  COALESCE(u.d5, 0)::DOUBLE / GREATEST(b.n_chars, 1)::DOUBLE
+      AS dup5_frac,
+  (CASE WHEN b.n_words BETWEEN 50 AND 100000
+    AND b.n_chars::DOUBLE / GREATEST(b.n_words, 1)::DOUBLE >= 3.0
+    AND b.n_chars::DOUBLE / GREATEST(b.n_words, 1)::DOUBLE <= 10.0
+    AND b.n_alpha::DOUBLE / GREATEST(b.n_words, 1)::DOUBLE >= 0.8
+    AND COALESCE(s.sh, 0) >= 2
+    AND COALESCE(t.t2, 0)::DOUBLE
+        / GREATEST(b.n_chars, 1)::DOUBLE <= 0.20
+    AND COALESCE(u.d5, 0)::DOUBLE
+        / GREATEST(b.n_chars, 1)::DOUBLE <= 0.15
+   THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM base b
+LEFT JOIN stops s ON s.doc_id = b.doc_id
+LEFT JOIN top2 t ON t.doc_id = b.doc_id
+LEFT JOIN dup5 u ON u.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def bpe_merges_docs(sf_dir: str) -> pa.Table:
     """BPE tokenizer induction (Sennrich et al. 2016) — the first 3
     learned merges over the corpus; see
@@ -12698,6 +12772,7 @@ def queries() -> dict:
         "ccnet_buckets_docs": ccnet_buckets_docs,
         "heavy_hitters_docs": heavy_hitters_docs,
         "bpe_merges_docs": bpe_merges_docs,
+        "gopher_rules_docs": gopher_rules_docs,
     }
 
 
@@ -13009,6 +13084,7 @@ def oracle_sql() -> dict:
         "ccnet_buckets_docs": SQL_CCNET_BUCKETS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "bpe_merges_docs": _sql_bpe(3),
+        "gopher_rules_docs": SQL_GOPHER_RULES,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank

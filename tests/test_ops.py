@@ -1378,3 +1378,29 @@ def test_bpe_train_matches_reference(ray_session):
         got = list(zip(t["step"].to_pylist(), t["w1"].to_pylist(),
                        t["w2"].to_pylist(), t["cnt"].to_pylist()))
         assert got == expect, (got, expect)
+
+
+def test_gopher_rules_boundaries(ray_session):
+    """Each Gopher rule fires on its adversarial doc; the clean doc
+    passes all of them."""
+    import ray
+
+    from engine.ops.textstats import gopher_rules
+
+    clean = "the cat and that dog have fun with all of them " + \
+        " ".join(f"word{i}x" for i in range(60))
+    repeats = "the mat " * 40 + "and of that have"      # top-2gram heavy
+    short = "the and of that have tiny"                  # < 50 words
+    numeric = "the and of that have " + " ".join(
+        str(1000 + i) for i in range(60))                # alpha < 0.8
+    rows = [{"id": 0, "text": clean}, {"id": 1, "text": repeats},
+            {"id": 2, "text": short}, {"id": 3, "text": numeric}]
+    ds = ray.data.from_items(rows)
+    out = gopher_rules(ds, "text", "id").to_pandas() \
+        .set_index("id").sort_index()
+    assert out.loc[0, "keep"] == 1, out.loc[0]
+    assert out.loc[1, "keep"] == 0 and out.loc[1, "top2_frac"] > 0.2
+    assert out.loc[2, "keep"] == 0 and out.loc[2, "n_words"] < 50
+    assert out.loc[3, "keep"] == 0 and out.loc[3, "alpha_frac"] < 0.8
+    # dup5 fires on the repeated phrase doc too (the mat x40)
+    assert out.loc[1, "dup5_frac"] > 0.15
