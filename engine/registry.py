@@ -10703,6 +10703,128 @@ ORDER BY cnt DESC, term LIMIT 10
 """
 
 
+def blockchildren_facet_docs(sf_dir: str) -> pa.Table:
+    """JSON Facet API domain switch (upstream
+    ``S/search/facet/FacetRequest.java`` ``domain: {blockChildren}``
+    [U]): the query selects PARENTS through the block-join (parents
+    whose children match the child query, top-5 by ScoreMode.Max —
+    the ``blockjoin_topk_docs`` ranking), the facet domain then
+    switches to ALL children of those parents and counts the child
+    ``lang`` field. Parent selection reuses the block-join rollup;
+    the domain switch is a broadcast parent-set filter (no shuffle);
+    the facet is one streaming grouped count."""
+    r = _doc_reader(sf_dir)
+    m = r.match_scores(BJ_QUERY).select(["doc_id", "score"])
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+    joined = rel.broadcast_hash_join(docs, m, "doc_id")
+    agg = _to_table(rel.rollup(joined, ["source"], maxs=["score"]))
+    agg = _cast_col(_rename(agg, {"max(score)": "score"}),
+                    "score", pa.float32())
+    top = agg.sort_by([("score", "descending"),
+                       ("source", "ascending")]).slice(0, 5)
+    par = set(top["source"].to_pylist())
+
+    def kids(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["source"],
+                                 value_set=pa.array(sorted(par))))
+
+    child = docs.map_batches(kids, batch_format="pyarrow")
+    t = _to_table(child.groupby("lang").count())
+    t = _rename(t, {"count()": "cnt"})
+    t = _cast_col(t, "cnt", pa.int64())
+    return t.sort_by([("cnt", "descending"), ("lang", "ascending")])
+
+
+def sql_blockchildren_facet() -> str:
+    return f"""{_sql_scored("SELECT unnest(['spark','merge']) AS term")},
+par AS (
+  SELECT d.source, CAST(MAX(s.score) AS FLOAT) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+  GROUP BY d.source ORDER BY score DESC, d.source LIMIT 5)
+SELECT d.lang, COUNT(*)::BIGINT AS cnt
+FROM documents d JOIN par p ON p.source = d.source
+GROUP BY d.lang ORDER BY cnt DESC, d.lang
+"""
+
+
+IODV_SELECTIVE = (24_900_000, 25_100_000)   # narrow price band
+IODV_BROAD = (5_000_000, 45_000_000)        # most of the table
+
+
+def index_or_docvalues_orders(sf_dir: str) -> pa.Table:
+    """``IndexOrDocValuesQuery`` (upstream
+    ``L/search/IndexOrDocValuesQuery.java`` [U]): a numeric range
+    picks its executor per query — the points/BKD index when the
+    directory estimates a selective range (lead iterator), a
+    docvalues-style streaming column scan when the range matches most
+    of the table (verify iterator). Both executors are exact, so the
+    answer is strategy-independent; the in-entry assert pins that the
+    selective band chose the points visit and the broad band chose
+    the scan."""
+    from engine import points as pts
+    key = hashlib.md5(f"{sf_dir}|points_v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", "points_" + key)
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "cents": pa.array(c, type=pa.int64())})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    pts.build_points(ds, "cents", "o_orderkey", out, leaf_rows=256)
+    d = pts._load_dir(out)
+    total_count = sum(leaf["count"] for leaf in d["leaves"])
+
+    rows = []
+    strategies = {}
+    for qid, (lo, hi) in (("selective", IODV_SELECTIVE),
+                          ("broad", IODV_BROAD)):
+        overlap = sum(leaf["count"] for leaf in d["leaves"]
+                      if not (leaf["max"] < lo or leaf["min"] >= hi))
+        if overlap <= 0.2 * total_count:
+            strategies[qid] = "points"
+            r = pts.range_agg(out, lo, hi)
+            n, tot = r["count"], r["sum"]
+        else:
+            strategies[qid] = "scan"
+
+            def agg(b: pa.Table, lo=lo, hi=hi) -> pa.Table:
+                v = b["cents"].to_numpy(zero_copy_only=False)
+                m = (v >= lo) & (v < hi)
+                return pa.table({
+                    "n": pa.array([int(m.sum())], type=pa.int64()),
+                    "s": pa.array([int(v[m].sum())], type=pa.int64())})
+
+            part = _to_table(ds.map_batches(agg, batch_format="pyarrow"))
+            n = int(pc.sum(part["n"]).as_py() or 0)
+            tot = int(pc.sum(part["s"]).as_py() or 0)
+        rows.append({"qid": qid, "n": n, "total_cents": tot})
+    assert strategies == {"selective": "points", "broad": "scan"}, \
+        strategies
+    return pa.table({
+        "qid": pa.array([r["qid"] for r in rows], type=pa.string()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+        "total_cents": pa.array([r["total_cents"] for r in rows],
+                                type=pa.int64())})
+
+
+SQL_IODV = f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT 'selective' AS qid, COUNT(*)::BIGINT AS n,
+       COALESCE(SUM(cents), 0)::BIGINT AS total_cents
+FROM c WHERE cents >= {IODV_SELECTIVE[0]} AND cents < {IODV_SELECTIVE[1]}
+UNION ALL
+SELECT 'broad' AS qid, COUNT(*)::BIGINT AS n,
+       COALESCE(SUM(cents), 0)::BIGINT AS total_cents
+FROM c WHERE cents >= {IODV_BROAD[0]} AND cents < {IODV_BROAD[1]}
+ORDER BY qid DESC
+"""
+
+
 def gopher_rules_docs(sf_dir: str) -> pa.Table:
     """Gopher quality-filter rules (Rae et al. 2021 App. A1.1), the
     word/n-gram subset — see
@@ -12773,6 +12895,8 @@ def queries() -> dict:
         "heavy_hitters_docs": heavy_hitters_docs,
         "bpe_merges_docs": bpe_merges_docs,
         "gopher_rules_docs": gopher_rules_docs,
+        "blockchildren_facet_docs": blockchildren_facet_docs,
+        "index_or_docvalues_orders": index_or_docvalues_orders,
     }
 
 
@@ -13085,6 +13209,8 @@ def oracle_sql() -> dict:
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "bpe_merges_docs": _sql_bpe(3),
         "gopher_rules_docs": SQL_GOPHER_RULES,
+        "blockchildren_facet_docs": sql_blockchildren_facet(),
+        "index_or_docvalues_orders": SQL_IODV,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
         # transcript_bm25: corpus not a DuckDB view, rows-only (rank
