@@ -484,6 +484,50 @@ def bpe_train(ds: ray.data.Dataset, text_col: str, num_merges: int
         "cnt": pa.array([s["cnt"] for s in steps], type=pa.int64())})
 
 
+def bpe_encode_count(ds: ray.data.Dataset, text_col: str, id_col: str,
+                     merges: list[tuple[str, str]]) -> ray.data.Dataset:
+    """Apply learned BPE merges (from :func:`bpe_train`) to every doc
+    and report its post-merge token count — the tokenizer-application
+    half of the pair, i.e. what a token-budget planner runs over the
+    corpus. One streaming ``map_batches`` with the merge list
+    broadcast in the closure; per batch the doc is rendered in the
+    same two-space symbol encoding as training, with a ``\\x1f``
+    pseudo-symbol between words so merges never cross a word
+    boundary, then each merge is ONE vectorized non-overlapping
+    ``replace_substring`` — identical greedy semantics to training
+    and to the SQL replay."""
+    def f(b: pa.Table) -> pa.Table:
+        offs, flat = _flat_tokens(b[text_col])
+        per = np.diff(offs)
+        # 'cat' -> 'c  a  t  ' (RE2 has no lookahead; rtrim later)
+        spaced = pc.replace_substring_regex(
+            flat, pattern="(.)", replacement="\\1  ")
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), spaced)
+        joined = pc.binary_join(lists, "\x1f  ")
+        seq = pc.binary_join_element_wise(
+            " ", pc.utf8_rtrim(joined, characters=" "), " ", "")
+        for w1, w2 in merges:
+            seq = pc.replace_substring(
+                seq, pattern=f" {w1}  {w2} ", replacement=f" {w1}{w2} ")
+        syms = pc.split_pattern(pc.utf8_trim(seq, characters=" "), "  ")
+        if isinstance(syms, pa.ChunkedArray):
+            syms = syms.combine_chunks()
+        o = syms.offsets.to_numpy(zero_copy_only=False)
+        flat_s = syms.values
+        not_sep = pc.not_equal(flat_s, "\x1f") \
+            .to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(per)), np.diff(o))
+        n_bpe = np.bincount(row_of[not_sep], minlength=len(per))
+        n_bpe[per == 0] = 0        # empty doc splits to one '' symbol
+        return pa.table({
+            id_col: b[id_col],
+            "n_words": pa.array(per, type=pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, type=pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -10910,9 +10910,9 @@ def bpe_merges_docs(sf_dir: str) -> pa.Table:
     return tx.bpe_train(ds, "text", num_merges=3)
 
 
-def _sql_bpe(num_merges: int = 3) -> str:
+def _sql_bpe_ctes(num_merges: int = 3) -> str:
     ctes = [f"""
-WITH toks AS (SELECT {_SQL_TOKS} AS ts FROM documents),
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
 words AS (SELECT term AS w, COUNT(*)::BIGINT AS c
           FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term),
 s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ')
@@ -10930,10 +10930,52 @@ t{i} AS (SELECT w1, w2, SUM(c)::BIGINT AS cnt FROM p{i}
 s{i} AS (SELECT replace(seq, ' ' || w1 || '  ' || w2 || ' ',
                         ' ' || w1 || w2 || ' ') AS seq, c
          FROM s{i - 1} CROSS JOIN t{i})""")
+    return ",".join(ctes)
+
+
+def _sql_bpe(num_merges: int = 3) -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT {i}::BIGINT AS step, w1, w2, cnt FROM t{i}"
         for i in range(1, num_merges + 1))
-    return ",".join(ctes) + "\n" + sel + "\nORDER BY step"
+    return _sql_bpe_ctes(num_merges) + "\n" + sel + "\nORDER BY step"
+
+
+def bpe_encode_docs(sf_dir: str) -> pa.Table:
+    """BPE tokenizer application: learn 3 merges (``bpe_train``),
+    then encode every doc and report its post-merge token count —
+    see ``engine/ops/textstats.py::bpe_encode_count`` for the
+    word-boundary pseudo-symbol encoding and the replace-per-merge
+    vectorization. The oracle re-learns the merges in the training
+    CTEs and replays the same replace chain per document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    m = tx.bpe_train(ds, "text", num_merges=3)
+    merges = list(zip(m["w1"].to_pylist(), m["w2"].to_pylist()))
+    t = _to_table(tx.bpe_encode_count(ds, "text", "doc_id", merges))
+    return _cast_col(t, "doc_id", pa.int64()).sort_by("doc_id")
+
+
+def _sql_bpe_encode(num_merges: int = 3) -> str:
+    enc = ["""
+e0 AS (SELECT doc_id, len(ts)::BIGINT AS n_words,
+       CASE WHEN len(ts) = 0 THEN NULL ELSE
+         ' ' || rtrim(array_to_string(list_transform(ts,
+             w -> regexp_replace(w, '(.)', '\\1  ', 'g')),
+             chr(31) || '  ')) || ' '
+       END AS seq
+       FROM toks)"""]
+    for i in range(1, num_merges + 1):
+        enc.append(f"""
+e{i} AS (SELECT doc_id, n_words,
+         replace(seq, ' ' || w1 || '  ' || w2 || ' ',
+                 ' ' || w1 || w2 || ' ') AS seq
+         FROM e{i - 1} CROSS JOIN t{i})""")
+    return (_sql_bpe_ctes(num_merges) + "," + ",".join(enc) + f"""
+SELECT doc_id, n_words,
+  CASE WHEN seq IS NULL THEN 0 ELSE
+    len(list_filter(string_split(trim(seq), '  '),
+                    x -> x <> chr(31)))
+  END::BIGINT AS n_bpe_tokens
+FROM e{num_merges} ORDER BY doc_id""")
 
 
 # ---------------- composed RAG retrieval (chunk → index → search)
@@ -12894,6 +12936,7 @@ def queries() -> dict:
         "ccnet_buckets_docs": ccnet_buckets_docs,
         "heavy_hitters_docs": heavy_hitters_docs,
         "bpe_merges_docs": bpe_merges_docs,
+        "bpe_encode_docs": bpe_encode_docs,
         "gopher_rules_docs": gopher_rules_docs,
         "blockchildren_facet_docs": blockchildren_facet_docs,
         "index_or_docvalues_orders": index_or_docvalues_orders,
@@ -13208,6 +13251,7 @@ def oracle_sql() -> dict:
         "ccnet_buckets_docs": SQL_CCNET_BUCKETS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "bpe_merges_docs": _sql_bpe(3),
+        "bpe_encode_docs": _sql_bpe_encode(3),
         "gopher_rules_docs": SQL_GOPHER_RULES,
         "blockchildren_facet_docs": sql_blockchildren_facet(),
         "index_or_docvalues_orders": SQL_IODV,

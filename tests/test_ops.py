@@ -1404,3 +1404,42 @@ def test_gopher_rules_boundaries(ray_session):
     assert out.loc[3, "keep"] == 0 and out.loc[3, "alpha_frac"] < 0.8
     # dup5 fires on the repeated phrase doc too (the mat x40)
     assert out.loc[1, "dup5_frac"] > 0.15
+
+
+def test_bpe_encode_matches_reference(ray_session):
+    """bpe_encode_count token counts == applying the merges with a
+    from-scratch per-word greedy encoder; merges never cross word
+    boundaries; empty docs count 0."""
+    import ray
+
+    from engine.ops.textstats import bpe_encode_count
+
+    merges = [("a", "n"), ("an", "an"), ("b", "anan")]
+    rows = [{"id": 0, "text": "banana bandana"},
+            {"id": 1, "text": "na an banana banana"},
+            {"id": 2, "text": ""},
+            {"id": 3, "text": "a"}]
+
+    def ref_count(text):
+        total = 0
+        for w in text.lower().split():
+            sy = list(w)
+            for a, b in merges:
+                ns, i = [], 0
+                while i < len(sy):
+                    if i + 1 < len(sy) and sy[i] == a and sy[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(sy[i])
+                        i += 1
+                sy = ns
+            total += len(sy)
+        return total
+
+    ds = ray.data.from_items(rows).repartition(2)
+    out = bpe_encode_count(ds, "text", "id", merges).to_pandas() \
+        .set_index("id").sort_index()
+    for r in rows:
+        assert out.loc[r["id"], "n_bpe_tokens"] == ref_count(r["text"]), \
+            (r, out.loc[r["id"]])
