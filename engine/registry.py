@@ -10825,6 +10825,98 @@ ORDER BY qid DESC
 """
 
 
+def field_exists_events(sf_dir: str) -> pa.Table:
+    """``FieldExistsQuery`` (upstream
+    ``L/search/FieldExistsQuery.java``, née
+    DocValuesFieldExistsQuery/NormsFieldExistsQuery [U]): match every
+    doc that HAS a value for a field. The nullable field is derived
+    deterministically (same rule as ``facet_missing_events``); the
+    query is one streaming vectorized null-mask pass emitting
+    count/min/max partials — no shuffle."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def agg(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(pc.cast(
+            pc.bit_wise_and(b["event_id"], 3), pa.int64()), 0)
+        ids = b["event_id"].filter(keep)
+        if not len(ids):
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        return pa.table({
+            "n": pa.array([len(ids)], type=pa.int64()),
+            "lo": pa.array([pc.min(ids).as_py()], type=pa.int64()),
+            "hi": pa.array([pc.max(ids).as_py()], type=pa.int64())})
+
+    part = _to_table(ds.map_batches(agg, batch_format="pyarrow"))
+    return pa.table({
+        "n_exists": pa.array([int(pc.sum(part["n"]).as_py() or 0)],
+                             type=pa.int64()),
+        "min_id": pa.array([pc.min(part["lo"]).as_py()],
+                           type=pa.int64()),
+        "max_id": pa.array([pc.max(part["hi"]).as_py()],
+                           type=pa.int64())})
+
+
+SQL_FIELD_EXISTS = """
+SELECT COUNT(*)::BIGINT AS n_exists,
+       MIN(event_id)::BIGINT AS min_id,
+       MAX(event_id)::BIGINT AS max_id
+FROM events WHERE (event_id & 3) <> 0
+"""
+
+PIS_KEYS = (1, 7, 42)
+
+
+def point_in_set_orders(sf_dir: str) -> pa.Table:
+    """``PointInSetQuery`` (upstream
+    ``L/search/PointInSetQuery.java``, the numeric ``TermInSetQuery``
+    analog [U]): match docs whose point value is IN an exact value
+    set, answered through the BKD walk — each probe value is a
+    degenerate range visit that touches only the leaves whose
+    [min,max] straddle it; the corpus is never scanned. Probe values
+    = the cent prices of orderkeys {PIS_KEYS} (fetched via the same
+    index), result = every order with one of those exact prices."""
+    from engine import points as pts
+    key = hashlib.md5(f"{sf_dir}|points_v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", "points_" + key)
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "cents": pa.array(c, type=pa.int64())})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    pts.build_points(ds, "cents", "o_orderkey", out, leaf_rows=256)
+
+    # probe-value lookup: a result-page-sized vectorized filter
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(
+            b["o_orderkey"],
+            value_set=pa.array(list(PIS_KEYS), type=pa.int64())))
+
+    probe = _to_table(ds.map_batches(pick, batch_format="pyarrow"))
+    vals = sorted(set(probe["cents"].to_pylist()))
+    ids = np.sort(np.concatenate(
+        [pts.range_ids(out, v, v + 1) for v in vals])) \
+        if vals else np.empty(0, dtype=np.int64)
+    return pa.table({"o_orderkey": pa.array(ids, type=pa.int64())})
+
+
+SQL_POINT_IN_SET = f"""
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderkey FROM c
+WHERE cents IN (SELECT cents FROM c
+                WHERE o_orderkey IN {PIS_KEYS})
+ORDER BY o_orderkey
+"""
+
+
 def gopher_rules_docs(sf_dir: str) -> pa.Table:
     """Gopher quality-filter rules (Rae et al. 2021 App. A1.1), the
     word/n-gram subset — see
@@ -12939,6 +13031,8 @@ def queries() -> dict:
         "bpe_encode_docs": bpe_encode_docs,
         "gopher_rules_docs": gopher_rules_docs,
         "blockchildren_facet_docs": blockchildren_facet_docs,
+        "field_exists_events": field_exists_events,
+        "point_in_set_orders": point_in_set_orders,
         "index_or_docvalues_orders": index_or_docvalues_orders,
     }
 
@@ -13254,6 +13348,8 @@ def oracle_sql() -> dict:
         "bpe_encode_docs": _sql_bpe_encode(3),
         "gopher_rules_docs": SQL_GOPHER_RULES,
         "blockchildren_facet_docs": sql_blockchildren_facet(),
+        "field_exists_events": SQL_FIELD_EXISTS,
+        "point_in_set_orders": SQL_POINT_IN_SET,
         "index_or_docvalues_orders": SQL_IODV,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
         "knn_lsh_docs": SQL_KNN_COSINE,
