@@ -13,7 +13,12 @@ broadcast once via ``ray.put`` (never re-shipped per batch).
 
 Supported query kinds (each with exact SQL-replayable semantics):
 ``term`` (single term present), ``and`` (all terms present, doc-level
-presence), ``phrase`` (two terms at adjacent positions, in order).
+presence), ``phrase`` (two terms at adjacent positions, in order),
+``prefix`` (any token starts with the prefix — the Luwak presearcher
+handles multi-term queries by registering their term prefixes; here
+the prefix probe is one vectorized ``starts_with`` per registered
+prefix, the right shape while the registered set is small relative
+to the corpus).
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ def compile_queries(queries: list[dict]) -> dict:
     and_term_q, and_term_t = [], []      # (query slot, term) pairs
     and_need = []
     phrases = []                          # (slot, t1, t2)
+    prefixes = []                         # (slot, prefix)
     terms: set[str] = set()
     for q in queries:
         slot = len(qids)
@@ -56,6 +62,9 @@ def compile_queries(queries: list[dict]) -> dict:
             phrases.append((slot, t1, t2))
             and_need.append(0)
             terms.update(q["terms"])
+        elif q["kind"] == "prefix":
+            prefixes.append((slot, q["terms"][0]))
+            and_need.append(0)
         else:
             raise ValueError(f"unknown query kind {q['kind']!r}")
     dict_terms = sorted(terms)
@@ -71,6 +80,7 @@ def compile_queries(queries: list[dict]) -> dict:
         "adj_q": adj_q, "starts": starts,
         "need": np.array(and_need, dtype=np.int64),
         "phrases": [(s, tix[a], tix[b]) for s, a, b in phrases],
+        "prefixes": prefixes,
         "nq": len(qids),
     }
 
@@ -127,6 +137,14 @@ def monitor_match(ds: ray.data.Dataset, text_col: str, id_col: str,
                     out_d.append(np.unique(dd[m]))
                     out_q.append(np.full(len(np.unique(dd[m])), slot,
                                          dtype=np.int64))
+
+        for slot, pref in cq["prefixes"]:
+            m = pc.starts_with(flat, pref) \
+                .to_numpy(zero_copy_only=False)
+            if m.any():
+                docs = np.unique(doc_of[m])
+                out_d.append(docs)
+                out_q.append(np.full(len(docs), slot, dtype=np.int64))
 
         if not out_d:
             return pa.table({

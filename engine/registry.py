@@ -10376,6 +10376,48 @@ ORDER BY doc_id, query_id
 """
 
 
+MONITOR_PREFIX_QUERIES = [
+    {"id": "q_pre_sp", "kind": "prefix", "terms": ["sp"]},
+    {"id": "q_pre_wind", "kind": "prefix", "terms": ["wind"]},
+    {"id": "q_pre_zz", "kind": "prefix", "terms": ["zz"]},
+    {"id": "q_vector", "kind": "term", "terms": ["vector"]},
+]
+
+
+def monitor_prefix_docs(sf_dir: str) -> pa.Table:
+    """Percolation with PREFIX queries in the registered set (the
+    Luwak presearcher's multi-term-query handling [U]): each prefix
+    is one vectorized ``starts_with`` probe per batch alongside the
+    term/AND/phrase CSR — see ``engine/ops/monitor.py``."""
+    from engine.ops import monitor as mon
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = mon.monitor_match(ds, "text", "doc_id",
+                            MONITOR_PREFIX_QUERIES)
+    t = _to_table(out)
+    return _cast_col(t, "doc_id", pa.int64()).sort_by(
+        [("doc_id", "ascending"), ("query_id", "ascending")])
+
+
+SQL_MONITOR_PREFIX = f"""
+WITH pos AS (
+  SELECT doc_id, unnest(ts) AS tok
+  FROM (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents))
+SELECT doc_id, query_id FROM (
+  SELECT DISTINCT doc_id, 'q_pre_sp' AS query_id FROM pos
+  WHERE tok LIKE 'sp%'
+  UNION ALL
+  SELECT DISTINCT doc_id, 'q_pre_wind' FROM pos
+  WHERE tok LIKE 'wind%'
+  UNION ALL
+  SELECT DISTINCT doc_id, 'q_pre_zz' FROM pos
+  WHERE tok LIKE 'zz%'
+  UNION ALL
+  SELECT DISTINCT doc_id, 'q_vector' FROM pos WHERE tok = 'vector')
+ORDER BY doc_id, query_id
+"""
+
+
 # ---------------- real image decode (PPM) with exact oracle
 
 PPM_N, PPM_W, PPM_H = 200, 24, 16
@@ -13032,6 +13074,7 @@ def queries() -> dict:
         "gopher_rules_docs": gopher_rules_docs,
         "blockchildren_facet_docs": blockchildren_facet_docs,
         "field_exists_events": field_exists_events,
+        "monitor_prefix_docs": monitor_prefix_docs,
         "point_in_set_orders": point_in_set_orders,
         "index_or_docvalues_orders": index_or_docvalues_orders,
     }
@@ -13349,6 +13392,7 @@ def oracle_sql() -> dict:
         "gopher_rules_docs": SQL_GOPHER_RULES,
         "blockchildren_facet_docs": sql_blockchildren_facet(),
         "field_exists_events": SQL_FIELD_EXISTS,
+        "monitor_prefix_docs": SQL_MONITOR_PREFIX,
         "point_in_set_orders": SQL_POINT_IN_SET,
         "index_or_docvalues_orders": SQL_IODV,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
