@@ -4106,6 +4106,62 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def ltr_feature_log_docs(sf_dir: str) -> pa.Table:
+    """LTR feature logging (upstream Solr ``ltr`` module's
+    ``fl=[features]`` transformer / ``FeatureLogger`` [U]): for the
+    query's top-20 window emit the RAW feature vector a model trains
+    on — f32 BM25 score, matched-term count, summed query-term tf,
+    and the SmallFloat-quantized doc length (Lucene's
+    FieldLengthFeature reads the same lossy norm). Window probing is
+    searchsorted at the window's docIDs; the query terms' postings
+    are never traversed beyond the first pass."""
+    r = _doc_reader(sf_dir)
+    top = r.brute_force_topk(BJ_QUERY, 20)
+    ids = top["doc_id"].to_numpy()
+    score = top["score"].to_numpy()
+    terms = sorted(set(r.analyzer.query_terms(BJ_QUERY)))
+    subs = r.lookup(terms)
+    nmatch = np.zeros(len(ids), dtype=np.int64)
+    tfsum = np.zeros(len(ids), dtype=np.int64)
+    dlq = np.zeros(len(ids), dtype=np.int64)
+    for t in terms:
+        if not subs[t]:
+            continue
+        docs, tfs, norms = r._clause_arrays(t, subs[t])
+        idx = np.clip(np.searchsorted(docs, ids), 0, len(docs) - 1)
+        hit = docs[idx] == ids
+        nmatch += hit
+        tfsum += np.where(hit, tfs[idx], 0).astype(np.int64)
+        dlq = np.where(hit,
+                       LENGTH_TABLE[norms[idx]].astype(np.int64), dlq)
+    return pa.table({
+        "rank": pa.array(np.arange(len(ids), dtype=np.int64)),
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "score": pa.array(score, type=pa.float32()),
+        "f_nmatch": pa.array(nmatch, type=pa.int64()),
+        "f_tf": pa.array(tfsum, type=pa.int64()),
+        "f_dlq": pa.array(dlq, type=pa.int64())})
+
+
+def sql_ltr_feature_log() -> str:
+    return f"""{_sql_scored("SELECT unnest(['spark','merge']) AS term")},
+win AS (SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id LIMIT 20),
+feat AS (
+  SELECT w.doc_id, w.score,
+         COUNT(DISTINCT tf.term)::BIGINT AS f_nmatch,
+         SUM(tf.tf)::BIGINT AS f_tf
+  FROM win w JOIN tf ON tf.doc_id = w.doc_id
+  JOIN qterms q ON q.term = tf.term
+  GROUP BY w.doc_id, w.score)
+SELECT (ROW_NUMBER() OVER (ORDER BY f.score DESC, f.doc_id) - 1)::BIGINT
+         AS rank,
+       f.doc_id, f.score, f.f_nmatch, f.f_tf, dl.dlq::BIGINT AS f_dlq
+FROM feat f JOIN dl ON dl.doc_id = f.doc_id
+ORDER BY f.score DESC, f.doc_id
+"""
+
+
 def rerank_topk_docs(sf_dir: str) -> pa.Table:
     """Solr ReRankQParser (upstream ``ReRankQParserPlugin`` [U]):
     main-query top-30 window rescored as main + 2.0 × rerank-query
@@ -13075,6 +13131,7 @@ def queries() -> dict:
         "blockchildren_facet_docs": blockchildren_facet_docs,
         "field_exists_events": field_exists_events,
         "monitor_prefix_docs": monitor_prefix_docs,
+        "ltr_feature_log_docs": ltr_feature_log_docs,
         "point_in_set_orders": point_in_set_orders,
         "index_or_docvalues_orders": index_or_docvalues_orders,
     }
@@ -13393,6 +13450,7 @@ def oracle_sql() -> dict:
         "blockchildren_facet_docs": sql_blockchildren_facet(),
         "field_exists_events": SQL_FIELD_EXISTS,
         "monitor_prefix_docs": SQL_MONITOR_PREFIX,
+        "ltr_feature_log_docs": sql_ltr_feature_log(),
         "point_in_set_orders": SQL_POINT_IN_SET,
         "index_or_docvalues_orders": SQL_IODV,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
