@@ -9794,6 +9794,42 @@ FROM day ORDER BY "window"
 """
 
 
+def facet_sort_stat_events(sf_dir: str) -> pa.Table:
+    """JSON Facet API bucket sort by an aggregated STAT (upstream
+    ``S/search/facet/FacetField.java`` — ``sort: "s desc"`` where
+    ``s`` is a sub-aggregation, vs the count/index sorts already
+    covered [U]): event_type buckets ordered by sum(value) in exact
+    cents, top-3 with the stat and count. One grouped exchange of
+    per-batch (type, Σcents, n) partials; the sort runs on the tiny
+    bucket table."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "c": pa.array(c, type=pa.int64())})
+        return t.group_by("event_type").aggregate(
+            [("c", "sum"), ([], "count_all")]) \
+            .rename_columns(["event_type", "c", "n"])
+
+    g = _to_table(ds.map_batches(part, batch_format="pyarrow")
+                  .groupby("event_type").sum(["c", "n"]))
+    g = _rename(g, {"sum(c)": "sum_cents", "sum(n)": "n"})
+    g = _cast_col(_cast_col(g, "sum_cents", pa.int64()), "n", pa.int64())
+    return g.sort_by([("sum_cents", "descending"),
+                      ("event_type", "ascending")]).slice(0, 3)
+
+
+SQL_FACET_SORT_STAT = """
+SELECT event_type,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents,
+       COUNT(*)::BIGINT AS n
+FROM events GROUP BY event_type
+ORDER BY sum_cents DESC, event_type LIMIT 3
+"""
+
+
 def group_sort_orders(sf_dir: str) -> pa.Table:
     """Solr ``group.sort`` (upstream ``S/search/grouping`` [U]):
     ``sort`` orders the GROUPS (by their head's max price, desc) while
@@ -13132,6 +13168,7 @@ def queries() -> dict:
         "field_exists_events": field_exists_events,
         "monitor_prefix_docs": monitor_prefix_docs,
         "ltr_feature_log_docs": ltr_feature_log_docs,
+        "facet_sort_stat_events": facet_sort_stat_events,
         "point_in_set_orders": point_in_set_orders,
         "index_or_docvalues_orders": index_or_docvalues_orders,
     }
@@ -13451,6 +13488,7 @@ def oracle_sql() -> dict:
         "field_exists_events": SQL_FIELD_EXISTS,
         "monitor_prefix_docs": SQL_MONITOR_PREFIX,
         "ltr_feature_log_docs": sql_ltr_feature_log(),
+        "facet_sort_stat_events": SQL_FACET_SORT_STAT,
         "point_in_set_orders": SQL_POINT_IN_SET,
         "index_or_docvalues_orders": SQL_IODV,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
