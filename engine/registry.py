@@ -9794,6 +9794,73 @@ FROM day ORDER BY "window"
 """
 
 
+def continuous_topk_events(sf_dir: str) -> pa.Table:
+    """Continuous top-k over a checkpointed stream — the streaming
+    literature's continuous top-k query (PAPERS.md: "SAP: Improving
+    Continuous Top-K Queries over Streaming Data", ICDE'18) on the
+    reference's topic/daemon machinery (upstream
+    ``SJ/stream/TopicStream.java`` + DaemonStream [U]): the events
+    feed lands as immutable Parquet shards; each daemon tick consumes
+    ONLY the newly-arrived file through the topic checkpoint,
+    computes the tick's partial top-k (per-batch partials → tiny
+    combine) and merges it into the bounded top-k state. The
+    continuous-query invariant — state after the whole stream equals
+    the batch top-k over all data — is exactly what the oracle
+    checks; in-entry asserts pin one-file-per-tick delivery."""
+    key = hashlib.md5(f"{sf_dir}|ctopk|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "ctopk_" + key)
+    os.makedirs(work, exist_ok=True)
+    shards = [os.path.join(work, f"arrival-{i}.parquet")
+              for i in range(3)]
+    if not all(os.path.exists(p) for p in shards):
+        full = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "value"])
+        eid = full["event_id"].to_numpy()
+        for i, p in enumerate(shards):
+            pq.write_table(full.filter(pa.array(eid % 3 == i)), p)
+
+    ck = os.path.join(work, "checkpoint.json")
+    if os.path.exists(ck):
+        os.remove(ck)                      # deterministic replay
+    state = pa.table({"event_id": pa.array([], type=pa.int64()),
+                      "cents": pa.array([], type=pa.int64())})
+    for tick in range(3):
+        ds, new, commit = rel.topic(shards[:tick + 1], ck)
+        assert len(new) == 1 and new[0] == shards[tick], new
+
+        def cents(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_id": b["event_id"],
+                "cents": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64))})
+
+        part = _to_table(rel.top_k(
+            ds.map_batches(cents, batch_format="pyarrow"),
+            [("cents", True), ("event_id", False)], 10))
+        state = pa.concat_tables([state, part]).sort_by(
+            [("cents", "descending"),
+             ("event_id", "ascending")]).slice(0, 10)
+        commit()
+    # at-least-once checkpoint drained: nothing new on a 4th tick
+    ds4, new4, _ = rel.topic(shards, ck)
+    assert not new4, new4
+    return state.append_column(
+        "rank", pa.array(np.arange(state.num_rows, dtype=np.int64))) \
+        .select(["rank", "event_id", "cents"])
+
+
+SQL_CONTINUOUS_TOPK = """
+SELECT (ROW_NUMBER() OVER (ORDER BY cents DESC, event_id) - 1)::BIGINT
+         AS rank,
+       event_id, cents
+FROM (SELECT event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+ORDER BY cents DESC, event_id LIMIT 10
+"""
+
+
 def facet_sort_stat_events(sf_dir: str) -> pa.Table:
     """JSON Facet API bucket sort by an aggregated STAT (upstream
     ``S/search/facet/FacetField.java`` — ``sort: "s desc"`` where
@@ -13169,6 +13236,7 @@ def queries() -> dict:
         "monitor_prefix_docs": monitor_prefix_docs,
         "ltr_feature_log_docs": ltr_feature_log_docs,
         "facet_sort_stat_events": facet_sort_stat_events,
+        "continuous_topk_events": continuous_topk_events,
         "point_in_set_orders": point_in_set_orders,
         "index_or_docvalues_orders": index_or_docvalues_orders,
     }
@@ -13489,6 +13557,7 @@ def oracle_sql() -> dict:
         "monitor_prefix_docs": SQL_MONITOR_PREFIX,
         "ltr_feature_log_docs": sql_ltr_feature_log(),
         "facet_sort_stat_events": SQL_FACET_SORT_STAT,
+        "continuous_topk_events": SQL_CONTINUOUS_TOPK,
         "point_in_set_orders": SQL_POINT_IN_SET,
         "index_or_docvalues_orders": SQL_IODV,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies
