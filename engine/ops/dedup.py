@@ -731,3 +731,112 @@ def exact_substring_clean(ds: ray.data.Dataset, text_col: str,
             "clean_text": pa.array(out_txt, type=pa.string())})
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def incremental_dedup(existing: ray.data.Dataset,
+                      arrivals: ray.data.Dataset, text_col: str,
+                      id_col: str, n_existing: int,
+                      bits_per_key: int = 12) -> tuple[pa.Table, dict]:
+    """Incremental exact dedup of NEW arrivals against an EXISTING
+    corpus WITHOUT re-shuffling the old corpus — the daily-increment
+    shape at 100 TB. Upstream analog: SignatureUpdateProcessor's
+    ``overwriteDupes`` checked against the already-built index, with
+    the bloom sidecar playing its ``BloomFilteringPostingsFormat``
+    role (misses short-circuit; positives verified ⇒ EXACT answer).
+
+    Three streaming passes, none of which shuffles a corpus:
+    1. existing → per-batch text-hash bloom PARTIALS (fixed-size
+       uint64 words), OR-merged on the driver (associative union);
+    2. arrivals → vectorized bloom probe; definite misses are clean
+       immediately (the overwhelmingly common case), possible hits
+       contribute their (small) candidate hash set;
+    3. existing → broadcast candidate-set probe confirms which
+       candidates truly exist (per-batch ``is_in`` against the
+       broadcast set, emitting only confirmed hashes).
+    Survivors = arrivals whose text is not in existing, first
+    ``id_col`` per duplicated arrival text kept. Returns
+    ``(survivor table, stats)`` where stats carries the bloom
+    short-circuit evidence."""
+    import hashlib as _hl
+
+    from engine.bloom import TermBloom, _md5_128
+
+    proto = TermBloom(n_existing, bits_per_key)
+    m, k = proto.m, proto.k
+
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        bl = TermBloom(1, 1)
+        bl.m, bl.k = m, k
+        bl.words = np.zeros(m // 64, dtype=np.uint64)
+        bl.add_batch(b[text_col].to_pylist())
+        return pa.table({"words": pa.array([bl.words.tobytes()],
+                                           type=pa.binary())})
+
+    parts = existing.map_batches(
+        bloom_partial, batch_format="pyarrow").take_all()
+    bloom = TermBloom(1, 1)
+    bloom.m, bloom.k = m, k
+    bloom.words = np.zeros(m // 64, dtype=np.uint64)
+    for p in parts:
+        bloom.words |= np.frombuffer(p["words"], dtype=np.uint64)
+    bloom_ref = ray.put((bloom.words, m, k))
+
+    def probe(b: pa.Table) -> pa.Table:
+        words, m_, k_ = ray.get(bloom_ref)
+        bl = TermBloom(1, 1)
+        bl.m, bl.k = m_, k_
+        bl.words = words
+        txts = b[text_col].to_pylist()
+        cand = bl.may_contain(txts)
+        hx = [_hl.md5(t.encode()).hexdigest() for t in txts]
+        return pa.table({
+            id_col: b[id_col],
+            "h": pa.array(hx, type=pa.string()),
+            "cand": pa.array(cand)})
+
+    probed = _collect_arrow(arrivals.map_batches(
+        probe, batch_format="pyarrow"))
+    cand_mask = probed["cand"].to_numpy(zero_copy_only=False)
+    cand_set = sorted(set(
+        np.asarray(probed["h"].to_pylist(), dtype=object)[cand_mask]))
+    stats = {"n_arrivals": probed.num_rows,
+             "bloom_misses": int((~cand_mask).sum()),
+             "candidates": len(cand_set)}
+
+    confirmed: set[str] = set()
+    if cand_set:
+        cref = ray.put(pa.array(cand_set, type=pa.string()))
+
+        def verify(b: pa.Table) -> pa.Table:
+            cs = ray.get(cref)
+            hx = pa.array([_hl.md5(t.encode()).hexdigest()
+                           for t in b[text_col].to_pylist()],
+                          type=pa.string())
+            hit = pc.is_in(hx, value_set=cs)
+            return pa.table({"h": hx.filter(hit)})
+
+        conf = _collect_arrow(existing.map_batches(
+            verify, batch_format="pyarrow"))
+        confirmed = set(conf["h"].to_pylist())
+    stats["confirmed"] = len(confirmed)
+
+    ids = probed[id_col].to_numpy(zero_copy_only=False)
+    hs = np.asarray(probed["h"].to_pylist(), dtype=object)
+    keep = ~np.isin(hs, np.asarray(sorted(confirmed), dtype=object)) \
+        if confirmed else np.ones(len(hs), dtype=bool)
+    # first id per duplicated arrival text
+    order = np.lexsort((ids, hs))
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = hs[order][1:] != hs[order][:-1]
+    keep_first = np.zeros(len(ids), dtype=bool)
+    keep_first[order[first]] = True
+    sel = np.sort(ids[keep & keep_first])
+    return pa.table({id_col: pa.array(sel, type=pa.int64())}), stats
+
+
+def _collect_arrow(ds: ray.data.Dataset) -> pa.Table:
+    refs = ds.materialize().to_arrow_refs()
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        return pa.table({})
+    return pa.concat_tables(tabs)

@@ -9794,6 +9794,44 @@ FROM day ORDER BY "window"
 """
 
 
+def incremental_dedup_docs(sf_dir: str) -> pa.Table:
+    """Incremental bloom dedup of new arrivals against the existing
+    corpus (SignatureUpdateProcessor ``overwriteDupes`` against a
+    built index; bloom sidecar per BloomFilteringPostingsFormat [U])
+    — see ``engine/ops/dedup.py::incremental_dedup``. Existing =
+    docs with ``doc_id % 10 != 9``; arrivals = the rest. In-entry
+    asserts pin the bloom short-circuit (some definite misses) and
+    exactness (confirmed ⊆ candidates)."""
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(keep_arrivals: bool):
+        def f(b: pa.Table) -> pa.Table:
+            mod = b["doc_id"].to_numpy(zero_copy_only=False) % 10
+            sel = (mod == 9) if keep_arrivals else (mod != 9)
+            return b.filter(pa.array(sel))
+        return f
+
+    existing = base.map_batches(split(False), batch_format="pyarrow")
+    arrivals = base.map_batches(split(True), batch_format="pyarrow")
+    n_existing = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    out, stats = dd.incremental_dedup(existing, arrivals, "text",
+                                      "doc_id", n_existing)
+    assert stats["bloom_misses"] > 0, stats
+    assert stats["confirmed"] <= stats["candidates"], stats
+    return out
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH ex AS (SELECT text FROM documents WHERE doc_id % 10 <> 9),
+ar AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9)
+SELECT doc_id FROM ar a
+WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.text = a.text)
+  AND doc_id = (SELECT MIN(doc_id) FROM ar b WHERE b.text = a.text)
+ORDER BY doc_id
+"""
+
+
 def continuous_topk_events(sf_dir: str) -> pa.Table:
     """Continuous top-k over a checkpointed stream — the streaming
     literature's continuous top-k query (PAPERS.md: "SAP: Improving
@@ -13237,6 +13275,7 @@ def queries() -> dict:
         "ltr_feature_log_docs": ltr_feature_log_docs,
         "facet_sort_stat_events": facet_sort_stat_events,
         "continuous_topk_events": continuous_topk_events,
+        "incremental_dedup_docs": incremental_dedup_docs,
         "point_in_set_orders": point_in_set_orders,
         "index_or_docvalues_orders": index_or_docvalues_orders,
     }
@@ -13558,6 +13597,7 @@ def oracle_sql() -> dict:
         "ltr_feature_log_docs": sql_ltr_feature_log(),
         "facet_sort_stat_events": SQL_FACET_SORT_STAT,
         "continuous_topk_events": SQL_CONTINUOUS_TOPK,
+        "incremental_dedup_docs": SQL_INCREMENTAL_DEDUP,
         "point_in_set_orders": SQL_POINT_IN_SET,
         "index_or_docvalues_orders": SQL_IODV,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies

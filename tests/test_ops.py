@@ -1443,3 +1443,28 @@ def test_bpe_encode_matches_reference(ray_session):
     for r in rows:
         assert out.loc[r["id"], "n_bpe_tokens"] == ref_count(r["text"]), \
             (r, out.loc[r["id"]])
+
+
+def test_incremental_dedup_bloom(ray_session):
+    """Arrivals deduped against existing without re-shuffling it:
+    cross-corpus dup dropped, within-arrival dup keeps first id,
+    unique arrival survives; bloom stats prove the short-circuit."""
+    import ray
+
+    from engine.ops.dedup import incremental_dedup
+
+    ex_rows = [{"id": i, "text": f"existing doc number {i}"}
+               for i in range(50)]
+    ar_rows = [{"id": 100, "text": "existing doc number 7"},   # cross dup
+               {"id": 101, "text": "fresh arrival one"},
+               {"id": 102, "text": "fresh arrival two"},
+               {"id": 103, "text": "fresh arrival one"}]       # within dup
+    ex = ray.data.from_items(ex_rows).repartition(3)
+    ar = ray.data.from_items(ar_rows).repartition(2)
+    out, stats = incremental_dedup(ex, ar, "text", "id",
+                                   n_existing=50)
+    assert out["id"].to_pylist() == [101, 102]
+    assert stats["n_arrivals"] == 4
+    assert stats["confirmed"] >= 1            # the cross dup
+    assert stats["bloom_misses"] >= 2         # fresh texts short-circuit
+    assert stats["confirmed"] <= stats["candidates"]
