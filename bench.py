@@ -166,7 +166,10 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
                      "blockjoin_topk_docs", "nb_classify_docs",
                      "curation_pipeline_docs", "sessionize_events",
                      "monitor_alerts_docs", "chunk_windows_docs",
-                     "train_logistic_docs", "ppm_image_stats"]:
+                     "train_logistic_docs", "ppm_image_stats",
+                     "gopher_rules_docs", "ccnet_buckets_docs",
+                     "bpe_merges_docs", "incremental_dedup_docs",
+                     "heavy_hitters_docs", "points_range_orders"]:
             t0 = time.perf_counter()
             reg[name](sf_dir)
             queries[name] = round(time.perf_counter() - t0, 3)

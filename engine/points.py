@@ -150,3 +150,38 @@ def range_ids(index_dir: str, lo: int | None, hi: int | None
     if not out:
         return np.empty(0, dtype=np.int64)
     return np.sort(np.concatenate(out))
+
+
+def range_facet(index_dir: str, lo: int, hi: int,
+                n_buckets: int) -> list[dict]:
+    """``RangeFacetCounts`` over point values (upstream
+    ``lucene/facet/.../range/LongRangeFacetCounts.java`` [U]):
+    equal-width bucket counts for ``[lo, hi)`` answered from the BKD
+    directory — INSIDE leaves add their count to a bucket without
+    decode when the whole leaf falls in one bucket; only leaves
+    straddling a bucket edge decode. O(buckets + boundary leaves)
+    I/O, independent of corpus size."""
+    d = _load_dir(index_dir)
+    width = (hi - lo + n_buckets - 1) // n_buckets
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    decoded = 0
+    vcol = d["value_col"]
+    for leaf in d["leaves"]:
+        if leaf["max"] < lo or leaf["min"] >= hi:
+            continue
+        b_lo = (leaf["min"] - lo) // width
+        b_hi = (leaf["max"] - lo) // width
+        if leaf["min"] >= lo and leaf["max"] < hi and b_lo == b_hi:
+            counts[b_lo] += leaf["count"]       # whole leaf, one bucket
+            continue
+        decoded += 1
+        vals = pq.read_table(os.path.join(index_dir, leaf["file"]),
+                             columns=[vcol])[vcol] \
+            .to_numpy(zero_copy_only=False)
+        m = (vals >= lo) & (vals < hi)
+        counts += np.bincount((vals[m] - lo) // width,
+                              minlength=n_buckets)[:n_buckets]
+    return [{"bucket": int(i), "lo": int(lo + i * width),
+             "hi": int(lo + (i + 1) * width), "n": int(counts[i]),
+             "decoded_leaves": decoded}
+            for i in range(n_buckets)]

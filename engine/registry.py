@@ -9794,6 +9794,55 @@ FROM day ORDER BY "window"
 """
 
 
+PRF_LO, PRF_HI, PRF_NB = 0, 50_000_000, 10
+
+
+def points_range_facet_orders(sf_dir: str) -> pa.Table:
+    """Range faceting over point values (upstream
+    ``lucene/facet/.../LongRangeFacetCounts.java`` [U]): equal-width
+    bucket counts answered from the BKD directory — a leaf whose
+    whole span falls in one bucket contributes its count with zero
+    decode; only bucket-edge-straddling leaves decode. The in-entry
+    assert pins that most leaves were NOT decoded."""
+    from engine import points as pts
+    key = hashlib.md5(f"{sf_dir}|points_v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", "points_" + key)
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "cents": pa.array(c, type=pa.int64())})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    pts.build_points(ds, "cents", "o_orderkey", out, leaf_rows=256)
+    rows = pts.range_facet(out, PRF_LO, PRF_HI, PRF_NB)
+    total = pts._load_dir(out)
+    assert rows[0]["decoded_leaves"] < len(total["leaves"]), rows[0]
+    return pa.table({
+        "bucket": pa.array([r["bucket"] for r in rows], type=pa.int64()),
+        "lo": pa.array([r["lo"] for r in rows], type=pa.int64()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64())})
+
+
+_PRF_W = (PRF_HI - PRF_LO + PRF_NB - 1) // PRF_NB
+
+SQL_POINTS_RANGE_FACET = f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+b AS (SELECT unnest(range(0, {PRF_NB})) AS bucket)
+SELECT b.bucket::BIGINT AS bucket,
+       ({PRF_LO} + b.bucket * {_PRF_W})::BIGINT AS lo,
+       (SELECT COUNT(*) FROM c
+        WHERE c.cents >= {PRF_LO} + b.bucket * {_PRF_W}
+          AND c.cents < {PRF_LO} + (b.bucket + 1) * {_PRF_W}
+          AND c.cents < {PRF_HI})::BIGINT AS n
+FROM b ORDER BY bucket
+"""
+
+
 def incremental_dedup_docs(sf_dir: str) -> pa.Table:
     """Incremental bloom dedup of new arrivals against the existing
     corpus (SignatureUpdateProcessor ``overwriteDupes`` against a
@@ -13276,6 +13325,7 @@ def queries() -> dict:
         "facet_sort_stat_events": facet_sort_stat_events,
         "continuous_topk_events": continuous_topk_events,
         "incremental_dedup_docs": incremental_dedup_docs,
+        "points_range_facet_orders": points_range_facet_orders,
         "point_in_set_orders": point_in_set_orders,
         "index_or_docvalues_orders": index_or_docvalues_orders,
     }
@@ -13598,6 +13648,7 @@ def oracle_sql() -> dict:
         "facet_sort_stat_events": SQL_FACET_SORT_STAT,
         "continuous_topk_events": SQL_CONTINUOUS_TOPK,
         "incremental_dedup_docs": SQL_INCREMENTAL_DEDUP,
+        "points_range_facet_orders": SQL_POINTS_RANGE_FACET,
         "point_in_set_orders": SQL_POINT_IN_SET,
         "index_or_docvalues_orders": SQL_IODV,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies

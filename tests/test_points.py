@@ -66,3 +66,20 @@ def test_build_is_resumable(tmp_path):
     pts.build_points(ds, "v", "id", out, leaf_rows=16)
     r = pts.range_agg(out, None, None)
     assert r["count"] == 100
+
+
+def test_range_facet_matches_numpy(tmp_path):
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 10_000, size=3000)
+    out, _, v = _build(tmp_path, vals, leaf_rows=128)
+    rows = pts.range_facet(out, 0, 10_000, 8)
+    width = (10_000 + 7) // 8
+    want = np.bincount(v // width, minlength=8)[:8]
+    got = np.array([r["n"] for r in rows])
+    assert np.array_equal(got, want)
+    assert rows[0]["decoded_leaves"] < 24   # most leaves undecoded
+    # partial window
+    rows = pts.range_facet(out, 2_000, 6_000, 4)
+    m = (v >= 2_000) & (v < 6_000)
+    want = np.bincount((v[m] - 2_000) // 1_000, minlength=4)[:4]
+    assert np.array_equal(np.array([r["n"] for r in rows]), want)
