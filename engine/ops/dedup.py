@@ -794,13 +794,20 @@ def incremental_dedup(existing: ray.data.Dataset,
             "h": pa.array(hx, type=pa.string()),
             "cand": pa.array(cand)})
 
-    probed = _collect_arrow(arrivals.map_batches(
-        probe, batch_format="pyarrow"))
-    cand_mask = probed["cand"].to_numpy(zero_copy_only=False)
-    cand_set = sorted(set(
-        np.asarray(probed["h"].to_pylist(), dtype=object)[cand_mask]))
-    stats = {"n_arrivals": probed.num_rows,
-             "bloom_misses": int((~cand_mask).sum()),
+    # the probed table stays DISTRIBUTED: only the (small) candidate
+    # hash set and per-batch counts ever reach the driver
+    probed = arrivals.map_batches(
+        probe, batch_format="pyarrow").materialize()
+
+    def cand_only(b: pa.Table) -> pa.Table:
+        return b.filter(b["cand"]).select(["h"])
+
+    cand_rows = probed.map_batches(
+        cand_only, batch_format="pyarrow").take_all()
+    n_arr = probed.count()
+    cand_set = sorted({r["h"] for r in cand_rows})
+    stats = {"n_arrivals": n_arr,
+             "bloom_misses": n_arr - len(cand_rows),
              "candidates": len(cand_set)}
 
     confirmed: set[str] = set()
@@ -815,28 +822,22 @@ def incremental_dedup(existing: ray.data.Dataset,
             hit = pc.is_in(hx, value_set=cs)
             return pa.table({"h": hx.filter(hit)})
 
-        conf = _collect_arrow(existing.map_batches(
-            verify, batch_format="pyarrow"))
-        confirmed = set(conf["h"].to_pylist())
+        confirmed = {r["h"] for r in existing.map_batches(
+            verify, batch_format="pyarrow").take_all()}
     stats["confirmed"] = len(confirmed)
 
-    ids = probed[id_col].to_numpy(zero_copy_only=False)
-    hs = np.asarray(probed["h"].to_pylist(), dtype=object)
-    keep = ~np.isin(hs, np.asarray(sorted(confirmed), dtype=object)) \
-        if confirmed else np.ones(len(hs), dtype=bool)
-    # first id per duplicated arrival text
-    order = np.lexsort((ids, hs))
-    first = np.ones(len(order), dtype=bool)
-    first[1:] = hs[order][1:] != hs[order][:-1]
-    keep_first = np.zeros(len(ids), dtype=bool)
-    keep_first[order[first]] = True
-    sel = np.sort(ids[keep & keep_first])
+    # drop confirmed dups per batch, then ONE grouped min(id) keeps
+    # the first id per duplicated arrival text — distributed
+    conf_ref = ray.put(pa.array(sorted(confirmed), type=pa.string()))
+
+    def drop(b: pa.Table) -> pa.Table:
+        cs = ray.get(conf_ref)
+        keep = pc.invert(pc.is_in(b["h"], value_set=cs)) if len(cs) \
+            else pa.array(np.ones(b.num_rows, dtype=bool))
+        return b.filter(keep).select(["h", id_col])
+
+    sur = probed.map_batches(drop, batch_format="pyarrow") \
+        .groupby("h").min(id_col).take_all()
+    sel = np.sort(np.array([r[f"min({id_col})"] for r in sur],
+                           dtype=np.int64))
     return pa.table({id_col: pa.array(sel, type=pa.int64())}), stats
-
-
-def _collect_arrow(ds: ray.data.Dataset) -> pa.Table:
-    refs = ds.materialize().to_arrow_refs()
-    tabs = [t for t in ray.get(refs) if t.num_rows]
-    if not tabs:
-        return pa.table({})
-    return pa.concat_tables(tabs)

@@ -67,7 +67,7 @@ def compile_queries(queries: list[dict]) -> dict:
             and_need.append(0)
         else:
             raise ValueError(f"unknown query kind {q['kind']!r}")
-    dict_terms = sorted(terms)
+    dict_terms = sorted(terms)   # typed even when empty (prefix-only)
     tix = {t: i for i, t in enumerate(dict_terms)}
     # term → [query slot] adjacency, CSR by term index
     pairs = sorted((tix[t], s) for s, t in zip(and_term_q, and_term_t))
@@ -76,7 +76,7 @@ def compile_queries(queries: list[dict]) -> dict:
     starts = np.searchsorted(adj_t, np.arange(len(dict_terms) + 1))
     return {
         "qids": np.array(qids, dtype=object),
-        "dict": pa.array(dict_terms),
+        "dict": pa.array(dict_terms, type=pa.string()),
         "adj_q": adj_q, "starts": starts,
         "need": np.array(and_need, dtype=np.int64),
         "phrases": [(s, tix[a], tix[b]) for s, a, b in phrases],

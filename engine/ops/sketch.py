@@ -306,11 +306,15 @@ def heavy_hitter_terms(ds: ray.data.Dataset, text_col: str,
             g["t"].to_pylist(),
             g["count_all"].to_numpy(zero_copy_only=False))
         terms = sorted(mg.lo)
+        # a null sentinel row carries err even when pruning emptied
+        # the counter set — dropping it would falsely claim exactness
+        t_col = terms if terms else [None]
+        lo_col = [mg.lo[t] for t in terms] if terms else [0]
         return pa.table({
-            "term": pa.array(terms, type=pa.string()),
-            "lo": pa.array([mg.lo[t] for t in terms], type=pa.int64()),
-            "err": pa.array([mg.err] + [0] * (len(terms) - 1)
-                            if terms else [], type=pa.int64())})
+            "term": pa.array(t_col, type=pa.string()),
+            "lo": pa.array(lo_col, type=pa.int64()),
+            "err": pa.array([mg.err] + [0] * (len(t_col) - 1),
+                            type=pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow") \
         .materialize().to_arrow_refs()
@@ -318,8 +322,9 @@ def heavy_hitter_terms(ds: ray.data.Dataset, text_col: str,
     for ref in parts:
         t = ray.get(ref)
         o = MisraGries(capacity)
-        o.lo = dict(zip(t["term"].to_pylist(),
-                        (int(x) for x in t["lo"].to_pylist())))
+        o.lo = {k: int(v) for k, v in
+                zip(t["term"].to_pylist(), t["lo"].to_pylist())
+                if k is not None}
         o.err = int(pa.compute.sum(t["err"]).as_py() or 0) \
             if t.num_rows else 0
         acc.merge(o)

@@ -96,8 +96,11 @@ def range_agg(index_dir: str, lo: int | None, hi: int | None) -> dict:
     (``decoded_leaves``/``inside_leaves``/``total_leaves``) alongside
     count and sum so callers/tests can assert the BKD behavior."""
     d = _load_dir(index_dir)
-    lo_v = -(1 << 62) if lo is None else int(lo)
-    hi_v = (1 << 62) if hi is None else int(hi)
+    lo_v = -(1 << 63) if lo is None else int(lo)
+    # None => +inf: no int64 sentinel exists above all values, so an
+    # unbounded hi is one past the directory's global max
+    hi_v = (max((leaf["max"] for leaf in d["leaves"]), default=0) + 1) \
+        if hi is None else int(hi)
     count = 0
     total = 0
     inside = 0
@@ -131,8 +134,9 @@ def range_ids(index_dir: str, lo: int | None, hi: int | None
     column, CROSSES leaves masked — the collect form of the same
     visitor walk (``LongPoint.newRangeQuery`` → DocIdSet)."""
     d = _load_dir(index_dir)
-    lo_v = -(1 << 62) if lo is None else int(lo)
-    hi_v = (1 << 62) if hi is None else int(hi)
+    lo_v = -(1 << 63) if lo is None else int(lo)
+    hi_v = (max((leaf["max"] for leaf in d["leaves"]), default=0) + 1) \
+        if hi is None else int(hi)
     icol, vcol = d["id_col"], d["value_col"]
     out = []
     for leaf in d["leaves"]:
@@ -161,6 +165,8 @@ def range_facet(index_dir: str, lo: int, hi: int,
     decode when the whole leaf falls in one bucket; only leaves
     straddling a bucket edge decode. O(buckets + boundary leaves)
     I/O, independent of corpus size."""
+    if hi <= lo or n_buckets <= 0:
+        return []
     d = _load_dir(index_dir)
     width = (hi - lo + n_buckets - 1) // n_buckets
     counts = np.zeros(n_buckets, dtype=np.int64)

@@ -9805,18 +9805,7 @@ def points_range_facet_orders(sf_dir: str) -> pa.Table:
     decode; only bucket-edge-straddling leaves decode. The in-entry
     assert pins that most leaves were NOT decoded."""
     from engine import points as pts
-    key = hashlib.md5(f"{sf_dir}|points_v1".encode()).hexdigest()[:12]
-    out = os.path.join("/tmp/rayindex_cache", "points_" + key)
-
-    def cents(b: pa.Table) -> pa.Table:
-        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
-        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
-        return pa.table({"o_orderkey": b["o_orderkey"],
-                         "cents": pa.array(c, type=pa.int64())})
-
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
-        .map_batches(cents, batch_format="pyarrow")
-    pts.build_points(ds, "cents", "o_orderkey", out, leaf_rows=256)
+    _, out = _points_orders_index(sf_dir)
     rows = pts.range_facet(out, PRF_LO, PRF_HI, PRF_NB)
     total = pts._load_dir(out)
     assert rows[0]["decoded_leaves"] < len(total["leaves"]), rows[0]
@@ -11050,18 +11039,7 @@ def index_or_docvalues_orders(sf_dir: str) -> pa.Table:
     selective band chose the points visit and the broad band chose
     the scan."""
     from engine import points as pts
-    key = hashlib.md5(f"{sf_dir}|points_v1".encode()).hexdigest()[:12]
-    out = os.path.join("/tmp/rayindex_cache", "points_" + key)
-
-    def cents(b: pa.Table) -> pa.Table:
-        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
-        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
-        return pa.table({"o_orderkey": b["o_orderkey"],
-                         "cents": pa.array(c, type=pa.int64())})
-
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
-        .map_batches(cents, batch_format="pyarrow")
-    pts.build_points(ds, "cents", "o_orderkey", out, leaf_rows=256)
+    ds, out = _points_orders_index(sf_dir)
     d = pts._load_dir(out)
     total_count = sum(leaf["count"] for leaf in d["leaves"])
 
@@ -11166,18 +11144,7 @@ def point_in_set_orders(sf_dir: str) -> pa.Table:
     = the cent prices of orderkeys {PIS_KEYS} (fetched via the same
     index), result = every order with one of those exact prices."""
     from engine import points as pts
-    key = hashlib.md5(f"{sf_dir}|points_v1".encode()).hexdigest()[:12]
-    out = os.path.join("/tmp/rayindex_cache", "points_" + key)
-
-    def cents(b: pa.Table) -> pa.Table:
-        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
-        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
-        return pa.table({"o_orderkey": b["o_orderkey"],
-                         "cents": pa.array(c, type=pa.int64())})
-
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
-        .map_batches(cents, batch_format="pyarrow")
-    pts.build_points(ds, "cents", "o_orderkey", out, leaf_rows=256)
+    ds, out = _points_orders_index(sf_dir)
 
     # probe-value lookup: a result-page-sized vectorized filter
     def pick(b: pa.Table) -> pa.Table:
@@ -12960,6 +12927,26 @@ SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
 """
 
 
+def _points_orders_index(sf_dir: str):
+    """Shared preamble for the points-index entries: the exact-cents
+    quantized (o_orderkey, cents) stream and the cached BKD build —
+    one place owns the cache key, rounding rule and leaf size."""
+    from engine import points as pts
+    key = hashlib.md5(f"{sf_dir}|points_v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", "points_" + key)
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "cents": pa.array(c, type=pa.int64())})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    pts.build_points(ds, "cents", "o_orderkey", out, leaf_rows=256)
+    return ds, out
+
+
 PTS_LO = 10_000_000          # 100,000.00 in cents
 PTS_HI = 40_000_000          # 400,000.00 in cents
 
@@ -12975,18 +12962,7 @@ def points_range_orders(sf_dir: str) -> pa.Table:
     pins the BKD behavior itself: some leaves answered with zero I/O,
     ≤ a handful decoded."""
     from engine import points as pts
-    key = hashlib.md5(f"{sf_dir}|points_v1".encode()).hexdigest()[:12]
-    out = os.path.join("/tmp/rayindex_cache", "points_" + key)
-
-    def cents(b: pa.Table) -> pa.Table:
-        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
-        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
-        return pa.table({"o_orderkey": b["o_orderkey"],
-                         "cents": pa.array(c, type=pa.int64())})
-
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
-        .map_batches(cents, batch_format="pyarrow")
-    pts.build_points(ds, "cents", "o_orderkey", out, leaf_rows=256)
+    _, out = _points_orders_index(sf_dir)
     r = pts.range_agg(out, PTS_LO, PTS_HI)
     # BKD evidence: interior leaves answered from the directory alone
     assert r["inside_leaves"] > 0 and \

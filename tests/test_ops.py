@@ -1468,3 +1468,55 @@ def test_incremental_dedup_bloom(ray_session):
     assert stats["confirmed"] >= 1            # the cross dup
     assert stats["bloom_misses"] >= 2         # fresh texts short-circuit
     assert stats["confirmed"] <= stats["candidates"]
+
+
+def test_misra_gries_err_survives_empty_prune(ray_session):
+    """Review finding: a batch whose prune empties the counter set
+    must still ship its err (the exactness claim depends on it)."""
+    import ray
+
+    from engine.ops.sketch import heavy_hitter_terms
+
+    # 9 distinct tokens, once each, capacity 8 -> prune empties lo
+    rows = [{"text": " ".join(f"u{i}" for i in range(9))}]
+    t, err = heavy_hitter_terms(ray.data.from_items(rows), "text",
+                                capacity=8, k=8)
+    assert err >= 1                      # NOT falsely exact
+
+
+def test_monitor_prefix_only_query_set(ray_session):
+    """Review finding: a prefix-only registered set (empty term
+    dictionary) must not crash index_in."""
+    import ray
+
+    from engine.ops.monitor import monitor_match
+
+    rows = [{"id": 0, "text": "sparkle dust"}, {"id": 1, "text": "mud"}]
+    out = monitor_match(ray.data.from_items(rows), "text", "id",
+                        [{"id": "q", "kind": "prefix",
+                          "terms": ["sp"]}]).to_pandas()
+    assert out["id"].tolist() == [0]
+
+
+def test_incremental_dedup_false_positive_and_empty(ray_session):
+    """Review finding: bloom false positives with zero confirmations
+    and empty arrival sets must both return cleanly."""
+    import ray
+
+    from engine.ops.dedup import incremental_dedup
+
+    ex = ray.data.from_items(
+        [{"id": i, "text": f"doc {i}"} for i in range(20)])
+    # tiny bloom (bits_per_key=1) forces false positives
+    ar = ray.data.from_items(
+        [{"id": 100 + i, "text": f"fresh {i}"} for i in range(10)])
+    out, stats = incremental_dedup(ex, ar, "text", "id",
+                                   n_existing=20, bits_per_key=1)
+    assert out["id"].to_pylist() == list(range(100, 110))
+    assert stats["confirmed"] == 0
+
+    empty = ray.data.from_items(
+        [{"id": 0, "text": "x"}]).filter(lambda r: False)
+    out2, stats2 = incremental_dedup(ex, empty, "text", "id",
+                                     n_existing=20)
+    assert out2.num_rows == 0 and stats2["n_arrivals"] == 0
