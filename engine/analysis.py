@@ -990,7 +990,13 @@ class Analyzer:
         if unicode_tokens and tokenizer == "standard":
             tokenizer = "unicode"     # back-compat flag form
         self.tokenizer = tokenizer
-        self.split_regex = TOKENIZER_REGEX[tokenizer]
+        if tokenizer.startswith("pattern:"):
+            # PatternTokenizer (upstream ``PatternTokenizerFactory``
+            # [U]): the config supplies the split regex directly —
+            # same Arrow RE2 split kernel as the named tokenizers
+            self.split_regex = tokenizer[len("pattern:"):]
+        else:
+            self.split_regex = TOKENIZER_REGEX[tokenizer]
         self.filters = tuple(
             f if isinstance(f, TokenFilter) else build_filter(f)
             for f in (filters or ()))

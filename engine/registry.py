@@ -5464,6 +5464,27 @@ FROM toks GROUP BY term ORDER BY term
 """
 
 
+def pattern_tokenizer_stats(sf_dir: str) -> pa.Table:
+    """PatternTokenizer e2e (upstream ``PatternTokenizerFactory``
+    [U]): the split regex comes from the schema config — here
+    ``[aeiou\\s]+`` (vowels and whitespace both break tokens), a
+    deliberately non-standard pattern so the oracle genuinely
+    exercises the configurable path; lowercased, no stop/stem."""
+    idx = _cached_filtered_index(sf_dir, (), "patok",
+                                 tokenizer=r"pattern:[aeiou\s]+")
+    return _index_stats_of(idx)
+
+
+SQL_PATTERN_TOKENIZER_STATS = r"""
+WITH toks AS (SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[aeiou\s]+'),
+                       x -> x <> '')) AS term FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
 def keyword_trim_stats(sf_dir: str) -> pa.Table:
     """KeywordTokenizer + LowerCase + TrimFilter e2e (upstream
     ``KeywordTokenizer`` / ``TrimFilter`` [U] — the classic
@@ -13302,6 +13323,7 @@ def queries() -> dict:
         "continuous_topk_events": continuous_topk_events,
         "incremental_dedup_docs": incremental_dedup_docs,
         "points_range_facet_orders": points_range_facet_orders,
+        "pattern_tokenizer_stats": pattern_tokenizer_stats,
         "point_in_set_orders": point_in_set_orders,
         "index_or_docvalues_orders": index_or_docvalues_orders,
     }
@@ -13625,6 +13647,7 @@ def oracle_sql() -> dict:
         "continuous_topk_events": SQL_CONTINUOUS_TOPK,
         "incremental_dedup_docs": SQL_INCREMENTAL_DEDUP,
         "points_range_facet_orders": SQL_POINTS_RANGE_FACET,
+        "pattern_tokenizer_stats": SQL_PATTERN_TOKENIZER_STATS,
         "point_in_set_orders": SQL_POINT_IN_SET,
         "index_or_docvalues_orders": SQL_IODV,
         # full-probe LSH ≡ brute top-k, so the brute oracle applies

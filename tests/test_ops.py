@@ -1520,3 +1520,59 @@ def test_incremental_dedup_false_positive_and_empty(ray_session):
     out2, stats2 = incremental_dedup(ex, empty, "text", "id",
                                      n_existing=20)
     assert out2.num_rows == 0 and stats2["n_arrivals"] == 0
+
+
+def test_bpe_train_property_random_corpora(ray_session):
+    """Property: over random small corpora (alphabet {a,b,c} so
+    same-symbol runs and overlap cases are dense), bpe_train's merge
+    sequence equals the from-scratch greedy reference."""
+    import collections
+
+    import numpy as np
+    import ray
+
+    from engine.ops.textstats import bpe_train
+
+    def ref(texts, k):
+        wc = collections.Counter(
+            w for t in texts for w in t.lower().split())
+        seqs = {w: list(w) for w in wc}
+        out = []
+        for step in range(1, k + 1):
+            pairs = collections.Counter()
+            for w, sy in seqs.items():
+                for a, b in zip(sy, sy[1:]):
+                    pairs[(a, b)] += wc[w]
+            if not pairs:
+                break
+            (a, b), c = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, a, b, c))
+            for w, sy in seqs.items():
+                ns, i = [], 0
+                while i < len(sy):
+                    if i + 1 < len(sy) and sy[i] == a and sy[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(sy[i])
+                        i += 1
+                seqs[w] = ns
+        return out
+
+    rng = np.random.RandomState(42)
+    for trial in range(8):
+        n_docs = rng.randint(1, 5)
+        texts = []
+        for _ in range(n_docs):
+            words = [
+                "".join(rng.choice(list("abc"),
+                                   size=rng.randint(1, 7)))
+                for _ in range(rng.randint(1, 12))]
+            texts.append(" ".join(words))
+        expect = ref(texts, 4)
+        ds = ray.data.from_items([{"text": t} for t in texts])
+        t = bpe_train(ds, "text", num_merges=4)
+        got = list(zip(t["step"].to_pylist(), t["w1"].to_pylist(),
+                       t["w2"].to_pylist(), t["cnt"].to_pylist()))
+        assert got == expect, (trial, texts, got, expect)
