@@ -9853,6 +9853,60 @@ FROM b ORDER BY bucket
 """
 
 
+TRA_LO, TRA_HI = "2024-01-08", "2024-01-12"
+
+
+def tra_route_events(sf_dir: str) -> pa.Table:
+    """Time-Routed Alias (upstream Solr TRA —
+    ``S/cloud/api/collections/TimeRoutedAlias.java`` [U]): ingest
+    routes every doc to its day partition (ONE streaming
+    hive-partitioned write); a time-range query then opens ONLY the
+    partitions its range touches — storage-level pruning, the same
+    contract as TRA's per-window collections. The in-entry asserts
+    pin the pruning: the query lists the partition directories it
+    opened, and none lie outside the range."""
+    key = hashlib.md5(f"{sf_dir}|tra|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "tra_" + key)
+    done = os.path.join(work, "_done")
+    if not os.path.exists(done):
+        ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+        def day(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "day", pc.strftime(b["ts"], format="%Y-%m-%d"))
+
+        ds.map_batches(day, batch_format="pyarrow") \
+            .write_parquet(work, partition_cols=["day"])
+        with open(done, "w") as f:
+            f.write("ok")
+
+    parts = sorted(p for p in os.listdir(work)
+                   if p.startswith("day="))
+    opened = [p for p in parts
+              if TRA_LO <= p.split("=", 1)[1] < TRA_HI]
+    assert opened and len(opened) < len(parts), (opened, parts)
+    assert all(TRA_LO <= p.split("=", 1)[1] < TRA_HI for p in opened)
+    n = 0
+    tot = 0
+    for p in opened:
+        t = pq.read_table(os.path.join(work, p), columns=["value"])
+        v = t["value"].to_numpy(zero_copy_only=False)
+        n += len(v)
+        tot += int(np.floor(v * 100 + 0.5).astype(np.int64).sum())
+    return pa.table({"n": pa.array([n], type=pa.int64()),
+                     "total_cents": pa.array([tot], type=pa.int64())})
+
+
+SQL_TRA_ROUTE = f"""
+SELECT COUNT(*)::BIGINT AS n,
+       COALESCE(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+                0)::BIGINT AS total_cents
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') >= '{TRA_LO}'
+  AND strftime(ts, '%Y-%m-%d') < '{TRA_HI}'
+"""
+
+
 def incremental_dedup_docs(sf_dir: str) -> pa.Table:
     """Incremental bloom dedup of new arrivals against the existing
     corpus (SignatureUpdateProcessor ``overwriteDupes`` against a
@@ -13322,6 +13376,7 @@ def queries() -> dict:
         "facet_sort_stat_events": facet_sort_stat_events,
         "continuous_topk_events": continuous_topk_events,
         "incremental_dedup_docs": incremental_dedup_docs,
+        "tra_route_events": tra_route_events,
         "points_range_facet_orders": points_range_facet_orders,
         "pattern_tokenizer_stats": pattern_tokenizer_stats,
         "point_in_set_orders": point_in_set_orders,
@@ -13646,6 +13701,7 @@ def oracle_sql() -> dict:
         "facet_sort_stat_events": SQL_FACET_SORT_STAT,
         "continuous_topk_events": SQL_CONTINUOUS_TOPK,
         "incremental_dedup_docs": SQL_INCREMENTAL_DEDUP,
+        "tra_route_events": SQL_TRA_ROUTE,
         "points_range_facet_orders": SQL_POINTS_RANGE_FACET,
         "pattern_tokenizer_stats": SQL_PATTERN_TOKENIZER_STATS,
         "point_in_set_orders": SQL_POINT_IN_SET,
