@@ -39,6 +39,8 @@ import ray
 
 LEAF_ROWS = 4096
 _DIR_NAME = "points_directory.json"
+_DIR2D_NAME = "points2d_directory.json"
+GEO_SCALE = 10_000_000          # 1e-7 degrees, LatLonPoint-precision
 
 
 def build_points(ds: ray.data.Dataset, value_col: str, id_col: str,
@@ -154,6 +156,166 @@ def range_ids(index_dir: str, lo: int | None, hi: int | None
     if not out:
         return np.empty(0, dtype=np.int64)
     return np.sort(np.concatenate(out))
+
+
+def _spread32(x: np.ndarray) -> np.ndarray:
+    """Spread the lower 32 bits of each uint64 to the even bit
+    positions (classic Morton magic-constant dilation)."""
+    x = x.astype(np.uint64)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def quantize_deg(deg: np.ndarray, scale: int = GEO_SCALE) -> np.ndarray:
+    """floor(deg * scale) — the sortable-int encoding of a coordinate
+    (Lucene ``GeoEncodingUtils.encodeLatitude`` analog: fixed ~1e-7°
+    grid, floor rounding). f64 op order matches the SQL oracle
+    (``FLOOR(deg * scale)``) bit-for-bit."""
+    return np.floor(np.asarray(deg, dtype=np.float64) * float(scale)) \
+        .astype(np.int64)
+
+
+def morton_key(lat_q: np.ndarray, lon_q: np.ndarray,
+               scale: int = GEO_SCALE) -> np.ndarray:
+    """Z-order (Morton) interleave of the two quantized coordinates.
+    Offsets make both axes non-negative 32-bit; lat bit 31 is always 0
+    so the interleaved key fits a POSITIVE int64 (sortable by Arrow)."""
+    lat_u = (lat_q + 90 * scale).astype(np.uint64)
+    lon_u = (lon_q + 180 * scale).astype(np.uint64)
+    return ((_spread32(lat_u) << np.uint64(1)) | _spread32(lon_u)) \
+        .astype(np.int64)
+
+
+def build_points_2d(ds: ray.data.Dataset, lat_col: str, lon_col: str,
+                    id_col: str, out_dir: str, scale: int = GEO_SCALE,
+                    leaf_rows: int = LEAF_ROWS) -> str:
+    """2-D points index — the ``LatLonPoint`` / 2-D BKD analog
+    (upstream ``L/document/LatLonPoint.java#newBoxQuery``,
+    ``L/util/bkd/BKDWriter.java`` with numDims=2 [U]).
+
+    Where the real BKD recursively splits the widest dimension, the
+    Ray-native restatement gets the same leaf-level spatial locality
+    from ONE distributed sort on the Z-order (Morton) interleave of
+    the quantized coordinates: consecutive fixed-size leaves cover
+    compact rectangles, so each leaf's stored bounding box
+    (min/max lat, min/max lon) prunes box queries exactly like the
+    BKD's inner-node bounds. The directory (one row per leaf) is the
+    only driver-side state and is committed LAST (manifest-style)."""
+    done = os.path.join(out_dir, _DIR2D_NAME)
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def encode(b: pa.Table) -> pa.Table:
+        lat_q = quantize_deg(b[lat_col].to_numpy(zero_copy_only=False),
+                             scale)
+        lon_q = quantize_deg(b[lon_col].to_numpy(zero_copy_only=False),
+                             scale)
+        return pa.table({
+            id_col: b[id_col],
+            "lat_q": pa.array(lat_q, type=pa.int64()),
+            "lon_q": pa.array(lon_q, type=pa.int64()),
+            "zkey": pa.array(morton_key(lat_q, lon_q, scale),
+                             type=pa.int64())})
+
+    mat = ds.map_batches(encode, batch_format="pyarrow") \
+        .sort(["zkey", id_col]).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def write_leaves(t: pa.Table, block: int) -> list[dict]:
+        rows = []
+        for i, s in enumerate(range(0, t.num_rows, leaf_rows)):
+            leaf = t.slice(s, leaf_rows)
+            la = leaf["lat_q"].to_numpy(zero_copy_only=False)
+            lo = leaf["lon_q"].to_numpy(zero_copy_only=False)
+            name = f"leaf2d-{block:05d}-{i:05d}.parquet"
+            pq.write_table(leaf.select([id_col, "lat_q", "lon_q"]),
+                           os.path.join(out_dir, name))
+            rows.append({"file": name, "count": int(len(la)),
+                         "min_lat": int(la.min()), "max_lat": int(la.max()),
+                         "min_lon": int(lo.min()), "max_lon": int(lo.max())})
+        return rows
+
+    parts = ray.get([write_leaves.remote(r, i)
+                     for i, r in enumerate(refs)])
+    directory = [row for p in parts for row in p]
+    tmp = done + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"lat_col": lat_col, "lon_col": lon_col,
+                   "id_col": id_col, "scale": scale,
+                   "leaf_rows": leaf_rows, "leaves": directory}, f)
+    os.replace(tmp, done)                      # commit = directory last
+    return out_dir
+
+
+def _load_dir_2d(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, _DIR2D_NAME)) as f:
+        return json.load(f)
+
+
+def _bbox_walk(index_dir: str, lat_lo: float, lat_hi: float,
+               lon_lo: float, lon_hi: float, collect_ids: bool) -> dict:
+    """IntersectVisitor walk over the 2-D directory: the box is the
+    INCLUSIVE quantized rectangle [floor(lo·s), floor(hi·s)] on each
+    axis (LatLonPoint.newBoxQuery compares encoded ints the same
+    way). INSIDE leaves are answered from the directory (count) or
+    read id-column-only (collect); only CROSSES leaves decode
+    coordinates."""
+    d = _load_dir_2d(index_dir)
+    s = d["scale"]
+    qla_lo, qla_hi = (int(np.floor(lat_lo * float(s))),
+                      int(np.floor(lat_hi * float(s))))
+    qlo_lo, qlo_hi = (int(np.floor(lon_lo * float(s))),
+                      int(np.floor(lon_hi * float(s))))
+    icol = d["id_col"]
+    count, inside, decode, ids = 0, 0, [], []
+    for leaf in d["leaves"]:
+        if (leaf["max_lat"] < qla_lo or leaf["min_lat"] > qla_hi
+                or leaf["max_lon"] < qlo_lo or leaf["min_lon"] > qlo_hi):
+            continue                            # CELL_OUTSIDE_QUERY
+        if (leaf["min_lat"] >= qla_lo and leaf["max_lat"] <= qla_hi
+                and leaf["min_lon"] >= qlo_lo
+                and leaf["max_lon"] <= qlo_hi):
+            count += leaf["count"]              # CELL_INSIDE_QUERY
+            inside += 1
+            if collect_ids:
+                ids.append(pq.read_table(
+                    os.path.join(index_dir, leaf["file"]),
+                    columns=[icol])[icol].to_numpy(zero_copy_only=False))
+        else:
+            decode.append(leaf["file"])         # CELL_CROSSES_QUERY
+    for name in decode:
+        t = pq.read_table(os.path.join(index_dir, name))
+        la = t["lat_q"].to_numpy(zero_copy_only=False)
+        lo = t["lon_q"].to_numpy(zero_copy_only=False)
+        m = ((la >= qla_lo) & (la <= qla_hi)
+             & (lo >= qlo_lo) & (lo <= qlo_hi))
+        count += int(m.sum())
+        if collect_ids:
+            ids.append(t[icol].to_numpy(zero_copy_only=False)[m])
+    out = {"count": count, "decoded_leaves": len(decode),
+           "inside_leaves": inside, "total_leaves": len(d["leaves"])}
+    if collect_ids:
+        out["ids"] = (np.sort(np.concatenate(ids)) if ids
+                      else np.empty(0, dtype=np.int64))
+    return out
+
+
+def bbox_agg(index_dir: str, lat_lo: float, lat_hi: float,
+             lon_lo: float, lon_hi: float) -> dict:
+    """``LatLonPoint.newBoxQuery`` count with pruning evidence."""
+    return _bbox_walk(index_dir, lat_lo, lat_hi, lon_lo, lon_hi, False)
+
+
+def bbox_ids(index_dir: str, lat_lo: float, lat_hi: float,
+             lon_lo: float, lon_hi: float) -> dict:
+    """Box-query matching ids (sorted) + pruning evidence."""
+    return _bbox_walk(index_dir, lat_lo, lat_hi, lon_lo, lon_hi, True)
 
 
 def range_facet(index_dir: str, lo: int, hi: int,

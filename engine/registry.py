@@ -13057,6 +13057,71 @@ FROM c WHERE cents >= {PTS_LO} AND cents < {PTS_HI}
 """
 
 
+def _points2d_customers_index(sf_dir: str) -> str:
+    """Shared preamble for the 2-D points entries: deterministic
+    synthetic lat/lon per customer (same derivation as
+    ``geodist_customers``) → cached Z-order BKD build."""
+    from engine import points as pts
+    key = hashlib.md5(f"{sf_dir}|points2d_v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", "points2d_" + key)
+
+    def derive(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy()
+        lat = ((ck * 7919) % 17000) / 100.0 - 85.0
+        lon = ((ck * 104729) % 36000) / 100.0 - 180.0
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "lat": pa.array(lat), "lon": pa.array(lon)})
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(derive, batch_format="pyarrow")
+    pts.build_points_2d(ds, "lat", "lon", "c_custkey", out, leaf_rows=32)
+    return out
+
+
+BBOX = (10.0, 60.0, -120.0, -60.0)     # lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def latlon_bbox_customers(sf_dir: str) -> pa.Table:
+    """``LatLonPoint.newBoxQuery`` through a 2-D BKD (upstream
+    ``L/document/LatLonPoint.java``, ``L/util/bkd/BKDWriter.java``
+    numDims=2, ``L/search/PointRangeQuery.java`` [U]): lat/lon
+    quantized to a 1e-7° grid, ONE distributed sort on the Z-order
+    interleave → fixed leaves with stored bounding boxes; the box
+    query walks the tiny directory, answers INSIDE leaves without
+    coordinate decode and decodes only boundary leaves. The in-entry
+    assert pins the pruning (some leaves skipped with zero I/O)."""
+    from engine import points as pts
+    out = _points2d_customers_index(sf_dir)
+    r = pts.bbox_ids(out, *BBOX)
+    # 2-D BKD evidence: Z-order leaf bboxes prune — OUTSIDE leaves
+    # are never opened
+    assert r["decoded_leaves"] + r["inside_leaves"] < r["total_leaves"], r
+    assert r["count"] == len(r["ids"])
+    return pa.table({"c_custkey": pa.array(r["ids"], type=pa.int64())})
+
+
+SQL_LATLON_BBOX = f"""
+WITH pts AS (
+  SELECT c_custkey,
+    ((c_custkey * 7919) % 17000)::DOUBLE / 100.0::DOUBLE
+      - 85.0::DOUBLE AS lat,
+    ((c_custkey * 104729) % 36000)::DOUBLE / 100.0::DOUBLE
+      - 180.0::DOUBLE AS lon
+  FROM customer),
+q AS (
+  SELECT c_custkey,
+    CAST(FLOOR(lat * 10000000.0::DOUBLE) AS BIGINT) AS lat_q,
+    CAST(FLOOR(lon * 10000000.0::DOUBLE) AS BIGINT) AS lon_q
+  FROM pts)
+SELECT c_custkey FROM q
+WHERE lat_q BETWEEN {int(BBOX[0] * 10_000_000)}
+               AND {int(BBOX[1] * 10_000_000)}
+  AND lon_q BETWEEN {int(BBOX[2] * 10_000_000)}
+               AND {int(BBOX[3] * 10_000_000)}
+ORDER BY c_custkey
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -13364,6 +13429,7 @@ def queries() -> dict:
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "fuzzy_suggest_docs": fuzzy_suggest_docs,
         "points_range_orders": points_range_orders,
+        "latlon_bbox_customers": latlon_bbox_customers,
         "ccnet_buckets_docs": ccnet_buckets_docs,
         "heavy_hitters_docs": heavy_hitters_docs,
         "bpe_merges_docs": bpe_merges_docs,
@@ -13689,6 +13755,7 @@ def oracle_sql() -> dict:
         "dedup_keep_best_docs": sql_dedup_keep_best(),
         "fuzzy_suggest_docs": SQL_FUZZY_SUGGEST,
         "points_range_orders": SQL_POINTS_RANGE,
+        "latlon_bbox_customers": SQL_LATLON_BBOX,
         "ccnet_buckets_docs": SQL_CCNET_BUCKETS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "bpe_merges_docs": _sql_bpe(3),

@@ -68,6 +68,72 @@ def test_build_is_resumable(tmp_path):
     assert r["count"] == 100
 
 
+def _build_2d(tmp_path, lat, lon, leaf_rows=64):
+    ids = np.arange(len(lat), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids),
+        "lat": pa.array(lat, type=pa.float64()),
+        "lon": pa.array(lon, type=pa.float64())}))
+    out = str(tmp_path / "pts2d")
+    pts.build_points_2d(ds, "lat", "lon", "id", out, leaf_rows=leaf_rows)
+    return out, ids
+
+
+def test_spread32_matches_bit_loop():
+    rng = np.random.RandomState(11)
+    xs = rng.randint(0, 1 << 32, size=200, dtype=np.uint64)
+    got = pts._spread32(xs)
+    for x, g in zip(xs.tolist(), got.tolist()):
+        want = 0
+        for b in range(32):
+            want |= ((x >> b) & 1) << (2 * b)
+        assert g == want
+
+
+def test_bbox_matches_numpy(tmp_path):
+    rng = np.random.RandomState(4)
+    lat = rng.uniform(-85, 85, size=2500)
+    lon = rng.uniform(-180, 180, size=2500)
+    out, ids = _build_2d(tmp_path, lat, lon)
+    qla = np.floor(lat * 1e7)
+    qlo = np.floor(lon * 1e7)
+    for box in [(-90, 90, -180, 180), (0, 30, -60, 10),
+                (-85, -80, 100, 180), (50, 50.001, 0, 0.001),
+                (10, 5, 0, 100)]:
+        la0, la1, lo0, lo1 = box
+        m = ((qla >= np.floor(la0 * 1e7)) & (qla <= np.floor(la1 * 1e7))
+             & (qlo >= np.floor(lo0 * 1e7)) & (qlo <= np.floor(lo1 * 1e7)))
+        r = pts.bbox_ids(out, la0, la1, lo0, lo1)
+        assert r["count"] == int(m.sum()), box
+        assert np.array_equal(r["ids"], np.sort(ids[m])), box
+        assert pts.bbox_agg(out, la0, la1, lo0, lo1)["count"] == r["count"]
+
+
+def test_bbox_zorder_prunes(tmp_path):
+    # uniform cloud, small query box: Z-order locality means most
+    # leaves are OUTSIDE (zero I/O), only boundary leaves decode
+    rng = np.random.RandomState(9)
+    lat = rng.uniform(-85, 85, size=8192)
+    lon = rng.uniform(-180, 180, size=8192)
+    out, _ = _build_2d(tmp_path, lat, lon, leaf_rows=64)
+    r = pts.bbox_agg(out, 10.0, 30.0, -50.0, -20.0)
+    assert r["total_leaves"] == 128
+    touched = r["decoded_leaves"] + r["inside_leaves"]
+    assert touched < r["total_leaves"] // 2, r
+    assert r["count"] > 0
+
+
+def test_build_2d_is_resumable(tmp_path):
+    lat = np.linspace(-80, 80, 300)
+    lon = np.linspace(-170, 170, 300)
+    out, _ = _build_2d(tmp_path, lat, lon, leaf_rows=32)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([0], type=pa.int64()),
+        "lat": pa.array([1.0]), "lon": pa.array([1.0])}))
+    pts.build_points_2d(ds, "lat", "lon", "id", out, leaf_rows=32)
+    assert pts.bbox_agg(out, -90, 90, -180, 180)["count"] == 300
+
+
 def test_range_facet_matches_numpy(tmp_path):
     rng = np.random.RandomState(5)
     vals = rng.randint(0, 10_000, size=3000)
