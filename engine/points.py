@@ -318,6 +318,66 @@ def bbox_ids(index_dir: str, lat_lo: float, lat_hi: float,
     return _bbox_walk(index_dir, lat_lo, lat_hi, lon_lo, lon_hi, True)
 
 
+def distance_ids(index_dir: str, clat: float, clon: float,
+                 radius_km: float) -> dict:
+    """``LatLonPoint.newDistanceQuery`` analog (upstream
+    ``L/document/LatLonPoint.java#newDistanceQuery``,
+    ``L/geo/Rectangle.java#fromPointDistance`` [U]): the circle's
+    bounding box — derived exactly as Lucene's Rectangle.fromPointDistance
+    (lat span from the radius arc, lon span widened by the highest
+    |lat| the box reaches) — prunes leaves through the 2-D directory
+    with ZERO I/O; every surviving leaf decodes and evaluates the
+    exact quantized haversine on the GRID coordinates (lat_q/scale),
+    so results are bit-reproducible against a SQL oracle that floors
+    the same way.
+
+    Safety note: leaf-vs-circle INSIDE/OUTSIDE classification on a
+    sphere has pole/antimeridian subtleties, so this walk only ever
+    prunes on the (safe) axis-aligned box disjointness test and
+    verifies everything else exactly — candidates ∝ circle area, the
+    right 100-TB scaling. A box crossing ±180° or a pole falls back
+    to the full lon range (correct, just less pruning)."""
+    from engine.ops.spatial import (EARTH_RADIUS_KM, haversine_km,
+                                    quantize_km)
+    d = _load_dir_2d(index_dir)
+    s = float(d["scale"])
+    dlat = np.degrees(radius_km / EARTH_RADIUS_KM)
+    top = min(89.999, abs(clat) + dlat)
+    cos_top = np.cos(np.radians(top))
+    if dlat >= 89.999 - abs(clat) or cos_top <= 1e-9:
+        lon_lo, lon_hi = -180.0, 180.0          # pole inside the box
+    else:
+        dlon = np.degrees(radius_km / (EARTH_RADIUS_KM * cos_top))
+        if dlon >= 180.0 or clon - dlon < -180.0 or clon + dlon > 180.0:
+            lon_lo, lon_hi = -180.0, 180.0      # antimeridian wrap
+        else:
+            lon_lo, lon_hi = clon - dlon, clon + dlon
+    qla_lo = int(np.floor((clat - dlat) * s))
+    qla_hi = int(np.floor((clat + dlat) * s))
+    qlo_lo = int(np.floor(lon_lo * s))
+    qlo_hi = int(np.floor(lon_hi * s))
+    icol = d["id_col"]
+    ids, dists, decoded = [], [], 0
+    for leaf in d["leaves"]:
+        if (leaf["max_lat"] < qla_lo or leaf["min_lat"] > qla_hi
+                or leaf["max_lon"] < qlo_lo or leaf["min_lon"] > qlo_hi):
+            continue                            # box-disjoint: OUTSIDE
+        decoded += 1
+        t = pq.read_table(os.path.join(index_dir, leaf["file"]))
+        lat_g = t["lat_q"].to_numpy(zero_copy_only=False) / s
+        lon_g = t["lon_q"].to_numpy(zero_copy_only=False) / s
+        dk = quantize_km(haversine_km(clat, clon, lat_g, lon_g))
+        m = dk <= radius_km
+        ids.append(t[icol].to_numpy(zero_copy_only=False)[m])
+        dists.append(dk[m])
+    out_ids = (np.concatenate(ids) if ids else np.empty(0, np.int64))
+    out_d = (np.concatenate(dists) if dists else np.empty(0, np.float64))
+    order = np.lexsort((out_ids, out_d))        # dist asc, id asc
+    return {"ids": out_ids[order], "dist_km": out_d[order],
+            "count": int(len(out_ids)), "decoded_leaves": decoded,
+            "total_leaves": len(d["leaves"])}
+
+
 def range_facet(index_dir: str, lo: int, hi: int,
                 n_buckets: int) -> list[dict]:
     """``RangeFacetCounts`` over point values (upstream

@@ -13122,6 +13122,53 @@ ORDER BY c_custkey
 """
 
 
+def latlon_distance_customers(sf_dir: str) -> pa.Table:
+    """``LatLonPoint.newDistanceQuery`` through the 2-D BKD (upstream
+    ``L/document/LatLonPoint.java#newDistanceQuery``,
+    ``L/geo/Rectangle.java#fromPointDistance`` [U]): the circle's
+    bounding box prunes leaves via the Z-order directory with zero
+    I/O; surviving leaves evaluate the exact quantized haversine on
+    the 1e-7° grid coordinates. Index-accelerated ``{{!geofilt}}`` —
+    same semantics as ``geodist_customers`` but over encoded points,
+    decoding only leaves the circle's box touches."""
+    from engine import points as pts
+    out = _points2d_customers_index(sf_dir)
+    r = pts.distance_ids(out, GEO_CENTER[0], GEO_CENTER[1], 1500.0)
+    assert r["decoded_leaves"] < r["total_leaves"], r   # box pruning
+    k = min(20, r["count"])
+    return pa.table({
+        "c_custkey": pa.array(r["ids"][:k], type=pa.int64()),
+        "dist_km": pa.array(r["dist_km"][:k], type=pa.float64())})
+
+
+SQL_LATLON_DISTANCE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+    ((c_custkey * 7919) % 17000)::DOUBLE / 100.0::DOUBLE
+      - 85.0::DOUBLE AS lat,
+    ((c_custkey * 104729) % 36000)::DOUBLE / 100.0::DOUBLE
+      - 180.0::DOUBLE AS lon
+  FROM customer),
+g AS (
+  SELECT c_custkey,
+    FLOOR(lat * 10000000.0::DOUBLE) / 10000000.0::DOUBLE AS latg,
+    FLOOR(lon * 10000000.0::DOUBLE) / 10000000.0::DOUBLE AS long
+  FROM pts),
+d AS (
+  SELECT c_custkey,
+    FLOOR((2.0::DOUBLE * 6371.0::DOUBLE * asin(sqrt(
+      sin((radians(latg) - radians({GEO_CENTER[0]})) / 2.0::DOUBLE)
+        * sin((radians(latg) - radians({GEO_CENTER[0]})) / 2.0::DOUBLE)
+      + cos(radians({GEO_CENTER[0]})) * cos(radians(latg))
+        * sin((radians(long) - radians({GEO_CENTER[1]})) / 2.0::DOUBLE)
+        * sin((radians(long) - radians({GEO_CENTER[1]})) / 2.0::DOUBLE)
+    ))) * 1000.0::DOUBLE + 0.5::DOUBLE) / 1000.0::DOUBLE AS dist_km
+  FROM g)
+SELECT c_custkey, dist_km FROM d WHERE dist_km <= 1500.0
+ORDER BY dist_km, c_custkey LIMIT 20
+"""
+
+
 def queries() -> dict:
     return {
         "index_term_stats": index_term_stats,
@@ -13430,6 +13477,7 @@ def queries() -> dict:
         "fuzzy_suggest_docs": fuzzy_suggest_docs,
         "points_range_orders": points_range_orders,
         "latlon_bbox_customers": latlon_bbox_customers,
+        "latlon_distance_customers": latlon_distance_customers,
         "ccnet_buckets_docs": ccnet_buckets_docs,
         "heavy_hitters_docs": heavy_hitters_docs,
         "bpe_merges_docs": bpe_merges_docs,
@@ -13756,6 +13804,7 @@ def oracle_sql() -> dict:
         "fuzzy_suggest_docs": SQL_FUZZY_SUGGEST,
         "points_range_orders": SQL_POINTS_RANGE,
         "latlon_bbox_customers": SQL_LATLON_BBOX,
+        "latlon_distance_customers": SQL_LATLON_DISTANCE,
         "ccnet_buckets_docs": SQL_CCNET_BUCKETS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "bpe_merges_docs": _sql_bpe(3),

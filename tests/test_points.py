@@ -123,6 +123,30 @@ def test_bbox_zorder_prunes(tmp_path):
     assert r["count"] > 0
 
 
+def test_distance_matches_brute(tmp_path):
+    from engine.ops.spatial import haversine_km, quantize_km
+    rng = np.random.RandomState(6)
+    lat = rng.uniform(-85, 85, size=3000)
+    lon = rng.uniform(-180, 180, size=3000)
+    out, ids = _build_2d(tmp_path, lat, lon)
+    lat_g = np.floor(lat * 1e7) / 1e7
+    lon_g = np.floor(lon * 1e7) / 1e7
+    for clat, clon, rad in [(35.0, -97.5, 2000.0), (0.0, 0.0, 500.0),
+                            (80.0, 10.0, 3000.0),      # pole in box
+                            (10.0, 179.0, 1000.0),     # antimeridian
+                            (-40.0, 60.0, 50.0)]:
+        r = pts.distance_ids(out, clat, clon, rad)
+        dk = quantize_km(haversine_km(clat, clon, lat_g, lon_g))
+        m = dk <= rad
+        assert r["count"] == int(m.sum()), (clat, clon, rad)
+        order = np.lexsort((ids[m], dk[m]))
+        assert np.array_equal(r["ids"], ids[m][order]), (clat, clon, rad)
+        assert np.array_equal(r["dist_km"], dk[m][order])
+    # pruning evidence on the small-radius query
+    r = pts.distance_ids(out, -40.0, 60.0, 50.0)
+    assert r["decoded_leaves"] < r["total_leaves"] // 4, r
+
+
 def test_build_2d_is_resumable(tmp_path):
     lat = np.linspace(-80, 80, 300)
     lon = np.linspace(-170, 170, 300)
