@@ -841,3 +841,80 @@ def incremental_dedup(existing: ray.data.Dataset,
     sel = np.sort(np.array([r[f"min({id_col})"] for r in sur],
                            dtype=np.int64))
     return pa.table({id_col: pa.array(sel, type=pa.int64())}), stats
+
+
+def duplicate_spans(ds: ray.data.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 4
+                    ) -> ray.data.Dataset:
+    """Exact duplicated-substring span detection — the corpus-level
+    substring dedup of Lee et al. 2022, *Deduplicating Training Data
+    Makes Language Models Better* (their suffix-array step), restated
+    Ray-Data-first: a substring of >= k tokens is duplicated iff every
+    one of its length-k windows is duplicated, so positioned word
+    k-gram windows + one groupby(gram) find exactly the positions
+    covered by any repeated-substring of length >= k, and a per-doc
+    interval union turns them into maximal spans.
+
+    Pipeline: map_batches emits (doc, pos, gram) for every window
+    (batch-flat, no per-doc Python loop) → groupby(gram) keeps the
+    windows of grams occurring >= 2 times corpus-wide (the only
+    corpus-wide exchange; group payload is the gram's occurrence list,
+    bounded by total occurrences) → groupby(doc) merges overlapping
+    windows vectorized (same-length intervals: union length =
+    sum(min(delta, k)) + k, span starts where delta > k).
+
+    Scale path: the gram column ships as the window STRING here so the
+    DuckDB oracle is exact; at 100 TB emit the 64-bit rolling hash of
+    the window instead (one-line change in ``windows``) — collision
+    odds ~ n_windows^2/2^64 and the shuffle moves 8-byte keys.
+    """
+    def windows(b: pa.Table) -> pa.Table:
+        offs, flat = _flat_tokens(b[text_col])
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        n_docs = len(offs) - 1
+        total = len(toks)
+        if total == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64()),
+                             "gram": pa.array([], type=pa.string())})
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offs))
+        idx = np.arange(total, dtype=np.int64)
+        valid = idx + k <= offs[1:][doc_of]
+        starts = idx[valid]
+        if not len(starts):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64()),
+                             "gram": pa.array([], type=pa.string())})
+        u = toks.astype(str)
+        grams = u[starts]
+        for j in range(1, k):
+            grams = np.char.add(np.char.add(grams, " "), u[starts + j])
+        d = doc_of[starts]
+        return pa.table({
+            "doc_id": pa.array(ids[d], type=pa.int64()),
+            "pos": pa.array(starts - offs[:-1][d], type=pa.int64()),
+            "gram": pa.array(grams.astype(object), type=pa.string())})
+
+    w = ds.map_batches(windows, batch_format="pyarrow")
+
+    def dup_only(g: pa.Table) -> pa.Table:
+        if g.num_rows >= 2:
+            return g.select(["doc_id", "pos"])
+        return g.select(["doc_id", "pos"]).slice(0, 0)
+
+    dw = w.groupby("gram").map_groups(dup_only, batch_format="pyarrow")
+
+    def spans(g: pa.Table) -> pa.Table:
+        pos = np.sort(g["pos"].to_numpy(zero_copy_only=False))
+        deltas = np.diff(pos)
+        return pa.table({
+            "doc_id": g["doc_id"].slice(0, 1),
+            "n_dup_windows": pa.array([len(pos)], type=pa.int64()),
+            "dup_tokens": pa.array(
+                [int(np.minimum(deltas, k).sum()) + k], type=pa.int64()),
+            "n_spans": pa.array([1 + int((deltas > k).sum())],
+                                type=pa.int64())})
+
+    return dw.groupby("doc_id").map_groups(spans, batch_format="pyarrow")

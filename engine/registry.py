@@ -13168,6 +13168,45 @@ SELECT c_custkey, dist_km FROM d WHERE dist_km <= 1500.0
 ORDER BY dist_km, c_custkey LIMIT 20
 """
 
+DUPSPAN_K = 4
+
+
+def duplicate_spans_docs(sf_dir: str) -> pa.Table:
+    """Exact duplicated-substring spans (Lee et al. 2022's corpus
+    substring dedup, the suffix-array step restated as positioned
+    k-gram windows + one groupby(gram) + per-doc interval union):
+    for every doc sharing any >=k-token substring with the corpus,
+    the number of duplicated windows, tokens covered by duplicated
+    spans, and maximal-span count."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = _to_table(dd.duplicate_spans(ds, "text", "doc_id",
+                                     k=DUPSPAN_K))
+    return t.sort_by("doc_id")
+
+
+SQL_DUP_SPANS = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+w AS (
+  SELECT doc_id, i AS pos,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+           AS gram
+  FROM toks, unnest(range(1, len(ts) - {DUPSPAN_K - 2})) AS r(i)
+  WHERE len(ts) >= {DUPSPAN_K}),
+dup AS (SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2),
+dw AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (gram)),
+lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM dw)
+SELECT doc_id,
+  COUNT(*)::BIGINT AS n_dup_windows,
+  SUM(CASE WHEN prev IS NULL THEN {DUPSPAN_K}
+           ELSE LEAST(pos - prev, {DUPSPAN_K}) END)::BIGINT AS dup_tokens,
+  SUM(CASE WHEN prev IS NULL OR pos - prev > {DUPSPAN_K}
+           THEN 1 ELSE 0 END)::BIGINT AS n_spans
+FROM lagged GROUP BY doc_id ORDER BY doc_id
+"""
+
 
 def queries() -> dict:
     return {
@@ -13406,6 +13445,7 @@ def queries() -> dict:
         "domain_cap_docs": domain_cap_docs,
         "common_grams_stats": common_grams_stats,
         "dedup_clusters_docs": dedup_clusters_docs,
+        "duplicate_spans_docs": duplicate_spans_docs,
         "join_util_topk": join_util_topk,
         "delete_by_query_topk": delete_by_query_topk,
         "curation_pipeline_docs": curation_pipeline_docs,
@@ -13731,6 +13771,7 @@ def oracle_sql() -> dict:
         "domain_cap_docs": SQL_DOMAIN_CAP,
         "common_grams_stats": SQL_COMMON_GRAMS,
         "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
+        "duplicate_spans_docs": SQL_DUP_SPANS,
         "join_util_topk": SQL_JOIN_UTIL,
         "delete_by_query_topk": sql_delete_by_query(),
         "curation_pipeline_docs": SQL_CURATION,

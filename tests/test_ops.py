@@ -1576,3 +1576,57 @@ def test_bpe_train_property_random_corpora(ray_session):
         got = list(zip(t["step"].to_pylist(), t["w1"].to_pylist(),
                        t["w2"].to_pylist(), t["cnt"].to_pylist()))
         assert got == expect, (trial, texts, got, expect)
+
+
+def test_duplicate_spans_semantics(ray_session):
+    """Constructed corpus vs a brute-force positioned-window reference:
+    cross-doc shared substrings, within-doc repetition, adjacent-window
+    merging, and clean docs absent from the output."""
+    import itertools
+
+    import ray
+
+    from engine.ops.dedup import duplicate_spans
+
+    docs = {
+        0: "a b c d e f g h",            # shares "a b c d" with doc 1
+        1: "x1 x2 a b c d y1 y2",
+        2: "u1 u2 u3 u4 u5 u6",          # fully unique: no output row
+        3: "p q r s t p q r s t",        # within-doc repeat, overlap merge
+        4: "a b c d e f zz",             # longer shared run with doc 0
+    }
+    k = 4
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs.items()])
+    got = {r["doc_id"]: r for r in
+           duplicate_spans(ds, "text", "doc_id", k=k).take_all()}
+
+    # brute reference
+    wins = {}          # gram -> [(doc, pos)]
+    for i, t in docs.items():
+        toks = t.split()
+        for p in range(len(toks) - k + 1):
+            wins.setdefault(" ".join(toks[p:p + k]), []).append((i, p))
+    per_doc = {}
+    for g, occ in wins.items():
+        if len(occ) >= 2:
+            for d, p in occ:
+                per_doc.setdefault(d, []).append(p)
+    assert set(got) == set(per_doc)
+    for d, ps in per_doc.items():
+        ps = sorted(ps)
+        covered = set(itertools.chain.from_iterable(
+            range(p, p + k) for p in ps))
+        spans = 0
+        prev = None
+        for p in ps:
+            if prev is None or p - prev > k:
+                spans += 1
+            prev = p
+        assert got[d]["n_dup_windows"] == len(ps), d
+        assert got[d]["dup_tokens"] == len(covered), d
+        assert got[d]["n_spans"] == spans, d
+    # sanity on the constructed shapes
+    assert 2 not in got
+    assert got[3]["n_spans"] == 1          # overlapping repeat merges
+    assert got[3]["dup_tokens"] == 10      # whole doc covered
