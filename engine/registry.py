@@ -13078,7 +13078,7 @@ def _points2d_customers_index(sf_dir: str) -> str:
     return out
 
 
-BBOX = (10.0, 60.0, -120.0, -60.0)     # lat_lo, lat_hi, lon_lo, lon_hi
+LATLON_BBOX = (10.0, 60.0, -120.0, -60.0)  # lat_lo, lat_hi, lon_lo, lon_hi
 
 
 def latlon_bbox_customers(sf_dir: str) -> pa.Table:
@@ -13092,7 +13092,7 @@ def latlon_bbox_customers(sf_dir: str) -> pa.Table:
     assert pins the pruning (some leaves skipped with zero I/O)."""
     from engine import points as pts
     out = _points2d_customers_index(sf_dir)
-    r = pts.bbox_ids(out, *BBOX)
+    r = pts.bbox_ids(out, *LATLON_BBOX)
     # 2-D BKD evidence: Z-order leaf bboxes prune — OUTSIDE leaves
     # are never opened
     assert r["decoded_leaves"] + r["inside_leaves"] < r["total_leaves"], r
@@ -13114,10 +13114,10 @@ q AS (
     CAST(FLOOR(lon * 10000000.0::DOUBLE) AS BIGINT) AS lon_q
   FROM pts)
 SELECT c_custkey FROM q
-WHERE lat_q BETWEEN {int(BBOX[0] * 10_000_000)}
-               AND {int(BBOX[1] * 10_000_000)}
-  AND lon_q BETWEEN {int(BBOX[2] * 10_000_000)}
-               AND {int(BBOX[3] * 10_000_000)}
+WHERE lat_q BETWEEN {int(LATLON_BBOX[0] * 10_000_000)}
+               AND {int(LATLON_BBOX[1] * 10_000_000)}
+  AND lon_q BETWEEN {int(LATLON_BBOX[2] * 10_000_000)}
+               AND {int(LATLON_BBOX[3] * 10_000_000)}
 ORDER BY c_custkey
 """
 
