@@ -413,3 +413,88 @@ def range_facet(index_dir: str, lo: int, hi: int,
              "hi": int(lo + (i + 1) * width), "n": int(counts[i]),
              "decoded_leaves": decoded}
             for i in range(n_buckets)]
+
+
+def _min_km_to_box(clat: float, clon: float, min_lat: float,
+                   max_lat: float, min_lon: float, max_lon: float) -> float:
+    """Provably-safe lower bound (km) on the haversine distance from
+    ``(clat, clon)`` to ANY point of the lat/lon rectangle.
+
+    The haversine central angle satisfies
+    ``sin²(θ/2) = sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)``; each term is
+    lower-bounded independently — Δφ by the latitude gap to the box,
+    Δλ by the (wrap-aware) longitude gap, and ``cosφ₂`` by its minimum
+    over the box's latitude range (attained at the endpoint of larger
+    ``|lat|``). A combined bound from per-term minima is valid because
+    both terms are monotone in their gap. This deliberately
+    under-estimates (never over-estimates) the true minimum, so
+    best-first pruning with it is exact — the same safety contract as
+    Lucene's ``Rectangle.axisLat`` handling in ``NearestNeighbor.java``
+    [U], reached by a cruder but provable route."""
+    from engine.ops.spatial import EARTH_RADIUS_KM
+    if clat < min_lat:
+        dphi = min_lat - clat
+    elif clat > max_lat:
+        dphi = clat - max_lat
+    else:
+        dphi = 0.0
+    if min_lon <= clon <= max_lon:
+        dlmb = 0.0
+    else:
+        d1 = abs(clon - min_lon) % 360.0
+        d2 = abs(clon - max_lon) % 360.0
+        dlmb = min(min(d1, 360.0 - d1), min(d2, 360.0 - d2))
+    cos_box = np.cos(np.radians(max(abs(min_lat), abs(max_lat))))
+    s = (np.sin(np.radians(dphi) / 2.0) ** 2
+         + np.cos(np.radians(clat)) * max(0.0, cos_box)
+         * np.sin(np.radians(dlmb) / 2.0) ** 2)
+    return float(2.0 * EARTH_RADIUS_KM
+                 * np.arcsin(min(1.0, np.sqrt(max(0.0, s)))))
+
+
+def nearest_ids(index_dir: str, clat: float, clon: float, k: int) -> dict:
+    """k-nearest-neighbor points through the 2-D directory — the
+    ``LatLonPointPrototypeQueries.nearest`` / ``NearestNeighbor.java``
+    analog (upstream ``lucene/sandbox/src/java/org/apache/lucene/
+    document/NearestNeighbor.java`` [U]): best-first traversal of
+    leaves ordered by a safe lower bound of the point→bbox distance;
+    a leaf decodes only while its bound can still beat the current
+    k-th distance, so I/O ∝ the leaves overlapping the final k-NN
+    circle, independent of corpus size. Exact quantized haversine on
+    the 1e-7° grid (same arithmetic as ``distance_ids``) keeps the
+    result bit-reproducible against a SQL oracle; final order is
+    (dist asc, id asc)."""
+    import heapq
+
+    from engine.ops.spatial import haversine_km, quantize_km
+    d = _load_dir_2d(index_dir)
+    s = float(d["scale"])
+    icol = d["id_col"]
+    heap = []
+    for i, leaf in enumerate(d["leaves"]):
+        lb = _min_km_to_box(clat, clon, leaf["min_lat"] / s,
+                            leaf["max_lat"] / s, leaf["min_lon"] / s,
+                            leaf["max_lon"] / s)
+        heapq.heappush(heap, (lb, i))
+    best_ids = np.empty(0, dtype=np.int64)
+    best_d = np.empty(0, dtype=np.float64)
+    decoded = 0
+    while heap:
+        lb, i = heapq.heappop(heap)
+        # 1e-3 slack covers the exact distances' half-up quantization
+        if len(best_ids) >= k and lb > best_d[k - 1] + 1e-3:
+            break                               # no leaf can improve
+        leaf = d["leaves"][i]
+        decoded += 1
+        t = pq.read_table(os.path.join(index_dir, leaf["file"]))
+        lat_g = t["lat_q"].to_numpy(zero_copy_only=False) / s
+        lon_g = t["lon_q"].to_numpy(zero_copy_only=False) / s
+        dk = quantize_km(haversine_km(clat, clon, lat_g, lon_g))
+        ids = t[icol].to_numpy(zero_copy_only=False)
+        all_ids = np.concatenate([best_ids, ids])
+        all_d = np.concatenate([best_d, dk])
+        order = np.lexsort((all_ids, all_d))[:k]
+        best_ids, best_d = all_ids[order], all_d[order]
+    return {"ids": best_ids, "dist_km": best_d,
+            "decoded_leaves": decoded,
+            "total_leaves": len(d["leaves"])}

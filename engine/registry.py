@@ -13168,6 +13168,52 @@ SELECT c_custkey, dist_km FROM d WHERE dist_km <= 1500.0
 ORDER BY dist_km, c_custkey LIMIT 20
 """
 
+
+def latlon_nearest_customers(sf_dir: str) -> pa.Table:
+    """Spatial k-NN through the 2-D BKD (upstream
+    ``LatLonPointPrototypeQueries.nearest`` /
+    ``lucene/sandbox .../document/NearestNeighbor.java`` [U]):
+    best-first leaf traversal ordered by a provably-safe lower bound
+    of the point→leaf-bbox haversine distance; traversal stops once
+    no remaining leaf's bound can beat the current 10th distance, so
+    only leaves overlapping the final k-NN circle decode. The
+    in-entry assert pins that pruning actually happened."""
+    from engine import points as pts
+    out = _points2d_customers_index(sf_dir)
+    r = pts.nearest_ids(out, GEO_CENTER[0], GEO_CENTER[1], k=10)
+    assert r["decoded_leaves"] < r["total_leaves"], r   # best-first prune
+    return pa.table({
+        "c_custkey": pa.array(r["ids"], type=pa.int64()),
+        "dist_km": pa.array(r["dist_km"], type=pa.float64())})
+
+
+SQL_LATLON_NEAREST = f"""
+WITH pts AS (
+  SELECT c_custkey,
+    ((c_custkey * 7919) % 17000)::DOUBLE / 100.0::DOUBLE
+      - 85.0::DOUBLE AS lat,
+    ((c_custkey * 104729) % 36000)::DOUBLE / 100.0::DOUBLE
+      - 180.0::DOUBLE AS lon
+  FROM customer),
+g AS (
+  SELECT c_custkey,
+    FLOOR(lat * 10000000.0::DOUBLE) / 10000000.0::DOUBLE AS latg,
+    FLOOR(lon * 10000000.0::DOUBLE) / 10000000.0::DOUBLE AS long
+  FROM pts),
+d AS (
+  SELECT c_custkey,
+    FLOOR((2.0::DOUBLE * 6371.0::DOUBLE * asin(sqrt(
+      sin((radians(latg) - radians({GEO_CENTER[0]})) / 2.0::DOUBLE)
+        * sin((radians(latg) - radians({GEO_CENTER[0]})) / 2.0::DOUBLE)
+      + cos(radians({GEO_CENTER[0]})) * cos(radians(latg))
+        * sin((radians(long) - radians({GEO_CENTER[1]})) / 2.0::DOUBLE)
+        * sin((radians(long) - radians({GEO_CENTER[1]})) / 2.0::DOUBLE)
+    ))) * 1000.0::DOUBLE + 0.5::DOUBLE) / 1000.0::DOUBLE AS dist_km
+  FROM g)
+SELECT c_custkey, dist_km FROM d
+ORDER BY dist_km, c_custkey LIMIT 10
+"""
+
 DUPSPAN_K = 4
 
 
@@ -13517,6 +13563,7 @@ def queries() -> dict:
         "fuzzy_suggest_docs": fuzzy_suggest_docs,
         "points_range_orders": points_range_orders,
         "latlon_bbox_customers": latlon_bbox_customers,
+        "latlon_nearest_customers": latlon_nearest_customers,
         "latlon_distance_customers": latlon_distance_customers,
         "ccnet_buckets_docs": ccnet_buckets_docs,
         "heavy_hitters_docs": heavy_hitters_docs,
@@ -13845,6 +13892,7 @@ def oracle_sql() -> dict:
         "fuzzy_suggest_docs": SQL_FUZZY_SUGGEST,
         "points_range_orders": SQL_POINTS_RANGE,
         "latlon_bbox_customers": SQL_LATLON_BBOX,
+        "latlon_nearest_customers": SQL_LATLON_NEAREST,
         "latlon_distance_customers": SQL_LATLON_DISTANCE,
         "ccnet_buckets_docs": SQL_CCNET_BUCKETS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,

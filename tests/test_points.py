@@ -147,6 +147,28 @@ def test_distance_matches_brute(tmp_path):
     assert r["decoded_leaves"] < r["total_leaves"] // 4, r
 
 
+def test_nearest_matches_brute(tmp_path):
+    from engine.ops.spatial import haversine_km, quantize_km
+    rng = np.random.RandomState(12)
+    lat = rng.uniform(-85, 85, size=3000)
+    lon = rng.uniform(-180, 180, size=3000)
+    out, ids = _build_2d(tmp_path, lat, lon)
+    lat_g = np.floor(lat * 1e7) / 1e7
+    lon_g = np.floor(lon * 1e7) / 1e7
+    for clat, clon, k in [(35.0, -97.5, 10), (0.0, 0.0, 1),
+                          (80.0, 10.0, 25),          # near pole
+                          (10.0, 179.9, 10),         # antimeridian
+                          (-40.0, 60.0, 3000)]:      # k == n
+        r = pts.nearest_ids(out, clat, clon, k)
+        dk = quantize_km(haversine_km(clat, clon, lat_g, lon_g))
+        order = np.lexsort((ids, dk))[:k]
+        assert np.array_equal(r["ids"], ids[order]), (clat, clon, k)
+        assert np.array_equal(r["dist_km"], dk[order]), (clat, clon, k)
+    # best-first pruning evidence on a small k
+    r = pts.nearest_ids(out, -40.0, 60.0, 5)
+    assert r["decoded_leaves"] < r["total_leaves"] // 2, r
+
+
 def test_build_2d_is_resumable(tmp_path):
     lat = np.linspace(-80, 80, 300)
     lon = np.linspace(-170, 170, 300)
