@@ -219,3 +219,64 @@ def shortest_path(edges: ray.data.Dataset, from_col: str, to_col: str,
         visited.update(lvl)
         frontier = pa.array(sorted(lvl), type=pa.int64())
     return empty
+
+
+def graph_query(docs: ray.data.Dataset, id_col: str, from_col: str,
+                to_col: str, roots: ray.data.Dataset,
+                max_depth: int, return_root: bool = True) -> pa.Table:
+    """Solr ``{!graph}`` query parser (upstream
+    ``S/search/join/GraphQuery.java`` / ``GraphQueryParser`` [U]):
+    query-time traversal FILTER over ONE collection. Root docs seed a
+    frontier of their ``from_col`` values; each hop matches docs whose
+    ``to_col`` carries a frontier value, adding their ids to the
+    result and their own ``from_col`` values to the next frontier;
+    traversal stops after ``max_depth`` hops (upstream ``maxDepth``;
+    pass a large value for the unlimited ``-1``) or at a fixed point
+    (no unseen frontier values — upstream's bitset convergence check).
+    Result = distinct ``id_col`` of every traversed doc, plus the
+    roots when ``return_root`` (upstream ``returnRoot`` default true).
+
+    Each hop is a broadcast semi-join probe — the frontier value set
+    ships once via ``ray.put`` while the collection streams through
+    ``map_batches`` with a per-batch distinct of the 2-column
+    ``(id, from)`` projection; the collection is never shuffled.
+    Frontier / visited-value sets live on the driver: the same
+    small-node-space assumption as ``gather_nodes`` (upstream keeps
+    the traversal docset on one node too)."""
+    def pairs(b: pa.Table) -> pa.Table:
+        i = b[id_col].to_numpy().astype(np.int64)
+        f = b[from_col].to_numpy().astype(np.int64)
+        if len(i):
+            o = np.lexsort((f, i))
+            i, f = i[o], f[o]
+            nb = np.empty(len(i), dtype=bool)
+            nb[0] = True
+            nb[1:] = (i[1:] != i[:-1]) | (f[1:] != f[:-1])
+            i, f = i[nb], f[nb]
+        return pa.table({id_col: pa.array(i, type=pa.int64()),
+                         from_col: pa.array(f, type=pa.int64())})
+
+    proj = [id_col, from_col] if from_col != id_col else [id_col]
+    t = _collect(roots.select_columns(proj)
+                 .map_batches(pairs, batch_format="pyarrow"))
+    matched: set[int] = set()
+    if t is not None and return_root:
+        matched.update(t[id_col].to_numpy().tolist())
+    queried: set[int] = set()
+    frontier = (set(t[from_col].to_numpy().tolist())
+                if t is not None else set())
+    for _ in range(max_depth):
+        new_vals = sorted(frontier - queried)
+        if not new_vals:
+            break                          # fixed point — converged
+        queried.update(new_vals)
+        hop = rel.semi_join(docs, pa.array(new_vals, type=pa.int64()),
+                            to_col)
+        t = _collect(hop.select_columns(proj)
+                     .map_batches(pairs, batch_format="pyarrow"))
+        if t is None:
+            break
+        matched.update(t[id_col].to_numpy().tolist())
+        frontier = set(t[from_col].to_numpy().tolist())
+    return pa.table({id_col: pa.array(sorted(matched),
+                                      type=pa.int64())})

@@ -1216,6 +1216,39 @@ class IndexReader:
             "freq_sum": pa.array([r[2] for r in rows], type=pa.int64()),
         })
 
+    def word_combinations(self, terms: list[str],
+                          max_suggestions: int = 10) -> pa.Table:
+        """WordBreakSpellChecker ``suggestWordCombinations`` (upstream
+        ``L/suggest/spell/WordBreakSpellChecker.java`` [U],
+        maxChanges=1 ⇒ adjacent PAIRS): every adjacent input pair
+        whose concatenation is a dictionary term yields a
+        CombineSuggestion carrying the combined term's df, ranked
+        freq desc then pair position asc (upstream's freq-first
+        SuggestWordQueue order with a deterministic tiebreak).
+        Conformance boundary: SuggestMode.SUGGEST_ALWAYS — the
+        originals' own index presence is not consulted. One bisect
+        per pair over the memoized sorted vocabulary — no postings
+        decode."""
+        vocab = self.vocabulary()
+        rows: list[tuple[int, str, str, str, int]] = []
+        for i in range(len(terms) - 1):
+            comb = terms[i] + terms[i + 1]
+            j = bisect_left(vocab, comb)
+            if j >= len(vocab) or vocab[j] != comb:
+                continue
+            df = self.global_df(self.lookup([comb])[comb])
+            rows.append((i, terms[i], terms[i + 1], comb, df))
+        rows.sort(key=lambda r: (-r[4], r[0]))
+        rows = rows[:max_suggestions]
+        return pa.table({
+            "pos": pa.array([r[0] for r in rows], type=pa.int64()),
+            "left": pa.array([r[1] for r in rows], type=pa.string()),
+            "right": pa.array([r[2] for r in rows], type=pa.string()),
+            "combined": pa.array([r[3] for r in rows],
+                                 type=pa.string()),
+            "freq": pa.array([r[4] for r in rows], type=pa.int64()),
+        })
+
     def fuzzy_topk(self, term: str, k: int = 10,
                    max_edits: int = 1,
                    transpositions: bool = False,

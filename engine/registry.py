@@ -3713,6 +3713,35 @@ ORDER BY input, freq_sum DESC, "left"
 """
 
 
+WORD_COMBINE_TERMS = ("or", "der", "cus", "tomer", "val", "ue", "zz")
+
+
+def word_combine_docs(sf_dir: str) -> pa.Table:
+    """WordBreakSpellChecker ``suggestWordCombinations`` (upstream
+    ``L/suggest/spell/WordBreakSpellChecker`` [U], maxChanges=1):
+    adjacent query-term pairs whose concatenation is a dictionary
+    term, ranked by the combined term's df desc then pair position.
+    Binding inputs: (or,der)→order, (cus,tomer)→customer,
+    (val,ue)→value; the other adjacencies miss the dictionary."""
+    r = _doc_reader(sf_dir)
+    return r.word_combinations(list(WORD_COMBINE_TERMS),
+                               max_suggestions=10)
+
+
+SQL_WORD_COMBINE = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+vocab AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+          FROM toks GROUP BY term),
+inputs(pos, l, r) AS (VALUES {", ".join(
+    f"({i}, '{WORD_COMBINE_TERMS[i]}', '{WORD_COMBINE_TERMS[i + 1]}')"
+    for i in range(len(WORD_COMBINE_TERMS) - 1))})
+SELECT i.pos::BIGINT AS pos, i.l AS "left", i.r AS "right",
+       v.term AS combined, v.df AS freq
+FROM inputs i JOIN vocab v ON v.term = i.l || i.r
+ORDER BY freq DESC, pos LIMIT 10
+"""
+
+
 FREETEXT_CONTEXTS = ("fast", "key", "window")
 
 
@@ -4399,6 +4428,46 @@ SELECT 1::BIGINT AS level, node::BIGINT AS node FROM l1
 UNION ALL
 SELECT 2::BIGINT, node::BIGINT FROM l2
 ORDER BY level, node
+"""
+
+
+def graph_query_customers(sf_dir: str) -> pa.Table:
+    """``{!graph}`` query parser (upstream
+    ``S/search/join/GraphQuery.java`` [U]): traversal filter over the
+    customer collection with ``from=c_nationkey to=c_custkey
+    maxDepth=2 returnRoot=true`` — roots are BUILDING-segment
+    customers with key < 100; each hop reaches the customers whose
+    key equals a frontier doc's nation key. Result = distinct matched
+    keys. Every hop streams the collection once against a broadcast
+    frontier; no shuffle."""
+    from engine.ops import graph as gr
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def root_f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.equal(b["c_mktsegment"], "BUILDING"),
+            pc.less(b["c_custkey"], 100)))
+
+    roots = cust.map_batches(root_f, batch_format="pyarrow")
+    return gr.graph_query(cust, "c_custkey", "c_nationkey",
+                          "c_custkey", roots, max_depth=2,
+                          return_root=True)
+
+
+SQL_GRAPH_QUERY = """
+WITH roots AS (SELECT c_custkey, c_nationkey FROM customer
+               WHERE c_mktsegment = 'BUILDING' AND c_custkey < 100),
+h1 AS (SELECT c_custkey, c_nationkey FROM customer
+       WHERE c_custkey IN (SELECT c_nationkey::BIGINT FROM roots)),
+h2 AS (SELECT c_custkey, c_nationkey FROM customer
+       WHERE c_custkey IN (SELECT c_nationkey::BIGINT FROM h1))
+SELECT DISTINCT c_custkey FROM (
+  SELECT c_custkey FROM roots
+  UNION ALL SELECT c_custkey FROM h1
+  UNION ALL SELECT c_custkey FROM h2)
+ORDER BY c_custkey
 """
 
 
@@ -13364,6 +13433,7 @@ def queries() -> dict:
         "spellcheck_docs": spellcheck_docs,
         "termfreq_docs": termfreq_docs,
         "word_break_docs": word_break_docs,
+        "word_combine_docs": word_combine_docs,
         "free_text_suggest_docs": free_text_suggest_docs,
         "index_sorted_topk_docs": index_sorted_topk_docs,
         "suggest_context_docs": suggest_context_docs,
@@ -13400,6 +13470,7 @@ def queries() -> dict:
         "mlt_interesting_terms_docs": mlt_interesting_terms_docs,
         "total_hit_count_docs": total_hit_count_docs,
         "nodes_walk_customers": nodes_walk_customers,
+        "graph_query_customers": graph_query_customers,
         "shortest_path_cust_nation": shortest_path_cust_nation,
         "pivot_facet_docs": pivot_facet_docs,
         "geodist_customers": geodist_customers,
@@ -13692,6 +13763,7 @@ def oracle_sql() -> dict:
         "spellcheck_docs": SQL_SPELLCHECK,
         "termfreq_docs": SQL_TERMFREQ,
         "word_break_docs": SQL_WORD_BREAK,
+        "word_combine_docs": SQL_WORD_COMBINE,
         "free_text_suggest_docs": SQL_FREE_TEXT_SUGGEST,
         "index_sorted_topk_docs": SQL_INDEX_SORTED,
         "suggest_context_docs": SQL_SUGGEST_CONTEXT,
@@ -13728,6 +13800,7 @@ def oracle_sql() -> dict:
         "mlt_interesting_terms_docs": SQL_MLT_TERMS,
         "total_hit_count_docs": SQL_TOTAL_HITS,
         "nodes_walk_customers": SQL_NODES_WALK,
+        "graph_query_customers": SQL_GRAPH_QUERY,
         "shortest_path_cust_nation": SQL_SHORTEST_PATH,
         "pivot_facet_docs": SQL_PIVOT_FACET,
         "geodist_customers": SQL_GEODIST,

@@ -364,6 +364,46 @@ def test_gather_nodes_empty_frontier(ray_session):
     assert len(out) == 0
 
 
+def test_graph_query_semantics(ray_session):
+    # {!graph}: docs link via (from -> docs whose `to` == value).
+    # chain 1 -> 2 -> 3 -> 4 plus a 5<->6 cycle off to the side
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import graph as gr
+
+    docs = ray.data.from_arrow(pa.table({
+        "id": [1, 2, 3, 4, 5, 6],
+        "nxt": [2, 3, 4, 99, 6, 5],     # from-field: points at `id`
+    }))
+
+    def roots_of(ids):
+        return docs.filter(lambda r: r["id"] in ids)
+
+    # maxDepth bounds the hop count
+    t = gr.graph_query(docs, "id", "nxt", "id", roots_of({1}),
+                       max_depth=1)
+    assert t["id"].to_pylist() == [1, 2]
+    t = gr.graph_query(docs, "id", "nxt", "id", roots_of({1}),
+                       max_depth=2)
+    assert t["id"].to_pylist() == [1, 2, 3]
+    # fixed point: 4's from-value (99) matches nothing; depth 10 ends
+    t = gr.graph_query(docs, "id", "nxt", "id", roots_of({1}),
+                       max_depth=10)
+    assert t["id"].to_pylist() == [1, 2, 3, 4]
+    # cycle converges (5 -> 6 -> 5) instead of looping
+    t = gr.graph_query(docs, "id", "nxt", "id", roots_of({5}),
+                       max_depth=10)
+    assert t["id"].to_pylist() == [5, 6]
+    # returnRoot=false drops roots unless a hop re-reaches them
+    t = gr.graph_query(docs, "id", "nxt", "id", roots_of({1}),
+                       max_depth=2, return_root=False)
+    assert t["id"].to_pylist() == [2, 3]
+    t = gr.graph_query(docs, "id", "nxt", "id", roots_of({5}),
+                       max_depth=10, return_root=False)
+    assert t["id"].to_pylist() == [5, 6]    # cycle re-reaches the root
+
+
 def test_shortest_path_all_paths(ray_session):
     # diamond with two 3-hop shortest paths plus a longer 4-hop detour
     import pyarrow as pa
