@@ -14,6 +14,7 @@ reproducible in ANSI SQL so every op here has a DuckDB oracle.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -831,3 +832,101 @@ def dsir_importance(ds: ray.data.Dataset, text_col: str, id_col: str,
             "dsir_logw": pa.array(np.round(w, 3))})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def phrases_identify(ds: ray.data.Dataset, text_col: str,
+                     queries: list[str]) -> pa.Table:
+    """PhrasesIdentificationComponent (upstream
+    ``S/handler/component/PhrasesIdentificationComponent.java`` [U]):
+    score each query string's candidate phrases against corpus
+    shingle statistics — the `phrases` response section listing every
+    candidate with its evidence. Candidates are the query's adjacent
+    word pairs (``maxIndexedPositionLength=2`` here); each scores
+    ``ttf(pair) / min(ttf(word))`` — the conditional probability of
+    the whole phrase given its rarest constituent word. Conformance
+    boundary: upstream blends per-field df/ttf skew terms into its
+    score; the component surface (scored candidate-phrase list) and
+    the stats plumbing (indexed-shingle ttf lookups) are the same.
+    Zero-evidence pairs (ttf 0) drop, like upstream's
+    score<=0 cut.
+
+    ONE streaming pass emits word- and pair-count partials
+    PRE-FILTERED to the candidate sets (tiny) — the corpus is never
+    shuffled; the driver folds partial counts bounded by
+    |candidates| x blocks."""
+    cands: list[tuple[str, int, str, str]] = []   # (query, pos, w1, w2)
+    for q in queries:
+        ws = [w for w in re.split(TOKEN_SPLIT, q.lower()) if w]
+        for i in range(len(ws) - 1):
+            cands.append((q, i, ws[i], ws[i + 1]))
+    need_w = pa.array(sorted({w for c in cands for w in c[2:]}),
+                      type=pa.string())
+    need_p = pa.array(sorted({f"{c[2]} {c[3]}" for c in cands}),
+                      type=pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys: list[np.ndarray] = []
+        kinds: list[np.ndarray] = []
+        cnts: list[np.ndarray] = []
+        offs, flat = _flat_tokens(b[text_col])
+        toks = flat.to_numpy(zero_copy_only=False)
+        wm = pc.is_in(flat, value_set=need_w) \
+            .to_numpy(zero_copy_only=False)
+        if wm.any():
+            u, c = np.unique(toks[wm], return_counts=True)
+            keys.append(u)
+            kinds.append(np.zeros(len(u), dtype=np.int64))
+            cnts.append(c)
+        if len(toks) >= 2:
+            doc_of = np.repeat(np.arange(len(offs) - 1),
+                               np.diff(offs))
+            same = doc_of[1:] == doc_of[:-1]
+            pair = pc.binary_join_element_wise(
+                pa.array(toks[:-1][same], type=pa.string()),
+                pa.array(toks[1:][same], type=pa.string()), " ")
+            pm = pc.is_in(pair, value_set=need_p) \
+                .to_numpy(zero_copy_only=False)
+            if pm.any():
+                u, c = np.unique(
+                    pair.to_numpy(zero_copy_only=False)[pm],
+                    return_counts=True)
+                keys.append(u)
+                kinds.append(np.ones(len(u), dtype=np.int64))
+                cnts.append(c)
+        if not keys:
+            return pa.table({"key": pa.array([], type=pa.string()),
+                             "kind": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        return pa.table({
+            "key": pa.array(np.concatenate(keys), type=pa.string()),
+            "kind": pa.array(np.concatenate(kinds), type=pa.int64()),
+            "c": pa.array(np.concatenate(cnts), type=pa.int64())})
+
+    from collections import Counter
+
+    from engine.ops.classify import _collect
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    wc: Counter = Counter()
+    bc: Counter = Counter()
+    if t is not None:
+        for k, kd, c in zip(t["key"].to_pylist(),
+                            t["kind"].to_pylist(),
+                            t["c"].to_pylist()):
+            (wc if kd == 0 else bc)[k] += c
+    rows = []
+    for q, i, w1, w2 in cands:
+        pc_ttf = bc.get(f"{w1} {w2}", 0)
+        if pc_ttf < 1:
+            continue
+        mw = min(wc.get(w1, 0), wc.get(w2, 0))
+        rows.append((q, i, f"{w1} {w2}", pc_ttf, mw,
+                     float(pc_ttf) / float(mw)))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pa.table({
+        "input": pa.array([r[0] for r in rows], type=pa.string()),
+        "pos": pa.array([r[1] for r in rows], type=pa.int64()),
+        "phrase": pa.array([r[2] for r in rows], type=pa.string()),
+        "pair_ttf": pa.array([r[3] for r in rows], type=pa.int64()),
+        "min_word_ttf": pa.array([r[4] for r in rows],
+                                 type=pa.int64()),
+        "score": pa.array([r[5] for r in rows], type=pa.float64())})

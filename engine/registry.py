@@ -3772,6 +3772,49 @@ WHERE rank < 3 ORDER BY context, rank
 """
 
 
+PHRASES_INPUTS = ("table hash join", "slow query merge order",
+                  "zz big table")
+_PHRASES_CANDS: list[tuple[str, int, str, str]] = []
+for _q in PHRASES_INPUTS:
+    _ws = _q.split()
+    for _i in range(len(_ws) - 1):
+        _PHRASES_CANDS.append((_q, _i, _ws[_i], _ws[_i + 1]))
+
+
+def phrases_identify_docs(sf_dir: str) -> pa.Table:
+    """PhrasesIdentificationComponent (upstream
+    ``S/handler/component/PhrasesIdentificationComponent`` [U]): each
+    query's adjacent-pair candidate phrases scored by corpus shingle
+    evidence ``ttf(pair)/min(ttf(word))`` (scoring-blend boundary
+    documented in the op); zero-evidence pairs drop — the `zz big`
+    candidate exercises that cut."""
+    ds = _read(sf_dir, "documents", ["text"])
+    return tx.phrases_identify(ds, "text", list(PHRASES_INPUTS))
+
+
+SQL_PHRASES_IDENTIFY = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS w FROM toks),
+wcnt AS (SELECT w, COUNT(*)::BIGINT AS c FROM uni GROUP BY w),
+bg AS (SELECT ts[i] || ' ' || ts[i+1] AS g
+       FROM toks, unnest(range(1, len(ts))) AS r(i)
+       WHERE len(ts) >= 2),
+bcnt AS (SELECT g, COUNT(*)::BIGINT AS c FROM bg GROUP BY g),
+cands(input, pos, w1, w2) AS (VALUES {", ".join(
+    f"('{q}', {i}, '{w1}', '{w2}')"
+    for q, i, w1, w2 in _PHRASES_CANDS)})
+SELECT c.input, c.pos::BIGINT AS pos,
+       c.w1 || ' ' || c.w2 AS phrase,
+       b.c AS pair_ttf, LEAST(x.c, y.c) AS min_word_ttf,
+       b.c::DOUBLE / LEAST(x.c, y.c)::DOUBLE AS score
+FROM cands c
+JOIN bcnt b ON b.g = c.w1 || ' ' || c.w2
+JOIN wcnt x ON x.w = c.w1
+JOIN wcnt y ON y.w = c.w2
+ORDER BY input, pos
+"""
+
+
 def mlt_topk(sf_dir: str) -> pa.Table:
     """MoreLikeThis: seed doc's most selective terms → scoring
     disjunction, seed excluded (upstream ``MoreLikeThis`` [U])."""
@@ -13435,6 +13478,7 @@ def queries() -> dict:
         "word_break_docs": word_break_docs,
         "word_combine_docs": word_combine_docs,
         "free_text_suggest_docs": free_text_suggest_docs,
+        "phrases_identify_docs": phrases_identify_docs,
         "index_sorted_topk_docs": index_sorted_topk_docs,
         "suggest_context_docs": suggest_context_docs,
         "mlt_topk": mlt_topk,
@@ -13765,6 +13809,7 @@ def oracle_sql() -> dict:
         "word_break_docs": SQL_WORD_BREAK,
         "word_combine_docs": SQL_WORD_COMBINE,
         "free_text_suggest_docs": SQL_FREE_TEXT_SUGGEST,
+        "phrases_identify_docs": SQL_PHRASES_IDENTIFY,
         "index_sorted_topk_docs": SQL_INDEX_SORTED,
         "suggest_context_docs": SQL_SUGGEST_CONTEXT,
         "mlt_topk": sql_mlt(),
