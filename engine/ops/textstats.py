@@ -880,19 +880,24 @@ def phrases_identify(ds: ray.data.Dataset, text_col: str,
         if len(toks) >= 2:
             doc_of = np.repeat(np.arange(len(offs) - 1),
                                np.diff(offs))
-            same = doc_of[1:] == doc_of[:-1]
-            pair = pc.binary_join_element_wise(
-                pa.array(toks[:-1][same], type=pa.string()),
-                pa.array(toks[1:][same], type=pa.string()), " ")
-            pm = pc.is_in(pair, value_set=need_p) \
-                .to_numpy(zero_copy_only=False)
-            if pm.any():
-                u, c = np.unique(
-                    pair.to_numpy(zero_copy_only=False)[pm],
-                    return_counts=True)
-                keys.append(u)
-                kinds.append(np.ones(len(u), dtype=np.int64))
-                cnts.append(c)
+            # candidate pairs need BOTH words in need_w: mask before
+            # building pair strings so the join is candidate-sized,
+            # not corpus-sized
+            cand = doc_of[1:] == doc_of[:-1]
+            cand &= wm[:-1] & wm[1:]
+            if cand.any():
+                pair = pc.binary_join_element_wise(
+                    pa.array(toks[:-1][cand], type=pa.string()),
+                    pa.array(toks[1:][cand], type=pa.string()), " ")
+                pm = pc.is_in(pair, value_set=need_p) \
+                    .to_numpy(zero_copy_only=False)
+                if pm.any():
+                    u, c = np.unique(
+                        pair.to_numpy(zero_copy_only=False)[pm],
+                        return_counts=True)
+                    keys.append(u)
+                    kinds.append(np.ones(len(u), dtype=np.int64))
+                    cnts.append(c)
         if not keys:
             return pa.table({"key": pa.array([], type=pa.string()),
                              "kind": pa.array([], type=pa.int64()),
@@ -904,7 +909,10 @@ def phrases_identify(ds: ray.data.Dataset, text_col: str,
 
     from collections import Counter
 
-    from engine.ops.classify import _collect
+    # graph._collect: None-safe on all-empty partials AND
+    # materialize()s first (to_arrow_refs on a lazy plan would run
+    # the corpus pass twice via the limit-1 schema probe)
+    from engine.ops.graph import _collect
     t = _collect(ds.map_batches(partial, batch_format="pyarrow"))
     wc: Counter = Counter()
     bc: Counter = Counter()

@@ -470,6 +470,11 @@ def nearest_ids(index_dir: str, clat: float, clon: float, k: int) -> dict:
     d = _load_dir_2d(index_dir)
     s = float(d["scale"])
     icol = d["id_col"]
+    if k <= 0:
+        return {"ids": np.empty(0, dtype=np.int64),
+                "dist_km": np.empty(0, dtype=np.float64),
+                "decoded_leaves": 0,
+                "total_leaves": len(d["leaves"])}
     heap = []
     for i, leaf in enumerate(d["leaves"]):
         lb = _min_km_to_box(clat, clon, leaf["min_lat"] / s,
