@@ -1931,6 +1931,11 @@ class IndexReader:
         fset = np.unique(np.concatenate(set_docs))
         cand = np.unique(np.concatenate([c[0] for c in clause.values()]))
         cand = cand[np.isin(cand, fset, assume_unique=True)]
+        return self._sum_clause_topk(clause, cand, k)
+
+    def _sum_clause_topk(self, clause, cand, k):
+        """Shared tail: mask deletes, sum per-clause BM25 over the
+        candidate docIDs (searchsorted probes), cut to top-k."""
         keep = self._keep(cand)
         if keep is not None:
             cand = cand[keep]
@@ -1947,6 +1952,39 @@ class IndexReader:
         final = sums.astype(np.float32)
         order = np.lexsort((cand, -final))[:k]
         return _topdocs_table(cand[order], final[order], total=len(cand))
+
+    def overlap_topk(self, terms: list[str], k: int = 10) -> pa.Table:
+        """``{!min_hash}`` query scoring (upstream Solr
+        ``MinHashQParser`` [U], built on
+        ``lucene/analysis/common/.../minhash`` [U]): the query's
+        signature tokens form a boolean SHOULD of constant-score
+        TermQueries, so a doc's score is the COUNT of signature
+        tokens it shares with the query — the un-normalized Jaccard
+        overlap the parser exposes (its ``sim`` rescaling is a
+        monotone transform of this count). One sorted-postings union
+        + per-term searchsorted accumulate; deletes masked; ties
+        break docID asc."""
+        terms = sorted(set(terms))
+        subs = self.lookup(terms)
+        posting = [self._clause_arrays(t, subs[t])[0]
+                   for t in terms if subs[t]]
+        if not posting:
+            return _topdocs_table([], [])
+        cand = np.unique(np.concatenate(posting))
+        keep = self._keep(cand)
+        if keep is not None:
+            cand = cand[keep]
+        if not len(cand):
+            return _topdocs_table([], [])
+        cnt = np.zeros(len(cand), dtype=np.int64)
+        for docs in posting:
+            idx = np.clip(np.searchsorted(docs, cand), 0,
+                          len(docs) - 1)
+            cnt[docs[idx] == cand] += 1
+        final = cnt.astype(np.float32)
+        order = np.lexsort((cand, -final))[:k]
+        return _topdocs_table(cand[order], final[order],
+                              total=len(cand))
 
     def common_terms_topk(self, terms: list[str],
                           max_tf_fraction: float = 0.1,

@@ -8402,6 +8402,53 @@ ORDER BY term
 """
 
 
+MINHASH_QUERY_TEXT = "table hash join merge sort key group value"
+
+
+def minhash_query_docs(sf_dir: str) -> pa.Table:
+    """``{!min_hash}`` query parser (upstream Solr ``MinHashQParser``
+    [U]): the query text runs through the SAME MinHash analysis chain
+    as the index ({MINHASH_FILTER_K} smallest md5-low-64 hashes of its
+    distinct tokens), then scores docs by signature-token overlap —
+    one constant-score SHOULD per signature token. Top-10 by overlap
+    desc, doc_id asc."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "min_hash", "k": MINHASH_FILTER_K},),
+        "minhashfilter1")
+    words = sorted({w for w in MINHASH_QUERY_TEXT.lower().split()
+                    if w})
+    hv = sorted(struct.unpack(
+        "<Q", hashlib.md5(w.encode()).digest()[8:])[0] for w in words)
+    sig = [str(h) for h in hv[:MINHASH_FILTER_K]]
+    r = IndexReader(idx)
+    return _topdocs_out(r.overlap_topk(sig, k=10))
+
+
+SQL_MINHASH_QUERY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+h AS (SELECT DISTINCT doc_id, md5_number_lower(term) AS hv FROM toks),
+rn AS (
+  SELECT doc_id, hv,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv) AS rn
+  FROM h),
+mh AS (SELECT doc_id, CAST(hv AS VARCHAR) AS term FROM rn
+       WHERE rn <= {MINHASH_FILTER_K}),
+qt AS (SELECT DISTINCT md5_number_lower(w) AS hv FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(
+    lower('{MINHASH_QUERY_TEXT}'), '[^a-z0-9]+'), x -> x <> '')) AS w)),
+qsig AS (SELECT CAST(hv AS VARCHAR) AS term FROM (
+  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM qt)
+  WHERE rn <= {MINHASH_FILTER_K}),
+ov AS (SELECT mh.doc_id, COUNT(*)::BIGINT AS c
+       FROM mh JOIN qsig USING (term) GROUP BY mh.doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) - 1)::BIGINT
+         AS rank,
+       doc_id, CAST(c AS FLOAT) AS score
+FROM ov ORDER BY c DESC, doc_id LIMIT 10
+"""
+
+
 FUZZY_TRANSPOSE_TERM = "psark"   # one adjacent swap from 'spark'
 
 
@@ -13615,6 +13662,7 @@ def queries() -> dict:
         "fuzzy_transpose_topk": fuzzy_transpose_topk,
         "blockjoin_children_docs": blockjoin_children_docs,
         "minhash_filter_stats": minhash_filter_stats,
+        "minhash_query_docs": minhash_query_docs,
         "atomic_update_topk": atomic_update_topk,
         "span_or_topk_docs": span_or_topk_docs,
         "synonym_query_topk": synonym_query_topk,
@@ -13945,6 +13993,7 @@ def oracle_sql() -> dict:
         "fuzzy_transpose_topk": SQL_FUZZY_TRANSPOSE,
         "blockjoin_children_docs": sql_blockjoin_children(),
         "minhash_filter_stats": SQL_MINHASH_FILTER,
+        "minhash_query_docs": SQL_MINHASH_QUERY,
         "atomic_update_topk": sql_atomic_update(),
         "span_or_topk_docs": sql_span_or(),
         "synonym_query_topk": sql_synonym_query(),
