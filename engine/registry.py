@@ -5522,6 +5522,38 @@ FROM toks GROUP BY 1 ORDER BY 1
 """
 
 
+def reindex_collection_stats(sf_dir: str) -> pa.Table:
+    """REINDEXCOLLECTION (upstream Solr ``ReindexCollectionCmd`` [U]:
+    daemon streams the SOURCE collection's stored fields into a
+    target with a new schema — never re-reading the original input):
+    source = the standard doc index + its stored-fields stage; target
+    = a truncate(4) analysis chain built FROM THE STORED FIELDS.
+    Sharing the truncate chain's SQL oracle (computed over the raw
+    corpus) proves the stored-fields round-trip is lossless and the
+    reindexed target is a first-class index."""
+    from engine.build import STORED_DIR, build_stored_fields
+
+    src = cached_doc_index(sf_dir, analyzed=False)
+    build_stored_fields(src)
+    stored = sorted(
+        os.path.join(src, STORED_DIR, f)
+        for f in os.listdir(os.path.join(src, STORED_DIR))
+        if f.endswith(".parquet"))
+    assert stored, "stored-fields stage produced no files"
+    key = hashlib.md5(f"{sf_dir}|reindex-trunc4|v1".encode()) \
+        .hexdigest()[:12]
+    out = os.path.join("/tmp/rayindex_cache", key)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048,
+        filters=({"type": "truncate", "length": 4},))
+    build_index(stored, out, cfg)
+    # the reindex read the engine's OWN stored fields, not the corpus
+    assert all(STORED_DIR in f for f in mf.load(out)["input_files"])
+    return _index_stats_of(out)
+
+
 def reverse_filter_stats(sf_dir: str) -> pa.Table:
     """ReverseStringFilter e2e (upstream ``ReverseStringFilter`` [U] —
     the leading-wildcard enabler): every token reversed at index
@@ -13575,6 +13607,7 @@ def queries() -> dict:
         "edge_ngram_stats": edge_ngram_stats,
         "length_filter_stats": length_filter_stats,
         "truncate_filter_stats": truncate_filter_stats,
+        "reindex_collection_stats": reindex_collection_stats,
         "keep_word_stats": keep_word_stats,
         "pattern_capture_stats": pattern_capture_stats,
         "reverse_filter_stats": reverse_filter_stats,
@@ -13907,6 +13940,7 @@ def oracle_sql() -> dict:
         "edge_ngram_stats": SQL_EDGE_NGRAM_STATS,
         "length_filter_stats": SQL_LENGTH_FILTER_STATS,
         "truncate_filter_stats": SQL_TRUNCATE_FILTER_STATS,
+        "reindex_collection_stats": SQL_TRUNCATE_FILTER_STATS,
         "keep_word_stats": SQL_KEEP_WORD_STATS,
         "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,
