@@ -303,6 +303,99 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     return _cast_col(t, "rank", pa.int64())
 
 
+QUALITY_QUERIES = ("spark merge", "table hash", "slow query",
+                   "big order", "filter small")
+
+
+def quality_benchmark_docs(sf_dir: str) -> pa.Table:
+    """Retrieval-quality benchmark (upstream
+    ``lucene/benchmark/.../quality/QualityBenchmark.java`` [U] —
+    TrecEval-style judged run): the judged query set runs through the
+    real BMW engine; per query report the judgment-set size, the
+    relevant count inside the top-10, and the reciprocal rank of the
+    first relevant hit (0 when none lands in the window). Judgments
+    are conjunctive pseudo-qrels — a doc is relevant iff it contains
+    EVERY query term — so the oracle replays both the f32 BM25 run
+    and the qrels exactly."""
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    r = IndexReader(idx)
+    rows = []
+    for qid, q in enumerate(QUALITY_QUERIES):
+        terms = sorted(set(q.split()))
+        subs = r.lookup(terms)
+        sets = [r._clause_arrays(t, subs[t])[0]
+                for t in terms if subs[t]]
+        if len(sets) == len(terms):
+            rel = sets[0]
+            for s in sets[1:]:
+                rel = np.intersect1d(rel, s, assume_unique=True)
+        else:
+            rel = np.empty(0, dtype=np.int64)
+        top = r.bmw_topk(q, 10)
+        ids = top["doc_id"].to_numpy()
+        hit = np.isin(ids, rel, assume_unique=True)
+        first = int(np.flatnonzero(hit)[0]) + 1 if hit.any() else 0
+        rows.append((qid, int(len(rel)), int(hit.sum()),
+                     1.0 / first if first else 0.0))
+    return pa.table({
+        "qid": pa.array([r_[0] for r_ in rows], type=pa.int64()),
+        "n_rel": pa.array([r_[1] for r_ in rows], type=pa.int64()),
+        "rel_at_10": pa.array([r_[2] for r_ in rows],
+                              type=pa.int64()),
+        "rr": pa.array([r_[3] for r_ in rows], type=pa.float64())})
+
+
+def sql_quality_benchmark() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(QUALITY_QUERIES)
+        for t in sorted(set(q.split())))
+    return f"""{_bm25_ctes()},
+queries(qid, term) AS (VALUES {vals}),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM (SELECT DISTINCT term FROM queries) q
+  JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT q.qid, tf.doc_id, tf.term, {_SQL_CONTRIB} AS sc
+  FROM queries q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (
+  SELECT qid, doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY qid, doc_id),
+topk AS (
+  SELECT qid, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id) AS rnk
+  FROM scored QUALIFY rnk <= 10),
+nterms AS (SELECT qid, COUNT(DISTINCT term) AS nt
+           FROM queries GROUP BY qid),
+rel AS (
+  SELECT q.qid, tf.doc_id
+  FROM queries q JOIN tf ON tf.term = q.term
+  JOIN nterms n ON n.qid = q.qid
+  GROUP BY q.qid, tf.doc_id, n.nt
+  HAVING COUNT(DISTINCT tf.term) = n.nt),
+relc AS (SELECT qid, COUNT(*)::BIGINT AS n_rel FROM rel GROUP BY qid),
+hits AS (
+  SELECT t.qid,
+         COUNT(r.doc_id)::BIGINT AS rel_at_10,
+         MIN(CASE WHEN r.doc_id IS NOT NULL THEN t.rnk END) AS frst
+  FROM topk t LEFT JOIN rel r
+    ON r.qid = t.qid AND r.doc_id = t.doc_id
+  GROUP BY t.qid)
+SELECT h.qid::BIGINT AS qid, COALESCE(rc.n_rel, 0) AS n_rel,
+       h.rel_at_10,
+       CASE WHEN h.frst IS NULL THEN 0.0
+            ELSE 1.0 / h.frst END AS rr
+FROM hits h LEFT JOIN relc rc ON rc.qid = h.qid
+ORDER BY h.qid
+"""
+
+
 def tiered_segment_topk(sf_dir: str) -> pa.Table:
     """Segment-append + tiered-merge lifecycle (upstream IndexWriter
     flush → ``TieredMergePolicy`` [U]; ``build_index(append_mode=
@@ -13455,6 +13548,7 @@ def queries() -> dict:
         "synonym_term_stats": synonym_term_stats,
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
+        "quality_benchmark_docs": quality_benchmark_docs,
         "bm25_topk_for": bm25_topk_for_codec,
         "maxscore_topk_docs": maxscore_topk_docs,
         "index_options_docs_topk": index_options_docs_topk,
@@ -13791,6 +13885,7 @@ def oracle_sql() -> dict:
         "synonym_term_stats": _sql_synonym_stats(),
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
+        "quality_benchmark_docs": sql_quality_benchmark(),
         "bm25_topk_for": sql_bm25_topk(),
         "maxscore_topk_docs": sql_bm25_topk(),
         "index_options_docs_topk":
