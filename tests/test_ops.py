@@ -404,6 +404,43 @@ def test_graph_query_semantics(ray_session):
     assert t["id"].to_pylist() == [5, 6]    # cycle re-reaches the root
 
 
+def test_graph_query_random_equivalence(ray_session):
+    """Property: the broadcast-hop traversal equals a driver BFS on
+    random doc tables, for every (max_depth, return_root) combo."""
+    import ray.data
+
+    from engine.ops import graph as gr
+
+    rng = np.random.RandomState(23)
+    for trial in range(5):
+        n = int(rng.randint(3, 60))
+        ids = np.arange(n, dtype=np.int64)
+        nxt = rng.randint(0, max(1, 2 * n), size=n).astype(np.int64)
+        docs = ray.data.from_arrow(pa.table({"id": ids, "nxt": nxt}))
+        root_ids = set(rng.choice(ids, size=max(1, n // 5),
+                                  replace=False).tolist())
+        roots = docs.filter(lambda r: r["id"] in root_ids)
+        by_to = {int(i): int(v) for i, v in zip(ids, nxt)}
+        for depth in (0, 1, 2, 7):
+            for rr in (True, False):
+                got = gr.graph_query(docs, "id", "nxt", "id", roots,
+                                     max_depth=depth, return_root=rr)
+                # driver BFS reference over value->doc edges
+                matched = set(root_ids) if rr else set()
+                frontier = {by_to[i] for i in root_ids}
+                queried: set[int] = set()
+                for _ in range(depth):
+                    new = frontier - queried
+                    if not new:
+                        break
+                    queried |= new
+                    hit = {i for i in by_to if i in new}
+                    matched |= hit
+                    frontier = {by_to[i] for i in hit}
+                assert got["id"].to_pylist() == sorted(matched), \
+                    (trial, depth, rr)
+
+
 def test_shortest_path_all_paths(ray_session):
     # diamond with two 3-hop shortest paths plus a longer 4-hop detour
     import pyarrow as pa
