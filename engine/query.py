@@ -2433,6 +2433,92 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def term_automaton_topk(self, variants: list[list[str]],
+                            k: int = 10) -> pa.Table:
+        """TermAutomatonQuery (upstream
+        ``L/sandbox/.../search/TermAutomatonQuery.java`` [U]): the
+        automaton accepts several explicit term-sequence paths — e.g.
+        ``a c | a b c``, the optional-middle-token graph its
+        ``createState``/``addTransition`` API builds. A doc's freq is
+        the number of (start position, path) acceptances — distinct
+        paths from one start position count separately, exactly as
+        the position automaton enumerates — scored as ONE phrase-like
+        clause whose weight sums the DISTINCT terms' f32 idfs (f64
+        accumulation; exact since same-magnitude f32 values sum
+        without f64 rounding, so the SQL oracle is order-free). Per
+        path the same collision-free packed (doc, pos) intersection
+        as :meth:`phrase_topk`; paths missing any term contribute
+        nothing."""
+        flat = sorted({t for v in variants for t in v})
+        subs = self.lookup(flat)
+        pos_rows = {t: self._lookup_positions(t) if subs[t] else []
+                    for t in flat}
+        SHIFT = np.int64(1 << 21)
+        max_pos = 0
+        for rows in pos_rows.values():
+            for _, _, _, fp in rows:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        while SHIFT <= max_pos:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
+            raise OverflowError("term-automaton key space overflow")
+        w64 = sum(float(idf(self.N, self.global_df(subs[t])))
+                  for t in flat if subs[t])
+        doc_norm: dict[int, int] = {}
+        for rows in pos_rows.values():
+            for docs, _, norms, _ in rows:
+                for d, nb in zip(docs, norms):
+                    doc_norm[int(d)] = int(nb)
+        acc_docs: list[np.ndarray] = []
+        acc_freq: list[np.ndarray] = []
+        for variant in variants:
+            if any(not subs[t] for t in variant):
+                continue
+            occ: np.ndarray | None = None
+            for i, t in enumerate(variant):
+                parts = []
+                for docs, tfs, _, fp in pos_rows[t]:
+                    doc_rep = np.repeat(docs, tfs)
+                    p = fp - i
+                    ok = p >= 0
+                    parts.append(doc_rep[ok] * SHIFT + p[ok])
+                ks = (np.unique(np.concatenate(parts)) if parts
+                      else np.empty(0, np.int64))
+                occ = ks if occ is None \
+                    else np.intersect1d(occ, ks, assume_unique=True)
+                if not len(occ):
+                    break
+            if occ is None or not len(occ):
+                continue
+            d, f = np.unique((occ // SHIFT).astype(np.int64),
+                             return_counts=True)
+            acc_docs.append(d)
+            acc_freq.append(f)
+        if not acc_docs:
+            return _topdocs_table([], [])
+        alld = np.concatenate(acc_docs)
+        allf = np.concatenate(acc_freq)
+        o0 = np.argsort(alld, kind="stable")
+        alld, allf = alld[o0], allf[o0]
+        nb_m = np.empty(len(alld), dtype=bool)
+        nb_m[0] = True
+        nb_m[1:] = alld[1:] != alld[:-1]
+        st = np.flatnonzero(nb_m)
+        uniq = alld[st]
+        freq = np.add.reduceat(allf, st)
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, freq = uniq[keep], freq[keep]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        norms = np.array([doc_norm[int(d)] for d in uniq],
+                         dtype=np.uint8)
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order],
+                              total=len(uniq))
+
     # ------------------------------------- suggest / spellcheck / MLT
 
     def _df_of(self, terms: list[str]) -> dict[str, int]:

@@ -6497,6 +6497,64 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+TA_A, TA_OPT, TA_B = "merge", "group", "order"
+
+
+def term_automaton_topk_docs(sf_dir: str) -> pa.Table:
+    """TermAutomatonQuery (upstream sandbox
+    ``TermAutomatonQuery.java`` [U]): the optional-middle-token
+    automaton ``{TA_A} ({TA_OPT})? {TA_B}`` — freq counts BOTH
+    accepted paths per start position; weight sums the three distinct
+    terms' f32 idfs."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(r.term_automaton_topk(
+        [[TA_A, TA_B], [TA_A, TA_OPT, TA_B]], k=10))
+
+
+def sql_term_automaton() -> str:
+    all_terms = ",".join(f"'{t}'" for t in (TA_A, TA_OPT, TA_B))
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT doc_id, SUM(c)::DOUBLE AS freq FROM (
+    SELECT a.doc_id, COUNT(*) AS c
+    FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    WHERE a.tok = '{TA_A}' AND b.tok = '{TA_B}'
+    GROUP BY a.doc_id
+    UNION ALL
+    SELECT a.doc_id, COUNT(*) AS c
+    FROM pos a
+    JOIN pos m ON m.doc_id = a.doc_id AND m.p = a.p + 1
+    JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 2
+    WHERE a.tok = '{TA_A}' AND m.tok = '{TA_OPT}'
+      AND b.tok = '{TA_B}'
+    GROUP BY a.doc_id)
+  GROUP BY doc_id),
+qterms AS (SELECT unnest([{all_terms}]) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM dfs d CROSS JOIN stats s),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 PATREP = ("[0-9]+", "#")
 
 
@@ -13754,6 +13812,7 @@ def queries() -> dict:
         "span_first_topk_docs": span_first_topk_docs,
         "span_position_range_docs": span_position_range_docs,
         "multi_phrase_topk_docs": multi_phrase_topk_docs,
+        "term_automaton_topk_docs": term_automaton_topk_docs,
         "pattern_replace_stats": pattern_replace_stats,
         "soundex_stats": soundex_stats,
         "regression_stats_events": regression_stats_events,
@@ -14087,6 +14146,7 @@ def oracle_sql() -> dict:
         "span_first_topk_docs": sql_span_first(),
         "span_position_range_docs": sql_span_position_range(),
         "multi_phrase_topk_docs": sql_multi_phrase(),
+        "term_automaton_topk_docs": sql_term_automaton(),
         "pattern_replace_stats": SQL_PATTERN_REPLACE_STATS,
         "soundex_stats": SQL_SOUNDEX_STATS,
         "regression_stats_events": SQL_REGRESSION_STATS,
