@@ -700,6 +700,37 @@ def test_multi_phrase_superset_of_each_alternative(reader):
             | set(p2["doc_id"].to_pylist()))
 
 
+def test_term_automaton_single_path_equals_phrase(reader):
+    """A one-path automaton degenerates to PhraseQuery — identical
+    docs AND identical float32 scores."""
+    t1, t2 = reader.analyzer.query_terms("index merge")
+    ta = reader.term_automaton_topk([[t1, t2]], k=50)
+    ph = reader.phrase_topk("index merge", k=50)
+    assert ta["doc_id"].to_pylist() == ph["doc_id"].to_pylist()
+    assert ta["score"].to_pylist() == ph["score"].to_pylist()
+
+
+def test_term_automaton_optional_token_paths(reader):
+    """"a (b)? c" matches the union of both explicit paths, freq sums
+    path acceptances, and a path with a missing term contributes
+    nothing (without poisoning the live paths)."""
+    t1, t2 = reader.analyzer.query_terms("index merge")
+    (t3,) = reader.analyzer.query_terms("sort")
+    ta = reader.term_automaton_topk([[t1, t2], [t1, t3, t2]],
+                                    k=100000)
+    p1 = reader.phrase_topk("index merge", k=100000)
+    docs3 = set()
+    occ3 = reader.term_automaton_topk([[t1, t3, t2]], k=100000)
+    docs3 = set(occ3["doc_id"].to_pylist())
+    assert (set(ta["doc_id"].to_pylist())
+            == set(p1["doc_id"].to_pylist()) | docs3)
+    # a variant containing an unindexed term is dropped, not fatal
+    ta2 = reader.term_automaton_topk(
+        [[t1, t2], [t1, "zzzznotaterm", t2]], k=50)
+    assert ta2["doc_id"].to_pylist() == p1.slice(0, 50)["doc_id"] \
+        .to_pylist()
+
+
 def test_term_range_matches_explicit_constant_score(reader):
     import bisect
 
