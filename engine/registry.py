@@ -11247,6 +11247,49 @@ def exact_substring_docs(sf_dir: str) -> pa.Table:
     return _cast_col(t, "doc_id", pa.int64())
 
 
+WINNOW_K, WINNOW_W = 3, 4
+
+
+def winnow_fingerprint_docs(sf_dir: str) -> pa.Table:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD 2003, the MOSS
+    algorithm): distinct per-doc selected hashes — min of each
+    length-{WINNOW_W} window over the k-gram hash sequence. One
+    row-local streaming pass; see ``dedup.winnow_fingerprints``."""
+    from engine.ops import dedup as dd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.winnow_fingerprints(ds, "text", "doc_id",
+                                  k=WINNOW_K, w=WINNOW_W)
+
+
+SQL_WINNOW = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+win AS (
+  SELECT doc_id, p,
+         md5_number_lower(array_to_string(
+             list_slice(ts, p + 1, p + {WINNOW_K}), chr(0))) AS h
+  FROM (SELECT doc_id, ts,
+               unnest(range(0, len(ts) - {WINNOW_K} + 1)) AS p
+        FROM toks)),
+n_of AS (SELECT doc_id, COUNT(*) AS n FROM win GROUP BY doc_id),
+mins AS (
+  SELECT doc_id, p,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS cnt
+  FROM win),
+sel AS (
+  SELECT m.doc_id, m.fp FROM mins m JOIN n_of n USING (doc_id)
+  WHERE (n.n >= {WINNOW_W} AND m.cnt = {WINNOW_W})
+     OR (n.n < {WINNOW_W} AND m.p = 0))
+SELECT DISTINCT doc_id, CAST(fp AS VARCHAR) AS fp FROM sel
+ORDER BY doc_id, fp
+"""
+
+
 SQL_EXACT_SUBSTRING = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
 win AS (
@@ -13907,6 +13950,7 @@ def queries() -> dict:
         "rag_chunk_search_topk": rag_chunk_search_topk,
         "bigram_lm_docs": bigram_lm_docs,
         "exact_substring_docs": exact_substring_docs,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
         "exact_substring_clean_docs": exact_substring_clean_docs,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "fuzzy_suggest_docs": fuzzy_suggest_docs,
@@ -14243,6 +14287,7 @@ def oracle_sql() -> dict:
         "rag_chunk_search_topk": sql_rag_chunk_search(),
         "bigram_lm_docs": SQL_BIGRAM_LM,
         "exact_substring_docs": SQL_EXACT_SUBSTRING,
+        "winnow_fingerprint_docs": SQL_WINNOW,
         "exact_substring_clean_docs": SQL_EXACT_SUBSTRING_CLEAN,
         "dedup_keep_best_docs": sql_dedup_keep_best(),
         "fuzzy_suggest_docs": SQL_FUZZY_SUGGEST,

@@ -1153,6 +1153,35 @@ def test_tag_dictionary_counts_and_boundaries(ray_session):
         assert got == [(1, "a b", 2), (1, "b a", 2), (3, "a b", 1)]
 
 
+def test_winnow_guarantee_and_boundaries(ray_session):
+    """Winnowing (SIGMOD'03): docs sharing a token run of length
+    >= k+w-1 share at least one fingerprint; short docs fall back to
+    min-of-all; sub-k docs emit nothing."""
+    import ray.data
+
+    from engine.ops.dedup import winnow_fingerprints
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 >= k+w-1
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [f"one two {shared} three",
+                 f"nine {shared} ten eleven",
+                 "tiny doc here four",       # 4 tokens -> 2 windows < w
+                 "ab cd"],                   # < k tokens -> no windows
+    }))
+    t = winnow_fingerprints(docs, "text", "doc_id", k=k, w=w)
+    by = {}
+    for i, fp in zip(t["doc_id"].to_pylist(), t["fp"].to_pylist()):
+        by.setdefault(i, set()).add(fp)
+    assert by[1] & by[2], "shared run must share a fingerprint"
+    assert len(by[3]) == 1, "short doc selects min-of-all once"
+    assert 4 not in by, "sub-k docs emit no fingerprints"
+    # selection compresses: fewer fingerprints than windows
+    n_windows_1 = len("one two".split()) + 6 + 1 - (k - 1) - 1
+    assert len(by[1]) < n_windows_1
+
+
 def test_exact_substring_spans_planted_duplicate(ray_session):
     """A 12-token passage planted in two docs: each must report one
     maximal span exactly covering the passage (k=8 windows merged by
