@@ -315,6 +315,18 @@ class IndexReader:
         self._filter_cache_cap = 64
         self.filter_cache_hits = 0
         self.filter_cache_misses = 0
+        # queryResultCache (upstream Solr ``queryResultCache`` +
+        # ``queryResultWindowSize`` [U]): LRU of top-k result pages,
+        # keyed (query, strategy); requests round UP to the window so
+        # nearby pages of the same query hit. Same per-searcher
+        # lifetime as the filterCache.
+        self._qr_cache: OrderedDict[tuple, tuple[int, pa.Table]] \
+            = OrderedDict()
+        self._qr_cache_cap = 64
+        self.qr_window = 20              # queryResultWindowSize
+        self.qr_max_docs_cached = 200    # queryResultMaxDocsCached
+        self.qr_cache_hits = 0
+        self.qr_cache_misses = 0
         self._raw_tabs: list[dict] = []
         self._raw_index: dict[str, list] = {}
         self._docmap: pa.Table | None = None
@@ -439,6 +451,37 @@ class IndexReader:
         if len(self._filter_cache) > self._filter_cache_cap:
             self._filter_cache.popitem(last=False)
         return docs
+
+    def cached_topk(self, query_text: str, k: int,
+                    strategy: str = "auto") -> pa.Table:
+        """Top-k through the queryResultCache (upstream Solr
+        ``queryResultCache`` / ``SolrIndexSearcher#getDocListC`` [U]):
+        the request rounds UP to the next ``queryResultWindowSize``
+        multiple (capped at ``queryResultMaxDocsCached``) and the
+        whole window is cached keyed (query, strategy), so paging and
+        re-issued queries slice the cached superset instead of
+        re-scoring. A request larger than a cached window is a miss
+        and re-caches the bigger window. Per-searcher lifetime —
+        a commit opens a new reader, like every Solr cache."""
+        key = (query_text, strategy)
+        win = min(max(self.qr_window,
+                      -(-k // self.qr_window) * self.qr_window),
+                  max(k, self.qr_max_docs_cached))
+        e = self._qr_cache.get(key)
+        if e is not None:
+            w_e, tab = e
+            # enough cached rows, or the window wasn't filled (the
+            # query has no more results than the cache holds)
+            if tab.num_rows >= k or tab.num_rows < w_e:
+                self._qr_cache.move_to_end(key)
+                self.qr_cache_hits += 1
+                return tab.slice(0, k)
+        self.qr_cache_misses += 1
+        full = self.topk(query_text, win, strategy=strategy)
+        self._qr_cache[key] = (win, full)
+        if len(self._qr_cache) > self._qr_cache_cap:
+            self._qr_cache.popitem(last=False)
+        return full.slice(0, k)
 
     def _keep(self, docs: np.ndarray) -> np.ndarray | None:
         """Live-docs mask (None = nothing deleted): True where doc is

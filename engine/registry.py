@@ -303,6 +303,23 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     return _cast_col(t, "rank", pa.int64())
 
 
+def query_result_cache_topk(sf_dir: str) -> pa.Table:
+    """queryResultCache (upstream Solr ``queryResultCache`` +
+    ``queryResultWindowSize`` [U]): the same top-k served through the
+    per-searcher result-page cache — the first call computes and
+    caches a window-rounded superset, the second slices it with zero
+    scoring work (pinned by the in-entry hit assert). Shares the BM25
+    oracle: caching must not change a single bit."""
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    r = IndexReader(idx)
+    first = r.cached_topk(BM25_QUERY, BM25_K)
+    again = r.cached_topk(BM25_QUERY, BM25_K)
+    assert r.qr_cache_hits == 1 and r.qr_cache_misses == 1
+    assert first.equals(again)
+    t = again.select(["rank", "doc_id", "score"])
+    return _cast_col(t, "rank", pa.int64())
+
+
 QUALITY_QUERIES = ("spark merge", "table hash", "slow query",
                    "big order", "filter small")
 
@@ -13650,6 +13667,7 @@ def queries() -> dict:
         "doc_freq_top20": doc_freq_top20,
         "bm25_topk": bm25_topk,
         "quality_benchmark_docs": quality_benchmark_docs,
+        "query_result_cache_topk": query_result_cache_topk,
         "bm25_topk_for": bm25_topk_for_codec,
         "maxscore_topk_docs": maxscore_topk_docs,
         "index_options_docs_topk": index_options_docs_topk,
@@ -13989,6 +14007,7 @@ def oracle_sql() -> dict:
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
         "quality_benchmark_docs": sql_quality_benchmark(),
+        "query_result_cache_topk": sql_bm25_topk(),
         "bm25_topk_for": sql_bm25_topk(),
         "maxscore_topk_docs": sql_bm25_topk(),
         "index_options_docs_topk":

@@ -91,6 +91,38 @@ def test_filter_cache_hits_and_equivalence(tiny_idx):
     assert r.filter_cache_hits == 3
 
 
+def test_query_result_cache_windowing(tiny_idx):
+    r = IndexReader(tiny_idx)
+    direct = r.topk("alpha beta", 10)
+    # k=3 rounds up to the window (20): miss, then k<=window hits
+    a = r.cached_topk("alpha beta", 3)
+    assert r.qr_cache_misses == 1 and r.qr_cache_hits == 0
+    b = r.cached_topk("alpha beta", 10)
+    assert r.qr_cache_hits == 1 and r.qr_cache_misses == 1
+    assert a["doc_id"].to_pylist() == direct.slice(0, 3)["doc_id"] \
+        .to_pylist()
+    assert b["doc_id"].to_pylist() == direct["doc_id"].to_pylist()
+    assert b["score"].to_pylist() == direct["score"].to_pylist()
+    # the tiny corpus has fewer matches than the window, so even a
+    # k beyond the cached rows is a HIT (window wasn't filled)
+    c = r.cached_topk("alpha beta", 50)
+    assert r.qr_cache_hits == 2
+    assert c.num_rows == direct.num_rows
+    # a different strategy is a different cache key
+    r.cached_topk("alpha beta", 3, strategy="brute")
+    assert r.qr_cache_misses == 2
+    # LRU eviction
+    r._qr_cache_cap = 2
+    r.cached_topk("rho", 3)
+    r.cached_topk("beta", 3)        # evicts ("alpha beta", "auto")
+    assert ("alpha beta", "auto") not in r._qr_cache
+    # window growth past qr_window on big k: k=25 -> window 40
+    r2 = IndexReader(tiny_idx)
+    r2.qr_max_docs_cached = 200
+    r2.cached_topk("alpha", 25)
+    assert r2._qr_cache[("alpha", "auto")][0] == 40
+
+
 def test_filter_cache_lru_eviction(tiny_idx):
     r = IndexReader(tiny_idx)
     r._filter_cache_cap = 2
