@@ -169,7 +169,10 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
                      "train_logistic_docs", "ppm_image_stats",
                      "gopher_rules_docs", "ccnet_buckets_docs",
                      "bpe_merges_docs", "incremental_dedup_docs",
-                     "heavy_hitters_docs", "points_range_orders"]:
+                     "heavy_hitters_docs", "points_range_orders",
+                     "winnow_fingerprint_docs",
+                     "graph_query_customers",
+                     "latlon_nearest_customers"]:
             t0 = time.perf_counter()
             reg[name](sf_dir)
             queries[name] = round(time.perf_counter() - t0, 3)
