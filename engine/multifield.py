@@ -55,8 +55,13 @@ def build_multifield_index(input_path: str | list[str], index_dir: str,
     ``doc_id_col`` so docIDs align). Returns {field: manifest}."""
     out: dict[str, Any] = {}
     ident = None
+    cols = [cfg.text_col for cfg in field_cfgs.values()]
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"field_cfgs share a text_col: {sorted(cols)} — "
+                         "each field must index its own column")
     for field, cfg in sorted(field_cfgs.items()):
-        assert cfg.text_col == field or cfg.text_col, "text_col per field"
+        if not cfg.text_col:
+            raise ValueError(f"field {field!r} has no text_col")
         key = (cfg.doc_id_col, cfg.conv_cols)
         if ident is None:
             ident = key

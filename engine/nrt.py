@@ -130,6 +130,9 @@ class NrtWriter:
         self._dropped_buffered: set[int] = set()
         self._mutations = 0          # invalidates the resolve memo
         self._flush_seq = 0
+        # warm disk reader for realtime_get point fetches; disk state
+        # only changes inside commit(), which drops it
+        self._disk_reader: IndexReader | None = None
 
     # ------------------------------------------------------------ write
 
@@ -232,8 +235,12 @@ class NrtWriter:
         disk_want = np.array([i for i in ids if i not in found],
                              dtype=np.int64)
         if len(disk_want):
-            parts.append(IndexReader(self.index_dir)
-                         .fetch_docs(disk_want))
+            # RealTimeGet workloads are many small point fetches —
+            # reuse one warm reader instead of re-parsing the manifest
+            # + delete generation per call (invalidated by commit())
+            if self._disk_reader is None:
+                self._disk_reader = IndexReader(self.index_dir)
+            parts.append(self._disk_reader.fetch_docs(disk_want))
         if not parts:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "text": pa.array([], pa.string())})
@@ -326,7 +333,13 @@ class NrtWriter:
         if self._nrt_deleted:
             man = mf.load(self.index_dir)
             bound = int(man["stats"].get("max_doc", man["stats"]["N"]))
-            disk_dels = [i for i in self._nrt_deleted if 0 <= i < bound]
+            # ids deleted while still RAM-buffered never gained a disk
+            # identity (updates append under a FRESH id), so they must
+            # not become tombstones: with sparse external ids a hole
+            # below max_doc would mask a future append reusing the id —
+            # the same exclusion _publish_dv applies to frozen docsets.
+            disk_dels = [i for i in self._nrt_deleted - self._dropped_buffered
+                         if 0 <= i < bound]
             if disk_dels:
                 delete_docs(self.index_dir, disk_dels)
             self._nrt_deleted.clear()
@@ -376,4 +389,7 @@ class NrtWriter:
             self._dv_buffer.clear()
         self._dropped_buffered.clear()
         self._mutations += 1
+        # every commit path ends here and disk state may have changed
+        # (tombstones / append / dv generations): drop the warm reader
+        self._disk_reader = None
         return mf.load(self.index_dir)

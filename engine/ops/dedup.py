@@ -49,6 +49,37 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _universal_hash(a: np.ndarray, b: np.ndarray,
+                    h: np.ndarray) -> np.ndarray:
+    """``(a*h + b) mod (2^61 - 1)`` with NO uint64 overflow.
+
+    a, b broadcast against h; a, b < p = 2^61-1, h < 2^32 (crc32).
+    The naive ``a * h`` wraps mod 2^64 before the Mersenne mod (a*h is
+    up to ~2^93), which silently replaces the universal family with an
+    arbitrary mapping — LSH collision probability then no longer
+    equals Jaccard similarity. Split a into 32-bit halves and fold the
+    ·2^32 factor using 2^61 ≡ 1 (mod p):
+
+        a·h = (a_hi·2^32 + a_lo)·h
+            ≡ fold(a_hi·h mod p) + a_lo·h   (mod p)
+
+    where fold(t) = t_hi + t_lo·2^32 for t = t_hi·2^29 + t_lo (since
+    t·2^32 = t_hi·2^61 + t_lo·2^32 ≡ t_hi + t_lo·2^32). Every
+    intermediate is < 2^64: a_lo·h < 2^64, a_hi·h < 2^61,
+    t_lo·2^32 < 2^61, and the final sum of three residues < 3·2^61.
+    """
+    p = np.uint64(_MERSENNE)
+    h = h.astype(np.uint64, copy=False)
+    a_lo = a & np.uint64(0xFFFFFFFF)
+    a_hi = a >> np.uint64(32)                       # < 2^29
+    lo = (a_lo * h) % p                             # < 2^64: exact
+    t = (a_hi * h) % p                              # < 2^61: exact
+    t_lo = t & np.uint64((1 << 29) - 1)
+    t_hi = t >> np.uint64(29)
+    t32 = ((t_lo << np.uint64(32)) + t_hi) % p      # t·2^32 mod p
+    return (lo + t32 + b) % p
+
+
 def _shingle_strings(texts, k: int) -> tuple[np.ndarray, list[np.ndarray]]:
     """per-doc DISTINCT word-k-gram strings; returns (counts, list)."""
     offs, flat = _flat_tokens(texts)
@@ -167,7 +198,7 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                       k: int = 3, num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.8,
-                      max_bucket: int = 100_000) -> pa.Table:
+                      max_bucket: int = 4096) -> pa.Table:
     """Near-dup pairs via MinHash + banded LSH, exact-verified.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
@@ -190,7 +221,9 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                 continue
             h = _crc_hashes(sh)
             # universal hashing into num_perm permutations, min per perm
-            vals = (a_p[:, None] * h[None, :] + b_p[:, None]) % _MERSENNE
+            # (overflow-safe modmul: the naive product wraps mod 2^64
+            # and voids the universality guarantee)
+            vals = _universal_hash(a_p[:, None], b_p[:, None], h[None, :])
             mh = vals.min(axis=1)
             for bi in range(bands):
                 chunk = mh[bi * rows:(bi + 1) * rows]
@@ -365,7 +398,7 @@ def simhash64(texts) -> np.ndarray:
 
 def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                   hamming_threshold: int = 3,
-                  max_bucket: int = 100_000) -> pa.Table:
+                  max_bucket: int = 4096) -> pa.Table:
     """Near-dup pairs with SimHash hamming distance ≤ threshold.
 
     Pigeonhole banding into ``threshold+1`` chunks guarantees every
@@ -434,7 +467,7 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                         k: int = 3, threshold: float = 0.5,
-                        max_bucket: int = 100_000) -> pa.Table:
+                        max_bucket: int = 4096) -> pa.Table:
     """Exact all-pairs n-gram Jaccard via shingle-key shuffle.
 
     The SQL-checkable exact baseline: explode distinct shingles,

@@ -215,7 +215,7 @@ def cosine_pairs(ds: ray.data.Dataset, emb_col: str, id_col: str,
 def cosine_pairs_lsh(ds: ray.data.Dataset, emb_col: str, id_col: str,
                      threshold: float = 0.5, n_planes: int = 24,
                      n_bands: int = 8, seed: int = 5,
-                     max_bucket: int = 100_000) -> pa.Table:
+                     max_bucket: int = 4096) -> pa.Table:
     """Approximate near-dup pairs at scale: hyperplane signatures split
     into bands (minhash-style banding over sign bits); a candidate pair
     must share at least one band bucket; each bucket brute-verifies

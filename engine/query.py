@@ -336,6 +336,18 @@ class IndexReader:
         if preload:
             self._preload()
 
+    def _shard_files(self, b: int) -> list[str]:
+        """Parquet files of one term-hash bucket. A bucket that no term
+        hashed into may exist as an EMPTY directory (the merge step
+        creates dirs eagerly on a tiny vocabulary); pq.read_table on an
+        empty dir yields pyarrow's pseudo-schema and a column-selection
+        crash, so callers must skip those."""
+        shard = os.path.join(self.shard_root, f"bucket={b}")
+        if not os.path.isdir(shard):
+            return []
+        return [os.path.join(shard, f) for f in sorted(os.listdir(shard))
+                if f.endswith(".parquet")]
+
     def _preload(self) -> None:
         """Load the whole term dictionary + postings into memory (once
         per query actor — Lucene keeps the terms index in RAM too; at
@@ -351,10 +363,10 @@ class IndexReader:
         self._raw_tabs = []
         self._raw_index = {}
         for b in range(self.cfg.n_buckets):
-            shard = os.path.join(self.shard_root, f"bucket={b}")
-            if not os.path.isdir(shard):
+            files = self._shard_files(b)
+            if not files:
                 continue
-            tab = pq.read_table(shard, columns=self._COLS)
+            tab = pq.read_table(files, columns=self._COLS)
             cols = {c: tab[c].to_pylist() for c in self._COLS}
             ti = len(self._raw_tabs)
             self._raw_tabs.append(cols)
@@ -411,13 +423,13 @@ class IndexReader:
             if t not in self._term_cache:
                 need.setdefault(term_bucket(t, self.cfg.n_buckets), []).append(t)
         for b, ts in need.items():
-            shard = os.path.join(self.shard_root, f"bucket={b}")
             for t in ts:
                 self._term_cache[t] = []
-            if not os.path.isdir(shard):
+            files = self._shard_files(b)
+            if not files:
                 continue
             self._io_reads += 1
-            tab = pq.read_table(shard, filters=[("term", "in", ts)],
+            tab = pq.read_table(files, filters=[("term", "in", ts)],
                                 columns=self._COLS)
             for row in tab.to_pylist():
                 self._term_cache[row["term"]].append(
@@ -1119,11 +1131,11 @@ class IndexReader:
             return self._vocab
         found: set[str] = set()
         for b in range(self.cfg.n_buckets):
-            shard = os.path.join(self.shard_root, f"bucket={b}")
-            if os.path.isdir(shard):
+            files = self._shard_files(b)
+            if files:
                 self._io_reads += 1
                 found.update(
-                    pq.read_table(shard, columns=["term"])["term"].to_pylist())
+                    pq.read_table(files, columns=["term"])["term"].to_pylist())
         self._vocab = sorted(found)
         return self._vocab
 

@@ -42,9 +42,9 @@ def _local_term_stats(reader: IndexReader, terms: list[str]
     out = {}
     for t, ss in subs.items():
         if ss:
-            df = reader.global_df(ss)
-            cf = sum(int(s.decode_all()[1].sum()) for s in ss)
-            out[t] = (df, cf)
+            # stored per-sublist stats — phase 0 must stay a tiny
+            # message, never a posting decode
+            out[t] = (reader.global_df(ss), reader.global_cf(ss))
     return out
 
 
@@ -211,9 +211,12 @@ class ShardSearcher:
             t = pq.read_table(f, columns=[r.cfg.doc_id_col, facet_col])
             ids = t[r.cfg.doc_id_col].to_numpy()
             m = np.isin(ids, cand, assume_unique=True)
-            vals, cnt = np.unique(
-                np.asarray(t[facet_col].to_pylist(), dtype=object)[m],
-                return_counts=True)
+            hit = np.asarray(t[facet_col].to_pylist(), dtype=object)[m]
+            # missing facet values are excluded (Solr's facet.missing
+            # default); None in an object array breaks np.unique's sort
+            hit = hit[np.array([v is not None for v in hit], dtype=bool)] \
+                if len(hit) else hit
+            vals, cnt = np.unique(hit, return_counts=True)
             for v, c in zip(vals, cnt):
                 counts[v] = counts.get(v, 0) + int(c)
         return counts
@@ -236,7 +239,9 @@ class DistributedSearcher:
         # borrow any shard's config (all shards share one schema);
         # omitNorms propagates from that shared schema
         _r0 = IndexReader(shard_dirs[0])
-        if _r0.cfg.omit_norms:
+        self._k1, self._b = float(k1), float(b)
+        self._omit_norms = bool(_r0.cfg.omit_norms)
+        if self._omit_norms:
             self.cache = np.full(256, float(k1), dtype=np.float64)
         else:
             self.cache = norm_cache(self.avgdl, k1, b)
@@ -487,7 +492,14 @@ def routed_topk(searcher: DistributedSearcher, route: str,
     if not terms:
         return _topdocs_table([], [])
     n_i, cf_i = ray.get(s.collection_stats.remote())
-    cache_i = norm_cache((cf_i / n_i) if n_i else 0.0)
+    # shard-LOCAL avgdl, but the SEARCHER'S similarity parameters —
+    # omit_norms / k1 / b come from the shared schema, so the scores
+    # equal a non-distributed query on that shard under the same cfg
+    if searcher._omit_norms:
+        cache_i = np.full(256, searcher._k1, dtype=np.float64)
+    else:
+        cache_i = norm_cache((cf_i / n_i) if n_i else 0.0,
+                             searcher._k1, searcher._b)
     tstats = ray.get(s.term_stats.remote(sorted(set(terms))))
     weights = {t: float(idf(n_i, df)) for t, (df, _) in tstats.items()}
     return ray.get(s.score.remote(terms, weights, cache_i, k))

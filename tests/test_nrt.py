@@ -421,3 +421,52 @@ def test_nrt_dv_sparse_hole_and_memo_invalidation(ray_session,
     w.commit(str(root / "flush"))
     r2 = IndexReader(idx)
     assert r2.numeric_docvalues("size", np.array([200]))[0] == 888
+
+
+def test_nrt_delete_of_buffered_hole_id_not_tombstoned(
+        ray_session, tmp_path_factory):
+    """A doc buffered then deleted before any flush never reached disk,
+    so commit() must NOT write a tombstone for its id: with sparse
+    external doc_ids the id can be a hole below max_doc, and a stale
+    tombstone would mask a future append that legitimately reuses it."""
+    from engine.build import IndexConfig, build_index
+    from engine.nrt import NrtWriter
+    from engine.query import IndexReader
+    import engine.manifest as mf
+
+    root = tmp_path_factory.mktemp("nrt_hole")
+    src = str(root / "sparse.parquet")
+    # sparse ids: evens only — every odd id below max_doc is a hole
+    ids = np.arange(0, 200, 2, dtype=np.int64)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array(["alpha beta"] * len(ids))}), src)
+    cfg = IndexConfig(conv_cols=None, doc_id_col="doc_id",
+                      stop_words=None, stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    idx = str(root / "idx")
+    build_index([src], idx, cfg)
+
+    w = NrtWriter(idx)
+    w.add_documents(pa.table({
+        "doc_id": pa.array([51], type=pa.int64()),
+        "text": pa.array(["gamma delta"])}))
+    w.delete_documents([51])          # still RAM-buffered: drop, no disk id
+    w.commit(str(root / "flush1"))
+    man = mf.load(idx)
+    assert man.get("deletes") is None, \
+        "buffered-then-deleted id must not become a disk tombstone"
+
+    # the id is legitimately reusable by a later append
+    w.add_documents(pa.table({
+        "doc_id": pa.array([51], type=pa.int64()),
+        "text": pa.array(["gamma delta"])}))
+    w.commit(str(root / "flush2"))
+    hits = IndexReader(idx).topk("gamma", k=10)["doc_id"].to_pylist()
+    assert hits == [51]
+
+    # a delete of a COMMITTED doc still tombstones normally
+    w.delete_documents([4])
+    w.commit(str(root / "flush3"))
+    alive = IndexReader(idx).topk("alpha", k=500)["doc_id"].to_pylist()
+    assert 4 not in alive and 2 in alive

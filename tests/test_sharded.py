@@ -165,3 +165,74 @@ def test_composite_id_routing(ray_session, tmp_path_factory):
         assert got["score"].to_pylist() == want["score"].to_pylist()
     finally:
         searcher.shutdown()
+
+
+def test_routed_topk_honors_similarity_params(ray_session, tmp_path):
+    """routed_topk must score with the SEARCHER'S k1/b (and the shared
+    schema's omit_norms), not silently fall back to the defaults —
+    the docstring promises equality with a non-distributed query on
+    the owning shard under the same similarity."""
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+    from engine.sharded import DistributedSearcher, route_shard, routed_topk
+
+    rng = np.random.default_rng(17)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    shards = []
+    for si in range(2):
+        f = str(tmp_path / f"r{si}.parquet")
+        lo, hi = si * 120, (si + 1) * 120
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+                 for _ in range(hi - lo)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(texts)}), f)
+        sd = str(tmp_path / f"rshard{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    searcher = DistributedSearcher(shards, k1=2.0, b=0.3)
+    try:
+        key = "custA"
+        i = route_shard(key, len(shards))
+        got = routed_topk(searcher, key, "aa bb", k=15)
+        want = IndexReader(shards[i], k1=2.0, b=0.3) \
+            .brute_force_topk("aa bb", 15)
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert got["score"].to_pylist() == want["score"].to_pylist()
+        # and the scores really differ from the default-parameter run
+        deflt = IndexReader(shards[i]).brute_force_topk("aa bb", 15)
+        assert got["score"].to_pylist() != deflt["score"].to_pylist()
+    finally:
+        searcher.shutdown()
+
+
+def test_distributed_facet_skips_null_values(ray_session, tmp_path):
+    """facet() over a column with NULLs must not crash (np.unique on a
+    None-mixed object array raises) — missing values are excluded,
+    Solr's facet.missing=false default."""
+    from engine.build import IndexConfig, build_index
+    from engine.sharded import DistributedSearcher
+
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    f = str(tmp_path / "nf.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": pa.array(["aa"] * 6),
+        "cat": pa.array(["x", None, "y", "x", None, "y"]),
+    }), f)
+    sd = str(tmp_path / "nfshard")
+    build_index([f], sd, cfg)
+    searcher = DistributedSearcher([sd])
+    try:
+        t = searcher.facet("aa", "cat")
+        assert t["cat"].to_pylist() == ["x", "y"]
+        assert t["n"].to_pylist() == [2, 2]
+    finally:
+        searcher.shutdown()
