@@ -84,10 +84,15 @@ def terms_exist(bloom: TermBloom, vocab_sorted: np.ndarray,
     verified by binary search in the sorted dictionary."""
     probes = np.asarray(probes, dtype=object)
     out = np.zeros(len(probes), dtype=bool)
+    if len(vocab_sorted) == 0:
+        # guard BEFORE indexing: a stale/merged bloom can report
+        # candidates against an empty dictionary, and the `&` below
+        # evaluates vocab_sorted[pos] eagerly (IndexError on len 0)
+        return out
     cand = bloom.may_contain(probes)
     if cand.any():
         sub = probes[cand]
         pos = np.searchsorted(vocab_sorted, sub)
-        pos = np.minimum(pos, max(len(vocab_sorted) - 1, 0))
-        out[cand] = (len(vocab_sorted) > 0) & (vocab_sorted[pos] == sub)
+        pos = np.minimum(pos, len(vocab_sorted) - 1)
+        out[cand] = vocab_sorted[pos] == sub
     return out

@@ -33,7 +33,10 @@ _FUNCS = {
 
 _BINOPS = {
     ast.Add: np.add, ast.Sub: np.subtract, ast.Mult: np.multiply,
-    ast.Div: np.divide, ast.Mod: np.mod,
+    # fmod, not np.mod: Java's % (upstream JavascriptCompiler) and
+    # SQL % are C-style remainders with the dividend's sign —
+    # floored modulo diverges for negative operands (-5 % 3: -2 vs 1)
+    ast.Div: np.divide, ast.Mod: np.fmod,
 }
 
 

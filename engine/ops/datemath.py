@@ -87,7 +87,6 @@ def parse(expr: str, now: datetime) -> datetime:
     if expr.startswith("NOW"):
         t, rest = now, expr[3:]
     else:
-        head = expr.split("/", 1)[0].split("+", 1)[0]
         # a '-' inside the ISO date is part of the date, not math
         m = re.match(r"\d{4}-\d{2}-\d{2}(T[\d:.]+)?Z?", expr)
         if not m:

@@ -26,14 +26,14 @@ import pyarrow as pa
 import ray.data
 
 
-def _parse_solr_xml(row: dict) -> list[dict]:
-    import xml.etree.ElementTree as ET
-
-    root = ET.fromstring(bytes(row["bytes"]))
-    out = []
-    for doc in root.iter("doc"):
+def _walk_docs(el, out: list[dict]) -> None:
+    """Collect ``<doc>`` records. Only DIRECT ``<field>`` children
+    belong to a doc — a nested ``<doc>`` (Solr nested/child document)
+    is its own record, not extra multiValued fields of the parent —
+    so recursion descends through non-field children only."""
+    if el.tag == "doc":
         rec: dict[str, object] = {}
-        for f in doc.iter("field"):
+        for f in el.findall("field"):
             name = f.attrib["name"]
             val = f.text or ""
             if name in rec:                # multiValued → list
@@ -44,6 +44,29 @@ def _parse_solr_xml(row: dict) -> list[dict]:
                 rec[name] = val
         if rec:
             out.append(rec)
+    for child in el:
+        if child.tag != "field":
+            _walk_docs(child, out)
+
+
+def _parse_solr_xml(row: dict) -> list[dict]:
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(bytes(row["bytes"]))
+    out: list[dict] = []
+    _walk_docs(root, out)
+    # a field that is multiValued in ANY doc of this file must be a
+    # list in EVERY doc that carries it: Arrow cannot type a column
+    # mixing str and list<str> (files are the parse unit; fields
+    # should be consistently single- or multi-valued ACROSS files)
+    multi = {k for rec in out
+             for k, v in rec.items() if isinstance(v, list)}
+    if multi:
+        for rec in out:
+            for k in multi:
+                v = rec.get(k)
+                if v is not None and not isinstance(v, list):
+                    rec[k] = [v]
     return out
 
 
@@ -130,6 +153,21 @@ def nested_entity_import(root: ray.data.Dataset, child: ray.data.Dataset,
 
         joined = root.map_batches(probe, batch_format="pyarrow")
     else:
+        # default path: the DIH sub-entity aggregation as a Ray
+        # groupby shuffle, then a distributed hash join with the root
+        # entity — for children too large for the broadcast cache
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        _mk = {"count_all": lambda c, out: Count(alias_name=out),
+               "sum": lambda c, out: Sum(c, alias_name=out),
+               "min": lambda c, out: Min(c, alias_name=out),
+               "max": lambda c, out: Max(c, alias_name=out)}
+        aggs = []
+        for c, f, out in child_aggs:
+            if f not in _mk:
+                raise ValueError(f"unsupported child agg {f!r}")
+            aggs.append(_mk[f](c, out))
+        agg = child.groupby(child_key).aggregate(*aggs)
         joined = root.join(agg, join_type="inner",
                            num_partitions=num_partitions,
                            on=(root_key,), right_on=(child_key,))

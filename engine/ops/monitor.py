@@ -33,9 +33,27 @@ import ray.data
 from engine.ops.textstats import _flat_tokens
 
 
+def _norm_term(s: str, ctx: str) -> str:
+    """Normalize ONE registered query term with the same analysis the
+    documents get (lowercase + TOKEN_SPLIT via ``_flat_tokens``) —
+    upstream Monitor / SolrTextTagger analyze registered queries with
+    the index analyzer; an unanalyzed 'Alpha' would silently never
+    match the lowercased token stream."""
+    _, flat = _flat_tokens(pa.array([s], type=pa.string()))
+    toks = flat.to_pylist()
+    if len(toks) != 1:
+        raise ValueError(
+            f"{ctx}: registered term {s!r} analyzes to {toks} — "
+            "must normalize to exactly one token (use kind='and' or "
+            "'phrase' for multi-token queries)")
+    return toks[0]
+
+
 def compile_queries(queries: list[dict]) -> dict:
     """Compile the registered set: a term dictionary, the term→query
-    CSR for AND presence counting, and the phrase pair list."""
+    CSR for AND presence counting, and the phrase pair list. Terms and
+    phrase words are run through the document analyzer; prefixes are
+    lowercased (a prefix of an analyzed token)."""
     qids, kinds = [], []
     and_term_q, and_term_t = [], []      # (query slot, term) pairs
     and_need = []
@@ -47,23 +65,25 @@ def compile_queries(queries: list[dict]) -> dict:
         qids.append(q["id"])
         kinds.append(q["kind"])
         if q["kind"] == "term":
+            t = _norm_term(q["terms"][0], q["id"])
             and_term_q.append(slot)
-            and_term_t.append(q["terms"][0])
+            and_term_t.append(t)
             and_need.append(1)
-            terms.add(q["terms"][0])
+            terms.add(t)
         elif q["kind"] == "and":
-            for t in sorted(set(q["terms"])):
+            qt = {_norm_term(t, q["id"]) for t in q["terms"]}
+            for t in sorted(qt):
                 and_term_q.append(slot)
                 and_term_t.append(t)
-            and_need.append(len(set(q["terms"])))
-            terms.update(q["terms"])
+            and_need.append(len(qt))
+            terms.update(qt)
         elif q["kind"] == "phrase":
-            t1, t2 = q["terms"]
+            t1, t2 = (_norm_term(t, q["id"]) for t in q["terms"])
             phrases.append((slot, t1, t2))
             and_need.append(0)
-            terms.update(q["terms"])
+            terms.update((t1, t2))
         elif q["kind"] == "prefix":
-            prefixes.append((slot, q["terms"][0]))
+            prefixes.append((slot, q["terms"][0].lower()))
             and_need.append(0)
         else:
             raise ValueError(f"unknown query kind {q['kind']!r}")
@@ -171,7 +191,14 @@ def tag_dictionary(ds: ray.data.Dataset, text_col: str, id_col: str,
     per phrase word — no per-token Python), which is the right shape
     when the dictionary is small relative to the corpus. One
     streaming pass, combiner-style per-batch counts."""
-    toks_of = [p.split() for p in phrases]
+    # analyze dictionary phrases exactly like the documents (lowercase
+    # + TOKEN_SPLIT): 'New York' must match tokens ['new', 'york']
+    _offs, _fl = _flat_tokens(pa.array(phrases, type=pa.string()))
+    _all = _fl.to_pylist()
+    toks_of = [_all[_offs[i]:_offs[i + 1]] for i in range(len(phrases))]
+    keep = [i for i, t in enumerate(toks_of) if t]
+    phrases = [phrases[i] for i in keep]
+    toks_of = [toks_of[i] for i in keep]
     cq_ref = ray.put((phrases, toks_of))
 
     def f(b: pa.Table) -> pa.Table:

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from engine.build import term_bucket
+from engine.build import _term_buckets, term_bucket
 
 
 def build_payload_index(input_files: list[str] | str, out_dir: str,
@@ -36,8 +36,6 @@ def build_payload_index(input_files: list[str] | str, out_dir: str,
                         n_buckets: int = 4) -> str:
     """Build the payload store. Tokens without a parseable payload
     suffix get ``default`` (upstream filter behavior)."""
-    import zlib
-
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
@@ -77,9 +75,9 @@ def build_payload_index(input_files: list[str] | str, out_dir: str,
                     pass
             pays[i] = np.float32(default)
             terms[i] = tok.lower()
-        buckets = np.fromiter(
-            (zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms),
-            dtype=np.int64, count=len(terms))
+        # same bucket hash the readers route lookups with — reuse the
+        # build helper so writer and reader can never diverge
+        buckets = _term_buckets(terms, n_buckets).astype(np.int64)
         return pa.table({
             "bucket": pa.array(buckets[inv]),
             "term": pa.array(terms[inv], type=pa.string()),

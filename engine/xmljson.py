@@ -87,20 +87,26 @@ def _xml_node(el: ET.Element, df: str | None):
     if tag == "PhraseQuery":
         return PhraseQ(text, int(el.get("slop", "0")), fld, boost)
     if tag == "RangeQuery":
+        # boolean attributes match upstream's case-insensitive parse
+        # ('True' must not silently flip a bound to exclusive)
         return RangeQ(el.get("lowerTerm", ""), el.get("upperTerm", ""),
-                      el.get("includeLower", "true") == "true",
-                      el.get("includeUpper", "true") == "true",
+                      el.get("includeLower", "true").lower() == "true",
+                      el.get("includeUpper", "true").lower() == "true",
                       fld, boost)
     if tag == "SpanNear":
         args = [(c.text or "").strip() for c in el
                 if c.tag == "SpanTerm"]
         return SpanNearQ(args, dist=int(el.get("slop", "0")) + 1,
-                         ordered=el.get("inOrder", "true") == "true",
+                         ordered=el.get("inOrder",
+                                        "true").lower() == "true",
                          field=fld, boost=boost)
     if tag == "UserQuery":
         node = classic_parse(text, df)
         if boost != 1.0:
-            node.boost = boost
+            # upstream wraps in BoostQuery: factors COMPOSE — the
+            # parsed query's own ^boost must survive ('foo^3' under
+            # boost=2 scores ×6, not ×2)
+            node.boost *= boost
         return node
     if tag == "BooleanQuery":
         clauses = []
@@ -108,7 +114,9 @@ def _xml_node(el: ET.Element, df: str | None):
             if cl.tag != "Clause":
                 raise QueryParseError(
                     f"BooleanQuery child must be Clause, got {cl.tag}")
-            occ = _OCCURS.get(cl.get("occurs", "should"))
+            # upstream CoreParser documents camelCase 'mustNot' and
+            # matches occurs case-insensitively
+            occ = _OCCURS.get(cl.get("occurs", "should").lower())
             if occ is None:
                 raise QueryParseError(
                     f"bad occurs {cl.get('occurs')!r}")
@@ -156,7 +164,7 @@ def json_parse(dsl, default_field: str | None = None):
         node = classic_parse(p["query"], p.get("df", default_field),
                              default_op=p.get("q.op", "OR"))
         if boost != 1.0:
-            node.boost = boost
+            node.boost *= boost     # compose with the query's own ^boost
         return node
     if "field" in dsl:
         p = dsl["field"]

