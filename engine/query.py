@@ -1032,17 +1032,21 @@ class IndexReader:
 
     def parsed_topk(self, query: str, k: int = 10,
                     min_should_match: int = 0,
-                    default_op: str = "OR") -> pa.Table:
+                    default_op: str = "OR",
+                    fix_negative: bool = False) -> pa.Table:
         """Classic query-string search: parse Lucene syntax (booleans,
         phrases, boosts, fuzzy/wildcard/regexp/ranges, grouping) and
         score the AST compositionally — the ``QueryParser.parse() →
         search()`` surface (upstream ``L/queryparser/classic`` [U]).
         See ``engine.queryparser`` for grammar and score-cast rules.
-        ``default_op`` is upstream ``setDefaultOperator`` (``q.op``)."""
+        ``default_op`` is upstream ``setDefaultOperator`` (``q.op``);
+        ``fix_negative`` applies Solr's top-level pure-negative
+        rewrite (``S/util/QueryUtils.java#fixNegativeQuery`` [U])."""
         from engine.queryparser import parsed_topk
         return parsed_topk(self, query, k,
                            min_should_match=min_should_match,
-                           default_op=default_op)
+                           default_op=default_op,
+                           fix_negative=fix_negative)
 
     def time_limited_topk(self, query_text: str, k: int = 10,
                           max_blocks: int = 1) -> pa.Table:

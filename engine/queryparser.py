@@ -150,6 +150,15 @@ class RangeQ:
 
 
 @dataclass
+class MatchAllQ:
+    """``*:*`` — MatchAllDocsQuery (upstream
+    ``L/search/MatchAllDocsQuery.java`` [U]; ``QueryParserBase`` maps
+    the ``*:*`` syntax to it): every live doc at constant score =
+    boost, no postings consulted."""
+    boost: float = 1.0
+
+
+@dataclass
 class BoolQ:
     clauses: list[tuple[str, object]] = dc_field(default_factory=list)
     boost: float = 1.0
@@ -353,6 +362,10 @@ def _parse_clause(toks, pos: int, fld: str | None,
     if kind == "WORD":
         word, wf, boost, edits = payload
         f = wf if wf is not None else fld
+        if word == "*" and f == "*":
+            # *:* — upstream QueryParserBase special-cases the
+            # all-fields all-terms wildcard to MatchAllDocsQuery
+            return MatchAllQ(boost), pos + 1
         if edits is not None:
             return FuzzyQ(word.lower(), edits, f, boost), pos + 1
         if "*" in word or "?" in word:
@@ -424,6 +437,15 @@ class Evaluator:
         sums = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(sums, inv, sc)
         return _node_boost(uniq, sums.astype(np.float32), boost)
+
+    def _eval_MatchAllQ(self, n: MatchAllQ):
+        # docIDs are dense 0..max_doc-1 by construction (docmap rank;
+        # max_doc, not N — deletes shrink N but not the ID space); the
+        # reader's delete mask is applied once at the top by node_topk
+        r = next(iter(self.readers.values()))
+        m = int(r.max_doc)
+        return (np.arange(m, dtype=np.int64),
+                np.full(m, np.float32(n.boost), dtype=np.float32))
 
     def _eval_TermQ(self, n: TermQ):
         r = self._reader(n.field)
@@ -925,17 +947,37 @@ def simple_parsed_topk(readers, query: str, k: int = 10,
                           total=int(pos.sum()))
 
 
+def fix_negative_query(node):
+    """Solr's top-level pure-negative rewrite (upstream
+    ``S/util/QueryUtils.java#fixNegativeQuery`` via ``makeQueryable``
+    [U]): a boolean with ONLY prohibited clauses — which under
+    Lucene's pure-negation rule matches nothing — gains a
+    ``MatchAllDocsQuery`` MUST clause, so ``q=-term`` means "every
+    doc except". Non-negative queries pass through unchanged."""
+    if isinstance(node, BoolQ) and node.clauses and \
+            all(o == MUST_NOT for o, _ in node.clauses):
+        return BoolQ([(MUST, MatchAllQ())] + list(node.clauses),
+                     boost=node.boost,
+                     min_should_match=node.min_should_match)
+    return node
+
+
 def parsed_topk(readers, query: str, k: int = 10,
                 default_field: str | None = None,
                 min_should_match: int = 0,
-                default_op: str = "OR") -> pa.Table:
+                default_op: str = "OR",
+                fix_negative: bool = False) -> pa.Table:
     """Parse ``query`` and return the top-k TopDocs table (rank,
     doc_id, score) — the classic ``QueryParser.parse() →
     IndexSearcher.search()`` path in one call. ``readers`` is an
     IndexReader or a {field: IndexReader} map; ``min_should_match``
     applies to the top-level boolean (Solr's ``mm``); ``default_op``
-    is Solr's ``q.op``."""
+    is Solr's ``q.op``; ``fix_negative`` applies Solr's top-level
+    pure-negative rewrite (Lucene-proper leaves such queries
+    matching nothing, hence opt-in)."""
     node = parse(query, default_field, default_op=default_op)
+    if fix_negative:
+        node = fix_negative_query(node)
     if isinstance(node, BoolQ):
         node.min_should_match = min_should_match
     elif min_should_match > 1:

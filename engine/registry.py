@@ -7797,6 +7797,30 @@ FROM documents ORDER BY doc_id LIMIT 10
 """
 
 
+PURE_NEG_TERM = "spark"
+
+
+def pure_negative_topk(sf_dir: str) -> pa.Table:
+    """Solr top-level pure-negative query ``q=-term`` (upstream
+    ``S/util/QueryUtils.java#fixNegativeQuery`` via ``makeQueryable``
+    [U]): Lucene-proper leaves a boolean with only prohibited clauses
+    matching nothing; Solr injects a ``MatchAllDocsQuery`` MUST so the
+    query means "every doc except". Constant score = 1.0 (the injected
+    match-all's), equal scores collect in docID order."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    return _topdocs_out(r.parsed_topk(f"-{PURE_NEG_TERM}", k=10,
+                                      fix_negative=True))
+
+
+SQL_PURE_NEGATIVE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents)
+SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)::BIGINT AS rank,
+       doc_id, CAST(1.0 AS FLOAT) AS score
+FROM toks WHERE NOT list_contains(ts, '{PURE_NEG_TERM}')
+ORDER BY doc_id LIMIT 10
+"""
+
+
 SORT_FIELD_TERM = "spark"
 
 
@@ -13895,6 +13919,7 @@ def queries() -> dict:
         "mixture_sample_docs": mixture_sample_docs,
         "filter_clause_topk": filter_clause_topk,
         "match_all_topk": match_all_topk,
+        "pure_negative_topk": pure_negative_topk,
         "sort_field_topk": sort_field_topk,
         "sort_score_field_topk": sort_score_field_topk,
         "domain_cap_docs": domain_cap_docs,
@@ -14231,6 +14256,7 @@ def oracle_sql() -> dict:
         "mixture_sample_docs": SQL_MIXTURE,
         "filter_clause_topk": SQL_FILTER_CLAUSE,
         "match_all_topk": SQL_MATCH_ALL,
+        "pure_negative_topk": SQL_PURE_NEGATIVE,
         "sort_field_topk": SQL_SORT_FIELD,
         "sort_score_field_topk": sql_sort_score_field(),
         "domain_cap_docs": SQL_DOMAIN_CAP,

@@ -249,6 +249,41 @@ def test_pure_negation_matches_nothing(reader):
     assert reader.parsed_topk(f"-{ts[0]}", k=10).num_rows == 0
 
 
+def test_match_all_parses_and_hits_every_doc(reader):
+    from engine.queryparser import MatchAllQ, parse
+
+    assert isinstance(parse("*:*"), MatchAllQ)
+    t = reader.parsed_topk("*:*", k=reader.max_doc + 5)
+    # every live doc at constant score 1.0, collected in docID order
+    assert t.num_rows == reader.N
+    ids = t["doc_id"].to_pylist()
+    assert ids == sorted(ids)
+    assert set(t["score"].to_pylist()) == {1.0}
+
+
+def test_match_all_boost_scales_constant_score(reader):
+    t = reader.parsed_topk("(*:*)^2", k=5)
+    assert set(t["score"].to_pylist()) == {2.0}
+
+
+def test_fix_negative_rewrites_pure_negative(reader):
+    from engine.queryparser import fix_negative_query, parse
+
+    ts = _terms(reader, "running")
+    # non-negative queries pass through untouched
+    n = parse("spark merge")
+    assert fix_negative_query(n) is n
+    # -term with the Solr rewrite = complement of the term's matches
+    neg = reader.parsed_topk(f"-{ts[0]}", k=reader.max_doc,
+                             fix_negative=True)
+    pos = reader.parsed_topk(ts[0], k=reader.max_doc)
+    nids = set(neg["doc_id"].to_pylist())
+    pids = set(pos["doc_id"].to_pylist())
+    assert nids.isdisjoint(pids)
+    assert nids | pids == set(range(reader.max_doc))
+    assert set(neg["score"].to_pylist()) == {1.0}
+
+
 def test_unknown_field_raises(reader):
     with pytest.raises(QueryParseError):
         reader.parsed_topk("nosuchfield:spark", k=5)
