@@ -372,6 +372,60 @@ class EdgeNGramFilter(TokenFilter):
                 "preserve_original": self.preserve_original}
 
 
+class PathHierarchyFilter(TokenFilter):
+    """Path-hierarchy expansion (upstream ``PathHierarchyTokenizer``
+    in ``lucene/analysis/common/.../path`` [U], recast as an expansion
+    filter over the ``keyword`` tokenizer — the flat-stream equivalent
+    of the tokenizer's one-token-per-ancestor emission): each token
+    emits every ancestor prefix at ``delimiter`` boundaries, ``a/b/c``
+    → ``a``, ``a/b``, ``a/b/c``. Upstream stacks the ancestors at one
+    position (posinc 0); here every prefix is emitted at the original
+    token's position, same flattening as EdgeNGram. ``skip`` drops
+    that many leading components first (upstream's constructor arg),
+    so ``skip=1`` on ``a/b/c`` yields ``b``, ``b/c``. Prefix strings
+    are computed on the UNIQUE batch vocabulary only; the corpus-sized
+    expansion is a code gather."""
+
+    def __init__(self, delimiter: str = "/", skip: int = 0):
+        assert len(delimiter) == 1 and skip >= 0
+        self.delimiter = delimiter
+        self.skip = skip
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        n_docs = len(offsets) - 1
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        d = self.delimiter
+        prefixes_per: list[list[str]] = []
+        for t in vocab:
+            parts = t.split(d)[self.skip:]
+            prefixes_per.append(
+                [d.join(parts[:i + 1]) for i in range(len(parts))])
+        counts = np.array([len(g) for g in prefixes_per], dtype=np.int64)
+        flat = np.array([s for g in prefixes_per for s in g], dtype=object)
+        pre_uniq, pre_inv = np.unique(flat, return_inverse=True)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+
+        per_tok = counts[codes]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        out_doc = np.repeat(doc_of, per_tok)
+        out_pos = np.repeat(positions, per_tok).astype(np.int32)
+        base = np.repeat(starts[codes], per_tok)
+        local = np.arange(int(per_tok.sum()), dtype=np.int64) - \
+            np.repeat(np.concatenate(([0], np.cumsum(per_tok)))[:-1],
+                      per_tok)
+        out_codes = pre_inv[base + local]
+        new_lens = np.bincount(out_doc, minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        return new_offsets, out_codes, pre_uniq, out_pos, new_lens
+
+    def spec(self) -> dict:
+        return {"type": "path_hierarchy", "delimiter": self.delimiter,
+                "skip": self.skip}
+
+
 class WordDelimiterFilter(TokenFilter):
     """Simplified WordDelimiterGraphFilter (upstream
     ``WordDelimiterGraphFilter`` [U]): each token splits into its
@@ -945,6 +999,9 @@ def build_filter(spec: dict) -> TokenFilter:
                                spec.get("preserve_original", False))
     if t == "word_delimiter":
         return WordDelimiterFilter(spec.get("preserve_original", False))
+    if t == "path_hierarchy":
+        return PathHierarchyFilter(spec.get("delimiter", "/"),
+                                   spec.get("skip", 0))
     if t == "length":
         return LengthFilter(spec["min_len"], spec["max_len"])
     if t == "keep_word":

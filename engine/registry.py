@@ -260,6 +260,67 @@ FROM grams GROUP BY term ORDER BY term
 """
 
 
+def taxonomy_facet_docs(sf_dir: str) -> pa.Table:
+    """Taxonomy facet counts (upstream ``lucene/facet`` ``FacetField``
+    + ``FastTaxonomyFacetCounts`` [U]; also Solr's
+    PathHierarchyTokenizer faceting recipe): each doc carries ONE
+    hierarchical dim path — here ``source/lang/lenN`` with
+    ``N = n_chars // 200`` — and every ancestor node counts the docs
+    below it. Upstream's taxonomy rollup IS a per-path-term postings
+    count, which is exactly the (term, df) the index gives over a
+    ``keyword`` tokenizer + ``path_hierarchy`` expansion chain. The
+    path column is a streaming map_batches projection written once to
+    a derived corpus; the build is the standard pipeline over it.
+    (Column named ``taxo_path``: the build's resume bookkeeping reads
+    inputs with ``include_paths=True``, which reserves ``path``.)"""
+    key = hashlib.md5(f"{sf_dir}|taxonomy|v2".encode()).hexdigest()[:12]
+    root = os.path.join("/tmp/rayindex_cache", key)
+    corpus = os.path.join(root, "corpus")
+    idx = os.path.join(root, "idx")
+    man = mf.load(idx)
+    if not (man and man.get("status") == "complete"):
+        os.makedirs(corpus, exist_ok=True)
+
+        def pathify(b: pa.Table) -> pa.Table:
+            lvl3 = pc.binary_join_element_wise(
+                "len", pc.cast(pc.divide(b["n_chars"], 200),
+                               pa.string()), "")
+            path = pc.binary_join_element_wise(
+                b["source"], b["lang"], lvl3, "/")
+            return pa.table({"doc_id": b["doc_id"], "taxo_path": path})
+
+        _read(sf_dir, "documents", ["doc_id", "source", "lang",
+                                    "n_chars"]) \
+            .map_batches(pathify, batch_format="pyarrow") \
+            .repartition(2).write_parquet(corpus)
+        cfg = IndexConfig(
+            text_col="taxo_path", conv_cols=None, doc_id_col="doc_id",
+            stop_words=None, stemming=False, n_buckets=4,
+            hot_df_threshold=10**9, batch_size=2048,
+            tokenizer="keyword",
+            filters=({"type": "path_hierarchy", "delimiter": "/",
+                      "skip": 0},))
+        build_index(corpus, idx, cfg)
+    t = _index_stats_of(idx)
+    return pa.table({"path": t["term"],
+                     "count": _cast_col(t, "df", pa.int64())["df"]})
+
+
+SQL_TAXONOMY_FACET = """
+WITH p AS (
+  SELECT doc_id, source AS l1, source || '/' || lang AS l2,
+         source || '/' || lang || '/len' ||
+           CAST(n_chars // 200 AS VARCHAR) AS l3
+  FROM documents),
+a AS (
+  SELECT l1 AS path FROM p
+  UNION ALL SELECT l2 FROM p
+  UNION ALL SELECT l3 FROM p)
+SELECT path, COUNT(*)::BIGINT AS "count"
+FROM a GROUP BY path ORDER BY path
+"""
+
+
 _SYN_MAP = {"merged": "merge", "merging": "merge", "merges": "merge",
             "windows": "window", "windowing": "window"}
 
@@ -13685,6 +13746,7 @@ def queries() -> dict:
         "index_term_stats": index_term_stats,
         "term_stats_mapreduce": term_stats_mapreduce,
         "shingle_term_stats": shingle_term_stats,
+        "taxonomy_facet_docs": taxonomy_facet_docs,
         "keyword_repeat_stats": keyword_repeat_stats,
         "char_ngram_stats": char_ngram_stats,
         "synonym_term_stats": synonym_term_stats,
@@ -14026,6 +14088,7 @@ def oracle_sql() -> dict:
         "index_term_stats": SQL_TERM_STATS,
         "term_stats_mapreduce": SQL_TERM_STATS,
         "shingle_term_stats": SQL_SHINGLE_STATS,
+        "taxonomy_facet_docs": SQL_TAXONOMY_FACET,
         "keyword_repeat_stats": SQL_KEYWORD_REPEAT,
         "char_ngram_stats": SQL_CHAR_NGRAM,
         "synonym_term_stats": _sql_synonym_stats(),

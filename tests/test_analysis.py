@@ -196,6 +196,25 @@ def test_edge_ngram_filter():
     assert toks == ["sp", "spa", "go"]
 
 
+def test_path_hierarchy_filter_golden():
+    from engine.analysis import Analyzer, PathHierarchyFilter, build_filter
+
+    a = Analyzer(None, False, tokenizer="keyword", filters=(
+        {"type": "path_hierarchy", "delimiter": "/"},))
+    out = a.analyze_text("src0/en/len2")
+    # every ancestor prefix, all stacked at the token's position
+    assert out == [("src0", 0), ("src0/en", 0), ("src0/en/len2", 0)]
+    # no delimiter -> the token passes through whole
+    assert [t for t, _ in a.analyze_text("plain")] == ["plain"]
+    # skip drops leading components (upstream's skip arg)
+    s = Analyzer(None, False, tokenizer="keyword", filters=(
+        {"type": "path_hierarchy", "delimiter": "/", "skip": 1},))
+    assert [t for t, _ in s.analyze_text("a/b/c")] == ["b", "b/c"]
+    # config roundtrip through the spec factory
+    f = build_filter(PathHierarchyFilter("|", 2).spec())
+    assert (f.delimiter, f.skip) == ("|", 2)
+
+
 def test_length_filter_keeps_positions():
     from engine.analysis import Analyzer
 
