@@ -252,6 +252,47 @@ def timeseries_fill(ds: ray.data.Dataset, ts_col: str, unit: str,
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def regress(ds: ray.data.Dataset, x_col: str, y_col: str,
+                y_scale: int = 100) -> pa.Table:
+    """``regress`` stream evaluator (upstream
+    ``solrj/io/eval/RegressionEvaluator.java`` [U] — the BIVARIATE
+    slope/intercept fit, distinct from the multivariate ``olsRegress``
+    covered by ``ols_regress_lineitem``): least-squares fit
+    ``y = slope·x + intercept`` from EXACT integer sufficient
+    statistics, so distributed sum order cannot perturb the result:
+    ``y`` is fixed-point scaled by ``y_scale`` (the synthetic value
+    column carries 2 decimals), per-batch int64 partials
+    (n, Σx, Σx², Σy′, Σxy′) stream out of ``map_batches`` (one tiny
+    row per batch, no shuffle), the driver folds Python big-ints, and
+    slope/intercept each take ONE f64 divide at the end —
+    bit-reproducible across batch counts, cluster sizes and retries.
+    ``x`` must be integral; y_scale·y must round to an integer."""
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy().astype(np.int64)
+        y = np.round(b[y_col].to_numpy().astype(np.float64)
+                     * y_scale).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # Python ints: overflow-proof fold regardless of corpus size
+    n = int(parts["n"].sum());  sx = int(parts["sx"].sum())
+    sxx = int(parts["sxx"].sum())
+    sy = int(parts["sy"].sum()); sxy = int(parts["sxy"].sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope_s = float(num) / float(den)        # scaled-y slope
+    intercept_s = float(sy) / float(n) - slope_s * (float(sx) / float(n))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "slope": pa.array([np.round(slope_s / y_scale, 6)]),
+        "intercept": pa.array([np.round(intercept_s / y_scale, 6)])})
+
+
 def sort_nulls(ds: ray.data.Dataset, col: str, descending: bool = False,
                nulls_last: bool = True) -> ray.data.Dataset:
     """Sort with explicit null placement (the reference's

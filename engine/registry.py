@@ -2276,6 +2276,39 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def regress_events(sf_dir: str) -> pa.Table:
+    """``regress`` ML stream evaluator (bivariate slope/intercept —
+    the simple-regression sibling of ``ols_regress_lineitem``):
+    least-squares fit of event value on user_id (see
+    ``relational.regress`` for the exact-integer shape)."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    return rel.regress(ds, "user_id", "value")
+
+
+# HUGEINT statistics so the integer algebra is exact; both sides cast
+# to DOUBLE only for the final divides, mirroring the engine's order.
+SQL_REGRESS_EVENTS = """
+WITH s AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+         SUM(CAST(user_id AS HUGEINT)) AS sx,
+         SUM(CAST(user_id AS HUGEINT) * CAST(user_id AS HUGEINT)) AS sxx,
+         SUM(CAST(ROUND(value * 100) AS HUGEINT)) AS sy,
+         SUM(CAST(user_id AS HUGEINT)
+             * CAST(ROUND(value * 100) AS HUGEINT)) AS sxy
+  FROM events),
+f AS (SELECT n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_s
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(slope_s / 100, 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - slope_s * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             / 100, 6) AS intercept
+FROM f
+"""
+
+
 HIST_BINS = 8
 
 
@@ -13817,6 +13850,7 @@ def queries() -> dict:
         "anti_join_customers": anti_join_customers,
         "dedup_docs_exact": dedup_docs_exact,
         "timeseries_events": timeseries_events,
+        "regress_events": regress_events,
         "timeseries_fill_events": timeseries_fill_events,
         "hist_events": hist_events,
         "math_series_events": math_series_events,
@@ -14159,6 +14193,7 @@ def oracle_sql() -> dict:
         "anti_join_customers": SQL_ANTI_JOIN,
         "dedup_docs_exact": SQL_DEDUP_EXACT,
         "timeseries_events": SQL_TIMESERIES,
+        "regress_events": SQL_REGRESS_EVENTS,
         "timeseries_fill_events": SQL_TIMESERIES_FILL,
         "hist_events": SQL_HIST,
         "math_series_events": SQL_MATH_SERIES,
