@@ -1161,6 +1161,51 @@ class Analyzer:
             out = f.apply(*out)
         return out
 
+    def analyze_multivalued(self, lists: pa.ListArray | pa.ChunkedArray,
+                            gap: int = 100):
+        """Multivalued-field analysis with positionIncrementGap
+        (upstream ``S/schema/IndexSchema`` positionIncrementGap and
+        Lucene's per-field invert state continuing the position
+        counter across values [U]): each element of a ``list<string>``
+        column analyzes independently through the full chain, then the
+        values stack into their parent row with the next value's
+        positions based at ``last emitted position + 1 + gap`` — a
+        hole ≥ gap wide, so phrase/span matches can never cross a
+        value boundary (the reason the gap exists). Norms see the
+        TOTAL emitted tokens across a row's values, like upstream's
+        per-field length. Returns the :meth:`analyze_encoded` contract
+        with one entry per PARENT row; an empty/null value list yields
+        an empty row."""
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_docs = len(lists)
+        vlen = pc.fill_null(pc.list_value_length(lists), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        values = lists.flatten()
+        offs, codes, vocab, positions, _ = self.analyze_encoded(values)
+        n_vals = len(offs) - 1
+        tok_per_val = np.diff(offs)
+        # last emitted position + 1 per value (0 when no tokens emit)
+        ext = np.zeros(n_vals, dtype=np.int64)
+        nz = tok_per_val > 0
+        if nz.any():
+            ext[nz] = positions[offs[1:][nz] - 1].astype(np.int64) + 1
+        step = ext + gap
+        before = np.concatenate(([0], np.cumsum(step)))[:-1]
+        v_off = np.concatenate(([0], np.cumsum(vlen)))
+        # rebase each parent's first value to 0
+        safe_first = np.minimum(v_off[:-1], max(n_vals - 1, 0))
+        base = before - np.repeat(before[safe_first], vlen)
+        positions = (positions.astype(np.int64)
+                     + np.repeat(base, tok_per_val)).astype(np.int32)
+        doc_of_val = np.repeat(np.arange(n_docs, dtype=np.int64), vlen)
+        parent_lens = np.bincount(
+            doc_of_val, weights=tok_per_val,
+            minlength=n_docs).astype(np.int32)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(parent_lens, out=offsets[1:])
+        return offsets, codes, vocab, positions, parent_lens
+
     def analyze_flat(self, texts: pa.Array | pa.ChunkedArray):
         """Analyze a column of documents.
 

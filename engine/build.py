@@ -117,6 +117,12 @@ class IndexConfig:
     # tf/(tf + k1), i.e. the length term (1 - b + b*dl/avgdl) pinned
     # to 1 (``BM25Similarity.BM25Scorer`` [U]).
     omit_norms: bool = False
+    # positionIncrementGap analog (upstream ``S/schema/IndexSchema``
+    # [U]): > 0 declares text_col MULTIVALUED (``list<string>``); each
+    # value analyzes independently and the next value's positions base
+    # at last emitted position + 1 + gap, so phrases/spans never match
+    # across value boundaries. 0 = single-valued string column.
+    value_gap: int = 0
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -136,6 +142,7 @@ class IndexConfig:
             "postings_codec": self.postings_codec,
             "store_freqs": self.store_freqs,
             "omit_norms": self.omit_norms,
+            "value_gap": self.value_gap,
         }
 
     @staticmethod
@@ -157,6 +164,7 @@ class IndexConfig:
             postings_codec=d.get("postings_codec", "vbyte"),
             store_freqs=d.get("store_freqs", True),
             omit_norms=d.get("omit_norms", False),
+            value_gap=d.get("value_gap", 0),
         )
 
 
@@ -292,8 +300,13 @@ class FragmentBuilder:
     def _build(self, batch: pa.Table, part_id: int) -> pa.Table:
         cfg = self.cfg
         doc_ids = self._doc_ids(batch)
-        _, tcode, uniq_terms, positions, doc_lens = \
-            self.analyzer.analyze_encoded(batch[cfg.text_col])
+        if cfg.value_gap > 0:       # multivalued list<string> field
+            _, tcode, uniq_terms, positions, doc_lens = \
+                self.analyzer.analyze_multivalued(batch[cfg.text_col],
+                                                  cfg.value_gap)
+        else:
+            _, tcode, uniq_terms, positions, doc_lens = \
+                self.analyzer.analyze_encoded(batch[cfg.text_col])
         if tcode.size == 0:
             return _empty_fragment_table()
         norm_bytes = encode_lengths(doc_lens)

@@ -965,6 +965,116 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+MV_GAP = 100
+
+
+def multivalue_phrase_topk(sf_dir: str) -> pa.Table:
+    """Multivalued field + positionIncrementGap (upstream
+    ``S/schema/IndexSchema`` positionIncrementGap, default 100 [U]):
+    each doc's text splits at the token midpoint into TWO values of a
+    ``list<string>`` field; the build stacks the values with a
+    100-position hole between them (``IndexConfig.value_gap``), so the
+    exact PhraseQuery matches bigram occurrences WITHIN a value but
+    never across the midpoint — docs whose only ``part filter``
+    occurrence straddled the split drop out versus ``phrase_topk``.
+    Collection stats are unchanged (same token multiset per doc), so
+    the oracle reuses the standard BM25 CTEs and only adjusts
+    positions by ``p >= h ? p + gap : p``."""
+    from engine.analysis import TOKEN_SPLIT_REGEX
+
+    key = hashlib.md5(f"{sf_dir}|mvgap|v1".encode()).hexdigest()[:12]
+    root = os.path.join("/tmp/rayindex_cache", key)
+    corpus = os.path.join(root, "corpus")
+    idx = os.path.join(root, "idx")
+    man = mf.load(idx)
+    if not (man and man.get("status") == "complete"):
+        os.makedirs(corpus, exist_ok=True)
+
+        def split_halves(b: pa.Table) -> pa.Table:
+            tl = pc.split_pattern_regex(b["text"], TOKEN_SPLIT_REGEX)
+            if isinstance(tl, pa.ChunkedArray):
+                tl = tl.combine_chunks()
+            off = tl.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            off = off - off[0]
+            vals = tl.flatten()
+            mask = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+            n = b.num_rows
+            doc_of = np.repeat(np.arange(n, dtype=np.int64),
+                               np.diff(off))
+            n_tok = np.bincount(doc_of[mask], minlength=n) \
+                .astype(np.int64)
+            h = (n_tok + 1) // 2
+            fvals = vals.filter(pa.array(mask))
+            foff = np.concatenate(([0], np.cumsum(n_tok)))
+            # ONE list array of 2n alternating halves over the
+            # contiguous filtered-token buffer, joined per half
+            half_off = np.empty(2 * n + 1, dtype=np.int64)
+            half_off[0:-1:2] = foff[:-1]
+            half_off[1::2] = foff[:-1] + h
+            half_off[-1] = foff[-1]
+            halves = pa.ListArray.from_arrays(
+                pa.array(half_off, type=pa.int64()).cast(pa.int32()),
+                fvals)
+            joined = pc.binary_join(halves, " ")
+            pair_off = pa.array(np.arange(0, 2 * n + 1, 2),
+                                type=pa.int64()).cast(pa.int32())
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "vals": pa.ListArray.from_arrays(pair_off, joined)})
+
+        _read(sf_dir, "documents", ["doc_id", "text"]) \
+            .map_batches(split_halves, batch_format="pyarrow") \
+            .repartition(2).write_parquet(corpus)
+        cfg = IndexConfig(
+            text_col="vals", conv_cols=None, doc_id_col="doc_id",
+            stop_words=None, stemming=False, n_buckets=4,
+            hot_df_threshold=10**9, batch_size=2048,
+            value_gap=MV_GAP)
+        build_index(corpus, idx, cfg)
+    r = IndexReader(idx)
+    return _topdocs_out(r.phrase_topk(PHRASE, k=10))
+
+
+def sql_multivalue_phrase() -> str:
+    t0, t1 = PHRASE.split()
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p,
+         (len(ts) + 1) // 2 AS h
+  FROM toks),
+posg AS (
+  SELECT doc_id, tok,
+         CASE WHEN p < h THEN p ELSE p + {MV_GAP} END AS p
+  FROM pos),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM posg a JOIN posg b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.tok = '{t0}' AND b.tok = '{t1}'
+  GROUP BY a.doc_id),
+qterms AS (SELECT unnest(['{t0}','{t1}']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM dfs d CROSS JOIN stats s),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def wildcard_topk(sf_dir: str) -> pa.Table:
     """Prefix query: term-dictionary expansion → scoring disjunction."""
     r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
@@ -13800,6 +13910,7 @@ def queries() -> dict:
         "conjunction_topk": conjunction_topk,
         "boolean_not_topk": boolean_not_topk,
         "phrase_topk": phrase_topk,
+        "multivalue_phrase_topk": multivalue_phrase_topk,
         "wildcard_topk": wildcard_topk,
         "wildcard_constant_topk": wildcard_constant_topk,
         "boolean_filter_topk": boolean_filter_topk,
@@ -14143,6 +14254,7 @@ def oracle_sql() -> dict:
         "conjunction_topk": SQL_CONJUNCTION,
         "boolean_not_topk": SQL_BOOLEAN_NOT,
         "phrase_topk": sql_phrase_topk(),
+        "multivalue_phrase_topk": sql_multivalue_phrase(),
         "wildcard_topk": SQL_WILDCARD,
         "wildcard_constant_topk": SQL_WILDCARD_CONSTANT,
         "boolean_filter_topk": SQL_BOOLEAN_FILTER,

@@ -215,6 +215,37 @@ def test_path_hierarchy_filter_golden():
     assert (f.delimiter, f.skip) == ("|", 2)
 
 
+def test_analyze_multivalued_position_gap():
+    import pyarrow as pa
+
+    from engine.analysis import Analyzer
+
+    a = Analyzer(None, False)
+    lists = pa.array(
+        [["big cat", "sat down"], ["one"], [], ["x y z", "", "q"]],
+        type=pa.list_(pa.string()))
+    off, codes, vocab, pos, lens = a.analyze_multivalued(lists, gap=100)
+    terms = vocab[codes]
+    # norms: total emitted tokens across a row's values
+    assert lens.tolist() == [4, 1, 0, 4]
+    assert off.tolist() == [0, 4, 5, 5, 9]
+    # doc 0: second value bases at last pos + 1 + gap = 2 + 100
+    assert terms[:4].tolist() == ["big", "cat", "sat", "down"]
+    assert pos[:4].tolist() == [0, 1, 102, 103]
+    assert pos[4] == 0
+    # doc 3: the EMPTY middle value emits nothing but still adds gap
+    assert terms[5:9].tolist() == ["x", "y", "z", "q"]
+    assert pos[5:9].tolist() == [0, 1, 2, 203]
+    # stopword holes count toward the next value's base (gap
+    # semantics: position of last EMITTED token anchors the jump)
+    s = Analyzer(frozenset({"the"}), False)
+    _, c2, v2, p2, l2 = s.analyze_multivalued(
+        pa.array([["the cat", "sat"]], type=pa.list_(pa.string())),
+        gap=10)
+    assert v2[c2].tolist() == ["cat", "sat"]
+    assert p2.tolist() == [1, 12]      # cat at 1 (hole at 0); 1+1+10
+
+
 def test_length_filter_keeps_positions():
     from engine.analysis import Analyzer
 
