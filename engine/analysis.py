@@ -648,6 +648,143 @@ def soundex(token: str) -> str:
     return token[0] + (digits + "000")[:3]
 
 
+_MET_VOWELS = "aeiou"
+
+
+def metaphone(word: str, max_len: int = 4) -> str:
+    """Original Metaphone (Lawrence Philips, *Computer Language*
+    Dec 1990 — the published rule table; Solr exposes the algorithm
+    through ``PhoneticFilterFactory encoder="Metaphone"`` [U]).
+    From-scratch implementation of the public spec; rule corners where
+    published descriptions disagree (e.g. -CIA- → X) follow the 1990
+    article, so codes are NOT claimed bit-identical to commons-codec
+    (documented conformance boundary). ``max_len`` caps the code like
+    Solr/commons' default 4. Input: lowercase ASCII letters."""
+    w = word
+    if not w:
+        return ""
+    if w[:2] in ("ae", "gn", "kn", "pn", "wr"):
+        w = w[1:]
+    elif w[0] == "x":
+        w = "s" + w[1:]
+    elif w[:2] == "wh":
+        w = "w" + w[2:]
+    n = len(w)
+    out: list[str] = []
+    i = 0
+    while i < n and sum(len(s) for s in out) < max_len:
+        c = w[i]
+        # "\0" sentinels: `x in "iey"`-style tests must never match at
+        # word boundaries (an empty string is a substring of anything)
+        prev = w[i - 1] if i > 0 else "\0"
+        nxt = w[i + 1] if i + 1 < n else "\0"
+        nxt2 = w[i + 2] if i + 2 < n else "\0"
+        if c == prev and c != "c":           # collapse doubled letters
+            i += 1
+            continue
+        if c in _MET_VOWELS:
+            if i == 0:
+                out.append(c.upper())
+        elif c == "b":
+            if not (i == n - 1 and prev == "m"):     # -mb is silent
+                out.append("B")
+        elif c == "c":
+            if nxt == "i" and nxt2 == "a":           # -cia-
+                out.append("X")
+            elif nxt == "h":
+                out.append("K" if prev == "s" else "X")   # -sch- / -ch-
+            elif nxt in "iey":
+                out.append("S")
+            else:
+                out.append("K")
+        elif c == "d":
+            if nxt == "g" and nxt2 in "eiy":         # -dge/dgy/dgi-
+                out.append("J")
+                i += 1                               # consume the g
+            else:
+                out.append("T")
+        elif c == "f":
+            out.append("F")
+        elif c == "g":
+            if nxt == "h":
+                # silent unless the gh ends the word or precedes a vowel
+                if i + 2 >= n or nxt2 in _MET_VOWELS:
+                    out.append("K")
+            elif nxt == "n":
+                pass                                 # -gn(ed) silent
+            elif nxt in "iey":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "h":
+            if prev in "cgpst":
+                pass                # second half of a handled digraph
+            elif prev in _MET_VOWELS and nxt not in _MET_VOWELS:
+                pass                # vowel-h-consonant: silent
+            else:
+                out.append("H")
+        elif c == "j":
+            out.append("J")
+        elif c == "k":
+            if prev != "c":
+                out.append("K")
+        elif c in "lmnr":
+            out.append(c.upper())
+        elif c == "p":
+            out.append("F" if nxt == "h" else "P")
+        elif c == "q":
+            out.append("K")
+        elif c == "s":
+            if nxt == "h" or (nxt == "i" and nxt2 in "oa"):
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "t":
+            if nxt == "i" and nxt2 in "oa":          # -tia/tio-
+                out.append("X")
+            elif nxt == "h":
+                out.append("0")                      # theta
+            elif not (nxt == "c" and nxt2 == "h"):   # -tch: t silent
+                out.append("T")
+        elif c == "v":
+            out.append("F")
+        elif c == "w":
+            if nxt in _MET_VOWELS:
+                out.append("W")
+        elif c == "x":
+            out.append("KS")
+        elif c == "y":
+            if nxt in _MET_VOWELS:
+                out.append("Y")
+        elif c == "z":
+            out.append("S")
+        i += 1
+    return "".join(out)[:max_len]
+
+
+class MetaphoneFilter(TokenFilter):
+    """Phonetic filter (upstream ``PhoneticFilter`` with the Metaphone
+    encoder [U], inject=false): pure ``[a-z]+`` tokens are replaced by
+    their Metaphone code; tokens with digits pass through unchanged.
+    Codes are computed on the UNIQUE batch vocabulary only."""
+
+    def __init__(self, max_len: int = 4):
+        self.max_len = max_len
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        vocab2 = np.array(
+            [metaphone(t, self.max_len)
+             if t.isalpha() and t.isascii() else t
+             for t in vocab], dtype=object)
+        uniq, inv = np.unique(vocab2, return_inverse=True)
+        return offsets, inv[codes], uniq, positions, doc_lens
+
+    def spec(self) -> dict:
+        return {"type": "metaphone", "max_len": self.max_len}
+
+
 class SoundexFilter(TokenFilter):
     """Phonetic filter (upstream ``PhoneticFilter`` w/ the Soundex
     encoder [U], inject=false): pure ``[a-z]+`` tokens are replaced by
@@ -1013,6 +1150,8 @@ def build_filter(spec: dict) -> TokenFilter:
         return PatternReplaceFilter(spec["pattern"], spec["replacement"])
     if t == "soundex":
         return SoundexFilter()
+    if t == "metaphone":
+        return MetaphoneFilter(spec.get("max_len", 4))
     if t == "truncate":
         return TruncateFilter(spec["length"])
     if t == "reverse_string":

@@ -81,7 +81,11 @@ def check_index(index_dir: str) -> dict[str, int]:
         shard = os.path.join(mf.shard_root(index_dir, man), f"bucket={b}")
         if not os.path.isdir(shard):
             continue
-        tab = pq.read_table(shard)
+        files = [os.path.join(shard, f) for f in sorted(os.listdir(shard))
+                 if f.endswith(".parquet")]
+        if not files:     # emptied by a tiny vocab or an exorcise
+            continue
+        tab = pq.read_table(files)
         by_term: dict[str, list[tuple[int, int]]] = {}
         for row in tab.to_pylist():
             n_rows += 1

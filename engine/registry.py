@@ -260,6 +260,18 @@ FROM grams GROUP BY term ORDER BY term
 """
 
 
+def metaphone_stats(sf_dir: str) -> pa.Table:
+    """PhoneticFilter(Metaphone) e2e (upstream ``PhoneticFilterFactory``
+    encoder=Metaphone [U]): metaphone-coded index → (term, df, cf) read
+    back from the merged shards. NO SQL oracle: DuckDB has no metaphone
+    function and embedding engine-computed codes in the SQL would make
+    the check circular — correctness rides on the published-rule golden
+    vector in ``test_metaphone_golden`` plus this rows-only entry."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "metaphone", "max_len": 4},), "metaphone4")
+    return _index_stats_of(idx)
+
+
 def taxonomy_facet_docs(sf_dir: str) -> pa.Table:
     """Taxonomy facet counts (upstream ``lucene/facet`` ``FacetField``
     + ``FastTaxonomyFacetCounts`` [U]; also Solr's
@@ -13890,6 +13902,7 @@ def queries() -> dict:
         "term_stats_mapreduce": term_stats_mapreduce,
         "shingle_term_stats": shingle_term_stats,
         "taxonomy_facet_docs": taxonomy_facet_docs,
+        "metaphone_stats": metaphone_stats,
         "keyword_repeat_stats": keyword_repeat_stats,
         "char_ngram_stats": char_ngram_stats,
         "synonym_term_stats": synonym_term_stats,

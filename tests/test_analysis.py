@@ -196,6 +196,32 @@ def test_edge_ngram_filter():
     assert toks == ["sp", "spa", "go"]
 
 
+def test_metaphone_golden():
+    from engine.analysis import Analyzer, metaphone
+
+    # published-rule goldens: digraphs, silent letters, boundary rules
+    assert metaphone("smith") == metaphone("smyth") == "SM0"
+    assert metaphone("knight") == metaphone("night") == "NT"
+    assert metaphone("philip") == metaphone("filip") == "FLP"
+    assert metaphone("school") == "SKL"      # -sch- → K
+    assert metaphone("xavier") == "SFR"      # initial x → s
+    assert metaphone("ghost") == "KST"       # gh before vowel → K
+    assert metaphone("night") == "NT"        # gh before consonant silent
+    assert metaphone("dodge") == "TJ"        # -dge- → J, g consumed
+    assert metaphone("sign") == "SN"         # -gn- silent
+    assert metaphone("lamb") == "LM"         # trailing -mb → M
+    assert metaphone("watch") == "WX"        # -tch: t silent, ch → X
+    assert metaphone("honest") == "HNST"     # initial h kept
+    assert metaphone("away") == "AW"         # trailing y silent
+    assert metaphone("back") == "BK"         # k after c silent
+    assert metaphone("accept", max_len=5) == "AKSPT"
+    assert metaphone("accept") == "AKSP"     # Solr/commons default cap 4
+    # filter: alpha tokens encode, digit-bearing tokens pass through
+    a = Analyzer(None, False, filters=({"type": "metaphone"},))
+    assert [t for t, _ in a.analyze_text("knight night x9")] == \
+        ["NT", "NT", "x9"]
+
+
 def test_path_hierarchy_filter_golden():
     from engine.analysis import Analyzer, PathHierarchyFilter, build_filter
 
