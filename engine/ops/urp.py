@@ -22,6 +22,17 @@ Spec format (one dict per processor, applied in order):
     {"type": "truncate", "field": col, "max_len": n}
     {"type": "field_length", "src": col, "dest": col}
     {"type": "signature", "fields": [cols...], "dest": col}
+    {"type": "uuid", "name_fields": [cols...], "dest": col}
+    {"type": "timestamp", "dest": col, "now": iso_string}
+
+UUID (``UUIDUpdateProcessorFactory`` [U]) upstream draws a RANDOM v4 —
+useless under distributed retries; the restatement is NAME-BASED
+(RFC 4122 layout, md5 of the '|'-joined name fields, version nibble 3,
+variant bits 10xx; namespace omitted — single-schema corpus), so the
+same doc always gets the same id across batches, retries and cluster
+sizes. Timestamp (``TimestampUpdateProcessorFactory`` [U]) upstream
+stamps wall-clock receipt time; the caller pins NOW (exactly like the
+date-math op) so ingest is replayable.
 
 Signature is the md5 hex digest of the '|'-joined field values (the
 ``SignatureUpdateProcessorFactory`` shape with a documented md5 in
@@ -76,6 +87,21 @@ def _apply_one(batch: pa.Table, spec: dict) -> pa.Table:
         sig = pa.array([hashlib.md5(s.encode()).hexdigest()
                         for s in joined.to_pylist()], type=pa.string())
         return batch.append_column(spec["dest"], sig)
+    if t == "uuid":
+        joined = pc.binary_join_element_wise(
+            *[batch[c].cast(pa.string()) for c in spec["name_fields"]],
+            "|")
+        out = []
+        for s in joined.to_pylist():
+            h = hashlib.md5(s.encode()).hexdigest()
+            var = format((int(h[16], 16) & 0x3) | 0x8, "x")
+            out.append(f"{h[:8]}-{h[8:12]}-3{h[13:16]}-"
+                       f"{var}{h[17:20]}-{h[20:32]}")
+        return batch.append_column(spec["dest"],
+                                   pa.array(out, type=pa.string()))
+    if t == "timestamp":
+        v = pa.array([spec["now"]] * batch.num_rows, type=pa.string())
+        return batch.append_column(spec["dest"], v)
     raise ValueError(f"unknown processor type {t!r}")
 
 

@@ -260,6 +260,56 @@ FROM grams GROUP BY term ORDER BY term
 """
 
 
+STRDIST_TARGET = "src12"
+
+
+def strdist_docs(sf_dir: str) -> pa.Table:
+    """``strdist()`` function query (upstream
+    ``S/search/function/distance/StringDistanceFunction`` —
+    ``strdist(field, 'const', edit)`` [U]): per-doc normalized edit
+    similarity ``1 - lev/max(len)`` between a docvalue string and a
+    constant (commons-lang getLevenshteinDistance semantics). The
+    distance runs once per DISTINCT value via Arrow dictionary encode
+    (vocab-level, like the analysis rewrites) and broadcasts back
+    through codes; one streaming pass + partial top-k, no shuffle."""
+    from engine.query import _levenshtein
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    tgt = STRDIST_TARGET
+
+    def sim(b: pa.Table) -> pa.Table:
+        d = pc.dictionary_encode(b["source"])
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        uniq = d.dictionary.to_pylist()
+        dist = np.array([_levenshtein(u, tgt, cap=64) for u in uniq],
+                        dtype=np.float64)
+        mx = np.array([max(len(u), len(tgt)) for u in uniq],
+                      dtype=np.float64)
+        s = 1.0 - dist / mx
+        vals = s[d.indices.to_numpy(zero_copy_only=False)]
+        return pa.table({"doc_id": b["doc_id"],
+                         "sim": pa.array(np.round(vals, 6))})
+
+    t = _to_table(rel.top_k(ds.map_batches(sim, batch_format="pyarrow"),
+                            [("sim", True), ("doc_id", False)], 10))
+    return pa.table({
+        "rank": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        "doc_id": t["doc_id"], "sim": t["sim"]})
+
+
+SQL_STRDIST = f"""
+SELECT (ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, sim FROM (
+  SELECT doc_id,
+         ROUND(1 - levenshtein(source, '{STRDIST_TARGET}')::DOUBLE
+                   / GREATEST(length(source), {len(STRDIST_TARGET)}),
+               6) AS sim
+  FROM documents)
+ORDER BY sim DESC, doc_id LIMIT 10
+"""
+
+
 def metaphone_stats(sf_dir: str) -> pa.Table:
     """PhoneticFilter(Metaphone) e2e (upstream ``PhoneticFilterFactory``
     encoder=Metaphone [U]): metaphone-coded index → (term, df, cf) read
@@ -10296,6 +10346,46 @@ FROM step ORDER BY doc_id
 """
 
 
+URP_PINNED_NOW = "2024-06-01T00:00:00"
+
+
+def urp_uuid_timestamp_docs(sf_dir: str) -> pa.Table:
+    """UUID + Timestamp UpdateRequestProcessors (upstream
+    ``UUIDUpdateProcessorFactory`` / ``TimestampUpdateProcessorFactory``
+    [U]): the deterministic restatements — a NAME-BASED RFC-4122 uuid
+    (md5 of the '|'-joined name fields, version 3, variant 10xx) so the
+    same doc gets the same id across batches/retries/cluster sizes, and
+    a caller-PINNED receipt time so ingest replays identically (see
+    ``engine/ops/urp.py``). One fused row-local map_batches."""
+    from engine.ops import urp
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = urp.apply_chain(ds, [
+        {"type": "uuid", "name_fields": ["doc_id", "source"],
+         "dest": "id"},
+        {"type": "timestamp", "dest": "indexed_at",
+         "now": URP_PINNED_NOW},
+    ])
+    return _to_table(out).select(
+        ["doc_id", "id", "indexed_at"]).sort_by("doc_id")
+
+
+SQL_URP_UUID_TS = f"""
+WITH h AS (
+  SELECT doc_id, md5(doc_id::VARCHAR || '|' || source) AS h
+  FROM documents)
+SELECT doc_id,
+       substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' ||
+       substr(h, 14, 3) || '-' ||
+       substr('89ab',
+              (strpos('0123456789abcdef', substr(h, 17, 1)) - 1) % 4
+                + 1, 1) ||
+       substr(h, 18, 3) || '-' || substr(h, 21, 12) AS id,
+       '{URP_PINNED_NOW}' AS indexed_at
+FROM h ORDER BY doc_id
+"""
+
+
 def dih_import_orders(sf_dir: str) -> pa.Table:
     """Data Import Handler (upstream
     ``S/handler/dataimport/DataImportHandler`` [U]): root entity =
@@ -13903,6 +13993,7 @@ def queries() -> dict:
         "shingle_term_stats": shingle_term_stats,
         "taxonomy_facet_docs": taxonomy_facet_docs,
         "metaphone_stats": metaphone_stats,
+        "strdist_docs": strdist_docs,
         "keyword_repeat_stats": keyword_repeat_stats,
         "char_ngram_stats": char_ngram_stats,
         "synonym_term_stats": synonym_term_stats,
@@ -14161,6 +14252,7 @@ def queries() -> dict:
         "blended_term_topk_docs": blended_term_topk_docs,
         "dih_import_orders": dih_import_orders,
         "urp_chain_docs": urp_chain_docs,
+        "urp_uuid_timestamp_docs": urp_uuid_timestamp_docs,
         "word_delimiter_stats": word_delimiter_stats,
         "ols_regress_lineitem": ols_regress_lineitem,
         "polygon_customers": polygon_customers,
@@ -14247,6 +14339,7 @@ def oracle_sql() -> dict:
         "term_stats_mapreduce": SQL_TERM_STATS,
         "shingle_term_stats": SQL_SHINGLE_STATS,
         "taxonomy_facet_docs": SQL_TAXONOMY_FACET,
+        "strdist_docs": SQL_STRDIST,
         "keyword_repeat_stats": SQL_KEYWORD_REPEAT,
         "char_ngram_stats": SQL_CHAR_NGRAM,
         "synonym_term_stats": _sql_synonym_stats(),
@@ -14501,6 +14594,7 @@ def oracle_sql() -> dict:
         "blended_term_topk_docs": sql_blended_term(),
         "dih_import_orders": SQL_DIH_IMPORT,
         "urp_chain_docs": SQL_URP_CHAIN,
+        "urp_uuid_timestamp_docs": SQL_URP_UUID_TS,
         "word_delimiter_stats": SQL_WORD_DELIMITER_STATS,
         "ols_regress_lineitem": SQL_OLS_REGRESS,
         "polygon_customers": _sql_polygon(),
