@@ -272,6 +272,27 @@ def test_analyze_multivalued_position_gap():
     assert p2.tolist() == [1, 12]      # cat at 1 (hole at 0); 1+1+10
 
 
+def test_analyze_multivalued_singleton_equals_plain():
+    """A list column of single-element values must analyze exactly like
+    the plain string column (the gap never fires) — for the full chain
+    including stop/stem."""
+    import pyarrow as pa
+
+    from engine.analysis import Analyzer
+
+    texts = ["The running Spark merges windows", "", "one two the three",
+             "punct,   and; spaces!"]
+    a = Analyzer()          # default chain: stop + stem
+    plain = a.analyze_encoded(pa.array(texts))
+    multi = a.analyze_multivalued(
+        pa.array([[t] for t in texts], type=pa.list_(pa.string())),
+        gap=100)
+    for p, m in zip(plain, multi):
+        import numpy as np
+        assert np.array_equal(np.asarray(p, dtype=object),
+                              np.asarray(m, dtype=object))
+
+
 def test_length_filter_keeps_positions():
     from engine.analysis import Analyzer
 
