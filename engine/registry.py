@@ -10518,7 +10518,12 @@ def points_range_facet_orders(sf_dir: str) -> pa.Table:
     _, out = _points_orders_index(sf_dir)
     rows = pts.range_facet(out, PRF_LO, PRF_HI, PRF_NB)
     total = pts._load_dir(out)
-    assert rows[0]["decoded_leaves"] < len(total["leaves"]), rows[0]
+    # Pruning pin: a 1-D sorted leaf layout decodes at most one leaf per
+    # bucket edge, so with many more leaves than edges most leaves must be
+    # counted span-contained.  A tiny index (fewer leaves than edges, e.g.
+    # sf0.001) legitimately decodes everything — skip the pin there.
+    if len(total["leaves"]) > 2 * PRF_NB:
+        assert rows[0]["decoded_leaves"] < len(total["leaves"]), rows[0]
     return pa.table({
         "bucket": pa.array([r["bucket"] for r in rows], type=pa.int64()),
         "lo": pa.array([r["lo"] for r in rows], type=pa.int64()),
