@@ -65,6 +65,17 @@ TOKENIZER_REGEX = {
     "keyword": None,
 }
 
+# UAX29URLEmailTokenizer (upstream ``UAX29URLEmailTokenizer.jflex``
+# [U], simplified): URLs and emails survive as SINGLE tokens; all
+# other text splits on the standard ASCII-alnum rule. Extract-based
+# (one leftmost-first alternation scan, the JFlex state machine's
+# regex form), not split-based. Python ``re`` and DuckDB's RE2 agree
+# on this pattern family (no backrefs/lookarounds), so the registry
+# oracle replays the tokenizer exactly with ``regexp_extract_all``.
+UAX_URL_RX = r"[A-Za-z]+://[A-Za-z0-9._/?#=&%+:~-]+"
+UAX_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+UAX_COMBINED_RX = f"(?:{UAX_URL_RX})|(?:{UAX_EMAIL_RX})|[A-Za-z0-9]+"
+
 
 class CharFilter:
     """Pre-tokenization character filter (upstream
@@ -1186,11 +1197,20 @@ class Analyzer:
         if unicode_tokens and tokenizer == "standard":
             tokenizer = "unicode"     # back-compat flag form
         self.tokenizer = tokenizer
+        self._extract_rx = None
         if tokenizer.startswith("pattern:"):
             # PatternTokenizer (upstream ``PatternTokenizerFactory``
             # [U]): the config supplies the split regex directly —
             # same Arrow RE2 split kernel as the named tokenizers
             self.split_regex = tokenizer[len("pattern:"):]
+        elif tokenizer == "uax_url_email":
+            # extract tokenizer: matches ARE the tokens (URL | email |
+            # alnum run). One compiled-C regex scan per doc — the
+            # JFlex-scanner cost model, opt-in, actor-pool parallel
+            # across batches; marked by split_regex = the combined
+            # pattern so the query fast path defers to the batch path.
+            self.split_regex = UAX_COMBINED_RX
+            self._extract_rx = _re.compile(UAX_COMBINED_RX)
         else:
             self.split_regex = TOKENIZER_REGEX[tokenizer]
         self.filters = tuple(
@@ -1237,7 +1257,21 @@ class Analyzer:
         # lowercase, stem) then happens on the tiny vocabulary and is
         # broadcast back through int codes. This keeps the corpus-sized
         # memory traffic to one split + one hash pass.
-        if self.split_regex is None:      # KeywordTokenizer: 1 doc = 1 token
+        if self._extract_rx is not None:  # UAX29URLEmail extract scan
+            vals = pc.fill_null(texts, "").to_pylist()
+            rx = self._extract_rx
+            counts = np.empty(n_docs, dtype=np.int64)
+            flat: list[str] = []
+            for i, t in enumerate(vals):
+                m = rx.findall(t)
+                counts[i] = len(m)
+                flat.extend(m)
+            off = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+            token_lists = pa.ListArray.from_arrays(
+                pa.array(off, type=pa.int64()).cast(pa.int32()),
+                pa.array(flat, type=pa.string()))
+        elif self.split_regex is None:    # KeywordTokenizer: 1 doc = 1 token
             vals = pc.fill_null(texts, "")
             if isinstance(vals, pa.ChunkedArray):
                 vals = vals.combine_chunks()

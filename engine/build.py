@@ -1354,6 +1354,48 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return int(len(ids))
 
 
+def soft_delete_docs(index_dir: str, doc_ids) -> int:
+    """Soft deletes (upstream ``IndexWriter#softUpdateDocuments`` /
+    ``softDeletesField`` + ``SoftDeletesRetentionMergePolicy`` [U]):
+    mark docIDs deleted in a SEPARATE tombstone namespace that (a) a
+    default reader masks exactly like hard deletes, (b) a reader
+    opened with ``include_soft_deleted=True`` ignores — upstream's
+    unwrapped ``DirectoryReader`` vs ``SoftDeletesDirectoryReader``
+    view of the same commit — and (c) ``optimize_index`` RETAINS
+    (hard deletes fold into rewritten shards; soft tombstones survive
+    the merge, the retention-policy contract that makes them usable
+    for replica-ship / undo windows).
+
+    Same two-phase publish as :func:`delete_docs`: new generation
+    parquet, then one atomic manifest commit. Cumulative; returns the
+    total soft-deleted count."""
+    man = mf.load(index_dir)
+    assert man and man["status"] == "complete", \
+        "soft delete needs a complete index"
+    N = int(man["stats"].get("max_doc", man["stats"]["N"]))
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if len(ids) and (ids[0] < 0 or ids[-1] >= N):
+        raise ValueError(f"doc_id out of range [0, {N})")
+    cur = man.get("soft_deletes")
+    if cur:
+        old = pq.read_table(
+            os.path.join(index_dir, cur["file"]))["doc_id"].to_numpy()
+        ids = np.union1d(ids, old)
+    gen = (cur or {}).get("gen", 0) + 1
+    fname = f"soft-deletes-g{gen}.parquet"
+    tmp = os.path.join(index_dir, fname + ".tmp")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), tmp)
+    os.replace(tmp, os.path.join(index_dir, fname))
+    man["soft_deletes"] = {"file": fname, "n": int(len(ids)), "gen": gen}
+    mf.save(index_dir, man)          # the commit point
+    if cur and cur["file"] != fname:
+        try:
+            os.remove(os.path.join(index_dir, cur["file"]))
+        except OSError:
+            pass
+    return int(len(ids))
+
+
 def update_numeric_docvalue(index_dir: str, term: str, field: str,
                             value: float | int) -> int:
     """In-place numeric DocValues update (upstream

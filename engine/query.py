@@ -270,7 +270,8 @@ class IndexReader:
              "blk_max_tf", "blk_min_norm"]
 
     def __init__(self, index_dir: str, preload: bool = False,
-                 k1: float = K1, b: float = B):
+                 k1: float = K1, b: float = B,
+                 include_soft_deleted: bool = False):
         self.index_dir = index_dir
         man = mf.load(index_dir)
         if man is None or man.get("status") != "complete":
@@ -305,6 +306,17 @@ class IndexReader:
                 .to_numpy().astype(np.int64)   # sorted unique
         else:
             self._deleted = np.empty(0, dtype=np.int64)
+        # soft deletes (upstream SoftDeletesDirectoryReader [U]): the
+        # default searcher view masks them exactly like hard deletes;
+        # include_soft_deleted=True is the unwrapped DirectoryReader
+        # view of the same commit (retention readers, replica ship)
+        soft = man.get("soft_deletes")
+        if soft and soft.get("n") and not include_soft_deleted:
+            sd = pq.read_table(
+                os.path.join(index_dir, soft["file"]))["doc_id"] \
+                .to_numpy().astype(np.int64)
+            self._deleted = np.union1d(self._deleted, sd) \
+                if len(self._deleted) else sd
         self._term_cache: dict[str, list[_SubList]] = {}
         # Solr filterCache analog (upstream ``SolrIndexSearcher``
         # ``filterCache`` / ``getDocSet`` [U]): LRU of non-scoring
@@ -600,6 +612,53 @@ class IndexReader:
         final = sums.astype(np.float32)
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
+    def early_topk_docid(self, query_text: str, k: int
+                         ) -> tuple[pa.Table, dict[str, int]]:
+        """Index-sort early termination (upstream ``TopFieldCollector``
+        over ``IndexWriterConfig#setIndexSort`` [U]): when the request
+        sort equals the index sort — here docID order, the build's
+        stable (conv_id, turn_idx) / doc_id sort — collection stops as
+        soon as no list can contribute a competitive hit, and
+        totalHits becomes a lower bound (relation
+        GREATER_THAN_OR_EQUAL_TO), exactly Lucene 7+'s sorted-index
+        early exit.
+
+        Disjunctive match over the analyzed query terms, collecting
+        the k SMALLEST matching docIDs: the true result set is
+        contained in the union of each sub-list's first k live docs,
+        so each sub decodes only its leading blocks (ceil(k/128) when
+        nothing is deleted) and trailing blocks are never touched.
+        Returns ``(table, {"decoded_blocks", "total_blocks"})`` so
+        callers can pin the pruning."""
+        terms = self.analyzer.query_terms(query_text)
+        subs_by_term = self.lookup(terms)
+        decoded = total = 0
+        cand: list[np.ndarray] = []
+        for t in set(terms):
+            for sub in subs_by_term.get(t, []):
+                total += sub.n_blocks
+                got: list[np.ndarray] = []
+                n_live = 0
+                for b in range(sub.n_blocks):
+                    docs, _tfs = sub.decode_block(b)
+                    decoded += 1
+                    keep = self._keep(docs)
+                    if keep is not None:
+                        docs = docs[keep]
+                    got.append(docs)
+                    n_live += len(docs)
+                    if n_live >= k:
+                        break
+                if got:
+                    cand.append(np.concatenate(got))
+        u = (np.unique(np.concatenate(cand))[:k] if cand
+             else np.empty(0, dtype=np.int64))
+        tab = pa.table({
+            "rank": pa.array(np.arange(len(u)), type=pa.int64()),
+            "doc_id": pa.array(u, type=pa.int64())})
+        return tab, {"decoded_blocks": int(decoded),
+                     "total_blocks": int(total)}
 
     def bmw_topk(self, query_text: str, k: int) -> pa.Table:
         """Block-max WAND top-k; rank-identical to the brute oracle."""

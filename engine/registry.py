@@ -5848,6 +5848,60 @@ GROUP BY term ORDER BY term
 """
 
 
+_UAX_AUG = ("text || ' see http://ex' || (doc_id % 97) || '.com/p?q=' || "
+            "doc_id || ' mail user' || (doc_id % 53) || '@mx' || "
+            "(doc_id % 11) || '.org'")
+
+
+def _uax_corpus(sf_dir: str) -> str:
+    """documents with a deterministic URL + email appended per row (the
+    synthetic corpus has none), mirrored exactly by the SQL ``_UAX_AUG``
+    expression."""
+    key = hashlib.md5(f"{sf_dir}|uaxcorp|v1".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/rayindex_cache", f"uaxcorp_{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        did = t["doc_id"].to_numpy()
+        aug = pc.binary_join_element_wise(
+            t["text"].cast(pa.string()),
+            pa.array([f"see http://ex{d % 97}.com/p?q={d} "
+                      f"mail user{d % 53}@mx{d % 11}.org"
+                      for d in did], type=pa.string()), " ")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"], "text": aug}), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def uax29_url_email_stats(sf_dir: str) -> pa.Table:
+    """UAX29URLEmailTokenizer e2e (upstream
+    ``UAX29URLEmailTokenizer.jflex`` [U], simplified spec in
+    ``analysis.UAX_COMBINED_RX``): URLs and emails survive tokenization
+    as single terms; everything else splits on the standard rule. The
+    oracle replays the SAME leftmost-first alternation with DuckDB's
+    ``regexp_extract_all`` over the same augmented corpus."""
+    idx = _cached_filtered_index(
+        sf_dir, (), "uax29", input_file=_uax_corpus(sf_dir),
+        tokenizer="uax_url_email")
+    return _index_stats_of(idx)
+
+
+def sql_uax29_stats() -> str:
+    from engine.analysis import UAX_COMBINED_RX
+    return f"""
+WITH aug AS (SELECT doc_id, {_UAX_AUG} AS text FROM documents),
+toks AS (
+  SELECT doc_id, lower(unnest(
+    regexp_extract_all(text, '{UAX_COMBINED_RX}'))) AS term
+  FROM aug)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
 PATCAP_RX = "^(..).*(..)$"
 
 
@@ -9215,6 +9269,105 @@ def sql_delete_by_query() -> str:
         qterms, 10,
         where=("WHERE contrib.doc_id NOT IN "
                f"(SELECT doc_id FROM tf WHERE term = '{DBQ_TERM}')"))
+
+
+SD_TERM = "filter"
+
+
+def soft_delete_topk_docs(sf_dir: str) -> pa.Table:
+    """Soft deletes (upstream ``IndexWriter#softUpdateDocuments`` +
+    ``SoftDeletesRetentionMergePolicy`` /
+    ``SoftDeletesDirectoryReader`` [U]): docs matching ``{SD_TERM}``
+    are tombstoned in the soft namespace; the default searcher view
+    excludes them with hard-delete stats semantics (idf/avgdl keep the
+    index-time values), while the unwrapped reader
+    (``include_soft_deleted=True``) still sees the same commit with
+    zero masked docs — both views pinned in-entry."""
+    import shutil as _sh
+
+    from engine.build import soft_delete_docs
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|softdel|v1".encode()).hexdigest()[:12]
+    idx = os.path.join("/tmp/rayindex_cache", "sdel_" + key)
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    man = mf.load(idx)
+    if not (man and man.get("status") == "complete"
+            and man.get("soft_deletes")):
+        if os.path.exists(idx):
+            _sh.rmtree(idx)
+        build_index([base], idx, cfg)
+        r0 = IndexReader(idx)
+        subs = r0.lookup([SD_TERM])
+        ids = (r0._clause_arrays(SD_TERM, subs[SD_TERM])[0]
+               if subs[SD_TERM] else np.empty(0, np.int64))
+        soft_delete_docs(idx, np.sort(ids))
+    raw = IndexReader(idx, include_soft_deleted=True)
+    assert len(raw._deleted) == 0          # unwrapped view: no mask
+    assert mf.load(idx)["soft_deletes"]["n"] > 0
+    r = IndexReader(idx)                   # wrapped (default) view
+    return _topdocs_out(r.topk(BM25_QUERY, 10))
+
+
+def sql_soft_delete_topk() -> str:
+    qterms = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BM25_QUERY.split()) + "]) AS term"
+    return _sql_disjunction(
+        qterms, 10,
+        where=("WHERE contrib.doc_id NOT IN "
+               f"(SELECT doc_id FROM tf WHERE term = '{SD_TERM}')"))
+
+
+def backup_restore_topk(sf_dir: str) -> pa.Table:
+    """Replication backup/restore round trip (upstream
+    ``S/handler/SnapShooter.java`` ``command=backup`` +
+    ``RestoreCore.java`` [U]): ``build.snapshot_index`` hardlink-copies
+    the commit's file set (manifest written LAST; rebuildable
+    ``fragments/`` excluded) and the snapshot IS a loadable index —
+    restore = open it. BM25 top-k answered entirely FROM THE BACKUP
+    must match the source corpus's SQL oracle."""
+    from engine.build import snapshot_index
+
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    key = hashlib.md5(f"{sf_dir}|bak|v1".encode()).hexdigest()[:12]
+    bak = os.path.join("/tmp/rayindex_cache", "bak_" + key)
+    snapshot_index(idx, bak)
+    assert not os.path.exists(os.path.join(bak, "fragments")), \
+        "snapshot must pin the commit point, not the directory"
+    r = IndexReader(bak)
+    return _topdocs_out(r.bmw_topk(BM25_QUERY, BM25_K))
+
+
+ET_QUERY = "spark window"
+ET_K = 20
+
+
+def early_terminate_topk_docs(sf_dir: str) -> pa.Table:
+    """Sorted-index early termination (upstream ``TopFieldCollector``
+    + ``setIndexSort`` [U]): the k smallest matching docIDs for a
+    disjunction, collected by decoding only each posting list's
+    leading blocks — the in-entry pin asserts trailing blocks were
+    never decoded once the index is big enough to show it."""
+    idx = cached_doc_index(sf_dir, analyzed=False)
+    r = IndexReader(idx)
+    tab, st = r.early_topk_docid(ET_QUERY, ET_K)
+    if st["total_blocks"] > 8:
+        assert st["decoded_blocks"] < st["total_blocks"], st
+    return tab
+
+
+def sql_early_terminate() -> str:
+    terms = ", ".join(f"'{t}'" for t in ET_QUERY.split())
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms}))
+SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)::BIGINT AS rank, doc_id
+FROM m ORDER BY doc_id LIMIT {ET_K}
+"""
 
 
 def tdigest_percentile_by_type(sf_dir: str) -> pa.Table:
@@ -14162,6 +14315,7 @@ def queries() -> dict:
         "truncate_filter_stats": truncate_filter_stats,
         "reindex_collection_stats": reindex_collection_stats,
         "keep_word_stats": keep_word_stats,
+        "uax29_url_email_stats": uax29_url_email_stats,
         "pattern_capture_stats": pattern_capture_stats,
         "reverse_filter_stats": reverse_filter_stats,
         "limit_tokens_stats": limit_tokens_stats,
@@ -14244,6 +14398,9 @@ def queries() -> dict:
         "duplicate_spans_docs": duplicate_spans_docs,
         "join_util_topk": join_util_topk,
         "delete_by_query_topk": delete_by_query_topk,
+        "soft_delete_topk_docs": soft_delete_topk_docs,
+        "backup_restore_topk": backup_restore_topk,
+        "early_terminate_topk_docs": early_terminate_topk_docs,
         "curation_pipeline_docs": curation_pipeline_docs,
         "analyze_field_debug": analyze_field_debug,
         "luke_overview": luke_overview,
@@ -14505,6 +14662,7 @@ def oracle_sql() -> dict:
         "truncate_filter_stats": SQL_TRUNCATE_FILTER_STATS,
         "reindex_collection_stats": SQL_TRUNCATE_FILTER_STATS,
         "keep_word_stats": SQL_KEEP_WORD_STATS,
+        "uax29_url_email_stats": sql_uax29_stats(),
         "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,
         "limit_tokens_stats": SQL_LIMIT_TOKENS_STATS,
@@ -14586,6 +14744,9 @@ def oracle_sql() -> dict:
         "duplicate_spans_docs": SQL_DUP_SPANS,
         "join_util_topk": SQL_JOIN_UTIL,
         "delete_by_query_topk": sql_delete_by_query(),
+        "soft_delete_topk_docs": sql_soft_delete_topk(),
+        "backup_restore_topk": sql_bm25_topk(),
+        "early_terminate_topk_docs": sql_early_terminate(),
         "curation_pipeline_docs": SQL_CURATION,
         "analyze_field_debug": sql_analyze_debug(),
         "luke_overview": SQL_LUKE,
