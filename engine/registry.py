@@ -1848,6 +1848,68 @@ GROUP BY lang, source ORDER BY lang, source
 """
 
 
+FP_PREFIX = "src1"
+
+
+def facet_prefix_docs(sf_dir: str) -> pa.Table:
+    """``facet.prefix`` (upstream ``SimpleFacets`` facet.prefix [U]):
+    bucket enumeration restricted to field values with the given
+    prefix. The prefix filter prunes per batch (Arrow
+    ``starts_with``) BEFORE the grouped exchange, so only matching
+    keys shuffle — the dictionary-range restriction upstream gets from
+    its sorted term enum."""
+    ds = _read(sf_dir, "documents", ["source"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.starts_with(b["source"], FP_PREFIX)),
+        batch_format="pyarrow")
+    t = _rename(_to_table(rel.facet(ds, ["source"])), {"count()": "n"})
+    t = _cast_col(t, "n", pa.int64())
+    return t.sort_by([("n", "descending"), ("source", "ascending")])
+
+
+SQL_FACET_PREFIX = f"""
+SELECT source, COUNT(*)::BIGINT AS n FROM documents
+WHERE source LIKE '{FP_PREFIX}%'
+GROUP BY source ORDER BY n DESC, source
+"""
+
+
+GF_BAND = 50_000.0
+
+
+def group_func_orders(sf_dir: str) -> pa.Table:
+    """Grouping by function query (upstream Solr ``group.func`` [U]):
+    the group key is COMPUTED per row — floor(o_totalprice / 50000) —
+    then the standard top-n-per-group collapse runs on it. Key
+    computation is a vectorized batch map, so the only exchange is
+    the grouped one (identical plan shape to group-by-field)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def key(b: pa.Table) -> pa.Table:
+        return b.append_column("price_band", pc.cast(
+            pc.floor(pc.divide(b["o_totalprice"], GF_BAND)), pa.int64()))
+
+    t = _to_table(rel.group_top_n(
+        ds.map_batches(key, batch_format="pyarrow"), "price_band",
+        [("o_totalprice", True), ("o_orderkey", False)], 2))
+    return t.select(["price_band", "o_orderkey", "o_totalprice"]) \
+        .sort_by([("price_band", "ascending"),
+                  ("o_totalprice", "descending"),
+                  ("o_orderkey", "ascending")])
+
+
+SQL_GROUP_FUNC = f"""
+SELECT price_band, o_orderkey, o_totalprice FROM (
+  SELECT CAST(floor(o_totalprice / {GF_BAND}) AS BIGINT) AS price_band,
+         o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST(floor(o_totalprice / {GF_BAND}) AS BIGINT)
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 2
+ORDER BY price_band, o_totalprice DESC, o_orderkey
+"""
+
+
 FC_LIMIT, FC_OFFSET, FC_MINCOUNT = 8, 2, 3
 
 
@@ -13401,6 +13463,38 @@ ORDER BY d.doc_id
 """
 
 
+DSIR_SEL_K = 50
+
+
+def importance_select_docs(sf_dir: str) -> pa.Table:
+    """DSIR importance SELECTION (Xie et al. 2023: resample the source
+    corpus toward the target domain by importance weight; this is the
+    paper's deterministic top-k selection baseline): the {DSIR_SEL_K}
+    docs with the highest ``dsir_logw``, tie-broken by doc_id.
+    Distributed as per-block partial top-k + tiny final merge — no
+    full-corpus sort shuffle; the weights pipeline itself is the
+    two-pass no-shuffle shape proven by ``dsir_weights_docs``."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def mark(b: pa.Table) -> pa.Table:
+        return b.append_column("is_tgt", pc.equal(b["lang"], "en"))
+
+    w = tx.dsir_importance(
+        ds.map_batches(mark, batch_format="pyarrow"),
+        "text", "doc_id", "is_tgt", n_buckets=DSIR_B)
+    out = _to_table(rel.top_k(
+        w, [("dsir_logw", True), ("doc_id", False)], DSIR_SEL_K))
+    out = out.sort_by([("dsir_logw", "descending"), ("doc_id", "ascending")])
+    return out.select(["doc_id", "dsir_logw"])
+
+
+SQL_IMPORTANCE_SELECT = f"""
+WITH base AS ({SQL_DSIR_WEIGHTS.replace("ORDER BY d.doc_id", "")})
+SELECT doc_id, dsir_logw FROM base
+ORDER BY dsir_logw DESC, doc_id LIMIT {DSIR_SEL_K}
+"""
+
+
 NPMI_MIN_C, NPMI_TOPN = 20, 20
 
 
@@ -14401,6 +14495,9 @@ def queries() -> dict:
         "soft_delete_topk_docs": soft_delete_topk_docs,
         "backup_restore_topk": backup_restore_topk,
         "early_terminate_topk_docs": early_terminate_topk_docs,
+        "importance_select_docs": importance_select_docs,
+        "facet_prefix_docs": facet_prefix_docs,
+        "group_func_orders": group_func_orders,
         "curation_pipeline_docs": curation_pipeline_docs,
         "analyze_field_debug": analyze_field_debug,
         "luke_overview": luke_overview,
@@ -14747,6 +14844,9 @@ def oracle_sql() -> dict:
         "soft_delete_topk_docs": sql_soft_delete_topk(),
         "backup_restore_topk": sql_bm25_topk(),
         "early_terminate_topk_docs": sql_early_terminate(),
+        "importance_select_docs": SQL_IMPORTANCE_SELECT,
+        "facet_prefix_docs": SQL_FACET_PREFIX,
+        "group_func_orders": SQL_GROUP_FUNC,
         "curation_pipeline_docs": SQL_CURATION,
         "analyze_field_debug": sql_analyze_debug(),
         "luke_overview": SQL_LUKE,
