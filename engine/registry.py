@@ -4616,6 +4616,79 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def ltr_trees_rescore_docs(sf_dir: str) -> pa.Table:
+    """LTR MultipleAdditiveTreesModel rescore (upstream Solr ``ltr``
+    ``MultipleAdditiveTreesModel`` [U]): BM25 top-100 window re-ranked
+    by 0.5 × f32 score + a 3-tree additive ensemble over the logged
+    features (matched-term count, summed query tf, SmallFloat-decoded
+    doc length — integer features, so tree routing is exact in both
+    engines). Tree traversal is vectorized ``np.where`` over the
+    window; the SQL oracle replays the same trees as CASE chains with
+    the identical (t1 + t2) + t3 fold order."""
+    r = _doc_reader(sf_dir)
+    top = r.brute_force_topk(BJ_QUERY, 100)
+    ids = top["doc_id"].to_numpy()
+    score = top["score"].to_numpy()
+    terms = sorted(set(r.analyzer.query_terms(BJ_QUERY)))
+    subs = r.lookup(terms)
+    nmatch = np.zeros(len(ids), dtype=np.int64)
+    tfsum = np.zeros(len(ids), dtype=np.int64)
+    dlq = np.zeros(len(ids), dtype=np.int64)
+    for t in terms:
+        if not subs[t]:
+            continue
+        docs, tfs, norms = r._clause_arrays(t, subs[t])
+        idx = np.clip(np.searchsorted(docs, ids), 0, len(docs) - 1)
+        hit = docs[idx] == ids
+        nmatch += hit
+        tfsum += np.where(hit, tfs[idx], 0).astype(np.int64)
+        dlq = np.where(hit,
+                       LENGTH_TABLE[norms[idx]].astype(np.int64), dlq)
+    t1 = np.where(tfsum <= 2, 0.1, np.where(dlq <= 40, 0.4, 0.3))
+    t2 = np.where(nmatch <= 1, 0.0, 0.5)
+    t3 = np.where(dlq <= 30, 0.2, np.where(tfsum <= 4, 0.05, 0.35))
+    ens = (t1 + t2) + t3
+    final = (0.5 * score.astype(np.float64) + ens).astype(np.float32)
+    order = np.lexsort((ids, -final))[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(10, dtype=np.int64)),
+        "doc_id": pa.array(ids[order], type=pa.int64()),
+        "score": pa.array(final[order], type=pa.float32())})
+
+
+def sql_ltr_trees() -> str:
+    return f"""{_sql_scored("SELECT unnest(['spark','merge']) AS term")},
+top0 AS (SELECT doc_id, score FROM scored
+         ORDER BY score DESC, doc_id LIMIT 100),
+feat AS (
+  SELECT t.doc_id, t.score,
+         COUNT(DISTINCT tf.term)::BIGINT AS nm,
+         SUM(tf.tf)::BIGINT AS tfsum,
+         ANY_VALUE(dl.dlq)::BIGINT AS dlq
+  FROM top0 t
+  JOIN tf ON tf.doc_id = t.doc_id
+  JOIN qterms q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = t.doc_id
+  GROUP BY t.doc_id, t.score),
+ens AS (
+  SELECT doc_id, score,
+    ((CASE WHEN tfsum <= 2 THEN 0.1::DOUBLE
+           WHEN dlq <= 40 THEN 0.4::DOUBLE ELSE 0.3::DOUBLE END
+      + CASE WHEN nm <= 1 THEN 0.0::DOUBLE ELSE 0.5::DOUBLE END)
+      + CASE WHEN dlq <= 30 THEN 0.2::DOUBLE
+             WHEN tfsum <= 4 THEN 0.05::DOUBLE
+             ELSE 0.35::DOUBLE END) AS e
+  FROM feat)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank, doc_id, score
+FROM (SELECT doc_id,
+             CAST(0.5::DOUBLE * score::DOUBLE + e::DOUBLE AS FLOAT)
+               AS score
+      FROM ens)
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def ltr_feature_log_docs(sf_dir: str) -> pa.Table:
     """LTR feature logging (upstream Solr ``ltr`` module's
     ``fl=[features]`` transformer / ``FeatureLogger`` [U]): for the
@@ -14377,6 +14450,7 @@ def queries() -> dict:
         "dsir_weights_docs": dsir_weights_docs,
         "npmi_collocations_docs": npmi_collocations_docs,
         "group_func_orders": group_func_orders,
+        "ltr_trees_rescore_docs": ltr_trees_rescore_docs,
         "zipf_slope_docs": zipf_slope_docs,
         "semdedup_embeddings": semdedup_embeddings,
         "distinct_ngram_ratio_docs": distinct_ngram_ratio_docs,
@@ -14498,6 +14572,7 @@ def queries() -> dict:
         "importance_select_docs": importance_select_docs,
         "facet_prefix_docs": facet_prefix_docs,
         "group_func_orders": group_func_orders,
+        "ltr_trees_rescore_docs": ltr_trees_rescore_docs,
         "curation_pipeline_docs": curation_pipeline_docs,
         "analyze_field_debug": analyze_field_debug,
         "luke_overview": luke_overview,
@@ -14727,6 +14802,7 @@ def oracle_sql() -> dict:
         "dsir_weights_docs": SQL_DSIR_WEIGHTS,
         "npmi_collocations_docs": SQL_NPMI,
         "group_func_orders": SQL_GROUP_FUNC,
+        "ltr_trees_rescore_docs": sql_ltr_trees(),
         "zipf_slope_docs": SQL_ZIPF,
         "semdedup_embeddings": SQL_SEMDEDUP,
         "distinct_ngram_ratio_docs": SQL_DISTINCT_NGRAM,
@@ -14847,6 +14923,7 @@ def oracle_sql() -> dict:
         "importance_select_docs": SQL_IMPORTANCE_SELECT,
         "facet_prefix_docs": SQL_FACET_PREFIX,
         "group_func_orders": SQL_GROUP_FUNC,
+        "ltr_trees_rescore_docs": sql_ltr_trees(),
         "curation_pipeline_docs": SQL_CURATION,
         "analyze_field_debug": sql_analyze_debug(),
         "luke_overview": SQL_LUKE,
