@@ -256,20 +256,30 @@ class ShingleFilter(TokenFilter):
 
 class AsciiFoldingFilter(TokenFilter):
     """Fold accented/latin-extended characters to ASCII (upstream
-    ``ASCIIFoldingFilter`` [U], the NFKD-strippable subset): operates
-    on the batch vocabulary only, then re-uniques. Matches DuckDB's
-    ``strip_accents`` for the combining-mark cases, which is what the
-    SQL oracle uses."""
+    ``ASCIIFoldingFilter`` [U]): NFKD decomposition with combining
+    marks dropped — byte-identical to DuckDB's ``strip_accents``,
+    which the SQL oracle uses — plus the classic non-decomposable
+    ligature/stroke rows of the upstream table (ß→ss, æ→ae, œ→oe,
+    ø→o, đ→d, ð→d, þ→th, ł→l) that NFKD leaves alone. Operates on
+    the batch vocabulary only, then re-uniques."""
+
+    _EXTRA = {"ß": "ss", "æ": "ae", "œ": "oe", "ø": "o",
+              "đ": "d", "ð": "d", "þ": "th", "ł": "l"}
 
     def apply(self, offsets, codes, vocab, positions, doc_lens):
         if not vocab.size:
             return offsets, codes, vocab, positions, doc_lens
         import unicodedata
 
+        ex = self._EXTRA
+
         def fold(t: str) -> str:
-            return "".join(
+            s = "".join(
                 c for c in unicodedata.normalize("NFKD", t)
                 if not unicodedata.combining(c))
+            if any(c in ex for c in s):
+                s = "".join(ex.get(c, c) for c in s)
+            return s
 
         vocab2 = np.array([fold(t) for t in vocab], dtype=object)
         uniq, inv = np.unique(vocab2, return_inverse=True)

@@ -3035,6 +3035,18 @@ class IndexReader:
                 raw = tfs / (tfs + s_ + s_ * dlq[norms] / self.avgdl) \
                     * ((self.N + 1.0) / df) ** k_
                 sc = raw.astype(np.float32)
+            elif similarity == "ib_ll":
+                # IBSimilarity(DistributionLL, LambdaDF,
+                # NormalizationH2 c=1) (upstream ``IBSimilarity`` /
+                # ``DistributionLL``/``LambdaDF``/``NormalizationH2``
+                # [U]): lambda = (df+1)/(N+1); tfn = tf * log2(1 +
+                # avgdl/dlq); DistributionLL scores -ln(lambda /
+                # (tfn + lambda)) = ln((tfn + lambda)/lambda), f64
+                # inner math, one f32 cast per clause.
+                lam = (df + 1.0) / (self.N + 1.0)
+                tfn = tfs * np.log2(1.0 + self.avgdl / dlq[norms])
+                raw = np.log((tfn + lam) / lam)
+                sc = raw.astype(np.float32)
             elif similarity == "sweetspot":
                 # SweetSpotSimilarity (upstream ``misc/.../
                 # SweetSpotSimilarity.java`` [U]): ClassicSimilarity

@@ -6037,6 +6037,65 @@ FROM toks GROUP BY term ORDER BY term
 """
 
 
+_FOLD_WORDS = ["café über", "niño façade", "ørsted ßtraße naïve",
+               "łódź đông cañón"]
+_FOLD_CASE = ("CASE (doc_id % 4) " + " ".join(
+    f"WHEN {i} THEN ' {w}'" for i, w in enumerate(_FOLD_WORDS[:3]))
+    + f" ELSE ' {_FOLD_WORDS[3]}' END")
+
+
+def _fold_corpus(sf_dir: str) -> str:
+    """documents with deterministic accented words appended (the
+    synthetic corpus is pure ASCII), mirrored by ``_FOLD_CASE``."""
+    key = hashlib.md5(f"{sf_dir}|foldcorp|v1".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/rayindex_cache", f"foldcorp_{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        did = t["doc_id"].to_numpy()
+        aug = pc.binary_join_element_wise(
+            t["text"].cast(pa.string()),
+            pa.array([_FOLD_WORDS[d % 4] for d in did],
+                     type=pa.string()), " ")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"], "text": aug}), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def ascii_folding_stats(sf_dir: str) -> pa.Table:
+    """ASCIIFoldingFilter e2e (upstream ``ASCIIFoldingFilter`` [U]):
+    unicode tokenizer (accented letters survive splitting) → lowercase
+    → fold; accented variants collapse onto their ASCII terms. The
+    oracle replays lower → ``strip_accents`` → the explicit
+    non-decomposable map (ß/ø/đ/ł rows exercised by the augmented
+    corpus) over the same unicode split."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "ascii_folding"},), "asciifold",
+        input_file=_fold_corpus(sf_dir), tokenizer="unicode")
+    return _index_stats_of(idx)
+
+
+def sql_ascii_folding() -> str:
+    return rf"""
+WITH aug AS (SELECT doc_id, text || {_FOLD_CASE} AS text FROM documents),
+toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^\pL\pN]+'),
+    x -> x != '')) AS raw
+  FROM aug),
+f AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(strip_accents(raw),
+           'ß','ss'),'ø','o'),'đ','d'),'ł','l') AS term
+  FROM toks)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM f GROUP BY term ORDER BY term
+"""
+
+
 PATCAP_RX = "^(..).*(..)$"
 
 
@@ -13439,6 +13498,38 @@ SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
 """
 
 
+def ib_sim_topk(sf_dir: str) -> pa.Table:
+    """IBSimilarity LL/DF/H2 (upstream ``IBSimilarity`` with
+    ``DistributionLL`` + ``LambdaDF`` + ``NormalizationH2`` c=1 [U]):
+    lambda = (df+1)/(N+1); tfn = tf·log2(1 + avgdl/dlq); score =
+    ln((tfn + lambda)/lambda) per clause, f64 → one f32 cast."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(
+        r.similarity_topk(BJ_QUERY, k=10, similarity="ib_ll"))
+
+
+def sql_ib_sim() -> str:
+    tfn = "tf.tf * log2(1 + s.avgdl / dl.dlq)"
+    lam = "((d.df + 1) / (s.n + 1))"
+    return f"""{_bm25_ctes()},
+qterms AS ({_sql_sim_qterms()}),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(ln((({tfn}) + {lam}) / {lam}) AS FLOAT) AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def axiomatic_sim_topk(sf_dir: str) -> pa.Table:
     """AxiomaticF2EXP (upstream ``AxiomaticF2EXP`` [U], s=0.5,
     k=0.35): score = tf/(tf + s + s·dlq/avgdl) · ((N+1)/df)^k — the
@@ -14451,6 +14542,7 @@ def queries() -> dict:
         "npmi_collocations_docs": npmi_collocations_docs,
         "group_func_orders": group_func_orders,
         "ltr_trees_rescore_docs": ltr_trees_rescore_docs,
+        "ib_sim_topk": ib_sim_topk,
         "zipf_slope_docs": zipf_slope_docs,
         "semdedup_embeddings": semdedup_embeddings,
         "distinct_ngram_ratio_docs": distinct_ngram_ratio_docs,
@@ -14484,6 +14576,7 @@ def queries() -> dict:
         "reindex_collection_stats": reindex_collection_stats,
         "keep_word_stats": keep_word_stats,
         "uax29_url_email_stats": uax29_url_email_stats,
+        "ascii_folding_stats": ascii_folding_stats,
         "pattern_capture_stats": pattern_capture_stats,
         "reverse_filter_stats": reverse_filter_stats,
         "limit_tokens_stats": limit_tokens_stats,
@@ -14573,6 +14666,7 @@ def queries() -> dict:
         "facet_prefix_docs": facet_prefix_docs,
         "group_func_orders": group_func_orders,
         "ltr_trees_rescore_docs": ltr_trees_rescore_docs,
+        "ib_sim_topk": ib_sim_topk,
         "curation_pipeline_docs": curation_pipeline_docs,
         "analyze_field_debug": analyze_field_debug,
         "luke_overview": luke_overview,
@@ -14803,6 +14897,7 @@ def oracle_sql() -> dict:
         "npmi_collocations_docs": SQL_NPMI,
         "group_func_orders": SQL_GROUP_FUNC,
         "ltr_trees_rescore_docs": sql_ltr_trees(),
+        "ib_sim_topk": sql_ib_sim(),
         "zipf_slope_docs": SQL_ZIPF,
         "semdedup_embeddings": SQL_SEMDEDUP,
         "distinct_ngram_ratio_docs": SQL_DISTINCT_NGRAM,
@@ -14836,6 +14931,7 @@ def oracle_sql() -> dict:
         "reindex_collection_stats": SQL_TRUNCATE_FILTER_STATS,
         "keep_word_stats": SQL_KEEP_WORD_STATS,
         "uax29_url_email_stats": sql_uax29_stats(),
+        "ascii_folding_stats": sql_ascii_folding(),
         "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,
         "limit_tokens_stats": SQL_LIMIT_TOKENS_STATS,
@@ -14924,6 +15020,7 @@ def oracle_sql() -> dict:
         "facet_prefix_docs": SQL_FACET_PREFIX,
         "group_func_orders": SQL_GROUP_FUNC,
         "ltr_trees_rescore_docs": sql_ltr_trees(),
+        "ib_sim_topk": sql_ib_sim(),
         "curation_pipeline_docs": SQL_CURATION,
         "analyze_field_debug": sql_analyze_debug(),
         "luke_overview": SQL_LUKE,
