@@ -5436,6 +5436,39 @@ def sharded_facet_docs(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_facet_refine_docs(sf_dir: str) -> pa.Table:
+    """Two-phase distributed ``facet.limit`` faceting with refinement
+    (upstream ``FacetComponent`` refinement protocol [U]): shards
+    return only their local top-(k+overrequest) value counts plus a
+    cutoff bound, the coordinator refines unreported candidates in a
+    second round, and a threshold-algorithm acceptance test (bound on
+    unseen values < k-th count) escalates the shard limit until the
+    top-k is provably exact.  ``source`` is the high-cardinality
+    facet field (~100 values at sf0.01) and overrequest is kept tiny
+    (=2) so phase-A shard lists genuinely disagree and refinement
+    requests actually fire.  Exact by construction — checked against
+    the exact SQL top-10."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return searcher.facet_topk(SEARCH_FACET_TERM, "source",
+                                   k=10, overrequest=2)
+    finally:
+        searcher.shutdown()
+
+
+SQL_SHARDED_FACET_REFINE = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{SEARCH_FACET_TERM}')
+SELECT d.source, COUNT(*)::BIGINT AS n
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.source ORDER BY n DESC, d.source LIMIT 10
+"""
+
+
 ROUTE_KEY = "src1"
 N_ROUTE_SHARDS = 2
 
@@ -14703,6 +14736,7 @@ def queries() -> dict:
         "facet_query_docs": facet_query_docs,
         "search_stats_docs": search_stats_docs,
         "sharded_facet_docs": sharded_facet_docs,
+        "sharded_facet_refine_docs": sharded_facet_refine_docs,
         "knn_filtered": knn_filtered,
         "sharded_fetch_topk": sharded_fetch_topk,
         "sharded_spellcheck_docs": sharded_spellcheck_docs,
@@ -15058,6 +15092,7 @@ def oracle_sql() -> dict:
         "search_stats_docs": SQL_SEARCH_STATS,
         # sharded facet must equal single-node query-scoped faceting
         "sharded_facet_docs": SQL_SEARCH_FACET,
+        "sharded_facet_refine_docs": SQL_SHARDED_FACET_REFINE,
         "knn_filtered": SQL_KNN_FILTERED,
         # two-phase sharded search ≡ single-index two-phase search
         "sharded_fetch_topk": sql_fetch_topk(),

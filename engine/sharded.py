@@ -192,7 +192,48 @@ class ShardSearcher:
         postings, mapped to facet values via the shard's OWN input
         files (pruned 2-column read) — shards own disjoint docs, so
         coordinator summing gives exact global counts, no refinement
-        round needed."""
+        round needed.  Ships the FULL local count map: exact but
+        wire-heavy at high facet cardinality — the ``facet.limit``
+        path (:meth:`facet_top` / :meth:`facet_refine`) is the scale
+        variant."""
+        key = (tuple(terms), facet_col)
+        cached = getattr(self, "_facet_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        counts = self._facet_scan(terms, facet_col)
+        # one-entry docset/facet reuse across the refinement round
+        # (Solr's filterCache-backed docset: phase B never re-scans)
+        self._facet_cache = (key, counts)
+        return counts
+
+    def facet_top(self, terms: list[str], facet_col: str,
+                  shard_limit: int) -> tuple[list, int]:
+        """Phase-A partial under ``facet.limit`` (upstream
+        ``FacetComponent`` distributed flow [U]): ONLY this shard's
+        top ``shard_limit`` (value, count) pairs cross the wire —
+        count desc, value asc, Solr's facet.sort=count — plus the
+        shard's *cutoff*: the largest count any value NOT returned by
+        this shard could have here (0 when the shard exhausted its
+        values).  The coordinator uses Σ cutoffs as the
+        threshold-algorithm bound on unseen values."""
+        counts = self.facet_counts(terms, facet_col)
+        rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = rows[:shard_limit]
+        cutoff = int(rows[shard_limit][1]) if len(rows) > shard_limit \
+            else 0
+        return top, cutoff
+
+    def facet_refine(self, terms: list[str], facet_col: str,
+                     values: list) -> dict:
+        """Phase-B refinement (upstream FacetComponent's
+        ``facet.refine`` shard requests [U]): exact local counts for
+        exactly the candidate values this shard did NOT report in
+        phase A (0 for values absent here).  Served from the cached
+        phase-A docset — no postings re-scan."""
+        counts = self.facet_counts(terms, facet_col)
+        return {v: int(counts.get(v, 0)) for v in values}
+
+    def _facet_scan(self, terms: list[str], facet_col: str) -> dict:
         import pyarrow.parquet as pq
 
         r = self.reader
@@ -353,6 +394,77 @@ class DistributedSearcher:
         return pa.table({facet_col: pa.array(vals, type=pa.string()),
                          "n": pa.array([agg[v] for v in vals],
                                        type=pa.int64())})
+
+    def facet_topk(self, query_text: str, facet_col: str, k: int = 10,
+                   overrequest: int | None = None) -> pa.Table:
+        """Two-phase distributed ``facet.limit`` faceting (upstream
+        ``FacetComponent`` refinement protocol [U]).  Unlike
+        :meth:`facet`, shards never ship their full count map — the
+        realistic contract when the facet field has millions of
+        values:
+
+          phase A  every shard returns its local top
+                   ``k + overrequest`` (value, count) pairs (Solr's
+                   default overrequest ``limit/2 + 10``) plus its
+                   local cutoff — the best count an unreturned value
+                   could have on that shard;
+          merge    the coordinator unions the candidates; a candidate
+                   missing from some shard has an incomplete sum;
+          phase B  refinement requests fan out carrying, per shard,
+                   exactly the candidates that shard did not report;
+                   shards answer from their cached phase-A docset.
+
+        After refinement every candidate's global count is exact.
+        Solr stops there (bucket *selection* can in principle still
+        miss a value below every shard's cutoff); this implementation
+        additionally applies the threshold-algorithm acceptance test
+        (Fagin et al. 2001): an unseen value's count is ≤ Σ shard
+        cutoffs, so if that bound is strictly below the k-th
+        candidate's count the top-k is PROVABLY exact — otherwise the
+        shard limit doubles and the round repeats (terminates: limits
+        eventually exhaust every shard and the bound hits 0).
+        ``last_facet_rounds`` / ``last_refine_values`` expose the
+        protocol's work for tests and audits."""
+        terms = self._analyzer.query_terms(query_text)
+        shard_limit = k + (overrequest if overrequest is not None
+                           else k // 2 + 10)
+        self.last_facet_rounds = 0
+        self.last_refine_values = 0
+        while True:
+            self.last_facet_rounds += 1
+            parts = ray.get([
+                s.facet_top.remote(terms, facet_col, shard_limit)
+                for s in self.shards])
+            seen = [dict(p[0]) for p in parts]
+            bound = sum(p[1] for p in parts)
+            cand = sorted(set().union(*(set(d) for d in seen)))
+            # phase B: per-shard refinement for unreported candidates
+            need = [[v for v in cand if v not in d] for d in seen]
+            refs = [self.shards[i].facet_refine.remote(
+                        terms, facet_col, miss)
+                    for i, miss in enumerate(need) if miss]
+            self.last_refine_values += sum(len(m) for m in need)
+            refined = iter(ray.get(refs))
+            totals: dict = {v: 0 for v in cand}
+            for i, d in enumerate(seen):
+                extra = next(refined) if need[i] else {}
+                for v in cand:
+                    totals[v] += d.get(v, extra.get(v, 0))
+            ranked = sorted(totals.items(),
+                            key=lambda kv: (-kv[1], kv[0]))
+            if len(ranked) >= k:
+                # unseen value with count == kth could still win the
+                # value-asc tie-break, hence the STRICT inequality
+                if bound < ranked[k - 1][1]:
+                    break
+            elif bound == 0:       # every shard exhausted: < k values
+                break
+            shard_limit *= 2
+        rows = ranked[:k]
+        return pa.table({
+            facet_col: pa.array([v for v, _ in rows],
+                                type=pa.string()),
+            "n": pa.array([c for _, c in rows], type=pa.int64())})
 
     def spellcheck(self, term: str, k: int = 5,
                    max_edits: int = 2) -> pa.Table:

@@ -236,3 +236,116 @@ def test_distributed_facet_skips_null_values(ray_session, tmp_path):
         assert t["n"].to_pylist() == [2, 2]
     finally:
         searcher.shutdown()
+
+
+def _facet_shards(tmp_path, shard_docs: list[list[tuple[str, str]]],
+                  prefix: str = "fs") -> list[str]:
+    """Build one shard index per list of (text, facet) docs."""
+    from engine.build import IndexConfig, build_index
+
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    shards, base = [], 0
+    for si, docs in enumerate(shard_docs):
+        f = str(tmp_path / f"{prefix}{si}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(base, base + len(docs)),
+                               type=pa.int64()),
+            "text": pa.array([t for t, _ in docs]),
+            "cat": pa.array([c for _, c in docs])}), f)
+        base += len(docs)
+        sd = str(tmp_path / f"{prefix}idx{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    return shards
+
+
+def test_facet_refinement_fixes_partial_sums(ray_session, tmp_path):
+    """A candidate reported by only SOME shards must be refined: with
+    overrequest 0 and k=2, value 'x' tops shard0 but is below the
+    phase-A cutoff on shards 1 and 2 — summing only phase-A partials
+    would undercount it (6 instead of 8). The refinement round must
+    recover the exact global count."""
+    from engine.sharded import DistributedSearcher
+
+    def docs(counts: dict) -> list:
+        return [("hit", v) for v, c in counts.items() for _ in range(c)]
+
+    shards = _facet_shards(tmp_path, [
+        docs({"x": 6, "a": 5, "b": 4}),
+        docs({"a": 6, "b": 5, "x": 1}),
+        docs({"b": 6, "a": 5, "x": 1}),
+    ])
+    ds = DistributedSearcher(shards)
+    try:
+        t = ds.facet_topk("hit", "cat", k=2, overrequest=0)
+        assert t["cat"].to_pylist() == ["a", "b"]
+        assert t["n"].to_pylist() == [16, 15]
+        assert ds.last_refine_values > 0      # refinement really fired
+        # exact counts even for the value with partial phase-A sums
+        t3 = ds.facet_topk("hit", "cat", k=3, overrequest=0)
+        assert dict(zip(t3["cat"].to_pylist(),
+                        t3["n"].to_pylist()))["x"] == 8
+    finally:
+        ds.shutdown()
+
+
+def test_facet_topk_escalates_until_provably_exact(ray_session,
+                                                   tmp_path):
+    """Threshold-algorithm escalation: value 'A' is globally top (15)
+    but below every shard's local top-1 cutoff, so phase A at
+    shard_limit=1 never sees it and the unseen-value bound (Σ cutoffs
+    = 15) forbids acceptance; the shard limit must double until 'A'
+    surfaces. Solr-without-the-bound would return the wrong bucket."""
+    from engine.sharded import DistributedSearcher
+
+    def docs(counts: dict) -> list:
+        return [("hit", v) for v, c in counts.items() for _ in range(c)]
+
+    shards = _facet_shards(tmp_path, [
+        docs({"b0": 6, "A": 5}),
+        docs({"b1": 6, "A": 5}),
+        docs({"b2": 6, "A": 5}),
+    ], prefix="ta")
+    ds = DistributedSearcher(shards)
+    try:
+        t = ds.facet_topk("hit", "cat", k=1, overrequest=0)
+        assert t["cat"].to_pylist() == ["A"]
+        assert t["n"].to_pylist() == [15]
+        assert ds.last_facet_rounds > 1       # escalation happened
+    finally:
+        ds.shutdown()
+
+
+def test_facet_topk_matches_full_facet(ray_session, tmp_path):
+    """Randomized: facet.limit top-k under refinement must equal the
+    top-k slice of the exact one-round full facet, for every k and a
+    range of overrequests (including 0) — and an over-large k just
+    returns all values."""
+    rng = np.random.default_rng(33)
+    from engine.sharded import DistributedSearcher
+
+    vals = [f"v{i:02d}" for i in range(20)]
+    shard_docs = []
+    for si in range(3):
+        n = int(rng.integers(40, 80))
+        shard_docs.append([
+            ("hit", vals[int(i)])
+            for i in rng.integers(0, len(vals), size=n)])
+    shards = _facet_shards(tmp_path, shard_docs, prefix="rnd")
+    ds = DistributedSearcher(shards)
+    try:
+        full = ds.facet("hit", "cat")
+        exact = sorted(zip(full["cat"].to_pylist(),
+                           full["n"].to_pylist()),
+                       key=lambda kv: (-kv[1], kv[0]))
+        for k in (1, 3, 7, 50):
+            for over in (0, 2, 10):
+                t = ds.facet_topk("hit", "cat", k=k, overrequest=over)
+                got = list(zip(t["cat"].to_pylist(),
+                               t["n"].to_pylist()))
+                assert got == exact[:k], (k, over)
+    finally:
+        ds.shutdown()
