@@ -5391,6 +5391,42 @@ def sharded_group_topk(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_group_docs_topk(sf_dir: str) -> pa.Table:
+    """Full TWO-PHASE distributed grouping (upstream Solr
+    ``group.distributed.first``/``second`` shard protocol [U]):
+    round 1 elects the global top-5 groups from per-shard grouped-max
+    partials; round 2 broadcasts the elected groups and merges each
+    shard's local top-3 docs per group under global IDF.  Must equal
+    the single-index grouped ranking, checked against the exact SQL
+    window-function oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return searcher.grouped_docs(BJ_QUERY, "source",
+                                     n_groups=5, group_limit=3)
+    finally:
+        searcher.shutdown()
+
+
+def _sql_grouped_docs() -> str:
+    terms_sql = "SELECT unnest([" + ",".join(
+        f"'{t}'" for t in BJ_QUERY.lower().split()) + "]) AS term"
+    return f"""{_sql_scored(terms_sql)},
+gs AS (SELECT d.source AS source, s.doc_id, s.score
+       FROM scored s JOIN documents d USING (doc_id)),
+heads AS (SELECT source, MAX(score) AS gscore FROM gs
+          GROUP BY source ORDER BY gscore DESC, source LIMIT 5),
+ranked AS (SELECT gs.source, gs.doc_id, gs.score, h.gscore,
+                  ROW_NUMBER() OVER (PARTITION BY gs.source
+                      ORDER BY gs.score DESC, gs.doc_id) AS rnk
+           FROM gs JOIN heads h USING (source))
+SELECT source, (rnk - 1)::BIGINT AS rank_in_group, doc_id, score
+FROM ranked WHERE rnk <= 3
+ORDER BY gscore DESC, source, rnk
+"""
+
+
 def sharded_spellcheck_docs(sf_dir: str) -> pa.Table:
     """Distributed spellcheck (``SpellCheckComponent`` shard merge):
     per-shard candidate partials with local dfs, coordinator-merged —
@@ -14742,6 +14778,7 @@ def queries() -> dict:
         "sharded_spellcheck_docs": sharded_spellcheck_docs,
         "sharded_stats_docs": sharded_stats_docs,
         "sharded_group_topk": sharded_group_topk,
+        "sharded_group_docs_topk": sharded_group_docs_topk,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15099,6 +15136,7 @@ def oracle_sql() -> dict:
         "sharded_spellcheck_docs": SQL_SPELLCHECK,
         "sharded_stats_docs": SQL_SEARCH_STATS,
         "sharded_group_topk": sql_blockjoin(),
+        "sharded_group_docs_topk": _sql_grouped_docs(),
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

@@ -151,6 +151,22 @@ class ShardSearcher:
             c += int(len(n))
         return (s, lo, hi, c)
 
+    def _doc_groups(self, ids: np.ndarray, group_col: str) -> dict:
+        """doc_id → group value for the given matched ids, via a
+        pruned 2-column scan of this shard's own input files."""
+        import pyarrow.parquet as pq
+
+        r = self.reader
+        gmap: dict = {}
+        for f in r.manifest["input_files"]:
+            t = pq.read_table(f, columns=[r.cfg.doc_id_col, group_col])
+            fid = t[r.cfg.doc_id_col].to_numpy()
+            m = np.isin(fid, ids, assume_unique=True)
+            for d, v in zip(fid[m], np.asarray(
+                    t[group_col].to_pylist(), dtype=object)[m]):
+                gmap[int(d)] = v
+        return gmap
+
     def group_partial(self, query_text: str, group_col: str,
                       weights: dict, cache: np.ndarray) -> pa.Table:
         """Per-shard grouped-max partials (upstream grouping's
@@ -158,8 +174,6 @@ class ShardSearcher:
         the GLOBAL weights, rolled up per group value locally —
         (group, max f32 score, matched count). Coordinator merge
         (max-of-max, sum-of-count) is exact: disjoint shards."""
-        import pyarrow.parquet as pq
-
         r = self.reader
         terms = self.reader.analyzer.query_terms(query_text)
         top = _score_shard(r, terms, weights, cache,
@@ -170,14 +184,7 @@ class ShardSearcher:
                              "score": pa.array([], type=pa.float32())})
         ids = top["doc_id"].to_numpy()
         sc = top["score"].to_numpy()
-        gmap: dict = {}
-        for f in r.manifest["input_files"]:
-            t = pq.read_table(f, columns=[r.cfg.doc_id_col, group_col])
-            fid = t[r.cfg.doc_id_col].to_numpy()
-            m = np.isin(fid, ids, assume_unique=True)
-            for d, v in zip(fid[m], np.asarray(
-                    t[group_col].to_pylist(), dtype=object)[m]):
-                gmap[int(d)] = v
+        gmap = self._doc_groups(ids, group_col)
         import pandas as pd
         df = pd.DataFrame({group_col: [gmap[int(d)] for d in ids],
                            "score": sc.astype(np.float32)})
@@ -185,6 +192,41 @@ class ShardSearcher:
             n=("score", "size"), score=("score", "max"))
         return pa.Table.from_pandas(g[[group_col, "n", "score"]],
                                     preserve_index=False)
+
+    def group_docs_partial(self, query_text: str, group_col: str,
+                           groups: list, weights: dict,
+                           cache: np.ndarray, limit: int) -> pa.Table:
+        """Phase-2 TOP_GROUPS partial (upstream distributed grouping's
+        ``TopGroupsShardRequestFactory`` second round [U]): for
+        exactly the coordinator-selected ``groups``, this shard's top
+        ``limit`` docs per group under the GLOBAL weights — shards own
+        disjoint docs, so the coordinator's per-group merge of K·limit
+        rows reproduces the single-index per-group ranking."""
+        import pandas as pd
+
+        r = self.reader
+        empty = pa.table({group_col: pa.array([], type=pa.string()),
+                          "doc_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float32())})
+        terms = r.analyzer.query_terms(query_text)
+        top = _score_shard(r, terms, weights, cache, k=max(r.N, 1))
+        if not top.num_rows:
+            return empty
+        ids = top["doc_id"].to_numpy()
+        sc = top["score"].to_numpy()
+        gmap = self._doc_groups(ids, group_col)
+        df = pd.DataFrame({group_col: [gmap[int(d)] for d in ids],
+                           "doc_id": ids.astype(np.int64),
+                           "score": sc.astype(np.float32)})
+        df = df[df[group_col].isin(set(groups))]
+        if not len(df):
+            return empty
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True], kind="mergesort")
+        df = df.groupby(group_col, as_index=False, sort=False) \
+               .head(limit)
+        return pa.Table.from_pandas(
+            df[[group_col, "doc_id", "score"]], preserve_index=False)
 
     def facet_counts(self, terms: list[str], facet_col: str) -> dict:
         """Per-shard facet partials (upstream ``FacetComponent``
@@ -489,13 +531,8 @@ class DistributedSearcher:
             "dist": pa.array([r[1] for r in rows], type=pa.int64()),
             "df": pa.array([r[2] for r in rows], type=pa.int64())})
 
-    def grouped_topk(self, query_text: str, group_col: str,
-                     k: int = 10) -> pa.Table:
-        """Distributed result grouping (ScoreMode.Max heads): global
-        weights broadcast, per-shard grouped partials, coordinator
-        merges max-of-max / sum-of-count and ranks groups (score desc,
-        value asc) — exact, no second phase needed."""
-        terms = self._analyzer.query_terms(query_text)
+    def _global_weights(self, terms: list[str]) -> dict:
+        """Phase-0 global-IDF weights (df summed over shards)."""
         uniq_terms = sorted(set(terms))
         partials = ray.get([s.term_stats.remote(uniq_terms)
                             for s in self.shards])
@@ -503,7 +540,16 @@ class DistributedSearcher:
         for p in partials:
             for t, (df, _) in p.items():
                 gdf[t] = gdf.get(t, 0) + df
-        weights = {t: float(idf(self.N, df)) for t, df in gdf.items()}
+        return {t: float(idf(self.N, df)) for t, df in gdf.items()}
+
+    def grouped_topk(self, query_text: str, group_col: str,
+                     k: int = 10) -> pa.Table:
+        """Distributed result grouping (ScoreMode.Max heads): global
+        weights broadcast, per-shard grouped partials, coordinator
+        merges max-of-max / sum-of-count and ranks groups (score desc,
+        value asc) — exact, no second phase needed."""
+        weights = self._global_weights(
+            self._analyzer.query_terms(query_text))
         parts = ray.get([s.group_partial.remote(
             query_text, group_col, weights, self.cache)
             for s in self.shards])
@@ -523,6 +569,55 @@ class DistributedSearcher:
                                    type=pa.int64()),
             "score": pa.array(np.array([s for _, (_, s) in rows],
                                        dtype=np.float32))})
+
+    def grouped_docs(self, query_text: str, group_col: str,
+                     n_groups: int = 5, group_limit: int = 3
+                     ) -> pa.Table:
+        """Full TWO-PHASE distributed grouping (upstream
+        ``group.distributed.first``/``second`` —
+        ``SearchGroupsShardRequestFactory`` then
+        ``TopGroupsShardRequestFactory`` [U]):
+
+          round 1  per-shard grouped-max partials select the global
+                   top ``n_groups`` groups (max score desc, value
+                   asc) — :meth:`grouped_topk`;
+          round 2  the chosen group list is broadcast; every shard
+                   returns its local top ``group_limit`` docs per
+                   group under the SAME global weights; the
+                   coordinator merges per group (score desc, docID
+                   asc) and cuts to ``group_limit``.
+
+        Exact vs a single index: shards are doc-disjoint and both
+        rounds score under global IDF, so each group's merged doc
+        list equals the single-index per-group ranking.  Output rows
+        are ordered by group rank then rank-in-group."""
+        import pandas as pd
+
+        heads = self.grouped_topk(query_text, group_col, k=n_groups)
+        groups = heads[group_col].to_pylist()
+        out_schema = pa.schema([
+            (group_col, pa.string()), ("rank_in_group", pa.int64()),
+            ("doc_id", pa.int64()), ("score", pa.float32())])
+        if not groups:
+            return out_schema.empty_table()
+        weights = self._global_weights(
+            self._analyzer.query_terms(query_text))
+        parts = ray.get([s.group_docs_partial.remote(
+            query_text, group_col, groups, weights, self.cache,
+            group_limit) for s in self.shards])
+        allp = pa.concat_tables([p for p in parts if p.num_rows])
+        df = allp.to_pandas()
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True], kind="mergesort")
+        df = df.groupby(group_col, as_index=False, sort=False) \
+               .head(group_limit)
+        df["rank_in_group"] = df.groupby(group_col).cumcount()
+        order = {g: i for i, g in enumerate(groups)}
+        df["_g"] = df[group_col].map(order)
+        df = df.sort_values(["_g", "rank_in_group"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df[[group_col, "rank_in_group", "doc_id", "score"]],
+            preserve_index=False).cast(out_schema)
 
     def stats(self, query_text: str, col: str) -> pa.Table:
         """Distributed query-scoped StatsComponent: per-shard

@@ -349,3 +349,81 @@ def test_facet_topk_matches_full_facet(ray_session, tmp_path):
                 assert got == exact[:k], (k, over)
     finally:
         ds.shutdown()
+
+
+def test_grouped_docs_two_phase_equals_single(ray_session, tmp_path):
+    """Distributed two-phase grouping (top groups → top docs per
+    group) must equal the grouping computed from a single index's
+    full scored docset."""
+    import pandas as pd
+
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(41)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    cats = [f"g{i}" for i in range(9)]
+    n = 240
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 20)))
+             for _ in range(n)]
+    gvals = [cats[int(i)] for i in rng.integers(0, len(cats), size=n)]
+    files = []
+    for si in range(3):
+        f = str(tmp_path / f"g{si}.parquet")
+        lo, hi = si * 80, (si + 1) * 80
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(texts[lo:hi]),
+            "source": pa.array(gvals[lo:hi])}), f)
+        files.append(f)
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    single = str(tmp_path / "gsingle")
+    build_index(files, single, cfg)
+    shards = []
+    for si, f in enumerate(files):
+        sd = str(tmp_path / f"gshard{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+
+    # reference: full scored docset from the single index, grouped
+    r = IndexReader(single)
+    top = r.brute_force_topk("aa bb", n)
+    df = pd.DataFrame({"doc_id": top["doc_id"].to_numpy(),
+                       "score": top["score"].to_numpy()})
+    df["source"] = df["doc_id"].map(dict(zip(range(n), gvals)))
+    heads = df.groupby("source")["score"].max().reset_index() \
+        .sort_values(["score", "source"], ascending=[False, True])
+    want_groups = heads["source"].tolist()[:4]
+    want = {}
+    for g in want_groups:
+        sub = df[df["source"] == g].sort_values(
+            ["score", "doc_id"], ascending=[False, True])
+        want[g] = list(zip(sub["doc_id"].tolist()[:2],
+                           sub["score"].tolist()[:2]))
+
+    ds = DistributedSearcher(shards)
+    try:
+        t = ds.grouped_docs("aa bb", "source", n_groups=4,
+                            group_limit=2)
+        got_groups = list(dict.fromkeys(t["source"].to_pylist()))
+        assert got_groups == want_groups
+        for g in want_groups:
+            m = [(d, s) for gg, d, s in zip(t["source"].to_pylist(),
+                                            t["doc_id"].to_pylist(),
+                                            t["score"].to_pylist())
+                 if gg == g]
+            assert m == want[g], g
+        # ranks are 0..len-1 within each group, in row order
+        rig = t["rank_in_group"].to_pylist()
+        for g in want_groups:
+            assert [x for gg, x in zip(t["source"].to_pylist(), rig)
+                    if gg == g] == list(range(len(want[g])))
+        # no-match query: empty result with the declared schema
+        e = ds.grouped_docs("zznope", "source")
+        assert e.num_rows == 0 and "rank_in_group" in e.schema.names
+    finally:
+        ds.shutdown()
