@@ -5505,6 +5505,38 @@ GROUP BY d.source ORDER BY n DESC, d.source LIMIT 10
 """
 
 
+def sharded_json_facet_stats(sf_dir: str) -> pa.Table:
+    """Distributed JSON-facet bucket stats under ``limit`` with
+    refinement (upstream JSON Facet API ``refine:true``,
+    ``FacetRequest.Refinement`` [U]): top-10 ``source`` buckets by
+    count where each bucket carries avg(n_chars) — the sub-stat is
+    refined WITH the bucket, so a bucket reported by only some shards
+    in phase A still ends with its exact global count AND exact
+    global average, never a partial-shard average.  Tiny overrequest
+    (=2) keeps the refinement round genuinely exercised."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return searcher.facet_topk_stats(
+            SEARCH_FACET_TERM, "source", "n_chars", k=10,
+            overrequest=2, avg_name="avg_chars")
+    finally:
+        searcher.shutdown()
+
+
+SQL_SHARDED_JSON_FACET_STATS = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{SEARCH_FACET_TERM}')
+SELECT d.source, COUNT(*)::BIGINT AS n,
+       SUM(d.n_chars)::DOUBLE / COUNT(*)::DOUBLE AS avg_chars
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.source ORDER BY n DESC, d.source LIMIT 10
+"""
+
+
 ROUTE_KEY = "src1"
 N_ROUTE_SHARDS = 2
 
@@ -14773,6 +14805,7 @@ def queries() -> dict:
         "search_stats_docs": search_stats_docs,
         "sharded_facet_docs": sharded_facet_docs,
         "sharded_facet_refine_docs": sharded_facet_refine_docs,
+        "sharded_json_facet_stats": sharded_json_facet_stats,
         "knn_filtered": knn_filtered,
         "sharded_fetch_topk": sharded_fetch_topk,
         "sharded_spellcheck_docs": sharded_spellcheck_docs,
@@ -15130,6 +15163,7 @@ def oracle_sql() -> dict:
         # sharded facet must equal single-node query-scoped faceting
         "sharded_facet_docs": SQL_SEARCH_FACET,
         "sharded_facet_refine_docs": SQL_SHARDED_FACET_REFINE,
+        "sharded_json_facet_stats": SQL_SHARDED_JSON_FACET_STATS,
         "knn_filtered": SQL_KNN_FILTERED,
         # two-phase sharded search ≡ single-index two-phase search
         "sharded_fetch_topk": sql_fetch_topk(),

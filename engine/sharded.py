@@ -275,7 +275,12 @@ class ShardSearcher:
         counts = self.facet_counts(terms, facet_col)
         return {v: int(counts.get(v, 0)) for v in values}
 
-    def _facet_scan(self, terms: list[str], facet_col: str) -> dict:
+    def _facet_scan(self, terms: list[str], facet_col: str,
+                    stat_col: str | None = None) -> dict:
+        """Matched-docset facet scan over this shard's own input
+        files (pruned read).  Returns value → count, or — with
+        ``stat_col`` — value → (count, Σ stat), the bucket partial a
+        ``json.facet`` sub-aggregation needs."""
         import pyarrow.parquet as pq
 
         r = self.reader
@@ -290,19 +295,70 @@ class ShardSearcher:
         if keep is not None:
             cand = cand[keep]
         counts: dict = {}
+        cols = [r.cfg.doc_id_col, facet_col] + \
+            ([stat_col] if stat_col else [])
         for f in r.manifest["input_files"]:
-            t = pq.read_table(f, columns=[r.cfg.doc_id_col, facet_col])
+            t = pq.read_table(f, columns=cols)
             ids = t[r.cfg.doc_id_col].to_numpy()
             m = np.isin(ids, cand, assume_unique=True)
             hit = np.asarray(t[facet_col].to_pylist(), dtype=object)[m]
             # missing facet values are excluded (Solr's facet.missing
             # default); None in an object array breaks np.unique's sort
-            hit = hit[np.array([v is not None for v in hit], dtype=bool)] \
-                if len(hit) else hit
-            vals, cnt = np.unique(hit, return_counts=True)
-            for v, c in zip(vals, cnt):
-                counts[v] = counts.get(v, 0) + int(c)
+            ok = np.array([v is not None for v in hit], dtype=bool) \
+                if len(hit) else np.zeros(0, dtype=bool)
+            hit = hit[ok]
+            if stat_col is None:
+                vals, cnt = np.unique(hit, return_counts=True)
+                for v, c in zip(vals, cnt):
+                    counts[v] = counts.get(v, 0) + int(c)
+            else:
+                stat = t[stat_col].to_numpy()[m][ok]
+                vals, inv, cnt = np.unique(hit, return_inverse=True,
+                                           return_counts=True)
+                sums = np.zeros(len(vals), dtype=np.int64)
+                np.add.at(sums, inv, stat.astype(np.int64))
+                for v, c, s in zip(vals, cnt, sums):
+                    cur = counts.get(v, (0, 0))
+                    counts[v] = (cur[0] + int(c), cur[1] + int(s))
         return counts
+
+    def facet_stat_counts(self, terms: list[str], facet_col: str,
+                          stat_col: str) -> dict:
+        """Full local (count, Σ stat) map with the same one-entry
+        docset reuse as :meth:`facet_counts`."""
+        key = (tuple(terms), facet_col, stat_col)
+        cached = getattr(self, "_facet_stat_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        counts = self._facet_scan(terms, facet_col, stat_col)
+        self._facet_stat_cache = (key, counts)
+        return counts
+
+    def facet_top_stats(self, terms: list[str], facet_col: str,
+                        stat_col: str, shard_limit: int
+                        ) -> tuple[list, int]:
+        """Phase-A ``json.facet`` partial: local top ``shard_limit``
+        buckets BY COUNT, each carrying its (count, Σ stat) partial,
+        plus the count cutoff for the unseen-value bound (bucket
+        *selection* is by count; the stat rides along and is refined
+        with the bucket)."""
+        counts = self.facet_stat_counts(terms, facet_col, stat_col)
+        rows = sorted(counts.items(),
+                      key=lambda kv: (-kv[1][0], kv[0]))
+        top = [(v, c, s) for v, (c, s) in rows[:shard_limit]]
+        cutoff = int(rows[shard_limit][1][0]) \
+            if len(rows) > shard_limit else 0
+        return top, cutoff
+
+    def facet_refine_stats(self, terms: list[str], facet_col: str,
+                           stat_col: str, values: list) -> dict:
+        """Phase-B ``json.facet`` refinement (upstream
+        ``FacetRequest.Refinement`` [U]): exact local (count, Σ stat)
+        for the candidate buckets this shard did not report — the
+        sub-aggregation refines WITH the bucket, so merged stats are
+        exact, not partial-sum approximations."""
+        counts = self.facet_stat_counts(terms, facet_col, stat_col)
+        return {v: counts.get(v, (0, 0)) for v in values}
 
 
 class DistributedSearcher:
@@ -467,46 +523,97 @@ class DistributedSearcher:
         eventually exhaust every shard and the bound hits 0).
         ``last_facet_rounds`` / ``last_refine_values`` expose the
         protocol's work for tests and audits."""
-        terms = self._analyzer.query_terms(query_text)
+        rows = self._facet_limit(
+            self._analyzer.query_terms(query_text), facet_col, None,
+            k, overrequest)
+        return pa.table({
+            facet_col: pa.array([v for v, _, _ in rows],
+                                type=pa.string()),
+            "n": pa.array([c for _, c, _ in rows], type=pa.int64())})
+
+    def facet_topk_stats(self, query_text: str, facet_col: str,
+                         stat_col: str, k: int = 10,
+                         overrequest: int | None = None,
+                         avg_name: str = "avg_stat") -> pa.Table:
+        """Distributed ``json.facet`` with a sub-aggregation under
+        ``limit`` (upstream JSON Facet API distributed refinement,
+        ``FacetRequest.Refinement`` [U]): the same two-phase
+        refinement protocol as :meth:`facet_topk`, but every bucket
+        carries its (count, Σ ``stat_col``) partial and refinement
+        requests return BOTH — Solr's key guarantee that a refined
+        bucket's sub-stats are exact, never the sum of only the
+        shards that happened to report the bucket in phase A.
+        Buckets rank by count (desc, value asc); the avg is emitted
+        as ``avg_name``."""
+        rows = self._facet_limit(
+            self._analyzer.query_terms(query_text), facet_col,
+            stat_col, k, overrequest)
+        return pa.table({
+            facet_col: pa.array([v for v, _, _ in rows],
+                                type=pa.string()),
+            "n": pa.array([c for _, c, _ in rows], type=pa.int64()),
+            avg_name: pa.array([s / c for _, c, s in rows],
+                               type=pa.float64())})
+
+    def _facet_limit(self, terms: list[str], facet_col: str,
+                     stat_col: str | None, k: int,
+                     overrequest: int | None) -> list[tuple]:
+        """Shared facet.limit refinement loop → [(value, count, Σstat)]
+        (Σstat = 0 when ``stat_col`` is None), provably-exact top-k."""
         shard_limit = k + (overrequest if overrequest is not None
                            else k // 2 + 10)
         self.last_facet_rounds = 0
         self.last_refine_values = 0
         while True:
             self.last_facet_rounds += 1
-            parts = ray.get([
-                s.facet_top.remote(terms, facet_col, shard_limit)
-                for s in self.shards])
-            seen = [dict(p[0]) for p in parts]
+            if stat_col is None:
+                parts = ray.get([
+                    s.facet_top.remote(terms, facet_col, shard_limit)
+                    for s in self.shards])
+                seen = [{v: (c, 0) for v, c in p[0]} for p in parts]
+            else:
+                parts = ray.get([
+                    s.facet_top_stats.remote(terms, facet_col,
+                                             stat_col, shard_limit)
+                    for s in self.shards])
+                seen = [{v: (c, st) for v, c, st in p[0]}
+                        for p in parts]
             bound = sum(p[1] for p in parts)
             cand = sorted(set().union(*(set(d) for d in seen)))
             # phase B: per-shard refinement for unreported candidates
             need = [[v for v in cand if v not in d] for d in seen]
-            refs = [self.shards[i].facet_refine.remote(
-                        terms, facet_col, miss)
-                    for i, miss in enumerate(need) if miss]
+            if stat_col is None:
+                refs = [self.shards[i].facet_refine.remote(
+                            terms, facet_col, miss)
+                        for i, miss in enumerate(need) if miss]
+            else:
+                refs = [self.shards[i].facet_refine_stats.remote(
+                            terms, facet_col, stat_col, miss)
+                        for i, miss in enumerate(need) if miss]
             self.last_refine_values += sum(len(m) for m in need)
             refined = iter(ray.get(refs))
-            totals: dict = {v: 0 for v in cand}
+            totals: dict = {v: (0, 0) for v in cand}
             for i, d in enumerate(seen):
                 extra = next(refined) if need[i] else {}
                 for v in cand:
-                    totals[v] += d.get(v, extra.get(v, 0))
+                    got = d.get(v)
+                    if got is None:
+                        got = extra.get(v, 0)
+                        if not isinstance(got, tuple):
+                            got = (got, 0)
+                    c0, s0 = totals[v]
+                    totals[v] = (c0 + got[0], s0 + got[1])
             ranked = sorted(totals.items(),
-                            key=lambda kv: (-kv[1], kv[0]))
+                            key=lambda kv: (-kv[1][0], kv[0]))
             if len(ranked) >= k:
                 # unseen value with count == kth could still win the
                 # value-asc tie-break, hence the STRICT inequality
-                if bound < ranked[k - 1][1]:
+                if bound < ranked[k - 1][1][0]:
                     break
             elif bound == 0:       # every shard exhausted: < k values
                 break
             shard_limit *= 2
-        rows = ranked[:k]
-        return pa.table({
-            facet_col: pa.array([v for v, _ in rows],
-                                type=pa.string()),
-            "n": pa.array([c for _, c in rows], type=pa.int64())})
+        return [(v, c, s) for v, (c, s) in ranked[:k]]
 
     def spellcheck(self, term: str, k: int = 5,
                    max_edits: int = 2) -> pa.Table:

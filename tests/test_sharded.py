@@ -427,3 +427,61 @@ def test_grouped_docs_two_phase_equals_single(ray_session, tmp_path):
         assert e.num_rows == 0 and "rank_in_group" in e.schema.names
     finally:
         ds.shutdown()
+
+
+def test_json_facet_stats_refined_with_bucket(ray_session, tmp_path):
+    """A bucket reported by only some shards must end with the exact
+    global avg, not the partial-shard avg: 'x' has 6 docs of stat=10
+    on shard0 and 2 docs of stat=100 elsewhere — phase-A-only merge
+    would report avg 10, the refined answer is (6*10+2*100)/8."""
+    from engine.build import IndexConfig, build_index
+    from engine.sharded import DistributedSearcher
+
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+
+    def shard(tag, rows):
+        f = str(tmp_path / f"jf{tag}.parquet")
+        base = {"a": 0, "b": 100, "c": 200}[tag]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(base, base + len(rows)),
+                               type=pa.int64()),
+            "text": pa.array(["hit"] * len(rows)),
+            "cat": pa.array([v for v, _ in rows]),
+            "val": pa.array([s for _, s in rows], type=pa.int64())}),
+            f)
+        sd = str(tmp_path / f"jfidx{tag}")
+        build_index([f], sd, cfg)
+        return sd
+
+    shards = [
+        shard("a", [("x", 10)] * 6 + [("a", 1)] * 5 + [("b", 1)] * 4),
+        shard("b", [("a", 1)] * 6 + [("b", 1)] * 5 + [("x", 100)]),
+        shard("c", [("b", 1)] * 6 + [("a", 1)] * 5 + [("x", 100)]),
+    ]
+    ds = DistributedSearcher(shards)
+    try:
+        # k=2, shard_limit=2: 'x' tops shard0 but is below the other
+        # shards' phase-A cut → a refinement round must fire and the
+        # accepted top-2 stays exact
+        t2p = ds.facet_topk_stats("hit", "cat", "val", k=2,
+                                  overrequest=0, avg_name="avg_val")
+        assert ds.last_refine_values > 0
+        assert t2p["cat"].to_pylist() == ["a", "b"]
+        assert t2p["n"].to_pylist() == [16, 15]
+        t = ds.facet_topk_stats("hit", "cat", "val", k=3,
+                                overrequest=0, avg_name="avg_val")
+        got = {v: (n, a) for v, n, a in zip(t["cat"].to_pylist(),
+                                            t["n"].to_pylist(),
+                                            t["avg_val"].to_pylist())}
+        assert got["x"] == (8, (6 * 10 + 2 * 100) / 8)
+        assert got["a"] == (16, 1.0) and got["b"] == (15, 1.0)
+        # count-only path still agrees on the same adversarial data
+        t2 = ds.facet_topk("hit", "cat", k=3, overrequest=0)
+        assert dict(zip(t2["cat"].to_pylist(),
+                        t2["n"].to_pylist())) == \
+            {v: n for v, (n, _) in got.items()}
+    finally:
+        ds.shutdown()
