@@ -5537,6 +5537,43 @@ GROUP BY d.source ORDER BY n DESC, d.source LIMIT 10
 """
 
 
+def sharded_pivot_facet_docs(sf_dir: str) -> pa.Table:
+    """Distributed two-level pivot facet (upstream ``facet.pivot``
+    distributed refinement, ``PivotFacetProcessor`` [U]): exact top-5
+    ``source`` buckets, then within each the exact top-2 ``lang``
+    sub-buckets — level 2 runs ONE batched refinement loop across all
+    five bucket-restricted docsets (phase-A and refinement requests
+    for every bucket share the same shard waves).  Tiny overrequest
+    keeps refinement live; counts are exact by the Σ-cutoffs bound."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return searcher.pivot_facet(SEARCH_FACET_TERM, "source",
+                                    "lang", k_a=5, k_b=2,
+                                    overrequest=2)
+    finally:
+        searcher.shutdown()
+
+
+SQL_SHARDED_PIVOT_FACET = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{SEARCH_FACET_TERM}'),
+j AS (SELECT d.source, d.lang FROM documents d JOIN m USING (doc_id)),
+a AS (SELECT source, COUNT(*)::BIGINT AS n_a FROM j GROUP BY source
+      ORDER BY n_a DESC, source LIMIT 5),
+b AS (SELECT j.source, j.lang, COUNT(*)::BIGINT AS n_b,
+             ROW_NUMBER() OVER (PARTITION BY j.source
+                 ORDER BY COUNT(*) DESC, j.lang) AS rnk
+      FROM j JOIN a USING (source) GROUP BY j.source, j.lang)
+SELECT b.source, a.n_a, b.lang, b.n_b
+FROM b JOIN a USING (source) WHERE rnk <= 2
+ORDER BY a.n_a DESC, b.source, rnk
+"""
+
+
 ROUTE_KEY = "src1"
 N_ROUTE_SHARDS = 2
 
@@ -14806,6 +14843,7 @@ def queries() -> dict:
         "sharded_facet_docs": sharded_facet_docs,
         "sharded_facet_refine_docs": sharded_facet_refine_docs,
         "sharded_json_facet_stats": sharded_json_facet_stats,
+        "sharded_pivot_facet_docs": sharded_pivot_facet_docs,
         "knn_filtered": knn_filtered,
         "sharded_fetch_topk": sharded_fetch_topk,
         "sharded_spellcheck_docs": sharded_spellcheck_docs,
@@ -15164,6 +15202,7 @@ def oracle_sql() -> dict:
         "sharded_facet_docs": SQL_SEARCH_FACET,
         "sharded_facet_refine_docs": SQL_SHARDED_FACET_REFINE,
         "sharded_json_facet_stats": SQL_SHARDED_JSON_FACET_STATS,
+        "sharded_pivot_facet_docs": SQL_SHARDED_PIVOT_FACET,
         "knn_filtered": SQL_KNN_FILTERED,
         # two-phase sharded search ≡ single-index two-phase search
         "sharded_fetch_topk": sql_fetch_topk(),

@@ -228,7 +228,8 @@ class ShardSearcher:
         return pa.Table.from_pandas(
             df[[group_col, "doc_id", "score"]], preserve_index=False)
 
-    def facet_counts(self, terms: list[str], facet_col: str) -> dict:
+    def facet_counts(self, terms: list[str], facet_col: str,
+                     filt: tuple | None = None) -> dict:
         """Per-shard facet partials (upstream ``FacetComponent``
         distributed phase [U]): matched docIDs from this shard's
         postings, mapped to facet values via the shard's OWN input
@@ -237,19 +238,33 @@ class ShardSearcher:
         round needed.  Ships the FULL local count map: exact but
         wire-heavy at high facet cardinality — the ``facet.limit``
         path (:meth:`facet_top` / :meth:`facet_refine`) is the scale
-        variant."""
-        key = (tuple(terms), facet_col)
-        cached = getattr(self, "_facet_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
-        counts = self._facet_scan(terms, facet_col)
-        # one-entry docset/facet reuse across the refinement round
-        # (Solr's filterCache-backed docset: phase B never re-scans)
-        self._facet_cache = (key, counts)
+        variant.  ``filt=(col, value)`` restricts the docset to rows
+        where ``col == value`` (pivot sub-facets)."""
+        return self._facet_cached((tuple(terms), facet_col, filt),
+                                  terms, facet_col, None, filt)
+
+    def _facet_cached(self, key: tuple, terms: list[str],
+                      facet_col: str, stat_col: str | None,
+                      filt: tuple | None) -> dict:
+        """Bounded memo of facet scans (Solr's filterCache-backed
+        docset reuse): the refinement round and every pivot bucket's
+        phase-B hit the map computed in phase A instead of
+        re-scanning."""
+        cache = getattr(self, "_facet_cache", None)
+        if cache is None:
+            cache = self._facet_cache = {}
+        got = cache.get(key)
+        if got is not None:
+            return got
+        counts = self._facet_scan(terms, facet_col, stat_col, filt)
+        if len(cache) >= 128:       # bounded: drop the oldest entry
+            cache.pop(next(iter(cache)))
+        cache[key] = counts
         return counts
 
     def facet_top(self, terms: list[str], facet_col: str,
-                  shard_limit: int) -> tuple[list, int]:
+                  shard_limit: int, filt: tuple | None = None
+                  ) -> tuple[list, int]:
         """Phase-A partial under ``facet.limit`` (upstream
         ``FacetComponent`` distributed flow [U]): ONLY this shard's
         top ``shard_limit`` (value, count) pairs cross the wire —
@@ -258,7 +273,7 @@ class ShardSearcher:
         this shard could have here (0 when the shard exhausted its
         values).  The coordinator uses Σ cutoffs as the
         threshold-algorithm bound on unseen values."""
-        counts = self.facet_counts(terms, facet_col)
+        counts = self.facet_counts(terms, facet_col, filt)
         rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         top = rows[:shard_limit]
         cutoff = int(rows[shard_limit][1]) if len(rows) > shard_limit \
@@ -266,41 +281,66 @@ class ShardSearcher:
         return top, cutoff
 
     def facet_refine(self, terms: list[str], facet_col: str,
-                     values: list) -> dict:
+                     values: list, filt: tuple | None = None) -> dict:
         """Phase-B refinement (upstream FacetComponent's
         ``facet.refine`` shard requests [U]): exact local counts for
         exactly the candidate values this shard did NOT report in
         phase A (0 for values absent here).  Served from the cached
         phase-A docset — no postings re-scan."""
-        counts = self.facet_counts(terms, facet_col)
+        counts = self.facet_counts(terms, facet_col, filt)
         return {v: int(counts.get(v, 0)) for v in values}
 
-    def _facet_scan(self, terms: list[str], facet_col: str,
-                    stat_col: str | None = None) -> dict:
-        """Matched-docset facet scan over this shard's own input
-        files (pruned read).  Returns value → count, or — with
-        ``stat_col`` — value → (count, Σ stat), the bucket partial a
-        ``json.facet`` sub-aggregation needs."""
-        import pyarrow.parquet as pq
-
-        r = self.reader
+    def _matched_docset(self, terms: list[str]) -> np.ndarray:
+        """Live matched docIDs for the (deduped) terms, memoized —
+        Solr's filterCache docset: every facet/pivot/stat scan of the
+        same query reuses one postings decode."""
         terms = sorted(set(terms))
+        key = tuple(terms)
+        cached = getattr(self, "_docset_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        r = self.reader
         subs = r.lookup(terms)
         arrays = [r._clause_arrays(t, subs[t])[0]
                   for t in terms if subs[t]]
         if not arrays:
+            cand = np.zeros(0, dtype=np.int64)
+        else:
+            cand = np.unique(np.concatenate(arrays))
+            keep = r._keep(cand)
+            if keep is not None:
+                cand = cand[keep]
+        self._docset_cache = (key, cand)
+        return cand
+
+    def _facet_scan(self, terms: list[str], facet_col: str,
+                    stat_col: str | None = None,
+                    filt: tuple | None = None) -> dict:
+        """Matched-docset facet scan over this shard's own input
+        files (pruned read).  Returns value → count, or — with
+        ``stat_col`` — value → (count, Σ stat), the bucket partial a
+        ``json.facet`` sub-aggregation needs.  ``filt=(col, value)``
+        restricts to rows with ``col == value`` (pivot sub-facet)."""
+        import pyarrow.parquet as pq
+
+        r = self.reader
+        cand = self._matched_docset(terms)
+        if not len(cand):
             return {}
-        cand = np.unique(np.concatenate(arrays))
-        keep = r._keep(cand)
-        if keep is not None:
-            cand = cand[keep]
         counts: dict = {}
-        cols = [r.cfg.doc_id_col, facet_col] + \
-            ([stat_col] if stat_col else [])
+        cols = [r.cfg.doc_id_col, facet_col]
+        if stat_col:
+            cols.append(stat_col)
+        if filt is not None and filt[0] not in cols:
+            cols.append(filt[0])
         for f in r.manifest["input_files"]:
             t = pq.read_table(f, columns=cols)
             ids = t[r.cfg.doc_id_col].to_numpy()
             m = np.isin(ids, cand, assume_unique=True)
+            if filt is not None:
+                import pyarrow.compute as pc
+                m &= pc.equal(t[filt[0]], filt[1]).fill_null(False) \
+                    .to_numpy(zero_copy_only=False)
             hit = np.asarray(t[facet_col].to_pylist(), dtype=object)[m]
             # missing facet values are excluded (Solr's facet.missing
             # default); None in an object array breaks np.unique's sort
@@ -323,26 +363,24 @@ class ShardSearcher:
         return counts
 
     def facet_stat_counts(self, terms: list[str], facet_col: str,
-                          stat_col: str) -> dict:
-        """Full local (count, Σ stat) map with the same one-entry
+                          stat_col: str,
+                          filt: tuple | None = None) -> dict:
+        """Full local (count, Σ stat) map with the same bounded
         docset reuse as :meth:`facet_counts`."""
-        key = (tuple(terms), facet_col, stat_col)
-        cached = getattr(self, "_facet_stat_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
-        counts = self._facet_scan(terms, facet_col, stat_col)
-        self._facet_stat_cache = (key, counts)
-        return counts
+        return self._facet_cached(
+            (tuple(terms), facet_col, stat_col, filt),
+            terms, facet_col, stat_col, filt)
 
     def facet_top_stats(self, terms: list[str], facet_col: str,
-                        stat_col: str, shard_limit: int
-                        ) -> tuple[list, int]:
+                        stat_col: str, shard_limit: int,
+                        filt: tuple | None = None) -> tuple[list, int]:
         """Phase-A ``json.facet`` partial: local top ``shard_limit``
         buckets BY COUNT, each carrying its (count, Σ stat) partial,
         plus the count cutoff for the unseen-value bound (bucket
         *selection* is by count; the stat rides along and is refined
         with the bucket)."""
-        counts = self.facet_stat_counts(terms, facet_col, stat_col)
+        counts = self.facet_stat_counts(terms, facet_col, stat_col,
+                                        filt)
         rows = sorted(counts.items(),
                       key=lambda kv: (-kv[1][0], kv[0]))
         top = [(v, c, s) for v, (c, s) in rows[:shard_limit]]
@@ -351,13 +389,15 @@ class ShardSearcher:
         return top, cutoff
 
     def facet_refine_stats(self, terms: list[str], facet_col: str,
-                           stat_col: str, values: list) -> dict:
+                           stat_col: str, values: list,
+                           filt: tuple | None = None) -> dict:
         """Phase-B ``json.facet`` refinement (upstream
         ``FacetRequest.Refinement`` [U]): exact local (count, Σ stat)
         for the candidate buckets this shard did not report — the
         sub-aggregation refines WITH the bucket, so merged stats are
         exact, not partial-sum approximations."""
-        counts = self.facet_stat_counts(terms, facet_col, stat_col)
+        counts = self.facet_stat_counts(terms, facet_col, stat_col,
+                                        filt)
         return {v: counts.get(v, (0, 0)) for v in values}
 
 
@@ -557,63 +597,136 @@ class DistributedSearcher:
 
     def _facet_limit(self, terms: list[str], facet_col: str,
                      stat_col: str | None, k: int,
-                     overrequest: int | None) -> list[tuple]:
-        """Shared facet.limit refinement loop → [(value, count, Σstat)]
-        (Σstat = 0 when ``stat_col`` is None), provably-exact top-k."""
-        shard_limit = k + (overrequest if overrequest is not None
-                           else k // 2 + 10)
+                     overrequest: int | None,
+                     filt: tuple | None = None) -> list[tuple]:
+        """Single-facet wrapper over :meth:`_facet_limit_multi`."""
+        return self._facet_limit_multi(terms, facet_col, stat_col, k,
+                                       overrequest, [filt])[0]
+
+    def _facet_limit_multi(self, terms: list[str], facet_col: str,
+                           stat_col: str | None, k: int,
+                           overrequest: int | None,
+                           filts: list) -> list[list[tuple]]:
+        """Shared facet.limit refinement loop over MANY facets at once
+        (each ``filts[j]`` is an independent docset restriction, e.g.
+        one pivot bucket; None = unrestricted).  Both waves of each
+        round fan out for every unsettled facet × shard in one batch —
+        the pivot analog of Solr sending ONE refinement request per
+        shard carrying all buckets.  Returns, per facet, the
+        provably-exact [(value, count, Σstat)] top-k (Σstat = 0 when
+        ``stat_col`` is None; acceptance via the Σ-cutoffs bound on
+        unseen values, escalating the shard limit until exact)."""
+        base = k + (overrequest if overrequest is not None
+                    else k // 2 + 10)
+        limits = [base] * len(filts)
+        pending = set(range(len(filts)))
+        results: list = [[] for _ in filts]
         self.last_facet_rounds = 0
         self.last_refine_values = 0
-        while True:
+        while pending:
             self.last_facet_rounds += 1
-            if stat_col is None:
-                parts = ray.get([
-                    s.facet_top.remote(terms, facet_col, shard_limit)
-                    for s in self.shards])
-                seen = [{v: (c, 0) for v, c in p[0]} for p in parts]
-            else:
-                parts = ray.get([
-                    s.facet_top_stats.remote(terms, facet_col,
-                                             stat_col, shard_limit)
-                    for s in self.shards])
-                seen = [{v: (c, st) for v, c, st in p[0]}
-                        for p in parts]
-            bound = sum(p[1] for p in parts)
-            cand = sorted(set().union(*(set(d) for d in seen)))
-            # phase B: per-shard refinement for unreported candidates
-            need = [[v for v in cand if v not in d] for d in seen]
-            if stat_col is None:
-                refs = [self.shards[i].facet_refine.remote(
-                            terms, facet_col, miss)
-                        for i, miss in enumerate(need) if miss]
-            else:
-                refs = [self.shards[i].facet_refine_stats.remote(
-                            terms, facet_col, stat_col, miss)
-                        for i, miss in enumerate(need) if miss]
-            self.last_refine_values += sum(len(m) for m in need)
-            refined = iter(ray.get(refs))
-            totals: dict = {v: (0, 0) for v in cand}
-            for i, d in enumerate(seen):
-                extra = next(refined) if need[i] else {}
-                for v in cand:
-                    got = d.get(v)
-                    if got is None:
-                        got = extra.get(v, 0)
-                        if not isinstance(got, tuple):
-                            got = (got, 0)
-                    c0, s0 = totals[v]
-                    totals[v] = (c0 + got[0], s0 + got[1])
-            ranked = sorted(totals.items(),
-                            key=lambda kv: (-kv[1][0], kv[0]))
-            if len(ranked) >= k:
+            order = sorted(pending)
+            # wave 1 — phase A for every pending facet × shard
+            refs = []
+            for j in order:
+                for s in self.shards:
+                    if stat_col is None:
+                        refs.append(s.facet_top.remote(
+                            terms, facet_col, limits[j], filts[j]))
+                    else:
+                        refs.append(s.facet_top_stats.remote(
+                            terms, facet_col, stat_col, limits[j],
+                            filts[j]))
+            flat = iter(ray.get(refs))
+            state = {}
+            for j in order:
+                parts = [next(flat) for _ in self.shards]
+                if stat_col is None:
+                    seen = [{v: (c, 0) for v, c in p[0]}
+                            for p in parts]
+                else:
+                    seen = [{v: (c, st) for v, c, st in p[0]}
+                            for p in parts]
+                bound = sum(p[1] for p in parts)
+                cand = sorted(set().union(*(set(d) for d in seen)))
+                need = [[v for v in cand if v not in d] for d in seen]
+                state[j] = (seen, bound, cand, need)
+            # wave 2 — phase B refinement, batched across facets
+            refs2, owners = [], []
+            for j in order:
+                _, _, _, need = state[j]
+                for i, miss in enumerate(need):
+                    if not miss:
+                        continue
+                    if stat_col is None:
+                        refs2.append(self.shards[i].facet_refine
+                                     .remote(terms, facet_col, miss,
+                                             filts[j]))
+                    else:
+                        refs2.append(self.shards[i].facet_refine_stats
+                                     .remote(terms, facet_col,
+                                             stat_col, miss,
+                                             filts[j]))
+                    owners.append((j, i))
+                    self.last_refine_values += len(miss)
+            extras: dict = {}
+            for (j, i), ans in zip(owners, ray.get(refs2)):
+                extras[(j, i)] = ans
+            # finalize — accept provably-exact facets, escalate rest
+            for j in order:
+                seen, bound, cand, need = state[j]
+                totals: dict = {v: (0, 0) for v in cand}
+                for i, d in enumerate(seen):
+                    extra = extras.get((j, i), {})
+                    for v in cand:
+                        got = d.get(v)
+                        if got is None:
+                            got = extra.get(v, 0)
+                            if not isinstance(got, tuple):
+                                got = (got, 0)
+                        c0, s0 = totals[v]
+                        totals[v] = (c0 + got[0], s0 + got[1])
+                ranked = sorted(totals.items(),
+                                key=lambda kv: (-kv[1][0], kv[0]))
                 # unseen value with count == kth could still win the
                 # value-asc tie-break, hence the STRICT inequality
-                if bound < ranked[k - 1][1][0]:
-                    break
-            elif bound == 0:       # every shard exhausted: < k values
-                break
-            shard_limit *= 2
-        return [(v, c, s) for v, (c, s) in ranked[:k]]
+                ok = (len(ranked) >= k and bound < ranked[k - 1][1][0]) \
+                    or (len(ranked) < k and bound == 0)
+                if ok:
+                    results[j] = [(v, c, s)
+                                  for v, (c, s) in ranked[:k]]
+                    pending.discard(j)
+                else:
+                    limits[j] *= 2
+        return results
+
+    def pivot_facet(self, query_text: str, col_a: str, col_b: str,
+                    k_a: int = 5, k_b: int = 3,
+                    overrequest: int | None = None) -> pa.Table:
+        """Distributed two-level pivot faceting (upstream
+        ``facet.pivot`` distributed refinement,
+        ``S/handler/component/PivotFacetProcessor`` [U]): level 1
+        elects the exact top ``k_a`` buckets of ``col_a`` under the
+        refinement protocol; level 2 runs one refinement loop over
+        ALL elected buckets at once — each bucket's ``col_b``
+        sub-facet restricted to that bucket's docset — with phase-A
+        and refinement requests for every bucket batched into the
+        same shard waves.  Rows come out (a, n_a, b, n_b) ordered by
+        level-1 rank then level-2 rank, every count exact."""
+        terms = self._analyzer.query_terms(query_text)
+        top_a = self._facet_limit(terms, col_a, None, k_a,
+                                  overrequest)
+        subs = self._facet_limit_multi(
+            terms, col_b, None, k_b, overrequest,
+            [(col_a, v) for v, _, _ in top_a])
+        rows = [(va, ca, vb, cb)
+                for (va, ca, _), sub in zip(top_a, subs)
+                for (vb, cb, _) in sub]
+        return pa.table({
+            col_a: pa.array([r[0] for r in rows], type=pa.string()),
+            "n_a": pa.array([r[1] for r in rows], type=pa.int64()),
+            col_b: pa.array([r[2] for r in rows], type=pa.string()),
+            "n_b": pa.array([r[3] for r in rows], type=pa.int64())})
 
     def spellcheck(self, term: str, k: int = 5,
                    max_edits: int = 2) -> pa.Table:

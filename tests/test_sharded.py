@@ -485,3 +485,66 @@ def test_json_facet_stats_refined_with_bucket(ray_session, tmp_path):
             {v: n for v, (n, _) in got.items()}
     finally:
         ds.shutdown()
+
+
+def test_pivot_facet_matches_exact(ray_session, tmp_path):
+    """Distributed pivot (A then B within each A-bucket) must equal
+    the exact pivot computed from the raw rows, across several
+    (k_a, k_b, overrequest) settings including overrequest=0 where
+    level-2 escalation is forced on skewed sub-buckets."""
+    import pandas as pd
+
+    from engine.build import IndexConfig, build_index
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(55)
+    a_vals = [f"a{i}" for i in range(8)]
+    b_vals = [f"b{i}" for i in range(6)]
+    n = 270
+    rows_a = [a_vals[int(i)] for i in
+              rng.integers(0, len(a_vals), size=n)]
+    rows_b = [b_vals[int(i)] for i in
+              rng.integers(0, len(b_vals), size=n)]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    shards = []
+    for si in range(3):
+        lo, hi = si * 90, (si + 1) * 90
+        f = str(tmp_path / f"pv{si}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(["hit"] * (hi - lo)),
+            "ca": pa.array(rows_a[lo:hi]),
+            "cb": pa.array(rows_b[lo:hi])}), f)
+        sd = str(tmp_path / f"pvidx{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+
+    df = pd.DataFrame({"ca": rows_a, "cb": rows_b})
+
+    def exact(k_a, k_b):
+        heads = df.groupby("ca").size().reset_index(name="n_a")
+        heads = heads.sort_values(["n_a", "ca"],
+                                  ascending=[False, True]).head(k_a)
+        out = []
+        for va, na in zip(heads["ca"], heads["n_a"]):
+            sub = df[df["ca"] == va].groupby("cb").size() \
+                .reset_index(name="n_b") \
+                .sort_values(["n_b", "cb"],
+                             ascending=[False, True]).head(k_b)
+            out += [(va, int(na), vb, int(nb))
+                    for vb, nb in zip(sub["cb"], sub["n_b"])]
+        return out
+
+    ds = DistributedSearcher(shards)
+    try:
+        for k_a, k_b, over in [(3, 2, 0), (5, 3, 2), (20, 20, 0)]:
+            t = ds.pivot_facet("hit", "ca", "cb", k_a=k_a, k_b=k_b,
+                               overrequest=over)
+            got = list(zip(t["ca"].to_pylist(), t["n_a"].to_pylist(),
+                           t["cb"].to_pylist(), t["n_b"].to_pylist()))
+            assert got == exact(k_a, k_b), (k_a, k_b, over)
+    finally:
+        ds.shutdown()
