@@ -5427,6 +5427,25 @@ ORDER BY gscore DESC, source, rnk
 """
 
 
+def sharded_cursor_page2(sf_dir: str) -> pa.Table:
+    """Distributed cursorMark deep paging (upstream Solr
+    ``cursorMark`` [U]): page 2 of the BM25 query fetched via the
+    cursor protocol — each shard filters on the (score, docID) cursor
+    BEFORE its local top-k, so the second page ships K·10 rows, not
+    K·20 like start+rows.  Must equal single-index searchAfter ranks
+    10..19, so it shares ``search_after_page2``'s SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        page1, cur = searcher.cursor_page(BM25_QUERY, k=10)
+        assert cur is not None and page1.num_rows == 10
+        page2, _ = searcher.cursor_page(BM25_QUERY, k=10, cursor=cur)
+        return _topdocs_out(page2)
+    finally:
+        searcher.shutdown()
+
+
 def sharded_spellcheck_docs(sf_dir: str) -> pa.Table:
     """Distributed spellcheck (``SpellCheckComponent`` shard merge):
     per-shard candidate partials with local dfs, coordinator-merged —
@@ -14850,6 +14869,7 @@ def queries() -> dict:
         "sharded_stats_docs": sharded_stats_docs,
         "sharded_group_topk": sharded_group_topk,
         "sharded_group_docs_topk": sharded_group_docs_topk,
+        "sharded_cursor_page2": sharded_cursor_page2,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15210,6 +15230,7 @@ def oracle_sql() -> dict:
         "sharded_stats_docs": SQL_SEARCH_STATS,
         "sharded_group_topk": sql_blockjoin(),
         "sharded_group_docs_topk": _sql_grouped_docs(),
+        "sharded_cursor_page2": sql_search_after(),
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

@@ -50,9 +50,13 @@ def _local_term_stats(reader: IndexReader, terms: list[str]
 
 def _score_shard(reader: IndexReader, terms: list[str],
                  weights: dict[str, float], cache: np.ndarray,
-                 k: int) -> pa.Table:
+                 k: int, after: tuple | None = None) -> pa.Table:
     """Score one shard's postings with externally supplied (global)
-    idf weights and norm cache; local top-k."""
+    idf weights and norm cache; local top-k.  ``after=(score,
+    doc_id)`` keeps only docs strictly after the cursor position in
+    (score desc, docID asc) order — cursorMark's per-shard filter, so
+    deep pages never ship more than k rows per shard.  total_hits
+    stays the full match count (Solr's numFound is page-invariant)."""
     subs_by_term = reader.lookup(terms)
     clauses = []
     for t in terms:                       # duplicates = duplicate clauses
@@ -74,8 +78,13 @@ def _score_shard(reader: IndexReader, terms: list[str],
     if keep is not None:
         uniq, sums = uniq[keep], sums[keep]
     final = sums.astype(np.float32)
+    total = len(uniq)
+    if after is not None:
+        sa, da = np.float32(after[0]), int(after[1])
+        m = (final < sa) | ((final == sa) & (uniq > da))
+        uniq, final = uniq[m], final[m]
     order = np.lexsort((uniq, -final))[:k]
-    return _topdocs_table(uniq[order], final[order], total=len(uniq))
+    return _topdocs_table(uniq[order], final[order], total=total)
 
 
 @ray.remote
@@ -94,8 +103,9 @@ class ShardSearcher:
         return _local_term_stats(self.reader, terms)
 
     def score(self, terms: list[str], weights: dict, cache: np.ndarray,
-              k: int) -> pa.Table:
-        return _score_shard(self.reader, terms, weights, cache, k)
+              k: int, after: tuple | None = None) -> pa.Table:
+        return _score_shard(self.reader, terms, weights, cache, k,
+                            after)
 
     def fetch(self, doc_ids: np.ndarray) -> pa.Table:
         """Phase-2 stored-field fetch for the ids THIS shard owns
@@ -447,13 +457,16 @@ class DistributedSearcher:
         return out, failed
 
     def topk(self, query_text: str, k: int = 10,
-             tolerant: bool = False) -> pa.Table:
+             tolerant: bool = False,
+             after: tuple | None = None) -> pa.Table:
         """Distributed top-k. With ``tolerant=True`` a dead shard is
         skipped (upstream ``shards.tolerant`` partial results): the
         response carries ``partial=true`` metadata and covers the
         surviving shards; collection stats stay the coordinator's
         cached globals, like Solr serving stale stats for missing
-        shards."""
+        shards.  ``after=(score, doc_id)`` is the cursorMark filter —
+        each shard returns only its k best docs strictly after the
+        cursor, so page depth never inflates the wire cost."""
         terms = self._analyzer.query_terms(query_text)
         if not terms:
             return _topdocs_table([], [])
@@ -480,7 +493,7 @@ class DistributedSearcher:
         weights = {t: float(idf(self.N, df)) for t, df in gdf.items()}
         # phase 1: shard-local scoring under global stats
         tops, fail1 = self._gather(
-            [s.score.remote(terms, weights, self.cache, k)
+            [s.score.remote(terms, weights, self.cache, k, after)
              for s in self.shards], tolerant)
         n_failed = max(fail0, fail1)
         tops = [t for t in tops if t.num_rows]
@@ -497,6 +510,33 @@ class DistributedSearcher:
         if n_failed:
             out = out.replace_schema_metadata({"partial": "true"})
         return out
+
+    def cursor_page(self, query_text: str, k: int = 10,
+                    cursor: tuple | None = None
+                    ) -> tuple[pa.Table, tuple | None]:
+        """Distributed cursorMark deep paging (upstream Solr
+        ``cursorMark`` / ``CursorFieldValues`` [U]): the cursor
+        encodes the last row's sort position ``(score, doc_id)`` plus
+        the running rank, each shard filters BEFORE its local top-k,
+        and every page — first or ten-thousandth — costs exactly
+        K·k rows on the wire (``start+rows`` paging ships
+        K·(start+rows), which is why cursorMark exists).  Returns
+        (page, next_cursor); next_cursor is None once a short page
+        signals exhaustion.  total_hits stays the page-invariant full
+        match count; ranks continue across pages."""
+        after = (cursor[0], cursor[1]) if cursor else None
+        base = cursor[2] if cursor else 0
+        top = self.topk(query_text, k, after=after)
+        n = top.num_rows
+        if n:
+            ranks = pa.array(np.arange(base, base + n,
+                                       dtype=np.int32))
+            top = top.set_column(0, "rank", ranks)
+        nxt = None
+        if n == k:
+            nxt = (float(top["score"][n - 1].as_py()),
+                   int(top["doc_id"][n - 1].as_py()), base + n)
+        return top, nxt
 
     def topk_fetch(self, query_text: str, k: int = 10) -> pa.Table:
         """Full two-phase distributed search (upstream

@@ -548,3 +548,51 @@ def test_pivot_facet_matches_exact(ray_session, tmp_path):
             assert got == exact(k_a, k_b), (k_a, k_b, over)
     finally:
         ds.shutdown()
+
+
+def test_cursor_pages_cover_full_ranking(ray_session, tmp_path):
+    """Walking the cursor to exhaustion must reproduce the single
+    big top-k exactly (ids, scores, continuing ranks, page-invariant
+    total_hits), ending with a None cursor; ties in f32 scores are
+    crossed correctly by the (score, docID) cursor."""
+    from engine.build import IndexConfig, build_index
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(77)
+    vocab = ["aa", "bb", "cc"]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    shards = []
+    for si in range(3):
+        f = str(tmp_path / f"cp{si}.parquet")
+        lo, hi = si * 70, (si + 1) * 70
+        # few distinct lengths → many exact f32 score ties
+        texts = [" ".join(rng.choice(vocab, size=int(
+            rng.choice([4, 8])))) for _ in range(hi - lo)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(texts)}), f)
+        sd = str(tmp_path / f"cpidx{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    ds = DistributedSearcher(shards)
+    try:
+        want = ds.topk("aa bb", 300)
+        pages, cur, guard = [], None, 0
+        while True:
+            page, cur = ds.cursor_page("aa bb", k=7, cursor=cur)
+            pages.append(page)
+            guard += 1
+            assert guard < 100
+            if cur is None:
+                break
+        got = pa.concat_tables(pages)
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert got["score"].to_pylist() == want["score"].to_pylist()
+        assert got["rank"].to_pylist() == list(range(got.num_rows))
+        assert set(got["total_hits"].to_pylist()) == \
+            {want["total_hits"][0].as_py()}
+    finally:
+        ds.shutdown()
