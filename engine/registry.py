@@ -5446,6 +5446,23 @@ def sharded_cursor_page2(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_rerank_topk(sf_dir: str) -> pa.Table:
+    """Distributed ReRank, coordinator-exact (upstream
+    ``ReRankQParserPlugin`` distributed flow [U]): global-IDF top-30
+    window, then the window ids broadcast for owner-shard rescoring
+    under global rerank weights, combined with the single-index f32
+    arithmetic — shares ``rerank_topk_docs``'s SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return _topdocs_out(searcher.rerank_topk(
+            BM25_QUERY, "part filter", k=10, rerank_docs=30,
+            rerank_weight=2.0))
+    finally:
+        searcher.shutdown()
+
+
 def sharded_spellcheck_docs(sf_dir: str) -> pa.Table:
     """Distributed spellcheck (``SpellCheckComponent`` shard merge):
     per-shard candidate partials with local dfs, coordinator-merged —
@@ -14870,6 +14887,7 @@ def queries() -> dict:
         "sharded_group_topk": sharded_group_topk,
         "sharded_group_docs_topk": sharded_group_docs_topk,
         "sharded_cursor_page2": sharded_cursor_page2,
+        "sharded_rerank_topk": sharded_rerank_topk,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15231,6 +15249,7 @@ def oracle_sql() -> dict:
         "sharded_group_topk": sql_blockjoin(),
         "sharded_group_docs_topk": _sql_grouped_docs(),
         "sharded_cursor_page2": sql_search_after(),
+        "sharded_rerank_topk": sql_rerank(),
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

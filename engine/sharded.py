@@ -107,6 +107,41 @@ class ShardSearcher:
         return _score_shard(self.reader, terms, weights, cache, k,
                             after)
 
+    def rerank_window(self, ids: np.ndarray, terms: list[str],
+                      weights: dict, cache: np.ndarray) -> pa.Table:
+        """Second-pass rescore partial (upstream ``ReRankQuery`` under
+        distributed search [U]): probe the rerank terms' postings at
+        the window docIDs via searchsorted — never a full traversal —
+        under the supplied GLOBAL weights.  Shards own disjoint docs,
+        so each window doc's full f64 rerank sum comes from exactly
+        its owner; docs with no rerank match are omitted (the
+        coordinator defaults them to 0, upstream's keep-first-pass
+        behavior)."""
+        from engine.query import _clause_scores as _cs
+
+        r = self.reader
+        subs = r.lookup(terms)
+        rr = np.zeros(len(ids), dtype=np.float64)
+        any_hit = np.zeros(len(ids), dtype=bool)
+        for t in terms:
+            w = weights.get(t)
+            if w is None or not subs[t]:
+                continue
+            docs, tfs, norms = r._clause_arrays(t, subs[t])
+            if not len(docs):
+                continue
+            idx = np.clip(np.searchsorted(docs, ids), 0,
+                          len(docs) - 1)
+            hit = docs[idx] == ids
+            sc = _cs(tfs[idx[hit]], norms[idx[hit]], np.float32(w),
+                     cache)
+            rr[hit] += sc.astype(np.float64)
+            any_hit |= hit
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids)[any_hit],
+                               type=pa.int64()),
+            "rr": pa.array(rr[any_hit], type=pa.float64())})
+
     def fetch(self, doc_ids: np.ndarray) -> pa.Table:
         """Phase-2 stored-field fetch for the ids THIS shard owns
         (missing ids are simply absent — the coordinator scatters the
@@ -555,6 +590,44 @@ class DistributedSearcher:
         import pyarrow.compute as pc
         pos = pc.index_in(top["doc_id"], value_set=fetched["doc_id"])
         return top.append_column("text", fetched["text"].take(pos))
+
+    def rerank_topk(self, query_text: str, rerank_text: str,
+                    k: int = 10, rerank_docs: int = 30,
+                    rerank_weight: float = 2.0) -> pa.Table:
+        """Distributed ReRank (upstream ``ReRankQParserPlugin`` in
+        SolrCloud [U], done coordinator-exact): pass 1 is the
+        global-IDF distributed top-``rerank_docs`` window (already
+        bit-identical to a single index); pass 2 broadcasts the
+        window's docIDs with the rerank terms' GLOBAL weights and
+        each shard probes only its own postings at those ids.  The
+        combine (f32 window score + weight × f32 rerank sum, one
+        final f32 cast) mirrors :meth:`IndexReader.rerank_topk`
+        bit-for-bit, so the merged page equals the single-index
+        rerank — unlike stock Solr, whose per-shard rerank windows
+        are a documented approximation."""
+        top = self.topk(query_text, rerank_docs)
+        if not top.num_rows:
+            return _topdocs_table([], [])
+        ids = top["doc_id"].to_numpy()
+        score = top["score"].to_numpy()
+        rr_terms = sorted(set(self._analyzer.query_terms(rerank_text)))
+        weights = self._global_weights(rr_terms)
+        parts = ray.get([s.rerank_window.remote(
+            ids, rr_terms, weights, self.cache)
+            for s in self.shards])
+        rrmap: dict = {}
+        for p in parts:
+            for d, v in zip(p["doc_id"].to_pylist(),
+                            p["rr"].to_pylist()):
+                rrmap[d] = v
+        rr32 = np.array([rrmap.get(int(d), 0.0) for d in ids],
+                        dtype=np.float64).astype(np.float32)
+        final = (score.astype(np.float64)
+                 + rerank_weight * rr32.astype(np.float64)
+                 ).astype(np.float32)
+        order = np.lexsort((ids, -final))[:k]
+        return _topdocs_table(ids[order], final[order],
+                              total=len(ids))
 
     def facet(self, query_text: str, facet_col: str) -> pa.Table:
         """Distributed query-scoped faceting: per-shard (value, count)

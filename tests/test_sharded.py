@@ -596,3 +596,48 @@ def test_cursor_pages_cover_full_ranking(ray_session, tmp_path):
             {want["total_hits"][0].as_py()}
     finally:
         ds.shutdown()
+
+
+def test_sharded_rerank_equals_single(ray_session, tmp_path):
+    """Distributed rerank must be bit-identical to the single-index
+    ReRank (window scores, rerank probe, f32 combine)."""
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(88)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+             for _ in range(240)]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    files = []
+    for si in range(3):
+        f = str(tmp_path / f"rr{si}.parquet")
+        lo, hi = si * 80, (si + 1) * 80
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(texts[lo:hi])}), f)
+        files.append(f)
+    single = str(tmp_path / "rrsingle")
+    build_index(files, single, cfg)
+    shards = []
+    for si, f in enumerate(files):
+        sd = str(tmp_path / f"rrshard{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    r = IndexReader(single)
+    ds = DistributedSearcher(shards)
+    try:
+        for main, rq in [("aa bb", "cc dd"), ("cc", "aa"),
+                         ("ee ff", "zz")]:
+            a = r.rerank_topk(main, rq, k=10, rerank_docs=20,
+                              rerank_weight=2.0)
+            b = ds.rerank_topk(main, rq, k=10, rerank_docs=20,
+                               rerank_weight=2.0)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+            assert a["score"].to_pylist() == b["score"].to_pylist()
+    finally:
+        ds.shutdown()
