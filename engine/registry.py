@@ -7158,6 +7158,63 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 
 MP_FIRST = "merge"
 MP_ALTS = ["group", "order"]
+PW_FIRST = "merge"
+PW_PREFIX = "s"
+
+
+def phrase_wildcard_topk_docs(sf_dir: str) -> pa.Table:
+    """PhraseWildcardQuery (upstream sandbox
+    ``L/sandbox/search/PhraseWildcardQuery.java`` [U]): the phrase
+    ``"merge s*"`` — position 1 accepts every dictionary term
+    matching the wildcard.  Conformance restatement (documented):
+    the expansion set is unioned into MultiPhraseQuery semantics
+    (one dictionary prefix range, then the same collision-free
+    (doc, pos) key intersection); upstream instead rewrites per
+    segment with term-state budgeting — same matches, and the weight
+    here is the documented Σ-idf-over-expansions of MultiPhrase."""
+    r = _doc_reader(sf_dir)
+    alts = r.expand_prefix(PW_PREFIX)
+    if not alts:
+        return _topdocs_out(pa.table({
+            "rank": pa.array([], type=pa.int32()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float32())}))
+    return _topdocs_out(r.multi_phrase_topk([[PW_FIRST], alts], k=10))
+
+
+def sql_phrase_wildcard() -> str:
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+exp AS (SELECT DISTINCT term FROM tf WHERE term LIKE '{PW_PREFIX}%'),
+occ AS (
+  SELECT a.doc_id, COUNT(*)::DOUBLE AS freq
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.tok = '{PW_FIRST}' AND b.tok IN (SELECT term FROM exp)
+  GROUP BY a.doc_id),
+qterms AS (SELECT '{PW_FIRST}' AS term UNION ALL
+           SELECT term FROM exp),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM dfs d CROSS JOIN stats s),
+scored AS (
+  SELECT occ.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(occ.freq / (occ.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM occ JOIN dl ON dl.doc_id = occ.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
 
 
 def multi_phrase_topk_docs(sf_dir: str) -> pa.Table:
@@ -14888,6 +14945,7 @@ def queries() -> dict:
         "sharded_group_docs_topk": sharded_group_docs_topk,
         "sharded_cursor_page2": sharded_cursor_page2,
         "sharded_rerank_topk": sharded_rerank_topk,
+        "phrase_wildcard_topk_docs": phrase_wildcard_topk_docs,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15250,6 +15308,7 @@ def oracle_sql() -> dict:
         "sharded_group_docs_topk": _sql_grouped_docs(),
         "sharded_cursor_page2": sql_search_after(),
         "sharded_rerank_topk": sql_rerank(),
+        "phrase_wildcard_topk_docs": sql_phrase_wildcard(),
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

@@ -1257,3 +1257,39 @@ def test_complex_phrase_boundaries(reader):
     # ? wildcard expands single-char positions
     t = reader.complex_phrase_topk("z?phyr qu*", slop=3, k=5)
     assert t.column_names == ["rank", "doc_id", "score", "total_hits"]
+
+
+def test_phrase_wildcard_degenerates_and_unions(ray_session, tmp_path):
+    """PhraseWildcard composition: a single-expansion prefix must
+    equal the exact PhraseQuery; a multi-expansion prefix must match
+    the union of the per-alternative phrase matches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+
+    docs = ["merge sort fast", "merge stream now", "merge order by",
+            "sort merge join", "merge sorted runs"]
+    f = str(tmp_path / "pw.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs)}), f)
+    idx = str(tmp_path / "pwidx")
+    build_index([f], idx, IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=2,
+        hot_df_threshold=10**9, batch_size=16))
+    r = IndexReader(idx)
+    # single expansion: "order" is the only o* term
+    alts = r.expand_prefix("o")
+    assert alts == ["order"]
+    a = r.multi_phrase_topk([["merge"], alts], k=10)
+    b = r.phrase_topk("merge order", k=10)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    # multi expansion: s* = sort/sorted/stream (and 'sort merge' must
+    # NOT match — order matters)
+    alts = r.expand_prefix("s")
+    assert set(alts) >= {"sort", "sorted", "stream"}
+    m = r.multi_phrase_topk([["merge"], alts], k=10)
+    assert set(m["doc_id"].to_pylist()) == {0, 1, 4}
