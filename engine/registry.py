@@ -5427,6 +5427,23 @@ ORDER BY gscore DESC, source, rnk
 """
 
 
+def sharded_fuzzy_topk(sf_dir: str) -> pa.Table:
+    """Distributed FuzzyQuery with a globally consistent rewrite
+    (upstream multi-term rewrite under SolrCloud [U]): per-shard
+    vocabulary candidates unioned, one expansion set broadcast under
+    global IDF — bit-identical to the single-index fuzzy query, so it
+    shares ``fuzzy_topk``'s SQL oracle (stock Solr's per-shard local
+    rewrite is the documented inconsistency this avoids)."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return _topdocs_out(searcher.fuzzy_topk(FUZZY_TERM, k=10,
+                                                max_edits=1))
+    finally:
+        searcher.shutdown()
+
+
 def sharded_cursor_page2(sf_dir: str) -> pa.Table:
     """Distributed cursorMark deep paging (upstream Solr
     ``cursorMark`` [U]): page 2 of the BM25 query fetched via the
@@ -14946,6 +14963,7 @@ def queries() -> dict:
         "sharded_cursor_page2": sharded_cursor_page2,
         "sharded_rerank_topk": sharded_rerank_topk,
         "phrase_wildcard_topk_docs": phrase_wildcard_topk_docs,
+        "sharded_fuzzy_topk": sharded_fuzzy_topk,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15309,6 +15327,7 @@ def oracle_sql() -> dict:
         "sharded_cursor_page2": sql_search_after(),
         "sharded_rerank_topk": sql_rerank(),
         "phrase_wildcard_topk_docs": sql_phrase_wildcard(),
+        "sharded_fuzzy_topk": SQL_FUZZY,
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

@@ -546,6 +546,45 @@ class DistributedSearcher:
             out = out.replace_schema_metadata({"partial": "true"})
         return out
 
+    def _score_merge(self, terms: list[str], weights: dict,
+                     k: int) -> pa.Table:
+        """Fan out an explicit term list under the given global
+        weights and merge the shard top-k's (score desc, docID asc)."""
+        tops = ray.get([s.score.remote(terms, weights, self.cache, k)
+                        for s in self.shards])
+        tops = [t for t in tops if t.num_rows]
+        if not tops:
+            return _topdocs_table([], [])
+        allt = pa.concat_tables(tops)
+        ids = allt["doc_id"].to_numpy()
+        sc = allt["score"].to_numpy()
+        total = int(sum(t["total_hits"][0].as_py() for t in tops))
+        order = np.lexsort((ids, -sc))[:k]
+        return _topdocs_table(ids[order], sc[order], total=total)
+
+    def fuzzy_topk(self, term: str, k: int = 10,
+                   max_edits: int = 1) -> pa.Table:
+        """Distributed FuzzyQuery with a GLOBALLY consistent rewrite
+        (upstream ``FuzzyQuery`` under distributed search [U]): stock
+        SolrCloud rewrites multi-term queries per shard against each
+        LOCAL dictionary — a shard that lacks a variant simply never
+        scores it, a documented cloud/single-node inconsistency.
+        Here phase 0 unions the per-shard vocabulary matches (the
+        same candidate partials the distributed spellchecker ships),
+        adds the query term itself when any shard knows it, and
+        broadcasts ONE expansion set with global-IDF weights — so
+        every shard scores the same clauses and the merge is
+        bit-identical to the single-index ``fuzzy_topk``."""
+        parts = ray.get([s.spell_candidates.remote(term, max_edits)
+                         for s in self.shards])
+        cands = sorted({t for p in parts
+                        for t in p["term"].to_pylist()} | {term})
+        weights = self._global_weights(cands)
+        terms = [t for t in cands if t in weights]
+        if not terms:
+            return _topdocs_table([], [])
+        return self._score_merge(terms, weights, k)
+
     def cursor_page(self, query_text: str, k: int = 10,
                     cursor: tuple | None = None
                     ) -> tuple[pa.Table, tuple | None]:

@@ -641,3 +641,49 @@ def test_sharded_rerank_equals_single(ray_session, tmp_path):
             assert a["score"].to_pylist() == b["score"].to_pylist()
     finally:
         ds.shutdown()
+
+
+def test_sharded_fuzzy_global_rewrite_equals_single(ray_session,
+                                                    tmp_path):
+    """The expansion union must include variants that exist on only
+    ONE shard (stock per-shard rewrite would miss them on the
+    others), and the merged scores must equal the single index."""
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+    from engine.sharded import DistributedSearcher
+
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    # 'cat' variants live on shard0 only; 'car' on shard1 only
+    texts0 = ["cat cap", "cap cup", "cat cat nap"] * 10
+    texts1 = ["car bar", "car tar", "bar far"] * 10
+    files, shards = [], []
+    for si, texts in enumerate([texts0, texts1]):
+        f = str(tmp_path / f"fz{si}.parquet")
+        lo = si * len(texts0)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, lo + len(texts)),
+                               type=pa.int64()),
+            "text": pa.array(texts)}), f)
+        files.append(f)
+        sd = str(tmp_path / f"fzidx{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    single = str(tmp_path / "fzsingle")
+    build_index(files, single, cfg)
+    r = IndexReader(single)
+    ds = DistributedSearcher(shards)
+    try:
+        a = r.fuzzy_topk("cat", k=50, max_edits=1)
+        b = ds.fuzzy_topk("cat", k=50, max_edits=1)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+        # docs from BOTH shards matched (car is edit-1 from cat)
+        got = set(b["doc_id"].to_pylist())
+        assert any(d < 30 for d in got) and any(d >= 30 for d in got)
+        # unknown term with no variants: empty, no crash
+        assert ds.fuzzy_topk("zzqq", k=5).num_rows == 0
+    finally:
+        ds.shutdown()
