@@ -4651,7 +4651,7 @@ def ltr_trees_rescore_docs(sf_dir: str) -> pa.Table:
     final = (0.5 * score.astype(np.float64) + ens).astype(np.float32)
     order = np.lexsort((ids, -final))[:10]
     return pa.table({
-        "rank": pa.array(np.arange(10, dtype=np.int64)),
+        "rank": pa.array(np.arange(len(order), dtype=np.int64)),
         "doc_id": pa.array(ids[order], type=pa.int64()),
         "score": pa.array(final[order], type=pa.float32())})
 
@@ -14788,9 +14788,6 @@ def queries() -> dict:
         "merge_sorted_streams_orders": merge_sorted_streams_orders,
         "dsir_weights_docs": dsir_weights_docs,
         "npmi_collocations_docs": npmi_collocations_docs,
-        "group_func_orders": group_func_orders,
-        "ltr_trees_rescore_docs": ltr_trees_rescore_docs,
-        "ib_sim_topk": ib_sim_topk,
         "zipf_slope_docs": zipf_slope_docs,
         "semdedup_embeddings": semdedup_embeddings,
         "distinct_ngram_ratio_docs": distinct_ngram_ratio_docs,
@@ -14938,7 +14935,6 @@ def queries() -> dict:
         "add_indexes_topk": add_indexes_topk,
         "sessionize_events": sessionize_events,
         "transcript_role_stats": transcript_role_stats,
-        "facet_prefix_docs": facet_prefix_docs,
         "frange_topk": frange_topk,
         "near_dup_filter_docs": near_dup_filter_docs,
         "tdigest_percentile_by_type": tdigest_percentile_by_type,
@@ -15151,9 +15147,6 @@ def oracle_sql() -> dict:
         "merge_sorted_streams_orders": SQL_MERGE_SORTED,
         "dsir_weights_docs": SQL_DSIR_WEIGHTS,
         "npmi_collocations_docs": SQL_NPMI,
-        "group_func_orders": SQL_GROUP_FUNC,
-        "ltr_trees_rescore_docs": sql_ltr_trees(),
-        "ib_sim_topk": sql_ib_sim(),
         "zipf_slope_docs": SQL_ZIPF,
         "semdedup_embeddings": SQL_SEMDEDUP,
         "distinct_ngram_ratio_docs": SQL_DISTINCT_NGRAM,
@@ -15301,7 +15294,6 @@ def oracle_sql() -> dict:
         # whole corpus -> shares the bm25_topk oracle
         "add_indexes_topk": sql_bm25_topk(),
         "sessionize_events": SQL_SESSIONIZE,
-        "facet_prefix_docs": SQL_FACET_PREFIX,
         "frange_topk": SQL_FRANGE,
         "near_dup_filter_docs": SQL_NEAR_DUP_FILTER,
         "span_within_topk_docs": sql_span_within(),

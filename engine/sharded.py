@@ -68,7 +68,8 @@ def _score_shard(reader: IndexReader, terms: list[str],
             clauses.append(
                 (docs, _clause_scores(tfs, norms, np.float32(w), cache)))
     if not clauses:
-        return _topdocs_table([], [])
+        return _topdocs_table([], []).replace_schema_metadata(
+            {"total": "0"})
     docs = np.concatenate([d for d, _ in clauses])
     scores = np.concatenate([s for _, s in clauses]).astype(np.float64)
     uniq, inv = np.unique(docs, return_inverse=True)
@@ -84,7 +85,20 @@ def _score_shard(reader: IndexReader, terms: list[str],
         m = (final < sa) | ((final == sa) & (uniq > da))
         uniq, final = uniq[m], final[m]
     order = np.lexsort((uniq, -final))[:k]
-    return _topdocs_table(uniq[order], final[order], total=total)
+    # the full (pre-cursor) match count rides as metadata so an
+    # after-filter that empties this shard's PAGE still reports the
+    # shard's numFound — rows can't carry it when there are none
+    return _topdocs_table(uniq[order], final[order], total=total) \
+        .replace_schema_metadata({"total": str(total)})
+
+
+def _shard_total(t: pa.Table) -> int:
+    """A shard response's full match count: metadata-borne (survives
+    an empty page), falling back to the per-row column."""
+    md = t.schema.metadata or {}
+    if b"total" in md:
+        return int(md[b"total"])
+    return int(t["total_hits"][0].as_py()) if t.num_rows else 0
 
 
 @ray.remote
@@ -196,11 +210,33 @@ class ShardSearcher:
             c += int(len(n))
         return (s, lo, hi, c)
 
-    def _doc_groups(self, ids: np.ndarray, group_col: str) -> dict:
+    def _scored_all(self, query_text: str, weights: dict,
+                    cache: np.ndarray) -> pa.Table:
+        """Every matching doc scored under the given global weights,
+        memoized per (query, weights) — the two rounds of distributed
+        grouping share ONE postings decode per shard."""
+        key = (query_text, tuple(sorted(weights.items())))
+        cached = getattr(self, "_scored_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        r = self.reader
+        terms = r.analyzer.query_terms(query_text)
+        top = _score_shard(r, terms, weights, cache, k=max(r.N, 1))
+        self._scored_cache = (key, top)
+        return top
+
+    def _doc_groups(self, ids: np.ndarray, group_col: str,
+                    memo_key: tuple | None = None) -> dict:
         """doc_id → group value for the given matched ids, via a
-        pruned 2-column scan of this shard's own input files."""
+        pruned 2-column scan of this shard's own input files —
+        memoized under ``memo_key`` so grouping's second round reuses
+        the first round's scan."""
         import pyarrow.parquet as pq
 
+        if memo_key is not None:
+            cached = getattr(self, "_groups_cache", None)
+            if cached is not None and cached[0] == memo_key:
+                return cached[1]
         r = self.reader
         gmap: dict = {}
         for f in r.manifest["input_files"]:
@@ -210,6 +246,8 @@ class ShardSearcher:
             for d, v in zip(fid[m], np.asarray(
                     t[group_col].to_pylist(), dtype=object)[m]):
                 gmap[int(d)] = v
+        if memo_key is not None:
+            self._groups_cache = (memo_key, gmap)
         return gmap
 
     def group_partial(self, query_text: str, group_col: str,
@@ -219,17 +257,15 @@ class ShardSearcher:
         the GLOBAL weights, rolled up per group value locally —
         (group, max f32 score, matched count). Coordinator merge
         (max-of-max, sum-of-count) is exact: disjoint shards."""
-        r = self.reader
-        terms = self.reader.analyzer.query_terms(query_text)
-        top = _score_shard(r, terms, weights, cache,
-                           k=max(r.N, 1))
+        top = self._scored_all(query_text, weights, cache)
         if not top.num_rows:
             return pa.table({group_col: pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64()),
                              "score": pa.array([], type=pa.float32())})
         ids = top["doc_id"].to_numpy()
         sc = top["score"].to_numpy()
-        gmap = self._doc_groups(ids, group_col)
+        gmap = self._doc_groups(ids, group_col,
+                                memo_key=(query_text, group_col))
         import pandas as pd
         df = pd.DataFrame({group_col: [gmap[int(d)] for d in ids],
                            "score": sc.astype(np.float32)})
@@ -249,17 +285,16 @@ class ShardSearcher:
         rows reproduces the single-index per-group ranking."""
         import pandas as pd
 
-        r = self.reader
         empty = pa.table({group_col: pa.array([], type=pa.string()),
                           "doc_id": pa.array([], type=pa.int64()),
                           "score": pa.array([], type=pa.float32())})
-        terms = r.analyzer.query_terms(query_text)
-        top = _score_shard(r, terms, weights, cache, k=max(r.N, 1))
+        top = self._scored_all(query_text, weights, cache)
         if not top.num_rows:
             return empty
         ids = top["doc_id"].to_numpy()
         sc = top["score"].to_numpy()
-        gmap = self._doc_groups(ids, group_col)
+        gmap = self._doc_groups(ids, group_col,
+                                memo_key=(query_text, group_col))
         df = pd.DataFrame({group_col: [gmap[int(d)] for d in ids],
                            "doc_id": ids.astype(np.int64),
                            "score": sc.astype(np.float32)})
@@ -531,6 +566,10 @@ class DistributedSearcher:
             [s.score.remote(terms, weights, self.cache, k, after)
              for s in self.shards], tolerant)
         n_failed = max(fail0, fail1)
+        # numFound from metadata of EVERY response — a shard whose
+        # post-cursor page is empty still reports its match count, so
+        # total_hits stays page-invariant across a cursor walk
+        total = sum(_shard_total(t) for t in tops)
         tops = [t for t in tops if t.num_rows]
         if not tops:
             out = _topdocs_table([], [])
@@ -539,7 +578,6 @@ class DistributedSearcher:
         allt = pa.concat_tables(tops)
         ids = allt["doc_id"].to_numpy()
         sc = allt["score"].to_numpy()
-        total = int(sum(t["total_hits"][0].as_py() for t in tops))
         order = np.lexsort((ids, -sc))[:k]
         out = _topdocs_table(ids[order], sc[order], total=total)
         if n_failed:
@@ -552,13 +590,13 @@ class DistributedSearcher:
         weights and merge the shard top-k's (score desc, docID asc)."""
         tops = ray.get([s.score.remote(terms, weights, self.cache, k)
                         for s in self.shards])
+        total = sum(_shard_total(t) for t in tops)
         tops = [t for t in tops if t.num_rows]
         if not tops:
             return _topdocs_table([], [])
         allt = pa.concat_tables(tops)
         ids = allt["doc_id"].to_numpy()
         sc = allt["score"].to_numpy()
-        total = int(sum(t["total_hits"][0].as_py() for t in tops))
         order = np.lexsort((ids, -sc))[:k]
         return _topdocs_table(ids[order], sc[order], total=total)
 
@@ -915,13 +953,15 @@ class DistributedSearcher:
         return {t: float(idf(self.N, df)) for t, df in gdf.items()}
 
     def grouped_topk(self, query_text: str, group_col: str,
-                     k: int = 10) -> pa.Table:
+                     k: int = 10, weights: dict | None = None
+                     ) -> pa.Table:
         """Distributed result grouping (ScoreMode.Max heads): global
         weights broadcast, per-shard grouped partials, coordinator
         merges max-of-max / sum-of-count and ranks groups (score desc,
         value asc) — exact, no second phase needed."""
-        weights = self._global_weights(
-            self._analyzer.query_terms(query_text))
+        if weights is None:
+            weights = self._global_weights(
+                self._analyzer.query_terms(query_text))
         parts = ray.get([s.group_partial.remote(
             query_text, group_col, weights, self.cache)
             for s in self.shards])
@@ -965,15 +1005,16 @@ class DistributedSearcher:
         are ordered by group rank then rank-in-group."""
         import pandas as pd
 
-        heads = self.grouped_topk(query_text, group_col, k=n_groups)
+        weights = self._global_weights(
+            self._analyzer.query_terms(query_text))
+        heads = self.grouped_topk(query_text, group_col, k=n_groups,
+                                  weights=weights)
         groups = heads[group_col].to_pylist()
         out_schema = pa.schema([
             (group_col, pa.string()), ("rank_in_group", pa.int64()),
             ("doc_id", pa.int64()), ("score", pa.float32())])
         if not groups:
             return out_schema.empty_table()
-        weights = self._global_weights(
-            self._analyzer.query_terms(query_text))
         parts = ray.get([s.group_docs_partial.remote(
             query_text, group_col, groups, weights, self.cache,
             group_limit) for s in self.shards])

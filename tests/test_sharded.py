@@ -687,3 +687,41 @@ def test_sharded_fuzzy_global_rewrite_equals_single(ray_session,
         assert ds.fuzzy_topk("zzqq", k=5).num_rows == 0
     finally:
         ds.shutdown()
+
+
+def test_cursor_numfound_invariant_when_shard_exhausts(ray_session,
+                                                       tmp_path):
+    """A shard whose post-cursor page is EMPTY must still contribute
+    its match count: walking past all of shard0's (high-scoring) docs
+    must not shrink total_hits to the surviving shard's count."""
+    from engine.build import IndexConfig, build_index
+    from engine.sharded import DistributedSearcher
+
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    shards = []
+    # shard0: short docs (high BM25), shard1: long docs (low BM25)
+    for si, pad in enumerate([1, 30]):
+        f = str(tmp_path / f"nf{si}.parquet")
+        lo = si * 10
+        texts = ["aa " + " ".join(["pad"] * pad) for _ in range(10)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, lo + 10), type=pa.int64()),
+            "text": pa.array(texts)}), f)
+        sd = str(tmp_path / f"nfidx{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    ds = DistributedSearcher(shards)
+    try:
+        totals, cur = [], None
+        while True:
+            page, cur = ds.cursor_page("aa", k=5, cursor=cur)
+            if page.num_rows:
+                totals.extend(set(page["total_hits"].to_pylist()))
+            if cur is None:
+                break
+        assert set(totals) == {20}, totals
+    finally:
+        ds.shutdown()
