@@ -199,8 +199,48 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
             "id_a", "id_b")
         queries["dedup_clusters_prod"] = round(time.perf_counter() - t0, 3)
 
+        # SolrCloud refinement protocols over ONE warm 3-shard
+        # cluster (the registry entries each spawn/tear down their
+        # own actors; here the shard build+spawn is timed separately
+        # so the protocol rounds themselves are visible)
+        from engine.sharded import DistributedSearcher
+        t0 = time.perf_counter()
+        searcher = DistributedSearcher(registry._doc_shards(sf_dir))
+        queries["sharded_spawn_warm"] = round(
+            time.perf_counter() - t0, 3)
+        try:
+            for key, fn in [
+                ("sharded_facet_refine", lambda: searcher.facet_topk(
+                    registry.SEARCH_FACET_TERM, "source", k=10,
+                    overrequest=2)),
+                ("sharded_pivot_facet", lambda: searcher.pivot_facet(
+                    registry.SEARCH_FACET_TERM, "source", "lang",
+                    k_a=5, k_b=2, overrequest=2)),
+                ("sharded_group_docs", lambda: searcher.grouped_docs(
+                    registry.BJ_QUERY, "source", n_groups=5,
+                    group_limit=3)),
+                ("sharded_cursor_walk3", lambda: _cursor_walk(
+                    searcher, registry.BM25_QUERY, 3)),
+                ("sharded_rerank", lambda: searcher.rerank_topk(
+                    registry.BM25_QUERY, "part filter", k=10,
+                    rerank_docs=30)),
+            ]:
+                t0 = time.perf_counter()
+                fn()
+                queries[key] = round(time.perf_counter() - t0, 3)
+        finally:
+            searcher.shutdown()
+
     out["queries"] = queries
     return out
+
+
+def _cursor_walk(searcher, query: str, pages: int) -> None:
+    cur = None
+    for _ in range(pages):
+        _, cur = searcher.cursor_page(query, k=10, cursor=cur)
+        if cur is None:
+            break
 
 
 def run_query_qps(cpus: int, sf_dir: str) -> dict:
