@@ -5444,6 +5444,25 @@ def sharded_fuzzy_topk(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_terms_topk(sf_dir: str) -> pa.Table:
+    """Distributed TermsComponent under ``terms.limit`` with
+    refinement (upstream ``TermsComponent`` distributed mode [U],
+    made exact): the term DICTIONARY is the structure that reaches
+    10⁹ entries at corpus scale, so shards page their top-(k+over)
+    (term, df) rows with a cutoff bound instead of shipping full
+    maps (stock Solr documents approximate distributed counts; the
+    Σ-cutoffs refinement loop here is provably exact).  Tiny
+    overrequest keeps refinement live; shares ``doc_freq_top20``'s
+    SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return searcher.terms_topk(k=20, overrequest=2)
+    finally:
+        searcher.shutdown()
+
+
 def sharded_cursor_page2(sf_dir: str) -> pa.Table:
     """Distributed cursorMark deep paging (upstream Solr
     ``cursorMark`` [U]): page 2 of the BM25 query fetched via the
@@ -14960,6 +14979,7 @@ def queries() -> dict:
         "sharded_rerank_topk": sharded_rerank_topk,
         "phrase_wildcard_topk_docs": phrase_wildcard_topk_docs,
         "sharded_fuzzy_topk": sharded_fuzzy_topk,
+        "sharded_terms_topk": sharded_terms_topk,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15320,6 +15340,7 @@ def oracle_sql() -> dict:
         "sharded_rerank_topk": sql_rerank(),
         "phrase_wildcard_topk_docs": sql_phrase_wildcard(),
         "sharded_fuzzy_topk": SQL_FUZZY,
+        "sharded_terms_topk": SQL_DOC_FREQ_TOP20,
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

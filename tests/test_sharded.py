@@ -725,3 +725,54 @@ def test_cursor_numfound_invariant_when_shard_exhausts(ray_session,
         assert set(totals) == {20}, totals
     finally:
         ds.shutdown()
+
+
+def test_terms_topk_refinement_exact(ray_session, tmp_path):
+    """terms.limit refinement: a term frequent overall but below each
+    shard's phase-A cut must be elected via escalation; all counts
+    exact vs a driver-side global df computation."""
+    from collections import Counter
+
+    from engine.build import IndexConfig, build_index
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(99)
+    vocab = [f"t{i:02d}" for i in range(30)]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    shards, alldocs = [], []
+    for si in range(3):
+        lo = si * 60
+        texts = [" ".join(rng.choice(vocab,
+                                     size=rng.integers(2, 9),
+                                     replace=False))
+                 for _ in range(60)]
+        alldocs += texts
+        f = str(tmp_path / f"tt{si}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, lo + 60), type=pa.int64()),
+            "text": pa.array(texts)}), f)
+        sd = str(tmp_path / f"ttidx{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    gdf = Counter()
+    for t in alldocs:
+        for w in set(t.split()):
+            gdf[w] += 1
+    exact = sorted(gdf.items(), key=lambda kv: (-kv[1], kv[0]))
+    ds = DistributedSearcher(shards)
+    try:
+        for k, over in [(5, 0), (10, 2), (100, 0)]:
+            t = ds.terms_topk(k=k, overrequest=over)
+            got = list(zip(t["term"].to_pylist(),
+                           t["df"].to_pylist()))
+            assert got == exact[:k], (k, over)
+        # prefix-constrained page
+        tp = ds.terms_topk(k=5, prefix="t0", overrequest=0)
+        exact_p = [kv for kv in exact if kv[0].startswith("t0")][:5]
+        assert list(zip(tp["term"].to_pylist(),
+                        tp["df"].to_pylist())) == exact_p
+    finally:
+        ds.shutdown()
