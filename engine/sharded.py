@@ -23,6 +23,25 @@ norm bytes are corpus-independent, and the idf/avgdl inputs are the
 global ones — the result is **bit-identical** to a single-index search
 (pinned by ``test_sharded_equals_single``). At 256 nodes the actors
 are placed one-per-node and only (terms, stats, top-k) cross the wire.
+
+On top of that two-phase core the module carries the SolrCloud
+protocol surface, every piece exact (never the upstream
+approximation) and wire-bounded:
+
+- ``topk`` (+ ``shards.tolerant`` degraded mode, searchAfter cursors)
+- ``cursor_page`` — cursorMark deep paging, K·k rows per page at any
+  depth, page-invariant numFound
+- ``topk_fetch`` — two-phase ids+scores → stored-field fetch
+- ``rerank_topk`` — coordinator-exact distributed ReRank
+- ``fuzzy_topk`` — globally consistent multi-term rewrite
+- ``facet`` (full maps) / ``facet_topk`` (facet.limit + refinement +
+  threshold-algorithm exactness bound) / ``facet_topk_stats``
+  (json.facet sub-stats refined with their buckets) / ``pivot_facet``
+  (batched per-bucket refinement waves)
+- ``terms_topk`` — terms.limit refinement over the term dictionary
+- ``grouped_topk`` / ``grouped_docs`` — two-phase distributed grouping
+- ``spellcheck`` / ``stats`` — merged partials, exact in one round
+- compositeId routing (``route_corpus`` / ``routed_topk``)
 """
 
 from __future__ import annotations
