@@ -5444,6 +5444,27 @@ def sharded_fuzzy_topk(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_highlight_topk(sf_dir: str) -> pa.Table:
+    """Distributed highlighting (upstream ``HighlightComponent``
+    distributed flow [U]): global-IDF top-k, then the id list
+    scattered so each OWNER shard computes snippets beside its stored
+    fields — only (id, snippet) rows cross the wire.  Equals the
+    single-index highlighter, so it shares ``highlight_topk_docs``'s
+    SQL oracle."""
+    from engine.build import build_stored_fields
+    from engine.sharded import DistributedSearcher
+
+    shards = _doc_shards(sf_dir)
+    for sd in shards:
+        build_stored_fields(sd)
+    searcher = DistributedSearcher(shards)
+    try:
+        t = searcher.highlight_topk(BJ_QUERY, k=10, window=HL_WINDOW)
+        return _cast_col(t, "rank", pa.int64())
+    finally:
+        searcher.shutdown()
+
+
 def sharded_terms_topk(sf_dir: str) -> pa.Table:
     """Distributed TermsComponent under ``terms.limit`` with
     refinement (upstream ``TermsComponent`` distributed mode [U],
@@ -14980,6 +15001,7 @@ def queries() -> dict:
         "phrase_wildcard_topk_docs": phrase_wildcard_topk_docs,
         "sharded_fuzzy_topk": sharded_fuzzy_topk,
         "sharded_terms_topk": sharded_terms_topk,
+        "sharded_highlight_topk": sharded_highlight_topk,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15341,6 +15363,7 @@ def oracle_sql() -> dict:
         "phrase_wildcard_topk_docs": sql_phrase_wildcard(),
         "sharded_fuzzy_topk": SQL_FUZZY,
         "sharded_terms_topk": SQL_DOC_FREQ_TOP20,
+        "sharded_highlight_topk": sql_highlight(),
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

@@ -181,6 +181,29 @@ class ShardSearcher:
         merged id list to every shard and unions the returns)."""
         return self.reader.fetch_docs(doc_ids)
 
+    def highlight(self, doc_ids: np.ndarray, qterms: list,
+                  window: int) -> pa.Table:
+        """Phase-2 per-doc highlighting on the OWNER shard (upstream
+        distributed ``HighlightComponent`` — snippets are computed by
+        the shard holding the doc during the second round, never by
+        the coordinator [U]): stored-field fetch for the ids this
+        shard owns, then the deterministic 2w+1-token first-match
+        snippet spec of :meth:`IndexReader.highlight_topk`."""
+        stored = self.reader.fetch_docs(doc_ids)
+        qs = set(qterms)
+        snippets = []
+        for txt in stored["text"].to_pylist():
+            toks = [t for t, _ in
+                    self.reader.analyzer.analyze_text(txt)]
+            p = next((i for i, t in enumerate(toks) if t in qs),
+                     None)
+            snippets.append(
+                "" if p is None else
+                " ".join(toks[max(0, p - window): p + window + 1]))
+        return pa.table({
+            "doc_id": stored["doc_id"],
+            "snippet": pa.array(snippets, type=pa.string())})
+
     def spell_candidates(self, term: str, max_edits: int) -> pa.Table:
         """Per-shard DirectSpellChecker partials: this shard's vocab
         matches within ``max_edits`` with LOCAL df — the coordinator
@@ -721,6 +744,34 @@ class DistributedSearcher:
         import pyarrow.compute as pc
         pos = pc.index_in(top["doc_id"], value_set=fetched["doc_id"])
         return top.append_column("text", fetched["text"].take(pos))
+
+    def highlight_topk(self, query_text: str, k: int = 10,
+                       window: int = 3) -> pa.Table:
+        """Distributed highlighting (upstream ``HighlightComponent``
+        second round [U]): phase 1 merges global-IDF ids+scores, the
+        winning id list is scattered, and each OWNER shard computes
+        its docs' snippets next to the stored fields — only (id,
+        snippet) rows return, never document text.  Output equals the
+        single-index ``highlight_topk`` (same deterministic snippet
+        spec, same analyzer, same stored fields)."""
+        top = self.topk(query_text, k)
+        if not top.num_rows:
+            return top.append_column(
+                "snippet", pa.array([], type=pa.string()))
+        ids = top["doc_id"].to_numpy()
+        qterms = sorted(set(self._analyzer.query_terms(query_text)))
+        parts = ray.get([s.highlight.remote(ids, qterms, window)
+                         for s in self.shards])
+        smap: dict = {}
+        for p in parts:
+            for d, s in zip(p["doc_id"].to_pylist(),
+                            p["snippet"].to_pylist()):
+                smap[d] = s
+        return pa.table({
+            "rank": top["rank"], "doc_id": top["doc_id"],
+            "score": top["score"],
+            "snippet": pa.array([smap.get(int(d), "")
+                                 for d in ids], type=pa.string())})
 
     def rerank_topk(self, query_text: str, rerank_text: str,
                     k: int = 10, rerank_docs: int = 30,

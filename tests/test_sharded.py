@@ -776,3 +776,46 @@ def test_terms_topk_refinement_exact(ray_session, tmp_path):
                         tp["df"].to_pylist())) == exact_p
     finally:
         ds.shutdown()
+
+
+def test_sharded_highlight_equals_single(ray_session, tmp_path):
+    """Owner-shard snippets must equal the single-index highlighter
+    (same spec, same analyzer, same stored fields)."""
+    from engine.build import IndexConfig, build_index, \
+        build_stored_fields
+    from engine.query import IndexReader
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(123)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 20)))
+             for _ in range(150)]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    files, shards = [], []
+    for si in range(3):
+        f = str(tmp_path / f"hl{si}.parquet")
+        lo, hi = si * 50, (si + 1) * 50
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(texts[lo:hi])}), f)
+        files.append(f)
+        sd = str(tmp_path / f"hlidx{si}")
+        build_index([f], sd, cfg)
+        build_stored_fields(sd)
+        shards.append(sd)
+    single = str(tmp_path / "hlsingle")
+    build_index(files, single, cfg)
+    build_stored_fields(single)
+    r = IndexReader(single)
+    ds = DistributedSearcher(shards)
+    try:
+        a = r.highlight_topk("aa bb", k=10, window=2)
+        b = ds.highlight_topk("aa bb", k=10, window=2)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["snippet"].to_pylist() == b["snippet"].to_pylist()
+        assert any(s for s in b["snippet"].to_pylist())
+    finally:
+        ds.shutdown()
