@@ -5465,6 +5465,26 @@ def sharded_highlight_topk(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_mlt_topk(sf_dir: str) -> pa.Table:
+    """Distributed MoreLikeThis made exact (SolrCloud documents MLT
+    as unsupported/approximate in distributed mode): seed text from
+    its owner shard, term selection under GLOBAL dfs, scoring under
+    global IDF — bit-identical to the single index, so it shares
+    ``mlt_topk``'s SQL oracle."""
+    from engine.build import build_stored_fields
+    from engine.sharded import DistributedSearcher
+
+    shards = _doc_shards(sf_dir)
+    for sd in shards:
+        build_stored_fields(sd)
+    searcher = DistributedSearcher(shards)
+    try:
+        return _topdocs_out(searcher.mlt_topk(MLT_SEED, k=10,
+                                              max_terms=5, min_df=2))
+    finally:
+        searcher.shutdown()
+
+
 def sharded_terms_topk(sf_dir: str) -> pa.Table:
     """Distributed TermsComponent under ``terms.limit`` with
     refinement (upstream ``TermsComponent`` distributed mode [U],
@@ -15002,6 +15022,7 @@ def queries() -> dict:
         "sharded_fuzzy_topk": sharded_fuzzy_topk,
         "sharded_terms_topk": sharded_terms_topk,
         "sharded_highlight_topk": sharded_highlight_topk,
+        "sharded_mlt_topk": sharded_mlt_topk,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15364,6 +15385,7 @@ def oracle_sql() -> dict:
         "sharded_fuzzy_topk": SQL_FUZZY,
         "sharded_terms_topk": SQL_DOC_FREQ_TOP20,
         "sharded_highlight_topk": sql_highlight(),
+        "sharded_mlt_topk": sql_mlt(),
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

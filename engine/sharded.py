@@ -1094,8 +1094,9 @@ class DistributedSearcher:
             "dist": pa.array([r[1] for r in rows], type=pa.int64()),
             "df": pa.array([r[2] for r in rows], type=pa.int64())})
 
-    def _global_weights(self, terms: list[str]) -> dict:
-        """Phase-0 global-IDF weights (df summed over shards)."""
+    def _global_dfs(self, terms: list[str]) -> dict:
+        """Phase-0 global document frequencies (df summed over the
+        doc-disjoint shards ⇒ exactly the single-index dfs)."""
         uniq_terms = sorted(set(terms))
         partials = ray.get([s.term_stats.remote(uniq_terms)
                             for s in self.shards])
@@ -1103,7 +1104,46 @@ class DistributedSearcher:
         for p in partials:
             for t, (df, _) in p.items():
                 gdf[t] = gdf.get(t, 0) + df
-        return {t: float(idf(self.N, df)) for t, df in gdf.items()}
+        return gdf
+
+    def _global_weights(self, terms: list[str]) -> dict:
+        """Phase-0 global-IDF weights (df summed over shards)."""
+        return {t: float(idf(self.N, df))
+                for t, df in self._global_dfs(terms).items()}
+
+    def mlt_topk(self, doc_id: int, k: int = 10, max_terms: int = 5,
+                 min_df: int = 2) -> pa.Table:
+        """Distributed MoreLikeThis (upstream ``MoreLikeThis`` [U]):
+        SolrCloud's MLT is documented as unsupported/approximate in
+        distributed mode — seed term selection runs against ONE
+        shard's local statistics.  Here the seed's stored text comes
+        from its owner shard (scatter fetch, only the owner answers),
+        term *selection* uses GLOBAL dfs (lowest df ≥ min_df, term-asc
+        tie-break — identical to the single index since global df =
+        Σ shard dfs), and the scoring disjunction runs under global
+        IDF — so the result is bit-identical to single-index MLT."""
+        parts = ray.get([s.fetch.remote(
+            np.array([doc_id], dtype=np.int64))
+            for s in self.shards])
+        stored = [p for p in parts if p.num_rows]
+        if not stored:
+            return _topdocs_table([], [])
+        text = stored[0]["text"][0].as_py()
+        terms = sorted(set(self._analyzer.query_terms(text)))
+        gdf = self._global_dfs(terms)
+        cand = sorted((df, t) for t, df in gdf.items()
+                      if df >= min_df)
+        sel = [t for _, t in cand[:max_terms]]
+        if not sel:
+            return _topdocs_table([], [])
+        weights = {t: float(idf(self.N, gdf[t])) for t in sel}
+        top = self._score_merge(sel, weights, k + 1)
+        import pyarrow.compute as pc
+        top = top.filter(pc.not_equal(
+            top["doc_id"], pa.scalar(doc_id, pa.int64()))).slice(0, k)
+        return top.set_column(
+            top.column_names.index("rank"), "rank",
+            pa.array(np.arange(top.num_rows, dtype=np.int32)))
 
     def grouped_topk(self, query_text: str, group_col: str,
                      k: int = 10, weights: dict | None = None

@@ -819,3 +819,52 @@ def test_sharded_highlight_equals_single(ray_session, tmp_path):
         assert any(s for s in b["snippet"].to_pylist())
     finally:
         ds.shutdown()
+
+
+def test_sharded_mlt_equals_single(ray_session, tmp_path):
+    """Distributed MLT must equal single-index MLT: seed fetched
+    from its owner, term selection by GLOBAL df (a term rare locally
+    but common globally must NOT be selected)."""
+    from engine.build import IndexConfig, build_index, \
+        build_stored_fields
+    from engine.query import IndexReader
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(131)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(4, 9),
+                                 replace=False))
+             for _ in range(180)]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    files, shards = [], []
+    for si in range(3):
+        f = str(tmp_path / f"ml{si}.parquet")
+        lo, hi = si * 60, (si + 1) * 60
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(texts[lo:hi])}), f)
+        files.append(f)
+        sd = str(tmp_path / f"mlidx{si}")
+        build_index([f], sd, cfg)
+        build_stored_fields(sd)
+        shards.append(sd)
+    single = str(tmp_path / "mlsingle")
+    build_index(files, single, cfg)
+    build_stored_fields(single)
+    r = IndexReader(single)
+    ds = DistributedSearcher(shards)
+    try:
+        for seed in (0, 75, 140):     # one seed per shard
+            a = r.more_like_this_topk(seed, k=10, max_terms=4,
+                                      min_df=2)
+            b = ds.mlt_topk(seed, k=10, max_terms=4, min_df=2)
+            assert a["doc_id"].to_pylist() == \
+                b["doc_id"].to_pylist(), seed
+            assert a["score"].to_pylist() == \
+                b["score"].to_pylist(), seed
+        assert ds.mlt_topk(10**9).num_rows == 0  # unknown seed
+    finally:
+        ds.shutdown()
