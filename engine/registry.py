@@ -5485,6 +5485,54 @@ def sharded_mlt_topk(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_numbuckets_docs(sf_dir: str) -> pa.Table:
+    """Distributed JSON-facet ``numBuckets`` (upstream JSON Facet
+    API's distributed HLL estimate [U]): per-shard md5-HLL register
+    partials over distinct matched ``source`` values, max-merged —
+    a 2^p-size message per shard regardless of field cardinality.
+    Registers are a max-lattice so the merge equals a single-node
+    HLL of the global value set, and the md5 hash makes the estimate
+    EXACTLY reproducible in SQL (same register/estimator arithmetic
+    as ``hll_md5_distinct_users``)."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return searcher.facet_numbuckets(SEARCH_FACET_TERM, "source")
+    finally:
+        searcher.shutdown()
+
+
+def sql_sharded_numbuckets() -> str:
+    p = HLL_MD5_P
+    return f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{SEARCH_FACET_TERM}'),
+vals AS (SELECT DISTINCT d.source AS v
+         FROM documents d JOIN m USING (doc_id)),
+h AS (SELECT md5_number_lower(v) AS hv FROM vals),
+r AS (SELECT (hv >> {64 - p})::BIGINT AS idx,
+             hv & ((1::UBIGINT << {64 - p}) - 1::UBIGINT) AS rest
+      FROM h),
+rho AS (SELECT idx,
+         MAX(bit_count(xor(
+               (rest | (1::UBIGINT << {64 - p})),
+               (rest | (1::UBIGINT << {64 - p})) - 1::UBIGINT
+             )::BIGINT)::BIGINT) AS rho
+        FROM r GROUP BY idx),
+agg AS (SELECT COUNT(*) AS np_,
+               SUM((1::BIGINT << (57 - rho))::HUGEINT) AS sp
+        FROM rho)
+SELECT CAST(FLOOR({_HLL_NUM!r} /
+         CAST(sp + (({_HLL_M} - np_)::HUGEINT
+                    * (1::BIGINT << 57)::HUGEINT) AS DOUBLE)
+         + 0.5) AS BIGINT) AS n_buckets
+FROM agg
+"""
+
+
 def sharded_terms_topk(sf_dir: str) -> pa.Table:
     """Distributed TermsComponent under ``terms.limit`` with
     refinement (upstream ``TermsComponent`` distributed mode [U],
@@ -15023,6 +15071,7 @@ def queries() -> dict:
         "sharded_terms_topk": sharded_terms_topk,
         "sharded_highlight_topk": sharded_highlight_topk,
         "sharded_mlt_topk": sharded_mlt_topk,
+        "sharded_numbuckets_docs": sharded_numbuckets_docs,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15386,6 +15435,7 @@ def oracle_sql() -> dict:
         "sharded_terms_topk": SQL_DOC_FREQ_TOP20,
         "sharded_highlight_topk": sql_highlight(),
         "sharded_mlt_topk": sql_mlt(),
+        "sharded_numbuckets_docs": sql_sharded_numbuckets(),
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

@@ -257,6 +257,34 @@ class ShardSearcher:
         dfs = dict(self._terms_cache[1])
         return {v: int(dfs.get(v, 0)) for v in values}
 
+    def facet_numbuckets_partial(self, terms: list[str],
+                                 facet_col: str,
+                                 p: int = 8) -> np.ndarray:
+        """Distributed ``numBuckets`` partial (upstream JSON Facet
+        API ``numBuckets`` under distribution — an HLL estimate, the
+        documented semantics [U]): HyperLogLog registers over this
+        shard's DISTINCT facet values of the matched docset.  The
+        message is 2^p bytes-ish REGARDLESS of field cardinality —
+        the fixed-size property that makes distributed distinct
+        counting viable where shipping value sets is not.  Hash =
+        md5-low-64 (DuckDB ``md5_number_lower``), so the merged
+        estimate has an EXACT SQL oracle."""
+        import hashlib
+        import struct
+
+        vals = self.facet_counts(terms, facet_col).keys()
+        regs = np.zeros(1 << p, dtype=np.int64)
+        for v in vals:
+            h = struct.unpack(
+                "<Q", hashlib.md5(str(v).encode()).digest()[8:])[0]
+            idx = h >> (64 - p)
+            rest = h & ((1 << (64 - p)) - 1)
+            rho = (64 - p + 1) if rest == 0 \
+                else (rest & -rest).bit_length()
+            if rho > regs[idx]:
+                regs[idx] = rho
+        return regs
+
     def stats_partial(self, terms: list[str], col: str) -> tuple:
         """Per-shard StatsComponent partials (sum, min, max, count) of
         ``col`` over this shard's matched docset."""
@@ -1022,6 +1050,28 @@ class DistributedSearcher:
             "n_a": pa.array([r[1] for r in rows], type=pa.int64()),
             col_b: pa.array([r[2] for r in rows], type=pa.string()),
             "n_b": pa.array([r[3] for r in rows], type=pa.int64())})
+
+    def facet_numbuckets(self, query_text: str,
+                         facet_col: str) -> pa.Table:
+        """Distributed ``numBuckets`` (upstream JSON Facet API [U]):
+        per-shard HLL register partials over distinct matched facet
+        values, max-merged — registers are a lattice, so the merge is
+        exact over the UNION of shard value sets and the estimate
+        equals a single-node HLL of the global value set.  Raw
+        (uncorrected) estimator with the shared precomputed f64
+        numerator, matching the repo's md5-HLL oracle arithmetic."""
+        from engine.registry import _HLL_NUM, HLL_MD5_P
+
+        terms = self._analyzer.query_terms(query_text)
+        parts = ray.get([
+            s.facet_numbuckets_partial.remote(terms, facet_col,
+                                              HLL_MD5_P)
+            for s in self.shards])
+        regs = np.maximum.reduce(parts)
+        s = sum(1 << (57 - int(r)) for r in regs)
+        n = int(np.floor(_HLL_NUM / float(s) + 0.5))
+        return pa.table({"n_buckets": pa.array([n],
+                                               type=pa.int64())})
 
     def terms_topk(self, k: int = 10, prefix: str | None = None,
                    overrequest: int | None = None) -> pa.Table:

@@ -868,3 +868,62 @@ def test_sharded_mlt_equals_single(ray_session, tmp_path):
         assert ds.mlt_topk(10**9).num_rows == 0  # unknown seed
     finally:
         ds.shutdown()
+
+
+def test_numbuckets_merge_equals_global_hll(ray_session, tmp_path):
+    """Register max-merge over shards must equal one HLL of the
+    global distinct value set (lattice property), and at this
+    cardinality the raw estimate lands near truth."""
+    import hashlib
+    import struct
+
+    from engine.build import IndexConfig, build_index
+    from engine.registry import _HLL_NUM, HLL_MD5_P
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(151)
+    # cardinality well ABOVE the register count (2^8): the raw
+    # estimator (no linear-counting correction — the repo's
+    # documented reproducibility tradeoff) is only accurate there
+    vals = [f"v{i:04d}" for i in range(4000)]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=256)
+    shards, seen = [], set()
+    for si in range(3):
+        lo = si * 700
+        cats = [vals[int(i)] for i in
+                rng.integers(0, len(vals), size=700)]
+        seen.update(cats)
+        f = str(tmp_path / f"nb{si}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, lo + 700), type=pa.int64()),
+            "text": pa.array(["hit"] * 700),
+            "cat": pa.array(cats)}), f)
+        sd = str(tmp_path / f"nbidx{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+
+    # reference: one HLL over the global distinct set
+    p = HLL_MD5_P
+    regs = np.zeros(1 << p, dtype=np.int64)
+    for v in seen:
+        h = struct.unpack(
+            "<Q", hashlib.md5(v.encode()).digest()[8:])[0]
+        idx = h >> (64 - p)
+        rest = h & ((1 << (64 - p)) - 1)
+        rho = (64 - p + 1) if rest == 0 \
+            else (rest & -rest).bit_length()
+        regs[idx] = max(regs[idx], rho)
+    s = sum(1 << (57 - int(r)) for r in regs)
+    want = int(np.floor(_HLL_NUM / float(s) + 0.5))
+
+    ds = DistributedSearcher(shards)
+    try:
+        got = ds.facet_numbuckets("hit", "cat")["n_buckets"][0] \
+            .as_py()
+        assert got == want
+        assert abs(got - len(seen)) / len(seen) < 0.25
+    finally:
+        ds.shutdown()
