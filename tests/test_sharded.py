@@ -927,3 +927,59 @@ def test_numbuckets_merge_equals_global_hll(ray_session, tmp_path):
         assert abs(got - len(seen)) / len(seen) < 0.25
     finally:
         ds.shutdown()
+
+
+def test_serve_job_shard_and_query(ray_session, tmp_path):
+    """tools/serve_job.py: row-sliced shard build + every query mode
+    runs and the sharded topk equals a single index over the same
+    corpus."""
+    import argparse
+
+    import pyarrow.parquet as pqq
+
+    from tools import serve_job as sj
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+
+    rng = np.random.default_rng(161)
+    vocab = ["aa", "bb", "cc", "dd"]
+    n = 120
+    src = str(tmp_path / "corpus.parquet")
+    pqq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array([" ".join(rng.choice(vocab, size=6))
+                          for _ in range(n)]),
+        "source": pa.array([f"s{int(i) % 3}" for i in range(n)])}),
+        src)
+    out = str(tmp_path / "cluster")
+    r = sj.cmd_shard(argparse.Namespace(
+        input=src, output=out, n_shards=3, text_col="text",
+        doc_id_col="doc_id", route_col=None, n_buckets=2,
+        batch_size=64, no_analysis=True, stored_fields=True))
+    assert r["n_shards"] == 3 and r["n_docs"] == n
+
+    qf = str(tmp_path / "qs.txt")
+    open(qf, "w").write("aa bb\ncc\n")
+    for mode in ("topk", "fetch", "cursor", "facet"):
+        m = sj.cmd_query(argparse.Namespace(
+            cluster=out, queries=qf, k=5, mode=mode, pages=2,
+            facet_col="source"))
+        assert m["n_queries"] == 2 and m["result_rows"] > 0, mode
+
+    # parity: the job-built cluster answers like one single index
+    from engine.sharded import DistributedSearcher
+    single = str(tmp_path / "single")
+    build_index([src], single, IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=2,
+        hot_df_threshold=10**9, batch_size=64))
+    import json as _json
+    shards = _json.load(open(out + "/cluster.json"))["shards"]
+    ds = DistributedSearcher(shards)
+    try:
+        a = IndexReader(single).topk("aa bb", 20)
+        b = ds.topk("aa bb", 20)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+    finally:
+        ds.shutdown()
