@@ -5533,6 +5533,35 @@ FROM agg
 """
 
 
+def sharded_percentile_docs(sf_dir: str) -> pa.Table:
+    """Distributed EXACT median by iterative rank partitioning (the
+    classic distributed selection algorithm: binary search on the
+    value domain, per-shard constant-size ≤-rank partials per round,
+    O(log range) rounds, no values shipped): percentile_disc(0.5) of
+    ``n_chars`` over the docs matching the facet query — checked
+    against DuckDB's ``percentile_disc``."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return searcher.percentile_disc(SEARCH_FACET_TERM, "n_chars",
+                                        pct=50, out_col="p50_chars")
+    finally:
+        searcher.shutdown()
+
+
+SQL_SHARDED_PERCENTILE = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{SEARCH_FACET_TERM}'),
+vals AS (SELECT d.n_chars AS v FROM documents d JOIN m USING (doc_id))
+SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY v)::BIGINT
+       AS p50_chars
+FROM vals
+"""
+
+
 def sharded_terms_topk(sf_dir: str) -> pa.Table:
     """Distributed TermsComponent under ``terms.limit`` with
     refinement (upstream ``TermsComponent`` distributed mode [U],
@@ -15072,6 +15101,7 @@ def queries() -> dict:
         "sharded_highlight_topk": sharded_highlight_topk,
         "sharded_mlt_topk": sharded_mlt_topk,
         "sharded_numbuckets_docs": sharded_numbuckets_docs,
+        "sharded_percentile_docs": sharded_percentile_docs,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15436,6 +15466,7 @@ def oracle_sql() -> dict:
         "sharded_highlight_topk": sql_highlight(),
         "sharded_mlt_topk": sql_mlt(),
         "sharded_numbuckets_docs": sql_sharded_numbuckets(),
+        "sharded_percentile_docs": SQL_SHARDED_PERCENTILE,
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

@@ -257,6 +257,45 @@ class ShardSearcher:
         dfs = dict(self._terms_cache[1])
         return {v: int(dfs.get(v, 0)) for v in values}
 
+    def _matched_col_sorted(self, terms: list[str],
+                            col: str) -> np.ndarray:
+        """Sorted ``col`` values of the matched docset, memoized —
+        one pruned scan per (query, col); every selection round after
+        that is a binary search, never I/O."""
+        key = (tuple(sorted(set(terms))), col)
+        cached = getattr(self, "_colvals_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        import pyarrow.parquet as pq
+
+        r = self.reader
+        cand = self._matched_docset(terms)
+        parts = []
+        for f in r.manifest["input_files"]:
+            t = pq.read_table(f, columns=[r.cfg.doc_id_col, col])
+            ids = t[r.cfg.doc_id_col].to_numpy()
+            m = np.isin(ids, cand, assume_unique=True)
+            parts.append(t[col].to_numpy()[m])
+        vals = np.sort(np.concatenate(parts)) if parts \
+            else np.zeros(0, dtype=np.int64)
+        self._colvals_cache = (key, vals)
+        return vals
+
+    def col_stats(self, terms: list[str], col: str) -> tuple:
+        """(count, min, max) of the matched docset's ``col`` — the
+        selection algorithm's phase-0 message."""
+        v = self._matched_col_sorted(terms, col)
+        if not len(v):
+            return (0, None, None)
+        return (int(len(v)), int(v[0]), int(v[-1]))
+
+    def count_le(self, terms: list[str], col: str, x: int) -> int:
+        """Rank partial: how many matched values are ≤ x — one
+        ``searchsorted`` on the memoized sorted array, an O(log n)
+        constant-size answer per selection round."""
+        v = self._matched_col_sorted(terms, col)
+        return int(np.searchsorted(v, x, side="right"))
+
     def facet_numbuckets_partial(self, terms: list[str],
                                  facet_col: str,
                                  p: int = 8) -> np.ndarray:
@@ -1293,6 +1332,50 @@ class DistributedSearcher:
             "n_max": pa.array([max(his)] if his else [None],
                               type=pa.int64()),
             "n_count": pa.array([c], type=pa.int64())})
+
+    def percentile_disc(self, query_text: str, col: str,
+                        pct: int = 50,
+                        out_col: str | None = None) -> pa.Table:
+        """Distributed EXACT percentile by iterative rank
+        partitioning — the classic distributed selection algorithm
+        (binary search on the value domain with per-shard rank
+        counts; cf. the upstream single-node
+        ``PercentileEvaluator``, which sorts in one process [U]):
+
+          phase 0  per-shard (count, min, max) of the matched
+                   docset's ``col``;
+          rounds   binary-search the integer value domain — each
+                   round broadcasts one probe value and sums K
+                   constant-size ≤-rank partials (a memoized sorted
+                   array per shard makes the partial one
+                   searchsorted) — until the smallest value whose
+                   global rank reaches ``ceil(pct·n/100)`` is pinned:
+                   O(log(max−min)) rounds, never a value shipped.
+
+        ``percentile_disc`` semantics (the value IS a data point) on
+        integer domains; float domains take the t-digest sketch path
+        (documented approximate sibling)."""
+        terms = self._analyzer.query_terms(query_text)
+        name = out_col or f"p{pct}"
+        stats = ray.get([s.col_stats.remote(terms, col)
+                         for s in self.shards])
+        n = sum(s0[0] for s0 in stats)
+        if n == 0:
+            return pa.table({name: pa.array([], type=pa.int64())})
+        lo = min(s0[1] for s0 in stats if s0[0])
+        hi = max(s0[2] for s0 in stats if s0[0])
+        rank = (pct * n + 99) // 100
+        self.last_selection_rounds = 0
+        while lo < hi:
+            self.last_selection_rounds += 1
+            mid = (lo + hi) // 2
+            c = sum(ray.get([s.count_le.remote(terms, col, mid)
+                             for s in self.shards]))
+            if c >= rank:
+                hi = mid
+            else:
+                lo = mid + 1
+        return pa.table({name: pa.array([lo], type=pa.int64())})
 
     def shutdown(self) -> None:
         for s in self.shards:

@@ -983,3 +983,49 @@ def test_serve_job_shard_and_query(ray_session, tmp_path):
         assert a["score"].to_pylist() == b["score"].to_pylist()
     finally:
         ds.shutdown()
+
+
+def test_distributed_selection_exact_percentiles(ray_session,
+                                                 tmp_path):
+    """Iterative rank partitioning must return EXACTLY numpy's
+    percentile_disc at every tested pct, including duplicates-heavy
+    domains and single-shard-owned extremes."""
+    from engine.build import IndexConfig, build_index
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(171)
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    shards, allv = [], []
+    for si in range(3):
+        lo = si * 90
+        # skewed + duplicate-heavy integer values; shard2 owns the
+        # extreme tail exclusively
+        v = rng.integers(0, 40, size=90) ** 2
+        if si == 2:
+            v[:5] = [9999, 9999, 10000, 0, 0]
+        allv += v.tolist()
+        f = str(tmp_path / f"ps{si}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, lo + 90), type=pa.int64()),
+            "text": pa.array(["hit"] * 90),
+            "val": pa.array(v, type=pa.int64())}), f)
+        sd = str(tmp_path / f"psidx{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    sv = sorted(allv)
+    n = len(sv)
+    ds = DistributedSearcher(shards)
+    try:
+        for pct in (1, 25, 50, 75, 90, 99, 100):
+            want = sv[(pct * n + 99) // 100 - 1]
+            got = ds.percentile_disc("hit", "val", pct=pct)
+            assert got.num_rows == 1
+            assert got[f"p{pct}"][0].as_py() == want, pct
+            assert ds.last_selection_rounds <= 16
+        # no-match query → empty
+        assert ds.percentile_disc("zz", "val").num_rows == 0
+    finally:
+        ds.shutdown()
