@@ -630,9 +630,10 @@ class DistributedSearcher:
     ``SearchHandler`` shard fan-out [U])."""
 
     def __init__(self, shard_dirs: list[str], preload: bool = True,
-                 k1: float = 1.2, b: float = 0.75):
-        self.shards = [ShardSearcher.remote(d, preload)
-                       for d in shard_dirs]
+                 k1: float = 1.2, b: float = 0.75,
+                 _actors: list | None = None):
+        self.shards = _actors if _actors is not None else \
+            [ShardSearcher.remote(d, preload) for d in shard_dirs]
         stats = ray.get([s.collection_stats.remote()
                          for s in self.shards])
         self.N = sum(n for n, _ in stats)
@@ -1380,6 +1381,67 @@ class DistributedSearcher:
     def shutdown(self) -> None:
         for s in self.shards:
             ray.kill(s)
+
+
+class ReplicatedSearcher(DistributedSearcher):
+    """Replica failover on top of the coordinator (upstream SolrCloud
+    replica promotion — a query touching a dead replica is retried
+    against another replica of the SAME shard, returning FULL exact
+    results; contrast ``shards.tolerant``, which *drops* the dead
+    shard and flags the response partial).  Each shard spawns
+    ``n_replicas`` warm ``ShardSearcher`` actors (on a real cluster:
+    on different nodes via placement groups); :meth:`call` runs any
+    coordinator protocol and, on an actor death, pings the primaries,
+    promotes a spare for each dead one, and retries the whole
+    request — shard state is an immutable on-disk index, so a spare
+    is interchangeable and the retried answer is bit-identical."""
+
+    def __init__(self, shard_dirs: list[str], n_replicas: int = 2,
+                 preload: bool = True, k1: float = 1.2,
+                 b: float = 0.75):
+        self._spares = [[ShardSearcher.remote(d, preload)
+                         for _ in range(n_replicas - 1)]
+                        for d in shard_dirs]
+        primaries = [ShardSearcher.remote(d, preload)
+                     for d in shard_dirs]
+        super().__init__(shard_dirs, preload, k1, b,
+                         _actors=primaries)
+        self.promotions = 0
+
+    def _promote_dead(self) -> int:
+        """Replace every dead primary with a spare replica; returns
+        how many were promoted.  Raises if a shard has no spare left
+        (total shard loss — nothing exact can be served)."""
+        refs = [s.collection_stats.remote() for s in self.shards]
+        promoted = 0
+        for i, ref in enumerate(refs):
+            try:
+                ray.get(ref)
+            except ray.exceptions.RayActorError:
+                if not self._spares[i]:
+                    raise
+                self.shards[i] = self._spares[i].pop()
+                promoted += 1
+                self.promotions += 1
+        return promoted
+
+    def call(self, method: str, *args, **kw):
+        """Run a coordinator protocol (by name, e.g. ``"topk"``,
+        ``"facet_topk"``) with replica failover: on an actor death
+        mid-protocol, promote spares and re-issue the request."""
+        while True:
+            try:
+                return getattr(DistributedSearcher, method)(
+                    self, *args, **kw)
+            except ray.exceptions.RayActorError:
+                if self._promote_dead() == 0:
+                    raise
+
+    def shutdown(self) -> None:
+        super().shutdown()
+        for pool in self._spares:
+            for s in pool:
+                ray.kill(s)
 
 
 # ---------------------------------------- compositeId document routing

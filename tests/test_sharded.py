@@ -1029,3 +1029,51 @@ def test_distributed_selection_exact_percentiles(ray_session,
         assert ds.percentile_disc("zz", "val").num_rows == 0
     finally:
         ds.shutdown()
+
+
+def test_replica_failover_full_exact_results(ray_session, tmp_path):
+    """Killing a primary replica must NOT lose results: the retried
+    request promotes a spare and returns the bit-identical FULL
+    answer (contrast shards.tolerant, which drops the dead shard)."""
+    import ray
+
+    from engine.build import IndexConfig, build_index
+    from engine.sharded import ReplicatedSearcher
+
+    rng = np.random.default_rng(181)
+    vocab = ["aa", "bb", "cc"]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    shards = []
+    for si in range(3):
+        f = str(tmp_path / f"rp{si}.parquet")
+        lo, hi = si * 60, (si + 1) * 60
+        texts = [" ".join(rng.choice(vocab, size=6))
+                 for _ in range(hi - lo)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(texts)}), f)
+        sd = str(tmp_path / f"rpidx{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    rs = ReplicatedSearcher(shards, n_replicas=2)
+    try:
+        before = rs.call("topk", "aa bb", 200)
+        ray.kill(rs.shards[1])          # kill a PRIMARY mid-flight
+        after = rs.call("topk", "aa bb", 200)
+        assert rs.promotions == 1
+        assert after["doc_id"].to_pylist() == \
+            before["doc_id"].to_pylist()
+        assert after["score"].to_pylist() == \
+            before["score"].to_pylist()
+        # full coverage: docs from the killed shard's range present
+        assert any(60 <= d < 120 for d in after["doc_id"].to_pylist())
+        # second kill on the same shard exhausts spares → raises
+        ray.kill(rs.shards[1])
+        import pytest
+        with pytest.raises(ray.exceptions.RayActorError):
+            rs.call("topk", "aa bb", 10)
+    finally:
+        rs.shutdown()
