@@ -5764,6 +5764,37 @@ ORDER BY a.n_a DESC, b.source, rnk
 """
 
 
+def colocated_join_orders(sf_dir: str) -> pa.Table:
+    """Co-partitioned cross-collection join (upstream SolrCloud
+    colocated collections + cross-collection ``{!join}`` [U]):
+    orders and customer are routed ONCE by the same compositeId ring
+    on their custkeys, then joined with one independent task per
+    shard — zero row movement in the join itself (the routing pass
+    amortizes across every later operation on that key)."""
+    from engine.sharded import colocated_join
+
+    key = hashlib.md5(f"{sf_dir}|cojoin|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "cojoin_" + key)
+    if os.path.exists(work):      # route fresh: append would dup rows
+        import shutil as _sh
+        _sh.rmtree(work)
+    t = colocated_join(
+        [os.path.join(sf_dir, "orders.parquet")],
+        [os.path.join(sf_dir, "customer.parquet")],
+        "o_custkey", "c_custkey", work, n_shards=4,
+        cols_a=["o_orderkey", "o_custkey", "o_totalprice"],
+        cols_b=["c_custkey", "c_name"])
+    t = t.select(["o_orderkey", "o_totalprice", "c_name"])
+    return t.sort_by("o_orderkey").slice(0, 50)
+
+
+SQL_COLOCATED_JOIN = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey LIMIT 50
+"""
+
+
 ROUTE_KEY = "src1"
 N_ROUTE_SHARDS = 2
 
@@ -15102,6 +15133,7 @@ def queries() -> dict:
         "sharded_mlt_topk": sharded_mlt_topk,
         "sharded_numbuckets_docs": sharded_numbuckets_docs,
         "sharded_percentile_docs": sharded_percentile_docs,
+        "colocated_join_orders": colocated_join_orders,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15467,6 +15499,7 @@ def oracle_sql() -> dict:
         "sharded_mlt_topk": sql_mlt(),
         "sharded_numbuckets_docs": sql_sharded_numbuckets(),
         "sharded_percentile_docs": SQL_SHARDED_PERCENTILE,
+        "colocated_join_orders": SQL_COLOCATED_JOIN,
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

@@ -1488,6 +1488,55 @@ def route_corpus(input_files: list[str], out_root: str, route_col: str,
     return dirs
 
 
+def colocated_join(files_a: list[str], files_b: list[str],
+                   key_a: str, key_b: str, out_root: str,
+                   n_shards: int, cols_a: list[str] | None = None,
+                   cols_b: list[str] | None = None) -> pa.Table:
+    """Cross-collection join over COLOCATED collections (upstream
+    SolrCloud colocated collections + cross-collection ``{!join}``
+    [U]; classically: the co-partitioned join).  Both collections are
+    routed by the SAME compositeId ring on their join keys, so every
+    matching pair is guaranteed shard-local and the join itself runs
+    with ZERO row movement — one independent task per shard, no
+    all-to-all.  The routing pass is paid ONCE per collection at
+    ingest and amortizes over every later join/fetch on that key —
+    the brief's "pick ONE partitioning key and reuse it" rule as an
+    operator.  Inner join; per-shard joins use Arrow's hash join on
+    the (already co-located) parts."""
+    import os
+
+    dirs_a = route_corpus(files_a, os.path.join(out_root, "a"),
+                          key_a, n_shards)
+    dirs_b = route_corpus(files_b, os.path.join(out_root, "b"),
+                          key_b, n_shards)
+
+    @ray.remote
+    def join_shard(da: str, db: str) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        def load(d, cols):
+            fs = sorted(os.path.join(d, f) for f in os.listdir(d)
+                        if f.endswith(".parquet"))
+            if not fs:
+                return None
+            return pa.concat_tables(
+                [pq.read_table(f, columns=cols) for f in fs])
+
+        ta = load(da, cols_a)
+        tb = load(db, cols_b)
+        if ta is None or tb is None:
+            return None
+        return ta.join(tb, keys=[key_a], right_keys=[key_b],
+                       join_type="inner")
+
+    parts = [p for p in ray.get([
+        join_shard.remote(a, b)
+        for a, b in zip(dirs_a, dirs_b)]) if p is not None]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables([p for p in parts if p.num_rows])
+
+
 def routed_topk(searcher: DistributedSearcher, route: str,
                 query_text: str, k: int = 10) -> pa.Table:
     """``_route_`` query (upstream SolrCloud ``_route_`` param [U]):

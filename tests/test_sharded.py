@@ -1077,3 +1077,34 @@ def test_replica_failover_full_exact_results(ray_session, tmp_path):
             rs.call("topk", "aa bb", 10)
     finally:
         rs.shutdown()
+
+
+def test_colocated_join_equals_plain_join(ray_session, tmp_path):
+    """Co-partitioned join must equal a plain join, including keys a
+    shard owns exclusively and keys with no match on one side."""
+    import pandas as pd
+
+    from engine.sharded import colocated_join
+
+    rng = np.random.default_rng(191)
+    ka = rng.integers(0, 40, size=200)
+    a = pa.table({"k": pa.array(ka, type=pa.int64()),
+                  "x": pa.array(rng.integers(0, 9, 200),
+                                type=pa.int64())})
+    kb = np.arange(0, 30, dtype=np.int64)     # keys 30..39 unmatched
+    b = pa.table({"kk": pa.array(kb, type=pa.int64()),
+                  "name": pa.array([f"n{int(v)}" for v in kb])})
+    fa = str(tmp_path / "a.parquet")
+    fb = str(tmp_path / "b.parquet")
+    pq.write_table(a, fa)
+    pq.write_table(b, fb)
+    got = colocated_join([fa], [fb], "k", "kk",
+                         str(tmp_path / "co"), n_shards=3) \
+        .to_pandas().sort_values(["k", "x", "name"]) \
+        .reset_index(drop=True)
+    want = a.to_pandas().merge(
+        b.to_pandas(), left_on="k", right_on="kk") \
+        .drop(columns=["kk"]) \
+        .sort_values(["k", "x", "name"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "x", "name"]], want[["k", "x", "name"]])
