@@ -224,6 +224,12 @@ def run_main(cpus: int, sf_dir: str, build_only: bool = False) -> dict:
                 ("sharded_rerank", lambda: searcher.rerank_topk(
                     registry.BM25_QUERY, "part filter", k=10,
                     rerank_docs=30)),
+                ("sharded_terms_limit", lambda: searcher.terms_topk(
+                    k=20, overrequest=2)),
+                ("sharded_percentile", lambda:
+                    searcher.percentile_disc(
+                        registry.SEARCH_FACET_TERM, "n_chars",
+                        pct=50)),
             ]:
                 t0 = time.perf_counter()
                 fn()
