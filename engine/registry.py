@@ -5533,6 +5533,40 @@ FROM agg
 """
 
 
+def sharded_stats_full_docs(sf_dir: str) -> pa.Table:
+    """Distributed StatsComponent, FULL field set (upstream
+    ``StatsValuesFactory``: count/sum/min/max/mean/stddev [U]):
+    per-shard exact-integer (n, Σ, Σ²) partials, coordinator fold in
+    Python bignums, mean and sample stddev from the closed-form
+    moments with the divide/sqrt order mirrored in SQL — hash-exact
+    floats."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return searcher.stats_full(SEARCH_FACET_TERM, "n_chars")
+    finally:
+        searcher.shutdown()
+
+
+SQL_SHARDED_STATS_FULL = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+  WHERE term = '{SEARCH_FACET_TERM}'),
+agg AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(d.n_chars)::HUGEINT AS s,
+         SUM(d.n_chars::HUGEINT * d.n_chars::HUGEINT) AS ss,
+         MIN(d.n_chars)::BIGINT AS lo, MAX(d.n_chars)::BIGINT AS hi
+  FROM documents d JOIN m USING (doc_id))
+SELECT n AS n_count, s::BIGINT AS n_sum, lo AS n_min, hi AS n_max,
+       s::DOUBLE / n::DOUBLE AS n_mean,
+       sqrt((n::HUGEINT * ss - s * s)::DOUBLE
+            / (n::HUGEINT * (n - 1)::HUGEINT)::DOUBLE) AS n_stddev
+FROM agg
+"""
+
+
 def sharded_percentile_docs(sf_dir: str) -> pa.Table:
     """Distributed EXACT median by iterative rank partitioning (the
     classic distributed selection algorithm: binary search on the
@@ -15134,6 +15168,7 @@ def queries() -> dict:
         "sharded_numbuckets_docs": sharded_numbuckets_docs,
         "sharded_percentile_docs": sharded_percentile_docs,
         "colocated_join_orders": colocated_join_orders,
+        "sharded_stats_full_docs": sharded_stats_full_docs,
         "train_logistic_docs": train_logistic_docs,
         "logit_classify_docs": logit_classify_docs,
         "features_select_docs": features_select_docs,
@@ -15500,6 +15535,7 @@ def oracle_sql() -> dict:
         "sharded_numbuckets_docs": sql_sharded_numbuckets(),
         "sharded_percentile_docs": SQL_SHARDED_PERCENTILE,
         "colocated_join_orders": SQL_COLOCATED_JOIN,
+        "sharded_stats_full_docs": SQL_SHARDED_STATS_FULL,
         "train_logistic_docs": sql_train_logistic(),
         "logit_classify_docs": sql_logit_classify(),
         "features_select_docs": SQL_FEATURES_SELECT,

@@ -324,6 +324,21 @@ class ShardSearcher:
                 regs[idx] = rho
         return regs
 
+    def stats_full_partial(self, terms: list[str],
+                           col: str) -> tuple:
+        """Full StatsComponent partials: (count, Σ, Σ², min, max) of
+        the matched docset's ``col`` — the sum-of-squares rides as an
+        exact Python int (no f64 drift), so coordinator mean/stddev
+        are computed from EXACT integer moments with one mirrored
+        f64 divide each (upstream ``StatsValuesFactory`` fields
+        mean/stddev/sumOfSquares [U])."""
+        v = self._matched_col_sorted(terms, col)
+        if not len(v):
+            return (0, 0, 0, None, None)
+        iv = [int(x) for x in v]          # Python bignums: exact
+        return (len(iv), sum(iv), sum(x * x for x in iv),
+                iv[0], iv[-1])
+
     def stats_partial(self, terms: list[str], col: str) -> tuple:
         """Per-shard StatsComponent partials (sum, min, max, count) of
         ``col`` over this shard's matched docset."""
@@ -1314,6 +1329,43 @@ class DistributedSearcher:
         return pa.Table.from_pandas(
             df[[group_col, "rank_in_group", "doc_id", "score"]],
             preserve_index=False).cast(out_schema)
+
+    def stats_full(self, query_text: str, col: str) -> pa.Table:
+        """Distributed StatsComponent with the FULL Solr stats field
+        set (upstream ``StatsValuesFactory`` [U]): count/sum/min/max
+        plus mean and sample stddev.  Partials carry Σ and Σ² as
+        exact Python bignums, the coordinator folds them exactly, and
+        the only float ops are one int→f64 cast per operand, one
+        divide and one IEEE sqrt — mirrored verbatim in the SQL
+        oracle, so even stddev is hash-exact."""
+        import math
+
+        terms = self._analyzer.query_terms(query_text)
+        parts = ray.get([s.stats_full_partial.remote(terms, col)
+                         for s in self.shards])
+        n = sum(p[0] for p in parts)
+        if n == 0:
+            return pa.table({
+                "n_count": pa.array([0], type=pa.int64()),
+                "n_sum": pa.array([None], type=pa.int64()),
+                "n_min": pa.array([None], type=pa.int64()),
+                "n_max": pa.array([None], type=pa.int64()),
+                "n_mean": pa.array([None], type=pa.float64()),
+                "n_stddev": pa.array([None], type=pa.float64())})
+        s_ = sum(p[1] for p in parts)
+        ss = sum(p[2] for p in parts)
+        lo = min(p[3] for p in parts if p[0])
+        hi = max(p[4] for p in parts if p[0])
+        mean = float(s_) / float(n)
+        std = math.sqrt(float(n * ss - s_ * s_)
+                        / float(n * (n - 1))) if n > 1 else None
+        return pa.table({
+            "n_count": pa.array([n], type=pa.int64()),
+            "n_sum": pa.array([s_], type=pa.int64()),
+            "n_min": pa.array([lo], type=pa.int64()),
+            "n_max": pa.array([hi], type=pa.int64()),
+            "n_mean": pa.array([mean], type=pa.float64()),
+            "n_stddev": pa.array([std], type=pa.float64())})
 
     def stats(self, query_text: str, col: str) -> pa.Table:
         """Distributed query-scoped StatsComponent: per-shard

@@ -1108,3 +1108,53 @@ def test_colocated_join_equals_plain_join(ray_session, tmp_path):
         .sort_values(["k", "x", "name"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[["k", "x", "name"]], want[["k", "x", "name"]])
+
+
+def test_stats_full_exact_moments(ray_session, tmp_path):
+    """Exact-bignum moment fold: mean/stddev must equal the direct
+    closed-form computation over all values; n==1 yields stddev
+    None; no-match yields the count-0 row."""
+    import math
+
+    from engine.build import IndexConfig, build_index
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(201)
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    shards, allv = [], []
+    for si in range(3):
+        lo = si * 50
+        v = rng.integers(0, 10**6, size=50)
+        # one lonely doc matches 'solo' on shard0 only
+        texts = ["hit solo" if (si == 0 and i == 0) else "hit"
+                 for i in range(50)]
+        allv += v.tolist()
+        f = str(tmp_path / f"sf{si}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, lo + 50), type=pa.int64()),
+            "text": pa.array(texts),
+            "val": pa.array(v, type=pa.int64())}), f)
+        sd = str(tmp_path / f"sfidx{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    ds = DistributedSearcher(shards)
+    try:
+        t = ds.stats_full("hit", "val")
+        n = len(allv)
+        s = sum(allv)
+        ss = sum(x * x for x in allv)
+        assert t["n_count"][0].as_py() == n
+        assert t["n_sum"][0].as_py() == s
+        assert t["n_mean"][0].as_py() == float(s) / float(n)
+        assert t["n_stddev"][0].as_py() == math.sqrt(
+            float(n * ss - s * s) / float(n * (n - 1)))
+        one = ds.stats_full("solo", "val")
+        assert one["n_count"][0].as_py() == 1
+        assert one["n_stddev"][0].as_py() is None
+        zero = ds.stats_full("zz", "val")
+        assert zero["n_count"][0].as_py() == 0
+    finally:
+        ds.shutdown()
