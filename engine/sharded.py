@@ -970,7 +970,10 @@ class DistributedSearcher:
             facet_col: pa.array([v for v, _, _ in rows],
                                 type=pa.string()),
             "n": pa.array([c for _, c, _ in rows], type=pa.int64()),
-            avg_name: pa.array([s / c for _, c, s in rows],
+            # float(s)/float(c) mirrors SQL's cast-then-divide (the
+            # oracle computes s::DOUBLE / c::DOUBLE); Python's exact
+            # rational s/c diverges once |s| > 2^53
+            avg_name: pa.array([float(s) / float(c) for _, c, s in rows],
                                type=pa.float64())})
 
     def _facet_limit(self, terms: list[str], facet_col: str,
@@ -1586,7 +1589,10 @@ def colocated_join(files_a: list[str], files_b: list[str],
         for a, b in zip(dirs_a, dirs_b)]) if p is not None]
     if not parts:
         return pa.table({})
-    return pa.concat_tables([p for p in parts if p.num_rows])
+    live = [p for p in parts if p.num_rows]
+    # all per-shard joins empty (keys disjoint): keep the joined
+    # schema by returning one of the empty results, not pa.table({})
+    return pa.concat_tables(live) if live else parts[0]
 
 
 def routed_topk(searcher: DistributedSearcher, route: str,

@@ -35,6 +35,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -74,7 +75,12 @@ def cmd_shard(args: argparse.Namespace) -> dict:
     if args.route_col:
         from engine.sharded import route_corpus
 
-        dirs = route_corpus(files, os.path.join(args.output, "parts"),
+        parts_dir = os.path.join(args.output, "parts")
+        # route fresh: route_corpus appends part files, so a resumed
+        # run over an existing parts dir would duplicate every row
+        if os.path.isdir(parts_dir):
+            shutil.rmtree(parts_dir)
+        dirs = route_corpus(files, parts_dir,
                             args.route_col, args.n_shards)
         shard_inputs = [
             sorted(os.path.join(d, f) for f in os.listdir(d)
@@ -132,6 +138,11 @@ def cmd_query(args: argparse.Namespace) -> dict:
     with open(os.path.join(args.cluster, "cluster.json")) as f:
         shards = json.load(f)["shards"]
     qs = [q.strip() for q in open(args.queries) if q.strip()]
+    if not qs:
+        return {"metric": f"sharded {args.mode}", "n_queries": 0,
+                "result_rows": 0, "p50_ms": 0.0, "p95_ms": 0.0,
+                "qps": 0.0}
+    pages = max(1, args.pages)
     searcher = DistributedSearcher(shards)
     lat, rows = [], 0
     try:
@@ -145,7 +156,7 @@ def cmd_query(args: argparse.Namespace) -> dict:
                 t = searcher.facet_topk(q, args.facet_col, k=args.k)
             else:                                         # cursor
                 cur, t = None, None
-                for _ in range(args.pages):
+                for _ in range(pages):
                     t, cur = searcher.cursor_page(q, args.k, cur)
                     if cur is None:
                         break
