@@ -117,6 +117,138 @@ def _hash64(strings: np.ndarray) -> np.ndarray:
                        dtype=np.uint64, count=len(strings))
 
 
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+# wall-clock of the last minhash_lsh_pairs call, per stage (debug aid)
+_MH_TIMINGS: dict[str, float] = {}
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain constant schedule) —
+    vectorized 64-bit avalanche for bloom probes and band keys."""
+    x = x + _GOLD
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_probes(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    h1 = _mix64(ids)
+    h2 = _mix64(ids ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    return h1, h2
+
+
+def _bloom_insert(bits: np.ndarray, mask: np.uint64,
+                  ids: np.ndarray, k: int = 3) -> None:
+    """Set k double-hashed probe bits per id in a power-of-2 bitmap."""
+    h1, h2 = _bloom_probes(ids)
+    for p in range(k):
+        idx = (h1 + np.uint64(p) * h2) & mask
+        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+
+
+def _bloom_member(bits: np.ndarray, mask: np.uint64,
+                  ids: np.ndarray, k: int = 3) -> np.ndarray:
+    """Vectorized membership test; false positives only, never false
+    negatives (so a bloom-filtered verify pass cannot lose a pair)."""
+    h1, h2 = _bloom_probes(ids)
+    member = np.ones(len(ids), dtype=bool)
+    for p in range(k):
+        idx = (h1 + np.uint64(p) * h2) & mask
+        member &= ((bits[(idx >> np.uint64(6)).astype(np.int64)]
+                    >> (idx & np.uint64(63))) & np.uint64(1)) \
+            .astype(bool)
+    return member
+
+
+def _ragged_gather(flat: np.ndarray, starts: np.ndarray,
+                   ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Gather variable-length [start, end) slices of ``flat`` into one
+    packed array; returns (values, offsets). Fully vectorized (the
+    repeat/arange ragged-index idiom) — no per-slice Python."""
+    ln = (ends - starts).astype(np.int64)
+    out_off = np.zeros(len(ln) + 1, dtype=np.int64)
+    np.cumsum(ln, out=out_off[1:])
+    total = int(out_off[-1])
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(out_off[:-1], ln)
+           + np.repeat(starts.astype(np.int64), ln))
+    return flat[pos], out_off
+
+
+def _string_buffer_view(arr) -> tuple[np.ndarray, memoryview]:
+    """(value offsets, data memoryview) of a no-null string array —
+    per-string crc can then run over raw buffer slices with zero
+    Python string objects created."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    big = (pa.types.is_large_string(arr.type)
+           or pa.types.is_large_binary(arr.type))
+    odt = np.int64 if big else np.int32
+    offs = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset: arr.offset + len(arr) + 1]
+    return offs, memoryview(bufs[2])
+
+
+def _shingle_hash_flat(texts, k: int, *, wide: bool = False
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-vectorized per-doc DISTINCT word-k-gram hashes.
+
+    ONE ``binary_join_element_wise`` builds every k-gram in the batch
+    (grams spanning a doc boundary are masked out), one crc pass
+    hashes them off the raw Arrow buffer, and per-doc dedup is a
+    single lexsort — no per-document Python, unlike
+    :func:`_shingle_strings`. Returns (counts int64[n_docs], flat
+    hashes uint64, distinct and ascending within each doc).
+
+    ``wide=True`` emits the 64-bit ``crc(s)<<32 | crc(s+'#')`` value
+    (identical to :func:`_hash64`) used for exact-verify set
+    intersections; default is the 32-bit crc the minhash permutations
+    consume. Distinct-by-hash is exactly equivalent to
+    distinct-by-string for minhash (a colliding shingle contributes
+    identical permuted values) and differs only at ~2^-64 for verify.
+    """
+    offs, flat = _flat_tokens(texts)
+    n = len(offs) - 1
+    counts = np.zeros(n, dtype=np.int64)
+    total = len(flat)
+    if total < k:
+        return counts, np.empty(0, dtype=np.uint64)
+    m = total - k + 1
+    parts = [flat.slice(j, m) for j in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    valid = doc_of[:m] == doc_of[k - 1:]
+    if not valid.any():
+        return counts, np.empty(0, dtype=np.uint64)
+    gv = grams.filter(pa.array(valid))
+    docs = doc_of[:m][valid]
+    goffs, gdata = _string_buffer_view(gv)
+    crc = zlib.crc32
+    ng = len(goffs) - 1
+    if wide:
+        def h64(buf):
+            c = crc(buf)
+            return (c << 32) | crc(b"#", c)
+        h = np.fromiter((h64(gdata[goffs[i]:goffs[i + 1]])
+                         for i in range(ng)),
+                        dtype=np.uint64, count=ng)
+    else:
+        h = np.fromiter((crc(gdata[goffs[i]:goffs[i + 1]])
+                         for i in range(ng)),
+                        dtype=np.uint64, count=ng)
+    order = np.lexsort((h, docs))
+    d_s, h_s = docs[order], h[order]
+    keep = np.empty(len(d_s), dtype=bool)
+    keep[0] = True
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    d_u, h_u = d_s[keep], h_s[keep]
+    counts = np.bincount(d_u, minlength=n).astype(np.int64)
+    return counts, h_u
+
+
 def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str
                 ) -> ray.data.Dataset:
     """Exact dedup: first (min id) survivor per identical key."""
@@ -198,7 +330,8 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                       k: int = 3, num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.8,
-                      max_bucket: int = 4096) -> pa.Table:
+                      max_bucket: int = 4096,
+                      num_partitions: int = 256) -> pa.Table:
     """Near-dup pairs via MinHash + banded LSH, exact-verified.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
@@ -206,38 +339,93 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     band becomes a candidate; candidates are verified with the exact
     shingle Jaccard (so the output has no false positives; recall is
     the standard LSH S-curve).
+
+    Fully distributed — the 100-TB invariants, in order:
+
+    - signature generation is batch-vectorized: ONE Arrow kernel call
+      builds every k-gram in the batch, ONE crc pass hashes them, all
+      ``num_perm`` permutations are applied as a single 2-D
+      ``_universal_hash`` and reduced per doc with
+      ``np.minimum.reduceat`` — no per-document Python loop;
+    - candidate pairs stay a Dataset (distributed ``materialize``;
+      never ``to_pandas`` on the driver);
+    - the only driver-side state is a FIXED-SIZE bloom bitmap over the
+      candidate doc ids (streamed via ``iter_batches``, ≤64 MB
+      regardless of corpus size), broadcast once with ``ray.put`` so
+      the exact-verify hash-set pass touches only (approximately) the
+      candidate docs;
+    - verification is co-partitioned: pairs hash-join (id) against a
+      distributed (doc, shingle-hash-set) table — two shuffles of
+      candidate-sized data — and the exact Jaccard runs inside
+      ``map_batches``; only the final over-threshold pairs (the op's
+      output) reach the driver.
+
+    Band keys are a mix-hash of the band's minhash chunk: equal chunks
+    always collide (recall identical to hashing the raw chunk bytes),
+    unequal chunks collide at ~2^-64 and any such false candidate is
+    removed by the exact verify.
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
     a_p, b_p = _perm_params(num_perm)
+    band_salt = (np.arange(bands, dtype=np.uint64)
+                 * np.uint64(0xBF58476D1CE4E5B9))
+
+    _BUCKET_EMPTY = pa.table({
+        "band": pa.array([], type=pa.int64()),
+        "cg": pa.array([], type=pa.int64()),
+        "doc": pa.array([], type=pa.int64())})
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
-        _, shingles = _shingle_strings(batch[text_col], k)
-        band_keys: list[int] = []
-        band_ids: list[int] = []
-        for did, sh in zip(ids, shingles):
-            if not len(sh):
-                continue
-            h = _crc_hashes(sh)
-            # universal hashing into num_perm permutations, min per perm
-            # (overflow-safe modmul: the naive product wraps mod 2^64
-            # and voids the universality guarantee)
-            vals = _universal_hash(a_p[:, None], b_p[:, None], h[None, :])
-            mh = vals.min(axis=1)
-            for bi in range(bands):
-                chunk = mh[bi * rows:(bi + 1) * rows]
-                band_keys.append(
-                    (bi << 32) | zlib.crc32(chunk.tobytes()))
-                band_ids.append(int(did))
-        karr = np.asarray(band_keys, dtype=np.int64)
+        counts, flat_h = _shingle_hash_flat(batch[text_col], k)
+        nz = counts > 0
+        n_nz = int(nz.sum())
+        if n_nz == 0:
+            return _BUCKET_EMPTY
+        starts_all = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts_all[1:])
+        starts = starts_all[nz]
+        ends = starts + counts[nz]
+        # all permutations over all shingles at once, min per doc —
+        # sliced so the (num_perm × shingles) scratch stays ~16 MB
+        mh = np.empty((num_perm, n_nz), dtype=np.uint64)
+        CH = 32768
+        i0 = 0
+        while i0 < n_nz:
+            i1 = i0 + 1
+            while i1 < n_nz and (ends[i1] - starts[i0]) <= CH:
+                i1 += 1
+            seg = flat_h[starts[i0]:ends[i1 - 1]]
+            vals = _universal_hash(a_p[:, None], b_p[:, None],
+                                   seg[None, :])
+            mh[:, i0:i1] = np.minimum.reduceat(
+                vals, starts[i0:i1] - starts[i0], axis=1)
+            i0 = i1
+        # vectorized band keys: fold the band's `rows` minhash values
+        # through a multiply-xorshift mix, salted by the band index
+        M = np.ascontiguousarray(mh.T).reshape(n_nz, bands, rows)
+        key = np.broadcast_to(band_salt, (n_nz, bands)).copy()
+        for r in range(rows):
+            key = (key ^ M[:, :, r]) * _GOLD
+            key ^= key >> np.uint64(32)
+        kflat = key.ravel()
         return pa.table({
-            "band": pa.array(karr, type=pa.int64()),
-            "cg": pa.array(karr & 0xFF, type=pa.int64()),
-            "doc": pa.array(band_ids, type=pa.int64()),
+            "band": pa.array(kflat.view(np.int64), type=pa.int64()),
+            "cg": pa.array((kflat & np.uint64(0xFF)).astype(np.int64),
+                           type=pa.int64()),
+            "doc": pa.array(np.repeat(ids[nz].astype(np.int64), bands),
+                            type=pa.int64()),
         })
 
-    buckets = ds.map_batches(sigs, batch_format="pyarrow")
+    import time as _time
+    _MH_TIMINGS.clear()
+    _t = _time.perf_counter()
+    # materialize before the groupby: Ray's sort-based shuffle runs a
+    # boundary-sampling pass first, which would otherwise re-execute
+    # the whole read+signature pipeline a second time (band rows are
+    # 3 int64 cols ≈ 0.4% of corpus text — cheap to hold/spill)
+    buckets = ds.map_batches(sigs, batch_format="pyarrow").materialize()
 
     def coarse_pairs(g: pa.Table) -> pa.Table:
         # one call per COARSE group (256 total), all band buckets
@@ -245,79 +433,222 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         return _pairs_in_buckets(g["band"].to_numpy(), g["doc"].to_numpy(),
                                  max_bucket, "minhash_lsh_pairs")
 
+    _J_EMPTY = pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+
     # no global candidate-dedup shuffle: a pair seen in several coarse
     # groups is verified more than once (cheap) and survivors are
     # deduped at the end — the output (pairs over threshold) is orders
     # of magnitude smaller than the candidate multiset
     cand = buckets.groupby("cg").map_groups(
-        coarse_pairs, batch_format="pyarrow").materialize().to_pandas()
-    if not len(cand):
-        return pa.table({"id_a": pa.array([], type=pa.int64()),
-                         "id_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
+        coarse_pairs, batch_format="pyarrow") \
+        .select_columns(["id_a", "id_b"]).materialize()
+    n_cand = cand.count()
+    _MH_TIMINGS['candidates'] = _time.perf_counter() - _t; _t = _time.perf_counter()
+    if n_cand == 0:
+        return _J_EMPTY
+    # no global candidate-distinct shuffle: duplicate pairs (one per
+    # colliding band) are verified redundantly inside the vectorized
+    # per-run verify — measured cheaper than a distinct groupby even
+    # at a 692k-candidate multiset, and the final output dedup
+    # removes the repeats
 
-    # exact verification on the candidate doc set only: each candidate
-    # doc's DISTINCT shingles become a sorted uint64 hash array (crc32
-    # pair → 64-bit; cross-doc collision odds ~ |A||B|/2^64, far below
-    # the f64 jaccard ulp), built distributed, broadcast ONCE
-    need = np.unique(np.concatenate([cand["id_a"].to_numpy(),
-                                     cand["id_b"].to_numpy()]))
-    need_arr = pa.array(need, type=pa.int64())
+    # fixed-size bloom over candidate ids: driver memory is the bitmap
+    # (≤64 MB however large the corpus/candidate set), built by
+    # streaming candidate batches — never the candidate set itself
+    mbits = 1 << int(np.clip(np.ceil(np.log2(max(2, 32 * n_cand))),
+                             16, 29))
+    bits = np.zeros(mbits // 64, dtype=np.uint64)
+    mask = np.uint64(mbits - 1)
+    for b in cand.iter_batches(batch_format="pyarrow",
+                               batch_size=65536):
+        u = np.unique(np.concatenate(
+            [b["id_a"].to_numpy(), b["id_b"].to_numpy()]))
+        _bloom_insert(bits, mask, u.astype(np.uint64))
+    _MH_TIMINGS['dedup+bloom'] = _time.perf_counter() - _t; _t = _time.perf_counter()
+    bits_ref = ray.put(bits)
+
+    # verify tasks sized by WORK (≈100k pairs each), not by however
+    # many tiny blocks the candidate groupby happened to emit
+    cand = cand.repartition(max(1, min(4096, n_cand // 100_000 + 1)))
+
+    # ---- co-partitioned exact verify (fetch-join) -----------------
+    # Hash-set rows are bucketed ONCE by a hash of doc id (one small
+    # groupby over candidate-sized data); the driver keeps only the
+    # bucket block REFS (fixed count). Verification is a single
+    # map_batches over the candidate pairs: each task fetches just the
+    # buckets its batch references (object-store locality makes repeat
+    # fetches on a node zero-copy) and joins with one vectorized
+    # searchsorted — no driver-side candidate state, no unbounded
+    # broadcast. (Ray 2.49's Dataset.join breaks on empty hash
+    # partitions, so the co-partitioning is explicit.)
+    # bucket count scales with the candidate set (runs of ≥~1000
+    # pairs per (part_a, part_b) cell keep per-cell overhead
+    # negligible) and is capped by num_partitions — the knob a
+    # 100-TB caller raises so a single bucket still fits task memory
+    want = int(np.sqrt(max(1.0, n_cand / 1000.0)))
+    nparts = 1 << max(3, int(np.ceil(np.log2(
+        max(8, min(want, num_partitions))))))
+    pmask = np.uint64(nparts - 1)
+
+    def _part_of(ids: np.ndarray) -> np.ndarray:
+        return (_mix64(ids.astype(np.uint64)) & pmask).astype(np.int64)
+
+    _HS_EMPTY = pa.table({
+        "part": pa.array([], type=pa.int64()),
+        "doc": pa.array([], type=pa.int64()),
+        "h": pa.array([], type=pa.list_(pa.uint64()))})
 
     def hash_sets(b: pa.Table) -> pa.Table:
-        sub = b.filter(pc.is_in(b[id_col], value_set=need_arr))
-        ids = sub[id_col].to_numpy()
-        _, sh = _shingle_strings(sub[text_col], k)
-        hv = [np.sort(_hash64(x)) for x in sh]
+        # exact-verify hash sets for (a superset of) candidate docs:
+        # each doc's DISTINCT shingles as a sorted uint64 array (crc32
+        # pair → 64-bit; cross-doc collision odds ~ |A||B|/2^64, far
+        # below the f64 jaccard ulp). Bloom false positives only add
+        # rows no pair ever looks up.
+        bm = ray.get(bits_ref)
+        ids = b[id_col].to_numpy()
+        member = _bloom_member(bm, mask, ids.astype(np.uint64))
+        if not member.any():
+            return _HS_EMPTY
+        sub = b.filter(pa.array(member))
+        counts, flat_h = _shingle_hash_flat(sub[text_col], k, wide=True)
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32)),
+            pa.array(flat_h, type=pa.uint64()))
+        docs = sub[id_col].to_numpy().astype(np.int64)
         return pa.table({
-            "doc": pa.array(ids, type=pa.int64()),
-            "h": pa.array(hv, type=pa.list_(pa.uint64())),
-        })
+            "part": pa.array(_part_of(docs), type=pa.int64()),
+            "doc": pa.array(docs, type=pa.int64()),
+            "h": lst})
 
-    sub = ds.map_batches(hash_sets, batch_format="pyarrow") \
-        .materialize().to_arrow_refs()
-    sub_t = pa.concat_tables([ray.get(r) for r in sub]).combine_chunks()
-    hcol = sub_t["h"].combine_chunks()
-    flat = hcol.values.to_numpy()
-    offs = hcol.offsets.to_numpy()
-    by_id = {int(i): flat[offs[j]:offs[j + 1]]
-             for j, i in enumerate(sub_t["doc"].to_numpy())}
-    by_id_ref = ray.put(by_id)
-    pairs_ds = ray.data.from_arrow(pa.table({
-        "id_a": pa.array(cand["id_a"].to_numpy(), type=pa.int64()),
-        "id_b": pa.array(cand["id_b"].to_numpy(), type=pa.int64()),
-    }))
+    def _sort_bucket(g: pa.Table) -> pa.Table:
+        o = np.argsort(g["doc"].to_numpy())
+        return g.take(pa.array(o))
+
+    # materialize before the groupby (same sampling double-execution
+    # trap as the band-row shuffle above)
+    hsb = ds.map_batches(hash_sets, batch_format="pyarrow") \
+        .materialize() \
+        .groupby("part").map_groups(_sort_bucket,
+                                    batch_format="pyarrow") \
+        .materialize()
+    refs = hsb.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _parts_in(t: pa.Table) -> np.ndarray:
+        # shuffle plumbing can emit schema-less empty blocks
+        if t.num_rows == 0 or "part" not in t.column_names:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(t["part"].to_numpy())
+
+    _MH_TIMINGS['hashsets+bucket'] = _time.perf_counter() - _t; _t = _time.perf_counter()
+    part_map: dict[int, list] = {}
+    for r, ps in zip(refs, ray.get([_parts_in.remote(r)
+                                    for r in refs])):
+        for p in ps:
+            part_map.setdefault(int(p), []).append(r)
+
+    def _fetch_bucket(p: int) -> tuple:
+        rs = part_map.get(p, [])
+        if not rs:
+            return (np.empty(0, np.int64), np.zeros(1, np.int64),
+                    np.empty(0, np.uint64))
+        t = pa.concat_tables(ray.get(list(rs)))
+        if len(rs) > 1 or (t.num_rows and not bool(
+                pc.all(pc.equal(t["part"], p)).as_py())):
+            t = t.filter(pc.equal(t["part"], p))
+        col = t.column("h").combine_chunks()
+        return (t["doc"].to_numpy(),
+                col.offsets.to_numpy().astype(np.int64),
+                col.values.to_numpy())
 
     def verify(b: pa.Table) -> pa.Table:
-        m = ray.get(by_id_ref)
+        # bounded-memory fetch-join: pairs are processed in
+        # (part_a, part_b)-sorted runs; per run ALL set intersections
+        # are computed by one lexsort over the run's gathered hash
+        # values (each (pair, hash) appears ≤2×, so a duplicate ⇒ the
+        # hash is in both docs) — no per-pair Python. Buckets are
+        # cached up to ``max_resident`` per task (FIFO eviction), so
+        # task memory is ≤ max_resident × |hash sets|/nparts however
+        # large the batch; re-fetches on a node are zero-copy
+        # object-store reads.
+        max_resident = 256
+        cache: dict[int, tuple] = {}
+
+        def bucket(p: int) -> tuple:
+            got = cache.get(p)
+            if got is None:
+                if len(cache) >= max_resident:
+                    cache.pop(next(iter(cache)))
+                got = cache[p] = _fetch_bucket(p)
+            return got
+
         ias = b["id_a"].to_numpy()
         ibs = b["id_b"].to_numpy()
-        js = np.empty(len(ias), dtype=np.float64)
-        for i in range(len(ias)):
-            a, bb = m[int(ias[i])], m[int(ibs[i])]
-            if len(a) > len(bb):
-                a, bb = bb, a
-            if not len(bb):
-                js[i] = 1.0 if not len(a) else 0.0
-                continue
-            idx = np.searchsorted(bb, a)
-            idx[idx == len(bb)] = len(bb) - 1
-            inter = int((bb[idx] == a).sum())
-            union = len(a) + len(bb) - inter
-            js[i] = inter / union if union else 1.0
+        pas = _part_of(ias)
+        pbs = _part_of(ibs)
+        order = np.lexsort((pbs, pas))
+        js = np.full(len(ias), -1.0, dtype=np.float64)
+        # run boundaries where (part_a, part_b) changes
+        pa_s, pb_s = pas[order], pbs[order]
+        if len(order) == 0:
+            starts = np.empty(0, dtype=np.int64)
+        else:
+            chg = np.empty(len(order), dtype=bool)
+            chg[0] = True
+            chg[1:] = (pa_s[1:] != pa_s[:-1]) | (pb_s[1:] != pb_s[:-1])
+            starts = np.flatnonzero(chg)
+        bounds = np.append(starts, len(order))
+        for ri in range(len(starts)):
+            run = order[bounds[ri]:bounds[ri + 1]]
+            da, oa, fa = bucket(int(pas[run[0]]))
+            db, ob, fb = bucket(int(pbs[run[0]]))
+            ja = np.searchsorted(da, ias[run])
+            jb = np.searchsorted(db, ibs[run])
+            ja_c = np.minimum(ja, max(0, len(da) - 1))
+            jb_c = np.minimum(jb, max(0, len(db) - 1))
+            ok = np.ones(len(run), dtype=bool) if len(da) and len(db) \
+                else np.zeros(len(run), dtype=bool)
+            if len(da) and len(db):
+                ok &= (da[ja_c] == ias[run]) & (db[jb_c] == ibs[run])
+            if not ok.any():
+                continue                 # phantom candidates only
+            run = run[ok]
+            ja_c, jb_c = ja_c[ok], jb_c[ok]
+            a_vals, a_off = _ragged_gather(fa, oa[ja_c], oa[ja_c + 1])
+            b_vals, b_off = _ragged_gather(fb, ob[jb_c], ob[jb_c + 1])
+            la, lb = np.diff(a_off), np.diff(b_off)
+            m = len(run)
+            allv = np.concatenate([a_vals, b_vals])
+            allp = np.concatenate([
+                np.repeat(np.arange(m, dtype=np.int64), la),
+                np.repeat(np.arange(m, dtype=np.int64), lb)])
+            o2 = np.lexsort((allv, allp))
+            vv, pp = allv[o2], allp[o2]
+            if len(vv) > 1:
+                dup = (vv[1:] == vv[:-1]) & (pp[1:] == pp[:-1])
+                inter = np.bincount(pp[1:][dup], minlength=m)
+            else:
+                inter = np.zeros(m, dtype=np.int64)
+            union = la + lb - inter
+            js[run] = np.where(union > 0,
+                               inter / np.maximum(union, 1), 1.0)
         keep = js >= threshold
         return pa.table({"id_a": pa.array(ias[keep], type=pa.int64()),
                          "id_b": pa.array(ibs[keep], type=pa.int64()),
-                         "jaccard": pa.array(js[keep], type=pa.float64())})
+                         "jaccard": pa.array(js[keep],
+                                             type=pa.float64())})
 
-    tabs = [ray.get(r) for r in
-            pairs_ds.map_batches(verify, batch_format="pyarrow")
-            .materialize().to_arrow_refs()]
-    tabs = [t for t in tabs if t.num_rows]
+    _MH_TIMINGS['partmap'] = _time.perf_counter() - _t; _t = _time.perf_counter()
+    tabs = [t for t in ray.get(
+        cand.map_batches(verify, batch_format="pyarrow")
+            .materialize().to_arrow_refs()) if t.num_rows]
+    _MH_TIMINGS['verify'] = _time.perf_counter() - _t
     if not tabs:
-        return pa.table({"id_a": pa.array([], type=pa.int64()),
-                         "id_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
+        return _J_EMPTY
     out = pa.concat_tables(tabs).combine_chunks()
     a = out["id_a"].to_numpy()
     b = out["id_b"].to_numpy()
