@@ -189,25 +189,40 @@ def _conv_partial(path: str, conv_col: str, turn_col: str) -> pa.Table:
     return g.rename_columns([conv_col, "cnt", "mx"])
 
 
-def build_docmap(files: list[str], cfg: IndexConfig, index_dir: str) -> int:
+def build_docmap(files: list[str], cfg: IndexConfig, index_dir: str,
+                 combine: str = "auto") -> int:
     """conv_id → docID base table; returns corpus doc count N.
 
     ``doc_id = base[conv_id] + turn_idx`` equals the rank of
     (conv_id, turn_idx) in the globally sorted corpus because turn_idx
     is contiguous from 0 within each conversation (validated here).
 
-    One lightweight Ray task per input file (partial conv counts, a
-    pruned 2-column read) combined driver-side — partials ≈ n_convs
-    rows, far cheaper than a sort-based grouped aggregate, and a plain
-    task fan-out beats a full Dataset job for this ~seconds-scale
-    stage (measured: the Dataset version cost a flat ~4.5 s of
-    scheduling at every cluster width). At 10^12 turns the combine
-    becomes a second-level groupby over conv ranges.
+    Two combine strategies over the per-file partials (a pruned
+    2-column read + grouped count per file):
+
+    - ``driver`` — concat + one pyarrow group_by on the driver.
+      Fastest at seconds-scale inputs (a full Dataset job costs a
+      flat ~4.5 s of scheduling at every cluster width), but driver
+      memory is O(Σ per-file convs).
+    - ``distributed`` — the 10^12-turn path: a Ray Data
+      groupby(conv) second-level combine, a range-partitioning sort,
+      per-block turn totals (the only driver state: one int per
+      block) cumsummed into block base offsets, and the docmap
+      written as sorted part files under ``docmap.parquet/`` (a
+      directory — ``pq.read_table`` reads it back in sorted part
+      order). Driver memory is O(#blocks), independent of conv count.
+
+    ``auto`` picks ``driver`` below 65 input files and
+    ``distributed`` at or above.
     """
     conv_col, turn_col = cfg.conv_cols  # type: ignore[misc]
 
     task = ray.remote(_conv_partial)
     refs = [task.remote(f, conv_col, turn_col) for f in files]
+    if combine == "auto":
+        combine = "driver" if len(files) < 65 else "distributed"
+    if combine == "distributed":
+        return _docmap_distributed(refs, conv_col, index_dir)
     tab = pa.concat_tables(ray.get(refs)).combine_chunks()
     tab = tab.group_by(conv_col).aggregate([("cnt", "sum"), ("mx", "max")])
     counts = tab["cnt_sum"].to_numpy().astype(np.int64)
@@ -227,6 +242,71 @@ def build_docmap(files: list[str], cfg: IndexConfig, index_dir: str) -> int:
                     "n_turns": pa.array(counts)})
     pq.write_table(out, os.path.join(index_dir, DOCMAP_NAME))
     return int(counts.sum())
+
+
+def _docmap_distributed(refs: list, conv_col: str,
+                        index_dir: str) -> int:
+    """Second-level docmap combine as a Ray Data job (see
+    :func:`build_docmap`). The docstring's promised shape: partials →
+    hash-partitioned groupby → range-partitioned sorted blocks →
+    per-block prefix-sum stitch — driver holds one integer per block.
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    ds = ray.data.from_arrow_refs(refs)
+    agg = ds.groupby(conv_col).aggregate(Sum("cnt"), Max("mx")) \
+        .materialize()
+    srt = agg.sort(conv_col).materialize()
+    blocks = srt.to_arrow_refs()
+
+    @ray.remote
+    def _block_stats(t: pa.Table) -> tuple[int, int]:
+        if t.num_rows == 0:
+            return 0, 0
+        cnt = t["sum(cnt)"].to_numpy().astype(np.int64)
+        mx = t["max(mx)"].to_numpy().astype(np.int64)
+        if not np.array_equal(mx + 1, cnt):
+            bad = t[conv_col][int(np.argmax(mx + 1 != cnt))]
+            raise ValueError(
+                f"turn_idx not contiguous from 0 for conv {bad}; "
+                "docID-by-rank invariant requires contiguous turns")
+        return t.num_rows, int(cnt.sum())
+
+    stats = ray.get([_block_stats.remote(r) for r in blocks])
+    turn_totals = np.array([s[1] for s in stats], dtype=np.int64)
+    block_bases = np.zeros(len(stats), dtype=np.int64)
+    np.cumsum(turn_totals[:-1], out=block_bases[1:])
+
+    out_dir = os.path.join(index_dir, DOCMAP_NAME)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def _write_part(t: pa.Table, base0: int, path: str) -> None:
+        cnt = t["sum(cnt)"].to_numpy().astype(np.int64)
+        bases = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=bases[1:])
+        out = pa.table({conv_col: t[conv_col],
+                        "base": pa.array(bases + base0),
+                        "n_turns": pa.array(cnt)})
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+
+    writes = [
+        _write_part.remote(
+            r, int(block_bases[i]),
+            os.path.join(out_dir, f"part-{i:05d}.parquet"))
+        for i, r in enumerate(blocks) if stats[i][0]]
+    ray.get(writes)
+    if not writes:                     # empty corpus: keep schema
+        pq.write_table(
+            pa.table({conv_col: pa.array([], type=pa.string()),
+                      "base": pa.array([], type=pa.int64()),
+                      "n_turns": pa.array([], type=pa.int64())}),
+            os.path.join(out_dir, "part-00000.parquet"))
+    return int(turn_totals.sum())
 
 
 # --------------------------------------------------------------- stage A

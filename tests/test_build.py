@@ -971,3 +971,55 @@ def test_sync_replica_incremental(ray_session, tmp_path_factory):
     # idempotent: third sync copies nothing
     third = sync_replica(master, replica)
     assert third["copied"] == 0 and third["removed"] == 0
+
+
+def test_docmap_distributed_combine(ray_session, tmp_path_factory):
+    """The 10^12-turn docmap path (second-level Ray Data groupby +
+    range-partitioned sorted parts, driver state = one int per block)
+    must produce a docmap byte-identical to the driver combine and
+    actually exercise >1 combine partition."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_docmap
+
+    corpus = str(tmp_path_factory.mktemp("dmcorp"))
+    write_transcripts(corpus, n_convs=200, seed=11, n_files=8)
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    cfg = IndexConfig()
+    d1 = str(tmp_path_factory.mktemp("dmidx1"))
+    d2 = str(tmp_path_factory.mktemp("dmidx2"))
+    n1 = build_docmap(files, cfg, d1, combine="driver")
+    n2 = build_docmap(files, cfg, d2, combine="distributed")
+    assert n1 == n2
+    parts = sorted(glob.glob(os.path.join(d2, "docmap.parquet",
+                                          "part-*.parquet")))
+    assert len(parts) > 1, "distributed combine must shard the docmap"
+    t1 = pq.read_table(os.path.join(d1, "docmap.parquet"))
+    t2 = pq.read_table(os.path.join(d2, "docmap.parquet"))
+    assert t1.column_names == t2.column_names
+    for c in t1.column_names:
+        assert t1[c].to_pylist() == t2[c].to_pylist(), c
+
+
+def test_docmap_distributed_rejects_gap(ray_session, tmp_path_factory):
+    """Contiguity validation must fire in the distributed combine."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import IndexConfig, build_docmap
+
+    corpus = str(tmp_path_factory.mktemp("dmbad"))
+    os.makedirs(corpus, exist_ok=True)
+    pq.write_table(pa.table({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": pa.array([0, 2, 0], type=pa.int32()),   # gap in c1
+        "text": ["a", "b", "c"]}),
+        os.path.join(corpus, "p0.parquet"))
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    idx = str(tmp_path_factory.mktemp("dmbadidx"))
+    with pytest.raises(Exception, match="contiguous"):
+        build_docmap(files, IndexConfig(), idx, combine="distributed")
