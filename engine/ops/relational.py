@@ -163,18 +163,58 @@ def unique_first(ds: ray.data.Dataset, key: str, id_col: str
     return ds.groupby(key).min(id_col)
 
 
-def group_top_n(ds: ray.data.Dataset, key: str,
-                sort_keys: list[tuple[str, bool]], n: int
-                ) -> ray.data.Dataset:
-    """Result grouping / collapse: top-n rows per group (upstream
-    ``lucene/grouping``, ``CollapsingQParserPlugin`` [U])."""
-    names = [c for c, _ in sort_keys]
-    desc = [d for _, d in sort_keys]
-    order = [(c, "descending" if d else "ascending") for c, d in sort_keys]
+def _first_n_per_run(t: pa.Table, key: str, order: list, n: int
+                     ) -> pa.Table:
+    """Top-n rows per key, fully vectorized: ONE sort by
+    (key, sort-keys), run boundaries by adjacent comparison, and a
+    rank-within-run mask — no per-group Python whatever the key
+    cardinality."""
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by([(key, "ascending")] + order)
+    kv = t[key].combine_chunks()
+    m = len(kv)
+    if m == 1:
+        return t
+    eq = pc.equal(kv.slice(1), kv.slice(0, m - 1)) \
+        .to_numpy(zero_copy_only=False)
+    new = np.empty(m, dtype=bool)
+    new[0] = True
+    np.logical_not(eq, out=new[1:])
+    idx = np.arange(m, dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(new, idx, 0))
+    keep = (idx - run_start) < n
+    return t.filter(pa.array(keep))
 
-    def topn(g: pa.Table) -> pa.Table:
-        return g.sort_by(order).slice(0, n)
-    return ds.groupby(key).map_groups(topn, batch_format="pyarrow")
+
+def group_top_n(ds: ray.data.Dataset, key: str,
+                sort_keys: list[tuple[str, bool]], n: int,
+                num_partitions: int = 64) -> ray.data.Dataset:
+    """Result grouping / collapse: top-n rows per group (upstream
+    ``lucene/grouping``, ``CollapsingQParserPlugin`` [U]).
+
+    Partial top-k shape: each batch keeps ≤n rows per key it contains
+    (one vectorized sort + run slice), the shuffle moves only those
+    survivors hashed into ``num_partitions`` COARSE groups, and the
+    final per-key cut is the same vectorized run slice inside each
+    coarse group — per-key cost is flat (no one-Python-call-per-group
+    ``map_groups``, which is Ray-overhead-bound at 10^6+ keys)."""
+    order = [(c, "descending" if d else "ascending")
+             for c, d in sort_keys]
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        b = _first_n_per_run(b, key, order, n)
+        cg = (pd.util.hash_array(
+            b[key].combine_chunks().to_numpy(zero_copy_only=False))
+            % num_partitions).astype(np.int64)
+        return b.append_column("_cg", pa.array(cg, type=pa.int64()))
+
+    def final(g: pa.Table) -> pa.Table:
+        return _first_n_per_run(g.drop_columns(["_cg"]), key, order, n)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_cg").map_groups(final, batch_format="pyarrow")
 
 
 def timeseries(ds: ray.data.Dataset, ts_col: str, unit: str,

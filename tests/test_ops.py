@@ -1821,3 +1821,33 @@ def test_monitor_queries_analyzed_like_docs(ray_session):
                 .materialize().to_arrow_refs())).combine_chunks()
     assert tags["doc_id"].to_pylist() == [1]
     assert tags["n"].to_pylist() == [1]
+
+
+def test_group_top_n_high_cardinality(ray_session):
+    """10^5 distinct keys must complete in seconds (flat per-key cost:
+    vectorized run-slice partials + coarse-group final, never one
+    Python call per key) and agree with a pandas reference."""
+    import time
+
+    import pandas as pd
+    import ray.data
+
+    from engine.ops.relational import group_top_n
+
+    n, nkeys = 300_000, 100_000
+    rng = np.random.default_rng(13)
+    tab = pa.table({
+        "k": pa.array(rng.integers(0, nkeys, n), type=pa.int64()),
+        "v": pa.array(rng.random(n)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    t0 = time.perf_counter()
+    out = group_top_n(ray.data.from_arrow(tab), "k",
+                      [("v", True), ("id", False)], 2) \
+        .materialize().to_pandas().sort_values(["k", "id"])
+    wall = time.perf_counter() - t0
+    assert wall < 60, f"high-cardinality group_top_n took {wall:.1f}s"
+    df = tab.to_pandas()
+    ref = df.sort_values(["v", "id"], ascending=[False, True]) \
+        .groupby("k").head(2).sort_values(["k", "id"])
+    assert out["id"].to_numpy().tolist() == ref["id"].to_numpy().tolist()
