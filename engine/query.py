@@ -1698,6 +1698,106 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def sloppy_phrase_n_topk(self, terms: list[str], slop: int,
+                             k: int = 10) -> pa.Table:
+        """General n-term sloppy PhraseQuery with Lucene's
+        1/(distance+1) sloppy weight (upstream
+        ``L/search/SloppyPhraseMatcher`` + ``PhraseScorer.sloppyWeight``
+        [U]). Documented conformance restatement (ordered form, like
+        :meth:`span_near_topk`): a match is an ordered position tuple
+        p1 < p2 < ... < pn whose total slack
+        ``w = pn - p1 - (n-1)`` is ≤ slop, and phrase freq is
+        ``Σ matches 1/(1+w)`` — each match carries Lucene's sloppy
+        weight instead of counting 1. Lucene additionally credits
+        unordered transpositions; ordered-only is the documented
+        boundary (same boundary as every span entry).
+
+        The weighted freq is computed as an EXACT rational: with
+        ``L = lcm(1..slop+1)`` every 1/(1+w) is L/(1+w) over L, so the
+        per-doc numerator is an order-independent int64 sum a SQL
+        oracle reproduces bit-exactly (f64 addition order never
+        matters). Chain DP: counts are bucketed by cumulative slack
+        (slop+1 buckets); each link is one exact-key ``searchsorted``
+        per gap value plus a shifted add — no tuple enumeration.
+        """
+        if len(terms) < 2:
+            raise ValueError("sloppy phrase needs >= 2 terms")
+        if slop < 0 or slop > 40:
+            raise ValueError("slop must be in [0, 40] (lcm(1..slop+1) "
+                             "must fit int64 for exact weighting)")
+        subs = self.lookup(terms)
+        if any(not subs[t] for t in terms):
+            return _topdocs_table([], [])
+        rows = {t: self._lookup_positions(t) for t in set(terms)}
+        max_pos = 0
+        for rr in rows.values():
+            for _, _, _, fp in rr:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        SHIFT = np.int64(1 << 21)
+        while int(SHIFT) <= max_pos + slop + 2:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
+            raise OverflowError("sloppy phrase key space overflow")
+
+        def keys_of(rr):
+            parts, norm = [], {}
+            for docs, tfs, norms, fp in rr:
+                parts.append(np.repeat(docs, tfs) * SHIFT + fp)
+                for d, nb in zip(docs, norms):
+                    norm[int(d)] = int(nb)
+            keys = (np.sort(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64))
+            return keys, norm
+
+        keyed = {t: keys_of(rows[t]) for t in set(terms)}
+        C = slop + 1                     # cumulative-slack buckets
+        prev_keys, _ = keyed[terms[0]]
+        prev_cnt = np.zeros((len(prev_keys), C), dtype=np.int64)
+        prev_cnt[:, 0] = 1
+        for t in terms[1:]:
+            cur_keys, doc_norm = keyed[t]
+            cur_cnt = np.zeros((len(cur_keys), C), dtype=np.int64)
+            for d in range(C):           # adjacent gap of d positions
+                want = cur_keys - (d + 1)
+                idx = np.searchsorted(prev_keys, want)
+                idx_c = np.minimum(idx, max(0, len(prev_keys) - 1))
+                hit = np.zeros(len(cur_keys), dtype=bool) \
+                    if not len(prev_keys) else prev_keys[idx_c] == want
+                if not hit.any():
+                    continue
+                # slack c at prev ⇒ c+d here; c+d ≤ slop enforced by
+                # the shifted add staying inside the C buckets
+                cur_cnt[np.flatnonzero(hit), d:] += \
+                    prev_cnt[idx_c[hit], :C - d]
+            prev_keys, prev_cnt = cur_keys, cur_cnt
+        import math
+        L = math.lcm(*range(1, slop + 2))
+        wgt = np.array([L // (1 + c) for c in range(C)], dtype=np.int64)
+        num = prev_cnt @ wgt             # exact int64 per ending key
+        m = num > 0
+        if not m.any():
+            return _topdocs_table([], [])
+        docs = (prev_keys[m] // SHIFT).astype(np.int64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        dnum = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(dnum, inv, num[m])
+        keep = self._keep(uniq)
+        if keep is not None:
+            uniq, dnum = uniq[keep], dnum[keep]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        freq = dnum.astype(np.float64) / float(L)
+        w64 = 0.0
+        for t in terms:
+            w64 = w64 + float(idf(self.N, self.global_df(subs[t])))
+        _, last_norm = keyed[terms[-1]]
+        norms = np.array([last_norm[int(d)] for d in uniq],
+                         dtype=np.uint8)
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
     def span_near_topk(self, terms: list[str], slop: int,
                        k: int = 10) -> pa.Table:
         """Ordered SpanNearQuery for n terms (upstream

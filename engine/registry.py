@@ -4835,6 +4835,61 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def sloppy_phrase_n_topk_docs(sf_dir: str) -> pa.Table:
+    """General n-term sloppy phrase with Lucene's 1/(distance+1)
+    sloppy weight (upstream ``SloppyPhraseMatcher`` +
+    ``PhraseScorer.sloppyWeight`` [U]; ordered conformance
+    restatement — see the method docstring). freq is an exact
+    rational (numerator int64 over lcm(1..slop+1)), so the SQL oracle
+    is hash-exact with no f64 summation-order hazard."""
+    r = _doc_reader(sf_dir)
+    return _topdocs_out(r.sloppy_phrase_n_topk(SPAN_TERMS, SPAN_SLOP,
+                                               k=10))
+
+
+def sql_sloppy_phrase_n() -> str:
+    import math
+    t1, t2, t3 = SPAN_TERMS
+    slop = SPAN_SLOP
+    L = math.lcm(*range(1, slop + 2))
+
+    def idf_sql(t: str) -> str:
+        return (f"(SELECT CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))"
+                f" AS FLOAT)::DOUBLE FROM (SELECT COUNT(DISTINCT doc_id)"
+                f"::DOUBLE AS df FROM tf WHERE term = '{t}') d"
+                f" CROSS JOIN stats s)")
+
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT a.doc_id,
+         SUM({L} // (1 + (c.p - a.p - 2)))::BIGINT AS num
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p > a.p AND b.tok = '{t2}'
+  JOIN pos c ON c.doc_id = a.doc_id AND c.p > b.p AND c.tok = '{t3}'
+             AND c.p - a.p - 2 <= {slop}
+  WHERE a.tok = '{t1}' GROUP BY a.doc_id),
+fr AS (SELECT doc_id,
+              CAST(num::DOUBLE / {L} AS FLOAT)::DOUBLE AS freq
+       FROM occ),
+w AS (SELECT CAST(({idf_sql(t1)} + {idf_sql(t2)}) + {idf_sql(t3)}
+              AS FLOAT) AS w),
+scored AS (
+  SELECT fr.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(fr.freq / (fr.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM fr JOIN dl ON dl.doc_id = fr.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 UPD_TEXT = "updated spark review pipeline"
 UPD_QUERY = "spark review"
 UPD_MOD = 50
@@ -15012,6 +15067,7 @@ def queries() -> dict:
         "geodist_customers": geodist_customers,
         "cartesian_product_embeddings": cartesian_product_embeddings,
         "span_near_topk_docs": span_near_topk_docs,
+        "sloppy_phrase_n_topk_docs": sloppy_phrase_n_topk_docs,
         "update_docs_topk": update_docs_topk,
         "nb_classify_docs": nb_classify_docs,
         "interval_facet_orders": interval_facet_orders,
@@ -15378,6 +15434,7 @@ def oracle_sql() -> dict:
         "geodist_customers": SQL_GEODIST,
         "cartesian_product_embeddings": SQL_CARTESIAN,
         "span_near_topk_docs": sql_span_near(),
+        "sloppy_phrase_n_topk_docs": sql_sloppy_phrase_n(),
         "update_docs_topk": sql_update_docs(),
         "nb_classify_docs": SQL_NB_CLASSIFY,
         "interval_facet_orders": SQL_INTERVAL_FACET,

@@ -151,3 +151,54 @@ def test_boolean_topk_property_vs_reference(ray_session, tmp_path_factory,
         for d, sc in zip(got["doc_id"].to_pylist(),
                          got["score"].to_pylist()):
             assert np.float32(sc) == scores[d], (d, sc, scores[d])
+
+
+def _brute_sloppy_num(toks, terms, slop, L):
+    """Exact-rational numerator: Σ over ordered tuples with total
+    slack ≤ slop of L // (1 + slack)."""
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+    chains = [(p,) for p in pos.get(terms[0], [])]
+    for t in terms[1:]:
+        chains = [c + (p,) for c in chains for p in pos.get(t, [])
+                  if p > c[-1]]
+    n = len(terms)
+    num = 0
+    for c in chains:
+        w = c[-1] - c[0] - (n - 1)
+        if w <= slop:
+            num += L // (1 + w)
+    return num
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_sloppy_phrase_n_matches_brute_weights(ray_session, tmp_path,
+                                               seed):
+    """n-term sloppy freq must equal the brute-force Σ 1/(1+slack)
+    over ordered tuples, via the exact-rational numerator (docs AND
+    relative score ordering)."""
+    import math
+
+    from engine.query import IndexReader
+
+    rng = np.random.default_rng(seed)
+    texts = [" ".join(rng.choice(VOCAB, size=rng.integers(3, 40)))
+             for _ in range(60)]
+    idx = _mk_index(tmp_path, texts)
+    r = IndexReader(idx)
+    for terms, slop in [(["aa", "bb"], 0), (["aa", "bb", "cc"], 2),
+                        (["aa", "bb", "cc", "dd"], 4)]:
+        L = math.lcm(*range(1, slop + 2))
+        res = r.sloppy_phrase_n_topk(terms, slop, k=100)
+        got = res["doc_id"].to_pylist()
+        expect = {}
+        for d, tx in enumerate(texts):
+            num = _brute_sloppy_num(tx.split(), terms, slop, L)
+            if num:
+                expect[d] = num
+        assert set(got) == set(expect), (terms, slop)
+        # same-norm docs must rank by weighted freq (monotone in num)
+        # — check the slop=0 two-term case equals the exact phrase
+        if slop == 0:
+            exact = r.phrase_topk(" ".join(terms), k=100)
+            assert res["doc_id"].to_pylist() == \
+                exact["doc_id"].to_pylist()
