@@ -1208,7 +1208,15 @@ class Analyzer:
             tokenizer = "unicode"     # back-compat flag form
         self.tokenizer = tokenizer
         self._extract_rx = None
-        if tokenizer.startswith("pattern:"):
+        self._uax29 = tokenizer == "uax29"
+        if self._uax29:
+            # full-Unicode UAX#29 word break (engine/uax29.py); the
+            # split regex is a sentinel so the query fast path defers
+            # to the batch machinery
+            from engine.uax29 import _props
+            _props()                  # build the table once per actor
+            self.split_regex = UNICODE_SPLIT_REGEX
+        elif tokenizer.startswith("pattern:"):
             # PatternTokenizer (upstream ``PatternTokenizerFactory``
             # [U]): the config supplies the split regex directly —
             # same Arrow RE2 split kernel as the named tokenizers
@@ -1267,7 +1275,10 @@ class Analyzer:
         # lowercase, stem) then happens on the tiny vocabulary and is
         # broadcast back through int codes. This keeps the corpus-sized
         # memory traffic to one split + one hash pass.
-        if self._extract_rx is not None:  # UAX29URLEmail extract scan
+        if self._uax29:                   # full UAX#29 word break
+            from engine.uax29 import segment_batch
+            token_lists = segment_batch(texts)
+        elif self._extract_rx is not None:  # UAX29URLEmail extract scan
             vals = pc.fill_null(texts, "").to_pylist()
             rx = self._extract_rx
             counts = np.empty(n_docs, dtype=np.int64)

@@ -6440,7 +6440,7 @@ def _uax_corpus(sf_dir: str) -> str:
     """documents with a deterministic URL + email appended per row (the
     synthetic corpus has none), mirrored exactly by the SQL ``_UAX_AUG``
     expression."""
-    key = hashlib.md5(f"{sf_dir}|uaxcorp|v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|uaxcorp|v2".encode()).hexdigest()[:12]
     path = os.path.join("/tmp/rayindex_cache", f"uaxcorp_{key}.parquet")
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -6541,6 +6541,73 @@ f AS (
 SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
        COUNT(*)::BIGINT AS cf
 FROM f GROUP BY term ORDER BY term
+"""
+
+
+_UAX_WORDS = [
+    " naïve café über straße",
+    " 日本語 解析 の テキスト",
+    " 한국어 데이터 시스템 처리",
+    " résumé coöperate naïveté 123abc",
+]
+
+
+def _uax_corpus(sf_dir: str) -> str:
+    """documents pre-normalized to plain alnum runs (so the base text
+    stays inside the oracle's regex-replayable subset) with
+    deterministic accented/CJK words appended — the mixed-script
+    cases OUTSIDE that subset (MidLetter, MidNumLet, ExtendNumLet,
+    regional indicators) are pinned by the uax29 golden test
+    instead."""
+    key = hashlib.md5(f"{sf_dir}|uaxcorp|v2".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/rayindex_cache", f"uaxcorp_{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        did = t["doc_id"].to_numpy()
+        base = pc.replace_substring_regex(
+            t["text"].cast(pa.string()), pattern="[^A-Za-z0-9]+",
+            replacement=" ")
+        aug = pc.binary_join_element_wise(
+            base, pa.array([_UAX_WORDS[d % 4] for d in did],
+                           type=pa.string()), "")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"], "text": aug}),
+                       tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def uax29_term_stats(sf_dir: str) -> pa.Table:
+    """Full-Unicode StandardTokenizer e2e (upstream
+    ``StandardTokenizerImpl.jflex`` = UAX#29 word break [U];
+    ``engine/uax29.py``): accented Latin survives as whole tokens,
+    Han/Hiragana emit one token per character, Katakana and Hangul
+    emit runs. The oracle replays that segmentation with a script
+    alternation in DuckDB's RE2 over the same augmented corpus."""
+    idx = _cached_filtered_index(
+        sf_dir, (), "uax29stats_v2",
+        input_file=_uax_corpus(sf_dir), tokenizer="uax29")
+    return _index_stats_of(idx)
+
+
+def sql_uax29_stats() -> str:
+    cases = ",".join(f"'{w}'" for w in _UAX_WORDS)
+    return rf"""
+WITH aug AS (
+  SELECT doc_id,
+         regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')
+           || ([{cases}])[(doc_id % 4) + 1] AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+    '(?:\p{{Han}})|(?:[\p{{Hiragana}}])|(?:[\p{{Katakana}}ー]+)|(?:[\p{{Hangul}}]+)|(?:[0-9\p{{Latin}}]+)'
+  )) AS term
+  FROM aug)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
 """
 
 
@@ -15080,6 +15147,7 @@ def queries() -> dict:
         "keep_word_stats": keep_word_stats,
         "uax29_url_email_stats": uax29_url_email_stats,
         "ascii_folding_stats": ascii_folding_stats,
+        "uax29_term_stats": uax29_term_stats,
         "pattern_capture_stats": pattern_capture_stats,
         "reverse_filter_stats": reverse_filter_stats,
         "limit_tokens_stats": limit_tokens_stats,
@@ -15447,6 +15515,7 @@ def oracle_sql() -> dict:
         "keep_word_stats": SQL_KEEP_WORD_STATS,
         "uax29_url_email_stats": sql_uax29_stats(),
         "ascii_folding_stats": sql_ascii_folding(),
+        "uax29_term_stats": sql_uax29_stats(),
         "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,
         "limit_tokens_stats": SQL_LIMIT_TOKENS_STATS,

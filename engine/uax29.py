@@ -1,0 +1,274 @@
+"""UAX#29 word-break segmentation, batch-vectorized over codepoints.
+
+The full-Unicode tier of StandardTokenizer (upstream
+``L/analysis/standard/StandardTokenizerImpl.jflex``, generated from
+the UAX#29 word-break rules [U]). The ASCII tier
+(``tokenizer="standard"``) stays the default; this module backs
+``tokenizer="uax29"``.
+
+Implementation notes:
+
+- The rule set is UAX#29's WB1–WB16 over a word-break property table
+  derived at first use from ``unicodedata`` categories plus explicit
+  ranges for Han / Hiragana / Katakana / Hebrew / regional
+  indicators and the Mid*/quote singletons (the property values a
+  stock CPython can't look up directly). Like upstream,
+  Extend/Format characters are transparent (WB4) and stay attached
+  to the token that precedes them.
+- Token emission follows StandardTokenizer: a segment becomes a token
+  iff it contains at least one letter / digit / katakana / ideograph;
+  Han and Hiragana code points emit one token per character (their
+  UAX#29 default — no rule chains them), Katakana and Hangul emit
+  runs.
+- Everything is numpy over a single UTF-32 view of the batch: property
+  lookup is one table gather, every WB rule is a shifted boolean
+  expression, and token strings are rebuilt through one utf-8
+  round-trip with vectorized byte-length accounting — no per-token
+  Python.
+
+Documented conformance boundary: dictionary-based CJK segmentation
+(ICU) and the Unicode-version drift of the property table are out of
+scope; emoji ZWJ sequences split at the ZWJ (treated as Extend).
+"""
+
+from __future__ import annotations
+
+import sys
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+OTHER = 0
+ALETTER = 1
+HEBREW = 2
+NUMERIC = 3
+KATAKANA = 4
+MIDLETTER = 5
+MIDNUM = 6
+MIDNUMLET = 7
+SQ = 8
+DQ = 9
+EXTNUMLET = 10
+EXTEND = 11
+FORMAT = 12
+RI = 13
+IDEO = 14
+HIRAGANA = 15
+
+_HAN_RANGES = [
+    (0x2E80, 0x2EFF), (0x3005, 0x3005), (0x3007, 0x3007),
+    (0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF),
+    (0x20000, 0x2A6DF), (0x2A700, 0x2EBEF), (0x2F800, 0x2FA1F),
+]
+_KATAKANA_RANGES = [
+    (0x30A1, 0x30FA), (0x30FC, 0x30FF), (0x31F0, 0x31FF),
+    (0x32D0, 0x32FE), (0x3300, 0x3357), (0xFF66, 0xFF9D),
+]
+_HIRAGANA_RANGES = [(0x3041, 0x3096), (0x309D, 0x309F)]
+_HEBREW_RANGES = [(0x05D0, 0x05EA), (0x05EF, 0x05F2), (0xFB1D, 0xFB1D),
+                  (0xFB1F, 0xFB28), (0xFB2A, 0xFB4F)]
+_RI_RANGE = (0x1F1E6, 0x1F1FF)
+
+_MIDLETTER = {0x003A, 0x00B7, 0x0387, 0x05F4, 0x2027, 0xFE13,
+              0xFE55, 0xFF1A}
+_MIDNUM = {0x002C, 0x003B, 0x037E, 0x0589, 0x060C, 0x060D, 0x066C,
+           0x07F8, 0x2044, 0xFE10, 0xFE14, 0xFE50, 0xFE54, 0xFF0C,
+           0xFF1B}
+_MIDNUMLET = {0x002E, 0x2018, 0x2024, 0xFE52, 0xFF07, 0xFF0E}
+_MNL_2019 = 0x2019            # right single quote is MidNumLet
+_SQ_CP = 0x0027
+_DQ_CP = 0x0022
+
+_PROPS: np.ndarray | None = None
+
+
+def _build_props() -> np.ndarray:
+    """uint8 word-break property per code point (1.1 MB, built once
+    per process on first uax29 use — actors pay it in __init__)."""
+    n = sys.maxunicode + 1
+    p = np.zeros(n, dtype=np.uint8)
+    cat = unicodedata.category
+    # category pass (letters, digits, marks, format, connectors)
+    for cp in range(n):
+        c = cat(chr(cp))
+        c0 = c[0]
+        if c0 == "L" or c == "Nl":
+            p[cp] = ALETTER
+        elif c == "Nd":
+            p[cp] = NUMERIC
+        elif c in ("Mn", "Mc", "Me"):
+            p[cp] = EXTEND
+        elif c == "Cf":
+            p[cp] = FORMAT
+        elif c == "Pc":
+            p[cp] = EXTNUMLET
+    # script overrides
+    for lo, hi in _HAN_RANGES:
+        p[lo:hi + 1] = IDEO
+    for lo, hi in _HIRAGANA_RANGES:
+        p[lo:hi + 1] = HIRAGANA
+    for lo, hi in _KATAKANA_RANGES:
+        p[lo:hi + 1] = KATAKANA
+    for lo, hi in _HEBREW_RANGES:
+        p[lo:hi + 1] = HEBREW
+    p[_RI_RANGE[0]:_RI_RANGE[1] + 1] = RI
+    # singletons
+    for cp in _MIDLETTER:
+        p[cp] = MIDLETTER
+    for cp in _MIDNUM:
+        p[cp] = MIDNUM
+    for cp in _MIDNUMLET:
+        p[cp] = MIDNUMLET
+    p[_MNL_2019] = MIDNUMLET
+    p[_SQ_CP] = SQ
+    p[_DQ_CP] = DQ
+    p[0x200D] = EXTEND            # ZWJ: attach, do not join emoji
+    p[0x202F] = EXTNUMLET         # narrow no-break space
+    return p
+
+
+def _props() -> np.ndarray:
+    global _PROPS
+    if _PROPS is None:
+        _PROPS = _build_props()
+    return _PROPS
+
+
+_AH = (1 << ALETTER) | (1 << HEBREW)
+_MID_LET = (1 << MIDLETTER) | (1 << MIDNUMLET) | (1 << SQ)
+_MID_NUM = (1 << MIDNUM) | (1 << MIDNUMLET) | (1 << SQ)
+_AHNK = _AH | (1 << NUMERIC) | (1 << KATAKANA)
+_WORDISH = _AHNK | (1 << IDEO) | (1 << HIRAGANA) | (1 << RI)
+
+
+def _in(mask: int, p: np.ndarray) -> np.ndarray:
+    return ((np.int64(mask) >> p) & 1).astype(bool)
+
+
+def segment_batch(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+    """Tokenize a string column → ``list<string>`` per row."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    n_docs = len(texts)
+    doc_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    joined = "".join(texts.to_pylist())
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.int64)
+    empty_lists = pa.ListArray.from_arrays(
+        pa.array(np.zeros(n_docs + 1, dtype=np.int32)),
+        pa.array([], type=pa.string()))
+    if not len(cp):
+        return empty_lists
+    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(doc_chars, out=doc_off[1:])
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_chars)
+
+    P = _props()[cp]
+    # WB4: Extend/Format are transparent — collapse them out, they
+    # attach to the preceding character's token
+    vis = ~((P == EXTEND) | (P == FORMAT))
+    vi = np.flatnonzero(vis)
+    if not len(vi):
+        return empty_lists
+    p = P[vi].astype(np.int64)
+    d = doc_of[vi]
+    m = len(p)
+    pad = np.int64(OTHER)
+    prev = np.concatenate(([pad], p[:-1]))
+    nxt = np.concatenate((p[1:], [pad]))
+    pprev = np.concatenate(([pad, pad], p[:-2]))
+    # same-doc masks for context positions
+    sd_prev = np.concatenate(([False], d[1:] == d[:-1]))
+    sd_next = np.concatenate((d[:-1] == d[1:], [False]))
+    sd_pprev = np.concatenate(([False, False], d[2:] == d[:-2]))
+
+    ah_p, ah_c = _in(_AH, prev), _in(_AH, p)
+    num_p, num_c = prev == NUMERIC, p == NUMERIC
+    nb = (
+        (ah_p & ah_c)                                          # WB5
+        | (ah_p & _in(_MID_LET, p) & _in(_AH, nxt) & sd_next)  # WB6
+        | (_in(_MID_LET, prev) & ah_c
+           & _in(_AH, pprev) & sd_pprev)                       # WB7
+        | ((prev == HEBREW) & (p == SQ))                       # WB7a
+        | ((prev == HEBREW) & (p == DQ)
+           & (nxt == HEBREW) & sd_next)                        # WB7b
+        | ((prev == DQ) & (p == HEBREW)
+           & (pprev == HEBREW) & sd_pprev)                     # WB7c
+        | (num_p & num_c)                                      # WB8
+        | (ah_p & num_c)                                       # WB9
+        | (num_p & ah_c)                                       # WB10
+        | (_in(_MID_NUM, prev) & num_c
+           & (pprev == NUMERIC) & sd_pprev)                    # WB11
+        | (num_p & _in(_MID_NUM, p)
+           & (nxt == NUMERIC) & sd_next)                       # WB12
+        | ((prev == KATAKANA) & (p == KATAKANA))               # WB13
+        | (_in(_AHNK | (1 << EXTNUMLET), prev)
+           & (p == EXTNUMLET))                                 # WB13a
+        | ((prev == EXTNUMLET) & _in(_AHNK, p))                # WB13b
+    )
+    # WB15/16: no break between regional-indicator PAIRS only
+    ri = p == RI
+    if ri.any():
+        idx = np.arange(m, dtype=np.int64)
+        # first index of each RI run, propagated across the run
+        first = np.maximum.accumulate(np.where(
+            ri & np.concatenate(([True], ~ri[:-1])), idx, -1))
+        pos_in_run = idx - first
+        ri_pair = ri & np.concatenate(([False], ri[:-1])) \
+            & (pos_in_run % 2 == 1)
+        nb = nb | ri_pair
+    nb &= sd_prev                      # never join across documents
+    brk = ~nb
+    brk[0] = True
+
+    # segments → tokens: keep segments containing a word character
+    seg_id = np.cumsum(brk) - 1
+    wordish = _in(_WORDISH, p)
+    n_seg = int(seg_id[-1]) + 1
+    seg_keep = np.zeros(n_seg, dtype=bool)
+    np.logical_or.at(seg_keep, seg_id, wordish)
+    seg_first = np.flatnonzero(brk)             # collapsed index
+    seg_last = np.append(seg_first[1:], m) - 1
+    kept = np.flatnonzero(seg_keep)
+    if not len(kept):
+        return empty_lists
+    # original spans: from first char to just before the next
+    # collapsed char (keeps trailing Extend/Format attached)
+    o_start = vi[seg_first[kept]]
+    nxt_col = seg_last[kept] + 1
+    o_end = np.where(nxt_col < m, vi[np.minimum(nxt_col, m - 1)],
+                     doc_off[d[seg_first[kept]] + 1])
+    # clamp: attached trail must not cross the document end
+    o_end = np.minimum(o_end, doc_off[d[seg_first[kept]] + 1])
+
+    tok_doc = d[seg_first[kept]]
+    # gather token codepoints + build utf-8 string array directly
+    ln = o_end - o_start
+    t_off = np.zeros(len(ln) + 1, dtype=np.int64)
+    np.cumsum(ln, out=t_off[1:])
+    pos = (np.arange(int(t_off[-1]), dtype=np.int64)
+           - np.repeat(t_off[:-1], ln) + np.repeat(o_start, ln))
+    tok_cp = cp[pos]
+    b_per = np.ones(len(tok_cp), dtype=np.int64)
+    b_per[tok_cp >= 0x80] = 2
+    b_per[tok_cp >= 0x800] = 3
+    b_per[tok_cp >= 0x10000] = 4
+    byte_off = np.zeros(len(ln) + 1, dtype=np.int64)
+    cs = np.cumsum(b_per)
+    byte_off[1:] = cs[t_off[1:] - 1]   # every token has ≥1 codepoint
+    data = tok_cp.astype("<u4").tobytes().decode("utf-32-le") \
+        .encode("utf-8")
+    values = pa.StringArray.from_buffers(
+        len(ln),
+        pa.py_buffer(byte_off.astype(np.int32).tobytes()),
+        pa.py_buffer(data))
+    # per-doc list offsets (tokens are in doc order by construction)
+    tok_per_doc = np.bincount(tok_doc, minlength=n_docs)
+    l_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(tok_per_doc, out=l_off[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(l_off, type=pa.int64()).cast(pa.int32()), values)

@@ -531,3 +531,72 @@ def test_keyword_repeat_filter_golden():
     import pyarrow as pa
     lens = a.analyze_flat(pa.array(["hello ab hello", "abc de"]))[3]
     assert list(lens) == [5, 2]       # hello+hell twice + ab; no stacks
+
+
+class TestUAX29Tokenizer:
+    """Golden UAX#29 word-break fixtures (upstream
+    ``StandardTokenizerImpl.jflex`` [U]) — mixed-script cases beyond
+    the registry oracle's regex-replayable subset."""
+
+    GOLDEN = [
+        # ASCII + MidLetter / MidNumLet / Single_Quote joins
+        ("can't stop, won't e.g. a:b", ["can't", "stop", "won't",
+                                        "e.g", "a:b"]),
+        # numeric separators (WB8/11/12): . and , join digits
+        ("pi is 3.14159 and 1,000,000 items",
+         ["pi", "is", "3.14159", "and", "1,000,000", "items"]),
+        # mid chars do NOT join across letter/digit class (a.1 splits)
+        ("a.1 1.a", ["a", "1", "1", "a"]),
+        # ExtendNumLet underscore joins letters, digits, katakana
+        ("foo_bar _lead trail_ a_1", ["foo_bar", "_lead", "trail_",
+                                      "a_1"]),
+        # accented latin + combining mark (e + U+0301 stays attached)
+        ("naïve café über", ["naïve", "café", "über"]),
+        # Han + Hiragana per character, Katakana runs
+        ("日本語のテキスト", ["日", "本", "語", "の", "テキスト"]),
+        # Hangul syllable runs (ALetter)
+        ("한국어 텍스트", ["한국어", "텍스트"]),
+        # Hebrew with single/double quote rules (WB7a/7b/7c)
+        ("צה\"ל מ'", ["צה\"ל", "מ'"]),
+        # mixed letter+digit runs join directly (WB9/10)
+        ("abc123def 42x x42", ["abc123def", "42x", "x42"]),
+        # punctuation-only and whitespace emit nothing
+        ("... --- !!!", []),
+        # regional indicator pairs (WB15): flags pair up two-by-two
+        ("\U0001F1FA\U0001F1F8\U0001F1E9\U0001F1EA x",
+         ["\U0001F1FA\U0001F1F8", "\U0001F1E9\U0001F1EA", "x"]),
+    ]
+
+    def test_golden_segments(self):
+        import pyarrow as pa
+
+        from engine.uax29 import segment_batch
+
+        got = segment_batch(
+            pa.array([t for t, _ in self.GOLDEN])).to_pylist()
+        for (txt, want), toks in zip(self.GOLDEN, got):
+            assert toks == want, (txt, toks, want)
+
+    def test_analyzer_tier_end_to_end(self):
+        """tokenizer='uax29' through the full analyzer chain:
+        lowercase applies, positions count emitted tokens."""
+        import pyarrow as pa
+
+        from engine.analysis import Analyzer
+
+        a = Analyzer(stop_words=None, stemming=False,
+                     tokenizer="uax29")
+        offs, terms, pos, lens = a.analyze_flat(
+            pa.array(["Grüße 日本語 Can't", ""]))
+        assert terms.tolist() == ["grüße", "日", "本", "語", "can't"]
+        assert pos.tolist() == [0, 1, 2, 3, 4]
+        assert lens.tolist() == [5, 0]
+
+    def test_batch_boundaries_do_not_leak(self):
+        """Tokens never join across document boundaries."""
+        import pyarrow as pa
+
+        from engine.uax29 import segment_batch
+
+        out = segment_batch(pa.array(["abc", "def", "日", "本"]))
+        assert out.to_pylist() == [["abc"], ["def"], ["日"], ["本"]]
