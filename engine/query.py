@@ -343,6 +343,10 @@ class IndexReader:
         self._raw_index: dict[str, list] = {}
         self._docmap: pa.Table | None = None
         self._vocab: list[str] | None = None
+        self._tri: dict[str, np.ndarray] | None = None
+        self.dict_terms_checked = 0   # full predicate evals (see
+        #                               _dict_candidates): sublinear
+        #                               dictionary touch is testable
         self._io_reads = 0      # Parquet reads served (cache-miss counter)
         self._preloaded = False
         if preload:
@@ -1202,6 +1206,121 @@ class IndexReader:
         self._vocab = sorted(found)
         return self._vocab
 
+    def _trigram_postings(self) -> dict[str, np.ndarray]:
+        """Memoized trigram → sorted term-index postings over the
+        dictionary — the FST/automaton-intersection stand-in (upstream
+        ``L/util/automaton`` + ``FuzzyQuery``'s intersect [U]). One
+        build pays O(total vocab chars); afterwards every fuzzy/regex
+        expansion touches only terms sharing the query's required
+        trigrams instead of scanning all of a 10^9-term dictionary."""
+        if self._tri is not None:
+            return self._tri
+        acc: dict[str, list[int]] = {}
+        for i, t in enumerate(self.vocabulary()):
+            seen = set()
+            for j in range(len(t) - 2):
+                g = t[j:j + 3]
+                if g not in seen:
+                    seen.add(g)
+                    acc.setdefault(g, []).append(i)
+        self._tri = {g: np.asarray(v, dtype=np.int64)
+                     for g, v in acc.items()}
+        return self._tri
+
+    @staticmethod
+    def _required_literals(pattern: str) -> list[str]:
+        """Maximal literal substrings every match of ``pattern`` must
+        contain (top-level concatenation only; alternations, optional
+        and unbounded parts contribute nothing). Conservative by
+        construction: used purely to PRUNE the dictionary scan, never
+        to accept."""
+        try:
+            import re._parser as sp
+            tree = sp.parse(pattern)
+        except Exception:            # noqa: BLE001 — fall back to scan
+            return []
+        lits: list[str] = []
+        cur: list[str] = []
+
+        def flush() -> None:
+            if cur:
+                lits.append("".join(cur))
+                cur.clear()
+
+        def walk(seq) -> None:
+            for op, av in seq:
+                name = str(op)
+                if name == "LITERAL":
+                    cur.append(chr(av))
+                elif name in ("MAX_REPEAT", "MIN_REPEAT"):
+                    mn, _mx, sub = av
+                    flush()
+                    if mn >= 1:      # occurs at least once
+                        walk(sub)
+                    flush()
+                elif name == "SUBPATTERN":
+                    walk(av[3])      # required in the concatenation
+                else:
+                    flush()
+        try:
+            walk(tree)
+        except Exception:            # noqa: BLE001
+            return []
+        flush()
+        return [x for x in lits if len(x) >= 3]
+
+    def _fuzzy_candidates(self, term: str, max_edits: int
+                          ) -> list[str]:
+        """q-gram-filtered fuzzy candidates: a term within edit
+        distance e must share ≥ |G(q)| − 3e of the query's distinct
+        trigrams (each edit destroys at most 3). Falls back to the
+        full dictionary when the bound is vacuous (short queries)."""
+        qg = {term[j:j + 3] for j in range(len(term) - 2)}
+        t_min = len(qg) - 3 * max_edits
+        if t_min <= 0:
+            return self.vocabulary()
+        return self._dict_candidates(count_grams=qg, min_count=t_min)
+
+    def _dict_candidates(self, required: list[str] | None = None,
+                         count_grams: set[str] | None = None,
+                         min_count: int = 0) -> list[str]:
+        """Dictionary candidates via the trigram postings.
+
+        ``required``: literal substrings every match must contain
+        (regex path — intersect each literal's trigram postings).
+        ``count_grams``/``min_count``: the q-gram count filter (fuzzy
+        path — a term within edit distance e of q must contain at
+        least |G(q)| − 3e of q's distinct trigrams). Either filter is
+        a guaranteed superset of the true match set; callers still
+        run the exact predicate, counted in ``dict_terms_checked``."""
+        vocab = self.vocabulary()
+        tri = self._trigram_postings()
+        idx: np.ndarray | None = None
+        if required:
+            for lit in required:
+                for j in range(len(lit) - 2):
+                    post = tri.get(lit[j:j + 3])
+                    if post is None:
+                        return []
+                    idx = post if idx is None else \
+                        np.intersect1d(idx, post, assume_unique=True)
+                    if not len(idx):
+                        return []
+        if count_grams is not None and min_count > 0:
+            # a term only ever contains dictionary-present grams, so
+            # the per-term count is exactly |G(q) ∩ G(t)|
+            parts = [tri[g] for g in count_grams if g in tri]
+            if len(parts) < min_count:
+                return []
+            cnt = np.bincount(np.concatenate(parts),
+                              minlength=len(vocab))
+            byc = np.flatnonzero(cnt >= min_count)
+            idx = byc if idx is None else \
+                np.intersect1d(idx, byc, assume_unique=True)
+        if idx is None:
+            return vocab
+        return [vocab[i] for i in idx]
+
     def explain(self, query_text: str, doc_id: int) -> pa.Table:
         """``IndexSearcher#explain`` (upstream ``Explanation`` tree
         [U]), flattened to the per-term leaf contributions of the BM25
@@ -1391,11 +1510,14 @@ class IndexReader:
         if prefix_len > 0:
             pre, q_suf = term[:prefix_len], term[prefix_len:]
             cands = self.expand_prefix(pre)
+            self.dict_terms_checked += len(cands)
             matches = [t for t in cands
                        if dist(q_suf, t[prefix_len:], max_edits)
                        <= max_edits]
         else:
-            matches = [t for t in self.vocabulary()
+            cands = self._fuzzy_candidates(term, max_edits)
+            self.dict_terms_checked += len(cands)
+            matches = [t for t in cands
                        if dist(term, t, max_edits) <= max_edits]
         if not matches:
             return _topdocs_table([], [])
@@ -1416,7 +1538,9 @@ class IndexReader:
         (BooleanQuery SHOULD of BoostQuery(TermQuery))."""
         dist = _osa_distance if transpositions else _levenshtein
         cands: list[tuple[str, np.float32]] = []
-        for t in self.vocabulary():
+        cand_terms = self._fuzzy_candidates(term, max_edits)
+        self.dict_terms_checked += len(cand_terms)
+        for t in cand_terms:
             ed = dist(term, t, max_edits)
             if ed <= max_edits:
                 m = min(len(term), len(t))
@@ -1508,7 +1632,14 @@ class IndexReader:
         import re
 
         rx = re.compile(pattern)
-        matches = [t for t in self.vocabulary() if rx.fullmatch(t)]
+        # automaton-intersection stand-in: every match must contain
+        # the pattern's required literals, so intersect their trigram
+        # postings and run the full regex only on that slice
+        req = self._required_literals(pattern)
+        cands = self._dict_candidates(required=req) if req \
+            else self.vocabulary()
+        self.dict_terms_checked += len(cands)
+        matches = [t for t in cands if rx.fullmatch(t)]
         if not matches:
             return _topdocs_table([], [])
         return self.boolean_topk(should=matches, k=k)

@@ -1293,3 +1293,42 @@ def test_phrase_wildcard_degenerates_and_unions(ray_session, tmp_path):
     assert set(alts) >= {"sort", "sorted", "stream"}
     m = r.multi_phrase_topk([["merge"], alts], k=10)
     assert set(m["doc_id"].to_pylist()) == {0, 1, 4}
+
+
+def test_dictionary_prefilter_sublinear_touch(smoke_index):
+    """Fuzzy/regex expansion must touch a SUBLINEAR slice of the term
+    dictionary via the trigram postings (the automaton-intersection
+    stand-in), while matching exactly what a full scan matches."""
+    import re
+
+    from engine.query import IndexReader, _levenshtein
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    vocab = r.vocabulary()
+    nv = len(vocab)
+    assert nv > 50
+
+    # regex with a required literal: candidates ≪ vocabulary
+    pat = next(t for t in vocab if len(t) >= 5)
+    pattern = f".*{re.escape(pat[1:4])}.*"
+    r.dict_terms_checked = 0
+    out = r.regexp_topk(pattern, k=5)
+    checked = r.dict_terms_checked
+    rx = re.compile(pattern)
+    full = [t for t in vocab if rx.fullmatch(t)]
+    assert checked < nv, "prefilter never engaged"
+    assert checked >= len(full)
+    # candidates are a correct superset: same match behavior
+    assert out.num_rows > 0
+
+    # fuzzy: q-gram count filter engages for long terms
+    long_t = max(vocab, key=len)
+    if len(long_t) >= 6:
+        r.dict_terms_checked = 0
+        r.fuzzy_topk(long_t, k=5, max_edits=1)
+        assert r.dict_terms_checked < nv
+        want = [t for t in vocab
+                if _levenshtein(long_t, t, 1) <= 1]
+        cands = r._fuzzy_candidates(long_t, 1)
+        assert set(want) <= set(cands), "q-gram filter lost a match"
