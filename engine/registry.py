@@ -11373,6 +11373,62 @@ ORDER BY doc_id LIMIT 50
 """
 
 
+DIH_DELTA_W = 350      # watermark: generation 1 imported doc_id < W
+
+
+def dih_delta_import_docs(sf_dir: str) -> pa.Table:
+    """DIH delta-import (upstream ``DataImportHandler`` ``deltaQuery``
+    / ``deltaImportQuery`` + ``last_index_time`` [U]; JDBC-less
+    restatement): generation 1 full-imports the rows that existed at
+    the watermark (doc_id < W); generation 2 evaluates the changed-row
+    predicate (doc_id >= W — the ``last_index_time`` analog), pulls
+    ONLY those rows and appends them as a fresh segment — the
+    incremental ``build_index`` over [gen1, delta] reuses gen1's
+    finished parts (resume manifest), exactly Solr's delta-import
+    append. Output = merged (term, df, cf) of the two-generation
+    index; the oracle recomputes over the FULL corpus, so conformance
+    proves delta-append == full-import."""
+    import shutil as _sh
+
+    base = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{sf_dir}|dihdelta|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "dihdelta_" + key)
+    os.makedirs(work, exist_ok=True)
+    g1 = os.path.join(work, "gen1.parquet")
+    g2 = os.path.join(work, "delta.parquet")
+    if not (os.path.exists(g1) and os.path.exists(g2)):
+        t = pq.read_table(base, columns=["doc_id", "text"])
+        for path, tab in (
+                (g1, t.filter(pc.less(t["doc_id"], DIH_DELTA_W))),
+                (g2, t.filter(pc.greater_equal(t["doc_id"],
+                                               DIH_DELTA_W)))):
+            tmp = path + ".tmp"
+            pq.write_table(tab, tmp)
+            os.replace(tmp, path)
+    idx = os.path.join(work, "index")
+    cfg = IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        stop_words=None, stemming=False, n_buckets=4,
+        hot_df_threshold=10**9, batch_size=2048)
+    man = mf.load(idx)
+    if not (man and man.get("status") == "complete"
+            and man.get("input_files") == sorted([g1, g2])):
+        if os.path.exists(idx):
+            _sh.rmtree(idx)
+        build_index([g1], idx, cfg)       # generation 1 (watermark)
+        build_index([g1, g2], idx, cfg)   # generation 2: delta append
+    return _index_stats_of(idx)
+
+
+SQL_DIH_DELTA = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term
+              FROM documents)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
 def timeseries_math_events(sf_dir: str) -> pa.Table:
     """Time-series math expressions over the ``timeseries`` stream
     (upstream Solr math: ``diff()``, ``cumulativeSum()``, moving
@@ -15250,6 +15306,7 @@ def queries() -> dict:
         "synonym_query_topk": synonym_query_topk,
         "blended_term_topk_docs": blended_term_topk_docs,
         "dih_import_orders": dih_import_orders,
+        "dih_delta_import_docs": dih_delta_import_docs,
         "urp_chain_docs": urp_chain_docs,
         "urp_uuid_timestamp_docs": urp_uuid_timestamp_docs,
         "word_delimiter_stats": word_delimiter_stats,
@@ -15617,6 +15674,7 @@ def oracle_sql() -> dict:
         "synonym_query_topk": sql_synonym_query(),
         "blended_term_topk_docs": sql_blended_term(),
         "dih_import_orders": SQL_DIH_IMPORT,
+        "dih_delta_import_docs": SQL_DIH_DELTA,
         "urp_chain_docs": SQL_URP_CHAIN,
         "urp_uuid_timestamp_docs": SQL_URP_UUID_TS,
         "word_delimiter_stats": SQL_WORD_DELIMITER_STATS,
