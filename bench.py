@@ -399,6 +399,89 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def run_stage_build(cpus: int, sf_dir: str, heavy: bool) -> dict:
+    """One fresh build with per-stage walls (BASELINE.md stage-scaling
+    table). ``heavy`` switches to the CPU-heavy config
+    (``postings_codec="for"`` — bitpack/unpack shifts the merge from
+    DRAM-bandwidth-bound byte shuffling toward compute), which is the
+    quieter proxy for node scaling on this bandwidth-shared VM."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus,
+                 include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from engine.build import IndexConfig, build_index
+
+    sf = _sf_of(sf_dir)
+    mult = int(os.environ.get("GRAFT_BENCH_MULT", "1"))
+    corpus, n_rows = _bench_corpus(sf, mult)
+    cfg = IndexConfig(
+        n_buckets=16, hot_df_threshold=max(1000, n_rows // 50),
+        n_salts=8, batch_size=2048,
+        postings_codec="for" if heavy else "vbyte")
+    idx = os.path.join(BENCH_ROOT,
+                       f"index_stage_sf{sf}_c{cpus}_h{int(heavy)}")
+    reps = int(os.environ.get("GRAFT_BENCH_BUILD_REPS", "2"))
+    best, man = float("inf"), None
+    for _ in range(max(1, reps)):
+        if os.path.exists(idx):
+            shutil.rmtree(idx)
+        t0 = time.perf_counter()
+        m = build_index(corpus, idx, cfg)
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, man = dt, m
+    shutil.rmtree(idx, ignore_errors=True)
+    return {
+        "sf": sf, "num_cpus": cpus, "heavy": heavy,
+        "corpus_turns": n_rows,
+        "build_sec": round(best, 3),
+        "turns_per_sec": round(n_rows / best, 1),
+        "phase_sec": man["stats"]["phase_sec"],
+    }
+
+
+def run_stage_scaling(sf_dir: str) -> dict:
+    """Per-stage build walls at 4/8/16 cpus, default vs CPU-heavy
+    codec, fresh process each — the artifact pinning where the
+    DRAM-bandwidth knee sits (sub-knee widths scale; the compute-
+    heavier config moves the knee up)."""
+    widths = tuple(int(x) for x in os.environ.get(
+        "GRAFT_STAGE_WIDTHS", "4,8,16").split(","))
+    rows = []
+    for heavy in (False, True):
+        for cpus in widths:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO,
+                       GRAFT_HEAVY=str(int(heavy)))
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--single-stage-build"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            line = [ln for ln in p.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            rows.append(json.loads(line))
+    lo, hi = widths[0], widths[-1]
+    eff = {}
+    for heavy in (False, True):
+        r = {x["num_cpus"]: x for x in rows if x["heavy"] == heavy}
+        eff["heavy" if heavy else "default"] = round(
+            (r[hi]["turns_per_sec"] / r[lo]["turns_per_sec"])
+            / (hi / lo), 3)
+    return {
+        "metric": f"per-stage build scaling ({lo}->{hi} cpus, "
+                  "default vs CPU-heavy codec)",
+        "value": eff["default"], "unit": "efficiency",
+        "sf": _sf_of(sf_dir), "widths": list(widths),
+        "efficiency": eff, "runs": rows,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -408,6 +491,11 @@ def main() -> None:
                     help="build-only run (used by --scaling subprocesses)")
     ap.add_argument("--single-query", action="store_true",
                     help="query-QPS run (used by --scaling-query)")
+    ap.add_argument("--stage-scaling", action="store_true",
+                    help="per-stage build walls at 4/8/16 cpus, "
+                         "default vs CPU-heavy codec")
+    ap.add_argument("--single-stage-build", action="store_true",
+                    help="one stage-timed build (subprocess mode)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -418,6 +506,12 @@ def main() -> None:
         out = run_scaling(sf_dir)
     elif args.scaling_query:
         out = run_scaling_query(sf_dir)
+    elif args.stage_scaling:
+        out = run_stage_scaling(sf_dir)
+    elif args.single_stage_build:
+        out = run_stage_build(
+            cpus, sf_dir,
+            heavy=os.environ.get("GRAFT_HEAVY", "0") == "1")
     elif args.single_query:
         r = run_query_qps(cpus, sf_dir)
         out = {"metric": "batch query throughput (QPS)",
