@@ -1757,9 +1757,18 @@ class IndexReader:
             rx = re.compile("".join(
                 ".*" if c == "*" else "." if c == "?" else re.escape(c)
                 for c in pattern))
-            # prefix-prune the scan with any literal head
+            # prune the scan: literal head by dictionary bisect, plus
+            # the trigram-postings intersection of every literal run
+            # between wildcards (automaton-intersection analog)
             lit = pattern.split("*", 1)[0].split("?", 1)[0]
-            cands = self.expand_prefix(lit) if lit else self.vocabulary()
+            runs = [r for r in re.split(r"[*?]+", pattern)
+                    if len(r) >= 3]
+            cands = self._dict_candidates(required=runs) if runs \
+                else (self.expand_prefix(lit) if lit
+                      else self.vocabulary())
+            if runs and lit:
+                cands = [t for t in cands if t.startswith(lit)]
+            self.dict_terms_checked += len(cands)
             terms = [t for t in cands if rx.fullmatch(t)]
         if not terms:
             return _topdocs_table([], [])

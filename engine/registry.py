@@ -6440,7 +6440,7 @@ def _uax_corpus(sf_dir: str) -> str:
     """documents with a deterministic URL + email appended per row (the
     synthetic corpus has none), mirrored exactly by the SQL ``_UAX_AUG``
     expression."""
-    key = hashlib.md5(f"{sf_dir}|uaxcorp|v2".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|uaxcorp|v1".encode()).hexdigest()[:12]
     path = os.path.join("/tmp/rayindex_cache", f"uaxcorp_{key}.parquet")
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -6552,15 +6552,15 @@ _UAX_WORDS = [
 ]
 
 
-def _uax_corpus(sf_dir: str) -> str:
+def _uax29w_corpus(sf_dir: str) -> str:
     """documents pre-normalized to plain alnum runs (so the base text
     stays inside the oracle's regex-replayable subset) with
     deterministic accented/CJK words appended — the mixed-script
     cases OUTSIDE that subset (MidLetter, MidNumLet, ExtendNumLet,
     regional indicators) are pinned by the uax29 golden test
     instead."""
-    key = hashlib.md5(f"{sf_dir}|uaxcorp|v2".encode()).hexdigest()[:12]
-    path = os.path.join("/tmp/rayindex_cache", f"uaxcorp_{key}.parquet")
+    key = hashlib.md5(f"{sf_dir}|uaxcorp29w|v1".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/rayindex_cache", f"uaxcorp29w_{key}.parquet")
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
@@ -6588,11 +6588,11 @@ def uax29_term_stats(sf_dir: str) -> pa.Table:
     alternation in DuckDB's RE2 over the same augmented corpus."""
     idx = _cached_filtered_index(
         sf_dir, (), "uax29stats_v2",
-        input_file=_uax_corpus(sf_dir), tokenizer="uax29")
+        input_file=_uax29w_corpus(sf_dir), tokenizer="uax29")
     return _index_stats_of(idx)
 
 
-def sql_uax29_stats() -> str:
+def sql_uax29_wordbreak() -> str:
     cases = ",".join(f"'{w}'" for w in _UAX_WORDS)
     return rf"""
 WITH aug AS (
@@ -15572,7 +15572,7 @@ def oracle_sql() -> dict:
         "keep_word_stats": SQL_KEEP_WORD_STATS,
         "uax29_url_email_stats": sql_uax29_stats(),
         "ascii_folding_stats": sql_ascii_folding(),
-        "uax29_term_stats": sql_uax29_stats(),
+        "uax29_term_stats": sql_uax29_wordbreak(),
         "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,
         "limit_tokens_stats": SQL_LIMIT_TOKENS_STATS,
