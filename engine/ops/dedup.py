@@ -429,9 +429,12 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
 
     def coarse_pairs(g: pa.Table) -> pa.Table:
         # one call per COARSE group (256 total), all band buckets
-        # inside it paired by one vectorized pass
-        return _pairs_in_buckets(g["band"].to_numpy(), g["doc"].to_numpy(),
-                                 max_bucket, "minhash_lsh_pairs")
+        # inside it paired by one vectorized pass; the co-occurrence
+        # count column is dropped HERE so no extra projection stage
+        # runs over the 256 output blocks
+        return _pairs_in_buckets(
+            g["band"].to_numpy(), g["doc"].to_numpy(),
+            max_bucket, "minhash_lsh_pairs").select(["id_a", "id_b"])
 
     _J_EMPTY = pa.table({"id_a": pa.array([], type=pa.int64()),
                          "id_b": pa.array([], type=pa.int64()),
@@ -442,8 +445,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     # deduped at the end — the output (pairs over threshold) is orders
     # of magnitude smaller than the candidate multiset
     cand = buckets.groupby("cg").map_groups(
-        coarse_pairs, batch_format="pyarrow") \
-        .select_columns(["id_a", "id_b"]).materialize()
+        coarse_pairs, batch_format="pyarrow").materialize()
     n_cand = cand.count()
     _MH_TIMINGS['candidates'] = _time.perf_counter() - _t; _t = _time.perf_counter()
     if n_cand == 0:
