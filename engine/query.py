@@ -1838,6 +1838,90 @@ class IndexReader:
         order = np.lexsort((uniq, -final))[:k]
         return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def sloppy_phrase_unordered_topk(self, t1: str, t2: str,
+                                     slop: int, k: int = 10
+                                     ) -> pa.Table:
+        """Two-term sloppy phrase WITH Lucene's transposition credit
+        (upstream ``SloppyPhraseMatcher`` permits reordering; a
+        transposed pair costs extra distance [U]). Documented
+        all-pairs restatement: every (p, q) occurrence pair of
+        (t1, t2) with matchLength ``w = |q - p - 1| ≤ slop`` matches —
+        ``q = p+1`` is exact (w=0), farther-ahead q costs its gap,
+        and a TRANSPOSED q (q ≤ p) costs ``p - q + 1`` — and phrase
+        freq is ``Σ 1/(1+w)``, the sloppy weight. Exact-rational freq
+        (int64 numerator over L = lcm(1..slop+1)), so the SQL oracle
+        is hash-exact. Vectorized: for each w, the (at most two)
+        exact key offsets are counted with one searchsorted pair."""
+        if slop < 0 or slop > 40:
+            raise ValueError("slop must be in [0, 40]")
+        subs = self.lookup([t1, t2])
+        if not subs[t1] or not subs[t2]:
+            return _topdocs_table([], [])
+        rows1 = self._lookup_positions(t1)
+        rows2 = self._lookup_positions(t2)
+        max_pos = 0
+        for rows in (rows1, rows2):
+            for _, _, _, fp in rows:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        SHIFT = np.int64(1 << 21)
+        while int(SHIFT) <= max_pos + slop + 2:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
+            raise OverflowError("sloppy phrase key space overflow")
+
+        def keys_of(rows):
+            parts, norm = [], {}
+            for docs, tfs, norms, fp in rows:
+                parts.append(np.repeat(docs, tfs) * SHIFT + fp)
+                for d, nb in zip(docs, norms):
+                    norm[int(d)] = int(nb)
+            return (np.sort(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64)), norm
+
+        k1_keys, doc_norm = keys_of(rows1)
+        k2_keys, _ = keys_of(rows2)
+        if not len(k1_keys) or not len(k2_keys):
+            return _topdocs_table([], [])
+        import math
+        L = math.lcm(*range(1, slop + 2))
+        num = np.zeros(len(k1_keys), dtype=np.int64)
+        doc1 = k1_keys // SHIFT
+
+        def _count_at(offset: int) -> np.ndarray:
+            want = k1_keys + offset
+            # the offset must stay inside the same doc's key range
+            ok_doc = (want // SHIFT) == doc1
+            idx = np.minimum(np.searchsorted(k2_keys, want),
+                             max(0, len(k2_keys) - 1))
+            return ((k2_keys[idx] == want) & ok_doc).astype(np.int64)
+
+        for w in range(slop + 1):
+            wgt = L // (1 + w)
+            num += _count_at(1 + w) * wgt          # q ahead by w
+            if w >= 1:
+                num += _count_at(1 - w) * wgt      # transposed
+        m = num > 0
+        if not m.any():
+            return _topdocs_table([], [])
+        docs = doc1[m].astype(np.int64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        dnum = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(dnum, inv, num[m])
+        keepm = self._keep(uniq)
+        if keepm is not None:
+            uniq, dnum = uniq[keepm], dnum[keepm]
+        if not len(uniq):
+            return _topdocs_table([], [])
+        freq = dnum.astype(np.float64) / float(L)
+        w64 = float(idf(self.N, self.global_df(subs[t1]))) \
+            + float(idf(self.N, self.global_df(subs[t2])))
+        norms = np.array([doc_norm[int(d)] for d in uniq],
+                         dtype=np.uint8)
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
     def sloppy_phrase_n_topk(self, terms: list[str], slop: int,
                              k: int = 10) -> pa.Table:
         """General n-term sloppy PhraseQuery with Lucene's

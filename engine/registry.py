@@ -1277,6 +1277,59 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def sloppy_unordered_topk_docs(sf_dir: str) -> pa.Table:
+    """Two-term sloppy phrase WITH transposition credit and Lucene's
+    1/(distance+1) sloppy weight (upstream ``SloppyPhraseMatcher``
+    reordering semantics [U]; all-pairs restatement — see
+    ``IndexReader.sloppy_phrase_unordered_topk``). Exact-rational freq
+    ⇒ hash-exact oracle."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    t0, t1 = PHRASE.split()
+    return _topdocs_out(r.sloppy_phrase_unordered_topk(
+        t0, t1, slop=SLOP, k=10))
+
+
+def sql_sloppy_unordered() -> str:
+    import math
+    t0, t1 = PHRASE.split()
+    L = math.lcm(*range(1, SLOP + 2))
+    return f"""{_bm25_ctes()},
+pos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS p
+  FROM toks),
+occ AS (
+  SELECT a.doc_id,
+         SUM({L} // (1 + abs(b.p - a.p - 1)))::BIGINT AS num
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+   AND abs(b.p - a.p - 1) <= {SLOP} AND b.p != a.p
+  WHERE a.tok = '{t0}' AND b.tok = '{t1}'
+  GROUP BY a.doc_id),
+fr AS (SELECT doc_id,
+              CAST(num::DOUBLE / {L} AS FLOAT)::DOUBLE AS freq
+       FROM occ),
+qterms AS (SELECT unnest(['{t0}','{t1}']) AS term),
+dfs AS (
+  SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+  FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+w AS (
+  SELECT CAST(SUM(
+    CAST(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS FLOAT)::DOUBLE
+  ) AS FLOAT) AS w
+  FROM dfs d CROSS JOIN stats s),
+scored AS (
+  SELECT fr.doc_id,
+    CAST(w.w::DOUBLE *
+      CAST(fr.freq / (fr.freq + 1.2 * (0.25 + 0.75 * (dl.dlq / s.avgdl)))
+           AS FLOAT)::DOUBLE
+      AS FLOAT) AS score
+  FROM fr JOIN dl ON dl.doc_id = fr.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def dismax_topk(sf_dir: str) -> pa.Table:
     """DisjunctionMaxQuery: per-doc max clause score."""
     r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
@@ -15191,6 +15244,7 @@ def queries() -> dict:
         "cartesian_product_embeddings": cartesian_product_embeddings,
         "span_near_topk_docs": span_near_topk_docs,
         "sloppy_phrase_n_topk_docs": sloppy_phrase_n_topk_docs,
+        "sloppy_unordered_topk_docs": sloppy_unordered_topk_docs,
         "update_docs_topk": update_docs_topk,
         "nb_classify_docs": nb_classify_docs,
         "interval_facet_orders": interval_facet_orders,
@@ -15560,6 +15614,7 @@ def oracle_sql() -> dict:
         "cartesian_product_embeddings": SQL_CARTESIAN,
         "span_near_topk_docs": sql_span_near(),
         "sloppy_phrase_n_topk_docs": sql_sloppy_phrase_n(),
+        "sloppy_unordered_topk_docs": sql_sloppy_unordered(),
         "update_docs_topk": sql_update_docs(),
         "nb_classify_docs": SQL_NB_CLASSIFY,
         "interval_facet_orders": SQL_INTERVAL_FACET,

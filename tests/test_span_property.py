@@ -202,3 +202,35 @@ def test_sloppy_phrase_n_matches_brute_weights(ray_session, tmp_path,
             exact = r.phrase_topk(" ".join(terms), k=100)
             assert res["doc_id"].to_pylist() == \
                 exact["doc_id"].to_pylist()
+
+
+@pytest.mark.parametrize("seed", [6])
+def test_sloppy_unordered_matches_brute(ray_session, tmp_path, seed):
+    """Unordered 2-term sloppy: docs and exact-rational numerators
+    must equal brute-force Σ 1/(1+|q-p-1|) over ALL pairs ≤ slop."""
+    import math
+
+    from engine.query import IndexReader
+
+    rng = np.random.default_rng(seed)
+    texts = [" ".join(rng.choice(VOCAB, size=rng.integers(3, 40)))
+             for _ in range(60)]
+    idx = _mk_index(tmp_path, texts)
+    r = IndexReader(idx)
+    for slop in (0, 1, 3):
+        L = math.lcm(*range(1, slop + 2))
+        res = r.sloppy_phrase_unordered_topk("aa", "bb", slop, k=100)
+        got = set(res["doc_id"].to_pylist())
+        expect = set()
+        for d, tx in enumerate(texts):
+            toks = tx.split()
+            num = 0
+            for p, a in enumerate(toks):
+                if a != "aa":
+                    continue
+                for q, b in enumerate(toks):
+                    if b == "bb" and abs(q - p - 1) <= slop:
+                        num += L // (1 + abs(q - p - 1))
+            if num:
+                expect.add(d)
+        assert got == expect, slop
