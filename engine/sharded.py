@@ -212,8 +212,10 @@ class ShardSearcher:
         from engine.query import _levenshtein
 
         r = self.reader
-        cands = [(t, _levenshtein(term, t, max_edits))
-                 for t in r.vocabulary()]
+        # q-gram trigram prefilter (same superset bound as the
+        # single-index fuzzy path) — sublinear shard-dictionary touch
+        pool = r._fuzzy_candidates(term, max_edits)
+        cands = [(t, _levenshtein(term, t, max_edits)) for t in pool]
         cands = [(t, d) for t, d in cands if 1 <= d <= max_edits]
         dfs = r._df_of([t for t, _ in cands])
         return pa.table({
