@@ -1020,6 +1020,65 @@ class TrimFilter(TokenFilter):
         return {"type": "trim"}
 
 
+_ELISION_DEFAULT = ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+                    "jusqu", "quoiqu", "lorsqu", "puisqu")
+
+
+class ElisionFilter(TokenFilter):
+    """Strip French/Italian elided articles before an apostrophe
+    (upstream ``ElisionFilter`` [U]: ``l'homme`` → ``homme``). Works
+    on the vocabulary only; both ASCII ``'`` and ``’`` separate (the
+    uax29 tier keeps apostrophe words whole, so this filter is how
+    they normalize). Articles are matched case-insensitively like
+    upstream's ``ignoreCase=true`` factories."""
+
+    def __init__(self, articles: tuple = _ELISION_DEFAULT):
+        self.articles = tuple(articles)
+        self._set = frozenset(a.lower() for a in self.articles)
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        out = np.empty(vocab.shape, dtype=object)
+        for i, t in enumerate(vocab):
+            cut = t
+            for sep in ("'", "’"):
+                j = cut.find(sep)
+                if j > 0 and cut[:j].lower() in self._set:
+                    cut = cut[j + 1:]
+                    break
+            out[i] = cut
+        return _rewrite_vocab(out, offsets, codes, positions, doc_lens)
+
+    def spec(self) -> dict:
+        return {"type": "elision", "articles": list(self.articles)}
+
+
+class DecimalDigitFilter(TokenFilter):
+    """Fold Unicode decimal digits in any script to ASCII 0-9
+    (upstream ``DecimalDigitFilter`` [U]): ``٤٢`` → ``42``. Uses the
+    codepoint's decimal value (category Nd), vectorized over the
+    vocabulary."""
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        import unicodedata
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+
+        def fold(t: str) -> str:
+            if t.isascii():
+                return t
+            return "".join(
+                chr(0x30 + unicodedata.decimal(c))
+                if unicodedata.category(c) == "Nd" else c
+                for c in t)
+        out = np.array([fold(t) for t in vocab], dtype=object)
+        return _rewrite_vocab(out, offsets, codes, positions, doc_lens)
+
+    def spec(self) -> dict:
+        return {"type": "decimal_digit"}
+
+
 class LimitTokenCountFilter(TokenFilter):
     """Keep only the first ``max_count`` tokens of each document in
     position order (upstream ``LimitTokenCountFilter`` [U],
@@ -1160,6 +1219,11 @@ def build_filter(spec: dict) -> TokenFilter:
     if t == "path_hierarchy":
         return PathHierarchyFilter(spec.get("delimiter", "/"),
                                    spec.get("skip", 0))
+    if t == "elision":
+        return ElisionFilter(tuple(spec.get("articles",
+                                            _ELISION_DEFAULT)))
+    if t == "decimal_digit":
+        return DecimalDigitFilter()
     if t == "length":
         return LengthFilter(spec["min_len"], spec["max_len"])
     if t == "keep_word":

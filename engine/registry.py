@@ -6664,6 +6664,78 @@ FROM toks GROUP BY term ORDER BY term
 """
 
 
+_ELI_WORDS = [
+    " l'homme et l'idée du jour",
+    " d'état qu'elle n'aurait pas",
+    " chambre ٤٢ niveau ٧ الطابق",
+    " salle ４２ étage ９ ici",
+]
+
+
+def _elision_corpus(sf_dir: str) -> str:
+    key = hashlib.md5(f"{sf_dir}|elicorp|v1".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/rayindex_cache", f"elicorp_{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        did = t["doc_id"].to_numpy()
+        base = pc.replace_substring_regex(
+            t["text"].cast(pa.string()), pattern="[^A-Za-z0-9]+",
+            replacement=" ")
+        aug = pc.binary_join_element_wise(
+            base, pa.array([_ELI_WORDS[d % 4] for d in did],
+                           type=pa.string()), "")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"], "text": aug}),
+                       tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def elision_digit_stats(sf_dir: str) -> pa.Table:
+    """ElisionFilter + DecimalDigitFilter e2e over the uax29 tier
+    (upstream ``ElisionFilter``, ``DecimalDigitFilter`` [U]):
+    ``l'homme`` → ``homme`` (elided article stripped after the
+    apostrophe-joining UAX#29 tokenizer) and Arabic-Indic/fullwidth
+    digits fold to ASCII. The oracle replays tokenize → lower →
+    elision regexp → digit translate in DuckDB."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "elision"}, {"type": "decimal_digit"}),
+        "elidigit", input_file=_elision_corpus(sf_dir),
+        tokenizer="uax29")
+    return _index_stats_of(idx)
+
+
+def sql_elision_digit() -> str:
+    cases = ",".join("'" + w.replace("'", "''") + "'"
+                     for w in _ELI_WORDS)
+    arts = "|".join(["l", "m", "t", "qu", "n", "s", "j", "d", "c",
+                     "jusqu", "quoiqu", "lorsqu", "puisqu"])
+    src = "٠١٢٣٤٥٦٧٨٩０１２３４５６７８９"
+    dst = "01234567890123456789"
+    return rf"""
+WITH aug AS (
+  SELECT doc_id,
+         regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')
+           || ([{cases}])[(doc_id % 4) + 1] AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+    '(?:[\p{{Latin}}]+(?:''[\p{{Latin}}]+)*)|(?:[\p{{Nd}}]+)|(?:[\p{{Arabic}}]+)'
+  )) AS raw
+  FROM aug),
+f AS (
+  SELECT doc_id,
+         translate(regexp_replace(raw, '^({arts})''', ''),
+                   '{src}', '{dst}') AS term
+  FROM toks)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM f GROUP BY term ORDER BY term
+"""
+
+
 PATCAP_RX = "^(..).*(..)$"
 
 
@@ -15258,6 +15330,7 @@ def queries() -> dict:
         "uax29_url_email_stats": uax29_url_email_stats,
         "ascii_folding_stats": ascii_folding_stats,
         "uax29_term_stats": uax29_term_stats,
+        "elision_digit_stats": elision_digit_stats,
         "pattern_capture_stats": pattern_capture_stats,
         "reverse_filter_stats": reverse_filter_stats,
         "limit_tokens_stats": limit_tokens_stats,
@@ -15628,6 +15701,7 @@ def oracle_sql() -> dict:
         "uax29_url_email_stats": sql_uax29_stats(),
         "ascii_folding_stats": sql_ascii_folding(),
         "uax29_term_stats": sql_uax29_wordbreak(),
+        "elision_digit_stats": sql_elision_digit(),
         "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,
         "limit_tokens_stats": SQL_LIMIT_TOKENS_STATS,

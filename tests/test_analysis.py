@@ -600,3 +600,19 @@ class TestUAX29Tokenizer:
 
         out = segment_batch(pa.array(["abc", "def", "日", "本"]))
         assert out.to_pylist() == [["abc"], ["def"], ["日"], ["本"]]
+
+
+def test_elision_and_decimal_digit_filters():
+    """ElisionFilter strips the FIRST elided article only;
+    DecimalDigitFilter folds any-script decimal digits to ASCII."""
+    import pyarrow as pa
+
+    from engine.analysis import Analyzer
+
+    a = Analyzer(stop_words=None, stemming=False, tokenizer="uax29",
+                 filters=({"type": "elision"},
+                          {"type": "decimal_digit"}))
+    _, terms, _, _ = a.analyze_flat(pa.array([
+        "L'homme et l'idée d'aujourd'hui", "room ٤٢ and ４２ here"]))
+    assert terms.tolist() == ["homme", "et", "idée", "aujourd'hui",
+                              "room", "42", "and", "42", "here"]
