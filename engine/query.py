@@ -1659,7 +1659,24 @@ class IndexReader:
         subs = self.lookup(terms)
         if any(not subs[t] for t in terms):
             return _topdocs_table([], [])
+        got = self._phrase_match(terms)
+        if got is None:
+            return _topdocs_table([], [])
+        uniq, freq, norms = got
+        w64 = 0.0   # f64 sum of f32 idfs, cast f32 once (Lucene's
+        for t in terms:         # summed phrase termStatistics)
+            w64 += float(idf(self.N, self.global_df(subs[t])))
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
 
+    def _phrase_match(self, terms: list[str]
+                      ) -> tuple[np.ndarray, np.ndarray,
+                                 np.ndarray] | None:
+        """Exact-phrase matcher core: (matching docIDs asc, phrase
+        freqs, norm bytes) or None — shared by the local
+        :meth:`phrase_topk` and the distributed phrase partials
+        (``engine/sharded.py``), which score under GLOBAL stats."""
         SHIFT = np.int64(1 << 21)
         # (doc, pos) packing must be collision-free: widen the shift to
         # the next power of two above the max position seen, and verify
@@ -1681,11 +1698,9 @@ class IndexReader:
                 f"phrase key space overflow: max position {max_pos} with "
                 f"{max_doc} docs cannot pack into int64 keys")
         keysets: list[np.ndarray] = []
-        w64 = 0.0   # f64 sum of f32 idfs, cast f32 once (Lucene's
-        doc_norm: dict[int, int] = {}   # summed phrase termStatistics)
+        doc_norm: dict[int, int] = {}
         for i, t in enumerate(terms):
             rows = pos_rows[t]
-            w64 += float(idf(self.N, self.global_df(subs[t])))
             keys_parts = []
             for docs, tfs, norms, flat_pos in rows:
                 doc_rep = np.repeat(docs, tfs)
@@ -1701,18 +1716,16 @@ class IndexReader:
         for ks in keysets[1:]:
             occ = np.intersect1d(occ, ks, assume_unique=True)
         if not len(occ):
-            return _topdocs_table([], [])
+            return None
         docs = (occ // SHIFT).astype(np.int64)
         uniq, freq = np.unique(docs, return_counts=True)
         keepm = self._keep(uniq)
         if keepm is not None:
             uniq, freq = uniq[keepm], freq[keepm]
         if not len(uniq):
-            return _topdocs_table([], [])
+            return None
         norms = np.array([doc_norm[int(d)] for d in uniq], dtype=np.uint8)
-        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
-        order = np.lexsort((uniq, -final))[:k]
-        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+        return uniq, freq, norms
 
     def _lookup_positions(self, term: str
                           ) -> list[tuple[np.ndarray, np.ndarray,

@@ -5552,6 +5552,20 @@ def sharded_fuzzy_topk(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_phrase_topk(sf_dir: str) -> pa.Table:
+    """Distributed exact PhraseQuery (upstream PhraseQuery under
+    distributed search [U]): shard-local positional match under the
+    coordinator's global phrase weight — bit-identical to the
+    single-index query, so it shares ``phrase_topk``'s SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return _topdocs_out(searcher.phrase_topk(PHRASE, k=10))
+    finally:
+        searcher.shutdown()
+
+
 def sharded_highlight_topk(sf_dir: str) -> pa.Table:
     """Distributed highlighting (upstream ``HighlightComponent``
     distributed flow [U]): global-IDF top-k, then the id list
@@ -15470,6 +15484,7 @@ def queries() -> dict:
         "sharded_rerank_topk": sharded_rerank_topk,
         "phrase_wildcard_topk_docs": phrase_wildcard_topk_docs,
         "sharded_fuzzy_topk": sharded_fuzzy_topk,
+        "sharded_phrase_topk": sharded_phrase_topk,
         "sharded_terms_topk": sharded_terms_topk,
         "sharded_highlight_topk": sharded_highlight_topk,
         "sharded_mlt_topk": sharded_mlt_topk,
@@ -15842,6 +15857,7 @@ def oracle_sql() -> dict:
         "sharded_rerank_topk": sql_rerank(),
         "phrase_wildcard_topk_docs": sql_phrase_wildcard(),
         "sharded_fuzzy_topk": SQL_FUZZY,
+        "sharded_phrase_topk": sql_phrase_topk(),
         "sharded_terms_topk": SQL_DOC_FREQ_TOP20,
         "sharded_highlight_topk": sql_highlight(),
         "sharded_mlt_topk": sql_mlt(),

@@ -204,6 +204,27 @@ class ShardSearcher:
             "doc_id": stored["doc_id"],
             "snippet": pa.array(snippets, type=pa.string())})
 
+    def phrase_partial(self, terms: list[str], w: float,
+                       cache: np.ndarray, k: int) -> pa.Table:
+        """Shard-local exact-phrase match scored under the
+        coordinator's GLOBAL weight + norm cache — documents never
+        span shards, so the phrase match itself needs no cross-shard
+        positions; only the stats are global (upstream distributed
+        PhraseQuery [U])."""
+        from engine.query import _clause_scores, _topdocs_table
+
+        r = self.reader
+        if any(not s for s in r.lookup(terms).values()):
+            return _topdocs_table([], [], total=0)
+        got = r._phrase_match(terms)
+        if got is None:
+            return _topdocs_table([], [], total=0)
+        uniq, freq, norms = got
+        final = _clause_scores(freq, norms, np.float32(w), cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order],
+                              total=len(uniq))
+
     def spell_candidates(self, term: str, max_edits: int) -> pa.Table:
         """Per-shard DirectSpellChecker partials: this shard's vocab
         matches within ``max_edits`` with LOCAL df — the coordinator
@@ -752,6 +773,42 @@ class DistributedSearcher:
         weights and merge the shard top-k's (score desc, docID asc)."""
         tops = ray.get([s.score.remote(terms, weights, self.cache, k)
                         for s in self.shards])
+        total = sum(_shard_total(t) for t in tops)
+        tops = [t for t in tops if t.num_rows]
+        if not tops:
+            return _topdocs_table([], [])
+        allt = pa.concat_tables(tops)
+        ids = allt["doc_id"].to_numpy()
+        sc = allt["score"].to_numpy()
+        order = np.lexsort((ids, -sc))[:k]
+        return _topdocs_table(ids[order], sc[order], total=total)
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> pa.Table:
+        """Distributed exact PhraseQuery (upstream PhraseQuery under
+        distributed search [U]): documents are whole within a shard,
+        so matching is shard-local; phase 0 sums per-shard dfs into
+        the GLOBAL phrase weight (Σ f32 idf, Lucene's summed phrase
+        termStatistics) and phase 1 fans that weight + the global
+        norm cache out — the merge is bit-identical to the
+        single-index :meth:`IndexReader.phrase_topk`."""
+        terms = self._analyzer.query_terms(phrase)
+        if not terms:
+            return _topdocs_table([], [])
+        uniq_terms = sorted(set(terms))
+        partials = ray.get(
+            [s.term_stats.remote(uniq_terms) for s in self.shards])
+        gdf: dict[str, int] = {}
+        for p in partials:
+            for t, (df, _) in p.items():
+                gdf[t] = gdf.get(t, 0) + df
+        if any(gdf.get(t, 0) == 0 for t in terms):
+            return _topdocs_table([], [])
+        w64 = 0.0
+        for t in terms:     # left-to-right f64 sum of f32 idfs
+            w64 += float(idf(self.N, gdf[t]))
+        tops = ray.get([
+            s.phrase_partial.remote(terms, w64, self.cache, k)
+            for s in self.shards])
         total = sum(_shard_total(t) for t in tops)
         tops = [t for t in tops if t.num_rows]
         if not tops:
