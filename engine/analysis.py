@@ -77,6 +77,39 @@ UAX_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
 UAX_COMBINED_RX = f"(?:{UAX_URL_RX})|(?:{UAX_EMAIL_RX})|[A-Za-z0-9]+"
 
 
+def _split_long_tokens(token_lists: pa.ListArray, maxlen: int
+                       ) -> pa.ListArray:
+    """StandardTokenizer maxTokenLen semantics (upstream
+    ``setMaxTokenLength`` [U], default 255): a run longer than
+    ``maxlen`` is SPLIT into consecutive ``maxlen``-char tokens.
+    Fast path: one vectorized length check, no copy when nothing is
+    over-long (always true on normal text)."""
+    vals = token_lists.values
+    if not len(vals):
+        return token_lists
+    lens = pc.max(pc.utf8_length(vals)).as_py()
+    if lens is None or lens <= maxlen:
+        return token_lists
+    offs = token_lists.offsets.to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    toks = vals.to_pylist()
+    nchunks = np.array(
+        [max(1, -(-len(t) // maxlen)) for t in toks], dtype=np.int64)
+    flat: list[str] = []
+    for t in toks:
+        if len(t) <= maxlen:
+            flat.append(t)
+        else:
+            flat.extend(t[i:i + maxlen]
+                        for i in range(0, len(t), maxlen))
+    cum = np.zeros(len(nchunks) + 1, dtype=np.int64)
+    np.cumsum(nchunks, out=cum[1:])
+    new_offs = cum[offs]
+    return pa.ListArray.from_arrays(
+        pa.array(new_offs, type=pa.int64()).cast(pa.int32()),
+        pa.array(flat, type=pa.string()))
+
+
 class CharFilter:
     """Pre-tokenization character filter (upstream
     ``L/analysis/CharFilter.java`` [U]): a vectorized Arrow
@@ -1264,7 +1297,13 @@ class Analyzer:
                  filters: tuple[TokenFilter, ...] | list | None = None,
                  unicode_tokens: bool = False,
                  char_filters: tuple | list | None = None,
-                 tokenizer: str = "standard"):
+                 tokenizer: str = "standard",
+                 max_token_len: int = 255):
+        # Lucene's StandardTokenizer maxTokenLen default: runs longer
+        # than this SPLIT into max_token_len-char chunks (the scanner
+        # just cuts and keeps going) — zero cost unless a batch
+        # actually contains an over-long token
+        self.max_token_len = int(max_token_len)
         self.stop_words = stop_words if stop_words is not None else frozenset()
         self._stop_arr = pa.array(sorted(self.stop_words), type=pa.string())
         self.stemming = stemming
@@ -1367,6 +1406,8 @@ class Analyzer:
             token_lists = pc.split_pattern_regex(texts, self.split_regex)
         token_lists = token_lists.combine_chunks() if isinstance(
             token_lists, pa.ChunkedArray) else token_lists
+        token_lists = _split_long_tokens(token_lists,
+                                         self.max_token_len)
         raw_offsets = token_lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         dict_arr = pc.dictionary_encode(token_lists.values)
         if isinstance(dict_arr, pa.ChunkedArray):
@@ -1494,7 +1535,14 @@ class Analyzer:
         out: list[tuple[str, int]] = []
         pos = -1
         memo = self._stem_memo
-        for tok in _ASCII_SPLIT_RE.split(text):
+        raw = _ASCII_SPLIT_RE.split(text)
+        if any(len(t) > self.max_token_len for t in raw):
+            ml = self.max_token_len
+            raw = [c for t in raw
+                   for c in ([t] if len(t) <= ml else
+                             [t[i:i + ml]
+                              for i in range(0, len(t), ml)])]
+        for tok in raw:
             if not tok:
                 continue
             pos += 1                      # stopwords consume positions

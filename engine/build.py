@@ -93,6 +93,9 @@ class IndexConfig:
     char_filters: tuple = ()
     # tokenizer choice: standard | unicode | whitespace | letter | keyword
     tokenizer: str = "standard"
+    # StandardTokenizer maxTokenLength (over-long runs split, upstream
+    # default 255)
+    max_token_len: int = 255
     # final-index postings codec for the docs/tfs streams: "vbyte"
     # (delta+VByte, writeVInt analog) or "for" (128-value
     # frame-of-reference bitpacked blocks, the Lucene50PostingsFormat/
@@ -140,6 +143,7 @@ class IndexConfig:
             "char_filters": [dict(f) for f in self.char_filters],
             "tokenizer": self.tokenizer,
             "postings_codec": self.postings_codec,
+            "max_token_len": self.max_token_len,
             "store_freqs": self.store_freqs,
             "omit_norms": self.omit_norms,
             "value_gap": self.value_gap,
@@ -162,6 +166,7 @@ class IndexConfig:
             char_filters=tuple(d.get("char_filters") or ()),
             tokenizer=d.get("tokenizer", "standard"),
             postings_codec=d.get("postings_codec", "vbyte"),
+            max_token_len=d.get("max_token_len", 255),
             store_freqs=d.get("store_freqs", True),
             omit_norms=d.get("omit_norms", False),
             value_gap=d.get("value_gap", 0),
@@ -326,7 +331,8 @@ class FragmentBuilder:
         self.analyzer = Analyzer(cfg.stop_words, cfg.stemming,
                                  cfg.filters, cfg.unicode_tokens,
                                  cfg.char_filters,
-                                 tokenizer=cfg.tokenizer)
+                                 tokenizer=cfg.tokenizer,
+                                 max_token_len=cfg.max_token_len)
         self.part_of_path = part_of_path
         self.corpus_n = max(1, int(corpus_n))
         if cfg.conv_cols is not None:

@@ -268,7 +268,8 @@ class NrtWriter:
         cfg = self.cfg
         analyzer = Analyzer(cfg.stop_words, cfg.stemming, cfg.filters,
                             cfg.unicode_tokens, cfg.char_filters,
-                            tokenizer=cfg.tokenizer)
+                            tokenizer=cfg.tokenizer,
+                            max_token_len=cfg.max_token_len)
         doc_ids = buf[cfg.doc_id_col].to_numpy().astype(np.int64)
         order = np.argsort(doc_ids, kind="stable")
         buf = buf.take(pa.array(order))

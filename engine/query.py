@@ -298,7 +298,8 @@ class IndexReader:
                                  self.cfg.filters,
                                  self.cfg.unicode_tokens,
                                  self.cfg.char_filters,
-                                 tokenizer=self.cfg.tokenizer)
+                                 tokenizer=self.cfg.tokenizer,
+                                 max_token_len=self.cfg.max_token_len)
         dels = man.get("deletes")
         if dels and dels.get("n"):
             self._deleted = pq.read_table(

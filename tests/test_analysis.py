@@ -616,3 +616,27 @@ def test_elision_and_decimal_digit_filters():
         "L'homme et l'idée d'aujourd'hui", "room ٤٢ and ４２ here"]))
     assert terms.tolist() == ["homme", "et", "idée", "aujourd'hui",
                               "room", "42", "and", "42", "here"]
+
+
+def test_max_token_length_splits():
+    """StandardTokenizer maxTokenLen semantics: over-long runs SPLIT
+    into consecutive chunks (not truncated), positions advance per
+    chunk; default 255; zero effect on normal text."""
+    import pyarrow as pa
+
+    from engine.analysis import Analyzer
+
+    long = "x" * 600
+    a = Analyzer(stop_words=None, stemming=False)
+    offs, terms, pos, lens = a.analyze_flat(
+        pa.array([f"start {long} end"]))
+    assert terms.tolist() == ["start", "x" * 255, "x" * 255, "x" * 90,
+                              "end"]
+    assert pos.tolist() == [0, 1, 2, 3, 4]
+    # single-string fast path agrees
+    assert [t for t, _ in a.analyze_text(f"start {long} end")] == \
+        terms.tolist()
+    # custom cap
+    b = Analyzer(stop_words=None, stemming=False, max_token_len=4)
+    _, t2, _, _ = b.analyze_flat(pa.array(["abcdefgh ij"]))
+    assert t2.tolist() == ["abcd", "efgh", "ij"]
