@@ -1966,6 +1966,22 @@ class IndexReader:
         subs = self.lookup(terms)
         if any(not subs[t] for t in terms):
             return _topdocs_table([], [])
+        got = self._sloppy_n_match(terms, slop)
+        if got is None:
+            return _topdocs_table([], [])
+        uniq, freq, norms = got
+        w64 = 0.0
+        for t in terms:
+            w64 = w64 + float(idf(self.N, self.global_df(subs[t])))
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
+    def _sloppy_n_match(self, terms: list[str], slop: int):
+        """Setup + chain-DP for the n-term sloppy phrase: (docIDs asc,
+        exact-rational freqs, norm bytes) or None — shared by the
+        local :meth:`sloppy_phrase_n_topk` and the distributed sloppy
+        partials (``engine/sharded.py``)."""
         rows = {t: self._lookup_positions(t) for t in set(terms)}
         max_pos = 0
         for rr in rows.values():
@@ -1988,6 +2004,13 @@ class IndexReader:
                     else np.empty(0, np.int64))
             return keys, norm
 
+        return self._sloppy_n_core(terms, slop, keys_of, rows, SHIFT)
+
+    def _sloppy_n_core(self, terms, slop, keys_of, rows, SHIFT):
+        """Chain-DP core of :meth:`sloppy_phrase_n_topk` —
+        (docIDs asc, exact-rational freqs, norm bytes) or None; shared
+        with the distributed sloppy partials (``engine/sharded.py``).
+        """
         keyed = {t: keys_of(rows[t]) for t in set(terms)}
         C = slop + 1                     # cumulative-slack buckets
         prev_keys, _ = keyed[terms[0]]
@@ -2015,7 +2038,7 @@ class IndexReader:
         num = prev_cnt @ wgt             # exact int64 per ending key
         m = num > 0
         if not m.any():
-            return _topdocs_table([], [])
+            return None
         docs = (prev_keys[m] // SHIFT).astype(np.int64)
         uniq, inv = np.unique(docs, return_inverse=True)
         dnum = np.zeros(len(uniq), dtype=np.int64)
@@ -2024,17 +2047,12 @@ class IndexReader:
         if keep is not None:
             uniq, dnum = uniq[keep], dnum[keep]
         if not len(uniq):
-            return _topdocs_table([], [])
+            return None
         freq = dnum.astype(np.float64) / float(L)
-        w64 = 0.0
-        for t in terms:
-            w64 = w64 + float(idf(self.N, self.global_df(subs[t])))
         _, last_norm = keyed[terms[-1]]
         norms = np.array([last_norm[int(d)] for d in uniq],
                          dtype=np.uint8)
-        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
-        order = np.lexsort((uniq, -final))[:k]
-        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+        return uniq, freq, norms
 
     def span_near_topk(self, terms: list[str], slop: int,
                        k: int = 10) -> pa.Table:

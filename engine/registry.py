@@ -5566,6 +5566,22 @@ def sharded_phrase_topk(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_sloppy_n_topk(sf_dir: str) -> pa.Table:
+    """Distributed n-term sloppy phrase with the 1/(distance+1)
+    sloppy weight (upstream sloppy PhraseQuery under distributed
+    search [U]): shard-local chain DP under the coordinator's global
+    weight — bit-identical to the single-index entry, so it shares
+    ``sloppy_phrase_n_topk_docs``'s SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return _topdocs_out(searcher.sloppy_phrase_n_topk(
+            SPAN_TERMS, SPAN_SLOP, k=10))
+    finally:
+        searcher.shutdown()
+
+
 def sharded_highlight_topk(sf_dir: str) -> pa.Table:
     """Distributed highlighting (upstream ``HighlightComponent``
     distributed flow [U]): global-IDF top-k, then the id list
@@ -15485,6 +15501,7 @@ def queries() -> dict:
         "phrase_wildcard_topk_docs": phrase_wildcard_topk_docs,
         "sharded_fuzzy_topk": sharded_fuzzy_topk,
         "sharded_phrase_topk": sharded_phrase_topk,
+        "sharded_sloppy_n_topk": sharded_sloppy_n_topk,
         "sharded_terms_topk": sharded_terms_topk,
         "sharded_highlight_topk": sharded_highlight_topk,
         "sharded_mlt_topk": sharded_mlt_topk,
@@ -15858,6 +15875,7 @@ def oracle_sql() -> dict:
         "phrase_wildcard_topk_docs": sql_phrase_wildcard(),
         "sharded_fuzzy_topk": SQL_FUZZY,
         "sharded_phrase_topk": sql_phrase_topk(),
+        "sharded_sloppy_n_topk": sql_sloppy_phrase_n(),
         "sharded_terms_topk": SQL_DOC_FREQ_TOP20,
         "sharded_highlight_topk": sql_highlight(),
         "sharded_mlt_topk": sql_mlt(),
