@@ -1406,8 +1406,12 @@ class Analyzer:
             token_lists = pc.split_pattern_regex(texts, self.split_regex)
         token_lists = token_lists.combine_chunks() if isinstance(
             token_lists, pa.ChunkedArray) else token_lists
-        token_lists = _split_long_tokens(token_lists,
-                                         self.max_token_len)
+        if self.split_regex is not None or self._uax29:
+            # KeywordTokenizer is exempt (upstream grows its buffer —
+            # the whole input stays one token); every splitting
+            # tokenizer applies Lucene's maxTokenLen cut-and-continue
+            token_lists = _split_long_tokens(token_lists,
+                                             self.max_token_len)
         raw_offsets = token_lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         dict_arr = pc.dictionary_encode(token_lists.values)
         if isinstance(dict_arr, pa.ChunkedArray):
