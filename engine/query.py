@@ -2096,6 +2096,24 @@ class IndexReader:
                     else np.empty(0, np.int64))
             return keys, norm
 
+        got = self._span_chain_finish(terms, slop, keys_of, rows,
+                                      SHIFT)
+        if got is None:
+            return _topdocs_table([], [])
+        uniq, freq, norms = got
+        # weight = left-to-right f64 sum of per-term f32 idfs (order
+        # pinned so a SQL oracle can reproduce it exactly)
+        w64 = 0.0
+        for t in terms:
+            w64 = w64 + float(idf(self.N, self.global_df(subs[t])))
+        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+
+    def _span_chain_finish(self, terms, slop, keys_of, rows, SHIFT):
+        """Chain-DP core of :meth:`span_near_topk` — (docIDs asc,
+        chain counts, norm bytes) or None; shared with the
+        distributed span partials (``engine/sharded.py``)."""
         keyed = {t: keys_of(rows[t]) for t in set(terms)}
         prev_keys, _ = keyed[terms[0]]
         prev_cnt = np.ones(len(prev_keys), dtype=np.int64)
@@ -2109,7 +2127,7 @@ class IndexReader:
             prev_keys = cur_keys
         m = prev_cnt > 0
         if not m.any():
-            return _topdocs_table([], [])
+            return None
         docs = (prev_keys[m] // SHIFT).astype(np.int64)
         uniq, inv = np.unique(docs, return_inverse=True)
         freq = np.zeros(len(uniq), dtype=np.int64)
@@ -2118,17 +2136,39 @@ class IndexReader:
         if keep is not None:
             uniq, freq = uniq[keep], freq[keep]
         if not len(uniq):
-            return _topdocs_table([], [])
-        # weight = left-to-right f64 sum of per-term f32 idfs (order
-        # pinned so a SQL oracle can reproduce it exactly)
-        w64 = 0.0
-        for t in terms:
-            w64 = w64 + float(idf(self.N, self.global_df(subs[t])))
+            return None
         _, last_norm = keyed[terms[-1]]
-        norms = np.array([last_norm[int(d)] for d in uniq], dtype=np.uint8)
-        final = _clause_scores(freq, norms, np.float32(w64), self.cache)
-        order = np.lexsort((uniq, -final))[:k]
-        return _topdocs_table(uniq[order], final[order], total=len(uniq))
+        norms = np.array([last_norm[int(d)] for d in uniq],
+                         dtype=np.uint8)
+        return uniq, freq, norms
+
+    def _span_near_match(self, terms: list[str], slop: int):
+        """Setup + chain DP for ordered SpanNear (shared by local and
+        distributed paths)."""
+        rows = {t: self._lookup_positions(t) for t in set(terms)}
+        max_pos = 0
+        for rr in rows.values():
+            for _, _, _, fp in rr:
+                if len(fp):
+                    max_pos = max(max_pos, int(fp.max()))
+        SHIFT = np.int64(1 << 21)
+        while int(SHIFT) <= max_pos + slop + 2:
+            SHIFT = np.int64(int(SHIFT) << 1)
+        if int(SHIFT) * (self.max_doc + 1) >= (1 << 62):
+            raise OverflowError("span_near key space overflow")
+
+        def keys_of(rr):
+            parts, norm = [], {}
+            for docs, tfs, norms, fp in rr:
+                parts.append(np.repeat(docs, tfs) * SHIFT + fp)
+                for d, nb in zip(docs, norms):
+                    norm[int(d)] = int(nb)
+            keys = (np.sort(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64))
+            return keys, norm
+
+        return self._span_chain_finish(terms, slop, keys_of, rows,
+                                       SHIFT)
 
     def span_near_or_topk(self, clauses: list[list[str]], slop: int,
                           k: int = 10) -> pa.Table:

@@ -5582,6 +5582,20 @@ def sharded_sloppy_n_topk(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_span_near_topk(sf_dir: str) -> pa.Table:
+    """Distributed ordered SpanNearQuery (upstream SpanNear under
+    distributed search [U]): shard-local chain DP under the global
+    weight — shares ``span_near_topk_docs``'s SQL oracle."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return _topdocs_out(searcher.span_near_topk(
+            SPAN_TERMS, SPAN_SLOP, k=10))
+    finally:
+        searcher.shutdown()
+
+
 def sharded_highlight_topk(sf_dir: str) -> pa.Table:
     """Distributed highlighting (upstream ``HighlightComponent``
     distributed flow [U]): global-IDF top-k, then the id list
@@ -15502,6 +15516,7 @@ def queries() -> dict:
         "sharded_fuzzy_topk": sharded_fuzzy_topk,
         "sharded_phrase_topk": sharded_phrase_topk,
         "sharded_sloppy_n_topk": sharded_sloppy_n_topk,
+        "sharded_span_near_topk": sharded_span_near_topk,
         "sharded_terms_topk": sharded_terms_topk,
         "sharded_highlight_topk": sharded_highlight_topk,
         "sharded_mlt_topk": sharded_mlt_topk,
@@ -15876,6 +15891,7 @@ def oracle_sql() -> dict:
         "sharded_fuzzy_topk": SQL_FUZZY,
         "sharded_phrase_topk": sql_phrase_topk(),
         "sharded_sloppy_n_topk": sql_sloppy_phrase_n(),
+        "sharded_span_near_topk": sql_span_near(),
         "sharded_terms_topk": SQL_DOC_FREQ_TOP20,
         "sharded_highlight_topk": sql_highlight(),
         "sharded_mlt_topk": sql_mlt(),

@@ -244,6 +244,25 @@ class ShardSearcher:
         return _topdocs_table(uniq[order], final[order],
                               total=len(uniq))
 
+    def span_near_partial(self, terms: list[str], slop: int,
+                          w: float, cache: np.ndarray,
+                          k: int) -> pa.Table:
+        """Shard-local ordered SpanNear chain DP scored under the
+        coordinator's GLOBAL weight + norm cache."""
+        from engine.query import _clause_scores, _topdocs_table
+
+        r = self.reader
+        if any(not s for s in r.lookup(terms).values()):
+            return _topdocs_table([], [], total=0)
+        got = r._span_near_match(terms, slop)
+        if got is None:
+            return _topdocs_table([], [], total=0)
+        uniq, freq, norms = got
+        final = _clause_scores(freq, norms, np.float32(w), cache)
+        order = np.lexsort((uniq, -final))[:k]
+        return _topdocs_table(uniq[order], final[order],
+                              total=len(uniq))
+
     def spell_candidates(self, term: str, max_edits: int) -> pa.Table:
         """Per-shard DirectSpellChecker partials: this shard's vocab
         matches within ``max_edits`` with LOCAL df — the coordinator
@@ -858,6 +877,36 @@ class DistributedSearcher:
             w64 = w64 + float(idf(self.N, gdf[t]))
         tops = ray.get([
             s.sloppy_n_partial.remote(terms, slop, w64, self.cache, k)
+            for s in self.shards])
+        total = sum(_shard_total(t) for t in tops)
+        tops = [t for t in tops if t.num_rows]
+        if not tops:
+            return _topdocs_table([], [])
+        allt = pa.concat_tables(tops)
+        ids = allt["doc_id"].to_numpy()
+        sc = allt["score"].to_numpy()
+        order = np.lexsort((ids, -sc))[:k]
+        return _topdocs_table(ids[order], sc[order], total=total)
+
+    def span_near_topk(self, terms: list[str], slop: int,
+                       k: int = 10) -> pa.Table:
+        """Distributed ordered SpanNearQuery — shard-local chain DP
+        under the coordinator's global weight; merge bit-identical to
+        the single-index :meth:`IndexReader.span_near_topk`."""
+        uniq_terms = sorted(set(terms))
+        partials = ray.get(
+            [s.term_stats.remote(uniq_terms) for s in self.shards])
+        gdf: dict[str, int] = {}
+        for p in partials:
+            for t, (df, _) in p.items():
+                gdf[t] = gdf.get(t, 0) + df
+        if any(gdf.get(t, 0) == 0 for t in terms):
+            return _topdocs_table([], [])
+        w64 = 0.0
+        for t in terms:
+            w64 = w64 + float(idf(self.N, gdf[t]))
+        tops = ray.get([
+            s.span_near_partial.remote(terms, slop, w64, self.cache, k)
             for s in self.shards])
         total = sum(_shard_total(t) for t in tops)
         tops = [t for t in tops if t.num_rows]
