@@ -20,11 +20,11 @@ Implementation notes:
   Han and Hiragana code points emit one token per character (their
   UAX#29 default — no rule chains them), Katakana and Hangul emit
   runs.
-- Everything is numpy over a single UTF-32 view of the batch: property
-  lookup is one table gather, every WB rule is a shifted boolean
-  expression, and token strings are rebuilt through one utf-8
-  round-trip with vectorized byte-length accounting — no per-token
-  Python.
+- Everything is numpy straight off the Arrow utf-8 buffer: lead-byte
+  masking + shifted gathers decode the codepoints, property lookup is
+  one table gather, every WB rule is a shifted boolean expression,
+  and token strings are BYTE SLICES of the original buffer — no
+  Python string objects anywhere.
 
 Documented conformance boundary: dictionary-based CJK segmentation
 (ICU) and the Unicode-version drift of the property table are out of
@@ -147,24 +147,65 @@ def _in(mask: int, p: np.ndarray) -> np.ndarray:
     return ((np.int64(mask) >> p) & 1).astype(bool)
 
 
+def _decode_utf8_batch(texts: pa.Array
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray]:
+    """Vectorized utf-8 → codepoints straight off the Arrow buffer:
+    (cp int64[n_cp], byte_start int64[n_cp] into the values buffer,
+    doc cp-offsets int64[n_docs+1], raw byte buffer uint8). Zero
+    Python string objects — lead bytes are located with one mask and
+    the 1–4-byte forms decoded with shifted gathers."""
+    bufs = texts.buffers()
+    boffs = np.frombuffer(bufs[1], dtype=np.int32)[
+        texts.offset: texts.offset + len(texts) + 1].astype(np.int64)
+    raw = np.frombuffer(bufs[2], dtype=np.uint8)
+    lo, hi = int(boffs[0]), int(boffs[-1])
+    buf = raw[lo:hi]
+    boffs = boffs - lo
+    n_b = len(buf)
+    if n_b == 0:
+        z = np.zeros(len(texts) + 1, dtype=np.int64)
+        return (np.empty(0, np.int64), np.empty(0, np.int64), z, buf)
+    lead = (buf & 0xC0) != 0x80
+    idx = np.flatnonzero(lead)                  # cp start bytes
+    cp = buf[idx].astype(np.int64)              # ASCII fast path
+    multi = cp >= 0x80
+    if multi.any():
+        # decode only the multibyte codepoints (pad 3 bytes so the
+        # +1..+3 gathers stay in bounds; valid utf-8 never reads it)
+        bp = np.concatenate([buf, np.zeros(3, dtype=np.uint8)])
+        mi = idx[multi]
+        b0 = cp[multi]
+        b1 = bp[mi + 1].astype(np.int64)
+        b2 = bp[mi + 2].astype(np.int64)
+        b3 = bp[mi + 3].astype(np.int64)
+        cp[multi] = np.where(
+            b0 < 0xE0,
+            ((b0 & 0x1F) << 6) | (b1 & 0x3F),
+            np.where(b0 < 0xF0,
+                     ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6)
+                     | (b2 & 0x3F),
+                     ((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12)
+                     | ((b2 & 0x3F) << 6) | (b3 & 0x3F)))
+    doc_cp_off = np.searchsorted(idx, boffs)
+    return cp, idx, doc_cp_off, buf
+
+
 def segment_batch(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
     """Tokenize a string column → ``list<string>`` per row."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     texts = pc.fill_null(texts, "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
     n_docs = len(texts)
-    doc_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
-    joined = "".join(texts.to_pylist())
-    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32) \
-        .astype(np.int64)
+    cp, byte_start, doc_off, buf = _decode_utf8_batch(texts)
+    doc_chars = np.diff(doc_off)
     empty_lists = pa.ListArray.from_arrays(
         pa.array(np.zeros(n_docs + 1, dtype=np.int32)),
         pa.array([], type=pa.string()))
     if not len(cp):
         return empty_lists
-    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(doc_chars, out=doc_off[1:])
     doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_chars)
 
     P = _props()[cp]
@@ -246,22 +287,22 @@ def segment_batch(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
     o_end = np.minimum(o_end, doc_off[d[seg_first[kept]] + 1])
 
     tok_doc = d[seg_first[kept]]
-    # gather token codepoints + build utf-8 string array directly
-    ln = o_end - o_start
-    t_off = np.zeros(len(ln) + 1, dtype=np.int64)
-    np.cumsum(ln, out=t_off[1:])
-    pos = (np.arange(int(t_off[-1]), dtype=np.int64)
-           - np.repeat(t_off[:-1], ln) + np.repeat(o_start, ln))
-    tok_cp = cp[pos]
-    b_per = np.ones(len(tok_cp), dtype=np.int64)
-    b_per[tok_cp >= 0x80] = 2
-    b_per[tok_cp >= 0x800] = 3
-    b_per[tok_cp >= 0x10000] = 4
+    # token text = a BYTE slice of the original values buffer (token
+    # spans are contiguous in the source): gather raw utf-8 bytes,
+    # build the StringArray from buffers — no decode round-trip
+    total_cp = len(cp)
+    b_start = byte_start[o_start]
+    b_end = np.where(o_end < total_cp,
+                     byte_start[np.minimum(o_end, total_cp - 1)],
+                     len(buf))
+    # o_end < total_cp but pointing at the next doc's first cp is
+    # fine: byte_start of that cp == this doc's end byte
+    ln = b_end - b_start
     byte_off = np.zeros(len(ln) + 1, dtype=np.int64)
-    cs = np.cumsum(b_per)
-    byte_off[1:] = cs[t_off[1:] - 1]   # every token has ≥1 codepoint
-    data = tok_cp.astype("<u4").tobytes().decode("utf-32-le") \
-        .encode("utf-8")
+    np.cumsum(ln, out=byte_off[1:])
+    pos = (np.arange(int(byte_off[-1]), dtype=np.int64)
+           - np.repeat(byte_off[:-1], ln) + np.repeat(b_start, ln))
+    data = buf[pos].tobytes()
     values = pa.StringArray.from_buffers(
         len(ln),
         pa.py_buffer(byte_off.astype(np.int32).tobytes()),
