@@ -1138,13 +1138,16 @@ def incremental_dedup(existing: ray.data.Dataset,
         return pa.table({"words": pa.array([bl.words.tobytes()],
                                            type=pa.binary())})
 
-    parts = existing.map_batches(
-        bloom_partial, batch_format="pyarrow").take_all()
     bloom = TermBloom(1, 1)
     bloom.m, bloom.k = m, k
     bloom.words = np.zeros(m // 64, dtype=np.uint64)
-    for p in parts:
-        bloom.words |= np.frombuffer(p["words"], dtype=np.uint64)
+    # stream the partial bitmaps: driver holds ONE bitmap, not
+    # #batches of them
+    for b in existing.map_batches(
+            bloom_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=64):
+        for w in b["words"].to_pylist():
+            bloom.words |= np.frombuffer(w, dtype=np.uint64)
     bloom_ref = ray.put((bloom.words, m, k))
 
     def probe(b: pa.Table) -> pa.Table:
