@@ -640,3 +640,22 @@ def test_max_token_length_splits():
     b = Analyzer(stop_words=None, stemming=False, max_token_len=4)
     _, t2, _, _ = b.analyze_flat(pa.array(["abcdefgh ij"]))
     assert t2.tolist() == ["abcd", "efgh", "ij"]
+
+
+def test_uax29_sliced_and_null_arrays():
+    """Buffer-level decode must honor Arrow array offsets (sliced
+    inputs) and null rows — the classic zero-copy hazards."""
+    import pyarrow as pa
+
+    from engine.uax29 import segment_batch
+
+    base = pa.array(["skip me", "naïve fox", None, "日本 ok",
+                     "🇺🇸🇩🇪 end", "tail"])
+    sliced = base.slice(1, 4)
+    got = segment_batch(sliced).to_pylist()
+    assert got == [["naïve", "fox"], [], ["日", "本", "ok"],
+                   ["🇺🇸", "🇩🇪", "end"]]
+    # slice starting mid-array with multibyte before it
+    s2 = base.slice(3, 2)
+    assert segment_batch(s2).to_pylist() == [["日", "本", "ok"],
+                                             ["🇺🇸", "🇩🇪", "end"]]
