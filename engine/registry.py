@@ -5596,6 +5596,30 @@ def sharded_span_near_topk(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_wildcard_topk(sf_dir: str) -> pa.Table:
+    """Distributed WildcardQuery, globally consistent rewrite —
+    bit-identical to the single-index entry (shares its oracle)."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return _topdocs_out(searcher.wildcard_topk(WILD_PREFIX, k=10))
+    finally:
+        searcher.shutdown()
+
+
+def sharded_regexp_topk(sf_dir: str) -> pa.Table:
+    """Distributed RegexpQuery, globally consistent rewrite (per-shard
+    trigram-pruned dictionary matches unioned under global IDF)."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return _topdocs_out(searcher.regexp_topk(REGEX_PATTERN, k=10))
+    finally:
+        searcher.shutdown()
+
+
 def sharded_highlight_topk(sf_dir: str) -> pa.Table:
     """Distributed highlighting (upstream ``HighlightComponent``
     distributed flow [U]): global-IDF top-k, then the id list
@@ -15517,6 +15541,8 @@ def queries() -> dict:
         "sharded_phrase_topk": sharded_phrase_topk,
         "sharded_sloppy_n_topk": sharded_sloppy_n_topk,
         "sharded_span_near_topk": sharded_span_near_topk,
+        "sharded_wildcard_topk": sharded_wildcard_topk,
+        "sharded_regexp_topk": sharded_regexp_topk,
         "sharded_terms_topk": sharded_terms_topk,
         "sharded_highlight_topk": sharded_highlight_topk,
         "sharded_mlt_topk": sharded_mlt_topk,
@@ -15892,6 +15918,8 @@ def oracle_sql() -> dict:
         "sharded_phrase_topk": sql_phrase_topk(),
         "sharded_sloppy_n_topk": sql_sloppy_phrase_n(),
         "sharded_span_near_topk": sql_span_near(),
+        "sharded_wildcard_topk": SQL_WILDCARD,
+        "sharded_regexp_topk": SQL_REGEXP,
         "sharded_terms_topk": SQL_DOC_FREQ_TOP20,
         "sharded_highlight_topk": sql_highlight(),
         "sharded_mlt_topk": sql_mlt(),

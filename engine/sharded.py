@@ -263,6 +263,35 @@ class ShardSearcher:
         return _topdocs_table(uniq[order], final[order],
                               total=len(uniq))
 
+    def pattern_candidates(self, kind: str, pattern: str) -> list:
+        """Per-shard multi-term expansion partials for wildcard/regexp
+        (upstream multi-term rewrite under distributed search [U]):
+        this shard's matching dictionary terms, pruned through the
+        trigram postings like the single-index paths."""
+        import re
+
+        r = self.reader
+        if kind == "regexp":
+            rx = re.compile(pattern)
+            req = r._required_literals(pattern)
+            cands = r._dict_candidates(required=req) if req \
+                else r.vocabulary()
+            return [t for t in cands if rx.fullmatch(t)]
+        # wildcard
+        body = pattern[:-1] if pattern.endswith("*") else pattern
+        if "*" not in body and "?" not in body:
+            return r.expand_prefix(body)
+        rx = re.compile("".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in pattern))
+        lit = pattern.split("*", 1)[0].split("?", 1)[0]
+        runs = [x for x in re.split(r"[*?]+", pattern) if len(x) >= 3]
+        cands = r._dict_candidates(required=runs) if runs \
+            else (r.expand_prefix(lit) if lit else r.vocabulary())
+        if runs and lit:
+            cands = [t for t in cands if t.startswith(lit)]
+        return [t for t in cands if rx.fullmatch(t)]
+
     def spell_candidates(self, term: str, max_edits: int) -> pa.Table:
         """Per-shard DirectSpellChecker partials: this shard's vocab
         matches within ``max_edits`` with LOCAL df — the coordinator
@@ -917,6 +946,31 @@ class DistributedSearcher:
         sc = allt["score"].to_numpy()
         order = np.lexsort((ids, -sc))[:k]
         return _topdocs_table(ids[order], sc[order], total=total)
+
+    def wildcard_topk(self, pattern: str, k: int = 10) -> pa.Table:
+        """Distributed WildcardQuery with a GLOBALLY consistent
+        rewrite (scoring_boolean form): per-shard dictionary matches
+        unioned, ONE expansion set broadcast under global IDF —
+        bit-identical to the single-index ``wildcard_topk``."""
+        return self._multi_term_topk("wildcard", pattern, k)
+
+    def regexp_topk(self, pattern: str, k: int = 10) -> pa.Table:
+        """Distributed RegexpQuery, globally consistent rewrite —
+        bit-identical to the single-index ``regexp_topk``."""
+        return self._multi_term_topk("regexp", pattern, k)
+
+    def _multi_term_topk(self, kind: str, pattern: str,
+                         k: int) -> pa.Table:
+        parts = ray.get([s.pattern_candidates.remote(kind, pattern)
+                         for s in self.shards])
+        terms = sorted({t for p in parts for t in p})
+        if not terms:
+            return _topdocs_table([], [])
+        weights = self._global_weights(terms)
+        terms = [t for t in terms if t in weights]
+        if not terms:
+            return _topdocs_table([], [])
+        return self._score_merge(terms, weights, k)
 
     def fuzzy_topk(self, term: str, k: int = 10,
                    max_edits: int = 1) -> pa.Table:
