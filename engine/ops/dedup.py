@@ -471,9 +471,6 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     _MH_TIMINGS['dedup+bloom'] = _time.perf_counter() - _t; _t = _time.perf_counter()
     bits_ref = ray.put(bits)
 
-    # verify tasks sized by WORK (≈100k pairs each), not by however
-    # many tiny blocks the candidate groupby happened to emit
-    cand = cand.repartition(max(1, min(4096, n_cand // 100_000 + 1)))
 
     # ---- co-partitioned exact verify (fetch-join) -----------------
     # Hash-set rows are bucketed ONCE by a hash of doc id (one small
@@ -646,7 +643,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
 
     _MH_TIMINGS['partmap'] = _time.perf_counter() - _t; _t = _time.perf_counter()
     tabs = [t for t in ray.get(
-        cand.map_batches(verify, batch_format="pyarrow")
+        cand.map_batches(verify, batch_format="pyarrow",
+                         batch_size=100_000)
             .materialize().to_arrow_refs()) if t.num_rows]
     _MH_TIMINGS['verify'] = _time.perf_counter() - _t
     if not tabs:
