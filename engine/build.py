@@ -62,6 +62,7 @@ import ray
 import ray.data
 
 from engine import manifest as mf
+from engine import trigram
 from engine.analysis import ENGLISH_STOP_WORDS, Analyzer
 from engine.codec import (encode_postings, encode_postings_multi,
                           vbyte_decode, vbyte_encode_with_ends)
@@ -755,6 +756,7 @@ def _merge_bucket_files(frag_dir: str, shard_dir: str,
     if out is None:
         return 0
     pq.write_table(out, os.path.join(shard_dir, "merged-0.parquet"))
+    trigram.write_sidecar(shard_dir)
     return out.num_rows
 
 
@@ -806,6 +808,7 @@ def _merge_bucket_segment(index_dir: str, root: str, bucket: int,
             pq.write_table(out, tmp)
             os.replace(tmp, os.path.join(shard_dir,
                                          f"seg-{tag}.parquet"))
+            trigram.write_sidecar(shard_dir)
     return _bucket_stats(shard_dir)
 
 
@@ -1706,6 +1709,7 @@ def _optimize_shard(src_dir: str, dst_dir: str,
         return (0, 0, 0)
     os.makedirs(dst_dir, exist_ok=True)
     pq.write_table(merged, os.path.join(dst_dir, "optimized-0.parquet"))
+    trigram.write_sidecar(dst_dir)
     return (merged.num_rows,
             int(pa.compute.sum(merged["cf"]).as_py() or 0),
             int(pa.compute.sum(merged["df"]).as_py() or 0))
@@ -1917,6 +1921,11 @@ def upgrade_codec(index_dir: str, to_codec: str) -> dict[str, Any]:
                 futs.append(task.remote(
                     os.path.join(src, f), os.path.join(dst, f),
                     from_codec, to_codec))
+        side = os.path.join(src, trigram.SIDECAR_NAME)
+        if os.path.exists(side):
+            # codec migration never changes the term set — the
+            # trigram sidecar stays valid, carry it forward
+            shutil.copy2(side, os.path.join(dst, trigram.SIDECAR_NAME))
     ray.get(futs)
     for b in range(cfg.n_buckets):
         bdir = os.path.join(new_root, f"bucket={b}")
@@ -1986,6 +1995,11 @@ def maybe_merge(index_dir: str, max_segments: int = 8
             keep = [f for f in os.listdir(src) if f.endswith(".parquet")]
         for f in keep:
             os.link(os.path.join(src, f), os.path.join(dst, f))
+        side = os.path.join(src, trigram.SIDECAR_NAME)
+        if os.path.exists(side):
+            # segment merging never changes the bucket's term set —
+            # the trigram sidecar stays valid, carry it forward
+            shutil.copy2(side, os.path.join(dst, trigram.SIDECAR_NAME))
         if merge_files:
             futs.append(task.remote(
                 [os.path.join(src, f) for f in merge_files],
@@ -2095,6 +2109,7 @@ def _split_shard_bucket(src_bdir: str, dst_bdirs: list[str],
                 os.makedirs(d, exist_ok=True)
                 pq.write_table(child.sort_by("term"),
                                os.path.join(d, "split-0.parquet"))
+                trigram.write_sidecar(d)
     return [_bucket_stats(d) for d in dst_bdirs]
 
 

@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from engine import manifest as mf
+from engine import trigram
 from engine.build import IndexConfig, term_bucket
 from engine.codec import BLOCK_SIZE, decode_positions, vbyte_decode
 from engine.smallfloat import LENGTH_TABLE
@@ -226,7 +227,10 @@ def exorcise_index(index_dir: str) -> dict:
         shard = os.path.join(root, f"bucket={b}")
         if not os.path.isdir(shard):
             continue
+        b_dropped = len(dropped)
         for fname in sorted(os.listdir(shard)):
+            if not fname.endswith(".parquet"):
+                continue         # sidecars are advisory, never postings
             fpath = os.path.join(shard, fname)
             if not _valid(fpath):
                 os.makedirs(quarantine, exist_ok=True)
@@ -237,6 +241,10 @@ def exorcise_index(index_dir: str) -> dict:
             t = pq.read_table(fpath, columns=["term", "cf"])
             total_cf += int(np.sum(t["cf"].to_numpy()))
             terms_seen.update(t["term"].to_pylist())
+        if len(dropped) > b_dropped:
+            # dictionary shrank: rebuild (or remove) the trigram
+            # sidecar so readers never see stale term ordinals
+            trigram.write_sidecar(shard)
         if not os.listdir(shard):
             # a fully-quarantined bucket: drop the empty dir so
             # readers (pyarrow dataset scans) skip it cleanly

@@ -102,6 +102,11 @@ class NrtReader(IndexReader):
             self._vocab = sorted(set(base) | set(self._ram))
         return self._vocab
 
+    def _extra_dict_terms(self) -> list[str]:
+        """RAM-segment terms join the trigram candidate sources so
+        fuzzy/wildcard/regexp expansion sees uncommitted docs."""
+        return sorted(self._ram)
+
 
 class NrtWriter:
     """Buffered writer over a complete doc_id-mode index."""

@@ -344,7 +344,14 @@ class IndexReader:
         self._raw_index: dict[str, list] = {}
         self._docmap: pa.Table | None = None
         self._vocab: list[str] | None = None
-        self._tri: dict[str, np.ndarray] | None = None
+        # trigram dictionary indexes (engine/trigram.py): per-bucket
+        # sidecar loads for lazy readers, one in-memory index for
+        # preloaded readers, one for NRT extra terms
+        self._tri_buckets: dict[int, tuple | None] = {}
+        self._tri_mem: tuple | None = None
+        self._tri_extra: tuple | None = None
+        self.tri_sidecar_loads = 0    # sidecars consumed (pinned test)
+        self.tri_inline_builds = 0    # vectorized fallback builds
         self.dict_terms_checked = 0   # full predicate evals (see
         #                               _dict_candidates): sublinear
         #                               dictionary touch is testable
@@ -1207,26 +1214,73 @@ class IndexReader:
         self._vocab = sorted(found)
         return self._vocab
 
-    def _trigram_postings(self) -> dict[str, np.ndarray]:
-        """Memoized trigram → sorted term-index postings over the
-        dictionary — the FST/automaton-intersection stand-in (upstream
-        ``L/util/automaton`` + ``FuzzyQuery``'s intersect [U]). One
-        build pays O(total vocab chars); afterwards every fuzzy/regex
-        expansion touches only terms sharing the query's required
-        trigrams instead of scanning all of a 10^9-term dictionary."""
-        if self._tri is not None:
-            return self._tri
-        acc: dict[str, list[int]] = {}
-        for i, t in enumerate(self.vocabulary()):
-            seen = set()
-            for j in range(len(t) - 2):
-                g = t[j:j + 3]
-                if g not in seen:
-                    seen.add(g)
-                    acc.setdefault(g, []).append(i)
-        self._tri = {g: np.asarray(v, dtype=np.int64)
-                     for g, v in acc.items()}
-        return self._tri
+    def _extra_dict_terms(self) -> list[str]:
+        """Dictionary terms NOT covered by the on-disk bucket shards
+        (overridden by NrtReader: the RAM segment's terms). The base
+        reader has none."""
+        return []
+
+    def _bucket_tri(self, b: int):
+        """Lazy per-bucket trigram index: load the build-time sidecar
+        (``_trigram.sidecar``, engine/trigram.py) when present and
+        consistent, else build vectorized from the shard's term
+        column. Memoized per reader; returns (TrigramIndex, terms) or
+        None for an empty bucket."""
+        from engine import trigram as tg
+
+        if b in self._tri_buckets:
+            return self._tri_buckets[b]
+        files = self._shard_files(b)
+        if not files:
+            self._tri_buckets[b] = None
+            return None
+        self._io_reads += 1
+        terms = tg.sorted_unique_terms(
+            pq.read_table(files, columns=["term"])["term"])
+        tri = tg.load_sidecar(
+            os.path.join(self.shard_root, f"bucket={b}"), len(terms))
+        if tri is not None:
+            self.tri_sidecar_loads += 1
+        else:
+            tri = tg.TrigramIndex.from_terms(terms)
+            self.tri_inline_builds += 1
+        pair = (tri, terms.to_numpy(zero_copy_only=False))
+        self._tri_buckets[b] = pair
+        return pair
+
+    def _iter_tri(self):
+        """Yield (TrigramIndex, terms ndarray) sources covering the
+        full dictionary — the FST/automaton-intersection stand-in
+        (upstream ``L/util/automaton`` + ``FuzzyQuery``'s intersect
+        [U]). Per-bucket for lazy readers (terms hash to exactly one
+        bucket, so per-bucket candidate sets union to the global
+        answer); one in-memory index for preloaded readers; plus the
+        NRT RAM segment's terms when present."""
+        from engine import trigram as tg
+
+        if self._preloaded:
+            if self._tri_mem is None:
+                vocab = self.vocabulary()
+                self._tri_mem = (
+                    tg.TrigramIndex.from_terms(
+                        pa.array(vocab, type=pa.string())),
+                    np.asarray(vocab, dtype=object))
+                self.tri_inline_builds += 1
+            yield self._tri_mem
+            return
+        for b in range(self.cfg.n_buckets):
+            pair = self._bucket_tri(b)
+            if pair is not None:
+                yield pair
+        extras = self._extra_dict_terms()
+        if extras:
+            if self._tri_extra is None or \
+                    len(self._tri_extra[1]) != len(extras):
+                self._tri_extra = (
+                    tg.TrigramIndex.from_terms(
+                        pa.array(extras, type=pa.string())),
+                    np.asarray(extras, dtype=object))
+            yield self._tri_extra
 
     @staticmethod
     def _required_literals(pattern: str) -> list[str]:
@@ -1285,7 +1339,8 @@ class IndexReader:
     def _dict_candidates(self, required: list[str] | None = None,
                          count_grams: set[str] | None = None,
                          min_count: int = 0) -> list[str]:
-        """Dictionary candidates via the trigram postings.
+        """Dictionary candidates via the per-bucket trigram sidecar
+        indexes (:meth:`_iter_tri`).
 
         ``required``: literal substrings every match must contain
         (regex path — intersect each literal's trigram postings).
@@ -1293,34 +1348,60 @@ class IndexReader:
         path — a term within edit distance e of q must contain at
         least |G(q)| − 3e of q's distinct trigrams). Either filter is
         a guaranteed superset of the true match set; callers still
-        run the exact predicate, counted in ``dict_terms_checked``."""
-        vocab = self.vocabulary()
-        tri = self._trigram_postings()
-        idx: np.ndarray | None = None
+        run the exact predicate, counted in ``dict_terms_checked``.
+
+        Per-bucket evaluation is exact: a term's grams live entirely
+        in its own bucket's index, so intersect / count-threshold per
+        bucket then union equals the global computation."""
+        from engine.trigram import encode_gram_codes
+
+        req_codes: np.ndarray | None = None
         if required:
-            for lit in required:
-                for j in range(len(lit) - 2):
-                    post = tri.get(lit[j:j + 3])
-                    if post is None:
-                        return []
+            parts = [encode_gram_codes(lit) for lit in required]
+            parts = [p for p in parts if len(p)]
+            if parts:
+                req_codes = np.unique(np.concatenate(parts))
+        cnt_codes: np.ndarray | None = None
+        if count_grams is not None and min_count > 0:
+            cparts = [encode_gram_codes(g) for g in count_grams]
+            cparts = [p for p in cparts if len(p)]
+            if len(cparts) < min_count:
+                return []        # fewer query grams than the threshold
+            cnt_codes = np.unique(np.concatenate(cparts))
+        if req_codes is None and cnt_codes is None:
+            return self.vocabulary()
+        out: set[str] = set()
+        for tri, terms in self._iter_tri():
+            idx: np.ndarray | None = None
+            dead = False
+            if req_codes is not None:
+                for c in req_codes:
+                    post = tri.postings(c)
+                    if not len(post):
+                        dead = True
+                        break
                     idx = post if idx is None else \
                         np.intersect1d(idx, post, assume_unique=True)
                     if not len(idx):
-                        return []
-        if count_grams is not None and min_count > 0:
-            # a term only ever contains dictionary-present grams, so
-            # the per-term count is exactly |G(q) ∩ G(t)|
-            parts = [tri[g] for g in count_grams if g in tri]
-            if len(parts) < min_count:
-                return []
-            cnt = np.bincount(np.concatenate(parts),
-                              minlength=len(vocab))
-            byc = np.flatnonzero(cnt >= min_count)
-            idx = byc if idx is None else \
-                np.intersect1d(idx, byc, assume_unique=True)
-        if idx is None:
-            return vocab
-        return [vocab[i] for i in idx]
+                        dead = True
+                        break
+                if dead:
+                    continue
+            if cnt_codes is not None:
+                # a term only ever contains dictionary-present grams,
+                # so the per-term count is exactly |G(q) ∩ G(t)|
+                parts = [p for p in (tri.postings(c)
+                                     for c in cnt_codes) if len(p)]
+                if len(parts) < min_count:
+                    continue
+                cnt = np.bincount(np.concatenate(parts),
+                                  minlength=tri.n_terms)
+                byc = np.flatnonzero(cnt >= min_count)
+                idx = byc if idx is None else \
+                    np.intersect1d(idx, byc, assume_unique=True)
+            if idx is not None and len(idx):
+                out.update(terms[idx].tolist())
+        return sorted(out)
 
     def explain(self, query_text: str, doc_id: int) -> pa.Table:
         """``IndexSearcher#explain`` (upstream ``Explanation`` tree

@@ -702,8 +702,11 @@ def test_exorcise_drops_corrupt_shard_and_index_serves(smoke_index, tmp_path):
     victim = None
     for b in range(cfg.n_buckets):
         shard = os.path.join(root, f"bucket={b}")
-        if os.path.isdir(shard) and os.listdir(shard):
-            victim = os.path.join(shard, sorted(os.listdir(shard))[0])
+        pfiles = sorted(f for f in os.listdir(shard)
+                        if f.endswith(".parquet")) \
+            if os.path.isdir(shard) else []
+        if pfiles:
+            victim = os.path.join(shard, pfiles[0])
             victim_bucket = b
             break
     assert victim is not None

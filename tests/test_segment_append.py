@@ -61,7 +61,7 @@ def test_segment_append_equals_rewrite(ray_session, _files):
     man0 = mf.load(seg)
     b0 = os.path.join(mf.shard_root(seg, man0), "bucket=0")
     inodes = {f: os.stat(os.path.join(b0, f)).st_ino
-              for f in os.listdir(b0)}
+              for f in os.listdir(b0) if f.endswith(".parquet")}
 
     build_index(files[:2], seg, cfg, append_mode="segment")
     build_index(files[:2], rew, cfg)

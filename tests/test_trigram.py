@@ -1,0 +1,164 @@
+"""Trigram term-dictionary sidecar (engine/trigram.py): vectorized
+construction parity vs a per-term Python reference, build-time sidecar
+emission on every shard-writing path, reader consumption with zero
+inline rebuilds, and the stale-sidecar fallback guard."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from engine.trigram import (SIDECAR_NAME, TrigramIndex,
+                            encode_gram_codes, gram_term_pairs,
+                            load_sidecar, sorted_unique_terms,
+                            write_sidecar)
+
+
+def _py_pairs(terms: list[str]) -> set[tuple[int, int]]:
+    """Per-term Python reference for (gram_code, ordinal) pairs."""
+    out = set()
+    for i, t in enumerate(terms):
+        for j in range(len(t) - 2):
+            g = t[j:j + 3]
+            code = (ord(g[0]) << 42) | (ord(g[1]) << 21) | ord(g[2])
+            out.add((code, i))
+    return out
+
+
+@pytest.mark.parametrize("terms", [
+    [],
+    ["ab"],                      # all below trigram length
+    ["abc"],
+    ["abc", "abcd", "bcde", "xyzzy"],
+    ["café", "naïve", "日本語のテスト", "ZWJ‍🧪", "aaa", "aaaa"],
+    ["", "a", "ab", "abc", "ab", "abc"],      # dupes + shorts mixed
+])
+def test_gram_term_pairs_matches_python_reference(terms):
+    arr = sorted_unique_terms(pa.array(terms, type=pa.string()))
+    g, o = gram_term_pairs(arr)
+    got = set(zip(g.tolist(), o.tolist()))
+    assert got == _py_pairs(arr.to_pylist())
+    # sorted by (gram, ord) and distinct
+    assert len(got) == len(g)
+    order = np.lexsort((o, g))
+    assert np.array_equal(order, np.arange(len(g)))
+
+
+def test_encode_gram_codes_matches_pairs():
+    s = "abcdeab"
+    codes = encode_gram_codes(s)
+    ref = {(ord(s[j]) << 42) | (ord(s[j + 1]) << 21) | ord(s[j + 2])
+           for j in range(len(s) - 2)}
+    assert set(codes.tolist()) == ref
+    assert len(encode_gram_codes("ab")) == 0
+
+
+def test_trigram_index_postings_roundtrip(tmp_path):
+    terms = sorted_unique_terms(pa.array(
+        ["quick", "quicken", "quickly", "brown", "braun"]))
+    tri = TrigramIndex.from_terms(terms)
+    qui = tri.postings(int(encode_gram_codes("qui")[0]))
+    names = terms.to_pylist()
+    assert [names[i] for i in qui] == ["quick", "quicken", "quickly"]
+    assert len(tri.postings(0)) == 0
+    # persist / reload through the sidecar writer
+    d = str(tmp_path / "shard")
+    os.makedirs(d)
+    pq.write_table(pa.table({"term": terms,
+                             "cf": [1] * len(terms)}),
+                   os.path.join(d, "merged-0.parquet"))
+    assert write_sidecar(d) > 0
+    loaded = load_sidecar(d, len(terms))
+    assert loaded is not None
+    assert np.array_equal(loaded.grams, tri.grams)
+    assert np.array_equal(loaded.ords, tri.ords)
+    # stale guard: n_terms mismatch -> None (caller rebuilds inline)
+    assert load_sidecar(d, len(terms) + 1) is None
+
+
+def test_build_emits_sidecars_and_reader_consumes(smoke_index):
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    sides = glob.glob(os.path.join(idx, "**", SIDECAR_NAME),
+                      recursive=True)
+    assert sides, "build must emit per-bucket trigram sidecars"
+    r = IndexReader(idx)
+    vocab = r.vocabulary()
+    probe = max(vocab, key=len)          # longest term: tight q-grams
+    cands = r._fuzzy_candidates(probe, 1)
+    assert probe in cands
+    assert len(cands) < len(vocab)
+    # the pinned round-4 contract: candidates came from the sidecars,
+    # with ZERO in-reader trigram construction of any kind
+    assert r.tri_sidecar_loads > 0
+    assert r.tri_inline_builds == 0
+
+
+def test_stale_sidecar_falls_back_to_inline_build(smoke_index,
+                                                  tmp_path):
+    import shutil
+
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    work = str(tmp_path / "stale")
+    shutil.copytree(idx, work)
+    # corrupt every sidecar's n_terms metadata
+    for side in glob.glob(os.path.join(work, "**", SIDECAR_NAME),
+                          recursive=True):
+        t = pq.read_table(side).replace_schema_metadata(
+            {b"n_terms": b"1"})
+        pq.write_table(t, side)
+    r_good = IndexReader(idx)
+    r_stale = IndexReader(work)
+    probe = max(r_good.vocabulary(), key=len)
+    assert r_stale._fuzzy_candidates(probe, 1) == \
+        r_good._fuzzy_candidates(probe, 1)
+    assert r_stale.tri_inline_builds > 0
+    assert r_stale.tri_sidecar_loads == 0
+
+
+def test_preloaded_and_lazy_candidates_agree(smoke_index):
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    rp = IndexReader(idx, preload=True)
+    probe = max(r.vocabulary(), key=len)
+    assert r._fuzzy_candidates(probe, 1) == \
+        rp._fuzzy_candidates(probe, 1)
+    lit = probe[:4]
+    assert r._dict_candidates(required=[lit]) == \
+        rp._dict_candidates(required=[lit])
+    # degenerate filters keep the full-vocabulary contract
+    assert r._dict_candidates(required=["ab"]) == r.vocabulary()
+
+
+def test_nrt_ram_terms_visible_to_fuzzy(ray_session, tmp_path):
+    from engine.build import IndexConfig, build_index
+    from engine.nrt import NrtWriter
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "doc_id": [0, 1], "text": ["alpha bravo", "charlie delta"]}),
+        os.path.join(d, "docs.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(d, idx, IndexConfig(
+        text_col="text", conv_cols=None, doc_id_col="doc_id",
+        n_buckets=2, stop_words=None, stemming=False))
+    w = NrtWriter(idx)
+    w.add_documents(pa.table({"doc_id": [2],
+                              "text": ["bravado zulu"]}))
+    r = w.reader()
+    # "bravado" exists only in the RAM segment; fuzzy expansion over
+    # the trigram sources must still surface it
+    cands = r._dict_candidates(required=["rava"])
+    assert "bravado" in cands
+    assert "bravo" not in cands
