@@ -123,6 +123,42 @@ _GOLD = np.uint64(0x9E3779B97F4A7C15)
 _MH_TIMINGS: dict[str, float] = {}
 
 
+_H128_SEED2 = 0x9E3779B97F4A7C15
+
+
+def _text_hash128(col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 2×64-bit text hash — the exact-dedup key for
+    corpus-scale passes. Polars' Rust-side seeded hash when available
+    (zero Python per row; deterministic across processes for a given
+    polars version, verified in tests), md5 halves otherwise. This is
+    deliberately NOT the repo's md5 oracle family: incremental
+    dedup's DuckDB oracle compares raw text, so the internal key only
+    needs 128-bit collision strength, never SQL replayability — which
+    frees the 100-TB-side confirm pass from the per-row Python
+    ``hashlib.md5`` loop (round-3 verdict item 2)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        import polars as pl
+    except ImportError:            # md5 fallback: correct, slower
+        from engine.bloom import _md5_128
+        return _md5_128(col.to_pylist())
+    s = pl.from_arrow(col)
+    h1 = s.hash(seed=0).to_numpy().astype(np.uint64)
+    h2 = s.hash(seed=_H128_SEED2).to_numpy().astype(np.uint64)
+    return h1, h2
+
+
+def _pack_h128(h1: np.ndarray, h2: np.ndarray) -> pa.Array:
+    """(h1, h2) → fixed 16-byte binary keys (groupby/is_in-able)."""
+    packed = np.empty((len(h1), 2), dtype=">u8")
+    packed[:, 0] = h1
+    packed[:, 1] = h2
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(16), len(h1),
+        [None, pa.py_buffer(packed.tobytes())])
+
+
 def _mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer (public domain constant schedule) —
     vectorized 64-bit avalanche for bloom probes and band keys."""
@@ -1120,45 +1156,41 @@ def incremental_dedup(existing: ray.data.Dataset,
     Survivors = arrivals whose text is not in existing, first
     ``id_col`` per duplicated arrival text kept. Returns
     ``(survivor table, stats)`` where stats carries the bloom
-    short-circuit evidence."""
-    import hashlib as _hl
+    short-circuit evidence.
 
-    from engine.bloom import TermBloom, _md5_128
-
-    proto = TermBloom(n_existing, bits_per_key)
-    m, k = proto.m, proto.k
+    Every hash touch is vectorized via :func:`_text_hash128` (2×64-bit
+    seeded Rust-side hash; 16-byte packed keys) — the per-row md5
+    loops of round 3 are gone from both the existing-corpus passes
+    (1, 3) and the arrival probe (2)."""
+    m = max(64, 1 << int(np.ceil(np.log2(
+        max(n_existing, 1) * bits_per_key))))
+    k = 7
+    mask = np.uint64(m - 1)
 
     def bloom_partial(b: pa.Table) -> pa.Table:
-        bl = TermBloom(1, 1)
-        bl.m, bl.k = m, k
-        bl.words = np.zeros(m // 64, dtype=np.uint64)
-        bl.add_batch(b[text_col].to_pylist())
-        return pa.table({"words": pa.array([bl.words.tobytes()],
+        bits = np.zeros(m // 64, dtype=np.uint64)
+        h1, _ = _text_hash128(b[text_col])
+        _bloom_insert(bits, mask, h1, k=k)
+        return pa.table({"words": pa.array([bits.tobytes()],
                                            type=pa.binary())})
 
-    bloom = TermBloom(1, 1)
-    bloom.m, bloom.k = m, k
-    bloom.words = np.zeros(m // 64, dtype=np.uint64)
+    words = np.zeros(m // 64, dtype=np.uint64)
     # stream the partial bitmaps: driver holds ONE bitmap, not
     # #batches of them
     for b in existing.map_batches(
             bloom_partial, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow", batch_size=64):
         for w in b["words"].to_pylist():
-            bloom.words |= np.frombuffer(w, dtype=np.uint64)
-    bloom_ref = ray.put((bloom.words, m, k))
+            words |= np.frombuffer(w, dtype=np.uint64)
+    bloom_ref = ray.put(words)
 
     def probe(b: pa.Table) -> pa.Table:
-        words, m_, k_ = ray.get(bloom_ref)
-        bl = TermBloom(1, 1)
-        bl.m, bl.k = m_, k_
-        bl.words = words
-        txts = b[text_col].to_pylist()
-        cand = bl.may_contain(txts)
-        hx = [_hl.md5(t.encode()).hexdigest() for t in txts]
+        bits = ray.get(bloom_ref)
+        h1, h2 = _text_hash128(b[text_col])
+        cand = _bloom_member(bits, mask, h1, k=k)
         return pa.table({
             id_col: b[id_col],
-            "h": pa.array(hx, type=pa.string()),
+            "h": _pack_h128(h1, h2),
             "cand": pa.array(cand)})
 
     # the probed table stays DISTRIBUTED: only the (small) candidate
@@ -1177,15 +1209,13 @@ def incremental_dedup(existing: ray.data.Dataset,
              "bloom_misses": n_arr - len(cand_rows),
              "candidates": len(cand_set)}
 
-    confirmed: set[str] = set()
+    confirmed: set[bytes] = set()
     if cand_set:
-        cref = ray.put(pa.array(cand_set, type=pa.string()))
+        cref = ray.put(pa.array(cand_set, type=pa.binary(16)))
 
         def verify(b: pa.Table) -> pa.Table:
             cs = ray.get(cref)
-            hx = pa.array([_hl.md5(t.encode()).hexdigest()
-                           for t in b[text_col].to_pylist()],
-                          type=pa.string())
+            hx = _pack_h128(*_text_hash128(b[text_col]))
             hit = pc.is_in(hx, value_set=cs)
             return pa.table({"h": hx.filter(hit)})
 
@@ -1195,7 +1225,7 @@ def incremental_dedup(existing: ray.data.Dataset,
 
     # drop confirmed dups per batch, then ONE grouped min(id) keeps
     # the first id per duplicated arrival text — distributed
-    conf_ref = ray.put(pa.array(sorted(confirmed), type=pa.string()))
+    conf_ref = ray.put(pa.array(sorted(confirmed), type=pa.binary(16)))
 
     def drop(b: pa.Table) -> pa.Table:
         cs = ray.get(conf_ref)

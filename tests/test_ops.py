@@ -1551,6 +1551,29 @@ def test_bpe_encode_matches_reference(ray_session):
             (r, out.loc[r["id"]])
 
 
+def test_text_hash128_vectorized_key():
+    """The incremental-dedup exact key (_text_hash128): stable within
+    a process, seed-independent halves, 16-byte packing round-trips,
+    and equal texts collide while distinct texts don't."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.ops.dedup import _pack_h128, _text_hash128
+
+    texts = ["alpha", "beta", "alpha", "", "héllo ünïcode"]
+    col = pa.array(texts, type=pa.string())
+    h1, h2 = _text_hash128(col)
+    r1, r2 = _text_hash128(col)
+    assert np.array_equal(h1, r1) and np.array_equal(h2, r2)
+    assert not np.array_equal(h1, h2)        # independent halves
+    assert h1[0] == h1[2] and h2[0] == h2[2]  # equal text, equal key
+    packed = _pack_h128(h1, h2)
+    assert packed.type == pa.binary(16)
+    keys = packed.to_pylist()
+    assert keys[0] == keys[2]
+    assert len({keys[0], keys[1], keys[3], keys[4]}) == 4
+
+
 def test_incremental_dedup_bloom(ray_session):
     """Arrivals deduped against existing without re-shuffling it:
     cross-corpus dup dropped, within-arrival dup keeps first id,
