@@ -1244,7 +1244,7 @@ class IndexReader:
         else:
             tri = tg.TrigramIndex.from_terms(terms)
             self.tri_inline_builds += 1
-        pair = (tri, terms.to_numpy(zero_copy_only=False))
+        pair = (tri, terms.to_numpy(zero_copy_only=False), terms)
         self._tri_buckets[b] = pair
         return pair
 
@@ -1261,10 +1261,10 @@ class IndexReader:
         if self._preloaded:
             if self._tri_mem is None:
                 vocab = self.vocabulary()
+                vpa = pa.array(vocab, type=pa.string())
                 self._tri_mem = (
-                    tg.TrigramIndex.from_terms(
-                        pa.array(vocab, type=pa.string())),
-                    np.asarray(vocab, dtype=object))
+                    tg.TrigramIndex.from_terms(vpa),
+                    np.asarray(vocab, dtype=object), vpa)
                 self.tri_inline_builds += 1
             yield self._tri_mem
             return
@@ -1276,10 +1276,10 @@ class IndexReader:
         if extras:
             if self._tri_extra is None or \
                     len(self._tri_extra[1]) != len(extras):
+                epa = pa.array(extras, type=pa.string())
                 self._tri_extra = (
-                    tg.TrigramIndex.from_terms(
-                        pa.array(extras, type=pa.string())),
-                    np.asarray(extras, dtype=object))
+                    tg.TrigramIndex.from_terms(epa),
+                    np.asarray(extras, dtype=object), epa)
             yield self._tri_extra
 
     @staticmethod
@@ -1323,6 +1323,185 @@ class IndexReader:
             return []
         flush()
         return [x for x in lits if len(x) >= 3]
+
+    # shape pruning (literal-free patterns): the residual class the
+    # trigram intersection cannot touch — patterns with no ≥3-char
+    # required literal (``a.b``, ``?x?``). Upstream runs these through
+    # the compiled automaton ∩ FST walk (``L/util/automaton`` [U]);
+    # the equivalent here derives the pattern's SHAPE — length bounds
+    # plus per-position character classes anchored at the start and
+    # end — and filters the dictionary with Arrow kernels
+    # (utf8_length / utf8_slice_codeunits / is_in), so the full-regex
+    # predicate runs only on the shape-matching slice instead of the
+    # whole vocabulary.
+
+    _SHAPE_POS_CAP = 8        # anchored positions constrained per end
+    _SHAPE_CLASS_CAP = 64     # max chars expanded from an IN range
+
+    @classmethod
+    def _regex_shape(cls, pattern: str) -> dict | None:
+        """Conservative shape of a regex: (min_len, max_len|None) and
+        anchored per-position character classes. Every true match
+        satisfies the shape; None → no information (caller scans)."""
+        try:
+            import re._parser as sp
+            tree = sp.parse(pattern)
+        except Exception:        # noqa: BLE001 — unparseable: no info
+            return None
+        maxrep = sp.MAXREPEAT
+
+        def width(seq) -> tuple[int, int | None]:
+            lo, hi = 0, 0
+            for op, av in seq:
+                n = str(op)
+                if n in ("LITERAL", "NOT_LITERAL", "IN", "ANY",
+                         "CATEGORY"):
+                    w = (1, 1)
+                elif n in ("MAX_REPEAT", "MIN_REPEAT"):
+                    mn_, mx_, sub = av
+                    smn, smx = width(sub)
+                    w = (mn_ * smn,
+                         None if (mx_ == maxrep or smx is None)
+                         else mx_ * smx)
+                elif n == "SUBPATTERN":
+                    w = width(av[3])
+                elif n == "BRANCH":
+                    ws = [width(alt) for alt in av[1]]
+                    mxs = [x[1] for x in ws]
+                    w = (min(x[0] for x in ws),
+                         None if any(x is None for x in mxs)
+                         else max(mxs))
+                elif n == "AT":
+                    w = (0, 0)
+                else:
+                    w = (0, None)
+                lo += w[0]
+                hi = None if (hi is None or w[1] is None) else hi + w[1]
+            return lo, hi
+
+        def flatten(seq) -> list:
+            out = []
+            for op, av in seq:
+                n = str(op)
+                if n == "SUBPATTERN":
+                    out.extend(flatten(av[3]))
+                elif n == "AT":
+                    continue
+                elif n in ("MAX_REPEAT", "MIN_REPEAT") and \
+                        av[0] == av[1] == 1:
+                    out.extend(flatten(av[2]))
+                else:
+                    out.append((op, av))
+            return out
+
+        _ANY = "any"             # width-1, unconstrained
+
+        def elem_class(op, av):
+            """frozenset = constrained width-1; _ANY = width-1 free;
+            None = not fixed-width-1 (stop the anchored walk)."""
+            n = str(op)
+            if n == "LITERAL":
+                return frozenset((chr(av),))
+            if n in ("NOT_LITERAL", "ANY", "CATEGORY"):
+                return _ANY
+            if n == "IN":
+                chars: set[str] = set()
+                for iop, iav in av:
+                    m = str(iop)
+                    if m == "LITERAL":
+                        chars.add(chr(iav))
+                    elif m == "RANGE":
+                        a, b = iav
+                        if b - a + 1 > cls._SHAPE_CLASS_CAP:
+                            return _ANY
+                        chars.update(chr(c) for c in range(a, b + 1))
+                    else:        # NEGATE / CATEGORY / ...
+                        return _ANY
+                return frozenset(chars)
+            return None
+
+        flat = flatten(tree)
+
+        def walk(seq) -> list:
+            out = []
+            for op, av in seq[:cls._SHAPE_POS_CAP]:
+                c = elem_class(op, av)
+                if c is None:
+                    break
+                out.append(None if c == _ANY else c)
+            return out
+
+        mn, mx = width(tree)
+        return {"min_len": mn, "max_len": mx,
+                "pre": walk(flat), "suf": walk(flat[::-1])}
+
+    @classmethod
+    def _wildcard_shape(cls, pattern: str) -> dict:
+        """Shape of a Solr/Lucene wildcard pattern (``*``/``?``)."""
+        n_lit = sum(1 for c in pattern if c != "*")
+        bounded = "*" not in pattern
+        pre: list = []
+        for c in pattern[:cls._SHAPE_POS_CAP]:
+            if c == "*":
+                break
+            pre.append(None if c == "?" else frozenset((c,)))
+        suf: list = []
+        if not bounded:
+            tail = pattern.rsplit("*", 1)[1]
+            for c in reversed(tail[-cls._SHAPE_POS_CAP:]) \
+                    if tail else []:
+                suf.append(None if c == "?" else frozenset((c,)))
+        return {"min_len": n_lit,
+                "max_len": n_lit if bounded else None,
+                "pre": pre, "suf": suf}
+
+    def _shape_candidates(self, shape: dict | None) -> list[str]:
+        """Dictionary terms satisfying a pattern shape, filtered with
+        Arrow kernels per trigram source (no Python per-term loop).
+        A vacuous shape degrades to the full vocabulary — the caller
+        still runs the exact predicate either way."""
+        if shape is None:
+            return self.vocabulary()
+        pre = shape.get("pre") or []
+        suf = shape.get("suf") or []
+        mn = int(shape.get("min_len") or 0)
+        mx = shape.get("max_len")
+        if mn <= 0 and mx is None and not any(pre) and not any(suf):
+            return self.vocabulary()
+        out: set[str] = set()
+        for _tri, terms_np, terms_pa in self._iter_tri():
+            lens = pc.utf8_length(terms_pa)
+            mask = None
+            if mn > 0:
+                mask = pc.greater_equal(lens, mn)
+            if mx is not None:
+                m2 = pc.less_equal(lens, mx)
+                mask = m2 if mask is None else pc.and_(mask, m2)
+            for anchored, from_end in ((pre, False), (suf, True)):
+                for j, chars in enumerate(anchored):
+                    if chars is None:
+                        continue
+                    if from_end:
+                        sl = pc.utf8_slice_codeunits(
+                            terms_pa, start=-(j + 1),
+                            stop=(-j) if j else None)
+                    else:
+                        sl = pc.utf8_slice_codeunits(
+                            terms_pa, start=j, stop=j + 1)
+                    if len(chars) == 1:
+                        m2 = pc.equal(sl, next(iter(chars)))
+                    else:
+                        m2 = pc.is_in(sl, value_set=pa.array(
+                            sorted(chars), type=pa.string()))
+                    mask = m2 if mask is None else pc.and_(mask, m2)
+            if mask is None:
+                out.update(terms_np.tolist())
+            else:
+                sel = mask.to_numpy(zero_copy_only=False)
+                sel = np.asarray(sel, dtype=bool)
+                if sel.any():
+                    out.update(terms_np[sel].tolist())
+        return sorted(out)
 
     def _fuzzy_candidates(self, term: str, max_edits: int
                           ) -> list[str]:
@@ -1371,7 +1550,7 @@ class IndexReader:
         if req_codes is None and cnt_codes is None:
             return self.vocabulary()
         out: set[str] = set()
-        for tri, terms in self._iter_tri():
+        for tri, terms, _tpa in self._iter_tri():
             idx: np.ndarray | None = None
             dead = False
             if req_codes is not None:
@@ -1719,7 +1898,7 @@ class IndexReader:
         # postings and run the full regex only on that slice
         req = self._required_literals(pattern)
         cands = self._dict_candidates(required=req) if req \
-            else self.vocabulary()
+            else self._shape_candidates(self._regex_shape(pattern))
         self.dict_terms_checked += len(cands)
         matches = [t for t in cands if rx.fullmatch(t)]
         if not matches:
@@ -1860,7 +2039,8 @@ class IndexReader:
                     if len(r) >= 3]
             cands = self._dict_candidates(required=runs) if runs \
                 else (self.expand_prefix(lit) if lit
-                      else self.vocabulary())
+                      else self._shape_candidates(
+                          self._wildcard_shape(pattern)))
             if runs and lit:
                 cands = [t for t in cands if t.startswith(lit)]
             self.dict_terms_checked += len(cands)

@@ -460,7 +460,8 @@ class Evaluator:
     def _eval_FuzzyQ(self, n: FuzzyQ):
         from engine.query import _levenshtein
         r = self._reader(n.field)
-        ms = [t for t in r.vocabulary()
+        # trigram q-gram prefilter (superset; exact predicate below)
+        ms = [t for t in r._fuzzy_candidates(n.text, n.max_edits)
               if _levenshtein(n.text, t, n.max_edits) <= n.max_edits]
         return self._union_sum(
             [self._term_clause(r, t, 1.0) for t in ms], n.boost)
@@ -475,7 +476,12 @@ class Evaluator:
                 ".*" if c == "*" else "." if c == "?" else re.escape(c)
                 for c in n.pattern))
             lit = n.pattern.split("*", 1)[0].split("?", 1)[0]
-            cands = r.expand_prefix(lit) if lit else r.vocabulary()
+            runs = [x for x in re.split(r"[*?]+", n.pattern)
+                    if len(x) >= 3]
+            cands = r._dict_candidates(required=runs) if runs \
+                else (r.expand_prefix(lit) if lit
+                      else r._shape_candidates(
+                          r._wildcard_shape(n.pattern)))
             terms = [t for t in cands if rx.fullmatch(t)]
         return self._union_sum(
             [self._term_clause(r, t, 1.0) for t in terms], n.boost)
@@ -483,17 +489,23 @@ class Evaluator:
     def _eval_RegexpQ(self, n: RegexpQ):
         r = self._reader(n.field)
         rx = re.compile(n.pattern)
-        terms = [t for t in r.vocabulary() if rx.fullmatch(t)]
+        req = r._required_literals(n.pattern)
+        cands = r._dict_candidates(required=req) if req \
+            else r._shape_candidates(r._regex_shape(n.pattern))
+        terms = [t for t in cands if rx.fullmatch(t)]
         return self._union_sum(
             [self._term_clause(r, t, 1.0) for t in terms], n.boost)
 
     def _eval_RangeQ(self, n: RangeQ):
+        import bisect
+
         r = self._reader(n.field)
-        lo_ok = (lambda t: t >= n.lo) if n.incl_lo else \
-            (lambda t: t > n.lo)
-        hi_ok = (lambda t: t <= n.hi) if n.incl_hi else \
-            (lambda t: t < n.hi)
-        terms = [t for t in r.vocabulary() if lo_ok(t) and hi_ok(t)]
+        vocab = r.vocabulary()       # sorted: the range is one slice
+        lo_i = bisect.bisect_left(vocab, n.lo) if n.incl_lo \
+            else bisect.bisect_right(vocab, n.lo)
+        hi_i = bisect.bisect_right(vocab, n.hi) if n.incl_hi \
+            else bisect.bisect_left(vocab, n.hi)
+        terms = vocab[lo_i:hi_i]
         return self._union_sum(
             [self._term_clause(r, t, 1.0) for t in terms], n.boost)
 
@@ -526,7 +538,8 @@ class Evaluator:
                     ".*" if c == "*" else "." if c == "?"
                     else re.escape(c) for c in pat))
                 lit = re.split(r"[*?]", pat, 1)[0]
-                cands = r.expand_prefix(lit) if lit else r.vocabulary()
+                cands = r.expand_prefix(lit) if lit \
+                    else r._shape_candidates(r._wildcard_shape(pat))
                 exp = [t for t in cands if rx.fullmatch(t)]
             else:
                 exp = r.analyzer.query_terms(a)

@@ -1559,6 +1559,27 @@ def regexp_topk(sf_dir: str) -> pa.Table:
     return _topdocs_out(r.regexp_topk(REGEX_PATTERN, k=10))
 
 
+REGEX_LF_PATTERN = "s..r."
+
+
+def regexp_literal_free_topk(sf_dir: str) -> pa.Table:
+    """RegexpQuery whose pattern has NO ≥3-char required literal —
+    the dictionary-scan class the trigram intersection cannot prune
+    (upstream intersects the compiled automaton with the FST,
+    ``L/util/automaton/CompiledAutomaton`` [U]). Here the pattern's
+    SHAPE — length bounds + anchored per-position character classes
+    (``IndexReader._regex_shape``) — filters the dictionary through
+    Arrow kernels before the exact full-match runs. The in-entry
+    assert pins the sublinear dictionary touch that closes SCALE.md's
+    round-3 residual boundary."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    r.dict_terms_checked = 0
+    out = r.regexp_topk(REGEX_LF_PATTERN, k=10)
+    nv = len(r.vocabulary())
+    assert 0 < r.dict_terms_checked < nv, (r.dict_terms_checked, nv)
+    return _topdocs_out(out)
+
+
 def req_opt_topk(sf_dir: str) -> pa.Table:
     """ReqOptSumScorer: required term filters, optional term adds score
     (upstream ``L/search/ReqOptSumScorer.java`` [U]) — the MUST+SHOULD
@@ -1635,6 +1656,11 @@ FROM m ORDER BY doc_id LIMIT 10
 SQL_REGEXP = _sql_disjunction(
     "SELECT DISTINCT term FROM tf "
     f"WHERE regexp_full_match(term, '{REGEX_PATTERN}')", 10)
+
+
+SQL_REGEXP_LF = _sql_disjunction(
+    "SELECT DISTINCT term FROM tf "
+    f"WHERE regexp_full_match(term, '{REGEX_LF_PATTERN}')", 10)
 
 
 # ------------------------------------------- classic query parser
@@ -15277,6 +15303,7 @@ def queries() -> dict:
         "fuzzy_blended_topk_docs": fuzzy_blended_topk_docs,
         "fuzzy_prefix_topk_docs": fuzzy_prefix_topk_docs,
         "regexp_topk": regexp_topk,
+        "regexp_literal_free_topk": regexp_literal_free_topk,
         "boosted_topk": boosted_topk,
         "constant_score_topk": constant_score_topk,
         "req_opt_topk": req_opt_topk,
@@ -15656,6 +15683,7 @@ def oracle_sql() -> dict:
         "fuzzy_blended_topk_docs": SQL_FUZZY_BLENDED,
         "fuzzy_prefix_topk_docs": SQL_FUZZY_PREFIX,
         "regexp_topk": SQL_REGEXP,
+        "regexp_literal_free_topk": SQL_REGEXP_LF,
         "boosted_topk": sql_boosted(),
         "constant_score_topk": SQL_CONSTANT_SCORE,
         "req_opt_topk": SQL_REQ_OPT,

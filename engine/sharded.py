@@ -275,7 +275,7 @@ class ShardSearcher:
             rx = re.compile(pattern)
             req = r._required_literals(pattern)
             cands = r._dict_candidates(required=req) if req \
-                else r.vocabulary()
+                else r._shape_candidates(r._regex_shape(pattern))
             return [t for t in cands if rx.fullmatch(t)]
         # wildcard
         body = pattern[:-1] if pattern.endswith("*") else pattern
@@ -287,7 +287,8 @@ class ShardSearcher:
         lit = pattern.split("*", 1)[0].split("?", 1)[0]
         runs = [x for x in re.split(r"[*?]+", pattern) if len(x) >= 3]
         cands = r._dict_candidates(required=runs) if runs \
-            else (r.expand_prefix(lit) if lit else r.vocabulary())
+            else (r.expand_prefix(lit) if lit
+                  else r._shape_candidates(r._wildcard_shape(pattern)))
         if runs and lit:
             cands = [t for t in cands if t.startswith(lit)]
         return [t for t in cands if rx.fullmatch(t)]

@@ -140,6 +140,68 @@ def test_preloaded_and_lazy_candidates_agree(smoke_index):
     assert r._dict_candidates(required=["ab"]) == r.vocabulary()
 
 
+@pytest.mark.parametrize("pattern", [
+    "a.c", "..x", "qu...", "q.{2}rk", "[bf]ox", ".*x", "ab[cd]",
+    "(ab|pre).*", "s..r.",
+])
+def test_regex_shape_prune_equals_full_scan(smoke_index, pattern):
+    """Literal-free patterns: the shape filter (length bounds +
+    anchored char classes via Arrow kernels) must be a superset of
+    the true matches — pruned full-match == full-scan full-match."""
+    import re
+
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    rx = re.compile(pattern)
+    vocab = r.vocabulary()
+    full = [t for t in vocab if rx.fullmatch(t)]
+    cands = r._shape_candidates(IndexReader._regex_shape(pattern))
+    assert [t for t in cands if rx.fullmatch(t)] == full
+
+
+@pytest.mark.parametrize("pattern", ["?o?", "??x", "b*n", "*o?",
+                                     "?ui*"])
+def test_wildcard_shape_prune_equals_full_scan(smoke_index, pattern):
+    import re
+
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    rx = re.compile("".join(
+        ".*" if c == "*" else "." if c == "?" else re.escape(c)
+        for c in pattern))
+    vocab = r.vocabulary()
+    full = [t for t in vocab if rx.fullmatch(t)]
+    cands = r._shape_candidates(IndexReader._wildcard_shape(pattern))
+    assert [t for t in cands if rx.fullmatch(t)] == full
+
+
+def test_literal_free_patterns_touch_sublinear_dictionary(
+        smoke_index):
+    """The round-3 residual boundary (SCALE.md §2) is closed: a
+    fixed-length literal-free regex and a ?-only wildcard both check
+    far fewer terms than the vocabulary."""
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    nv = len(r.vocabulary())
+    probe = max(r.vocabulary(), key=len)
+    pat = probe[0] + "." * (len(probe) - 2) + probe[-1]
+    r.dict_terms_checked = 0
+    top = r.regexp_topk(pat, 10)
+    assert top.num_rows > 0
+    assert 0 < r.dict_terms_checked < nv
+    wpat = "?" + probe[1:-1] + "?"
+    r.dict_terms_checked = 0
+    wtop = r.wildcard_topk(wpat, 10)
+    assert wtop.num_rows > 0
+    assert 0 < r.dict_terms_checked < nv
+
+
 def test_nrt_ram_terms_visible_to_fuzzy(ray_session, tmp_path):
     from engine.build import IndexConfig, build_index
     from engine.nrt import NrtWriter
