@@ -110,15 +110,78 @@ def _split_long_tokens(token_lists: pa.ListArray, maxlen: int
         pa.array(flat, type=pa.string()))
 
 
+def _apply_events(text: str, events: list[tuple[int, int, str]]
+                  ) -> tuple[str, tuple[list[int], list[int]]]:
+    """Apply (start, length, replacement) rewrite events (ascending,
+    non-overlapping) to one string; returns the rewritten string plus
+    the offset map (cuts, deltas): ``original_offset =
+    filtered_offset + deltas[bisect_right(cuts, filtered_offset)-1]``
+    — the ``BaseCharFilter#addOffCorrectMap`` / ``correctOffset``
+    protocol [U ``L/analysis/charfilter/BaseCharFilter.java``]."""
+    parts: list[str] = []
+    cuts, deltas = [0], [0]
+    pos = f_len = delta = 0
+    for s, ln, rep in events:
+        parts.append(text[pos:s])
+        f_len += s - pos
+        parts.append(rep)
+        f_len += len(rep)
+        delta += ln - len(rep)
+        cuts.append(f_len)
+        deltas.append(delta)
+        pos = s + ln
+    parts.append(text[pos:])
+    return "".join(parts), (cuts, deltas)
+
+
+def _correct_offset(off_map: tuple[list[int], list[int]],
+                    f_off: int) -> int:
+    import bisect
+
+    cuts, deltas = off_map
+    return f_off + deltas[bisect.bisect_right(cuts, f_off) - 1]
+
+
+def _regex_events(text: str, rx, repl: str
+                  ) -> list[tuple[int, int, str]]:
+    return [(m.start(), m.end() - m.start(), repl)
+            for m in rx.finditer(text)]
+
+
+def char_filter_offsets(filters, text: str):
+    """Run a char-filter chain over ONE raw string, composing each
+    stage's offset map: returns (filtered_text, correct) where
+    ``correct(filtered_offset) -> raw_offset`` — the per-result
+    presentation path for offset-carrying highlighting (upstream
+    ``CharFilter#correctOffset`` chains the same way [U])."""
+    corrs = []
+    for f in filters:
+        text, c = f.apply_with_offsets(text)
+        corrs.append(c)
+
+    def correct(off: int) -> int:
+        for c in reversed(corrs):
+            off = c(off)
+        return off
+
+    return text, correct
+
+
 class CharFilter:
     """Pre-tokenization character filter (upstream
     ``L/analysis/CharFilter.java`` [U]): a vectorized Arrow
     string→string transform applied to the raw text column BEFORE the
-    tokenizer splits it. No offset-correction machinery (the upstream
-    class's main complexity) because this engine re-tokenizes for
-    highlighting rather than mapping stored offsets."""
+    tokenizer splits it. ``apply_with_offsets`` is the per-result
+    presentation path: one raw string in, filtered string + a
+    ``correctOffset`` callable out (offsets in the filtered text map
+    back to the raw stored text), so highlighting over filtered
+    fields reports RAW-text offsets like upstream's
+    ``BaseCharFilter`` correction maps."""
 
     def apply(self, texts: pa.Array) -> pa.Array:
+        raise NotImplementedError
+
+    def apply_with_offsets(self, text: str):
         raise NotImplementedError
 
     def spec(self) -> dict:
@@ -140,6 +203,19 @@ class HTMLStripCharFilter(CharFilter):
         return pc.replace_substring_regex(
             out, pattern=self.ENTITIES, replacement=" ")
 
+    def apply_with_offsets(self, text: str):
+        """Same two regex stages as :meth:`apply`, with their offset
+        maps composed (tags strip first, entities on the result —
+        order matters for both output and offsets)."""
+        import re
+
+        t1, m1 = _apply_events(
+            text, _regex_events(text, re.compile(self.TAGS), " "))
+        t2, m2 = _apply_events(
+            t1, _regex_events(t1, re.compile(self.ENTITIES), " "))
+        return t2, (lambda off: _correct_offset(
+            m1, _correct_offset(m2, off)))
+
     def spec(self) -> dict:
         return {"type": "htmlstrip"}
 
@@ -157,6 +233,30 @@ class MappingCharFilter(CharFilter):
             texts = pc.replace_substring(texts, pattern=src,
                                          replacement=dst)
         return texts
+
+    def apply_with_offsets(self, text: str):
+        """One offset-map stage per sequential replace, composed in
+        the same sorted-key order as :meth:`apply` (left-to-right
+        non-overlapping occurrences, matching replace_substring)."""
+        corrs = []
+        for src, dst in self.mapping.items():
+            events = []
+            start = 0
+            while True:
+                i = text.find(src, start)
+                if i < 0:
+                    break
+                events.append((i, len(src), dst))
+                start = i + len(src)
+            text, m = _apply_events(text, events)
+            corrs.append(m)
+
+        def correct(off: int) -> int:
+            for m in reversed(corrs):
+                off = _correct_offset(m, off)
+            return off
+
+        return text, correct
 
     def spec(self) -> dict:
         return {"type": "mapping", "mapping": self.mapping}

@@ -3545,6 +3545,56 @@ class IndexReader:
             "snippet_idx": pa.array(out_idx, pa.int64()),
             "snippet": pa.array(out_snip, pa.string())})
 
+    def highlight_offsets_topk(self, query_text: str, k: int = 10
+                               ) -> pa.Table:
+        """Offset-carrying highlighting over char-filtered fields
+        (upstream ``HTMLStripCharFilter`` / ``BaseCharFilter``
+        ``correctOffset`` [U]): top-k docs for the query, then per doc
+        the FIRST occurrence of any analyzed query term as a substring
+        of the lower-cased char-FILTERED text (position asc, term asc
+        tie-break), reported as offsets INTO THE RAW STORED TEXT via
+        the filter chain's offset maps, plus the raw surface between
+        them. Documented boundary: substring-level first hit (the
+        FastVectorHighlighter term-vector style), not token-boundary
+        matching — deterministic and SQL-replayable. Docs whose
+        filtered text lacks every query term substring emit no row
+        (cannot happen for single-term queries: the scoring token is
+        itself a substring). Presentation stage: per-result only."""
+        from engine.analysis import char_filter_offsets
+
+        top = self.topk(query_text, k)
+        ids = top["doc_id"].to_numpy()
+        qterms = sorted(set(self.analyzer.query_terms(query_text)))
+        stored = self.fetch_docs(ids)
+        text_by_id = dict(zip(stored["doc_id"].to_pylist(),
+                              stored["text"].to_pylist()))
+        keep, starts, ends, surfs = [], [], [], []
+        for ri, d in enumerate(ids.tolist()):
+            raw = text_by_id.get(d, "")
+            filtered, correct = char_filter_offsets(
+                self.analyzer.char_filters, raw)
+            low = filtered.lower()
+            best: tuple[int, str] | None = None
+            for t in qterms:
+                p = low.find(t)
+                if p >= 0 and (best is None or p < best[0]):
+                    best = (p, t)
+            if best is None:
+                continue
+            p, t = best
+            so, eo = correct(p), correct(p + len(t))
+            keep.append(ri)
+            starts.append(so)
+            ends.append(eo)
+            surfs.append(raw[so:eo])
+        sel = top.take(pa.array(keep, type=pa.int64()))
+        return pa.table({
+            "rank": sel["rank"], "doc_id": sel["doc_id"],
+            "score": sel["score"],
+            "start_off": pa.array(starts, type=pa.int64()),
+            "end_off": pa.array(ends, type=pa.int64()),
+            "surface": pa.array(surfs, type=pa.string())})
+
     def highlight_ranked_topk(self, query_text: str, k: int = 10,
                               window: int = 8, n_passages: int = 2,
                               pivot: int = 87) -> pa.Table:

@@ -7050,6 +7050,86 @@ FROM toks GROUP BY term ORDER BY term
 """
 
 
+HLO_TERM = "spark"
+
+_SQL_STRIP_TPL = ("regexp_replace(regexp_replace({col}, '<[^>]*>', "
+                  "' ', 'g'), '&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g')")
+_SQL_WRAP = ("'<p class=\"doc\">' || text || ' &amp; tail</p>'")
+
+
+def highlight_offsets_docs(sf_dir: str) -> pa.Table:
+    """Offset-carrying highlighting over an HTML corpus (upstream
+    ``HTMLStripCharFilter``'s ``correctOffset`` maps [U]): the corpus
+    is wrapped in markup + an entity, indexed through the strip
+    filter, and the top-k snippets report the first query-term hit as
+    offsets INTO THE RAW (tagged) stored text via the filter's offset
+    map — ``IndexReader.highlight_offsets_topk``. The oracle
+    recomputes the raw offsets independently: the unique original
+    position whose stripped prefix length equals the filtered-text
+    hit position. In-entry assert pins surface == term."""
+    key = hashlib.md5(f"{sf_dir}|htmlwrap|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "html_" + key)
+    os.makedirs(work, exist_ok=True)
+    src = os.path.join(work, "wrapped.parquet")
+    if not os.path.exists(src):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        wrapped = pc.binary_join_element_wise(
+            pa.scalar('<p class="doc">'), t["text"].combine_chunks(),
+            pa.scalar(' &amp; tail</p>'), pa.scalar(""))
+        tmp = src + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"],
+                                 "text": wrapped}), tmp)
+        os.replace(tmp, src)
+    idx = _cached_filtered_index(
+        sf_dir, (), "htmlstrip",
+        char_filters=({"type": "htmlstrip"},), input_file=src)
+    from engine.build import build_stored_fields
+    build_stored_fields(idx)   # no-op once built (manifest-guarded)
+    r = IndexReader(idx)
+    out = r.highlight_offsets_topk(HLO_TERM, k=10)
+    assert all(s.lower() == HLO_TERM
+               for s in out["surface"].to_pylist()), out
+    return _cast_col(out, "rank", pa.int64())
+
+
+def sql_highlight_offsets() -> str:
+    strip_w = _SQL_STRIP_TPL.format(col="wtext")
+    strip_pre = _SQL_STRIP_TPL.format(
+        col="substr(wtext, 1, i::INT - 1)")
+    sdocs = (f"(SELECT doc_id, {_SQL_STRIP_TPL.format(col=_SQL_WRAP)} "
+             "AS text FROM documents) sdocs")
+    L = len(HLO_TERM)
+    return f"""{_sql_scored(f"SELECT '{HLO_TERM}' AS term",
+                            docs_src=sdocs)},
+topk AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+           AS rank, doc_id, score
+  FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+raw AS (SELECT doc_id, {_SQL_WRAP} AS wtext FROM documents),
+hit AS (
+  SELECT t.rank, t.doc_id, t.score, r.wtext,
+         strpos(lower({strip_w}), '{HLO_TERM}') AS fpos
+  FROM topk t JOIN raw r USING (doc_id)),
+gs AS (SELECT g.i FROM generate_series(1, 5000) AS g(i)),
+occ AS (
+  SELECT h.doc_id, h.wtext, h.fpos, gs.i
+  FROM hit h JOIN gs ON gs.i + {L - 1} <= length(h.wtext)
+  WHERE h.fpos > 0
+    AND lower(substr(h.wtext, gs.i::INT, {L})) = '{HLO_TERM}'),
+mapped AS (
+  SELECT doc_id, MIN(i) AS i FROM occ
+  WHERE length({strip_pre}) = fpos - 1
+  GROUP BY doc_id)
+SELECT h.rank, h.doc_id, h.score,
+       (m.i - 1)::BIGINT AS start_off,
+       (m.i - 1 + {L})::BIGINT AS end_off,
+       substr(h.wtext, m.i::INT, {L}) AS surface
+FROM mapped m JOIN hit h USING (doc_id)
+ORDER BY h.rank
+"""
+
+
 def mapping_term_stats(sf_dir: str) -> pa.Table:
     """MappingCharFilter e2e (upstream ``MappingCharFilter`` [U]):
     literal pre-tokenize rewrite spark→flink, stats vs a SQL
@@ -15416,6 +15496,7 @@ def queries() -> dict:
         "nb_classify_docs": nb_classify_docs,
         "interval_facet_orders": interval_facet_orders,
         "htmlstrip_term_stats": htmlstrip_term_stats,
+        "highlight_offsets_docs": highlight_offsets_docs,
         "mapping_term_stats": mapping_term_stats,
         "edge_ngram_stats": edge_ngram_stats,
         "length_filter_stats": length_filter_stats,
@@ -15793,6 +15874,7 @@ def oracle_sql() -> dict:
         "nb_classify_docs": SQL_NB_CLASSIFY,
         "interval_facet_orders": SQL_INTERVAL_FACET,
         "htmlstrip_term_stats": SQL_HTMLSTRIP_STATS,
+        "highlight_offsets_docs": sql_highlight_offsets(),
         "mapping_term_stats": SQL_MAPPING_STATS,
         "edge_ngram_stats": SQL_EDGE_NGRAM_STATS,
         "length_filter_stats": SQL_LENGTH_FILTER_STATS,

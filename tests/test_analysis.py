@@ -659,3 +659,55 @@ def test_uax29_sliced_and_null_arrays():
     s2 = base.slice(3, 2)
     assert segment_batch(s2).to_pylist() == [["日", "本", "ok"],
                                              ["🇺🇸", "🇩🇪", "end"]]
+
+
+def test_char_filter_offset_maps_htmlstrip():
+    """HTMLStrip apply_with_offsets: same output as the vectorized
+    apply(), and every filtered offset maps back to the raw position
+    of the same character (upstream correctOffset contract)."""
+    import pyarrow as pa
+
+    from engine.analysis import HTMLStripCharFilter
+
+    f = HTMLStripCharFilter()
+    raw = '<p class="x">ab &amp; cd</p> tail &#38; <br/>end'
+    filtered, correct = f.apply_with_offsets(raw)
+    assert filtered == f.apply(pa.array([raw]))[0].as_py()
+    for i, ch in enumerate(filtered):
+        o = correct(i)
+        if ch != " ":            # replacement spaces map to region starts
+            assert raw[o] == ch, (i, ch, o, raw[o])
+    # exclusive end offset just past the final char
+    assert correct(len(filtered)) == len(raw)
+
+
+def test_char_filter_offset_maps_mapping():
+    """MappingCharFilter with length-changing rewrites keeps the
+    offset map consistent with sequential vectorized replaces."""
+    import pyarrow as pa
+
+    from engine.analysis import MappingCharFilter
+
+    f = MappingCharFilter({"spark": "flink!", "&": "and"})
+    raw = "spark & spark streams"
+    filtered, correct = f.apply_with_offsets(raw)
+    assert filtered == f.apply(pa.array([raw]))[0].as_py()
+    assert filtered == "flink! and flink! streams"
+    # 'streams' survives both rewrites: its chars map to raw offsets
+    p = filtered.find("streams")
+    o = correct(p)
+    assert raw[o:o + len("streams")] == "streams"
+
+
+def test_char_filter_offsets_chain_composes():
+    from engine.analysis import (HTMLStripCharFilter,
+                                 MappingCharFilter,
+                                 char_filter_offsets)
+
+    chain = [HTMLStripCharFilter(), MappingCharFilter({"qq": "q"})]
+    raw = "<b>one</b> qq two"
+    filtered, correct = char_filter_offsets(chain, raw)
+    assert filtered == " one  q two"
+    p = filtered.find("two")
+    o = correct(p)
+    assert raw[o:o + 3] == "two"
