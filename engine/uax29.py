@@ -28,7 +28,11 @@ Implementation notes:
 
 Documented conformance boundary: dictionary-based CJK segmentation
 (ICU) and the Unicode-version drift of the property table are out of
-scope; emoji ZWJ sequences split at the ZWJ (treated as Extend).
+scope. Emoji ZWJ sequences hold together per WB3c (ZWJ ×
+Extended_Pictographic, Unicode-15 emoji-data ranges pinned below),
+and segments of Extended_Pictographic characters emit as emoji
+tokens — the ICUTokenizer emoji-token behavior (upstream LUCENE-8013
+``icu/.../ICUTokenizer`` [U]).
 """
 
 from __future__ import annotations
@@ -80,8 +84,41 @@ _MIDNUMLET = {0x002E, 0x2018, 0x2024, 0xFE52, 0xFF07, 0xFF0E}
 _MNL_2019 = 0x2019            # right single quote is MidNumLet
 _SQ_CP = 0x0027
 _DQ_CP = 0x0022
+_ZWJ_CP = 0x200D
+
+# Extended_Pictographic ranges (Unicode 15 emoji-data.txt, pinned —
+# the WB3c operand and the emoji-token segment class)
+_EP_RANGES = [
+    (0x00A9, 0x00A9), (0x00AE, 0x00AE), (0x203C, 0x203C),
+    (0x2049, 0x2049), (0x2122, 0x2122), (0x2139, 0x2139),
+    (0x2194, 0x2199), (0x21A9, 0x21AA), (0x231A, 0x231B),
+    (0x2328, 0x2328), (0x23CF, 0x23CF), (0x23E9, 0x23F3),
+    (0x23F8, 0x23FA), (0x24C2, 0x24C2), (0x25AA, 0x25AB),
+    (0x25B6, 0x25B6), (0x25C0, 0x25C0), (0x25FB, 0x25FE),
+    (0x2600, 0x2605), (0x2607, 0x2612), (0x2614, 0x2685),
+    (0x2690, 0x2705), (0x2708, 0x2712), (0x2714, 0x2714),
+    (0x2716, 0x2716), (0x271D, 0x271D), (0x2721, 0x2721),
+    (0x2728, 0x2728), (0x2733, 0x2734), (0x2744, 0x2744),
+    (0x2747, 0x2747), (0x274C, 0x274C), (0x274E, 0x274E),
+    (0x2753, 0x2755), (0x2757, 0x2757), (0x2763, 0x2767),
+    (0x2795, 0x2797), (0x27A1, 0x27A1), (0x27B0, 0x27B0),
+    (0x27BF, 0x27BF), (0x2934, 0x2935), (0x2B05, 0x2B07),
+    (0x2B1B, 0x2B1C), (0x2B50, 0x2B50), (0x2B55, 0x2B55),
+    (0x3030, 0x3030), (0x303D, 0x303D), (0x3297, 0x3297),
+    (0x3299, 0x3299), (0x1F000, 0x1F0FF), (0x1F10D, 0x1F10F),
+    (0x1F12F, 0x1F12F), (0x1F16C, 0x1F171), (0x1F17E, 0x1F17F),
+    (0x1F18E, 0x1F18E), (0x1F191, 0x1F19A), (0x1F1AD, 0x1F1E5),
+    (0x1F201, 0x1F20F), (0x1F21A, 0x1F21A), (0x1F22F, 0x1F22F),
+    (0x1F232, 0x1F23A), (0x1F23C, 0x1F23F), (0x1F249, 0x1F3FA),
+    (0x1F400, 0x1F53D), (0x1F546, 0x1F64F), (0x1F680, 0x1F6FF),
+    (0x1F774, 0x1F77F), (0x1F7D5, 0x1F7FF), (0x1F80C, 0x1F80F),
+    (0x1F848, 0x1F84F), (0x1F85A, 0x1F85F), (0x1F888, 0x1F88F),
+    (0x1F8AE, 0x1F8FF), (0x1F90C, 0x1F93A), (0x1F93C, 0x1F945),
+    (0x1F947, 0x1FAFF), (0x1FC00, 0x1FFFD),
+]
 
 _PROPS: np.ndarray | None = None
+_EP: np.ndarray | None = None
 
 
 def _build_props() -> np.ndarray:
@@ -124,8 +161,11 @@ def _build_props() -> np.ndarray:
     p[_MNL_2019] = MIDNUMLET
     p[_SQ_CP] = SQ
     p[_DQ_CP] = DQ
-    p[0x200D] = EXTEND            # ZWJ: attach, do not join emoji
+    p[_ZWJ_CP] = EXTEND           # WB4-transparent; WB3c handled in
+    #                               original codepoint space
     p[0x202F] = EXTNUMLET         # narrow no-break space
+    p[0x1F3FB:0x1F3FF + 1] = EXTEND   # emoji modifiers (WordBreak.txt
+    #                                   Extend; category Sk would miss)
     return p
 
 
@@ -134,6 +174,17 @@ def _props() -> np.ndarray:
     if _PROPS is None:
         _PROPS = _build_props()
     return _PROPS
+
+
+def _ep_table() -> np.ndarray:
+    """bool per codepoint: Extended_Pictographic (pinned ranges)."""
+    global _EP
+    if _EP is None:
+        t = np.zeros(sys.maxunicode + 1, dtype=bool)
+        for lo, hi in _EP_RANGES:
+            t[lo:hi + 1] = True
+        _EP = t
+    return _EP
 
 
 _AH = (1 << ALETTER) | (1 << HEBREW)
@@ -251,6 +302,17 @@ def segment_batch(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
            & (p == EXTNUMLET))                                 # WB13a
         | ((prev == EXTNUMLET) & _in(_AHNK, p))                # WB13b
     )
+    # WB3c: ZWJ × Extended_Pictographic — evaluated in ORIGINAL
+    # codepoint space (the ZWJ itself is WB4-transparent, so in the
+    # collapsed stream it has already attached to the preceding
+    # cluster; gluing the FOLLOWING pictograph here chains full emoji
+    # ZWJ sequences into one segment)
+    ep_c = _ep_table()[cp[vi]]
+    if ep_c.any():
+        prev_orig = np.maximum(vi - 1, 0)
+        zwj_prev = (vi > 0) & (cp[prev_orig] == _ZWJ_CP) \
+            & (doc_of[prev_orig] == d)
+        nb = nb | (zwj_prev & ep_c)
     # WB15/16: no break between regional-indicator PAIRS only
     ri = p == RI
     if ri.any():
@@ -267,8 +329,10 @@ def segment_batch(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
     brk[0] = True
 
     # segments → tokens: keep segments containing a word character
+    # or a pictograph (emoji tokens, the ICUTokenizer LUCENE-8013
+    # behavior — an EP segment emits as ONE token)
     seg_id = np.cumsum(brk) - 1
-    wordish = _in(_WORDISH, p)
+    wordish = _in(_WORDISH, p) | ep_c
     n_seg = int(seg_id[-1]) + 1
     seg_keep = np.zeros(n_seg, dtype=bool)
     np.logical_or.at(seg_keep, seg_id, wordish)

@@ -711,3 +711,32 @@ def test_char_filter_offsets_chain_composes():
     p = filtered.find("two")
     o = correct(p)
     assert raw[o:o + 3] == "two"
+
+
+def test_uax29_wb3c_emoji_zwj_sequences():
+    """WB3c (ZWJ × Extended_Pictographic): published emoji ZWJ
+    sequences hold as ONE token; EP segments emit as emoji tokens
+    (ICUTokenizer LUCENE-8013 behavior); RI pairing and letter
+    boundaries unchanged."""
+    import pyarrow as pa
+
+    from engine.uax29 import segment_batch
+
+    def toks(s):
+        return segment_batch(pa.array([s])).to_pylist()[0]
+
+    fam = "\U0001F468‍\U0001F469‍\U0001F467‍\U0001F466"
+    assert toks(f"family {fam} end") == ["family", fam, "end"]
+    flag = "\U0001F3F3️‍\U0001F308"      # VS16 + ZWJ chain
+    assert toks(f"flag {flag} here") == ["flag", flag, "here"]
+    thumbs = "\U0001F44D\U0001F3FD"                # skin-tone Extend
+    assert toks(f"ok {thumbs}") == ["ok", thumbs]
+    kiss = ("\U0001F469‍❤️‍"
+            "\U0001F48B‍\U0001F468")
+    assert toks(f"kiss {kiss} seq") == ["kiss", kiss, "seq"]
+    # regional indicators still pair, never chain
+    assert toks("us \U0001F1FA\U0001F1F8\U0001F1E9\U0001F1EA x") == \
+        ["us", "\U0001F1FA\U0001F1F8", "\U0001F1E9\U0001F1EA", "x"]
+    # a bare pictograph is its own token; letters break off it
+    assert toks("mix ☕ and \U0001F9EAx") == \
+        ["mix", "☕", "and", "\U0001F9EA", "x"]
