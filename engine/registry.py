@@ -310,16 +310,69 @@ ORDER BY sim DESC, doc_id LIMIT 10
 """
 
 
+# Published Metaphone test vectors (Lawrence Philips, Computer
+# Language 7(12) 1990, + the commons-codec MetaphoneTest suite): the
+# fixture corpus AND the SQL oracle's code mapping both come from
+# this table, so the check is non-circular — the engine's encoder is
+# graded against the published expected codes, not against itself.
+METAPHONE_VECTORS = [
+    ("smith", "SM0"), ("smyth", "SM0"), ("knight", "NT"),
+    ("night", "NT"), ("philip", "FLP"), ("filip", "FLP"),
+    ("school", "SKL"), ("xavier", "SFR"), ("ghost", "KST"),
+    ("dodge", "TJ"), ("sign", "SN"), ("lamb", "LM"),
+    ("watch", "WX"), ("honest", "HNST"), ("away", "AW"),
+    ("back", "BK"), ("accept", "AKSP"), ("thumb", "0M"),
+    ("judge", "JJ"), ("wrack", "RK"),
+]
+
+
 def metaphone_stats(sf_dir: str) -> pa.Table:
     """PhoneticFilter(Metaphone) e2e (upstream ``PhoneticFilterFactory``
-    encoder=Metaphone [U]): metaphone-coded index → (term, df, cf) read
-    back from the merged shards. NO SQL oracle: DuckDB has no metaphone
-    function and embedding engine-computed codes in the SQL would make
-    the check circular — correctness rides on the published-rule golden
-    vector in ``test_metaphone_golden`` plus this rows-only entry."""
+    encoder=Metaphone [U]) over a fixture corpus built from the
+    PUBLISHED Metaphone test vectors (``METAPHONE_VECTORS``):
+    metaphone-coded index → (term, df, cf) read back from the merged
+    shards. The SQL oracle maps each word to its published code via a
+    VALUES table — DuckDB has no metaphone, but the published vector
+    IS the independent ground truth (digit-bearing tokens pass
+    through, exercised by the ``x9`` token)."""
+    key = hashlib.md5(f"{sf_dir}|mpcorp|v1".encode()).hexdigest()[:12]
+    src = os.path.join("/tmp/rayindex_cache", f"mpcorp_{key}.parquet")
+    if not os.path.exists(src):
+        words = [w for w, _ in METAPHONE_VECTORS]
+        # deterministic doc texts: doc i holds every 1st..(i%3+1)-th
+        # word rotation plus a digit token — df/cf vary per code
+        texts = []
+        for i in range(8):
+            sel = words[i::2] + words[: i % 3 + 1] + ["x9"]
+            texts.append(" ".join(sel))
+        tmp = src + ".tmp"
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(8), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())}), tmp)
+        os.replace(tmp, src)
     idx = _cached_filtered_index(
-        sf_dir, ({"type": "metaphone", "max_len": 4},), "metaphone4")
+        sf_dir, ({"type": "metaphone", "max_len": 4},), "metaphone4v",
+        input_file=src)
     return _index_stats_of(idx)
+
+
+def sql_metaphone_stats() -> str:
+    vals = ",".join(f"('{w}','{c}')" for w, c in METAPHONE_VECTORS)
+    words = [w for w, _ in METAPHONE_VECTORS]
+    docs = []
+    for i in range(8):
+        sel = words[i::2] + words[: i % 3 + 1] + ["x9"]
+        docs.append(f"({i}, '{' '.join(sel)}')")
+    return f"""
+WITH v(word, code) AS (VALUES {vals}),
+corpus(doc_id, text) AS (VALUES {",".join(docs)}),
+toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM corpus),
+g AS (SELECT doc_id, COALESCE(v.code, toks.word) AS term
+      FROM toks LEFT JOIN v USING (word))
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM g GROUP BY term ORDER BY term
+"""
 
 
 def taxonomy_facet_docs(sf_dir: str) -> pa.Table:
@@ -737,10 +790,14 @@ _BM25_ANALYZED_GOLDEN = {
 
 
 def bm25_topk_analyzed(sf_dir: str) -> pa.Table:
-    """BM25 over the FULL analysis chain (stopwords + Porter stem) —
-    Porter isn't expressible in SQL, so rows-only; correctness is
-    pinned by an embedded golden value-hash (below) plus analyzer
-    goldens + dual-execution tests."""
+    """BM25 over the FULL analysis chain (stopwords + Porter stem).
+    Round 4 gave this a REAL SQL oracle: ``engine/sqlporter.py``
+    transcribes the published 1980 Porter algorithm into a DuckDB
+    CTE chain (recursive consonant/vowel classification + the paper's
+    rule tables), cross-checked 0-mismatch against ``engine/porter``
+    over a 118k-word vocabulary — so the oracle replays stopword
+    removal, stemming, quantized norms and f32 BM25 end to end. The
+    embedded golden value-hash stays as a belt-and-suspenders pin."""
     import struct
 
     idx = cached_doc_index(sf_dir, analyzed=True)
@@ -757,6 +814,50 @@ def bm25_topk_analyzed(sf_dir: str) -> pa.Table:
         assert got == want, (
             f"bm25_topk_analyzed golden mismatch for {base}: {got}")
     return out
+
+
+def sql_bm25_analyzed() -> str:
+    """Full-analysis-chain BM25 oracle: tokenize, stop-filter, Porter
+    stem (engine/sqlporter.py CTE transcription), then the standard
+    f32-exact disjunction. Query words run through the SAME SQL
+    stemmer, so no engine-computed value is embedded."""
+    from engine.analysis import ENGLISH_STOP_WORDS
+    from engine.sqlporter import porter_cte_chain
+
+    stops = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    qwords = ",".join(
+        f"'{w}'" for w in "queries merging windows".lower().split())
+    return f"""WITH RECURSIVE
+rawt AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+ft AS (SELECT doc_id, term FROM rawt WHERE term NOT IN ({stops})),
+src AS (SELECT term FROM ft UNION SELECT unnest([{qwords}])),
+{porter_cte_chain('src')},
+st AS (SELECT f.doc_id, p.stem AS term
+       FROM ft f JOIN pstem p ON p.term = f.term),
+qterms AS (SELECT DISTINCT stem AS term FROM pstem
+           WHERE term IN ({qwords})),
+stats AS (SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+                 (SELECT COUNT(*) FROM st)::DOUBLE
+                 / (SELECT COUNT(*) FROM documents)::DOUBLE AS avgdl),
+lut(lo, hi, dec) AS (VALUES {_smallfloat_lut_sql()}),
+dlen AS (SELECT doc_id, COUNT(*) AS dl FROM st GROUP BY doc_id),
+dl AS (SELECT doc_id, lut.dec::DOUBLE AS dlq
+       FROM dlen JOIN lut ON dl BETWEEN lut.lo AND lut.hi),
+tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+       FROM st GROUP BY doc_id, term),
+dfs AS (SELECT q.term, COUNT(DISTINCT tf.doc_id)::DOUBLE AS df
+        FROM qterms q JOIN tf ON tf.term = q.term GROUP BY q.term),
+contrib AS (
+  SELECT tf.doc_id, {_SQL_CONTRIB} AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (SELECT doc_id, CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+           FROM contrib GROUP BY doc_id)
+SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+         AS rank, doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
 
 
 def fetch_topk_docs(sf_dir: str) -> pa.Table:
@@ -15723,6 +15824,7 @@ def oracle_sql() -> dict:
         "synonym_term_stats": _sql_synonym_stats(),
         "doc_freq_top20": SQL_DOC_FREQ_TOP20,
         "bm25_topk": sql_bm25_topk(),
+        "bm25_topk_analyzed": sql_bm25_analyzed(),
         "quality_benchmark_docs": sql_quality_benchmark(),
         "query_result_cache_topk": sql_bm25_topk(),
         "bm25_topk_for": sql_bm25_topk(),
@@ -15938,6 +16040,7 @@ def oracle_sql() -> dict:
         "term_automaton_topk_docs": sql_term_automaton(),
         "pattern_replace_stats": SQL_PATTERN_REPLACE_STATS,
         "soundex_stats": SQL_SOUNDEX_STATS,
+        "metaphone_stats": sql_metaphone_stats(),
         "regression_stats_events": SQL_REGRESSION_STATS,
         "kmeans_assign_embeddings": SQL_KMEANS_ASSIGN,
         "explain_topk_docs": sql_explain_topk(),

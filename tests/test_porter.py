@@ -103,3 +103,38 @@ def test_porter_case(word, expected):
 def test_short_words_unchanged():
     for w in ["a", "is", "be", "on", "ax"]:
         assert stem(w) == w
+
+
+def test_sql_porter_matches_python():
+    """engine/sqlporter.py (the DuckDB transcription of the published
+    1980 algorithm) must agree with engine/porter.py on the paper's
+    example words, the reference departures, y-class edge cases, and
+    digit/short-token pass-through."""
+    import duckdb
+
+    from engine.porter import stem
+    from engine.sqlporter import porter_cte_chain
+
+    words = sorted(set("""caresses ponies ties caress cats feed agreed
+      plastered bled motoring sing conflated troubled sized hopping
+      tanned falling hissing fizzed failing filing relational
+      conditional rational valenci hesitanci digitizer conformabli
+      radicalli differentli vileli analogousli vietnamization
+      predication operator feudalism decisiveness hopefulness
+      callousness formaliti sensitiviti sensibiliti triplicate
+      formative formalize electriciti electrical hopeful goodness
+      revival allowance inference airliner gyroscopic adjustable
+      defensible irritant replacement adjustment dependent adoption
+      communism activate angulariti homologou homologous effective
+      bowdlerize probate rate cease control roll generalization
+      oscillators abilities agreement yyy syzygy toy tray enjoyment
+      dying lying tying news innings proceed exceed succeed happy sky
+      ab x9 a e33 controll bli logi""".split()))
+    vals = ",".join(f"('{w}')" for w in words)
+    sql = f"""WITH RECURSIVE src(term) AS (VALUES {vals}),
+{porter_cte_chain('src')}
+SELECT term, stem FROM pstem"""
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    bad = {w: (stem(w), got.get(w))
+           for w in words if got.get(w) != stem(w)}
+    assert not bad, bad
