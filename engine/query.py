@@ -3068,16 +3068,28 @@ class IndexReader:
     def _expand_reversed_suffix(self, suffix: str) -> list[str]:
         """Suffix range via a memoized REVERSED dictionary (the
         ReversedWildcardFilter index-side trick, done reader-side:
-        one reversal pass per reader instead of doubling the index)."""
-        import bisect
-
+        one reversal pass per reader instead of doubling the index).
+        Built vectorized (r4): ``pc.utf8_reverse`` + Arrow sort over
+        the trigram sources' term arrays \u2014 no per-term Python loop;
+        only the (small) matching range reverses back in Python."""
         rv = getattr(self, "_rev_vocab", None)
         if rv is None:
-            rv = sorted(t[::-1] for t in self.vocabulary())
+            parts = [pc.utf8_reverse(tpa)
+                     for _tri, _tnp, tpa in self._iter_tri()]
+            if parts:
+                allr = pc.unique(pa.concat_arrays(
+                    [p.combine_chunks() if isinstance(
+                        p, pa.ChunkedArray) else p for p in parts]))
+                # unique: a term can appear in both a disk bucket and
+                # the NRT RAM segment — expansion must stay deduped
+                rv = pc.take(allr, pc.array_sort_indices(allr)) \
+                    .to_numpy(zero_copy_only=False)
+            else:
+                rv = np.empty(0, dtype=object)
             self._rev_vocab = rv
         r = suffix[::-1]
-        lo = bisect.bisect_left(rv, r)
-        hi = bisect.bisect_left(rv, r + "\uffff")
+        lo = int(np.searchsorted(rv, r, side="left"))
+        hi = int(np.searchsorted(rv, r + "\uffff", side="left"))
         return [t[::-1] for t in rv[lo:hi]]
 
     def term_range_topk(self, lo: str, hi: str, k: int = 10,
