@@ -387,6 +387,99 @@ class ShingleFilter(TokenFilter):
                 "output_unigrams": self.output_unigrams}
 
 
+class CJKBigramFilter(TokenFilter):
+    """CJK bigrams (upstream ``analysis/cjk/CJKBigramFilter.java``
+    [U], the CJKAnalyzer default): consecutive single-character
+    Han/Hiragana tokens (the classes the uax29 tier emits one-per-
+    char) combine into overlapping bigrams — a run of n singles at
+    consecutive positions emits n-1 bigrams, each at its first
+    char's position; an ISOLATED single (no CJK neighbor) passes
+    through as a unigram, and ``output_unigrams=True`` additionally
+    keeps every single (upstream's flag). Katakana/Hangul runs and
+    all non-CJK tokens pass through unchanged (equivalent to the
+    upstream han=hiragana=true, katakana=hangul=false configuration
+    — those scripts already tokenize as runs here). Adjacency is
+    position-based, so singles separated only by non-token characters
+    (spaces/punctuation) still pair, exactly like the upstream filter
+    joining across position-increment-1 gaps."""
+
+    def __init__(self, output_unigrams: bool = False):
+        self.output_unigrams = output_unigrams
+
+    @staticmethod
+    def _is_cjk_single(t: str) -> bool:
+        if len(t) != 1:
+            return False
+        cp = ord(t)
+        return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+                or 0xF900 <= cp <= 0xFAFF
+                or 0x20000 <= cp <= 0x2EBEF
+                or 0x3041 <= cp <= 0x3096 or 0x309D <= cp <= 0x309F
+                or cp in (0x3005, 0x3007))
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        total = len(codes)
+        if total == 0 or not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        cjk_v = np.fromiter((self._is_cjk_single(t) for t in vocab),
+                            dtype=bool, count=len(vocab))
+        if not cjk_v.any():
+            return offsets, codes, vocab, positions, doc_lens
+        n_docs = len(offsets) - 1
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        # token order within a doc is free by contract — establish
+        # (doc, position) order so adjacency is positional
+        order = np.lexsort((positions, doc_of))
+        codes = codes[order]
+        positions = positions[order]
+        doc_of = doc_of[order]
+        cjk = cjk_v[codes]
+        nxt_ok = np.zeros(total, dtype=bool)
+        if total > 1:
+            nxt_ok[:-1] = (cjk[:-1] & cjk[1:]
+                           & (doc_of[:-1] == doc_of[1:])
+                           & (positions[1:] == positions[:-1] + 1))
+        prv_ok = np.zeros(total, dtype=bool)
+        prv_ok[1:] = nxt_ok[:-1]
+        iso = cjk & ~nxt_ok & ~prv_ok
+
+        out_doc = [doc_of[~cjk]]
+        out_pos = [positions[~cjk]]
+        out_term = [vocab[codes[~cjk]]]
+        starts = np.flatnonzero(nxt_ok)
+        if len(starts):
+            pair = np.stack([codes[starts], codes[starts + 1]]).T
+            u, inv = np.unique(pair, axis=0, return_inverse=True)
+            joined = np.array([vocab[a] + vocab[b] for a, b in u],
+                              dtype=object)
+            out_doc.append(doc_of[starts])
+            out_pos.append(positions[starts])
+            out_term.append(joined[inv])
+        keep_single = cjk if self.output_unigrams else iso
+        if keep_single.any():
+            out_doc.append(doc_of[keep_single])
+            out_pos.append(positions[keep_single])
+            out_term.append(vocab[codes[keep_single]])
+
+        doc_all = np.concatenate(out_doc)
+        pos_all = np.concatenate(out_pos).astype(np.int32)
+        term_all = np.concatenate(out_term)
+        order2 = np.lexsort((pos_all, doc_all))
+        doc_all, pos_all, term_all = \
+            doc_all[order2], pos_all[order2], term_all[order2]
+        new_lens = np.bincount(doc_all,
+                               minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        uniq, inv = np.unique(term_all, return_inverse=True)
+        return new_offsets, inv, uniq, pos_all, new_lens
+
+    def spec(self) -> dict:
+        return {"type": "cjk_bigram",
+                "output_unigrams": self.output_unigrams}
+
+
 class AsciiFoldingFilter(TokenFilter):
     """Fold accented/latin-extended characters to ASCII (upstream
     ``ASCIIFoldingFilter`` [U]): NFKD decomposition with combining
@@ -1339,6 +1432,8 @@ def build_filter(spec: dict) -> TokenFilter:
     if t == "shingle":
         return ShingleFilter(spec["min_size"], spec["max_size"],
                              spec["sep"], spec["output_unigrams"])
+    if t == "cjk_bigram":
+        return CJKBigramFilter(spec.get("output_unigrams", False))
     if t == "ascii_folding":
         return AsciiFoldingFilter()
     if t == "ngram":

@@ -6840,6 +6840,88 @@ def uax29_term_stats(sf_dir: str) -> pa.Table:
     return _index_stats_of(idx)
 
 
+_CJK_BI_WORDS = [
+    " 日本語の解析 手法",
+    " 解析 と 評価 データ",
+    " 語 isolated ワード 処理系",
+    " 大規模検索 エンジン 実装 한국어",
+]
+
+
+def _cjk_bigram_corpus(sf_dir: str) -> str:
+    """Alnum-normalized base + deterministic CJK phrases: mixed
+    Han/Hiragana runs, space-separated singles (position-adjacent, so
+    they still bigram), an isolated single, Katakana and Hangul runs
+    (pass-through)."""
+    key = hashlib.md5(f"{sf_dir}|cjkbicorp|v1".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/rayindex_cache",
+                        f"cjkbicorp_{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        did = t["doc_id"].to_numpy()
+        base = pc.replace_substring_regex(
+            t["text"].cast(pa.string()), pattern="[^A-Za-z0-9]+",
+            replacement=" ")
+        aug = pc.binary_join_element_wise(
+            base, pa.array([_CJK_BI_WORDS[d % 4] for d in did],
+                           type=pa.string()), "")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"], "text": aug}),
+                       tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def cjk_bigram_stats(sf_dir: str) -> pa.Table:
+    """CJKBigramFilter e2e (upstream ``analysis/cjk/CJKBigramFilter``,
+    the CJKAnalyzer default [U]): Han/Hiragana singles from the uax29
+    tier combine into overlapping bigrams across position-adjacent
+    runs (including across spaces/punctuation, which emit no token),
+    isolated singles survive as unigrams, Katakana/Hangul runs pass
+    through. Oracle: squash the no-token characters, extract
+    Han/Hiragana runs, bigram each in SQL."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "cjk_bigram"},), "cjkbi_v1",
+        input_file=_cjk_bigram_corpus(sf_dir), tokenizer="uax29")
+    return _index_stats_of(idx)
+
+
+def sql_cjk_bigram_stats() -> str:
+    cases = ",".join(f"'{w}'" for w in _CJK_BI_WORDS)
+    return rf"""
+WITH aug AS (
+  SELECT doc_id,
+         regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')
+           || ([{cases}])[(doc_id % 4) + 1] AS text
+  FROM documents),
+sq AS (SELECT doc_id,
+        regexp_replace(lower(text),
+          '[^0-9a-z\p{{Han}}\p{{Hiragana}}\p{{Katakana}}ー\p{{Hangul}}]+',
+          '', 'g') AS s
+       FROM aug),
+runs AS (SELECT doc_id,
+          unnest(regexp_extract_all(s, '[\p{{Han}}\p{{Hiragana}}]+'))
+            AS run FROM sq),
+gs AS (SELECT g.i FROM generate_series(1, 256) AS g(i)),
+bi AS (
+  SELECT doc_id, substr(run, i::INT, 2) AS term
+  FROM runs JOIN gs ON gs.i + 1 <= length(run)
+  UNION ALL
+  SELECT doc_id, run AS term FROM runs WHERE length(run) = 1),
+oth AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+    '(?:[\p{{Katakana}}ー]+)|(?:[\p{{Hangul}}]+)|(?:[0-9a-z]+)'))
+    AS term
+  FROM aug),
+toks AS (SELECT * FROM bi UNION ALL SELECT * FROM oth)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
 def sql_uax29_wordbreak() -> str:
     cases = ",".join(f"'{w}'" for w in _UAX_WORDS)
     return rf"""
@@ -15607,6 +15689,7 @@ def queries() -> dict:
         "uax29_url_email_stats": uax29_url_email_stats,
         "ascii_folding_stats": ascii_folding_stats,
         "uax29_term_stats": uax29_term_stats,
+        "cjk_bigram_stats": cjk_bigram_stats,
         "elision_digit_stats": elision_digit_stats,
         "pattern_capture_stats": pattern_capture_stats,
         "reverse_filter_stats": reverse_filter_stats,
@@ -15986,6 +16069,7 @@ def oracle_sql() -> dict:
         "uax29_url_email_stats": sql_uax29_stats(),
         "ascii_folding_stats": sql_ascii_folding(),
         "uax29_term_stats": sql_uax29_wordbreak(),
+        "cjk_bigram_stats": sql_cjk_bigram_stats(),
         "elision_digit_stats": sql_elision_digit(),
         "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,

@@ -272,11 +272,13 @@ def segment_batch(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
     pad = np.int64(OTHER)
     prev = np.concatenate(([pad], p[:-1]))
     nxt = np.concatenate((p[1:], [pad]))
-    pprev = np.concatenate(([pad, pad], p[:-2]))
+    # [:m] guards the m == 1 batch: the 2-pad prefix would otherwise
+    # exceed the stream and broadcast every rule mask to length 2
+    pprev = np.concatenate(([pad, pad], p[:-2]))[:m]
     # same-doc masks for context positions
     sd_prev = np.concatenate(([False], d[1:] == d[:-1]))
     sd_next = np.concatenate((d[:-1] == d[1:], [False]))
-    sd_pprev = np.concatenate(([False, False], d[2:] == d[:-2]))
+    sd_pprev = np.concatenate(([False, False], d[2:] == d[:-2]))[:m]
 
     ah_p, ah_c = _in(_AH, prev), _in(_AH, p)
     num_p, num_c = prev == NUMERIC, p == NUMERIC

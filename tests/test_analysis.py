@@ -740,3 +740,42 @@ def test_uax29_wb3c_emoji_zwj_sequences():
     # a bare pictograph is its own token; letters break off it
     assert toks("mix ☕ and \U0001F9EAx") == \
         ["mix", "☕", "and", "\U0001F9EA", "x"]
+
+
+def test_uax29_single_codepoint_batch():
+    """Regression: a batch whose total visible stream is ONE codepoint
+    crashed segment_batch (the 2-pad pprev context array broadcast
+    every rule mask to length 2)."""
+    import pyarrow as pa
+
+    from engine.uax29 import segment_batch
+
+    assert segment_batch(pa.array(["a"])).to_pylist() == [["a"]]
+    assert segment_batch(pa.array(["語"])).to_pylist() == [["語"]]
+    assert segment_batch(pa.array([""])).to_pylist() == [[]]
+    assert segment_batch(pa.array([".", "b"])).to_pylist() == \
+        [[], ["b"]]
+
+
+def test_cjk_bigram_filter_golden():
+    """CJKBigramFilter (CJKAnalyzer default): overlapping bigrams
+    over position-adjacent Han/Hiragana singles (joining across
+    spaces like upstream's posInc-1 gaps), isolated singles survive,
+    Katakana runs pass through, output_unigrams keeps the singles."""
+    from engine.analysis import Analyzer
+
+    a = Analyzer(None, False, tokenizer="uax29",
+                 filters=({"type": "cjk_bigram"},))
+    assert a.analyze_text("日本語の解析 test") == [
+        ("日本", 0), ("本語", 1), ("語の", 2), ("の解", 3),
+        ("解析", 4), ("test", 6)]
+    assert a.analyze_text("日 本") == [("日本", 0)]     # across space
+    assert a.analyze_text("abc 語 def") == [
+        ("abc", 0), ("語", 1), ("def", 2)]              # isolated
+    assert a.analyze_text("カタカナ 日本") == [
+        ("カタカナ", 0), ("日本", 1)]                   # run intact
+    au = Analyzer(None, False, tokenizer="uax29",
+                  filters=({"type": "cjk_bigram",
+                            "output_unigrams": True},))
+    assert au.analyze_text("日本語") == [
+        ("日本", 0), ("日", 0), ("本語", 1), ("本", 1), ("語", 2)]
