@@ -480,6 +480,51 @@ class CJKBigramFilter(TokenFilter):
                 "output_unigrams": self.output_unigrams}
 
 
+# CJKWidthFilter tables (upstream ``analysis/cjk/CJKWidthFilter.java``
+# [U]; Unicode halfwidth/fullwidth compatibility forms). Shared by the
+# engine filter and the SQL-oracle generator so parity is structural.
+_HW_KANA = "ｦｧｨｩｪｫｬｭｮｯｰｱｲｳｴｵｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾅﾆﾇﾈﾉﾊﾋﾌﾍﾎﾏﾐﾑﾒﾓﾔﾕﾖﾗﾘﾙﾚﾛﾜﾝﾞﾟ"
+_FW_KANA = "ヲァィゥェォャュョッーアイウエオカキクケコサシスセソタチツテトナニヌネノハヒフヘホマミムメモヤユヨラリルレロワン゛゜"
+# 2-char merges run BEFORE the single-char map: kana + halfwidth
+# (semi)voiced mark composes to the voiced fullwidth form
+_KANA_VOICED = (
+    [(h + "ﾞ", f) for h, f in zip("ｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾊﾋﾌﾍﾎ",
+                                  "ガギグゲゴザジズゼゾダヂヅデドバビブベボ")]
+    + [("ｳﾞ", "ヴ")]
+    + [(h + "ﾟ", f) for h, f in zip("ﾊﾋﾌﾍﾎ", "パピプペポ")])
+_FW_ASCII = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+_HW_ASCII = "".join(chr(c) for c in range(0x21, 0x7F))
+
+
+class CJKWidthFilter(TokenFilter):
+    """Width normalization (upstream ``analysis/cjk/CJKWidthFilter``
+    [U], the first stage of CJKAnalyzer's chain): fullwidth ASCII
+    forms fold to basic Latin and halfwidth Katakana variants fold to
+    fullwidth, composing halfwidth (semi)voiced marks into the voiced
+    kana (ｶﾞ → ガ). Vocabulary-level rewrite like the other
+    normalizing filters."""
+
+    _TRANS = str.maketrans(_HW_KANA + _FW_ASCII,
+                           _FW_KANA + _HW_ASCII)
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        if not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+
+        def fold(t: str) -> str:
+            for pair, merged in _KANA_VOICED:
+                if pair[0] in t:
+                    t = t.replace(pair, merged)
+            return t.translate(self._TRANS)
+
+        vocab2 = np.array([fold(t) for t in vocab], dtype=object)
+        uniq, inv = np.unique(vocab2, return_inverse=True)
+        return offsets, inv[codes], uniq, positions, doc_lens
+
+    def spec(self) -> dict:
+        return {"type": "cjk_width"}
+
+
 class AsciiFoldingFilter(TokenFilter):
     """Fold accented/latin-extended characters to ASCII (upstream
     ``ASCIIFoldingFilter`` [U]): NFKD decomposition with combining
@@ -1434,6 +1479,8 @@ def build_filter(spec: dict) -> TokenFilter:
                              spec["sep"], spec["output_unigrams"])
     if t == "cjk_bigram":
         return CJKBigramFilter(spec.get("output_unigrams", False))
+    if t == "cjk_width":
+        return CJKWidthFilter()
     if t == "ascii_folding":
         return AsciiFoldingFilter()
     if t == "ngram":

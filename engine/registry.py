@@ -6922,6 +6922,78 @@ FROM toks GROUP BY term ORDER BY term
 """
 
 
+_CJKW_WORDS = [
+    " ｶﾞｷﾞｭｳ ﾃﾞｰﾀ 処理",
+    " ｱﾆﾒ ﾊﾟﾝﾀﾞ ｳﾞｧｲｵﾘﾝ",
+    " ｆｕｌｌｗｉｄｔｈ ５６７ ascii",
+    " ﾄｳｷｮｳ ２０２４ 検索",
+]
+
+
+def _cjk_width_corpus(sf_dir: str) -> str:
+    key = hashlib.md5(f"{sf_dir}|cjkwcorp|v1".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/rayindex_cache",
+                        f"cjkwcorp_{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        did = t["doc_id"].to_numpy()
+        base = pc.replace_substring_regex(
+            t["text"].cast(pa.string()), pattern="[^A-Za-z0-9]+",
+            replacement=" ")
+        aug = pc.binary_join_element_wise(
+            base, pa.array([_CJKW_WORDS[d % 4] for d in did],
+                           type=pa.string()), "")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"], "text": aug}),
+                       tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def cjk_width_stats(sf_dir: str) -> pa.Table:
+    """CJKWidthFilter e2e (upstream ``analysis/cjk/CJKWidthFilter``
+    [U], the first stage of CJKAnalyzer's chain): halfwidth Katakana
+    folds to fullwidth with (semi)voiced-mark composition (ｶﾞ → ガ),
+    fullwidth ASCII folds to basic Latin. The SQL oracle applies the
+    SAME published width tables (shared constants generate both
+    sides) to an identically-tokenized stream."""
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "cjk_width"},), "cjkw_v1",
+        input_file=_cjk_width_corpus(sf_dir), tokenizer="uax29")
+    return _index_stats_of(idx)
+
+
+def sql_cjk_width_stats() -> str:
+    from engine.analysis import (_FW_ASCII, _FW_KANA, _HW_ASCII,
+                                 _HW_KANA, _KANA_VOICED)
+
+    cases = ",".join(f"'{w}'" for w in _CJKW_WORDS)
+    expr = "term"
+    for pair, merged in _KANA_VOICED:
+        expr = f"replace({expr}, '{pair}', '{merged}')"
+    frm = (_HW_KANA + _FW_ASCII).replace("'", "''")
+    to = (_FW_KANA + _HW_ASCII).replace("'", "''")
+    expr = f"translate({expr}, '{frm}', '{to}')"
+    return rf"""
+WITH aug AS (
+  SELECT doc_id,
+         regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')
+           || ([{cases}])[(doc_id % 4) + 1] AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+    '(?:[\p{{Katakana}}ーｦ-ﾟ]+)|(?:\p{{Han}})|(?:[0-9a-zａ-ｚ０-９]+)'))
+    AS term
+  FROM aug),
+w AS (SELECT doc_id, {expr} AS term FROM toks)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM w GROUP BY term ORDER BY term
+"""
+
+
 def sql_uax29_wordbreak() -> str:
     cases = ",".join(f"'{w}'" for w in _UAX_WORDS)
     return rf"""
@@ -15690,6 +15762,7 @@ def queries() -> dict:
         "ascii_folding_stats": ascii_folding_stats,
         "uax29_term_stats": uax29_term_stats,
         "cjk_bigram_stats": cjk_bigram_stats,
+        "cjk_width_stats": cjk_width_stats,
         "elision_digit_stats": elision_digit_stats,
         "pattern_capture_stats": pattern_capture_stats,
         "reverse_filter_stats": reverse_filter_stats,
@@ -16070,6 +16143,7 @@ def oracle_sql() -> dict:
         "ascii_folding_stats": sql_ascii_folding(),
         "uax29_term_stats": sql_uax29_wordbreak(),
         "cjk_bigram_stats": sql_cjk_bigram_stats(),
+        "cjk_width_stats": sql_cjk_width_stats(),
         "elision_digit_stats": sql_elision_digit(),
         "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,

@@ -68,7 +68,9 @@ _HAN_RANGES = [
 ]
 _KATAKANA_RANGES = [
     (0x30A1, 0x30FA), (0x30FC, 0x30FF), (0x31F0, 0x31FF),
-    (0x32D0, 0x32FE), (0x3300, 0x3357), (0xFF66, 0xFF9D),
+    (0x32D0, 0x32FE), (0x3300, 0x3357), (0xFF66, 0xFF9F),
+    # FF9E/FF9F (halfwidth voiced marks) are WordBreak=Katakana
+    # (WordBreak.txt), so ｶﾞ stays one run for CJKWidthFilter
 ]
 _HIRAGANA_RANGES = [(0x3041, 0x3096), (0x309D, 0x309F)]
 _HEBREW_RANGES = [(0x05D0, 0x05EA), (0x05EF, 0x05F2), (0xFB1D, 0xFB1D),

@@ -779,3 +779,23 @@ def test_cjk_bigram_filter_golden():
                             "output_unigrams": True},))
     assert au.analyze_text("日本語") == [
         ("日本", 0), ("日", 0), ("本語", 1), ("本", 1), ("語", 2)]
+
+
+def test_cjk_width_filter_golden():
+    """CJKWidthFilter: halfwidth kana → fullwidth with voiced-mark
+    composition; fullwidth ASCII → basic Latin; standalone marks map
+    to their fullwidth forms; the voiced-mark chars stay inside one
+    Katakana run (WordBreak.txt classes FF9E/FF9F as Katakana)."""
+    from engine.analysis import Analyzer
+
+    a = Analyzer(None, False, tokenizer="uax29",
+                 filters=({"type": "cjk_width"},))
+
+    def toks(s):
+        return [t for t, _ in a.analyze_text(s)]
+
+    assert toks("ｶﾞｷﾞｭｳ ﾃﾞｰﾀ") == ["ガギュウ", "データ"]
+    assert toks("ﾊﾟﾝﾀﾞ ｳﾞｧｲｵﾘﾝ") == ["パンダ", "ヴァイオリン"]
+    assert toks("ｆｕｌｌｗｉｄｔｈ ５６７ ascii") == \
+        ["fullwidth", "567", "ascii"]
+    assert toks("ﾄｳｷｮｳ") == ["トウキョウ"]
