@@ -6994,6 +6994,88 @@ FROM w GROUP BY term ORDER BY term
 """
 
 
+_CJK_AN_WORDS = [
+    " 日本語の解析 ｶﾞｷﾞｭｳ",
+    " 解析 と 評価 ﾃﾞｰﾀ",
+    " 語 ｱﾆﾒ ５６７ data",
+    " 大規模検索 ﾄｳｷｮｳ ２０２４",
+]
+
+
+def cjk_analyzer_stats(sf_dir: str) -> pa.Table:
+    """The full CJKAnalyzer chain (upstream ``analysis/cjk/
+    CJKAnalyzer`` [U]: CJKWidthFilter → CJKBigramFilter): width
+    folding first, then Han/Hiragana bigramming — one e2e entry over
+    a corpus mixing halfwidth kana, fullwidth ASCII and Han phrases,
+    with the SQL oracle composing the two filters' replays."""
+    key = hashlib.md5(f"{sf_dir}|cjkancorp|v1".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/rayindex_cache",
+                        f"cjkancorp_{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        did = t["doc_id"].to_numpy()
+        base = pc.replace_substring_regex(
+            t["text"].cast(pa.string()), pattern="[^A-Za-z0-9]+",
+            replacement=" ")
+        aug = pc.binary_join_element_wise(
+            base, pa.array([_CJK_AN_WORDS[d % 4] for d in did],
+                           type=pa.string()), "")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"], "text": aug}),
+                       tmp)
+        os.replace(tmp, path)
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "cjk_width"}, {"type": "cjk_bigram"}),
+        "cjkan_v1", input_file=path, tokenizer="uax29")
+    return _index_stats_of(idx)
+
+
+def sql_cjk_analyzer_stats() -> str:
+    from engine.analysis import (_FW_ASCII, _FW_KANA, _HW_ASCII,
+                                 _HW_KANA, _KANA_VOICED)
+
+    cases = ",".join(f"'{w}'" for w in _CJK_AN_WORDS)
+    expr = "term"
+    for pair, merged in _KANA_VOICED:
+        expr = f"replace({expr}, '{pair}', '{merged}')"
+    frm = (_HW_KANA + _FW_ASCII).replace("'", "''")
+    to = (_FW_KANA + _HW_ASCII).replace("'", "''")
+    expr = f"translate({expr}, '{frm}', '{to}')"
+    return rf"""
+WITH aug AS (
+  SELECT doc_id,
+         regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')
+           || ([{cases}])[(doc_id % 4) + 1] AS text
+  FROM documents),
+sq AS (SELECT doc_id,
+        regexp_replace(lower(text),
+          '[^0-9a-zａ-ｚ０-９\p{{Han}}\p{{Hiragana}}\p{{Katakana}}ーｦ-ﾟ]+',
+          '', 'g') AS s
+       FROM aug),
+runs AS (SELECT doc_id,
+          unnest(regexp_extract_all(s, '[\p{{Han}}\p{{Hiragana}}]+'))
+            AS run FROM sq),
+gs AS (SELECT g.i FROM generate_series(1, 256) AS g(i)),
+bi AS (
+  SELECT doc_id, substr(run, i::INT, 2) AS term
+  FROM runs JOIN gs ON gs.i + 1 <= length(run)
+  UNION ALL
+  SELECT doc_id, run AS term FROM runs WHERE length(run) = 1),
+oth AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+    '(?:[\p{{Katakana}}ーｦ-ﾟ]+)|(?:[0-9a-zａ-ｚ０-９]+)'))
+    AS term
+  FROM aug),
+othw AS (SELECT doc_id, {expr} AS term FROM oth),
+toks AS (SELECT * FROM bi UNION ALL SELECT * FROM othw)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
 def sql_uax29_wordbreak() -> str:
     cases = ",".join(f"'{w}'" for w in _UAX_WORDS)
     return rf"""
@@ -15763,6 +15845,7 @@ def queries() -> dict:
         "uax29_term_stats": uax29_term_stats,
         "cjk_bigram_stats": cjk_bigram_stats,
         "cjk_width_stats": cjk_width_stats,
+        "cjk_analyzer_stats": cjk_analyzer_stats,
         "elision_digit_stats": elision_digit_stats,
         "pattern_capture_stats": pattern_capture_stats,
         "reverse_filter_stats": reverse_filter_stats,
@@ -16144,6 +16227,7 @@ def oracle_sql() -> dict:
         "uax29_term_stats": sql_uax29_wordbreak(),
         "cjk_bigram_stats": sql_cjk_bigram_stats(),
         "cjk_width_stats": sql_cjk_width_stats(),
+        "cjk_analyzer_stats": sql_cjk_analyzer_stats(),
         "elision_digit_stats": sql_elision_digit(),
         "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,
