@@ -37,6 +37,11 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+try:                               # vectorized text hashing; the
+    import polars as pl            # md5 fallback keeps correctness
+except ImportError:                # in polars-less environments
+    pl = None
+
 from engine.ops.textstats import _flat_tokens
 
 _MERSENNE = (1 << 61) - 1
@@ -138,9 +143,7 @@ def _text_hash128(col) -> tuple[np.ndarray, np.ndarray]:
     ``hashlib.md5`` loop (round-3 verdict item 2)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    try:
-        import polars as pl
-    except ImportError:            # md5 fallback: correct, slower
+    if pl is None:                 # md5 fallback: correct, slower
         from engine.bloom import _md5_128
         return _md5_128(col.to_pylist())
     s = pl.from_arrow(col)
