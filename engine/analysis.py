@@ -480,6 +480,104 @@ class CJKBigramFilter(TokenFilter):
                 "output_unigrams": self.output_unigrams}
 
 
+class DictSegmentFilter(TokenFilter):
+    """Dictionary-based CJK segmentation, greedy forward maximum
+    matching — the deterministic restatement of upstream's
+    dictionary-based CJK break engines (ICU ``DictionaryBreakEngine``
+    behind ``ICUTokenizer`` [U]; ICU segments with dictionary DP, the
+    classical forward max-match is the SQL-replayable spec here).
+    Position-adjacent Han/Hiragana singles (the uax29 emission) group
+    into maximal runs; each run re-segments by the LONGEST lexicon
+    word matching at each point, single chars passing through where
+    nothing matches. A piece's position is the run start plus its
+    character offset (each source single is one char at one
+    position). Non-CJK tokens pass through unchanged."""
+
+    def __init__(self, words):
+        self.words = sorted({w for w in words if len(w) >= 2})
+        self._set = frozenset(self.words)
+        self._maxlen = max((len(w) for w in self.words), default=1)
+
+    def _segment(self, run: str) -> list[tuple[int, str]]:
+        out: list[tuple[int, str]] = []
+        i, L = 0, len(run)
+        while i < L:
+            for ln in range(min(self._maxlen, L - i), 1, -1):
+                if run[i:i + ln] in self._set:
+                    out.append((i, run[i:i + ln]))
+                    i += ln
+                    break
+            else:
+                out.append((i, run[i]))
+                i += 1
+        return out
+
+    def apply(self, offsets, codes, vocab, positions, doc_lens):
+        total = len(codes)
+        if total == 0 or not vocab.size:
+            return offsets, codes, vocab, positions, doc_lens
+        cjk_v = np.fromiter(
+            (CJKBigramFilter._is_cjk_single(t) for t in vocab),
+            dtype=bool, count=len(vocab))
+        if not cjk_v.any():
+            return offsets, codes, vocab, positions, doc_lens
+        n_docs = len(offsets) - 1
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        order = np.lexsort((positions, doc_of))
+        codes = codes[order]
+        positions = positions[order]
+        doc_of = doc_of[order]
+        cjk = cjk_v[codes]
+        adj = np.zeros(total, dtype=bool)     # joined to previous
+        if total > 1:
+            adj[1:] = (cjk[1:] & cjk[:-1]
+                       & (doc_of[1:] == doc_of[:-1])
+                       & (positions[1:] == positions[:-1] + 1))
+        start = cjk & ~adj
+        run_id = np.where(cjk, np.cumsum(start) - 1, -1)
+        n_runs = int(start.sum())
+
+        out_doc = [doc_of[~cjk]]
+        out_pos = [positions[~cjk]]
+        out_term = [vocab[codes[~cjk]]]
+        if n_runs:
+            start_idx = np.flatnonzero(start)
+            run_len = np.bincount(run_id[cjk], minlength=n_runs)
+            chars = vocab[codes]
+            run_strs = np.array(
+                ["".join(chars[s:s + ln]) for s, ln in
+                 zip(start_idx, run_len)], dtype=object)
+            # segment each UNIQUE run once (type-level work)
+            uniq, inv = np.unique(run_strs, return_inverse=True)
+            pieces = [self._segment(r) for r in uniq]
+            for r in range(n_runs):
+                base_pos = positions[start_idx[r]]
+                d = doc_of[start_idx[r]]
+                ps = pieces[inv[r]]
+                out_doc.append(np.full(len(ps), d, dtype=np.int64))
+                out_pos.append(np.array(
+                    [base_pos + off for off, _ in ps],
+                    dtype=np.int32))
+                out_term.append(np.array([w for _, w in ps],
+                                         dtype=object))
+        doc_all = np.concatenate(out_doc)
+        pos_all = np.concatenate(out_pos).astype(np.int32)
+        term_all = np.concatenate(out_term)
+        order2 = np.lexsort((pos_all, doc_all))
+        doc_all, pos_all, term_all = \
+            doc_all[order2], pos_all[order2], term_all[order2]
+        new_lens = np.bincount(doc_all,
+                               minlength=n_docs).astype(np.int32)
+        new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        uniq2, inv2 = np.unique(term_all, return_inverse=True)
+        return new_offsets, inv2, uniq2, pos_all, new_lens
+
+    def spec(self) -> dict:
+        return {"type": "dict_segment", "words": list(self.words)}
+
+
 # CJKWidthFilter tables (upstream ``analysis/cjk/CJKWidthFilter.java``
 # [U]; Unicode halfwidth/fullwidth compatibility forms). Shared by the
 # engine filter and the SQL-oracle generator so parity is structural.
@@ -1481,6 +1579,8 @@ def build_filter(spec: dict) -> TokenFilter:
         return CJKBigramFilter(spec.get("output_unigrams", False))
     if t == "cjk_width":
         return CJKWidthFilter()
+    if t == "dict_segment":
+        return DictSegmentFilter(spec["words"])
     if t == "ascii_folding":
         return AsciiFoldingFilter()
     if t == "ngram":

@@ -7076,6 +7076,90 @@ FROM toks GROUP BY term ORDER BY term
 """
 
 
+_DICTSEG_LEX = ["日本", "日本語", "解析", "検索", "大規模", "評価",
+                "手法", "処理"]
+_DICTSEG_WORDS = [
+    " 日本語の解析 手法",
+    " 大規模検索の評価",
+    " 処理と解析 データ",
+    " 日本 の 検索処理",
+]
+
+
+def dict_segment_stats(sf_dir: str) -> pa.Table:
+    """Dictionary-based CJK segmentation (greedy forward maximum
+    matching — the deterministic restatement of ICU's dictionary
+    break engines behind ``ICUTokenizer`` [U]; closes the r3
+    "dictionary CJK segmentation out of scope" boundary as a
+    restated, oracle-checked spec): Han/Hiragana single-char runs
+    re-segment by longest lexicon match. The oracle replays the SAME
+    greedy walk with a recursive CTE over the lexicon VALUES."""
+    key = hashlib.md5(f"{sf_dir}|dsegcorp|v1".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/rayindex_cache",
+                        f"dsegcorp_{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        did = t["doc_id"].to_numpy()
+        base = pc.replace_substring_regex(
+            t["text"].cast(pa.string()), pattern="[^A-Za-z0-9]+",
+            replacement=" ")
+        aug = pc.binary_join_element_wise(
+            base, pa.array([_DICTSEG_WORDS[d % 4] for d in did],
+                           type=pa.string()), "")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"], "text": aug}),
+                       tmp)
+        os.replace(tmp, path)
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "dict_segment", "words": _DICTSEG_LEX},),
+        "dseg_v1", input_file=path, tokenizer="uax29")
+    return _index_stats_of(idx)
+
+
+def sql_dict_segment_stats() -> str:
+    cases = ",".join(f"'{w}'" for w in _DICTSEG_WORDS)
+    lex = ",".join(f"('{w}')" for w in sorted(_DICTSEG_LEX))
+    pick = ("COALESCE((SELECT word FROM lex WHERE word = "
+            "substr(seg.run, seg.pos, length(word)) "
+            "ORDER BY length(word) DESC, word LIMIT 1), "
+            "substr(seg.run, seg.pos, 1))")
+    return rf"""
+WITH RECURSIVE lex(word) AS (VALUES {lex}),
+aug AS (
+  SELECT doc_id,
+         regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')
+           || ([{cases}])[(doc_id % 4) + 1] AS text
+  FROM documents),
+sq AS (SELECT doc_id,
+        regexp_replace(lower(text),
+          '[^0-9a-z\p{{Han}}\p{{Hiragana}}\p{{Katakana}}ー]+',
+          '', 'g') AS s
+       FROM aug),
+occ AS (SELECT doc_id,
+         unnest(regexp_extract_all(s, '[\p{{Han}}\p{{Hiragana}}]+'))
+           AS run FROM sq),
+runs AS (SELECT DISTINCT run FROM occ),
+seg AS (
+  SELECT run, 1 AS pos, CAST(NULL AS VARCHAR) AS tok FROM runs
+  UNION ALL
+  SELECT run, pos + length({pick}), {pick}
+  FROM seg WHERE pos <= length(run)),
+pieces AS (SELECT run, tok FROM seg WHERE tok IS NOT NULL),
+cjk AS (SELECT o.doc_id, p.tok AS term
+        FROM occ o JOIN pieces p USING (run)),
+oth AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+    '(?:[\p{{Katakana}}ー]+)|(?:[0-9a-z]+)')) AS term
+  FROM aug),
+toks AS (SELECT * FROM cjk UNION ALL SELECT * FROM oth)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
 def sql_uax29_wordbreak() -> str:
     cases = ",".join(f"'{w}'" for w in _UAX_WORDS)
     return rf"""
@@ -15846,6 +15930,7 @@ def queries() -> dict:
         "cjk_bigram_stats": cjk_bigram_stats,
         "cjk_width_stats": cjk_width_stats,
         "cjk_analyzer_stats": cjk_analyzer_stats,
+        "dict_segment_stats": dict_segment_stats,
         "elision_digit_stats": elision_digit_stats,
         "pattern_capture_stats": pattern_capture_stats,
         "reverse_filter_stats": reverse_filter_stats,
@@ -16228,6 +16313,7 @@ def oracle_sql() -> dict:
         "cjk_bigram_stats": sql_cjk_bigram_stats(),
         "cjk_width_stats": sql_cjk_width_stats(),
         "cjk_analyzer_stats": sql_cjk_analyzer_stats(),
+        "dict_segment_stats": sql_dict_segment_stats(),
         "elision_digit_stats": sql_elision_digit(),
         "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,

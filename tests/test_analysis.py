@@ -799,3 +799,22 @@ def test_cjk_width_filter_golden():
     assert toks("ｆｕｌｌｗｉｄｔｈ ５６７ ascii") == \
         ["fullwidth", "567", "ascii"]
     assert toks("ﾄｳｷｮｳ") == ["トウキョウ"]
+
+
+def test_dict_segment_filter_golden():
+    """DictSegmentFilter (greedy forward max-match over a lexicon):
+    longest word wins, unmatched chars pass as singles, runs join
+    across spaces (position adjacency), non-CJK tokens untouched."""
+    from engine.analysis import Analyzer
+
+    lex = ["日本", "日本語", "解析", "検索", "大規模"]
+    a = Analyzer(None, False, tokenizer="uax29",
+                 filters=({"type": "dict_segment", "words": lex},))
+    assert a.analyze_text("日本語の解析") == [
+        ("日本語", 0), ("の", 3), ("解析", 4)]
+    assert a.analyze_text("日本 の 検索 data") == [
+        ("日本", 0), ("の", 2), ("検索", 3), ("data", 5)]
+    assert a.analyze_text("大規模検索") == [
+        ("大規模", 0), ("検索", 3)]
+    assert [t for t, _ in a.analyze_text("カタカナ 語")] == \
+        ["カタカナ", "語"]
