@@ -756,7 +756,7 @@ def _merge_bucket_files(frag_dir: str, shard_dir: str,
     if out is None:
         return 0
     pq.write_table(out, os.path.join(shard_dir, "merged-0.parquet"))
-    trigram.write_sidecar(shard_dir)
+    trigram.write_sidecar(shard_dir, out["term"])
     return out.num_rows
 
 
@@ -1709,7 +1709,7 @@ def _optimize_shard(src_dir: str, dst_dir: str,
         return (0, 0, 0)
     os.makedirs(dst_dir, exist_ok=True)
     pq.write_table(merged, os.path.join(dst_dir, "optimized-0.parquet"))
-    trigram.write_sidecar(dst_dir)
+    trigram.write_sidecar(dst_dir, merged["term"])
     return (merged.num_rows,
             int(pa.compute.sum(merged["cf"]).as_py() or 0),
             int(pa.compute.sum(merged["df"]).as_py() or 0))
@@ -2107,9 +2107,10 @@ def _split_shard_bucket(src_bdir: str, dst_bdirs: list[str],
                 # dir only exists when it holds data (empty bucket
                 # dirs would break schema inference at read time)
                 os.makedirs(d, exist_ok=True)
-                pq.write_table(child.sort_by("term"),
+                child = child.sort_by("term")
+                pq.write_table(child,
                                os.path.join(d, "split-0.parquet"))
-                trigram.write_sidecar(d)
+                trigram.write_sidecar(d, child["term"])
     return [_bucket_stats(d) for d in dst_bdirs]
 
 

@@ -145,22 +145,32 @@ class TrigramIndex:
         return self.ords[self.offsets[i]:self.offsets[i + 1]]
 
 
-def write_sidecar(shard_dir: str) -> int:
-    """Build + atomically write the bucket's trigram sidecar from the
-    shard's own term column; returns the pair count (0 = empty bucket,
-    no sidecar written). Called by every bucket-shard writer."""
+def write_sidecar(shard_dir: str,
+                  term_col: pa.Array | pa.ChunkedArray | None = None
+                  ) -> int:
+    """Build + atomically write the bucket's trigram sidecar; returns
+    the pair count (0 = empty bucket, no sidecar written). Called by
+    every bucket-shard writer. ``term_col`` lets a merge pass the
+    just-built in-memory term column instead of re-reading the file
+    it wrote; multi-file paths (segment append, exorcise) omit it and
+    the terms are read back from the shard."""
     if not os.path.isdir(shard_dir):
         return 0
-    files = [os.path.join(shard_dir, f)
-             for f in sorted(os.listdir(shard_dir))
-             if f.endswith(".parquet")]
     path = os.path.join(shard_dir, SIDECAR_NAME)
-    if not files:
+    if term_col is None:
+        files = [os.path.join(shard_dir, f)
+                 for f in sorted(os.listdir(shard_dir))
+                 if f.endswith(".parquet")]
+        if not files:
+            if os.path.exists(path):
+                os.remove(path)
+            return 0
+        term_col = pq.read_table(files, columns=["term"])["term"]
+    terms = sorted_unique_terms(term_col)
+    if not len(terms):
         if os.path.exists(path):
             os.remove(path)
         return 0
-    terms = sorted_unique_terms(
-        pq.read_table(files, columns=["term"])["term"])
     g, o = gram_term_pairs(terms)
     tab = pa.table({"gram": g, "ord": o}).replace_schema_metadata(
         {b"n_terms": str(len(terms)).encode()})
