@@ -1290,7 +1290,12 @@ class IndexReader:
         construction: used purely to PRUNE the dictionary scan, never
         to accept."""
         try:
+            import re
             import re._parser as sp
+            if re.compile(pattern).flags & re.IGNORECASE:
+                # inline (?i) flags are invisible in the parse tree —
+                # a case-blind literal would wrongly prune matches
+                return []
             tree = sp.parse(pattern)
         except Exception:            # noqa: BLE001 — fall back to scan
             return []
@@ -1344,7 +1349,12 @@ class IndexReader:
         anchored per-position character classes. Every true match
         satisfies the shape; None → no information (caller scans)."""
         try:
+            import re
             import re._parser as sp
+            if re.compile(pattern).flags & re.IGNORECASE:
+                # inline (?i) flags are invisible in the parse tree —
+                # case-blind classes would wrongly prune matches
+                return None
             tree = sp.parse(pattern)
         except Exception:        # noqa: BLE001 — unparseable: no info
             return None

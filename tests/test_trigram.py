@@ -224,3 +224,24 @@ def test_nrt_ram_terms_visible_to_fuzzy(ray_session, tmp_path):
     cands = r._dict_candidates(required=["rava"])
     assert "bravado" in cands
     assert "bravo" not in cands
+
+
+def test_inline_ignorecase_flag_disables_pruning(smoke_index):
+    """(?i) is invisible in the sre parse tree — both literal and
+    shape pruning must bail out to the full scan so case-insensitive
+    patterns keep their matches."""
+    import re
+
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    probe = max(r.vocabulary(), key=len)
+    pat = "(?i)" + probe.upper()
+    assert IndexReader._required_literals(pat) == []
+    assert IndexReader._regex_shape(pat) is None
+    rx = re.compile(pat)
+    full = [t for t in r.vocabulary() if rx.fullmatch(t)]
+    assert probe in full
+    top = r.regexp_topk(pat, 10)
+    assert top.num_rows > 0
