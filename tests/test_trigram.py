@@ -245,3 +245,40 @@ def test_inline_ignorecase_flag_disables_pruning(smoke_index):
     assert probe in full
     top = r.regexp_topk(pat, 10)
     assert top.num_rows > 0
+
+
+def test_shape_prune_superset_property(smoke_index):
+    """Property: for randomly composed simple regexes, the shape
+    filter never loses a true match (pruned full-match == full-scan
+    full-match)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    vocab = r.vocabulary()
+
+    atom = st.one_of(
+        st.sampled_from(list("abcdefgilmnopqrstu")),
+        st.just("."),
+        st.sampled_from(["[ab]", "[a-f]", "[^x]", "\\w"]))
+    rep = st.sampled_from(["", "?", "*", "+", "{2}", "{1,3}"])
+    piece = st.tuples(atom, rep).map(lambda t: t[0] + t[1])
+    pattern_s = st.lists(piece, min_size=1, max_size=6).map("".join)
+
+    @settings(max_examples=120, deadline=None)
+    @given(pattern_s)
+    def check(pattern):
+        try:
+            rx = re.compile(pattern)
+        except re.error:
+            return
+        full = [t for t in vocab if rx.fullmatch(t)]
+        cands = r._shape_candidates(IndexReader._regex_shape(pattern))
+        assert [t for t in cands if rx.fullmatch(t)] == full, pattern
+
+    check()
