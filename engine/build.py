@@ -1084,7 +1084,13 @@ def build_index(input_path: str | list[str], index_dir: str,
             full = max(1, min(cpus - 2 if cpus > 3 else cpus - 1,
                               (cpus * 3) // 4, 16))
             n_batches = max(1, int(man["stats"]["N"]) // cfg.batch_size)
-            conc = full if n_batches >= full * 16 else (2, full)
+            # fixed pool whenever each actor averages ≥4 batches:
+            # actors start in PARALLEL, so the wall-clock startup cost
+            # is ~one actor init regardless of pool size — the old
+            # full*16 threshold left mid-size builds on an autoscaling
+            # pool that never ramped past its floor (measured: stage A
+            # flat from 4→8 cpus at 300k turns, 2× at 16)
+            conc = full if n_batches >= full * 4 else (2, full)
         frags = ds.map_batches(
             FragmentBuilder,
             fn_constructor_args=(cfg.to_json(), index_dir, part_of_path,
