@@ -200,6 +200,23 @@ def _in(mask: int, p: np.ndarray) -> np.ndarray:
     return ((np.int64(mask) >> p) & 1).astype(bool)
 
 
+def _mask_table(mask: int) -> np.ndarray:
+    """bool[16] membership table for a property bitmask — class tests
+    become one fancy-index gather instead of shift+and+astype passes
+    (the rule evaluation's former hot spot: 11 `_in` calls per batch
+    at 2 array passes each)."""
+    return np.array([bool((mask >> v) & 1) for v in range(16)],
+                    dtype=bool)
+
+
+_AH_T = _mask_table(_AH)
+_MID_LET_T = _mask_table(_MID_LET)
+_MID_NUM_T = _mask_table(_MID_NUM)
+_AHNK_T = _mask_table(_AHNK)
+_ENL_T = _mask_table(_AHNK | (1 << EXTNUMLET))
+_WORDISH_T = _mask_table(_WORDISH)
+
+
 def _decode_utf8_batch(texts: pa.Array
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                   np.ndarray]:
@@ -268,10 +285,10 @@ def segment_batch(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
     vi = np.flatnonzero(vis)
     if not len(vi):
         return empty_lists
-    p = P[vi].astype(np.int64)
+    p = P[vi]                     # uint8: class tests are table gathers
     d = doc_of[vi]
     m = len(p)
-    pad = np.int64(OTHER)
+    pad = np.uint8(OTHER)
     prev = np.concatenate(([pad], p[:-1]))
     nxt = np.concatenate((p[1:], [pad]))
     # [:m] guards the m == 1 batch: the 2-pad prefix would otherwise
@@ -282,13 +299,13 @@ def segment_batch(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
     sd_next = np.concatenate((d[:-1] == d[1:], [False]))
     sd_pprev = np.concatenate(([False, False], d[2:] == d[:-2]))[:m]
 
-    ah_p, ah_c = _in(_AH, prev), _in(_AH, p)
+    ah_p, ah_c = _AH_T[prev], _AH_T[p]
     num_p, num_c = prev == NUMERIC, p == NUMERIC
     nb = (
         (ah_p & ah_c)                                          # WB5
-        | (ah_p & _in(_MID_LET, p) & _in(_AH, nxt) & sd_next)  # WB6
-        | (_in(_MID_LET, prev) & ah_c
-           & _in(_AH, pprev) & sd_pprev)                       # WB7
+        | (ah_p & _MID_LET_T[p] & _AH_T[nxt] & sd_next)        # WB6
+        | (_MID_LET_T[prev] & ah_c
+           & _AH_T[pprev] & sd_pprev)                          # WB7
         | ((prev == HEBREW) & (p == SQ))                       # WB7a
         | ((prev == HEBREW) & (p == DQ)
            & (nxt == HEBREW) & sd_next)                        # WB7b
@@ -297,14 +314,13 @@ def segment_batch(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
         | (num_p & num_c)                                      # WB8
         | (ah_p & num_c)                                       # WB9
         | (num_p & ah_c)                                       # WB10
-        | (_in(_MID_NUM, prev) & num_c
+        | (_MID_NUM_T[prev] & num_c
            & (pprev == NUMERIC) & sd_pprev)                    # WB11
-        | (num_p & _in(_MID_NUM, p)
+        | (num_p & _MID_NUM_T[p]
            & (nxt == NUMERIC) & sd_next)                       # WB12
         | ((prev == KATAKANA) & (p == KATAKANA))               # WB13
-        | (_in(_AHNK | (1 << EXTNUMLET), prev)
-           & (p == EXTNUMLET))                                 # WB13a
-        | ((prev == EXTNUMLET) & _in(_AHNK, p))                # WB13b
+        | (_ENL_T[prev] & (p == EXTNUMLET))                    # WB13a
+        | ((prev == EXTNUMLET) & _AHNK_T[p])                   # WB13b
     )
     # WB3c: ZWJ × Extended_Pictographic — evaluated in ORIGINAL
     # codepoint space (the ZWJ itself is WB4-transparent, so in the
@@ -336,10 +352,10 @@ def segment_batch(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
     # or a pictograph (emoji tokens, the ICUTokenizer LUCENE-8013
     # behavior — an EP segment emits as ONE token)
     seg_id = np.cumsum(brk) - 1
-    wordish = _in(_WORDISH, p) | ep_c
+    wordish = _WORDISH_T[p] | ep_c
     n_seg = int(seg_id[-1]) + 1
-    seg_keep = np.zeros(n_seg, dtype=bool)
-    np.logical_or.at(seg_keep, seg_id, wordish)
+    seg_keep = np.bincount(seg_id[wordish],
+                           minlength=n_seg).astype(bool)
     seg_first = np.flatnonzero(brk)             # collapsed index
     seg_last = np.append(seg_first[1:], m) - 1
     kept = np.flatnonzero(seg_keep)
