@@ -299,29 +299,39 @@ def segment_batch(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
     sd_next = np.concatenate((d[:-1] == d[1:], [False]))
     sd_pprev = np.concatenate(([False, False], d[2:] == d[:-2]))[:m]
 
+    # rule groups run only when their trigger classes exist in the
+    # batch (absent class → the whole term is all-False): plain-text
+    # batches skip the Hebrew/Mid*/Katakana/ExtendNumLet passes
+    has = np.bincount(p, minlength=16).astype(bool)
+    has_mid_let = has[MIDLETTER] or has[MIDNUMLET] or has[SQ]
+    has_mid_num = has[MIDNUM] or has[MIDNUMLET] or has[SQ]
+
     ah_p, ah_c = _AH_T[prev], _AH_T[p]
     num_p, num_c = prev == NUMERIC, p == NUMERIC
-    nb = (
-        (ah_p & ah_c)                                          # WB5
-        | (ah_p & _MID_LET_T[p] & _AH_T[nxt] & sd_next)        # WB6
-        | (_MID_LET_T[prev] & ah_c
-           & _AH_T[pprev] & sd_pprev)                          # WB7
-        | ((prev == HEBREW) & (p == SQ))                       # WB7a
-        | ((prev == HEBREW) & (p == DQ)
-           & (nxt == HEBREW) & sd_next)                        # WB7b
-        | ((prev == DQ) & (p == HEBREW)
-           & (pprev == HEBREW) & sd_pprev)                     # WB7c
-        | (num_p & num_c)                                      # WB8
-        | (ah_p & num_c)                                       # WB9
-        | (num_p & ah_c)                                       # WB10
-        | (_MID_NUM_T[prev] & num_c
-           & (pprev == NUMERIC) & sd_pprev)                    # WB11
-        | (num_p & _MID_NUM_T[p]
-           & (nxt == NUMERIC) & sd_next)                       # WB12
-        | ((prev == KATAKANA) & (p == KATAKANA))               # WB13
-        | (_ENL_T[prev] & (p == EXTNUMLET))                    # WB13a
-        | ((prev == EXTNUMLET) & _AHNK_T[p])                   # WB13b
-    )
+    nb = ah_p & ah_c                                           # WB5
+    nb |= ah_p & num_c                                         # WB9
+    nb |= num_p & ah_c                                         # WB10
+    nb |= num_p & num_c                                        # WB8
+    if has_mid_let:
+        nb |= ah_p & _MID_LET_T[p] & _AH_T[nxt] & sd_next      # WB6
+        nb |= (_MID_LET_T[prev] & ah_c
+               & _AH_T[pprev] & sd_pprev)                      # WB7
+    if has[HEBREW]:
+        nb |= (prev == HEBREW) & (p == SQ)                     # WB7a
+        nb |= ((prev == HEBREW) & (p == DQ)
+               & (nxt == HEBREW) & sd_next)                    # WB7b
+        nb |= ((prev == DQ) & (p == HEBREW)
+               & (pprev == HEBREW) & sd_pprev)                 # WB7c
+    if has_mid_num:
+        nb |= (_MID_NUM_T[prev] & num_c
+               & (pprev == NUMERIC) & sd_pprev)                # WB11
+        nb |= (num_p & _MID_NUM_T[p]
+               & (nxt == NUMERIC) & sd_next)                   # WB12
+    if has[KATAKANA]:
+        nb |= (prev == KATAKANA) & (p == KATAKANA)             # WB13
+    if has[EXTNUMLET]:
+        nb |= _ENL_T[prev] & (p == EXTNUMLET)                  # WB13a
+        nb |= (prev == EXTNUMLET) & _AHNK_T[p]                 # WB13b
     # WB3c: ZWJ × Extended_Pictographic — evaluated in ORIGINAL
     # codepoint space (the ZWJ itself is WB4-transparent, so in the
     # collapsed stream it has already attached to the preceding
