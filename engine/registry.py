@@ -5747,6 +5747,21 @@ def sharded_regexp_topk(sf_dir: str) -> pa.Table:
         searcher.shutdown()
 
 
+def sharded_regexp_literal_free_topk(sf_dir: str) -> pa.Table:
+    """Distributed literal-free RegexpQuery: each shard prunes its
+    dictionary by the pattern SHAPE (r4, ``_regex_shape``) instead of
+    scanning it, then the coordinator unions matches under global
+    IDF — the distributed face of ``regexp_literal_free_topk``."""
+    from engine.sharded import DistributedSearcher
+
+    searcher = DistributedSearcher(_doc_shards(sf_dir))
+    try:
+        return _topdocs_out(
+            searcher.regexp_topk(REGEX_LF_PATTERN, k=10))
+    finally:
+        searcher.shutdown()
+
+
 def sharded_highlight_topk(sf_dir: str) -> pa.Table:
     """Distributed highlighting (upstream ``HighlightComponent``
     distributed flow [U]): global-IDF top-k, then the id list
@@ -16076,6 +16091,8 @@ def queries() -> dict:
         "sharded_span_near_topk": sharded_span_near_topk,
         "sharded_wildcard_topk": sharded_wildcard_topk,
         "sharded_regexp_topk": sharded_regexp_topk,
+        "sharded_regexp_literal_free_topk":
+            sharded_regexp_literal_free_topk,
         "sharded_terms_topk": sharded_terms_topk,
         "sharded_highlight_topk": sharded_highlight_topk,
         "sharded_mlt_topk": sharded_mlt_topk,
@@ -16461,6 +16478,7 @@ def oracle_sql() -> dict:
         "sharded_span_near_topk": sql_span_near(),
         "sharded_wildcard_topk": SQL_WILDCARD,
         "sharded_regexp_topk": SQL_REGEXP,
+        "sharded_regexp_literal_free_topk": SQL_REGEXP_LF,
         "sharded_terms_topk": SQL_DOC_FREQ_TOP20,
         "sharded_highlight_topk": sql_highlight(),
         "sharded_mlt_topk": sql_mlt(),
