@@ -482,6 +482,92 @@ def run_stage_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_serve_scaling(sf_dir: str) -> dict:
+    """Sharded-serving scaling: the bench transcript corpus split into
+    K=3 and K=16 doc-range shard clusters (tools/serve_job.py), the
+    reference query mix through the two-phase global-IDF coordinator
+    at both widths (topk + fetch), plus a replica-failover probe at
+    K=16 (kill two primaries mid-stream; the retried answer must be
+    bit-identical). One-flag reproduction of BASELINE.md's serving
+    table."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    sf = _sf_of(sf_dir)
+    corpus, n_rows = _bench_corpus(sf)
+    serve_dir = os.path.join(BENCH_ROOT, f"serve_corpus_sf{sf}")
+    os.makedirs(serve_dir, exist_ok=True)
+    fs = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                if f.endswith(".parquet"))
+    base = 0
+    for i, f in enumerate(fs):
+        dst = os.path.join(serve_dir, f"part-{i:05d}.parquet")
+        t = _pq.read_table(f, columns=["text"])
+        if not os.path.exists(dst):
+            t = t.append_column("doc_id", _pa.array(
+                range(base, base + t.num_rows), type=_pa.int64()))
+            _pq.write_table(t, dst)
+        base += t.num_rows
+    from engine.synth import make_queries
+    qfile = os.path.join(BENCH_ROOT, "serve_queries.txt")
+    with open(qfile, "w") as f:
+        for q in make_queries(seed=42, n_tail_vocab=TAIL_VOCAB):
+            f.write(q["query_text"].replace("\n", " ") + "\n")
+
+    out: dict = {"metric": "sharded serving scaling (K=3 vs K=16)",
+                 "sf": sf, "n_docs": n_rows}
+    for k in (3, 16):
+        cl = os.path.join(BENCH_ROOT, f"serve_k{k}")
+        if not os.path.exists(os.path.join(cl, "cluster.json")):
+            subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "tools", "serve_job.py"), "shard",
+                 "--input", serve_dir, "--output", cl,
+                 "--n-shards", str(k), "--stored-fields"],
+                check=True, capture_output=True, text=True,
+                timeout=1800)
+        for mode in ("topk", "fetch"):
+            p = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "tools", "serve_job.py"), "query",
+                 "--cluster", cl, "--queries", qfile,
+                 "--k", "10", "--mode", mode],
+                check=True, capture_output=True, text=True,
+                timeout=1800)
+            out[f"k{k}_{mode}"] = json.loads(
+                p.stdout.strip().splitlines()[-1])
+
+    # failover probe at K=16
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=int(os.environ.get(
+            "RAY_GRAFT_CPUS", "32")), include_dashboard=False,
+            logging_level="ERROR", log_to_driver=False)
+    from engine.sharded import ReplicatedSearcher
+
+    shards = json.load(open(os.path.join(
+        BENCH_ROOT, "serve_k16", "cluster.json")))["shards"]
+    qs = [q.strip() for q in open(qfile) if q.strip()]
+    s = ReplicatedSearcher(shards, n_replicas=2, preload=True)
+    try:
+        for q in qs[:10]:
+            s.call("topk", q, 10)
+        base_ref = s.call("topk", qs[0], 10)
+        ray.kill(s.shards[0])
+        ray.kill(s.shards[7])
+        t0 = time.perf_counter()
+        after = s.call("topk", qs[0], 10)
+        fo_ms = (time.perf_counter() - t0) * 1e3
+        out["failover_k16"] = {
+            "killed_primaries": 2, "promotions": s.promotions,
+            "failover_query_ms": round(fo_ms, 2),
+            "exact_after_failover": bool(after.equals(base_ref))}
+    finally:
+        s.shutdown()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -496,6 +582,8 @@ def main() -> None:
                          "default vs CPU-heavy codec")
     ap.add_argument("--single-stage-build", action="store_true",
                     help="one stage-timed build (subprocess mode)")
+    ap.add_argument("--serve-scaling", action="store_true",
+                    help="sharded serving at K=3 vs K=16 + failover")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -504,6 +592,8 @@ def main() -> None:
 
     if args.scaling:
         out = run_scaling(sf_dir)
+    elif args.serve_scaling:
+        out = run_serve_scaling(sf_dir)
     elif args.scaling_query:
         out = run_scaling_query(sf_dir)
     elif args.stage_scaling:
