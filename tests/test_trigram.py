@@ -282,3 +282,23 @@ def test_shape_prune_superset_property(smoke_index):
         assert [t for t in cands if rx.fullmatch(t)] == full, pattern
 
     check()
+
+
+def test_write_sidecar_in_memory_matches_readback(tmp_path):
+    """The term_col fast path (merge passes its in-memory table) must
+    produce a byte-identical sidecar to the read-back variant."""
+    terms = pa.array(["alpha", "beta", "alphabet", "gamma"])
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (d1, d2):
+        os.makedirs(d)
+        pq.write_table(pa.table({"term": terms}),
+                       os.path.join(d, "merged-0.parquet"))
+    n1 = write_sidecar(d1)                    # read-back
+    n2 = write_sidecar(d2, terms)             # in-memory
+    assert n1 == n2 > 0
+    t1 = pq.read_table(os.path.join(d1, SIDECAR_NAME))
+    t2 = pq.read_table(os.path.join(d2, SIDECAR_NAME))
+    assert t1.equals(t2)
+    # an empty rewrite removes the stale sidecar
+    assert write_sidecar(d2, pa.array([], type=pa.string())) == 0
+    assert not os.path.exists(os.path.join(d2, SIDECAR_NAME))
