@@ -355,6 +355,8 @@ class IndexReader:
         self.dict_terms_checked = 0   # full predicate evals (see
         #                               _dict_candidates): sublinear
         #                               dictionary touch is testable
+        self.automaton_walks = 0      # NFA ∩ dictionary seek walks
+        #                               taken (r5, regexp_candidates)
         self._io_reads = 0      # Parquet reads served (cache-miss counter)
         self._preloaded = False
         if preload:
@@ -1343,18 +1345,45 @@ class IndexReader:
     _SHAPE_POS_CAP = 8        # anchored positions constrained per end
     _SHAPE_CLASS_CAP = 64     # max chars expanded from an IN range
 
+    # Exact (?i) expansion extras beyond {lower, upper} under sre's
+    # Unicode SIMPLE case fold — verified complete for ASCII by
+    # enumerating re.fullmatch('(?i)c', x) over every codepoint:
+    # only i/k/s pick up non-ASCII variants (İ ı / KELVIN K / LONG S ſ)
+    _FOLD_EXTRA = {"i": "İı", "I": "İı",
+                   "k": "K", "K": "K",
+                   "s": "ſ", "S": "ſ"}
+
+    @classmethod
+    def _fold_class(cls, chars: frozenset) -> frozenset | None:
+        """Case-fold a character class exactly as ``re.IGNORECASE``
+        matches it (Unicode simple fold). Non-ASCII members return
+        None — the caller drops that position's constraint entirely
+        (superset-safe) rather than risk a wrong prune."""
+        out: set[str] = set()
+        for c in chars:
+            if ord(c) > 127:
+                return None
+            out.update((c.lower(), c.upper()))
+            out.update(cls._FOLD_EXTRA.get(c, ""))
+        return frozenset(out)
+
     @classmethod
     def _regex_shape(cls, pattern: str) -> dict | None:
         """Conservative shape of a regex: (min_len, max_len|None) and
         anchored per-position character classes. Every true match
-        satisfies the shape; None → no information (caller scans)."""
+        satisfies the shape; None → no information (caller scans).
+        ``(?i)`` patterns fold their classes through
+        :meth:`_fold_class` (r5) instead of bailing to a full scan —
+        simple case folding preserves codepoint count, so the length
+        bounds stay valid too."""
         try:
             import re
             import re._parser as sp
-            if re.compile(pattern).flags & re.IGNORECASE:
-                # inline (?i) flags are invisible in the parse tree —
-                # case-blind classes would wrongly prune matches
-                return None
+            # inline (?i) flags are invisible in the parse tree;
+            # "(?i" catches scoped groups the compiled flags miss —
+            # over-folding is a superset, never a wrong prune
+            fold = bool(re.compile(pattern).flags & re.IGNORECASE) \
+                or "(?i" in pattern
             tree = sp.parse(pattern)
         except Exception:        # noqa: BLE001 — unparseable: no info
             return None
@@ -1411,10 +1440,10 @@ class IndexReader:
             None = not fixed-width-1 (stop the anchored walk)."""
             n = str(op)
             if n == "LITERAL":
-                return frozenset((chr(av),))
-            if n in ("NOT_LITERAL", "ANY", "CATEGORY"):
+                out = frozenset((chr(av),))
+            elif n in ("NOT_LITERAL", "ANY", "CATEGORY"):
                 return _ANY
-            if n == "IN":
+            elif n == "IN":
                 chars: set[str] = set()
                 for iop, iav in av:
                     m = str(iop)
@@ -1427,8 +1456,14 @@ class IndexReader:
                         chars.update(chr(c) for c in range(a, b + 1))
                     else:        # NEGATE / CATEGORY / ...
                         return _ANY
-                return frozenset(chars)
-            return None
+                out = frozenset(chars)
+            else:
+                return None
+            if fold:
+                out = cls._fold_class(out)
+                if out is None:      # non-ASCII under (?i): no info
+                    return _ANY
+            return out
 
         flat = flatten(tree)
 
@@ -1512,6 +1547,56 @@ class IndexReader:
                 if sel.any():
                     out.update(terms_np[sel].tolist())
         return sorted(out)
+
+    def regexp_candidates(self, pattern: str) -> list[str]:
+        """Dictionary candidates for a RegexpQuery — a guaranteed
+        superset of the full-match term set, pruned sublinearly by
+        the cheapest applicable structure (the engine's equivalent of
+        upstream's ``CompiledAutomaton`` ∩ FST intersection
+        [U ``L/util/automaton/CompiledAutomaton``]):
+
+        1. required-literal trigram intersection (≥3-char literals);
+        2. Arrow shape filter — length bounds + anchored per-position
+           classes, case-folded for ``(?i)`` patterns (r5);
+        3. bounded NFA ∩ sorted-dictionary seek walk
+           (:mod:`engine.automaton`, r5) when the shape is vacuous —
+           unbounded length and no anchored class, e.g.
+           ``(ab|cd)+x.*`` — so neither filter above can prune.
+
+        Callers still run the exact ``re.fullmatch`` on the result.
+        ``dict_terms_checked`` advances by the number of dictionary
+        terms actually examined (the sublinearity metric)."""
+        req = self._required_literals(pattern)
+        if req:
+            cands = self._dict_candidates(required=req)
+            self.dict_terms_checked += len(cands)
+            return cands
+        shape = self._regex_shape(pattern)
+        vacuous = shape is None or (
+            shape.get("max_len") is None
+            and not any(shape.get("pre") or [])
+            and not any(shape.get("suf") or []))
+        if vacuous:
+            from engine import automaton as am
+
+            nfa = am.build_nfa(pattern)
+            if nfa is not None:
+                self.automaton_walks += 1
+                found: set[str] = set()
+                touched = 0
+                for _tri, terms_np, _pa in self._iter_tri():
+                    arr = terms_np
+                    if len(arr) > 1 and \
+                            not bool(np.all(arr[:-1] <= arr[1:])):
+                        arr = np.sort(arr)   # extras may be unsorted
+                    cands, t = am.intersect_sorted(nfa, arr)
+                    found.update(cands)
+                    touched += t
+                self.dict_terms_checked += touched
+                return sorted(found)
+        cands = self._shape_candidates(shape)
+        self.dict_terms_checked += len(cands)
+        return cands
 
     def _fuzzy_candidates(self, term: str, max_edits: int
                           ) -> list[str]:
@@ -1903,14 +1988,11 @@ class IndexReader:
         import re
 
         rx = re.compile(pattern)
-        # automaton-intersection stand-in: every match must contain
-        # the pattern's required literals, so intersect their trigram
-        # postings and run the full regex only on that slice
-        req = self._required_literals(pattern)
-        cands = self._dict_candidates(required=req) if req \
-            else self._shape_candidates(self._regex_shape(pattern))
-        self.dict_terms_checked += len(cands)
-        matches = [t for t in cands if rx.fullmatch(t)]
+        # automaton-intersection stand-in: literal trigram postings,
+        # Arrow shape filter, or the NFA ∩ sorted-dictionary walk —
+        # regexp_candidates picks the cheapest applicable prune
+        matches = [t for t in self.regexp_candidates(pattern)
+                   if rx.fullmatch(t)]
         if not matches:
             return _topdocs_table([], [])
         return self.boolean_topk(should=matches, k=k)

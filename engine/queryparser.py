@@ -489,10 +489,8 @@ class Evaluator:
     def _eval_RegexpQ(self, n: RegexpQ):
         r = self._reader(n.field)
         rx = re.compile(n.pattern)
-        req = r._required_literals(n.pattern)
-        cands = r._dict_candidates(required=req) if req \
-            else r._shape_candidates(r._regex_shape(n.pattern))
-        terms = [t for t in cands if rx.fullmatch(t)]
+        terms = [t for t in r.regexp_candidates(n.pattern)
+                 if rx.fullmatch(t)]
         return self._union_sum(
             [self._term_clause(r, t, 1.0) for t in terms], n.boost)
 

@@ -1681,6 +1681,53 @@ def regexp_literal_free_topk(sf_dir: str) -> pa.Table:
     return _topdocs_out(out)
 
 
+REGEX_CI_PATTERN = "(?i)S..R."
+
+
+def regexp_ci_literal_free_topk(sf_dir: str) -> pa.Table:
+    """Case-insensitive RegexpQuery with NO required literal — the
+    class the r4 shape pruner deliberately declined (a case-blind
+    class would have pruned wrongly). r5 folds the shape's anchored
+    character classes through the exact ``re.IGNORECASE`` simple-fold
+    expansion (``IndexReader._fold_class`` — {lower, upper} plus the
+    enumerated İ/ı/K/ſ extras), so ``(?i)`` patterns now prune the
+    dictionary with the same Arrow kernels instead of full-scanning
+    it (upstream compiles case variants directly into the automaton,
+    ``L/util/automaton/CompiledAutomaton`` [U]). The in-entry assert
+    pins the sublinear dictionary touch."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    r.dict_terms_checked = 0
+    out = r.regexp_topk(REGEX_CI_PATTERN, k=10)
+    nv = len(r.vocabulary())
+    assert 0 < r.dict_terms_checked < nv, (r.dict_terms_checked, nv)
+    return _topdocs_out(out)
+
+
+REGEX_VACUOUS_PATTERN = "(s|p|c)+a.*"
+
+
+def regexp_automaton_topk(sf_dir: str) -> pa.Table:
+    """RegexpQuery whose shape is VACUOUS — unbounded length (the
+    trailing ``.*``) and no anchored character class (the leading
+    alternation kills the positional walk) — so neither the trigram
+    intersection nor the Arrow shape filter can prune. r5 routes this
+    class through ``engine/automaton.py``: a conservative-superset
+    Thompson NFA walked against the sorted term dictionary with
+    binary-search seeks to each prefix's smallest viable successor
+    (upstream's ``CompiledAutomaton`` ∩ FST ``intersect``,
+    ``L/util/automaton/CompiledAutomaton`` + ``IntersectTermsEnum``
+    [U]). The asserts pin that the walk ran and touched a strict
+    subset of the dictionary — closing the last full-dictionary-scan
+    class (VERDICT r4 item 1b)."""
+    r = IndexReader(cached_doc_index(sf_dir, analyzed=False))
+    r.dict_terms_checked = 0
+    out = r.regexp_topk(REGEX_VACUOUS_PATTERN, k=10)
+    nv = len(r.vocabulary())
+    assert r.automaton_walks >= 1, "NFA walk path not taken"
+    assert 0 < r.dict_terms_checked < nv, (r.dict_terms_checked, nv)
+    return _topdocs_out(out)
+
+
 def req_opt_topk(sf_dir: str) -> pa.Table:
     """ReqOptSumScorer: required term filters, optional term adds score
     (upstream ``L/search/ReqOptSumScorer.java`` [U]) — the MUST+SHOULD
@@ -1762,6 +1809,14 @@ SQL_REGEXP = _sql_disjunction(
 SQL_REGEXP_LF = _sql_disjunction(
     "SELECT DISTINCT term FROM tf "
     f"WHERE regexp_full_match(term, '{REGEX_LF_PATTERN}')", 10)
+
+SQL_REGEXP_CI = _sql_disjunction(
+    "SELECT DISTINCT term FROM tf "
+    f"WHERE regexp_full_match(term, '{REGEX_CI_PATTERN}')", 10)
+
+SQL_REGEXP_AUTOMATON = _sql_disjunction(
+    "SELECT DISTINCT term FROM tf "
+    f"WHERE regexp_full_match(term, '{REGEX_VACUOUS_PATTERN}')", 10)
 
 
 # ------------------------------------------- classic query parser
@@ -15820,6 +15875,8 @@ def queries() -> dict:
         "fuzzy_prefix_topk_docs": fuzzy_prefix_topk_docs,
         "regexp_topk": regexp_topk,
         "regexp_literal_free_topk": regexp_literal_free_topk,
+        "regexp_ci_literal_free_topk": regexp_ci_literal_free_topk,
+        "regexp_automaton_topk": regexp_automaton_topk,
         "boosted_topk": boosted_topk,
         "constant_score_topk": constant_score_topk,
         "req_opt_topk": req_opt_topk,
@@ -16208,6 +16265,8 @@ def oracle_sql() -> dict:
         "fuzzy_prefix_topk_docs": SQL_FUZZY_PREFIX,
         "regexp_topk": SQL_REGEXP,
         "regexp_literal_free_topk": SQL_REGEXP_LF,
+        "regexp_ci_literal_free_topk": SQL_REGEXP_CI,
+        "regexp_automaton_topk": SQL_REGEXP_AUTOMATON,
         "boosted_topk": sql_boosted(),
         "constant_score_topk": SQL_CONSTANT_SCORE,
         "req_opt_topk": SQL_REQ_OPT,

@@ -273,10 +273,8 @@ class ShardSearcher:
         r = self.reader
         if kind == "regexp":
             rx = re.compile(pattern)
-            req = r._required_literals(pattern)
-            cands = r._dict_candidates(required=req) if req \
-                else r._shape_candidates(r._regex_shape(pattern))
-            return [t for t in cands if rx.fullmatch(t)]
+            return [t for t in r.regexp_candidates(pattern)
+                    if rx.fullmatch(t)]
         # wildcard
         body = pattern[:-1] if pattern.endswith("*") else pattern
         if "*" not in body and "?" not in body:

@@ -226,10 +226,11 @@ def test_nrt_ram_terms_visible_to_fuzzy(ray_session, tmp_path):
     assert "bravo" not in cands
 
 
-def test_inline_ignorecase_flag_disables_pruning(smoke_index):
-    """(?i) is invisible in the sre parse tree — both literal and
-    shape pruning must bail out to the full scan so case-insensitive
-    patterns keep their matches."""
+def test_inline_ignorecase_flag_case_folds_pruning(smoke_index):
+    """(?i) is invisible in the sre parse tree — literal pruning must
+    still bail (trigram postings are case-sensitive), but r5's shape
+    pruner now case-FOLDS its anchored classes instead of scanning,
+    and must keep every match."""
     import re
 
     from engine.query import IndexReader
@@ -239,10 +240,14 @@ def test_inline_ignorecase_flag_disables_pruning(smoke_index):
     probe = max(r.vocabulary(), key=len)
     pat = "(?i)" + probe.upper()
     assert IndexReader._required_literals(pat) == []
-    assert IndexReader._regex_shape(pat) is None
+    shape = IndexReader._regex_shape(pat)
+    assert shape is not None
+    assert shape["pre"] and probe[0] in shape["pre"][0] \
+        and probe[0].upper() in shape["pre"][0]
     rx = re.compile(pat)
     full = [t for t in r.vocabulary() if rx.fullmatch(t)]
     assert probe in full
+    assert set(r.regexp_candidates(pat)) >= set(full)
     top = r.regexp_topk(pat, 10)
     assert top.num_rows > 0
 
