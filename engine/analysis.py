@@ -548,19 +548,34 @@ class DictSegmentFilter(TokenFilter):
             run_strs = np.array(
                 ["".join(chars[s:s + ln]) for s, ln in
                  zip(start_idx, run_len)], dtype=object)
-            # segment each UNIQUE run once (type-level work)
+            # segment each UNIQUE run once (type-level work), then
+            # emit every run INSTANCE with one ragged np.repeat/inv
+            # gather over the flattened piece tables — no Python loop
+            # over run occurrences (r5; VERDICT r4 perf note 1)
             uniq, inv = np.unique(run_strs, return_inverse=True)
             pieces = [self._segment(r) for r in uniq]
-            for r in range(n_runs):
-                base_pos = positions[start_idx[r]]
-                d = doc_of[start_idx[r]]
-                ps = pieces[inv[r]]
-                out_doc.append(np.full(len(ps), d, dtype=np.int64))
-                out_pos.append(np.array(
-                    [base_pos + off for off, _ in ps],
-                    dtype=np.int32))
-                out_term.append(np.array([w for _, w in ps],
-                                         dtype=object))
+            u_cnt = np.fromiter((len(p) for p in pieces),
+                                dtype=np.int64, count=len(pieces))
+            u_off = np.zeros(len(pieces) + 1, dtype=np.int64)
+            np.cumsum(u_cnt, out=u_off[1:])
+            flat_off = np.fromiter(
+                (o for p in pieces for o, _ in p),
+                dtype=np.int64, count=int(u_off[-1]))
+            flat_word = np.array(
+                [w for p in pieces for _, w in p], dtype=object)
+            cnt = u_cnt[inv]                  # pieces per instance
+            tot = int(cnt.sum())
+            run_rep = np.repeat(np.arange(n_runs), cnt)
+            inst_start = np.concatenate(
+                ([0], np.cumsum(cnt)[:-1]))
+            j_local = np.arange(tot, dtype=np.int64) \
+                - inst_start[run_rep]
+            src = u_off[inv[run_rep]] + j_local
+            anchor = start_idx[run_rep]
+            out_doc.append(doc_of[anchor])
+            out_pos.append((positions[anchor]
+                            + flat_off[src]).astype(np.int32))
+            out_term.append(flat_word[src])
         doc_all = np.concatenate(out_doc)
         pos_all = np.concatenate(out_pos).astype(np.int32)
         term_all = np.concatenate(out_term)
