@@ -60,7 +60,13 @@ class HLL:
     def estimate(self) -> float:
         m = float(self.m)
         alpha = 0.7213 / (1 + 1.079 / m)
-        s = float(np.sum(2.0 ** (-self.regs.astype(np.float64))))
+        # harmonic sum via an EXACT integer numerator (Σ 2^(R-reg),
+        # R = max register value), cast to double once — replayable
+        # in SQL without float-summation-order sensitivity (r5; the
+        # same trick as the md5 entry's Σ 2^(57-rho))
+        r_max = 64 - self.p + 1
+        s_num = sum(1 << (r_max - int(r)) for r in self.regs)
+        s = float(s_num) / float(1 << r_max)
         e = alpha * m * m / s
         zeros = int(np.count_nonzero(self.regs == 0))
         if e <= 2.5 * m and zeros:
@@ -95,10 +101,12 @@ def hll_group_distinct(ds: ray.data.Dataset, key_col: str, val_col: str,
             o = HLL(p)
             o.regs = np.frombuffer(blob, dtype=np.uint8).copy()
             sk.merge(o)
+        # floor(x + 0.5), not round(): banker's rounding differs from
+        # SQL ROUND semantics — shared convention with the md5 entry
         return pa.table({
             key_col: g[key_col].slice(0, 1),
-            "n_users_approx": pa.array([int(round(sk.estimate()))],
-                                       type=pa.int64()),
+            "n_users_approx": pa.array(
+                [int(np.floor(sk.estimate() + 0.5))], type=pa.int64()),
         })
 
     t = ds.map_batches(partial, batch_format="pyarrow") \

@@ -3147,12 +3147,88 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
     """Approximate distinct users per event_type with an in-repo
     HyperLogLog sketch (upstream ``S/search/facet/HLLAgg.java`` [U]):
     per-batch register partials merged by max — the partial/final
-    pattern. Deterministic but estimate-valued → rows-only check; the
-    unit tests bound its error against the exact count."""
+    pattern. Value-checked since r5: the oracle replays the
+    splitmix64 avalanche with wrapping 64-bit multiplies (32-bit limb
+    decomposition through HUGEINT), rebuilds the registers with
+    smear+bit_count leading-zero ranks, and evaluates the corrected
+    estimator from the same exact integer harmonic-sum numerator the
+    sketch now uses. The only transcendental (linear counting's
+    ``ln``) is verified to agree at the rounded-integer level over
+    its ENTIRE argument domain (zeros ∈ 1..4096) in
+    tests/test_ops.py."""
     from engine.ops.sketch import hll_group_distinct
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return hll_group_distinct(ds, "event_type", "user_id")
+
+
+def _sql_mul64(a: str, c: int) -> str:
+    """Wrapping 64-bit multiply ``(a * c) mod 2^64`` in DuckDB SQL:
+    32-bit limb decomposition through HUGEINT (each partial product
+    < 2^96, the limb recombination < 2^65 — both inside HUGEINT)."""
+    return (f"CAST(((({a}) % 4294967296)::HUGEINT * {c}::HUGEINT"
+            f" % 18446744073709551616::HUGEINT"
+            f" + ((({a}) // 4294967296)::HUGEINT * {c}::HUGEINT"
+            f" % 4294967296::HUGEINT) * 4294967296::HUGEINT)"
+            f" % 18446744073709551616::HUGEINT AS UBIGINT)")
+
+
+# splitmix64 constants (Steele/Lea/Flood, public domain PRNG finalizer)
+_SM_K = 0x9E3779B97F4A7C15
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+
+# exact splitmix64-HLL replay: avalanche via wrapping multiplies,
+# p=12 register index from the high bits, leading-zero rank via
+# smear + bit_count on the low-52-bit remainder (rest < 2^52 keeps
+# every shift inside BIGINT), then the corrected estimator off the
+# exact integer harmonic numerator — mirroring HLL.estimate() op for
+# op so the double arithmetic is bit-identical
+SQL_HLL_SPLITMIX = f"""
+WITH x0 AS (
+  SELECT event_type,
+         CAST((user_id::UBIGINT::HUGEINT + {_SM_K}::HUGEINT)
+              % 18446744073709551616::HUGEINT AS UBIGINT) AS z
+  FROM events),
+x1 AS (SELECT event_type,
+              {_sql_mul64("xor(z, z // 1073741824)", _SM_C1)} AS z
+       FROM x0),
+x2 AS (SELECT event_type,
+              {_sql_mul64("xor(z, z // 134217728)", _SM_C2)} AS z
+       FROM x1),
+h AS (SELECT event_type, xor(z, z // 2147483648) AS hv FROM x2),
+r AS (SELECT event_type, (hv // 4503599627370496)::BIGINT AS idx,
+             (hv % 4503599627370496)::BIGINT AS rest FROM h),
+rho AS (
+  SELECT event_type, idx, MAX(53 - bit_count(s5)::BIGINT) AS rho
+  FROM (SELECT event_type, idx, s4 | (s4 >> 32) AS s5
+    FROM (SELECT event_type, idx, s3 | (s3 >> 16) AS s4
+      FROM (SELECT event_type, idx, s2 | (s2 >> 8) AS s3
+        FROM (SELECT event_type, idx, s1 | (s1 >> 4) AS s2
+          FROM (SELECT event_type, idx, s0 | (s0 >> 2) AS s1
+            FROM (SELECT event_type, idx, rest | (rest >> 1) AS s0
+                  FROM r))))))
+  GROUP BY event_type, idx),
+agg AS (
+  SELECT event_type, COUNT(*)::BIGINT AS np_,
+         SUM((1::BIGINT << (53 - rho))::HUGEINT) AS sp
+  FROM rho GROUP BY event_type),
+est AS (
+  SELECT event_type, (4096 - np_) AS zeros,
+    CAST(sp + (4096 - np_)::HUGEINT
+              * 9007199254740992::HUGEINT AS DOUBLE)
+      / 9007199254740992.0 AS s
+  FROM agg),
+fin AS (
+  SELECT event_type, zeros,
+    ((0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0) / s AS e
+  FROM est)
+SELECT event_type,
+       CAST(FLOOR(CASE WHEN e <= 2.5 * 4096.0 AND zeros > 0
+                       THEN 4096.0 * ln(4096.0 / zeros)
+                       ELSE e END + 0.5) AS BIGINT) AS n_users_approx
+FROM fin ORDER BY event_type
+"""
 
 
 def group_topn_orders(sf_dir: str) -> pa.Table:
@@ -4092,6 +4168,16 @@ def embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
 _TRANSCRIPT_CACHE: dict[float, str] = {}
 
 
+# stable path the transcript oracles read through: oracle_sql() is a
+# STATIC string while the corpus location depends on sf, so every
+# transcript entry atomically repoints this symlink at ITS corpus
+# before returning (queries() always runs before the oracle in the
+# driver/conform harnesses). The oracle still computes all values
+# independently in DuckDB — the symlink only exposes the same
+# deterministic input table.
+TRANSCRIPTS_LIVE = "/tmp/rayindex_cache/transcripts_live"
+
+
 def _transcript_corpus(sf_dir: str) -> str:
     """Deterministic input_hint-schema transcript corpus for this sf
     (cached); shared by the flagship and the role/tool/ts entries."""
@@ -4108,15 +4194,31 @@ def _transcript_corpus(sf_dir: str) -> str:
     if not os.path.exists(os.path.join(corpus, "transcripts-00000.parquet")):
         write_transcripts(corpus, n_convs=max(200, int(200_000 * sf)),
                           seed=42, n_files=4)
+    tmp = TRANSCRIPTS_LIVE + f".tmp{os.getpid()}"
+    try:                              # atomic repoint (rename over)
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(corpus, tmp)
+        os.replace(tmp, TRANSCRIPTS_LIVE)
+    except OSError:
+        pass                          # oracle-side nicety only
     return corpus
 
 
 def transcript_bm25(sf_dir: str) -> pa.Table:
     """The north-rule flagship as a registry entry: deterministic
     transcript corpus (input_hint schema) → conv-mode analyzed index →
-    reference query set through the QueryEngine actor pool. Rows-only
-    (the corpus is not a DuckDB view); rank/score identity is enforced
-    by the dual-execution tests instead."""
+    reference query set through the QueryEngine actor pool.
+    Value-checked since r5: the oracle replays the ENTIRE pipeline in
+    DuckDB — tokenize, stop-filter, Porter stem (engine/sqlporter CTE
+    chain over corpus ∪ query vocabulary), quantized SmallFloat norms,
+    f32-exact BM25 per query (duplicate query terms = duplicate SHOULD
+    clauses), per-query top-k with the (score desc, docID asc)
+    tie-break, docID = rank of (conv_id, turn_idx). ``total_hits`` is
+    deliberately NOT in the output: it is a strategy-dependent lower
+    bound (Lucene's GREATER_THAN_OR_EQUAL relation under block-max
+    skipping), not a value any exact oracle can pin. The embedded
+    golden value-hash stays as a second pin."""
     import ray.data
 
     from engine.query import QueryEngine
@@ -4142,9 +4244,11 @@ def transcript_bm25(sf_dir: str) -> pa.Table:
         batch_format="pyarrow", concurrency=2)
     t = _to_table(res)
     t = t.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    t = _cast_col(t.select(["query_id", "rank", "doc_id", "conv_id",
+                            "turn_idx", "score"]), "rank", pa.int64())
     # embedded golden (deterministic corpus + f32-exact scoring): any
-    # drift in analyzer/build/merge/query is caught here even though
-    # the transcript corpus is not a DuckDB view
+    # drift in analyzer/build/merge/query is caught here in addition
+    # to the r5 DuckDB full-replay oracle
     import struct
     golden = {0.001: "a6ea966cc60f5265b180679ada20dd46",
               0.01: "a86541184ef695b24dca0d94b32b5540"}
@@ -4156,6 +4260,75 @@ def transcript_bm25(sf_dir: str) -> pa.Table:
             for r in t.to_pylist()).encode()).hexdigest()
         assert got == want, f"transcript_bm25 golden mismatch: {got}"
     return t
+
+
+def sql_transcript_bm25() -> str:
+    """Full-replay oracle for the flagship: every stage recomputed in
+    DuckDB over the published corpus — analysis chain (tokenize, stop,
+    Porter via engine/sqlporter over corpus ∪ query words), SmallFloat
+    norms, f32 BM25, per-query top-k. Query texts are embedded RAW and
+    analyzed by the SQL chain itself, so no engine-computed value
+    enters the oracle. docID = rank of (conv_id, turn_idx) — the
+    conv-mode docmap contract (engine/build.py)."""
+    from engine.analysis import ENGLISH_STOP_WORDS
+    from engine.sqlporter import porter_cte_chain
+    from engine.synth import make_queries
+
+    stops = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    qvals = ",".join(
+        f"({q['query_id']}, '{q['query_text']}', {q['k']})"
+        for q in make_queries())
+    return f"""WITH RECURSIVE
+corpus AS (
+  SELECT conv_id, turn_idx,
+         (ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT
+           AS doc_id, text
+  FROM read_parquet('{TRANSCRIPTS_LIVE}/transcripts-*.parquet')),
+rawt AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM corpus),
+ft AS (SELECT doc_id, term FROM rawt WHERE term NOT IN ({stops})),
+qin(query_id, qtext, k) AS (VALUES {qvals}),
+qraw AS (SELECT query_id, k,
+                unnest(list_filter(regexp_split_to_array(lower(qtext),
+                  '[^a-z0-9]+'), x -> x <> '')) AS term
+         FROM qin),
+qft AS (SELECT query_id, k, term FROM qraw
+        WHERE term NOT IN ({stops})),
+src AS (SELECT term FROM ft UNION SELECT term FROM qft),
+{porter_cte_chain('src')},
+st AS (SELECT f.doc_id, p.stem AS term
+       FROM ft f JOIN pstem p ON p.term = f.term),
+qterms AS (SELECT q.query_id, q.k, p.stem AS term
+           FROM qft q JOIN pstem p ON p.term = q.term),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus)::DOUBLE AS n,
+                 (SELECT COUNT(*) FROM st)::DOUBLE
+                 / (SELECT COUNT(*) FROM corpus)::DOUBLE AS avgdl),
+lut(lo, hi, dec) AS (VALUES {_smallfloat_lut_sql()}),
+dlen AS (SELECT doc_id, COUNT(*) AS dl FROM st GROUP BY doc_id),
+dl AS (SELECT doc_id, lut.dec::DOUBLE AS dlq
+       FROM dlen JOIN lut ON dl BETWEEN lut.lo AND lut.hi),
+tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+       FROM st GROUP BY doc_id, term),
+dfs AS (SELECT t.term, COUNT(DISTINCT t.doc_id)::DOUBLE AS df
+        FROM tf t WHERE t.term IN (SELECT DISTINCT term FROM qterms)
+        GROUP BY t.term),
+contrib AS (
+  SELECT q.query_id, q.k, tf.doc_id, {_SQL_CONTRIB} AS sc
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scored AS (SELECT query_id, k, doc_id,
+                  CAST(SUM(sc::DOUBLE) AS FLOAT) AS score
+           FROM contrib GROUP BY query_id, k, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score, k,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank
+  FROM scored)
+SELECT r.query_id, r.rank, r.doc_id, c.conv_id, c.turn_idx, r.score
+FROM ranked r JOIN corpus c ON c.doc_id = r.doc_id
+WHERE r.rank < r.k
+ORDER BY r.query_id, r.rank
+"""
 
 
 def knn_lsh_docs(sf_dir: str) -> pa.Table:
@@ -9909,8 +10082,11 @@ def transcript_role_stats(sf_dir: str) -> pa.Table:
     """Input-hint column coverage over the flagship transcript corpus:
     per-(role, tool) turn count, alnum-token sum and ts extent
     (epoch-µs). Per-batch vectorized partials → one grouped aggregate.
-    Rows-only with an embedded golden value-hash (corpus is
-    deterministic; see ``_ROLE_STATS_GOLDEN``)."""
+    Value-checked since r5: the corpus is published at
+    ``TRANSCRIPTS_LIVE`` and the oracle recomputes everything in
+    DuckDB (regex re-tokenization included); the embedded golden
+    value-hash (``_ROLE_STATS_GOLDEN``) stays as a second, driver-
+    independent pin."""
     import ray.data
     from ray.data.aggregate import Max, Min, Sum
 
@@ -9968,6 +10144,22 @@ def transcript_role_stats(sf_dir: str) -> pa.Table:
         assert got == want, (
             f"transcript_role_stats golden mismatch for {base}: {got}")
     return out
+
+
+SQL_TRANSCRIPT_ROLE_STATS = f"""
+WITH t AS (
+  SELECT role, tool, text, ts
+  FROM read_parquet('{TRANSCRIPTS_LIVE}/transcripts-*.parquet')),
+tok AS (
+  SELECT role, tool, epoch_us(ts) AS tsu,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))::BIGINT AS n_tok
+  FROM t)
+SELECT role, tool, COUNT(*)::BIGINT AS n_turns,
+       SUM(n_tok)::BIGINT AS n_tokens,
+       MIN(tsu)::BIGINT AS ts_min, MAX(tsu)::BIGINT AS ts_max
+FROM tok GROUP BY role, tool ORDER BY role, tool
+"""
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000   # 30-minute inactivity gap
@@ -11633,6 +11825,26 @@ def transcript_sft_pairs(sf_dir: str) -> pa.Table:
         assert got == want, (
             f"transcript_sft_pairs drift at {base}: {got} != {want}")
     return out
+
+
+SQL_TRANSCRIPT_SFT = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, text
+  FROM read_parquet('{TRANSCRIPTS_LIVE}/transcripts-*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, length(text)::BIGINT AS nch,
+         MAX(CASE WHEN role = 'user' THEN turn_idx END) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prompt_turn_idx
+  FROM t)
+SELECT a.conv_id, a.turn_idx, a.prompt_turn_idx,
+       u.nch AS prompt_chars, a.nch AS response_chars
+FROM w a JOIN w u ON u.conv_id = a.conv_id
+                 AND u.turn_idx = a.prompt_turn_idx
+WHERE a.role = 'assistant' AND a.prompt_turn_idx IS NOT NULL
+ORDER BY a.conv_id, a.turn_idx
+"""
 
 
 GQ_TOP = 2
@@ -16459,6 +16671,10 @@ def oracle_sql() -> dict:
         "redact_docs": _sql_redact(),
         "scale_query_topk": sql_scale_query(),
         "hll_md5_distinct_users": SQL_HLL_MD5,
+        "hll_distinct_users": SQL_HLL_SPLITMIX,
+        "transcript_role_stats": SQL_TRANSCRIPT_ROLE_STATS,
+        "transcript_sft_pairs": SQL_TRANSCRIPT_SFT,
+        "transcript_bm25": sql_transcript_bm25(),
         "contamination_ngram_docs": SQL_CONTAM,
         "repetition_docs": SQL_REPETITION,
         "mixture_sample_docs": SQL_MIXTURE,

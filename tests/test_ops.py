@@ -22,6 +22,61 @@ def test_hll_accuracy():
     assert a.merge(b).estimate() == pytest.approx(est)
 
 
+def test_hll_linear_counting_ln_parity_full_domain():
+    """The splitmix64 HLL oracle's only transcendental: DuckDB's ln
+    must agree with np.log at the ROUNDED-INTEGER level over the
+    linear-counting branch's entire argument domain (zeros 1..4096).
+    Exhaustive, so a libm change on this box is caught here and not
+    as a driver hash-mismatch."""
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT z, CAST(FLOOR(4096.0 * ln(4096.0 / z) + 0.5) AS "
+        "BIGINT) FROM (SELECT unnest(range(1, 4097)) AS z)").fetchall()
+    assert len(rows) == 4096
+    for z, got in rows:
+        want = int(np.floor(4096.0 * np.log(4096.0 / float(z)) + 0.5))
+        assert got == want, z
+
+
+def test_hll_splitmix_sql_register_parity():
+    """The SQL replay's registers must equal the sketch's exactly —
+    wrapping-multiply avalanche, index split, and smear/bit_count
+    rank all bit-for-bit (the estimator then follows arithmetically)."""
+    import duckdb
+
+    from engine.ops.sketch import HLL, _splitmix64
+    from engine.registry import _sql_mul64, _SM_K, _SM_C1, _SM_C2
+
+    vals = np.array([0, 1, 2**31, 2**52 - 1, 2**63 - 1, 123456789],
+                    dtype=np.int64)
+    sk = HLL(p=12)
+    sk.add64(_splitmix64(vals.view(np.uint64)))
+    q = f"""
+    WITH v(user_id) AS (SELECT unnest([{",".join(map(str, vals))}])),
+    x0 AS (SELECT CAST((user_id::UBIGINT::HUGEINT + {_SM_K}::HUGEINT)
+             %% 18446744073709551616::HUGEINT AS UBIGINT) AS z FROM v),
+    x1 AS (SELECT {_sql_mul64("xor(z, z // 1073741824)", _SM_C1)} AS z
+           FROM x0),
+    x2 AS (SELECT {_sql_mul64("xor(z, z // 134217728)", _SM_C2)} AS z
+           FROM x1),
+    h AS (SELECT xor(z, z // 2147483648) AS hv FROM x2),
+    r AS (SELECT (hv // 4503599627370496)::BIGINT AS idx,
+                 (hv %% 4503599627370496)::BIGINT AS rest FROM h)
+    SELECT idx, 53 - bit_count(s5)::BIGINT AS rho
+    FROM (SELECT idx, s4 | (s4 >> 32) AS s5
+      FROM (SELECT idx, s3 | (s3 >> 16) AS s4
+        FROM (SELECT idx, s2 | (s2 >> 8) AS s3
+          FROM (SELECT idx, s1 | (s1 >> 4) AS s2
+            FROM (SELECT idx, s0 | (s0 >> 2) AS s1
+              FROM (SELECT idx, rest | (rest >> 1) AS s0 FROM r))))))
+    """.replace("%%", "%")
+    regs = np.zeros(4096, dtype=np.uint8)
+    for idx, rho in duckdb.sql(q).fetchall():
+        regs[idx] = max(regs[idx], rho)
+    assert np.array_equal(regs, sk.regs)
+
+
 def test_multimodal_fake_decode_plumbing(ray_session):
     import ray.data
 
