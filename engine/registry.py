@@ -7794,6 +7794,105 @@ ORDER BY h.rank
 """
 
 
+# full four-stage strip (blocks, CDATA unwrap, tags, entities) — the
+# SQL twin of HTMLStripCharFilter's r5 chain; backslashes are literal
+# inside standard SQL string literals, so the regexes pass through
+_SQL_STRIP_FULL_TPL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "{col}, "
+    "'(?is)<script\\b[^>]*>.*?</script\\s*>"
+    "|<style\\b[^>]*>.*?</style\\s*>|<!--.*?-->', ' ', 'g'), "
+    "'(?s)<!\\[CDATA\\[(.*?)\\]\\]>', '\\1', 'g'), "
+    "'<[^>]*>', ' ', 'g'), "
+    "'&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g')")
+
+_SCRIPT_PREFIX = ('<div><script type="text/js">var q = spark;'
+                  '</script>')
+_SCRIPT_SUFFIX = ('<!-- spark --><style>p{color:red}</style>'
+                  '<![CDATA[cdata kept]]></div>')
+_SQL_WRAP_SCRIPT = (f"'{_SCRIPT_PREFIX}' || text || "
+                    f"'{_SCRIPT_SUFFIX}'")
+
+
+def highlight_script_offsets_docs(sf_dir: str) -> pa.Table:
+    """Offset-carrying highlighting over a SCRIPT-bearing HTML corpus
+    (upstream ``HTMLStripCharFilter``'s script/style/comment/CDATA
+    states [U], shipped r5): every doc is wrapped in a ``<script>``
+    containing the query term, a comment containing it again, a style
+    block, and a CDATA section. The strip chain must drop all three
+    blocks AS UNITS (else tf/df shift and the script's own 'spark'
+    becomes the first filtered hit) while KEEPING the CDATA text, and
+    the reported offsets must land on the BODY occurrence in the raw
+    stored text via the composed offset maps. The oracle re-derives
+    the raw offsets independently (stripped-prefix-length equation)
+    with the same four-stage SQL strip."""
+    key = hashlib.md5(f"{sf_dir}|htmlscript|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "htms_" + key)
+    os.makedirs(work, exist_ok=True)
+    src = os.path.join(work, "wrapped.parquet")
+    if not os.path.exists(src):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        wrapped = pc.binary_join_element_wise(
+            pa.scalar(_SCRIPT_PREFIX), t["text"].combine_chunks(),
+            pa.scalar(_SCRIPT_SUFFIX), pa.scalar(""))
+        tmp = src + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"],
+                                 "text": wrapped}), tmp)
+        os.replace(tmp, src)
+    idx = _cached_filtered_index(
+        sf_dir, (), "htmlscript",
+        char_filters=({"type": "htmlstrip"},), input_file=src)
+    from engine.build import build_stored_fields
+    build_stored_fields(idx)   # no-op once built (manifest-guarded)
+    r = IndexReader(idx)
+    out = r.highlight_offsets_topk(HLO_TERM, k=10)
+    assert all(s.lower() == HLO_TERM
+               for s in out["surface"].to_pylist()), out
+    # offsets must skip the script's decoy occurrence entirely
+    assert all(o >= len(_SCRIPT_PREFIX)
+               for o in out["start_off"].to_pylist()), out
+    return _cast_col(out, "rank", pa.int64())
+
+
+def sql_highlight_script_offsets() -> str:
+    strip_w = _SQL_STRIP_FULL_TPL.format(col="wtext")
+    strip_pre = _SQL_STRIP_FULL_TPL.format(
+        col="substr(wtext, 1, i::INT - 1)")
+    sdocs = (f"(SELECT doc_id, "
+             f"{_SQL_STRIP_FULL_TPL.format(col=_SQL_WRAP_SCRIPT)} "
+             "AS text FROM documents) sdocs")
+    L = len(HLO_TERM)
+    return f"""{_sql_scored(f"SELECT '{HLO_TERM}' AS term",
+                            docs_src=sdocs)},
+topk AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+           AS rank, doc_id, score
+  FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+raw AS (SELECT doc_id, {_SQL_WRAP_SCRIPT} AS wtext FROM documents),
+hit AS (
+  SELECT t.rank, t.doc_id, t.score, r.wtext,
+         strpos(lower({strip_w}), '{HLO_TERM}') AS fpos
+  FROM topk t JOIN raw r USING (doc_id)),
+gs AS (SELECT g.i FROM generate_series(1, 5000) AS g(i)),
+occ AS (
+  SELECT h.doc_id, h.wtext, h.fpos, gs.i
+  FROM hit h JOIN gs ON gs.i + {L - 1} <= length(h.wtext)
+  WHERE h.fpos > 0
+    AND lower(substr(h.wtext, gs.i::INT, {L})) = '{HLO_TERM}'),
+mapped AS (
+  SELECT doc_id, MIN(i) AS i FROM occ
+  WHERE length({strip_pre}) = fpos - 1
+  GROUP BY doc_id)
+SELECT h.rank, h.doc_id, h.score,
+       (m.i - 1)::BIGINT AS start_off,
+       (m.i - 1 + {L})::BIGINT AS end_off,
+       substr(h.wtext, m.i::INT, {L}) AS surface
+FROM mapped m JOIN hit h USING (doc_id)
+ORDER BY h.rank
+"""
+
+
 def mapping_term_stats(sf_dir: str) -> pa.Table:
     """MappingCharFilter e2e (upstream ``MappingCharFilter`` [U]):
     literal pre-tokenize rewrite spark→flink, stats vs a SQL
@@ -16202,6 +16301,7 @@ def queries() -> dict:
         "interval_facet_orders": interval_facet_orders,
         "htmlstrip_term_stats": htmlstrip_term_stats,
         "highlight_offsets_docs": highlight_offsets_docs,
+        "highlight_script_offsets_docs": highlight_script_offsets_docs,
         "mapping_term_stats": mapping_term_stats,
         "edge_ngram_stats": edge_ngram_stats,
         "length_filter_stats": length_filter_stats,
@@ -16589,6 +16689,7 @@ def oracle_sql() -> dict:
         "interval_facet_orders": SQL_INTERVAL_FACET,
         "htmlstrip_term_stats": SQL_HTMLSTRIP_STATS,
         "highlight_offsets_docs": sql_highlight_offsets(),
+        "highlight_script_offsets_docs": sql_highlight_script_offsets(),
         "mapping_term_stats": SQL_MAPPING_STATS,
         "edge_ngram_stats": SQL_EDGE_NGRAM_STATS,
         "length_filter_stats": SQL_LENGTH_FILTER_STATS,

@@ -681,6 +681,72 @@ def test_char_filter_offset_maps_htmlstrip():
     assert correct(len(filtered)) == len(raw)
 
 
+def test_htmlstrip_blocks_and_cdata():
+    """r5 state-machine stages: script/style bodies and comments strip
+    AS UNITS, CDATA unwraps to its content; Arrow and per-string paths
+    agree; offsets survive the 4-stage composition."""
+    import pyarrow as pa
+
+    from engine.analysis import HTMLStripCharFilter
+
+    f = HTMLStripCharFilter()
+    raw = ('<div><script type="t">var spark = 1;</script>body spark'
+           '<!-- spark hidden --><style>p{x:y}</style>'
+           '<![CDATA[kept &amp;data]]>tail</div>')
+    got = f.apply(pa.array([raw]))[0].as_py()
+    # decoy occurrences inside script/comment are gone; cdata kept
+    assert got.count("spark") == 1
+    assert "var" not in got and "hidden" not in got and "x:y" not in got
+    assert "kept" in got and "data" in got
+    # cdata content is still subject to the entity stage (documented)
+    assert "&amp;" not in got
+    filtered, correct = f.apply_with_offsets(raw)
+    assert filtered == got
+    p = filtered.find("spark")
+    o = correct(p)
+    assert raw[o:o + 5] == "spark" and o == raw.find("body spark") + 5
+    for i, ch in enumerate(filtered):
+        if ch != " ":
+            assert raw[correct(i)] == ch, (i, ch)
+    assert correct(len(filtered)) == len(raw)
+    # multiline script bodies strip too ((?s) flag)
+    ml = "<script>\nline1\nline2\n</script>ok"
+    assert f.apply(pa.array([ml]))[0].as_py() == " ok"
+    # unterminated block: falls through to plain tag stripping
+    un = "<script>var leak = 1;"
+    assert f.apply(pa.array([un]))[0].as_py() == " var leak = 1;"
+    f2, c2 = f.apply_with_offsets(un)
+    assert f2 == " var leak = 1;" and un[c2(1)] == "v"
+
+
+def test_htmlstrip_sql_template_parity():
+    """The SQL four-stage strip template must equal the engine filter
+    character for character on block/CDATA-bearing text."""
+    import duckdb
+    import pyarrow as pa
+
+    from engine.analysis import HTMLStripCharFilter
+    from engine.registry import _SQL_STRIP_FULL_TPL
+
+    f = HTMLStripCharFilter()
+    rows = [
+        '<div><script type="t">var q = spark;</script>hit spark'
+        '<!-- c --><style>s{}</style><![CDATA[cd &amp;x]]>t</div>',
+        "plain text no markup",
+        "<SCRIPT>upper case</SCRIPT>mix<Style>s</stylE>ok",
+        "a<![CDATA[]]>b<!---->c",
+        "nested <script>a<!--b--></script>d",
+    ]
+    expr = _SQL_STRIP_FULL_TPL.format(col="t")
+    got_sql = [r[0] for r in duckdb.sql(
+        "SELECT " + expr + " FROM (SELECT unnest(" +
+        str(rows) + ") AS t)").fetchall()]
+    got_arrow = f.apply(pa.array(rows)).to_pylist()
+    assert got_sql == got_arrow
+    for raw, want in zip(rows, got_arrow):
+        assert f.apply_with_offsets(raw)[0] == want
+
+
 def test_char_filter_offset_maps_mapping():
     """MappingCharFilter with length-changing rewrites keeps the
     offset map consistent with sequential vectorized replaces."""
