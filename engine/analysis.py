@@ -1718,6 +1718,10 @@ class Analyzer:
             # pattern so the query fast path defers to the batch path.
             self.split_regex = UAX_COMBINED_RX
             self._extract_rx = _re.compile(UAX_COMBINED_RX)
+            # batch form: doc-boundary sentinel as a (last) branch —
+            # see the extract-scan path in analyze_encoded (r5)
+            self._extract_sentinel_rx = _re.compile(
+                UAX_COMBINED_RX + "|\x01")
         else:
             self.split_regex = TOKENIZER_REGEX[tokenizer]
         self.filters = tuple(
@@ -1768,19 +1772,38 @@ class Analyzer:
             from engine.uax29 import segment_batch
             token_lists = segment_batch(texts)
         elif self._extract_rx is not None:  # UAX29URLEmail extract scan
+            # vectorized (r5; closes the last per-row analyzer loop):
+            # ONE C-level findall over the whole batch, docs joined
+            # with a \x01 sentinel that is ALSO an alternation branch
+            # — boundaries come back as tokens, so per-doc counts are
+            # one vectorized diff over sentinel positions. No token
+            # character class admits \x01, so matches cannot span
+            # documents. (\x00 would do too, but numpy's object-array
+            # == silently fails on NUL-bearing scalars.) A doc that
+            # CONTAINS \x01 breaks the boundary count — detected, and
+            # the per-row scan is the defensive fallback.
             vals = pc.fill_null(texts, "").to_pylist()
-            rx = self._extract_rx
-            counts = np.empty(n_docs, dtype=np.int64)
-            flat: list[str] = []
-            for i, t in enumerate(vals):
-                m = rx.findall(t)
-                counts[i] = len(m)
-                flat.extend(m)
+            rx_s = self._extract_sentinel_rx
+            arr = pa.array(rx_s.findall("\x01".join(vals)),
+                           type=pa.string())
+            mask = pc.equal(arr, "\x01")
+            sent = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
             off = np.zeros(n_docs + 1, dtype=np.int64)
-            np.cumsum(counts, out=off[1:])
+            if len(sent) == n_docs - 1:
+                bounds = np.concatenate(([-1], sent, [len(arr)]))
+                np.cumsum(np.diff(bounds) - 1, out=off[1:])
+                flat = pc.filter(arr, pc.invert(mask))
+            else:                  # \x01 inside a doc: per-row scan
+                counts = np.empty(n_docs, dtype=np.int64)
+                parts: list[str] = []
+                for i, t in enumerate(vals):
+                    m = self._extract_rx.findall(t)
+                    counts[i] = len(m)
+                    parts.extend(m)
+                np.cumsum(counts, out=off[1:])
+                flat = pa.array(parts, type=pa.string())
             token_lists = pa.ListArray.from_arrays(
-                pa.array(off, type=pa.int64()).cast(pa.int32()),
-                pa.array(flat, type=pa.string()))
+                pa.array(off, type=pa.int64()).cast(pa.int32()), flat)
         elif self.split_regex is None:    # KeywordTokenizer: 1 doc = 1 token
             vals = pc.fill_null(texts, "")
             if isinstance(vals, pa.ChunkedArray):

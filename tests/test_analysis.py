@@ -661,6 +661,31 @@ def test_uax29_sliced_and_null_arrays():
                                              ["🇺🇸", "🇩🇪", "end"]]
 
 
+def test_uax_url_email_sentinel_batch_scan():
+    """r5 single-scan tokenizer: one findall over \\x01-joined docs
+    must equal the per-row scan, including empty docs, docs made of
+    only separators, and the \\x01-collision fallback."""
+    import pyarrow as pa
+
+    from engine.analysis import Analyzer, UAX_COMBINED_RX
+    import re
+
+    a = Analyzer(None, False, tokenizer="uax_url_email")
+    docs = ["see http://x.y/z?a=1 now", "", "mail me@host.org!",
+            "...", "a b c", "only.words.here and x@y.zz",
+            "\x01 embedded sentinel http://q.r/s"]
+    out = a.analyze_encoded(pa.array(docs))
+    offsets, codes, vocab, _pos, lens = out
+    rx = re.compile(UAX_COMBINED_RX)
+    want = [[t.lower() for t in rx.findall(d.replace("\x01", " "))
+             ] for d in docs]
+    # fallback path keeps \x01 out of tokens (no class admits it)
+    got = [[vocab[c] for c in codes[offsets[i]:offsets[i + 1]]]
+           for i in range(len(docs))]
+    assert [sorted(g) for g in got] == [sorted(w) for w in want]
+    assert lens.tolist() == [len(w) for w in want]
+
+
 def test_char_filter_offset_maps_htmlstrip():
     """HTMLStrip apply_with_offsets: same output as the vectorized
     apply(), and every filtered offset maps back to the raw position
