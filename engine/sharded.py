@@ -177,9 +177,21 @@ class ShardSearcher:
 
     def fetch(self, doc_ids: np.ndarray) -> pa.Table:
         """Phase-2 stored-field fetch for the ids THIS shard owns
-        (missing ids are simply absent — the coordinator scatters the
-        merged id list to every shard and unions the returns)."""
+        (missing ids are simply absent — the coordinator routes each
+        id to the shards whose docID bounds cover it and unions the
+        returns)."""
         return self.reader.fetch_docs(doc_ids)
+
+    def doc_bounds(self) -> tuple[int, int] | None:
+        """(min, max) docID over this shard's stored fields — the
+        coordinator's phase-2 routing table (r5): exact ownership for
+        doc-range sharding, a safe superset otherwise. None until
+        ``build_stored_fields`` has run."""
+        b = self.reader.manifest.get("stored") or []
+        if not b:
+            return None
+        return (min(int(x["min"]) for x in b),
+                max(int(x["max"]) for x in b))
 
     def highlight(self, doc_ids: np.ndarray, qterms: list,
                   window: int) -> pa.Table:
@@ -759,6 +771,35 @@ class DistributedSearcher:
         # surviving shards' scores are unchanged from the full run.
         self._df_cache: dict[str, int] = {}
         self._analyzer = _r0.analyzer
+        # phase-2 routing table: per-shard stored-field docID bounds,
+        # fetched lazily and re-fetched when the shard list changes
+        # (failover promotion swaps actors) — see _route_phase2 (r5)
+        self._fetch_bounds: list | None = None
+        self._fetch_bounds_for: tuple = ()
+
+    def _route_phase2(self, ids: np.ndarray, submit) -> list:
+        """Owner-routed phase-2 scatter (the K=16 fetch-tail fix,
+        VERDICT r4 item 8): each shard receives ONLY the ids inside
+        its stored-field docID bounds, and shards owning none of the
+        page's ids are not called at all — one RPC per OWNING shard
+        per page instead of a broadcast to all K. Bounds are exact
+        ownership for doc-range sharding and a safe superset for any
+        other layout (every id still reaches its owner; non-owners
+        filter to empty, so the union is unchanged). Falls back to
+        the full broadcast for shards with no stored bounds."""
+        key = tuple(id(s) for s in self.shards)
+        if self._fetch_bounds is None or \
+                self._fetch_bounds_for != key:
+            self._fetch_bounds = ray.get(
+                [s.doc_bounds.remote() for s in self.shards])
+            self._fetch_bounds_for = key
+        refs = []
+        for s, b in zip(self.shards, self._fetch_bounds):
+            sub = ids if b is None else \
+                ids[(ids >= b[0]) & (ids <= b[1])]
+            if len(sub):
+                refs.append(submit(s, sub))
+        return refs
 
     def _gather(self, refs: list, tolerant: bool) -> tuple[list, int]:
         """ray.get with per-shard fault isolation. tolerant=False:
@@ -1033,7 +1074,8 @@ class DistributedSearcher:
             return top.append_column("text",
                                      pa.array([], type=pa.string()))
         ids = top["doc_id"].to_numpy()
-        parts = ray.get([s.fetch.remote(ids) for s in self.shards])
+        parts = ray.get(self._route_phase2(
+            ids, lambda s, sub: s.fetch.remote(sub)))
         fetched = pa.concat_tables([p for p in parts if p.num_rows])
         import pyarrow.compute as pc
         pos = pc.index_in(top["doc_id"], value_set=fetched["doc_id"])
@@ -1054,8 +1096,9 @@ class DistributedSearcher:
                 "snippet", pa.array([], type=pa.string()))
         ids = top["doc_id"].to_numpy()
         qterms = sorted(set(self._analyzer.query_terms(query_text)))
-        parts = ray.get([s.highlight.remote(ids, qterms, window)
-                         for s in self.shards])
+        parts = ray.get(self._route_phase2(
+            ids, lambda s, sub: s.highlight.remote(sub, qterms,
+                                                   window)))
         smap: dict = {}
         for p in parts:
             for d, s in zip(p["doc_id"].to_pylist(),
@@ -1441,9 +1484,9 @@ class DistributedSearcher:
         tie-break — identical to the single index since global df =
         Σ shard dfs), and the scoring disjunction runs under global
         IDF — so the result is bit-identical to single-index MLT."""
-        parts = ray.get([s.fetch.remote(
-            np.array([doc_id], dtype=np.int64))
-            for s in self.shards])
+        parts = ray.get(self._route_phase2(
+            np.array([doc_id], dtype=np.int64),
+            lambda s, sub: s.fetch.remote(sub)))
         stored = [p for p in parts if p.num_rows]
         if not stored:
             return _topdocs_table([], [])

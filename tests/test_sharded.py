@@ -821,6 +821,51 @@ def test_sharded_highlight_equals_single(ray_session, tmp_path):
         ds.shutdown()
 
 
+def test_phase2_owner_routing(ray_session, tmp_path):
+    """r5 fetch-tail fix: the phase-2 scatter must call ONLY shards
+    whose docID bounds cover some requested id, each with exactly its
+    owned slice — and the routed fetch must equal the broadcast."""
+    from engine.build import IndexConfig, build_index, \
+        build_stored_fields
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, size=10)) for _ in range(90)]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    shards = []
+    for si in range(3):
+        f = str(tmp_path / f"rt{si}.parquet")
+        lo, hi = si * 30, (si + 1) * 30
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(texts[lo:hi])}), f)
+        sd = str(tmp_path / f"rtidx{si}")
+        build_index([f], sd, cfg)
+        build_stored_fields(sd)
+        shards.append(sd)
+    ds = DistributedSearcher(shards)
+    try:
+        calls = []
+        ids = np.array([1, 5, 62, 70], dtype=np.int64)  # shards 0, 2
+        refs = ds._route_phase2(
+            ids, lambda s, sub: calls.append(sub.tolist()) or
+            s.fetch.remote(sub))
+        got = pa.concat_tables(
+            [p for p in __import__("ray").get(refs) if p.num_rows])
+        assert calls == [[1, 5], [62, 70]]      # shard 1 never called
+        assert sorted(got["doc_id"].to_pylist()) == [1, 5, 62, 70]
+        # routed two-phase equals the result contract
+        top = ds.topk_fetch("aa bb", k=7)
+        assert top.num_rows and "text" in top.column_names
+        assert all(t for t in top["text"].to_pylist())
+    finally:
+        ds.shutdown()
+
+
 def test_sharded_mlt_equals_single(ray_session, tmp_path):
     """Distributed MLT must equal single-index MLT: seed fetched
     from its owner, term selection by GLOBAL df (a term rare locally
