@@ -622,6 +622,46 @@ class DictSegmentFilter(TokenFilter):
         return {"type": "dict_segment", "words": list(self.words)}
 
 
+class DictSegmentDPFilter(DictSegmentFilter):
+    """ICU-style least-cost dictionary segmentation (upstream ICU
+    ``DictionaryBreakEngine``/``CjkBreakEngine`` behind
+    ``ICUTokenizer`` [U]; r5 — closes SCALE.md's "greedy max-match
+    only" boundary): per run, dynamic programming minimizes the
+    NUMBER of emitted pieces (unmatched chars count as single-char
+    pieces), ties broken toward the longer piece at the earlier
+    position — deterministic and replayable in SQL as a per-run
+    shortest-path recursive CTE. Fixes greedy's garden-path splits:
+    with lexicon {中国, 国人民}, run 中国人民 segments 中|国人民
+    (2 pieces) where greedy commits to 中国 and strands 人|民 (3).
+    Shares the type-level unique-run machinery and the vectorized
+    ragged-gather emission of :class:`DictSegmentFilter`."""
+
+    def _segment(self, run: str) -> list[tuple[int, str]]:
+        L = len(run)
+        cost = np.zeros(L + 1, dtype=np.int64)
+        pick = np.ones(L + 1, dtype=np.int64)
+        for i in range(L - 1, -1, -1):
+            best = cost[i + 1] + 1
+            bl = 1
+            for ln in range(2, min(self._maxlen, L - i) + 1):
+                if run[i:i + ln] in self._set:
+                    c = cost[i + ln] + 1
+                    if c < best or (c == best and ln > bl):
+                        best, bl = c, ln
+            cost[i] = best
+            pick[i] = bl
+        out: list[tuple[int, str]] = []
+        i = 0
+        while i < L:
+            ln = int(pick[i])
+            out.append((i, run[i:i + ln]))
+            i += ln
+        return out
+
+    def spec(self) -> dict:
+        return {"type": "dict_segment_dp", "words": list(self.words)}
+
+
 # CJKWidthFilter tables (upstream ``analysis/cjk/CJKWidthFilter.java``
 # [U]; Unicode halfwidth/fullwidth compatibility forms). Shared by the
 # engine filter and the SQL-oracle generator so parity is structural.
@@ -1625,6 +1665,8 @@ def build_filter(spec: dict) -> TokenFilter:
         return CJKWidthFilter()
     if t == "dict_segment":
         return DictSegmentFilter(spec["words"])
+    if t == "dict_segment_dp":
+        return DictSegmentDPFilter(spec["words"])
     if t == "ascii_folding":
         return AsciiFoldingFilter()
     if t == "ngram":

@@ -7403,6 +7403,119 @@ FROM toks GROUP BY term ORDER BY term
 """
 
 
+# garden-path lexicon for the DP entry: with {中国, 国人民} and no
+# 人民, run 中国人民 forces greedy into 中国|人|民 (3 pieces) while
+# least-cost finds 中|国人民 (2) — the class ICU's dictionary DP
+# exists for
+_DICTSEG_DP_LEX = ["中国", "国人民", "日本語", "解析", "検索", "処理"]
+_DICTSEG_DP_WORDS = [
+    " 中国人民の解析",
+    " 日本語の検索処理",
+    " 人民中国人民",
+    " 解析と中国日本語",
+]
+
+
+def dict_segment_dp_stats(sf_dir: str) -> pa.Table:
+    """ICU-style LEAST-COST dictionary segmentation (upstream ICU
+    ``DictionaryBreakEngine``/``CjkBreakEngine`` behind
+    ``ICUTokenizer`` [U]; r5 — upgrades the r4 greedy restatement,
+    VERDICT r4 missing #2): per CJK run, DP minimizes the piece
+    count with ties toward the longer earlier piece. The oracle
+    replays the SAME DP as a per-run shortest-path recursive CTE
+    (cost/pick vectors carried as lists, one prepend per recursion
+    level) plus a forward reconstruction walk. The in-entry assert
+    pins that the corpus actually exercises a greedy≠DP garden
+    path."""
+    from engine.analysis import DictSegmentDPFilter, DictSegmentFilter
+
+    g = DictSegmentFilter(_DICTSEG_DP_LEX)._segment("中国人民")
+    d = DictSegmentDPFilter(_DICTSEG_DP_LEX)._segment("中国人民")
+    assert len(d) < len(g), (g, d)   # DP strictly beats greedy here
+    key = hashlib.md5(f"{sf_dir}|dsegdpcorp|v1".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/rayindex_cache",
+                        f"dsegdpcorp_{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        did = t["doc_id"].to_numpy()
+        base = pc.replace_substring_regex(
+            t["text"].cast(pa.string()), pattern="[^A-Za-z0-9]+",
+            replacement=" ")
+        aug = pc.binary_join_element_wise(
+            base, pa.array([_DICTSEG_DP_WORDS[d % 4] for d in did],
+                           type=pa.string()), "")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"], "text": aug}),
+                       tmp)
+        os.replace(tmp, path)
+    idx = _cached_filtered_index(
+        sf_dir, ({"type": "dict_segment_dp",
+                  "words": _DICTSEG_DP_LEX},),
+        "dsegdp_v1", input_file=path, tokenizer="uax29")
+    return _index_stats_of(idx)
+
+
+def sql_dict_segment_dp_stats() -> str:
+    cases = ",".join(f"'{w}'" for w in _DICTSEG_DP_WORDS)
+    lexlist = "list_value(" + ",".join(
+        f"'{w}'" for w in sorted(_DICTSEG_DP_LEX)) + ")"
+    return rf"""
+WITH RECURSIVE aug AS (
+  SELECT doc_id,
+         regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')
+           || ([{cases}])[(doc_id % 4) + 1] AS text
+  FROM documents),
+sq AS (SELECT doc_id,
+        regexp_replace(lower(text),
+          '[^0-9a-z\p{{Han}}\p{{Hiragana}}\p{{Katakana}}ー]+',
+          '', 'g') AS s
+       FROM aug),
+occ AS (SELECT doc_id,
+         unnest(regexp_extract_all(s, '[\p{{Han}}\p{{Hiragana}}]+'))
+           AS run FROM sq),
+runs AS (SELECT DISTINCT run FROM occ),
+-- backward least-cost DP: after t rounds, costs[j] = cost at char
+-- position L-t+j-1 (1-based list), picks likewise; candidate keys
+-- pack (cost*1000 - len) so list_min = (min cost, then max len)
+dp AS (
+  SELECT run, 0 AS t, [0] AS costs, CAST([] AS INT[]) AS picks
+  FROM runs
+  UNION ALL
+  SELECT run, t + 1,
+         list_prepend((kbest + 999) // 1000, costs),
+         list_prepend(((kbest + 999) // 1000) * 1000 - kbest, picks)
+  FROM (
+    SELECT run, t, costs, picks,
+      list_min(
+        list_transform(
+          list_filter({lexlist}, w -> length(w) <= t + 1
+            AND w = substr(run, length(run) - t, length(w))),
+          w -> (costs[length(w)] + 1) * 1000 - length(w))
+        || [(costs[1] + 1) * 1000 - 1]) AS kbest
+    FROM dp WHERE t < length(run))),
+dpf AS (SELECT run, picks FROM dp WHERE t = length(run)),
+walk AS (
+  SELECT run, picks, 1 AS pos FROM dpf
+  UNION ALL
+  SELECT run, picks, pos + picks[pos] FROM walk
+  WHERE pos <= length(run)),
+pieces AS (SELECT run, substr(run, pos, picks[pos]) AS tok
+           FROM walk WHERE pos <= length(run)),
+cjk AS (SELECT o.doc_id, p.tok AS term
+        FROM occ o JOIN pieces p USING (run)),
+oth AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+    '(?:[\p{{Katakana}}ー]+)|(?:[0-9a-z]+)')) AS term
+  FROM aug),
+toks AS (SELECT * FROM cjk UNION ALL SELECT * FROM oth)
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
 def sql_uax29_wordbreak() -> str:
     cases = ",".join(f"'{w}'" for w in _UAX_WORDS)
     return rf"""
@@ -16315,6 +16428,7 @@ def queries() -> dict:
         "cjk_width_stats": cjk_width_stats,
         "cjk_analyzer_stats": cjk_analyzer_stats,
         "dict_segment_stats": dict_segment_stats,
+        "dict_segment_dp_stats": dict_segment_dp_stats,
         "elision_digit_stats": elision_digit_stats,
         "pattern_capture_stats": pattern_capture_stats,
         "reverse_filter_stats": reverse_filter_stats,
@@ -16703,6 +16817,7 @@ def oracle_sql() -> dict:
         "cjk_width_stats": sql_cjk_width_stats(),
         "cjk_analyzer_stats": sql_cjk_analyzer_stats(),
         "dict_segment_stats": sql_dict_segment_stats(),
+        "dict_segment_dp_stats": sql_dict_segment_dp_stats(),
         "elision_digit_stats": sql_elision_digit(),
         "pattern_capture_stats": SQL_PATTERN_CAPTURE_STATS,
         "reverse_filter_stats": SQL_REVERSE_FILTER_STATS,

@@ -661,6 +661,51 @@ def test_uax29_sliced_and_null_arrays():
                                              ["🇺🇸", "🇩🇪", "end"]]
 
 
+def test_dict_segment_dp_least_cost():
+    """DP segmentation: piece count is OPTIMAL (checked against a
+    brute-force enumeration over random small runs/lexicons), the
+    garden-path case beats greedy, ties go to the longer earlier
+    piece, and pieces always reassemble the run."""
+    import itertools
+    import random
+
+    from engine.analysis import DictSegmentDPFilter, DictSegmentFilter
+
+    lex = ["中国", "国人民"]
+    g = DictSegmentFilter(lex)._segment("中国人民")
+    d = DictSegmentDPFilter(lex)._segment("中国人民")
+    assert [w for _, w in g] == ["中国", "人", "民"]
+    assert [w for _, w in d] == ["中", "国人民"]
+    # tie → longer earlier piece: run abc, lex {ab, bc}: both cost 2
+    t = DictSegmentDPFilter(["ab", "bc"])._segment("abc")
+    assert [w for _, w in t] == ["ab", "c"]
+
+    def brute_min(run, sset, maxlen):
+        best = len(run)
+        n = len(run)
+        # enumerate all cut sets
+        for bits in itertools.product([0, 1], repeat=n - 1):
+            cuts = [0] + [i + 1 for i, b in enumerate(bits) if b] + [n]
+            parts = [run[a:b] for a, b in zip(cuts, cuts[1:])]
+            if all(len(p) == 1 or p in sset for p in parts):
+                best = min(best, len(parts))
+        return best
+
+    rng = random.Random(5)
+    alpha = "xyzw"
+    for _ in range(60):
+        words = {"".join(rng.choices(alpha, k=rng.randint(2, 3)))
+                 for _ in range(rng.randint(1, 4))}
+        f = DictSegmentDPFilter(words)
+        run = "".join(rng.choices(alpha, k=rng.randint(1, 9)))
+        segs = f._segment(run)
+        assert "".join(w for _, w in segs) == run
+        assert [o for o, _ in segs] == \
+            [sum(len(w) for _, w in segs[:i]) for i in range(len(segs))]
+        assert len(segs) == brute_min(run, f._set, f._maxlen), (
+            run, sorted(words), segs)
+
+
 def test_uax_url_email_sentinel_batch_scan():
     """r5 single-scan tokenizer: one findall over \\x01-joined docs
     must equal the per-row scan, including empty docs, docs made of
