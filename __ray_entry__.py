@@ -60,9 +60,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible entry; the
-    probabilistic-recall ops (minhash/simhash LSH, hyperplane-LSH knn)
-    are registered rows-only."""
+    """DuckDB-equivalent SQL for every SQL-expressible entry — 385 of
+    386 as of r5 (splitmix64 HLL, the transcript flagship and its
+    role/SFT siblings all gained full-replay oracles this round). The
+    single rows-only holdout is ``tdigest_percentile_by_type``, whose
+    centroid set is insertion-order-dependent by design (see its
+    docstring)."""
     from engine import registry
 
     return registry.oracle_sql()

@@ -11336,8 +11336,13 @@ def tdigest_percentile_by_type(sf_dir: str) -> pa.Table:
     ``PercentileAgg`` [U]; the exact-sort sibling is
     ``percentile_value_by_type``). Shuffle moves only O(delta)
     centroids per (batch, group) — the sketch's point at 100 TB.
-    Rows-only like the splitmix HLL entry (approximate float output);
-    accuracy is pinned by ``tests/test_ops.py::test_tdigest_*``."""
+    The registry's ONE remaining rows-only entry (r5): the merging
+    digest's centroid set depends on per-batch insertion order, which
+    Ray's block order makes nondeterministic across plans, so no
+    static SQL can replay the exact float — by design the estimate is
+    order-sensitive within the k1-scale error bound. Accuracy is
+    pinned by ``tests/test_ops.py::test_tdigest_*`` and the exact
+    sibling covers the value-checked path."""
     from engine.ops.sketch import tdigest_group_quantile
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
