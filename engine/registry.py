@@ -1728,6 +1728,57 @@ def regexp_automaton_topk(sf_dir: str) -> pa.Table:
     return _topdocs_out(out)
 
 
+REGEX_TAIL_PATTERN = "(0|1)+f.*l.*"
+_TAIL_AUG_SQL = ("(SELECT doc_id, text || ' ' || "
+                 "printf('%05x', doc_id) || 'tail' AS text "
+                 "FROM documents) sdocs")
+
+
+def regexp_automaton_tail_topk(sf_dir: str) -> pa.Table:
+    """The NFA ∩ dictionary walk at a dictionary that GROWS with the
+    corpus (r5; the 31-term demo entries can't show the seek's point):
+    every doc contributes one distinct ``<hex5>tail`` term, so the
+    vocabulary is ≈ |docs| and spreads across 16 leading-hex prefixes.
+    The vacuous pattern ``(0|1)+f.*l.*`` (repeat head kills the anchored
+    shape walk, trailing ``.*`` unbounds the length, no ≥3-char
+    literal) admits only the 0/1-prefixed dictionary subtrees — the
+    walk's seeks must skip the other 14/16 plus the base vocabulary,
+    pinned by the < nv/2 assert. Oracle: the same augmentation and
+    full-match in SQL over the ``documents`` view."""
+    key = hashlib.md5(f"{sf_dir}|tailaug|v1".encode()).hexdigest()[:12]
+    work = os.path.join("/tmp/rayindex_cache", "tailaug_" + key)
+    os.makedirs(work, exist_ok=True)
+    src = os.path.join(work, "aug.parquet")
+    if not os.path.exists(src):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        did = t["doc_id"].to_numpy()
+        aug = pc.binary_join_element_wise(
+            t["text"].cast(pa.string()).combine_chunks(),
+            pa.array([f" {d:05x}tail" for d in did],
+                     type=pa.string()), "")
+        tmp = src + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"],
+                                 "text": aug}), tmp)
+        os.replace(tmp, src)
+    idx = _cached_filtered_index(sf_dir, (), "tailaug_v1",
+                                 input_file=src)
+    r = IndexReader(idx)
+    r.dict_terms_checked = 0
+    out = r.regexp_topk(REGEX_TAIL_PATTERN, k=10)
+    nv = len(r.vocabulary())
+    assert r.automaton_walks >= 1, "NFA walk path not taken"
+    assert 0 < r.dict_terms_checked < nv // 2, \
+        (r.dict_terms_checked, nv)
+    return _topdocs_out(out)
+
+
+SQL_REGEXP_TAIL = _sql_disjunction(
+    "SELECT DISTINCT term FROM tf "
+    f"WHERE regexp_full_match(term, '{REGEX_TAIL_PATTERN}')", 10,
+    docs_src=_TAIL_AUG_SQL)
+
+
 def req_opt_topk(sf_dir: str) -> pa.Table:
     """ReqOptSumScorer: required term filters, optional term adds score
     (upstream ``L/search/ReqOptSumScorer.java`` [U]) — the MUST+SHOULD
@@ -16306,6 +16357,7 @@ def queries() -> dict:
         "regexp_literal_free_topk": regexp_literal_free_topk,
         "regexp_ci_literal_free_topk": regexp_ci_literal_free_topk,
         "regexp_automaton_topk": regexp_automaton_topk,
+        "regexp_automaton_tail_topk": regexp_automaton_tail_topk,
         "boosted_topk": boosted_topk,
         "constant_score_topk": constant_score_topk,
         "req_opt_topk": req_opt_topk,
@@ -16698,6 +16750,7 @@ def oracle_sql() -> dict:
         "regexp_literal_free_topk": SQL_REGEXP_LF,
         "regexp_ci_literal_free_topk": SQL_REGEXP_CI,
         "regexp_automaton_topk": SQL_REGEXP_AUTOMATON,
+        "regexp_automaton_tail_topk": SQL_REGEXP_TAIL,
         "boosted_topk": sql_boosted(),
         "constant_score_topk": SQL_CONSTANT_SCORE,
         "req_opt_topk": SQL_REQ_OPT,
