@@ -276,6 +276,52 @@ def build_nfa(pattern: str) -> NFA | None:
     return NFA(nodes, start, accept)
 
 
+def build_lev_nfa(term: str, max_edits: int) -> NFA:
+    """Levenshtein NFA for ``term`` within ``max_edits`` — the
+    upstream ``LevenshteinAutomata`` ∩ FST intersection analog
+    (``L/util/automaton/LevenshteinAutomata.java`` [U]), for the
+    dictionary walk when the q-gram count bound is vacuous (short
+    terms). States are (position, edits); arcs: match, substitution
+    (any), insertion (any); deletion is an epsilon; adjacent
+    TRANSPOSITION arcs are always included, which makes the automaton
+    a superset for BOTH metrics the engine verifies with — exact for
+    OSA (``transpositions=true``, the Lucene default) and an
+    over-accepting superset for plain Levenshtein (a swap the NFA
+    takes as 1 edit costs 2 there) — callers re-check with the exact
+    distance, so over-acceptance is safe and under-acceptance is
+    impossible."""
+    L, k = len(term), int(max_edits)
+    nodes: list = []
+
+    def new() -> int:
+        nodes.append(([], []))
+        return len(nodes) - 1
+
+    grid = [[new() for _ in range(k + 1)] for _ in range(L + 1)]
+    accept = new()
+    cp = [ord(c) for c in term]
+    for i in range(L + 1):
+        for e in range(k + 1):
+            n = grid[i][e]
+            if i < L:
+                nodes[n][1].append(
+                    (((cp[i], cp[i]),), grid[i + 1][e]))   # match
+            if e < k:
+                if i < L:
+                    nodes[n][1].append(
+                        (_ANY, grid[i + 1][e + 1]))        # substitute
+                    nodes[n][0].append(grid[i + 1][e + 1])  # delete
+                nodes[n][1].append((_ANY, grid[i][e + 1]))  # insert
+                if i + 1 < L and cp[i] != cp[i + 1]:
+                    t = new()                               # transpose
+                    nodes[n][1].append((((cp[i + 1], cp[i + 1]),), t))
+                    nodes[t][1].append(
+                        (((cp[i], cp[i]),), grid[i + 2][e + 1]))
+            if i == L:
+                nodes[n][0].append(accept)
+    return NFA(nodes, grid[0][0], accept)
+
+
 def intersect_sorted(nfa: NFA, terms_np: np.ndarray
                      ) -> tuple[list, int]:
     """Walk the NFA against a SORTED array of unique terms.

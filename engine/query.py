@@ -1602,12 +1602,30 @@ class IndexReader:
                           ) -> list[str]:
         """q-gram-filtered fuzzy candidates: a term within edit
         distance e must share ≥ |G(q)| − 3e of the query's distinct
-        trigrams (each edit destroys at most 3). Falls back to the
-        full dictionary when the bound is vacuous (short queries)."""
+        trigrams (each edit destroys at most 3). When that bound is
+        vacuous (short queries — the class that full-scanned until
+        r5), the Levenshtein NFA ∩ sorted-dictionary seek walk takes
+        over (:func:`engine.automaton.build_lev_nfa`, upstream
+        ``LevenshteinAutomata`` [U]); superset for both OSA and plain
+        Levenshtein, and callers always re-verify with the exact
+        distance."""
         qg = {term[j:j + 3] for j in range(len(term) - 2)}
         t_min = len(qg) - 3 * max_edits
         if t_min <= 0:
-            return self.vocabulary()
+            from engine import automaton as am
+
+            nfa = am.build_lev_nfa(term, max_edits)
+            self.automaton_walks += 1
+            found: set[str] = set()
+            for _tri, terms_np, _pa in self._iter_tri():
+                arr = terms_np
+                if len(arr) > 1 and \
+                        not bool(np.all(arr[:-1] <= arr[1:])):
+                    arr = np.sort(arr)
+                cands, touched = am.intersect_sorted(nfa, arr)
+                found.update(cands)
+                self.dict_terms_checked += touched
+            return sorted(found)
         return self._dict_candidates(count_grams=qg, min_count=t_min)
 
     def _dict_candidates(self, required: list[str] | None = None,

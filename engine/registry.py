@@ -1734,17 +1734,11 @@ _TAIL_AUG_SQL = ("(SELECT doc_id, text || ' ' || "
                  "FROM documents) sdocs")
 
 
-def regexp_automaton_tail_topk(sf_dir: str) -> pa.Table:
-    """The NFA ∩ dictionary walk at a dictionary that GROWS with the
-    corpus (r5; the 31-term demo entries can't show the seek's point):
-    every doc contributes one distinct ``<hex5>tail`` term, so the
-    vocabulary is ≈ |docs| and spreads across 16 leading-hex prefixes.
-    The vacuous pattern ``(0|1)+f.*l.*`` (repeat head kills the anchored
-    shape walk, trailing ``.*`` unbounds the length, no ≥3-char
-    literal) admits only the 0/1-prefixed dictionary subtrees — the
-    walk's seeks must skip the other 14/16 plus the base vocabulary,
-    pinned by the < nv/2 assert. Oracle: the same augmentation and
-    full-match in SQL over the ``documents`` view."""
+def _tailaug_index(sf_dir: str) -> str:
+    """Index over ``documents`` where every doc contributes one
+    distinct ``<hex5>tail`` term — a dictionary that GROWS with the
+    corpus and spreads across 16 leading-hex prefixes; shared by the
+    automaton-walk entries (regexp + short-fuzzy)."""
     key = hashlib.md5(f"{sf_dir}|tailaug|v1".encode()).hexdigest()[:12]
     work = os.path.join("/tmp/rayindex_cache", "tailaug_" + key)
     os.makedirs(work, exist_ok=True)
@@ -1761,9 +1755,21 @@ def regexp_automaton_tail_topk(sf_dir: str) -> pa.Table:
         pq.write_table(pa.table({"doc_id": t["doc_id"],
                                  "text": aug}), tmp)
         os.replace(tmp, src)
-    idx = _cached_filtered_index(sf_dir, (), "tailaug_v1",
-                                 input_file=src)
-    r = IndexReader(idx)
+    return _cached_filtered_index(sf_dir, (), "tailaug_v1",
+                                  input_file=src)
+
+
+def regexp_automaton_tail_topk(sf_dir: str) -> pa.Table:
+    """The NFA ∩ dictionary walk at a dictionary that GROWS with the
+    corpus (r5; the 31-term demo entries can't show the seek's point):
+    see :func:`_tailaug_index`. The vacuous pattern ``(0|1)+f.*l.*``
+    (repeat head kills the anchored shape walk, trailing ``.*``
+    unbounds the length, no ≥3-char literal) admits only the
+    0/1-prefixed dictionary subtrees — the walk's seeks must skip the
+    other 14/16 plus the base vocabulary, pinned by the < nv/2
+    assert. Oracle: the same augmentation and full-match in SQL over
+    the ``documents`` view."""
+    r = IndexReader(_tailaug_index(sf_dir))
     r.dict_terms_checked = 0
     out = r.regexp_topk(REGEX_TAIL_PATTERN, k=10)
     nv = len(r.vocabulary())
@@ -1776,6 +1782,39 @@ def regexp_automaton_tail_topk(sf_dir: str) -> pa.Table:
 SQL_REGEXP_TAIL = _sql_disjunction(
     "SELECT DISTINCT term FROM tf "
     f"WHERE regexp_full_match(term, '{REGEX_TAIL_PATTERN}')", 10,
+    docs_src=_TAIL_AUG_SQL)
+
+
+FUZZY_SHORT_TERM = "ray"
+FUZZY_SHORT_EDITS = 2
+
+
+def fuzzy_short_topk(sf_dir: str) -> pa.Table:
+    """Short-term FuzzyQuery — |G(q)| − 3e ≤ 0 makes the q-gram count
+    bound vacuous, the class that FULL-SCANNED the dictionary until
+    r5. Now routed through the Levenshtein NFA ∩ sorted-dictionary
+    seek walk (``engine.automaton.build_lev_nfa``, upstream
+    ``LevenshteinAutomata`` ∩ FST [U]; transposition arcs make it a
+    superset for both OSA and plain Levenshtein, exact distance
+    verifies after). Runs over the hex-tail-augmented index so the
+    dictionary grows with the corpus; the in-entry assert pins the
+    sublinear touch. Oracle: DuckDB ``levenshtein`` over the same
+    augmented corpus."""
+    r = IndexReader(_tailaug_index(sf_dir))
+    r.dict_terms_checked = 0
+    out = r.fuzzy_topk(FUZZY_SHORT_TERM, k=10,
+                       max_edits=FUZZY_SHORT_EDITS)
+    nv = len(r.vocabulary())
+    assert r.automaton_walks >= 1, "Levenshtein walk not taken"
+    assert 0 < r.dict_terms_checked < nv // 2, \
+        (r.dict_terms_checked, nv)
+    return _topdocs_out(out)
+
+
+SQL_FUZZY_SHORT = _sql_disjunction(
+    "SELECT DISTINCT term FROM tf "
+    f"WHERE levenshtein(term, '{FUZZY_SHORT_TERM}') "
+    f"<= {FUZZY_SHORT_EDITS}", 10,
     docs_src=_TAIL_AUG_SQL)
 
 
@@ -16358,6 +16397,7 @@ def queries() -> dict:
         "regexp_ci_literal_free_topk": regexp_ci_literal_free_topk,
         "regexp_automaton_topk": regexp_automaton_topk,
         "regexp_automaton_tail_topk": regexp_automaton_tail_topk,
+        "fuzzy_short_topk": fuzzy_short_topk,
         "boosted_topk": boosted_topk,
         "constant_score_topk": constant_score_topk,
         "req_opt_topk": req_opt_topk,
@@ -16751,6 +16791,7 @@ def oracle_sql() -> dict:
         "regexp_ci_literal_free_topk": SQL_REGEXP_CI,
         "regexp_automaton_topk": SQL_REGEXP_AUTOMATON,
         "regexp_automaton_tail_topk": SQL_REGEXP_TAIL,
+        "fuzzy_short_topk": SQL_FUZZY_SHORT,
         "boosted_topk": sql_boosted(),
         "constant_score_topk": SQL_CONSTANT_SCORE,
         "req_opt_topk": SQL_REQ_OPT,

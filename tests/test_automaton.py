@@ -127,6 +127,74 @@ def test_superset_fuzz_ignorecase_unicode():
         assert {t for t in words if rx.fullmatch(t)} <= set(cands), pat
 
 
+# ----------------------------- Levenshtein NFA (short-fuzzy walk)
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1,
+                       prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[n]
+
+
+def _osa(a, b):
+    m, n = len(a), len(b)
+    D = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        D[i][0] = i
+    for j in range(n + 1):
+        D[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            D[i][j] = min(D[i - 1][j] + 1, D[i][j - 1] + 1,
+                          D[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] \
+                    and a[i - 2] == b[j - 1]:
+                D[i][j] = min(D[i][j], D[i - 2][j - 2] + 1)
+    return D[m][n]
+
+
+def test_lev_nfa_superset_both_metrics():
+    """build_lev_nfa candidates must cover every term within
+    max_edits under BOTH plain Levenshtein and OSA (the two metrics
+    the engine verifies with) — fuzzed over random short terms."""
+    from engine.automaton import build_lev_nfa
+
+    rng = random.Random(3)
+    alpha = "abc"
+    words = sorted({"".join(rng.choices(alpha, k=rng.randint(1, 5)))
+                    for _ in range(400)})
+    tnp = np.asarray(words, dtype=object)
+    for _ in range(80):
+        term = "".join(rng.choices(alpha, k=rng.randint(1, 5)))
+        k = rng.randint(1, 2)
+        cands, touched = intersect_sorted(build_lev_nfa(term, k), tnp)
+        cs = set(cands)
+        for w in words:
+            if _lev(term, w) <= k or _osa(term, w) <= k:
+                assert w in cs, (term, k, w)
+        assert touched <= len(words)
+
+
+def test_lev_nfa_seeks_shared_prefix_dictionary():
+    """On a dictionary with long shared prefixes the walk must skip
+    nearly everything — the point of the seek (upstream
+    LevenshteinAutomata ∩ FST)."""
+    from engine.automaton import build_lev_nfa
+
+    tail = sorted(f"{i:05x}tail" for i in range(3000))
+    tnp = np.asarray(sorted(tail + ["ray", "run", "rag"]),
+                     dtype=object)
+    cands, touched = intersect_sorted(build_lev_nfa("ray", 2), tnp)
+    assert {"ray", "rag"} <= set(cands)
+    assert touched < 30, touched
+
+
 # ------------------------- r5 case-folded shape pruning (IndexReader)
 
 def test_fold_class_matches_re_ignorecase_exactly():
