@@ -289,6 +289,69 @@ def test_shape_prune_superset_property(smoke_index):
     check()
 
 
+def test_regexp_candidates_routing_superset_property(smoke_index):
+    """Property over the FULL r5 router (required-literal trigram →
+    case-folded shape → NFA walk): for random patterns, optionally
+    (?i)-prefixed and optionally repeat-headed/.*-tailed (forcing the
+    vacuous-shape branch), the routed candidates never lose a true
+    match, and vacuous patterns take the automaton path."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    vocab = r.vocabulary()
+
+    atom = st.one_of(
+        st.sampled_from(list("abcdefgilmnopqrstu")),
+        st.just("."),
+        st.sampled_from(["[ab]", "[a-f]", "[^x]", "\\w"]))
+    rep = st.sampled_from(["", "?", "*", "+", "{2}", "{1,3}"])
+    piece = st.tuples(atom, rep).map(lambda t: t[0] + t[1])
+    body = st.lists(piece, min_size=1, max_size=5).map("".join)
+    pattern_s = st.tuples(
+        st.sampled_from(["", "(?i)"]),
+        st.sampled_from(["", "(s|p|c)+", "(a|b)*"]),
+        body,
+        st.sampled_from(["", ".*"])).map(lambda t: "".join(t))
+
+    @settings(max_examples=150, deadline=None)
+    @given(pattern_s)
+    def check(pattern):
+        try:
+            rx = re.compile(pattern)
+        except re.error:
+            return
+        full = {t for t in vocab if rx.fullmatch(t)}
+        cands = r.regexp_candidates(pattern)
+        assert {t for t in cands if rx.fullmatch(t)} == full, pattern
+
+    check()
+
+
+def test_fuzzy_short_term_walk_matches_full_scan(smoke_index):
+    """The Levenshtein-walk branch (vacuous q-gram bound) must return
+    every in-distance term the full scan finds, for both metrics."""
+    from engine.query import IndexReader, _levenshtein, _osa_distance
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    vocab = r.vocabulary()
+    for term in ["pa", "ss", "aa", "scan"[:3]]:
+        for k in (1, 2):
+            walks0 = r.automaton_walks
+            cands = set(r._fuzzy_candidates(term, k))
+            assert r.automaton_walks == walks0 + 1
+            for t in vocab:
+                if _levenshtein(term, t, k) <= k or \
+                        _osa_distance(term, t, k) <= k:
+                    assert t in cands, (term, k, t)
+
+
 def test_write_sidecar_in_memory_matches_readback(tmp_path):
     """The term_col fast path (merge passes its in-memory table) must
     produce a byte-identical sidecar to the read-back variant."""
