@@ -1321,6 +1321,11 @@ class IndexReader:
                         walk(sub)
                     flush()
                 elif name == "SUBPATTERN":
+                    if av[1] & re.IGNORECASE:
+                        # scoped (?i:...) — its literals are case-
+                        # blind and the trigram postings are not; a
+                        # probe would drop true matches (r5 fix)
+                        raise ValueError("scoped ignorecase")
                     walk(av[3])      # required in the concatenation
                 else:
                     flush()

@@ -289,6 +289,26 @@ def test_shape_prune_superset_property(smoke_index):
     check()
 
 
+def test_scoped_ignorecase_group_keeps_matches(smoke_index):
+    """(?i:...) groups set NO compiled flag, so literal extraction
+    must bail on the scoped flag itself (r5 fix — previously the
+    case-sensitive trigram probe dropped case-variant matches)."""
+    import re
+
+    from engine.query import IndexReader
+
+    idx, _, _ = smoke_index
+    r = IndexReader(idx)
+    assert IndexReader._required_literals("(?i:spark)le") == []
+    probe = max(r.vocabulary(), key=len)
+    pat = f"(?i:{probe.upper()[:3]}){re.escape(probe[3:])}"
+    rx = re.compile(pat)
+    full = {t for t in r.vocabulary() if rx.fullmatch(t)}
+    assert probe in full
+    assert {t for t in r.regexp_candidates(pat)
+            if rx.fullmatch(t)} == full
+
+
 def test_regexp_candidates_routing_superset_property(smoke_index):
     """Property over the FULL r5 router (required-literal trigram →
     case-folded shape → NFA walk): for random patterns, optionally
