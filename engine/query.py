@@ -1577,9 +1577,11 @@ class IndexReader:
             self.dict_terms_checked += len(cands)
             return cands
         shape = self._regex_shape(pattern)
+        # anchored classes are the only pruning the Arrow filter has
+        # beyond length bounds — with none (e.g. `(ab|cd)+x.*`, or
+        # bounded `(ab|cd){2}`), the NFA walk prunes strictly harder
         vacuous = shape is None or (
-            shape.get("max_len") is None
-            and not any(shape.get("pre") or [])
+            not any(shape.get("pre") or [])
             and not any(shape.get("suf") or []))
         if vacuous:
             from engine import automaton as am
