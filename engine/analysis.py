@@ -202,14 +202,19 @@ class HTMLStripCharFilter(CharFilter):
     3. tags ``<...>`` → one space;
     4. entities ``&name;``/``&#nn;`` → one space.
 
-    Boundary (documented): unterminated script/style/comment blocks
-    fall through to plain tag stripping (upstream consumes to EOF),
-    and unwrapped CDATA text is still subject to stages 3–4."""
+    UNTERMINATED script/style/comment blocks consume to EOF (stage
+    1b, upstream's to-EOF states) and an unterminated CDATA opener
+    unwraps to EOF (stage 2b); unwrapped CDATA text is still subject
+    to stages 3–4 (documented simplification)."""
 
     BLOCKS = (r"(?is)<script\b[^>]*>.*?</script\s*>"
               r"|<style\b[^>]*>.*?</style\s*>"
               r"|<!--.*?-->")
+    BLOCKS_EOF = (r"(?is)<script\b[^>]*>.*$"
+                  r"|<style\b[^>]*>.*$"
+                  r"|<!--.*$")
     CDATA = r"(?s)<!\[CDATA\[(.*?)\]\]>"
+    CDATA_EOF = r"(?s)<!\[CDATA\[(.*)$"
     TAGS = r"<[^>]*>"
     ENTITIES = r"&[a-zA-Z]+;|&#[0-9]+;"
 
@@ -217,33 +222,46 @@ class HTMLStripCharFilter(CharFilter):
         out = pc.replace_substring_regex(
             texts, pattern=self.BLOCKS, replacement=" ")
         out = pc.replace_substring_regex(
+            out, pattern=self.BLOCKS_EOF, replacement=" ")
+        out = pc.replace_substring_regex(
             out, pattern=self.CDATA, replacement=r"\1")
+        out = pc.replace_substring_regex(
+            out, pattern=self.CDATA_EOF, replacement=r"\1")
         out = pc.replace_substring_regex(
             out, pattern=self.TAGS, replacement=" ")
         return pc.replace_substring_regex(
             out, pattern=self.ENTITIES, replacement=" ")
 
     def apply_with_offsets(self, text: str):
-        """Same four regex stages as :meth:`apply`, each stage's
-        offset map composed in order (blocks, CDATA unwrap, tags,
-        entities — order matters for both output and offsets)."""
+        """Same regex stages as :meth:`apply`, each stage's offset
+        map composed in order (blocks, to-EOF blocks, CDATA unwrap,
+        to-EOF CDATA, tags, entities)."""
         import re
 
         t1, m1 = _apply_events(
             text, _regex_events(text, re.compile(self.BLOCKS), " "))
-        rx_cd = re.compile(self.CDATA)
-        cd_events = []          # two DELETIONS per section, so the
-        for m in rx_cd.finditer(t1):   # kept content's chars map to
-            cd_events.append((m.start(), 9, ""))     # their own raw
-            cd_events.append((m.end() - 3, 3, ""))   # positions
-        t2, m2 = _apply_events(t1, cd_events)
+        t1b, m1b = _apply_events(
+            t1, _regex_events(t1, re.compile(self.BLOCKS_EOF), " "))
+        cd_events = []          # DELETION events per marker, so the
+        for m in re.compile(self.CDATA).finditer(t1b):  # kept chars
+            cd_events.append((m.start(), 9, ""))      # map to their
+            cd_events.append((m.end() - 3, 3, ""))    # raw positions
+        t2, m2 = _apply_events(t1b, cd_events)
+        t2b, m2b = _apply_events(
+            t2, [(m.start(), 9, "")
+                 for m in re.compile(self.CDATA_EOF).finditer(t2)])
         t3, m3 = _apply_events(
-            t2, _regex_events(t2, re.compile(self.TAGS), " "))
+            t2b, _regex_events(t2b, re.compile(self.TAGS), " "))
         t4, m4 = _apply_events(
             t3, _regex_events(t3, re.compile(self.ENTITIES), " "))
-        return t4, (lambda off: _correct_offset(
-            m1, _correct_offset(m2, _correct_offset(
-                m3, _correct_offset(m4, off)))))
+        maps = (m1, m1b, m2, m2b, m3, m4)
+
+        def correct(off: int) -> int:
+            for m in reversed(maps):
+                off = _correct_offset(m, off)
+            return off
+
+        return t4, correct
 
     def spec(self) -> dict:
         return {"type": "htmlstrip"}

@@ -7997,15 +7997,20 @@ ORDER BY h.rank
 """
 
 
-# full four-stage strip (blocks, CDATA unwrap, tags, entities) — the
-# SQL twin of HTMLStripCharFilter's r5 chain; backslashes are literal
-# inside standard SQL string literals, so the regexes pass through
+# full strip (blocks, to-EOF blocks, CDATA unwrap, to-EOF CDATA,
+# tags, entities) — the SQL twin of HTMLStripCharFilter's r5 chain;
+# backslashes are literal inside standard SQL string literals, so the
+# regexes pass through
 _SQL_STRIP_FULL_TPL = (
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace("
     "{col}, "
     "'(?is)<script\\b[^>]*>.*?</script\\s*>"
     "|<style\\b[^>]*>.*?</style\\s*>|<!--.*?-->', ' ', 'g'), "
+    "'(?is)<script\\b[^>]*>.*$|<style\\b[^>]*>.*$|<!--.*$', "
+    "' ', 'g'), "
     "'(?s)<!\\[CDATA\\[(.*?)\\]\\]>', '\\1', 'g'), "
+    "'(?s)<!\\[CDATA\\[(.*)$', '\\1', 'g'), "
     "'<[^>]*>', ' ', 'g'), "
     "'&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g')")
 

@@ -782,11 +782,15 @@ def test_htmlstrip_blocks_and_cdata():
     # multiline script bodies strip too ((?s) flag)
     ml = "<script>\nline1\nline2\n</script>ok"
     assert f.apply(pa.array([ml]))[0].as_py() == " ok"
-    # unterminated block: falls through to plain tag stripping
-    un = "<script>var leak = 1;"
-    assert f.apply(pa.array([un]))[0].as_py() == " var leak = 1;"
+    # unterminated block consumes to EOF (upstream's to-EOF states)
+    un = "keep <script>var leak = 1;"
+    assert f.apply(pa.array([un]))[0].as_py() == "keep  "
     f2, c2 = f.apply_with_offsets(un)
-    assert f2 == " var leak = 1;" and un[c2(1)] == "v"
+    assert f2 == "keep  " and un[c2(0)] == "k"
+    # unterminated comment / CDATA opener
+    assert f.apply(pa.array(["a<!--never closed"]))[0].as_py() == "a "
+    assert f.apply(pa.array(["a<![CDATA[kept to eof"]))[0].as_py() \
+        == "akept to eof"
 
 
 def test_htmlstrip_sql_template_parity():
@@ -806,11 +810,16 @@ def test_htmlstrip_sql_template_parity():
         "<SCRIPT>upper case</SCRIPT>mix<Style>s</stylE>ok",
         "a<![CDATA[]]>b<!---->c",
         "nested <script>a<!--b--></script>d",
+        "unterminated <script>to eof",
+        "open <style>never closed",
+        "cmt <!--dangling",
+        "cd <![CDATA[rest kept",
+        "multi\n<script>a\nb</script>\nline",
     ]
     expr = _SQL_STRIP_FULL_TPL.format(col="t")
-    got_sql = [r[0] for r in duckdb.sql(
-        "SELECT " + expr + " FROM (SELECT unnest(" +
-        str(rows) + ") AS t)").fetchall()]
+    got_sql = [r[0] for r in duckdb.connect().execute(
+        "SELECT " + expr + " FROM (SELECT unnest(?) AS t)",
+        [rows]).fetchall()]
     got_arrow = f.apply(pa.array(rows)).to_pylist()
     assert got_sql == got_arrow
     for raw, want in zip(rows, got_arrow):
