@@ -8067,6 +8067,14 @@ def sql_highlight_script_offsets() -> str:
     strip_w = _SQL_STRIP_FULL_TPL.format(col="wtext")
     strip_pre = _SQL_STRIP_FULL_TPL.format(
         col="substr(wtext, 1, i::INT - 1)")
+    # the occurrence itself must SURVIVE stripping: with the to-EOF
+    # block stages an occurrence INSIDE a block strips away entirely,
+    # so the prefix-length equation alone would also accept the
+    # script's decoy (its stripped prefix collapses to the same
+    # length) — requiring the prefix INCLUDING the occurrence to grow
+    # by exactly len(term) excludes stripped-away candidates
+    strip_pre_incl = _SQL_STRIP_FULL_TPL.format(
+        col=f"substr(wtext, 1, i::INT + {len(HLO_TERM) - 1})")
     sdocs = (f"(SELECT doc_id, "
              f"{_SQL_STRIP_FULL_TPL.format(col=_SQL_WRAP_SCRIPT)} "
              "AS text FROM documents) sdocs")
@@ -8091,6 +8099,7 @@ occ AS (
 mapped AS (
   SELECT doc_id, MIN(i) AS i FROM occ
   WHERE length({strip_pre}) = fpos - 1
+    AND length({strip_pre_incl}) = fpos - 1 + {L}
   GROUP BY doc_id)
 SELECT h.rank, h.doc_id, h.score,
        (m.i - 1)::BIGINT AS start_off,
