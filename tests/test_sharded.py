@@ -866,6 +866,51 @@ def test_phase2_owner_routing(ray_session, tmp_path):
         ds.shutdown()
 
 
+def test_phase2_routing_survives_failover(ray_session, tmp_path):
+    """The owner-routing table is keyed to the live shard actors:
+    after a primary dies and a spare is promoted, the retried
+    two-phase fetch must re-resolve bounds against the NEW actors and
+    return the same rows (replicas share doc ranges, so even a stale
+    table would route correctly — this pins the refresh path)."""
+    import ray
+
+    from engine.build import IndexConfig, build_index, \
+        build_stored_fields
+    from engine.sharded import ReplicatedSearcher
+
+    rng = np.random.default_rng(11)
+    vocab = ["aa", "bb", "cc"]
+    texts = [" ".join(rng.choice(vocab, size=8)) for _ in range(60)]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=32)
+    shards = []
+    for si in range(2):
+        f = str(tmp_path / f"fo{si}.parquet")
+        lo, hi = si * 30, (si + 1) * 30
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(texts[lo:hi])}), f)
+        sd = str(tmp_path / f"foidx{si}")
+        build_index([f], sd, cfg)
+        build_stored_fields(sd)
+        shards.append(sd)
+    s = ReplicatedSearcher(shards, n_replicas=2)
+    try:
+        before = s.call("topk_fetch", "aa bb", 6)
+        key0 = s._fetch_bounds_for
+        assert key0                      # table was built and keyed
+        ray.kill(s.shards[0])
+        after = s.call("topk_fetch", "aa bb", 6)
+        assert s._fetch_bounds_for != key0     # re-keyed on promotion
+        assert before["doc_id"].to_pylist() == \
+            after["doc_id"].to_pylist()
+        assert before["text"].to_pylist() == after["text"].to_pylist()
+    finally:
+        s.shutdown()
+
+
 def test_sharded_mlt_equals_single(ray_session, tmp_path):
     """Distributed MLT must equal single-index MLT: seed fetched
     from its owner, term selection by GLOBAL df (a term rare locally
