@@ -826,6 +826,46 @@ def test_htmlstrip_sql_template_parity():
         assert f.apply_with_offsets(raw)[0] == want
 
 
+def test_htmlstrip_fuzz_three_way_parity():
+    """Random markup soup (tags, dangling openers, entities, CDATA,
+    nesting, newlines): the Arrow kernel, the per-string offset path,
+    and the SQL template must agree character for character, and
+    every surviving char must map back to itself."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+
+    from engine.analysis import HTMLStripCharFilter
+    from engine.registry import _SQL_STRIP_FULL_TPL
+
+    rng = random.Random(17)
+    pieces = ["a", "b", " ", "\n", "<", ">", "&", ";", "&amp;",
+              "&#38;", "<p>", "</p>", "<script>", "</script>",
+              "<script x=1>", "<style>", "</style>", "<!--", "-->",
+              "<![CDATA[", "]]>", "spark", "<br/>", "&nope", "#9;"]
+    rows = ["".join(rng.choices(pieces, k=rng.randint(1, 14)))
+            for _ in range(300)]
+    f = HTMLStripCharFilter()
+    got_arrow = f.apply(pa.array(rows)).to_pylist()
+    expr = _SQL_STRIP_FULL_TPL.format(col="t")
+    got_sql = [r[0] for r in duckdb.connect().execute(
+        "SELECT " + expr + " FROM (SELECT unnest(?) AS t)",
+        [rows]).fetchall()]
+    assert got_sql == got_arrow
+    for raw, want in zip(rows, got_arrow):
+        filtered, correct = f.apply_with_offsets(raw)
+        assert filtered == want, raw
+        last = -1
+        for i, ch in enumerate(filtered):
+            o = correct(i)
+            assert o >= last, (raw, i)      # monotone map
+            last = o
+            if ch != " ":
+                assert raw[o] == ch, (raw, i, ch)
+        assert correct(len(filtered)) <= len(raw)
+
+
 def test_char_filter_offset_maps_mapping():
     """MappingCharFilter with length-changing rewrites keeps the
     offset map consistent with sequential vectorized replaces."""
