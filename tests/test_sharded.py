@@ -821,6 +821,56 @@ def test_sharded_highlight_equals_single(ray_session, tmp_path):
         ds.shutdown()
 
 
+def test_sharded_automaton_classes_equal_single(ray_session, tmp_path):
+    """The r5 pattern classes — vacuous-shape regexp (NFA walk),
+    case-insensitive literal-free, and short fuzzy (Levenshtein
+    walk) — must be bit-identical between the sharded coordinator
+    and a single index over the same corpus (each shard walks its
+    OWN dictionary; the union must equal the global expansion)."""
+    from engine.build import IndexConfig, build_index
+    from engine.query import IndexReader
+    from engine.sharded import DistributedSearcher
+
+    rng = np.random.default_rng(23)
+    vocab = ["spark", "scan", "spare", "score", "apple", "merge",
+             "ray", "rag", "run", "abxq", "cdxz", "ababxy", "SPARK"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(4, 12)))
+             for _ in range(120)]
+    cfg = IndexConfig(text_col="text", conv_cols=None,
+                      doc_id_col="doc_id", stop_words=None,
+                      stemming=False, n_buckets=2,
+                      hot_df_threshold=10**9, batch_size=64)
+    files, shards = [], []
+    for si in range(3):
+        f = str(tmp_path / f"am{si}.parquet")
+        lo, hi = si * 40, (si + 1) * 40
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": pa.array(texts[lo:hi])}), f)
+        files.append(f)
+        sd = str(tmp_path / f"amidx{si}")
+        build_index([f], sd, cfg)
+        shards.append(sd)
+    single = str(tmp_path / "amsingle")
+    build_index(files, single, cfg)
+    r = IndexReader(single)
+    ds = DistributedSearcher(shards)
+    try:
+        for pat in ["(s|p|c)+a.*", "(ab|cd)+x.*", "(?i)S..R.",
+                    "(a|r)+.*g.*"]:
+            a = r.regexp_topk(pat, k=20)
+            b = ds.regexp_topk(pat, k=20)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), pat
+            assert a["score"].to_pylist() == b["score"].to_pylist(), pat
+        for term, k in [("ray", 2), ("rg", 1), ("sp", 2)]:
+            a = r.fuzzy_topk(term, k=20, max_edits=k)
+            b = ds.fuzzy_topk(term, k=20, max_edits=k)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), term
+            assert a["score"].to_pylist() == b["score"].to_pylist(), term
+    finally:
+        ds.shutdown()
+
+
 def test_phase2_owner_routing(ray_session, tmp_path):
     """r5 fetch-tail fix: the phase-2 scatter must call ONLY shards
     whose docID bounds cover some requested id, each with exactly its
