@@ -99,7 +99,12 @@ def naive_bayes_classify(ds: ray.data.Dataset, text_col: str,
 
 
 def _collect(ds: ray.data.Dataset) -> pa.Table:
-    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    # materialize() first: to_arrow_refs() on a LAZY dataset runs a
+    # limit-1 schema probe as a separate full execution of the plan
+    # (observed on Ray 2.49 Aggregate plans); on a MaterializedDataset
+    # the refs are returned without re-execution
+    tabs = [t for t in ray.get(ds.materialize().to_arrow_refs())
+            if t.num_rows]
     return pa.concat_tables(tabs).combine_chunks()
 
 

@@ -296,7 +296,13 @@ def bigram_lm_score(ds: ray.data.Dataset, text_col: str, id_col: str
                                    uni["c"].combine_chunks()])})
 
     from engine.ops.classify import _collect
+    # materialize the (small) pre-aggregated partials before the
+    # groupby: Ray's sort-based shuffle otherwise EXECUTES the lazy
+    # upstream a second time to sample boundaries (the documented
+    # double-execution pitfall) — one full corpus tokenize+count
+    # pass saved per call
     counts = _collect(ds.map_batches(pairs, batch_format="pyarrow")
+                      .materialize()
                       .groupby(["w1", "w2"]).sum("c"))
     is_uni = pc.equal(counts["w2"], "")
     uni_t = counts.filter(is_uni)
@@ -723,7 +729,13 @@ def free_text_suggest(ds: ray.data.Dataset, text_col: str,
         return t.rename_columns(["w1", "w2", "c"])
 
     from engine.ops.classify import _collect
+    # materialize the (small) pre-aggregated partials before the
+    # groupby: Ray's sort-based shuffle otherwise EXECUTES the lazy
+    # upstream a second time to sample boundaries (the documented
+    # double-execution pitfall) — one full corpus tokenize+count
+    # pass saved per call
     counts = _collect(ds.map_batches(pairs, batch_format="pyarrow")
+                      .materialize()
                       .groupby(["w1", "w2"]).sum("c"))
     df = counts.to_pandas()
     df = df.rename(columns={"sum(c)": "count"})
