@@ -81,7 +81,8 @@ def solr_xml_to_table(paths: str | list[str]) -> pa.Table:
     ds = read_solr_xml(paths)
     import ray as _ray
 
-    tabs = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in _ray.get(ds.materialize().to_arrow_refs())
+            if t.num_rows]   # parse tasks must not run twice
     return pa.concat_tables(tabs, promote_options="default") \
         .combine_chunks() if tabs else pa.table({})
 

@@ -752,7 +752,8 @@ def merge_sorted(streams: list[ray.data.Dataset],
                 s.materialize().to_arrow_refs()) if t.num_rows]
         else:
             heads.append(ray.get(
-                top_k(s, sort_keys, k).to_arrow_refs())[0])
+                top_k(s, sort_keys, k).materialize()
+                .to_arrow_refs())[0])
     merged = pa.concat_tables(
         [h for h in heads if h.num_rows],
         promote_options="default").combine_chunks().sort_by(sb)

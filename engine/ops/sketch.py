@@ -109,8 +109,11 @@ def hll_group_distinct(ds: ray.data.Dataset, key_col: str, val_col: str,
                 [int(np.floor(sk.estimate() + 0.5))], type=pa.int64()),
         })
 
+    # materialize before taking refs — to_arrow_refs() on a lazy
+    # plan re-executes it for a limit-1 schema probe (Ray 2.49)
     t = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(key_col).map_groups(combine, batch_format="pyarrow")
+        .groupby(key_col).map_groups(combine, batch_format="pyarrow") \
+        .materialize()
     refs = t.to_arrow_refs()
     import ray as _ray
     tabs = [_ray.get(r) for r in refs]

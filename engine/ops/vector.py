@@ -170,7 +170,8 @@ def cosine_pairs(ds: ray.data.Dataset, emb_col: str, id_col: str,
     block pair is one matmul task. O(n²) flops but distributed and
     memory-bounded — the honest exact algorithm; use
     :func:`cosine_pairs_lsh` as the approximate 100 TB path."""
-    refs = ds.select_columns([id_col, emb_col]).to_arrow_refs()
+    refs = ds.select_columns([id_col, emb_col]) \
+        .materialize().to_arrow_refs()   # no lazy schema-probe re-run
 
     @ray.remote
     def norm_block(tab: pa.Table):
@@ -292,6 +293,8 @@ def cosine_pairs_lsh(ds: ray.data.Dataset, emb_col: str, id_col: str,
 def _to_arrow(ds) -> pa.Table:
     if isinstance(ds, pa.Table):
         return ds
+    if hasattr(ds, "materialize"):
+        ds = ds.materialize()      # no lazy schema-probe re-run
     tabs = [ray.get(r) for r in ds.to_arrow_refs()]
     keep = [t for t in tabs if t.num_rows]
     return pa.concat_tables(keep).combine_chunks() if keep else tabs[0]
@@ -391,8 +394,8 @@ def ivf_train(ds: ray.data.Dataset, emb_col: str, id_col: str,
         return b.filter(pa.array(ids < sample_n))
 
     tabs = [t for t in ray.get(
-        ds.map_batches(keep, batch_format="pyarrow").to_arrow_refs())
-        if t.num_rows]
+        ds.map_batches(keep, batch_format="pyarrow")
+        .materialize().to_arrow_refs()) if t.num_rows]
     samp = pa.concat_tables(tabs).combine_chunks().sort_by(id_col)
     m = _normalize(_emb_matrix(samp[emb_col]))
     n_clusters = min(n_clusters, m.shape[0])
